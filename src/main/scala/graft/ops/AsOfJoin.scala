@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the payload of the right row with
+  * the greatest `rightTs <= leftTs` (or `<` when `strict`) within the same
+  * key group. The reference's time-point read `get(key, t)` generalized to
+  * a relational operator (SURVEY.md Q10/T04, §4.3 item 1).
+  *
+  * Implementation is the union+window pattern, NOT a non-equi join: Spark
+  * plans `l.ts >= r.ts` conditions as BroadcastNestedLoopJoin — an O(n·m)
+  * cliff at scale. Here both sides are unioned, shuffled ONCE on the key
+  * columns, sorted within partitions by (ts, side, tieBreak), and each left
+  * row picks up the running `last` non-null right payload. O(n log n),
+  * single shuffle, spill-safe — survives a 1000-executor 100 TB run as long
+  * as no single key group is degenerate (salt upstream if one is).
+  *
+  * Tie semantics: right rows at ts == left ts ARE visible (non-strict) and
+  * among right ties the one with the greatest `tieBreak` wins — both sides
+  * of the oracle must declare the same rule.
+  */
+object AsOfJoin {
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: String,
+      strict: Boolean = false): DataFrame = {
+    val pay = payload.map(p => s"__r_$p")
+    val rightSide = right.select(
+      on.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__is_right"),
+        col(tieBreak).as("__tie")) ++
+        payload.zip(pay).map { case (p, a) => col(p).as(a) }: _*)
+    val leftCols = left.columns.toSeq
+    val leftSide = left.select(
+      leftCols.map(col) ++ Seq(col(leftTs).as("__ts"), lit(0).as("__is_right"),
+        lit(null).cast("long").as("__tie")) ++
+        pay.map(a => lit(null).as(a)): _*)
+    // Align schemas: left side carries its own columns; right side carries
+    // nulls for them (unionByName with allowMissingColumns).
+    val unioned = leftSide.unionByName(rightSide, allowMissingColumns = true)
+    // Right rows sort before left rows at equal ts iff non-strict (visible);
+    // after iff strict (invisible). Among right ties, larger tieBreak last
+    // so running `last` picks it.
+    val sideOrder = if (strict) col("__is_right").asc else col("__is_right").desc
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").asc, sideOrder, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPayload = pay.zip(payload).foldLeft(unioned) { case (df, (a, p)) =>
+      df.withColumn(p + "_asof", last(col(a), ignoreNulls = true).over(w))
+    }
+    withPayload.filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++ payload.map(p => col(p + "_asof")): _*)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.graphx.{Edge, Graph, Pregel, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph layer (SURVEY.md §2.2): canonical derived graphs over the testdata
+  * plus GraphX/Pregel algorithms. DataFrames are the source of truth;
+  * graphs are projected NARROW (ids + the one needed attribute) right
+  * before the RDD conversion so no wide rows cross the GraphX boundary.
+  *
+  * Heterogeneous vertex ids live in one Long space via type-tag offsets —
+  * entity keys are < 10^9 in all testdata SFs, and a 100 TB graph with
+  * 10^11 vertices still fits 4 tag ranges in a signed 64-bit space.
+  */
+object Graphs {
+  val TAG: Long = 1000000000000L // 10^12 per entity type
+  val CUST: Long = 0L * TAG
+  val ORD: Long = 1L * TAG
+  val PART: Long = 2L * TAG
+  val SUPP: Long = 3L * TAG
+
+  /** G_supply vertices: (id, vtype). */
+  def supplyVertices(s: SparkSession, dir: String): DataFrame = {
+    val t = (n: String) => graft.Tables.load(s, dir, n)
+    t("customer").select((col("c_custkey") + CUST).as("id"),
+        lit("customer").as("vtype"))
+      .unionAll(t("orders").select((col("o_orderkey") + ORD).as("id"),
+        lit("order").as("vtype")))
+      .unionAll(t("part").select((col("p_partkey") + PART).as("id"),
+        lit("part").as("vtype")))
+      .unionAll(t("supplier").select((col("s_suppkey") + SUPP).as("id"),
+        lit("supplier").as("vtype")))
+  }
+
+  /** G_supply edges: (src, dst, etype) — FIXTURES.md definitions. */
+  def supplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    val li = graft.Tables.load(s, dir, "lineitem")
+    orders.select((col("o_custkey") + CUST).as("src"),
+        (col("o_orderkey") + ORD).as("dst"), lit("cust_order").as("etype"))
+      .unionAll(li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select((col("l_orderkey") + ORD).as("src"),
+          (col("l_partkey") + PART).as("dst"), lit("order_part").as("etype")))
+      .unionAll(li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .select((col("l_orderkey") + ORD).as("src"),
+          (col("l_suppkey") + SUPP).as("dst"), lit("order_supp").as("etype")))
+      .unionAll(li.select(col("l_suppkey"), col("l_partkey")).distinct()
+        .select((col("l_suppkey") + SUPP).as("src"),
+          (col("l_partkey") + PART).as("dst"), lit("supp_part").as("etype")))
+  }
+
+  /** Restricted G_copart: undirected part-co-occurrence edges, only from
+    * orders with <= 3 distinct parts (FIXTURES.md — the unrestricted graph
+    * is one dense component). Returned as canonical pairs `x < y`.
+    */
+  def copartPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    val ok = li.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_partkey")).as("np"))
+      .filter(col("np") <= 3)
+      .select("l_orderkey")
+    val small = li.join(ok, "l_orderkey")
+    val a = small.select(col("l_orderkey"), col("l_partkey").as("x"))
+    val b = small.select(col("l_orderkey").as("ok2"), col("l_partkey").as("y"))
+    a.join(b, col("l_orderkey") === col("ok2") && col("x") < col("y"))
+      .select("x", "y").distinct()
+  }
+
+  /** Both directions of the restricted co-part graph. */
+  def copartEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = copartPairs(s, dir)
+    p.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(p.select(col("y").as("src"), col("x").as("dst")))
+  }
+
+  /** G_session: each event -> same user's next event by (ts, event_id);
+    * edge carries (src ts, dst ts) in epoch micros — the availability time
+    * and the arrival time of the hop.
+    */
+  def sessionEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    graft.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("dst", lead(col("event_id"), 1).over(w))
+      .withColumn("dst_ts_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("event_id").as("src"), col("dst"),
+        col("ts_us").as("avail_us"), col("dst_ts_us").as("arrive_us"))
+  }
+
+  private def toGraph(edges: DataFrame): Graph[Unit, Int] = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(e, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Bounded-depth BFS from `seed`: (id, dist) for dist <= maxDepth.
+    * Pregel min-plus; maxIterations bounds the supersteps, so the job cost
+    * is depth × shuffle regardless of graph size.
+    */
+  def bfsDepths(s: SparkSession, edges: DataFrame, seed: Long, maxDepth: Int): DataFrame = {
+    val g = toGraph(edges).mapVertices((id, _) =>
+      if (id == seed) 0 else Int.MaxValue)
+    val res = Pregel(g, Int.MaxValue, maxIterations = maxDepth)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      math.min)
+    s.createDataFrame(res.vertices.filter(_._2 != Int.MaxValue)
+      .map { case (id, d) => (id, d) })
+      .toDF("id", "dist")
+  }
+
+  /** Connected components (GraphX label = min vertex id in component). */
+  def connectedComponents(s: SparkSession, edges: DataFrame): DataFrame = {
+    val res = toGraph(edges).connectedComponents()
+    s.createDataFrame(res.vertices.map { case (id, lbl) => (id, lbl) })
+      .toDF("id", "component")
+  }
+
+  /** Global triangle count over canonical (src < dst) pairs. */
+  def triangleCount(s: SparkSession, pairs: DataFrame): Long = {
+    val e = pairs.select(col("x").cast("long"), col("y").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph.fromEdges(e, (), StorageLevel.MEMORY_AND_DISK,
+      StorageLevel.MEMORY_AND_DISK)
+    g.triangleCount().vertices.map(_._2.toLong).reduce(_ + _) / 3
+  }
+
+  /** Static PageRank, fixed iteration count (tolerance-gated, SURVEY G08). */
+  def pageRank(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    val ranks = toGraph(edges).staticPageRank(iters).vertices
+    s.createDataFrame(ranks.map { case (id, r) => (id, r) })
+      .toDF("id", "rank")
+  }
+
+  /** Temporal earliest-arrival (SURVEY G10, the reference's signature
+    * traversal): from `seed`, an edge (u,v) is usable only if arrival(u) <=
+    * its availability time; arrival(v) = the hop's arrival time. Bounded to
+    * `maxHops` Pregel supersteps.
+    */
+  def earliestArrival(s: SparkSession, edges: DataFrame, seed: Long,
+      seedTsUs: Long, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("avail_us").cast("long"), col("arrive_us").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), (r.getLong(2), r.getLong(3))))
+    val g = Graph.fromEdges(e, Long.MaxValue, StorageLevel.MEMORY_AND_DISK,
+        StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (id == seed) seedTsUs else Long.MaxValue)
+    val res = Pregel(g, Long.MaxValue, maxIterations = maxHops)(
+      (_, a, msg) => math.min(a, msg),
+      t => {
+        val (avail, arrive) = t.attr
+        if (t.srcAttr != Long.MaxValue && t.srcAttr <= avail && arrive < t.dstAttr)
+          Iterator((t.dstId, arrive))
+        else Iterator.empty
+      },
+      math.min)
+    s.createDataFrame(res.vertices.filter(_._2 != Long.MaxValue)
+      .map { case (id, a) => (id, a) })
+      .toDF("id", "arrival_us")
+  }
+}

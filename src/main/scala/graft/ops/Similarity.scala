@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity / dedup operators (SURVEY.md §2.5). Exact forms are the
+  * correctness contract at test scale; the LSH variants are the 100 TB
+  * path (candidate generation via banding/bucketing joins so the
+  * all-pairs cross join never materializes).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns in double
+    * precision — codegen'd HOF, deterministic order (matches the oracle's
+    * list_sum(list_transform(list_zip(...))) bit-for-bit).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** L2-normalized copy of a vector (double elements). */
+  def l2normalize(a: Column): Column =
+    transform(a, x => x.cast("double") / norm(a))
+
+  /** Exact all-pairs cosine over an embeddings table (vec_id, embedding),
+    * restricted to a_id < b_id. Norms are computed ONCE per vector before
+    * the join (cheap pre-projection) rather than per pair. Quadratic —
+    * test-scale / within-LSH-bucket use only.
+    */
+  def allPairsCosine(vecs: DataFrame): DataFrame = {
+    val withNorm = vecs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = withNorm.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+          .as("cos_sim"))
+  }
+
+  /** k-NN of one query vector: broadcast-as-literal scan, one pass. */
+  def knn(vecs: DataFrame, query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    vecs.select(col("vec_id"),
+        round(cosine(col("embedding"), q), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** MinHash signatures over shingle sets: `numHashes` permutations
+    * h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle hashes. Returns
+    * (doc_id, band, band_sig) rows for LSH banding: candidate pairs are an
+    * equi join on (band, band_sig) — the scale path for near-dedup, no
+    * all-pairs join. Deterministic (seeded parameters).
+    */
+  def minHashBands(shingled: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // h(x) = (a*x + b) mod p with p the largest 32-bit prime; a < 2^31 and
+    // x < 2^32 keep a*x + b under 2^63 — no ANSI-mode long overflow.
+    val p = 4294967291L
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, math.abs(rnd.nextLong()) % p))
+    val h = col("__h")
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(h * lit(a) + lit(b), lit(p))).as(s"mh_$i")
+    }
+    val rowsPerBand = numHashes / bands
+    val sig = shingled
+      .withColumn("__h", pmod(xxhash64(col("shingle")), lit(p)))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        xxhash64((bd * rowsPerBand until (bd + 1) * rowsPerBand)
+          .map(i => col(s"mh_$i")): _*).as("band_sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+  }
+
+  /** LSH near-dup candidates: pairs sharing at least one band signature. */
+  def lshCandidates(shingled: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val b1 = minHashBands(shingled, numHashes, bands)
+    val b2 = b1.select(col("doc_id").as("b_id"), col("band"),
+      col("band_sig"))
+    b1.join(b2, Seq("band", "band_sig"))
+      .filter(col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+  }
+
+  /** Exact n-gram Jaccard over all intersecting pairs, or (re-check pass)
+    * only over supplied candidate pairs.
+    */
+  def exactJaccard(shingled: DataFrame, pairs: Option[DataFrame] = None): DataFrame = {
+    val sizes = shingled.groupBy("doc_id")
+      .agg(count(lit(1)).as("sz"))
+    val s1 = shingled.select(col("doc_id").as("a_id"), col("shingle"))
+    val s2 = shingled.select(col("doc_id").as("b_id"), col("shingle"))
+    val joined = s1.join(s2, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+    val restricted = pairs.fold(joined)(p =>
+      joined.join(p, Seq("a_id", "b_id"), "left_semi"))
+    val inter = restricted
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("sz", "a_sz"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("sz", "b_sz"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
+  }
+
+  /** SimHash (64-bit) of the token stream: sign-sum of per-token hashes
+    * weighted into bit positions. Near-dups have small Hamming distance.
+    */
+  def simHash(text: Column): Column = {
+    val tokens = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val hashes = transform(tokens, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Graphs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators (SURVEY.md §2.2 G01–G10) over the canonical derived
+  * graphs (FIXTURES.md). Iterative algorithms run on GraphX/Pregel with
+  * bounded supersteps; oracles are recursive CTEs with the same bounds.
+  */
+object GraphQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G01 — graph construction: vertex/edge counts by kind.
+    "g01_graph_build" -> ((s, dir) => {
+      val v = Graphs.supplyVertices(s, dir).groupBy("vtype").count()
+        .select(concat(lit("v_"), col("vtype")).as("kind"),
+          col("count").as("n"))
+      val e = Graphs.supplyEdges(s, dir).groupBy("etype").count()
+        .select(concat(lit("e_"), col("etype")).as("kind"),
+          col("count").as("n"))
+      v.unionAll(e).orderBy("kind")
+    }),
+
+    // G02 — out-degree distribution of customers (zero-degree included).
+    "g02_degree_dist" -> ((s, dir) => {
+      val deg = Graphs.supplyEdges(s, dir)
+        .filter(col("etype") === "cust_order")
+        .groupBy("src").count()
+      Graphs.supplyVertices(s, dir).filter(col("vtype") === "customer")
+        .join(deg, col("id") === col("src"), "left_outer")
+        .select(coalesce(col("count"), lit(0L)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_customers"))
+        .orderBy("deg")
+    }),
+
+    // G03 — 3-hop heterogeneous traversal: distinct parts within <= 3 hops
+    // of customer 1 in G_supply. k is fixed -> unrolled DataFrame joins
+    // (each hop an equi join, broadcastable frontier), no Pregel needed.
+    "g03_khop" -> ((s, dir) => {
+      val e = Graphs.supplyEdges(s, dir).select("src", "dst").cache()
+      val seed = Seq(Tuple1(Graphs.CUST + 1L))
+      val h0 = s.createDataFrame(seed).toDF("id")
+      val h1 = e.join(broadcast(h0), col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+      val h2 = e.join(broadcast(h1), col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+      val h3 = e.join(broadcast(h2), col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+      h1.unionAll(h2).unionAll(h3)
+        .filter(col("id") >= Graphs.PART && col("id") < Graphs.PART + Graphs.TAG)
+        .select((col("id") - Graphs.PART).as("p_partkey")).distinct()
+        .orderBy("p_partkey")
+    }),
+
+    // G04 — bounded reachability (<= 3 hops) from the smallest part in the
+    // restricted co-part graph; Pregel BFS with maxIterations = 3.
+    "g04_reachability" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir).cache()
+      val seed = edges.agg(min(col("src"))).head().getLong(0)
+      Graphs.bfsDepths(s, edges, seed, maxDepth = 3)
+        .select(col("id").as("p_partkey"))
+        .orderBy("p_partkey")
+    }),
+
+    // G05 — BFS shortest-path lengths (<= 4 hops) from the same seed.
+    "g05_bfs_depth" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir).cache()
+      val seed = edges.agg(min(col("src"))).head().getLong(0)
+      Graphs.bfsDepths(s, edges, seed, maxDepth = 4)
+        .select(col("id").as("p_partkey"), col("dist"))
+        .orderBy("p_partkey")
+    }),
+
+    // G06 — connected components of the restricted co-part graph
+    // (GraphX label = min vertex id in component).
+    "g06_connected_components" -> ((s, dir) => {
+      Graphs.connectedComponents(s, Graphs.copartEdges(s, dir))
+        .select(col("id").as("p_partkey"), col("component"))
+        .orderBy("p_partkey")
+    }),
+
+    // G07 — global triangle count of the restricted co-part graph.
+    "g07_triangles" -> ((s, dir) => {
+      val n = Graphs.triangleCount(s, Graphs.copartPairs(s, dir))
+      s.createDataFrame(Seq(Tuple1(n))).toDF("n_triangles")
+    }),
+
+    // G08 — PageRank on G_supply, 10 fixed iterations. Tolerance-gated
+    // (float iteration order), no hash oracle; ScalaTest asserts rank-sum
+    // ≈ vertex count and top ranks stability.
+    "g08_pagerank" -> ((s, dir) => {
+      Graphs.pageRank(s, Graphs.supplyEdges(s, dir).select("src", "dst"), 10)
+        .select(col("id"), round(col("rank"), 4).as("rank4"))
+        .orderBy(desc("rank4"), col("id")).limit(100)
+    }),
+
+    // G09 — motif match customer->order->part with per-vertex predicates,
+    // as a 2-edge join plan over the edge lists.
+    "g09_motif" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_size") > 40).select("p_partkey")
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select("c_custkey", "o_orderkey", "p_partkey").distinct()
+        .orderBy("c_custkey", "o_orderkey", "p_partkey")
+    }),
+
+    // G10 — temporal earliest-arrival path (the reference's signature
+    // traversal) from the globally-first event, bounded to 8 hops.
+    "g10_temporal_path" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val seedRow = ev.orderBy("event_id")
+        .select(col("event_id"), unix_micros(col("ts"))).head()
+      val seedId = seedRow.getLong(0)
+      val seedUs = seedRow.getLong(1)
+      Graphs.earliestArrival(s, Graphs.sessionEdges(s, dir),
+          seedId, seedUs, maxHops = 8)
+        .select(col("id").as("event_id"),
+          timestamp_micros(col("arrival_us")).as("arrival_ts"))
+        .orderBy("event_id")
+    })
+  )
+
+  // Shared oracle snippet: restricted co-part edge list (both directions).
+  private val copartCte =
+    """ok AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+      |       HAVING count(DISTINCT l_partkey) <= 3),
+      |pairs AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      |          FROM lineitem a JOIN lineitem b
+      |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |          WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)),
+      |e AS (SELECT x AS src, y AS dst FROM pairs
+      |      UNION ALL SELECT y, x FROM pairs)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "g01_graph_build" ->
+      """SELECT kind, n FROM (
+        |  SELECT 'v_customer' AS kind, count(*) AS n FROM customer
+        |  UNION ALL SELECT 'v_order', count(*) FROM orders
+        |  UNION ALL SELECT 'v_part', count(*) FROM part
+        |  UNION ALL SELECT 'v_supplier', count(*) FROM supplier
+        |  UNION ALL SELECT 'e_cust_order', count(*) FROM orders
+        |  UNION ALL SELECT 'e_order_part', count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  UNION ALL SELECT 'e_order_supp', count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |  UNION ALL SELECT 'e_supp_part', count(*) FROM
+        |    (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem))
+        |ORDER BY kind""".stripMargin,
+
+    "g02_degree_dist" ->
+      """SELECT deg, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS deg
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g03_khop" ->
+      """WITH o1 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
+        |  p2 AS (SELECT DISTINCT l_partkey FROM lineitem
+        |         WHERE l_orderkey IN (SELECT o_orderkey FROM o1)),
+        |  s2 AS (SELECT DISTINCT l_suppkey FROM lineitem
+        |         WHERE l_orderkey IN (SELECT o_orderkey FROM o1)),
+        |  p3 AS (SELECT DISTINCT l_partkey FROM lineitem
+        |         WHERE l_suppkey IN (SELECT l_suppkey FROM s2))
+        |SELECT DISTINCT l_partkey AS p_partkey FROM
+        |  (SELECT l_partkey FROM p2 UNION ALL SELECT l_partkey FROM p3)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "g04_reachability" ->
+      s"""WITH RECURSIVE $copartCte,
+        |seed AS (SELECT min(src) AS s FROM e),
+        |r(id, d) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 3)
+        |SELECT DISTINCT id AS p_partkey FROM r ORDER BY p_partkey""".stripMargin,
+
+    "g05_bfs_depth" ->
+      s"""WITH RECURSIVE $copartCte,
+        |seed AS (SELECT min(src) AS s FROM e),
+        |r(id, d) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 4)
+        |SELECT id AS p_partkey, CAST(min(d) AS INT) AS dist FROM r
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g06_connected_components" ->
+      s"""WITH RECURSIVE $copartCte,
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |walk(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id)
+        |SELECT id AS p_partkey, min(lbl) AS component FROM walk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g07_triangles" ->
+      s"""WITH RECURSIVE $copartCte
+        |SELECT count(*) AS n_triangles
+        |FROM pairs ab
+        |JOIN pairs bc ON ab.y = bc.x
+        |JOIN pairs ac ON ac.x = ab.x AND ac.y = bc.y""".stripMargin,
+
+    "g09_motif" ->
+      """SELECT DISTINCT c_custkey, o_orderkey, p_partkey
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+        |  ON o_orderkey = li.l_orderkey
+        |JOIN part ON li.l_partkey = p_partkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderpriority = '1-URGENT'
+        |  AND p_size > 40
+        |ORDER BY c_custkey, o_orderkey, p_partkey""".stripMargin,
+
+    "g10_temporal_path" ->
+      """WITH o AS (SELECT event_id, user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |  s AS (SELECT user_id, rn FROM o
+        |        WHERE event_id = (SELECT min(event_id) FROM events))
+        |SELECT o.event_id, o.ts AS arrival_ts
+        |FROM o JOIN s ON o.user_id = s.user_id
+        |WHERE o.rn >= s.rn AND o.rn <= s.rn + 8
+        |ORDER BY o.event_id""".stripMargin
+  )
+}

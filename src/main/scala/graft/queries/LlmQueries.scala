@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Similarity, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline operators (SURVEY.md §2.5 L01–L06): dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
+  * multimodal binary plumbing, and text analysis over `documents` /
+  * `embeddings`.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // Manual double-precision cosine pieces for the DuckDB oracle — same
+  // sequential fold order as the Spark HOFs, then round(4) absorbs any
+  // residual ULP difference.
+  private val duckDot =
+    "list_sum(list_transform(list_zip(%s, %s), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private val duckNormSq =
+    "list_sum(list_transform(%s, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L01 — exact dedup: group by content hash (sha2-256 at scale; the
+    // oracle groups by the text itself — identical absent collisions).
+    "l01_exact_dedup" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        .select("canonical_id", "n_copies")
+        .orderBy("canonical_id")
+    }),
+
+    // L02 — near-dedup: exact 3-gram Jaccard > 0.6 (all intersecting
+    // pairs; test-scale exact form — L02b is the LSH scale path).
+    "l02_near_dedup" -> ((s, dir) => {
+      Similarity.exactJaccard(Text.shingles(docs(s, dir), 3))
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // L02b — MinHash-LSH near-dup candidates with exact re-check: the
+    // 100 TB path (banding join, no all-pairs). Engine-only (seeded MinHash
+    // has no cross-engine oracle); ScalaTest asserts recall vs L02.
+    "l02b_lsh_near_dedup" -> ((s, dir) => {
+      val sh = Text.shingles(docs(s, dir), 3).cache()
+      val cands = Similarity.lshCandidates(sh, numHashes = 32, bands = 16)
+      Similarity.exactJaccard(sh, Some(cands))
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // L03 — embedding similarity: exact top-20 cosine pairs.
+    "l03_cosine_topk" -> ((s, dir) => {
+      Similarity.allPairsCosine(vecs(s, dir))
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
+        .limit(20)
+    }),
+
+    // L04 — text analysis: per-language token/char statistics.
+    "l04_text_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
+    // L04b — per-document quality features.
+    "l04b_quality" -> ((s, dir) =>
+      Text.qualityFeatures(docs(s, dir)).orderBy("doc_id")),
+
+    // L04c — language-ID heuristic vs. the labeled lang column.
+    // Engine-only (heuristic): rows-only check + ScalaTest accuracy gate.
+    "l04c_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("guess", Text.langIdGuess(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("guess") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy("lang")
+    }),
+
+    // L04d — order-sensitive rolling fingerprint of the token stream.
+    // Engine-only (xxhash64 has no DuckDB twin); rows-only check.
+    "l04d_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // L05 — multimodal/array columns: parquet round-trip of float vectors,
+    // norm and L2-normalization via HOFs.
+    "l05_embeddings" -> ((s, dir) => {
+      vecs(s, dir)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          round(Similarity.norm(col("embedding")), 4).as("nrm"),
+          round(element_at(Similarity.l2normalize(col("embedding")), 1), 4)
+            .as("n0"))
+        .orderBy("vec_id")
+    }),
+
+    // L05b — multimodal binary plumbing: text -> UTF-8 binary payload,
+    // byte length (schema + partitioning path for opaque media columns).
+    "l05b_binary" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // L05c — stubbed media feature-extraction over the binary payload:
+    // deterministic fake decode (crc32 of bytes) standing in for an image/
+    // audio decoder; engine-only, rows-only check.
+    "l05c_binary_features" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          crc32(col("payload")).as("feature"))
+        .orderBy("doc_id")
+    }),
+
+    // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
+    "l06_knn" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      val query = v.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.knn(v.filter(col("vec_id") =!= 0), query, 10)
+    }),
+
+    // L07 — SimHash signatures (engine-only; ScalaTest asserts near-dup
+    // pairs from L02 have small Hamming distance).
+    "l07_simhash" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), Similarity.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "l01_exact_dedup" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "l02_near_dedup" ->
+      """WITH g AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, n_chars - 2)) AS gs
+        |  FROM documents WHERE n_chars >= 3),
+        | sh AS (SELECT DISTINCT doc_id,
+        |    substr(text, CAST(gs AS INT), 3) AS shingle FROM g),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n
+        |       FROM sh a JOIN sh b
+        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  round(n * 1.0 / (sa.sz + sb.sz - n), 4) AS jaccard
+        |FROM i
+        |JOIN sz sa ON sa.doc_id = a_id
+        |JOIN sz sb ON sb.doc_id = b_id
+        |WHERE n * 1.0 / (sa.sz + sb.sz - n) > 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "l03_cosine_topk" -> {
+      val dotAB = duckDot.format("a.embedding", "b.embedding")
+      val nA = duckNormSq.format("a.embedding")
+      val nB = duckNormSq.format("b.embedding")
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin
+    },
+
+    "l04_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens,
+        |  sum(n_chars) AS sum_chars,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l04b_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / n_chars, 4)
+        |    AS punct_ratio,
+        |  round(len(regexp_extract_all(text, '\s')) * 1.0 / n_chars, 4)
+        |    AS space_ratio,
+        |  round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / n_chars, 4)
+        |    AS upper_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l05_embeddings" -> {
+      val n = duckNormSq.format("embedding")
+      s"""SELECT vec_id, label, len(embedding) AS dim,
+        |  round(sqrt($n), 4) AS nrm,
+        |  round(CAST(embedding[1] AS DOUBLE) / sqrt($n), 4) AS n0
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+
+    "l05b_binary" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l06_knn" -> {
+      val dotQ = duckDot.format("e.embedding", "q.qe")
+      val nE = duckNormSq.format("e.embedding")
+      val nQ = duckNormSq.format("q.qe")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round($dotQ / (sqrt($nE) * sqrt($nQ)), 4) AS cos_sim
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,553 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2.1, Q01–Q27). Every query follows the
+  * §2.0 determinism rules: total ORDER BY, money in integer cents,
+  * ratios rounded to 4 decimals. Oracle twins (DuckDB SQL) live in
+  * [[oracles]] with IDENTICAL output column names and ordering.
+  */
+object Relational {
+  import Det._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q01 — scan + filter + projection; predicate/column pushdown reaches
+    // the parquet scan (verified via explain: PushedFilters + ReadSchema).
+    "q01_scan_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-07-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q02 — TPC-H-Q1-style pricing summary; two-phase HashAggregate.
+    "q02_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sumCents(col("l_quantity")).as("sum_qty_cents"),
+          sumCents(col("l_extendedprice")).as("sum_price_cents"),
+          sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price_cents"),
+          round4(avg(col("l_discount"))).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Q03 — shuffle hash join + agg: revenue by market segment.
+    "q03_join_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sumCents(col("o_totalprice")).as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Q04 — 5-table join, revenue by nation for ASIA. region and nation are
+    // tiny -> Catalyst broadcasts them; AQE reorders the rest.
+    "q04_multi_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue_cents"))
+        .orderBy("n_name")
+    }),
+
+    // Q05 — explicit broadcast join of the part dimension.
+    "q05_broadcast_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sumCents(col("l_extendedprice")).as("revenue_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // Q06 — left outer join null semantics: customers incl. zero orders.
+    "q06_outer_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q07 — left semi join (EXISTS).
+    "q07_semi_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Q08 — left anti join (NOT EXISTS): parts never shipped after mid-2001.
+    "q08_anti_join" -> ((s, dir) => {
+      val recent = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      t(s, dir, "part")
+        .join(recent, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+    }),
+
+    // Q09 — range self-join: pairs of events of the same user within 5
+    // minutes. The equi key (user_id) keeps it a hash join; the time range
+    // is a post-join filter — never a nested-loop.
+    "q09_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val a = e.select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_ts"))
+      val b = e.select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("ts").as("b_ts"))
+      a.join(b, col("user_id") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 5 minutes"))
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+        .orderBy("user_id", "a_id", "b_id")
+    }),
+
+    // Q11 — window ranking: top-3 most recent orders per customer.
+    "q11_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Q12 — running (cumulative) sum per user, in cents so the running
+    // total is integral and order-independent across engines.
+    "q12_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_cents", sum(cents(col("value"))).over(w))
+        .select("user_id", "event_id", "ts", "running_cents")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // Q13 — lag/lead: inter-event gap per user in microseconds.
+    "q13_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .select("user_id", "event_id", "ts", "gap_us")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // Q14 — rollup with grouping_id; NULL group keys coalesced to 'ALL' so
+    // cross-engine null-ordering differences can't bite.
+    "q14_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("cnt"),
+          sumCents(col("l_extendedprice")).as("revenue_cents"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("cnt"), col("revenue_cents"))
+        .orderBy("gid", "rf", "ls")
+    }),
+
+    // Q15 — distinct aggregation (Expand + two-phase agg under the hood).
+    "q15_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("uniq_users"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // Q16 — approximate distinct (HLL). Tolerance-gated, NOT hash-matched
+    // (no oracle entry); ScalaTest asserts |approx-exact|/exact < 5%.
+    "q16_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // Q17 — top-k: TakeOrderedAndProject, no full sort at scale.
+    "q17_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Q18 — set ops: union/intersect/except over two customer predicates,
+    // tagged and stacked so one hash covers all three.
+    "q18_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val u = a.union(b).distinct().withColumn("op", lit("union"))
+      val i = a.intersect(b).withColumn("op", lit("intersect"))
+      val e = a.except(b).withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e)
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    }),
+
+    // Q19 — scalar functions: string/math/conditional.
+    "q19_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(substring(col("c_name"), 1, 8)).as("name8"),
+          concat(col("c_mktsegment"), lit("-"),
+            col("c_nationkey").cast("string")).as("seg_nat"),
+          length(col("c_name")).as("name_len"),
+          col("c_name").like("%1%").as("has_one"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_band"),
+          round(abs(col("c_acctbal")), 2).as("abs_bal"),
+          round(pow(col("c_nationkey").cast("double"), 2), 1).as("nat_sq"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q19b — date/time functions on orders.
+    "q19_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("order_month"),
+          year(col("o_orderdate")).as("order_year"),
+          quarter(col("o_orderdate")).as("order_quarter"),
+          dayofweek(col("o_orderdate")).as("order_dow"),
+          datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("days_to_2002"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q20 — JSON extraction + aggregation over events.props.
+    "q20_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"),
+          count(col("k")).as("cnt_k"))
+        .orderBy("event_type")
+    }),
+
+    // Q21 — array functions over embeddings: size, element access, and a
+    // sequential-fold dot product with itself (norm²) via HOFs — stays in
+    // codegen, no UDF.
+    "q21_array_funcs" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")), 4)
+            .as("norm_sq"))
+        .orderBy("vec_id")
+    }),
+
+    // Q22 — struct/map construction and field access round-trip.
+    "q22_struct_map" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("info", struct(col("c_nationkey").as("nat"),
+          col("c_mktsegment").as("seg")))
+        .withColumn("m", map(lit("seg"), col("c_mktsegment")))
+        .select(
+          col("c_custkey"),
+          col("info.nat").as("nat"),
+          element_at(col("m"), "seg").as("seg"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q23 — correlated scalar subquery (Catalyst decorrelates to a join):
+    // customers above their nation's average balance. SQL entry point.
+    "q23_correlated_subquery" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    }),
+
+    // Q24 — post-aggregation filter (HAVING).
+    "q24_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sumCents(col("o_totalprice")).as("revenue_cents"))
+        .filter(col("revenue_cents") > lit(100000L) * 100L)
+        .orderBy("n_name")
+    }),
+
+    // Q25 — pivot: revenue by nation × order status (explicit value list
+    // so the output schema is static).
+    "q25_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sumCents(col("o_totalprice")))
+        .withColumnRenamed("F", "st_f")
+        .withColumnRenamed("O", "st_o")
+        .withColumnRenamed("P", "st_p")
+        .orderBy("n_name")
+    }),
+
+    // Q26 — generator/explode: distinct character 3-gram shingles per doc
+    // (FIXTURES.md shingle definition; feeds L02).
+    "q26_explode_shingles" -> ((s, dir) => {
+      graft.ops.Text.shingles(t(s, dir, "documents"), 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // Q27 — deterministic-seed sample; engine-specific RNG, so rows-only
+    // check (no oracle). Count per flag keeps the result small and stable
+    // for a given Spark version.
+    "q27_sample" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .sample(withReplacement = false, fraction = 0.1, seed = 42)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-07-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(round(sum(l_quantity*100)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(round(sum(l_extendedprice*100)) AS BIGINT) AS sum_price_cents,
+        |  CAST(round(sum(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+        |    AS sum_disc_price_cents,
+        |  round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(round(sum(o_totalprice*100)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_multi_join" ->
+      """SELECT n_name,
+        |  CAST(round(sum(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_broadcast_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(round(sum(l_extendedprice*100)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey
+        |                    AND l_shipdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q09_range_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  date_diff('microsecond', a.ts, b.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
+
+    "q11_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q12_running_sum" ->
+      """SELECT user_id, event_id, ts,
+        |  sum(CAST(round(value*100) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS running_cents
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q13_lag_lead" ->
+      """SELECT user_id, event_id, ts,
+        |  date_diff('microsecond',
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    ts) AS gap_us
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q14_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS cnt,
+        |  CAST(round(sum(l_extendedprice*100)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q15_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uniq_users,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q18_set_ops" ->
+      """WITH a AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'AUTOMOBILE'),
+        |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'union' AS op, c_custkey FROM (
+        |  SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect', c_custkey FROM (
+        |  SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'except', c_custkey FROM (
+        |  SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q19_scalar_funcs" ->
+      """SELECT c_custkey,
+        |  upper(substr(c_name, 1, 8)) AS name8,
+        |  concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+        |  length(c_name) AS name_len,
+        |  c_name LIKE '%1%' AS has_one,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS bal_band,
+        |  round(abs(c_acctbal), 2) AS abs_bal,
+        |  round(pow(CAST(c_nationkey AS DOUBLE), 2), 1) AS nat_sq
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q19_date_funcs" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |       AS INT) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q20_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_array_funcs" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS e0,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q22_struct_map" ->
+      """SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q23_correlated_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q24_having" ->
+      """SELECT n_name,
+        |  CAST(round(sum(o_totalprice*100)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1
+        |HAVING CAST(round(sum(o_totalprice*100)) AS BIGINT) > 10000000
+        |ORDER BY 1""".stripMargin,
+
+    "q25_pivot" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CASE WHEN o_orderstatus='F'
+        |                      THEN o_totalprice*100 END)) AS BIGINT) AS st_f,
+        |  CAST(round(sum(CASE WHEN o_orderstatus='O'
+        |                      THEN o_totalprice*100 END)) AS BIGINT) AS st_o,
+        |  CAST(round(sum(CASE WHEN o_orderstatus='P'
+        |                      THEN o_totalprice*100 END)) AS BIGINT) AS st_p
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_explode_shingles" ->
+      """WITH g AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, n_chars - 2)) AS gs
+        |  FROM documents WHERE n_chars >= 3)
+        |SELECT doc_id,
+        |  count(DISTINCT substr(text, CAST(gs AS INT), 3)) AS n_shingles
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

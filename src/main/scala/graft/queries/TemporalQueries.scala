@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{AsOfJoin, Temporal}
+
+/** Temporal surface (SURVEY.md §2.3 T01–T06 + Q10): the reference's
+  * signature capability — piecewise-constant temporal properties over the
+  * `events` change-point stream (per-user property "value"), re-expressed
+  * as window/as-of plans.
+  */
+object TemporalQueries {
+  import Det._
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q10 — as-of join: each purchase event -> most recent at-or-before
+    // click of the same user (tie on ts -> max event_id). Single-shuffle
+    // union+window implementation, not a nested-loop.
+    "q10_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"))
+      AsOfJoin(purchases, clicks,
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id"), tieBreak = "click_id")
+        .select("event_id", "user_id", "ts", "click_id_asof")
+        .withColumnRenamed("click_id_asof", "click_id")
+        .orderBy("event_id")
+    }),
+
+    // T01 — snapshot: every user's property value as of t (latest change
+    // point at-or-before t).
+    "t01_snapshot" -> ((s, dir) => {
+      Temporal.snapshot(ev(s, dir), entity = "user_id", ts = "ts",
+          t = lit("2024-01-15 00:00:00").cast("timestamp"),
+          tieBreak = "event_id")
+        .select(col("user_id"), cents(col("value")).as("val_cents"))
+        .orderBy("user_id")
+    }),
+
+    // T02 — time-range read: per-user (interval, value) pairs overlapping
+    // [2024-01-10, 2024-01-12).
+    "t02_time_range" -> ((s, dir) => {
+      Temporal.timeRange(ev(s, dir), entity = "user_id", ts = "ts",
+          tieBreak = "event_id",
+          t1 = lit("2024-01-10 00:00:00").cast("timestamp"),
+          t2 = lit("2024-01-12 00:00:00").cast("timestamp"))
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), cents(col("value")).as("val_cents"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // T03 — temporal aggregation: per-user daily tumbling average.
+    "t03_tumbling_agg" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+        .agg(round4(avg(col("value"))).as("avg_value"),
+          count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("w.start").as("day"),
+          col("avg_value"), col("cnt"))
+        .orderBy("user_id", "day")
+    }),
+
+    // T03b — sliding-window aggregation: 7-day window, 1-day slide, max.
+    "t03_sliding_agg" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("user_id"),
+          window(col("ts"), "7 days", "1 day").as("w"))
+        .agg(max(cents(col("value"))).as("max_cents"))
+        .select(col("user_id"), col("w.start").as("ws"), col("max_cents"))
+        .orderBy("user_id", "ws")
+    }),
+
+    // T04 — entity-correlated as-of join across tables: each event joined
+    // to the latest order (by o_orderdate) of its bridged customer bucket
+    // (user_id = o_custkey % 50, FIXTURES.md).
+    "t04_asof_orders" -> ((s, dir) => {
+      val e = ev(s, dir).select("event_id", "user_id", "ts")
+      val o = Tables.load(s, dir, "orders")
+        .select((col("o_custkey") % 50).as("user_id"),
+          col("o_orderdate"), col("o_orderkey"))
+      AsOfJoin(e, o,
+          on = Seq("user_id"), leftTs = "ts", rightTs = "o_orderdate",
+          payload = Seq("o_orderkey"), tieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey_asof").as("last_orderkey"))
+        .orderBy("event_id")
+    }),
+
+    // T05 — interval-overlap join: each user-state interval × the same
+    // user's error events falling inside it (equi key + range filter —
+    // hash join, never nested-loop).
+    "t05_interval_join" -> ((s, dir) => {
+      val iv = Temporal.intervalView(ev(s, dir), entity = "user_id",
+          ts = "ts", tieBreak = "event_id")
+        .select(col("user_id"), col("event_id").as("iv_id"),
+          col("valid_from"), col("valid_to"))
+      val errors = ev(s, dir).filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      iv.join(errors,
+          col("user_id") === col("e_user") &&
+          col("e_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("e_ts") < col("valid_to")),
+          "left_outer")
+        .groupBy("user_id", "iv_id", "valid_from")
+        .agg(count(col("e_ts")).as("n_errors"))
+        .orderBy("user_id", "valid_from", "iv_id")
+    }),
+
+    // T06 — sessionization, 30-minute gap, strictly-greater split rule.
+    "t06_sessionize" -> ((s, dir) => {
+      Temporal.sessionize(ev(s, dir), entity = "user_id", ts = "ts",
+          tieBreak = "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q10_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT max_by(c.click_id, c.ts) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id
+        |FROM p ORDER BY p.event_id""".stripMargin,
+
+    "t01_snapshot" ->
+      """SELECT user_id, CAST(round(value*100) AS BIGINT) AS val_cents
+        |FROM (SELECT user_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "t02_time_range" ->
+      """SELECT user_id, event_id, valid_from, valid_to,
+        |  CAST(round(value*100) AS BIGINT) AS val_cents
+        |FROM (SELECT user_id, event_id, value, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS valid_to
+        |      FROM events)
+        |WHERE valid_from < TIMESTAMP '2024-01-12 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10 00:00:00')
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "t03_tumbling_agg" ->
+      """SELECT user_id, date_trunc('day', ts) AS day,
+        |  round(avg(value), 4) AS avg_value, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+
+    "t03_sliding_agg" ->
+      """SELECT user_id,
+        |  date_trunc('day', ts) - INTERVAL 1 DAY * CAST(gs AS INT) AS ws,
+        |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
+        |FROM events, generate_series(0, 6) AS t(gs)
+        |GROUP BY 1, 2 ORDER BY user_id, ws""".stripMargin,
+
+    "t04_asof_orders" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT max(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey % 50 = e.user_id
+        |     AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+        |                          WHERE o2.o_custkey % 50 = e.user_id
+        |                            AND o2.o_orderdate <= e.ts))
+        |    AS last_orderkey
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+
+    "t05_interval_join" ->
+      """WITH iv AS (SELECT user_id, event_id AS iv_id, ts AS valid_from,
+        |              lead(ts) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS valid_to
+        |            FROM events),
+        |     err AS (SELECT user_id AS e_user, ts AS e_ts FROM events
+        |             WHERE event_type = 'error')
+        |SELECT iv.user_id, iv.iv_id, iv.valid_from,
+        |  count(err.e_ts) AS n_errors
+        |FROM iv LEFT JOIN err
+        |  ON iv.user_id = err.e_user
+        | AND err.e_ts >= iv.valid_from
+        | AND (iv.valid_to IS NULL OR err.e_ts < iv.valid_to)
+        |GROUP BY 1, 2, 3 ORDER BY iv.user_id, iv.valid_from, iv.iv_id""".stripMargin,
+
+    "t06_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |     s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}
