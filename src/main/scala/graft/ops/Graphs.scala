@@ -52,6 +52,23 @@ object Graphs {
           (col("l_partkey") + PART).as("dst"), lit("supp_part").as("etype")))
   }
 
+  /** G_supply edges WITHOUT per-type dedup — for traversals that dedupe
+    * once at the end (reachability is insensitive to parallel edges), this
+    * skips three distinct-shuffles over lineitem.
+    */
+  def supplyEdgesRaw(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    val li = graft.Tables.load(s, dir, "lineitem")
+    orders.select((col("o_custkey") + CUST).as("src"),
+        (col("o_orderkey") + ORD).as("dst"))
+      .unionAll(li.select((col("l_orderkey") + ORD).as("src"),
+        (col("l_partkey") + PART).as("dst")))
+      .unionAll(li.select((col("l_orderkey") + ORD).as("src"),
+        (col("l_suppkey") + SUPP).as("dst")))
+      .unionAll(li.select((col("l_suppkey") + SUPP).as("src"),
+        (col("l_partkey") + PART).as("dst")))
+  }
+
   /** Restricted G_copart: undirected part-co-occurrence edges, only from
     * orders with <= 3 distinct parts (FIXTURES.md — the unrestricted graph
     * is one dense component). Returned as canonical pairs `x < y`.

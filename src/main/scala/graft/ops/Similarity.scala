@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Similarity / dedup operators (SURVEY.md §2.5). Exact forms are the
   * correctness contract at test scale; the LSH variants are the 100 TB
@@ -11,10 +13,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product of two float-array columns in double
-    * precision — codegen'd HOF, deterministic order (matches the oracle's
-    * list_sum(list_transform(list_zip(...))) bit-for-bit).
+    * precision via the native codegen'd [[graft.functions.FloatVecDot]]
+    * expression (identical fold order to the interpreted HOF form and the
+    * DuckDB oracle — bit-for-bit). Requires
+    * `VecFunctions.ensureRegistered(spark)` in the session.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Interpreted HOF twin of [[dot]] — no registration needed; kept as the
+    * reference implementation (property tests assert dot == dotHof).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -42,6 +51,81 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
           .as("cos_sim"))
+  }
+
+  /** Exact top-k cosine pairs without materializing the all-pairs join:
+    * the (id, vector) matrix — small relative to the corpus it was
+    * embedded from — is collected once, L2-normalized, and broadcast; each
+    * partition streams its own vectors against the broadcast block with a
+    * primitive-array loop and keeps a bounded top-k heap; the driver merges
+    * partition heaps. O(n²d/p) compute, O(nd) memory, ZERO shuffle.
+    *
+    * Selection order is (cosine rounded to 4 decimals DESC, a_id, b_id) —
+    * the same total order the DuckDB oracle sorts by, so the returned set
+    * is deterministic even under rounded ties. At 100 TB the same kernel
+    * runs per LSH/IVF bucket instead of one global block.
+    */
+  def topKCosinePairs(vecs: DataFrame, k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    // Raw doubles + separately-computed norms, NOT pre-normalized vectors:
+    // cos must be dot/(sqrt(nsq_a)*sqrt(nsq_b)) with sequential folds —
+    // the exact op order of the column form and the DuckDB oracle, so the
+    // rounded values are bit-identical.
+    val mat: Array[(Long, Array[Double], Double)] = vecs
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        var nsq = 0.0
+        var i = 0
+        while (i < v.length) { nsq += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(nsq))
+      }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(mat)
+    // Max-heap whose head is the WORST kept entry under the total order
+    // (cos4 DESC, a_id ASC, b_id ASC): "worse" = greater (-cos4, a, b).
+    val worstFirst = Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
+      case (c4, a, b) => (-c4, a, b)
+    }
+    val idsDf = vecs.select(col("vec_id").cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val topRdd = idsDf.rdd.mapPartitions { it =>
+      val m = bc.value
+      val idx = m.iterator.map(_._1).zipWithIndex.toMap
+      val heap = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Long, Long)](worstFirst)
+      it.foreach { row =>
+        val aId = row.getLong(0)
+        val ai = idx(aId)
+        val (_, av, an) = m(ai)
+        var j = ai + 1
+        while (j < m.length) {
+          val (bId, bv, bn) = m(j)
+          var s = 0.0
+          var d = 0
+          while (d < av.length) { s += av(d) * bv(d); d += 1 }
+          // HALF_UP via BigDecimal — Spark round()'s exact semantics.
+          val c4 = BigDecimal(s / (an * bn))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val key = (c4, aId, bId)
+          if (heap.size < k) heap.enqueue(key)
+          else if (worstFirst.lt(key, heap.head)) {
+            heap.dequeue(); heap.enqueue(key)
+          }
+          j += 1
+        }
+      }
+      heap.iterator
+    }
+    val merged = topRdd.collect().sorted(worstFirst).take(k)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merged.toSeq.map {
+        case (c, a, b) => Row(a, b, c)
+      }, 1),
+      StructType(Seq(StructField("a_id", LongType), StructField("b_id", LongType),
+        StructField("cos_sim", DoubleType))))
   }
 
   /** k-NN of one query vector: broadcast-as-literal scan, one pass. */

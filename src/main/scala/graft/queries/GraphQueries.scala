@@ -36,18 +36,18 @@ object GraphQueries {
     }),
 
     // G03 — 3-hop heterogeneous traversal: distinct parts within <= 3 hops
-    // of customer 1 in G_supply. k is fixed -> unrolled DataFrame joins
-    // (each hop an equi join, broadcastable frontier), no Pregel needed.
+    // of customer 1 in G_supply. k is fixed -> unrolled joins: hop 1 is a
+    // pushed-down filter on the seed (no join at all), hops 2-3 broadcast
+    // the frontier; parallel edges are deduped ONCE at the end, so the raw
+    // (distinct-free) edge list suffices.
     "g03_khop" -> ((s, dir) => {
-      val e = Graphs.supplyEdges(s, dir).select("src", "dst").cache()
-      val seed = Seq(Tuple1(Graphs.CUST + 1L))
-      val h0 = s.createDataFrame(seed).toDF("id")
-      val h1 = e.join(broadcast(h0), col("src") === col("id"))
+      val e = Graphs.supplyEdgesRaw(s, dir)
+      val h1 = e.filter(col("src") === lit(Graphs.CUST + 1L))
         .select(col("dst").as("id")).distinct()
       val h2 = e.join(broadcast(h1), col("src") === col("id"))
         .select(col("dst").as("id")).distinct()
       val h3 = e.join(broadcast(h2), col("src") === col("id"))
-        .select(col("dst").as("id")).distinct()
+        .select(col("dst").as("id"))
       h1.unionAll(h2).unionAll(h3)
         .filter(col("id") >= Graphs.PART && col("id") < Graphs.PART + Graphs.TAG)
         .select((col("id") - Graphs.PART).as("p_partkey")).distinct()

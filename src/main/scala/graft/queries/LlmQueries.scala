@@ -61,13 +61,11 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
-    // L03 — embedding similarity: exact top-20 cosine pairs.
+    // L03 — embedding similarity: exact top-20 cosine pairs via the
+    // broadcast-block kernel (no all-pairs join materialization).
     "l03_cosine_topk" -> ((s, dir) => {
-      Similarity.allPairsCosine(vecs(s, dir))
-        .select(col("a_id"), col("b_id"),
-          round(col("cos_sim"), 4).as("cos_sim"))
+      Similarity.topKCosinePairs(vecs(s, dir), 20)
         .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
-        .limit(20)
     }),
 
     // L04 — text analysis: per-language token/char statistics.
@@ -108,6 +106,7 @@ object LlmQueries {
     // L05 — multimodal/array columns: parquet round-trip of float vectors,
     // norm and L2-normalization via HOFs.
     "l05_embeddings" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
       vecs(s, dir)
         .select(col("vec_id"), col("label"),
           size(col("embedding")).as("dim"),
@@ -139,6 +138,7 @@ object LlmQueries {
 
     // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
     "l06_knn" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
       val v = vecs(s, dir)
       val query = v.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
