@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{GraphQueries, LlmQueries, Relational, TemporalQueries}
+import graft.queries.{GraphQueries, LlmQueries, Relational, StreamQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TemporalQueries.queries ++
-      GraphQueries.queries ++ LlmQueries.queries
+      GraphQueries.queries ++ LlmQueries.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TemporalQueries.oracles ++
-      GraphQueries.oracles ++ LlmQueries.oracles
+      GraphQueries.oracles ++ LlmQueries.oracles ++ StreamQueries.oracles
 }

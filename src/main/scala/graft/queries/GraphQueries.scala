@@ -232,7 +232,7 @@ object GraphQueries {
         |  FROM events),
         |  s AS (SELECT user_id, rn FROM o
         |        WHERE event_id = (SELECT min(event_id) FROM events))
-        |SELECT o.event_id, o.ts AS arrival_ts
+        |SELECT o.event_id, CAST(o.ts AS TIMESTAMP) AS arrival_ts
         |FROM o JOIN s ON o.user_id = s.user_id
         |WHERE o.rn >= s.rn AND o.rn <= s.rn + 8
         |ORDER BY o.event_id""".stripMargin

@@ -426,14 +426,14 @@ object Relational {
         |ORDER BY o_custkey, rn""".stripMargin,
 
     "q12_running_sum" ->
-      """SELECT user_id, event_id, ts,
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |  sum(CAST(round(value*100) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS running_cents
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q13_lag_lead" ->
-      """SELECT user_id, event_id, ts,
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |  date_diff('microsecond',
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
         |    ts) AS gap_us

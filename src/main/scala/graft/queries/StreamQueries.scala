@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the streaming transforms (SURVEY.md §2.4). The SAME
+  * transform functions run here over the batch `events` table and in
+  * StreamingSpec over a MemoryStream — batch-equivalence is the streaming
+  * oracle, and these batch results are themselves hash-checked in DuckDB.
+  */
+object StreamQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S01 — tumbling 1-hour counts per event type.
+    "s01_tumbling_counts" -> ((s, dir) =>
+      Streams.tumblingCounts(ev(s, dir))
+        .orderBy("ws", "event_type")),
+
+    // S02 — sliding 1-hour/15-minute sum of value cents.
+    "s02_sliding_sum" -> ((s, dir) =>
+      Streams.slidingSumCents(ev(s, dir))
+        .orderBy("ws", "event_type")),
+
+    // S03 — session_window sessions (strictly-less merge rule; see
+    // Streams.sessionWindows scaladoc for the boundary contrast with T06).
+    "s03_session_window" -> ((s, dir) =>
+      Streams.sessionWindows(ev(s, dir))
+        .orderBy("user_id", "session_start")),
+
+    // S05 — dedup on event_id (watermark-scoped in streaming; plain exact
+    // dedup in batch). event_id is the PK so the count equals the table
+    // size — the streaming test injects actual duplicates.
+    "s05_dedup" -> ((s, dir) => {
+      val d = ev(s, dir).dropDuplicates("event_id")
+      d.agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // S06 — arbitrary stateful op (flatMapGroupsWithState): running
+    // mean+3σ anomaly flags per user, batch mode. Engine-only: the
+    // Welford-fold op order has no exact SQL twin; StreamingSpec asserts
+    // stream==batch and a hand-computed case.
+    "s06_anomaly_flags" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .as[Streams.EventIn]
+      Streams.flagAnomalies(in)
+        .filter(col("anomalous"))
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    }),
+
+    // S07 — stream-static join shape in batch: events enriched with the
+    // customer dim, counted per segment.
+    "s07_stream_static_join" -> ((s, dir) =>
+      Streams.enrichWithCustomers(ev(s, dir), Tables.load(s, dir, "customer"))
+        // users outside the bridged c_custkey%50 domain have no segment;
+        // coalesce so the null group can't hit cross-engine null-ordering
+        .groupBy(coalesce(col("segment"), lit("NONE")).as("segment"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("segment"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_tumbling_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+        |  event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s02_sliding_sum" ->
+      """WITH g AS (SELECT event_type, value, ts, unnest([0,1,2,3]) AS k
+        |           FROM events)
+        |SELECT CAST(TIMESTAMP '1970-01-01'
+        |    + INTERVAL 1 SECOND * CAST(floor(epoch(ts)/900)*900 AS BIGINT)
+        |    - INTERVAL 15 MINUTE * CAST(k AS INT) AS TIMESTAMP) AS ws,
+        |  event_type,
+        |  sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s03_session_window" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        | s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start, user_id,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "s05_dedup" ->
+      """SELECT count(DISTINCT event_id) AS n_rows FROM events""".stripMargin,
+
+    "s07_stream_static_join" ->
+      """WITH seg AS (SELECT c_custkey % 50 AS user_id,
+        |    min(c_mktsegment) AS segment
+        |  FROM customer GROUP BY 1)
+        |SELECT coalesce(seg.segment, 'NONE') AS segment, count(*) AS n_events
+        |FROM events e LEFT JOIN seg ON e.user_id = seg.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -133,7 +133,7 @@ object TemporalQueries {
         |           WHERE event_type = 'purchase'),
         |     c AS (SELECT user_id, ts, max(event_id) AS click_id
         |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT p.event_id, p.user_id, p.ts,
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
         |  (SELECT max_by(c.click_id, c.ts) FROM c
         |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id
         |FROM p ORDER BY p.event_id""".stripMargin,
@@ -147,7 +147,8 @@ object TemporalQueries {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "t02_time_range" ->
-      """SELECT user_id, event_id, valid_from, valid_to,
+      """SELECT user_id, event_id, CAST(valid_from AS TIMESTAMP) AS valid_from,
+        |  CAST(valid_to AS TIMESTAMP) AS valid_to,
         |  CAST(round(value*100) AS BIGINT) AS val_cents
         |FROM (SELECT user_id, event_id, value, ts AS valid_from,
         |        lead(ts) OVER (PARTITION BY user_id
@@ -158,13 +159,13 @@ object TemporalQueries {
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "t03_tumbling_agg" ->
-      """SELECT user_id, date_trunc('day', ts) AS day,
+      """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |  round(avg(value), 4) AS avg_value, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
 
     "t03_sliding_agg" ->
       """SELECT user_id,
-        |  date_trunc('day', ts) - INTERVAL 1 DAY * CAST(gs AS INT) AS ws,
+        |  CAST(date_trunc('day', ts) - INTERVAL 1 DAY * CAST(gs AS INT) AS TIMESTAMP) AS ws,
         |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
         |FROM events, generate_series(0, 6) AS t(gs)
         |GROUP BY 1, 2 ORDER BY user_id, ws""".stripMargin,
@@ -186,13 +187,14 @@ object TemporalQueries {
         |            FROM events),
         |     err AS (SELECT user_id AS e_user, ts AS e_ts FROM events
         |             WHERE event_type = 'error')
-        |SELECT iv.user_id, iv.iv_id, iv.valid_from,
+        |SELECT iv.user_id, iv.iv_id, CAST(iv.valid_from AS TIMESTAMP) AS valid_from,
         |  count(err.e_ts) AS n_errors
         |FROM iv LEFT JOIN err
         |  ON iv.user_id = err.e_user
         | AND err.e_ts >= iv.valid_from
         | AND (iv.valid_to IS NULL OR err.e_ts < iv.valid_to)
-        |GROUP BY 1, 2, 3 ORDER BY iv.user_id, iv.valid_from, iv.iv_id""".stripMargin,
+        |GROUP BY iv.user_id, iv.iv_id, iv.valid_from
+        |ORDER BY iv.user_id, iv.valid_from, iv.iv_id""".stripMargin,
 
     "t06_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
@@ -204,8 +206,8 @@ object TemporalQueries {
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                   ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin
   )

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.Det
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming surface (SURVEY.md §2.4 S01–S07), written as UNIFIED
+  * transforms: each takes a DataFrame that may be batch or streaming —
+  * the same Catalyst plan runs under `IncrementalExecution` with state
+  * stores when the source is a stream. Batch runs of the same transforms
+  * are the oracle (SURVEY §2.4: batch-equivalence), so the functions are
+  * declared once here and reused by both the query contract and the
+  * MemoryStream tests.
+  *
+  * The reference analog is continuous temporal ingestion: change points
+  * arriving over time with watermark-bounded lateness.
+  */
+object Streams {
+
+  /** S01 — tumbling 1-hour counts per event type (watermark 10 min). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+
+  /** S02 — sliding 1-hour/15-min window, sum of value in cents. */
+  def slidingSumCents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(sum(Det.cents(col("value"))).as("sum_cents"))
+      .select(col("window.start").as("ws"), col("event_type"), col("sum_cents"))
+
+  /** S03 — session windows, 30-minute gap. NOTE the boundary rule:
+    * `session_window` merges rows with ts' − ts < gap (strictly less), so
+    * a gap of exactly 30 minutes starts a NEW session — T06's lag-based
+    * batch operator uses strictly-greater (FIXTURES.md). The two agree on
+    * every real timestamp in the fixtures (µs-random data never lands on
+    * the exact boundary); both oracles encode their own rule.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** S05 — stateful dedup on event_id within the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** S07 — stream-static join: events enriched with the customer dim
+    * (user_id = c_custkey % 50 bridge, FIXTURES.md).
+    */
+  def enrichWithCustomers(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      customer.select((col("c_custkey") % 50).as("user_id"),
+          col("c_mktsegment"))
+        .groupBy("user_id")
+        .agg(min(col("c_mktsegment")).as("segment")),
+      Seq("user_id"), "left_outer")
+
+  /** Per-user running state for S06: Welford-style running mean/M2. */
+  case class UserState(n: Long, mean: Double, m2: Double)
+  case class EventIn(event_id: Long, user_id: Long, value: Double)
+  case class Flagged(event_id: Long, user_id: Long, value: Double,
+      anomalous: Boolean)
+
+  /** S06 — arbitrary stateful op: flag events whose value exceeds the
+    * user's running mean + 3σ (state BEFORE the event — deterministic
+    * within a group when input arrives in event order).
+    */
+  def flagAnomalies(events: Dataset[EventIn]): Dataset[Flagged] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, Flagged](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[EventIn], state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            val sigma = if (st.n > 1) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+            val anomalous = st.n >= 2 && e.value > st.mean + 3 * sigma
+            val n1 = st.n + 1
+            val d = e.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = UserState(n1, mean1, st.m2 + d * (e.value - mean1))
+            Flagged(e.event_id, e.user_id, e.value, anomalous)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.AsOfJoin
+
+/** As-of join edge cases + property test: the union+window implementation
+  * must equal a per-row linear scan (SURVEY.md §5.2 items 3-4). Randomized
+  * cases use a fixed seed (no scalatestplus bridge in the offline cache).
+  */
+class AsOfJoinSpec extends SparkSpecBase {
+
+  private def runAsOf(
+      left: Seq[(Long, Long, Long)], // (id, key, ts)
+      right: Seq[(Long, Long, Long)], // (rid, key, ts)
+      strict: Boolean): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val l = left.toDF("id", "k", "ts")
+    val r = right.toDF("rid", "k", "ts")
+    val out = AsOfJoin(l, r, on = Seq("k"), leftTs = "ts", rightTs = "ts",
+      payload = Seq("rid"), tieBreak = "rid", strict = strict)
+    out.collect().map { row =>
+      row.getLong(0) -> Option(row.get(3)).map(_.asInstanceOf[Long])
+    }.toMap
+  }
+
+  private def oracle(
+      left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long)],
+      strict: Boolean): Map[Long, Option[Long]] =
+    left.map { case (id, k, ts) =>
+      val cands = right.filter { case (_, rk, rts) =>
+        rk == k && (if (strict) rts < ts else rts <= ts)
+      }
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy { case (rid, _, rts) => (rts, rid) }._1))
+    }.toMap
+
+  test("empty right side -> all null payloads") {
+    val res = runAsOf(Seq((1L, 1L, 10L), (2L, 2L, 20L)), Seq.empty, strict = false)
+    assert(res == Map(1L -> None, 2L -> None))
+  }
+
+  test("equal timestamps visible when non-strict, hidden when strict") {
+    val left = Seq((1L, 1L, 10L))
+    val right = Seq((100L, 1L, 10L))
+    assert(runAsOf(left, right, strict = false) == Map(1L -> Some(100L)))
+    assert(runAsOf(left, right, strict = true) == Map(1L -> None))
+  }
+
+  test("tie on right ts -> max tieBreak wins") {
+    val left = Seq((1L, 1L, 10L))
+    val right = Seq((100L, 1L, 5L), (200L, 1L, 5L), (50L, 1L, 5L))
+    assert(runAsOf(left, right, strict = false) == Map(1L -> Some(200L)))
+  }
+
+  test("keys do not leak across groups") {
+    val left = Seq((1L, 1L, 10L), (2L, 2L, 10L))
+    val right = Seq((100L, 1L, 5L))
+    assert(runAsOf(left, right, strict = false) ==
+      Map(1L -> Some(100L), 2L -> None))
+  }
+
+  test("property: asofJoin == per-row linear scan on random tables") {
+    val rnd = new scala.util.Random(42)
+    for (iter <- 1 to 8) {
+      val strict = iter % 2 == 0
+      def rows(n: Int): Seq[(Long, Long, Long)] =
+        (0 until n).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+      val left = rows(30)
+      val right = rows(30)
+      assert(runAsOf(left, right, strict) == oracle(left, right, strict),
+        s"mismatch at iter $iter (strict=$strict)")
+    }
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming semantics (SURVEY.md §2.4): batch-equivalence via
+  * MemoryStream replay, watermark late-data drops, stateful dedup,
+  * arbitrary state, stream-static joins.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private val base = 1700000000000L // epoch millis, on an hour boundary? no — aligned below
+  private def ts(minutes: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1700006400000L + minutes * 60000L) // 2023-11-15 00:00:00 UTC
+
+  private def mkEvents(rows: (Long, Long, Long, String, Double)*): Seq[Ev] =
+    rows.map { case (id, min, user, typ, v) => Ev(id, ts(min), user, typ, v) }
+
+  /** Run a streaming transform over batches of events into a memory sink. */
+  private def runStream(
+      name: String,
+      mode: OutputMode,
+      transform: DataFrame => DataFrame,
+      batches: Seq[Seq[Ev]]): DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = transform(source.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  private val sampleBatches: Seq[Seq[Ev]] = Seq(
+    mkEvents((1, 0, 1, "click", 1.0), (2, 10, 1, "view", 2.0),
+      (3, 61, 2, "click", 3.0)),
+    mkEvents((4, 65, 1, "click", 4.0), (5, 130, 2, "purchase", 5.0)))
+
+  test("S01 tumbling counts: stream (complete) == batch") {
+    import spark.implicits._
+    val streamed = runStream("s01sink", OutputMode.Complete(),
+        Streams.tumblingCounts, sampleBatches)
+      .orderBy("ws", "event_type").collect().toSeq
+    val batch = Streams.tumblingCounts(sampleBatches.flatten.toDF())
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("S02 sliding sum: stream (complete) == batch") {
+    import spark.implicits._
+    val streamed = runStream("s02sink", OutputMode.Complete(),
+        Streams.slidingSumCents, sampleBatches)
+      .orderBy("ws", "event_type").collect().toSeq
+    val batch = Streams.slidingSumCents(sampleBatches.flatten.toDF())
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("S03 session windows: stream (complete) == batch == T06 rule off-boundary") {
+    import spark.implicits._
+    val streamed = runStream("s03sink", OutputMode.Complete(),
+        Streams.sessionWindows, sampleBatches)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val batch = Streams.sessionWindows(sampleBatches.flatten.toDF())
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // user 1: events at 0,10 (one session) and 65 (gap 55min -> new);
+    // user 2: 61 and 130 -> two sessions. Total 4 sessions.
+    assert(batch.length == 4)
+  }
+
+  test("S04 watermark: late event beyond watermark is dropped (append)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(source.toDF())
+      .writeStream.format("memory").queryName("s04sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour-0 events, then hour-3 events -> watermark advances to
+      // (180min - 10min) = hour 2+, closing the hour-0 and hour-1 windows.
+      source.addData(mkEvents((1, 0, 1, "click", 1.0), (2, 30, 1, "click", 1.0)))
+      q.processAllAvailable()
+      source.addData(mkEvents((3, 185, 1, "view", 1.0)))
+      q.processAllAvailable()
+      val closed = spark.table("s04sink").collect()
+      val hour0 = closed.filter(_.getAs[Long]("cnt") == 2)
+      assert(hour0.length == 1) // hour-0 window emitted with both events
+      // a late hour-0 event now arrives; it must NOT re-emit or update
+      source.addData(mkEvents((4, 5, 1, "click", 1.0)))
+      q.processAllAvailable()
+      val after = spark.table("s04sink").collect()
+      assert(after.map(_.toString).sorted.sameElements(
+        closed.map(_.toString).sorted))
+    } finally q.stop()
+  }
+
+  test("S05 dropDuplicatesWithinWatermark: duplicate event_ids collapse") {
+    import spark.implicits._
+    val batches = Seq(
+      mkEvents((1, 0, 1, "click", 1.0), (2, 1, 1, "view", 2.0)),
+      mkEvents((1, 0, 1, "click", 1.0), (3, 2, 1, "click", 3.0)), // dup id=1
+      mkEvents((2, 1, 1, "view", 2.0))) // dup id=2
+    val out = runStream("s05sink", OutputMode.Append(),
+      Streams.dedupWithinWatermark, batches)
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("S06 stateful anomaly flags: stream == batch, hand-checked case") {
+    import spark.implicits._
+    // user 1: stable values then a spike; spike must flag, others not.
+    val vals = Seq(10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.1, 99.0, 10.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Streams.EventIn(i.toLong, 1L, v)
+    }
+    val batchOut = Streams.flagAnomalies(evs.toDS()).collect()
+      .filter(_.anomalous).map(_.event_id).toSeq
+    assert(batchOut == Seq(7L))
+
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Streams.EventIn]
+    val q = Streams.flagAnomalies(source.toDS())
+      .writeStream.format("memory").queryName("s06sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(3).foreach { g => source.addData(g); q.processAllAvailable() }
+      val streamOut = spark.table("s06sink").collect()
+        .filter(_.getAs[Boolean]("anomalous")).map(_.getAs[Long]("event_id")).toSeq
+      assert(streamOut == Seq(7L))
+    } finally q.stop()
+  }
+
+  test("S07 stream-static join: events enriched with customer dim") {
+    import spark.implicits._
+    val customers = Tables.load(spark, sfDir, "customer")
+    val out = runStream("s07sink", OutputMode.Append(),
+      df => Streams.enrichWithCustomers(df, customers),
+      Seq(mkEvents((1, 0, 3, "click", 1.0), (2, 1, 7, "view", 2.0))))
+    val rows = out.select("event_id", "segment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 2 && rows.values.forall(_ != null))
+  }
+}

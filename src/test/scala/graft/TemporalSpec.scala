@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.Temporal
+import org.apache.spark.sql.functions._
+
+/** Temporal-operator invariants (SURVEY.md §5.2): snapshot ≡ filter+last,
+  * interval-view adjacency, sessionization gap laws (incl. the exact
+  * 30-min boundary rule), randomized with a fixed seed.
+  */
+class TemporalSpec extends SparkSpecBase {
+
+  private def changeDf(rows: Seq[(Long, Long, Long)]) = { // (id, entity, tsSec)
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .drop("sec")
+  }
+
+  test("snapshot == per-entity last change at-or-before t (randomized)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val rows = (0 until 40).map(i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(100).toLong))
+      val t = rnd.nextInt(100).toLong
+      val got = Temporal.snapshot(changeDf(rows), "user_id", "ts",
+          timestamp_seconds(lit(t)), "event_id")
+        .select("user_id", "event_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.filter(_._3 <= t).groupBy(_._2).map { case (u, rs) =>
+        u -> rs.maxBy(r => (r._3, r._1))._1
+      }
+      assert(got == want)
+    }
+  }
+
+  test("interval view: per-entity intervals are adjacent and cover once") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong))
+    val iv = Temporal.intervalView(changeDf(rows), "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("valid_from")).as("f"),
+        unix_micros(col("valid_to")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    iv.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.toSeq.sortBy(r => (r._3, r._2))
+      // exactly one open interval per entity, and it is the last one
+      assert(sorted.count(_._4.isEmpty) == 1)
+      assert(sorted.last._4.isEmpty)
+      // each valid_to equals the next valid_from
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+    }
+  }
+
+  test("sessionize: exact 30-min gap stays in session, 30min+1us splits") {
+    import spark.implicits._
+    val base = 1700000000000000L // epoch micros
+    val gap30 = 1800L * 1000000L
+    val rows = Seq(
+      (1L, 1L, base),
+      (2L, 1L, base + gap30), // exactly 30 min -> same session
+      (3L, 1L, base + gap30 + gap30 + 1) // 30 min + 1 us -> new session
+    ).toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = Temporal.sessionize(rows, "user_id", "ts", "event_id", 1800)
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("sessionize invariants: gaps within <= gap < gaps between (randomized)") {
+    val rnd = new scala.util.Random(13)
+    val gapSec = 100L
+    val rows = (0 until 60).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(5000).toLong))
+    val out = Temporal.sessionize(changeDf(rows), "user_id", "ts", "event_id",
+        gapSec)
+      .select(col("user_id"), col("session_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.toSeq.sortBy(r => (r._3, r._4))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          val gapUs = b._3 - a._3
+          if (b._2 == a._2) assert(gapUs <= gapSec * 1000000L)
+          else {
+            assert(b._2 == a._2 + 1)
+            assert(gapUs > gapSec * 1000000L)
+          }
+        case _ =>
+      }
+    }
+  }
+}

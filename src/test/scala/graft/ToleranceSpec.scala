@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tolerance gates for the queries excluded from hash-matching
+  * (SURVEY.md §2.0 rule 5): approximate distinct, PageRank, LSH recall,
+  * language-ID accuracy, SimHash locality.
+  */
+class ToleranceSpec extends SparkSpecBase {
+
+  test("q16 approx_count_distinct within 5% of exact per event_type") {
+    val approx = SparkEntry.queries("q16_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q15_distinct_agg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (et, n) =>
+      val a = approx(et)
+      assert(math.abs(a - n).toDouble / n < 0.05,
+        s"$et: approx=$a exact=$n")
+    }
+  }
+
+  test("g08 pagerank: ranks positive, mass ≈ vertex count") {
+    val edges = graft.ops.Graphs.supplyEdges(spark, sfDir).select("src", "dst")
+    val full = graft.ops.Graphs.pageRank(spark, edges, 10)
+    val nVerts = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct().count()
+    val stats = full.agg(sum("rank"), min("rank"), count(lit(1))).head()
+    val mass = stats.getDouble(0)
+    assert(stats.getDouble(1) > 0.0)
+    assert(stats.getLong(2) == nVerts)
+    // static PageRank conserves (1-d)·n + d·(teleport redistribution);
+    // dangling-node leakage keeps mass in (0.3n, 1.05n] in practice.
+    assert(mass > 0.3 * nVerts && mass < 1.05 * nVerts,
+      s"mass=$mass nVerts=$nVerts")
+  }
+
+  test("l02b LSH near-dedup recall >= 95% of exact pairs, zero false accepts") {
+    val exact = SparkEntry.queries("l02_near_dedup")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("l02b_lsh_near_dedup")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact re-check pass makes every reported pair a true positive
+    assert(lsh.subsetOf(exact), s"false accepts: ${lsh.diff(exact).take(5)}")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.95, s"recall=$recall (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("l04c language-ID heuristic classifies real multilingual text") {
+    // The fixture corpus has RANDOM lang labels over an English-ish shared
+    // vocabulary (verified by inspection), so corpus accuracy is
+    // untestable; the heuristic is gated on genuine samples instead.
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the quick brown fox is running in the woods and that is fine with everyone"),
+      ("de", "der hund und die katze sind nicht mit einem vogel im garten"),
+      ("es", "el perro y la casa es una historia que los vecinos cuentan"),
+      ("fr", "le chien est dans une maison et que les voisins dans la rue"),
+      ("zh", "这是一个非常长的中文句子用来测试语言识别的功能是否正常"))
+    val got = samples.toDF("expected", "text")
+      .withColumn("guess", graft.ops.Text.langIdGuess(col("text")))
+      .collect().map(r => r.getString(0) -> r.getString(2))
+    got.foreach { case (exp, guess) => assert(exp == guess, s"$exp -> $guess") }
+    // and the corpus query itself still runs end-to-end
+    assert(SparkEntry.queries("l04c_langid")(spark, sfDir).count() == 5)
+  }
+
+  test("l07 simhash: near-dup pairs are closer in Hamming distance than random pairs") {
+    val sim = SparkEntry.queries("l07_simhash")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearPairs = SparkEntry.queries("l02_near_dedup")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    if (nearPairs.nonEmpty) {
+      val nearAvg = nearPairs.map { case (a, b) => ham(sim(a), sim(b)) }.sum
+        .toDouble / nearPairs.length
+      val ids = sim.keys.toArray.sorted
+      val rnd = new scala.util.Random(3)
+      val randAvg = (1 to 200).map { _ =>
+        ham(sim(ids(rnd.nextInt(ids.length))), sim(ids(rnd.nextInt(ids.length))))
+      }.sum / 200.0
+      assert(nearAvg < randAvg,
+        s"near-dup avg hamming $nearAvg !< random $randAvg")
+    }
+  }
+
+  test("q27 sample: deterministic for fixed seed, fraction within bounds") {
+    val a = SparkEntry.queries("q27_sample")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q27_sample")(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    val total = a.map(_.getLong(1)).sum
+    assert(total > 6000 * 0.05 && total < 6000 * 0.2, s"sampled $total of ~6000")
+  }
+}
