@@ -128,6 +128,44 @@ object Similarity {
         StructField("cos_sim", DoubleType))))
   }
 
+  /** IVF coarse quantizer: k-means (mllib, seeded) over L2-normalized
+    * vectors. Returns a small (cid, centroid: array<double>) DataFrame.
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, maxIter: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = vecs.select(col("vec_id"),
+      array_to_vector(l2normalize(col("embedding"))).as("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
+      .fit(feats)
+    val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.toSeq)
+    }.toSeq
+    vecs.sparkSession.createDataFrame(rows).toDF("cid", "centroid")
+  }
+
+  /** IVF multi-probe assignment: each vector -> its `nprobe` nearest
+    * centroids by cosine. Centroids (a handful) are broadcast; assignment
+    * is one narrow pass + a top-nprobe window over n_centroids scored rows
+    * per vector. At scale this is the partitioner that turns all-pairs
+    * similarity into per-bucket work; nprobe > 1 trades candidate volume
+    * for recall across bucket boundaries.
+    */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    val c = centroids.select(col("cid"),
+      transform(col("centroid"), _.cast("float")).as("cvec"))
+    val scored = vecs.crossJoin(broadcast(c))
+      .withColumn("score",
+        dot(col("embedding"), col("cvec")) /
+          (norm(col("embedding")) * norm(col("cvec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(desc("score"), col("cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("vec_id"), col("cid").as("bucket"))
+  }
+
   /** k-NN of one query vector: broadcast-as-literal scan, one pass. */
   def knn(vecs: DataFrame, query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)

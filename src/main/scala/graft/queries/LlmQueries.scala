@@ -68,6 +68,47 @@ object LlmQueries {
         .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
     }),
 
+    // L03b — IVF-bucketed ANN: seeded k-means coarse quantizer ->
+    // multi-probe (nprobe=2) bucket assignment -> exact rerank only WITHIN
+    // buckets (equi join on bucket replaces the all-pairs quadratic).
+    // Engine-only; ToleranceSpec gates recall vs the exact L03.
+    "l03b_ivf_ann" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      val v = vecs(s, dir)
+      val centroids = Similarity.kmeansCentroids(v, k = 8, maxIter = 10)
+      val assigned = Similarity.ivfAssign(v, centroids, nprobe = 2)
+      val withB = v.join(assigned, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("bucket"),
+          Similarity.norm(col("embedding")).as("nrm"))
+      val a = withB.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("bucket"), col("nrm").as("a_nrm"))
+      val b = withB.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("bucket").as("b_bucket"),
+        col("nrm").as("b_nrm"))
+      a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(Similarity.dot(col("a_emb"), col("b_emb")) /
+            (col("a_nrm") * col("b_nrm")), 4).as("cos_sim"))
+        // multi-probe can surface the same pair from two shared buckets
+        .dropDuplicates("a_id", "b_id")
+        .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
+        .limit(20)
+    }),
+
+    // L08 — per-label vector centroids via the typed Aggregator UDAF
+    // (SURVEY §2.6 surface), exploded to (label, dim) for the oracle.
+    "l08_centroids" -> ((s, dir) => {
+      val centroidUdaf = udaf(graft.functions.VecCentroid)
+      vecs(s, dir)
+        .groupBy("label")
+        .agg(centroidUdaf(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid"))
+          .as(Seq("dim_idx", "cval")))
+        .select(col("label"), col("dim_idx"),
+          round(col("cval"), 4).as("c4"))
+        .orderBy("label", "dim_idx")
+    }),
+
     // L04 — text analysis: per-language token/char statistics.
     "l04_text_stats" -> ((s, dir) => {
       docs(s, dir)
@@ -187,6 +228,14 @@ object LlmQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin
     },
+
+    "l08_centroids" ->
+      """WITH g AS (SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS gs
+        |  FROM embeddings)
+        |SELECT label, CAST(gs - 1 AS INT) AS dim_idx,
+        |  round(avg(CAST(embedding[gs] AS DOUBLE)), 4) AS c4
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "l04_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

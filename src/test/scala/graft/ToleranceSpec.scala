@@ -89,6 +89,16 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("l03b IVF ANN recalls most of the exact top-20 pairs") {
+    def pairs(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("l03_cosine_topk")
+    val ivf = pairs("l03b_ivf_ann")
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("q27 sample: deterministic for fixed seed, fraction within bounds") {
     val a = SparkEntry.queries("q27_sample")(spark, sfDir).collect()
     val b = SparkEntry.queries("q27_sample")(spark, sfDir).collect()
