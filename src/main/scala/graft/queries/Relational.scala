@@ -111,17 +111,17 @@ object Relational {
     }),
 
     // Q09 — range self-join: pairs of events of the same user within 5
-    // minutes. The equi key (user_id) keeps it a hash join; the time range
-    // is a post-join filter — never a nested-loop.
+    // minutes, via the banded interval join (one shuffle on (key, band),
+    // no per-key quadratic — the 150-user key domain at sf0.1 would make a
+    // plain key join enumerate 66M pairs).
     "q09_range_join" -> ((s, dir) => {
       val e = t(s, dir, "events").select("event_id", "user_id", "ts")
       val a = e.select(col("event_id").as("a_id"), col("user_id"),
         col("ts").as("a_ts"))
       val b = e.select(col("event_id").as("b_id"),
-        col("user_id").as("b_user"), col("ts").as("b_ts"))
-      a.join(b, col("user_id") === col("b_user") &&
-          col("b_ts") > col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr("interval 5 minutes"))
+        col("user_id").as("user_id"), col("ts").as("b_ts"))
+      graft.ops.RangeJoin.banded(a, b, key = "user_id",
+          aTs = "a_ts", bTs = "b_ts", lowerUs = 0L, upperUs = 300000000L)
         .select(col("user_id"), col("a_id"), col("b_id"),
           (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
         .orderBy("user_id", "a_id", "b_id")
