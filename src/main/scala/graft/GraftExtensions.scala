@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.FloatVecDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: lets any session pick up the
+  * engine's native functions via config, with no code dependency on the
+  * registration helper —
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (Equivalent to `VecFunctions.ensureRegistered(spark)`, which the query
+  * contract uses because it receives an already-built session.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDot(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.api
+
+import graft.ops.Graphs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's user-facing property-graph surface: vertices and edges as
+  * plain DataFrames (`id`, ... / `src`, `dst`, ...), DataFrame plans for
+  * the frequent degree/traversal shapes, GraphX/Pregel behind the
+  * iterative algorithms. GraphFrames-like by design (it is not on the
+  * classpath) but built directly on the engine's operators.
+  */
+case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+  private def spark: SparkSession = vertices.sparkSession
+
+  /** Out-degree per vertex, zero-degree vertices included. */
+  def outDegrees: DataFrame =
+    vertices.select(col("id"))
+      .join(edges.groupBy("src").count(), col("id") === col("src"), "left_outer")
+      .select(col("id"), coalesce(col("count"), lit(0L)).as("out_degree"))
+
+  /** In-degree per vertex, zero-degree vertices included. */
+  def inDegrees: DataFrame =
+    vertices.select(col("id"))
+      .join(edges.groupBy("dst").count(), col("id") === col("dst"), "left_outer")
+      .select(col("id"), coalesce(col("count"), lit(0L)).as("in_degree"))
+
+  /** Distinct vertices reachable in EXACTLY 1..k hops from the seed set,
+    * as unrolled broadcast-frontier joins (k must be small and fixed;
+    * unbounded traversals go through [[bfs]]).
+    */
+  def khop(seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val e = edges.select("src", "dst")
+    var frontier = seeds.select(col("id")).distinct()
+    var out: DataFrame = null
+    for (_ <- 1 to k) {
+      frontier = e.join(broadcast(frontier), col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+      out = if (out == null) frontier else out.unionAll(frontier)
+    }
+    out.distinct()
+  }
+
+  /** Bounded-depth BFS distances from one seed (Pregel). */
+  def bfs(seed: Long, maxDepth: Int): DataFrame =
+    Graphs.bfsDepths(spark, edges.select("src", "dst"), seed, maxDepth)
+
+  /** Connected components (label = min vertex id in component). */
+  def connectedComponents: DataFrame =
+    Graphs.connectedComponents(spark, edges.select("src", "dst"))
+
+  /** Static PageRank with a fixed iteration count. */
+  def pageRank(iters: Int): DataFrame =
+    Graphs.pageRank(spark, edges.select("src", "dst"), iters)
+
+  /** Two-edge motif `(a)-[e1]->(b)-[e2]->(c)` with optional per-vertex
+    * predicates applied BEFORE the joins (filter pushdown by hand).
+    */
+  def findPath2(
+      aPred: Option[org.apache.spark.sql.Column] = None,
+      bPred: Option[org.apache.spark.sql.Column] = None,
+      cPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    def vs(p: Option[org.apache.spark.sql.Column], alias: String) =
+      p.fold(vertices)(vertices.filter).select(col("id").as(alias))
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("b2"), col("dst").as("c"))
+    vs(aPred, "va").join(e1, col("va") === col("a"))
+      .join(vs(bPred, "vb"), col("b") === col("vb"))
+      .join(e2, col("b") === col("b2"))
+      .join(vs(cPred, "vc"), col("c") === col("vc"))
+      .select(col("a"), col("b"), col("c")).distinct()
+  }
+}

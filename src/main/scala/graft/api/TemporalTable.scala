@@ -1,0 +1,52 @@
+package graft.api
+
+import graft.ops.{AsOfJoin, Temporal}
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The engine's user-facing temporal-property surface — the reference's
+  * `getTemporalProperty(key, t)` / range-read API re-expressed over a
+  * change-point DataFrame (SURVEY.md §1.2). All methods are lazy plan
+  * builders; nothing executes until an action.
+  *
+  * {{{
+  * val tt = TemporalTable(events, entity = "user_id", ts = "ts",
+  *   tieBreak = "event_id")
+  * tt.snapshot(lit("2024-01-15").cast("timestamp"))   // state at t
+  * tt.timeRange(t1, t2)                               // intervals in [t1,t2)
+  * tt.asOfJoin(probes, "p_ts", Seq("value"))          // latest state per probe
+  * }}}
+  */
+case class TemporalTable(
+    changes: DataFrame,
+    entity: String,
+    ts: String,
+    tieBreak: String) {
+
+  /** Time-point read for every entity: latest change at-or-before `t`. */
+  def snapshot(t: Column): DataFrame =
+    Temporal.snapshot(changes, entity, ts, t, tieBreak)
+
+  /** Piecewise-constant interval view ([ts, next ts), last open). */
+  def intervalView: DataFrame =
+    Temporal.intervalView(changes, entity, ts, tieBreak)
+
+  /** Time-range read: intervals overlapping [t1, t2). */
+  def timeRange(t1: Column, t2: Column): DataFrame =
+    Temporal.timeRange(changes, entity, ts, tieBreak, t1, t2)
+
+  /** Gaps-and-islands sessionization (strictly-greater split rule). */
+  def sessionize(gapSeconds: Long): DataFrame =
+    Temporal.sessionize(changes, entity, ts, tieBreak, gapSeconds)
+
+  /** For each probe row, the latest change payload at-or-before its
+    * timestamp (`strict` = strictly-before). Probes join on this table's
+    * entity column name.
+    */
+  def asOfJoin(
+      probes: DataFrame,
+      probeTs: String,
+      payload: Seq[String],
+      strict: Boolean = false): DataFrame =
+    AsOfJoin(probes, changes, on = Seq(entity), leftTs = probeTs,
+      rightTs = ts, payload = payload, tieBreak = tieBreak, strict = strict)
+}

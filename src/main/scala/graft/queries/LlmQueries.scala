@@ -177,6 +177,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L09 — multimodal pipeline: binary payload -> stubbed decode ->
+    // lazy resize -> frame sampling -> per-doc frame stats. The Spark
+    // plumbing (schema, slicing, explode shape) is real; the codec is the
+    // documented deterministic stub. Engine-only, rows-only check.
+    "l09_media_pipeline" -> ((s, dir) => {
+      val m = docs(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("meta", graft.ops.Media.decodeStub(col("payload")))
+        .withColumn("meta_small",
+          graft.ops.Media.resizeMetaStub(col("meta"), 64, 64))
+      graft.ops.Media.frameSample(m, "payload", 4)
+        .groupBy(col("doc_id"), col("meta_small.width").as("w"),
+          col("meta_small.height").as("h"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame_payload"))).as("frame_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
     "l06_knn" -> ((s, dir) => {
       graft.functions.VecFunctions.ensureRegistered(s)
