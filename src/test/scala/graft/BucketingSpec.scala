@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Bucketing
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Bucketed co-located joins: the per-query shuffle disappears when both
+  * sides are bucketed on the join key (the 100 TB repeated-join pattern).
+  */
+class BucketingSpec extends SparkSpecBase {
+
+  test("join of two tables bucketed on the key has no Exchange") {
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory persists — clean both
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Bucketing.writeBucketed(o, "o_bucketed", "o_orderkey", 8)
+
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+
+    // correctness: equals the plain join
+    val plainCount = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() == plainCount && plainCount > 0)
+
+    // plan: no shuffle anywhere in the executed join
+    val exec = joined.queryExecution.executedPlan
+    val exchanges = exec.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"expected exchange-free bucketed join, found: ${exchanges.map(_.nodeName)}")
+  }
+}

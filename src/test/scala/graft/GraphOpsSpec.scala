@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Graphs
+
+/** Direct algorithm tests for the GraphX layer, incl. the temporal
+  * earliest-arrival semantics on a multi-path graph (the fixture session
+  * graph is per-user chains; this exercises the general case).
+  */
+class GraphOpsSpec extends SparkSpecBase {
+
+  test("earliestArrival respects edge availability times") {
+    import spark.implicits._
+    // Graph: 1 -> 2 -> 4 (slow but usable), 1 -> 3 -> 4 (3->4 departs
+    // BEFORE arrival at 3 is possible -> unusable). Times in micros.
+    // edge: (src, dst, avail_us, arrive_us); usable iff arrival(src) <= avail.
+    val edges = Seq(
+      (1L, 2L, 100L, 200L), // dep 100 arr 200
+      (2L, 4L, 250L, 400L), // dep 250 arr 400  -> arrival(4) = 400
+      (1L, 3L, 100L, 300L), // dep 100 arr 300
+      (3L, 4L, 250L, 260L)  // departs 250 < arrival(3)=300 -> UNUSABLE
+    ).toDF("src", "dst", "avail_us", "arrive_us")
+    val res = Graphs.earliestArrival(spark, edges, seed = 1L, seedTsUs = 0L,
+        maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res == Map(1L -> 0L, 2L -> 200L, 3L -> 300L, 4L -> 400L))
+  }
+
+  test("earliestArrival prefers the time-respecting faster arrival") {
+    import spark.implicits._
+    // Two usable routes to 4; the later-departing one arrives earlier.
+    val edges = Seq(
+      (1L, 2L, 100L, 200L),
+      (2L, 4L, 200L, 900L), // usable, arrives 900
+      (1L, 3L, 100L, 150L),
+      (3L, 4L, 150L, 500L)  // usable, arrives 500 -> wins
+    ).toDF("src", "dst", "avail_us", "arrive_us")
+    val res = Graphs.earliestArrival(spark, edges, seed = 1L, seedTsUs = 0L,
+        maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(4L) == 500L)
+  }
+
+  test("maxHops bounds the traversal depth") {
+    import spark.implicits._
+    // chain 1->2->3->4 all immediately available
+    val edges = Seq((1L, 2L, 0L, 1L), (2L, 3L, 1L, 2L), (3L, 4L, 2L, 3L))
+      .toDF("src", "dst", "avail_us", "arrive_us")
+    val res = Graphs.earliestArrival(spark, edges, seed = 1L, seedTsUs = 0L,
+        maxHops = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(res == Set(1L, 2L, 3L)) // 4 is 3 hops away
+  }
+
+  test("bfsDepths on a cycle terminates with minimum depths") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val res = Graphs.bfsDepths(spark, edges, seed = 1L, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("triangleCount on known graph") {
+    import spark.implicits._
+    // K4 minus one edge: triangles = 2
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("x", "y")
+    assert(Graphs.triangleCount(spark, pairs) == 2L)
+  }
+}
