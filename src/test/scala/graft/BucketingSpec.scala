@@ -44,4 +44,29 @@ class BucketingSpec extends SparkSpecBase {
     assert(exchanges.isEmpty,
       s"expected exchange-free bucketed join, found: ${exchanges.map(_.nodeName)}")
   }
+
+  test("day-partitioned events prune partitions for time-range predicates") {
+    val path = "/tmp/graft-test-warehouse/events_by_day"
+    Bucketing.writePartitionedByDay(
+      Tables.load(spark, sfDir, "events"), path, "ts")
+    val all = spark.read.parquet(path)
+    val filtered = all.filter(
+      col("p_day") >= lit("2024-01-10") && col("p_day") < lit("2024-01-12"))
+    // partition pruning happens at the file-index level: the filtered scan
+    // reads only the 2 matching day directories
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val selected = scans.head.selectedPartitions.partitionCount
+    val total = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("p_day="))
+    assert(selected == 2, s"selected $selected of $total partitions")
+    assert(total >= 29, s"expected ~30 day partitions, got $total")
+    // and the rows match the unpartitioned filter
+    val expect = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-12").cast("timestamp")).count()
+    assert(filtered.count() == expect)
+  }
 }
