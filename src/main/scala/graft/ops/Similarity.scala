@@ -220,18 +220,32 @@ object Similarity {
 
   /** Exact n-gram Jaccard over all intersecting pairs, or (re-check pass)
     * only over supplied candidate pairs.
+    *
+    * The two paths have fundamentally different asymptotics: the full form
+    * joins on the shingle key — one hot shingle shared by d docs alone
+    * yields d²/2 rows, so it is quadratic by construction (test-scale /
+    * final-dedup-within-cluster use). The candidate path NEVER builds that
+    * intersection: candidates are joined to the a-side shingle lists first
+    * (|cands| × |shingles(a)| rows) and matched against the b-side on
+    * (b_id, shingle) — linear in candidate volume, which is what makes
+    * LSH + re-check the 100 TB path.
     */
   def exactJaccard(shingled: DataFrame, pairs: Option[DataFrame] = None): DataFrame = {
     val sizes = shingled.groupBy("doc_id")
       .agg(count(lit(1)).as("sz"))
-    val s1 = shingled.select(col("doc_id").as("a_id"), col("shingle"))
-    val s2 = shingled.select(col("doc_id").as("b_id"), col("shingle"))
-    val joined = s1.join(s2, Seq("shingle"))
-      .filter(col("a_id") < col("b_id"))
-    val restricted = pairs.fold(joined)(p =>
-      joined.join(p, Seq("a_id", "b_id"), "left_semi"))
-    val inter = restricted
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val inter = pairs match {
+      case Some(p) =>
+        p.join(shingled.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+          .join(shingled.select(col("doc_id").as("b_id"), col("shingle")),
+            Seq("b_id", "shingle"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      case None =>
+        val s1 = shingled.select(col("doc_id").as("a_id"), col("shingle"))
+        val s2 = shingled.select(col("doc_id").as("b_id"), col("shingle"))
+        s1.join(s2, Seq("shingle"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("sz", "a_sz"), "a_id")

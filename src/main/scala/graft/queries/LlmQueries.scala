@@ -109,6 +109,17 @@ object LlmQueries {
         .orderBy("label", "dim_idx")
     }),
 
+    // L03c — embedding-cosine near-dup: all pairs above a similarity
+    // threshold (the dedup-decision form of L03; exact, hash-checked).
+    "l03c_cosine_neardup" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      Similarity.allPairsCosine(vecs(s, dir))
+        .filter(col("cos_sim") > 0.4)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // L04 — text analysis: per-language token/char statistics.
     "l04_text_stats" -> ((s, dir) => {
       docs(s, dir)
@@ -254,6 +265,17 @@ object LlmQueries {
         |SELECT label, CAST(gs - 1 AS INT) AS dim_idx,
         |  round(avg(CAST(embedding[gs] AS DOUBLE)), 4) AS c4
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "l03c_cosine_neardup" -> {
+      val dotAB = duckDot.format("a.embedding", "b.embedding")
+      val nA = duckNormSq.format("a.embedding")
+      val nB = duckNormSq.format("b.embedding")
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) > 0.4
+        |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "l04_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
