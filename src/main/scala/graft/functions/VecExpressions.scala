@@ -56,6 +56,59 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Merge-intersection count of two SORTED long arrays — the exact-set
+  * re-check kernel for hashed-shingle near-dedup. The row-exploded
+  * alternative (join on the shingle key, group, count) shuffles
+  * |pairs| × |shingles| rows; this expression runs O(|a|+|b|) comparisons
+  * per pair inside whole-stage codegen over a broadcast of the compact
+  * per-doc arrays. Inputs MUST be sorted ascending (sort_array upstream).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Idempotent per-session registration of the engine's native functions —
   * queries receive the driver's SparkSession, so registration happens at
   * use-sites, not session construction.
@@ -65,5 +118,7 @@ object VecFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -176,13 +176,10 @@ object Similarity {
   }
 
   /** MinHash signatures over shingle sets: `numHashes` permutations
-    * h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle hashes. Returns
-    * (doc_id, band, band_sig) rows for LSH banding: candidate pairs are an
-    * equi join on (band, band_sig) — the scale path for near-dedup, no
-    * all-pairs join. Deterministic (seeded parameters).
+    * h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle hashes. One row
+    * per doc: (doc_id, sig: array<long>). Deterministic (seeded params).
     */
-  def minHashBands(shingled: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+  def minHashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
     // h(x) = (a*x + b) mod p with p the largest 32-bit prime; a < 2^31 and
     // x < 2^32 keep a*x + b under 2^63 — no ANSI-mode long overflow.
     val p = 4294967291L
@@ -193,24 +190,52 @@ object Similarity {
     val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(h * lit(a) + lit(b), lit(p))).as(s"mh_$i")
     }
-    val rowsPerBand = numHashes / bands
-    val sig = shingled
+    shingled
       .withColumn("__h", pmod(xxhash64(col("shingle")), lit(p)))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** LSH banding over precomputed signatures: (doc_id, band, band_sig)
+    * rows; candidate pairs are an equi join on (band, band_sig) — no
+    * all-pairs join.
+    */
+  def minHashBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { bd =>
       struct(lit(bd).as("band"),
         xxhash64((bd * rowsPerBand until (bd + 1) * rowsPerBand)
-          .map(i => col(s"mh_$i")): _*).as("band_sig"))
+          .map(i => element_at(col("sig"), i + 1)): _*).as("band_sig"))
     }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.band_sig").as("band_sig"))
   }
 
+  /** Estimated Jaccard of candidate pairs from their signatures: the
+    * fraction of agreeing MinHash positions. One row per doc per side —
+    * on a corpus with a dense mass of mid-similarity pairs (this one),
+    * estimating BEFORE the exact shingle re-check cuts the re-check input
+    * by an order of magnitude (the estimate join touches 1 signature row
+    * per doc instead of ~hundreds of shingle rows).
+    */
+  def estimateJaccard(pairs: DataFrame, sigs: DataFrame): DataFrame = {
+    val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    pairs.join(a, "a_id").join(b, "b_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("a_sig"), col("b_sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / size(col("a_sig")))
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
   /** LSH near-dup candidates: pairs sharing at least one band signature. */
-  def lshCandidates(shingled: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val b1 = minHashBands(shingled, numHashes, bands)
+  def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val b1 = minHashBands(sigs, numHashes, bands)
     val b2 = b1.select(col("doc_id").as("b_id"), col("band"),
       col("band_sig"))
     b1.join(b2, Seq("band", "band_sig"))
@@ -251,6 +276,32 @@ object Similarity {
         .withColumnRenamed("sz", "a_sz"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("sz", "b_sz"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))
+  }
+
+  /** Exact Jaccard re-check over candidate pairs via compact per-doc
+    * sorted hashed-shingle arrays and the codegen'd merge-intersect
+    * expression — O(|a|+|b|) per pair over a BROADCAST of the doc sets
+    * (5k docs × ~150 shingles ≈ 6 MB), zero shuffle. The only
+    * approximation vs. raw-string sets is 64-bit shingle-hash collisions
+    * (~1e-8 at 10^6 distinct shingles). Requires
+    * `VecFunctions.ensureRegistered`. At 100 TB the doc-set side is
+    * bucket-local rather than globally broadcast.
+    */
+  def exactJaccardCompact(shingled: DataFrame, pairs: DataFrame): DataFrame = {
+    val sets = shingled
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("hset"))
+      .select(col("doc_id"), col("hset"), size(col("hset")).as("sz"))
+    val a = sets.select(col("doc_id").as("a_id"), col("hset").as("a_set"),
+      col("sz").as("a_sz"))
+    val b = sets.select(col("doc_id").as("b_id"), col("hset").as("b_set"),
+      col("sz").as("b_sz"))
+    pairs.join(broadcast(a), "a_id").join(broadcast(b), "b_id")
+      .withColumn("inter",
+        call_function("sorted_intersect_count", col("a_set"), col("b_set")))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("inter"))).as("jaccard"))

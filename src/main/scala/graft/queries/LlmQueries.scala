@@ -48,13 +48,21 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
-    // L02b — MinHash-LSH near-dup candidates with exact re-check: the
-    // 100 TB path (banding join, no all-pairs). Engine-only (seeded MinHash
-    // has no cross-engine oracle); ScalaTest asserts recall vs L02.
+    // L02b — MinHash-LSH near-dup, the 100 TB path: signatures -> banding
+    // candidates -> signature-estimate prune (est >= 0.42, ~2σ below the
+    // 0.6 target for the 32-hash estimator) -> exact shingle re-check.
+    // Every reported pair is exactly verified; only recall is approximate.
+    // Engine-only (seeded MinHash has no cross-engine oracle); ScalaTest
+    // gates recall vs the exact L02 at >= 95%.
     "l02b_lsh_near_dedup" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
       val sh = Text.shingles(docs(s, dir), 3).cache()
-      val cands = Similarity.lshCandidates(sh, numHashes = 32, bands = 16)
-      Similarity.exactJaccard(sh, Some(cands))
+      val sigs = Similarity.minHashSignatures(sh, numHashes = 32).cache()
+      val cands = Similarity.lshCandidates(sigs, numHashes = 32, bands = 16)
+      val likely = Similarity.estimateJaccard(cands, sigs)
+        .filter(col("est_jaccard") >= 0.42)
+        .select("a_id", "b_id")
+      Similarity.exactJaccardCompact(sh, likely)
         .filter(col("jaccard") > 0.6)
         .select(col("a_id"), col("b_id"),
           round(col("jaccard"), 4).as("jaccard"))
@@ -126,6 +134,8 @@ object LlmQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(Text.bpeishTokenCount(col("text")).cast("long"))
+            .as("n_bpe_tokens"),
           sum(col("n_chars")).as("sum_chars"),
           round(avg(col("n_chars")), 4).as("avg_chars"))
         .orderBy("lang")
@@ -280,6 +290,8 @@ object LlmQueries {
     "l04_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens,
+        |  sum(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_bpe_tokens,
         |  sum(n_chars) AS sum_chars,
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
