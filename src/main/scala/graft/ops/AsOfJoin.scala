@@ -31,18 +31,22 @@ object AsOfJoin {
       payload: Seq[String],
       tieBreak: String,
       strict: Boolean = false): DataFrame = {
-    val pay = payload.map(p => s"__r_$p")
+    // The whole right payload travels as ONE struct column: `last(...,
+    // ignoreNulls)` then skips exactly the left-side placeholder rows
+    // (struct null) while a matched right row whose payload FIELDS are
+    // null is still honored, and multi-column payloads can never mix
+    // values from different right rows. Left side simply omits __tie and
+    // the payload struct — unionByName(allowMissingColumns) nulls them
+    // with the right side's own types (so any orderable tieBreak type
+    // works).
     val rightSide = right.select(
       on.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__is_right"),
-        col(tieBreak).as("__tie")) ++
-        payload.zip(pay).map { case (p, a) => col(p).as(a) }: _*)
+        col(tieBreak).as("__tie"),
+        struct(payload.map(col): _*).as("__r_pay")): _*)
     val leftCols = left.columns.toSeq
     val leftSide = left.select(
-      leftCols.map(col) ++ Seq(col(leftTs).as("__ts"), lit(0).as("__is_right"),
-        lit(null).cast("long").as("__tie")) ++
-        pay.map(a => lit(null).as(a)): _*)
-    // Align schemas: left side carries its own columns; right side carries
-    // nulls for them (unionByName with allowMissingColumns).
+      leftCols.map(col) ++ Seq(col(leftTs).as("__ts"),
+        lit(0).as("__is_right")): _*)
     val unioned = leftSide.unionByName(rightSide, allowMissingColumns = true)
     // Right rows sort before left rows at equal ts iff non-strict (visible);
     // after iff strict (invisible). Among right ties, larger tieBreak last
@@ -51,10 +55,10 @@ object AsOfJoin {
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__ts").asc, sideOrder, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withPayload = pay.zip(payload).foldLeft(unioned) { case (df, (a, p)) =>
-      df.withColumn(p + "_asof", last(col(a), ignoreNulls = true).over(w))
-    }
-    withPayload.filter(col("__is_right") === 0)
-      .select(leftCols.map(col) ++ payload.map(p => col(p + "_asof")): _*)
+    unioned
+      .withColumn("__pay_asof", last(col("__r_pay"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__pay_asof.$p").as(p + "_asof")): _*)
   }
 }

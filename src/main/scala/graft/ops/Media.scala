@@ -59,14 +59,12 @@ object Media {
     * slicing done by the codec instead of substring.
     */
   def frameSample(df: DataFrame, payloadCol: String, n: Int): DataFrame = {
-    val len = octet_length(col(payloadCol))
-    val frameLen = greatest(lit(1), (len / n).cast("int"))
+    val frameLen = greatest(lit(1),
+      (octet_length(col(payloadCol)) / n).cast("int"))
     df.withColumn("frame_idx",
         explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_payload",
-        expr(s"substring($payloadCol, frame_idx * " +
-          s"greatest(1, CAST(octet_length($payloadCol) / $n AS INT)) + 1, " +
-          s"greatest(1, CAST(octet_length($payloadCol) / $n AS INT)))"))
+        col(payloadCol).substr(col("frame_idx") * frameLen + 1, frameLen))
       .filter(octet_length(col("frame_payload")) > 0)
   }
 }

@@ -31,9 +31,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** L2-normalized copy of a vector (double elements). */
+  /** L2-normalized copy of a vector (double elements). The norm is
+    * materialized once per row via array_repeat — a naive
+    * `transform(a, _ / norm(a))` re-folds the whole array per element
+    * (O(d²); HOFs get no common-subexpression elimination).
+    */
   def l2normalize(a: Column): Column =
-    transform(a, x => x.cast("double") / norm(a))
+    zip_with(a, array_repeat(norm(a), size(a)),
+      (x, n) => x.cast("double") / n)
 
   /** Exact all-pairs cosine over an embeddings table (vec_id, embedding),
     * restricted to a_id < b_id. Norms are computed ONCE per vector before
@@ -106,13 +111,19 @@ object Similarity {
           var s = 0.0
           var d = 0
           while (d < av.length) { s += av(d) * bv(d); d += 1 }
-          // HALF_UP via BigDecimal — Spark round()'s exact semantics.
-          val c4 = BigDecimal(s / (an * bn))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          val key = (c4, aId, bId)
-          if (heap.size < k) heap.enqueue(key)
-          else if (worstFirst.lt(key, heap.head)) {
-            heap.dequeue(); heap.enqueue(key)
+          val den = an * bn
+          val raw = s / den
+          // zero-norm vectors have undefined cosine — skip, don't crash
+          // (BigDecimal(NaN) throws); HALF_UP via BigDecimal matches
+          // Spark round()'s exact semantics.
+          if (den != 0.0 && !raw.isNaN) {
+            val c4 = BigDecimal(raw)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val key = (c4, aId, bId)
+            if (heap.size < k) heap.enqueue(key)
+            else if (worstFirst.lt(key, heap.head)) {
+              heap.dequeue(); heap.enqueue(key)
+            }
           }
           j += 1
         }

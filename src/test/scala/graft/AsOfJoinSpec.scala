@@ -59,6 +59,37 @@ class AsOfJoinSpec extends SparkSpecBase {
       Map(1L -> Some(100L), 2L -> None))
   }
 
+  test("NULL payload field in the matched right row is honored, not skipped") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("id", "k", "ts")
+    val right = Seq(
+      (100L, 1L, 5L, Option(5.0), Option.empty[Double]),
+      (200L, 1L, 8L, Option.empty[Double], Option(2.0)))
+      .toDF("rid", "k", "ts", "v", "w")
+    val out = AsOfJoin(left, right, Seq("k"), "ts", "ts",
+      payload = Seq("v", "w"), tieBreak = "rid").collect()(0)
+    // the as-of match is the ts=8 row: v must be NULL (not the older 5.0)
+    // and w must be 2.0 — never a mix of the two right rows
+    assert(out.isNullAt(3) && out.getDouble(4) == 2.0)
+  }
+
+  test("non-long tieBreak types work (timestamp)") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L)).toDF("id", "k", "sec")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds(org.apache.spark.sql.functions.col("sec")))
+      .drop("sec")
+    val right = Seq((7L, 1L, 50L), (9L, 1L, 60L))
+      .toDF("rid", "k", "sec")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds(org.apache.spark.sql.functions.col("sec")))
+      .drop("sec")
+      .withColumn("tie_ts", org.apache.spark.sql.functions.col("ts"))
+    val out = AsOfJoin(left, right, Seq("k"), "ts", "ts",
+      payload = Seq("rid"), tieBreak = "tie_ts").collect()(0)
+    assert(out.getLong(out.length - 1) == 9L)
+  }
+
   test("property: asofJoin == per-row linear scan on random tables") {
     val rnd = new scala.util.Random(42)
     for (iter <- 1 to 8) {

@@ -15,9 +15,10 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   */
 class StreamingSpec extends SparkSpecBase {
 
-  private val base = 1700000000000L // epoch millis, on an hour boundary? no — aligned below
+  // 2023-11-15 00:00:00 UTC — an exact hour boundary, so minute offsets
+  // land deterministically inside tumbling windows
   private def ts(minutes: Long): java.sql.Timestamp =
-    new java.sql.Timestamp(1700006400000L + minutes * 60000L) // 2023-11-15 00:00:00 UTC
+    new java.sql.Timestamp(1700006400000L + minutes * 60000L)
 
   private def mkEvents(rows: (Long, Long, Long, String, Double)*): Seq[Ev] =
     rows.map { case (id, min, user, typ, v) => Ev(id, ts(min), user, typ, v) }
