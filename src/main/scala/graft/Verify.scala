@@ -15,7 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Warm the columnar cache once — every query's Tables.load plan is
+    // plan-equal, so all 68 queries read from memory instead of re-decoding
+    // parquet per query.
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache().count())
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
