@@ -22,6 +22,56 @@ import org.apache.spark.sql.functions._
   * of the oracle must declare the same rule.
   */
 object AsOfJoin {
+
+  /** Register the as-of strategy once per session (idempotent). */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ graft.plans.AsOfJoinStrategy
+  }
+
+  /** Sort-merge as-of join through the custom Catalyst operator
+    * ([[graft.plans.AsOfMergeJoinExec]]): same semantics and output shape
+    * as [[apply]], but each side is shuffled/sorted independently (and not
+    * at all when already key-distributed and sorted, e.g. bucketed
+    * tables) and the merge streams with O(1) state. See the node's
+    * Scaladoc for the contract.
+    */
+  def merge(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: String,
+      strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    // fresh-alias every right column so self-joins can't collide expr ids
+    val rAnalyzed = right.queryExecution.analyzed
+    val aliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(aliases, rAnalyzed)
+    val rOut = aliases.map(_.toAttribute)
+    def attr(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      on.map(attr(lPlan.output, _)), on.map(attr(rOut, _)),
+      attr(lPlan.output, leftTs), attr(rOut, rightTs),
+      attr(rOut, tieBreak),
+      payload.map(attr(rOut, _)),
+      payload.map(p => AttributeReference(p + "_asof",
+        attr(rOut, p).dataType, nullable = true)()),
+      strict)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.SparkSession], node)
+  }
+
   def apply(
       left: DataFrame,
       right: DataFrame,

@@ -35,6 +35,24 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // Q10b — the SAME as-of query through the custom Catalyst sort-merge
+    // operator (AsOfJoinNode -> AsOfMergeJoinExec); hash-checked against
+    // the identical oracle as q10, proving the two implementations agree.
+    "q10b_asof_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"))
+      AsOfJoin.merge(purchases, clicks,
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("click_id"), tieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_id_asof").as("click_id"))
+        .orderBy("event_id")
+    }),
+
     // T01 — snapshot: every user's property value as of t (latest change
     // point at-or-before t).
     "t01_snapshot" -> ((s, dir) => {
@@ -129,6 +147,16 @@ object TemporalQueries {
 
   val oracles: Map[String, String] = Map(
     "q10_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |  (SELECT max_by(c.click_id, c.ts) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id
+        |FROM p ORDER BY p.event_id""".stripMargin,
+
+    "q10b_asof_merge" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
         |     c AS (SELECT user_id, ts, max(event_id) AS click_id

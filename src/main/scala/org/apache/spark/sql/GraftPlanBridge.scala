@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal private[sql] bridge: build a DataFrame from a custom
+  * LogicalPlan (Dataset.ofRows is private[sql]; extensions conventionally
+  * reach it from inside the package). Nothing else crosses this boundary.
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

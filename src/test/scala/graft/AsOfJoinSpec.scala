@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.AsOfJoin
+import org.apache.spark.sql.functions.col
 
 /** As-of join edge cases + property test: the union+window implementation
   * must equal a per-row linear scan (SURVEY.md §5.2 items 3-4). Randomized
@@ -101,5 +102,63 @@ class AsOfJoinSpec extends SparkSpecBase {
       assert(runAsOf(left, right, strict) == oracle(left, right, strict),
         s"mismatch at iter $iter (strict=$strict)")
     }
+  }
+
+  // ---- custom Catalyst sort-merge operator (AsOfMergeJoinExec) ----
+
+  private def runMerge(
+      left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long)],
+      strict: Boolean): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val l = left.toDF("id", "k", "ts")
+    val r = right.toDF("rid", "k", "ts")
+    AsOfJoin.merge(l, r, Seq("k"), "ts", "ts", Seq("rid"), "rid", strict)
+      .collect().map { row =>
+        row.getLong(0) -> Option(row.get(3)).map(_.asInstanceOf[Long])
+      }.toMap
+  }
+
+  test("merge operator == linear-scan oracle on random tables (incl. self-join shape)") {
+    val rnd = new scala.util.Random(7)
+    for (iter <- 1 to 8) {
+      val strict = iter % 2 == 0
+      def rows(n: Int): Seq[(Long, Long, Long)] =
+        (0 until n).map(i => (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))
+      val left = rows(40)
+      val right = rows(40)
+      assert(runMerge(left, right, strict) == oracle(left, right, strict),
+        s"merge mismatch at iter $iter (strict=$strict)")
+    }
+    // self-join (same plan on both sides) must not collide expr ids
+    import spark.implicits._
+    val e = Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("rid", "k", "ts")
+    val out = AsOfJoin.merge(
+      e.select(col("rid").as("id"), col("k"), col("ts")), e,
+      Seq("k"), "ts", "ts", Seq("rid"), "rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("merge operator plans as AsOfMergeJoinExec, never a nested loop") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L)).toDF("id", "k", "ts")
+    val r = Seq((9L, 1L, 5L)).toDF("rid", "k", "ts")
+    val df = AsOfJoin.merge(l, r, Seq("k"), "ts", "ts", Seq("rid"), "rid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(df.collect()(0).getLong(3) == 9L)
+  }
+
+  test("merge operator honors NULL payload fields of the matched row") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L)).toDF("id", "k", "ts")
+    val r = Seq(
+      (100L, 1L, 5L, Option(5.0)),
+      (200L, 1L, 8L, Option.empty[Double])).toDF("rid", "k", "ts", "v")
+    val out = AsOfJoin.merge(l, r, Seq("k"), "ts", "ts", Seq("v"), "rid")
+      .collect()(0)
+    assert(out.isNullAt(3)) // latest match (ts=8) has v = NULL; 5.0 is stale
   }
 }
