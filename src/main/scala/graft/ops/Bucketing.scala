@@ -17,13 +17,16 @@ object Bucketing {
     * BucketingSpec).
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write
+      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    val sorts = if (sortCols.nonEmpty) sortCols else Seq(key)
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .format("parquet")
       .bucketBy(buckets, key)
-      .sortBy(key)
+      .sortBy(sorts.head, sorts.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Write an event-style table hive-partitioned by the day of `tsCol`
     * (SURVEY.md §7 phase 6: "partition events by day"). Time-range

@@ -45,6 +45,44 @@ class BucketingSpec extends SparkSpecBase {
       s"expected exchange-free bucketed join, found: ${exchanges.map(_.nodeName)}")
   }
 
+  test("as-of merge join over bucketed+sorted tables plans exchange-free") {
+    Seq("ev_bucketed", "ev2_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val ev = Tables.load(spark, sfDir, "events")
+    Bucketing.writeBucketed(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      "ev_bucketed", "user_id", 4, sortCols = Seq("user_id", "ts"))
+    Bucketing.writeBucketed(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+      "ev2_bucketed", "user_id", 4,
+      sortCols = Seq("user_id", "ts", "click_id"))
+    val joined = graft.ops.AsOfJoin.merge(
+      spark.table("ev_bucketed"), spark.table("ev2_bucketed"),
+      Seq("user_id"), "ts", "ts", Seq("click_id"), "click_id")
+    val exec = joined.queryExecution.executedPlan
+    val exchanges = exec.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"expected exchange-free bucketed as-of, found ${exchanges.map(_.nodeName)}")
+    // and it still computes the right thing (vs the window implementation)
+    val viaWindow = graft.ops.AsOfJoin(
+      spark.table("ev_bucketed"), spark.table("ev2_bucketed"),
+      Seq("user_id"), "ts", "ts", Seq("click_id"), "click_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val viaMerge = joined.collect()
+      .map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(viaMerge == viaWindow && viaMerge.nonEmpty)
+  }
+
   test("day-partitioned events prune partitions for time-range predicates") {
     val path = "/tmp/graft-test-warehouse/events_by_day"
     Bucketing.writePartitionedByDay(
