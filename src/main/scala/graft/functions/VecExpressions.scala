@@ -109,6 +109,49 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of a token array in ONE pass: per-token xxhash64 (seed
+  * 42, identical to the built-in xxhash64), sign-votes accumulated into 64
+  * counters, sign bits assembled. The pure-Column formulation needs 64
+  * separate aggregate() folds over the token array (O(64·t) interpreted
+  * lambda calls and a plan too large for codegen); this expression is one
+  * tight loop. CodegenFallback: a single virtual call per row is noise
+  * next to the per-token work.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.numElements()) {
+      val tok = tokens.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(tok, org.apache.spark.sql.types.StringType, 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Idempotent per-session registration of the engine's native functions —
   * queries receive the driver's SparkSession, so registration happens at
   * use-sites, not session construction.
@@ -120,5 +163,7 @@ object VecFunctions {
       exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs(0)), "built-in")
   }
 }

@@ -320,8 +320,16 @@ object Similarity {
 
   /** SimHash (64-bit) of the token stream: sign-sum of per-token hashes
     * weighted into bit positions. Near-dups have small Hamming distance.
+    * Single-pass native expression (requires VecFunctions.ensureRegistered).
     */
-  def simHash(text: Column): Column = {
+  def simHash(text: Column): Column =
+    call_function("simhash64",
+      regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** Pure-Column reference twin of [[simHash]] (64 aggregate folds —
+    * correct but ~20× slower; kept for the equivalence test).
+    */
+  def simHashHof(text: Column): Column = {
     val tokens = regexp_extract_all(text, lit("\\S+"), lit(0))
     val hashes = transform(tokens, t => xxhash64(t))
     (0 until 64).map { bit =>

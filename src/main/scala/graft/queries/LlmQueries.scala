@@ -228,6 +228,7 @@ object LlmQueries {
     // L07 — SimHash signatures (engine-only; ScalaTest asserts near-dup
     // pairs from L02 have small Hamming distance).
     "l07_simhash" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
       docs(s, dir)
         .select(col("doc_id"), Similarity.simHash(col("text")).as("simhash"))
         .orderBy("doc_id")

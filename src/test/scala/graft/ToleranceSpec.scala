@@ -69,6 +69,16 @@ class ToleranceSpec extends SparkSpecBase {
     assert(SparkEntry.queries("l04c_langid")(spark, sfDir).count() == 5)
   }
 
+  test("l07 simhash native expression == pure-Column reference") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val sample = Tables.load(spark, sfDir, "documents").limit(50)
+    val both = sample.select(
+      graft.ops.Similarity.simHash(col("text")).as("fast"),
+      graft.ops.Similarity.simHashHof(col("text")).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("l07 simhash: near-dup pairs are closer in Hamming distance than random pairs") {
     val sim = SparkEntry.queries("l07_simhash")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
