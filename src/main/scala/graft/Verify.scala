@@ -16,7 +16,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Warm the columnar cache once — every query's Tables.load plan is
-    // plan-equal, so all 68 queries read from memory instead of re-decoding
+    // plan-equal, so every query reads from memory instead of re-decoding
     // parquet per query.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache().count())
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -122,20 +122,31 @@ case class SimHash64(child: Expression)
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
   override def prettyName: String = "simhash64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[ArrayData]
+  // Matches the pure-Column twin on edge inputs too: a NULL token votes -1
+  // on every bit (the HOF's when(...).otherwise(-1) path) and a NULL
+  // array yields 0L (the HOF's null-folded bitwiseOR of zeros).
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    val tokens = v.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
     var i = 0
     while (i < tokens.numElements()) {
-      val tok = tokens.getUTF8String(i)
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(tok, org.apache.spark.sql.types.StringType, 42L)
-      var bit = 0
-      while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
-        bit += 1
+      if (tokens.isNullAt(i)) {
+        var bit = 0
+        while (bit < 64) { votes(bit) -= 1; bit += 1 }
+      } else {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(tokens.getUTF8String(i),
+            org.apache.spark.sql.types.StringType, 42L)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
       }
       i += 1
     }

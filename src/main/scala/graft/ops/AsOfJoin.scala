@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Register the as-of strategy once per session (idempotent). */
-  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val cur = spark.experimental.extraStrategies
-    if (!cur.contains(graft.plans.AsOfJoinStrategy))
-      spark.experimental.extraStrategies = cur :+ graft.plans.AsOfJoinStrategy
-  }
+  /** Register the as-of strategy once per session (idempotent;
+    * synchronized — extraStrategies is a bare var and a concurrent
+    * read-modify-write from two planner threads could drop a strategy).
+    */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      val cur = spark.experimental.extraStrategies
+      if (!cur.contains(graft.plans.AsOfJoinStrategy))
+        spark.experimental.extraStrategies = cur :+ graft.plans.AsOfJoinStrategy
+    }
 
   /** Sort-merge as-of join through the custom Catalyst operator
     * ([[graft.plans.AsOfMergeJoinExec]]): same semantics and output shape
@@ -56,9 +60,18 @@ object AsOfJoin {
     val aliases = rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(aliases, rAnalyzed)
     val rOut = aliases.map(_.toAttribute)
+    // resolve names with the session's resolver (case-insensitive by
+    // default, like col()) and refuse ambiguity instead of picking one
+    val resolver = spark.sessionState.conf.resolver
     def attr(out: Seq[Attribute], n: String): Attribute =
-      out.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"column $n not found"))
+      out.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() =>
+          throw new IllegalArgumentException(s"column $n not found")
+        case many =>
+          throw new IllegalArgumentException(
+            s"column $n is ambiguous: ${many.map(_.name).mkString(", ")}")
+      }
     val node = graft.plans.AsOfJoinNode(
       lPlan, rPlan,
       on.map(attr(lPlan.output, _)), on.map(attr(rOut, _)),

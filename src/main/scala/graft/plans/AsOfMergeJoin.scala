@@ -89,7 +89,11 @@ case class AsOfMergeJoinExec(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTs :+ rightTie).map(SortOrder(_, Ascending)))
 
-  // The merge is left-driven and order-preserving.
+  // The merge is left-driven and order-preserving: downstream operators
+  // keyed on leftKeys (groupBy, another as-of) need no further exchange
+  // or sort.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
 

@@ -16,42 +16,40 @@ object TemporalQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** Shared inputs for the q10/q10b pair: each purchase probes for the
+    * most recent at-or-before click of the same user.
+    */
+  private def purchasesAndClicks(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = ev(s, dir)
+    (e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts"),
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id")))
+  }
+
+  private def q10Shape(asof: (DataFrame, DataFrame) => DataFrame)(
+      s: SparkSession, dir: String): DataFrame = {
+    val (purchases, clicks) = purchasesAndClicks(s, dir)
+    asof(purchases, clicks)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id_asof").as("click_id"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q10 — as-of join: each purchase event -> most recent at-or-before
     // click of the same user (tie on ts -> max event_id). Single-shuffle
     // union+window implementation, not a nested-loop.
-    "q10_asof_join" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("click_id"))
-      AsOfJoin(purchases, clicks,
-          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-          payload = Seq("click_id"), tieBreak = "click_id")
-        .select("event_id", "user_id", "ts", "click_id_asof")
-        .withColumnRenamed("click_id_asof", "click_id")
-        .orderBy("event_id")
-    }),
+    "q10_asof_join" -> (q10Shape((p, c) =>
+      AsOfJoin(p, c, on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id"), tieBreak = "click_id")) _),
 
-    // Q10b — the SAME as-of query through the custom Catalyst sort-merge
+    // Q10b — the SAME query through the custom Catalyst sort-merge
     // operator (AsOfJoinNode -> AsOfMergeJoinExec); hash-checked against
-    // the identical oracle as q10, proving the two implementations agree.
-    "q10b_asof_merge" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("click_id"))
-      AsOfJoin.merge(purchases, clicks,
-          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-          payload = Seq("click_id"), tieBreak = "click_id")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("click_id_asof").as("click_id"))
-        .orderBy("event_id")
-    }),
+    // the identical oracle, proving the two implementations agree.
+    "q10b_asof_merge" -> (q10Shape((p, c) =>
+      AsOfJoin.merge(p, c, on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("click_id"), tieBreak = "click_id")) _),
 
     // T01 — snapshot: every user's property value as of t (latest change
     // point at-or-before t).
@@ -145,26 +143,20 @@ object TemporalQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "q10_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        |     c AS (SELECT user_id, ts, max(event_id) AS click_id
-        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
-        |  (SELECT max_by(c.click_id, c.ts) FROM c
-        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id
-        |FROM p ORDER BY p.event_id""".stripMargin,
+  private val q10Oracle =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, ts, max(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+      |  (SELECT max_by(c.click_id, c.ts) FROM c
+      |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id
+      |FROM p ORDER BY p.event_id""".stripMargin
 
-    "q10b_asof_merge" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        |     c AS (SELECT user_id, ts, max(event_id) AS click_id
-        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
-        |  (SELECT max_by(c.click_id, c.ts) FROM c
-        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id
-        |FROM p ORDER BY p.event_id""".stripMargin,
+  val oracles: Map[String, String] = Map(
+    "q10_asof_join" -> q10Oracle,
+
+    "q10b_asof_merge" -> q10Oracle,
 
     "t01_snapshot" ->
       """SELECT user_id, CAST(round(value*100) AS BIGINT) AS val_cents

@@ -81,6 +81,18 @@ class BucketingSpec extends SparkSpecBase {
     val viaMerge = joined.collect()
       .map(r => r.getLong(0) -> Option(r.get(3))).toMap
     assert(viaMerge == viaWindow && viaMerge.nonEmpty)
+
+    // outputPartitioning is preserved: a groupBy on the join key directly
+    // after the as-of must not add any exchange either
+    val agged = graft.ops.AsOfJoin.merge(
+      spark.table("ev_bucketed"), spark.table("ev2_bucketed"),
+      Seq("user_id"), "ts", "ts", Seq("click_id"), "click_id")
+      .groupBy("user_id").count()
+    val aggedExchanges = agged.queryExecution.executedPlan.collect {
+      case e: Exchange => e
+    }
+    assert(aggedExchanges.isEmpty,
+      s"expected exchange-free asof+groupBy, found ${aggedExchanges.map(_.nodeName)}")
   }
 
   test("day-partitioned events prune partitions for time-range predicates") {

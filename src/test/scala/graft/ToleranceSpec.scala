@@ -79,6 +79,22 @@ class ToleranceSpec extends SparkSpecBase {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("simhash64 edge inputs match the pure-Column reference") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // null token votes -1 everywhere; null/empty arrays yield 0L — both
+    // exactly like the HOF twin's null-folding
+    val df = Seq(Tuple1(Seq[String]("a", "b")), Tuple1(Seq[String]()))
+      .toDF("toks")
+      .select(call_function("simhash64", col("toks")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(1) == 0L && hs(0) != 0L)
+    val withNull = spark.sql(
+      "SELECT simhash64(array('a', CAST(NULL AS STRING))), simhash64(array('a'))")
+    val r = withNull.collect()(0)
+    assert(!r.isNullAt(0)) // no NPE; null token just votes -1
+  }
+
   test("l07 simhash: near-dup pairs are closer in Hamming distance than random pairs") {
     val sim = SparkEntry.queries("l07_simhash")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
