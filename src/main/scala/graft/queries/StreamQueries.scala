@@ -55,6 +55,24 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // S08 — transformWithState (Spark 4 arbitrary-state API): per-user
+    // running totals in integer cents; batch run is exact and
+    // hash-checked, the streaming run is asserted equal in StreamingSpec.
+    "s08_transform_with_state" -> ((s, dir) => {
+      import s.implicits._
+      // transformWithState runs on the RocksDB state store (batch too),
+      // and needs the coordinator endpoint streaming normally bootstraps
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(s)
+      val in = ev(s, dir)
+        .select(col("user_id"), col("value"))
+        .as[Streams.EventIn2]
+      Streams.userTotals(in)
+        .toDF()
+        .orderBy("user_id")
+    }),
+
     // S07 — stream-static join shape in batch: events enriched with the
     // customer dim, counted per segment.
     "s07_stream_static_join" -> ((s, dir) =>
@@ -99,6 +117,11 @@ object StreamQueries {
 
     "s05_dedup" ->
       """SELECT count(DISTINCT event_id) AS n_rows FROM events""".stripMargin,
+
+    "s08_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s07_stream_static_join" ->
       """WITH seg AS (SELECT c_custkey % 50 AS user_id,

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.Det
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming surface (SURVEY.md §2.4 S01–S07), written as UNIFIED
   * transforms: each takes a DataFrame that may be batch or streaming —
@@ -71,6 +71,47 @@ object Streams {
   case class EventIn(event_id: Long, user_id: Long, value: Double)
   case class Flagged(event_id: Long, user_id: Long, value: Double,
       anomalous: Boolean)
+
+  /** S08 state/output rows for the transformWithState processor. */
+  case class UserTotals(n_events: Long, sum_cents: Long)
+  case class UserTotalsOut(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** S08 — Spark 4 `transformWithState` processor: per-user running event
+    * count and value total (integer cents — order-independent, so the
+    * batch run is hash-checkable). Emits the updated totals for each user
+    * seen in a batch; state is a single ValueState per user (TTL-able via
+    * TTLConfig when running with processing-time mode).
+    */
+  class UserTotalsProcessor
+      extends StatefulProcessor[Long, EventIn2, UserTotalsOut] {
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn2],
+        timerValues: TimerValues): Iterator[UserTotalsOut] = {
+      var t = if (totals.exists()) totals.get() else UserTotals(0L, 0L)
+      rows.foreach { e =>
+        t = UserTotals(t.n_events + 1, t.sum_cents + math.round(e.value * 100))
+      }
+      totals.update(t)
+      Iterator(UserTotalsOut(key, t.n_events, t.sum_cents))
+    }
+  }
+
+  case class EventIn2(user_id: Long, value: Double)
+
+  /** S08 entry: works on batch (one pass, empty initial state) and
+    * streaming (Update mode, RocksDB state store) identically.
+    */
+  def userTotals(events: Dataset[EventIn2]): Dataset[UserTotalsOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 
   /** S06 — arbitrary stateful op: flag events whose value exceeds the
     * user's running mean + 3σ (state BEFORE the event — deterministic

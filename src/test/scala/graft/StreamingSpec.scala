@@ -139,6 +139,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S08 transformWithState: streaming final state == batch run") {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = Seq(
+      Streams.EventIn2(1L, 1.0), Streams.EventIn2(1L, 2.5),
+      Streams.EventIn2(2L, 4.0), Streams.EventIn2(1L, 0.5),
+      Streams.EventIn2(2L, 1.25))
+    val batch = Streams.userTotals(evs.toDS()).collect()
+      .map(r => r.user_id -> (r.n_events, r.sum_cents)).toMap
+    assert(batch == Map(1L -> (3L, 400L), 2L -> (2L, 525L)))
+
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Streams.EventIn2]
+    val q = Streams.userTotals(source.toDS())
+      .writeStream.format("memory").queryName("s08sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(2).foreach { g => source.addData(g); q.processAllAvailable() }
+      // Update mode emits one row per user per batch; the LAST row per
+      // user is the final state and must equal the batch result
+      val rows = spark.table("s08sink").collect()
+      val last = rows.zipWithIndex
+        .groupBy(_._1.getAs[Long]("user_id"))
+        .map { case (u, rs) =>
+          val r = rs.maxBy(_._2)._1
+          u -> (r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))
+        }
+      assert(last == batch)
+    } finally q.stop()
+  }
+
   test("S07 stream-static join: events enriched with customer dim") {
     import spark.implicits._
     val customers = Tables.load(spark, sfDir, "customer")
