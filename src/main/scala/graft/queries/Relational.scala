@@ -177,6 +177,33 @@ object Relational {
         .orderBy("gid", "rf", "ls")
     }),
 
+    // Q14b — cube over the same keys (adds the column-marginal rows
+    // rollup lacks).
+    "q14b_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("cnt"),
+          sumCents(col("l_extendedprice")).as("revenue_cents"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("cnt"), col("revenue_cents"))
+        .orderBy("gid", "rf", "ls")
+    }),
+
+    // Q14c — explicit grouping sets via the SQL entry point.
+    "q14c_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY rf, ls""")
+    }),
+
     // Q15 — distinct aggregation (Expand + two-phase agg under the hood).
     "q15_distinct_agg" -> ((s, dir) => {
       t(s, dir, "events")
@@ -448,6 +475,24 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q14b_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS cnt,
+        |  CAST(round(sum(l_extendedprice*100)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q14c_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
 
     "q15_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS uniq_users,
