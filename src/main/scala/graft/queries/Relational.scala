@@ -287,6 +287,19 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Q20b — the same JSON aggregation over Spark 4 VariantType:
+    // parse_json once, typed variant_get extraction (the amortized-parse
+    // path for semi-structured columns); same oracle as q20.
+    "q20b_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"),
+          count(col("k")).as("cnt_k"))
+        .orderBy("event_type")
+    }),
+
     // Q21 — array functions over embeddings: size, element access, and a
     // sequential-fold dot product with itself (norm²) via HOFs — stays in
     // codegen, no UDF.
@@ -325,6 +338,20 @@ object Relational {
         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey""")
+    }),
+
+    // Q23b — the same correlated-subquery semantics hand-decorrelated in
+    // DataFrame form (join against the pre-aggregated per-nation average);
+    // same oracle as q23.
+    "q23b_decorrelated_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.groupBy("c_nationkey")
+        .agg(avg(col("c_acctbal")).as("nation_avg"))
+        .withColumnRenamed("c_nationkey", "nk")
+      c.join(broadcast(avgBal), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_custkey")
     }),
 
     // Q24 — post-aggregation filter (HAVING).
@@ -546,6 +573,12 @@ object Relational {
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q20b_variant" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q21_array_funcs" ->
       """SELECT vec_id, len(embedding) AS dim,
         |  round(CAST(embedding[1] AS DOUBLE), 4) AS e0,
@@ -558,6 +591,13 @@ object Relational {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q23_correlated_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q23b_decorrelated_join" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS bal
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
