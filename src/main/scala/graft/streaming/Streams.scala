@@ -66,6 +66,36 @@ object Streams {
         .agg(min(col("c_mktsegment")).as("segment")),
       Seq("user_id"), "left_outer")
 
+  /** Streaming graph construction (the reference's continuous temporal
+    * ingestion -> topology story): G_session edges emitted incrementally
+    * as events arrive — per-user state is just the last event seen, and
+    * each new event closes one edge. Batch runs of the same transform
+    * reproduce Graphs.sessionEdges exactly (asserted in StreamingSpec).
+    */
+  case class SessionEv(event_id: Long, user_id: Long, ts_us: Long)
+  case class SessionEdge(src: Long, dst: Long, avail_us: Long, arrive_us: Long)
+  case class LastEv(event_id: Long, ts_us: Long)
+
+  def sessionEdgesStream(events: Dataset[SessionEv]): Dataset[SessionEdge] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, SessionEdge](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[SessionEv], state: GroupState[LastEv]) =>
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+            val edge = last.map(l =>
+              SessionEdge(l.event_id, e.event_id, l.ts_us, e.ts_us))
+            last = Some(LastEv(e.event_id, e.ts_us))
+            edge
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Per-user running state for S06: Welford-style running mean/M2. */
   case class UserState(n: Long, mean: Double, m2: Double)
   case class EventIn(event_id: Long, user_id: Long, value: Double)

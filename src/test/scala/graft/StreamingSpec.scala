@@ -172,6 +172,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming G_session construction == batch sessionEdges") {
+    import spark.implicits._
+    // batch reference over the real fixture table
+    val batchEdges = graft.ops.Graphs.sessionEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val evs = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("ts_us", "event_id")
+      .as[Streams.SessionEv].collect().toSeq
+
+    // batch run of the streaming transform
+    val viaBatch = Streams.sessionEdgesStream(evs.toDS())
+      .collect().map(e => (e.src, e.dst, e.avail_us, e.arrive_us)).toSet
+    assert(viaBatch == batchEdges && batchEdges.nonEmpty)
+
+    // streaming run, events arriving over 4 micro-batches in time order
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Streams.SessionEv]
+    val q = Streams.sessionEdgesStream(source.toDS())
+      .writeStream.format("memory").queryName("gsessionsink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+      }
+      val viaStream = spark.table("gsessionsink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(viaStream == batchEdges)
+    } finally q.stop()
+  }
+
   test("S07 stream-static join: events enriched with customer dim") {
     import spark.implicits._
     val customers = Tables.load(spark, sfDir, "customer")
