@@ -290,10 +290,11 @@ object LlmQueries {
 
     "l04_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(regexp_extract_all(text, '\S+'))) AS n_tokens,
-        |  sum(len(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_bpe_tokens,
-        |  sum(n_chars) AS sum_chars,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -481,9 +481,9 @@ object Relational {
 
     "q12_running_sum" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |  sum(CAST(round(value*100) AS BIGINT))
+        |  CAST(sum(CAST(round(value*100) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS UNBOUNDED PRECEDING) AS running_cents
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q13_lag_lead" ->
@@ -569,13 +569,15 @@ object Relational {
 
     "q20_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q20b_variant" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

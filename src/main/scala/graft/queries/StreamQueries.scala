@@ -97,7 +97,7 @@ object StreamQueries {
         |    + INTERVAL 1 SECOND * CAST(floor(epoch(ts)/900)*900 AS BIGINT)
         |    - INTERVAL 15 MINUTE * CAST(k AS INT) AS TIMESTAMP) AS ws,
         |  event_type,
-        |  sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s03_session_window" ->
@@ -120,7 +120,7 @@ object StreamQueries {
 
     "s08_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
-        |  sum(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s07_stream_static_join" ->
