@@ -94,6 +94,13 @@ object AsOfJoin {
       payload: Seq[String],
       tieBreak: String,
       strict: Boolean = false): DataFrame = {
+    // Fail fast on temp-column collisions: an input already carrying one
+    // of the reserved working names would be silently corrupted by the
+    // union+window plumbing below (`merge` has its own ambiguity checks).
+    val reserved = Set("__ts", "__is_right", "__tie", "__r_pay", "__pay_asof")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(clash.isEmpty,
+      s"as-of join inputs must not contain reserved column(s): ${clash.mkString(", ")}")
     // The whole right payload travels as ONE struct column: `last(...,
     // ignoreNulls)` then skips exactly the left-side placeholder rows
     // (struct null) while a matched right row whose payload FIELDS are

@@ -17,12 +17,21 @@ object Bucketing {
     * BucketingSpec).
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit =
+    writeBucketedMulti(df, table, Seq(key), buckets, sortCols)
+
+  /** Multi-column bucketing key (e.g. LSH (band, band_sig)): equi joins on
+    * exactly this key set between tables with the same bucket count are
+    * Exchange-free.
+    */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
-    val sorts = if (sortCols.nonEmpty) sortCols else Seq(key)
-    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+    val sorts = if (sortCols.nonEmpty) sortCols else keys
+    df.repartition(buckets,
+        keys.map(org.apache.spark.sql.functions.col): _*)
       .write
       .format("parquet")
-      .bucketBy(buckets, key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(sorts.head, sorts.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)

@@ -2,8 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Similarity / dedup operators (SURVEY.md §2.5). Exact forms are the
   * correctness contract at test scale; the LSH variants are the 100 TB
@@ -58,85 +56,116 @@ object Similarity {
           .as("cos_sim"))
   }
 
-  /** Exact top-k cosine pairs without materializing the all-pairs join:
-    * the (id, vector) matrix — small relative to the corpus it was
-    * embedded from — is collected once, L2-normalized, and broadcast; each
-    * partition streams its own vectors against the broadcast block with a
-    * primitive-array loop and keeps a bounded top-k heap; the driver merges
-    * partition heaps. O(n²d/p) compute, O(nd) memory, ZERO shuffle.
+  /** Exact top-k cosine pairs, fully distributed — no driver-side collect
+    * of the vector table and no all-pairs join materialization.
+    *
+    * Block-partitioned pair enumeration: each vector belongs to block
+    * `vec_id % blocks`; every unordered block pair (lo, hi) is one group,
+    * and each vector is replicated to the `blocks` groups it participates
+    * in. One shuffle of `blocks × n` narrow rows, then each group runs a
+    * primitive-array dot kernel over its (at most two) blocks with a
+    * bounded top-k heap, emitting ≤ k rows; `TakeOrdered` merges the
+    * `blocks·(blocks+1)/2 × k` survivors. O(n²d) compute spread over
+    * `blocks²/2` independent tasks, per-task memory O(n·d/blocks) — size
+    * `blocks` so two blocks fit an executor and the same plan runs at
+    * 100 TB (the quadratic is inherent to EXACT top-k; L03b's IVF path is
+    * the sub-quadratic approximate variant).
     *
     * Selection order is (cosine rounded to 4 decimals DESC, a_id, b_id) —
     * the same total order the DuckDB oracle sorts by, so the returned set
-    * is deterministic even under rounded ties. At 100 TB the same kernel
-    * runs per LSH/IVF bucket instead of one global block.
+    * is deterministic even under rounded ties. The dot/norm folds run in
+    * dimension order in double precision, the exact op order of the column
+    * form and the DuckDB oracle — bit-identical before rounding.
     */
-  def topKCosinePairs(vecs: DataFrame, k: Int): DataFrame = {
+  def topKCosinePairs(vecs: DataFrame, k: Int, blocks: Int = 16): DataFrame = {
     val spark = vecs.sparkSession
-    // Raw doubles + separately-computed norms, NOT pre-normalized vectors:
-    // cos must be dot/(sqrt(nsq_a)*sqrt(nsq_b)) with sequential folds —
-    // the exact op order of the column form and the DuckDB oracle, so the
-    // rounded values are bit-identical.
-    val mat: Array[(Long, Array[Double], Double)] = vecs
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .collect()
-      .map { r =>
-        val id = r.getLong(0)
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        var nsq = 0.0
-        var i = 0
-        while (i < v.length) { nsq += v(i) * v(i); i += 1 }
-        (id, v, math.sqrt(nsq))
-      }
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(mat)
+    import spark.implicits._
+    val nb = blocks
     // Max-heap whose head is the WORST kept entry under the total order
     // (cos4 DESC, a_id ASC, b_id ASC): "worse" = greater (-cos4, a, b).
     val worstFirst = Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
       case (c4, a, b) => (-c4, a, b)
     }
-    val idsDf = vecs.select(col("vec_id").cast("long"))
-      .repartition(spark.sparkContext.defaultParallelism)
-    val topRdd = idsDf.rdd.mapPartitions { it =>
-      val m = bc.value
-      val idx = m.iterator.map(_._1).zipWithIndex.toMap
-      val heap = scala.collection.mutable.PriorityQueue
-        .empty[(Double, Long, Long)](worstFirst)
-      it.foreach { row =>
-        val aId = row.getLong(0)
-        val ai = idx(aId)
-        val (_, av, an) = m(ai)
-        var j = ai + 1
-        while (j < m.length) {
-          val (bId, bv, bn) = m(j)
+    val replicated = vecs
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val b = java.lang.Math.floorMod(id, nb.toLong).toInt
+        (0 until nb).map { o =>
+          val lo = math.min(b, o)
+          val hi = math.max(b, o)
+          (lo * nb + hi, id, emb)
+        }
+      }
+    val survivors = replicated.groupByKey(_._1).flatMapGroups {
+      (key: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+        val lo = key / nb
+        val hi = key % nb
+        // Raw doubles + separately-computed norms, NOT pre-normalized:
+        // cos must be dot/(sqrt(nsq_a)*sqrt(nsq_b)) with sequential folds
+        // so the rounded values match the oracle bit-for-bit.
+        val rows = it.map { case (_, id, emb) =>
+          val v = new Array[Double](emb.length)
+          var i = 0
+          var nsq = 0.0
+          while (i < emb.length) {
+            v(i) = emb(i).toDouble; nsq += v(i) * v(i); i += 1
+          }
+          (id, v, math.sqrt(nsq))
+        }.toArray
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long, Long)](worstFirst)
+        def consider(x: (Long, Array[Double], Double),
+            y: (Long, Array[Double], Double)): Unit = {
+          val aId = math.min(x._1, y._1)
+          val bId = math.max(x._1, y._1)
+          val (av, an) = (x._2, x._3)
+          val (bv, bn) = (y._2, y._3)
           var s = 0.0
           var d = 0
           while (d < av.length) { s += av(d) * bv(d); d += 1 }
           val den = an * bn
           val raw = s / den
           // zero-norm vectors have undefined cosine — skip, don't crash
-          // (BigDecimal(NaN) throws); HALF_UP via BigDecimal matches
-          // Spark round()'s exact semantics.
-          if (den != 0.0 && !raw.isNaN) {
+          // (BigDecimal(NaN) throws). Cheap pre-check: when the heap is
+          // full, a raw cosine a full 1e-4 below the worst kept rounded
+          // value can't round into contention — skip the BigDecimal
+          // (HALF_UP, Spark round()'s exact semantics) for ~all pairs.
+          if (den != 0.0 && !raw.isNaN &&
+              !(heap.size == k && raw < heap.head._1 - 1e-4)) {
             val c4 = BigDecimal(raw)
               .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            val key = (c4, aId, bId)
-            if (heap.size < k) heap.enqueue(key)
-            else if (worstFirst.lt(key, heap.head)) {
-              heap.dequeue(); heap.enqueue(key)
+            val cand = (c4, aId, bId)
+            if (heap.size < k) heap.enqueue(cand)
+            else if (worstFirst.lt(cand, heap.head)) {
+              heap.dequeue(); heap.enqueue(cand)
             }
           }
-          j += 1
         }
-      }
-      heap.iterator
+        if (lo == hi) {
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) { consider(rows(i), rows(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          val loRows = rows.filter(r =>
+            java.lang.Math.floorMod(r._1, nb.toLong).toInt == lo)
+          val hiRows = rows.filter(r =>
+            java.lang.Math.floorMod(r._1, nb.toLong).toInt == hi)
+          var i = 0
+          while (i < loRows.length) {
+            var j = 0
+            while (j < hiRows.length) { consider(loRows(i), hiRows(j)); j += 1 }
+            i += 1
+          }
+        }
+        heap.iterator.map { case (c, a, b) => (a, b, c) }
     }
-    val merged = topRdd.collect().sorted(worstFirst).take(k)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(merged.toSeq.map {
-        case (c, a, b) => Row(a, b, c)
-      }, 1),
-      StructType(Seq(StructField("a_id", LongType), StructField("b_id", LongType),
-        StructField("cos_sim", DoubleType))))
+    survivors.toDF("a_id", "b_id", "cos_sim")
+      .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
+      .limit(k)
   }
 
   /** IVF coarse quantizer: k-means (mllib, seeded) over L2-normalized

@@ -39,13 +39,16 @@ object GraphQueries {
     // of customer 1 in G_supply. k is fixed -> unrolled joins: hop 1 is a
     // pushed-down filter on the seed (no join at all), hops 2-3 broadcast
     // the frontier; parallel edges are deduped ONCE at the end, so the raw
-    // (distinct-free) edge list suffices.
+    // (distinct-free) edge list suffices. The edge list and each frontier
+    // are cached: e appears in three join subtrees and h1/h2 twice each
+    // (join input + final union) — uncached, Spark re-executes the whole
+    // 4-way union scan per occurrence (~6× the work for the same answer).
     "g03_khop" -> ((s, dir) => {
-      val e = Graphs.supplyEdgesRaw(s, dir)
+      val e = Graphs.supplyEdgesRaw(s, dir).cache()
       val h1 = e.filter(col("src") === lit(Graphs.CUST + 1L))
-        .select(col("dst").as("id")).distinct()
+        .select(col("dst").as("id")).distinct().cache()
       val h2 = e.join(broadcast(h1), col("src") === col("id"))
-        .select(col("dst").as("id")).distinct()
+        .select(col("dst").as("id")).distinct().cache()
       val h3 = e.join(broadcast(h2), col("src") === col("id"))
         .select(col("dst").as("id"))
       h1.unionAll(h2).unionAll(h3)

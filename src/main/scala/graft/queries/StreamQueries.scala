@@ -33,23 +33,32 @@ object StreamQueries {
         .orderBy("user_id", "session_start")),
 
     // S05 — dedup on event_id (watermark-scoped in streaming; plain exact
-    // dedup in batch). event_id is the PK so the count equals the table
-    // size — the streaming test injects actual duplicates.
+    // dedup in batch). event_id is the PK, so the twin unions a duplicated
+    // slice (every 7th event) first — the hash check then exercises actual
+    // collapse (output counts match plain `events`, which they would NOT
+    // without the dedup), not just a count of unique keys.
     "s05_dedup" -> ((s, dir) => {
-      val d = ev(s, dir).dropDuplicates("event_id")
-      d.agg(count(lit(1)).as("n_rows"))
+      val e = ev(s, dir)
+      val dups = e.filter(col("event_id") % 7 === 0)
+      e.unionAll(dups)
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
     }),
 
-    // S06 — arbitrary stateful op (flatMapGroupsWithState): running
-    // mean+3σ anomaly flags per user, batch mode. Engine-only: the
-    // Welford-fold op order has no exact SQL twin; StreamingSpec asserts
-    // stream==batch and a hand-computed case.
+    // S06 — arbitrary stateful op: running mean+3σ anomaly flags per
+    // user. Batch twin runs the O(1)-state secondary-sort fold (a hot
+    // user's history streams through, never materialized); StreamingSpec
+    // asserts it equals the flatMapGroupsWithState path and a
+    // hand-computed case. Engine-only: the Welford-fold op order has no
+    // exact SQL twin.
     "s06_anomaly_flags" -> ((s, dir) => {
       import s.implicits._
       val in = ev(s, dir)
         .select(col("event_id"), col("user_id"), col("value"))
         .as[Streams.EventIn]
-      Streams.flagAnomalies(in)
+      Streams.flagAnomaliesBatch(in)
         .filter(col("anomalous"))
         .select("event_id", "user_id")
         .orderBy("event_id")
@@ -116,7 +125,8 @@ object StreamQueries {
         |ORDER BY user_id, session_start""".stripMargin,
 
     "s05_dedup" ->
-      """SELECT count(DISTINCT event_id) AS n_rows FROM events""".stripMargin,
+      """SELECT event_type, count(*) AS n_rows FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s08_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,

@@ -76,6 +76,15 @@ object Streams {
   case class SessionEdge(src: Long, dst: Long, avail_us: Long, arrive_us: Long)
   case class LastEv(event_id: Long, ts_us: Long)
 
+  /** One session-edge step: previous state + next event -> (new state,
+    * emitted edge). Shared by the streaming operator and the batch fold so
+    * the two paths cannot diverge.
+    */
+  private def sessionStep(last: Option[LastEv], e: SessionEv)
+      : (LastEv, Option[SessionEdge]) =
+    (LastEv(e.event_id, e.ts_us),
+      last.map(l => SessionEdge(l.event_id, e.event_id, l.ts_us, e.ts_us)))
+
   def sessionEdgesStream(events: Dataset[SessionEv]): Dataset[SessionEdge] = {
     import events.sparkSession.implicits._
     events
@@ -84,15 +93,45 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (_: Long, rows: Iterator[SessionEv], state: GroupState[LastEv]) =>
+          // The sort buffers ONE user's slice of ONE micro-batch — bounded
+          // by the trigger interval, not by history (state carries the
+          // cross-batch part). The unbounded-history case is the batch
+          // twin, which is [[sessionEdgesBatch]] (no group buffering).
           var last = state.getOption
           val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
-            val edge = last.map(l =>
-              SessionEdge(l.event_id, e.event_id, l.ts_us, e.ts_us))
-            last = Some(LastEv(e.event_id, e.ts_us))
+            val (st, edge) = sessionStep(last, e)
+            last = Some(st)
             edge
           }
           last.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** Batch twin of [[sessionEdgesStream]] with O(1) state per task: hash-
+    * repartition on the user, secondary-sort within partitions on
+    * (user, ts, id), then a single streaming pass over each partition's
+    * iterator detecting key changes. A hot user's entire history flows
+    * through without ever being materialized (vs. flatMapGroupsWithState's
+    * whole-group iterator-to-Seq).
+    */
+  def sessionEdgesBatch(events: Dataset[SessionEv]): Dataset[SessionEdge] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var curUser = 0L
+        var started = false
+        var last: Option[LastEv] = None
+        it.flatMap { e =>
+          if (!started || e.user_id != curUser) {
+            curUser = e.user_id; started = true; last = None
+          }
+          val (st, edge) = sessionStep(last, e)
+          last = Some(st)
+          edge
+        }
       }
   }
 
@@ -124,7 +163,7 @@ object Streams {
         timerValues: TimerValues): Iterator[UserTotalsOut] = {
       var t = if (totals.exists()) totals.get() else UserTotals(0L, 0L)
       rows.foreach { e =>
-        t = UserTotals(t.n_events + 1, t.sum_cents + math.round(e.value * 100))
+        t = UserTotals(t.n_events + 1, t.sum_cents + Det.centsJvm(e.value))
       }
       totals.update(t)
       Iterator(UserTotalsOut(key, t.n_events, t.sum_cents))
@@ -143,6 +182,20 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** One anomaly step (Welford update): state BEFORE the event decides the
+    * flag, then the state absorbs the event. Shared by the streaming
+    * operator and the batch fold.
+    */
+  private def anomalyStep(st: UserState, e: EventIn): (UserState, Flagged) = {
+    val sigma = if (st.n > 1) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+    val anomalous = st.n >= 2 && e.value > st.mean + 3 * sigma
+    val n1 = st.n + 1
+    val d = e.value - st.mean
+    val mean1 = st.mean + d / n1
+    (UserState(n1, mean1, st.m2 + d * (e.value - mean1)),
+      Flagged(e.event_id, e.user_id, e.value, anomalous))
+  }
+
   /** S06 — arbitrary stateful op: flag events whose value exceeds the
     * user's running mean + 3σ (state BEFORE the event — deterministic
     * within a group when input arrives in event order).
@@ -155,18 +208,42 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (_: Long, rows: Iterator[EventIn], state: GroupState[UserState]) =>
+          // Sort buffers one user's slice of ONE micro-batch (bounded by
+          // the trigger, not by history). Unbounded batch replays go
+          // through [[flagAnomaliesBatch]] instead.
           var st = state.getOption.getOrElse(UserState(0L, 0.0, 0.0))
           val out = rows.toSeq.sortBy(_.event_id).map { e =>
-            val sigma = if (st.n > 1) math.sqrt(st.m2 / (st.n - 1)) else 0.0
-            val anomalous = st.n >= 2 && e.value > st.mean + 3 * sigma
-            val n1 = st.n + 1
-            val d = e.value - st.mean
-            val mean1 = st.mean + d / n1
-            st = UserState(n1, mean1, st.m2 + d * (e.value - mean1))
-            Flagged(e.event_id, e.user_id, e.value, anomalous)
+            val (st2, flagged) = anomalyStep(st, e)
+            st = st2
+            flagged
           }
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** Batch twin of [[flagAnomalies]] with O(1) state per task (hash-
+    * repartition + secondary sort + one streaming pass per partition — see
+    * [[sessionEdgesBatch]]): a hot key's full history is never
+    * materialized on a task.
+    */
+  def flagAnomaliesBatch(events: Dataset[EventIn]): Dataset[Flagged] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("event_id"))
+      .mapPartitions { it =>
+        var curUser = 0L
+        var started = false
+        var st = UserState(0L, 0.0, 0.0)
+        it.map { e =>
+          if (!started || e.user_id != curUser) {
+            curUser = e.user_id; started = true; st = UserState(0L, 0.0, 0.0)
+          }
+          val (st2, flagged) = anomalyStep(st, e)
+          st = st2
+          flagged
+        }
       }
   }
 }

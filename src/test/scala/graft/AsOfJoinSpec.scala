@@ -74,6 +74,24 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out.isNullAt(3) && out.getDouble(4) == 2.0)
   }
 
+  test("reserved working columns in either input fail fast") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L)).toDF("id", "k", "ts")
+    val lBad = l.withColumn("__ts", col("ts"))
+    val r = Seq((7L, 1L, 5L)).toDF("rid", "k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(lBad, r, on = Seq("k"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("rid"), tieBreak = "rid")
+    }
+    assert(e.getMessage.contains("__ts"))
+    val rBad = r.withColumn("__tie", col("rid"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin(l, rBad, on = Seq("k"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("rid"), tieBreak = "rid")
+    }
+    assert(e2.getMessage.contains("__tie"))
+  }
+
   test("non-long tieBreak types work (timestamp)") {
     import spark.implicits._
     val left = Seq((1L, 1L, 100L)).toDF("id", "k", "sec")

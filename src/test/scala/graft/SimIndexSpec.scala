@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.{SimIndex, Similarity, Text}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Persisted similarity indexes (ROADMAP 6): building the MinHash/LSH and
+  * IVF state once as bucketed tables must (a) make the per-query candidate
+  * joins Exchange-free and (b) reproduce exactly what the from-scratch
+  * operators compute.
+  */
+class SimIndexSpec extends SparkSpecBase {
+
+  private def dropIdx(tables: String*): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("LSH index: candidate self-join is Exchange-free and matches fresh candidates") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("lshidx_bands", "lshidx_sigs")
+    val docs = Tables.load(spark, sfDir, "documents")
+    SimIndex.writeLshIndex(docs, "lshidx", numHashes = 32, bands = 16,
+      buckets = 4)
+
+    // the candidate join itself (pre-distinct) must not shuffle
+    val b1 = spark.table("lshidx_bands")
+    val b2 = b1.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
+    val joined = b1.join(b2, Seq("band", "band_sig"))
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"expected exchange-free band join, found ${exchanges.map(_.nodeName)}")
+
+    // and the index reproduces the from-scratch candidate set
+    val fromIdx = SimIndex.lshCandidatesFromIndex(spark, "lshidx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Similarity.minHashSignatures(Text.shingles(docs, 3), 32)
+    val fresh = Similarity.lshCandidates(sigs, 32, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIdx == fresh && fromIdx.nonEmpty)
+  }
+
+  test("IVF index: within-bucket join is Exchange-free and matches fresh assignment") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("ivfidx_centroids", "ivfidx_vectors")
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    SimIndex.writeIvfIndex(vecs, "ivfidx", k = 4, nprobe = 2, buckets = 4)
+
+    val v = spark.table("ivfidx_vectors")
+    val a = v.select(col("vec_id").as("a_id"), col("bucket"))
+    val b = v.select(col("vec_id").as("b_id"), col("bucket").as("b_bucket"))
+    val joined = a.join(b,
+      col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"expected exchange-free bucket join, found ${exchanges.map(_.nodeName)}")
+
+    // pair set from the index == pair set from a fresh seeded build
+    val fromIdx = SimIndex.ivfPairsFromIndex(spark, "ivfidx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = Similarity.kmeansCentroids(vecs, 4, maxIter = 10)
+    val assigned = Similarity.ivfAssign(vecs, centroids, nprobe = 2)
+    val ab = vecs.join(assigned, "vec_id")
+      .select(col("vec_id"), col("bucket"))
+    val fresh = ab.select(col("vec_id").as("a_id"), col("bucket"))
+      .join(ab.select(col("vec_id").as("b_id"), col("bucket").as("bb")),
+        col("bucket") === col("bb") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIdx == fresh && fromIdx.nonEmpty)
+  }
+}

@@ -139,6 +139,59 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S06 batch fold == flatMapGroupsWithState path; hot key streams through") {
+    import spark.implicits._
+    // fixture-scale equivalence across many users
+    val in = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .as[Streams.EventIn]
+    val viaState = Streams.flagAnomalies(in).collect()
+      .map(f => (f.event_id, f.anomalous)).toMap
+    val viaFold = Streams.flagAnomaliesBatch(in).collect()
+      .map(f => (f.event_id, f.anomalous)).toMap
+    assert(viaFold == viaState && viaFold.nonEmpty)
+
+    // hot key: ONE user, 100k events — completes through the O(1)-state
+    // fold and matches a local linear reference fold
+    val n = 100000
+    val hot = spark.range(n).select(
+      col("id").as("event_id"), lit(1L).as("user_id"),
+      (when(col("id") % 1000 === 999, 1e6).otherwise(10.0) +
+        col("id") / lit(1e9)).as("value"))
+      .as[Streams.EventIn]
+    val flagged = Streams.flagAnomaliesBatch(hot).collect()
+    assert(flagged.length == n)
+    // the periodic 1e6 spikes beyond the warm-up must flag; baseline not
+    val byId = flagged.map(f => f.event_id -> f.anomalous).toMap
+    assert(byId(1999L) && byId(50999L) && !byId(500L) && !byId(50000L))
+  }
+
+  test("G_session batch fold == window-based sessionEdges") {
+    import spark.implicits._
+    val evs = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[Streams.SessionEv]
+    val viaFold = Streams.sessionEdgesBatch(evs)
+      .collect().map(e => (e.src, e.dst, e.avail_us, e.arrive_us)).toSet
+    val viaWindow = graft.ops.Graphs.sessionEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaFold == viaWindow && viaFold.nonEmpty)
+  }
+
+  test("S08 rounding: negative exact-half-cents round away from zero") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // -0.125 * 100 = -12.5 exactly in binary; HALF_UP away-from-zero
+    // (Det.cents / the oracle) gives -13, math.round would give -12
+    val evs = Seq(Streams.EventIn2(1L, -0.125), Streams.EventIn2(2L, 0.125))
+    val out = Streams.userTotals(evs.toDS()).collect()
+      .map(r => r.user_id -> r.sum_cents).toMap
+    assert(out == Map(1L -> -13L, 2L -> 13L))
+  }
+
   test("S08 transformWithState: streaming final state == batch run") {
     import spark.implicits._
     // transformWithState requires the RocksDB state store provider

@@ -35,6 +35,50 @@ class ToleranceSpec extends SparkSpecBase {
       s"mass=$mass nVerts=$nVerts")
   }
 
+  test("g08 pagerank: GraphX == DataFrame power-iteration twin within 1e-6") {
+    // Exact replication of staticPageRank(10)'s recurrence: rank0 = 1.0,
+    // rank_{t+1}(v) = 0.15 + 0.85 * Σ_{(u,v)∈E} rank_t(u)/outdeg(u);
+    // dangling mass is NOT redistributed. Only float summation order
+    // differs between the GraphX aggregateMessages tree and the SQL agg,
+    // so agreement within 1e-6 after 10 iterations is a real gate.
+    val edges = graft.ops.Graphs.supplyEdges(spark, sfDir)
+      .select("src", "dst").cache()
+    val verts = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct().cache()
+    val weighted = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .cache()
+    var ranks = verts.withColumn("rank", lit(1.0))
+    for (_ <- 1 to 10) {
+      val contribs = weighted
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("msum"))
+      ranks = verts.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0)))
+            .as("rank"))
+        .cache()
+      ranks.count() // materialize: truncate per-iteration recompute
+    }
+    // staticPageRank applies normalizeRankSum (SPARK-18847) at the end:
+    // ranks are rescaled so their sum equals the vertex count
+    val raw = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scale = raw.size.toDouble / raw.values.sum
+    val twin = raw.map { case (id, r) => id -> r * scale }
+    val gx = graft.ops.Graphs.pageRank(spark, edges, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gx.keySet == twin.keySet)
+    // top-20 rank ORDER must agree exactly, values within 1e-6
+    val topGx = gx.toSeq.sortBy { case (id, r) => (-r, id) }.take(20)
+    val topTwin = twin.toSeq.sortBy { case (id, r) => (-r, id) }.take(20)
+    assert(topGx.map(_._1) == topTwin.map(_._1),
+      s"top-20 order diverged: ${topGx.map(_._1)} vs ${topTwin.map(_._1)}")
+    gx.foreach { case (id, r) =>
+      assert(math.abs(r - twin(id)) < 1e-6, s"id=$id gx=$r twin=${twin(id)}")
+    }
+  }
+
   test("l02b LSH near-dedup recall >= 95% of exact pairs, zero false accepts") {
     val exact = SparkEntry.queries("l02_near_dedup")(spark, sfDir)
       .select("a_id", "b_id").collect()

@@ -16,11 +16,11 @@ def ser_cell(v):
     if isinstance(v, float):
         if np.isnan(v):
             return "NULL"
-        return repr(v)
+        return repr(v + 0.0)  # normalize -0.0 -> 0.0 (engines disagree)
     if isinstance(v, (np.floating,)):
         if np.isnan(v):
             return "NULL"
-        return repr(float(v))
+        return repr(float(v) + 0.0)
     if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
     if isinstance(v, (int, np.integer)):
@@ -43,6 +43,9 @@ def ser(df):
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                # pandas 2.x disallows tz-aware -> naive astype
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             s = s.astype("datetime64[us]")
             out[c] = s.map(lambda v: "NULL" if pd.isna(v) else str(v))
         else:
