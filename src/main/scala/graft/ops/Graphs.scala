@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.graphx.{Edge, Graph, Pregel, VertexId}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -67,6 +67,43 @@ object Graphs {
         (col("l_suppkey") + SUPP).as("dst")))
       .unionAll(li.select((col("l_suppkey") + SUPP).as("src"),
         (col("l_partkey") + PART).as("dst")))
+  }
+
+  /** Distinct ids reachable in 1..k hops from the seed edges' endpoints.
+    *
+    * `seedPred` selects the hop-1 edges (a pushed-down filter — hop 1
+    * never joins); hops 2..k join the edge list against the previous
+    * frontier, broadcast (frontiers are bounded by the distinct-vertex
+    * count of the expanding neighborhood — small next to the edge list).
+    *
+    * The edge list and every frontier are materialized EAGERLY via
+    * `localCheckpoint` before dependents are planned. Plain `.cache()` is
+    * the wrong tool here: the final union references the edge list from
+    * three join subtrees plus two broadcast-exchange jobs, and lazy cache
+    * population then has all of them racing on the same InMemoryRelation
+    * blocks (per-block locks serialize tasks; observed wall times swing
+    * 2-10x run to run). Eager checkpointing sequences the fills — one scan
+    * each — and the blocks are dropped by the ContextCleaner when the
+    * plan is garbage-collected, so repeated invocations in a long-lived
+    * session leak nothing (a `.cache()` here pins storage until an
+    * explicit unpersist that a `queries()`-shaped API has no place to
+    * call).
+    *
+    * At scale: per hop, one broadcast join against the checkpointed edge
+    * list + one distinct shuffle of the frontier. k is fixed and small, so
+    * total cost is k scans of E — no quadratic re-execution of lineage.
+    */
+  def kHopIds(edges: DataFrame, seedPred: Column, k: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var frontier = e.filter(seedPred)
+      .select(col("dst").as("id")).distinct().localCheckpoint()
+    var acc = frontier
+    for (_ <- 2 to k) {
+      frontier = e.join(broadcast(frontier), col("src") === col("id"))
+        .select(col("dst").as("id")).distinct().localCheckpoint()
+      acc = acc.unionAll(frontier)
+    }
+    acc.distinct()
   }
 
   /** Restricted G_copart: undirected part-co-occurrence edges, only from

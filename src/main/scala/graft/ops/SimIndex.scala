@@ -55,6 +55,9 @@ object SimIndex {
     */
   def writeIvfIndex(vecs: DataFrame, prefix: String, k: Int, nprobe: Int,
       buckets: Int): Unit = {
+    // Library entry point: register vec_dot here rather than relying on
+    // every caller having done it (Similarity.dot/norm resolve it).
+    graft.functions.VecFunctions.ensureRegistered(vecs.sparkSession)
     val centroids = Similarity.kmeansCentroids(vecs, k, maxIter = 10)
     centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
     val assigned = Similarity.ivfAssign(vecs, centroids, nprobe)
@@ -70,6 +73,7 @@ object SimIndex {
     * SimIndexSpec). Multi-probe duplicates are collapsed downstream.
     */
   def ivfPairsFromIndex(spark: SparkSession, prefix: String): DataFrame = {
+    graft.functions.VecFunctions.ensureRegistered(spark)
     val v = spark.table(s"${prefix}_vectors")
     val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("nrm").as("a_nrm"), col("bucket"))

@@ -77,6 +77,19 @@ object Similarity {
     * dimension order in double precision, the exact op order of the column
     * form and the DuckDB oracle — bit-identical before rounding.
     */
+  /** Block id for a vector id: a 64-bit avalanche mix (splitmix64
+    * finalizer) before the residue, so blocks stay balanced for ANY id
+    * distribution. Raw `id % blocks` collapses strided/sharded id schemes
+    * (e.g. all ids multiples of 16) into one block — reverting the
+    * block-partitioned kernel to a single quadratic task.
+    */
+  private def blockOf(id: Long, nb: Int): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    java.lang.Math.floorMod(z ^ (z >>> 31), nb.toLong).toInt
+  }
+
   def topKCosinePairs(vecs: DataFrame, k: Int, blocks: Int = 16): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -90,7 +103,7 @@ object Similarity {
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
-        val b = java.lang.Math.floorMod(id, nb.toLong).toInt
+        val b = blockOf(id, nb)
         (0 until nb).map { o =>
           val lo = math.min(b, o)
           val hi = math.max(b, o)
@@ -150,10 +163,8 @@ object Similarity {
             i += 1
           }
         } else {
-          val loRows = rows.filter(r =>
-            java.lang.Math.floorMod(r._1, nb.toLong).toInt == lo)
-          val hiRows = rows.filter(r =>
-            java.lang.Math.floorMod(r._1, nb.toLong).toInt == hi)
+          val loRows = rows.filter(r => blockOf(r._1, nb) == lo)
+          val hiRows = rows.filter(r => blockOf(r._1, nb) == hi)
           var i = 0
           while (i < loRows.length) {
             var j = 0

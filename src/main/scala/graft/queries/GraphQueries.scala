@@ -36,22 +36,15 @@ object GraphQueries {
     }),
 
     // G03 — 3-hop heterogeneous traversal: distinct parts within <= 3 hops
-    // of customer 1 in G_supply. k is fixed -> unrolled joins: hop 1 is a
-    // pushed-down filter on the seed (no join at all), hops 2-3 broadcast
-    // the frontier; parallel edges are deduped ONCE at the end, so the raw
-    // (distinct-free) edge list suffices. The edge list and each frontier
-    // are cached: e appears in three join subtrees and h1/h2 twice each
-    // (join input + final union) — uncached, Spark re-executes the whole
-    // 4-way union scan per occurrence (~6× the work for the same answer).
+    // of customer 1 in G_supply, via the generic frontier expansion
+    // (Graphs.kHopIds): hop 1 is a pushed-down seed filter, hops 2-3
+    // broadcast the frontier; parallel edges are deduped ONCE at the end,
+    // so the raw (distinct-free) edge list suffices. kHopIds eagerly
+    // checkpoints the edge list and each frontier — one scan each, no
+    // lazy-cache population races, nothing left pinned in storage.
     "g03_khop" -> ((s, dir) => {
-      val e = Graphs.supplyEdgesRaw(s, dir).cache()
-      val h1 = e.filter(col("src") === lit(Graphs.CUST + 1L))
-        .select(col("dst").as("id")).distinct().cache()
-      val h2 = e.join(broadcast(h1), col("src") === col("id"))
-        .select(col("dst").as("id")).distinct().cache()
-      val h3 = e.join(broadcast(h2), col("src") === col("id"))
-        .select(col("dst").as("id"))
-      h1.unionAll(h2).unionAll(h3)
+      Graphs.kHopIds(Graphs.supplyEdgesRaw(s, dir),
+          col("src") === lit(Graphs.CUST + 1L), k = 3)
         .filter(col("id") >= Graphs.PART && col("id") < Graphs.PART + Graphs.TAG)
         .select((col("id") - Graphs.PART).as("p_partkey")).distinct()
         .orderBy("p_partkey")
@@ -60,7 +53,9 @@ object GraphQueries {
     // G04 — bounded reachability (<= 3 hops) from the smallest part in the
     // restricted co-part graph; Pregel BFS with maxIterations = 3.
     "g04_reachability" -> ((s, dir) => {
-      val edges = Graphs.copartEdges(s, dir).cache()
+      // localCheckpoint, not cache: materialized once (seed scan + GraphX
+      // conversion both read the blocks), freed by the ContextCleaner.
+      val edges = Graphs.copartEdges(s, dir).localCheckpoint()
       val seed = edges.agg(min(col("src"))).head().getLong(0)
       Graphs.bfsDepths(s, edges, seed, maxDepth = 3)
         .select(col("id").as("p_partkey"))
@@ -69,7 +64,7 @@ object GraphQueries {
 
     // G05 — BFS shortest-path lengths (<= 4 hops) from the same seed.
     "g05_bfs_depth" -> ((s, dir) => {
-      val edges = Graphs.copartEdges(s, dir).cache()
+      val edges = Graphs.copartEdges(s, dir).localCheckpoint()
       val seed = edges.agg(min(col("src"))).head().getLong(0)
       Graphs.bfsDepths(s, edges, seed, maxDepth = 4)
         .select(col("id").as("p_partkey"), col("dist"))

@@ -13,7 +13,13 @@ class SimIndexSpec extends SparkSpecBase {
 
   private def dropIdx(tables: String*): Unit = tables.foreach { t =>
     spark.sql(s"DROP TABLE IF EXISTS $t")
-    val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+    // Derive the warehouse path from the session config (single source of
+    // truth: SparkSpecBase) — a hardcoded copy silently stops cleaning if
+    // the base config moves, leaving stale bucketed files to shadow
+    // rewritten tables.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = new java.io.File(s"$wh/$t")
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
