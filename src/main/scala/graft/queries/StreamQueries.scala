@@ -82,6 +82,40 @@ object StreamQueries {
         .orderBy("user_id")
     }),
 
+    // S09 — transformWithState with LIST state: per-user count + cents
+    // total of the 5 most-recent events by (ts, event_id). Batch run is
+    // exact (one batch = the whole table) and hash-checked against a
+    // window-rank SQL twin; streaming equality is in StreamingSpec.
+    "s09_list_state_lastk" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(s)
+      val in = ev(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          graft.Det.cents(col("value")).as("cents"))
+        .as[Streams.TsEv]
+      Streams.lastKTotals(in, k = 5)
+        .toDF()
+        .orderBy("user_id")
+    }),
+
+    // S10 — transformWithState with MAP state: per-user histogram of
+    // event types (state = one map entry per distinct type, not history).
+    // Batch run emits the final histogram once — hash-checked.
+    "s10_map_state_counts" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(s)
+      val in = ev(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .as[Streams.TypeEv]
+      Streams.typeCounts(in)
+        .toDF()
+        .orderBy("user_id", "event_type")
+    }),
+
     // S07 — stream-static join shape in batch: events enriched with the
     // customer dim, counted per segment.
     "s07_stream_static_join" -> ((s, dir) =>
@@ -127,6 +161,21 @@ object StreamQueries {
     "s05_dedup" ->
       """SELECT event_type, count(*) AS n_rows FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s09_list_state_lastk" ->
+      """WITH ranked AS (
+        |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_recent,
+        |  CAST(sum(cents) AS BIGINT) AS recent_cents
+        |FROM ranked WHERE rn <= 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s10_map_state_counts" ->
+      """SELECT user_id, event_type, count(*) AS n FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s08_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,

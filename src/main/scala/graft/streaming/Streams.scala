@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Det
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming surface (SURVEY.md §2.4 S01–S07), written as UNIFIED
   * transforms: each takes a DataFrame that may be batch or streaming —
@@ -180,6 +180,174 @@ object Streams {
     events.groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** S09 input/output rows: K most-recent events per user via ListState. */
+  case class TsEv(user_id: Long, event_id: Long, ts_us: Long, cents: Long)
+  case class LastKOut(user_id: Long, n_recent: Long, recent_cents: Long)
+
+  /** S09 — `transformWithState` with LIST state: per user, retain the K
+    * most-recent events by (ts, event_id) and emit their count + cents
+    * total. The retained window is merged bounded: existing list + this
+    * batch's rows go through a size-K worst-out heap, so a hot user's
+    * batch slice never materializes beyond K entries.
+    */
+  class LastKProcessor(k: Int)
+      extends StatefulProcessor[Long, TsEv, LastKOut] {
+    @transient private var recent: ListState[TsEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[TsEv]("recent",
+        Encoders.product[TsEv], TTLConfig.NONE)
+
+    // min-heap on (ts, event_id): head = OLDEST kept → evicted first.
+    private val oldestFirst = Ordering.by[TsEv, (Long, Long)](
+      e => (-e.ts_us, -e.event_id))
+
+    override def handleInputRows(key: Long, rows: Iterator[TsEv],
+        timerValues: TimerValues): Iterator[LastKOut] = {
+      val heap = scala.collection.mutable.PriorityQueue.empty[TsEv](oldestFirst)
+      (recent.get() ++ rows).foreach { e =>
+        // head = oldest kept; evict it when e is newer (O-smaller).
+        if (heap.size < k) heap.enqueue(e)
+        else if (oldestFirst.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+      }
+      val kept = heap.toArray
+      recent.put(kept)
+      Iterator(LastKOut(key, kept.length.toLong, kept.map(_.cents).sum))
+    }
+  }
+
+  /** S09 entry: batch = K most-recent per user in one pass (hash-oracled
+    * against a window-rank SQL twin); streaming = same processor fed
+    * incrementally, list state carrying the window across batches.
+    */
+  def lastKTotals(events: Dataset[TsEv], k: Int): Dataset[LastKOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LastKProcessor(k), TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** S10 output row: per-user per-event-type running counts via MapState. */
+  case class TypeCountOut(user_id: Long, event_type: String, n: Long)
+
+  /** S10 — `transformWithState` with MAP state: user-keyed state maps
+    * event_type -> running count (state size = #distinct types per user,
+    * not history). Emits every (type, count) entry the user holds after
+    * the batch — Update-mode semantics, so the final batch's emission is
+    * the full per-user histogram.
+    */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, TypeEv, TypeCountOut] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypeEv],
+        timerValues: TimerValues): Iterator[TypeCountOut] = {
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+      }
+      counts.iterator().map { case (t, n) => TypeCountOut(key, t, n) }
+    }
+  }
+
+  case class TypeEv(user_id: Long, event_type: String)
+
+  def typeCounts(events: Dataset[TypeEv]): Dataset[TypeCountOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** S11 session input/state/output: timer-closed sessions. The input
+    * carries a real TimestampType column (`Instant` — microsecond exact)
+    * because event-time mode needs a watermarked event-time attribute.
+    */
+  case class SessInT(user_id: Long, event_id: Long, ts: java.time.Instant)
+  case class SessAgg(start_us: Long, last_us: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** S11 — `transformWithState` with EVENT-TIME TIMERS: per-user session
+    * aggregation where a session closes `gapMs` after its last event, via
+    * a registered timer rather than a downstream window operator. Each
+    * batch extends/cuts sessions from the (sorted) batch slice; the timer
+    * is re-armed to lastTs + gap, and when the watermark passes it,
+    * `handleExpiredTimer` emits the closed session and clears state —
+    * the state store holds ONE row per open session, nothing per event.
+    *
+    * In-batch gaps also close sessions inline (same strictly-greater gap
+    * rule as T06's lag-based batch operator), so stream results equal the
+    * batch sessionization regardless of how events split across batches
+    * (asserted in StreamingSpec against Temporal.sessionize).
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessInT, ClosedSession] {
+    @transient private var open: ValueState[SessAgg] = _
+
+    private def tsUs(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessAgg]("open",
+        Encoders.product[SessAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessInT],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      // One user's slice of one micro-batch, event order (trigger-bounded).
+      val batch = rows.toArray.sortBy(e => (tsUs(e.ts), e.event_id))
+      var cur: Option[SessAgg] = if (open.exists()) Some(open.get()) else None
+      val closed = Seq.newBuilder[ClosedSession]
+      batch.foreach { e =>
+        val us = tsUs(e.ts)
+        cur match {
+          case Some(s) if us - s.last_us > gapMs * 1000L =>
+            closed += ClosedSession(key, s.start_us, s.last_us, s.n)
+            cur = Some(SessAgg(us, us, 1L))
+          case Some(s) =>
+            cur = Some(SessAgg(s.start_us, us, s.n + 1L))
+          case None =>
+            cur = Some(SessAgg(us, us, 1L))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // Re-arm: exactly one live timer per key (delete-then-register;
+        // timers are millisecond-granular — round the expiry UP so a
+        // session never closes early mid-millisecond).
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((s.last_us + 999L) / 1000L + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val out = if (open.exists()) {
+        val s = open.get()
+        Iterator.single(ClosedSession(key, s.start_us, s.last_us, s.n))
+      } else Iterator.empty
+      open.clear()
+      out
+    }
+  }
+
+  /** S11 entry (streaming form — event-time mode needs a watermarked
+    * stream; the batch oracle is [[graft.ops.Temporal]] sessionization,
+    * asserted in StreamingSpec).
+    */
+  def timerSessions(events: Dataset[SessInT], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** One anomaly step (Welford update): state BEFORE the event decides the

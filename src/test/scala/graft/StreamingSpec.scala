@@ -270,4 +270,115 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows.size == 2 && rows.values.forall(_ != null))
   }
+
+  test("S09 ListState last-K: streaming final state == batch run") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 8 events for user 1 (only the last 3 by (ts, id) must be kept),
+    // 2 for user 2 (fewer than K — all kept)
+    val evs = (1L to 8L).map(i => Streams.TsEv(1L, i, 1000L * i, 10L * i)) ++
+      Seq(Streams.TsEv(2L, 100L, 500L, 7L), Streams.TsEv(2L, 101L, 600L, 11L))
+    val batch = Streams.lastKTotals(evs.toDS(), k = 3).collect()
+      .map(r => r.user_id -> (r.n_recent, r.recent_cents)).toMap
+    // user 1: events 6,7,8 -> 60+70+80; user 2: both -> 18
+    assert(batch == Map(1L -> (3L, 210L), 2L -> (2L, 18L)))
+
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Streams.TsEv]
+    val q = Streams.lastKTotals(source.toDS(), k = 3)
+      .writeStream.format("memory").queryName("s09sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // out-of-order arrival across batches: the list state must keep the
+      // K most-recent by event time, not by arrival order
+      val shuffled = Seq(evs(3), evs(7), evs(0), evs(8)) ++
+        Seq(evs(1), evs(5), evs(2), evs(9), evs(4), evs(6))
+      shuffled.grouped(4).foreach { g => source.addData(g); q.processAllAvailable() }
+      val rows = spark.table("s09sink").collect()
+      val last = rows.zipWithIndex.groupBy(_._1.getAs[Long]("user_id"))
+        .map { case (u, rs) =>
+          val r = rs.maxBy(_._2)._1
+          u -> (r.getAs[Long]("n_recent"), r.getAs[Long]("recent_cents"))
+        }
+      assert(last == batch)
+    } finally q.stop()
+  }
+
+  test("S10 MapState type counts: streaming final state == batch run") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = Seq(
+      Streams.TypeEv(1L, "click"), Streams.TypeEv(1L, "view"),
+      Streams.TypeEv(1L, "click"), Streams.TypeEv(2L, "purchase"),
+      Streams.TypeEv(2L, "click"), Streams.TypeEv(1L, "click"))
+    val batch = Streams.typeCounts(evs.toDS()).collect()
+      .map(r => (r.user_id, r.event_type) -> r.n).toMap
+    assert(batch == Map((1L, "click") -> 3L, (1L, "view") -> 1L,
+      (2L, "purchase") -> 1L, (2L, "click") -> 1L))
+
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Streams.TypeEv]
+    val q = Streams.typeCounts(source.toDS())
+      .writeStream.format("memory").queryName("s10sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(2).foreach { g => source.addData(g); q.processAllAvailable() }
+      val rows = spark.table("s10sink").collect()
+      val last = rows.zipWithIndex
+        .groupBy(r => (r._1.getAs[Long]("user_id"), r._1.getAs[String]("event_type")))
+        .map { case (k, rs) => k -> rs.maxBy(_._2)._1.getAs[Long]("n") }
+      assert(last == batch)
+    } finally q.stop()
+  }
+
+  test("S11 event-time timers: timer-closed sessions == batch sessionization") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gapMin = 30L
+    // users 1 & 2: two sessions each — [0,10] closed INLINE by the gap in
+    // batch 2, [60,70] closed by the TIMER once the watermark passes
+    // 70min + gap (driven by the far-future flush events)
+    val batch1 = Seq((1L, 1L, 0L), (1L, 2L, 10L), (2L, 3L, 0L), (2L, 4L, 5L))
+    val batch2 = Seq((1L, 5L, 60L), (1L, 6L, 70L), (2L, 7L, 61L))
+    val flush1 = Seq((99L, 1000L, 10000L))
+    val flush2 = Seq((99L, 1001L, 10001L))
+    def toIn(rows: Seq[(Long, Long, Long)]): Seq[Ev] =
+      rows.map { case (u, id, min) => Ev(id, ts(min), u, "x", 0.0) }
+
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = Streams.timerSessions(
+        source.toDF()
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .as[Streams.SessInT],
+        gapMs = gapMin * 60000L)
+      .writeStream.format("memory").queryName("s11sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(batch1, batch2, flush1, flush2).foreach { b =>
+        source.addData(toIn(b)); q.processAllAvailable()
+      }
+      val closed = spark.table("s11sink")
+        .filter(col("user_id") =!= 99L).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+
+      // batch oracle: the T06 sessionization operator over the same rows
+      val all = toIn(batch1 ++ batch2).toDF()
+      val oracle = graft.ops.Temporal
+        .sessionize(all, "user_id", "ts", "event_id", gapMin * 60)
+        .groupBy("user_id", "session_id")
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+      assert(closed == oracle && closed.nonEmpty)
+    } finally q.stop()
+  }
 }
