@@ -111,17 +111,21 @@ object Graphs {
     * is one dense component). Returned as canonical pairs `x < y`.
     */
   def copartPairs(s: SparkSession, dir: String): DataFrame = {
+    // One partial-aggregated shuffle (collect_set per order) + in-row pair
+    // expansion with codegen HOFs, instead of the naive
+    // countDistinct-filter + self-join (4 shuffles, two of them over the
+    // full lineitem). The per-order set is bounded by order size, and the
+    // <= 3 filter keeps the expansion at <= 3 pairs per order.
     val li = graft.Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_partkey")
-    val ok = li.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_partkey")).as("np"))
-      .filter(col("np") <= 3)
-      .select("l_orderkey")
-    val small = li.join(ok, "l_orderkey")
-    val a = small.select(col("l_orderkey"), col("l_partkey").as("x"))
-    val b = small.select(col("l_orderkey").as("ok2"), col("l_partkey").as("y"))
-    a.join(b, col("l_orderkey") === col("ok2") && col("x") < col("y"))
-      .select("x", "y").distinct()
+    li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")).between(2, 3))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .distinct()
   }
 
   /** Both directions of the restricted co-part graph. */
@@ -167,6 +171,43 @@ object Graphs {
     s.createDataFrame(res.vertices.filter(_._2 != Int.MaxValue)
       .map { case (id, d) => (id, d) })
       .toDF("id", "dist")
+  }
+
+  /** Bounded-depth BFS as pure DataFrame iteration — the Catalyst-native
+    * twin of [[bfsDepths]] (GraphOpsSpec asserts they agree). Per level:
+    * one join of the checkpointed edge list against the broadcast
+    * frontier + one anti join against the visited set, all inside
+    * Tungsten — no RDD conversion, no GraphX vertex/edge replication.
+    * Early-exits when a level adds nothing.
+    *
+    * Scale notes: the frontier broadcast assumes bounded neighborhoods
+    * (depth-limited traversals on sparse graphs — drop the broadcast hint
+    * and let the planner shuffle when a frontier outgrows executor
+    * memory); `visited` stays partitioned, only the per-level frontier is
+    * broadcast. Cost = maxDepth × (one scan of E + one anti join on the
+    * visited set).
+    */
+  def bfsDepthsDF(s: SparkSession, edges: DataFrame, seed: Long,
+      maxDepth: Int): DataFrame = {
+    import s.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    var visited = Seq((seed, 0)).toDF("id", "dist").localCheckpoint()
+    var frontier = visited.select("id")
+    var depth = 0
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
+      depth += 1
+      frontier = e.join(broadcast(frontier), col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (frontier.isEmpty) exhausted = true
+      else visited = visited
+        .unionAll(frontier.select(col("id"), lit(depth).as("dist")))
+        .localCheckpoint()
+    }
+    visited
   }
 
   /** Connected components (GraphX label = min vertex id in component). */

@@ -51,13 +51,15 @@ object GraphQueries {
     }),
 
     // G04 — bounded reachability (<= 3 hops) from the smallest part in the
-    // restricted co-part graph; Pregel BFS with maxIterations = 3.
+    // restricted co-part graph, via the Catalyst-native level-synchronous
+    // BFS (bfsDepthsDF; the GraphX/Pregel twin bfsDepths is asserted
+    // equal in GraphOpsSpec — same supersteps, no RDD boundary).
     "g04_reachability" -> ((s, dir) => {
-      // localCheckpoint, not cache: materialized once (seed scan + GraphX
-      // conversion both read the blocks), freed by the ContextCleaner.
+      // localCheckpoint, not cache: materialized once (seed scan + BFS
+      // levels all read the blocks), freed by the ContextCleaner.
       val edges = Graphs.copartEdges(s, dir).localCheckpoint()
       val seed = edges.agg(min(col("src"))).head().getLong(0)
-      Graphs.bfsDepths(s, edges, seed, maxDepth = 3)
+      Graphs.bfsDepthsDF(s, edges, seed, maxDepth = 3)
         .select(col("id").as("p_partkey"))
         .orderBy("p_partkey")
     }),
@@ -66,7 +68,7 @@ object GraphQueries {
     "g05_bfs_depth" -> ((s, dir) => {
       val edges = Graphs.copartEdges(s, dir).localCheckpoint()
       val seed = edges.agg(min(col("src"))).head().getLong(0)
-      Graphs.bfsDepths(s, edges, seed, maxDepth = 4)
+      Graphs.bfsDepthsDF(s, edges, seed, maxDepth = 4)
         .select(col("id").as("p_partkey"), col("dist"))
         .orderBy("p_partkey")
     }),

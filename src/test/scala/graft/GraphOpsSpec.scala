@@ -60,6 +60,26 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(res == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("bfsDepthsDF == Pregel bfsDepths on the fixture co-part graph") {
+    val edges = Graphs.copartEdges(spark, sfDir).localCheckpoint()
+    val seed = edges.agg(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.col("src"))).head().getLong(0)
+    val viaDF = Graphs.bfsDepthsDF(spark, edges, seed, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaPregel = Graphs.bfsDepths(spark, edges, seed, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaDF == viaPregel && viaDF.nonEmpty)
+  }
+
+  test("bfsDepthsDF early-exits and matches on a cycle") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val res = Graphs.bfsDepthsDF(spark, edges, seed = 1L, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
   test("triangleCount on known graph") {
     import spark.implicits._
     // K4 minus one edge: triangles = 2
