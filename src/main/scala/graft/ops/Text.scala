@@ -75,6 +75,48 @@ object Text {
       .otherwise(lit("fr"))
   }
 
+  /** Greedy sequence packing for training-data assembly: assign documents
+    * to token-budget packs of size `cap`, processed in doc_id order within
+    * `buckets` independent streams (bucket = doc_id % buckets). A doc
+    * opens a new pack when it would overflow the current one; an oversized
+    * doc gets a pack of its own. Returns (bucket, doc_id, tc, pack_id).
+    *
+    * Greedy packing is a sequential fold, so it is parallelized ACROSS
+    * buckets and serial within: hash-repartition on the bucket, secondary
+    * sort on (bucket, doc_id), then one O(1)-state streaming pass per
+    * partition (same pattern as Streams.sessionEdgesBatch — a bucket's
+    * docs flow through the iterator, never materialized). At 100 TB,
+    * `buckets` scales with the cluster (one task each) and the pass is a
+    * single shuffle of (id, token-count) pairs — the text itself never
+    * moves.
+    */
+  def packGreedy(docs: DataFrame, cap: Long, buckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        (col("doc_id") % buckets).as("bucket"),
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("tc"))
+      .as[(Long, Long, Long)]
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .mapPartitions { it =>
+        var curB = 0L
+        var started = false
+        var pack = 0L
+        var fill = 0L
+        it.map { case (b, id, tc) =>
+          if (!started || b != curB) {
+            curB = b; started = true; pack = 0L; fill = tc
+          } else if (fill + tc > cap) {
+            pack += 1L; fill = tc
+          } else fill += tc
+          (b, id, tc, pack)
+        }
+      }
+      .toDF("bucket", "doc_id", "tc", "pack_id")
+  }
+
   /** Rolling polynomial fingerprint of the token stream (order-sensitive,
     * collision-resistant enough for grouping): fold tokens with
     * h = (h*31 + xxhash64(token) mod 2^31) mod 2^31. The modulus keeps

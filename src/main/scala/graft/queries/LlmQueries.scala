@@ -232,10 +232,81 @@ object LlmQueries {
       docs(s, dir)
         .select(col("doc_id"), Similarity.simHash(col("text")).as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // L10 — benchmark decontamination: drop training docs sharing any
+    // 20-char shingle with the held-out slice (doc_id % 20 == 0), report
+    // the surviving corpus per source. Candidate generation is a
+    // shingle-keyed semi join — the standard n-gram-overlap decontam
+    // pass, linear in shingle volume (at 100 TB the join key would be
+    // xxhash64(shingle), shrinking shuffle width to 8 bytes; the string
+    // key here keeps the DuckDB oracle exact).
+    "l10_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      val train = d.filter(col("doc_id") % 20 =!= 0)
+      val benchSh = Text.shingles(bench, 20).select("shingle").distinct()
+      val contaminated = Text.shingles(train, 20)
+        .join(benchSh, "shingle")
+        .select("doc_id").distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("n_chars")).as("clean_chars"))
+        .orderBy("source")
+    }),
+
+    // L11 — greedy sequence packing to a 256-token budget across 8
+    // independent bucket streams (Text.packGreedy — the training-batch
+    // assembly op); result is the per-pack occupancy, hash-checked
+    // against a DuckDB recursive-CTE replay of the same greedy fold.
+    "l11_pack_greedy" -> ((s, dir) => {
+      Text.packGreedy(docs(s, dir), cap = 256L, buckets = 8)
+        .groupBy("bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("sum_tokens"))
+        .orderBy("bucket", "pack_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "l10_decontaminate" ->
+      """WITH bench AS (SELECT DISTINCT substr(text, CAST(gs AS INT), 20) AS sh
+        |  FROM (SELECT text, unnest(generate_series(1, n_chars - 19)) AS gs
+        |        FROM documents WHERE doc_id % 20 = 0 AND n_chars >= 20)),
+        |contaminated AS (SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, substr(text, CAST(gs AS INT), 20) AS sh
+        |        FROM (SELECT doc_id, text,
+        |                unnest(generate_series(1, n_chars - 19)) AS gs
+        |              FROM documents WHERE doc_id % 20 != 0 AND n_chars >= 20))
+        |  WHERE sh IN (SELECT sh FROM bench))
+        |SELECT source, count(*) AS n_clean,
+        |  CAST(sum(n_chars) AS BIGINT) AS clean_chars
+        |FROM documents
+        |WHERE doc_id % 20 != 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l11_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id % 8 AS bucket, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tc,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT bucket, rn, doc_id, tc, CAST(0 AS BIGINT) AS pack_id,
+        |    tc AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.bucket, t.rn, t.doc_id, t.tc,
+        |    CASE WHEN rec.fill + t.tc > 256 THEN rec.pack_id + 1
+        |         ELSE rec.pack_id END,
+        |    CASE WHEN rec.fill + t.tc > 256 THEN t.tc
+        |         ELSE rec.fill + t.tc END
+        |  FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1)
+        |SELECT bucket, pack_id, count(*) AS n_docs,
+        |  CAST(sum(tc) AS BIGINT) AS sum_tokens
+        |FROM rec GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "l01_exact_dedup" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,

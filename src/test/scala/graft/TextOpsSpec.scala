@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Text
+import org.apache.spark.sql.functions._
+
+/** Unit gates for the training-data text ops added in round 4. */
+class TextOpsSpec extends SparkSpecBase {
+
+  private def mkDocs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  test("packGreedy: overflow opens a new pack, oversized doc packs alone") {
+    // one bucket; token counts 3, 3, 3, 10, 2 with cap 6:
+    // [3,3] -> pack 0, [3] -> pack 1 (3+3+3>6), [10] -> pack 2 (oversized,
+    // alone), [2] -> pack 3 (2 after the oversized one: 10+2>6)
+    val d = mkDocs(
+      (0L, "a b c"), (8L, "d e f"), (16L, "g h i"),
+      (24L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (32L, "x y"))
+    val out = Text.packGreedy(d, cap = 6L, buckets = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0L), (8L, 0L), (16L, 1L), (24L, 2L), (32L, 3L)))
+  }
+
+  test("packGreedy: buckets pack independently and fills reset") {
+    // docs alternate buckets 0/1 (doc_id % 2); each bucket's fold must
+    // restart its pack ids at 0 and never see the other's fill
+    val d = mkDocs(
+      (0L, "a b c d"), (1L, "p q r s"),
+      (2L, "e f g"), (3L, "t u v"),
+      (4L, "h i"), (5L, "w x"))
+    val out = Text.packGreedy(d, cap = 5L, buckets = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(3))).toSet
+    // bucket 0: 4 tok -> p0; 3 tok (4+3>5) -> p1; 2 tok (3+2<=5) -> p1
+    // bucket 1: same shape
+    assert(out == Set((0L, 0L, 0L), (2L, 0L, 1L), (4L, 0L, 1L),
+      (1L, 1L, 0L), (3L, 1L, 1L), (5L, 1L, 1L)))
+  }
+
+  test("packGreedy: packs never exceed cap except singleton oversized docs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val packs = Text.packGreedy(docs, cap = 256L, buckets = 8)
+      .groupBy("bucket", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tc").as("tok"))
+      .collect()
+    assert(packs.nonEmpty)
+    packs.foreach { r =>
+      assert(r.getLong(2) == 1L || r.getLong(3) <= 256L,
+        s"multi-doc pack over budget: $r")
+    }
+  }
+}
