@@ -73,10 +73,12 @@ object GraphQueries {
         .orderBy("p_partkey")
     }),
 
-    // G06 — connected components of the restricted co-part graph
-    // (GraphX label = min vertex id in component).
+    // G06 — connected components of the restricted co-part graph (label =
+    // min vertex id in component), via the Catalyst-native alternating
+    // large-star/small-star rounds (O(log n) rounds, window-min shuffles;
+    // the GraphX twin is asserted equal in GraphOpsSpec).
     "g06_connected_components" -> ((s, dir) => {
-      Graphs.connectedComponents(s, Graphs.copartEdges(s, dir))
+      Graphs.connectedComponentsDF(s, Graphs.copartEdges(s, dir))
         .select(col("id").as("p_partkey"), col("component"))
         .orderBy("p_partkey")
     }),

@@ -80,6 +80,28 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(res == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("connectedComponentsDF == GraphX on crafted multi-component graph") {
+    import spark.implicits._
+    // components {1,2,3,7}, {4,5}, {8,9,10} (chain), plus the 2-cycle 11-12
+    val edges = Seq((2L, 1L), (3L, 2L), (7L, 3L), (4L, 5L),
+      (9L, 8L), (10L, 9L), (11L, 12L), (12L, 11L))
+      .toDF("src", "dst")
+    val dfcc = Graphs.connectedComponentsDF(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dfcc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      4L -> 4L, 5L -> 4L, 8L -> 8L, 9L -> 8L, 10L -> 8L,
+      11L -> 11L, 12L -> 11L))
+  }
+
+  test("connectedComponentsDF == GraphX on the fixture co-part graph") {
+    val edges = Graphs.copartEdges(spark, sfDir).localCheckpoint()
+    val viaDF = Graphs.connectedComponentsDF(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaGX = Graphs.connectedComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDF == viaGX && viaDF.nonEmpty)
+  }
+
   test("triangleCount on known graph") {
     import spark.implicits._
     // K4 minus one edge: triangles = 2
