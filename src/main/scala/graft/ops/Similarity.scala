@@ -338,10 +338,18 @@ object Similarity {
     * (5k docs × ~150 shingles ≈ 6 MB), zero shuffle. The only
     * approximation vs. raw-string sets is 64-bit shingle-hash collisions
     * (~1e-8 at 10^6 distinct shingles). Requires
-    * `VecFunctions.ensureRegistered`. At 100 TB the doc-set side is
-    * bucket-local rather than globally broadcast.
+    * `VecFunctions.ensureRegistered`.
+    *
+    * `broadcastSets = true` (default, test/cluster-dim scale) ships the
+    * compact set table to every task — zero shuffle on the probe side. At
+    * 100 TB pass `false`: the same joins plan as shuffled hash joins
+    * partitioned on a_id/b_id, linear in candidate volume with no
+    * driver-memory ceiling (candidates arrive bucketed from LSH, so the
+    * shuffle is the co-location step). Both paths are the same plan shape
+    * otherwise; ToleranceSpec asserts identical output.
     */
-  def exactJaccardCompact(shingled: DataFrame, pairs: DataFrame): DataFrame = {
+  def exactJaccardCompact(shingled: DataFrame, pairs: DataFrame,
+      broadcastSets: Boolean = true): DataFrame = {
     val sets = shingled
       .groupBy("doc_id")
       .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("hset"))
@@ -350,7 +358,8 @@ object Similarity {
       col("sz").as("a_sz"))
     val b = sets.select(col("doc_id").as("b_id"), col("hset").as("b_set"),
       col("sz").as("b_sz"))
-    pairs.join(broadcast(a), "a_id").join(broadcast(b), "b_id")
+    val (aj, bj) = if (broadcastSets) (broadcast(a), broadcast(b)) else (a, b)
+    pairs.join(aj, "a_id").join(bj, "b_id")
       .withColumn("inter",
         call_function("sorted_intersect_count", col("a_set"), col("b_set")))
       .select(col("a_id"), col("b_id"),

@@ -94,6 +94,19 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("exactJaccardCompact: shuffled (non-broadcast) path == broadcast path") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val sh = graft.ops.Text.shingles(
+      Tables.load(spark, sfDir, "documents").limit(200), 3)
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 9L), (10L, 40L), (7L, 100L))
+      .toDF("a_id", "b_id")
+    def run(bc: Boolean) = graft.ops.Similarity
+      .exactJaccardCompact(sh, pairs, broadcastSets = bc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(true) == run(false) && run(true).nonEmpty)
+  }
+
   test("l04c language-ID heuristic classifies real multilingual text") {
     // The fixture corpus has RANDOM lang labels over an English-ish shared
     // vocabulary (verified by inspection), so corpus accuracy is
