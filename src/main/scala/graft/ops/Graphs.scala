@@ -310,6 +310,46 @@ object Graphs {
       .toDF("id", "rank")
   }
 
+  /** Static PageRank as pure DataFrame power iteration — the
+    * Catalyst-native twin of [[pageRank]] (ToleranceSpec asserts
+    * agreement within 1e-6 and identical top-20 order). Replicates
+    * `staticPageRank`'s recurrence exactly: rank0 = 1, rank' =
+    * 0.15 + 0.85·Σ rank(u)/outdeg(u), dangling mass not redistributed,
+    * final ranks rescaled so they sum to the vertex count (SPARK-18847).
+    *
+    * Per iteration: one join shuffle (contributions) + one agg shuffle
+    * (message sum) over Tungsten rows. At 100 TB, bucket `edges` by src
+    * and the rank table by id so the join side stays co-located; the
+    * iteration count is fixed, so total cost is iters × O(|E|) with no
+    * convergence-test jobs.
+    */
+  def pageRankDF(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val weighted = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    var ranks = verts.withColumn("rank", lit(1.0))
+    for (i <- 1 to iters) {
+      val contribs = weighted
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("msum"))
+      ranks = verts.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0)))
+            .as("rank"))
+      // checkpoint every OTHER iteration: a 2-deep lineage plans fine and
+      // this halves the materialization jobs (same total compute)
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+    }
+    val st = ranks.agg(sum(col("rank")), count(lit(1))).head()
+    val scale = st.getLong(1).toDouble / st.getDouble(0)
+    ranks.select(col("id"), (col("rank") * lit(scale)).as("rank"))
+  }
+
   /** Temporal earliest-arrival (SURVEY G10, the reference's signature
     * traversal): from `seed`, an edge (u,v) is usable only if arrival(u) <=
     * its availability time; arrival(v) = the hop's arrival time. Bounded to

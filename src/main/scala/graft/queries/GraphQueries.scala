@@ -89,11 +89,13 @@ object GraphQueries {
       s.createDataFrame(Seq(Tuple1(n))).toDF("n_triangles")
     }),
 
-    // G08 — PageRank on G_supply, 10 fixed iterations. Tolerance-gated
-    // (float iteration order), no hash oracle; ScalaTest asserts rank-sum
-    // ≈ vertex count and top ranks stability.
+    // G08 — PageRank on G_supply, 10 fixed iterations, via the
+    // Catalyst-native power iteration (pageRankDF; the GraphX twin is
+    // asserted within 1e-6 with identical top-20 order in ToleranceSpec).
+    // Tolerance-gated (float iteration order), no hash oracle; ScalaTest
+    // also asserts rank-sum ≈ vertex count and top ranks stability.
     "g08_pagerank" -> ((s, dir) => {
-      Graphs.pageRank(s, Graphs.supplyEdges(s, dir).select("src", "dst"), 10)
+      Graphs.pageRankDF(s, Graphs.supplyEdges(s, dir).select("src", "dst"), 10)
         .select(col("id"), round(col("rank"), 4).as("rank4"))
         .orderBy(desc("rank4"), col("id")).limit(100)
     }),

@@ -36,36 +36,14 @@ class ToleranceSpec extends SparkSpecBase {
   }
 
   test("g08 pagerank: GraphX == DataFrame power-iteration twin within 1e-6") {
-    // Exact replication of staticPageRank(10)'s recurrence: rank0 = 1.0,
-    // rank_{t+1}(v) = 0.15 + 0.85 * Σ_{(u,v)∈E} rank_t(u)/outdeg(u);
-    // dangling mass is NOT redistributed. Only float summation order
-    // differs between the GraphX aggregateMessages tree and the SQL agg,
-    // so agreement within 1e-6 after 10 iterations is a real gate.
+    // pageRankDF replicates staticPageRank(10)'s recurrence exactly; only
+    // float summation order differs between the GraphX aggregateMessages
+    // tree and the SQL agg, so agreement within 1e-6 after 10 iterations
+    // is a real gate.
     val edges = graft.ops.Graphs.supplyEdges(spark, sfDir)
-      .select("src", "dst").cache()
-    val verts = edges.select(col("src").as("id"))
-      .unionAll(edges.select(col("dst").as("id"))).distinct().cache()
-    val weighted = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .cache()
-    var ranks = verts.withColumn("rank", lit(1.0))
-    for (_ <- 1 to 10) {
-      val contribs = weighted
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-        .groupBy("id").agg(sum("c").as("msum"))
-      ranks = verts.join(contribs, Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0)))
-            .as("rank"))
-        .cache()
-      ranks.count() // materialize: truncate per-iteration recompute
-    }
-    // staticPageRank applies normalizeRankSum (SPARK-18847) at the end:
-    // ranks are rescaled so their sum equals the vertex count
-    val raw = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val scale = raw.size.toDouble / raw.values.sum
-    val twin = raw.map { case (id, r) => id -> r * scale }
+      .select("src", "dst").localCheckpoint()
+    val twin = graft.ops.Graphs.pageRankDF(spark, edges, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val gx = graft.ops.Graphs.pageRank(spark, edges, 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(gx.keySet == twin.keySet)
