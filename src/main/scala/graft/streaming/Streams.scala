@@ -350,6 +350,69 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** S12 — incremental temporal earliest-arrival over the LIVE session
+    * graph (the reference's signature G10 traversal, maintained as edges
+    * stream in): from a seed event, an edge (src, dst, avail, arrive) is
+    * usable iff arrival(src) <= avail, giving arrival(dst) = arrive.
+    *
+    * Session edges connect consecutive events of ONE user in time order,
+    * so the graph is a per-user chain and arrival state is just the chain
+    * TIP (furthest reached event + its arrival time) — O(1) state per
+    * user, keyed distribution, no cross-key reads. Edges must arrive in
+    * per-user time order (they do: the edge's avail IS the src event's
+    * timestamp, and the upstream stream is watermark-ordered per user in
+    * micro-batch replays; the in-batch slice is sorted here).
+    *
+    * Matches [[graft.ops.Graphs.earliestArrival]] on the same edge set
+    * (asserted in StreamingSpec) — the Pregel form recomputes from
+    * scratch; this maintains the answer incrementally as the reference's
+    * continuous temporal ingestion would.
+    */
+  case class TemporalEdge(user_id: Long, src: Long, dst: Long,
+      avail_us: Long, arrive_us: Long)
+  case class Arrival(event_id: Long, arrival_us: Long)
+
+  class EarliestArrivalProcessor(seedUser: Long, seedId: Long,
+      seedTsUs: Long)
+      extends StatefulProcessor[Long, TemporalEdge, Arrival] {
+    @transient private var tip: ValueState[Arrival] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tip = getHandle.getValueState[Arrival]("tip",
+        Encoders.product[Arrival], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TemporalEdge],
+        timerValues: TimerValues): Iterator[Arrival] = {
+      val out = Seq.newBuilder[Arrival]
+      var cur: Option[Arrival] =
+        if (tip.exists()) Some(tip.get()) else None
+      if (cur.isEmpty && key == seedUser) {
+        // first contact with the seed's chain: arrival(seed) = seed time
+        cur = Some(Arrival(seedId, seedTsUs))
+        out += cur.get
+      }
+      rows.toArray.sortBy(e => (e.avail_us, e.src)).foreach { e =>
+        cur match {
+          case Some(a) if a.event_id == e.src && a.arrival_us <= e.avail_us =>
+            cur = Some(Arrival(e.dst, e.arrive_us))
+            out += cur.get
+          case _ => ()
+        }
+      }
+      cur.foreach(tip.update)
+      out.result().iterator
+    }
+  }
+
+  def earliestArrivalStream(edges: Dataset[TemporalEdge], seedUser: Long,
+      seedId: Long, seedTsUs: Long): Dataset[Arrival] = {
+    import edges.sparkSession.implicits._
+    edges.groupByKey(_.user_id)
+      .transformWithState(
+        new EarliestArrivalProcessor(seedUser, seedId, seedTsUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One anomaly step (Welford update): state BEFORE the event decides the
     * flag, then the state absorbs the event. Shared by the streaming
     * operator and the batch fold.

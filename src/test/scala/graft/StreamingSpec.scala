@@ -333,6 +333,49 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S12 incremental earliest-arrival == Pregel batch on the fixture session graph") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // session edges with their user key (Graphs.sessionEdges drops it)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val edges = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("dst", lead(col("event_id"), 1).over(w))
+      .withColumn("dst_ts_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("user_id"), col("event_id").as("src"), col("dst"),
+        col("ts_us").as("avail_us"), col("dst_ts_us").as("arrive_us"))
+
+    val seedRow = Tables.load(spark, sfDir, "events").orderBy("event_id")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts"))).head()
+    val (seedId, seedUser, seedUs) =
+      (seedRow.getLong(0), seedRow.getLong(1), seedRow.getLong(2))
+
+    val batchOracle = graft.ops.Graphs.earliestArrival(spark,
+        edges.drop("user_id"), seedId, seedUs, maxHops = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // stream the edges in global (avail, src) order over 4 micro-batches —
+    // per-user time order is preserved by the global sort
+    val evs = edges.orderBy("avail_us", "src").as[Streams.TemporalEdge]
+      .collect().toSeq
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Streams.TemporalEdge]
+    val q = Streams.earliestArrivalStream(source.toDS(), seedUser, seedId, seedUs)
+      .writeStream.format("memory").queryName("s12sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+      }
+      val streamed = spark.table("s12sink").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batchOracle && streamed.size > 1)
+    } finally q.stop()
+  }
+
   test("S11 event-time timers: timer-closed sessions == batch sessionization") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
