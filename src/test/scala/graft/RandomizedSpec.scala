@@ -1,0 +1,151 @@
+package graft
+
+import graft.ops.{AsOfJoin, Graphs, Similarity, Text}
+import org.apache.spark.sql.functions._
+
+/** Seeded randomized cross-implementation properties: every operator with
+  * two independent implementations (library form vs custom operator vs
+  * local reference fold) must agree on adversarial random inputs —
+  * duplicate keys, ties, strided ids, disconnected graphs. Seeds are
+  * fixed so failures reproduce.
+  */
+class RandomizedSpec extends SparkSpecBase {
+
+  test("as-of: window form == merge operator == local reference (random, 20 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 20) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val lefts = (1 to 40).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(30).toLong, i.toLong)
+      } // (k, ts, lid)
+      val rights = (1 to 40).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(30).toLong, i.toLong,
+          rnd.nextInt(100).toLong)
+      } // (k, ts, tie, pay)
+      val strict = rnd.nextBoolean()
+      val l = lefts.toDF("k", "ts", "lid")
+      val r = rights.toDF("k", "ts", "tie", "pay")
+
+      // local reference: for each left row, the right row in the same key
+      // group with max (ts, tie) subject to ts <= (or <) left ts
+      val expect = lefts.map { case (k, ts, lid) =>
+        val cand = rights.filter(rr => rr._1 == k &&
+          (if (strict) rr._2 < ts else rr._2 <= ts))
+        val pay = if (cand.isEmpty) None
+          else Some(cand.maxBy(rr => (rr._2, rr._3))._4)
+        (lid, pay)
+      }.toMap
+
+      val viaWindow = AsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("pay"),
+          "tie", strict).collect()
+        .map(row => row.getLong(2) ->
+          Option(row.get(row.length - 1)).map(_.asInstanceOf[Long])).toMap
+      val viaMerge = AsOfJoin.merge(l, r, Seq("k"), "ts", "ts", Seq("pay"),
+          "tie", strict).collect()
+        .map(row => row.getLong(2) ->
+          Option(row.get(row.length - 1)).map(_.asInstanceOf[Long])).toMap
+      assert(viaWindow == expect, s"window form diverged (trial $trial, strict=$strict)")
+      assert(viaMerge == expect, s"merge operator diverged (trial $trial, strict=$strict)")
+    }
+  }
+
+  test("topKCosinePairs == allPairsCosine top-k on random vectors, strided ids") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    // ids all multiples of 16: raw id % blocks would collapse to one block
+    val vecs = (1 to 120).map { i =>
+      (i * 16L, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val k = 15
+    val exact = Similarity.allPairsCosine(vecs)
+      .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("c4"))
+      .orderBy(desc("c4"), col("a_id"), col("b_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val blocked = Similarity.topKCosinePairs(vecs, k, blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(blocked == exact)
+  }
+
+  test("connectedComponentsDF == local union-find on random graphs (10 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 10) {
+      val n = 60
+      val edges = (1 to 70).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      // local union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = verts.map { v =>
+        // component label = min vertex id in component
+        val root = find(v.toInt)
+        val mn = verts.filter(u => find(u.toInt) == root).min
+        v -> mn
+      }.toMap
+      val got = Graphs.connectedComponentsDF(spark, edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("bfsDepthsDF == local BFS on random graphs (10 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    for (trial <- 1 to 10) {
+      val n = 50
+      val edges = (1 to 80).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val seed = edges(rnd.nextInt(edges.length))._1
+      val maxDepth = 1 + rnd.nextInt(5)
+      // local BFS over directed edges
+      val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      var dist = Map(seed -> 0)
+      var frontier = Seq(seed)
+      for (d <- 1 to maxDepth) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .distinct.filterNot(dist.contains)
+        dist ++= frontier.map(_ -> d)
+      }
+      val got = Graphs.bfsDepthsDF(spark, edges.toDF("src", "dst"), seed, maxDepth)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == dist, s"trial $trial seed=$seed depth=$maxDepth")
+    }
+  }
+
+  test("packGreedy == local greedy fold on random corpora (10 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    for (trial <- 1 to 10) {
+      val docs = (0 until 80).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(12))("w").mkString(" "))
+      }
+      val cap = 4L + rnd.nextInt(10)
+      val buckets = 1 + rnd.nextInt(4)
+      val local = docs.groupBy(d => d._1 % buckets).flatMap { case (b, ds) =>
+        var pack = 0L; var fill = 0L; var first = true
+        ds.sortBy(_._1).map { case (id, text) =>
+          val tc = text.split(" ").length.toLong
+          if (first) { fill = tc; first = false }
+          else if (fill + tc > cap) { pack += 1; fill = tc }
+          else fill += tc
+          (id, b, pack)
+        }
+      }.toSet
+      val got = Text.packGreedy(
+          docs.toDF("doc_id", "text")
+            .withColumn("n_chars", length(col("text"))),
+          cap, buckets)
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(3))).toSet
+      assert(got == local, s"trial $trial cap=$cap buckets=$buckets")
+    }
+  }
+}
