@@ -85,4 +85,35 @@ object SimIndex {
           (col("a_nrm") * col("b_nrm")), 4).as("cos_sim"))
       .dropDuplicates("a_id", "b_id")
   }
+
+  /** Build + persist the benchmark shingle set for decontamination sweeps
+    * (ROADMAP 4): distinct n-char shingles of the held-out corpus, stored
+    * as 8-byte xxhash64 keys bucketed+sorted on the hash. The benchmark
+    * set changes rarely; training corpora arrive continuously — so the
+    * shingling+distinct of the benchmark side is paid once, and every
+    * sweep joins against co-located buckets (no Exchange on the index
+    * side, asserted in SimIndexSpec).
+    */
+  def writeShingleIndex(bench: DataFrame, prefix: String, n: Int,
+      buckets: Int): Unit = {
+    val sh = Text.shingles(bench, n)
+      .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
+    Bucketing.writeBucketed(sh, s"${prefix}_shingles", "sh_hash", buckets,
+      sortCols = Seq("sh_hash"))
+  }
+
+  /** Decontaminate `train` against a persisted shingle index: anti-join
+    * away every doc sharing any n-shingle (by 64-bit hash) with the
+    * benchmark corpus. The train side shingles+shuffles per sweep
+    * (inherent — it is the new data); the index side is bucket-local.
+    */
+  def decontaminateFromIndex(spark: SparkSession, train: DataFrame,
+      prefix: String, n: Int): DataFrame = {
+    val bench = spark.table(s"${prefix}_shingles")
+    val contaminated = Text.shingles(train, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh_hash"))
+      .join(bench, "sh_hash")
+      .select("doc_id").distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+  }
 }

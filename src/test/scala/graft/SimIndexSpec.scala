@@ -85,4 +85,35 @@ class SimIndexSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fromIdx == fresh && fromIdx.nonEmpty)
   }
+
+  test("shingle index: decontamination matches the string-keyed pass, index side Exchange-free") {
+    dropIdx("deconidx_shingles")
+    val d = Tables.load(spark, sfDir, "documents")
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    val train = d.filter(col("doc_id") % 20 =!= 0)
+    SimIndex.writeShingleIndex(bench, "deconidx", n = 20, buckets = 4)
+
+    // survivors via the persisted hashed index == survivors via the
+    // from-scratch string-keyed semi join (l10's path)
+    val fromIdx = SimIndex.decontaminateFromIndex(spark, train, "deconidx", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val benchSh = Text.shingles(bench, 20).select("shingle").distinct()
+    val contaminated = Text.shingles(train, 20)
+      .join(benchSh, "shingle").select("doc_id").distinct()
+    val fresh = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromIdx == fresh && fromIdx.nonEmpty && fromIdx.size < 475)
+
+    // plan shape: the contamination join shuffles ONLY the train side —
+    // the bucketed index side must come in without an Exchange
+    val trainSh = Text.shingles(train, 20)
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .xxhash64(col("shingle")).as("sh_hash"))
+    val joined = trainSh.join(spark.table("deconidx_shingles"), "sh_hash")
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: Exchange => e
+    }
+    assert(exchanges.size <= 1,
+      s"index side must be exchange-free, found ${exchanges.map(_.nodeName)}")
+  }
 }
