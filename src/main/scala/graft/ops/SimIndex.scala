@@ -110,7 +110,7 @@ object SimIndex {
   def decontaminateFromIndex(spark: SparkSession, train: DataFrame,
       prefix: String, n: Int): DataFrame = {
     val bench = spark.table(s"${prefix}_shingles")
-    val contaminated = Text.shingles(train, n)
+    val contaminated = Text.shingleStream(train, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_hash"))
       .join(bench, "sh_hash")
       .select("doc_id").distinct()

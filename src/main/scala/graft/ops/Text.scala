@@ -16,13 +16,20 @@ object Text {
     * no rows.
     */
   def shingles(docs: DataFrame, n: Int): DataFrame =
+    shingleStream(docs, n).distinct()
+
+  /** [[shingles]] WITHOUT the per-doc dedup — a narrow explode, no
+    * shuffle. Use when downstream only needs existence (e.g. the
+    * decontamination semi join): skipping the distinct keeps the whole
+    * probe side pipelined into the join.
+    */
+  def shingleStream(docs: DataFrame, n: Int): DataFrame =
     docs.filter(col("n_chars") >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), (col("n_chars") - (n - 1)).cast("int")))
           .as("pos"),
         col("text"))
       .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("shingle"))
-      .distinct()
 
   /** Whitespace-delimited token count (regexp `\S+` matches — identical
     * semantics in Spark and the DuckDB oracle, unlike split()'s trailing-

@@ -245,8 +245,11 @@ object LlmQueries {
       val d = docs(s, dir)
       val bench = d.filter(col("doc_id") % 20 === 0)
       val train = d.filter(col("doc_id") % 20 =!= 0)
+      // probe side uses the non-distinct shingle stream: the explode stays
+      // narrow and pipelines straight into the broadcast join — the only
+      // shuffles are the tiny contaminated-id distinct and the final agg
       val benchSh = Text.shingles(bench, 20).select("shingle").distinct()
-      val contaminated = Text.shingles(train, 20)
+      val contaminated = Text.shingleStream(train, 20)
         .join(benchSh, "shingle")
         .select("doc_id").distinct()
       train.join(contaminated, Seq("doc_id"), "left_anti")
