@@ -34,7 +34,16 @@ object BenchAsOf {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
 
-    Seq("asof_l", "asof_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("asof_l", "asof_r").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a crashed prior run can leave the managed location without the
+      // catalog entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
+      val dir = new java.io.File(s"/tmp/graft-asof-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      if (dir.exists()) rm(dir)
+    }
     Bucketing.writeBucketed(purchases, "asof_l", "user_id", cpus.toInt,
       sortCols = Seq("user_id", "ts"))
     Bucketing.writeBucketed(clicks, "asof_r", "user_id", cpus.toInt,
