@@ -25,34 +25,32 @@ case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .join(edges.groupBy("dst").count(), col("id") === col("dst"), "left_outer")
       .select(col("id"), coalesce(col("count"), lit(0L)).as("in_degree"))
 
-  /** Distinct vertices reachable in EXACTLY 1..k hops from the seed set,
-    * as unrolled broadcast-frontier joins (k must be small and fixed;
-    * unbounded traversals go through [[bfs]]).
+  /** Distinct vertices reachable in 1..k hops from the seed set
+    * (eager-checkpointed broadcast-frontier joins; k must be small and
+    * fixed — unbounded traversals go through [[bfs]]).
     */
   def khop(seeds: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
-    val e = edges.select("src", "dst")
-    var frontier = seeds.select(col("id")).distinct()
-    var out: DataFrame = null
-    for (_ <- 1 to k) {
-      frontier = e.join(broadcast(frontier), col("src") === col("id"))
-        .select(col("dst").as("id")).distinct()
-      out = if (out == null) frontier else out.unionAll(frontier)
-    }
-    out.distinct()
+    Graphs.kHopIdsFrom(edges, seeds, k)
   }
 
-  /** Bounded-depth BFS distances from one seed (Pregel). */
+  /** Bounded-depth BFS distances from one seed — Catalyst-native level
+    * iteration (the GraphX/Pregel twin lives in [[Graphs.bfsDepths]]).
+    */
   def bfs(seed: Long, maxDepth: Int): DataFrame =
-    Graphs.bfsDepths(spark, edges.select("src", "dst"), seed, maxDepth)
+    Graphs.bfsDepthsDF(spark, edges.select("src", "dst"), seed, maxDepth)
 
-  /** Connected components (label = min vertex id in component). */
+  /** Connected components (label = min vertex id in component) —
+    * alternating star contraction ([[Graphs.connectedComponentsDF]]).
+    */
   def connectedComponents: DataFrame =
-    Graphs.connectedComponents(spark, edges.select("src", "dst"))
+    Graphs.connectedComponentsDF(spark, edges.select("src", "dst"))
 
-  /** Static PageRank with a fixed iteration count. */
+  /** Static PageRank with a fixed iteration count — DataFrame power
+    * iteration (the GraphX twin is the 1e-6 equivalence oracle).
+    */
   def pageRank(iters: Int): DataFrame =
-    Graphs.pageRank(spark, edges.select("src", "dst"), iters)
+    Graphs.pageRankDF(spark, edges.select("src", "dst"), iters)
 
   /** Two-edge motif `(a)-[e1]->(b)-[e2]->(c)` with optional per-vertex
     * predicates applied BEFORE the joins (filter pushdown by hand).

@@ -106,6 +106,21 @@ object Graphs {
     acc.distinct()
   }
 
+  /** [[kHopIds]] from an explicit seed VERTEX set (`id` column) instead of
+    * a hop-1 edge predicate — every hop is a broadcast-frontier join.
+    */
+  def kHopIdsFrom(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var frontier = seeds.select(col("id")).distinct().localCheckpoint()
+    var acc: DataFrame = null
+    for (_ <- 1 to k) {
+      frontier = e.join(broadcast(frontier), col("src") === col("id"))
+        .select(col("dst").as("id")).distinct().localCheckpoint()
+      acc = if (acc == null) frontier else acc.unionAll(frontier)
+    }
+    acc.distinct()
+  }
+
   /** Restricted G_copart: undirected part-co-occurrence edges, only from
     * orders with <= 3 distinct parts (FIXTURES.md — the unrestricted graph
     * is one dense component). Returned as canonical pairs `x < y`.
