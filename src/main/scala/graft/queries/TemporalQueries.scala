@@ -74,13 +74,22 @@ object TemporalQueries {
     }),
 
     // T03 — temporal aggregation: per-user daily tumbling average.
+    // The 4-decimal average is computed ENTIRELY in integer arithmetic —
+    // HALF_UP to ten-thousandths via (200·sum_cents + cnt) div (2·cnt)
+    // (values are non-negative), then ONE exact division by 10^4. Neither
+    // `round4(avg(value))` nor `round(sum_cents/(100.0·cnt), 4)` is
+    // cross-engine deterministic: the former leaks float summation order
+    // (2 of 40k groups flipped a x.xxxx5 boundary at sf0.1), the latter
+    // hits Spark's decimal-HALF_UP vs DuckDB's binary-round divergence on
+    // EXACT halves (53993/800 = 67.49125 → 67.4913 vs 67.4912).
     "t03_tumbling_agg" -> ((s, dir) => {
       ev(s, dir)
         .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
-        .agg(round4(avg(col("value"))).as("avg_value"),
+        .agg(sum(cents(col("value"))).as("sum_cents"),
           count(lit(1)).as("cnt"))
         .select(col("user_id"), col("w.start").as("day"),
-          col("avg_value"), col("cnt"))
+          (expr("(200 * sum_cents + cnt) div (2 * cnt)") / lit(10000.0))
+            .as("avg_value"), col("cnt"))
         .orderBy("user_id", "day")
     }),
 
@@ -180,7 +189,9 @@ object TemporalQueries {
 
     "t03_tumbling_agg" ->
       """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |  round(avg(value), 4) AS avg_value, count(*) AS cnt
+        |  CAST((200 * sum(CAST(round(value*100) AS BIGINT)) + count(*))
+        |       // (2 * count(*)) AS BIGINT) / 10000.0 AS avg_value,
+        |  count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
 
     "t03_sliding_agg" ->
