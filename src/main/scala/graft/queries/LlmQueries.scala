@@ -136,8 +136,10 @@ object LlmQueries {
           sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
           sum(Text.bpeishTokenCount(col("text")).cast("long"))
             .as("n_bpe_tokens"),
-          sum(col("n_chars")).as("sum_chars"),
-          round(avg(col("n_chars")), 4).as("avg_chars"))
+          sum(col("n_chars")).as("sum_chars"))
+        // integer HALF_UP to 4 decimals (n_chars is integral) — see T03
+        .withColumn("avg_chars",
+          expr("(20000 * sum_chars + n_docs) div (2 * n_docs)") / lit(10000.0))
         .orderBy("lang")
     }),
 
@@ -369,7 +371,8 @@ object LlmQueries {
         |  CAST(sum(len(regexp_extract_all(text,
         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  round(avg(n_chars), 4) AS avg_chars
+        |  CAST((20000 * sum(n_chars) + count(*)) // (2 * count(*))
+        |       AS BIGINT) / 10000.0 AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l04b_quality" ->

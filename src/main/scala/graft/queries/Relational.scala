@@ -37,7 +37,15 @@ object Relational {
           sumCents(col("l_extendedprice")).as("sum_price_cents"),
           sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc_price_cents"),
-          round4(avg(col("l_discount"))).as("avg_disc"))
+          sum(graft.Det.cents(col("l_discount"))).as("__disc_cents"))
+        // avg_disc HALF_UP'd to 4 decimals in pure integer arithmetic
+        // (discounts are exact 2-decimal values): round4(avg(double))
+        // leaks float summation order at x.xxxx5 boundaries — see T03.
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          col("sum_qty_cents"), col("sum_price_cents"),
+          col("sum_disc_price_cents"),
+          (expr("(200 * __disc_cents + cnt) div (2 * cnt)") / lit(10000.0))
+            .as("avg_disc"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -417,7 +425,8 @@ object Relational {
         |  CAST(round(sum(l_extendedprice*100)) AS BIGINT) AS sum_price_cents,
         |  CAST(round(sum(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
         |    AS sum_disc_price_cents,
-        |  round(avg(l_discount), 4) AS avg_disc
+        |  CAST((200 * sum(CAST(round(l_discount*100) AS BIGINT)) + count(*))
+        |       // (2 * count(*)) AS BIGINT) / 10000.0 AS avg_disc
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q03_join_agg" ->
