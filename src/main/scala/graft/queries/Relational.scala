@@ -408,6 +408,37 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")
+    }),
+
+    // Q28 — exact interpolated percentiles (p50/p90/p99) of event value
+    // cents per type. Both engines use linear interpolation at rank
+    // (n-1)·p; the interpolated values are exact multiples of 0.01 cents
+    // (integer inputs × {0.5,0.9,0.99} fractions), so round4 absorbs the
+    // formula-shape ulp differences with 5e-5 of safety margin — the
+    // rounding can never sit on a boundary.
+    "q28_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(percentile(graft.Det.cents(col("value")), lit(0.5)), 4)
+            .as("p50_cents"),
+          round(percentile(graft.Det.cents(col("value")), lit(0.9)), 4)
+            .as("p90_cents"),
+          round(percentile(graft.Det.cents(col("value")), lit(0.99)), 4)
+            .as("p99_cents"))
+        .orderBy("event_type")
+    }),
+
+    // Q28b — approx_percentile (the 100 TB path: bounded-memory sketch vs
+    // exact's full sort). Engine-specific sketch -> rows-only check here;
+    // ToleranceSpec gates it against the exact percentiles.
+    "q28b_approx_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_percentile(graft.Det.cents(col("value")),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+          .as("approx_cents"))
+        .orderBy("event_type")
     })
   )
 
@@ -644,6 +675,16 @@ object Relational {
         |  FROM documents WHERE n_chars >= 3)
         |SELECT doc_id,
         |  count(DISTINCT substr(text, CAST(gs AS INT), 3)) AS n_shingles
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q28_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5), 4)
+        |    AS p50_cents,
+        |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.9), 4)
+        |    AS p90_cents,
+        |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.99), 4)
+        |    AS p99_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

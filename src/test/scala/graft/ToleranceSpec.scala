@@ -85,6 +85,32 @@ class ToleranceSpec extends SparkSpecBase {
     assert(run(true) == run(false) && run(true).nonEmpty)
   }
 
+  test("q28b approx percentiles are rank-correct (±1 rank at accuracy 10000)") {
+    // approx_percentile returns an actual element with rank error <= n/a;
+    // comparing VALUES against the interpolated exact percentile is the
+    // wrong gate (in a small tail the two adjacent order stats can be far
+    // apart) — the sketch's contract is about rank.
+    import spark.implicits._
+    val byType = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), graft.Det.cents(col("value")).as("c"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val approx = SparkEntry.queries("q28b_approx_percentiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(approx.keySet == byType.keySet && approx.nonEmpty)
+    approx.foreach { case (k, ap) =>
+      val sorted = byType(k)
+      Seq(0.5, 0.9, 0.99).zip(ap).foreach { case (p, a) =>
+        val target = (sorted.length - 1) * p
+        val lo = math.max(0, math.floor(target).toInt - 1)
+        val hi = math.min(sorted.length - 1, math.ceil(target).toInt + 1)
+        assert((lo to hi).exists(i => sorted(i) == a),
+          s"$k p$p: approx=$a not within rank ±1 of target $target " +
+            s"(window ${sorted.slice(lo, hi + 1).toSeq})")
+      }
+    }
+  }
+
   test("l04c language-ID heuristic classifies real multilingual text") {
     // The fixture corpus has RANDOM lang labels over an English-ish shared
     // vocabulary (verified by inspection), so corpus accuracy is
