@@ -25,20 +25,32 @@ case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .join(edges.groupBy("dst").count(), col("id") === col("dst"), "left_outer")
       .select(col("id"), coalesce(col("count"), lit(0L)).as("in_degree"))
 
-  /** Distinct vertices reachable in 1..k hops from the seed set
-    * (eager-checkpointed broadcast-frontier joins; k must be small and
-    * fixed — unbounded traversals go through [[bfs]]).
+  /** Distinct vertices reachable in 1..k hops from the seed set — a
+    * single pipelined job of unrolled broadcast-frontier joins; k must be
+    * small and fixed. Unbounded traversals go through [[bfs]], which
+    * materializes levels and sizes each frontier adaptively.
     */
   def khop(seeds: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
     Graphs.kHopIdsFrom(edges, seeds, k)
   }
 
-  /** Bounded-depth BFS distances from one seed — Catalyst-native level
-    * iteration (the GraphX/Pregel twin lives in [[Graphs.bfsDepths]]).
+  /** BFS distances from one seed — Catalyst-native level iteration with
+    * an adaptive (count-gated) frontier broadcast. The default
+    * `maxDepth` runs to the fix point: unbounded reachability, terminated
+    * by the empty-frontier early exit after diameter+1 levels. (The
+    * GraphX/Pregel twin lives in [[Graphs.bfsDepths]].)
     */
-  def bfs(seed: Long, maxDepth: Int): DataFrame =
+  def bfs(seed: Long, maxDepth: Int = Int.MaxValue): DataFrame =
     Graphs.bfsDepthsDF(spark, edges.select("src", "dst"), seed, maxDepth)
+
+  /** Single-source weighted shortest distances (min-plus over a LONG
+    * `weight` edge column, deterministic) — frontier-based Bellman-Ford;
+    * the default `maxRounds` runs to the fix point.
+    */
+  def shortestPaths(seed: Long, maxRounds: Int = Int.MaxValue): DataFrame =
+    Graphs.weightedDistancesDF(spark,
+      edges.select("src", "dst", "weight"), seed, maxRounds)
 
   /** Connected components (label = min vertex id in component) —
     * alternating star contraction ([[Graphs.connectedComponentsDF]]).

@@ -11,6 +11,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
+  /** Drop a stale managed-table location left by a PREVIOUS process. The
+    * default in-memory catalog forgets table metadata when the session
+    * ends, but the warehouse directory persists — a later process that
+    * rebuilds the table would hit LOCATION_ALREADY_EXISTS. Call before
+    * rebuilding a build-once table whose absence from the catalog means
+    * "this process never built it".
+    */
+  def dropStaleLocation(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet table.
     * Readers joining two tables bucketed on the same key with the same
     * bucket count get a SortMergeJoin with zero Exchange (asserted in

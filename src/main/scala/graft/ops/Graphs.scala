@@ -52,6 +52,33 @@ object Graphs {
           (col("l_partkey") + PART).as("dst"), lit("supp_part").as("etype")))
   }
 
+  /** The supply edge union persisted ONCE per (session, sf dir) as a
+    * bucketed managed table, bucketed+sorted on `src`: the union +
+    * projection is paid at build time, every traversal after that reads
+    * compact co-located buckets — and a literal seed filter (`src = x`)
+    * prunes buckets and row groups at planning time. This is the same
+    * materialized-index move as the bucketed as-of join and the LSH/IVF
+    * indexes (SimIndex): at 100 TB the edge list is derived data you
+    * build once, not per query.
+    */
+  def supplyEdgeTable(s: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
+    val name = "graft_edges_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(name)) {
+      Bucketing.dropStaleLocation(s, name)
+      Bucketing.writeBucketed(supplyEdgesRaw(s, dir).select("src", "dst"),
+        name, "src", buckets, sortCols = Seq("src", "dst"))
+    }
+    if (!s.catalog.isCached(name)) {
+      // A graph engine keeps its adjacency structure resident; fill the
+      // columnar cache EAGERLY (one sequenced scan) so later multi-scan
+      // traversal actions read settled blocks instead of racing on a
+      // lazy fill (the 2-10x swing documented on kHopIds' old cache).
+      s.catalog.cacheTable(name)
+      s.table(name).count()
+    }
+    s.table(name)
+  }
+
   /** G_supply edges WITHOUT per-type dedup — for traversals that dedupe
     * once at the end (reachability is insensitive to parallel edges), this
     * skips three distinct-shuffles over lineitem.
@@ -69,54 +96,70 @@ object Graphs {
         (col("l_partkey") + PART).as("dst")))
   }
 
+  /** Frontier row count above which the materializing traversals
+    * ([[bfsDepthsDF]], [[weightedDistancesDF]]) stop broadcasting the
+    * frontier and let the planner shuffle-join it instead. 4M ids × 8 B
+    * ≈ 32 MB per executor — comfortably under a 100 TB cluster's
+    * broadcast budget, large enough that depth-bounded traversals on
+    * sparse graphs never hit it.
+    */
+  val FrontierBroadcastRows: Long = 4L * 1000 * 1000
+
   /** Distinct ids reachable in 1..k hops from the seed edges' endpoints.
     *
     * `seedPred` selects the hop-1 edges (a pushed-down filter — hop 1
     * never joins); hops 2..k join the edge list against the previous
-    * frontier, broadcast (frontiers are bounded by the distinct-vertex
-    * count of the expanding neighborhood — small next to the edge list).
+    * hop's distinct frontier, broadcast (frontiers of a depth-bounded
+    * expansion are small next to the edge list — the unbounded/adaptive
+    * path is [[bfsDepthsDF]], which sizes each frontier and switches to a
+    * shuffle join past [[FrontierBroadcastRows]]).
     *
-    * The edge list and every frontier are materialized EAGERLY via
-    * `localCheckpoint` before dependents are planned. Plain `.cache()` is
-    * the wrong tool here: the final union references the edge list from
-    * three join subtrees plus two broadcast-exchange jobs, and lazy cache
-    * population then has all of them racing on the same InMemoryRelation
-    * blocks (per-block locks serialize tasks; observed wall times swing
-    * 2-10x run to run). Eager checkpointing sequences the fills — one scan
-    * each — and the blocks are dropped by the ContextCleaner when the
-    * plan is garbage-collected, so repeated invocations in a long-lived
-    * session leak nothing (a `.cache()` here pins storage until an
-    * explicit unpersist that a `queries()`-shaped API has no place to
-    * call).
+    * ONE materialization job (the edge list — `localCheckpoint`, blocks
+    * freed by the ContextCleaner), then the k unrolled hop joins pipeline
+    * inside a single action. Each hop is a LEFT SEMI broadcast join
+    * (edge side probes the broadcast frontier for membership): the semi
+    * join emits each matching edge once regardless of frontier
+    * duplicates, so the raw hop output can feed the next broadcast build
+    * with NO distinct shuffle anywhere on the hop path — the builds are
+    * pure pipelined scans of the checkpointed E. ReuseExchange dedupes
+    * hop i's broadcast between its union branch and hop i+1's build, so
+    * every hop is computed exactly once; dedup happens in ONE final
+    * distinct. Total cost: k scans of the checkpointed E + one shuffle.
+    * (r4's checkpoint-per-frontier variant paid five job barriers.)
     *
-    * At scale: per hop, one broadcast join against the checkpointed edge
-    * list + one distinct shuffle of the frontier. k is fixed and small, so
-    * total cost is k scans of E — no quadratic re-execution of lineage.
+    * `materialize = false` skips the edge checkpoint — pass it when
+    * `edges` is already materialized (a persisted/bucketed table like
+    * [[supplyEdgeTable]], or a cached/checkpointed frame), so each hop
+    * re-scans compact storage instead of paying an extra copy.
     */
-  def kHopIds(edges: DataFrame, seedPred: Column, k: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var frontier = e.filter(seedPred)
-      .select(col("dst").as("id")).distinct().localCheckpoint()
-    var acc = frontier
+  def kHopIds(edges: DataFrame, seedPred: Column, k: Int,
+      materialize: Boolean = true): DataFrame = {
+    val proj = edges.select(col("src"), col("dst"))
+    val e = if (materialize) proj.localCheckpoint() else proj
+    var hop = e.filter(seedPred).select(col("dst").as("id"))
+    var acc = hop
     for (_ <- 2 to k) {
-      frontier = e.join(broadcast(frontier), col("src") === col("id"))
-        .select(col("dst").as("id")).distinct().localCheckpoint()
-      acc = acc.unionAll(frontier)
+      hop = e.join(broadcast(hop), col("src") === col("id"), "left_semi")
+        .select(col("dst").as("id"))
+      acc = acc.unionAll(hop)
     }
     acc.distinct()
   }
 
   /** [[kHopIds]] from an explicit seed VERTEX set (`id` column) instead of
-    * a hop-1 edge predicate — every hop is a broadcast-frontier join.
+    * a hop-1 edge predicate — same single-job pipelined unrolling; every
+    * hop is a semi broadcast join against the checkpointed edge list.
     */
   def kHopIdsFrom(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var frontier = seeds.select(col("id")).distinct().localCheckpoint()
-    var acc: DataFrame = null
-    for (_ <- 1 to k) {
-      frontier = e.join(broadcast(frontier), col("src") === col("id"))
-        .select(col("dst").as("id")).distinct().localCheckpoint()
-      acc = if (acc == null) frontier else acc.unionAll(frontier)
+    var hop = e.join(broadcast(seeds.select(col("id"))),
+        col("src") === col("id"), "left_semi")
+      .select(col("dst").as("id"))
+    var acc = hop
+    for (_ <- 2 to k) {
+      hop = e.join(broadcast(hop), col("src") === col("id"), "left_semi")
+        .select(col("dst").as("id"))
+      acc = acc.unionAll(hop)
     }
     acc.distinct()
   }
@@ -195,34 +238,94 @@ object Graphs {
     * Tungsten — no RDD conversion, no GraphX vertex/edge replication.
     * Early-exits when a level adds nothing.
     *
-    * Scale notes: the frontier broadcast assumes bounded neighborhoods
-    * (depth-limited traversals on sparse graphs — drop the broadcast hint
-    * and let the planner shuffle when a frontier outgrows executor
-    * memory); `visited` stays partitioned, only the per-level frontier is
-    * broadcast. Cost = maxDepth × (one scan of E + one anti join on the
-    * visited set).
+    * Scale notes: each level's frontier is materialized (localCheckpoint)
+    * for the early-exit test anyway, so its row count is known for free —
+    * the broadcast decision is ADAPTIVE: frontiers up to `broadcastRows`
+    * ([[FrontierBroadcastRows]]) ship as broadcasts, larger ones
+    * shuffle-join (no executor-memory cliff when a hub level explodes).
+    * `visited` stays partitioned. Cost = depth × (one scan of E + one
+    * anti join on the visited set). `maxDepth = Int.MaxValue` runs to the
+    * fix point (unbounded reachability — the early exit terminates it
+    * after diameter+1 levels).
     */
   def bfsDepthsDF(s: SparkSession, edges: DataFrame, seed: Long,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, broadcastRows: Long = FrontierBroadcastRows): DataFrame = {
     import s.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint()
     var visited = Seq((seed, 0)).toDF("id", "dist").localCheckpoint()
     var frontier = visited.select("id")
+    var frontierRows = 1L
     var depth = 0
-    var exhausted = false
-    while (depth < maxDepth && !exhausted) {
+    while (depth < maxDepth && frontierRows > 0) {
       depth += 1
-      frontier = e.join(broadcast(frontier), col("src") === col("id"))
+      val probe = if (frontierRows <= broadcastRows) broadcast(frontier)
+        else frontier
+      frontier = e.join(probe, col("src") === col("id"))
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .localCheckpoint()
-      if (frontier.isEmpty) exhausted = true
-      else visited = visited
+      frontierRows = frontier.count()
+      if (frontierRows > 0) visited = visited
         .unionAll(frontier.select(col("id"), lit(depth).as("dist")))
         .localCheckpoint()
     }
     visited
+  }
+
+  /** Single-source weighted shortest distances (min-plus), frontier-based
+    * Bellman-Ford over DataFrames: each round relaxes only the edges out
+    * of vertices improved in the previous round, so a converged region
+    * costs nothing. Weights are LONG (non-negative) — integer min-plus is
+    * associative-exact, so results are deterministic and hash-oracle-able
+    * (a double-weight variant would be subject to summation-order ulps).
+    *
+    * `maxRounds` bounds the relaxation rounds (distance = cheapest path
+    * using <= maxRounds edges); the default runs to the fix point, which
+    * non-negative weights reach after at most |V|-1 rounds. The frontier
+    * broadcast decision is adaptive, as in [[bfsDepthsDF]]: the improved
+    * set is materialized per round for the termination test, so its count
+    * is free.
+    *
+    * At 100 TB: per-round shuffle is the dst-min aggregation, O(edges out
+    * of the frontier); `dist` stays partitioned on id, and bucketing the
+    * edge table by src makes the relax join exchange-free on the edge
+    * side.
+    */
+  def weightedDistancesDF(s: SparkSession, edges: DataFrame, seed: Long,
+      maxRounds: Int = Int.MaxValue,
+      broadcastRows: Long = FrontierBroadcastRows): DataFrame = {
+    import s.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("long")).localCheckpoint()
+    var dist = Seq((seed, 0L)).toDF("id", "dist").localCheckpoint()
+    // (id, dist) pairs improved last round — only their out-edges can
+    // improve anything this round
+    var frontier = dist
+    var frontierRows = 1L
+    var round = 0
+    while (round < maxRounds && frontierRows > 0) {
+      round += 1
+      val probe = (if (frontierRows <= broadcastRows) broadcast(frontier)
+        else frontier)
+        .select(col("id").as("src"), col("dist").as("sd"))
+      val cand = e.join(probe, "src")
+        .select(col("dst").as("id"), (col("sd") + col("weight")).as("cand"))
+        .groupBy("id").agg(min(col("cand")).as("cand"))
+      frontier = cand.join(dist.withColumnRenamed("dist", "old"),
+          Seq("id"), "left_outer")
+        .filter(col("old").isNull || col("cand") < col("old"))
+        .select(col("id"), col("cand").as("dist"))
+        .localCheckpoint()
+      frontierRows = frontier.count()
+      if (frontierRows > 0) dist = dist
+        .join(frontier.withColumnRenamed("dist", "nd"), Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist")))
+            .as("dist"))
+        .localCheckpoint()
+    }
+    dist
   }
 
   /** Connected components (GraphX label = min vertex id in component). */
@@ -303,6 +406,19 @@ object Graphs {
       last = cur
       e = next
     }
+    // The signature test is a heuristic (a (count, xor-hash) collision or
+    // exhausting maxRounds could exit on a non-fixed point); verify the
+    // STRUCTURAL fixed point — the arc set is a star forest: one parent
+    // per node and no parent is itself a child. Both checks are single
+    // small jobs over the final one-arc-per-vertex set; fail loudly
+    // rather than return partially-contracted labels.
+    val multiParent = e.groupBy("src").agg(count_distinct(col("dst")).as("n"))
+      .filter(col("n") > 1).limit(1).count() > 0
+    val chainedArc = e.select(col("src"))
+      .intersect(e.select(col("dst"))).limit(1).count() > 0
+    if (multiParent || chainedArc) throw new IllegalStateException(
+      s"connectedComponentsDF: not a star forest after $round rounds " +
+        s"(multiParent=$multiParent chainedArc=$chainedArc) — raise maxRounds")
     // fixed point = stars (node -> component min); minima label themselves
     verts.join(e.select(col("src").as("id"), col("dst").as("component")),
         Seq("id"), "left_outer")

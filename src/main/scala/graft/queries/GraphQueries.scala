@@ -39,15 +39,21 @@ object GraphQueries {
     // of customer 1 in G_supply, via the generic frontier expansion
     // (Graphs.kHopIds): hop 1 is a pushed-down seed filter, hops 2-3
     // broadcast the frontier; parallel edges are deduped ONCE at the end,
-    // so the raw (distinct-free) edge list suffices. kHopIds eagerly
-    // checkpoints the edge list and each frontier — one scan each, no
-    // lazy-cache population races, nothing left pinned in storage.
+    // so the raw (distinct-free) edge list suffices. The edge union is a
+    // persisted bucketed table (supplyEdgeTable — built once per session,
+    // sorted on src so the seed filter prunes row groups); the unrolled
+    // hop joins pipeline in a single action (ReuseExchange dedupes the
+    // nested frontier broadcasts) with no per-hop materialization jobs.
     "g03_khop" -> ((s, dir) => {
-      Graphs.kHopIds(Graphs.supplyEdgesRaw(s, dir),
-          col("src") === lit(Graphs.CUST + 1L), k = 3)
+      Graphs.kHopIds(Graphs.supplyEdgeTable(s, dir),
+          col("src") === lit(Graphs.CUST + 1L), k = 3, materialize = false)
         .filter(col("id") >= Graphs.PART && col("id") < Graphs.PART + Graphs.TAG)
-        .select((col("id") - Graphs.PART).as("p_partkey")).distinct()
-        .orderBy("p_partkey")
+        .select((col("id") - Graphs.PART).as("p_partkey"))
+        // kHopIds output is already distinct and id -> p_partkey is
+        // injective. One-task sort instead of orderBy: a global sort's
+        // range-sampling pass would execute the whole traversal twice
+        // for a result that is only the ids within 3 hops.
+        .repartition(1).sortWithinPartitions("p_partkey")
     }),
 
     // G04 — bounded reachability (<= 3 hops) from the smallest part in the
@@ -69,6 +75,22 @@ object GraphQueries {
       val edges = Graphs.copartEdges(s, dir).localCheckpoint()
       val seed = edges.agg(min(col("src"))).head().getLong(0)
       Graphs.bfsDepthsDF(s, edges, seed, maxDepth = 4)
+        .select(col("id").as("p_partkey"), col("dist"))
+        .orderBy("p_partkey")
+    }),
+
+    // G05b — single-source WEIGHTED shortest distances (<= 4 relaxation
+    // rounds) on the co-part graph, deterministic integer weights
+    // w = (src*31 + dst) % 97 + 1, via the frontier-based Bellman-Ford
+    // (Graphs.weightedDistancesDF — long min-plus, hash-exact; the
+    // unbounded fix-point form is gated against a local Dijkstra oracle
+    // in RandomizedSpec).
+    "g05b_weighted_dist" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir)
+        .withColumn("weight", (col("src") * 31 + col("dst")) % 97 + 1)
+        .localCheckpoint()
+      val seed = edges.agg(min(col("src"))).head().getLong(0)
+      Graphs.weightedDistancesDF(s, edges, seed, maxRounds = 4)
         .select(col("id").as("p_partkey"), col("dist"))
         .orderBy("p_partkey")
     }),
@@ -198,6 +220,18 @@ object GraphQueries {
         |  UNION
         |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 4)
         |SELECT id AS p_partkey, CAST(min(d) AS INT) AS dist FROM r
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g05b_weighted_dist" ->
+      s"""WITH RECURSIVE $copartCte,
+        |we AS (SELECT src, dst, (src*31 + dst) % 97 + 1 AS w FROM e),
+        |seed AS (SELECT min(src) AS s FROM e),
+        |r(id, d, hops) AS (
+        |  SELECT s, CAST(0 AS BIGINT), 0 FROM seed
+        |  UNION
+        |  SELECT we.dst, r.d + we.w, r.hops + 1 FROM r
+        |  JOIN we ON we.src = r.id WHERE r.hops < 4)
+        |SELECT id AS p_partkey, min(d) AS dist FROM r
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g06_connected_components" ->

@@ -431,13 +431,19 @@ object Relational {
 
     // Q28b — approx_percentile (the 100 TB path: bounded-memory sketch vs
     // exact's full sort). Engine-specific sketch -> rows-only check here;
-    // ToleranceSpec gates it against the exact percentiles.
+    // ToleranceSpec gates it against the exact percentiles. Output is
+    // scalar columns (not array<double>) so rows-only serialization stays
+    // trivially sortable downstream.
     "q28b_approx_percentiles" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("event_type")
         .agg(approx_percentile(graft.Det.cents(col("value")),
             array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
-          .as("approx_cents"))
+          .as("ac"))
+        .select(col("event_type"),
+          element_at(col("ac"), 1).as("p50_cents"),
+          element_at(col("ac"), 2).as("p90_cents"),
+          element_at(col("ac"), 3).as("p99_cents"))
         .orderBy("event_type")
     })
   )

@@ -15,6 +15,21 @@ object StreamQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** A cloned session with the RocksDB state-store provider set:
+    * transformWithState requires RocksDB, but setting it on the CALLER's
+    * session would be an ordering-dependent global side effect (every
+    * later streaming query would silently inherit the provider). The
+    * clone shares the SparkContext, external catalog, and columnar cache;
+    * only its conf is private.
+    */
+  private def stateSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(s2)
+    s2
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S01 — tumbling 1-hour counts per event type.
     "s01_tumbling_counts" -> ((s, dir) =>
@@ -67,13 +82,12 @@ object StreamQueries {
     // S08 — transformWithState (Spark 4 arbitrary-state API): per-user
     // running totals in integer cents; batch run is exact and
     // hash-checked, the streaming run is asserted equal in StreamingSpec.
-    "s08_transform_with_state" -> ((s, dir) => {
-      import s.implicits._
+    "s08_transform_with_state" -> ((s0, dir) => {
       // transformWithState runs on the RocksDB state store (batch too),
-      // and needs the coordinator endpoint streaming normally bootstraps
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(s)
+      // and needs the coordinator endpoint streaming normally bootstraps;
+      // both scoped to a cloned session (see stateSession).
+      val s = stateSession(s0)
+      import s.implicits._
       val in = ev(s, dir)
         .select(col("user_id"), col("value"))
         .as[Streams.EventIn2]
@@ -86,11 +100,9 @@ object StreamQueries {
     // total of the 5 most-recent events by (ts, event_id). Batch run is
     // exact (one batch = the whole table) and hash-checked against a
     // window-rank SQL twin; streaming equality is in StreamingSpec.
-    "s09_list_state_lastk" -> ((s, dir) => {
+    "s09_list_state_lastk" -> ((s0, dir) => {
+      val s = stateSession(s0)
       import s.implicits._
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(s)
       val in = ev(s, dir)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
           graft.Det.cents(col("value")).as("cents"))
@@ -103,11 +115,9 @@ object StreamQueries {
     // S10 — transformWithState with MAP state: per-user histogram of
     // event types (state = one map entry per distinct type, not history).
     // Batch run emits the final histogram once — hash-checked.
-    "s10_map_state_counts" -> ((s, dir) => {
+    "s10_map_state_counts" -> ((s0, dir) => {
+      val s = stateSession(s0)
       import s.implicits._
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(s)
       val in = ev(s, dir)
         .select(col("user_id"), col("event_type"))
         .as[Streams.TypeEv]
@@ -124,7 +134,39 @@ object StreamQueries {
         // coalesce so the null group can't hit cross-engine null-ordering
         .groupBy(coalesce(col("segment"), lit("NONE")).as("segment"))
         .agg(count(lit(1)).as("n_events"))
-        .orderBy("segment"))
+        .orderBy("segment")),
+
+    // S11 — event-time timer-closed sessions. The streaming form
+    // (Streams.timerSessions / SessionTimerProcessor) is asserted equal
+    // to the batch sessionization in StreamingSpec; THIS driver-visible
+    // batch twin is that same 30-minute strictly-greater session
+    // aggregate in the S11 output shape (epoch-micro bounds), hash-
+    // checked against DuckDB.
+    "s11_timer_sessions" -> ((s, dir) => {
+      graft.ops.Temporal.sessionize(ev(s, dir), entity = "user_id",
+          ts = "ts", tieBreak = "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_id")
+        .agg(unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "start_us", "end_us", "n_events")
+        .orderBy("user_id", "start_us")
+    }),
+
+    // S12 — incremental temporal earliest-arrival. The streaming form
+    // (Streams.earliestArrivalStream) is asserted equal to the Pregel
+    // recomputation in StreamingSpec; THIS batch twin is that same
+    // earliest-arrival traversal (G10's seed and bounds) in the S12
+    // output shape (event_id, arrival_us), hash-checked against DuckDB.
+    "s12_incremental_arrival" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val seedRow = e.orderBy("event_id")
+        .select(col("event_id"), unix_micros(col("ts"))).head()
+      graft.ops.Graphs.earliestArrival(s, graft.ops.Graphs.sessionEdges(s, dir),
+          seedRow.getLong(0), seedRow.getLong(1), maxHops = 8)
+        .select(col("id").as("event_id"), col("arrival_us"))
+        .orderBy("event_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +230,33 @@ object StreamQueries {
         |  FROM customer GROUP BY 1)
         |SELECT coalesce(seg.segment, 'NONE') AS segment, count(*) AS n_events
         |FROM events e LEFT JOIN seg ON e.user_id = seg.user_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s11_timer_sessions" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |     s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+        |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "s12_incremental_arrival" ->
+      """WITH o AS (SELECT event_id, user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |  s AS (SELECT user_id, rn FROM o
+        |        WHERE event_id = (SELECT min(event_id) FROM events))
+        |SELECT o.event_id, epoch_us(CAST(o.ts AS TIMESTAMP)) AS arrival_us
+        |FROM o JOIN s ON o.user_id = s.user_id
+        |WHERE o.rn >= s.rn AND o.rn <= s.rn + 8
+        |ORDER BY o.event_id""".stripMargin
   )
 }

@@ -85,27 +85,32 @@ class ToleranceSpec extends SparkSpecBase {
     assert(run(true) == run(false) && run(true).nonEmpty)
   }
 
-  test("q28b approx percentiles are rank-correct (±1 rank at accuracy 10000)") {
+  test("q28b approx percentiles are rank-correct within the sketch contract") {
     // approx_percentile returns an actual element with rank error <= n/a;
     // comparing VALUES against the interpolated exact percentile is the
     // wrong gate (in a small tail the two adjacent order stats can be far
-    // apart) — the sketch's contract is about rank.
+    // apart) — the sketch's contract is about rank. The window is
+    // max(1, ceil(n/accuracy)) per group, so the gate stays valid when a
+    // group outgrows the accuracy parameter at larger scale factors.
     import spark.implicits._
     val byType = Tables.load(spark, sfDir, "events")
       .select(col("event_type"), graft.Det.cents(col("value")).as("c"))
       .as[(String, Long)].collect().groupBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2).sorted }
     val approx = SparkEntry.queries("q28b_approx_percentiles")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
     assert(approx.keySet == byType.keySet && approx.nonEmpty)
     approx.foreach { case (k, ap) =>
       val sorted = byType(k)
+      val slack = math.max(1, math.ceil(sorted.length / 10000.0).toInt)
       Seq(0.5, 0.9, 0.99).zip(ap).foreach { case (p, a) =>
         val target = (sorted.length - 1) * p
-        val lo = math.max(0, math.floor(target).toInt - 1)
-        val hi = math.min(sorted.length - 1, math.ceil(target).toInt + 1)
+        val lo = math.max(0, math.floor(target).toInt - slack)
+        val hi = math.min(sorted.length - 1, math.ceil(target).toInt + slack)
         assert((lo to hi).exists(i => sorted(i) == a),
-          s"$k p$p: approx=$a not within rank ±1 of target $target " +
+          s"$k p$p: approx=$a not within rank ±$slack of target $target " +
             s"(window ${sorted.slice(lo, hi + 1).toSeq})")
       }
     }
