@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Similarity, Text}
+import graft.ops.{Bucketing, SimIndex, Similarity, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,37 @@ object LlmQueries {
         .filter(col("est_jaccard") >= 0.42)
         .select("a_id", "b_id")
       Similarity.exactJaccardCompact(sh, likely)
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // L02c — LSH near-dup over the PERSISTED index (SimIndex): the band
+    // and signature tables are built ONCE per (session, sf dir) as
+    // bucketed managed tables; candidate generation is then an
+    // Exchange-free bucket-local self join (plan shape asserted in
+    // SimIndexSpec) and only the exact re-check touches the corpus
+    // shingles. Same pipeline parameters as l02b, so the output is
+    // IDENTICAL (asserted in SimIndexSpec); engine-only for the driver
+    // (seeded MinHash), rows-checked. This is the 100 TB operating mode:
+    // the corpus-wide shuffle is paid at index-build time, every dedup
+    // run after that reads co-located buckets.
+    "l02c_lsh_indexed" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      val prefix = "graft_lsh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(s"${prefix}_bands")) {
+        Bucketing.dropStaleLocation(s, s"${prefix}_bands")
+        Bucketing.dropStaleLocation(s, s"${prefix}_sigs")
+        SimIndex.writeLshIndex(docs(s, dir), prefix, numHashes = 32,
+          bands = 16, buckets = 8)
+      }
+      val cands = SimIndex.lshCandidatesFromIndex(s, prefix)
+      val likely = Similarity
+        .estimateJaccard(cands, s.table(s"${prefix}_sigs"))
+        .filter(col("est_jaccard") >= 0.42)
+        .select("a_id", "b_id")
+      Similarity.exactJaccardCompact(Text.shingles(docs(s, dir), 3), likely)
         .filter(col("jaccard") > 0.6)
         .select(col("a_id"), col("b_id"),
           round(col("jaccard"), 4).as("jaccard"))

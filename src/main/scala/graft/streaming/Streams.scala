@@ -321,9 +321,14 @@ object Streams {
         open.update(s)
         // Re-arm: exactly one live timer per key (delete-then-register;
         // timers are millisecond-granular — round the expiry UP so a
-        // session never closes early mid-millisecond).
+        // session never closes early mid-millisecond). The extra +1 ms
+        // matches batch's strictly-greater gap rule at the exact
+        // boundary: an event at ts == last + gap EXTENDS the session, so
+        // the timer must not fire until the watermark is strictly past
+        // last + gap — otherwise a watermark driven by other keys could
+        // close the session before the boundary-equal event arrives.
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer((s.last_us + 999L) / 1000L + gapMs)
+        getHandle.registerTimer((s.last_us + 999L) / 1000L + gapMs + 1L)
       }
       closed.result().iterator
     }

@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.{SimIndex, Similarity, Text}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
 
 /** Persisted similarity indexes (ROADMAP 6): building the MinHash/LSH and
   * IVF state once as bucketed tables must (a) make the per-query candidate
@@ -86,6 +86,16 @@ class SimIndexSpec extends SparkSpecBase {
     assert(fromIdx == fresh && fromIdx.nonEmpty)
   }
 
+  test("l02c indexed LSH near-dedup equals the from-scratch l02b pipeline") {
+    val prefix = "graft_lsh_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    dropIdx(s"${prefix}_bands", s"${prefix}_sigs")
+    val fromIdx = SparkEntry.queries("l02c_lsh_indexed")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val fresh = SparkEntry.queries("l02b_lsh_near_dedup")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(fromIdx == fresh && fromIdx.nonEmpty)
+  }
+
   test("shingle index: decontamination matches the string-keyed pass, index side Exchange-free") {
     dropIdx("deconidx_shingles")
     val d = Tables.load(spark, sfDir, "documents")
@@ -105,7 +115,10 @@ class SimIndexSpec extends SparkSpecBase {
     assert(fromIdx == fresh && fromIdx.nonEmpty && fromIdx.size < 475)
 
     // plan shape: the contamination join shuffles ONLY the train side —
-    // the bucketed index side must come in without an Exchange
+    // the bucketed index side must come in without an Exchange. Pinning
+    // the exchange KIND and SIDE matters: a BroadcastExchange of the
+    // index side would also pass a bare "<= 1 Exchange" count while
+    // silently bypassing the bucket locality this index exists for.
     val trainSh = Text.shingles(train, 20)
       .select(col("doc_id"), org.apache.spark.sql.functions
         .xxhash64(col("shingle")).as("sh_hash"))
@@ -113,7 +126,11 @@ class SimIndexSpec extends SparkSpecBase {
     val exchanges = joined.queryExecution.executedPlan.collect {
       case e: Exchange => e
     }
-    assert(exchanges.size <= 1,
-      s"index side must be exchange-free, found ${exchanges.map(_.nodeName)}")
+    assert(exchanges.size <= 1 &&
+        exchanges.forall(_.isInstanceOf[ShuffleExchangeExec]),
+      s"expected at most one ShuffleExchange (train side), " +
+        s"found ${exchanges.map(_.nodeName)}")
+    assert(!exchanges.exists(_.toString.contains("deconidx_shingles")),
+      "the bucketed index scan must not sit under any Exchange")
   }
 }
