@@ -399,8 +399,15 @@ object Graphs {
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      round += 1
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // TWO composed contraction rounds per materialization+signature
+      // check (ROADMAP 3): the fixed point is stable under extra rounds,
+      // so batching halves the checkpoint and signature jobs — the
+      // per-round job-launch overhead that dominates at small SF —
+      // without changing the result. Convergence typically needs
+      // O(log n) rounds, so the at-most-one wasted extra round is noise.
+      round += 2
+      val next = smallStar(largeStar(smallStar(largeStar(e))))
+        .localCheckpoint()
       val cur = sig(next)
       done = cur == last
       last = cur

@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Estimated compact-set payload above which [[exactJaccardCompact]]'s
+    * adaptive default stops broadcasting the per-doc hash sets and plans
+    * shuffled hash joins instead — same role as
+    * [[Graphs.FrontierBroadcastRows]] for traversal frontiers.
+    */
+  val BroadcastSetBytes: Long = 64L << 20
+
   /** Sequential-fold dot product of two float-array columns in double
     * precision via the native codegen'd [[graft.functions.FloatVecDot]]
     * expression (identical fold order to the interpreted HOF form and the
@@ -340,25 +347,38 @@ object Similarity {
     * (~1e-8 at 10^6 distinct shingles). Requires
     * `VecFunctions.ensureRegistered`.
     *
-    * `broadcastSets = true` (default, test/cluster-dim scale) ships the
-    * compact set table to every task — zero shuffle on the probe side. At
-    * 100 TB pass `false`: the same joins plan as shuffled hash joins
-    * partitioned on a_id/b_id, linear in candidate volume with no
-    * driver-memory ceiling (candidates arrive bucketed from LSH, so the
-    * shuffle is the co-location step). Both paths are the same plan shape
-    * otherwise; ToleranceSpec asserts identical output.
+    * `broadcastSets = Some(true)` ships the compact set table to every
+    * task — zero shuffle on the probe side. `Some(false)` is the 100 TB
+    * form: the same joins plan as shuffled hash joins partitioned on
+    * a_id/b_id, linear in candidate volume with no driver-memory ceiling
+    * (candidates arrive bucketed from LSH, so the shuffle is the
+    * co-location step). The default `None` decides ADAPTIVELY, like the
+    * BFS frontier switch (Graphs.FrontierBroadcastRows): the compact set
+    * table is materialized once (`localCheckpoint` — every later join
+    * reads the same blocks, so the sizing agg is nearly free) and
+    * broadcast only if its estimated payload fits [[BroadcastSetBytes]].
+    * All paths are the same plan shape otherwise; ToleranceSpec asserts
+    * identical output on all three.
     */
   def exactJaccardCompact(shingled: DataFrame, pairs: DataFrame,
-      broadcastSets: Boolean = true): DataFrame = {
-    val sets = shingled
+      broadcastSets: Option[Boolean] = None): DataFrame = {
+    val sets0 = shingled
       .groupBy("doc_id")
       .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("hset"))
       .select(col("doc_id"), col("hset"), size(col("hset")).as("sz"))
+    val (sets, useBroadcast) = broadcastSets match {
+      case Some(b) => (sets0, b)
+      case None =>
+        val m = sets0.localCheckpoint()
+        val st = m.agg(count(lit(1)), coalesce(sum("sz"), lit(0L))).head()
+        // 8 B per hash + ~24 B row overhead per doc
+        (m, st.getLong(0) * 24L + st.getLong(1) * 8L <= BroadcastSetBytes)
+    }
     val a = sets.select(col("doc_id").as("a_id"), col("hset").as("a_set"),
       col("sz").as("a_sz"))
     val b = sets.select(col("doc_id").as("b_id"), col("hset").as("b_set"),
       col("sz").as("b_sz"))
-    val (aj, bj) = if (broadcastSets) (broadcast(a), broadcast(b)) else (a, b)
+    val (aj, bj) = if (useBroadcast) (broadcast(a), broadcast(b)) else (a, b)
     pairs.join(aj, "a_id").join(bj, "b_id")
       .withColumn("inter",
         call_function("sorted_intersect_count", col("a_set"), col("b_set")))

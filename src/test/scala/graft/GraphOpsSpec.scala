@@ -80,6 +80,21 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(res == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("bfsDepthsDF: shuffle-join frontier (broadcastRows = 0) == broadcast frontier") {
+    // broadcastRows = 0 forces every level down the shuffle-join branch —
+    // the path a hub-level frontier takes past FrontierBroadcastRows at
+    // scale; results must be identical to the broadcast branch.
+    val edges = Graphs.copartEdges(spark, sfDir).localCheckpoint()
+    val seed = edges.agg(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.col("src"))).head().getLong(0)
+    val viaBcast = Graphs.bfsDepthsDF(spark, edges, seed, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaShuffle = Graphs
+      .bfsDepthsDF(spark, edges, seed, maxDepth = 3, broadcastRows = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaShuffle == viaBcast && viaBcast.nonEmpty)
+  }
+
   test("connectedComponentsDF == GraphX on crafted multi-component graph") {
     import spark.implicits._
     // components {1,2,3,7}, {4,5}, {8,9,10} (chain), plus the 2-cycle 11-12

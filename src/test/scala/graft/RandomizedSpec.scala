@@ -121,6 +121,39 @@ class RandomizedSpec extends SparkSpecBase {
     }
   }
 
+  test("weightedDistancesDF (fix point) == local Dijkstra on random graphs (6 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    for (trial <- 1 to 6) {
+      val n = 25
+      val edges = (1 to 60).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(20))
+      }.filter(e => e._1 != e._2).distinct
+      val seed = edges(rnd.nextInt(edges.length))._1
+      // local Dijkstra over directed weighted edges
+      val adj = edges.groupBy(_._1)
+        .map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+      val dist = scala.collection.mutable.Map(seed -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, seed))(
+        Ordering.by((t: (Long, Long)) => -t._1))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d == dist(u)) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (!dist.get(v).exists(_ <= d + w)) {
+            dist(v) = d + w; pq.enqueue((d + w, v))
+          }
+        }
+      }
+      // default maxRounds = fix point; one trial also forces the
+      // shuffle-join frontier branch (broadcastRows = 0)
+      val bRows = if (trial == 1) 0L else Graphs.FrontierBroadcastRows
+      val got = Graphs.weightedDistancesDF(spark,
+          edges.toDF("src", "dst", "weight"), seed, broadcastRows = bRows)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist.toMap, s"trial $trial seed=$seed")
+    }
+  }
+
   test("packGreedy == local greedy fold on random corpora (10 trials)") {
     import spark.implicits._
     val rnd = new scala.util.Random(3L)

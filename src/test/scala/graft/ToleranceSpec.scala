@@ -72,17 +72,18 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
-  test("exactJaccardCompact: shuffled (non-broadcast) path == broadcast path") {
+  test("exactJaccardCompact: broadcast, shuffled, and adaptive paths agree") {
     graft.functions.VecFunctions.ensureRegistered(spark)
     import spark.implicits._
     val sh = graft.ops.Text.shingles(
       Tables.load(spark, sfDir, "documents").limit(200), 3)
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 9L), (10L, 40L), (7L, 100L))
       .toDF("a_id", "b_id")
-    def run(bc: Boolean) = graft.ops.Similarity
+    def run(bc: Option[Boolean]) = graft.ops.Similarity
       .exactJaccardCompact(sh, pairs, broadcastSets = bc)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(run(true) == run(false) && run(true).nonEmpty)
+    val bcast = run(Some(true))
+    assert(bcast == run(Some(false)) && bcast == run(None) && bcast.nonEmpty)
   }
 
   test("q28b approx percentiles are rank-correct within the sketch contract") {
