@@ -38,11 +38,17 @@ class BucketingSpec extends SparkSpecBase {
     val plainCount = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
     assert(joined.count() == plainCount && plainCount > 0)
 
-    // plan: no shuffle anywhere in the executed join
-    val exec = joined.queryExecution.executedPlan
-    val exchanges = exec.collect { case e: Exchange => e }
-    assert(exchanges.isEmpty,
-      s"expected exchange-free bucketed join, found: ${exchanges.map(_.nodeName)}")
+    // plan: no shuffle anywhere in the join. Broadcast is disabled and
+    // the frame re-planned inside the scope — the tiny fixture would
+    // otherwise broadcast one side and never exercise bucket locality.
+    withoutAutoBroadcast {
+      val rejoined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val exchanges = physical(rejoined).collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"expected exchange-free bucketed join, found: ${exchanges.map(_.nodeName)}")
+    }
   }
 
   test("as-of merge join over bucketed+sorted tables plans exchange-free") {
@@ -69,7 +75,7 @@ class BucketingSpec extends SparkSpecBase {
     val joined = graft.ops.AsOfJoin.merge(
       spark.table("ev_bucketed"), spark.table("ev2_bucketed"),
       Seq("user_id"), "ts", "ts", Seq("click_id"), "click_id")
-    val exec = joined.queryExecution.executedPlan
+    val exec = physical(joined)
     val exchanges = exec.collect { case e: Exchange => e }
     assert(exchanges.isEmpty,
       s"expected exchange-free bucketed as-of, found ${exchanges.map(_.nodeName)}")
@@ -88,7 +94,7 @@ class BucketingSpec extends SparkSpecBase {
       spark.table("ev_bucketed"), spark.table("ev2_bucketed"),
       Seq("user_id"), "ts", "ts", Seq("click_id"), "click_id")
       .groupBy("user_id").count()
-    val aggedExchanges = agged.queryExecution.executedPlan.collect {
+    val aggedExchanges = physical(agged).collect {
       case e: Exchange => e
     }
     assert(aggedExchanges.isEmpty,
@@ -104,7 +110,7 @@ class BucketingSpec extends SparkSpecBase {
       col("p_day") >= lit("2024-01-10") && col("p_day") < lit("2024-01-12"))
     // partition pruning happens at the file-index level: the filtered scan
     // reads only the 2 matching day directories
-    val scans = filtered.queryExecution.executedPlan.collect {
+    val scans = physical(filtered).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.nonEmpty)

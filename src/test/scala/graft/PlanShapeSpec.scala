@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Physical-plan regression guard for the headline (BENCH B1–B10) paths:
+  * the properties that make these plans survive a 100× scale-up —
+  * pushdown reaching the scan, small sides broadcast, no quadratic join
+  * strategies, top-k without a global sort — asserted as PRESENCE
+  * requirements, so a planner change that silently drops one fails the
+  * suite instead of showing up as a bench regression a round later.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def all(df: DataFrame): Seq[SparkPlan] = {
+    val root = physical(df)
+    root.collect { case p => p } ++ root.subqueries.flatMap(s =>
+      s.collect { case p => p })
+  }
+
+  test("q01 scan: filter and projection reach the parquet scan") {
+    val q = SparkEntry.queries("q01_scan_filter")(spark, sfDir)
+    val scans = all(q).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // the range predicate is pushed (not evaluated post-scan only)
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(f => f.contains("GreaterThanOrEqual") || f.contains("IsNotNull"))),
+      scans.map(_.metadata.get("PushedFilters")).mkString(";"))
+    // column pruning: the lineitem scan reads a strict subset of the table
+    val li = Tables.load(spark, sfDir, "lineitem")
+    assert(scans.exists(_.output.length <= 5) &&
+      scans.forall(_.output.length < li.columns.length))
+  }
+
+  test("q05 broadcast join: the dim side is broadcast, never shuffled") {
+    val q = SparkEntry.queries("q05_broadcast_join")(spark, sfDir)
+    val p = all(q)
+    assert(p.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !p.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
+  test("q04 multi-join: dims broadcast, at most one fact shuffle pre-agg") {
+    val q = SparkEntry.queries("q04_multi_join")(spark, sfDir)
+    val p = all(q)
+    assert(p.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      s"expected >=2 broadcast joins: ${p.map(_.nodeName).distinct}")
+    // fact-side shuffles: the final agg exchange (+ sort's range exchange);
+    // the join tree itself must not shuffle the fact table repeatedly
+    val shuffles = p.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2, s"expected <=2 shuffles, found $shuffles")
+  }
+
+  test("q09 range join: banded equi join, no quadratic strategy") {
+    val q = SparkEntry.queries("q09_range_join")(spark, sfDir)
+    val p = all(q)
+    assert(p.exists(n => n.nodeName.contains("Join")), "no join in plan")
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !p.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "range join fell back to a quadratic strategy")
+  }
+
+  test("q17 top-k: TakeOrdered, not a global sort") {
+    val q = SparkEntry.queries("q17_topk")(spark, sfDir)
+    assert(all(q).exists(_.nodeName.contains("TakeOrderedAndProject")))
+  }
+
+  test("q10 as-of: no nested-loop fallback on the inequality condition") {
+    val q = SparkEntry.queries("q10_asof_join")(spark, sfDir)
+    val p = all(q)
+    assert(!p.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !p.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("l03 cosine top-k: block kernel, no cartesian pair materialization") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val q = SparkEntry.queries("l03_cosine_topk")(spark, sfDir)
+    val p = all(q)
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !p.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    assert(p.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "top-k must be a bounded-heap TakeOrdered, not a global sort")
+  }
+
+  test("whole-stage codegen covers the hot aggregation path (q02)") {
+    val q = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
+    q.collect() // codegen collapse happens per-stage at execution under AQE
+    // AQE buries each stage's codegen'd tree inside QueryStageExec leaf
+    // nodes — a flat collect sees none of it; descend through the stage
+    // boundaries explicitly.
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case _ => p.children
+      }
+      p +: inner.flatMap(deep)
+    }
+    val wscg = deep(q.queryExecution.executedPlan)
+      .count(_.nodeName.contains("WholeStageCodegen"))
+    assert(wscg >= 2, s"expected >=2 codegen regions, found $wscg")
+  }
+}
