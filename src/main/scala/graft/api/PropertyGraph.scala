@@ -64,6 +64,49 @@ case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def pageRank(iters: Int): DataFrame =
     Graphs.pageRankDF(spark, edges.select("src", "dst"), iters)
 
+  /** General motif match (GraphFrames-style `find`, reimplemented as a
+    * join planner — SURVEY G09): `pattern` is a semicolon-separated list
+    * of directed edge atoms `(a)-[]->(b)`. Vertex names bind across
+    * atoms (the same name means the same vertex); `()` is an anonymous
+    * vertex that binds nothing. Returns one id column per NAMED vertex,
+    * distinct rows.
+    *
+    * The plan is pure equi joins — one edge-list scan per atom, joined
+    * on the shared vertex variables — so Catalyst orders/broadcasts them
+    * like any other join tree; apply vertex predicates by joining the
+    * result columns against filtered dimension tables (predicate
+    * pushdown then prunes before the motif joins).
+    */
+  def find(pattern: String): DataFrame = {
+    val atom = """\(\s*(\w*)\s*\)\s*-\s*\[\s*\w*\s*\]\s*->\s*\(\s*(\w*)\s*\)""".r
+    val atoms = pattern.split(";").map(_.trim).filter(_.nonEmpty).map {
+      case atom(a, b) => (a, b)
+      case bad => throw new IllegalArgumentException(
+        s"unsupported motif atom '$bad' (expected '(a)-[]->(b)')")
+    }
+    require(atoms.nonEmpty, "empty motif pattern")
+    var fresh = 0
+    def name(v: String): String =
+      if (v.nonEmpty) v
+      else { fresh += 1; s"__anon$fresh" }
+    val named = atoms.map { case (a, b) => (name(a), name(b)) }
+    val acc = named
+      .map { case (a, b) =>
+        if (a == b) // self-loop atom: one bound column
+          edges.filter(col("src") === col("dst")).select(col("src").as(a))
+        else edges.select(col("src").as(a), col("dst").as(b))
+      }
+      .reduceLeft { (l, r) =>
+        val shared = l.columns.intersect(r.columns).toSeq
+        if (shared.nonEmpty) l.join(r, shared)
+        else l.crossJoin(r) // disconnected pattern components
+      }
+    val keep = named.flatMap { case (a, b) => Seq(a, b) }
+      .distinct.filterNot(_.startsWith("__anon"))
+    require(keep.nonEmpty, "motif pattern binds no vertex names")
+    acc.select(keep.map(col): _*).distinct()
+  }
+
   /** Two-edge motif `(a)-[e1]->(b)-[e2]->(c)` with optional per-vertex
     * predicates applied BEFORE the joins (filter pushdown by hand).
     */

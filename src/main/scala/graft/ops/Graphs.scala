@@ -79,6 +79,32 @@ object Graphs {
     s.table(name)
   }
 
+  /** TEMPORAL G_supply edges: every edge carries its validity start —
+    * `cust→order` exists from the order date; `order→part`, `order→supp`
+    * and `supp→part` from the first shipment that realizes the relation
+    * (min `l_shipdate` per key pair). `valid_to` is open (null): supply
+    * relations in this dataset never end. A snapshot of the graph at
+    * time t (api.TemporalPropertyGraph.at) therefore contains exactly
+    * the edges whose start is <= t — the reference's snapshot-query
+    * model applied to the graph itself rather than a property table.
+    */
+  def temporalSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(s, dir, "orders")
+    val li = graft.Tables.load(s, dir, "lineitem")
+    def minShip(a: String, b: String, offA: Long, offB: Long, et: String) =
+      li.groupBy(col(a), col(b))
+        .agg(min(col("l_shipdate")).as("valid_from"))
+        .select((col(a) + offA).as("src"), (col(b) + offB).as("dst"),
+          lit(et).as("etype"), col("valid_from"))
+    orders.select((col("o_custkey") + CUST).as("src"),
+        (col("o_orderkey") + ORD).as("dst"), lit("cust_order").as("etype"),
+        col("o_orderdate").as("valid_from"))
+      .unionAll(minShip("l_orderkey", "l_partkey", ORD, PART, "order_part"))
+      .unionAll(minShip("l_orderkey", "l_suppkey", ORD, SUPP, "order_supp"))
+      .unionAll(minShip("l_suppkey", "l_partkey", SUPP, PART, "supp_part"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+  }
+
   /** G_supply edges WITHOUT per-type dedup — for traversals that dedupe
     * once at the end (reachability is insensitive to parallel edges), this
     * skips three distinct-shuffles over lineitem.

@@ -141,6 +141,63 @@ object GraphQueries {
         .orderBy("c_custkey", "o_orderkey", "p_partkey")
     }),
 
+    // G09b — the same motif through the GENERAL pattern planner
+    // (PropertyGraph.find "(c)-[]->(o); (o)-[]->(p)"): the pattern
+    // compiles to the same equi-join tree as the hand-written G09 plan,
+    // predicates applied by joining the bound columns against filtered
+    // dims (pushdown prunes before the motif joins). Same oracle as G09.
+    "g09b_motif_find" -> ((s, dir) => {
+      val g = graft.api.PropertyGraph(Graphs.supplyVertices(s, dir),
+        Graphs.supplyEdges(s, dir))
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") + Graphs.CUST).as("c"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select((col("o_orderkey") + Graphs.ORD).as("o"))
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_size") > 40)
+        .select((col("p_partkey") + Graphs.PART).as("p"))
+      g.find("(c)-[]->(o); (o)-[]->(p)")
+        .join(c, "c").join(o, "o").join(broadcast(p), "p")
+        .select((col("c") - Graphs.CUST).as("c_custkey"),
+          (col("o") - Graphs.ORD).as("o_orderkey"),
+          (col("p") - Graphs.PART).as("p_partkey"))
+        .distinct()
+        .orderBy("c_custkey", "o_orderkey", "p_partkey")
+    }),
+
+    // G11 — temporal graph SNAPSHOT traversal: the supply graph as it
+    // existed at 1997-07-01 (an edge exists only once its realizing
+    // order/shipment happened), then the same 3-hop part expansion as
+    // G03 on that snapshot. The snapshot is a pushed-down validity
+    // filter on the edge scan (api.TemporalPropertyGraph.at), so the
+    // traversal plan is identical to G03's — temporality costs a
+    // predicate, not an execution path.
+    "g11_snapshot_khop" -> ((s, dir) => {
+      val t = to_timestamp(lit("1997-07-01 00:00:00"))
+      val snap = graft.api.TemporalPropertyGraph(
+          Graphs.supplyVertices(s, dir),
+          Graphs.temporalSupplyEdges(s, dir))
+        .at(t)
+      Graphs.kHopIds(snap.edges, col("src") === lit(Graphs.CUST + 1L), k = 3)
+        .filter(col("id") >= Graphs.PART && col("id") < Graphs.PART + Graphs.TAG)
+        .select((col("id") - Graphs.PART).as("p_partkey"))
+        .repartition(1).sortWithinPartitions("p_partkey")
+    }),
+
+    // G12 — graph EVOLUTION: edge counts per type at four year-start
+    // snapshots. One edge-list scan fanned out to the points (generator,
+    // no self-join) + one aggregation.
+    "g12_graph_evolution" -> ((s, dir) => {
+      graft.api.TemporalPropertyGraph(
+          Graphs.supplyVertices(s, dir),
+          Graphs.temporalSupplyEdges(s, dir))
+        .evolution(Seq("1996-01-01 00:00:00", "1997-01-01 00:00:00",
+          "1998-01-01 00:00:00", "1999-01-01 00:00:00"))
+        .orderBy("t", "etype")
+    }),
+
     // G10 — temporal earliest-arrival path (the reference's signature
     // traversal) from the globally-first event, bounded to 8 hops.
     "g10_temporal_path" -> ((s, dir) => {
@@ -262,6 +319,57 @@ object GraphQueries {
         |  AND o_orderpriority = '1-URGENT'
         |  AND p_size > 40
         |ORDER BY c_custkey, o_orderkey, p_partkey""".stripMargin,
+
+    // same motif, so the same oracle as g09
+    "g09b_motif_find" ->
+      """SELECT DISTINCT c_custkey, o_orderkey, p_partkey
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+        |  ON o_orderkey = li.l_orderkey
+        |JOIN part ON li.l_partkey = p_partkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderpriority = '1-URGENT'
+        |  AND p_size > 40
+        |ORDER BY c_custkey, o_orderkey, p_partkey""".stripMargin,
+
+    "g11_snapshot_khop" ->
+      """WITH op AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |    GROUP BY 1, 2 HAVING min(l_shipdate) <= TIMESTAMP '1997-07-01'),
+        |  os AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |    GROUP BY 1, 2 HAVING min(l_shipdate) <= TIMESTAMP '1997-07-01'),
+        |  sp AS (SELECT l_suppkey, l_partkey FROM lineitem
+        |    GROUP BY 1, 2 HAVING min(l_shipdate) <= TIMESTAMP '1997-07-01'),
+        |  o1 AS (SELECT o_orderkey FROM orders
+        |    WHERE o_custkey = 1 AND o_orderdate <= TIMESTAMP '1997-07-01'),
+        |  p2 AS (SELECT DISTINCT l_partkey FROM op
+        |         WHERE l_orderkey IN (SELECT o_orderkey FROM o1)),
+        |  s2 AS (SELECT DISTINCT l_suppkey FROM os
+        |         WHERE l_orderkey IN (SELECT o_orderkey FROM o1)),
+        |  p3 AS (SELECT DISTINCT l_partkey FROM sp
+        |         WHERE l_suppkey IN (SELECT l_suppkey FROM s2))
+        |SELECT DISTINCT l_partkey AS p_partkey FROM
+        |  (SELECT l_partkey FROM p2 UNION ALL SELECT l_partkey FROM p3)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "g12_graph_evolution" ->
+      """WITH pts(t) AS (VALUES (TIMESTAMP '1996-01-01'),
+        |    (TIMESTAMP '1997-01-01'), (TIMESTAMP '1998-01-01'),
+        |    (TIMESTAMP '1999-01-01')),
+        |  te AS (
+        |    SELECT 'cust_order' AS etype, o_orderdate AS valid_from FROM orders
+        |    UNION ALL SELECT 'order_part', valid_from FROM
+        |      (SELECT min(l_shipdate) AS valid_from FROM lineitem
+        |       GROUP BY l_orderkey, l_partkey)
+        |    UNION ALL SELECT 'order_supp', valid_from FROM
+        |      (SELECT min(l_shipdate) AS valid_from FROM lineitem
+        |       GROUP BY l_orderkey, l_suppkey)
+        |    UNION ALL SELECT 'supp_part', valid_from FROM
+        |      (SELECT min(l_shipdate) AS valid_from FROM lineitem
+        |       GROUP BY l_suppkey, l_partkey))
+        |SELECT pts.t, te.etype, count(*) AS n_edges
+        |FROM pts JOIN te ON te.valid_from <= pts.t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "g10_temporal_path" ->
       """WITH o AS (SELECT event_id, user_id, ts,

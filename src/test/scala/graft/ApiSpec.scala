@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{PropertyGraph, TemporalTable}
+import graft.api.{PropertyGraph, TemporalPropertyGraph, TemporalTable}
 import graft.ops.{Media, Skew}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,74 @@ class ApiSpec extends SparkSpecBase {
     val asof = tt.asOfJoin(probes, "p_ts", Seq("value")).collect()
       .map(r => r.getLong(0) -> Option(r.get(2))).toMap
     assert(asof == Map(10L -> Some(2.0), 20L -> None))
+  }
+
+  test("PropertyGraph find: general motif planner matches expectations") {
+    import spark.implicits._
+    val g = graph() // 1->2->3->4 with the 2->4 shortcut
+    // 2-edge chain == the hand-written findPath2 planner
+    val viaFind = g.find("(a)-[]->(b); (b)-[]->(c)")
+      .select("a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaPath2 = g.findPath2()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaFind == viaPath2 && viaFind ==
+      Set((1L, 2L, 3L), (1L, 2L, 4L), (2L, 3L, 4L)))
+    // 3-edge chain; anonymous middle vertices bind nothing
+    assert(g.find("(a)-[]->(b); (b)-[]->(c); (c)-[]->(d)")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet ==
+      Set((1L, 4L)))
+    assert(g.find("(a)-[]->(); (a)-[]->(b)").columns.toSeq ==
+      Seq("a", "b"))
+    // diamond: two paths that reconverge — only 1->2->{3,4}, 2->{3}->4
+    // and 2->{4} give 1-(2,x)-4? the only diamond is 2->3->4 with 2->4…
+    // no second disjoint path, so the strict diamond pattern over
+    // DISTINCT intermediate vertices has no match requirement here;
+    // assert the reconvergence pattern finds 2->{3}->4 via both arms
+    val diamond = g.find("(a)-[]->(b); (b)-[]->(d); (a)-[]->(d)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(diamond == Set((2L, 3L, 4L)))
+    // malformed atoms are rejected loudly
+    intercept[IllegalArgumentException](g.find("(a)-(b)"))
+  }
+
+  test("TemporalPropertyGraph: snapshot, window, and evolution semantics") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id")
+    // closed-validity edge (1->2 retired in 2021), open-ended others
+    val e = Seq(
+      (1L, 2L, "a", ts("2020-01-01 00:00:00"), Some(ts("2021-01-01 00:00:00"))),
+      (2L, 3L, "a", ts("2020-06-01 00:00:00"), None),
+      (3L, 4L, "b", ts("2022-01-01 00:00:00"), None))
+      .toDF("src", "dst", "etype", "valid_from", "valid_to")
+    val tpg = TemporalPropertyGraph(v, e)
+
+    def edgeSet(g: PropertyGraph) = g.edges.select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // at(): validity is [from, to) — the 2020-12-31 instant still has
+    // 1->2, the 2021-01-01 boundary no longer does
+    assert(edgeSet(tpg.at(to_timestamp(lit("2020-12-31 00:00:00")))) ==
+      Set((1L, 2L), (2L, 3L)))
+    assert(edgeSet(tpg.at(to_timestamp(lit("2021-06-01 00:00:00")))) ==
+      Set((2L, 3L)))
+    // a snapshot runs ordinary graph ops unchanged
+    assert(tpg.at(to_timestamp(lit("2022-06-01 00:00:00")))
+      .bfs(2L).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(2L -> 0, 3L -> 1, 4L -> 2))
+    // during(): overlap with the window, not containment
+    assert(edgeSet(tpg.during(to_timestamp(lit("2020-12-01 00:00:00")),
+        to_timestamp(lit("2022-06-01 00:00:00")))) ==
+      Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    // evolution: per-point per-type counts, expired edges drop out
+    val evo = tpg.evolution(Seq("2020-07-01 00:00:00", "2022-07-01 00:00:00"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2))).toSet
+    assert(evo == Set(
+      ("2020-07-01 00:00:00.0", "a", 2L),
+      ("2022-07-01 00:00:00.0", "a", 1L),
+      ("2022-07-01 00:00:00.0", "b", 1L)))
   }
 
   test("saltedJoin equals plain join on skewed data") {
