@@ -410,6 +410,35 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Q15b — ordered string aggregation (listagg WITHIN GROUP): the
+    // orderless form is nondeterministic by contract, so the declared
+    // query pins an explicit element order — the only hash-stable way to
+    // use it on either engine.
+    "q15b_listagg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("listagg(DISTINCT l_linestatus, ',') " +
+          "WITHIN GROUP (ORDER BY l_linestatus)").as("statuses"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q25b — unpivot/melt (the inverse of Q25's pivot): a wide per-flag
+    // aggregate row becomes (flag, measure, value) rows. Measures are
+    // integer-cents/counts so the single shared value type is LONG —
+    // exact on both engines.
+    "q25b_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(graft.Det.cents(col("l_extendedprice"))).as("sum_price_cents"),
+          count(lit(1)).as("cnt"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price_cents"), col("cnt")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
     // Q28 — exact interpolated percentiles (p50/p90/p99) of event value
     // cents per type. Both engines use linear interpolation at rank
     // (n-1)·p; the interpolated values are exact multiples of 0.01 cents
@@ -674,6 +703,27 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15b_listagg" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+        |    AS statuses
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25b_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |      AS sum_price_cents,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'cnt', cnt FROM w)
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q26_explode_shingles" ->
       """WITH g AS (SELECT doc_id, text,
