@@ -395,16 +395,20 @@ object Graphs {
         .filter(col("src") =!= col("dst"))
     }
 
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStar(e: DataFrame, dedup: Boolean): DataFrame = {
       // canonical arcs (hi -> lo); m = min of the smaller neighborhood
       val canon = e.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       val w = canon.withColumn("m",
         min(col("dst")).over(Window.partitionBy("src")))
-      w.filter(col("dst") =!= col("m"))
+      val out = w.filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionAll(w.select(col("src"), col("m").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
+      // duplicate arcs never perturb a window-min, so dedup is a size
+      // bound, not a correctness step — pay its shuffle once per BATCH
+      // (at the materialization point), not once per round
+      if (dedup) out.distinct() else out
     }
 
     def sig(e: DataFrame): (Long, Long) = {
@@ -432,7 +436,8 @@ object Graphs {
       // without changing the result. Convergence typically needs
       // O(log n) rounds, so the at-most-one wasted extra round is noise.
       round += 2
-      val next = smallStar(largeStar(smallStar(largeStar(e))))
+      val next = smallStar(largeStar(
+          smallStar(largeStar(e), dedup = false)), dedup = true)
         .localCheckpoint()
       val cur = sig(next)
       done = cur == last
