@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: only run queries whose name starts with the
+    // prefix (local iteration aid; the driver always passes two args)
+    val (sfDir, outDir, prefix) = args match {
+      case Array(a, b)    => (a, b, "")
+      case Array(a, b, p) => (a, b, p)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +24,8 @@ object Verify {
     // plan-equal, so every query reads from memory instead of re-decoding
     // parquet per query.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache().count())
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -153,6 +153,16 @@ object StreamQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // S13 — stream-stream interval join (view→purchase attribution within
+    // 30 minutes). The streaming form is asserted equal to this batch run
+    // in StreamingSpec; the batch run degenerates to a plain range join
+    // (watermarks eliminated) and is hash-checked against DuckDB.
+    "s13_stream_stream_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Streams.viewPurchaseJoin(e, e)
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // S12 — incremental temporal earliest-arrival. The streaming form
     // (Streams.earliestArrivalStream) is asserted equal to the Pregel
     // recomputation in StreamingSpec; THIS batch twin is that same
@@ -246,6 +256,17 @@ object StreamQueries {
         |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
+
+    "s13_stream_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(v.ts AS TIMESTAMP)) AS delta_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "s12_incremental_arrival" ->
       """WITH o AS (SELECT event_id, user_id, ts,

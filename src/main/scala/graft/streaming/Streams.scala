@@ -66,6 +66,36 @@ object Streams {
         .agg(min(col("c_mktsegment")).as("segment")),
       Seq("user_id"), "left_outer")
 
+  /** S13 — stream-stream interval join: each `view` event paired with the
+    * same user's `purchase` events in the following 30 minutes
+    * (attribution-window join). Both sides carry event-time watermarks and
+    * the join condition bounds `purchase_ts` to `[view_ts, view_ts+30m]`,
+    * which is exactly what Spark's symmetric-hash stream-stream join needs
+    * to prove both state stores evictable in append mode: a view older
+    * than watermark−30m and a purchase older than the watermark can never
+    * match a future row. In batch the `EventTimeWatermark` nodes are
+    * optimized away and the identical plan runs as a plain range join —
+    * batch-equivalence is asserted in StreamingSpec and the batch twin is
+    * hash-checked against DuckDB (s13).
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    v.join(p,
+        col("user_id") === col("purchase_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("delta_us"))
+  }
+
   /** Streaming graph construction (the reference's continuous temporal
     * ingestion -> topology story): G_session edges emitted incrementally
     * as events arrive — per-user state is just the last event seen, and

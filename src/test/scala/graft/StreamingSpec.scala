@@ -271,6 +271,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.size == 2 && rows.values.forall(_ != null))
   }
 
+  test("S13 stream-stream interval join == batch range join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = mkEvents((1, 0, 1, "view", 1.0), (2, 5, 2, "view", 1.0),
+      (3, 100, 1, "view", 1.0))
+    val purchases = mkEvents((10, 10, 1, "purchase", 5.0),
+      (11, 40, 1, "purchase", 5.0), // 40 > 0+30: outside view 1's window
+      (12, 20, 2, "purchase", 2.0), (13, 125, 1, "purchase", 9.0))
+    val vSrc = MemoryStream[Ev]
+    val pSrc = MemoryStream[Ev]
+    val q = Streams.viewPurchaseJoin(vSrc.toDF(), pSrc.toDF())
+      .writeStream.format("memory").queryName("s13sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // split across micro-batches so matches span batch boundaries
+      vSrc.addData(views.take(2)); pSrc.addData(purchases.take(2))
+      q.processAllAvailable()
+      vSrc.addData(views.drop(2)); pSrc.addData(purchases.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("s13sink")
+        .orderBy("view_id", "purchase_id").collect().toSeq
+      val batch = Streams.viewPurchaseJoin(views.toDF(), purchases.toDF())
+        .orderBy("view_id", "purchase_id").collect().toSeq
+      assert(streamed == batch && batch.nonEmpty)
+      // view 1 (t=0, u1) -> purchase 10 (t=10) only; view 2 (t=5, u2) ->
+      // purchase 12 (t=20); view 3 (t=100, u1) -> purchase 13 (t=125)
+      assert(batch.map(r => (r.getLong(0), r.getLong(1)))
+        == Seq((1L, 10L), (2L, 12L), (3L, 13L)))
+    } finally q.stop()
+  }
+
   test("S09 ListState last-K: streaming final state == batch run") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
