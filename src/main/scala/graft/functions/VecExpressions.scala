@@ -176,5 +176,11 @@ object VecFunctions {
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs(0)), "built-in")
+    // Spark's own runtime-filter probe (codegen'd, long-keyed): exposed as
+    // a function so library code can apply a pre-built bloom filter the
+    // same way InjectRuntimeFilter does, without a UDF.
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -124,6 +124,41 @@ object Text {
       .toDF("bucket", "doc_id", "tc", "pack_id")
   }
 
+  /** L10b — contaminated-doc detection with a bloom-filter runtime
+    * prefilter. The held-out shingle set is folded into a compact bloom
+    * filter (~1.2 bytes/shingle at 1% fpp vs. the full string set),
+    * embedded as a binary literal into a codegen'd `BloomFilterMightContain`
+    * probe on the train side's shingle stream; only the ~fpp false
+    * positives plus true hits reach the exact string-keyed semi join that
+    * removes false positives. The result is EXACTLY the exact pass (L10) —
+    * the bloom stage is a pure prefilter, the same pattern Catalyst's
+    * `InjectRuntimeFilter` uses for join pruning — so the join's shuffle
+    * volume drops from every train shingle to the contaminated sliver.
+    * At 100 TB: a 1e8-shingle benchmark set is a ~140 MB filter at 1% fpp
+    * — broadcast-sized; beyond that, raise fpp (the exact re-check keeps
+    * the result identical regardless).
+    *
+    * Returns the distinct contaminated `doc_id`s.
+    */
+  def bloomContaminated(train: DataFrame, bench: DataFrame, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    graft.functions.VecFunctions.ensureRegistered(train.sparkSession)
+    val benchSh = shingles(bench, n).select("shingle")
+    // expectedNumItems upper bound = total bench chars (≥ shingle count);
+    // a scalar from the small side, permitted by the scale contract
+    val expected = math.max(1L,
+      bench.agg(sum(col("n_chars"))).head().getLong(0))
+    val bf = benchSh.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    shingleStream(train, n)
+      .filter(call_function("bloom_might_contain",
+        lit(bos.toByteArray), xxhash64(col("shingle"))))
+      .join(benchSh.distinct(), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   /** Rolling polynomial fingerprint of the token stream (order-sensitive,
     * collision-resistant enough for grouping): fold tokens with
     * h = (h*31 + xxhash64(token) mod 2^31) mod 2^31. The modulus keeps

@@ -292,6 +292,23 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // L10b — same decontamination result through the bloom-filter
+    // runtime prefilter (Text.bloomContaminated): the compact filter
+    // prunes the shingle stream before the exact semi join, so the
+    // join's shuffle is the contaminated sliver, not the corpus. The
+    // result is identical to L10 by construction — same hash oracle.
+    "l10b_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      val train = d.filter(col("doc_id") % 20 =!= 0)
+      val contaminated = Text.bloomContaminated(train, bench, 20)
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("n_chars")).as("clean_chars"))
+        .orderBy("source")
+    }),
+
     // L11 — greedy sequence packing to a 256-token budget across 8
     // independent bucket streams (Text.packGreedy — the training-batch
     // assembly op); result is the per-pack occupancy, hash-checked
@@ -304,9 +321,11 @@ object LlmQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "l10_decontaminate" ->
-      """WITH bench AS (SELECT DISTINCT substr(text, CAST(gs AS INT), 20) AS sh
+  // shared by l10 and l10b: the bloom pass returns the identical result
+  // (the prefilter is conservative, the exact re-check removes its false
+  // positives), so both hash-match the same exact-SQL oracle
+  private val decontamSql: String =
+    """WITH bench AS (SELECT DISTINCT substr(text, CAST(gs AS INT), 20) AS sh
         |  FROM (SELECT text, unnest(generate_series(1, n_chars - 19)) AS gs
         |        FROM documents WHERE doc_id % 20 = 0 AND n_chars >= 20)),
         |contaminated AS (SELECT DISTINCT doc_id
@@ -320,7 +339,11 @@ object LlmQueries {
         |FROM documents
         |WHERE doc_id % 20 != 0
         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "l10_decontaminate" -> decontamSql,
+    "l10b_decontaminate_bloom" -> decontamSql,
 
     "l11_pack_greedy" ->
       """WITH RECURSIVE t AS (

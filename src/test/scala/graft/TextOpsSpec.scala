@@ -40,6 +40,35 @@ class TextOpsSpec extends SparkSpecBase {
       (1L, 1L, 0L), (3L, 1L, 1L), (5L, 1L, 1L)))
   }
 
+  test("bloom decontamination == exact pass; prefilter actually prunes") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    val train = d.filter(col("doc_id") % 20 =!= 0)
+    val benchSh = Text.shingles(bench, 20).select("shingle").distinct()
+    val exact = Text.shingleStream(train, 20)
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Text.bloomContaminated(train, bench, 20)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact && exact.nonEmpty)
+
+    // the probe itself must prune: of the train shingle stream, only the
+    // contaminated sliver plus ~fpp false positives may survive the
+    // filter (here: well under a tenth of the stream)
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val bf = benchSh.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", 100000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val stream = Text.shingleStream(train, 20)
+    val total = stream.count()
+    val survivors = stream.filter(call_function("bloom_might_contain",
+      lit(bos.toByteArray), xxhash64(col("shingle")))).count()
+    assert(survivors > 0 && survivors < total / 10,
+      s"bloom prefilter did not prune: $survivors of $total")
+  }
+
   test("packGreedy: packs never exceed cap except singleton oversized docs") {
     val docs = Tables.load(spark, sfDir, "documents")
     val packs = Text.packGreedy(docs, cap = 256L, buckets = 8)
