@@ -57,6 +57,61 @@ object Temporal {
       .filter(col("valid_from") < t2 &&
         (col("valid_to").isNull || col("valid_to") > t1))
 
+  /** T07 — seed an SCD2 (slowly-changing-dimension type 2) history from a
+    * first full snapshot: every row opens at `atUs`, none are closed.
+    * Expected snapshot shape: entity key + attribute columns.
+    */
+  def scd2Init(snapshot: DataFrame, atUs: Long): DataFrame =
+    snapshot
+      .withColumn("valid_from_us", lit(atUs))
+      .withColumn("valid_to_us", lit(null).cast("long"))
+
+  /** T07 — SCD2 apply-changes: merge a full snapshot taken at `atUs` into
+    * a `valid_from_us`/`valid_to_us` history. Per entity:
+    *   - in both, attrs equal     → current row kept open, untouched
+    *   - in both, attrs changed   → current row closed at `atUs`, new row
+    *                                opened at `atUs`
+    *   - only in history (delete) → current row closed at `atUs`
+    *   - only in snapshot (insert)→ new row opened at `atUs`
+    * Already-closed rows pass through untouched.
+    *
+    * Plan shape: ONE full-outer shuffle join on the entity key, then the
+    * 0/1/2 output rows per entity come from a conditional array explode —
+    * no second pass over the join, no window. At 100 TB both sides
+    * hash-partition on the entity and the merge is a single exchange
+    * (or zero, when history and snapshot are bucketed on the key).
+    * Null-safe attr comparison: a null attribute equals null (no churn).
+    */
+  def scd2Merge(history: DataFrame, snapshot: DataFrame, entity: String,
+      attrs: Seq[String], atUs: Long): DataFrame = {
+    val closed = history.filter(col("valid_to_us").isNotNull)
+    val cur = history.filter(col("valid_to_us").isNull)
+    val cSide = cur.select((entity +: attrs).map(a => col(a).as(s"c_$a"))
+      :+ col("valid_from_us").as("c_from"): _*)
+    val sSide = snapshot.select(
+      (entity +: attrs).map(a => col(a).as(s"s_$a")): _*)
+    val j = cSide.join(sSide,
+      col(s"c_$entity") === col(s"s_$entity"), "full_outer")
+    val inC = col(s"c_$entity").isNotNull
+    val inS = col(s"s_$entity").isNotNull
+    val changed = attrs.map(a => !(col(s"c_$a") <=> col(s"s_$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def row(pfx: String, from: Column, to: Column): Column =
+      struct(col(s"${pfx}_$entity").as(entity)
+        +: attrs.map(a => col(s"${pfx}_$a").as(a))
+        :+ from.as("valid_from_us") :+ to.as("valid_to_us"): _*)
+    val keep = row("c", col("c_from"), lit(null).cast("long"))
+    val close = row("c", col("c_from"), lit(atUs))
+    val open = row("s", lit(atUs), lit(null).cast("long"))
+    val emitted =
+      when(inC && inS && !changed, array(keep))
+        .when(inC && inS && changed, array(close, open))
+        .when(inC && !inS, array(close))
+        .otherwise(array(open))
+    closed.unionByName(
+      j.select(explode(emitted).as("__r")).select(col("__r.*")))
+  }
+
   /** Gaps-and-islands sessionization: a new session starts when the gap to
     * the previous row of the same entity is STRICTLY greater than
     * `gapSeconds` (FIXTURES.md: a gap of exactly the threshold does NOT

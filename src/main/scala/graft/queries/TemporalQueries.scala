@@ -139,6 +139,24 @@ object TemporalQueries {
         .orderBy("user_id", "valid_from", "iv_id")
     }),
 
+    // T07 — SCD2 apply-changes: seed a valid_from/valid_to history from
+    // the per-user value snapshot at Jan 10, then merge the Jan 20
+    // snapshot into it (unchanged rows kept open, changed rows closed +
+    // reopened, new users inserted). One full-outer shuffle join +
+    // conditional explode (Temporal.scd2Merge).
+    "t07_scd2_merge" -> ((s, dir) => {
+      val t1Us = 1704844800000000L // 2024-01-10 00:00:00 UTC
+      val t2Us = 1705708800000000L // 2024-01-20 00:00:00 UTC
+      def snap(t: String): DataFrame =
+        Temporal.snapshot(ev(s, dir), entity = "user_id", ts = "ts",
+            t = lit(t).cast("timestamp"), tieBreak = "event_id")
+          .select(col("user_id"), cents(col("value")).as("value_cents"))
+      val hist = Temporal.scd2Init(snap("2024-01-10 00:00:00"), t1Us)
+      Temporal.scd2Merge(hist, snap("2024-01-20 00:00:00"),
+          entity = "user_id", attrs = Seq("value_cents"), atUs = t2Us)
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     // T06 — sessionization, 30-minute gap, strictly-greater split rule.
     "t06_sessionize" -> ((s, dir) => {
       Temporal.sessionize(ev(s, dir), entity = "user_id", ts = "ts",
@@ -226,6 +244,37 @@ object TemporalQueries {
         | AND (iv.valid_to IS NULL OR err.e_ts < iv.valid_to)
         |GROUP BY iv.user_id, iv.iv_id, iv.valid_from
         |ORDER BY iv.user_id, iv.valid_from, iv.iv_id""".stripMargin,
+
+    "t07_scd2_merge" ->
+      """WITH s1 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM (SELECT user_id, value,
+        |          row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+        |  WHERE rn = 1),
+        |s2 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM (SELECT user_id, value,
+        |          row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT s1.user_id, s1.value_cents,
+        |  1704844800000000 AS valid_from_us, CAST(NULL AS BIGINT) AS valid_to_us
+        |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s1.value_cents = s2.value_cents
+        |UNION ALL
+        |SELECT s1.user_id, s1.value_cents, 1704844800000000, 1705708800000000
+        |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s1.value_cents != s2.value_cents
+        |UNION ALL
+        |SELECT s1.user_id, s1.value_cents, 1704844800000000, 1705708800000000
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s2.user_id IS NULL
+        |UNION ALL
+        |SELECT s2.user_id, s2.value_cents, 1705708800000000, NULL
+        |FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+        |WHERE s1.user_id IS NULL OR s1.value_cents != s2.value_cents
+        |ORDER BY user_id, valid_from_us""".stripMargin,
 
     "t06_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,

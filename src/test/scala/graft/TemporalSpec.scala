@@ -33,6 +33,36 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("scd2 merge: keep / close+reopen / delete-close / insert-open") {
+    import spark.implicits._
+    // entity 1 unchanged; 2 deleted; 3 changed (and has a prior closed
+    // row that must pass through untouched); 4 newly inserted
+    val hist = Seq[(Long, Long, Long, java.lang.Long)](
+      (1L, 10L, 100L, null), (2L, 20L, 100L, null),
+      (3L, 30L, 50L, 100L), (3L, 31L, 100L, null))
+      .toDF("id", "v", "valid_from_us", "valid_to_us")
+    val snap = Seq((1L, 10L), (3L, 32L), (4L, 40L)).toDF("id", "v")
+    val out = Temporal.scd2Merge(hist, snap, "id", Seq("v"), atUs = 200L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(out == Set(
+      (3L, 30L, 50L, 100L),   // already closed: untouched
+      (1L, 10L, 100L, -1L),   // unchanged: kept open with original from
+      (2L, 20L, 100L, 200L),  // deleted: closed at merge time
+      (3L, 31L, 100L, 200L),  // changed: old closed ...
+      (3L, 32L, 200L, -1L),   // ... new opened
+      (4L, 40L, 200L, -1L)))  // inserted: opened
+    // idempotence: re-merging the same snapshot changes nothing
+    val again = Temporal.scd2Merge(
+        Temporal.scd2Merge(hist, snap, "id", Seq("v"), 200L),
+        snap, "id", Seq("v"), 300L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(again == out)
+  }
+
   test("interval view: per-entity intervals are adjacent and cover once") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 50).map(i =>
