@@ -463,6 +463,38 @@ object Graphs {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** G11 — synchronous label propagation (community detection), `rounds`
+    * fixed rounds, DETERMINISTIC: each vertex adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label (unlike
+    * GraphX's LabelPropagation, whose `maxBy` over a hash map breaks ties
+    * in hash-iteration order — unreproducible across runs/engines).
+    * Determinism makes the k-round result SQL-expressible, so g13 is
+    * hash-oracled against a k-unrolled DuckDB replay (g13).
+    *
+    * Pure DataFrame rounds (join + count + window argmax) left UNROLLED
+    * into one pipelined job: with small k, ~3 exchanges per round in one
+    * job beat k materialization barriers (the k-hop lesson from r5). For
+    * large k, checkpoint every few rounds like [[connectedComponentsDF]].
+    */
+  def labelPropagationDF(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    var labels = e.select(col("src").as("id")).unionAll(
+        e.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy("id")
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = e.join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("id", "label")
+    }
+    labels
+  }
+
   /** Global triangle count over canonical (src < dst) pairs. */
   def triangleCount(s: SparkSession, pairs: DataFrame): Long = {
     val e = pairs.select(col("x").cast("long"), col("y").cast("long"))

@@ -105,6 +105,15 @@ object GraphQueries {
         .orderBy("p_partkey")
     }),
 
+    // G13 — label-propagation communities on the restricted co-part
+    // graph, 3 synchronous rounds. Deterministic tie-break (count desc,
+    // min label) makes the rounds SQL-expressible: hash-checked against
+    // a 3-round unrolled DuckDB replay.
+    "g13_label_propagation" -> ((s, dir) => {
+      Graphs.labelPropagationDF(s, Graphs.copartEdges(s, dir), rounds = 3)
+        .orderBy("id")
+    }),
+
     // G07 — global triangle count of the restricted co-part graph.
     "g07_triangles" -> ((s, dir) => {
       val n = Graphs.triangleCount(s, Graphs.copartPairs(s, dir))
@@ -300,6 +309,29 @@ object GraphQueries {
         |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id)
         |SELECT id AS p_partkey, min(lbl) AS component FROM walk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g13_label_propagation" ->
+      s"""WITH $copartCte,
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+        |l1 AS (SELECT id, label FROM (
+        |  SELECT e.src AS id, l.label,
+        |    row_number() OVER (PARTITION BY e.src
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM e JOIN l0 l ON e.dst = l.id
+        |  GROUP BY e.src, l.label) WHERE rn = 1),
+        |l2 AS (SELECT id, label FROM (
+        |  SELECT e.src AS id, l.label,
+        |    row_number() OVER (PARTITION BY e.src
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM e JOIN l1 l ON e.dst = l.id
+        |  GROUP BY e.src, l.label) WHERE rn = 1),
+        |l3 AS (SELECT id, label FROM (
+        |  SELECT e.src AS id, l.label,
+        |    row_number() OVER (PARTITION BY e.src
+        |      ORDER BY count(*) DESC, l.label ASC) AS rn
+        |  FROM e JOIN l2 l ON e.dst = l.id
+        |  GROUP BY e.src, l.label) WHERE rn = 1)
+        |SELECT id, label FROM l3 ORDER BY id""".stripMargin,
 
     "g07_triangles" ->
       s"""WITH RECURSIVE $copartCte

@@ -25,6 +25,25 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(res == Map(1L -> 0L, 2L -> 200L, 3L -> 300L, 4L -> 400L))
   }
 
+  test("labelPropagationDF: two triangles + bridge converge to two communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-traced with the
+    // (count desc, min label) rule, labels settle to {1,1,1, 3,3,3} after
+    // round 3 (the bridge pulls 4 toward the lower community's label once
+    // before its own triangle reclaims it)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = Graphs.labelPropagationDF(spark, edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // deterministic: a second run is identical
+    val again = Graphs.labelPropagationDF(spark, edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("earliestArrival prefers the time-respecting faster arrival") {
     import spark.implicits._
     // Two usable routes to 4; the later-departing one arrives earlier.
