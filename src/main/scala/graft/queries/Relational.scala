@@ -474,6 +474,36 @@ object Relational {
           element_at(col("ac"), 2).as("p90_cents"),
           element_at(col("ac"), 3).as("p99_cents"))
         .orderBy("event_type")
+    }),
+
+    // Q29 — heavy hitters: tokens occurring >= 100 times across the
+    // document corpus. Exact two-phase aggregation (map-side partials);
+    // the threshold filter is a post-agg HAVING.
+    "q29_heavy_hitters" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100)
+        .orderBy("token")
+    }),
+
+    // Q29b — the same heavy hitters through the approx_top_k sketch
+    // (DataSketches frequent-items, Spark 4.1). Capacity 10000 exceeds
+    // the token domain, so the sketch never evicts and its counts are
+    // exact -> the SAME hash oracle as Q29 gates the sketch plumbing.
+    // The under-capacity (evicting) regime is tolerance-gated in
+    // ToleranceSpec; sketch output is exploded to scalar columns (the
+    // q28b lesson: array columns break the driver's rows-check).
+    "q29b_approx_top_k" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("token"))
+        .agg(expr("approx_top_k(token, 40, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("n"))
+        .filter(col("n") >= 100)
+        .orderBy("token")
     })
   )
 
@@ -741,6 +771,17 @@ object Relational {
         |    AS p90_cents,
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.99), 4)
         |    AS p99_cents
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q29_heavy_hitters" -> heavyHittersSql,
+    // q29b's no-eviction sketch is exact, so the sketch plumbing is held
+    // to the SAME oracle as the exact aggregation
+    "q29b_approx_top_k" -> heavyHittersSql
   )
+
+  private lazy val heavyHittersSql: String =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      |  FROM documents)
+      |GROUP BY 1 HAVING count(*) >= 100 ORDER BY token""".stripMargin
 }

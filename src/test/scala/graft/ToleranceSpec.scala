@@ -20,6 +20,23 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("q29b approx_top_k under capacity: dominant item survives eviction") {
+    import spark.implicits._
+    // 10k copies of one token + 200 distinct singletons, sketch capacity
+    // far below the domain: the frequent-items sketch must still surface
+    // the dominant item, with its estimate within the additive error
+    // bound (~N/capacity) of the true count. (The no-eviction regime is
+    // hash-gated by q29b itself.)
+    val tokens = Seq.fill(10000)("x") ++ (1 to 200).map(i => s"t$i")
+    val top = tokens.toDF("token")
+      .agg(expr("approx_top_k(token, 1, 8)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count")).head()
+    assert(top.getString(0) == "x", s"dominant item lost: $top")
+    val est = top.getLong(1)
+    assert(math.abs(est - 10000L) <= 2000L, s"estimate off: $est")
+  }
+
   test("g08 pagerank: ranks positive, mass ≈ vertex count") {
     val edges = graft.ops.Graphs.supplyEdges(spark, sfDir).select("src", "dst")
     val full = graft.ops.Graphs.pageRank(spark, edges, 10)
