@@ -114,6 +114,14 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G14 — bounded k-core: 3 peeling rounds at k=2 on the restricted
+    // co-part graph; survivors with their residual degree. Hash-checked
+    // against a 3-round unrolled DuckDB replay.
+    "g14_kcore" -> ((s, dir) => {
+      Graphs.kCorePeelDF(s, Graphs.copartEdges(s, dir), k = 2, rounds = 3)
+        .orderBy("id")
+    }),
+
     // G07 — global triangle count of the restricted co-part graph.
     "g07_triangles" -> ((s, dir) => {
       val n = Graphs.triangleCount(s, Graphs.copartPairs(s, dir))
@@ -332,6 +340,20 @@ object GraphQueries {
         |  FROM e JOIN l2 l ON e.dst = l.id
         |  GROUP BY e.src, l.label) WHERE rn = 1)
         |SELECT id, label FROM l3 ORDER BY id""".stripMargin,
+
+    "g14_kcore" ->
+      s"""WITH $copartCte,
+        |k1 AS (SELECT src AS id FROM e GROUP BY 1 HAVING count(*) >= 2),
+        |e1 AS (SELECT e.src, e.dst FROM e
+        |       JOIN k1 a ON e.src = a.id JOIN k1 b ON e.dst = b.id),
+        |k2 AS (SELECT src AS id FROM e1 GROUP BY 1 HAVING count(*) >= 2),
+        |e2 AS (SELECT e1.src, e1.dst FROM e1
+        |       JOIN k2 a ON e1.src = a.id JOIN k2 b ON e1.dst = b.id),
+        |k3 AS (SELECT src AS id FROM e2 GROUP BY 1 HAVING count(*) >= 2),
+        |e3 AS (SELECT e2.src, e2.dst FROM e2
+        |       JOIN k3 a ON e2.src = a.id JOIN k3 b ON e2.dst = b.id)
+        |SELECT src AS id, count(*) AS deg FROM e3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g07_triangles" ->
       s"""WITH RECURSIVE $copartCte

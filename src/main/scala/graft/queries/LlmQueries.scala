@@ -309,6 +309,33 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // L12 — salient-term extraction: top-3 tokens per document by
+    // TF-IDF-style weight. The idf is RATIONAL, not logarithmic —
+    // score = tf * N * 10000 div df, all integer — because log() is the
+    // one function whose last-ulp behavior differs across engines (the
+    // t03 lesson); the rational form preserves the tf/df ranking within
+    // a document exactly and hash-matches DuckDB. Plan: tf agg + df agg
+    // + one join on the (small) token dimension + per-doc window top-3.
+    "l12_salient_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val n = d.count()
+      val tok = d.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfc = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(dfc, "token")
+        .withColumn("score", expr(s"tf * ${n}L * 10000 div df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "rn", "token", "score")
+        .orderBy("doc_id", "rn")
+    }),
+
     // L11 — greedy sequence packing to a 256-token budget across 8
     // independent bucket streams (Text.packGreedy — the training-batch
     // assembly op); result is the per-pack occupancy, hash-checked
@@ -344,6 +371,21 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "l10_decontaminate" -> decontamSql,
     "l10b_decontaminate_bloom" -> decontamSql,
+
+    "l12_salient_terms" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf * n.n * 10000 // df.df AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * n.n * 10000 // df.df DESC, tf.token) AS rn
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+        |SELECT doc_id, rn, token, score FROM scored WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
 
     "l11_pack_greedy" ->
       """WITH RECURSIVE t AS (

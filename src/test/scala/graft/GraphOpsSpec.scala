@@ -44,6 +44,22 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(again == got)
   }
 
+  test("kCorePeelDF: tail peels away round by round, triangle survives") {
+    import spark.implicits._
+    // triangle {1,2,3} with a tail 3-4-5: round 1 drops 5 (deg 1),
+    // round 2 drops 4 (its remaining deg 1), round 3 changes nothing —
+    // the 2-core is exactly the triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = Graphs.kCorePeelDF(spark, edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round is not enough: 4 still present with the dangling edge
+    val oneRound = Graphs.kCorePeelDF(spark, edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(oneRound == Set(1L, 2L, 3L, 4L))
+  }
+
   test("earliestArrival prefers the time-respecting faster arrival") {
     import spark.implicits._
     // Two usable routes to 4; the later-departing one arrives earlier.
