@@ -51,27 +51,41 @@ object Bench {
       df.cache().count()
     }
 
-    def once(key: String): Double = {
+    val aqeOn = spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    // With AQE on, report whether its skew-join rewrite actually fired:
+    // the executed plan carries `isSkewJoin=true` on rewritten joins.
+    // ROADMAP #7 — at sf<=0.1 this is expected to stay 0 (no stratum is
+    // skewed enough); the counter is the evidence either way.
+    def skewJoins(df: org.apache.spark.sql.DataFrame): Int =
+      if (!aqeOn) 0
+      else "skew=\\[true\\]|isSkewJoin=true".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+
+    def once(key: String): (Double, Int) = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(key)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val df = SparkEntry.queries(key)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, skewJoins(df))
     }
 
     val results = headline.map { case (bid, key) =>
       try {
         once(key) // warm-up: JIT + codegen + cache fill
-        bid -> math.min(once(key), once(key))
+        val (t1, s1) = once(key)
+        val (t2, s2) = once(key)
+        (bid, math.min(t1, t2), math.max(s1, s2))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $bid ($key) failed: ${e.getMessage}")
-          bid -> -1.0
+          (bid, -1.0, 0)
       }
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val skewTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","aqe":$aqeOn,"skew_joins":$skewTotal}""")
     spark.stop()
   }
 }

@@ -410,6 +410,20 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Q27b — stratified (per-stratum fraction) sampling: each event type
+    // kept at its own rate, seeded. Like Q27, excluded from hash-match
+    // (engine-specific RNG); ToleranceSpec gates the per-stratum rates,
+    // the fraction-1.0 stratum's exactness, and seed reproducibility.
+    "q27b_stratified_sample" -> ((s, dir) => {
+      t(s, dir, "events")
+        .stat.sampleBy("event_type",
+          Map("click" -> 0.2, "view" -> 0.1, "purchase" -> 0.05,
+            "error" -> 0.5, "signup" -> 1.0), seed = 42L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
     // Q15b — ordered string aggregation (listagg WITHIN GROUP): the
     // orderless form is nondeterministic by contract, so the declared
     // query pins an explicit element order — the only hash-stable way to

@@ -20,6 +20,29 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("q27b stratified sample: per-stratum rates, exact 1.0 stratum, seeded") {
+    val fractions = Map("click" -> 0.2, "view" -> 0.1, "purchase" -> 0.05,
+      "error" -> 0.5, "signup" -> 1.0)
+    val full = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def run() = SparkEntry.queries("q27b_stratified_sample")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run()
+    fractions.foreach { case (et, f) =>
+      val n = full(et)
+      val exp = f * n
+      if (f == 1.0) assert(got(et) == n, s"$et: 1.0 stratum must be exact")
+      else {
+        // Bernoulli per-row sampling: allow 4 sigma + slack around n*f
+        val tol = 4 * math.sqrt(exp * (1 - f)) + 3
+        assert(math.abs(got(et) - exp) <= tol,
+          s"$et: got ${got(et)}, expected ~$exp ± $tol")
+      }
+    }
+    assert(run() == got, "same seed must reproduce the same sample")
+  }
+
   test("q29b approx_top_k under capacity: dominant item survives eviction") {
     import spark.implicits._
     // 10k copies of one token + 200 distinct singletons, sketch capacity
