@@ -146,6 +146,42 @@ object Relational {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Q11b — ranking/navigation window completeness: ntile + first/last/
+    // nth_value over an explicit full frame. Every output is an INTEGER
+    // (ids, decile) — percent_rank/cume_dist are deliberately absent from
+    // the hash set: their (rank-1)/(n-1) doubles hit the same cross-engine
+    // round(x,4) exact-half risk t03 documents.
+    "q11b_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(cents(col("value")).desc, col("event_id").asc)
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          ntile(10).over(w).as("decile"),
+          first(col("event_id")).over(w).as("top_id"),
+          last(col("event_id")).over(full).as("bottom_id"),
+          nth_value(col("event_id"), 3).over(full).as("third_id"))
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Q30 — recursive CTE (Spark 4.1 UnionLoop): depth-bounded walk from
+    // the smallest co-part vertex, min depth per reached vertex — the
+    // same SQL text runs on both engines (graph registered as a temp
+    // view on the Spark side, inlined as a CTE in the oracle).
+    "q30_recursive_cte" -> ((s, dir) => {
+      graft.ops.Graphs.copartEdges(s, dir)
+        .createOrReplaceTempView("graft_copart_e")
+      s.sql("""
+        WITH RECURSIVE walk(id, d) AS (
+          SELECT (SELECT min(src) FROM graft_copart_e) AS id, 0 AS d
+          UNION ALL
+          SELECT e.dst, w.d + 1
+          FROM walk w JOIN graft_copart_e e ON e.src = w.id
+          WHERE w.d < 3)
+        SELECT id, min(d) AS dist FROM walk GROUP BY id ORDER BY id""")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -786,6 +822,36 @@ object Relational {
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.99), 4)
         |    AS p99_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11b_window_funcs" ->
+      """SELECT event_type, event_id,
+        |  ntile(10) OVER w AS decile,
+        |  first_value(event_id) OVER w AS top_id,
+        |  last_value(event_id) OVER wf AS bottom_id,
+        |  nth_value(event_id, 3) OVER wf AS third_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id),
+        |  wf AS (PARTITION BY event_type
+        |    ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "q30_recursive_cte" ->
+      """WITH RECURSIVE ok AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |       HAVING count(DISTINCT l_partkey) <= 3),
+        |pairs AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |          FROM lineitem a JOIN lineitem b
+        |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |          WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)),
+        |e AS (SELECT x AS src, y AS dst FROM pairs
+        |      UNION ALL SELECT y, x FROM pairs),
+        |walk(id, d) AS (
+        |  SELECT (SELECT min(src) FROM e), 0
+        |  UNION ALL
+        |  SELECT e2.dst, w.d + 1 FROM walk w JOIN e e2 ON e2.src = w.id
+        |  WHERE w.d < 3)
+        |SELECT id, min(d) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
     "q29_heavy_hitters" -> heavyHittersSql,
     // q29b's no-eviction sketch is exact, so the sketch plumbing is held
