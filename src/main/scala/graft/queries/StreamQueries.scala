@@ -163,6 +163,21 @@ object StreamQueries {
         .orderBy("view_id", "purchase_id")
     }),
 
+    // S13b — LEFT OUTER stream-stream join: views with no purchase in
+    // their window survive with null purchase columns (coalesced to -1
+    // here so the total order and the cross-engine hash avoid null-
+    // ordering divergence). Streaming null emission is watermark-driven
+    // and asserted in StreamingSpec; this batch twin is hash-checked.
+    "s13b_stream_outer_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Streams.viewPurchaseJoinOuter(e, e)
+        .select(col("view_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          col("user_id"),
+          coalesce(col("delta_us"), lit(-1L)).as("delta_us"))
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // S12 — incremental temporal earliest-arrival. The streaming form
     // (Streams.earliestArrivalStream) is asserted equal to the Pregel
     // recomputation in StreamingSpec; THIS batch twin is that same
@@ -266,6 +281,17 @@ object StreamQueries {
         |  ON v.user_id = p.user_id
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "s13b_stream_outer_join" ->
+      """SELECT v.event_id AS view_id,
+        |  coalesce(p.event_id, -1) AS purchase_id, v.user_id,
+        |  coalesce(epoch_us(CAST(p.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(v.ts AS TIMESTAMP)), -1) AS delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, purchase_id""".stripMargin,
 
     "s12_incremental_arrival" ->

@@ -78,7 +78,21 @@ object Streams {
     * batch-equivalence is asserted in StreamingSpec and the batch twin is
     * hash-checked against DuckDB (s13).
     */
-  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    viewPurchaseJoinImpl(views, purchases, "inner")
+
+  /** S13b — LEFT OUTER variant of [[viewPurchaseJoin]]: a view with no
+    * purchase in its 30-minute window emits once with null purchase
+    * columns — in streaming, only after the watermark proves no future
+    * purchase can match (state-eviction-driven null emission, the
+    * semantics unique to watermarked outer stream-stream joins); in
+    * batch, immediately. Batch twin hash-checked (s13b).
+    */
+  def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame =
+    viewPurchaseJoinImpl(views, purchases, "left_outer")
+
+  private def viewPurchaseJoinImpl(views: DataFrame, purchases: DataFrame,
+      joinType: String): DataFrame = {
     val v = views.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
@@ -90,7 +104,8 @@ object Streams {
     v.join(p,
         col("user_id") === col("purchase_user") &&
           col("purchase_ts") >= col("view_ts") &&
-          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
           .as("delta_us"))

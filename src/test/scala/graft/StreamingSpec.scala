@@ -302,6 +302,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S13b outer stream-stream join: unmatched view emits null after watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // view 1 (t=0, u1) never gets a purchase; view 2 (t=5, u2) matches
+    val views = mkEvents((1, 0, 1, "view", 1.0), (2, 5, 2, "view", 1.0))
+    val purchases = mkEvents((10, 20, 2, "purchase", 2.0))
+    // late traffic that only advances BOTH watermarks past view 1's
+    // 30-minute window (+10-min lateness), forcing the null emission
+    val flushV = mkEvents((3, 300, 9, "view", 1.0))
+    val flushP = mkEvents((11, 300, 9, "purchase", 1.0))
+    val vSrc = MemoryStream[Ev]
+    val pSrc = MemoryStream[Ev]
+    val q = Streams.viewPurchaseJoinOuter(vSrc.toDF(), pSrc.toDF())
+      .writeStream.format("memory").queryName("s13bsink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vSrc.addData(views); pSrc.addData(purchases)
+      q.processAllAvailable()
+      vSrc.addData(flushV); pSrc.addData(flushP)
+      q.processAllAvailable()
+      // one more empty-ish nudge: outer-join state eviction happens a
+      // micro-batch after the watermark move
+      vSrc.addData(Seq.empty[Ev]); pSrc.addData(Seq.empty[Ev])
+      q.processAllAvailable()
+      val streamed = spark.table("s13bsink")
+        .filter(col("view_id") <= 2)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val batch = Streams.viewPurchaseJoinOuter(views.toDF(), purchases.toDF())
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(batch == Set((1L, -1L), (2L, 10L)))
+      assert(streamed == batch,
+        s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("S09 ListState last-K: streaming final state == batch run") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
