@@ -85,6 +85,40 @@ class PlanShapeSpec extends SparkSpecBase {
       "top-k must be a bounded-heap TakeOrdered, not a global sort")
   }
 
+  test("l10b bloom decontamination: probe in plan, before the exact join") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val q = SparkEntry.queries("l10b_decontaminate_bloom")(spark, sfDir)
+    val p = all(q)
+    // the codegen'd bloom probe must actually be in the executed tree —
+    // without it the query silently degrades to the unfiltered L10 join
+    // (BloomFilterMightContain prints as its prettyName, might_contain)
+    assert(p.exists(_.toString.contains("might_contain")),
+      "bloom prefilter missing from the physical plan")
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !p.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
+  test("t07 scd2 merge: one join, no quadratic strategy, no window") {
+    val q = SparkEntry.queries("t07_scd2_merge")(spark, sfDir)
+    val p = all(q)
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !p.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    // the merge itself is join + explode — WindowExec nodes belong only
+    // to the snapshot inputs (history-seed, current, new snapshot = 3;
+    // WindowGroupLimit pushdown nodes excluded by the exact name match)
+    val windows = p.count(_.nodeName == "Window")
+    assert(windows <= 3, s"scd2 merge grew a window: $windows")
+  }
+
+  test("s13 stream-stream twin in batch: equi+range hash join, no NLJ") {
+    val q = SparkEntry.queries("s13_stream_stream_join")(spark, sfDir)
+    val p = all(q)
+    assert(p.exists(n => n.nodeName.contains("Join")), "no join in plan")
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !p.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "time-bounded join fell back to a quadratic strategy")
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q02)") {
     val q = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
     q.collect() // codegen collapse happens per-stage at execution under AQE
