@@ -178,6 +178,23 @@ object StreamQueries {
         .orderBy("view_id", "purchase_id")
     }),
 
+    // S14 — streaming interval-view maintenance: closed per-user value
+    // intervals, emitted as each new change point arrives. Batch twin =
+    // the O(1)-state secondary-sort fold (== Temporal.intervalView's
+    // closed rows, == the streaming run in StreamingSpec); hash-checked
+    // against a lead() window oracle.
+    "s14_interval_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          graft.Det.cents(col("value")).as("cents"))
+        .as[Streams.ChangeEv]
+      Streams.intervalsBatch(in)
+        .toDF()
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+
     // S12 — incremental temporal earliest-arrival. The streaming form
     // (Streams.earliestArrivalStream) is asserted equal to the Pregel
     // recomputation in StreamingSpec; THIS batch twin is that same
@@ -293,6 +310,18 @@ object StreamQueries {
         |  ON v.user_id = p.user_id
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "s14_interval_maintenance" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+        |  epoch_us(CAST(next_ts AS TIMESTAMP)) AS valid_to_us,
+        |  CAST(round(value*100) AS BIGINT) AS cents
+        |FROM (SELECT user_id, event_id, ts, value,
+        |        lead(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS next_ts
+        |      FROM events)
+        |WHERE next_ts IS NOT NULL
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
     "s12_incremental_arrival" ->
       """WITH o AS (SELECT event_id, user_id, ts,

@@ -180,6 +180,73 @@ object Streams {
       }
   }
 
+  /** S14 — streaming interval-view maintenance (the reference's
+    * continuous temporal ingestion applied to the property table itself):
+    * each arriving change point CLOSES the previous interval of the same
+    * entity — per-entity state is just the last change, and every
+    * emitted row is an immutable closed interval `[valid_from, valid_to)`
+    * with the value that held over it. The open (current) interval lives
+    * in state, never emitted — exactly why this is append-mode safe.
+    * Batch runs of the same step reproduce `Temporal.intervalView`'s
+    * closed rows (asserted in StreamingSpec; hash-oracled via s14).
+    */
+  case class ChangeEv(user_id: Long, event_id: Long, ts_us: Long, cents: Long)
+  case class IntervalRow(user_id: Long, event_id: Long, valid_from_us: Long,
+    valid_to_us: Long, cents: Long)
+  case class LastChange(event_id: Long, ts_us: Long, cents: Long)
+
+  /** One interval step: previous change + next change -> (new state,
+    * closed interval). Shared by the streaming operator and the batch
+    * fold so the two paths cannot diverge (the sessionStep pattern).
+    */
+  private def intervalStep(last: Option[LastChange], e: ChangeEv)
+      : (LastChange, Option[IntervalRow]) =
+    (LastChange(e.event_id, e.ts_us, e.cents),
+      last.map(l => IntervalRow(e.user_id, l.event_id, l.ts_us, e.ts_us,
+        l.cents)))
+
+  def intervalsStream(changes: Dataset[ChangeEv]): Dataset[IntervalRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastChange, IntervalRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[ChangeEv], state: GroupState[LastChange]) =>
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+            val (st, iv) = intervalStep(last, e)
+            last = Some(st)
+            iv
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[intervalsStream]] with O(1) state per task (the
+    * [[sessionEdgesBatch]] repartition + secondary-sort + fold pattern).
+    */
+  def intervalsBatch(changes: Dataset[ChangeEv]): Dataset[IntervalRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var curUser = 0L
+        var started = false
+        var last: Option[LastChange] = None
+        it.flatMap { e =>
+          if (!started || e.user_id != curUser) {
+            curUser = e.user_id; started = true; last = None
+          }
+          val (st, iv) = intervalStep(last, e)
+          last = Some(st)
+          iv
+        }
+      }
+  }
+
   /** Per-user running state for S06: Welford-style running mean/M2. */
   case class UserState(n: Long, mean: Double, m2: Double)
   case class EventIn(event_id: Long, user_id: Long, value: Double)

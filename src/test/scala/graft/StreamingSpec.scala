@@ -341,6 +341,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S14 interval maintenance: stream == batch fold == intervalView closed rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two users, values changing over two micro-batches (cross-batch
+    // intervals must close correctly from state)
+    def ch(id: Long, min: Long, user: Long, cents: Long) =
+      Streams.ChangeEv(user, id, 1700006400000000L + min * 60000000L, cents)
+    val b1 = Seq(ch(1, 0, 1, 100), ch(2, 10, 1, 200), ch(3, 5, 2, 50))
+    val b2 = Seq(ch(4, 20, 1, 300), ch(5, 15, 2, 70))
+    val src = MemoryStream[Streams.ChangeEv]
+    val q = Streams.intervalsStream(src.toDS())
+      .writeStream.format("memory").queryName("s14sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("s14sink")
+        .orderBy("user_id", "valid_from_us").collect().toSeq
+      val batch = Streams.intervalsBatch((b1 ++ b2).toDS())
+        .toDF().orderBy("user_id", "valid_from_us").collect().toSeq
+      assert(streamed == batch && batch.length == 3)
+      // and both equal the window-based interval view's closed rows
+      val iv = graft.ops.Temporal.intervalView(
+          (b1 ++ b2).toDF("user_id", "event_id", "ts_us", "cents")
+            .withColumn("ts", col("ts_us")),
+          entity = "user_id", ts = "ts", tieBreak = "event_id")
+        .filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"), col("cents"))
+        .orderBy("user_id", "valid_from_us").collect().toSeq
+      assert(iv == batch)
+    } finally q.stop()
+  }
+
   test("S09 ListState last-K: streaming final state == batch run") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
