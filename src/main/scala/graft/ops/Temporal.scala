@@ -112,6 +112,73 @@ object Temporal {
       j.select(explode(emitted).as("__r")).select(col("__r.*")))
   }
 
+  /** T08 — change-point compaction: drop change points whose value equals
+    * the entity's previous change point (null-safe), i.e. rows that do not
+    * change the piecewise-constant function at all. The reference's
+    * temporal store performs exactly this dedup when flushing/compacting
+    * its time-ordered files; here it is one window over the entity-key
+    * shuffle, so at 100 TB it is a single exchange over the change-point
+    * table (or zero over an entity-bucketed table). The compacted table
+    * answers every snapshot / time-range / as-of read identically
+    * (asserted in TemporalSpec), with the interval view emerging
+    * maximally coalesced — no two consecutive intervals share a value.
+    */
+  def compactChangePoints(
+      changes: DataFrame,
+      entity: String,
+      ts: String,
+      tieBreak: String,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(entity).orderBy(col(ts).asc, col(tieBreak).asc)
+    changes
+      .withColumn("__prev_v", lag(value, 1).over(w))
+      .filter(!(col("__prev_v") <=> value))
+      .drop("__prev_v")
+  }
+
+  /** T09 — temporal aggregation index (the paper's "aggregation index for
+    * window min/max/sum" re-expressed Spark-first): a per-entity per-day
+    * rollup of decomposable partials (min/max/sum/count over integer
+    * cents). Persist this once; every coarser tumbling window is then
+    * answered from the rollup by [[reaggDaily]] without rescanning the
+    * raw table — at 100 TB the rollup is ~1/raw_rows_per_entity_day the
+    * size of the fact table, so the index query touches GBs, not TBs.
+    */
+  def rollupDaily(
+      events: DataFrame,
+      entity: String,
+      ts: String,
+      valueCents: Column): DataFrame =
+    events
+      .groupBy(col(entity), date_trunc("day", col(ts)).as("day"))
+      .agg(
+        min(valueCents).as("min_cents"),
+        max(valueCents).as("max_cents"),
+        sum(valueCents).as("sum_cents"),
+        count(lit(1)).as("cnt"))
+
+  /** Answer a `days`-day tumbling aggregate FROM the daily rollup by
+    * re-aggregating partials (min of mins, max of maxes, sum of
+    * sums/counts) — the decomposability that makes the aggregation index
+    * sound. Buckets are indexed by whole days since `origin`
+    * (a date literal, e.g. "2024-01-01") divided by `days`: an integer
+    * key both engines compute identically (no epoch-alignment ambiguity).
+    */
+  def reaggDaily(
+      daily: DataFrame,
+      entity: String,
+      origin: String,
+      days: Int): DataFrame =
+    daily
+      .groupBy(col(entity),
+        expr(s"datediff(day, date'$origin') div $days").cast("long")
+          .as("bucket"))
+      .agg(
+        min("min_cents").as("min_cents"),
+        max("max_cents").as("max_cents"),
+        sum("sum_cents").as("sum_cents"),
+        sum("cnt").as("cnt"))
+
   /** Gaps-and-islands sessionization: a new session starts when the gap to
     * the previous row of the same entity is STRICTLY greater than
     * `gapSeconds` (FIXTURES.md: a gap of exactly the threshold does NOT

@@ -157,6 +157,29 @@ object TemporalQueries {
         .orderBy("user_id", "valid_from_us")
     }),
 
+    // T08 — change-point compaction: per-user event_type stream with
+    // runs of the same state collapsed to their first change point (the
+    // temporal store's flush-time dedup). One window shuffle.
+    "t08_compact" -> ((s, dir) => {
+      Temporal.compactChangePoints(ev(s, dir), entity = "user_id",
+          ts = "ts", tieBreak = "event_id", value = col("event_type"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // T09 — temporal aggregation index: weekly min/max/sum/count per user
+    // answered FROM the per-day rollup (partial re-aggregation; the raw
+    // table is scanned once to build the index, never by the window
+    // query). The oracle computes the same weeks directly from raw events
+    // — hash equality proves the decomposition is lossless.
+    "t09_rollup_weekly" -> ((s, dir) => {
+      val daily = Temporal.rollupDaily(ev(s, dir), entity = "user_id",
+        ts = "ts", valueCents = cents(col("value")))
+      Temporal.reaggDaily(daily, entity = "user_id",
+          origin = "2024-01-01", days = 7)
+        .orderBy("user_id", "bucket")
+    }),
+
     // T06 — sessionization, 30-minute gap, strictly-greater split rule.
     "t06_sessionize" -> ((s, dir) => {
       Temporal.sessionize(ev(s, dir), entity = "user_id", ts = "ts",
@@ -275,6 +298,24 @@ object TemporalQueries {
         |FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
         |WHERE s1.user_id IS NULL OR s1.value_cents != s2.value_cents
         |ORDER BY user_id, valid_from_us""".stripMargin,
+
+    "t08_compact" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |FROM (SELECT user_id, event_id, ts, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS pv
+        |      FROM events)
+        |WHERE pv IS DISTINCT FROM event_type
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "t09_rollup_weekly" ->
+      """SELECT user_id,
+        |  CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS bucket,
+        |  min(CAST(round(value*100) AS BIGINT)) AS min_cents,
+        |  max(CAST(round(value*100) AS BIGINT)) AS max_cents,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
 
     "t06_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,

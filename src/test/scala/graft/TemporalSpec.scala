@@ -128,4 +128,70 @@ class TemporalSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("compaction == linear-scan oracle, null-safe, idempotent (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 3) {
+      // small value domain so runs occur; value 2 mapped to null to
+      // exercise the null-safe (<=>) comparison
+      val rows = (0 until 80).map(i =>
+        (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(300).toLong,
+          rnd.nextInt(3).toLong))
+      val df = rows.toDF("event_id", "user_id", "sec", "rawv")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withColumn("v", when(col("rawv") === 2, lit(null)).otherwise(col("rawv")))
+        .drop("sec", "rawv")
+      val compact = Temporal.compactChangePoints(
+        df, "user_id", "ts", "event_id", col("v"))
+      val got = compact.select("event_id").collect().map(_.getLong(0)).toSet
+      // oracle: per entity in (ts, event_id) order, keep rows whose value
+      // differs (Option-equality) from the previous kept-or-not row
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._1))
+        val vals = sorted.map(r => if (r._4 == 2) None else Some(r._4))
+        sorted.zip(None +: vals.init.map(Some(_))).collect {
+          case ((id, _, _, v), prev)
+            if !prev.contains(if (v == 2) None else Some(v)) => id
+        }
+      }.toSet
+      assert(got == want)
+      // idempotent: compacting the compacted table changes nothing
+      val again = Temporal.compactChangePoints(
+          compact, "user_id", "ts", "event_id", col("v"))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(again == got)
+      // snapshot values at random probe times agree with the raw table
+      for (_ <- 1 to 3) {
+        val t = timestamp_seconds(lit(rnd.nextInt(300)))
+        def snapVals(d: org.apache.spark.sql.DataFrame) =
+          Temporal.snapshot(d, "user_id", "ts", t, "event_id")
+            .select("user_id", "v").collect()
+            .map(r => r.getLong(0) ->
+              (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+        assert(snapVals(compact) == snapVals(df))
+      }
+    }
+  }
+
+  test("aggregation index: reagg from daily rollup == direct aggregation") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val daily = Temporal.rollupDaily(ev, "user_id", "ts",
+      Det.cents(col("value")))
+    for (days <- Seq(2, 7)) {
+      val fromIndex = Temporal.reaggDaily(daily, "user_id", "2024-01-01", days)
+        .orderBy("user_id", "bucket")
+      val direct = ev
+        .groupBy(col("user_id"),
+          expr(s"datediff(date_trunc('day', ts), date'2024-01-01') div $days")
+            .cast("long").as("bucket"))
+        .agg(
+          min(Det.cents(col("value"))).as("min_cents"),
+          max(Det.cents(col("value"))).as("max_cents"),
+          sum(Det.cents(col("value"))).as("sum_cents"),
+          count(lit(1)).as("cnt"))
+        .orderBy("user_id", "bucket")
+      assert(fromIndex.collect().toSeq == direct.collect().toSeq)
+    }
+  }
 }
