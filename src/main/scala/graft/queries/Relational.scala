@@ -266,6 +266,26 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Q16b — HLL sketch partial re-aggregation: the 100 TB distinct-count
+    // pattern. A DataSketches HLL sketch is built per (day, event_type) —
+    // the granularity a daily ingest job would persist — then the daily
+    // sketches are union-merged and estimated. Because an HLL register
+    // merge is a max, the union of the partials is EXACTLY the sketch of
+    // the full stream regardless of partitioning/order: ToleranceSpec
+    // asserts estimate equality with the one-shot sketch, plus a 5%
+    // accuracy gate vs the exact distinct count. At scale the daily
+    // sketch table is KBs/day vs TBs of raw — re-aggregation answers any
+    // date-range distinct query without rescanning raw data.
+    "q16b_hll_union" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+          .as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     // Q17 — top-k: TakeOrderedAndProject, no full sort at scale.
     "q17_topk" -> ((s, dir) => {
       t(s, dir, "orders")

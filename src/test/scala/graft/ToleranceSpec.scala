@@ -20,6 +20,26 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("q16b HLL union of daily sketches == one-shot sketch, within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("q16b_hll_union")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge transparency: unioning the per-day partials must give the
+    // exact same estimate as sketching the whole stream in one pass
+    val oneShot = graft.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
+        .as("approx_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot)
+    val exact = SparkEntry.queries("q15_distinct_agg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (et, n) =>
+      val a = merged(et)
+      assert(math.abs(a - n).toDouble / n < 0.05, s"$et: approx=$a exact=$n")
+    }
+  }
+
   test("q27b stratified sample: per-stratum rates, exact 1.0 stratum, seeded") {
     val fractions = Map("click" -> 0.2, "view" -> 0.1, "purchase" -> 0.05,
       "error" -> 0.5, "signup" -> 1.0)
