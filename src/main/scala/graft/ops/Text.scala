@@ -159,6 +159,34 @@ object Text {
       .select("doc_id").distinct()
   }
 
+  /** L04e — intra-document repetition metrics (the Gopher-style quality
+    * rules real pretraining pipelines filter on): duplicate-token and
+    * duplicate-bigram fractions, in integer permille so the result is
+    * cross-engine hash-stable. Pure per-row HOF work — no shuffle, no
+    * UDF; stays inside whole-stage codegen and scales with the scan.
+    * Tokens are raw `\S+` runs (NOT lowercased: unicode case folding is
+    * the one place Spark and DuckDB may disagree).
+    */
+  def repetitionFeatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks",
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      .withColumn("__nt", size(col("__toks")).cast("long"))
+      .withColumn("__bg", when(col("__nt") >= 2,
+          expr("transform(sequence(1, cast(__nt as int) - 1), " +
+            "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+      .select(
+        col("doc_id"),
+        col("__nt").as("n_tokens"),
+        when(col("__nt") === 0, lit(0L)).otherwise(
+            expr("((__nt - size(array_distinct(__toks))) * 1000) div __nt"))
+          .as("dup_tok_permille"),
+        when(col("__nt") < 2, lit(0L)).otherwise(
+            expr("((size(__bg) - size(array_distinct(__bg))) * 1000)" +
+              " div size(__bg)"))
+          .as("dup_bigram_permille"))
+
   /** Rolling polynomial fingerprint of the token stream (order-sensitive,
     * collision-resistant enough for grouping): fold tokens with
     * h = (h*31 + xxhash64(token) mod 2^31) mod 2^31. The modulus keeps

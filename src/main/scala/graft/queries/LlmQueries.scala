@@ -198,6 +198,12 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L04e — intra-doc repetition metrics (Gopher-style quality rules):
+    // duplicate-token and duplicate-bigram permille, integer arithmetic,
+    // hash-checked against a DuckDB list-HOF twin.
+    "l04e_repetition" -> ((s, dir) =>
+      Text.repetitionFeatures(docs(s, dir)).orderBy("doc_id")),
+
     // L05 — multimodal/array columns: parquet round-trip of float vectors,
     // norm and L2-normalization via HOFs.
     "l05_embeddings" -> ((s, dir) => {
@@ -481,6 +487,24 @@ object LlmQueries {
         |  round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / n_chars, 4)
         |    AS upper_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "l04e_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS nt,
+        |        CASE WHEN len(toks) >= 2 THEN
+        |          list_transform(range(1, len(toks)),
+        |                         i -> toks[i] || ' ' || toks[i + 1])
+        |        ELSE CAST([] AS VARCHAR[]) END AS bg
+        |      FROM t)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN nt = 0 THEN 0
+        |       ELSE ((nt - len(list_distinct(toks))) * 1000) // nt
+        |       END AS BIGINT) AS dup_tok_permille,
+        |  CAST(CASE WHEN nt < 2 THEN 0
+        |       ELSE ((len(bg) - len(list_distinct(bg))) * 1000) // len(bg)
+        |       END AS BIGINT) AS dup_bigram_permille
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "l05_embeddings" -> {
       val n = duckNormSq.format("embedding")

@@ -81,4 +81,24 @@ class TextOpsSpec extends SparkSpecBase {
         s"multi-doc pack over budget: $r")
     }
   }
+
+  test("repetition features: degenerate and hand-computed docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),         // no tokens
+      (2L, "a"),        // single token, no bigrams
+      (3L, "a a a a"),  // all-duplicate: tok 750‰, bigram (3-1)*1000//3
+      (4L, "a b a b"),  // alternating: tok 500‰, bigram (3-2)*1000//3
+      (5L, "w x y z")   // all distinct: 0‰, 0‰
+    ).toDF("doc_id", "text")
+    val got = Text.repetitionFeatures(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> (0L, 0L, 0L),
+      2L -> (1L, 0L, 0L),
+      3L -> (4L, 750L, 666L),
+      4L -> (4L, 500L, 333L),
+      5L -> (4L, 0L, 0L)))
+  }
 }
