@@ -178,6 +178,15 @@ object StreamQueries {
         .orderBy("view_id", "purchase_id")
     }),
 
+    // S15 — stream-stream LEFT SEMI join: views that got a purchase
+    // within their 30-minute attribution window, emitted once. Batch
+    // twin = EXISTS, hash-checked; stream == batch in StreamingSpec.
+    "s15_stream_semi_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Streams.viewPurchaseJoinSemi(e, e)
+        .orderBy("view_id")
+    }),
+
     // S14 — streaming interval-view maintenance: closed per-user value
     // intervals, emitted as each new change point arrives. Batch twin =
     // the O(1)-state secondary-sort fold (== Temporal.intervalView's
@@ -310,6 +319,16 @@ object StreamQueries {
         |  ON v.user_id = p.user_id
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "s15_stream_semi_join" ->
+      """SELECT v.event_id AS view_id, v.user_id,
+        |  CAST(v.ts AS TIMESTAMP) AS view_ts
+        |FROM events v
+        |WHERE v.event_type = 'view' AND EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+        |ORDER BY view_id""".stripMargin,
 
     "s14_interval_maintenance" ->
       """SELECT user_id, event_id,

@@ -91,6 +91,17 @@ object Streams {
   def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame =
     viewPurchaseJoinImpl(views, purchases, "left_outer")
 
+  /** S15 — LEFT SEMI variant of [[viewPurchaseJoin]]: views that DID get
+    * a purchase within their 30-minute window, emitted once regardless of
+    * how many purchases matched. Streaming semantics mirror the outer
+    * join's eviction logic inverted: a view row is emitted as soon as one
+    * match arrives and its state is dropped; with no match it is simply
+    * evicted silently at the watermark. Batch twin = EXISTS, hash-checked
+    * (s15); stream == batch in StreamingSpec.
+    */
+  def viewPurchaseJoinSemi(views: DataFrame, purchases: DataFrame): DataFrame =
+    viewPurchaseJoinImpl(views, purchases, "left_semi")
+
   private def viewPurchaseJoinImpl(views: DataFrame, purchases: DataFrame,
       joinType: String): DataFrame = {
     val v = views.filter(col("event_type") === "view")
@@ -101,12 +112,15 @@ object Streams {
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "10 minutes")
-    v.join(p,
+    val joined = v.join(p,
         col("user_id") === col("purchase_user") &&
           col("purchase_ts") >= col("view_ts") &&
           col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
         joinType)
-      .select(col("view_id"), col("purchase_id"), col("user_id"),
+    if (joinType == "left_semi")
+      joined.select(col("view_id"), col("user_id"), col("view_ts"))
+    else
+      joined.select(col("view_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
           .as("delta_us"))
   }

@@ -302,6 +302,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S15 semi stream-stream join: matched views emit once, unmatched never") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // view 1 (t=0, u1): purchase 10 (t=10) AND 11 (t=25) both match — must
+    // still emit once; view 2 (t=5, u2): no purchase; view 3 (t=100, u1):
+    // purchase 13 (t=125) matches
+    val views = mkEvents((1, 0, 1, "view", 1.0), (2, 5, 2, "view", 1.0),
+      (3, 100, 1, "view", 1.0))
+    val purchases = mkEvents((10, 10, 1, "purchase", 5.0),
+      (11, 25, 1, "purchase", 5.0), (13, 125, 1, "purchase", 9.0))
+    val vSrc = MemoryStream[Ev]
+    val pSrc = MemoryStream[Ev]
+    val q = Streams.viewPurchaseJoinSemi(vSrc.toDF(), pSrc.toDF())
+      .writeStream.format("memory").queryName("s15sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // split across micro-batches so a match spans batch boundaries
+      vSrc.addData(views.take(2)); pSrc.addData(purchases.take(1))
+      q.processAllAvailable()
+      vSrc.addData(views.drop(2)); pSrc.addData(purchases.drop(1))
+      q.processAllAvailable()
+      val streamed = spark.table("s15sink")
+        .orderBy("view_id").collect().toSeq
+      val batch = Streams.viewPurchaseJoinSemi(views.toDF(), purchases.toDF())
+        .orderBy("view_id").collect().toSeq
+      assert(streamed == batch && batch.nonEmpty)
+      assert(batch.map(_.getLong(0)) == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("S13b outer stream-stream join: unmatched view emits null after watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
