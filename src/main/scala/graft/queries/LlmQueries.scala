@@ -159,6 +159,16 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L13 — int8-quantized vector search: the exact top-k kernel run over
+    // dequantized (scale · codes) vectors — 4× smaller search working
+    // set. Engine-only; ToleranceSpec gates the reconstruction-error
+    // bound and recall vs the exact L03 pairs.
+    "l13_quantized_topk" -> ((s, dir) => {
+      Similarity.topKCosinePairs(
+          Similarity.dequantizeInt8(Similarity.quantizeInt8(vecs(s, dir))), 20)
+        .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
+    }),
+
     // L04 — text analysis: per-language token/char statistics.
     "l04_text_stats" -> ((s, dir) => {
       docs(s, dir)

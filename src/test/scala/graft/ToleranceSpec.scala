@@ -252,6 +252,29 @@ class ToleranceSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("l13 int8 quantization: codes bounded, error <= scale/2, high recall") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+    val q = graft.ops.Similarity.quantizeInt8(vecs)
+    val stats = q.join(vecs, "vec_id")
+      .select(
+        array_max(transform(col("codes"), c => abs(c.cast("int")))).as("maxc"),
+        (array_max(zip_with(col("embedding"), col("codes"),
+          (e, c) => abs(e.cast("double") - c.cast("double") * col("scale"))))
+          / col("scale")).as("relerr"))
+      .agg(max("maxc").as("mc"), max("relerr").as("re")).head()
+    assert(stats.getInt(0) <= 127, s"code out of range: ${stats.getInt(0)}")
+    assert(stats.getDouble(1) <= 0.5 + 1e-9,
+      s"reconstruction error above scale/2: ${stats.getDouble(1)}")
+    def pairs(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("l03_cosine_topk")
+    val quant = pairs("l13_quantized_topk")
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"quantized recall $recall")
+  }
+
   test("q27 sample: deterministic for fixed seed, fraction within bounds") {
     val a = SparkEntry.queries("q27_sample")(spark, sfDir).collect()
     val b = SparkEntry.queries("q27_sample")(spark, sfDir).collect()
