@@ -584,6 +584,50 @@ object Graphs {
     ranks.select(col("id"), (col("rank") * lit(scale)).as("rank"))
   }
 
+  /** Personalized PageRank from `seed` via GraphX (equivalence oracle for
+    * [[personalizedPageRankDF]], tolerance-gated).
+    */
+  def personalizedPageRank(s: SparkSession, edges: DataFrame, seed: Long,
+      iters: Int): DataFrame = {
+    val ranks = toGraph(edges).staticPersonalizedPageRank(seed, iters).vertices
+    s.createDataFrame(ranks.map { case (id, r) => (id, r) })
+      .toDF("id", "rank")
+  }
+
+  /** G08b — personalized PageRank as pure DataFrame power iteration,
+    * replicating `staticPersonalizedPageRank`'s recurrence exactly:
+    * rank0 = 1{id=seed}; rank' = 0.15·1{id=seed} + 0.85·Σ rank(u)/deg(u);
+    * final L1 normalization (SPARK-18847 normalizes personalized ranks to
+    * sum 1). The "which parts of the graph matter to THIS entity" query a
+    * property-graph user asks — same per-iteration plan shape and 100 TB
+    * bucketing story as [[pageRankDF]].
+    */
+  def personalizedPageRankDF(s: SparkSession, edges: DataFrame, seed: Long,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val weighted = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    val reset = (id: Column) => when(id === lit(seed), lit(1.0)).otherwise(lit(0.0))
+    var ranks = verts.withColumn("rank", reset(col("id")))
+    for (i <- 1 to iters) {
+      val contribs = weighted
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("msum"))
+      ranks = verts.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(0.15) * reset(col("id")) +
+            lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+    }
+    val total = ranks.agg(sum(col("rank"))).head().getDouble(0)
+    ranks.select(col("id"), (col("rank") / lit(total)).as("rank"))
+  }
+
   /** Temporal earliest-arrival (SURVEY G10, the reference's signature
     * traversal): from `seed`, an edge (u,v) is usable only if arrival(u) <=
     * its availability time; arrival(v) = the hop's arrival time. Bounded to

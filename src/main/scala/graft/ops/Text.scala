@@ -187,6 +187,27 @@ object Text {
               " div size(__bg)"))
           .as("dup_bigram_permille"))
 
+  /** L14 — overlapping fixed-window document chunking (RAG / context-
+    * window prep): one chunk of `size` chars starting every `stride`
+    * chars (`stride < size` ⇒ overlap of `size - stride`); the last
+    * chunk of a doc may be shorter. A generator explode over an integer
+    * sequence — narrow, no shuffle, chunk text never leaves the row it
+    * came from until downstream asks for it.
+    */
+  def chunk(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && size >= stride,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    docs.filter(col("n_chars") >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n_chars").cast("int"), lit(stride)))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"),
+        expr(s"(pos - 1) div $stride").cast("long").as("chunk_id"),
+        col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $size)").as("chunk"))
+  }
+
   /** Rolling polynomial fingerprint of the token stream (order-sensitive,
     * collision-resistant enough for grouping): fold tokens with
     * h = (h*31 + xxhash64(token) mod 2^31) mod 2^31. The modulus keeps

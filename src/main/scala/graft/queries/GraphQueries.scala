@@ -139,6 +139,18 @@ object GraphQueries {
         .orderBy(desc("rank4"), col("id")).limit(100)
     }),
 
+    // G08b — personalized PageRank from customer 1 on the supply graph:
+    // "which parts of the graph matter to THIS entity". Ranks sum to 1,
+    // reported in parts-per-million. Tolerance-gated vs the GraphX
+    // staticPersonalizedPageRank twin (ToleranceSpec); rows-only here.
+    "g08b_ppr" -> ((s, dir) => {
+      Graphs.personalizedPageRankDF(s,
+          Graphs.supplyEdges(s, dir).select("src", "dst"),
+          seed = Graphs.CUST + 1L, iters = 10)
+        .select(col("id"), round(col("rank") * lit(1e6), 4).as("rank_ppm"))
+        .orderBy(desc("rank_ppm"), col("id")).limit(100)
+    }),
+
     // G09 — motif match customer->order->part with per-vertex predicates,
     // as a 2-edge join plan over the edge lists.
     "g09_motif" -> ((s, dir) => {

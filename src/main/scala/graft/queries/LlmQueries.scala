@@ -214,6 +214,13 @@ object LlmQueries {
     "l04e_repetition" -> ((s, dir) =>
       Text.repetitionFeatures(docs(s, dir)).orderBy("doc_id")),
 
+    // L14 — overlapping document chunking: 200-char windows every 150
+    // chars (50-char overlap), the RAG/context-window prep step. Full
+    // chunk text is part of the hash oracle.
+    "l14_chunks" -> ((s, dir) =>
+      Text.chunk(docs(s, dir), size = 200, stride = 150)
+        .orderBy("doc_id", "chunk_id")),
+
     // L05 — multimodal/array columns: parquet round-trip of float vectors,
     // norm and L2-normalization via HOFs.
     "l05_embeddings" -> ((s, dir) => {
@@ -515,6 +522,16 @@ object LlmQueries {
         |       ELSE ((len(bg) - len(list_distinct(bg))) * 1000) // len(bg)
         |       END AS BIGINT) AS dup_bigram_permille
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "l14_chunks" ->
+      """SELECT doc_id,
+        |  CAST((pos - 1) // 150 AS BIGINT) AS chunk_id,
+        |  CAST(pos AS BIGINT) AS pos,
+        |  substring(text, CAST(pos AS INT), 200) AS chunk
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(1, n_chars + 1, 150)) AS pos
+        |      FROM documents WHERE n_chars >= 1)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "l05_embeddings" -> {
       val n = duckNormSq.format("embedding")

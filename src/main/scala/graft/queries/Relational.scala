@@ -194,6 +194,23 @@ object Relational {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Q12b — RANGE-frame window (time-based, vs Q12's ROWS frame): per
+    // event, the sum of the same user's value cents in the trailing
+    // 7 DAYS — frame membership decided by event-TIME distance, not row
+    // count, including all ties. Ordered by epoch micros so the frame
+    // bound is an exact integer (cross-engine identical); the (t-7d, t]
+    // window is RANGE (7d-1us) PRECEDING .. CURRENT ROW.
+    "q12b_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"))
+        .rangeBetween(-(7L * 86400000000L - 1L), Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("trail_cents", sum(cents(col("value"))).over(w))
+        .select("user_id", "event_id", "ts", "trail_cents")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // Q13 — lag/lead: inter-event gap per user in microseconds.
     "q13_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
@@ -659,6 +676,14 @@ object Relational {
         |  CAST(sum(CAST(round(value*100) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q12b_range_frame" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |          RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trail_cents
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q13_lag_lead" ->

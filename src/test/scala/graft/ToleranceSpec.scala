@@ -117,6 +117,26 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("g08b personalized pagerank: GraphX == DataFrame twin, L1-normalized") {
+    val edges = graft.ops.Graphs.supplyEdges(spark, sfDir)
+      .select("src", "dst").localCheckpoint()
+    val seed = graft.ops.Graphs.CUST + 1L
+    val twin = graft.ops.Graphs.personalizedPageRankDF(spark, edges, seed, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gx = graft.ops.Graphs.personalizedPageRank(spark, edges, seed, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gx.keySet == twin.keySet)
+    assert(math.abs(twin.values.sum - 1.0) < 1e-9)
+    assert(twin(seed) > 0.0)
+    val topGx = gx.toSeq.sortBy { case (id, r) => (-r, id) }.take(20)
+    val topTwin = twin.toSeq.sortBy { case (id, r) => (-r, id) }.take(20)
+    assert(topGx.map(_._1) == topTwin.map(_._1),
+      s"top-20 order diverged: ${topGx.map(_._1)} vs ${topTwin.map(_._1)}")
+    gx.foreach { case (id, r) =>
+      assert(math.abs(r - twin(id)) < 1e-6, s"id=$id gx=$r twin=${twin(id)}")
+    }
+  }
+
   test("l02b LSH near-dedup recall >= 95% of exact pairs, zero false accepts") {
     val exact = SparkEntry.queries("l02_near_dedup")(spark, sfDir)
       .select("a_id", "b_id").collect()
