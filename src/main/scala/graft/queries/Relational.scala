@@ -182,6 +182,41 @@ object Relational {
         SELECT id, min(d) AS dist FROM walk GROUP BY id ORDER BY id""")
     }),
 
+    // Q32 — LATERAL correlated join (Spark 4 LateralJoin operator): for
+    // each of the 10 highest-value orders, its top-2 lineitems by
+    // quantity — "top-N per outer row", the shape that needs a correlated
+    // subquery with LIMIT (a plain join + window is its decorrelated
+    // twin, but LATERAL is the user-facing operator). Same SQL text runs
+    // in DuckDB.
+    "q32_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT o.o_orderkey, l.l_linenumber, l.qty_cents
+        FROM (SELECT o_orderkey FROM graft_orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) o,
+        LATERAL (SELECT l_linenumber,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+                 FROM graft_lineitem
+                 WHERE l_orderkey = o.o_orderkey
+                 ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+        ORDER BY o.o_orderkey, l.l_linenumber""")
+    }),
+
+    // Q15c — conditional (FILTER-clause) aggregates: one scan, several
+    // predicated aggregates — no Expand, no self-joins.
+    "q15c_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            cents(col("value")))), lit(0L)).as("purchase_cents"),
+          max(when(col("event_type") === "error", col("ts")))
+            .as("last_error_ts"))
+        .orderBy("user_id")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -670,6 +705,27 @@ object Relational {
         |                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q32_lateral_topn" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.qty_cents
+        |FROM (SELECT o_orderkey FROM orders
+        |      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) o,
+        |LATERAL (SELECT l_linenumber,
+        |           CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+        |         FROM lineitem
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+        |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
+
+    "q15c_conditional_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  coalesce(CAST(sum(CAST(round(value*100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'purchase') AS BIGINT), 0)
+        |    AS purchase_cents,
+        |  CAST(max(ts) FILTER (WHERE event_type = 'error') AS TIMESTAMP)
+        |    AS last_error_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q12_running_sum" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
