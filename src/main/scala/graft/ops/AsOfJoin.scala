@@ -85,6 +85,78 @@ object AsOfJoin {
       spark.asInstanceOf[org.apache.spark.sql.SparkSession], node)
   }
 
+  /** Forward as-of join (pandas merge_asof direction="forward"): for each
+    * left row, the right row with the SMALLEST `rightTs >= leftTs` (or
+    * `>` when strict); among right rows at the same ts the SMALLEST
+    * `tieBreak` wins (mirror of the backward rule). Same union +
+    * single-shuffle window shape as [[apply]], with the pick scanning a
+    * forward frame instead of a running `last`.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: String,
+      strict: Boolean = false): DataFrame = {
+    val reserved = Set("__ts", "__is_right", "__tie", "__r_pay", "__pay_fwd")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(clash.isEmpty,
+      s"as-of join inputs must not contain reserved column(s): ${clash.mkString(", ")}")
+    val rightSide = right.select(
+      on.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__is_right"),
+        col(tieBreak).as("__tie"),
+        struct(payload.map(col): _*).as("__r_pay")): _*)
+    val leftCols = left.columns.toSeq
+    val leftSide = left.select(
+      leftCols.map(col) ++ Seq(col(leftTs).as("__ts"),
+        lit(0).as("__is_right")): _*)
+    val unioned = leftSide.unionByName(rightSide, allowMissingColumns = true)
+    // Equal-ts right rows are visible iff non-strict: inside the forward
+    // frame (after the left row) when visible, before it when not.
+    val sideOrder = if (strict) col("__is_right").desc else col("__is_right").asc
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").asc, sideOrder, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("__pay_fwd", first(col("__r_pay"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__pay_fwd.$p").as(p + "_fwd")): _*)
+  }
+
+  /** Nearest as-of join (pandas merge_asof direction="nearest"): the
+    * backward (non-strict) and strict-forward candidates composed; the
+    * smaller absolute time gap wins, exact ties go backward. `leftTs` and
+    * `rightTs` must share a type whose subtraction is orderable
+    * (timestamp, date, numeric). Two single-shuffle passes — still no
+    * non-equi join anywhere.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: String): DataFrame = {
+    require(!payload.contains(rightTs),
+      s"payload must not contain $rightTs (appended internally for the gap compare)")
+    val payloadB = payload :+ rightTs
+    val b = apply(left, right, on, leftTs, rightTs, payloadB, tieBreak)
+    val f = forward(b, right, on, leftTs, rightTs, payloadB, tieBreak,
+      strict = true)
+    val bts = col(rightTs + "_asof")
+    val fts = col(rightTs + "_fwd")
+    val useB = bts.isNotNull &&
+      (fts.isNull || (col(leftTs) - bts) <= (fts - col(leftTs)))
+    f.select(left.columns.toSeq.map(col) ++ payload.map(p =>
+      when(useB, col(p + "_asof")).otherwise(col(p + "_fwd"))
+        .as(p + "_near")): _*)
+  }
+
   def apply(
       left: DataFrame,
       right: DataFrame,

@@ -51,6 +51,32 @@ object TemporalQueries {
       AsOfJoin.merge(p, c, on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         payload = Seq("click_id"), tieBreak = "click_id")) _),
 
+    // Q10c — FORWARD as-of join: each purchase -> the EARLIEST at-or-after
+    // click of the same user (tie on ts -> min event_id). Same
+    // single-shuffle union+window plan scanning a forward frame.
+    "q10c_asof_forward" -> ((s, dir) => {
+      val (purchases, clicks) = purchasesAndClicks(s, dir)
+      AsOfJoin.forward(purchases, clicks, on = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("click_id"),
+          tieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_id_fwd").as("click_id"))
+        .orderBy("event_id")
+    }),
+
+    // Q10d — NEAREST as-of join: the closer of the backward and forward
+    // candidates, exact ties going backward (pandas merge_asof
+    // direction="nearest" semantics).
+    "q10d_asof_nearest" -> ((s, dir) => {
+      val (purchases, clicks) = purchasesAndClicks(s, dir)
+      AsOfJoin.nearest(purchases, clicks, on = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("click_id"),
+          tieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_id_near").as("click_id"))
+        .orderBy("event_id")
+    }),
+
     // T01 — snapshot: every user's property value as of t (latest change
     // point at-or-before t).
     "t01_snapshot" -> ((s, dir) => {
@@ -207,6 +233,32 @@ object TemporalQueries {
     "q10_asof_join" -> q10Oracle,
 
     "q10b_asof_merge" -> q10Oracle,
+
+    "q10c_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |  (SELECT c.click_id FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts >= p.ts
+        |   ORDER BY c.ts ASC, c.click_id ASC LIMIT 1) AS click_id
+        |FROM p ORDER BY p.event_id""".stripMargin,
+
+    "q10d_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |  (SELECT c.click_id FROM c
+        |   WHERE c.user_id = p.user_id
+        |   ORDER BY abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+        |              - epoch_us(CAST(p.ts AS TIMESTAMP))) ASC,
+        |     (CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END) ASC,
+        |     (CASE WHEN c.ts <= p.ts THEN -c.click_id ELSE c.click_id END) ASC
+        |   LIMIT 1) AS click_id
+        |FROM p ORDER BY p.event_id""".stripMargin,
 
     "t01_snapshot" ->
       """SELECT user_id, CAST(round(value*100) AS BIGINT) AS val_cents

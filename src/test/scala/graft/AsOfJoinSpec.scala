@@ -122,6 +122,70 @@ class AsOfJoinSpec extends SparkSpecBase {
     }
   }
 
+  private def runForward(
+      left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long)],
+      strict: Boolean): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    val l = left.toDF("id", "k", "ts")
+    val r = right.toDF("rid", "k", "ts")
+    AsOfJoin.forward(l, r, Seq("k"), "ts", "ts", Seq("rid"), "rid", strict)
+      .collect().map { row =>
+        row.getLong(0) -> Option(row.get(3)).map(_.asInstanceOf[Long])
+      }.toMap
+  }
+
+  test("property: forward asofJoin == per-row linear scan on random tables") {
+    val rnd = new scala.util.Random(43)
+    for (iter <- 1 to 8) {
+      val strict = iter % 2 == 0
+      def rows(n: Int): Seq[(Long, Long, Long)] =
+        (0 until n).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(50).toLong))
+      val left = rows(30)
+      val right = rows(30)
+      val want = left.map { case (id, k, ts) =>
+        val cands = right.filter { case (_, rk, rts) =>
+          rk == k && (if (strict) rts > ts else rts >= ts)
+        }
+        id -> (if (cands.isEmpty) None
+               else Some(cands.minBy { case (rid, _, rts) => (rts, rid) }._1))
+      }.toMap
+      assert(runForward(left, right, strict) == want,
+        s"mismatch at iter $iter (strict=$strict)")
+    }
+  }
+
+  test("property: nearest asofJoin == linear scan, exact ties go backward") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(44)
+    for (iter <- 1 to 6) {
+      def rows(n: Int): Seq[(Long, Long, Long)] =
+        (0 until n).map(i => (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))
+      val left = rows(25)
+      val right = rows(25)
+      val l = left.toDF("id", "k", "ts")
+      val r = right.toDF("rid", "k", "ts")
+      val got = AsOfJoin.nearest(l, r, Seq("k"), "ts", "ts", Seq("rid"), "rid")
+        .collect().map { row =>
+          row.getLong(0) -> Option(row.get(3)).map(_.asInstanceOf[Long])
+        }.toMap
+      val want = left.map { case (id, k, ts) =>
+        val back = right.filter { case (_, rk, rts) => rk == k && rts <= ts }
+          .sortBy { case (rid, _, rts) => (-rts, -rid) }.headOption
+        val fwd = right.filter { case (_, rk, rts) => rk == k && rts > ts }
+          .sortBy { case (rid, _, rts) => (rts, rid) }.headOption
+        id -> ((back, fwd) match {
+          case (None, None) => None
+          case (Some((rid, _, _)), None) => Some(rid)
+          case (None, Some((rid, _, _))) => Some(rid)
+          case (Some((bid, _, bts)), Some((fid, _, fts))) =>
+            if (ts - bts <= fts - ts) Some(bid) else Some(fid)
+        })
+      }.toMap
+      assert(got == want, s"mismatch at iter $iter")
+    }
+  }
+
   // ---- custom Catalyst sort-merge operator (AsOfMergeJoinExec) ----
 
   private def runMerge(
