@@ -178,6 +178,13 @@ object StreamQueries {
         .orderBy("view_id", "purchase_id")
     }),
 
+    // S16 — latest-state snapshot (batch form of the foreachBatch
+    // maintenance sink): one row per user, greatest (ts, event_id). The
+    // SAME latestState step reduces each micro-batch in mergeSnapshot;
+    // replay idempotence is asserted in StreamingSpec.
+    "s16_latest_state" -> ((s, dir) =>
+      Streams.latestState(ev(s, dir)).orderBy("user_id")),
+
     // S15 — stream-stream LEFT SEMI join: views that got a purchase
     // within their 30-minute attribution window, emitted once. Batch
     // twin = EXISTS, hash-checked; stream == batch in StreamingSpec.
@@ -319,6 +326,16 @@ object StreamQueries {
         |  ON v.user_id = p.user_id
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "s16_latest_state" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  CAST(ts AS TIMESTAMP) AS last_ts,
+        |  CAST(round(value*100) AS BIGINT) AS val_cents
+        |FROM (SELECT user_id, event_id, ts, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "s15_stream_semi_join" ->
       """SELECT v.event_id AS view_id, v.user_id,

@@ -66,6 +66,41 @@ object Streams {
         .agg(min(col("c_mktsegment")).as("segment")),
       Seq("user_id"), "left_outer")
 
+  /** S16 batch form — the latest change point per user (the reference's
+    * "current state" read over its temporal store): one window shuffle on
+    * the entity. Shared step function: the s16 driver twin runs it over
+    * the whole table, and [[mergeSnapshot]] runs it per micro-batch to
+    * maintain the same result incrementally.
+    */
+  def latestState(changes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    changes.select("user_id", "event_id", "ts", "value")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), Det.cents(col("value")).as("val_cents"))
+  }
+
+  /** S16 — idempotent snapshot MERGE for a foreachBatch sink: reduce the
+    * incoming micro-batch to one row per entity, union with the current
+    * state, keep the greatest (last_ts, last_event_id) per entity.
+    * Replaying a batch is a no-op — the sink is exactly-once under
+    * micro-batch retries, the property foreachBatch sinks must supply
+    * themselves (asserted in StreamingSpec). At 100 TB this is MERGE
+    * INTO a table bucketed on the entity with the batch side pre-reduced
+    * — per batch, one shuffle of the (tiny) batch plus a co-located
+    * merge, never a rescan of history.
+    */
+  def mergeSnapshot(state: DataFrame, batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("last_ts").desc, col("last_event_id").desc)
+    state.unionByName(latestState(batch))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** S13 — stream-stream interval join: each `view` event paired with the
     * same user's `purchase` events in the following 30 minutes
     * (attribution-window join). Both sides carry event-time watermarks and

@@ -332,6 +332,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S16 foreachBatch snapshot sink: == batch latest state, replay is a no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val batches = Seq(
+      mkEvents((1, 0, 1, "click", 1.0), (2, 10, 1, "view", 2.5),
+        (3, 5, 2, "click", 3.0)),
+      mkEvents((4, 20, 1, "click", 4.0), (5, 2, 2, "view", 9.0)), // 5 is OLDER than 3
+      mkEvents((6, 30, 3, "purchase", 7.0)))
+    val source = MemoryStream[Ev]
+    var state = Streams.latestState(Seq.empty[Ev].toDF())
+    var lastBatch: Option[DataFrame] = None
+    val q = source.toDF().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // localCheckpoint: the merged state must not re-read the (since
+        // recycled) micro-batch source when the next merge plans
+        state = Streams.mergeSnapshot(state, b).localCheckpoint()
+        lastBatch = Some(b.localCheckpoint())
+      }
+      .outputMode(OutputMode.Append()).start()
+    try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val streamed = rows(state)
+    val batch = rows(Streams.latestState(batches.flatten.toDF()))
+    assert(streamed == batch && batch.nonEmpty)
+    // event 5 (t=2) must NOT have displaced event 3 (t=5) for user 2
+    assert(streamed.exists { case (u, id, _, _) => u == 2L && id == 3L })
+    // replaying the final micro-batch leaves the state unchanged
+    val replayed = rows(Streams.mergeSnapshot(state, lastBatch.get))
+    assert(replayed == streamed)
+  }
+
   test("S13b outer stream-stream join: unmatched view emits null after watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
