@@ -64,6 +64,13 @@ case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def pageRank(iters: Int): DataFrame =
     Graphs.pageRankDF(spark, edges.select("src", "dst"), iters)
 
+  /** Personalized PageRank from `seed` (reset mass to the seed, ranks
+    * L1-normalized) — DataFrame power iteration, GraphX twin-gated.
+    */
+  def personalizedPageRank(seed: Long, iters: Int): DataFrame =
+    Graphs.personalizedPageRankDF(spark, edges.select("src", "dst"),
+      seed, iters)
+
   /** General motif match (GraphFrames-style `find`, reimplemented as a
     * join planner — SURVEY G09): `pattern` is a semicolon-separated list
     * of directed edge atoms `(a)-[]->(b)`. Vertex names bind across

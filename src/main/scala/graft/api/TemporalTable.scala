@@ -49,4 +49,46 @@ case class TemporalTable(
       strict: Boolean = false): DataFrame =
     AsOfJoin(probes, changes, on = Seq(entity), leftTs = probeTs,
       rightTs = ts, payload = payload, tieBreak = tieBreak, strict = strict)
+
+  /** Forward as-of: earliest change at-or-after each probe (`strict` =
+    * strictly-after); payload columns come back suffixed `_fwd`.
+    */
+  def asOfJoinForward(
+      probes: DataFrame,
+      probeTs: String,
+      payload: Seq[String],
+      strict: Boolean = false): DataFrame =
+    AsOfJoin.forward(probes, changes, on = Seq(entity), leftTs = probeTs,
+      rightTs = ts, payload = payload, tieBreak = tieBreak, strict = strict)
+
+  /** Nearest as-of: the closer of the backward/forward candidates, exact
+    * ties going backward; payload columns come back suffixed `_near`.
+    */
+  def asOfJoinNearest(
+      probes: DataFrame,
+      probeTs: String,
+      payload: Seq[String]): DataFrame =
+    AsOfJoin.nearest(probes, changes, on = Seq(entity), leftTs = probeTs,
+      rightTs = ts, payload = payload, tieBreak = tieBreak)
+
+  /** Change-point compaction over `value`: rows whose value (null-safe)
+    * equals the entity's previous change point are dropped — every
+    * snapshot/timeRange/asOfJoin read is preserved (TemporalSpec).
+    */
+  def compact(value: Column): TemporalTable =
+    copy(changes = Temporal.compactChangePoints(
+      changes, entity, ts, tieBreak, value))
+
+  /** Per-entity daily rollup of decomposable partials over `valueCents`
+    * (the aggregation index); answer coarser tumbling windows with
+    * [[reaggregate]] without rescanning `changes`.
+    */
+  def rollupDaily(valueCents: Column): DataFrame =
+    Temporal.rollupDaily(changes, entity, ts, valueCents)
+
+  /** Re-aggregate a [[rollupDaily]] table to `days`-wide buckets indexed
+    * from `origin` (a date literal).
+    */
+  def reaggregate(daily: DataFrame, origin: String, days: Int): DataFrame =
+    Temporal.reaggDaily(daily, entity, origin, days)
 }

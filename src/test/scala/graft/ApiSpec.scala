@@ -65,6 +65,32 @@ class ApiSpec extends SparkSpecBase {
     assert(asof == Map(10L -> Some(2.0), 20L -> None))
   }
 
+  test("TemporalTable facade wires forward/nearest asOf, compact, rollup") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, 100L, 1.0), (2L, 10L, 200L, 1.0), (3L, 10L, 300L, 5.0))
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val tt = TemporalTable(changes, "user_id", "ts", "event_id")
+    val probes = Seq((10L, 150L)).toDF("user_id", "psec")
+      .withColumn("p_ts", timestamp_seconds(col("psec"))).drop("psec")
+    // forward from t=150 -> event 2 (t=200); nearest -> event 1 (gap 50
+    // back vs 50 fwd, tie goes backward)
+    val fwd = tt.asOfJoinForward(probes, "p_ts", Seq("event_id")).collect()
+    assert(fwd.head.getLong(2) == 2L)
+    val near = tt.asOfJoinNearest(probes, "p_ts", Seq("event_id")).collect()
+    assert(near.head.getLong(2) == 1L)
+    // compact on value drops event 2 (same value as event 1)
+    val kept = tt.compact(col("value")).changes
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // daily rollup of 3 same-day points reaggregates to one 7-day bucket
+    val daily = tt.rollupDaily(graft.Det.cents(col("value")))
+    val re = tt.reaggregate(daily, "1970-01-01", 7).collect()
+    assert(re.length == 1 && re.head.getLong(4) == 700L &&
+      re.head.getLong(5) == 3L)
+  }
+
   test("PropertyGraph find: general motif planner matches expectations") {
     import spark.implicits._
     val g = graph() // 1->2->3->4 with the 2->4 shortcut

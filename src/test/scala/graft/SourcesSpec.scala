@@ -64,6 +64,38 @@ class SourcesSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("restart from checkpoint: committed batches are not re-emitted") {
+    import spark.implicits._
+    val landing = tmpDir("graft-landing-r")
+    val ckpt = tmpDir("graft-ckpt-r")
+    val (first, second) = sample.splitAt(3)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (run, event_id)
+    def run(runId: Long): Unit = {
+      val src = FileStreams.parquetDirStream(spark, landing,
+        sample.toDF().schema, maxFilesPerTrigger = 1)
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.synchronized {
+            emitted ++= b.select("event_id").collect()
+              .map(r => runId -> r.getLong(0))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    landParquet(first, landing, "a.parquet")
+    run(1)
+    landParquet(second, landing, "b.parquet")
+    run(2) // restarted query: must pick up ONLY the new file
+    assert(emitted.count(_._1 == 1) == first.size)
+    assert(emitted.filter(_._1 == 2).map(_._2).toSet ==
+      second.map(_.event_id).toSet,
+      s"restart re-emitted committed data: $emitted")
+    assert(emitted.map(_._2).toSeq.sorted == sample.map(_.event_id).sorted)
+  }
+
   test("canonical CSV: values round-trip, reruns are byte-identical") {
     import spark.implicits._
     // nulls AND empty strings — the sentinel must keep them distinct
