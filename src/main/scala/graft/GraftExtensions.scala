@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(exprs(0))))
+    // opt-in O(n·m) join-shape linter (spark.graft.failOnNestedLoop)
+    ext.injectOptimizerRule(_ => graft.plans.NestedLoopGuard)
   }
 }

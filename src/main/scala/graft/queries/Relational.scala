@@ -118,6 +118,22 @@ object Relational {
         .orderBy("p_partkey")
     }),
 
+    // Q08b — NOT IN (null-aware anti join): the same survivors as Q08 but
+    // through the NOT IN rewrite, which Spark executes as a null-aware
+    // broadcast hash join (a DIFFERENT physical operator from Q08's plain
+    // anti join; plan shape asserted in PlanShapeSpec, and the
+    // null-poisoned NOT IN semantics are spec-covered there too).
+    "q08b_not_in" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("graft_part")
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT p_partkey, p_brand FROM graft_part
+        WHERE p_partkey NOT IN
+          (SELECT l_partkey FROM graft_lineitem
+           WHERE l_shipdate >= TIMESTAMP '2001-01-01')
+        ORDER BY p_partkey""")
+    }),
+
     // Q09 — range self-join: pairs of events of the same user within 5
     // minutes, via the banded interval join (one shuffle on (key, band),
     // no per-key quadratic — the 150-user key domain at sf0.1 would make a
@@ -688,6 +704,13 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_partkey = p_partkey
         |                    AND l_shipdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q08b_not_in" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE p_partkey NOT IN
+        |  (SELECT l_partkey FROM lineitem
+        |   WHERE l_shipdate >= TIMESTAMP '2001-01-01')
         |ORDER BY p_partkey""".stripMargin,
 
     "q09_range_join" ->

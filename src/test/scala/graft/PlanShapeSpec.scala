@@ -119,6 +119,56 @@ class PlanShapeSpec extends SparkSpecBase {
       "time-bounded join fell back to a quadratic strategy")
   }
 
+  test("q08b NOT IN: plans as a null-aware broadcast hash anti join") {
+    val q = SparkEntry.queries("q08b_not_in")(spark, sfDir)
+    val naaj = physical(q).collect {
+      case b: BroadcastHashJoinExec if b.isNullAwareAntiJoin => b
+    }
+    assert(naaj.nonEmpty, "expected a null-aware anti join in the plan")
+    // the semantics depth the operator exists for: one NULL in the NOT IN
+    // set poisons the whole predicate (no rows), while NOT EXISTS / anti
+    // join simply ignores it
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val l = Seq(1L, 2L).toDF("x")
+    val r = Seq(Some(1L), None).toDF("y")
+    assert(l.join(r, col("x") === col("y"), "left_anti").count() == 1L)
+    l.createOrReplaceTempView("guard_l"); r.createOrReplaceTempView("guard_r")
+    assert(spark.sql(
+      "SELECT * FROM guard_l WHERE x NOT IN (SELECT y FROM guard_r)")
+      .count() == 0L)
+  }
+
+  test("nested-loop guard: rejects theta joins, allows equi/hinted/cross") {
+    import graft.plans.NestedLoopGuard
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    if (!spark.experimental.extraOptimizations.contains(NestedLoopGuard))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NestedLoopGuard
+    val a = Seq(1L, 2L).toDF("x")
+    val b = Seq(2L, 3L).toDF("y")
+    spark.conf.set(NestedLoopGuard.CONF, "true")
+    try {
+      val e = intercept[Exception] {
+        a.join(b, col("x") < col("y")).collect()
+      }
+      assert(e.getMessage.contains(NestedLoopGuard.CONF))
+      // explicit opt-ins and safe shapes pass
+      assert(a.join(org.apache.spark.sql.functions.broadcast(b),
+        col("x") < col("y")).count() == 3L)
+      assert(a.crossJoin(b).count() == 4L)
+      assert(a.join(b, col("x") === col("y"), "inner").count() == 1L)
+      // NOT IN's null-aware pattern is exempt
+      a.createOrReplaceTempView("guard_a"); b.createOrReplaceTempView("guard_b")
+      assert(spark.sql(
+        "SELECT * FROM guard_a WHERE x NOT IN (SELECT y FROM guard_b)")
+        .count() == 1L)
+    } finally spark.conf.set(NestedLoopGuard.CONF, "false")
+    // disabled: the theta join runs (slow but permitted)
+    assert(a.join(b, col("x") < col("y")).count() == 3L)
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q02)") {
     val q = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
     q.collect() // codegen collapse happens per-stage at execution under AQE
