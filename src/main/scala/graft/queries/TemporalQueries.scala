@@ -206,6 +206,37 @@ object TemporalQueries {
         .orderBy("user_id", "bucket")
     }),
 
+    // T10 — transaction-time read over the SCD2 history: "what did the
+    // store BELIEVE at tx time T" — an interval filter on the history's
+    // tx-validity columns. Reading at Jan-15 (between the seed and the
+    // merge) reconstructs the Jan-10 snapshot exactly; reading at Jan-25
+    // reconstructs the merged state. Hash equality against the two
+    // snapshots recomputed from raw events proves tx-time reads never
+    // leak later knowledge backwards.
+    "t10_txtime_read" -> ((s, dir) => {
+      val t1Us = 1704844800000000L // 2024-01-10 00:00:00 UTC
+      val t2Us = 1705708800000000L // 2024-01-20 00:00:00 UTC
+      def snap(t: String): DataFrame =
+        Temporal.snapshot(ev(s, dir), entity = "user_id", ts = "ts",
+            t = lit(t).cast("timestamp"), tieBreak = "event_id")
+          .select(col("user_id"), cents(col("value")).as("value_cents"))
+      val hist = Temporal.scd2Merge(
+        Temporal.scd2Init(snap("2024-01-10 00:00:00"), t1Us),
+        snap("2024-01-20 00:00:00"),
+        entity = "user_id", attrs = Seq("value_cents"), atUs = t2Us)
+      def asKnownAt(txUs: Long, as: String): DataFrame =
+        hist.filter(col("valid_from_us") <= txUs &&
+            (col("valid_to_us").isNull || col("valid_to_us") > txUs))
+          .select(col("user_id"), col("value_cents").as(as))
+      asKnownAt(1705276800000000L, "cents_at_t1") // 2024-01-15
+        .join(asKnownAt(1706140800000000L, "cents_at_t2"), // 2024-01-25
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("cents_at_t1"), lit(-1L)).as("cents_at_t1"),
+          coalesce(col("cents_at_t2"), lit(-1L)).as("cents_at_t2"))
+        .orderBy("user_id")
+    }),
+
     // T06 — sessionization, 30-minute gap, strictly-greater split rule.
     "t06_sessionize" -> ((s, dir) => {
       Temporal.sessionize(ev(s, dir), entity = "user_id", ts = "ts",
@@ -368,6 +399,25 @@ object TemporalQueries {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
+
+    "t10_txtime_read" ->
+      """WITH s1 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM (SELECT user_id, value,
+        |          row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+        |  WHERE rn = 1),
+        |s2 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM (SELECT user_id, value,
+        |          row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+        |  coalesce(s1.value_cents, -1) AS cents_at_t1,
+        |  coalesce(s2.value_cents, -1) AS cents_at_t2
+        |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+        |ORDER BY user_id""".stripMargin,
 
     "t06_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
