@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Bucketing, SimIndex, Similarity, Text}
+import graft.ops.{Bucketing, Graphs, SimIndex, Similarity, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,23 @@ object LlmQueries {
         .select(col("a_id"), col("b_id"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // L15 — near-dup cluster resolution, the step AFTER pair finding in
+    // a real dedup pipeline: the exact-Jaccard pair set (L02's edges)
+    // becomes an undirected graph; connected components assign each doc
+    // its cluster, labeled by the component's min doc_id — the canonical
+    // survivor everything else in the cluster dedups against. Pairless
+    // docs are trivially their own cluster and are omitted. Reuses the
+    // star-contraction CC (O(log n) rounds) — at 100 TB the pair list
+    // comes from the LSH path (L02b) and the same contraction runs.
+    "l15_dedup_clusters" -> ((s, dir) => {
+      val pairs = Similarity.exactJaccard(Text.shingles(docs(s, dir), 3))
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Graphs.connectedComponentsDF(s, pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
     }),
 
     // L03 — embedding similarity: exact top-20 cosine pairs via the
@@ -453,6 +470,31 @@ object LlmQueries {
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE n * 1.0 / (sa.sz + sb.sz - n) > 0.6
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "l15_dedup_clusters" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, text,
+        |    unnest(generate_series(1, n_chars - 2)) AS gs
+        |  FROM documents WHERE n_chars >= 3),
+        | sh AS (SELECT DISTINCT doc_id,
+        |    substr(text, CAST(gs AS INT), 3) AS shingle FROM g),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        | i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n
+        |       FROM sh a JOIN sh b
+        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        | pairs AS (SELECT a_id, b_id FROM i
+        |           JOIN sz sa ON sa.doc_id = a_id
+        |           JOIN sz sb ON sb.doc_id = b_id
+        |           WHERE n * 1.0 / (sa.sz + sb.sz - n) > 0.6),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |       UNION ALL SELECT b_id, a_id FROM pairs),
+        | v AS (SELECT DISTINCT src AS id FROM e),
+        | lp(id, lbl) AS (
+        |   SELECT id, id FROM v
+        |   UNION
+        |   SELECT e.dst, lp.lbl FROM lp JOIN e ON e.src = lp.id)
+        |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "l03_cosine_topk" -> {
       val dotAB = duckDot.format("a.embedding", "b.embedding")

@@ -82,6 +82,39 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("chunking invariants: stride==size reassembles, overlap covers") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "a"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // no overlap: concatenating chunks in order reassembles the text
+    val flat = Text.chunk(docs, size = 4, stride = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(3)).mkString }
+    assert(flat == Map(1L -> "abcdefghij", 2L -> "abc", 3L -> "a"))
+    // overlap: every chunk but the last has full size; consecutive chunks
+    // share exactly size-stride chars; every char position is covered
+    val ov = Text.chunk(docs, size = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    ov.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.init.foreach { case (_, _, _, c) => assert(c.length == 4) }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + 2)
+          assert(a._4.drop(2) == b._4.take(a._4.length - 2))
+        case _ =>
+      }
+      val text = docs.filter(col("doc_id") === id)
+        .head().getString(1)
+      val covered = sorted.flatMap(r =>
+        (r._3.toInt - 1) until math.min(r._3.toInt - 1 + 4, text.length)).toSet
+      assert(covered == text.indices.toSet, s"doc $id coverage hole")
+    }
+  }
+
   test("repetition features: degenerate and hand-computed docs") {
     import spark.implicits._
     val docs = Seq(
