@@ -100,7 +100,9 @@ class TextOpsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     ov.groupBy(_._1).foreach { case (id, rows) =>
       val sorted = rows.sortBy(_._2)
-      sorted.init.foreach { case (_, _, _, c) => assert(c.length == 4) }
+      val n = docs.filter(col("doc_id") === id).head().getLong(2)
+      sorted.foreach { case (_, _, pos, c) =>
+        assert(c.length == math.min(4L, n - pos + 1), s"doc $id pos $pos") }
       sorted.sliding(2).foreach {
         case Array(a, b) =>
           assert(b._3 == a._3 + 2)
