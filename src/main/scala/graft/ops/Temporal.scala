@@ -179,6 +179,41 @@ object Temporal {
         sum("sum_cents").as("sum_cents"),
         sum("cnt").as("cnt"))
 
+  /** T11 — temporal (interval-intersection) join, the temporal-algebra
+    * inner join: two interval views of the same entity joined where
+    * their validity overlaps; each output row is valid on the
+    * intersection `[max(from_a, from_b), min(to_a, to_b))` (null = open,
+    * propagated correctly through the min). Both inputs carry
+    * `valid_from`/`valid_to` plus payload columns (caller keeps names
+    * disjoint). Equi join on the entity with an overlap post-filter —
+    * a hash join, never a nested loop; at 100 TB both sides bucket on
+    * the entity and the join is exchange-free.
+    */
+  def temporalJoin(a: DataFrame, b: DataFrame, entity: String): DataFrame = {
+    val bPay = b.columns.filterNot(
+      Set(entity, "valid_from", "valid_to").contains)
+    val b2 = b.select(col(entity).as("__e2") +:
+      col("valid_from").as("__f2") +: col("valid_to").as("__t2") +:
+      bPay.map(col).toSeq: _*)
+    val aPay = a.columns.filterNot(
+      Set(entity, "valid_from", "valid_to").contains)
+    val interTo =
+      when(col("valid_to").isNull, col("__t2"))
+        .when(col("__t2").isNull, col("valid_to"))
+        .otherwise(least(col("valid_to"), col("__t2")))
+    a.join(b2, col(entity) === col("__e2") &&
+        (col("__t2").isNull || col("valid_from") < col("__t2")) &&
+        (col("valid_to").isNull || col("__f2") < col("valid_to")))
+      .select(col(entity) +:
+        greatest(col("valid_from"), col("__f2")).as("valid_from") +:
+        interTo.as("valid_to") +:
+        (aPay ++ bPay).map(col): _*)
+      // a zero-length input interval (change points tied on ts) passes
+      // the overlap predicate when strictly inside a partner interval but
+      // carries no time — drop the empty intersections it produces
+      .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+  }
+
   /** Gaps-and-islands sessionization: a new session starts when the gap to
     * the previous row of the same entity is STRICTLY greater than
     * `gapSeconds` (FIXTURES.md: a gap of exactly the threshold does NOT

@@ -237,6 +237,26 @@ object TemporalQueries {
         .orderBy("user_id")
     }),
 
+    // T11 — temporal interval-intersection join (the temporal-algebra
+    // inner join): the per-user VALUE intervals joined with the per-user
+    // EVENT-TYPE intervals (the compacted T08 stream, so the two interval
+    // sets genuinely differ); each output row carries both payloads and
+    // is valid on the intersection.
+    "t11_temporal_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val values = Temporal.intervalView(e, "user_id", "ts", "event_id")
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_id").as("val_id"), cents(col("value")).as("val_cents"))
+      val types = Temporal.intervalView(
+          Temporal.compactChangePoints(e, "user_id", "ts", "event_id",
+            col("event_type")),
+          "user_id", "ts", "event_id")
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_id").as("type_id"), col("event_type"))
+      Temporal.temporalJoin(values, types, "user_id")
+        .orderBy("user_id", "valid_from", "val_id", "type_id")
+    }),
+
     // T06 — sessionization, 30-minute gap, strictly-greater split rule.
     "t06_sessionize" -> ((s, dir) => {
       Temporal.sessionize(ev(s, dir), entity = "user_id", ts = "ts",
@@ -418,6 +438,33 @@ object TemporalQueries {
         |  coalesce(s2.value_cents, -1) AS cents_at_t2
         |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
         |ORDER BY user_id""".stripMargin,
+
+    "t11_temporal_join" ->
+      """WITH iv AS (SELECT user_id, event_id AS val_id, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        |    CAST(round(value*100) AS BIGINT) AS val_cents
+        |  FROM events),
+        |ct AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |cx AS (SELECT user_id, event_id AS type_id, ts, event_type FROM ct
+        |       WHERE pv IS DISTINCT FROM event_type),
+        |tv AS (SELECT user_id, type_id, event_type, ts AS tf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, type_id) AS tt
+        |  FROM cx)
+        |SELECT * FROM (
+        |  SELECT iv.user_id,
+        |    CAST(greatest(iv.vf, tv.tf) AS TIMESTAMP) AS valid_from,
+        |    CAST(CASE WHEN iv.vt IS NULL THEN tv.tt
+        |              WHEN tv.tt IS NULL THEN iv.vt
+        |              ELSE least(iv.vt, tv.tt) END AS TIMESTAMP) AS valid_to,
+        |    iv.val_id, iv.val_cents, tv.type_id, tv.event_type
+        |  FROM iv JOIN tv ON iv.user_id = tv.user_id
+        |    AND (tv.tt IS NULL OR iv.vf < tv.tt)
+        |    AND (iv.vt IS NULL OR tv.tf < iv.vt))
+        |WHERE valid_to IS NULL OR valid_from < valid_to
+        |ORDER BY user_id, valid_from, val_id, type_id""".stripMargin,
 
     "t06_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,

@@ -174,6 +174,51 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("temporal join == brute-force interval intersection (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 3) {
+      def mkIntervals(n: Int, tag: String): (Seq[(Long, Long, Long, Option[Long])], org.apache.spark.sql.DataFrame) = {
+        val rows = (0 until n).map(i =>
+          (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(200).toLong))
+        val df = rows.toDF("event_id", "user_id", "sec")
+          .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+        val iv = Temporal.intervalView(df, "user_id", "ts", "event_id")
+          .select(col("user_id"),
+            col("valid_from"), col("valid_to"),
+            col("event_id").as(s"${tag}_id"))
+        // linear-scan intervals: (id, user, from, Option(to))
+        val flat = rows.groupBy(_._2).toSeq.flatMap { case (u, rs) =>
+          val sorted = rs.sortBy(r => (r._3, r._1))
+          sorted.zip(sorted.drop(1).map(n => Some(n._3 * 1000000L)) :+ None)
+            .map { case ((id, _, sec), to) => (id, u, sec * 1000000L, to) }
+        }
+        (flat, iv)
+      }
+      val (aFlat, aIv) = mkIntervals(20, "a")
+      val (bFlat, bIv) = mkIntervals(15, "b")
+      val got = Temporal.temporalJoin(aIv, bIv, "user_id")
+        .select(col("user_id"), unix_micros(col("valid_from")).as("f"),
+          unix_micros(col("valid_to")).as("t"), col("a_id"), col("b_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = (for {
+        (aid, au, af, at) <- aFlat
+        (bid, bu, bf, bt) <- bFlat
+        if au == bu
+        f = math.max(af, bf)
+        t = (at, bt) match {
+          case (Some(x), Some(y)) => Some(math.min(x, y))
+          case (x, y) => x.orElse(y)
+        }
+        if t.forall(f < _)
+      } yield (au, f, t, aid, bid)).toSet
+      assert(got == want)
+    }
+  }
+
   test("aggregation index: reagg from daily rollup == direct aggregation") {
     val ev = Tables.load(spark, sfDir, "events")
     val daily = Temporal.rollupDaily(ev, "user_id", "ts",
