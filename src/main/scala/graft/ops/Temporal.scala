@@ -179,6 +179,33 @@ object Temporal {
         sum("sum_cents").as("sum_cents"),
         sum("cnt").as("cnt"))
 
+  /** T12 — time-weighted temporal aggregation over `[t1, t2)`: each value
+    * interval clipped to the window contributes `value × clipped-duration`
+    * — the genuinely temporal mean/sum (a value held for 2 days weighs
+    * 48× one held for an hour), vs T03's per-row aggregation. Output per
+    * entity: the weighted numerator (cents·µs) and covered µs, both
+    * exact integers — the caller divides (keeping the hash contract
+    * division-free). One window + one agg shuffle on the entity.
+    * Overflow-safe to cents·window products under 2^63 (a 10^6-cent
+    * value over a year is ~3×10^19... so bound the window, or pre-scale
+    * to cents·seconds for multi-year windows).
+    */
+  def timeWeighted(
+      changes: DataFrame,
+      entity: String,
+      ts: String,
+      tieBreak: String,
+      valueCents: Column,
+      t1: Column,
+      t2: Column): DataFrame =
+    timeRange(changes, entity, ts, tieBreak, t1, t2)
+      .select(col(entity), valueCents.as("__c"),
+        unix_micros(greatest(col("valid_from"), t1)).as("__f"),
+        unix_micros(least(coalesce(col("valid_to"), t2), t2)).as("__t"))
+      .groupBy(entity)
+      .agg(sum(expr("__c * (__t - __f)")).as("weighted_cents_us"),
+        sum(expr("__t - __f")).as("covered_us"))
+
   /** T11 — temporal (interval-intersection) join, the temporal-algebra
     * inner join: two interval views of the same entity joined where
     * their validity overlaps; each output row is valid on the

@@ -257,6 +257,17 @@ object TemporalQueries {
         .orderBy("user_id", "valid_from", "val_id", "type_id")
     }),
 
+    // T12 — time-weighted temporal aggregation over [Jan-10, Jan-12):
+    // value × held-duration per user, exact integer (cents·µs) numerator
+    // and covered µs — the division-free form of the temporal mean.
+    "t12_time_weighted" -> ((s, dir) => {
+      Temporal.timeWeighted(ev(s, dir), entity = "user_id", ts = "ts",
+          tieBreak = "event_id", valueCents = cents(col("value")),
+          t1 = lit("2024-01-10 00:00:00").cast("timestamp"),
+          t2 = lit("2024-01-12 00:00:00").cast("timestamp"))
+        .orderBy("user_id")
+    }),
+
     // T06 — sessionization, 30-minute gap, strictly-greater split rule.
     "t06_sessionize" -> ((s, dir) => {
       Temporal.sessionize(ev(s, dir), entity = "user_id", ts = "ts",
@@ -465,6 +476,24 @@ object TemporalQueries {
         |    AND (iv.vt IS NULL OR tv.tf < iv.vt))
         |WHERE valid_to IS NULL OR valid_from < valid_to
         |ORDER BY user_id, valid_from, val_id, type_id""".stripMargin,
+
+    "t12_time_weighted" ->
+      """WITH iv AS (SELECT user_id, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT user_id, cents,
+        |    epoch_us(CAST(greatest(vf, TIMESTAMP '2024-01-10 00:00:00')
+        |      AS TIMESTAMP)) AS f,
+        |    epoch_us(CAST(least(coalesce(vt, TIMESTAMP '2024-01-12 00:00:00'),
+        |      TIMESTAMP '2024-01-12 00:00:00') AS TIMESTAMP)) AS t
+        |  FROM iv
+        |  WHERE vf < TIMESTAMP '2024-01-12 00:00:00'
+        |    AND (vt IS NULL OR vt > TIMESTAMP '2024-01-10 00:00:00'))
+        |SELECT user_id,
+        |  CAST(sum(cents * (t - f)) AS BIGINT) AS weighted_cents_us,
+        |  CAST(sum(t - f) AS BIGINT) AS covered_us
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "t06_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,

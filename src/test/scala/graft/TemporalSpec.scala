@@ -219,6 +219,25 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("time-weighted aggregation: clipping, open intervals, late starters") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 1L, 0L, 100L),   // user 1: 100 cents on [0,10), 300 on [10,inf)
+      (2L, 1L, 10L, 300L),
+      (3L, 2L, 8L, 50L))    // user 2 starts inside the window
+      .toDF("event_id", "user_id", "sec", "c")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = Temporal.timeWeighted(changes, "user_id", "ts", "event_id",
+        valueCents = col("c"),
+        t1 = timestamp_seconds(lit(5)), t2 = timestamp_seconds(lit(20)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // user 1: 100·[5,10) + 300·[10,20) = 100·5e6 + 300·10e6 = 3.5e9 over 15e6 µs
+    // user 2: 50·[8,20) = 50·12e6 = 6e8 over 12e6 µs
+    assert(got == Map(
+      1L -> (3500000000L, 15000000L),
+      2L -> (600000000L, 12000000L)))
+  }
+
   test("aggregation index: reagg from daily rollup == direct aggregation") {
     val ev = Tables.load(spark, sfDir, "events")
     val daily = Temporal.rollupDaily(ev, "user_id", "ts",
