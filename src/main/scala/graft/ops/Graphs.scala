@@ -628,6 +628,60 @@ object Graphs {
     ranks.select(col("id"), (col("rank") / lit(total)).as("rank"))
   }
 
+  /** G16 — deterministic random-walk sampling (the node2vec/DeepWalk
+    * training-data prep): `walksPerSeed` walks of up to `steps` steps
+    * from each seed vertex. At step i, a walk at vertex v moves to the
+    * neighbor with rank `xxhash64(walk_id, i, v) mod outdeg(v)` in the
+    * (dst-sorted) adjacency — "randomness" from a seeded hash, so walks
+    * are exactly reproducible across runs and task retries (the lineage
+    * property training pipelines need; a `rand()` walk resamples under
+    * retry). A walk reaching a sink stops early.
+    *
+    * Plan: the adjacency is ranked ONCE (one window over the src
+    * shuffle); each step is then one equi join of the live frontier
+    * against the ranked table on (vertex, pick) — all walks advance
+    * together, no per-walk loops, `steps × O(frontier)` total. At
+    * 100 TB the ranked adjacency persists bucketed on src and every
+    * step joins exchange-free. Returns (walk_id, seed, step, vertex).
+    */
+  def hashWalks(s: SparkSession, edges: DataFrame, seeds: DataFrame,
+      steps: Int, walksPerSeed: Int): DataFrame = {
+    val ranked = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy("dst")) - 1)
+    val degs = ranked.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val adj = ranked.join(degs, "src").localCheckpoint()
+    // walk_id = seed * walksPerSeed + w — unique and reproducible
+    var state = seeds.select(col("id").cast("long").as("seed"))
+      .crossJoin(spark_range(s, walksPerSeed))
+      .select((col("seed") * walksPerSeed + col("w")).as("walk_id"),
+        col("seed"), col("seed").as("vertex"))
+    var out = state.select(col("walk_id"), col("seed"), lit(0).as("step"),
+      col("vertex"))
+    for (i <- 1 to steps) {
+      // pick first (one row per live walk), THEN equi-join on BOTH
+      // (vertex, rank) — the walk never fans out by the vertex degree
+      val picked = state
+        .join(degs.select(col("src").as("vertex"), col("deg")), Seq("vertex"))
+        .withColumn("rank",
+          pmod(xxhash64(col("walk_id"), lit(i), col("vertex")), col("deg")))
+        .drop("deg")
+      state = picked
+        .join(adj.select(col("src").as("vertex"), col("rank"), col("dst")),
+          Seq("vertex", "rank"))
+        .select(col("walk_id"), col("seed"), col("dst").as("vertex"))
+      out = out.unionAll(state.select(col("walk_id"), col("seed"),
+        lit(i).as("step"), col("vertex")))
+    }
+    out
+  }
+
+  private def spark_range(s: SparkSession, n: Int): DataFrame =
+    s.range(n).select(col("id").as("w"))
+
   /** Temporal earliest-arrival (SURVEY G10, the reference's signature
     * traversal): from `seed`, an edge (u,v) is usable only if arrival(u) <=
     * its availability time; arrival(v) = the hop's arrival time. Bounded to

@@ -151,6 +151,18 @@ object GraphQueries {
         .orderBy(desc("rank_ppm"), col("id")).limit(100)
     }),
 
+    // G16 — deterministic hash-walk sampling from customers 1..5 on the
+    // supply graph (2 walks × ≤3 steps each): node2vec-style walk data
+    // whose "randomness" is a seeded hash, so retries/reruns reproduce
+    // the exact walks. Engine-only (xxhash64 has no DuckDB twin);
+    // GraphOpsSpec gates edge-validity, determinism, and sink stops.
+    "g16_hash_walks" -> ((s, dir) => {
+      val seeds = s.range(1, 6).select((col("id") + Graphs.CUST).as("id"))
+      Graphs.hashWalks(s, Graphs.supplyEdges(s, dir).select("src", "dst"),
+          seeds, steps = 3, walksPerSeed = 2)
+        .orderBy("walk_id", "step")
+    }),
+
     // G09 — motif match customer->order->part with per-vertex predicates,
     // as a 2-edge join plan over the edge lists.
     "g09_motif" -> ((s, dir) => {

@@ -159,4 +159,37 @@ class GraphOpsSpec extends SparkSpecBase {
       .toDF("x", "y")
     assert(Graphs.triangleCount(spark, pairs) == 2L)
   }
+
+  test("hashWalks: edge-valid, deterministic, sink-terminated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1 -> {2,3}; 2 -> {3,4}; 3 -> {4}; 4 is a sink
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val seeds = Seq(1L, 4L).toDF("id")
+    def run() = Graphs.hashWalks(spark, edges, seeds, steps = 4,
+        walksPerSeed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val a = run()
+    assert(a == run()) // reproducible across runs
+    val byWalk = a.groupBy(_._1)
+    assert(byWalk.size == 2 * 3) // every (seed, w) walk exists
+    byWalk.foreach { case (_, rows) =>
+      val path = rows.toSeq.sortBy(_._3)
+      // steps are consecutive from 0 and every hop is a real edge
+      assert(path.map(_._3) == path.indices)
+      path.sliding(2).foreach {
+        case Seq(u, v) => assert(edgeSet.contains((u._4, v._4)),
+          s"non-edge hop ${u._4}->${v._4}")
+        case _ =>
+      }
+      // a walk ends only at the sink or at the step budget
+      val last = path.last
+      assert(last._4 == 4L || last._3 == 4, s"early stop: $path")
+      // seed-4 walks are single points (sink seed)
+      if (path.head._4 == 4L) assert(path.size == 1)
+    }
+  }
 }
