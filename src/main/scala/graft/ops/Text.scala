@@ -24,12 +24,19 @@ object Text {
     * probe side pipelined into the join.
     */
   def shingleStream(docs: DataFrame, n: Int): DataFrame =
+    shingleStreamPos(docs, n).select("doc_id", "shingle")
+
+  /** [[shingleStream]] with the 1-based start position retained — feeds
+    * span-level queries (L16's redaction map).
+    */
+  def shingleStreamPos(docs: DataFrame, n: Int): DataFrame =
     docs.filter(col("n_chars") >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), (col("n_chars") - (n - 1)).cast("int")))
           .as("pos"),
         col("text"))
-      .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("shingle"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $n)").as("shingle"))
 
   /** Whitespace-delimited token count (regexp `\S+` matches — identical
     * semantics in Spark and the DuckDB oracle, unlike split()'s trailing-

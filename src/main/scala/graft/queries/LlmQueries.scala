@@ -332,6 +332,21 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // L16 — span-level decontamination: the exact (doc, position) spans
+    // of train docs whose 20-char shingle appears in the held-out slice —
+    // the redaction map a pipeline applies when it wants to CLEAN
+    // contaminated docs instead of dropping them (L10's doc-level form).
+    "l16_contaminated_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      val train = d.filter(col("doc_id") % 20 =!= 0)
+      val benchSh = Text.shingles(bench, 20).select("shingle").distinct()
+      Text.shingleStreamPos(train, 20)
+        .join(benchSh, "shingle")
+        .select("doc_id", "pos")
+        .orderBy("doc_id", "pos")
+    }),
+
     // L10b — same decontamination result through the bloom-filter
     // runtime prefilter (Text.bloomContaminated): the compact filter
     // prunes the shingle stream before the exact semi join, so the
@@ -411,6 +426,18 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "l10_decontaminate" -> decontamSql,
     "l10b_decontaminate_bloom" -> decontamSql,
+
+    "l16_contaminated_spans" ->
+      """WITH bs AS (SELECT DISTINCT substr(text, CAST(gs AS INT), 20) AS shingle
+        |  FROM (SELECT text, unnest(generate_series(1, n_chars - 19)) AS gs
+        |        FROM documents WHERE doc_id % 20 = 0 AND n_chars >= 20)),
+        |tr AS (SELECT doc_id, CAST(gs AS BIGINT) AS pos,
+        |         substr(text, CAST(gs AS INT), 20) AS shingle
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, n_chars - 19)) AS gs
+        |        FROM documents WHERE doc_id % 20 != 0 AND n_chars >= 20))
+        |SELECT tr.doc_id, tr.pos FROM tr JOIN bs ON tr.shingle = bs.shingle
+        |ORDER BY tr.doc_id, tr.pos""".stripMargin,
 
     "l12_salient_terms" ->
       """WITH tok AS (SELECT doc_id,
