@@ -53,14 +53,25 @@ object Bench {
 
     val aqeOn = spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
-    // With AQE on, report whether its skew-join rewrite actually fired:
-    // the executed plan carries `isSkewJoin=true` on rewritten joins.
-    // ROADMAP #7 — at sf<=0.1 this is expected to stay 0 (no stratum is
-    // skewed enough); the counter is the evidence either way.
+    // With AQE on, report whether its skew-join rewrite actually fired.
+    // Two subtleties make the naive check structurally zero: (a) the
+    // noop-sink write runs its OWN QueryExecution, so `df`'s adaptive
+    // plan must be executed directly for AQE to replan it; (b) Spark
+    // 4.1's ShuffledJoin prints the marker as `(skew=true)`. ROADMAP #7 —
+    // at sf<=0.1 this is expected to stay 0 (no stratum is skewed
+    // enough); the counter is the evidence either way.
     def skewJoins(df: org.apache.spark.sql.DataFrame): Int =
       if (!aqeOn) 0
-      else "skew=\\[true\\]|isSkewJoin=true".r
-        .findAllIn(df.queryExecution.executedPlan.toString).length
+      else {
+        val qe = df.queryExecution
+        qe.executedPlan.executeCollect() // finalize the adaptive plan
+        val finalPlan = qe.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        "skew=true|isSkewJoin=true".r.findAllIn(finalPlan.toString).length
+      }
 
     def once(key: String): (Double, Int) = {
       val t0 = System.nanoTime()

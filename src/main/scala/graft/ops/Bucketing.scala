@@ -20,7 +20,9 @@ object Bucketing {
     */
   def dropStaleLocation(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, table)
+    // managed-table locations use the LOWER-CASED identifier — a
+    // mixed-case caller name would probe a path saveAsTable never writes
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
   }

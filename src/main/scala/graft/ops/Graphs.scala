@@ -475,6 +475,11 @@ object Graphs {
     * into one pipelined job: with small k, ~3 exchanges per round in one
     * job beat k materialization barriers (the k-hop lesson from r5). For
     * large k, checkpoint every few rounds like [[connectedComponentsDF]].
+    *
+    * PRECONDITION (same as [[kCorePeelDF]]): `edges` must contain both
+    * directions of every undirected edge — rounds rebuild the label set
+    * via groupBy(src), so a vertex appearing only as a dst would vanish
+    * from the output after round 1.
     */
   def labelPropagationDF(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select("src", "dst")

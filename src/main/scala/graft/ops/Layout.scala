@@ -58,6 +58,9 @@ object Layout {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty frame or an all-null clustered column: no layout to compute —
+    // pass the frame through instead of NPE-ing on the null min/max
+    if ((0 until 2 * cols.length).exists(row.isNullAt)) return df
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       equiWidthBucket(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1),
         bits)

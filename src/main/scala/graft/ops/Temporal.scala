@@ -161,8 +161,10 @@ object Temporal {
     * re-aggregating partials (min of mins, max of maxes, sum of
     * sums/counts) — the decomposability that makes the aggregation index
     * sound. Buckets are indexed by whole days since `origin`
-    * (a date literal, e.g. "2024-01-01") divided by `days`: an integer
-    * key both engines compute identically (no epoch-alignment ambiguity).
+    * (a date literal, e.g. "2024-01-01") FLOOR-divided by `days`: floor,
+    * not `div`, because SQL `div` truncates toward zero and would merge
+    * the week before the origin into the week after it (DuckDB's `//`
+    * floors, so the engines would silently disagree on pre-origin data).
     */
   def reaggDaily(
       daily: DataFrame,
@@ -171,7 +173,8 @@ object Temporal {
       days: Int): DataFrame =
     daily
       .groupBy(col(entity),
-        expr(s"datediff(day, date'$origin') div $days").cast("long")
+        floor(datediff(col("day"), lit(origin).cast("date")) /
+          lit(days.toDouble)).cast("long")
           .as("bucket"))
       .agg(
         min("min_cents").as("min_cents"),

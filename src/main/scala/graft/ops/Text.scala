@@ -154,7 +154,7 @@ object Text {
     // expectedNumItems upper bound = total bench chars (≥ shingle count);
     // a scalar from the small side, permitted by the scale contract
     val expected = math.max(1L,
-      bench.agg(sum(col("n_chars"))).head().getLong(0))
+      bench.agg(coalesce(sum(col("n_chars")), lit(0L))).head().getLong(0))
     val bf = benchSh.select(xxhash64(col("shingle")).as("h"))
       .stat.bloomFilter("h", expected, fpp)
     val bos = new java.io.ByteArrayOutputStream()

@@ -247,8 +247,8 @@ class TemporalSpec extends SparkSpecBase {
         .orderBy("user_id", "bucket")
       val direct = ev
         .groupBy(col("user_id"),
-          expr(s"datediff(date_trunc('day', ts), date'2024-01-01') div $days")
-            .cast("long").as("bucket"))
+          floor(datediff(date_trunc("day", col("ts")), lit("2024-01-01")
+            .cast("date")) / lit(days.toDouble)).cast("long").as("bucket"))
         .agg(
           min(Det.cents(col("value"))).as("min_cents"),
           max(Det.cents(col("value"))).as("max_cents"),
@@ -257,5 +257,21 @@ class TemporalSpec extends SparkSpecBase {
         .orderBy("user_id", "bucket")
       assert(fromIndex.collect().toSeq == direct.collect().toSeq)
     }
+  }
+
+  test("aggregation index: pre-origin days floor to negative buckets") {
+    import spark.implicits._
+    // 2023-12-31 is day -1 from the origin: floor(-1/7) = -1, the bucket
+    // DuckDB's // computes — truncating `div` would merge it into bucket
+    // 0 with the first post-origin week
+    val changes = Seq(
+      (1L, 1L, "2023-12-31 12:00:00", 100L),
+      (2L, 1L, "2024-01-02 12:00:00", 200L))
+      .toDF("event_id", "user_id", "t", "c")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val daily = Temporal.rollupDaily(changes, "user_id", "ts", col("c"))
+    val got = Temporal.reaggDaily(daily, "user_id", "2024-01-01", 7)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(got == Map(-1L -> 100L, 0L -> 200L))
   }
 }
