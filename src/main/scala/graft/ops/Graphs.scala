@@ -299,6 +299,39 @@ object Graphs {
     visited
   }
 
+  /** G17 — MULTI-source BFS in one traversal: exact min-depths from every
+    * seed simultaneously, state keyed on (seed, id). The primitive behind
+    * closeness/harmonic centrality sampling — k seeds cost ONE pass of
+    * depth × (scan E + anti join), not k traversals; the per-level work
+    * is the union of the per-seed frontiers, which share each edge scan.
+    * Frontiers are shuffle-joined (multi-seed frontiers are k× bigger, so
+    * no broadcast by default). Returns (seed, id, dist), dist <= maxDepth.
+    */
+  def multiSourceBfs(s: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    var visited = seeds.select(col("id").cast("long").as("seed"))
+      .select(col("seed"), col("seed").as("id"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select("seed", "id")
+    var frontierRows = frontier.count()
+    var depth = 0
+    while (depth < maxDepth && frontierRows > 0) {
+      depth += 1
+      frontier = frontier.join(e, col("id") === col("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(visited.select("seed", "id"), Seq("seed", "id"), "left_anti")
+        .localCheckpoint()
+      frontierRows = frontier.count()
+      if (frontierRows > 0) visited = visited
+        .unionAll(frontier.select(col("seed"), col("id"),
+          lit(depth).as("dist")))
+        .localCheckpoint()
+    }
+    visited
+  }
+
   /** Single-source weighted shortest distances (min-plus), frontier-based
     * Bellman-Ford over DataFrames: each round relaxes only the edges out
     * of vertices improved in the previous round, so a converged region

@@ -151,6 +151,19 @@ object GraphQueries {
         .orderBy(desc("rank_ppm"), col("id")).limit(100)
     }),
 
+    // G17 — multi-source BFS depth profile: exact min-depth counts from
+    // the 3 smallest co-part vertices SIMULTANEOUSLY (one traversal, not
+    // 3) — the closeness/harmonic-centrality sampling primitive. Output
+    // (seed, dist, n) hash-matched against a per-seed recursive CTE.
+    "g17_bfs_profile" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir).localCheckpoint()
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(3)
+      Graphs.multiSourceBfs(s, edges, seeds, maxDepth = 3)
+        .groupBy("seed", "dist").agg(count(lit(1)).as("n"))
+        .orderBy("seed", "dist")
+    }),
+
     // G16 — deterministic hash-walk sampling from customers 1..5 on the
     // supply graph (2 walks × ≤3 steps each): node2vec-style walk data
     // whose "randomness" is a seeded hash, so retries/reruns reproduce
@@ -319,6 +332,18 @@ object GraphQueries {
         |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 4)
         |SELECT id AS p_partkey, CAST(min(d) AS INT) AS dist FROM r
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g17_bfs_profile" ->
+      s"""WITH RECURSIVE $copartCte,
+        |seeds AS (SELECT DISTINCT src AS s FROM e ORDER BY s LIMIT 3),
+        |r(seed, id, d) AS (
+        |  SELECT s, s, 0 FROM seeds
+        |  UNION
+        |  SELECT r.seed, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.d < 3),
+        |md AS (SELECT seed, id, min(d) AS dist FROM r GROUP BY 1, 2)
+        |SELECT seed, CAST(dist AS INT) AS dist, count(*) AS n
+        |FROM md GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "g05b_weighted_dist" ->
       s"""WITH RECURSIVE $copartCte,

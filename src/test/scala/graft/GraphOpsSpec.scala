@@ -160,6 +160,19 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(Graphs.triangleCount(spark, pairs) == 2L)
   }
 
+  test("multiSourceBfs == per-seed bfsDepthsDF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = Graphs.copartEdges(spark, sfDir).localCheckpoint()
+    val seeds = edges.select(col("src")).distinct().orderBy("src").limit(3)
+      .collect().map(_.getLong(0))
+    val multi = Graphs.multiSourceBfs(spark, edges, seeds.toSeq.toDF("id"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = seeds.flatMap(sd => Graphs.bfsDepthsDF(spark, edges, sd, 3)
+      .collect().map(r => (sd, r.getLong(0), r.getInt(1)))).toSet
+    assert(multi == single && multi.nonEmpty)
+  }
+
   test("hashWalks: edge-valid, deterministic, sink-terminated") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
