@@ -666,6 +666,42 @@ object Graphs {
     ranks.select(col("id"), (col("rank") / lit(total)).as("rank"))
   }
 
+  /** G18 — HITS (Kleinberg hubs & authorities), the mutually-recursive
+    * ranking natural on a heterogeneous DAG like `G_supply` (customers/
+    * orders hub toward parts/suppliers): a = normalize(Eᵀh), h =
+    * normalize(Ea), L2-normalized each half-step. Per iteration: two
+    * join+agg shuffles plus two scalar norm fetches (the only
+    * driver-side values — permitted scalars). Engine-only (float fixed
+    * point); GraphOpsSpec gates against a dense local power iteration on
+    * a hand graph plus norm/determinism invariants.
+    */
+  def hitsDF(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    def l2(df: DataFrame, c: String): Double =
+      df.agg(sqrt(sum(col(c) * col(c)))).head().getDouble(0)
+    var hubs = verts.withColumn("h", lit(1.0) / sqrt(lit(verts.count().toDouble)))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = e.join(hubs.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
+      val aN = l2(aRaw, "a")
+      auths = verts.join(aRaw, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("a") / aN, lit(0.0)).as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auths.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+      val hN = l2(hRaw, "h")
+      hubs = verts.join(hRaw, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("h") / hN, lit(0.0)).as("h"))
+        .localCheckpoint()
+    }
+    hubs.join(auths, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   /** G16 — deterministic random-walk sampling (the node2vec/DeepWalk
     * training-data prep): `walksPerSeed` walks of up to `steps` steps
     * from each seed vertex. At step i, a walk at vertex v moves to the

@@ -151,6 +151,17 @@ object GraphQueries {
         .orderBy(desc("rank_ppm"), col("id")).limit(100)
     }),
 
+    // G18 — HITS hubs/authorities on the supply graph (10 L2-normalized
+    // iterations): top-20 authorities — "which parts/suppliers do the
+    // strongest purchasing chains point at". Engine-only (float fixed
+    // point); GraphOpsSpec gates vs a dense local power iteration.
+    "g18_hits" -> ((s, dir) => {
+      Graphs.hitsDF(s, Graphs.supplyEdges(s, dir).select("src", "dst"), 10)
+        .select(col("id"), round(col("auth") * 1000, 4).as("auth_k"),
+          round(col("hub") * 1000, 4).as("hub_k"))
+        .orderBy(desc("auth_k"), col("id")).limit(20)
+    }),
+
     // G17 — multi-source BFS depth profile: exact min-depth counts from
     // the 3 smallest co-part vertices SIMULTANEOUSLY (one traversal, not
     // 3) — the closeness/harmonic-centrality sampling primitive. Output

@@ -173,6 +173,42 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(multi == single && multi.nonEmpty)
   }
 
+  test("hitsDF == dense local power iteration; norms and determinism hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // small directed graph with asymmetric structure
+    val es = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 5L), (3L, 5L), (4L, 5L))
+    val edges = es.toDF("src", "dst")
+    val iters = 10
+    val got = Graphs.hitsDF(spark, edges, iters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // dense oracle: same recurrence, same normalization order
+    val ids = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var h = ids.map(_ -> 1.0 / math.sqrt(ids.size)).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to iters) {
+      val aRaw = ids.map(v => v -> es.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      val an = math.sqrt(aRaw.values.map(x => x * x).sum)
+      a = aRaw.map { case (k, v) => k -> v / an }
+      val hRaw = ids.map(v => v -> es.filter(_._1 == v).map(e => a(e._2)).sum).toMap
+      val hn = math.sqrt(hRaw.values.map(x => x * x).sum)
+      h = hRaw.map { case (k, v) => k -> v / hn }
+    }
+    ids.foreach { v =>
+      assert(math.abs(got(v)._1 - h(v)) < 1e-9, s"hub $v")
+      assert(math.abs(got(v)._2 - a(v)) < 1e-9, s"auth $v")
+    }
+    // L2 norms are 1 and the run is deterministic
+    def norm(f: Long => Double) = math.sqrt(ids.map(v => f(v) * f(v)).sum)
+    assert(math.abs(norm(v => got(v)._1) - 1.0) < 1e-9)
+    assert(math.abs(norm(v => got(v)._2) - 1.0) < 1e-9)
+    val again = Graphs.hitsDF(spark, edges, iters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(again == got)
+  }
+
   test("hashWalks: edge-valid, deterministic, sink-terminated") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
