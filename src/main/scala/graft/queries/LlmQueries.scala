@@ -117,6 +117,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L17 — blocked fuzzy join (entity resolution): part-name pairs at
+    // edit distance <= 2 WITHIN a brand block — the block key turns the
+    // all-pairs quadratic into per-block work (the same bounding move as
+    // the banded range join), and levenshtein has identical unit-cost
+    // semantics in both engines, so the result hash-matches.
+    "l17_fuzzy_join" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_name")
+      val a = p.select(col("p_brand"), col("p_partkey").as("a_id"),
+        col("p_name").as("a_name"))
+      val b = p.select(col("p_brand").as("b_brand"),
+        col("p_partkey").as("b_id"), col("p_name").as("b_name"))
+      a.join(b, col("p_brand") === col("b_brand") && col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 2)
+        .select("a_id", "b_id", "dist")
+        .orderBy("a_id", "b_id")
+    }),
+
     // L03 — embedding similarity: exact top-20 cosine pairs via the
     // broadcast-block kernel (no all-pairs join materialization).
     "l03_cosine_topk" -> ((s, dir) => {
@@ -522,6 +541,14 @@ object LlmQueries {
         |   SELECT e.dst, lp.lbl FROM lp JOIN e ON e.src = lp.id)
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
         |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "l17_fuzzy_join" ->
+      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "l03_cosine_topk" -> {
       val dotAB = duckDot.format("a.embedding", "b.embedding")
