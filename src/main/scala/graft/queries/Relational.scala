@@ -233,6 +233,44 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Q33 — ordered conversion funnel: per user, first view -> first
+    // click AT-OR-AFTER that view -> first purchase at-or-after that
+    // click; stage counts. Three tiny per-user aggregations chained by
+    // joins (each conditional min depends on the previous stage's time),
+    // no window over the full stream.
+    "q33_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      val counts = Seq(
+        ("1_view", v), ("2_click", c), ("3_purchase", p))
+      counts.map { case (name, df) =>
+        df.agg(lit(name).as("stage"), count(lit(1)).as("n_users"))
+      }.reduce(_.unionAll(_)).orderBy("stage")
+    }),
+
+    // Q34 — retention cohorts: users grouped by first-seen week (cohort),
+    // counted as active in each later week — the (cohort, week-offset)
+    // retention triangle. Two aggs and one join; weeks are integer
+    // day-diffs div 7 (both engines identical).
+    "q34_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          floor(datediff(col("ts"), lit("2024-01-01").cast("date")) /
+            lit(7.0)).cast("long").as("wk"))
+      val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      e.join(cohort, "user_id")
+        .groupBy("cohort_wk", "wk")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_wk", "wk")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -749,6 +787,31 @@ object Relational {
         |  CAST(max(ts) FILTER (WHERE event_type = 'error') AS TIMESTAMP)
         |    AS last_error_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q33_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v ON v.user_id = e.user_id AND e.ts >= v.v_ts
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON c.user_id = e.user_id AND e.ts >= c.c_ts
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+
+    "q34_retention" ->
+      """WITH w AS (SELECT user_id,
+        |    CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7.0)
+        |      AS BIGINT) AS wk
+        |  FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1)
+        |SELECT coh.cohort_wk, w.wk, count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN coh ON w.user_id = coh.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q12_running_sum" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
