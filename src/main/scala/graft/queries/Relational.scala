@@ -392,6 +392,25 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Q16c — HLL set algebra: distinct viewers, purchasers, their union
+    // (sketch merge) and intersection (inclusion–exclusion) — the sketch
+    // way to answer "how many users did BOTH" without a distinct-pair
+    // shuffle. Engine-only; ToleranceSpec gates all four against exact.
+    "q16c_hll_intersect" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      def sk(tp: String, as: String) =
+        e.filter(col("event_type") === tp)
+          .agg(hll_sketch_agg(col("user_id"), 12).as(as))
+      sk("view", "sk_v").crossJoin(sk("purchase", "sk_p"))
+        .select(
+          hll_sketch_estimate(col("sk_v")).as("n_view"),
+          hll_sketch_estimate(col("sk_p")).as("n_purchase"),
+          hll_sketch_estimate(hll_union(col("sk_v"), col("sk_p")))
+            .as("n_union"))
+        .withColumn("n_intersect",
+          col("n_view") + col("n_purchase") - col("n_union"))
+    }),
+
     // Q17 — top-k: TakeOrderedAndProject, no full sort at scale.
     "q17_topk" -> ((s, dir) => {
       t(s, dir, "orders")

@@ -40,6 +40,20 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("q16c HLL union/intersect within 5% of exact set sizes") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q16c_hll_intersect")(spark, sfDir).head()
+    val e = graft.Tables.load(spark, sfDir, "events")
+    def users(tp: String) = e.filter(col("event_type") === tp)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val v = users("view"); val p = users("purchase")
+    val want = Seq(v.size, p.size, v.union(p).size, v.intersect(p).size)
+    want.zipWithIndex.foreach { case (exact, i) =>
+      assert(math.abs(r.getLong(i) - exact).toDouble <=
+        math.max(1.0, 0.05 * exact), s"col $i: got ${r.getLong(i)} want $exact")
+    }
+  }
+
   test("q27b stratified sample: per-stratum rates, exact 1.0 stratum, seeded") {
     val fractions = Map("click" -> 0.2, "view" -> 0.1, "purchase" -> 0.05,
       "error" -> 0.5, "signup" -> 1.0)
