@@ -676,6 +676,7 @@ object Graphs {
     * a hand graph plus norm/determinism invariants.
     */
   def hitsDF(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"hitsDF needs iters >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint()
     val verts = e.select(col("src").as("id"))
@@ -685,18 +686,21 @@ object Graphs {
     var hubs = verts.withColumn("h", lit(1.0) / sqrt(lit(verts.count().toDouble)))
     var auths: DataFrame = null
     for (i <- 1 to iters) {
+      // checkpoint the raw half-step BEFORE the norm fetch: the norm is
+      // an action, and the normalized frame reuses the same join+agg —
+      // without the checkpoint each half-step's shuffle runs twice
       val aRaw = e.join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
+        .localCheckpoint()
       val aN = l2(aRaw, "a")
       auths = verts.join(aRaw, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("a") / aN, lit(0.0)).as("a"))
-        .localCheckpoint()
       val hRaw = e.join(auths.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+        .localCheckpoint()
       val hN = l2(hRaw, "h")
       hubs = verts.join(hRaw, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("h") / hN, lit(0.0)).as("h"))
-        .localCheckpoint()
     }
     hubs.join(auths, Seq("id"))
       .select(col("id"), col("h").as("hub"), col("a").as("auth"))
