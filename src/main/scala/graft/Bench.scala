@@ -64,7 +64,12 @@ object Bench {
       if (!aqeOn) 0
       else {
         val qe = df.queryExecution
-        qe.executedPlan.executeCollect() // finalize the adaptive plan
+        // finalize the adaptive plan WITHOUT collecting: run the job but
+        // drop every partition on the executors (an executeCollect here
+        // would pull the full result set into the driver — an OOM hazard
+        // for large-result queries under SPARK_GRAFT_AQE=true)
+        qe.executedPlan.execute()
+          .foreachPartition((_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
         val finalPlan = qe.executedPlan match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             a.executedPlan

@@ -34,7 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(exprs(0))))
-    // opt-in O(n·m) join-shape linter (spark.graft.failOnNestedLoop)
+    // Opt-in O(n·m) join-shape linter (spark.graft.failOnNestedLoop).
+    // injectOptimizerRule places this in the operator-optimization batch,
+    // BEFORE subquery rewriting — a best-effort early lint from the
+    // config-only path. Full coverage (joins materialized by non-equi
+    // EXISTS/IN rewrites) needs end-of-optimizer placement:
+    // NestedLoopGuard.install(spark), which PlanShapeSpec validates.
     ext.injectOptimizerRule(_ => graft.plans.NestedLoopGuard)
   }
 }

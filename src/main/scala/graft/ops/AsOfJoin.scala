@@ -105,6 +105,12 @@ object AsOfJoin {
     val clash = (left.columns ++ right.columns).filter(reserved.contains).distinct
     require(clash.isEmpty,
       s"as-of join inputs must not contain reserved column(s): ${clash.mkString(", ")}")
+    // ... and fail fast on OUTPUT-name collisions too: the result appends
+    // payload columns as `<p>_fwd`, so a left input already carrying that
+    // name would yield duplicate columns that break the next by-name ref.
+    val outClash = payload.map(_ + "_fwd").filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"as-of forward join left input already contains output column(s): ${outClash.mkString(", ")}")
     val rightSide = right.select(
       on.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__is_right"),
         col(tieBreak).as("__tie"),
@@ -145,6 +151,14 @@ object AsOfJoin {
     require(!payload.contains(rightTs),
       s"payload must not contain $rightTs (appended internally for the gap compare)")
     val payloadB = payload :+ rightTs
+    // nearest composes backward + forward: intermediate frames carry
+    // `<p>_asof` / `<p>_fwd` (for every payload column AND rightTs) and the
+    // output appends `<p>_near` — a left input already holding any of those
+    // would produce duplicate column names downstream. Fail fast instead.
+    val outClash = (payloadB.flatMap(p => Seq(p + "_asof", p + "_fwd")) ++
+      payload.map(_ + "_near")).filter(left.columns.contains).distinct
+    require(outClash.isEmpty,
+      s"as-of nearest join left input already contains working/output column(s): ${outClash.mkString(", ")}")
     val b = apply(left, right, on, leftTs, rightTs, payloadB, tieBreak)
     val f = forward(b, right, on, leftTs, rightTs, payloadB, tieBreak,
       strict = true)
@@ -173,6 +187,9 @@ object AsOfJoin {
     val clash = (left.columns ++ right.columns).filter(reserved.contains).distinct
     require(clash.isEmpty,
       s"as-of join inputs must not contain reserved column(s): ${clash.mkString(", ")}")
+    val outClash = payload.map(_ + "_asof").filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"as-of join left input already contains output column(s): ${outClash.mkString(", ")}")
     // The whole right payload travels as ONE struct column: `last(...,
     // ignoreNulls)` then skips exactly the left-side placeholder rows
     // (struct null) while a matched right row whose payload FIELDS are

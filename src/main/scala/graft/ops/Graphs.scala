@@ -312,6 +312,7 @@ object Graphs {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint()
     var visited = seeds.select(col("id").cast("long").as("seed"))
+      .distinct() // duplicate seed ids would inflate every dist-0 profile
       .select(col("seed"), col("seed").as("id"), lit(0).as("dist"))
       .localCheckpoint()
     var frontier = visited.select("seed", "id")

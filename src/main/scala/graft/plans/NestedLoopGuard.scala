@@ -9,8 +9,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * shapes Spark can only execute as CartesianProduct or
   * BroadcastNestedLoopJoin — the O(n·m) cliff class that passes every
   * test-scale run and melts down at 100 TB (the exact failure mode the
-  * as-of operator exists to avoid, SURVEY §4.3 item 1). Runs as a final
-  * optimizer rule, so it sees the joins that survived rewriting.
+  * as-of operator exists to avoid, SURVEY §4.3 item 1).
+  *
+  * Placement matters: [[install]] registers the rule via
+  * `spark.experimental.extraOptimizations` — a TRUE end-of-optimizer
+  * batch, after RewriteSubquery, so it also sees the nested-loop joins
+  * that non-equi EXISTS / IN / NOT IN subquery rewrites materialize
+  * (that is where the null-aware anti pattern below becomes visible).
+  * The `GraftExtensions` config-only path can only use
+  * `injectOptimizerRule`, which runs in the operator-optimization batch
+  * BEFORE subquery rewriting — a best-effort early lint that catches
+  * explicitly-written non-equi joins but not subquery-materialized ones.
+  * Sessions that want full coverage call [[install]].
   *
   * Deliberate exemptions (each an explicit user opt-in or a safe shape):
   *   - any equi-linked join (it will hash/sort-merge),
@@ -22,6 +32,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object NestedLoopGuard extends Rule[LogicalPlan] with PredicateHelper {
 
   val CONF = "spark.graft.failOnNestedLoop"
+
+  /** Register at the END of the optimizer (after subquery rewriting) —
+    * idempotent; synchronized because `extraOptimizations` is a bare var.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      val cur = spark.experimental.extraOptimizations
+      if (!cur.contains(NestedLoopGuard))
+        spark.experimental.extraOptimizations = cur :+ NestedLoopGuard
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(CONF, "false").toBoolean) plan.foreach {

@@ -143,9 +143,7 @@ class PlanShapeSpec extends SparkSpecBase {
     import graft.plans.NestedLoopGuard
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    if (!spark.experimental.extraOptimizations.contains(NestedLoopGuard))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ NestedLoopGuard
+    NestedLoopGuard.install(spark) // end-of-optimizer, the production path
     val a = Seq(1L, 2L).toDF("x")
     val b = Seq(2L, 3L).toDF("y")
     spark.conf.set(NestedLoopGuard.CONF, "true")
