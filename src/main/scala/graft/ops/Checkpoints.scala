@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage cut for iterative DataFrame loops (BFS, shortest paths, star
+  * contraction, k-core, PageRank/HITS power iterations). Every round of
+  * those loops must materialize its state — both to stop the plan tree
+  * growing exponentially and to make the early-exit `count()` free — and
+  * HOW it materializes is a deployment decision:
+  *
+  *   - Default: `localCheckpoint()` — executor-resident, unreplicated
+  *     blocks. Fastest option and the right one for a single-node bench,
+  *     but on a real cluster one lost executor mid-iteration loses blocks
+  *     that have no lineage to recompute from, aborting the job. At 100 TB
+  *     with hundreds of executors, that's routine, not rare.
+  *   - `spark.graft.reliableCheckpoint=<dir>`: `checkpoint()` against a
+  *     reliable checkpoint directory (HDFS/S3 on a cluster). Each cut
+  *     writes the state to fault-tolerant storage, so executor loss costs
+  *     a task retry, not the job. The per-round write is O(state), which
+  *     iterative graph state (frontiers, rank vectors, contracted edges)
+  *     keeps small next to the input.
+  *
+  * The checkpoint dir is taken from the conf the first time a reliable cut
+  * runs in a session (`SparkContext.setCheckpointDir` appends a UUID
+  * subdir; an already-set dir wins, so the value is session-sticky). Old
+  * checkpoint files are reaped by the ContextCleaner when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, otherwise at
+  * application exit — size the dir for iterations × state.
+  */
+object Checkpoints {
+
+  val CONF = "spark.graft.reliableCheckpoint"
+
+  /** Materialize `df` and cut its lineage — reliably when [[CONF]] names a
+    * checkpoint directory, executor-locally otherwise. Use through
+    * `df.transform(Checkpoints.cut)` to keep call sites fluent.
+    */
+  def cut(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption(CONF).filter(_.trim.nonEmpty) match {
+      case Some(dir) =>
+        val sc = s.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+}

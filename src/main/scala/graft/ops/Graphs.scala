@@ -161,7 +161,7 @@ object Graphs {
   def kHopIds(edges: DataFrame, seedPred: Column, k: Int,
       materialize: Boolean = true): DataFrame = {
     val proj = edges.select(col("src"), col("dst"))
-    val e = if (materialize) proj.localCheckpoint() else proj
+    val e = if (materialize) proj.transform(Checkpoints.cut) else proj
     var hop = e.filter(seedPred).select(col("dst").as("id"))
     var acc = hop
     for (_ <- 2 to k) {
@@ -177,7 +177,7 @@ object Graphs {
     * hop is a semi broadcast join against the checkpointed edge list.
     */
   def kHopIdsFrom(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).transform(Checkpoints.cut)
     var hop = e.join(broadcast(seeds.select(col("id"))),
         col("src") === col("id"), "left_semi")
       .select(col("dst").as("id"))
@@ -278,8 +278,8 @@ object Graphs {
       maxDepth: Int, broadcastRows: Long = FrontierBroadcastRows): DataFrame = {
     import s.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
-    var visited = Seq((seed, 0)).toDF("id", "dist").localCheckpoint()
+      .transform(Checkpoints.cut)
+    var visited = Seq((seed, 0)).toDF("id", "dist").transform(Checkpoints.cut)
     var frontier = visited.select("id")
     var frontierRows = 1L
     var depth = 0
@@ -290,11 +290,11 @@ object Graphs {
       frontier = e.join(probe, col("src") === col("id"))
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       frontierRows = frontier.count()
       if (frontierRows > 0) visited = visited
         .unionAll(frontier.select(col("id"), lit(depth).as("dist")))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
     }
     visited
   }
@@ -310,11 +310,11 @@ object Graphs {
   def multiSourceBfs(s: SparkSession, edges: DataFrame, seeds: DataFrame,
       maxDepth: Int): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint()
+      .distinct().transform(Checkpoints.cut)
     var visited = seeds.select(col("id").cast("long").as("seed"))
       .distinct() // duplicate seed ids would inflate every dist-0 profile
       .select(col("seed"), col("seed").as("id"), lit(0).as("dist"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     var frontier = visited.select("seed", "id")
     var frontierRows = frontier.count()
     var depth = 0
@@ -323,12 +323,12 @@ object Graphs {
       frontier = frontier.join(e, col("id") === col("src"))
         .select(col("seed"), col("dst").as("id")).distinct()
         .join(visited.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       frontierRows = frontier.count()
       if (frontierRows > 0) visited = visited
         .unionAll(frontier.select(col("seed"), col("id"),
           lit(depth).as("dist")))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
     }
     visited
   }
@@ -357,8 +357,8 @@ object Graphs {
       broadcastRows: Long = FrontierBroadcastRows): DataFrame = {
     import s.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-        col("weight").cast("long")).localCheckpoint()
-    var dist = Seq((seed, 0L)).toDF("id", "dist").localCheckpoint()
+        col("weight").cast("long")).transform(Checkpoints.cut)
+    var dist = Seq((seed, 0L)).toDF("id", "dist").transform(Checkpoints.cut)
     // (id, dist) pairs improved last round — only their out-edges can
     // improve anything this round
     var frontier = dist
@@ -376,14 +376,14 @@ object Graphs {
           Seq("id"), "left_outer")
         .filter(col("old").isNull || col("cand") < col("old"))
         .select(col("id"), col("cand").as("dist"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       frontierRows = frontier.count()
       if (frontierRows > 0) dist = dist
         .join(frontier.withColumnRenamed("dist", "nd"), Seq("id"), "full_outer")
         .select(col("id"),
           least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist")))
             .as("dist"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
     }
     dist
   }
@@ -453,12 +453,12 @@ object Graphs {
     }
 
     var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct().transform(Checkpoints.cut)
     // derive the vertex set from the checkpointed edges, not the source
     // plan — otherwise the (possibly expensive) edge derivation runs twice
     val verts = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Checkpoints.cut)
     var last = sig(e)
     var round = 0
     var done = false
@@ -472,7 +472,7 @@ object Graphs {
       round += 2
       val next = smallStar(largeStar(
           smallStar(largeStar(e), dedup = false)), dedup = true)
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       val cur = sig(next)
       done = cur == last
       last = cur
@@ -553,7 +553,7 @@ object Graphs {
     */
   def kCorePeelDF(s: SparkSession, edges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
-    var e = edges.select("src", "dst").localCheckpoint()
+    var e = edges.select("src", "dst").transform(Checkpoints.cut)
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("deg"))
@@ -562,7 +562,7 @@ object Graphs {
       e = e.join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
@@ -598,12 +598,12 @@ object Graphs {
     */
   def pageRankDF(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val verts = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .unionAll(e.select(col("dst").as("id"))).distinct().transform(Checkpoints.cut)
     val weighted = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     var ranks = verts.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
       val contribs = weighted
@@ -616,7 +616,7 @@ object Graphs {
             .as("rank"))
       // checkpoint every OTHER iteration: a 2-deep lineage plans fine and
       // this halves the materialization jobs (same total compute)
-      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      if (i % 2 == 0 || i == iters) ranks = ranks.transform(Checkpoints.cut)
     }
     val st = ranks.agg(sum(col("rank")), count(lit(1))).head()
     val scale = st.getLong(1).toDouble / st.getDouble(0)
@@ -644,12 +644,12 @@ object Graphs {
   def personalizedPageRankDF(s: SparkSession, edges: DataFrame, seed: Long,
       iters: Int): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val verts = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .unionAll(e.select(col("dst").as("id"))).distinct().transform(Checkpoints.cut)
     val weighted = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val reset = (id: Column) => when(id === lit(seed), lit(1.0)).otherwise(lit(0.0))
     var ranks = verts.withColumn("rank", reset(col("id")))
     for (i <- 1 to iters) {
@@ -661,7 +661,7 @@ object Graphs {
         .select(col("id"),
           (lit(0.15) * reset(col("id")) +
             lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
-      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      if (i % 2 == 0 || i == iters) ranks = ranks.transform(Checkpoints.cut)
     }
     val total = ranks.agg(sum(col("rank"))).head().getDouble(0)
     ranks.select(col("id"), (col("rank") / lit(total)).as("rank"))
@@ -679,9 +679,9 @@ object Graphs {
   def hitsDF(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"hitsDF needs iters >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint()
+      .distinct().transform(Checkpoints.cut)
     val verts = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .unionAll(e.select(col("dst").as("id"))).distinct().transform(Checkpoints.cut)
     def l2(df: DataFrame, c: String): Double =
       df.agg(sqrt(sum(col(c) * col(c)))).head().getDouble(0)
     var hubs = verts.withColumn("h", lit(1.0) / sqrt(lit(verts.count().toDouble)))
@@ -692,13 +692,13 @@ object Graphs {
       // without the checkpoint each half-step's shuffle runs twice
       val aRaw = e.join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       val aN = l2(aRaw, "a")
       auths = verts.join(aRaw, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("a") / aN, lit(0.0)).as("a"))
       val hRaw = e.join(auths.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("h"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       val hN = l2(hRaw, "h")
       hubs = verts.join(hRaw, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("h") / hN, lit(0.0)).as("h"))
@@ -731,8 +731,8 @@ object Graphs {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("src").orderBy("dst")) - 1)
     val degs = ranked.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val adj = ranked.join(degs, "src").localCheckpoint()
+      .transform(Checkpoints.cut)
+    val adj = ranked.join(degs, "src").transform(Checkpoints.cut)
     // walk_id = seed * walksPerSeed + w — unique and reproducible
     var state = seeds.select(col("id").cast("long").as("seed"))
       .crossJoin(spark_range(s, walksPerSeed))

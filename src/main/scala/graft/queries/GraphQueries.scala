@@ -63,7 +63,7 @@ object GraphQueries {
     "g04_reachability" -> ((s, dir) => {
       // localCheckpoint, not cache: materialized once (seed scan + BFS
       // levels all read the blocks), freed by the ContextCleaner.
-      val edges = Graphs.copartEdges(s, dir).localCheckpoint()
+      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
       val seed = edges.agg(min(col("src"))).head().getLong(0)
       Graphs.bfsDepthsDF(s, edges, seed, maxDepth = 3)
         .select(col("id").as("p_partkey"))
@@ -72,7 +72,7 @@ object GraphQueries {
 
     // G05 — BFS shortest-path lengths (<= 4 hops) from the same seed.
     "g05_bfs_depth" -> ((s, dir) => {
-      val edges = Graphs.copartEdges(s, dir).localCheckpoint()
+      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
       val seed = edges.agg(min(col("src"))).head().getLong(0)
       Graphs.bfsDepthsDF(s, edges, seed, maxDepth = 4)
         .select(col("id").as("p_partkey"), col("dist"))
@@ -88,7 +88,7 @@ object GraphQueries {
     "g05b_weighted_dist" -> ((s, dir) => {
       val edges = Graphs.copartEdges(s, dir)
         .withColumn("weight", (col("src") * 31 + col("dst")) % 97 + 1)
-        .localCheckpoint()
+        .transform(graft.ops.Checkpoints.cut)
       val seed = edges.agg(min(col("src"))).head().getLong(0)
       Graphs.weightedDistancesDF(s, edges, seed, maxRounds = 4)
         .select(col("id").as("p_partkey"), col("dist"))
@@ -167,7 +167,7 @@ object GraphQueries {
     // 3) — the closeness/harmonic-centrality sampling primitive. Output
     // (seed, dist, n) hash-matched against a per-seed recursive CTE.
     "g17_bfs_profile" -> ((s, dir) => {
-      val edges = Graphs.copartEdges(s, dir).localCheckpoint()
+      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
       val seeds = edges.select(col("src").as("id")).distinct()
         .orderBy("id").limit(3)
       Graphs.multiSourceBfs(s, edges, seeds, maxDepth = 3)

@@ -241,4 +241,45 @@ class GraphOpsSpec extends SparkSpecBase {
       if (path.head._4 == 4L) assert(path.size == 1)
     }
   }
+
+  test("reliable checkpoint mode: BFS and CC identical to local mode, state lands on disk") {
+    import graft.ops.Checkpoints
+    import spark.implicits._
+    // two components: a 4-chain and a 3-chain (both directions)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    def bfs() = Graphs.bfsDepthsDF(spark, edges, 1L, 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cc() = Graphs.connectedComponentsDF(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bfsLocal = bfs()
+    val ccLocal = cc()
+    assert(bfsLocal == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.conf.set(Checkpoints.CONF, dir.getAbsolutePath)
+    try {
+      val bfsRel = Graphs.bfsDepthsDF(spark, edges, 1L, 5)
+      // lineage assertion: the returned frame is a scan of the reliably
+      // checkpointed state — the iterative join tree is GONE from the
+      // plan (so a recompute can never re-run lost iterations) and the
+      // RDD lineage bottoms out in a ReliableCheckpointRDD, not
+      // executor-local blocks
+      assert(bfsRel.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, "reliable-mode BFS result should be a checkpoint scan")
+      assert(bfsRel.rdd.toDebugString.contains("ReliableCheckpointRDD"))
+      assert(bfsRel.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        == bfsLocal)
+      assert(cc() == ccLocal)
+      // ... and the checkpoint dir actually holds RDD state on disk
+      val ckptRoot = new java.io.File(java.net.URI.create(
+        spark.sparkContext.getCheckpointDir.get).getPath)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      assert(walk(ckptRoot).exists(_.getName.startsWith("part-")),
+        s"no checkpoint part files under $ckptRoot")
+    } finally spark.conf.unset(Checkpoints.CONF)
+    // back in default mode: same results, no conf leakage
+    assert(bfs() == bfsLocal)
+  }
 }
