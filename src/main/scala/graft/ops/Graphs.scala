@@ -304,11 +304,15 @@ object Graphs {
     * closeness/harmonic centrality sampling — k seeds cost ONE pass of
     * depth × (scan E + anti join), not k traversals; the per-level work
     * is the union of the per-seed frontiers, which share each edge scan.
-    * Frontiers are shuffle-joined (multi-seed frontiers are k× bigger, so
-    * no broadcast by default). Returns (seed, id, dist), dist <= maxDepth.
+    * The frontier probe is ADAPTIVE like [[bfsDepthsDF]]'s: each level's
+    * (seed, id) frontier is materialized for the early-exit test anyway,
+    * so its size is known for free — levels up to `broadcastRows` ship as
+    * broadcasts, larger ones (multi-seed frontiers are k× bigger, so this
+    * flips earlier than single-source BFS) shuffle-join. Returns
+    * (seed, id, dist), dist <= maxDepth.
     */
   def multiSourceBfs(s: SparkSession, edges: DataFrame, seeds: DataFrame,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, broadcastRows: Long = FrontierBroadcastRows): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().transform(Checkpoints.cut)
     var visited = seeds.select(col("id").cast("long").as("seed"))
@@ -320,7 +324,9 @@ object Graphs {
     var depth = 0
     while (depth < maxDepth && frontierRows > 0) {
       depth += 1
-      frontier = frontier.join(e, col("id") === col("src"))
+      val probe = if (frontierRows <= broadcastRows) broadcast(frontier)
+        else frontier
+      frontier = probe.join(e, col("id") === col("src"))
         .select(col("seed"), col("dst").as("id")).distinct()
         .join(visited.select("seed", "id"), Seq("seed", "id"), "left_anti")
         .transform(Checkpoints.cut)
@@ -618,9 +624,14 @@ object Graphs {
       // this halves the materialization jobs (same total compute)
       if (i % 2 == 0 || i == iters) ranks = ranks.transform(Checkpoints.cut)
     }
-    val st = ranks.agg(sum(col("rank")), count(lit(1))).head()
-    val scale = st.getLong(1).toDouble / st.getDouble(0)
-    ranks.select(col("id"), (col("rank") * lit(scale)).as("rank"))
+    // SPARK-18847 rescale folded INTO the plan as a broadcast 1-row
+    // aggregate instead of a driver `.head()` barrier: the returned frame
+    // is fully lazy and the rescale costs one cheap re-scan of the
+    // checkpointed ranks inside the consumer's own job.
+    val st = ranks.agg(
+      (count(lit(1)).cast("double") / sum(col("rank"))).as("__scale"))
+    ranks.crossJoin(broadcast(st))
+      .select(col("id"), (col("rank") * col("__scale")).as("rank"))
   }
 
   /** Personalized PageRank from `seed` via GraphX (equivalence oracle for
@@ -636,10 +647,11 @@ object Graphs {
   /** G08b — personalized PageRank as pure DataFrame power iteration,
     * replicating `staticPersonalizedPageRank`'s recurrence exactly:
     * rank0 = 1{id=seed}; rank' = 0.15·1{id=seed} + 0.85·Σ rank(u)/deg(u);
-    * final L1 normalization (SPARK-18847 normalizes personalized ranks to
-    * sum 1). The "which parts of the graph matter to THIS entity" query a
-    * property-graph user asks — same per-iteration plan shape and 100 TB
-    * bucketing story as [[pageRankDF]].
+    * final L1 normalization, folded lazily into the plan (SPARK-18847
+    * normalizes personalized ranks to sum 1). The "which parts of the
+    * graph matter to THIS entity" query a property-graph user asks — same
+    * per-iteration plan shape and 100 TB bucketing story as
+    * [[pageRankDF]].
     */
   def personalizedPageRankDF(s: SparkSession, edges: DataFrame, seed: Long,
       iters: Int): DataFrame = {
@@ -663,18 +675,23 @@ object Graphs {
             lit(0.85) * coalesce(col("msum"), lit(0.0))).as("rank"))
       if (i % 2 == 0 || i == iters) ranks = ranks.transform(Checkpoints.cut)
     }
-    val total = ranks.agg(sum(col("rank"))).head().getDouble(0)
-    ranks.select(col("id"), (col("rank") / lit(total)).as("rank"))
+    // L1 normalization as a lazy broadcast 1-row aggregate (see
+    // [[pageRankDF]] — no driver barrier)
+    val total = ranks.agg(sum(col("rank")).as("__total"))
+    ranks.crossJoin(broadcast(total))
+      .select(col("id"), (col("rank") / col("__total")).as("rank"))
   }
 
   /** G18 — HITS (Kleinberg hubs & authorities), the mutually-recursive
     * ranking natural on a heterogeneous DAG like `G_supply` (customers/
     * orders hub toward parts/suppliers): a = normalize(Eᵀh), h =
     * normalize(Ea), L2-normalized each half-step. Per iteration: two
-    * join+agg shuffles plus two scalar norm fetches (the only
-    * driver-side values — permitted scalars). Engine-only (float fixed
-    * point); GraphOpsSpec gates against a dense local power iteration on
-    * a hand graph plus norm/determinism invariants.
+    * join+agg shuffles; the L2 norms are folded into the NEXT consumer's
+    * plan as broadcast 1-row aggregates over the checkpointed half-step,
+    * so no per-iteration driver barrier remains — the only actions are
+    * the lineage cuts themselves. Engine-only (float fixed point);
+    * GraphOpsSpec gates against a dense local power iteration on a hand
+    * graph plus norm/determinism invariants.
     */
   def hitsDF(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"hitsDF needs iters >= 1, got $iters")
@@ -682,26 +699,30 @@ object Graphs {
       .distinct().transform(Checkpoints.cut)
     val verts = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct().transform(Checkpoints.cut)
-    def l2(df: DataFrame, c: String): Double =
-      df.agg(sqrt(sum(col(c) * col(c)))).head().getDouble(0)
+    // lazy L2 norm: a 1-row aggregate over the checkpointed raw
+    // half-step, broadcast into the normalizing projection — recomputing
+    // it per consumer is one cheap re-scan, vs. a driver `.head()` job
+    // barrier per half-step (2 × iters extra job launches)
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val n = raw.agg(sqrt(sum(col(c) * col(c))).as("__n"))
+      verts.join(raw, Seq("id"), "left_outer")
+        .crossJoin(broadcast(n))
+        .select(col("id"), coalesce(col(c) / col("__n"), lit(0.0)).as(c))
+    }
     var hubs = verts.withColumn("h", lit(1.0) / sqrt(lit(verts.count().toDouble)))
     var auths: DataFrame = null
     for (i <- 1 to iters) {
-      // checkpoint the raw half-step BEFORE the norm fetch: the norm is
-      // an action, and the normalized frame reuses the same join+agg —
-      // without the checkpoint each half-step's shuffle runs twice
+      // checkpoint the raw half-step: it fans out into the norm aggregate
+      // AND the normalized projection — without the cut each half-step's
+      // join+agg shuffle would run twice per consumer
       val aRaw = e.join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
         .transform(Checkpoints.cut)
-      val aN = l2(aRaw, "a")
-      auths = verts.join(aRaw, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("a") / aN, lit(0.0)).as("a"))
+      auths = normalized(aRaw, "a")
       val hRaw = e.join(auths.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum("a").as("h"))
         .transform(Checkpoints.cut)
-      val hN = l2(hRaw, "h")
-      hubs = verts.join(hRaw, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("h") / hN, lit(0.0)).as("h"))
+      hubs = normalized(hRaw, "h")
     }
     hubs.join(auths, Seq("id"))
       .select(col("id"), col("h").as("hub"), col("a").as("auth"))

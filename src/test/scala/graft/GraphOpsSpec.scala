@@ -282,4 +282,95 @@ class GraphOpsSpec extends SparkSpecBase {
     // back in default mode: same results, no conf leakage
     assert(bfs() == bfsLocal)
   }
+
+  /** Capture the executed plans of every listened Dataset action fired
+    * inside `f` — the iterative traversals materialize each level via a
+    * lineage cut (a listened action), so this is the ONLY external view
+    * of their per-level join shapes (the returned frame is just a
+    * checkpoint scan). The listener bus is async; a sentinel query
+    * flushes it (FIFO: once the sentinel's plan surfaces, every earlier
+    * event has too).
+    */
+  def capturePlans(f: => Unit): Seq[String] = {
+    val plans = scala.collection.mutable.Buffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      f
+      spark.range(1).withColumnRenamed("id", "__plan_sentinel").collect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!plans.synchronized(plans.exists(_.contains("__plan_sentinel"))) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(plans.synchronized(plans.exists(_.contains("__plan_sentinel"))),
+        "listener flush timed out")
+    } finally spark.listenerManager.unregister(listener)
+    plans.synchronized(plans.toSeq)
+  }
+
+  test("weightedDistancesDF: both frontier branches — plan shapes differ, results equal") {
+    import spark.implicits._
+    // weighted diamond + tail: relaxation must revisit 4 via the cheaper
+    // 1->3->4 path after first reaching it through 1->2->4
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 4L, 10L), (1L, 3L, 2L), (3L, 4L, 3L),
+      (4L, 5L, 1L), (2L, 3L, 100L)).toDF("src", "dst", "weight")
+    val expect = Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 5L, 5L -> 6L)
+    withoutAutoBroadcast {
+      // broadcast branch: every relax join probes a broadcast frontier
+      val bcastPlans = capturePlans {
+        assert(Graphs.weightedDistancesDF(spark, edges, 1L,
+            broadcastRows = Long.MaxValue)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+      }
+      assert(bcastPlans.exists(_.contains("BroadcastHashJoin")),
+        "broadcast branch never planned a BroadcastHashJoin")
+      // shuffle branch (broadcastRows = 0, the post-hub-explosion path):
+      // with auto-broadcast off, NO broadcast join may appear anywhere
+      val shufPlans = capturePlans {
+        assert(Graphs.weightedDistancesDF(spark, edges, 1L,
+            broadcastRows = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+      }
+      assert(!shufPlans.exists(_.contains("BroadcastHashJoin")),
+        "shuffle branch still broadcast a frontier")
+      assert(shufPlans.exists(p =>
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+        "shuffle branch planned no shuffle join at all")
+    }
+  }
+
+  test("multiSourceBfs: both frontier branches — plan shapes differ, results equal") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (10L, 11L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("id")
+    def run(rows: Long) = Graphs.multiSourceBfs(spark, edges, seeds, 3, rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expect = Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 5L) -> 2,
+      (1L, 4L) -> 3, (10L, 10L) -> 0, (10L, 11L) -> 1)
+    withoutAutoBroadcast {
+      val bcastPlans = capturePlans {
+        assert(run(Long.MaxValue) == expect)
+      }
+      assert(bcastPlans.exists(_.contains("BroadcastHashJoin")),
+        "broadcast branch never planned a BroadcastHashJoin")
+      val shufPlans = capturePlans {
+        assert(run(0L) == expect)
+      }
+      assert(!shufPlans.exists(_.contains("BroadcastHashJoin")),
+        "shuffle branch still broadcast a frontier")
+      assert(shufPlans.exists(p =>
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+        "shuffle branch planned no shuffle join at all")
+    }
+  }
 }
