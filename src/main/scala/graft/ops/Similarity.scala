@@ -224,6 +224,37 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("bucket"))
   }
 
+  /** IVF-bucketed approximate top-k cosine pairs: seeded k-means coarse
+    * quantizer -> `nprobe`-probe bucket assignment ([[ivfAssign]]) ->
+    * exact rerank only WITHIN buckets (equi join on bucket replaces the
+    * all-pairs quadratic) -> global top-k. `nprobe` is the recall/cost
+    * knob: each extra probe multiplies candidate volume by ~nprobe while
+    * recovering pairs whose members quantize to different buckets
+    * (ToleranceSpec tabulates recall at nprobe = 1/2/4 against the exact
+    * kernel so the tradeoff is measured, not asserted).
+    */
+  def ivfTopKPairs(vecs: DataFrame, k: Int, nCentroids: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = kmeansCentroids(vecs, k = nCentroids, maxIter = 10)
+    val assigned = ivfAssign(vecs, centroids, nprobe)
+    val withB = vecs.join(assigned, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        norm(col("embedding")).as("nrm"))
+    val a = withB.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("bucket"), col("nrm").as("a_nrm"))
+    val b = withB.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("bucket").as("b_bucket"),
+      col("nrm").as("b_nrm"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm")), 4).as("cos_sim"))
+      // multi-probe can surface the same pair from two shared buckets
+      .dropDuplicates("a_id", "b_id")
+      .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
+      .limit(k)
+  }
+
   /** k-NN of one query vector: broadcast-as-literal scan, one pass. */
   def knn(vecs: DataFrame, query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)

@@ -276,14 +276,32 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
-  test("l03b IVF ANN recalls most of the exact top-20 pairs") {
-    def pairs(key: String) = SparkEntry.queries(key)(spark, sfDir)
+  test("l03b IVF ANN: recall curve at nprobe = 1/2/4 — measured, monotone, gated") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+    val exact = SparkEntry.queries("l03_cosine_topk")(spark, sfDir)
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs("l03_cosine_topk")
-    val ivf = pairs("l03b_ivf_ann")
-    val recall = ivf.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall")
+    def recallAt(nprobe: Int): Double = {
+      val ivf = graft.ops.Similarity
+        .ivfTopKPairs(vecs, k = 20, nCentroids = 8, nprobe = nprobe)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(exact).size.toDouble / exact.size
+    }
+    // The recall/cost tradeoff, tabulated: candidate volume grows
+    // ~linearly in nprobe; recall must grow with it (probing a superset
+    // of buckets can only add candidate pairs) and the wired contract
+    // point (nprobe = 2, l03b) must clear its gate.
+    val curve = Seq(1, 2, 4).map(np => np -> recallAt(np))
+    info(curve.map { case (np, r) => f"nprobe=$np recall=$r%.2f" }
+      .mkString(", "))
+    val byNp = curve.toMap
+    assert(byNp(1) >= 0.3, s"nprobe=1 recall ${byNp(1)} — coarse floor")
+    assert(byNp(2) >= 0.5, s"nprobe=2 recall ${byNp(2)} — the l03b gate")
+    assert(byNp(4) >= 0.7, s"nprobe=4 recall ${byNp(4)}")
+    assert(byNp(1) <= byNp(2) + 1e-9 && byNp(2) <= byNp(4) + 1e-9,
+      s"recall not monotone in nprobe: $curve")
   }
 
   test("l13 int8 quantization: codes bounded, error <= scale/2, high recall") {
