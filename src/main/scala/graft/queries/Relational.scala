@@ -271,6 +271,28 @@ object Relational {
         .orderBy("cohort_wk", "wk")
     }),
 
+    // Q35 — salted join through a synthesized hot key: HALF of all events
+    // collapse onto key 0 (the "all logged-out traffic on one anonymous
+    // id" shape — the single hot key AQE's runtime split can't always
+    // save, e.g. inside storage-partitioned joins). Skew.saltedJoin
+    // splits the hot key across `buckets` shuffle partitions by salting
+    // the left side and replicating the dim; the result must equal a
+    // plain inner join, which is exactly what the DuckDB oracle runs.
+    // PlanShapeSpec separately demonstrates AQE's own skew-join rewrite
+    // firing on the UNSALTED form of this join.
+    "q35_salted_skew_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(when(col("user_id") % 2 === 0, lit(0L))
+            .otherwise(col("user_id")).as("k"),
+          cents(col("value")).as("v_cents"))
+      val dim = ev.select(col("k")).distinct()
+        .withColumn("grp", pmod(col("k"), lit(7L)))
+      graft.ops.Skew.saltedJoin(ev, dim, "k", buckets = 8)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("sum_cents"))
+        .orderBy("grp")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -831,6 +853,16 @@ object Relational {
         |SELECT coh.cohort_wk, w.wk, count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN coh ON w.user_id = coh.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q35_salted_skew_join" ->
+      """WITH ev AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS k,
+        |    CAST(round(value*100) AS BIGINT) AS v_cents
+        |  FROM events),
+        |dim AS (SELECT DISTINCT k, k % 7 AS grp FROM ev)
+        |SELECT grp, count(*) AS n, CAST(sum(v_cents) AS BIGINT) AS sum_cents
+        |FROM ev JOIN dim USING (k)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q12_running_sum" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

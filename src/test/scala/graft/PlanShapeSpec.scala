@@ -186,4 +186,68 @@ class PlanShapeSpec extends SparkSpecBase {
       .count(_.nodeName.contains("WholeStageCodegen"))
     assert(wscg >= 2, s"expected >=2 codegen regions, found $wscg")
   }
+
+  test("AQE skew-join rewrite fires on the unsalted hot-key join") {
+    // The q35 fixture shape WITHOUT the salt: half of all events on key
+    // 0, sort-merge-joined against the distinct-key dim. At sf0.001 no
+    // partition reaches the production 256 MB skew threshold, so the
+    // thresholds are scaled down to the fixture — the point is to PROVE
+    // the runtime skew path executes end-to-end (split hot partition,
+    // replicated build side, correct result), which at 100 TB fires with
+    // the defaults. Skew.saltedJoin (ApiSpec, q35) covers the keys AQE
+    // can't split; this covers the ones it can.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // repartition(8) gives the join's map side 8 tasks: AQE splits a
+      // skewed reduce partition at MAP-BLOCK granularity, so a
+      // single-file scan (one mapper) is unsplittable no matter how hot
+      // the key — exactly why at 100 TB (thousands of mappers) the
+      // rewrite fires with default thresholds
+      val ev = Tables.load(spark, sfDir, "events")
+        .repartition(8)
+        .select(when(col("user_id") % 2 === 0, lit(0L))
+            .otherwise(col("user_id")).as("k"),
+          graft.Det.cents(col("value")).as("v_cents"))
+      // the dim is MATERIALIZED (as a real dim table would be on disk):
+      // OptimizeSkewedJoin only matches Sort(ShuffleQueryStage) join
+      // children, so a dim whose final distinct-aggregate runs
+      // post-shuffle (between the Sort and the stage) is structurally
+      // unsplittable — the same reason to stage dims rather than derive
+      // them inline under a skewed join in production
+      val dim = ev.select(col("k")).distinct()
+        .withColumn("grp", pmod(col("k"), lit(7L)))
+        .localCheckpoint()
+      val joined = ev.join(dim, "k")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("sum_cents"))
+      val rows = joined.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // correctness: equal to the salted contract query on the same data
+      val salted = SparkEntry.queries("q35_salted_skew_join")(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(rows == salted && rows.nonEmpty)
+      // evidence: the final adaptive plan marks the join skew-handled
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert("skew=true|isSkewJoin=true".r
+          .findFirstIn(finalPlan.toString).isDefined,
+        s"AQE skew rewrite did not fire:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
