@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(exprs(0))))
+    // SQL table-valued surface for the signature operators (asof_join,
+    // snapshot) — same builders as TableFunctions.ensureRegistered.
+    graft.functions.TableFunctions.registrations.foreach(ext.injectTableFunction)
     // Opt-in O(n·m) join-shape linter (spark.graft.failOnNestedLoop).
     // injectOptimizerRule places this in the operator-optimization batch,
     // BEFORE subquery rewriting — a best-effort early lint from the

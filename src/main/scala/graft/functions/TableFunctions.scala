@@ -1,0 +1,104 @@
+package graft.functions
+
+import graft.ops.{AsOfJoin, Temporal}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.StringType
+
+/** SQL table-valued surface for the engine's signature operators, so a
+  * pure-SQL session (the common case for an analytics engine) can invoke
+  * them without touching the Scala API:
+  *
+  * {{{
+  * SELECT * FROM asof_join('trades', 'quotes', 'sym', 'ts', 'qts',
+  *                         'bid,ask', 'quote_id'[, 'backward'])
+  * SELECT * FROM snapshot('props', 'user_id', 'ts',
+  *                        '2024-01-15 00:00:00', 'event_id')
+  * }}}
+  *
+  * Each TVF builder resolves its table-name arguments through the active
+  * session's catalog (temp views or tables) and returns the SAME logical
+  * plan the Scala API produces — `asof_join` plans the custom
+  * [[graft.plans.AsOfJoinNode]] sort-merge operator (directions
+  * forward/nearest use the union+window forms), `snapshot` the time-point
+  * read. Registered per session via [[ensureRegistered]] (idempotent) or
+  * for config-only sessions via `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Arguments must be string literals: TVF arguments are expressions with
+  * no input row to bind to, and the table/column names they carry are
+  * needed at ANALYSIS time — the same reason Spark's own `range(...)`
+  * TVF takes only foldable arguments.
+  */
+object TableFunctions {
+
+  private def str(e: Expression, pos: Int, fn: String): String = e match {
+    case l: Literal if l.dataType == StringType && l.value != null =>
+      l.value.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a non-null string literal, got ${other.sql}")
+  }
+
+  private def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** asof_join(left, right, on_csv, left_ts, right_ts, payload_csv,
+    * tie_break [, direction = backward|forward|nearest]).
+    * Output appends `<payload>_asof` / `_fwd` / `_near` per direction.
+    */
+  private def asofJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "asof_join"
+    require(exprs.length == 7 || exprs.length == 8,
+      s"$fn takes 7 or 8 arguments (left, right, on_csv, left_ts, " +
+        s"right_ts, payload_csv, tie_break[, direction]), got ${exprs.length}")
+    val a = exprs.take(7).zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val direction = if (exprs.length == 8) str(exprs(7), 8, fn) else "backward"
+    val s = SparkSession.active
+    val (left, right) = (s.table(a(0)), s.table(a(1)))
+    val (on, lts, rts, pay, tie) = (csv(a(2)), a(3), a(4), csv(a(5)), a(6))
+    val df = direction match {
+      case "backward" => AsOfJoin.merge(left, right, on, lts, rts, pay, tie)
+      case "forward" => AsOfJoin.forward(left, right, on, lts, rts, pay, tie)
+      case "nearest" => AsOfJoin.nearest(left, right, on, lts, rts, pay, tie)
+      case other => throw new IllegalArgumentException(
+        s"$fn: direction must be backward|forward|nearest, got '$other'")
+    }
+    df.queryExecution.logical
+  }
+
+  /** snapshot(table, entity, ts, at_timestamp, tie_break) — the temporal
+    * time-point read: every entity's latest change point at-or-before
+    * `at_timestamp`.
+    */
+  private def snapshotPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "snapshot"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (table, entity, ts, at_timestamp, " +
+        s"tie_break), got ${exprs.length}")
+    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val s = SparkSession.active
+    Temporal.snapshot(s.table(a(0)), entity = a(1), ts = a(2),
+        t = lit(a(3)).cast("timestamp"), tieBreak = a(4))
+      .queryExecution.logical
+  }
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(getClass.getName, "asof_join"),
+      asofJoinPlan _),
+    (new FunctionIdentifier("snapshot"),
+      new ExpressionInfo(getClass.getName, "snapshot"),
+      snapshotPlan _))
+
+  /** Register the TVFs on an already-built session (idempotent). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    registrations.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident))
+        reg.registerFunction(ident, info, builder)
+    }
+  }
+}

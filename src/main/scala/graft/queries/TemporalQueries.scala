@@ -51,6 +51,22 @@ object TemporalQueries {
       AsOfJoin.merge(p, c, on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         payload = Seq("click_id"), tieBreak = "click_id")) _),
 
+    // Q10e — the SAME q10 query driven entirely from SQL TEXT through the
+    // asof_join table-valued function (graft.functions.TableFunctions):
+    // a pure-SQL session invoking the engine's signature operator, which
+    // plans the custom AsOfJoinNode sort-merge exactly like q10b. Held to
+    // the identical oracle as q10/q10b.
+    "q10e_asof_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val (purchases, clicks) = purchasesAndClicks(s, dir)
+      purchases.createOrReplaceTempView("graft_q10e_purchases")
+      clicks.createOrReplaceTempView("graft_q10e_clicks")
+      s.sql("""SELECT event_id, user_id, ts, click_id_asof AS click_id
+        |FROM asof_join('graft_q10e_purchases', 'graft_q10e_clicks',
+        |               'user_id', 'ts', 'ts', 'click_id', 'click_id')
+        |ORDER BY event_id""".stripMargin)
+    }),
+
     // Q10c — FORWARD as-of join: each purchase -> the EARLIEST at-or-after
     // click of the same user (tie on ts -> min event_id). Same
     // single-shuffle union+window plan scanning a forward frame.
@@ -85,6 +101,17 @@ object TemporalQueries {
           tieBreak = "event_id")
         .select(col("user_id"), cents(col("value")).as("val_cents"))
         .orderBy("user_id")
+    }),
+
+    // T01b — the same snapshot read from pure SQL text via the snapshot
+    // TVF; identical oracle to t01.
+    "t01b_snapshot_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      ev(s, dir).createOrReplaceTempView("graft_t01b_events")
+      s.sql("""SELECT user_id, CAST(round(value*100) AS BIGINT) AS val_cents
+        |FROM snapshot('graft_t01b_events', 'user_id', 'ts',
+        |              '2024-01-15 00:00:00', 'event_id')
+        |ORDER BY user_id""".stripMargin)
     }),
 
     // T02 — time-range read: per-user (interval, value) pairs overlapping
@@ -291,10 +318,20 @@ object TemporalQueries {
       |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  private val t01Oracle =
+    """SELECT user_id, CAST(round(value*100) AS BIGINT) AS val_cents
+      |FROM (SELECT user_id, value,
+      |        row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q10_asof_join" -> q10Oracle,
 
     "q10b_asof_merge" -> q10Oracle,
+
+    "q10e_asof_sql" -> q10Oracle,
 
     "q10c_asof_forward" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
@@ -322,13 +359,9 @@ object TemporalQueries {
         |   LIMIT 1) AS click_id
         |FROM p ORDER BY p.event_id""".stripMargin,
 
-    "t01_snapshot" ->
-      """SELECT user_id, CAST(round(value*100) AS BIGINT) AS val_cents
-        |FROM (SELECT user_id, value,
-        |        row_number() OVER (PARTITION BY user_id
-        |                           ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "t01_snapshot" -> t01Oracle,
+
+    "t01b_snapshot_sql" -> t01Oracle,
 
     "t02_time_range" ->
       """SELECT user_id, event_id, CAST(valid_from AS TIMESTAMP) AS valid_from,

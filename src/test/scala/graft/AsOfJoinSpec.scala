@@ -243,4 +243,53 @@ class AsOfJoinSpec extends SparkSpecBase {
       .collect()(0)
     assert(out.isNullAt(3)) // latest match (ts=8) has v = NULL; 5.0 is stale
   }
+
+  test("asof_join TVF: pure SQL text == Scala API, all three directions") {
+    import spark.implicits._
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    val l = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 10L))
+      .toDF("id", "k", "ts")
+    val r = Seq((100L, 1L, 5L), (200L, 1L, 15L), (300L, 2L, 30L))
+      .toDF("rid", "k", "rts")
+    l.createOrReplaceTempView("tvf_l"); r.createOrReplaceTempView("tvf_r")
+    def viaSql(dir: String) = spark.sql(
+      s"SELECT * FROM asof_join('tvf_l', 'tvf_r', 'k', 'ts', 'rts', " +
+        s"'rid', 'rid', '$dir')").collect().map(_.toSeq).toSet
+    assert(viaSql("backward") ==
+      AsOfJoin.merge(l, r, Seq("k"), "ts", "rts", Seq("rid"), "rid")
+        .collect().map(_.toSeq).toSet)
+    assert(viaSql("forward") ==
+      AsOfJoin.forward(l, r, Seq("k"), "ts", "rts", Seq("rid"), "rid")
+        .collect().map(_.toSeq).toSet)
+    assert(viaSql("nearest") ==
+      AsOfJoin.nearest(l, r, Seq("k"), "ts", "rts", Seq("rid"), "rid")
+        .collect().map(_.toSeq).toSet)
+    // the SQL path plans the SAME custom operator
+    val plan = spark.sql(
+      "SELECT * FROM asof_join('tvf_l', 'tvf_r', 'k', 'ts', 'rts', " +
+        "'rid', 'rid')").queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    // non-literal / bad-direction arguments fail fast at analysis
+    assertThrows[Exception](spark.sql(
+      "SELECT * FROM asof_join('tvf_l', 'tvf_r', 'k', 'ts', 'rts', " +
+        "'rid', 'rid', 'sideways')").collect())
+  }
+
+  test("snapshot TVF: pure SQL text == Temporal.snapshot") {
+    import spark.implicits._
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    val changes = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 10L, 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-14 00:00:00"), 11L, 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-16 00:00:00"), 12L, 3.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 20L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    changes.createOrReplaceTempView("tvf_props")
+    val viaSql = spark.sql(
+      "SELECT user_id, value FROM snapshot('tvf_props', 'user_id', 'ts', " +
+        "'2024-01-15 00:00:00', 'event_id') ORDER BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // as of Jan 15: user 1 -> the Jan 14 change (2.0), user 2 -> 9.0
+    assert(viaSql == Map(1L -> 2.0, 2L -> 9.0))
+  }
 }
