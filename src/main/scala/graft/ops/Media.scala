@@ -1,23 +1,23 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §2.5 L05 / the north star's
   * "image/audio/video as opaque binary columns with typed metadata").
   *
-  * The Spark-side contract is real and tested — schema convention,
-  * batch-friendly transforms, frame slicing — while the actual codec is a
-  * clearly-marked DETERMINISTIC STUB (this container has no image/audio
-  * libraries): "decoding" parses fake dimensions out of the payload bytes.
-  * Swapping in a real decoder means replacing ONLY `decodeStub`'s
-  * expression with a library call of the same signature
-  * (binary -> struct), e.g. inside mapPartitions with a per-partition
-  * codec instance; every downstream transform is unchanged.
+  * The codec layer is REAL for two dependency-free containers — PPM (P6)
+  * images and WAV (PCM16) audio: header parse + sample scan implemented
+  * on raw bytes, no image/audio libraries. Decoding runs through
+  * `mapPartitions` with the exact shape a libjpeg/ffmpeg binding would
+  * have (per-partition codec context, bytes -> typed struct, null on
+  * malformed input), so swapping in a native codec changes ONE function
+  * body and nothing downstream. Transforms (lazy resize, frame slicing)
+  * are pure Catalyst expressions.
   *
   * Schema convention for a media column:
-  *   payload: binary, media_type: string,
-  *   meta: struct<width int, height int, n_frames int>
+  *   payload: binary, media_type: string, meta: struct<...>
   */
 object Media {
 
@@ -25,23 +25,166 @@ object Media {
   def toMedia(payload: Column, mediaType: Column): Column =
     struct(payload.as("payload"), mediaType.as("media_type"))
 
-  /** STUB decoder: deterministic fake metadata derived from the bytes —
-    * stands in for an image/video header parse. Same shape as a real
-    * decode: binary -> struct<width, height, n_frames>.
+  // ---------------------------------------------------------------- PPM
+
+  /** Decoded P6 image: dimensions + exact per-channel byte means (sums
+    * are exact longs, one final division — deterministic across runs).
     */
-  def decodeStub(payload: Column): Column = {
-    val n = octet_length(payload)
-    struct(
-      (pmod(crc32(payload), lit(1280)) + lit(1)).cast("int").as("width"),
-      (pmod(crc32(reverse(payload)), lit(720)) + lit(1)).cast("int").as("height"),
-      greatest(lit(1), (n / 1000).cast("int")).as("n_frames"))
+  case class DecodedImage(width: Int, height: Int, maxval: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("maxval", IntegerType), StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType), StructField("mean_b", DoubleType)))
+
+  /** REAL PPM (P6) decode: "P6" <ws> width <ws> height <ws> maxval <one
+    * ws> then width*height*3 RGB bytes ('#' comments allowed in the
+    * header per the spec). Returns None on anything malformed or
+    * truncated — the caller sees a null meta, never an exception (a
+    * 100 TB scrape WILL contain garbage bytes).
+    */
+  def decodePpm(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length < 2 ||
+      bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWs(): Boolean = {
+      var progressed = false
+      var go = true
+      while (go && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c == '#') { // comment runs to end of line
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+          progressed = true
+        } else if (c.isWhitespace) { i += 1; progressed = true }
+        else go = false
+      }
+      progressed
+    }
+    def readInt(): Option[Int] = {
+      if (!skipWs()) return None
+      val start = i
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (i == start) None else Some(v.toInt)
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255 &&
+        i < bytes.length && bytes(i).toChar.isWhitespace
+      _ = { i += 1 } // exactly ONE whitespace after maxval, then raster
+      if bytes.length - i >= 3L * w * h
+      stats <- {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var p = i
+        val end = i + 3 * w * h
+        while (p < end) {
+          sr += bytes(p) & 0xff; sg += bytes(p + 1) & 0xff
+          sb += bytes(p + 2) & 0xff; p += 3
+        }
+        val n = (w.toLong * h).toDouble
+        Some(DecodedImage(w, h, maxval, sr / n, sg / n, sb / n))
+      }
+    } yield stats
   }
 
-  /** STUB resize: recompute metadata for a target box, preserving aspect
+  // ---------------------------------------------------------------- WAV
+
+  /** Decoded PCM16 WAV: format fields + exact sample count and RMS
+    * (squares summed in exact longs, one sqrt at the end).
+    */
+  case class DecodedAudio(sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long, rms: Double)
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_samples", LongType), StructField("rms", DoubleType)))
+
+  /** REAL WAV (RIFF/PCM16) decode: walks the chunk list, parses the
+    * `fmt ` chunk, scans the `data` chunk's little-endian int16 samples.
+    * None on malformed/truncated/non-PCM16 input.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] = {
+    def tag(off: Int, s: String): Boolean =
+      off + 4 <= bytes.length && s.indices.forall(k => bytes(off + k) == s(k))
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes == null || bytes.length < 44 ||
+      !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var out: Option[DecodedAudio] = None
+    while (out.isEmpty && off + 8 <= bytes.length) {
+      val size = u32(off + 4)
+      val body = off + 8
+      if (body + size > bytes.length || size < 0) return None
+      if (tag(off, "fmt ") && size >= 16) {
+        val audioFormat = u16(body)
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+      } else if (tag(off, "data")) {
+        fmt match {
+          case Some((ch, rate, bits)) if bits == 16 && ch > 0 =>
+            val n = size / 2
+            var (p, ss) = (body, 0L)
+            val end = body + (n * 2).toInt
+            while (p < end) {
+              val s = (u16(p) << 16) >> 16 // sign-extend int16
+              ss += s.toLong * s; p += 2
+            }
+            val rms = if (n == 0) 0.0 else math.sqrt(ss.toDouble / n)
+            out = Some(DecodedAudio(rate, ch, bits, n, rms))
+          case _ => return None // data before fmt, or not PCM16
+        }
+      }
+      off = body + size.toInt + (size.toInt & 1) // chunks are 2-aligned
+    }
+    out
+  }
+
+  // ------------------------------------------------- DataFrame wrappers
+
+  private def decodeWith(df: DataFrame, payloadCol: String, out: String,
+      metaSchema: StructType, decode: Array[Byte] => Option[Product]): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema.add(out, metaSchema, nullable = true)
+    // mapPartitions, not a per-row UDF: a real binding initializes its
+    // codec context once per PARTITION here (the iterator wrapper is
+    // where a native handle would live), and the batch shape survives a
+    // swap to Arrow/Pandas execution unchanged.
+    df.mapPartitions { it =>
+      it.map { row =>
+        val meta = decode(row.getAs[Array[Byte]](idx))
+          .map(p => Row.fromSeq(p.productIterator.toSeq)).orNull
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode a PPM payload column into `out` (null on malformed bytes). */
+  def decodeImages(df: DataFrame, payloadCol: String,
+      out: String = "image_meta"): DataFrame =
+    decodeWith(df, payloadCol, out, imageMetaSchema, decodePpm)
+
+  /** Decode a WAV payload column into `out` (null on malformed bytes). */
+  def decodeAudio(df: DataFrame, payloadCol: String,
+      out: String = "audio_meta"): DataFrame =
+    decodeWith(df, payloadCol, out, audioMetaSchema, decodeWav)
+
+  /** Lazy resize: recompute metadata for a target box, preserving aspect
     * ratio (integer math, deterministic) — payload untouched, as a real
     * lazy-resize pipeline would do until materialization.
     */
-  def resizeMetaStub(meta: Column, maxW: Int, maxH: Int): Column = {
+  def resizeMeta(meta: Column, maxW: Int, maxH: Int): Column = {
     val w = meta.getField("width")
     val h = meta.getField("height")
     // scale = min(maxW/w, maxH/h) in 1e6 fixed point, capped at 1.0
@@ -49,8 +192,7 @@ object Media {
       least(lit(maxW.toLong * 1000000L) / w, lit(maxH.toLong * 1000000L) / h))
     struct(
       greatest(lit(1), (w * scale / 1000000L).cast("int")).as("width"),
-      greatest(lit(1), (h * scale / 1000000L).cast("int")).as("height"),
-      meta.getField("n_frames").as("n_frames"))
+      greatest(lit(1), (h * scale / 1000000L).cast("int")).as("height"))
   }
 
   /** Frame sampling: slice the payload into `n` byte-range "frames"

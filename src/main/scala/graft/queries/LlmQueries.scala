@@ -149,25 +149,9 @@ object LlmQueries {
     // Engine-only; ToleranceSpec gates recall vs the exact L03.
     "l03b_ivf_ann" -> ((s, dir) => {
       graft.functions.VecFunctions.ensureRegistered(s)
-      val v = vecs(s, dir)
-      val centroids = Similarity.kmeansCentroids(v, k = 8, maxIter = 10)
-      val assigned = Similarity.ivfAssign(v, centroids, nprobe = 2)
-      val withB = v.join(assigned, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("bucket"),
-          Similarity.norm(col("embedding")).as("nrm"))
-      val a = withB.select(col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"), col("bucket"), col("nrm").as("a_nrm"))
-      val b = withB.select(col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"), col("bucket").as("b_bucket"),
-        col("nrm").as("b_nrm"))
-      a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          round(Similarity.dot(col("a_emb"), col("b_emb")) /
-            (col("a_nrm") * col("b_nrm")), 4).as("cos_sim"))
-        // multi-probe can surface the same pair from two shared buckets
-        .dropDuplicates("a_id", "b_id")
+      Similarity.ivfTopKPairs(vecs(s, dir), k = 20, nCentroids = 8,
+          nprobe = 2)
         .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
-        .limit(20)
     }),
 
     // L08 — per-label vector centroids via the typed Aggregator UDAF
@@ -290,19 +274,37 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // L09 — multimodal pipeline: binary payload -> stubbed decode ->
-    // lazy resize -> frame sampling -> per-doc frame stats. The Spark
-    // plumbing (schema, slicing, explode shape) is real; the codec is the
-    // documented deterministic stub. Engine-only, rows-only check.
+    // L09 — multimodal pipeline, REAL codec path: each doc's text bytes
+    // are wrapped into a VALID PPM (P6) container (fixed width 32,
+    // height sized to the payload, zero-padded raster), decoded by the
+    // dependency-free PPM codec (ops.Media.decodePpm — header parse +
+    // exact per-channel means) through the mapPartitions batch shape,
+    // then lazily resized, frame-sampled, and reduced to per-doc stats.
+    // Engine-only, rows-only check; MediaSpec asserts exact decoded
+    // dimensions/stats on synthesized binaries round-tripped through
+    // parquet.
     "l09_media_pipeline" -> ((s, dir) => {
-      val m = docs(s, dir)
-        .withColumn("payload", encode(col("text"), "UTF-8"))
-        .withColumn("meta", graft.ops.Media.decodeStub(col("payload")))
+      val w = 32
+      val rowBytes = w * 3
+      val src = docs(s, dir)
+        .withColumn("body", encode(col("text"), "UTF-8"))
+        .withColumn("h", greatest(lit(1),
+          ceil(octet_length(col("body")) / lit(rowBytes.toDouble))
+            .cast("int")))
+        .withColumn("payload", concat(
+          encode(concat(lit(s"P6\n$w "), col("h").cast("string"),
+            lit("\n255\n")), "UTF-8"),
+          concat(col("body"), lit(Array.fill[Byte](rowBytes)(0)))
+            .substr(lit(1), col("h") * rowBytes)))
+        .drop("body")
+      val decoded = graft.ops.Media.decodeImages(src, "payload")
         .withColumn("meta_small",
-          graft.ops.Media.resizeMetaStub(col("meta"), 64, 64))
-      graft.ops.Media.frameSample(m, "payload", 4)
-        .groupBy(col("doc_id"), col("meta_small.width").as("w"),
-          col("meta_small.height").as("h"))
+          graft.ops.Media.resizeMeta(col("image_meta"), 64, 64))
+      graft.ops.Media.frameSample(decoded, "payload", 4)
+        .groupBy(col("doc_id"), col("image_meta.width").as("w"),
+          col("image_meta.height").as("h"),
+          col("meta_small.width").as("w_small"),
+          round(col("image_meta.mean_r"), 4).as("mean_r"))
         .agg(count(lit(1)).as("n_frames"),
           sum(octet_length(col("frame_payload"))).as("frame_bytes"))
         .orderBy("doc_id")

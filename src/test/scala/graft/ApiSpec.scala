@@ -173,23 +173,25 @@ class ApiSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
-  test("media pipeline: decode stub deterministic, frames partition the payload") {
+  test("media pipeline: real PPM decode, frames partition the payload") {
     import spark.implicits._
-    val df = Seq((1L, "hello world, a reasonably sized payload for frames"))
-      .toDF("doc_id", "text")
-      .withColumn("payload", encode(col("text"), "UTF-8"))
-      .withColumn("meta", Media.decodeStub(col("payload")))
-    val m1 = df.select("meta.*").collect()(0)
-    val m2 = df.select("meta.*").collect()(0)
-    assert(m1 == m2) // deterministic
-    assert(m1.getInt(0) >= 1 && m1.getInt(1) >= 1)
+    // a valid 2x2 P6 image: all four pixels (10, 20, 30)
+    val ppm = "P6\n2 2\n255\n".getBytes("UTF-8") ++
+      Array.fill(4)(Array[Byte](10, 20, 30)).flatten
+    val df = Seq((1L, ppm)).toDF("doc_id", "payload")
+    val decoded = Media.decodeImages(df, "payload")
+    val m = decoded.select("image_meta.*").collect()(0)
+    assert((m.getInt(0), m.getInt(1), m.getInt(2)) == ((2, 2, 255)))
+    assert((m.getDouble(3), m.getDouble(4), m.getDouble(5))
+      == ((10.0, 20.0, 30.0)))
     val frames = Media.frameSample(df, "payload", 4)
       .select("frame_idx", "frame_payload").collect()
     assert(frames.length == 4)
     val total = frames.map(_.getAs[Array[Byte]](1).length).sum
-    assert(total <= 51 && total >= 48) // 4 equal slices, remainder dropped
-    val resized = df.select(Media.resizeMetaStub(col("meta"), 64, 64).as("m"))
+    assert(total <= ppm.length && total >= ppm.length - 4)
+    val resized = decoded
+      .select(Media.resizeMeta(col("image_meta"), 1, 1).as("m"))
       .select("m.*").collect()(0)
-    assert(resized.getInt(0) <= 64 && resized.getInt(1) <= 64)
+    assert(resized.getInt(0) == 1 && resized.getInt(1) == 1)
   }
 }
