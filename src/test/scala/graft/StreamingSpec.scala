@@ -115,6 +115,44 @@ class StreamingSpec extends SparkSpecBase {
       .sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("RocksDB state store: windowed agg, session windows and dedup on the cluster backend") {
+    // The transformWithState tests (S08-S12) already REQUIRE RocksDB;
+    // this pins the remaining state machinery — windowed aggregation,
+    // session windows, dropDuplicatesWithinWatermark — to the provider a
+    // 100 TB deployment runs (state larger than executor heap, changelog
+    // checkpointing), asserting streaming == batch under it.
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runStream("rocksdbS01", OutputMode.Complete(),
+          Streams.tumblingCounts, sampleBatches)
+        .orderBy("ws", "event_type").collect().toSeq
+      val batch = Streams.tumblingCounts(sampleBatches.flatten.toDF())
+        .orderBy("ws", "event_type").collect().toSeq
+      assert(streamed == batch && batch.nonEmpty)
+      val sessions = runStream("rocksdbS03", OutputMode.Complete(),
+          Streams.sessionWindows, sampleBatches)
+        .orderBy("user_id", "session_start").collect().toSeq
+      val sessionsBatch = Streams.sessionWindows(sampleBatches.flatten.toDF())
+        .orderBy("user_id", "session_start").collect().toSeq
+      assert(sessions == sessionsBatch && sessionsBatch.length == 4)
+      val dedupBatches = Seq(
+        mkEvents((1, 0, 1, "click", 1.0), (2, 1, 1, "view", 2.0)),
+        mkEvents((1, 0, 1, "click", 1.0), (3, 2, 1, "click", 3.0)),
+        mkEvents((2, 1, 1, "view", 2.0)))
+      val deduped = runStream("rocksdbS05", OutputMode.Append(),
+        Streams.dedupWithinWatermark, dedupBatches)
+      assert(deduped.select("event_id").collect().map(_.getLong(0)).sorted
+        .sameElements(Array(1L, 2L, 3L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("S06 stateful anomaly flags: stream == batch, hand-checked case") {
     import spark.implicits._
     // user 1: stable values then a spike; spike must flag, others not.
