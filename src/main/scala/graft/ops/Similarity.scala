@@ -264,6 +264,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** L20 — binary (sign-bit) embeddings: the 64-dim float vector
+    * collapses to two 32-bit sign words — a 32× shrink that turns
+    * similarity into Hamming distance over machine words
+    * (`bit_count(xor)`), the cheapest candidate-generation metric there
+    * is. Packing is a per-row fold (left-to-right, first dim = MSB of
+    * its word; exact integer arithmetic, so the packed words hash-match
+    * a SQL oracle). At 100 TB: 8 bytes/vector means ~10^10 vectors fit
+    * one executor's memory for brute-force rerank candidate scans.
+    */
+  def signPack(vecs: DataFrame): DataFrame = {
+    def word(from: Int): Column =
+      aggregate(
+        transform(slice(col("embedding"), from, 32),
+          x => when(x >= 0, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc * 2 + b)
+    vecs.select(col("vec_id"), word(1).as("w0"), word(33).as("w1"))
+  }
+
+  /** Hamming k-NN over [[signPack]]ed vectors: one codegen'd scan —
+    * xor + popcount per row — then top-k. The brute-force baseline a
+    * binary-embedding index (IVF over sign buckets) would rerank into.
+    */
+  def hammingKnn(packed: DataFrame, qw0: Long, qw1: Long, k: Int): DataFrame =
+    packed.select(col("vec_id"),
+        expr(s"CAST(bit_count(w0 ^ ${qw0}L) + bit_count(w1 ^ ${qw1}L) AS BIGINT)")
+          .as("hamming"))
+      .orderBy("hamming", "vec_id")
+      .limit(k)
+
   /** L13 — scalar int8 quantization of an embedding column: per-vector
     * symmetric scale `s = max|v| / 127`, codes `c_i = round(v_i / s)` in
     * [-127, 127]. One byte per dimension plus one float scale — a 4×

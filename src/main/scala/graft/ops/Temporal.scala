@@ -267,4 +267,41 @@ object Temporal {
       .withColumn("session_id", sum(col("__brk")).over(run))
       .drop("__prev", "__brk")
   }
+
+  /** T13b — forward-fill resample onto a daily grid (gap-fill): one row
+    * per (entity, day) across each entity's own [first, last] event span,
+    * carrying the latest value at-or-before the END of that day — the
+    * piecewise-constant temporal read evaluated on a regular grid, the
+    * shape every time-series feature pipeline needs.
+    *
+    * Built ON the as-of join (grid spine = left, change points = right):
+    * the spine is one narrow groupBy + sequence-explode, then the same
+    * single-shuffle union+window as-of plan — no non-equi join, no
+    * per-day subqueries. At 100 TB the spine is |entities| × days rows,
+    * tiny next to the event log it summarizes. Tie at equal ts broken by
+    * greatest `tieBreak`, matching the other temporal reads. Output:
+    * (entity, day, <value>_ff).
+    */
+  def resampleDaily(
+      changes: DataFrame,
+      entity: String,
+      ts: String,
+      value: String,
+      tieBreak: String): DataFrame = {
+    val spine = changes.groupBy(entity)
+      .agg(date_trunc("DAY", min(col(ts))).as("__d0"),
+        date_trunc("DAY", max(col(ts))).as("__d1"))
+      .select(col(entity),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("interval 1 day"))).as("day"))
+      // as-of probe at the LAST microsecond of the day: at-or-before
+      // day end == strictly-before next day start
+      .withColumn("__day_end",
+        col("day") + expr("interval 1 day") - expr("interval 1 microsecond"))
+    AsOfJoin(spine,
+        changes.select(col(entity), col(ts), col(tieBreak), col(value)),
+        on = Seq(entity), leftTs = "__day_end", rightTs = ts,
+        payload = Seq(value), tieBreak = tieBreak)
+      .select(col(entity), col("day"), col(value + "_asof").as(value + "_ff"))
+  }
 }

@@ -51,6 +51,77 @@ object Text {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Deterministic content-hash dataset split (train/val/test — the
+    * holdout assignment every training pipeline needs): the first 4 hex
+    * chars of md5(content) are compared LEXICOGRAPHICALLY against
+    * fraction boundaries (fixed-width lowercase hex, so string order ==
+    * numeric order). Stable across runs, partitionings AND engines — no
+    * engine-private hash — and leakage-safe: byte-identical content
+    * always lands in the same split regardless of which row carries it.
+    * 65536 hash buckets bound the boundary rounding at 1/65536 per split.
+    */
+  def stableSplit(content: Column,
+      fractions: Seq[(String, Double)]): Column = {
+    require(fractions.size >= 2 &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val bounds = splitBoundsHex(fractions)
+    val h = substring(md5(content), 1, 4)
+    fractions.init.zip(bounds).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), bound), rest) =>
+      when(h < lit(bound), name).otherwise(rest)
+    }
+  }
+
+  /** The hex boundaries [[stableSplit]] compares against (exposed so a
+    * SQL oracle can embed the same literals): cumulative fractions
+    * rounded onto the 65536-bucket grid, one boundary per split except
+    * the last (which takes the remainder).
+    */
+  def splitBoundsHex(fractions: Seq[(String, Double)]): Seq[String] =
+    fractions.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(f => f"${math.min(65535L, math.round(f * 65536))}%04x")
+
+  /** Gopher-style quality gate (the Rae et al. 2021 document filters,
+    * restricted to the deterministic cross-engine subset): word count
+    * bounds, mean word length bounds, minimum stopword fraction. Words
+    * are `\S+` runs ([[tokenCount]] semantics); mean word length uses
+    * the exact identity sum(len(word)) == len(text with whitespace
+    * removed), so both factors are integral and the single division is
+    * deterministic. Returns per-doc metrics, one boolean per rule, and
+    * the conjunctive keep decision.
+    */
+  val GopherStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "that", "for",
+    "on", "with", "as")
+
+  def gopherFlags(docs: DataFrame,
+      minWords: Int = 5, maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      minStopFrac: Double = 0.01): DataFrame = {
+    val words = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val stops = array(GopherStopwords.map(lit): _*)
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("__word_chars",
+        length(regexp_replace(col("text"), "\\s", "")))
+      .withColumn("n_stop", size(filter(words,
+        w => array_contains(stops, lower(w)))).cast("long"))
+      .withColumn("mean_word_len",
+        round(col("__word_chars").cast("double") / col("n_words"), 4))
+      .withColumn("stop_frac",
+        round(col("n_stop").cast("double") / col("n_words"), 4))
+      .withColumn("ok_words",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("ok_word_len",
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("ok_stop", col("stop_frac") >= minStopFrac)
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_stop"))
+      .select("doc_id", "n_words", "mean_word_len", "stop_frac",
+        "ok_words", "ok_word_len", "ok_stop", "keep")
+  }
+
   /** Quality-score features: length, punctuation ratio, whitespace ratio,
     * uppercase ratio — rounded to 4 decimals per determinism rules.
     */

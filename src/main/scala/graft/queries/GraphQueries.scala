@@ -175,6 +175,22 @@ object GraphQueries {
         .orderBy("seed", "dist")
     }),
 
+    // G19 — sampled closeness centrality: exact min-depth sums from the
+    // 3 smallest co-part vertices via ONE multi-source traversal.
+    // Output stays integral ((n_reached, total_dist) per seed; closeness
+    // = n_reached/total_dist is one client-side division) so the
+    // contract is hash-matched against the seeded recursive-CTE replay.
+    "g19_closeness" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(3)
+      Graphs.multiSourceBfs(s, edges, seeds, maxDepth = 6)
+        .groupBy("seed")
+        .agg((count(lit(1)) - 1).as("n_reached"),
+          sum("dist").as("total_dist"))
+        .orderBy("seed")
+    }),
+
     // G16 — deterministic hash-walk sampling from customers 1..5 on the
     // supply graph (2 walks × ≤3 steps each): node2vec-style walk data
     // whose "randomness" is a seeded hash, so retries/reruns reproduce
@@ -355,6 +371,19 @@ object GraphQueries {
         |md AS (SELECT seed, id, min(d) AS dist FROM r GROUP BY 1, 2)
         |SELECT seed, CAST(dist AS INT) AS dist, count(*) AS n
         |FROM md GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g19_closeness" ->
+      s"""WITH RECURSIVE $copartCte,
+        |seeds AS (SELECT DISTINCT src AS s FROM e ORDER BY s LIMIT 3),
+        |r(seed, id, d) AS (
+        |  SELECT s, s, 0 FROM seeds
+        |  UNION
+        |  SELECT r.seed, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.d < 6),
+        |md AS (SELECT seed, id, min(d) AS dist FROM r GROUP BY 1, 2)
+        |SELECT seed, count(*) - 1 AS n_reached,
+        |  CAST(sum(dist) AS BIGINT) AS total_dist
+        |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g05b_weighted_dist" ->
       s"""WITH RECURSIVE $copartCte,

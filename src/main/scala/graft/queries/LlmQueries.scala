@@ -136,6 +136,44 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L18 — deterministic content-hash train/val/test split: the holdout
+    // assignment every training pipeline needs, stable across runs AND
+    // engines (md5-hex prefix vs fraction boundaries — no
+    // engine-private hash) and leakage-safe (identical text always lands
+    // in the same split). Hash-matched per-split counts.
+    "l18_stable_split" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("split", Text.stableSplit(col("text"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .orderBy("split")
+    }),
+
+    // L19 — Gopher-style quality gate: per-doc word-count / mean-word-
+    // length / stopword-fraction rules plus the conjunctive keep
+    // decision, all in exact integer factors with single divisions so
+    // the full per-doc table hash-matches.
+    "l19_gopher_flags" -> ((s, dir) =>
+      Text.gopherFlags(docs(s, dir)).orderBy("doc_id")),
+
+    // L20 — binary (sign-bit) embeddings: 64 float dims -> two 32-bit
+    // sign words (32x working-set shrink); exact integer fold, so the
+    // packed words hash-match the SQL oracle.
+    "l20_sign_pack" -> ((s, dir) =>
+      Similarity.signPack(vecs(s, dir)).orderBy("vec_id")),
+
+    // L20b — Hamming k-NN over the packed sign bits: xor + popcount scan
+    // for vec 0's 20 nearest neighbors, the cheapest candidate metric a
+    // binary-embedding index reranks into. Total order (hamming, vec_id).
+    "l20b_hamming_knn" -> ((s, dir) => {
+      val packed = Similarity.signPack(vecs(s, dir))
+      val q = packed.filter(col("vec_id") === 0).head()
+      Similarity.hammingKnn(packed.filter(col("vec_id") =!= 0),
+        q.getLong(1), q.getLong(2), 20)
+    }),
+
     // L03 — embedding similarity: exact top-20 cosine pairs via the
     // broadcast-block kernel (no all-pairs join materialization).
     "l03_cosine_topk" -> ((s, dir) => {
@@ -652,6 +690,62 @@ object LlmQueries {
         |  round($dotQ / (sqrt($nE) * sqrt($nQ)), 4) AS cos_sim
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
-    }
+    },
+
+    // boundaries = Text.splitBoundsHex(0.8/0.1/0.1): 'cccd', 'e666'
+    "l18_stable_split" ->
+      """WITH s AS (SELECT
+        |    CASE WHEN substr(md5(text), 1, 4) < 'cccd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split, n_chars
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l19_gopher_flags" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    len(regexp_replace(text, '\s', '', 'g')) AS wc,
+        |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+        |      w -> list_contains(['the','a','an','and','of','to','in','is',
+        |                          'that','for','on','with','as'], lower(w))))
+        |      AS BIGINT) AS n_stop
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_words,
+        |    round(CAST(wc AS DOUBLE) / n_words, 4) AS mean_word_len,
+        |    round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_frac
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, stop_frac,
+        |  n_words BETWEEN 5 AND 100000 AS ok_words,
+        |  mean_word_len BETWEEN 2.0 AND 12.0 AS ok_word_len,
+        |  stop_frac >= 0.01 AS ok_stop,
+        |  (n_words BETWEEN 5 AND 100000)
+        |    AND (mean_word_len BETWEEN 2.0 AND 12.0)
+        |    AND (stop_frac >= 0.01) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "l20_sign_pack" -> signPackSql("SELECT vec_id, w0, w1 FROM packed ORDER BY vec_id"),
+
+    "l20b_hamming_knn" -> signPackSql(
+      """SELECT p.vec_id,
+        |  CAST(bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1))
+        |    AS BIGINT) AS hamming
+        |FROM packed p,
+        |  (SELECT w0 AS qw0, w1 AS qw1 FROM packed WHERE vec_id = 0) q
+        |WHERE p.vec_id <> 0
+        |ORDER BY hamming, p.vec_id LIMIT 20""".stripMargin)
   )
+
+  // Shared sign-bit packing CTE for the l20 oracles: left-to-right fold,
+  // first dim = MSB, BIGINT accumulator (an INT32 fold would overflow).
+  private def signPackSql(body: String): String = {
+    def word(lo: Int, hi: Int) =
+      s"CAST(list_reduce(list_transform(embedding[$lo:$hi], " +
+        "x -> CASE WHEN x >= 0 THEN 1::BIGINT ELSE 0::BIGINT END), " +
+        "(acc, b) -> acc * 2 + b) AS BIGINT)"
+    s"""WITH packed AS (SELECT vec_id, ${word(1, 32)} AS w0,
+      |    ${word(33, 64)} AS w1 FROM embeddings)
+      |$body""".stripMargin
+  }
 }

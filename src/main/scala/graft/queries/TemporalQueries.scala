@@ -114,6 +114,18 @@ object TemporalQueries {
         |ORDER BY user_id""".stripMargin)
     }),
 
+    // T13 — forward-fill resample onto a daily grid: per (user, day of
+    // that user's own event span), the latest value at-or-before day end
+    // — the piecewise-constant temporal read on a regular grid, built ON
+    // the as-of join (spine = left), not per-day subqueries.
+    "t13_resample_ffill" -> ((s, dir) => {
+      Temporal.resampleDaily(ev(s, dir), entity = "user_id", ts = "ts",
+          value = "value", tieBreak = "event_id")
+        .select(col("user_id"), col("day"),
+          cents(col("value_ff")).as("val_cents"))
+        .orderBy("user_id", "day")
+    }),
+
     // T02 — time-range read: per-user (interval, value) pairs overlapping
     // [2024-01-10, 2024-01-12).
     "t02_time_range" -> ((s, dir) => {
@@ -362,6 +374,20 @@ object TemporalQueries {
     "t01_snapshot" -> t01Oracle,
 
     "t01b_snapshot_sql" -> t01Oracle,
+
+    "t13_resample_ffill" ->
+      """WITH span AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+        |                     date_trunc('day', max(ts)) AS d1
+        |              FROM events GROUP BY 1),
+        |s AS (SELECT user_id,
+        |        unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |      FROM span)
+        |SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+        |  CAST(round((SELECT e.value FROM events e
+        |      WHERE e.user_id = s.user_id AND e.ts < s.day + INTERVAL 1 DAY
+        |      ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) * 100)
+        |    AS BIGINT) AS val_cents
+        |FROM s ORDER BY s.user_id, s.day""".stripMargin,
 
     "t02_time_range" ->
       """SELECT user_id, event_id, CAST(valid_from AS TIMESTAMP) AS valid_from,

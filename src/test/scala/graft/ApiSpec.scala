@@ -173,6 +173,28 @@ class ApiSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("signPack/hammingKnn: known bit patterns, exact distances") {
+    import spark.implicits._
+    // vec 0: dims alternate +/-: bits 1010... in both words
+    // vec 1: all positive -> both words = 2^32 - 1
+    // vec 2: == vec 0 -> hamming 0; vec 1 vs 0 differs in 32 bits
+    val alt = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecs = Seq(
+      (0L, alt), (1L, Array.fill(64)(0.5f)), (2L, alt.clone()))
+      .toDF("vec_id", "embedding")
+    val packed = graft.ops.Similarity.signPack(vecs)
+    val rows = packed.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val altWord = java.lang.Long.parseLong("10101010101010101010101010101010", 2)
+    assert(rows(0L) == ((altWord, altWord)))
+    assert(rows(1L) == (((1L << 32) - 1, (1L << 32) - 1)))
+    val q = rows(0L)
+    val knn = graft.ops.Similarity
+      .hammingKnn(packed.filter(col("vec_id") =!= 0), q._1, q._2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(knn.toSeq == Seq(2L -> 0L, 1L -> 32L))
+  }
+
   test("media pipeline: real PPM decode, frames partition the payload") {
     import spark.implicits._
     // a valid 2x2 P6 image: all four pixels (10, 20, 30)

@@ -274,4 +274,28 @@ class TemporalSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
     assert(got == Map(-1L -> 100L, 0L -> 200L))
   }
+
+  test("resampleDaily: gaps forward-fill, same-day ties take max tieBreak") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      // user 1: Jan 1 (two same-ts rows — id 11 must win), gap, Jan 4
+      (1L, t("2024-01-01 10:00:00"), 10L, 1.0),
+      (1L, t("2024-01-01 10:00:00"), 11L, 2.0),
+      (1L, t("2024-01-04 09:00:00"), 12L, 5.0),
+      // user 2: single day
+      (2L, t("2024-02-10 00:00:00"), 20L, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Temporal.resampleDaily(changes, "user_id", "ts", "value",
+        "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString) -> r.getDouble(2))
+      .toMap
+    assert(got == Map(
+      (1L, "2024-01-01 00:00:00.0") -> 2.0, // tie -> event_id 11
+      (1L, "2024-01-02 00:00:00.0") -> 2.0, // gap day: carried forward
+      (1L, "2024-01-03 00:00:00.0") -> 2.0,
+      (1L, "2024-01-04 00:00:00.0") -> 5.0,
+      (2L, "2024-02-10 00:00:00.0") -> 7.0))
+  }
 }

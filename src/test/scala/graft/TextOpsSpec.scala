@@ -136,4 +136,51 @@ class TextOpsSpec extends SparkSpecBase {
       4L -> (4L, 500L, 333L),
       5L -> (4L, 0L, 0L)))
   }
+
+  test("stableSplit: deterministic, leakage-safe, fractions roughly honored") {
+    import spark.implicits._
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    assert(Text.splitBoundsHex(fr) == Seq("cccd", "e666"))
+    intercept[IllegalArgumentException](
+      Text.stableSplit(col("x"), Seq("a" -> 0.5, "b" -> 0.4)))
+    // duplicate content MUST land in the same split (anti-leakage), and
+    // reruns must agree
+    val docs = (1 to 2000).map(i => (i.toLong, s"doc number ${i % 1000}"))
+      .toDF("doc_id", "text")
+      .withColumn("split", Text.stableSplit(col("text"), fr))
+    val byText = docs.groupBy("text")
+      .agg(count_distinct(col("split")).as("k")).agg(max("k")).head.getLong(0)
+    assert(byText == 1L, "identical text split across partitions")
+    val counts = docs.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    // 1000 distinct texts at 80/10/10: allow generous binomial slack
+    assert(counts("train") > 1400 && counts("train") < 1800, counts.toString)
+    assert(counts("val") > 80 && counts("test") > 80, counts.toString)
+    assert(docs.collect().toSeq == docs.collect().toSeq)
+  }
+
+  test("gopherFlags: each rule flips on its own boundary case") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, mean len 17/6=2.8333, stop 3/6 -> keep
+      (1L, "the cat sat on the mat"),
+      // 3 words < minWords -> ok_words false
+      (2L, "the tiny doc"),
+      // no stopwords -> ok_stop false
+      (3L, "quick brown foxes jump high fences quickly"),
+      // mean word length too long -> ok_word_len false
+      (4L, "extraordinarily incomprehensible the pseudopseudohypoparathyroidism antidisestablishmentarianism"))
+      .toDF("doc_id", "text")
+    val got = Text.gopherFlags(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    assert(got(1L) == ((true, true, true, true)))
+    assert(got(2L) == ((false, true, true, false)))
+    assert(got(3L) == ((true, true, false, false)))
+    assert(got(4L)._2 == false)
+    val m = Text.gopherFlags(docs).filter(col("doc_id") === 1).head()
+    assert(m.getLong(1) == 6L && m.getDouble(2) == 2.8333)
+  }
 }
