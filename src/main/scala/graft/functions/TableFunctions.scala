@@ -41,6 +41,19 @@ object TableFunctions {
       s"$fn: argument $pos must be a non-null string literal, got ${other.sql}")
   }
 
+  private def long(e: Expression, pos: Int, fn: String): Long = e match {
+    case l: Literal if l.value != null && (l.dataType match {
+        case _: org.apache.spark.sql.types.ByteType |
+             _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }) =>
+      l.value.toString.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got ${other.sql}")
+  }
+
   private def csv(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
@@ -84,6 +97,50 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** interval_view(table, entity, ts, tie_break) — change points to
+    * `[valid_from, valid_to)` rows (open final interval).
+    */
+  private def intervalViewPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "interval_view"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, entity, ts, tie_break), got ${exprs.length}")
+    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val s = SparkSession.active
+    Temporal.intervalView(s.table(a(0)), entity = a(1), ts = a(2),
+        tieBreak = a(3))
+      .queryExecution.logical
+  }
+
+  /** time_range(table, entity, ts, tie_break, t1, t2) — intervals
+    * overlapping `[t1, t2)`.
+    */
+  private def timeRangePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "time_range"
+    require(exprs.length == 6,
+      s"$fn takes 6 arguments (table, entity, ts, tie_break, t1, t2), got ${exprs.length}")
+    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val s = SparkSession.active
+    Temporal.timeRange(s.table(a(0)), entity = a(1), ts = a(2),
+        tieBreak = a(3), t1 = lit(a(4)).cast("timestamp"),
+        t2 = lit(a(5)).cast("timestamp"))
+      .queryExecution.logical
+  }
+
+  /** sessionize(table, entity, ts, tie_break, gap_seconds) — the input
+    * plus a per-entity 0-based `session_id` (strictly-greater gap split).
+    */
+  private def sessionizePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "sessionize"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (table, entity, ts, tie_break, gap_seconds), got ${exprs.length}")
+    val a = exprs.take(4).zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val gap = long(exprs(4), 5, fn)
+    val s = SparkSession.active
+    Temporal.sessionize(s.table(a(0)), entity = a(1), ts = a(2),
+        tieBreak = a(3), gapSeconds = gap)
+      .queryExecution.logical
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
     (new FunctionIdentifier("asof_join"),
@@ -91,7 +148,16 @@ object TableFunctions {
       asofJoinPlan _),
     (new FunctionIdentifier("snapshot"),
       new ExpressionInfo(getClass.getName, "snapshot"),
-      snapshotPlan _))
+      snapshotPlan _),
+    (new FunctionIdentifier("interval_view"),
+      new ExpressionInfo(getClass.getName, "interval_view"),
+      intervalViewPlan _),
+    (new FunctionIdentifier("time_range"),
+      new ExpressionInfo(getClass.getName, "time_range"),
+      timeRangePlan _),
+    (new FunctionIdentifier("sessionize"),
+      new ExpressionInfo(getClass.getName, "sessionize"),
+      sessionizePlan _))
 
   /** Register the TVFs on an already-built session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

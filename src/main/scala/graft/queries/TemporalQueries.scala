@@ -317,6 +317,19 @@ object TemporalQueries {
           count(lit(1)).as("n_events"))
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
+    }),
+
+    // T06b — the same sessionization from pure SQL text via the
+    // sessionize TVF; identical oracle to t06.
+    "t06b_sessionize_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      ev(s, dir).createOrReplaceTempView("graft_t06b_events")
+      s.sql("""SELECT user_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM sessionize('graft_t06b_events', 'user_id', 'ts',
+        |                'event_id', 1800)
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin)
     })
   )
 
@@ -554,7 +567,12 @@ object TemporalQueries {
         |  CAST(sum(t - f) AS BIGINT) AS covered_us
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    "t06_sessionize" ->
+    "t06_sessionize" -> t06Oracle,
+
+    "t06b_sessionize_sql" -> t06Oracle
+  )
+
+  private lazy val t06Oracle: String =
       """WITH x AS (SELECT user_id, ts, event_id,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
         |                                 ORDER BY ts, event_id)
@@ -568,5 +586,4 @@ object TemporalQueries {
         |  CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin
-  )
 }

@@ -298,4 +298,35 @@ class TemporalSpec extends SparkSpecBase {
       (1L, "2024-01-04 00:00:00.0") -> 5.0,
       (2L, "2024-02-10 00:00:00.0") -> 7.0))
   }
+
+  test("temporal TVFs: interval_view / time_range / sessionize SQL == Scala API") {
+    import spark.implicits._
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, t("2024-01-10 00:00:00"), 10L, 1.0),
+      (1L, t("2024-01-11 12:00:00"), 11L, 2.0),
+      (1L, t("2024-01-13 00:00:00"), 12L, 3.0),
+      (2L, t("2024-01-01 00:00:00"), 20L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    changes.createOrReplaceTempView("tvf_changes")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(
+        "SELECT * FROM interval_view('tvf_changes', 'user_id', 'ts', 'event_id')")) ==
+      rows(Temporal.intervalView(changes, "user_id", "ts", "event_id")))
+    assert(rows(spark.sql(
+        "SELECT * FROM time_range('tvf_changes', 'user_id', 'ts', 'event_id', " +
+          "'2024-01-11 00:00:00', '2024-01-12 00:00:00')")) ==
+      rows(Temporal.timeRange(changes, "user_id", "ts", "event_id",
+        lit("2024-01-11 00:00:00").cast("timestamp"),
+        lit("2024-01-12 00:00:00").cast("timestamp"))))
+    assert(rows(spark.sql(
+        "SELECT * FROM sessionize('tvf_changes', 'user_id', 'ts', 'event_id', 86400)")) ==
+      rows(Temporal.sessionize(changes, "user_id", "ts", "event_id", 86400)))
+    // non-integer gap argument fails fast
+    assertThrows[Exception](spark.sql(
+      "SELECT * FROM sessionize('tvf_changes', 'user_id', 'ts', 'event_id', 'soon')")
+      .collect())
+  }
 }
