@@ -264,6 +264,97 @@ object Similarity {
       .limit(k)
   }
 
+  /** L21 — product quantization (PQ) training: the codebook compression
+    * behind billion-scale ANN indexes (IVF-PQ). The `dims`-dim space
+    * splits into `m` subspaces of dims/m; each subspace gets its own
+    * seeded-kmeans codebook of `k` codewords, so a vector stores as m
+    * small codes (m bytes at k <= 256 — 32× smaller than float32 at
+    * d=64, m=8) and query distances become m table lookups ([[pqAdcKnn]]).
+    * m small fits over dims/m-dim subvectors — the training set is
+    * sampled/bounded in practice; codebooks are a handful of rows and
+    * always broadcast. Returns (subspace, cid, centroid).
+    */
+  def pqTrain(vecs: DataFrame, m: Int, dims: Int, k: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = (0 until m).flatMap { j =>
+      val feats = vecs.select(array_to_vector(
+        transform(slice(col("embedding"), j * sub + 1, sub),
+          _.cast("double"))).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(10)
+        .fit(feats)
+      model.clusterCenters.zipWithIndex.map { case (c, cid) =>
+        (j, cid, c.toArray.toSeq)
+      }
+    }
+    rows.toDF("subspace", "cid", "centroid")
+  }
+
+  /** PQ encoding: each subvector -> the id of its nearest codeword
+    * (L2). One narrow explode to (vec, subspace) rows, a broadcast join
+    * against the m×k codebook, a per-(vec, subspace) argmin window, and
+    * a re-assembly into the codes array (ordered by subspace). Returns
+    * (vec_id, codes: array<int>).
+    */
+  def pqEncode(vecs: DataFrame, codebooks: DataFrame, m: Int,
+      dims: Int): DataFrame = {
+    val sub = dims / m
+    val exploded = vecs.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("subspace"),
+        col("embedding"))
+      .select(col("vec_id"), col("subspace"),
+        slice(col("embedding"), col("subspace") * sub + 1, lit(sub))
+          .as("subvec"))
+    val scored = exploded.join(broadcast(codebooks), "subspace")
+      .withColumn("l2sq", aggregate(
+        zip_with(col("subvec"), col("centroid"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, v) => acc + v))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "subspace")
+      .orderBy(col("l2sq").asc, col("cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(
+        struct(col("subspace"), col("cid")))), _.getField("cid"))
+        .as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) k-NN over PQ codes: the query stays
+    * full-precision; per (subspace, codeword) partial dot products are
+    * precomputed into an m×k table (tiny, broadcast), so each database
+    * vector's approximate dot is m lookups + a sum —
+    * dot(query, reconstruction(codes)) EXACTLY, by linearity of the dot
+    * product over concatenated subspaces (PqSpec asserts the identity).
+    */
+  def pqAdcKnn(codes: DataFrame, codebooks: DataFrame, query: Seq[Float],
+      m: Int, dims: Int, k: Int): DataFrame = {
+    val sub = dims / m
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = query.map(_.toDouble)
+    val table = codebooks.collect().map { r =>
+      val j = r.getInt(0)
+      val cid = r.getInt(1)
+      val c = r.getSeq[Double](2)
+      val pdot = (0 until sub).map(i => q(j * sub + i) * c(i)).sum
+      (j, cid, pdot)
+    }.toSeq.toDF("subspace", "cid", "pdot")
+    codes.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "cid")))
+      .join(broadcast(table), Seq("subspace", "cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("pdot")).as("adc_dot"))
+      .orderBy(desc("adc_dot"), col("vec_id"))
+      .limit(k)
+  }
+
   /** L20 — binary (sign-bit) embeddings: the 64-dim float vector
     * collapses to two 32-bit sign words — a 32× shrink that turns
     * similarity into Hamming distance over machine words

@@ -174,6 +174,23 @@ object LlmQueries {
         q.getLong(1), q.getLong(2), 20)
     }),
 
+    // L21 — product-quantization ANN (the IVF-PQ codebook layer):
+    // per-subspace seeded-kmeans codebooks -> m-code encoding (32x
+    // compression) -> asymmetric-distance (ADC) top-10 for vec 0's
+    // query, where each database dot is m table lookups. Engine-only
+    // (seeded kmeans); PqSpec gates the ADC linearity identity and
+    // recall vs the exact dot scan.
+    "l21_pq_knn" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      val cb = Similarity.pqTrain(v, m = 8, dims = 64, k = 32)
+      val codes = Similarity.pqEncode(v, cb, m = 8, dims = 64)
+      val q = v.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.pqAdcKnn(codes.filter(col("vec_id") =!= 0), cb, q,
+          m = 8, dims = 64, k = 10)
+        .withColumn("adc_dot", round(col("adc_dot"), 4))
+    }),
+
     // L03 — embedding similarity: exact top-20 cosine pairs via the
     // broadcast-block kernel (no all-pairs join materialization).
     "l03_cosine_topk" -> ((s, dir) => {

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Product-quantization gates (SURVEY L21): the ADC linearity identity
+  * (ADC dot == dot(query, reconstruction) — exact by construction, so
+  * it's an equality assert, not a tolerance), code-shape invariants, and
+  * measured recall against the exact dot scan on the fixture embeddings.
+  */
+class PqSpec extends SparkSpecBase {
+
+  private val (m, dims, k) = (8, 64, 32)
+
+  test("ADC identity: adc_dot == dot(query, reconstructed codes) exactly") {
+    import spark.implicits._
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings").limit(50)
+    val cb = Similarity.pqTrain(vecs, m, dims, k)
+    val codes = Similarity.pqEncode(vecs, cb, m, dims)
+    val q = vecs.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val adc = Similarity.pqAdcKnn(codes, cb, q, m, dims, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reconstruct each vector from its codes and dot with q in exact
+    // double arithmetic (same per-subspace partial sums the table uses)
+    val book = cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val sub = dims / m
+    val qd = q.map(_.toDouble)
+    val codeRows = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codeRows.foreach { case (id, cs) =>
+      assert(cs.length == m && cs.forall(c => c >= 0 && c < k))
+      val recon = (0 until m).flatMap(j => book((j, cs(j))))
+      val exact = (0 until m).map(j =>
+        (0 until sub).map(i => qd(j * sub + i) * recon(j * sub + i)).sum).sum
+      assert(math.abs(adc(id) - exact) < 1e-9,
+        s"vec $id: adc=${adc(id)} recon-dot=$exact")
+    }
+  }
+
+  test("PQ recall vs the exact dot scan, and determinism across runs") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val qCol = array(q.map(v => lit(v)): _*)
+    val exactTop = vecs.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        Similarity.dot(col("embedding"), qCol).as("d"))
+      .orderBy(desc("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // The production shape is shortlist-then-rerank: ADC proposes a
+    // candidate set, the exact metric reranks it. Gate the SHORTLIST
+    // recall (exact top-10 inside the ADC top-50 of 500 — random
+    // shortlisting would catch 10%), plus direct top-10 overlap well
+    // above chance (chance = 10/500 = 2%). The fixture embeddings are
+    // near-random — PQ's hardest case — so these floors are conservative.
+    def run(n: Int): Seq[Long] = {
+      val cb = Similarity.pqTrain(vecs, m, dims, k)
+      val codes = Similarity.pqEncode(vecs, cb, m, dims)
+      Similarity.pqAdcKnn(codes.filter(col("vec_id") =!= 0), cb, q,
+        m, dims, k = n).collect().map(_.getLong(0)).toSeq
+    }
+    val shortlist = run(50)
+    val shortRecall = shortlist.toSet.intersect(exactTop).size / 10.0
+    val top10 = run(10)
+    val directRecall = top10.toSet.intersect(exactTop).size / 10.0
+    info(f"PQ(m=$m, k=$k) shortlist-50 recall = $shortRecall%.2f, " +
+      f"direct recall@10 = $directRecall%.2f")
+    assert(shortRecall >= 0.5, s"PQ shortlist recall $shortRecall")
+    assert(directRecall >= 0.1, s"PQ direct recall $directRecall")
+    assert(run(10) == top10, "seeded PQ must reproduce exactly")
+  }
+}
