@@ -86,6 +86,93 @@ object SimIndex {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** Build + persist the composed IVF-PQ index (ROADMAP 9): the coarse
+    * quantizer assigns each vector its home bucket (nprobe=1 at INDEX
+    * time); PQ codebooks are trained on the RESIDUALS x − centroid[bucket]
+    * (classic IVF-PQ — residuals are smaller and more isotropic than raw
+    * vectors, so the same code budget quantizes finer); each vector
+    * stores as m codes, bucketed on the coarse bucket. The index holds
+    * ~m bytes + a bucket id per vector — at 100 TB, codes for 10^11
+    * vectors fit a few TB of bucketed parquet and a query reads only its
+    * probed buckets.
+    *
+    * Tables: `<prefix>_centroids` (cid, centroid),
+    * `<prefix>_pq_codebooks` (subspace, cid, centroid),
+    * `<prefix>_pq_codes` (vec_id, bucket, codes) bucketed (bucket).
+    */
+  def writeIvfPqIndex(vecs: DataFrame, prefix: String, nCentroids: Int,
+      m: Int, dims: Int, k: Int, buckets: Int): Unit = {
+    graft.functions.VecFunctions.ensureRegistered(vecs.sparkSession)
+    val centroids = Similarity.kmeansCentroids(vecs, nCentroids, maxIter = 10)
+    centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+    val assigned = Similarity.ivfAssign(vecs, centroids, nprobe = 1)
+    // cached: pqTrain re-scans it m times (one kmeans fit per subspace)
+    // and the encode + bucket join read it twice more
+    val resid = vecs.join(assigned, "vec_id")
+      .join(broadcast(centroids.select(col("cid").as("bucket"),
+        col("centroid"))), "bucket")
+      .select(col("vec_id"), col("bucket"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("embedding"))
+      .cache()
+    val codebooks = Similarity.pqTrain(resid, m, dims, k)
+    codebooks.write.mode("overwrite").saveAsTable(s"${prefix}_pq_codebooks")
+    val codes = Similarity.pqEncode(resid, codebooks, m, dims)
+      .join(resid.select("vec_id", "bucket"), "vec_id")
+      .select("vec_id", "bucket", "codes")
+    Bucketing.writeBucketed(codes, s"${prefix}_pq_codes", "bucket",
+      buckets, sortCols = Seq("bucket", "vec_id"))
+    resid.unpersist()
+  }
+
+  /** ADC search over the persisted IVF-PQ index: probe the `nprobe`
+    * coarse centroids nearest the query (by cosine, matching the
+    * assignment metric), then score each vector in the probed buckets as
+    * dot(q, centroid_b) + ADC(residual codes) — EXACTLY
+    * dot(q, centroid_b + reconstruction) by linearity of the dot product
+    * (PqSpec asserts the identity). The residual codebooks are shared
+    * across buckets, so ONE m×k ADC table (driver-built from the tiny
+    * codebook table, broadcast) serves every probed bucket; only the
+    * scalar dot(q, centroid_b) differs per bucket. The codes scan is
+    * pruned to the probed buckets by the bucket filter.
+    */
+  def ivfPqSearch(spark: SparkSession, prefix: String, query: Seq[Float],
+      nprobe: Int, topk: Int): DataFrame = {
+    import spark.implicits._
+    val q = query.map(_.toDouble)
+    // centroids and codebooks are a handful of rows by construction —
+    // driver-side math on them is the permitted-scalar pattern
+    val cents = spark.table(s"${prefix}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val probed = cents.map { case (cid, c) =>
+      val dot = c.indices.map(i => q(i) * c(i)).sum
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (cid, dot, dot / (qn * cn))
+    }.sortBy { case (cid, _, cos) => (-cos, cid) }.take(nprobe)
+    val book = spark.table(s"${prefix}_pq_codebooks").collect()
+    val mSub = book.map(_.getInt(0)).max + 1
+    val width = q.length / mSub
+    val adcTable = book.map { r =>
+      val j = r.getInt(0); val cid = r.getInt(1)
+      val c = r.getSeq[Double](2)
+      (j, cid, (0 until width).map(i => q(j * width + i) * c(i)).sum)
+    }.toSeq.toDF("subspace", "cid", "pdot")
+    val bucketConst = probed.map { case (cid, dot, _) => (cid, dot) }
+      .toSeq.toDF("bucket", "cdot")
+    spark.table(s"${prefix}_pq_codes")
+      .filter(col("bucket").isin(probed.map(_._1): _*))
+      .select(col("vec_id"), col("bucket"),
+        posexplode(col("codes")).as(Seq("subspace", "cid")))
+      .join(broadcast(adcTable), Seq("subspace", "cid"))
+      .groupBy("vec_id", "bucket")
+      .agg(sum(col("pdot")).as("adc"))
+      .join(broadcast(bucketConst), "bucket")
+      .select(col("vec_id"), (col("adc") + col("cdot")).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(topk)
+  }
+
   /** Build + persist the benchmark shingle set for decontamination sweeps
     * (ROADMAP 4): distinct n-char shingles of the held-out corpus, stored
     * as 8-byte xxhash64 keys bucketed+sorted on the hash. The benchmark

@@ -191,6 +191,27 @@ object LlmQueries {
         .withColumn("adc_dot", round(col("adc_dot"), 4))
     }),
 
+    // L21b — composed IVF-PQ search over the PERSISTED index: coarse
+    // centroids + residual PQ codebooks + bucketed codes built ONCE per
+    // (session, sf dir); the query probes 2 coarse buckets and scores
+    // m-code vectors via one broadcast ADC table — the billion-scale
+    // index layout (codes are ~m bytes/vector; the scan is pruned to
+    // probed buckets). vec 0 ranking itself first is the built-in sanity
+    // signal. Engine-only (seeded kmeans); PqSpec gates identity/recall.
+    "l21b_ivfpq_knn" -> ((s, dir) => {
+      val prefix = "graft_ivfpq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(s"${prefix}_pq_codes")) {
+        Seq("_centroids", "_pq_codebooks", "_pq_codes").foreach(t =>
+          Bucketing.dropStaleLocation(s, prefix + t))
+        SimIndex.writeIvfPqIndex(vecs(s, dir), prefix, nCentroids = 8,
+          m = 8, dims = 64, k = 32, buckets = 8)
+      }
+      val q = vecs(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      SimIndex.ivfPqSearch(s, prefix, q, nprobe = 2, topk = 10)
+        .withColumn("score", round(col("score"), 4))
+    }),
+
     // L03 — embedding similarity: exact top-20 cosine pairs via the
     // broadcast-block kernel (no all-pairs join materialization).
     "l03_cosine_topk" -> ((s, dir) => {
