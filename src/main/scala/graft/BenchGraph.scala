@@ -52,6 +52,10 @@ object BenchGraph {
       Graphs.pageRankDF(spark, supply, 10).count())
     time("pagerank 10 iters GraphX   ")(
       Graphs.pageRank(spark, supply, 10).count())
+    // engine-only (no GraphX twin): tracks the lazy-norm change — the
+    // only driver actions are the per-half-step lineage cuts
+    time("hits 8 iters      DataFrame")(
+      Graphs.hitsDF(spark, supply, 8).count())
     spark.stop()
   }
 }
