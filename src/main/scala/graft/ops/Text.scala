@@ -122,6 +122,31 @@ object Text {
         "ok_words", "ok_word_len", "ok_stop", "keep")
   }
 
+  /** Vocabulary build + out-of-vocabulary coverage (tokenizer prep): the
+    * top-`vocabSize` tokens by global count (ties broken by token, so
+    * the vocab boundary is deterministic cross-engine), then per-doc
+    * (n_tokens, n_oov, oov_rate) against that vocab — the coverage
+    * metric that decides a vocab size before training a tokenizer.
+    * Docs with zero tokens yield no row (they have no coverage to
+    * measure). One token-count aggregation + a broadcast semi-ish join
+    * of the token stream against the tiny vocab; at 100 TB the vocab is
+    * the only state that crosses executors.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Quality-score features: length, punctuation ratio, whitespace ratio,
     * uppercase ratio — rounded to 4 decimals per determinism rules.
     */

@@ -136,6 +136,12 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L22 — vocabulary build + OOV coverage: global top-1000 tokens
+    // (deterministic boundary: count desc, token asc) then per-doc
+    // out-of-vocabulary rate — the metric that sizes a tokenizer vocab.
+    "l22_vocab_coverage" -> ((s, dir) =>
+      Text.vocabCoverage(docs(s, dir), vocabSize = 1000).orderBy("doc_id")),
+
     // L18 — deterministic content-hash train/val/test split: the holdout
     // assignment every training pipeline needs, stable across runs AND
     // engines (md5-hex prefix vs fraction boundaries — no
@@ -729,6 +735,21 @@ object LlmQueries {
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
     },
+
+    "l22_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token FROM (
+        |  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+        |  ORDER BY cnt DESC, token LIMIT 1000)),
+        |m AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+        |             THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |  FROM toks GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  round(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_rate
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // boundaries = Text.splitBoundsHex(0.8/0.1/0.1): 'cccd', 'e666'
     "l18_stable_split" ->

@@ -293,6 +293,21 @@ object Relational {
         .orderBy("grp")
     }),
 
+    // Q36 — deterministic k-per-group downsample: 5 events per type
+    // picked by md5 of the id — rerun-stable, partitioning-stable AND
+    // engine-stable (unlike TABLESAMPLE/rand()), the property an eval
+    // holdout or debugging slice needs. One window over the group
+    // shuffle; the hash is the sort key, so no RNG state anywhere.
+    "q36_hash_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5)
+        .select("event_type", "event_id")
+        .orderBy("event_type", "event_id")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -863,6 +878,14 @@ object Relational {
         |SELECT grp, count(*) AS n, CAST(sum(v_cents) AS BIGINT) AS sum_cents
         |FROM ev JOIN dim USING (k)
         |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q36_hash_sample" ->
+      """SELECT event_type, event_id FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
 
     "q12_running_sum" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -160,6 +160,24 @@ class TextOpsSpec extends SparkSpecBase {
     assert(docs.collect().toSeq == docs.collect().toSeq)
   }
 
+  test("vocabCoverage: deterministic vocab boundary, exact OOV counts") {
+    import spark.implicits._
+    // counts: aa×3, bb×2, cc×2, dd×1 — vocabSize=2 must take {aa, bb}
+    // (cc ties bb on count; 'bb' < 'cc' wins the boundary)
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "aa bb cc dd")).toDF("doc_id", "text")
+    val got = Text.vocabCoverage(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      1L -> (4L, 1L, 0.25),   // cc is OOV
+      2L -> (4L, 2L, 0.5)))   // cc, dd OOV
+    // a doc with no [a-z] tokens yields no row
+    val empty = Seq((9L, "123 456 !!!")).toDF("doc_id", "text")
+    assert(Text.vocabCoverage(empty, 2).collect().isEmpty)
+  }
+
   test("gopherFlags: each rule flips on its own boundary case") {
     import spark.implicits._
     val docs = Seq(
