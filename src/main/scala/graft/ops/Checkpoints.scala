@@ -34,6 +34,13 @@ object Checkpoints {
   /** Materialize `df` and cut its lineage — reliably when [[CONF]] names a
     * checkpoint directory, executor-locally otherwise. Use through
     * `df.transform(Checkpoints.cut)` to keep call sites fluent.
+    *
+    * The reliable path persists BEFORE checkpointing (the pattern GraphX's
+    * Pregel uses): `checkpoint()` runs one job to compute the RDD and a
+    * SECOND job to write the checkpoint files, and without a persist that
+    * second job recomputes the full lineage — every iteration's shuffle
+    * would run twice. With the persist, the write job reads cached blocks;
+    * the cache is dropped as soon as the files are durable.
     */
   def cut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
@@ -41,7 +48,11 @@ object Checkpoints {
       case Some(dir) =>
         val sc = s.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint()
+        val persisted = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = persisted.checkpoint()
+        persisted.unpersist()
+        out
       case None => df.localCheckpoint()
     }
   }

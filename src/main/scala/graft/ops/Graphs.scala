@@ -709,7 +709,12 @@ object Graphs {
         .crossJoin(broadcast(n))
         .select(col("id"), coalesce(col(c) / col("__n"), lit(0.0)).as(c))
     }
-    var hubs = verts.withColumn("h", lit(1.0) / sqrt(lit(verts.count().toDouble)))
+    // initial hubs 1/sqrt(n), ALSO as a lazy broadcast 1-row aggregate —
+    // with this, the documented claim holds exactly: the only actions a
+    // hitsDF call runs are the per-half-step lineage cuts
+    val n0 = verts.agg((lit(1.0) / sqrt(count(lit(1)))).as("__h0"))
+    var hubs = verts.crossJoin(broadcast(n0))
+      .select(col("id"), col("__h0").as("h"))
     var auths: DataFrame = null
     for (i <- 1 to iters) {
       // checkpoint the raw half-step: it fans out into the norm aggregate

@@ -150,21 +150,15 @@ object SimIndex {
       val cn = math.sqrt(c.map(x => x * x).sum)
       (cid, dot, dot / (qn * cn))
     }.sortBy { case (cid, _, cos) => (-cos, cid) }.take(nprobe)
-    val book = spark.table(s"${prefix}_pq_codebooks").collect()
-    val mSub = book.map(_.getInt(0)).max + 1
-    val width = q.length / mSub
-    val adcTable = book.map { r =>
-      val j = r.getInt(0); val cid = r.getInt(1)
-      val c = r.getSeq[Double](2)
-      (j, cid, (0 until width).map(i => q(j * width + i) * c(i)).sum)
-    }.toSeq.toDF("subspace", "cid", "pdot")
+    val adc = Similarity.adcTable(
+      spark.table(s"${prefix}_pq_codebooks"), query)
     val bucketConst = probed.map { case (cid, dot, _) => (cid, dot) }
       .toSeq.toDF("bucket", "cdot")
     spark.table(s"${prefix}_pq_codes")
       .filter(col("bucket").isin(probed.map(_._1): _*))
       .select(col("vec_id"), col("bucket"),
         posexplode(col("codes")).as(Seq("subspace", "cid")))
-      .join(broadcast(adcTable), Seq("subspace", "cid"))
+      .join(broadcast(adc), Seq("subspace", "cid"))
       .groupBy("vec_id", "bucket")
       .agg(sum(col("pdot")).as("adc"))
       .join(broadcast(bucketConst), "bucket")

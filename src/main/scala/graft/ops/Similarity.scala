@@ -326,29 +326,38 @@ object Similarity {
         .as("codes"))
   }
 
+  /** The per-(subspace, codeword) partial-dot table ADC search runs on:
+    * m×k rows built driver-side from the (tiny by construction) codebook
+    * table and broadcast to every scoring join. Shared by [[pqAdcKnn]]
+    * and [[SimIndex.ivfPqSearch]] so the two stay in lockstep.
+    */
+  def adcTable(codebooks: DataFrame, query: Seq[Float]): DataFrame = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    val q = query.map(_.toDouble)
+    val book = codebooks.collect()
+    val m = book.map(_.getInt(0)).max + 1
+    val sub = q.length / m
+    book.map { r =>
+      val j = r.getInt(0)
+      val cid = r.getInt(1)
+      val c = r.getSeq[Double](2)
+      (j, cid, (0 until sub).map(i => q(j * sub + i) * c(i)).sum)
+    }.toSeq.toDF("subspace", "cid", "pdot")
+  }
+
   /** Asymmetric-distance (ADC) k-NN over PQ codes: the query stays
     * full-precision; per (subspace, codeword) partial dot products are
-    * precomputed into an m×k table (tiny, broadcast), so each database
-    * vector's approximate dot is m lookups + a sum —
+    * precomputed into the [[adcTable]] (tiny, broadcast), so each
+    * database vector's approximate dot is m lookups + a sum —
     * dot(query, reconstruction(codes)) EXACTLY, by linearity of the dot
     * product over concatenated subspaces (PqSpec asserts the identity).
     */
   def pqAdcKnn(codes: DataFrame, codebooks: DataFrame, query: Seq[Float],
       m: Int, dims: Int, k: Int): DataFrame = {
-    val sub = dims / m
-    val spark = codes.sparkSession
-    import spark.implicits._
-    val q = query.map(_.toDouble)
-    val table = codebooks.collect().map { r =>
-      val j = r.getInt(0)
-      val cid = r.getInt(1)
-      val c = r.getSeq[Double](2)
-      val pdot = (0 until sub).map(i => q(j * sub + i) * c(i)).sum
-      (j, cid, pdot)
-    }.toSeq.toDF("subspace", "cid", "pdot")
     codes.select(col("vec_id"),
         posexplode(col("codes")).as(Seq("subspace", "cid")))
-      .join(broadcast(table), Seq("subspace", "cid"))
+      .join(broadcast(adcTable(codebooks, query)), Seq("subspace", "cid"))
       .groupBy("vec_id")
       .agg(sum(col("pdot")).as("adc_dot"))
       .orderBy(desc("adc_dot"), col("vec_id"))

@@ -268,7 +268,7 @@ object Temporal {
       .drop("__prev", "__brk")
   }
 
-  /** T13b — forward-fill resample onto a daily grid (gap-fill): one row
+  /** T13 — forward-fill resample onto a daily grid (gap-fill): one row
     * per (entity, day) across each entity's own [first, last] event span,
     * carrying the latest value at-or-before the END of that day — the
     * piecewise-constant temporal read evaluated on a regular grid, the

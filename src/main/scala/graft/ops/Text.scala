@@ -107,15 +107,22 @@ object Text {
         length(regexp_replace(col("text"), "\\s", "")))
       .withColumn("n_stop", size(filter(words,
         w => array_contains(stops, lower(w)))).cast("long"))
-      .withColumn("mean_word_len",
-        round(col("__word_chars").cast("double") / col("n_words"), 4))
-      .withColumn("stop_frac",
-        round(col("n_stop").cast("double") / col("n_words"), 4))
+      // ratios are NULL for zero-word docs (declared so on BOTH engines —
+      // Spark's x/0 double division yields NULL while DuckDB's yields
+      // inf, so an unguarded division would hash-diverge on an empty or
+      // all-whitespace doc) and their flags coalesce to false: an empty
+      // doc is dropped, not crashed on
+      .withColumn("mean_word_len", when(col("n_words") > 0,
+        round(col("__word_chars").cast("double") / col("n_words"), 4)))
+      .withColumn("stop_frac", when(col("n_words") > 0,
+        round(col("n_stop").cast("double") / col("n_words"), 4)))
       .withColumn("ok_words",
         col("n_words").between(minWords, maxWords))
-      .withColumn("ok_word_len",
-        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
-      .withColumn("ok_stop", col("stop_frac") >= minStopFrac)
+      .withColumn("ok_word_len", coalesce(
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen),
+        lit(false)))
+      .withColumn("ok_stop",
+        coalesce(col("stop_frac") >= minStopFrac, lit(false)))
       .withColumn("keep",
         col("ok_words") && col("ok_word_len") && col("ok_stop"))
       .select("doc_id", "n_words", "mean_word_len", "stop_frac",

@@ -772,16 +772,18 @@ object LlmQueries {
         |      AS BIGINT) AS n_stop
         |  FROM documents),
         |f AS (SELECT doc_id, n_words,
-        |    round(CAST(wc AS DOUBLE) / n_words, 4) AS mean_word_len,
-        |    round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_frac
+        |    CASE WHEN n_words > 0
+        |      THEN round(CAST(wc AS DOUBLE) / n_words, 4) END AS mean_word_len,
+        |    CASE WHEN n_words > 0
+        |      THEN round(CAST(n_stop AS DOUBLE) / n_words, 4) END AS stop_frac
         |  FROM m)
         |SELECT doc_id, n_words, mean_word_len, stop_frac,
         |  n_words BETWEEN 5 AND 100000 AS ok_words,
-        |  mean_word_len BETWEEN 2.0 AND 12.0 AS ok_word_len,
-        |  stop_frac >= 0.01 AS ok_stop,
+        |  COALESCE(mean_word_len BETWEEN 2.0 AND 12.0, false) AS ok_word_len,
+        |  COALESCE(stop_frac >= 0.01, false) AS ok_stop,
         |  (n_words BETWEEN 5 AND 100000)
-        |    AND (mean_word_len BETWEEN 2.0 AND 12.0)
-        |    AND (stop_frac >= 0.01) AS keep
+        |    AND COALESCE(mean_word_len BETWEEN 2.0 AND 12.0, false)
+        |    AND COALESCE(stop_frac >= 0.01, false) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "l20_sign_pack" -> signPackSql("SELECT vec_id, w0, w1 FROM packed ORDER BY vec_id"),

@@ -200,5 +200,12 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(4L)._2 == false)
     val m = Text.gopherFlags(docs).filter(col("doc_id") === 1).head()
     assert(m.getLong(1) == 6L && m.getDouble(2) == 2.8333)
+    // zero-word doc: ratios NULL (declared, not divided), flags false —
+    // dropped, never a divide-by-zero divergence between engines
+    val empty = Text.gopherFlags(
+      Seq((9L, "   ")).toDF("doc_id", "text")).head()
+    assert(empty.getLong(1) == 0L && empty.isNullAt(2) && empty.isNullAt(3))
+    assert(!empty.getBoolean(4) && !empty.getBoolean(5) &&
+      !empty.getBoolean(6) && !empty.getBoolean(7))
   }
 }
