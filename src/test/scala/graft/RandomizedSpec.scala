@@ -181,4 +181,76 @@ class RandomizedSpec extends SparkSpecBase {
       assert(got == local, s"trial $trial cap=$cap buckets=$buckets")
     }
   }
+
+  test("resampleDaily == brute-force per-day reference (random, 15 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val dayUs = 86400000000L
+    for (trial <- 1 to 15) {
+      val nUsers = 1 + rnd.nextInt(3)
+      // random change points over a ~10-day span, with deliberate same-ts
+      // ties (coarse second grid) so the tieBreak rule is exercised
+      val rows = (1 to 30).map { i =>
+        val us = (rnd.nextInt(10) * dayUs) + rnd.nextInt(5) * 1000000L
+        (rnd.nextInt(nUsers).toLong,
+          java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000)),
+          i.toLong, rnd.nextInt(100).toDouble)
+      }
+      val df = rows.toDF("user_id", "ts", "event_id", "value")
+      val got = graft.ops.Temporal
+        .resampleDaily(df, "user_id", "ts", "value", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> r.getDouble(2))
+        .toMap
+      // brute force: per user, for every day of [min, max] day span, the
+      // value of the row with max (ts, event_id) at-or-before day end
+      val expect = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val us = rs.map(_._2.getTime * 1000L)
+        val (d0, d1) = (us.min / dayUs, us.max / dayUs)
+        (d0 to d1).map { d =>
+          val end = (d + 1) * dayUs - 1
+          val winner = rs.filter(_._2.getTime * 1000L <= end)
+            .maxBy(r => (r._2.getTime * 1000L, r._3))
+          (u, d * dayUs / 1000L) -> winner._4
+        }
+      }.toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("media codecs never throw on fuzzed bytes (500 mutations each)") {
+    // the 100 TB-scrape contract: garbage decodes to None, never an
+    // exception — fuzz with random bytes AND bit-flipped valid containers
+    val rnd = new scala.util.Random(20260814L)
+    val validPpm = "P6\n4 3\n255\n".getBytes("UTF-8") ++
+      Array.fill[Byte](36)(7)
+    val samples = Array.tabulate[Short](40)(i => (i * 13 % 97).toShort)
+    val bb = java.nio.ByteBuffer.allocate(44 + 80)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 80); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(80)
+    samples.foreach(s => bb.putShort(s))
+    val validWav = bb.array()
+    assert(graft.ops.Media.decodePpm(validPpm).isDefined)
+    assert(graft.ops.Media.decodeWav(validWav).isDefined)
+    for (_ <- 1 to 500) {
+      // pure noise of random length
+      val noise = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      graft.ops.Media.decodePpm(noise); graft.ops.Media.decodeWav(noise)
+      // corrupted valid container: flip 1-8 random bytes and/or truncate
+      def mutate(base: Array[Byte]): Array[Byte] = {
+        val cut = base.take(1 + rnd.nextInt(base.length))
+        val out = cut.clone()
+        (1 to 1 + rnd.nextInt(8)).foreach { _ =>
+          if (out.nonEmpty)
+            out(rnd.nextInt(out.length)) = rnd.nextInt().toByte
+        }
+        out
+      }
+      graft.ops.Media.decodePpm(mutate(validPpm))
+      graft.ops.Media.decodeWav(mutate(validWav))
+    }
+  }
 }
