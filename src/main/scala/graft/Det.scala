@@ -24,4 +24,26 @@ object Det {
 
   /** Ratios/averages rounded to 4 decimals. */
   def round4(c: Column): Column = round(c, 4)
+
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5, parsed
+    * as an integer. Spark's `md5` and DuckDB's `md5` emit identical
+    * lowercase hex for identical bytes (the same property behind
+    * Text.stableSplit), and 15 hex digits stay under 2^60 — no signed
+    * overflow on either engine. This is the determinism primitive for
+    * operators whose "randomness" must replay in the oracle (hash walks,
+    * fingerprints, fake media features): `xxhash64` has no DuckDB twin,
+    * `md5Long` does ([[duckMd5Long]]).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL twin of [[md5Long]] over expression text `x`: hex parse
+    * via a char-wise fold (DuckDB cannot cast hex strings to integers).
+    * Seeding list_reduce with the first element is exactly the fold from
+    * 0 (0*16 + d0 = d0).
+    */
+  def duckMd5Long(x: String): String =
+    s"list_reduce(list_transform(regexp_extract_all(substr(md5($x), 1, 15)" +
+      ", '.'), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))" +
+      ", (a, b) -> a * 16 + b)"
 }

@@ -736,11 +736,13 @@ object Graphs {
   /** G16 — deterministic random-walk sampling (the node2vec/DeepWalk
     * training-data prep): `walksPerSeed` walks of up to `steps` steps
     * from each seed vertex. At step i, a walk at vertex v moves to the
-    * neighbor with rank `xxhash64(walk_id, i, v) mod outdeg(v)` in the
-    * (dst-sorted) adjacency — "randomness" from a seeded hash, so walks
-    * are exactly reproducible across runs and task retries (the lineage
-    * property training pipelines need; a `rand()` walk resamples under
-    * retry). A walk reaching a sink stops early.
+    * neighbor with rank `md5Long(walk_id:i:v) mod outdeg(v)` in the
+    * (dst-sorted) adjacency — "randomness" from a seeded engine-portable
+    * hash ([[graft.Det.md5Long]]), so walks are exactly reproducible
+    * across runs and task retries (the lineage property training
+    * pipelines need; a `rand()` walk resamples under retry) AND
+    * replayable by the DuckDB oracle (g16 is hash-matched, not merely
+    * spec-gated). A walk reaching a sink stops early.
     *
     * Plan: the adjacency is ranked ONCE (one window over the src
     * shuffle); each step is then one equi join of the live frontier
@@ -772,7 +774,9 @@ object Graphs {
       val picked = state
         .join(degs.select(col("src").as("vertex"), col("deg")), Seq("vertex"))
         .withColumn("rank",
-          pmod(xxhash64(col("walk_id"), lit(i), col("vertex")), col("deg")))
+          pmod(graft.Det.md5Long(concat_ws(":",
+            col("walk_id").cast("string"), lit(i.toString),
+            col("vertex").cast("string"))), col("deg")))
         .drop("deg")
       state = picked
         .join(adj.select(col("src").as("vertex"), col("rank"), col("dst")),

@@ -126,7 +126,10 @@ object Media {
     while (out.isEmpty && off + 8 <= bytes.length) {
       val size = u32(off + 4)
       val body = off + 8
-      if (body + size > bytes.length || size < 0) return None
+      // Long-width bound: rejects any declared size past the buffer —
+      // including the full u32 range — so the later size.toInt is safe
+      // (survivors are < bytes.length, an Int).
+      if (body + size > bytes.length) return None
       if (tag(off, "fmt ") && size >= 16) {
         val audioFormat = u16(body)
         if (audioFormat != 1) return None // PCM only

@@ -20,6 +20,51 @@ import org.apache.spark.sql.functions._
   */
 object SimIndex {
 
+  /** Order-insensitive content signature of an indexed base table:
+    * (row count, bit_xor of per-row xxhash64 over every column) — the
+    * same probe shape as the CC convergence check. Recorded at build
+    * time into `<prefix>_meta`; re-derived from the live base table by
+    * [[requireFresh]]. One narrow scan of the base table buys failing
+    * FAST on silent staleness (index built from different data than the
+    * caller now holds) instead of silently serving wrong candidates.
+    */
+  def signature(df: DataFrame): (Long, Long) = {
+    val row = df.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(df.columns.map(col).toSeq: _*)), lit(0L)))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def writeSignature(prefix: String, base: DataFrame): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val (n, sig) = signature(base)
+    Bucketing.dropStaleLocation(spark, s"${prefix}_meta")
+    Seq((n, sig)).toDF("n_rows", "content_sig")
+      .write.mode("overwrite").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** True iff the index at `prefix` recorded a build signature and it
+    * matches `base`'s CURRENT content (same column set as at build).
+    */
+  def isFresh(spark: SparkSession, prefix: String, base: DataFrame): Boolean =
+    spark.catalog.tableExists(s"${prefix}_meta") && {
+      val r = spark.table(s"${prefix}_meta").head()
+      (r.getLong(0), r.getLong(1)) == signature(base)
+    }
+
+  /** Fail fast (with a rebuild hint) when the persisted index no longer
+    * matches the base table the caller is querying against. Every reader
+    * below takes an optional `verifyAgainst` that routes through here —
+    * opt-in because the check costs one scan of the base table.
+    */
+  def requireFresh(spark: SparkSession, prefix: String,
+      base: DataFrame): Unit =
+    if (!isFresh(spark, prefix, base)) throw new IllegalStateException(
+      s"similarity index '$prefix' is STALE: its recorded build signature " +
+        s"(${prefix}_meta) does not match the current base table. " +
+        s"Rebuild with the matching SimIndex.write*Index call.")
+
   /** Build + persist the MinHash/LSH index over `documents`-shaped input:
     * band table bucketed on the candidate-join key (band, band_sig) and
     * the signature table bucketed on doc_id (for the estimate-prune join).
@@ -34,13 +79,17 @@ object SimIndex {
       sortCols = Seq("band", "band_sig", "doc_id"))
     Bucketing.writeBucketed(sigs, s"${prefix}_sigs", "doc_id", buckets)
     sigs.unpersist()
+    writeSignature(prefix, docs)
   }
 
   /** LSH candidate pairs from the persisted band table: a self equi join
     * on the bucketing key — plans with zero Exchange (asserted in
     * SimIndexSpec), so candidate generation is bucket-local reads.
+    * `verifyAgainst` (the live base table) opts into the staleness check.
     */
-  def lshCandidatesFromIndex(spark: SparkSession, prefix: String): DataFrame = {
+  def lshCandidatesFromIndex(spark: SparkSession, prefix: String,
+      verifyAgainst: Option[DataFrame] = None): DataFrame = {
+    verifyAgainst.foreach(requireFresh(spark, prefix, _))
     val b1 = spark.table(s"${prefix}_bands")
     val b2 = b1.select(col("doc_id").as("b_id"), col("band"),
       col("band_sig"))
@@ -66,13 +115,16 @@ object SimIndex {
         Similarity.norm(col("embedding")).as("nrm"), col("bucket"))
     Bucketing.writeBucketed(bucketVecs, s"${prefix}_vectors", "bucket",
       buckets, sortCols = Seq("bucket", "vec_id"))
+    writeSignature(prefix, vecs)
   }
 
   /** Within-bucket cosine pairs from the persisted IVF vectors: self equi
     * join on the bucketing key — zero Exchange on the join (asserted in
     * SimIndexSpec). Multi-probe duplicates are collapsed downstream.
     */
-  def ivfPairsFromIndex(spark: SparkSession, prefix: String): DataFrame = {
+  def ivfPairsFromIndex(spark: SparkSession, prefix: String,
+      verifyAgainst: Option[DataFrame] = None): DataFrame = {
+    verifyAgainst.foreach(requireFresh(spark, prefix, _))
     graft.functions.VecFunctions.ensureRegistered(spark)
     val v = spark.table(s"${prefix}_vectors")
     val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
@@ -86,15 +138,20 @@ object SimIndex {
       .dropDuplicates("a_id", "b_id")
   }
 
-  /** Build + persist the composed IVF-PQ index (ROADMAP 9): the coarse
-    * quantizer assigns each vector its home bucket (nprobe=1 at INDEX
-    * time); PQ codebooks are trained on the RESIDUALS x − centroid[bucket]
-    * (classic IVF-PQ — residuals are smaller and more isotropic than raw
-    * vectors, so the same code budget quantizes finer); each vector
-    * stores as m codes, bucketed on the coarse bucket. The index holds
-    * ~m bytes + a bucket id per vector — at 100 TB, codes for 10^11
-    * vectors fit a few TB of bucketed parquet and a query reads only its
-    * probed buckets.
+  /** Build + persist the composed IVF-PQ index (ROADMAP 9): a COSINE
+    * index. Vectors are L2-normalized first — the coarse quantizer is
+    * trained and assigned in the SAME unit-norm space ([[Similarity
+    * .kmeansCentroids]] trains on normalized features), so the residual
+    * x_unit − centroid[bucket] is genuinely small and isotropic (the
+    * classic IVF-PQ residual benefit; on raw vectors of varying norm the
+    * "residual" would mostly encode the norm). PQ codebooks are trained
+    * on those residuals; each vector stores as m codes, bucketed on the
+    * coarse bucket. Probing ranks buckets by cosine and scoring
+    * approximates dot(q, x_unit) = |q|·cos(q, x) — probe metric and
+    * score are the SAME metric, so scores are comparable across buckets.
+    * The index holds ~m bytes + a bucket id per vector — at 100 TB,
+    * codes for 10^11 vectors fit a few TB of bucketed parquet and a
+    * query reads only its probed buckets.
     *
     * Tables: `<prefix>_centroids` (cid, centroid),
     * `<prefix>_pq_codebooks` (subspace, cid, centroid),
@@ -103,12 +160,19 @@ object SimIndex {
   def writeIvfPqIndex(vecs: DataFrame, prefix: String, nCentroids: Int,
       m: Int, dims: Int, k: Int, buckets: Int): Unit = {
     graft.functions.VecFunctions.ensureRegistered(vecs.sparkSession)
-    val centroids = Similarity.kmeansCentroids(vecs, nCentroids, maxIter = 10)
+    // unit-norm copy (float, so every downstream op sees the usual
+    // embedding type); zero vectors have no direction — excluded
+    val unit = vecs
+      .filter(Similarity.norm(col("embedding")) > 0.0)
+      .select(col("vec_id"),
+        transform(Similarity.l2normalize(col("embedding")),
+          _.cast("float")).as("embedding"))
+    val centroids = Similarity.kmeansCentroids(unit, nCentroids, maxIter = 10)
     centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
-    val assigned = Similarity.ivfAssign(vecs, centroids, nprobe = 1)
+    val assigned = Similarity.ivfAssign(unit, centroids, nprobe = 1)
     // cached: pqTrain re-scans it m times (one kmeans fit per subspace)
     // and the encode + bucket join read it twice more
-    val resid = vecs.join(assigned, "vec_id")
+    val resid = unit.join(assigned, "vec_id")
       .join(broadcast(centroids.select(col("cid").as("bucket"),
         col("centroid"))), "bucket")
       .select(col("vec_id"), col("bucket"),
@@ -123,6 +187,7 @@ object SimIndex {
     Bucketing.writeBucketed(codes, s"${prefix}_pq_codes", "bucket",
       buckets, sortCols = Seq("bucket", "vec_id"))
     resid.unpersist()
+    writeSignature(prefix, vecs)
   }
 
   /** ADC search over the persisted IVF-PQ index: probe the `nprobe`
@@ -130,14 +195,19 @@ object SimIndex {
     * assignment metric), then score each vector in the probed buckets as
     * dot(q, centroid_b) + ADC(residual codes) — EXACTLY
     * dot(q, centroid_b + reconstruction) by linearity of the dot product
-    * (PqSpec asserts the identity). The residual codebooks are shared
+    * (PqSpec asserts the identity). Since the index stores UNIT-norm
+    * vectors ([[writeIvfPqIndex]]), the score approximates
+    * dot(q, x_unit) = |q|·cos(q, x): ranking is by cosine, the same
+    * metric the probe uses, so scores compare across buckets. The residual codebooks are shared
     * across buckets, so ONE m×k ADC table (driver-built from the tiny
     * codebook table, broadcast) serves every probed bucket; only the
     * scalar dot(q, centroid_b) differs per bucket. The codes scan is
     * pruned to the probed buckets by the bucket filter.
     */
   def ivfPqSearch(spark: SparkSession, prefix: String, query: Seq[Float],
-      nprobe: Int, topk: Int): DataFrame = {
+      nprobe: Int, topk: Int,
+      verifyAgainst: Option[DataFrame] = None): DataFrame = {
+    verifyAgainst.foreach(requireFresh(spark, prefix, _))
     import spark.implicits._
     val q = query.map(_.toDouble)
     // centroids and codebooks are a handful of rows by construction —
@@ -181,15 +251,19 @@ object SimIndex {
       .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
     Bucketing.writeBucketed(sh, s"${prefix}_shingles", "sh_hash", buckets,
       sortCols = Seq("sh_hash"))
+    writeSignature(prefix, bench)
   }
 
   /** Decontaminate `train` against a persisted shingle index: anti-join
     * away every doc sharing any n-shingle (by 64-bit hash) with the
     * benchmark corpus. The train side shingles+shuffles per sweep
     * (inherent — it is the new data); the index side is bucket-local.
+    * `verifyAgainst` = the live BENCHMARK corpus (the indexed side).
     */
   def decontaminateFromIndex(spark: SparkSession, train: DataFrame,
-      prefix: String, n: Int): DataFrame = {
+      prefix: String, n: Int,
+      verifyAgainst: Option[DataFrame] = None): DataFrame = {
+    verifyAgainst.foreach(requireFresh(spark, prefix, _))
     val bench = spark.table(s"${prefix}_shingles")
     val contaminated = Text.shingleStream(train, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_hash"))

@@ -97,16 +97,29 @@ object Similarity {
     java.lang.Math.floorMod(z ^ (z >>> 31), nb.toLong).toInt
   }
 
-  def topKCosinePairs(vecs: DataFrame, k: Int, blocks: Int = 16): DataFrame = {
+  /** A vector parsed for the pair kernels: (id, double elements, norm).
+    * Raw doubles + separately-computed norms, NOT pre-normalized: cos must
+    * be dot/(sqrt(nsq_a)*sqrt(nsq_b)) with sequential dimension-order
+    * folds so the values match the Column form and the DuckDB oracle
+    * bit-for-bit.
+    */
+  private def parseVec(id: Long, emb: Array[Float]): (Long, Array[Double], Double) = {
+    val v = new Array[Double](emb.length)
+    var i = 0
+    var nsq = 0.0
+    while (i < emb.length) { v(i) = emb(i).toDouble; nsq += v(i) * v(i); i += 1 }
+    (id, v, math.sqrt(nsq))
+  }
+
+  /** Replicate each vector to every block-pair group it participates in:
+    * one shuffle of `nb × n` narrow rows keyed by the unordered block
+    * pair (lo, hi) encoded as lo*nb + hi. Shared by the top-k and
+    * threshold kernels.
+    */
+  private def replicateToBlockPairs(vecs: DataFrame, nb: Int) = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val nb = blocks
-    // Max-heap whose head is the WORST kept entry under the total order
-    // (cos4 DESC, a_id ASC, b_id ASC): "worse" = greater (-cos4, a, b).
-    val worstFirst = Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
-      case (c4, a, b) => (-c4, a, b)
-    }
-    val replicated = vecs
+    vecs
       .select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
@@ -117,26 +130,53 @@ object Similarity {
           (lo * nb + hi, id, emb)
         }
       }
-    val survivors = replicated.groupByKey(_._1).flatMapGroups {
+  }
+
+  /** Enumerate each unordered pair of a block-pair group exactly once
+    * (i<j within a diagonal block; full cross between distinct blocks)
+    * and invoke `consider` on it.
+    */
+  private def forEachGroupPair(key: Int, nb: Int,
+      rows: Array[(Long, Array[Double], Double)])(
+      consider: ((Long, Array[Double], Double),
+        (Long, Array[Double], Double)) => Unit): Unit = {
+    val lo = key / nb
+    val hi = key % nb
+    if (lo == hi) {
+      var i = 0
+      while (i < rows.length) {
+        var j = i + 1
+        while (j < rows.length) { consider(rows(i), rows(j)); j += 1 }
+        i += 1
+      }
+    } else {
+      val loRows = rows.filter(r => blockOf(r._1, nb) == lo)
+      val hiRows = rows.filter(r => blockOf(r._1, nb) == hi)
+      var i = 0
+      while (i < loRows.length) {
+        var j = 0
+        while (j < hiRows.length) { consider(loRows(i), hiRows(j)); j += 1 }
+        i += 1
+      }
+    }
+  }
+
+  def topKCosinePairs(vecs: DataFrame, k: Int, blocks: Int = 16): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val nb = blocks
+    // Max-heap whose head is the WORST kept entry under the total order
+    // (cos4 DESC, a_id ASC, b_id ASC): "worse" = greater (-cos4, a, b).
+    val worstFirst = Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
+      case (c4, a, b) => (-c4, a, b)
+    }
+    val survivors = replicateToBlockPairs(vecs, nb)
+      .groupByKey(_._1).flatMapGroups {
       (key: Int, it: Iterator[(Int, Long, Array[Float])]) =>
-        val lo = key / nb
-        val hi = key % nb
-        // Raw doubles + separately-computed norms, NOT pre-normalized:
-        // cos must be dot/(sqrt(nsq_a)*sqrt(nsq_b)) with sequential folds
-        // so the rounded values match the oracle bit-for-bit.
-        val rows = it.map { case (_, id, emb) =>
-          val v = new Array[Double](emb.length)
-          var i = 0
-          var nsq = 0.0
-          while (i < emb.length) {
-            v(i) = emb(i).toDouble; nsq += v(i) * v(i); i += 1
-          }
-          (id, v, math.sqrt(nsq))
-        }.toArray
+        val rows = it.map { case (_, id, emb) => parseVec(id, emb) }.toArray
         val heap = scala.collection.mutable.PriorityQueue
           .empty[(Double, Long, Long)](worstFirst)
-        def consider(x: (Long, Array[Double], Double),
-            y: (Long, Array[Double], Double)): Unit = {
+        forEachGroupPair(key, nb, rows) { (x, y) =>
           val aId = math.min(x._1, y._1)
           val bId = math.max(x._1, y._1)
           val (av, an) = (x._2, x._3)
@@ -162,28 +202,47 @@ object Similarity {
             }
           }
         }
-        if (lo == hi) {
-          var i = 0
-          while (i < rows.length) {
-            var j = i + 1
-            while (j < rows.length) { consider(rows(i), rows(j)); j += 1 }
-            i += 1
-          }
-        } else {
-          val loRows = rows.filter(r => blockOf(r._1, nb) == lo)
-          val hiRows = rows.filter(r => blockOf(r._1, nb) == hi)
-          var i = 0
-          while (i < loRows.length) {
-            var j = 0
-            while (j < hiRows.length) { consider(loRows(i), hiRows(j)); j += 1 }
-            i += 1
-          }
-        }
         heap.iterator.map { case (c, a, b) => (a, b, c) }
     }
     survivors.toDF("a_id", "b_id", "cos_sim")
       .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
       .limit(k)
+  }
+
+  /** All cosine pairs strictly above `threshold` — the dedup-decision form
+    * of the blocked kernel ([[topKCosinePairs]]'s block scheme with a
+    * threshold filter instead of a heap). Same replication shuffle, same
+    * per-task memory bound O(n·d/blocks), same sequential fold order (the
+    * emitted cos_sim is the RAW double; callers round, so the
+    * filter-then-round order matches a SQL oracle exactly). Unlike
+    * [[allPairsCosine]] this never plans a BroadcastNestedLoopJoin: output
+    * volume is data-dependent but the candidate enumeration is spread over
+    * blocks²/2 independent tasks — the shape that survives 100× vectors.
+    */
+  def thresholdCosinePairs(vecs: DataFrame, threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val nb = blocks
+    val survivors = replicateToBlockPairs(vecs, nb)
+      .groupByKey(_._1).flatMapGroups {
+      (key: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+        val rows = it.map { case (_, id, emb) => parseVec(id, emb) }.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        forEachGroupPair(key, nb, rows) { (x, y) =>
+          val (av, an) = (x._2, x._3)
+          val (bv, bn) = (y._2, y._3)
+          var s = 0.0
+          var d = 0
+          while (d < av.length) { s += av(d) * bv(d); d += 1 }
+          val den = an * bn
+          val raw = s / den
+          if (den != 0.0 && !raw.isNaN && raw > threshold)
+            out += ((math.min(x._1, y._1), math.max(x._1, y._1), raw))
+        }
+        out.iterator
+    }
+    survivors.toDF("a_id", "b_id", "cos_sim")
   }
 
   /** IVF coarse quantizer: k-means (mllib, seeded) over L2-normalized

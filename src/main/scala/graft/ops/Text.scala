@@ -95,16 +95,25 @@ object Text {
     "the", "a", "an", "and", "of", "to", "in", "is", "that", "for",
     "on", "with", "as")
 
+  /** The whitespace set [[gopherFlags]] tokenizes on, spelled as an
+    * EXPLICIT character class: Java regex `\s` includes U+000B vertical
+    * tab while the DuckDB oracle's RE2 `\s` does not, so a doc containing
+    * one would silently hash-diverge between engine and oracle if either
+    * side used the shorthand. Both sides embed this exact class.
+    */
+  val GopherWhitespace: String = " \\t\\n\\x0B\\f\\r"
+
   def gopherFlags(docs: DataFrame,
       minWords: Int = 5, maxWords: Int = 100000,
       minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
       minStopFrac: Double = 0.01): DataFrame = {
-    val words = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val words = regexp_extract_all(col("text"),
+      lit(s"[^$GopherWhitespace]+"), lit(0))
     val stops = array(GopherStopwords.map(lit): _*)
     docs
       .withColumn("n_words", size(words).cast("long"))
       .withColumn("__word_chars",
-        length(regexp_replace(col("text"), "\\s", "")))
+        length(regexp_replace(col("text"), s"[$GopherWhitespace]", "")))
       .withColumn("n_stop", size(filter(words,
         w => array_contains(stops, lower(w)))).cast("long"))
       // ratios are NULL for zero-word docs (declared so on BOTH engines —
@@ -320,14 +329,16 @@ object Text {
 
   /** Rolling polynomial fingerprint of the token stream (order-sensitive,
     * collision-resistant enough for grouping): fold tokens with
-    * h = (h*31 + xxhash64(token) mod 2^31) mod 2^31. The modulus keeps
-    * every intermediate below 2^36 — no ANSI-mode long overflow.
+    * h = (h*31 + md5Long(token) mod 2^31) mod 2^31. The modulus keeps
+    * every intermediate below 2^36 — no ANSI-mode long overflow — and
+    * the per-token hash is [[graft.Det.md5Long]], so the exact fold
+    * replays in DuckDB (l04d is hash-matched, not merely rows-checked).
     */
   def fingerprint(text: Column): Column = {
     val m = lit(1L << 31)
     aggregate(
       regexp_extract_all(text, lit("\\S+"), lit(0)),
       lit(0L),
-      (acc, tok) => pmod(acc * lit(31L) + pmod(xxhash64(tok), m), m))
+      (acc, tok) => pmod(acc * lit(31L) + pmod(graft.Det.md5Long(tok), m), m))
   }
 }

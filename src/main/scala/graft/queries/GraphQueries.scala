@@ -194,8 +194,9 @@ object GraphQueries {
     // G16 — deterministic hash-walk sampling from customers 1..5 on the
     // supply graph (2 walks × ≤3 steps each): node2vec-style walk data
     // whose "randomness" is a seeded hash, so retries/reruns reproduce
-    // the exact walks. Engine-only (xxhash64 has no DuckDB twin);
-    // GraphOpsSpec gates edge-validity, determinism, and sink stops.
+    // the exact walks. Hash-matched since r7 (the pick hash is
+    // Det.md5Long, which DuckDB replays — see the g16 oracle);
+    // GraphOpsSpec still gates edge-validity, determinism, sink stops.
     "g16_hash_walks" -> ((s, dir) => {
       val seeds = s.range(1, 6).select((col("id") + Graphs.CUST).as("id"))
       Graphs.hashWalks(s, Graphs.supplyEdges(s, dir).select("src", "dst"),
@@ -384,6 +385,54 @@ object GraphQueries {
         |SELECT seed, count(*) - 1 AS n_reached,
         |  CAST(sum(dist) AS BIGINT) AS total_dist
         |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exact replay of the seeded hash walks: ranked adjacency (one
+    // window), then one unrolled pick+advance join per step, with the
+    // SAME engine-portable pick hash (Det.md5Long / Det.duckMd5Long) —
+    // the walk "randomness" is md5, which both engines compute
+    // identically, so the walk paths hash-match row for row.
+    "g16_hash_walks" -> {
+      def step(i: Int): String = {
+        val pick = graft.Det.duckMd5Long(
+          s"concat_ws(':', CAST(t.walk_id AS VARCHAR), '$i', " +
+            "CAST(t.vertex AS VARCHAR))")
+        s"""s$i AS (SELECT p.walk_id, p.seed, p.dst AS vertex
+          |  FROM (SELECT t.walk_id, t.seed, t.vertex, r.dst
+          |        FROM (SELECT t.walk_id, t.seed, t.vertex,
+          |                $pick % d.deg AS pick
+          |              FROM s${i - 1} t JOIN degs d ON d.src = t.vertex) t
+          |        JOIN ranked r ON r.src = t.vertex AND r.rnk = t.pick) p)"""
+          .stripMargin
+      }
+      s"""WITH edges AS (
+        |  SELECT o_custkey AS src, o_orderkey + 1000000000000 AS dst
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey + 1000000000000, l_partkey + 2000000000000
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  UNION ALL
+        |  SELECT l_orderkey + 1000000000000, l_suppkey + 3000000000000
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |  UNION ALL
+        |  SELECT l_suppkey + 3000000000000, l_partkey + 2000000000000
+        |  FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)),
+        |ranked AS (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+        |  FROM (SELECT DISTINCT src, dst FROM edges)),
+        |degs AS (SELECT src, count(*) AS deg FROM ranked GROUP BY src),
+        |s0 AS (SELECT seed * 2 + w AS walk_id, seed, seed AS vertex
+        |       FROM (SELECT unnest(range(1, 6)) AS seed),
+        |            (SELECT unnest(range(0, 2)) AS w)),
+        |${step(1)},
+        |${step(2)},
+        |${step(3)}
+        |SELECT walk_id, seed, step, vertex FROM (
+        |  SELECT walk_id, seed, 0 AS step, vertex FROM s0
+        |  UNION ALL SELECT walk_id, seed, 1, vertex FROM s1
+        |  UNION ALL SELECT walk_id, seed, 2, vertex FROM s2
+        |  UNION ALL SELECT walk_id, seed, 3, vertex FROM s3)
+        |ORDER BY walk_id, step""".stripMargin
+    },
 
     "g05b_weighted_dist" ->
       s"""WITH RECURSIVE $copartCte,

@@ -82,13 +82,20 @@ object LlmQueries {
     "l02c_lsh_indexed" -> ((s, dir) => {
       graft.functions.VecFunctions.ensureRegistered(s)
       val prefix = "graft_lsh_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!s.catalog.tableExists(s"${prefix}_bands")) {
-        Bucketing.dropStaleLocation(s, s"${prefix}_bands")
-        Bucketing.dropStaleLocation(s, s"${prefix}_sigs")
+      // cache validity = the recorded BUILD SIGNATURE matching the live
+      // corpus, not mere table existence — a regenerated fixture under
+      // the same dir invalidates and rebuilds instead of silently
+      // serving candidates from the old data
+      if (!SimIndex.isFresh(s, prefix, docs(s, dir))) {
+        Seq("_bands", "_sigs", "_meta").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $prefix$t")
+          Bucketing.dropStaleLocation(s, prefix + t)
+        }
         SimIndex.writeLshIndex(docs(s, dir), prefix, numHashes = 32,
           bands = 16, buckets = 8)
       }
-      val cands = SimIndex.lshCandidatesFromIndex(s, prefix)
+      val cands = SimIndex.lshCandidatesFromIndex(s, prefix,
+        verifyAgainst = Some(docs(s, dir)))
       val likely = Similarity
         .estimateJaccard(cands, s.table(s"${prefix}_sigs"))
         .filter(col("est_jaccard") >= 0.42)
@@ -206,15 +213,21 @@ object LlmQueries {
     // signal. Engine-only (seeded kmeans); PqSpec gates identity/recall.
     "l21b_ivfpq_knn" -> ((s, dir) => {
       val prefix = "graft_ivfpq_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!s.catalog.tableExists(s"${prefix}_pq_codes")) {
-        Seq("_centroids", "_pq_codebooks", "_pq_codes").foreach(t =>
-          Bucketing.dropStaleLocation(s, prefix + t))
+      // cache validity = build signature vs the live embeddings table
+      // (not table existence): a regenerated fixture rebuilds the index
+      // instead of silently probing codes from the old vectors
+      if (!SimIndex.isFresh(s, prefix, vecs(s, dir))) {
+        Seq("_centroids", "_pq_codebooks", "_pq_codes", "_meta").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $prefix$t")
+          Bucketing.dropStaleLocation(s, prefix + t)
+        }
         SimIndex.writeIvfPqIndex(vecs(s, dir), prefix, nCentroids = 8,
           m = 8, dims = 64, k = 32, buckets = 8)
       }
       val q = vecs(s, dir).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      SimIndex.ivfPqSearch(s, prefix, q, nprobe = 2, topk = 10)
+      SimIndex.ivfPqSearch(s, prefix, q, nprobe = 2, topk = 10,
+          verifyAgainst = Some(vecs(s, dir)))
         .withColumn("score", round(col("score"), 4))
     }),
 
@@ -252,10 +265,11 @@ object LlmQueries {
 
     // L03c — embedding-cosine near-dup: all pairs above a similarity
     // threshold (the dedup-decision form of L03; exact, hash-checked).
+    // Routed through the blocked-replication kernel — no
+    // BroadcastNestedLoopJoin (the engine's own NestedLoopGuard passes;
+    // PlanShapeSpec sweeps it with every other registry query).
     "l03c_cosine_neardup" -> ((s, dir) => {
-      graft.functions.VecFunctions.ensureRegistered(s)
-      Similarity.allPairsCosine(vecs(s, dir))
-        .filter(col("cos_sim") > 0.4)
+      Similarity.thresholdCosinePairs(vecs(s, dir), threshold = 0.4)
         .select(col("a_id"), col("b_id"),
           round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
@@ -291,7 +305,9 @@ object LlmQueries {
       Text.qualityFeatures(docs(s, dir)).orderBy("doc_id")),
 
     // L04c — language-ID heuristic vs. the labeled lang column.
-    // Engine-only (heuristic): rows-only check + ScalaTest accuracy gate.
+    // Hash-matched since r7: the heuristic is scalar SQL (word-list hit
+    // counts + CJK density), so the oracle replays it exactly; the
+    // ScalaTest accuracy gate stays on top.
     "l04c_langid" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("guess", Text.langIdGuess(col("text")))
@@ -303,7 +319,9 @@ object LlmQueries {
     }),
 
     // L04d — order-sensitive rolling fingerprint of the token stream.
-    // Engine-only (xxhash64 has no DuckDB twin); rows-only check.
+    // Hash-matched since r7: the per-token hash is Det.md5Long (md5 is
+    // the one hash both engines compute identically), so the exact fold
+    // replays in the oracle.
     "l04d_fingerprint" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -345,14 +363,16 @@ object LlmQueries {
     }),
 
     // L05c — stubbed media feature-extraction over the binary payload:
-    // deterministic fake decode (crc32 of bytes) standing in for an image/
-    // audio decoder; engine-only, rows-only check.
+    // deterministic fake decode (md5-derived integer of the BYTES)
+    // standing in for an image/audio decoder. Hash-matched: the payload
+    // is exactly the UTF-8 encoding of `text`, so DuckDB's md5(text)
+    // (which hashes the string's UTF-8 bytes) replays the same feature.
     "l05c_binary_features" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .select(col("doc_id"),
-          octet_length(col("payload")).as("n_bytes"),
-          crc32(col("payload")).as("feature"))
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          graft.Det.md5Long(col("payload")).as("feature"))
         .orderBy("doc_id")
     }),
 
@@ -685,6 +705,58 @@ object LlmQueries {
         |    AS upper_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // The langid heuristic is plain scalar SQL — word-list hit counts +
+    // a CJK density test — so it replays exactly (RE2 spells the CJK
+    // range \x{...} where Java spells it \u...; same code points).
+    "l04c_langid" ->
+      """WITH h AS (SELECT lang, text,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS de,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|and|is|of|to|in|that|with)\b')) AS en,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(el|la|los|las|es|y|que|una)\b')) AS es,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(le|la|les|est|et|que|une|dans)\b')) AS fr
+        |  FROM documents),
+        |g AS (SELECT lang,
+        |    CASE
+        |      WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) * 4
+        |           > len(text) THEN 'zh'
+        |      WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+        |      WHEN en >= es AND en >= fr THEN 'en'
+        |      WHEN es >= fr THEN 'es'
+        |      ELSE 'fr' END AS guess
+        |  FROM h)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Rolling fingerprint replay: same fold, same per-token md5-derived
+    // hash (Det.duckMd5Long), seed 0 via list_prepend (list_reduce seeds
+    // with the first element).
+    "l04d_fingerprint" -> {
+      val tokHash = graft.Det.duckMd5Long("t")
+      s"""SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_extract_all(text, '\\S+'),
+        |      t -> $tokHash % 2147483648)),
+        |    (x, y) -> (x * 31 + y) % 2147483648) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // The fake media feature is md5 over the payload BYTES; the payload
+    // is exactly text's UTF-8 encoding, and DuckDB's md5(VARCHAR) hashes
+    // the string's UTF-8 bytes — identical input, identical hex.
+    "l05c_binary_features" -> {
+      val feat = graft.Det.duckMd5Long("text")
+      s"""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  $feat AS feature
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "l04e_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
         |           FROM documents),
@@ -762,11 +834,14 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // word class spelled explicitly on both engines — RE2's \S differs
+    // from Java's on U+000B (see Text.GopherWhitespace)
     "l19_gopher_flags" ->
       """WITH m AS (SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-        |    len(regexp_replace(text, '\s', '', 'g')) AS wc,
-        |    CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'))
+        |      AS BIGINT) AS n_words,
+        |    len(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS wc,
+        |    CAST(len(list_filter(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'),
         |      w -> list_contains(['the','a','an','and','of','to','in','is',
         |                          'that','for','on','with','as'], lower(w))))
         |      AS BIGINT) AS n_stop

@@ -167,6 +167,52 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(a.join(b, col("x") < col("y")).count() == 3L)
   }
 
+  test("nested-loop guard sweep: every registry query plans clean") {
+    // The engine linted by its own guard: install at end-of-optimizer,
+    // enable rejection, then PLAN (not execute) every contract query.
+    // Today this proves no registry entry hides an O(n·m) join shape
+    // (l03c used to — the blocked threshold kernel fixed it); tomorrow it
+    // catches any regression into the nested-loop cliff the moment it is
+    // introduced. Builders that run driver-side actions (kmeans fit,
+    // index builds, codebook collects) execute under the guard too, so
+    // their internal plans are linted as a side effect.
+    import graft.plans.NestedLoopGuard
+    graft.plans.NestedLoopGuard.install(spark)
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    def guardTrip(e: Throwable): Option[String] =
+      if (e == null) None
+      else if (e.getMessage != null && e.getMessage.contains(NestedLoopGuard.CONF))
+        Some(e.getMessage.linesIterator.next())
+      else guardTrip(e.getCause)
+    spark.conf.set(NestedLoopGuard.CONF, "true")
+    try {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try {
+            // optimizedPlan forces the full optimizer (where the guard
+            // runs) without executing the query
+            fn(spark, sfDir).queryExecution.optimizedPlan
+            None
+          } catch {
+            case e: Throwable => guardTrip(e) match {
+              case Some(msg) => Some(s"$name: $msg")
+              case None => throw e // non-guard failures propagate as-is
+            }
+          }
+      }
+      assert(failures.isEmpty,
+        s"guard-rejected plans:\n${failures.mkString("\n")}")
+    } finally spark.conf.set(NestedLoopGuard.CONF, "false")
+  }
+
+  test("l03c threshold near-dup: blocked kernel, no quadratic pair join") {
+    val q = SparkEntry.queries("l03c_cosine_neardup")(spark, sfDir)
+    val p = all(q)
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !p.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "l03c regressed to an all-pairs quadratic join")
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q02)") {
     val q = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
     q.collect() // codegen collapse happens per-stage at execution under AQE

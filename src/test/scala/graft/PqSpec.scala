@@ -77,7 +77,7 @@ class PqSpec extends SparkSpecBase {
     import graft.ops.{Bucketing, SimIndex}
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
     val prefix = "graft_test_ivfpq"
-    Seq("_centroids", "_pq_codebooks", "_pq_codes").foreach { t =>
+    Seq("_centroids", "_pq_codebooks", "_pq_codes", "_meta").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $prefix$t")
       Bucketing.dropStaleLocation(spark, prefix + t)
     }
@@ -112,14 +112,15 @@ class PqSpec extends SparkSpecBase {
       assert(math.abs(score - (coarse + adc)) < 1e-9,
         s"vec $id: score=$score recomputed=${coarse + adc}")
     }
-    // shortlist recall vs the exact dot scan (residual PQ + 2-probe over
-    // 8 buckets: candidates outside probed buckets are unreachable, so
-    // this measures the IVF pruning AND the quantization together)
+    // shortlist recall vs the exact COSINE scan — the index stores
+    // unit-norm vectors, so cosine is its metric (residual PQ + 2-probe
+    // over 8 buckets: candidates outside probed buckets are unreachable,
+    // so this measures the IVF pruning AND the quantization together)
     graft.functions.VecFunctions.ensureRegistered(spark)
     val qCol = array(q.map(v => lit(v)): _*)
     val exactTop = vecs.filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        graft.ops.Similarity.dot(col("embedding"), qCol).as("d"))
+        graft.ops.Similarity.cosine(col("embedding"), qCol).as("d"))
       .orderBy(desc("d"), col("vec_id")).limit(10)
       .collect().map(_.getLong(0)).toSet
     val recall = res.map(_._1).toSet.intersect(exactTop).size / 10.0

@@ -66,6 +66,21 @@ class RandomizedSpec extends SparkSpecBase {
     val blocked = Similarity.topKCosinePairs(vecs, k, blocks = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(blocked == exact)
+
+    // The threshold kernel must agree with the quadratic reference on the
+    // same strided-id corpus — filter on the RAW cosine, round after,
+    // exactly the l03c contract shape.
+    val thr = 0.15
+    val exactThr = Similarity.allPairsCosine(vecs)
+      .filter(col("cos_sim") > thr)
+      .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("c4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val blockedThr = Similarity.thresholdCosinePairs(vecs, thr, blocks = 8)
+      .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("c4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(blockedThr == exactThr && blockedThr.nonEmpty)
   }
 
   test("connectedComponentsDF == local union-find on random graphs (10 trials)") {

@@ -101,6 +101,38 @@ class SimIndexSpec extends SparkSpecBase {
     assert(fromIdx == fresh && fromIdx.nonEmpty)
   }
 
+  test("staleness signature: mutated base table fails fast, fresh base passes") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("staleidx_bands", "staleidx_sigs", "staleidx_meta")
+    val docs = Tables.load(spark, sfDir, "documents")
+    SimIndex.writeLshIndex(docs, "staleidx", numHashes = 16, bands = 8,
+      buckets = 2)
+    // fresh base: the verified read succeeds and returns candidates
+    assert(SimIndex.isFresh(spark, "staleidx", docs))
+    assert(SimIndex.lshCandidatesFromIndex(spark, "staleidx",
+      verifyAgainst = Some(docs)).count() > 0)
+    // the SAME base re-derived (new DataFrame, same content) still passes
+    // — the signature is content-based, not object-identity-based
+    assert(SimIndex.isFresh(spark, "staleidx",
+      Tables.load(spark, sfDir, "documents")))
+    // mutated base (one doc dropped — e.g. a regenerated fixture): the
+    // verified read must fail FAST with a rebuild hint, not silently
+    // serve candidates built from the old corpus
+    val mutated = docs.filter(col("doc_id") =!= 0L)
+    assert(!SimIndex.isFresh(spark, "staleidx", mutated))
+    val e = intercept[IllegalStateException] {
+      SimIndex.lshCandidatesFromIndex(spark, "staleidx",
+        verifyAgainst = Some(mutated))
+    }
+    assert(e.getMessage.contains("STALE") && e.getMessage.contains("Rebuild"))
+    // unverified reads stay permitted (the check is opt-in — it costs a
+    // base-table scan)
+    assert(SimIndex.lshCandidatesFromIndex(spark, "staleidx").count() > 0)
+    // a missing meta table (pre-signature index) reads as stale, not fresh
+    spark.sql("DROP TABLE IF EXISTS staleidx_meta")
+    assert(!SimIndex.isFresh(spark, "staleidx", docs))
+  }
+
   test("shingle index: decontamination matches the string-keyed pass, index side Exchange-free") {
     dropIdx("deconidx_shingles")
     val d = Tables.load(spark, sfDir, "documents")

@@ -207,5 +207,11 @@ class TextOpsSpec extends SparkSpecBase {
     assert(empty.getLong(1) == 0L && empty.isNullAt(2) && empty.isNullAt(3))
     assert(!empty.getBoolean(4) && !empty.getBoolean(5) &&
       !empty.getBoolean(6) && !empty.getBoolean(7))
+    // U+000B vertical tab separates words — the explicit GopherWhitespace
+    // class pins this on BOTH engines (Java \s includes \x0B, RE2's does
+    // not; the shorthand would hash-diverge engine vs oracle here)
+    val vt = Text.gopherFlags(
+      Seq((10L, "the cat\u000Bsat on the mat")).toDF("doc_id", "text")).head()
+    assert(vt.getLong(1) == 6L, s"vertical tab must split words: $vt")
   }
 }
