@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (SURVEY.md §6): the ten headline queries from
-  * BASELINE.md (B1–B10), timed on `SPARK_GRAFT_SF_DIR` and emitted as ONE
-  * JSON line.
+  * BASELINE.md (B1–B10) plus the engine's two signature operators —
+  * b11 the custom as-of merge over bucketed inputs (the exchange-free
+  * path) and b12 IVF-PQ probe over the persisted index — timed on
+  * `SPARK_GRAFT_SF_DIR` and emitted as ONE JSON line.
   *
   * Methodology (mirrors the DuckDB baseline's best-of-3 warm-cache runs):
   * one shared SparkSession, shuffle partitions sized to cores (32, not
@@ -13,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   * every query hit it), then each query is materialized through the noop
   * sink (forces full column computation — `.count()` would let Catalyst
   * prune the sort/projection) twice and the best wall time is reported.
+  * b11/b12's index state (bucketed tables, IVF-PQ codes) is built OUTSIDE
+  * the timed region: the bench measures per-query latency, which is the
+  * point of persisted indexes — their build cost amortizes over queries.
   */
 object Bench {
   // BASELINE.md headline set: bench id -> SparkEntry query key.
@@ -37,6 +42,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-bench-warehouse")
       // AQE's per-stage materialization costs ~30% at sub-second sf0.1
       // latencies and only pays off at scale — off for the latency bench,
       // on (Spark default) everywhere else. Override: SPARK_GRAFT_AQE.
@@ -78,22 +84,71 @@ object Bench {
         "skew=true|isSkewJoin=true".r.findAllIn(finalPlan.toString).length
       }
 
-    def once(key: String): (Double, Int) = {
+    // ---- b11/b12 one-time setup (untimed): bucketed as-of inputs and
+    // the persisted IVF-PQ index. Both reuse across runs when fresh —
+    // the as-of tables via rebuild-always (cheap), the index via its
+    // recorded build signature (SimIndex.isFresh), the same staleness
+    // contract production queries use.
+    import graft.ops.{AsOfJoin, Bucketing, SimIndex}
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    Seq("graft_bench_asof_l", "graft_bench_asof_r").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Bucketing.dropStaleLocation(spark, t)
+    }
+    Bucketing.writeBucketed(purchases, "graft_bench_asof_l", "user_id",
+      cpus.toInt, sortCols = Seq("user_id", "ts"))
+    Bucketing.writeBucketed(clicks, "graft_bench_asof_r", "user_id",
+      cpus.toInt, sortCols = Seq("user_id", "ts", "click_id"))
+    val asofL = spark.table("graft_bench_asof_l")
+    val asofR = spark.table("graft_bench_asof_r")
+
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val pqPrefix = "graft_bench_ivfpq"
+    if (!SimIndex.isFresh(spark, pqPrefix, vecs)) {
+      Seq("_centroids", "_pq_codebooks", "_pq_codes", "_meta").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $pqPrefix$t")
+        Bucketing.dropStaleLocation(spark, pqPrefix + t)
+      }
+      SimIndex.writeIvfPqIndex(vecs, pqPrefix, nCentroids = 8, m = 8,
+        dims = 64, k = 32, buckets = 8)
+    }
+    val pqQuery = vecs.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+
+    val signature: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "b11_asof_merge" -> (() =>
+        AsOfJoin.merge(asofL, asofR, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), "click_id")),
+      "b12_ivfpq_search" -> (() =>
+        SimIndex.ivfPqSearch(spark, pqPrefix, pqQuery, nprobe = 2,
+          topk = 10)))
+
+    def once(mk: () => org.apache.spark.sql.DataFrame): (Double, Int) = {
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(key)(spark, sfDir)
+      val df = mk()
       df.write.format("noop").mode("overwrite").save()
       ((System.nanoTime() - t0) / 1e9, skewJoins(df))
     }
 
-    val results = headline.map { case (bid, key) =>
+    val benchables: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      headline.map { case (bid, key) =>
+        bid -> (() => SparkEntry.queries(key)(spark, sfDir))
+      } ++ signature
+
+    val results = benchables.map { case (bid, mk) =>
       try {
-        once(key) // warm-up: JIT + codegen + cache fill
-        val (t1, s1) = once(key)
-        val (t2, s2) = once(key)
+        once(mk) // warm-up: JIT + codegen + cache fill
+        val (t1, s1) = once(mk)
+        val (t2, s2) = once(mk)
         (bid, math.min(t1, t2), math.max(s1, s2))
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $bid ($key) failed: ${e.getMessage}")
+          System.err.println(s"[bench] $bid failed: ${e.getMessage}")
           (bid, -1.0, 0)
       }
     }

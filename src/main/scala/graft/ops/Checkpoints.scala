@@ -22,10 +22,22 @@ import org.apache.spark.sql.DataFrame
   *
   * The checkpoint dir is taken from the conf the first time a reliable cut
   * runs in a session (`SparkContext.setCheckpointDir` appends a UUID
-  * subdir; an already-set dir wins, so the value is session-sticky). Old
-  * checkpoint files are reaped by the ContextCleaner when
-  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, otherwise at
-  * application exit — size the dir for iterations × state.
+  * subdir; an already-set dir wins, so the value is session-sticky).
+  *
+  * REAPING: without
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` a 100-round
+  * PageRank in reliable mode accretes every round's files until
+  * application exit — iterations × state of dead storage. With it (a
+  * STATIC conf, set at SparkContext creation — `spark.conf.set` at
+  * runtime is too late), the ContextCleaner deletes a cut's files as
+  * soon as its RDD is garbage-collected, which for the iterative loops
+  * here is the natural loop shape: each round's `state = cut(step(state))`
+  * drops the only reference to the previous round, so rounds i-2, i-3, …
+  * reap WHILE the loop runs and steady-state disk is O(2 × state), not
+  * O(iterations × state). GraphOpsSpec asserts the mid-run reap.
+  * Accumulating loops (BFS's per-level union) hold references to every
+  * level in the result plan by design — those files live until the
+  * result is consumed, which is exactly as long as they are needed.
   */
 object Checkpoints {
 

@@ -9,21 +9,27 @@ import org.apache.spark.sql.functions._
   * stored as change points `(entity, ts, value)`; these operators derive
   * the reference's read surface — time-point (snapshot), time-range
   * (interval view) — plus sessionization, as single-shuffle window plans.
+  *
+  * Entity keys are MULTI-COLUMN first-class (the reference's store is
+  * `(entity_id, key, ts, value)` — SURVEY §1.2 — so a per-property read
+  * partitions by (entity_id, prop_key), not by a hand-concatenated
+  * composite): every read takes `entity: Seq[String]`, with
+  * single-String overloads for the common one-key case.
   */
 object Temporal {
 
   /** Time-point read for every entity: the latest change point at-or-before
-    * `t`. One shuffle on the entity key; the `ts <= t` filter is pushed to
-    * the scan before the shuffle, so at 100 TB only the history up to `t`
-    * moves. Tie at equal ts broken by greatest `tieBreak`.
+    * `t`. One shuffle on the entity key(s); the `ts <= t` filter is pushed
+    * to the scan before the shuffle, so at 100 TB only the history up to
+    * `t` moves. Tie at equal ts broken by greatest `tieBreak`.
     */
   def snapshot(
       changes: DataFrame,
-      entity: String,
+      entity: Seq[String],
       ts: String,
       t: Column,
       tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(entity)
+    val w = Window.partitionBy(entity.map(col): _*)
       .orderBy(col(ts).desc, col(tieBreak).desc)
     changes.filter(col(ts) <= t)
       .withColumn("__rn", row_number().over(w))
@@ -31,24 +37,33 @@ object Temporal {
       .drop("__rn")
   }
 
+  def snapshot(changes: DataFrame, entity: String, ts: String, t: Column,
+      tieBreak: String): DataFrame =
+    snapshot(changes, Seq(entity), ts, t, tieBreak)
+
   /** Interval view: each change point becomes a row valid on
     * `[ts, next ts)`; the final change point is open (`valid_to` null).
     */
   def intervalView(
       changes: DataFrame,
-      entity: String,
+      entity: Seq[String],
       ts: String,
       tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(entity).orderBy(col(ts).asc, col(tieBreak).asc)
+    val w = Window.partitionBy(entity.map(col): _*)
+      .orderBy(col(ts).asc, col(tieBreak).asc)
     changes
       .withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
   }
 
+  def intervalView(changes: DataFrame, entity: String, ts: String,
+      tieBreak: String): DataFrame =
+    intervalView(changes, Seq(entity), ts, tieBreak)
+
   /** Time-range read: intervals overlapping `[t1, t2)`. */
   def timeRange(
       changes: DataFrame,
-      entity: String,
+      entity: Seq[String],
       ts: String,
       tieBreak: String,
       t1: Column,
@@ -56,6 +71,10 @@ object Temporal {
     intervalView(changes, entity, ts, tieBreak)
       .filter(col("valid_from") < t2 &&
         (col("valid_to").isNull || col("valid_to") > t1))
+
+  def timeRange(changes: DataFrame, entity: String, ts: String,
+      tieBreak: String, t1: Column, t2: Column): DataFrame =
+    timeRange(changes, Seq(entity), ts, tieBreak, t1, t2)
 
   /** T07 — seed an SCD2 (slowly-changing-dimension type 2) history from a
     * first full snapshot: every row opens at `atUs`, none are closed.
@@ -125,16 +144,21 @@ object Temporal {
     */
   def compactChangePoints(
       changes: DataFrame,
-      entity: String,
+      entity: Seq[String],
       ts: String,
       tieBreak: String,
       value: Column): DataFrame = {
-    val w = Window.partitionBy(entity).orderBy(col(ts).asc, col(tieBreak).asc)
+    val w = Window.partitionBy(entity.map(col): _*)
+      .orderBy(col(ts).asc, col(tieBreak).asc)
     changes
       .withColumn("__prev_v", lag(value, 1).over(w))
       .filter(!(col("__prev_v") <=> value))
       .drop("__prev_v")
   }
+
+  def compactChangePoints(changes: DataFrame, entity: String, ts: String,
+      tieBreak: String, value: Column): DataFrame =
+    compactChangePoints(changes, Seq(entity), ts, tieBreak, value)
 
   /** T09 — temporal aggregation index (the paper's "aggregation index for
     * window min/max/sum" re-expressed Spark-first): a per-entity per-day
@@ -195,19 +219,23 @@ object Temporal {
     */
   def timeWeighted(
       changes: DataFrame,
-      entity: String,
+      entity: Seq[String],
       ts: String,
       tieBreak: String,
       valueCents: Column,
       t1: Column,
       t2: Column): DataFrame =
     timeRange(changes, entity, ts, tieBreak, t1, t2)
-      .select(col(entity), valueCents.as("__c"),
-        unix_micros(greatest(col("valid_from"), t1)).as("__f"),
-        unix_micros(least(coalesce(col("valid_to"), t2), t2)).as("__t"))
-      .groupBy(entity)
+      .select(entity.map(col) :+ valueCents.as("__c") :+
+        unix_micros(greatest(col("valid_from"), t1)).as("__f") :+
+        unix_micros(least(coalesce(col("valid_to"), t2), t2)).as("__t"): _*)
+      .groupBy(entity.map(col): _*)
       .agg(sum(expr("__c * (__t - __f)")).as("weighted_cents_us"),
         sum(expr("__t - __f")).as("covered_us"))
+
+  def timeWeighted(changes: DataFrame, entity: String, ts: String,
+      tieBreak: String, valueCents: Column, t1: Column, t2: Column): DataFrame =
+    timeWeighted(changes, Seq(entity), ts, tieBreak, valueCents, t1, t2)
 
   /** T11 — temporal (interval-intersection) join, the temporal-algebra
     * inner join: two interval views of the same entity joined where
@@ -255,8 +283,17 @@ object Temporal {
       entity: String,
       ts: String,
       tieBreak: String,
+      gapSeconds: Long): DataFrame =
+    sessionize(df, Seq(entity), ts, tieBreak, gapSeconds)
+
+  def sessionize(
+      df: DataFrame,
+      entity: Seq[String],
+      ts: String,
+      tieBreak: String,
       gapSeconds: Long): DataFrame = {
-    val order = Window.partitionBy(entity).orderBy(col(ts).asc, col(tieBreak).asc)
+    val order = Window.partitionBy(entity.map(col): _*)
+      .orderBy(col(ts).asc, col(tieBreak).asc)
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__prev", lag(col(ts), 1).over(order))
       .withColumn("__brk",
@@ -284,24 +321,29 @@ object Temporal {
     */
   def resampleDaily(
       changes: DataFrame,
-      entity: String,
+      entity: Seq[String],
       ts: String,
       value: String,
       tieBreak: String): DataFrame = {
-    val spine = changes.groupBy(entity)
+    val spine = changes.groupBy(entity.map(col): _*)
       .agg(date_trunc("DAY", min(col(ts))).as("__d0"),
         date_trunc("DAY", max(col(ts))).as("__d1"))
-      .select(col(entity),
+      .select(entity.map(col) :+
         explode(sequence(col("__d0"), col("__d1"),
-          expr("interval 1 day"))).as("day"))
+          expr("interval 1 day"))).as("day"): _*)
       // as-of probe at the LAST microsecond of the day: at-or-before
       // day end == strictly-before next day start
       .withColumn("__day_end",
         col("day") + expr("interval 1 day") - expr("interval 1 microsecond"))
     AsOfJoin(spine,
-        changes.select(col(entity), col(ts), col(tieBreak), col(value)),
-        on = Seq(entity), leftTs = "__day_end", rightTs = ts,
+        changes.select((entity :+ ts :+ tieBreak :+ value).map(col): _*),
+        on = entity, leftTs = "__day_end", rightTs = ts,
         payload = Seq(value), tieBreak = tieBreak)
-      .select(col(entity), col("day"), col(value + "_asof").as(value + "_ff"))
+      .select(entity.map(col) :+ col("day") :+
+        col(value + "_asof").as(value + "_ff"): _*)
   }
+
+  def resampleDaily(changes: DataFrame, entity: String, ts: String,
+      value: String, tieBreak: String): DataFrame =
+    resampleDaily(changes, Seq(entity), ts, value, tieBreak)
 }

@@ -114,6 +114,22 @@ object TemporalQueries {
         |ORDER BY user_id""".stripMargin)
     }),
 
+    // T14 — MULTI-KEY snapshot: the reference's store shape is
+    // (entity_id, prop_key, ts, value) — SURVEY §1.2 — so the read
+    // surface must partition by BOTH columns, not by a hand-concatenated
+    // composite. Here (user_id, event_type) plays (entity, prop_key):
+    // each pair reads its latest change point at-or-before t — the
+    // getTemporalProperty(key, t) call re-expressed over the Seq-keyed
+    // snapshot. Same single-shuffle window plan, keyed on two columns.
+    "t14_multikey_snapshot" -> ((s, dir) => {
+      Temporal.snapshot(ev(s, dir), entity = Seq("user_id", "event_type"),
+          ts = "ts", t = lit("2024-01-15 00:00:00").cast("timestamp"),
+          tieBreak = "event_id")
+        .select(col("user_id"), col("event_type"),
+          cents(col("value")).as("val_cents"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // T13 — forward-fill resample onto a daily grid: per (user, day of
     // that user's own event span), the latest value at-or-before day end
     // — the piecewise-constant temporal read on a regular grid, built ON
@@ -387,6 +403,15 @@ object TemporalQueries {
     "t01_snapshot" -> t01Oracle,
 
     "t01b_snapshot_sql" -> t01Oracle,
+
+    "t14_multikey_snapshot" ->
+      """SELECT user_id, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS val_cents
+        |FROM (SELECT user_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "t13_resample_ffill" ->
       """WITH span AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,

@@ -60,6 +60,34 @@ class AsOfJoinSpec extends SparkSpecBase {
       Map(1L -> Some(100L), 2L -> None))
   }
 
+  test("multi-key as-of: matches require EVERY key equal, window and merge agree") {
+    import spark.implicits._
+    // (entity, prop_key) change-point shape — the reference's
+    // getTemporalProperty(key, t) store. Rows share user 1 but differ on
+    // the property key: a single-key join on user would cross-match them.
+    val l = Seq((1L, 1L, "color", 10L), (2L, 1L, "size", 10L),
+        (3L, 2L, "color", 10L))
+      .toDF("id", "user", "prop", "ts")
+    val r = Seq((100L, 1L, "color", 5L), (200L, 1L, "size", 7L),
+        (300L, 2L, "size", 3L), (400L, 1L, "color", 9L))
+      .toDF("rid", "user", "prop", "ts")
+    def resultOf(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map { row =>
+        row.getLong(0) -> Option(row.get(row.length - 1))
+          .map(_.asInstanceOf[Long])
+      }.toMap
+    val expect = Map(
+      1L -> Some(400L), // latest color change of user 1 (9 > 5)
+      2L -> Some(200L), // size change of user 1 — NOT the color ones
+      3L -> None)       // user 2 has only a size change; color finds none
+    val win = AsOfJoin(l, r, on = Seq("user", "prop"), leftTs = "ts",
+      rightTs = "ts", payload = Seq("rid"), tieBreak = "rid")
+    val mrg = AsOfJoin.merge(l, r, on = Seq("user", "prop"), leftTs = "ts",
+      rightTs = "ts", payload = Seq("rid"), tieBreak = "rid")
+    assert(resultOf(win) == expect, "union+window form")
+    assert(resultOf(mrg) == expect, "custom merge operator")
+  }
+
   test("NULL payload field in the matched right row is honored, not skipped") {
     import spark.implicits._
     val left = Seq((1L, 1L, 10L)).toDF("id", "k", "ts")

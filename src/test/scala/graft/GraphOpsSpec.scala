@@ -283,6 +283,48 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(bfs() == bfsLocal)
   }
 
+  test("reliable checkpoints reap mid-loop: dead rounds' files are deleted") {
+    // cleanCheckpoints=true (static conf, SparkSpecBase) + the natural
+    // loop shape `state = cut(step(state))` — each round drops the only
+    // reference to the previous round's checkpoint, so the
+    // ContextCleaner deletes its files on GC while the loop is still
+    // running. Without this a 100-round PageRank accretes
+    // iterations × state on the checkpoint store until app exit.
+    import graft.ops.Checkpoints
+    import org.apache.spark.sql.functions.col
+    assert(spark.sparkContext.getConf
+      .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false),
+      "cleaner conf must be set at context creation")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-reap").toFile
+    spark.conf.set(Checkpoints.CONF, dir.getAbsolutePath)
+    try {
+      var state = spark.range(0, 1000).toDF("id")
+      for (_ <- 1 to 6) state = Checkpoints.cut(
+        state.withColumn("id", col("id") + 1))
+      // the sticky session checkpoint root (may predate this test)
+      val root = new java.io.File(java.net.URI.create(
+        spark.sparkContext.getCheckpointDir.get).getPath)
+      def rddDirs(): Int =
+        Option(root.listFiles()).map(_.count(_.getName.startsWith("rdd-")))
+          .getOrElse(0)
+      // 6 rounds checkpointed; reaping may have ALREADY fired during the
+      // loop (that's the point), so assert the steady state: only the
+      // live round (plus at most one not-yet-collected straggler) keeps
+      // its files once GC catches up — not O(iterations) accretion
+      val total = rddDirs()
+      assert(total >= 1, "no checkpoint dirs written at all")
+      val deadline = System.currentTimeMillis() + 30000
+      while (rddDirs() > 2 && System.currentTimeMillis() < deadline) {
+        System.gc(); Thread.sleep(250)
+      }
+      assert(rddDirs() <= 2,
+        s"no mid-run reaping: still ${rddDirs()} checkpoint dirs of 6 rounds")
+      // the live round survives the reaping intact
+      assert(state.agg(org.apache.spark.sql.functions.sum("id"))
+        .head().getLong(0) == (0L until 1000L).sum + 6 * 1000)
+    } finally spark.conf.unset(Checkpoints.CONF)
+  }
+
   /** Capture the executed plans of every listened Dataset action fired
     * inside `f` — the iterative traversals materialize each level via a
     * lineage cut (a listened action), so this is the ONLY external view
@@ -313,6 +355,33 @@ class GraphOpsSpec extends SparkSpecBase {
         "listener flush timed out")
     } finally spark.listenerManager.unregister(listener)
     plans.synchronized(plans.toSeq)
+  }
+
+  test("bfsDepthsDF: frontier flip fires BY SIZE at the default threshold") {
+    // No branch forcing: broadcastRows stays at the production default
+    // (FrontierBroadcastRows = 4M). The fixture makes the flip happen
+    // naturally within ONE run — the seed probe (1 row) takes the
+    // broadcast branch, then a fan-out level pushes the next frontier
+    // past 4M rows and THAT probe must shuffle-join, chosen by the
+    // measured frontier size alone.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = Graphs.FrontierBroadcastRows + 100 // frontier just past the cliff
+    val spokes = spark.range(2L, 2L + n)
+    val edges = spokes.select(lit(1L).as("src"), col("id").as("dst"))
+      .unionAll(spokes.select(col("id").as("src"), lit(0L).as("dst")))
+    withoutAutoBroadcast {
+      val plans = capturePlans {
+        val depths = Graphs.bfsDepthsDF(spark, edges, seed = 1L, maxDepth = 2)
+        assert(depths.count() == n + 2) // seed + n spokes + node 0
+        assert(depths.filter(col("id") === 0L).head().getInt(1) == 2)
+      }
+      assert(plans.exists(_.contains("BroadcastHashJoin")),
+        "the 1-row seed probe should have taken the broadcast branch")
+      assert(plans.exists(p =>
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+        s"the ${n}-row frontier probe never took the shuffle branch")
+    }
   }
 
   test("weightedDistancesDF: both frontier branches — plan shapes differ, results equal") {

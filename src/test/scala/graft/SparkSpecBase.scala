@@ -44,6 +44,11 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+    // STATIC conf (read at context creation by the ContextCleaner): lets
+    // GC'd reliable checkpoints delete their files mid-application — the
+    // production setting for long iterative loops (Checkpoints scaladoc);
+    // GraphOpsSpec asserts the reaping actually happens.
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     .getOrCreate()
 
   override def afterAll(): Unit = {

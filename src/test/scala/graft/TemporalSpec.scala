@@ -33,6 +33,47 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-key reads == single-key reads over the composite key (randomized)") {
+    // The Seq-keyed snapshot / intervalView / sessionize must partition
+    // by (entity, prop_key) exactly as the single-key forms partition by
+    // a pre-concatenated composite — the reference's (entity_id, key,
+    // ts, value) store read both ways.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map(i => (i.toLong, rnd.nextInt(3).toLong,
+      s"p${rnd.nextInt(3)}", rnd.nextInt(50).toLong))
+    val df = rows.toDF("event_id", "user_id", "prop", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val composite = df.withColumn("__ck",
+      concat_ws("", col("user_id"), col("prop")))
+    def keyed(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2))
+    val snapMulti = Temporal.snapshot(df, Seq("user_id", "prop"), "ts",
+        timestamp_seconds(lit(25)), "event_id")
+      .select("user_id", "prop", "event_id").collect().map(keyed).toSet
+    val snapSingle = Temporal.snapshot(composite, "__ck", "ts",
+        timestamp_seconds(lit(25)), "event_id")
+      .select("user_id", "prop", "event_id").collect().map(keyed).toSet
+    assert(snapMulti == snapSingle && snapMulti.nonEmpty)
+    val ivMulti = Temporal.intervalView(df, Seq("user_id", "prop"), "ts",
+        "event_id")
+      .select("user_id", "prop", "event_id", "valid_from", "valid_to")
+      .collect().map(_.toSeq).toSet
+    val ivSingle = Temporal.intervalView(composite, "__ck", "ts", "event_id")
+      .select("user_id", "prop", "event_id", "valid_from", "valid_to")
+      .collect().map(_.toSeq).toSet
+    assert(ivMulti == ivSingle)
+    val sessMulti = Temporal.sessionize(df, Seq("user_id", "prop"), "ts",
+        "event_id", gapSeconds = 10)
+      .select("user_id", "prop", "event_id", "session_id")
+      .collect().map(_.toSeq).toSet
+    val sessSingle = Temporal.sessionize(composite, "__ck", "ts",
+        "event_id", gapSeconds = 10)
+      .select("user_id", "prop", "event_id", "session_id")
+      .collect().map(_.toSeq).toSet
+    assert(sessMulti == sessSingle)
+  }
+
   test("scd2 merge: keep / close+reopen / delete-close / insert-open") {
     import spark.implicits._
     // entity 1 unchanged; 2 deleted; 3 changed (and has a prior closed
