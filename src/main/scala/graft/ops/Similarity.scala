@@ -314,6 +314,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-bucketed APPROXIMATE threshold pairs: the sub-quadratic scale
+    * path for [[thresholdCosinePairs]], exactly as [[ivfTopKPairs]] is
+    * for [[topKCosinePairs]] — seeded k-means buckets + multi-probe
+    * assignment turn the pair enumeration into a bucket-local equi join,
+    * then the exact cosine filter keeps only true pairs. Precision is
+    * 1.0 by construction (every emitted pair passed the exact check);
+    * recall misses only pairs whose members quantize to disjoint probe
+    * sets — ToleranceSpec measures it against the exact kernel. At
+    * 100 TB candidates are bounded by bucket sizes × nprobe, never n².
+    */
+  def ivfThresholdPairs(vecs: DataFrame, threshold: Double,
+      nCentroids: Int, nprobe: Int): DataFrame = {
+    val centroids = kmeansCentroids(vecs, k = nCentroids, maxIter = 10)
+    val assigned = ivfAssign(vecs, centroids, nprobe)
+    val withB = vecs.join(assigned, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        norm(col("embedding")).as("nrm"))
+    val a = withB.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("bucket"), col("nrm").as("a_nrm"))
+    val b = withB.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("bucket").as("b_bucket"),
+      col("nrm").as("b_nrm"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") > threshold)
+      // multi-probe can surface the same pair from two shared buckets
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** k-NN of one query vector: broadcast-as-literal scan, one pass. */
   def knn(vecs: DataFrame, query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)

@@ -275,6 +275,19 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L03d — IVF-bucketed threshold near-dup: the sub-quadratic scale
+    // path for l03c (bucket-local equi join + exact cosine filter, as
+    // l03b is for l03). Engine-only (seeded kmeans); ToleranceSpec gates
+    // precision == 1.0 and measured recall vs the exact l03c pairs.
+    "l03d_ivf_neardup" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      Similarity.ivfThresholdPairs(vecs(s, dir), threshold = 0.4,
+          nCentroids = 8, nprobe = 2)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // L13 — int8-quantized vector search: the exact top-k kernel run over
     // dequantized (scale · codes) vectors — 4× smaller search working
     // set. Engine-only; ToleranceSpec gates the reconstruction-error

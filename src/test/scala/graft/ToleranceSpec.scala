@@ -304,6 +304,31 @@ class ToleranceSpec extends SparkSpecBase {
       s"recall not monotone in nprobe: $curve")
   }
 
+  test("l03d IVF threshold near-dup: precision 1.0 by construction, recall measured") {
+    // The approximate threshold pairs must be a strict SUBSET of the
+    // exact kernel's output (every candidate passes the same exact
+    // cosine filter — precision 1.0), with recall limited only by
+    // bucket-boundary misses, measured against the exact l03c set.
+    def pairSet(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("l03c_cosine_neardup")
+    val ivf = pairSet("l03d_ivf_neardup")
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    assert(ivf.subsetOf(exact),
+      s"false positives: ${ivf.diff(exact).take(3)} — the exact re-check leaked")
+    val recall = ivf.size.toDouble / exact.size
+    info(f"l03d recall vs exact threshold pairs = $recall%.2f (nprobe=2/8)")
+    assert(recall >= 0.5, s"IVF threshold recall $recall")
+    // the emitted similarities must equal the exact kernel's values for
+    // the pairs both found (same fold, same rounding)
+    def valued(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ev = valued("l03c_cosine_neardup")
+    val iv = valued("l03d_ivf_neardup")
+    iv.foreach { case (k, v) => assert(ev(k) == v, s"cos mismatch at $k") }
+  }
+
   test("l13 int8 quantization: codes bounded, error <= scale/2, high recall") {
     import org.apache.spark.sql.functions._
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
