@@ -81,9 +81,12 @@ object TableFunctions {
     df.queryExecution.logical
   }
 
-  /** snapshot(table, entity, ts, at_timestamp, tie_break) — the temporal
-    * time-point read: every entity's latest change point at-or-before
-    * `at_timestamp`.
+  /** snapshot(table, entity_csv, ts, at_timestamp, tie_break) — the
+    * temporal time-point read: every entity's latest change point
+    * at-or-before `at_timestamp`. The entity argument is a CSV key list
+    * (same convention as asof_join's on_csv), so the multi-key
+    * (entity_id, prop_key) store reads from pure SQL too:
+    * snapshot('props', 'user_id,prop_key', 'ts', '...', 'event_id').
     */
   private def snapshotPlan(exprs: Seq[Expression]): LogicalPlan = {
     val fn = "snapshot"
@@ -92,7 +95,7 @@ object TableFunctions {
         s"tie_break), got ${exprs.length}")
     val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
     val s = SparkSession.active
-    Temporal.snapshot(s.table(a(0)), entity = a(1), ts = a(2),
+    Temporal.snapshot(s.table(a(0)), entity = csv(a(1)), ts = a(2),
         t = lit(a(3)).cast("timestamp"), tieBreak = a(4))
       .queryExecution.logical
   }
@@ -106,7 +109,7 @@ object TableFunctions {
       s"$fn takes 4 arguments (table, entity, ts, tie_break), got ${exprs.length}")
     val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
     val s = SparkSession.active
-    Temporal.intervalView(s.table(a(0)), entity = a(1), ts = a(2),
+    Temporal.intervalView(s.table(a(0)), entity = csv(a(1)), ts = a(2),
         tieBreak = a(3))
       .queryExecution.logical
   }
@@ -120,7 +123,7 @@ object TableFunctions {
       s"$fn takes 6 arguments (table, entity, ts, tie_break, t1, t2), got ${exprs.length}")
     val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
     val s = SparkSession.active
-    Temporal.timeRange(s.table(a(0)), entity = a(1), ts = a(2),
+    Temporal.timeRange(s.table(a(0)), entity = csv(a(1)), ts = a(2),
         tieBreak = a(3), t1 = lit(a(4)).cast("timestamp"),
         t2 = lit(a(5)).cast("timestamp"))
       .queryExecution.logical
@@ -136,7 +139,7 @@ object TableFunctions {
     val a = exprs.take(4).zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
     val gap = long(exprs(4), 5, fn)
     val s = SparkSession.active
-    Temporal.sessionize(s.table(a(0)), entity = a(1), ts = a(2),
+    Temporal.sessionize(s.table(a(0)), entity = csv(a(1)), ts = a(2),
         tieBreak = a(3), gapSeconds = gap)
       .queryExecution.logical
   }

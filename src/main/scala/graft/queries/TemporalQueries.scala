@@ -130,6 +130,20 @@ object TemporalQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // T14b — the multi-key snapshot from pure SQL text: the snapshot
+    // TVF's entity argument is a CSV key list (the asof_join on_csv
+    // convention), so the (entity, prop_key) read needs no Scala.
+    // Identical oracle to t14.
+    "t14b_multikey_snapshot_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      ev(s, dir).createOrReplaceTempView("graft_t14b_events")
+      s.sql("""SELECT user_id, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS val_cents
+        |FROM snapshot('graft_t14b_events', 'user_id,event_type', 'ts',
+        |              '2024-01-15 00:00:00', 'event_id')
+        |ORDER BY user_id, event_type""".stripMargin)
+    }),
+
     // T13 — forward-fill resample onto a daily grid: per (user, day of
     // that user's own event span), the latest value at-or-before day end
     // — the piecewise-constant temporal read on a regular grid, built ON
@@ -359,6 +373,15 @@ object TemporalQueries {
       |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  private val t14Oracle =
+    """SELECT user_id, event_type,
+      |  CAST(round(value*100) AS BIGINT) AS val_cents
+      |FROM (SELECT user_id, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   private val t01Oracle =
     """SELECT user_id, CAST(round(value*100) AS BIGINT) AS val_cents
       |FROM (SELECT user_id, value,
@@ -404,14 +427,9 @@ object TemporalQueries {
 
     "t01b_snapshot_sql" -> t01Oracle,
 
-    "t14_multikey_snapshot" ->
-      """SELECT user_id, event_type,
-        |  CAST(round(value*100) AS BIGINT) AS val_cents
-        |FROM (SELECT user_id, event_type, value,
-        |        row_number() OVER (PARTITION BY user_id, event_type
-        |                           ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "t14_multikey_snapshot" -> t14Oracle,
+
+    "t14b_multikey_snapshot_sql" -> t14Oracle,
 
     "t13_resample_ffill" ->
       """WITH span AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,

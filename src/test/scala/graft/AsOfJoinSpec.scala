@@ -319,5 +319,21 @@ class AsOfJoinSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // as of Jan 15: user 1 -> the Jan 14 change (2.0), user 2 -> 9.0
     assert(viaSql == Map(1L -> 2.0, 2L -> 9.0))
+
+    // multi-key: the entity argument is a CSV key list — per
+    // (user_id, prop) the read partitions on BOTH columns
+    val mk = Seq(
+      (1L, "color", java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 1L, 5.0),
+      (1L, "color", java.sql.Timestamp.valueOf("2024-01-14 00:00:00"), 2L, 6.0),
+      (1L, "size", java.sql.Timestamp.valueOf("2024-01-12 00:00:00"), 3L, 7.0))
+      .toDF("user_id", "prop", "ts", "event_id", "value")
+    mk.createOrReplaceTempView("tvf_props_mk")
+    val viaMk = spark.sql(
+      "SELECT user_id, prop, value FROM snapshot('tvf_props_mk', " +
+        "'user_id,prop', 'ts', '2024-01-15 00:00:00', 'event_id') " +
+        "ORDER BY user_id, prop")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(viaMk == Map((1L, "color") -> 6.0, (1L, "size") -> 7.0))
   }
 }
