@@ -41,6 +41,32 @@ object Temporal {
       tieBreak: String): DataFrame =
     snapshot(changes, Seq(entity), ts, t, tieBreak)
 
+  /** BITEMPORAL time-point read: the latest change point at-or-before
+    * `tValid` on the VALID-time axis, among only the change points the
+    * store had RECORDED by `tTx` on the transaction-time axis
+    * (`txTs <= tTx` — late-arriving knowledge is excluded, so a replay
+    * of yesterday's query returns yesterday's answer even after
+    * backfills land). `txTs` may be a timestamp or numeric (µs) column;
+    * `tTx` must compare against it. With `tTx = +∞` this degenerates to
+    * [[snapshot]] (asserted in TemporalSpec). Same single-shuffle window
+    * plan — the tx filter is a pushed scan predicate.
+    */
+  def bitemporalSnapshot(
+      changes: DataFrame,
+      entity: Seq[String],
+      validTs: String,
+      txTs: String,
+      tValid: Column,
+      tTx: Column,
+      tieBreak: String): DataFrame =
+    snapshot(changes.filter(col(txTs) <= tTx), entity, validTs, tValid,
+      tieBreak)
+
+  def bitemporalSnapshot(changes: DataFrame, entity: String, validTs: String,
+      txTs: String, tValid: Column, tTx: Column, tieBreak: String): DataFrame =
+    bitemporalSnapshot(changes, Seq(entity), validTs, txTs, tValid, tTx,
+      tieBreak)
+
   /** Interval view: each change point becomes a row valid on
     * `[ts, next ts)`; the final change point is open (`valid_to` null).
     */

@@ -306,6 +306,28 @@ object TemporalQueries {
         .orderBy("user_id")
     }),
 
+    // T15 — BITEMPORAL read: valid time × transaction time. Each change
+    // point becomes KNOWN (event_id % 5) days after it happened (a
+    // deterministic, per-event ingestion lag — so later events with
+    // short lags can be known while earlier events with long lags are
+    // not, and the bitemporal answer differs from every single-axis
+    // snapshot). The query asks: as the store stood on Jan-15 (tx),
+    // what was each user's value on Jan-13 (valid)? Late-arriving
+    // knowledge is excluded — a replay of that day's query returns that
+    // day's answer even after backfills land.
+    "t15_bitemporal_read" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("tx_us",
+        unix_micros(col("ts")) + (col("event_id") % 5) * lit(86400000000L))
+      Temporal.bitemporalSnapshot(e, entity = Seq("user_id"),
+          validTs = "ts", txTs = "tx_us",
+          tValid = lit("2024-01-13 00:00:00").cast("timestamp"),
+          tTx = lit(1705276800000000L), // 2024-01-15 00:00:00 UTC in µs
+          tieBreak = "event_id")
+        .select(col("user_id"), col("event_id"),
+          cents(col("value")).as("val_cents"))
+        .orderBy("user_id")
+    }),
+
     // T11 — temporal interval-intersection join (the temporal-algebra
     // inner join): the per-user VALUE intervals joined with the per-user
     // EVENT-TYPE intervals (the compacted T08 stream, so the two interval
@@ -545,6 +567,18 @@ object TemporalQueries {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
+
+    "t15_bitemporal_read" ->
+      """SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS val_cents
+        |FROM (SELECT user_id, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events
+        |      WHERE epoch_us(CAST(ts AS TIMESTAMP))
+        |              + (event_id % 5) * 86400000000
+        |            <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+        |        AND ts <= TIMESTAMP '2024-01-13 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "t10_txtime_read" ->
       """WITH s1 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_cents

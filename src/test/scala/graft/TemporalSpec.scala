@@ -74,6 +74,37 @@ class TemporalSpec extends SparkSpecBase {
     assert(sessMulti == sessSingle)
   }
 
+  test("bitemporal snapshot: late knowledge excluded, tTx=inf == snapshot") {
+    import spark.implicits._
+    // user 1's value changes at valid times 10 and 20, but the change at
+    // 20 is only RECORDED at tx 35 (late backfill) while the change at
+    // 10 was recorded immediately (tx 10)
+    val rows = Seq(
+      (1L, 1L, 10L, 10L, 100.0), // (event_id, user, valid, tx, value)
+      (2L, 1L, 20L, 35L, 200.0),
+      (3L, 2L, 5L, 5L, 900.0))
+      .toDF("event_id", "user_id", "sec", "tx_sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    def read(tValidSec: Long, tTxSec: Long): Map[Long, Double] =
+      Temporal.bitemporalSnapshot(rows, "user_id", "ts", "tx_sec",
+          timestamp_seconds(lit(tValidSec)), lit(tTxSec), "event_id")
+        .select("user_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // asking at (valid 25, tx 30): the valid-20 change EXISTS on the
+    // valid axis but was not yet known — the answer is the valid-10 value
+    assert(read(25L, 30L) == Map(1L -> 100.0, 2L -> 900.0))
+    // the same valid-time question after the backfill landed (tx 40)
+    assert(read(25L, 40L) == Map(1L -> 200.0, 2L -> 900.0))
+    // valid-time cutoff still applies independently of tx
+    assert(read(15L, 40L) == Map(1L -> 100.0, 2L -> 900.0))
+    // tTx = +inf degenerates to the plain snapshot
+    val snap = Temporal.snapshot(rows, "user_id", "ts",
+        timestamp_seconds(lit(25L)), "event_id")
+      .select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(read(25L, Long.MaxValue) == snap)
+  }
+
   test("scd2 merge: keep / close+reopen / delete-close / insert-open") {
     import spark.implicits._
     // entity 1 unchanged; 2 deleted; 3 changed (and has a prior closed
