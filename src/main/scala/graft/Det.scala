@@ -32,7 +32,11 @@ object Det {
     * overflow on either engine. This is the determinism primitive for
     * operators whose "randomness" must replay in the oracle (hash walks,
     * fingerprints, fake media features): `xxhash64` has no DuckDB twin,
-    * `md5Long` does ([[duckMd5Long]]).
+    * `md5Long` does ([[duckMd5Long]]). Cost note: md5 is a
+    * cryptographic hash (~3-5× an xxhash64 call) — keep `xxhash64` for
+    * pure-engine hot paths (LSH banding, shingle keys, salting) where
+    * cross-engine replay is not required; these seeded-decision sites
+    * are frontier-/token-scale, where determinism is worth the cycles.
     */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
