@@ -81,6 +81,26 @@ class RandomizedSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
     assert(blockedThr == exactThr && blockedThr.nonEmpty)
+
+    // block-count invariance: the block scheme is a parallelization
+    // detail, never part of the semantics — 1 block (one quadratic task)
+    // and 5 blocks (uneven split) must emit the identical pair set
+    for (nb <- Seq(1, 5)) {
+      val alt = Similarity.thresholdCosinePairs(vecs, thr, blocks = nb)
+        .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("c4"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(alt == exactThr, s"blocks=$nb diverged")
+    }
+
+    // zero-norm vectors have no direction: the kernel must skip their
+    // pairs (not crash, not emit NaN), matching the Column form where
+    // NaN > threshold is false
+    val withZero = vecs.unionAll(
+      Seq((9999L, Array.fill(8)(0f))).toDF("vec_id", "embedding"))
+    val zeroPairs = Similarity.thresholdCosinePairs(withZero, thr, blocks = 4)
+      .filter(col("a_id") === 9999L || col("b_id") === 9999L).count()
+    assert(zeroPairs == 0L, "zero-norm vector leaked into the pair set")
   }
 
   test("connectedComponentsDF == local union-find on random graphs (10 trials)") {

@@ -105,6 +105,32 @@ class TemporalSpec extends SparkSpecBase {
     assert(read(25L, Long.MaxValue) == snap)
   }
 
+  test("bitemporal snapshot == brute-force two-axis scan (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 5) {
+      val rows = (0 until 50).map { i =>
+        val valid = rnd.nextInt(80).toLong
+        // tx at or after valid (records never predate the fact), with a
+        // random lag so late knowledge genuinely interleaves
+        (i.toLong, rnd.nextInt(4).toLong, valid,
+          valid + rnd.nextInt(30).toLong, rnd.nextInt(1000) / 10.0)
+      }
+      val df = rows.toDF("event_id", "user_id", "vsec", "tx_sec", "value")
+        .withColumn("ts", timestamp_seconds(col("vsec"))).drop("vsec")
+      val (tv, tt) = (rnd.nextInt(90).toLong, rnd.nextInt(110).toLong)
+      val got = Temporal.bitemporalSnapshot(df, "user_id", "ts", "tx_sec",
+          timestamp_seconds(lit(tv)), lit(tt), "event_id")
+        .select("user_id", "event_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.filter(r => r._3 <= tv && r._4 <= tt)
+        .groupBy(_._2).map { case (u, rs) =>
+          u -> rs.maxBy(r => (r._3, r._1))._1
+        }
+      assert(got == want, s"tValid=$tv tTx=$tt")
+    }
+  }
+
   test("scd2 merge: keep / close+reopen / delete-close / insert-open") {
     import spark.implicits._
     // entity 1 unchanged; 2 deleted; 3 changed (and has a prior closed
