@@ -339,6 +339,52 @@ object Graphs {
     visited
   }
 
+  /** G20 — multi-source BFS carrying SHORTEST-PATH COUNTS (the Brandes
+    * betweenness building block): per (seed, vertex), the min depth AND
+    * the number of distinct shortest paths reaching it. Counts are exact
+    * integers — level L+1's count(v) is the sum of the level-L parents'
+    * counts, and BFS level order guarantees a parent's count is final
+    * before any child sums it — so the operator is hash-matchable
+    * against a walk-enumeration oracle (a walk whose length equals its
+    * endpoint's min distance is exactly a shortest path). Same per-level
+    * plan as [[multiSourceBfs]] with a (seed, dst) sum aggregation in
+    * place of the distinct; the adaptive frontier broadcast carries
+    * over. Combining a forward run from s with a backward run from t
+    * gives σ_st(v) = paths_s(v) × paths_t(v) wherever
+    * dist_s(v) + dist_t(v) = dist_s(t) — the per-pair dependency terms
+    * betweenness accumulates. Returns (seed, id, dist, paths).
+    */
+  def pathCountBfs(s: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int, broadcastRows: Long = FrontierBroadcastRows): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().transform(Checkpoints.cut)
+    var visited = seeds.select(col("id").cast("long").as("seed"))
+      .distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0).as("dist"),
+        lit(1L).as("paths"))
+      .transform(Checkpoints.cut)
+    var frontier = visited.select("seed", "id", "paths")
+    var frontierRows = frontier.count()
+    var depth = 0
+    while (depth < maxDepth && frontierRows > 0) {
+      depth += 1
+      val probe = if (frontierRows <= broadcastRows) broadcast(frontier)
+        else frontier
+      frontier = probe.join(e, col("id") === col("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum("paths").as("paths"))
+        .withColumnRenamed("dst", "id")
+        .join(visited.select("seed", "id"), Seq("seed", "id"), "left_anti")
+        .transform(Checkpoints.cut)
+      frontierRows = frontier.count()
+      if (frontierRows > 0) visited = visited
+        .unionAll(frontier.select(col("seed"), col("id"),
+          lit(depth).as("dist"), col("paths")))
+        .transform(Checkpoints.cut)
+    }
+    visited
+  }
+
   /** Single-source weighted shortest distances (min-plus), frontier-based
     * Bellman-Ford over DataFrames: each round relaxes only the edges out
     * of vertices improved in the previous round, so a converged region

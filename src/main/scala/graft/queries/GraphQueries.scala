@@ -122,6 +122,32 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G20 — shortest-path counting (the Brandes betweenness building
+    // block): from the canonical seed, the σ-contribution through every
+    // interior vertex for the 3 smallest vertices at exactly distance 3
+    // — sigma = paths_s(v) × paths_t(v) wherever d_s(v) + d_t(v) = 3.
+    // Counts are exact integers, so the query hash-matches a DuckDB
+    // walk-enumeration replay (a walk whose length equals its
+    // endpoint's min distance IS a simple shortest path).
+    "g20_path_counts" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir)
+        .transform(graft.ops.Checkpoints.cut)
+      val seed = edges.agg(min(col("src"))).head().getLong(0)
+      val fwd = Graphs.pathCountBfs(s, edges,
+        s.createDataFrame(Seq(Tuple1(seed))).toDF("id"), maxDepth = 3)
+      val targets = fwd.filter(col("dist") === 3)
+        .select(col("id")).orderBy("id").limit(3)
+      val bwd = Graphs.pathCountBfs(s, edges, targets, maxDepth = 3)
+      fwd.select(col("id"), col("dist").as("d_s"), col("paths").as("p_s"))
+        .join(bwd.select(col("seed").as("t_id"), col("id"),
+          col("dist").as("d_t"), col("paths").as("p_t")), "id")
+        .filter(col("d_s") + col("d_t") === 3 &&
+          col("id") =!= seed && col("id") =!= col("t_id"))
+        .select(col("t_id"), col("id").as("v_id"),
+          (col("p_s") * col("p_t")).as("sigma"))
+        .orderBy("t_id", "v_id")
+    }),
+
     // G07 — global triangle count of the restricted co-part graph.
     "g07_triangles" -> ((s, dir) => {
       val n = Graphs.triangleCount(s, Graphs.copartPairs(s, dir))
@@ -385,6 +411,29 @@ object GraphQueries {
         |SELECT seed, count(*) - 1 AS n_reached,
         |  CAST(sum(dist) AS BIGINT) AS total_dist
         |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Shortest-path counts replayed by WALK ENUMERATION: every walk of
+    // length <= 3 from the seed, then (a) a walk whose length equals its
+    // endpoint's min walk-length is exactly a simple shortest path, and
+    // (b) sigma(t, v) = the number of such paths to t carrying v as an
+    // interior node — identical to the engine's paths_s(v) × paths_t(v)
+    // product by the standard path-composition identity.
+    "g20_path_counts" ->
+      s"""WITH RECURSIVE $copartCte,
+        |seed AS (SELECT min(src) AS s FROM e),
+        |walk(id, d, path) AS (
+        |  SELECT s, 0, [s] FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, w.d + 1, list_append(w.path, e.dst)
+        |  FROM walk w JOIN e ON e.src = w.id WHERE w.d < 3),
+        |md AS (SELECT id, min(d) AS dist FROM walk GROUP BY id),
+        |targets AS (SELECT id FROM md WHERE dist = 3 ORDER BY id LIMIT 3),
+        |sp AS (SELECT w.id AS t_id, w.path FROM walk w
+        |       JOIN targets t ON t.id = w.id WHERE w.d = 3),
+        |interior AS (SELECT t_id, unnest(path[2:3]) AS v_id FROM sp)
+        |SELECT CAST(t_id AS BIGINT) AS t_id, CAST(v_id AS BIGINT) AS v_id,
+        |  CAST(count(*) AS BIGINT) AS sigma
+        |FROM interior GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Exact replay of the seeded hash walks: ranked adjacency (one
     // window), then one unrolled pick+advance join per step, with the

@@ -283,6 +283,54 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(bfs() == bfsLocal)
   }
 
+  test("pathCountBfs: counts == shortest-path enumeration (hand + random)") {
+    import spark.implicits._
+    // diamond + tail: 1->4 has TWO shortest paths (via 2 and via 3),
+    // both extending to 5; 6 hangs off 2 (one path, depth 2)
+    val hand = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (2L, 6L)).toDF("src", "dst")
+    val got = Graphs.pathCountBfs(spark, hand,
+        Seq(1L).toDF("id"), maxDepth = 3)
+      .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> (0, 1L), 2L -> (1, 1L), 3L -> (1, 1L),
+      4L -> (2, 2L), 6L -> (2, 1L), 5L -> (3, 2L)))
+
+    // random digraphs vs a local walk-enumeration oracle (the same
+    // argument the g20 DuckDB oracle rests on: a walk whose length
+    // equals its endpoint's min walk-length is a simple shortest path)
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 5) {
+      val n = 25
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val maxD = 4
+      // enumerate all walks <= maxD from seed 0, tally by (endpoint, len)
+      val tally = scala.collection.mutable.Map[(Long, Int), Long]((0L, 0) -> 1L)
+      var frontier: Map[Long, Long] = Map(0L -> 1L) // endpoint -> walk count
+      for (d <- 1 to maxD) {
+        val next = scala.collection.mutable.Map[Long, Long]()
+        frontier.foreach { case (v, c) =>
+          adj.getOrElse(v, Seq.empty).foreach { w =>
+            next(w) = next.getOrElse(w, 0L) + c
+          }
+        }
+        next.foreach { case (v, c) => tally((v, d)) = c }
+        frontier = next.toMap
+      }
+      val want = tally.keys.groupBy(_._1).map { case (v, ks) =>
+        val dmin = ks.map(_._2).min
+        v -> (dmin, tally((v, dmin)))
+      }
+      val res = Graphs.pathCountBfs(spark, edges.toDF("src", "dst"),
+          Seq(0L).toDF("id"), maxDepth = maxD)
+        .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3)))
+        .toMap
+      assert(res == want, s"trial $trial")
+    }
+  }
+
   test("reliable checkpoints reap mid-loop: dead rounds' files are deleted") {
     // cleanCheckpoints=true (static conf, SparkSpecBase) + the natural
     // loop shape `state = cut(step(state))` — each round drops the only
