@@ -21,18 +21,26 @@ import org.apache.spark.sql.functions._
 object SimIndex {
 
   /** Order-insensitive content signature of an indexed base table:
-    * (row count, bit_xor of per-row xxhash64 over every column) — the
-    * same probe shape as the CC convergence check. Recorded at build
+    * (row count, wrapping SUM of per-row xxhash64 over every column).
+    * Sum, not bit_xor: xor self-cancels on duplicate-row PAIRS, so a
+    * mutated base whose changes happen to come in duplicated rows (e.g.
+    * {r1,r1,r2} vs {r2,r3,r3}) would read as fresh under xor; a mod-2^64
+    * sum only collides under deliberate construction. A plain
+    * `sum(hash)` would overflow BIGINT under ANSI mode, so the sum runs
+    * in decimal(38,0) (room for ~10^19 rows of |hash| ≤ 2^63) and wraps
+    * to the signature long mod 2^64 on the driver. Recorded at build
     * time into `<prefix>_meta`; re-derived from the live base table by
     * [[requireFresh]]. One narrow scan of the base table buys failing
     * FAST on silent staleness (index built from different data than the
     * caller now holds) instead of silently serving wrong candidates.
     */
   def signature(df: DataFrame): (Long, Long) = {
+    val h = xxhash64(df.columns.map(col).toSeq: _*)
     val row = df.agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(df.columns.map(col).toSeq: _*)), lit(0L)))
+      coalesce(sum(h.cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
       .head()
-    (row.getLong(0), row.getLong(1))
+    val sig = row.getDecimal(1).toBigInteger.longValue() // wraps mod 2^64
+    (row.getLong(0), sig)
   }
 
   private def writeSignature(prefix: String, base: DataFrame): Unit = {

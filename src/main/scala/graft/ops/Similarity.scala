@@ -47,12 +47,17 @@ object Similarity {
 
   /** Exact all-pairs cosine over an embeddings table (vec_id, embedding),
     * restricted to a_id < b_id. Norms are computed ONCE per vector before
-    * the join (cheap pre-projection) rather than per pair. Quadratic —
-    * test-scale / within-LSH-bucket use only.
+    * the join (cheap pre-projection) rather than per pair. Zero-norm
+    * vectors are excluded up front: cosine is undefined for them, and a
+    * NaN cos_sim is a trap for Column-form callers (Spark orders NaN
+    * GREATER than every value, so `cos_sim > t` silently passes NaN) —
+    * dropping them matches the blocked kernels' explicit NaN skip.
+    * Quadratic — test-scale / within-LSH-bucket use only.
     */
   def allPairsCosine(vecs: DataFrame): DataFrame = {
     val withNorm = vecs.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
+        norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0.0)
     val a = withNorm.select(col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = withNorm.select(col("vec_id").as("b_id"),
@@ -236,9 +241,11 @@ object Similarity {
           var d = 0
           while (d < av.length) { s += av(d) * bv(d); d += 1 }
           val den = an * bn
-          val raw = s / den
-          if (den != 0.0 && !raw.isNaN && raw > threshold)
-            out += ((math.min(x._1, y._1), math.max(x._1, y._1), raw))
+          if (den != 0.0) {
+            val raw = s / den
+            if (!raw.isNaN && raw > threshold)
+              out += ((math.min(x._1, y._1), math.max(x._1, y._1), raw))
+          }
         }
         out.iterator
     }
@@ -296,9 +303,12 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val centroids = kmeansCentroids(vecs, k = nCentroids, maxIter = 10)
     val assigned = ivfAssign(vecs, centroids, nprobe)
+    // zero-norm exclusion: cosine is undefined and Spark's NaN ordering
+    // (greater than everything) would sneak NaN pairs past > filters
     val withB = vecs.join(assigned, "vec_id")
       .select(col("vec_id"), col("embedding"), col("bucket"),
         norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0.0)
     val a = withB.select(col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("bucket"), col("nrm").as("a_nrm"))
     val b = withB.select(col("vec_id").as("b_id"),
@@ -328,9 +338,13 @@ object Similarity {
       nCentroids: Int, nprobe: Int): DataFrame = {
     val centroids = kmeansCentroids(vecs, k = nCentroids, maxIter = 10)
     val assigned = ivfAssign(vecs, centroids, nprobe)
+    // zero-norm exclusion up front — without it cos_sim = 0/0 = NaN and
+    // NaN > threshold is TRUE under Spark's NaN-greatest ordering, which
+    // would break the precision-1.0 contract documented above
     val withB = vecs.join(assigned, "vec_id")
       .select(col("vec_id"), col("embedding"), col("bucket"),
         norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0.0)
     val a = withB.select(col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("bucket"), col("nrm").as("a_nrm"))
     val b = withB.select(col("vec_id").as("b_id"),

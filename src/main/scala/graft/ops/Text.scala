@@ -333,11 +333,14 @@ object Text {
     * every intermediate below 2^36 — no ANSI-mode long overflow — and
     * the per-token hash is [[graft.Det.md5Long]], so the exact fold
     * replays in DuckDB (l04d is hash-matched, not merely rows-checked).
+    * Tokenization uses the explicit [[GopherWhitespace]] class, NOT `\S+`:
+    * Java `\s` includes U+000B where RE2's does not, so the shorthand
+    * would silently hash-diverge on a doc containing a vertical tab.
     */
   def fingerprint(text: Column): Column = {
     val m = lit(1L << 31)
     aggregate(
-      regexp_extract_all(text, lit("\\S+"), lit(0)),
+      regexp_extract_all(text, lit(s"[^$GopherWhitespace]+"), lit(0)),
       lit(0L),
       (acc, tok) => pmod(acc * lit(31L) + pmod(graft.Det.md5Long(tok), m), m))
   }

@@ -748,12 +748,14 @@ object LlmQueries {
 
     // Rolling fingerprint replay: same fold, same per-token md5-derived
     // hash (Det.duckMd5Long), seed 0 via list_prepend (list_reduce seeds
-    // with the first element).
+    // with the first element). Tokenizer is the explicit GopherWhitespace
+    // class on BOTH engines — Java \s and RE2 \s disagree on U+000B.
     "l04d_fingerprint" -> {
       val tokHash = graft.Det.duckMd5Long("t")
+      val ws = graft.ops.Text.GopherWhitespace
       s"""SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(regexp_extract_all(text, '\\S+'),
+        |    list_transform(regexp_extract_all(text, '[^$ws]+'),
         |      t -> $tokHash % 2147483648)),
         |    (x, y) -> (x * 31 + y) % 2147483648) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin

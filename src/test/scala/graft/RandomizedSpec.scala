@@ -94,13 +94,19 @@ class RandomizedSpec extends SparkSpecBase {
     }
 
     // zero-norm vectors have no direction: the kernel must skip their
-    // pairs (not crash, not emit NaN), matching the Column form where
-    // NaN > threshold is false
+    // pairs (not crash, not emit NaN). NOTE Spark orders NaN GREATER
+    // than every value, so a naive Column-form `cos_sim > t` would PASS
+    // a NaN pair — allPairsCosine therefore excludes zero-norm rows up
+    // front, and the two forms must agree on zero-vector input.
     val withZero = vecs.unionAll(
       Seq((9999L, Array.fill(8)(0f))).toDF("vec_id", "embedding"))
     val zeroPairs = Similarity.thresholdCosinePairs(withZero, thr, blocks = 4)
       .filter(col("a_id") === 9999L || col("b_id") === 9999L).count()
     assert(zeroPairs == 0L, "zero-norm vector leaked into the pair set")
+    val zeroColumn = Similarity.allPairsCosine(withZero)
+      .filter(col("cos_sim") > thr)
+      .filter(col("a_id") === 9999L || col("b_id") === 9999L).count()
+    assert(zeroColumn == 0L, "Column form leaked a NaN pair past > filter")
   }
 
   test("connectedComponentsDF == local union-find on random graphs (10 trials)") {

@@ -133,6 +133,23 @@ class SimIndexSpec extends SparkSpecBase {
     assert(!SimIndex.isFresh(spark, "staleidx", docs))
   }
 
+  test("staleness signature is not xor-blind: duplicate-row-pair mutations detected") {
+    import spark.implicits._
+    // under the old bit_xor signature these two bases collide exactly:
+    // xor self-cancels each duplicated row, leaving h(r2) for both.
+    // Same row count, same column set — only the content sum tells them
+    // apart.
+    val a = Seq(("r1", 1L), ("r1", 1L), ("r2", 2L)).toDF("k", "v")
+    val b = Seq(("r2", 2L), ("r3", 3L), ("r3", 3L)).toDF("k", "v")
+    val (na, siga) = SimIndex.signature(a)
+    val (nb, sigb) = SimIndex.signature(b)
+    assert(na == nb, "fixture must hold row count equal")
+    assert(siga != sigb, "duplicate-pair mutation must change the signature")
+    // and the signature stays order-insensitive: a reshuffled copy matches
+    val (nc, sigc) = SimIndex.signature(a.orderBy(desc("v")).repartition(3))
+    assert((na, siga) == ((nc, sigc)))
+  }
+
   test("shingle index: decontamination matches the string-keyed pass, index side Exchange-free") {
     dropIdx("deconidx_shingles")
     val d = Tables.load(spark, sfDir, "documents")
