@@ -352,7 +352,12 @@ object Graphs {
     * over. Combining a forward run from s with a backward run from t
     * gives σ_st(v) = paths_s(v) × paths_t(v) wherever
     * dist_s(v) + dist_t(v) = dist_s(t) — the per-pair dependency terms
-    * betweenness accumulates. Returns (seed, id, dist, paths).
+    * betweenness accumulates. CAVEAT: that identity requires the
+    * backward run to traverse the TRANSPOSE graph (reversed edges); on a
+    * directed edge list, pass `edges.select(dst as src, src as dst)` for
+    * the t-run, or the terms are silently wrong. g20 gets it for free
+    * only because its input is symmetrized. Returns
+    * (seed, id, dist, paths).
     */
   def pathCountBfs(s: SparkSession, edges: DataFrame, seeds: DataFrame,
       maxDepth: Int, broadcastRows: Long = FrontierBroadcastRows): DataFrame = {
@@ -383,6 +388,84 @@ object Graphs {
         .transform(Checkpoints.cut)
     }
     visited
+  }
+
+  /** G21 — Brandes dependency accumulation: the backward sweep that turns
+    * [[pathCountBfs]]'s per-(seed, vertex) shortest-path counts into
+    * per-(seed, vertex) aggregated dependencies
+    * δ_s(v) = Σ_t σ_st(v)/σ_st — betweenness centrality is then just
+    * Σ_seeds δ_s(v), one aggregation away. The sweep processes BFS levels
+    * in REVERSE: for each level d (deepest first),
+    * δ(v) += σ(v)/σ(w) · (1 + δ(w)) summed over shortest-path DAG edges
+    * (v, w) with dist(w) = dist(v)+1 — BFS level order guarantees δ(w) is
+    * final before any predecessor reads it. Each level is ONE join + agg
+    * with the same adaptive-broadcast shape as the forward pass: the
+    * level-d (seed, id, delta) state is a frontier-sized table probed
+    * against the DAG edge table, which is derived ONCE (two joins of the
+    * edge list against the BFS result) and checkpointed. Per Brandes'
+    * original observation this costs O(levels) passes over E total —
+    * NOT O(V) single-source sweeps — which is what makes betweenness
+    * feasible at scale at all.
+    *
+    * Directed inputs: dependencies propagate along FORWARD edges of the
+    * input (v → w means w is downstream of v on s-paths), the standard
+    * directed-Brandes orientation — no transpose needed here, unlike the
+    * forward×backward σ product identity documented on [[pathCountBfs]].
+    *
+    * δ values are sums of σ ratios — genuine rationals, emitted as
+    * doubles. The operator is therefore spec-gated (random-digraph
+    * equivalence vs a local Brandes oracle in GraphOpsSpec) rather than
+    * hash-oracled; the exact-integer restricted form is the g21b contract
+    * query. Returns (seed, id, dist, paths, delta); δ(seed) itself is
+    * reported but excluded from betweenness by convention.
+    */
+  def brandesDependencies(s: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxDepth: Int,
+      broadcastRows: Long = FrontierBroadcastRows): DataFrame = {
+    val bfs = pathCountBfs(s, edges, seeds, maxDepth, broadcastRows)
+      .transform(Checkpoints.cut)
+    val maxLevel = bfs.agg(coalesce(max("dist"), lit(0))).head().getInt(0)
+    if (maxLevel == 0) // isolated seeds: every δ is 0
+      return bfs.withColumn("delta", lit(0.0))
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    // shortest-path DAG, per seed: edge (v, w) survives iff it advances
+    // the BFS by exactly one level. Derived once, reused every level.
+    val dag = e
+      .join(bfs.select(col("seed"), col("id").as("src"),
+        col("dist").as("d_v"), col("paths").as("p_v")), "src")
+      .join(bfs.select(col("seed"), col("id").as("dst"),
+        col("dist").as("d_w"), col("paths").as("p_w")), Seq("seed", "dst"))
+      .filter(col("d_w") === col("d_v") + 1)
+      .select(col("seed"), col("src"), col("dst"), col("d_w"),
+        (col("p_v").cast("double") / col("p_w")).as("ratio"))
+      .transform(Checkpoints.cut)
+    // per-level reverse sweep; deltaLevel holds level-d state only
+    var deltaLevel = bfs.filter(col("dist") === maxLevel)
+      .select(col("seed"), col("id"), lit(0.0).as("delta"))
+    var deltaAll = deltaLevel
+    var level = maxLevel
+    while (level > 0) {
+      val rows = deltaLevel.count() // materialized for the probe decision
+      val probe = if (rows <= broadcastRows) broadcast(deltaLevel)
+        else deltaLevel
+      val contrib = dag.filter(col("d_w") === level)
+        .join(probe.select(col("seed"), col("id").as("dst"),
+          col("delta").as("d_delta")), Seq("seed", "dst"))
+        .groupBy(col("seed"), col("src"))
+        .agg(sum(col("ratio") * (lit(1.0) + col("d_delta"))).as("delta"))
+        .select(col("seed"), col("src").as("id"), col("delta"))
+      // vertices at level-1 with no DAG successors get δ = 0
+      deltaLevel = bfs.filter(col("dist") === level - 1)
+        .select(col("seed"), col("id"))
+        .join(contrib, Seq("seed", "id"), "left_outer")
+        .select(col("seed"), col("id"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .transform(Checkpoints.cut)
+      deltaAll = deltaAll.unionAll(deltaLevel).transform(Checkpoints.cut)
+      level -= 1
+    }
+    bfs.join(deltaAll, Seq("seed", "id"))
   }
 
   /** Single-source weighted shortest distances (min-plus), frontier-based

@@ -148,6 +148,60 @@ object GraphQueries {
         .orderBy("t_id", "v_id")
     }),
 
+    // G21 — Brandes betweenness via the full dependency back-propagation
+    // sweep (Graphs.brandesDependencies): aggregated δ over ALL targets
+    // reachable within 3 levels from the 3 canonical seeds, one reverse
+    // level-synchronous join+agg per level. δ is a sum of σ ratios —
+    // float — so the registry entry is rows-only; GraphOpsSpec gates the
+    // operator against a local Brandes oracle on random digraphs, and
+    // g21b is the exact-integer hash-matched restriction.
+    "g21_betweenness" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir)
+        .transform(graft.ops.Checkpoints.cut)
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(3)
+      Graphs.brandesDependencies(s, edges, seeds, maxDepth = 3)
+        .filter(col("id") =!= col("seed"))
+        .groupBy("id").agg(round(sum("delta"), 6).as("betweenness"))
+        .orderBy("id")
+    }),
+
+    // G21b — restricted betweenness, EXACT INTEGERS: the betweenness
+    // numerators over the pair set {(s, t1..t3)} (the g20 targets),
+    // scaled by the common σ product — b̂(v) = Σ_t σ_st(v)·Π_{j≠t}σ_stj
+    // = (Πσ)·Σ_t σ_st(v)/σ_st, i.e. Brandes' pair-dependency sum times
+    // an integer constant. Every factor is an exact path count, so the
+    // query hash-matches the DuckDB walk-enumeration replay. The 3-row
+    // σ table is a constant-size driver fetch (like codebook collects).
+    "g21b_restricted_betweenness" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir)
+        .transform(graft.ops.Checkpoints.cut)
+      val seed = edges.agg(min(col("src"))).head().getLong(0)
+      val fwd = Graphs.pathCountBfs(s, edges,
+          s.createDataFrame(Seq(Tuple1(seed))).toDF("id"), maxDepth = 3)
+        .transform(graft.ops.Checkpoints.cut)
+      val targets = fwd.filter(col("dist") === 3)
+        .select(col("id")).orderBy("id").limit(3)
+      val bwd = Graphs.pathCountBfs(s, edges, targets, maxDepth = 3)
+      val sig = fwd.join(targets, "id")
+        .select(col("id"), col("paths")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val scales = sig.map { case (t, _) =>
+        (t, sig.filter(_._1 != t).map(_._2).product)
+      }.toSeq
+      val scaleDf = s.createDataFrame(scales).toDF("t_id", "scale")
+      fwd.select(col("id"), col("dist").as("d_s"), col("paths").as("p_s"))
+        .join(bwd.select(col("seed").as("t_id"), col("id"),
+          col("dist").as("d_t"), col("paths").as("p_t")), "id")
+        .filter(col("d_s") + col("d_t") === 3 &&
+          col("id") =!= seed && col("id") =!= col("t_id"))
+        .join(broadcast(scaleDf), "t_id")
+        .groupBy(col("id"))
+        .agg(sum(col("p_s") * col("p_t") * col("scale")).as("btw_scaled"))
+        .select(col("id").as("v_id"), col("btw_scaled"))
+        .orderBy("v_id")
+    }),
+
     // G07 — global triangle count of the restricted co-part graph.
     "g07_triangles" -> ((s, dir) => {
       val n = Graphs.triangleCount(s, Graphs.copartPairs(s, dir))
@@ -434,6 +488,35 @@ object GraphQueries {
         |SELECT CAST(t_id AS BIGINT) AS t_id, CAST(v_id AS BIGINT) AS v_id,
         |  CAST(count(*) AS BIGINT) AS sigma
         |FROM interior GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Restricted-betweenness numerators replayed by walk enumeration —
+    // g20's oracle extended with the per-target scale Π_{j≠t} σ_j
+    // (product of the OTHER two σ values, each ≤ ~2^26 so the two-way
+    // product is exactly representable before the BIGINT cast) and a
+    // final per-vertex sum over targets.
+    "g21b_restricted_betweenness" ->
+      s"""WITH RECURSIVE $copartCte,
+        |seed AS (SELECT min(src) AS s FROM e),
+        |walk(id, d, path) AS (
+        |  SELECT s, 0, [s] FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, w.d + 1, list_append(w.path, e.dst)
+        |  FROM walk w JOIN e ON e.src = w.id WHERE w.d < 3),
+        |md AS (SELECT id, min(d) AS dist FROM walk GROUP BY id),
+        |targets AS (SELECT id FROM md WHERE dist = 3 ORDER BY id LIMIT 3),
+        |sp AS (SELECT w.id AS t_id, w.path FROM walk w
+        |       JOIN targets t ON t.id = w.id WHERE w.d = 3),
+        |sig AS (SELECT t_id, count(*) AS s_st FROM sp GROUP BY 1),
+        |scales AS (SELECT a.t_id,
+        |    CAST(round(product(b.s_st)) AS BIGINT) AS scale
+        |  FROM sig a JOIN sig b ON b.t_id <> a.t_id GROUP BY a.t_id),
+        |interior AS (SELECT t_id, unnest(path[2:3]) AS v_id FROM sp),
+        |contrib AS (SELECT t_id, v_id, count(*) AS sigma
+        |            FROM interior GROUP BY 1, 2)
+        |SELECT CAST(c.v_id AS BIGINT) AS v_id,
+        |  CAST(sum(c.sigma * s.scale) AS BIGINT) AS btw_scaled
+        |FROM contrib c JOIN scales s ON s.t_id = c.t_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Exact replay of the seeded hash walks: ranked adjacency (one
     // window), then one unrolled pick+advance join per step, with the

@@ -331,6 +331,80 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("brandesDependencies == local Brandes oracle (hand + random digraphs, multi-seed)") {
+    import spark.implicits._
+
+    // local single-source Brandes with the same level cutoff: forward
+    // BFS with σ counts, then the reverse sweep
+    // δ(v) = Σ_{(v,w) DAG} σ(v)/σ(w) · (1 + δ(w))
+    def localBrandes(adj: Map[Long, Seq[Long]], s: Long,
+        maxD: Int): Map[Long, Double] = {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = List(s)
+      var d = 0
+      while (frontier.nonEmpty && d < maxD) {
+        d += 1
+        val next = scala.collection.mutable.LinkedHashSet[Long]()
+        for (v <- frontier; w <- adj.getOrElse(v, Seq.empty)) {
+          if (!dist.contains(w)) { dist(w) = d; next += w }
+          if (dist(w) == d) sigma(w) = sigma.getOrElse(w, 0L) + sigma(v)
+        }
+        frontier = next.toList
+      }
+      val delta = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      val byLevelDesc = dist.toSeq.groupBy(_._2).toSeq.sortBy(-_._1)
+      for ((lvl, vs) <- byLevelDesc; (v, _) <- vs if lvl < maxD)
+        for (w <- adj.getOrElse(v, Seq.empty)
+             if dist.get(w).contains(lvl + 1))
+          delta(v) += sigma(v).toDouble / sigma(w) * (1.0 + delta(w))
+      dist.keys.map(v => v -> delta(v)).toMap
+    }
+
+    // hand case — diamond + tail (same fixture as pathCountBfs):
+    // δ(4) = 1 (only 5 downstream), δ(2) = 0.5·(1+1) + 1 (4 via half the
+    // paths, plus 6), δ(3) = 0.5·(1+1) = 1, δ(1) = 1+2+1... verified by
+    // the oracle; the point of the hand case is the oracle itself.
+    val hand = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (2L, 6L)).toDF("src", "dst")
+    val handAdj = Map(1L -> Seq(2L, 3L), 2L -> Seq(4L, 6L),
+      3L -> Seq(4L), 4L -> Seq(5L))
+    val handWant = localBrandes(handAdj, 1L, 3)
+    val handGot = Graphs.brandesDependencies(spark, hand,
+        Seq(1L).toDF("id"), maxDepth = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(handGot.keySet == handWant.keySet)
+    handWant.foreach { case (v, dl) =>
+      assert(math.abs(handGot(v) - dl) < 1e-9, s"hand δ($v)") }
+    assert(math.abs(handGot(4L) - 1.0) < 1e-9 &&
+      math.abs(handGot(2L) - 2.0) < 1e-9 &&
+      math.abs(handGot(3L) - 1.0) < 1e-9)
+
+    // random digraphs, 3 seeds at once — the engine's multi-seed sweep
+    // must equal 3 independent local runs
+    val rnd = new scala.util.Random(57)
+    for (trial <- 1 to 5) {
+      val n = 30
+      val edges = (1 to 90).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val seeds = Seq(0L, 1L, 2L)
+      val maxD = 4
+      val want = seeds.flatMap(s =>
+        localBrandes(adj, s, maxD).map { case (v, dl) => (s, v) -> dl })
+        .toMap
+      val got = Graphs.brandesDependencies(spark, edges.toDF("src", "dst"),
+          seeds.toDF("id"), maxDepth = maxD)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4))
+        .toMap
+      assert(got.keySet == want.keySet, s"trial $trial vertex sets")
+      want.foreach { case (k, dl) =>
+        assert(math.abs(got(k) - dl) < 1e-9, s"trial $trial δ$k") }
+    }
+  }
+
   test("reliable checkpoints reap mid-loop: dead rounds' files are deleted") {
     // cleanCheckpoints=true (static conf, SparkSpecBase) + the natural
     // loop shape `state = cut(step(state))` — each round drops the only
