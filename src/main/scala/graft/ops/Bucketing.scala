@@ -66,4 +66,29 @@ object Bucketing {
       .partitionBy("p_day")
       .mode("overwrite")
       .parquet(path)
+
+  /** Build-once lifecycle for a day-partitioned MANAGED table (the same
+    * per-(session, name) pattern as Graphs.supplyEdgeTable): `build` runs
+    * only if the catalog doesn't know the table yet, adding a `p_day`
+    * partition column derived from `tsCol`. Readers get static partition
+    * pruning for `p_day` predicates and dynamic partition pruning for
+    * joins on `p_day` against a filtered dim — both plan-asserted in
+    * PlanShapeSpec. At 100 TB this IS the events table layout (SURVEY §7
+    * phase 6): a day predicate prunes directories before any IO.
+    */
+  def dayPartitionedTable(s: org.apache.spark.sql.SparkSession, name: String,
+      tsCol: String)(build: => DataFrame): DataFrame = {
+    if (!s.catalog.tableExists(name)) {
+      dropStaleLocation(s, name)
+      build.withColumn("p_day",
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col(tsCol)))
+        .write
+        .format("parquet")
+        .partitionBy("p_day")
+        .mode("overwrite")
+        .saveAsTable(name)
+    }
+    s.table(name)
+  }
 }

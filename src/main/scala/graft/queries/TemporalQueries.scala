@@ -16,6 +16,16 @@ object TemporalQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** The events table persisted ONCE per (session, sf dir) as a managed
+    * parquet table partitioned by event day — the 100 TB layout (SURVEY
+    * §7 phase 6). t16/t16b read through this; PlanShapeSpec asserts
+    * their scans actually prune (static + dynamic partition pruning).
+    */
+  private def eventsByDay(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bucketing.dayPartitionedTable(s,
+      "graft_events_day_" + dir.replaceAll("[^A-Za-z0-9]", "_"), "ts")(
+      ev(s, dir))
+
   /** Shared inputs for the q10/q10b pair: each purchase probes for the
     * most recent at-or-before click of the same user.
     */
@@ -328,6 +338,43 @@ object TemporalQueries {
         .orderBy("user_id")
     }),
 
+    // T16 — partition-PRUNED time-range scan: the same day-window
+    // semantics as every temporal read's first filter, but against the
+    // day-partitioned events layout (eventsByDay) — the predicate prunes
+    // whole partition directories at planning time instead of filtering
+    // rows post-scan. PlanShapeSpec asserts the executed scan touches
+    // exactly the 5 selected day partitions; at 100 TB this is the
+    // difference between reading 5 directories and a month of them.
+    "t16_pruned_timerange" -> ((s, dir) => {
+      eventsByDay(s, dir)
+        .filter(col("p_day") >= lit("2024-01-10").cast("date") &&
+          col("p_day") < lit("2024-01-15").cast("date"))
+        .groupBy("p_day", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("sum_cents"))
+        .select(col("p_day").cast("timestamp").as("day"), col("event_type"),
+          col("n_events"), col("sum_cents"))
+        .orderBy("day", "event_type")
+    }),
+
+    // T16b — DYNAMIC partition pruning: the day filter lives on a dim
+    // table (every-7th-day calendar slice), not on the fact scan — the
+    // fact partitions to read are only known once the dim is evaluated,
+    // and Spark's DPP turns the broadcast dim into a runtime partition
+    // filter on the events scan (plan-asserted in PlanShapeSpec). The
+    // dim's day arithmetic is engine-portable (day-offset modulo, not
+    // dayofweek — Spark and DuckDB number weekdays differently).
+    "t16b_dpp_day_join" -> ((s, dir) => {
+      val dim = s.range(0, 60).filter(col("id") % 7 === 0)
+        .select(date_add(lit("2024-01-01").cast("date"),
+          col("id").cast("int")).as("p_day"))
+      eventsByDay(s, dir).join(dim, "p_day")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
     // T11 — temporal interval-intersection join (the temporal-algebra
     // inner join): the per-user VALUE intervals joined with the per-user
     // EVENT-TYPE intervals (the compacted T08 stream, so the two interval
@@ -579,6 +626,29 @@ object TemporalQueries {
         |            <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
         |        AND ts <= TIMESTAMP '2024-01-13 00:00:00')
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // t16 reads the day-PARTITIONED copy engine-side; the oracle is the
+    // same day window over raw events (p_day = CAST(ts AS DATE) by
+    // construction).
+    "t16_pruned_timerange" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        |  AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t16b's dim (every 7th day from 2024-01-01, 60-day horizon) is a
+    // pure date predicate, so the oracle inlines it.
+    "t16b_dpp_day_join" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+        |  AND CAST(ts AS DATE) < DATE '2024-01-01' + 60
+        |  AND (CAST(ts AS DATE) - DATE '2024-01-01') % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t10_txtime_read" ->
       """WITH s1 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_cents

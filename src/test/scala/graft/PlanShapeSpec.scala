@@ -213,6 +213,41 @@ class PlanShapeSpec extends SparkSpecBase {
       "l03c regressed to an all-pairs quadratic join")
   }
 
+  test("t16 static partition pruning: the day window prunes the events scan") {
+    val q = SparkEntry.queries("t16_pruned_timerange")(spark, sfDir)
+    val scans = all(q).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no file scan in t16's plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "day predicate did not become a partition filter")
+    // exactly the 5 requested day directories are read; the table holds
+    // a month of them
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 5, s"expected 5 pruned-in partitions, got $selected")
+    val total = spark.sql(
+      s"SHOW PARTITIONS graft_events_day_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_")).count()
+    assert(total >= 29, s"expected ~30 day partitions, got $total")
+  }
+
+  test("t16b dynamic partition pruning: the dim filter prunes the fact scan at runtime") {
+    val q = SparkEntry.queries("t16b_dpp_day_join")(spark, sfDir)
+    q.collect() // DPP instantiates during execution
+    // the events scan must carry a dynamicpruning partition filter fed
+    // by the dim side — the partitioned-fact analog of pushdown: which
+    // directories to read is decided by the dim's rows, not a literal
+    val scans = all(q).collect { case s: FileSourceScanExec => s }
+      .filter(_.partitionFilters.nonEmpty)
+    assert(scans.nonEmpty, "no partitioned scan in t16b's plan")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.find(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery])
+          .isDefined) ||
+        scans.exists(_.partitionFilters.mkString.contains("dynamicpruning"))),
+      s"no dynamic pruning filter on the events scan: " +
+        scans.map(_.partitionFilters.mkString(",")).mkString(" | "))
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q02)") {
     val q = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
     q.collect() // codegen collapse happens per-stage at execution under AQE
