@@ -285,6 +285,29 @@ object TemporalQueries {
         .orderBy("user_id", "bucket")
     }),
 
+    // T09b — the SAME weekly answer from the MAINTAINED index: events
+    // split into 3 deterministic "micro-batches" (event_id mod 3),
+    // folded through the idempotent per-batch MERGE
+    // (Streams.mergeRollup — batch-id-keyed partials, so the replayed
+    // batch 2 below is provably a no-op), then read through
+    // dailyFromPartials + reaggDaily. Hash equality with t09's oracle
+    // proves maintenance ≡ rebuild — the index is maintained on write,
+    // not recomputed per query (the paper's aggregation-index contract).
+    "t09b_rollup_incremental" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val e = ev(s, dir)
+      var state = Streams.rollupPartials(e.filter(lit(false)), -1L)
+      for (b <- 0L to 2L)
+        state = Streams.mergeRollup(state,
+          e.filter(pmod(col("event_id"), lit(3)) === b), b)
+      // retry of the last micro-batch — mergeRollup must absorb it
+      state = Streams.mergeRollup(state,
+        e.filter(pmod(col("event_id"), lit(3)) === 2L), 2L)
+      Temporal.reaggDaily(Streams.dailyFromPartials(state),
+          entity = "user_id", origin = "2024-01-01", days = 7)
+        .orderBy("user_id", "bucket")
+    }),
+
     // T10 — transaction-time read over the SCD2 history: "what did the
     // store BELIEVE at tx time T" — an interval filter on the history's
     // tx-validity columns. Reading at Jan-15 (between the seed and the
@@ -607,6 +630,17 @@ object TemporalQueries {
         |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "t09_rollup_weekly" ->
+      """SELECT user_id,
+        |  CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS bucket,
+        |  min(CAST(round(value*100) AS BIGINT)) AS min_cents,
+        |  max(CAST(round(value*100) AS BIGINT)) AS max_cents,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
+
+    // t09b maintains the index incrementally engine-side; the answer must
+    // equal the from-raw weekly aggregation — same oracle as t09.
+    "t09b_rollup_incremental" ->
       """SELECT user_id,
         |  CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS bucket,
         |  min(CAST(round(value*100) AS BIGINT)) AS min_cents,

@@ -101,6 +101,49 @@ object Streams {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** T09 maintenance, step 1 — reduce one micro-batch to its per-(entity,
+    * day) rollup partials, stamped with the batch id. The batch id is
+    * what makes SUM/COUNT partials retry-safe: unlike [[mergeSnapshot]]'s
+    * max-reduction (naturally idempotent), additive partials would
+    * double-count on a replayed batch, so each batch's contribution is
+    * stored as its OWN rows and a replay REPLACES them ([[mergeRollup]])
+    * instead of adding to them.
+    */
+  def rollupPartials(batch: DataFrame, batchId: Long): DataFrame =
+    graft.ops.Temporal.rollupDaily(batch, entity = "user_id", ts = "ts",
+        valueCents = Det.cents(col("value")))
+      .withColumn("batch_id", lit(batchId))
+
+  /** T09 maintenance, step 2 — idempotent MERGE of one micro-batch into
+    * the partials table: delete any rows this batch id wrote before,
+    * insert the fresh partials. Exactly-once under foreachBatch retries
+    * by construction (replay = same delete + same insert). At 100 TB the
+    * partials table is bucketed on (entity) and the per-batch delta is
+    * tiny — the merge shuffles the batch, never the history; a daily
+    * compaction can fold settled days' partials into one row each
+    * without changing any reader ([[dailyFromPartials]] re-aggregates
+    * either way).
+    */
+  def mergeRollup(state: DataFrame, batch: DataFrame,
+      batchId: Long): DataFrame =
+    state.filter(col("batch_id") =!= batchId)
+      .unionByName(rollupPartials(batch, batchId))
+
+  /** T09 maintenance, read side — the maintained partials table
+    * re-aggregated to the exact [[graft.ops.Temporal.rollupDaily]]
+    * result (min of mins / max of maxes / sum of sums): decomposability
+    * is what makes the aggregation index maintainable at all. Feed this
+    * to [[graft.ops.Temporal.reaggDaily]] for any coarser window — the
+    * raw fact table is never rescanned.
+    */
+  def dailyFromPartials(state: DataFrame): DataFrame =
+    state.groupBy(col("user_id"), col("day"))
+      .agg(
+        min("min_cents").as("min_cents"),
+        max("max_cents").as("max_cents"),
+        sum("sum_cents").as("sum_cents"),
+        sum("cnt").as("cnt"))
+
   /** S13 — stream-stream interval join: each `view` event paired with the
     * same user's `purchase` events in the following 30 minutes
     * (attribution-window join). Both sides carry event-time watermarks and

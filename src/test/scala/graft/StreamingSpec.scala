@@ -404,6 +404,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == streamed)
   }
 
+  test("T09 index maintained by foreachBatch: == batch rollup, replay no-op, reagg from index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // user 1 spans two days (minute 1500 > 24h), user 2 stays in day one
+    val batches = Seq(
+      mkEvents((1, 0, 1, "click", 1.0), (2, 10, 1, "view", 2.5),
+        (3, 5, 2, "click", 3.0)),
+      mkEvents((4, 1500, 1, "click", 4.0), (5, 2, 2, "view", 9.0)),
+      mkEvents((6, 1600, 1, "purchase", 7.0)))
+    val source = MemoryStream[Ev]
+    var state = Streams.rollupPartials(Seq.empty[Ev].toDF(), -1L)
+    var lastBatch: Option[DataFrame] = None
+    var lastId = -1L
+    val q = source.toDF().writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        state = Streams.mergeRollup(state, b, id).localCheckpoint()
+        lastBatch = Some(b.localCheckpoint()); lastId = id
+      }
+      .outputMode(OutputMode.Append()).start()
+    try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    // the maintained partials re-aggregate to the batch-built rollup
+    val all = batches.flatten.toDF()
+    val fromRaw = graft.ops.Temporal.rollupDaily(all, entity = "user_id",
+      ts = "ts", valueCents = graft.Det.cents(col("value")))
+    val streamed = rows(Streams.dailyFromPartials(state))
+    assert(streamed == rows(fromRaw) && streamed.nonEmpty)
+    assert(streamed.map(t => (t._1, t._2)).size > 2,
+      "fixture must produce >1 day for some user")
+    // a RETRIED final micro-batch must not double-count the additive
+    // partials: merge is delete-then-insert keyed by batch id
+    val replayed = Streams.mergeRollup(state, lastBatch.get, lastId)
+    assert(rows(Streams.dailyFromPartials(replayed)) == streamed)
+    // and the coarser window answers FROM the maintained index
+    def weekly(daily: DataFrame) = graft.ops.Temporal.reaggDaily(daily,
+        entity = "user_id", origin = "2023-11-13", days = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(weekly(Streams.dailyFromPartials(state)) == weekly(fromRaw))
+  }
+
   test("S13b outer stream-stream join: unmatched view emits null after watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
