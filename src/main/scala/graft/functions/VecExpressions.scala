@@ -109,13 +109,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** 64-bit SimHash of a token array in ONE pass: per-token xxhash64 (seed
-  * 42, identical to the built-in xxhash64), sign-votes accumulated into 64
-  * counters, sign bits assembled. The pure-Column formulation needs 64
-  * separate aggregate() folds over the token array (O(64·t) interpreted
-  * lambda calls and a plan too large for codegen); this expression is one
-  * tight loop. CodegenFallback: a single virtual call per row is noise
-  * next to the per-token work.
+/** 64-bit SimHash of a token array in ONE pass: per-token 60-bit md5
+  * hash (the top 15 hex nibbles — EXACTLY [[graft.Det.md5Long]], so the
+  * whole fingerprint replays in DuckDB and l07 is hash-matched, not
+  * tolerance-gated), sign-votes accumulated into 64 counters, sign bits
+  * assembled. Bits 60–63 of a 60-bit hash are always 0, so they always
+  * vote -1 and the fingerprint's top nibble is 0 — 60 effective bits,
+  * which the Hamming-locality property is indifferent to. The
+  * pure-Column formulation needs 64 separate aggregate() folds over the
+  * token array (O(64·t) interpreted lambda calls and a plan too large
+  * for codegen); this expression is one tight loop. CodegenFallback: a
+  * single virtual call per row is noise next to the per-token md5.
+  * md5-vs-xxhash cost: ~3-5× per token (Det.scala's documented
+  * tradeoff) — paid here because SimHash IS a seeded-decision operator
+  * whose replay-ability is the point; LSH banding keeps xxhash64.
   */
 case class SimHash64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -132,6 +139,7 @@ case class SimHash64(child: Expression)
     val v = child.eval(input)
     if (v == null) return 0L
     val tokens = v.asInstanceOf[ArrayData]
+    val md = SimHash64.digest.get()
     val votes = new Array[Int](64)
     var i = 0
     while (i < tokens.numElements()) {
@@ -139,9 +147,13 @@ case class SimHash64(child: Expression)
         var bit = 0
         while (bit < 64) { votes(bit) -= 1; bit += 1 }
       } else {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(tokens.getUTF8String(i),
-            org.apache.spark.sql.types.StringType, 42L)
+        md.reset()
+        val d = md.digest(tokens.getUTF8String(i).getBytes)
+        // first 15 hex nibbles == big-endian first 8 bytes >>> 4
+        var be = 0L
+        var b = 0
+        while (b < 8) { be = (be << 8) | (d(b) & 0xFFL); b += 1 }
+        val h = be >>> 4
         var bit = 0
         while (bit < 64) {
           if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
@@ -161,6 +173,13 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+object SimHash64 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 /** Idempotent per-session registration of the engine's native functions —

@@ -690,14 +690,17 @@ object Similarity {
     */
   def simHash(text: Column): Column =
     call_function("simhash64",
-      regexp_extract_all(text, lit("\\S+"), lit(0)))
+      regexp_extract_all(text, lit(s"[^${Text.GopherWhitespace}]+"), lit(0)))
 
   /** Pure-Column reference twin of [[simHash]] (64 aggregate folds —
-    * correct but ~20× slower; kept for the equivalence test).
+    * correct but ~20× slower; kept for the equivalence test). Token hash
+    * and tokenizer match the native expression: Det.md5Long over the
+    * explicit whitespace class, the engine-portable pair.
     */
   def simHashHof(text: Column): Column = {
-    val tokens = regexp_extract_all(text, lit("\\S+"), lit(0))
-    val hashes = transform(tokens, t => xxhash64(t))
+    val tokens = regexp_extract_all(text,
+      lit(s"[^${Text.GopherWhitespace}]+"), lit(0))
+    val hashes = transform(tokens, t => graft.Det.md5Long(t))
     (0 until 64).map { bit =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L)

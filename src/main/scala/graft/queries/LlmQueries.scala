@@ -677,6 +677,28 @@ object LlmQueries {
         |ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin
     },
 
+    // SimHash replay: per-token 60-bit md5 hash (Det.duckMd5Long — the
+    // exact engine hash), then per bit b the sign vote resolves to
+    // "strictly more than half the tokens have bit b set" (ones·2 > t ⟺
+    // votes > 0); 60 CASE terms summed assemble the fingerprint. Bits
+    // 60–63 are structurally 0 on both engines (60-bit token hash).
+    // Tokenizer is the explicit GopherWhitespace class on both sides.
+    "l07_simhash" -> {
+      val tokHash = graft.Det.duckMd5Long("t")
+      val ws = graft.ops.Text.GopherWhitespace
+      val bitTerms = (0 until 60).map { b =>
+        s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) " +
+          s"> len(hs) THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END"
+      }.mkString("\n    + ")
+      s"""WITH toks AS (SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[^$ws]+'),
+        |      t -> $tokHash) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST($bitTerms AS BIGINT) AS simhash
+        |FROM toks ORDER BY doc_id""".stripMargin
+    },
+
     "l08_centroids" ->
       """WITH g AS (SELECT label, embedding,
         |    unnest(generate_series(1, len(embedding))) AS gs
