@@ -66,8 +66,10 @@ object StreamQueries {
     // user. Batch twin runs the O(1)-state secondary-sort fold (a hot
     // user's history streams through, never materialized); StreamingSpec
     // asserts it equals the flatMapGroupsWithState path and a
-    // hand-computed case. Engine-only: the Welford-fold op order has no
-    // exact SQL twin.
+    // hand-computed case. The state is EXACT integer moments
+    // (n, Σcents, Σcents²) and the flag an integer inequality
+    // (Streams.anomalyStep), so since r8 the fold replays exactly in
+    // SQL and the entry is hash-matched (prefix-window oracle).
     "s06_anomaly_flags" -> ((s, dir) => {
       import s.implicits._
       val in = ev(s, dir)
@@ -326,6 +328,33 @@ object StreamQueries {
         |  ON v.user_id = p.user_id
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // s06 replay: per user, prefix window (everything strictly before
+    // this event in event_id order) gives the exact integer moments
+    // (n, S = Σcents, Q = Σcents²); the 3σ flag is the integer
+    // inequality d > 0 ∧ d²(n−1) > 9n(nQ − S²) with d = n·v − S —
+    // identical to Streams.anomalyStep. The two big products run in
+    // HUGEINT (they pass 2^63 at fixture scale, as the engine's BigInt
+    // comparison does).
+    "s06_anomaly_flags" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id,
+        |    CAST(round(value*100) AS BIGINT) AS v,
+        |    count(*) OVER w AS n,
+        |    CAST(coalesce(sum(CAST(round(value*100) AS BIGINT)) OVER w,
+        |         0) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(CAST(round(value*100) AS BIGINT)
+        |           * CAST(round(value*100) AS BIGINT)) OVER w,
+        |         0) AS BIGINT) AS q
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id FROM c
+        |WHERE n >= 2 AND n * v - s > 0
+        |  AND CAST(n * v - s AS HUGEINT) * (n * v - s) * (n - 1)
+        |      > 9 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q
+        |                                  - CAST(s AS HUGEINT) * s)
+        |ORDER BY event_id""".stripMargin,
 
     "s16_latest_state" ->
       """SELECT user_id, event_id AS last_event_id,

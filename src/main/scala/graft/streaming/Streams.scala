@@ -339,8 +339,13 @@ object Streams {
       }
   }
 
-  /** Per-user running state for S06: Welford-style running mean/M2. */
-  case class UserState(n: Long, mean: Double, m2: Double)
+  /** Per-user running state for S06: EXACT integer moments — event
+    * count, Σ cents, Σ cents². Integer state (not Welford mean/M2
+    * doubles) is what makes the 3σ flag decision exact and therefore
+    * hash-matchable against a SQL oracle: the float fold's answer
+    * depends on accumulated rounding, the integer one doesn't.
+    */
+  case class UserState(n: Long, s: Long, q: Long)
   case class EventIn(event_id: Long, user_id: Long, value: Double)
   case class Flagged(event_id: Long, user_id: Long, value: Double,
       anomalous: Boolean)
@@ -622,17 +627,26 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
-  /** One anomaly step (Welford update): state BEFORE the event decides the
-    * flag, then the state absorbs the event. Shared by the streaming
-    * operator and the batch fold.
+  /** One anomaly step: state BEFORE the event decides the flag, then the
+    * state absorbs the event. Shared by the streaming operator and the
+    * batch fold. The flag `v > mean + 3σ` (sample σ) is evaluated as the
+    * EXACT integer inequality
+    *   d > 0  ∧  d²·(n−1) > 9·n·(n·Q − S²)      where d = n·v − S
+    * (multiply through by n²(n−1) > 0; n·Q − S² = n·(n−1)·σ²·... is the
+    * scaled sample variance, ≥ 0 by Cauchy–Schwarz). All terms are
+    * integer cents, so the decision is deterministic and replays exactly
+    * in the DuckDB oracle (s06 is hash-matched). The two big products
+    * exceed 2^63 at fixture scale (d² alone can reach ~10^18 before the
+    * (n−1) factor), so the comparison runs in BigInt — constant-size,
+    * per-event, the same replayability-over-cycles tradeoff as md5Long.
     */
   private def anomalyStep(st: UserState, e: EventIn): (UserState, Flagged) = {
-    val sigma = if (st.n > 1) math.sqrt(st.m2 / (st.n - 1)) else 0.0
-    val anomalous = st.n >= 2 && e.value > st.mean + 3 * sigma
-    val n1 = st.n + 1
-    val d = e.value - st.mean
-    val mean1 = st.mean + d / n1
-    (UserState(n1, mean1, st.m2 + d * (e.value - mean1)),
+    val v = Det.centsJvm(e.value)
+    val d = st.n * v - st.s
+    val anomalous = st.n >= 2 && d > 0 &&
+      BigInt(d) * d * (st.n - 1) >
+        BigInt(9) * st.n * (BigInt(st.n) * st.q - BigInt(st.s) * st.s)
+    (UserState(st.n + 1, st.s + v, st.q + v * v),
       Flagged(e.event_id, e.user_id, e.value, anomalous))
   }
 
@@ -651,7 +665,7 @@ object Streams {
           // Sort buffers one user's slice of ONE micro-batch (bounded by
           // the trigger, not by history). Unbounded batch replays go
           // through [[flagAnomaliesBatch]] instead.
-          var st = state.getOption.getOrElse(UserState(0L, 0.0, 0.0))
+          var st = state.getOption.getOrElse(UserState(0L, 0L, 0L))
           val out = rows.toSeq.sortBy(_.event_id).map { e =>
             val (st2, flagged) = anomalyStep(st, e)
             st = st2
@@ -675,10 +689,10 @@ object Streams {
       .mapPartitions { it =>
         var curUser = 0L
         var started = false
-        var st = UserState(0L, 0.0, 0.0)
+        var st = UserState(0L, 0L, 0L)
         it.map { e =>
           if (!started || e.user_id != curUser) {
-            curUser = e.user_id; started = true; st = UserState(0L, 0.0, 0.0)
+            curUser = e.user_id; started = true; st = UserState(0L, 0L, 0L)
           }
           val (st2, flagged) = anomalyStep(st, e)
           st = st2
