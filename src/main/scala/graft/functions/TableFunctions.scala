@@ -144,6 +144,40 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** bitemporal_snapshot(table, entity_csv, valid_ts, tx_ts, t_valid,
+    * t_tx, tie_break) — the two-axis time-point read: the latest change
+    * at-or-before `t_valid` on the valid-time axis among only the rows
+    * the store had recorded by `t_tx` on the transaction-time axis.
+    * `t_tx` is a timestamp string when `tx_ts` is a timestamp column, or
+    * an integer literal (microseconds) when `tx_ts` is numeric — the
+    * same dual convention the Scala API's Column argument subsumes.
+    */
+  private def bitemporalPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "bitemporal_snapshot"
+    require(exprs.length == 7,
+      s"$fn takes 7 arguments (table, entity_csv, valid_ts, tx_ts, " +
+        s"t_valid, t_tx, tie_break), got ${exprs.length}")
+    val table = str(exprs(0), 1, fn)
+    val entity = csv(str(exprs(1), 2, fn))
+    val (validTs, txTs) = (str(exprs(2), 3, fn), str(exprs(3), 4, fn))
+    val tValid = lit(str(exprs(4), 5, fn)).cast("timestamp")
+    val tTx = exprs(5) match {
+      case l: Literal if l.value != null && (l.dataType match {
+          case _: org.apache.spark.sql.types.ByteType |
+               _: org.apache.spark.sql.types.ShortType |
+               _: org.apache.spark.sql.types.IntegerType |
+               _: org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }) => lit(l.value.toString.toLong)
+      case e => lit(str(e, 6, fn)).cast("timestamp")
+    }
+    val tie = str(exprs(6), 7, fn)
+    val s = SparkSession.active
+    Temporal.bitemporalSnapshot(s.table(table), entity, validTs, txTs,
+        tValid, tTx, tie)
+      .queryExecution.logical
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
     (new FunctionIdentifier("asof_join"),
@@ -160,7 +194,10 @@ object TableFunctions {
       timeRangePlan _),
     (new FunctionIdentifier("sessionize"),
       new ExpressionInfo(getClass.getName, "sessionize"),
-      sessionizePlan _))
+      sessionizePlan _),
+    (new FunctionIdentifier("bitemporal_snapshot"),
+      new ExpressionInfo(getClass.getName, "bitemporal_snapshot"),
+      bitemporalPlan _))
 
   /** Register the TVFs on an already-built session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

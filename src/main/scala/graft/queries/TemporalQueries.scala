@@ -361,6 +361,23 @@ object TemporalQueries {
         .orderBy("user_id")
     }),
 
+    // T15b — the bitemporal read from pure SQL text through the
+    // bitemporal_snapshot TVF: same two-axis semantics as t15 (valid
+    // time ≤ Jan-13 among rows recorded by Jan-15 on the tx axis), the
+    // tx bound passed as a µs integer literal matching the numeric
+    // tx_us column. Identical oracle to t15.
+    "t15b_bitemporal_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      ev(s, dir).withColumn("tx_us",
+          unix_micros(col("ts")) + (col("event_id") % 5) * lit(86400000000L))
+        .createOrReplaceTempView("graft_t15b_events")
+      s.sql("""SELECT user_id, event_id,
+        |  CAST(round(value*100) AS BIGINT) AS val_cents
+        |FROM bitemporal_snapshot('graft_t15b_events', 'user_id', 'ts',
+        |       'tx_us', '2024-01-13 00:00:00', 1705276800000000, 'event_id')
+        |ORDER BY user_id""".stripMargin)
+    }),
+
     // T16 — partition-PRUNED time-range scan: the same day-window
     // semantics as every temporal read's first filter, but against the
     // day-partitioned events layout (eventsByDay) — the predicate prunes
@@ -650,6 +667,20 @@ object TemporalQueries {
         |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin,
 
     "t15_bitemporal_read" ->
+      """SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS val_cents
+        |FROM (SELECT user_id, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events
+        |      WHERE epoch_us(CAST(ts AS TIMESTAMP))
+        |              + (event_id % 5) * 86400000000
+        |            <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+        |        AND ts <= TIMESTAMP '2024-01-13 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // t15b drives the identical bitemporal read from SQL text — same
+    // oracle as t15.
+    "t15b_bitemporal_sql" ->
       """SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS val_cents
         |FROM (SELECT user_id, event_id, value,
         |        row_number() OVER (PARTITION BY user_id

@@ -426,5 +426,25 @@ class TemporalSpec extends SparkSpecBase {
     assertThrows[Exception](spark.sql(
       "SELECT * FROM sessionize('tvf_changes', 'user_id', 'ts', 'event_id', 'soon')")
       .collect())
+    // bitemporal TVF == Scala API, both t_tx conventions: numeric µs
+    // against a numeric tx column, timestamp string against a timestamp
+    // tx column
+    val bi = changes.withColumn("tx_us",
+      unix_micros(col("ts")) + col("event_id") % 3 * lit(86400000000L))
+    bi.createOrReplaceTempView("tvf_bi")
+    assert(rows(spark.sql(
+        "SELECT * FROM bitemporal_snapshot('tvf_bi', 'user_id', 'ts', " +
+          "'tx_us', '2024-01-12 00:00:00', 1705017600000000, 'event_id')")) ==
+      rows(Temporal.bitemporalSnapshot(bi, "user_id", "ts", "tx_us",
+        lit("2024-01-12 00:00:00").cast("timestamp"),
+        lit(1705017600000000L), "event_id")))
+    val bi2 = changes.withColumn("tx_ts", col("ts"))
+    bi2.createOrReplaceTempView("tvf_bi2")
+    assert(rows(spark.sql(
+        "SELECT * FROM bitemporal_snapshot('tvf_bi2', 'user_id', 'ts', " +
+          "'tx_ts', '2024-01-12 00:00:00', '2024-01-11 00:00:00', 'event_id')")) ==
+      rows(Temporal.bitemporalSnapshot(bi2, "user_id", "ts", "tx_ts",
+        lit("2024-01-12 00:00:00").cast("timestamp"),
+        lit("2024-01-11 00:00:00").cast("timestamp"), "event_id")))
   }
 }
