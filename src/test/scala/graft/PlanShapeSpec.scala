@@ -213,6 +213,52 @@ class PlanShapeSpec extends SparkSpecBase {
       "l03c regressed to an all-pairs quadratic join")
   }
 
+  test("stats-driven broadcast: catalog stats pick q04's dim broadcasts without hints") {
+    // The q04 contract query hand-hints nation/region (safe under any
+    // stats regime). This proves the hints are BELT-AND-SUSPENDERS, not
+    // load-bearing: the same join tree planned from ANALYZEd catalog
+    // tables — sizes from statistics, not file-listing guesses — gets
+    // its dim broadcasts from the optimizer alone. At 100 TB this is
+    // the operating mode: a maintained catalog + CBO, not per-query
+    // hand-hints.
+    import org.apache.spark.sql.functions._
+    val names = Seq("lineitem", "orders", "customer", "nation", "region")
+    names.foreach { n =>
+      val tbl = s"graft_cbo_$n"
+      if (!spark.catalog.tableExists(tbl)) {
+        graft.ops.Bucketing.dropStaleLocation(spark, tbl)
+        Tables.load(spark, sfDir, n).write.mode("overwrite").saveAsTable(tbl)
+      }
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+    }
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val q = spark.table("graft_cbo_lineitem")
+        .join(spark.table("graft_cbo_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(spark.table("graft_cbo_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(spark.table("graft_cbo_nation"), // NO broadcast() hint
+          col("c_nationkey") === col("n_nationkey"))
+        .join(spark.table("graft_cbo_region")
+            .filter(col("r_name") === "ASIA"), // NO hint either
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(graft.Det.sumCents(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue_cents"))
+      val p = all(q)
+      assert(p.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+        s"stats did not drive >=2 broadcasts: ${p.map(_.nodeName).distinct}")
+      assert(!p.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+        !p.exists(_.isInstanceOf[CartesianProductExec]))
+    } finally prevCbo match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("t16 static partition pruning: the day window prunes the events scan") {
     val q = SparkEntry.queries("t16_pruned_timerange")(spark, sfDir)
     val scans = all(q).collect { case s: FileSourceScanExec => s }
