@@ -702,6 +702,50 @@ object Graphs {
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** G22 — bounded k-TRUSS peeling over canonical (x < y) pairs: each
+    * round computes per-edge SUPPORT (the number of triangles the edge
+    * closes) and drops edges with support < k−2; the fix point is the
+    * k-truss, the standard cohesive-subgraph strengthening of k-core
+    * (an edge must be embedded in triangles, not merely touch a
+    * well-connected vertex). Bounded rounds keep the operator
+    * deterministic and hash-oracle-able — the same contract as
+    * [[kCorePeelDF]]'s bounded peeling.
+    *
+    * Per round: canonical triangle enumeration as a 2-join over the
+    * surviving edge list (a<b<c via (a,b)⋈(a,c)⋈(b,c) — each triangle
+    * materializes ONCE), then each triangle votes support into its 3
+    * edges and a groupBy counts. Support recomputation-from-scratch per
+    * round (not decremented) keeps every round a pure function of the
+    * surviving edge set — idempotent, retry-safe, and exactly
+    * replayable in SQL. At 100 TB: the joins are equi joins on (x) and
+    * (x, y); bucket the edge table on x and the triangle enumeration is
+    * co-located, the same layout the triangle count uses; each round is
+    * O(Σ min(deg)) like any sorted-adjacency triangle pass.
+    */
+  def kTrussPeel(s: SparkSession, pairs: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var e = pairs.select(col("x").cast("long"), col("y").cast("long"))
+      .distinct().transform(Checkpoints.cut)
+    for (_ <- 1 to rounds) {
+      val ab = e.select(col("x").as("a"), col("y").as("b"))
+      val ac = e.select(col("x").as("a2"), col("y").as("c"))
+      val bc = e.select(col("x").as("b2"), col("y").as("c2"))
+      val tri = ab
+        .join(ac, col("a") === col("a2") && col("b") < col("c"))
+        .join(bc, col("b2") === col("b") && col("c2") === col("c"))
+        .select(col("a"), col("b"), col("c"))
+      val support = tri.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(tri.select(col("a").as("x"), col("c").as("y")))
+        .unionAll(tri.select(col("b").as("x"), col("c").as("y")))
+        .groupBy("x", "y").agg(count(lit(1)).as("support"))
+      e = e.join(support, Seq("x", "y"), "left_outer")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select("x", "y")
+        .transform(Checkpoints.cut)
+    }
+    e
+  }
+
   /** Global triangle count over canonical (src < dst) pairs. */
   def triangleCount(s: SparkSession, pairs: DataFrame): Long = {
     val e = pairs.select(col("x").cast("long"), col("y").cast("long"))

@@ -208,6 +208,19 @@ object GraphQueries {
       s.createDataFrame(Seq(Tuple1(n))).toDF("n_triangles")
     }),
 
+    // G22 — bounded 3-truss peeling on the co-part graph (2 rounds):
+    // the surviving edges are those still embedded in a triangle after
+    // the first purge removed triangle-free edges (removals can break
+    // other edges' triangles — hence rounds). Exact set semantics +
+    // integer supports → hash-matched against a 2-round unrolled DuckDB
+    // replay, like g13/g14's bounded peels. GraphOpsSpec additionally
+    // gates the operator against a local peeling oracle on random
+    // graphs.
+    "g22_ktruss" -> ((s, dir) => {
+      Graphs.kTrussPeel(s, Graphs.copartPairs(s, dir), k = 3, rounds = 2)
+        .orderBy("x", "y")
+    }),
+
     // G08 — PageRank on G_supply, 10 fixed iterations, via the
     // Catalyst-native power iteration (pageRankDF; the GraphX twin is
     // asserted within 1e-6 with identical top-20 order in ToleranceSpec).
@@ -488,6 +501,28 @@ object GraphQueries {
         |SELECT CAST(t_id AS BIGINT) AS t_id, CAST(v_id AS BIGINT) AS v_id,
         |  CAST(count(*) AS BIGINT) AS sigma
         |FROM interior GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 2-round unrolled 3-truss replay: per round, canonical triangles
+    // (a<b<c) from the surviving pairs, each voting support into its 3
+    // edges; edges with support >= 1 survive. Mirrors the engine's
+    // recompute-per-round semantics exactly.
+    "g22_ktruss" -> {
+      def round(in: String, i: Int): String =
+        s"""t$i AS (SELECT ab.x AS a, ab.y AS b, ac.y AS c
+          |  FROM $in ab JOIN $in ac ON ac.x = ab.x AND ab.y < ac.y
+          |              JOIN $in bc ON bc.x = ab.y AND bc.y = ac.y),
+          |s$i AS (SELECT x, y, count(*) AS sup FROM (
+          |    SELECT a AS x, b AS y FROM t$i
+          |    UNION ALL SELECT a, c FROM t$i
+          |    UNION ALL SELECT b, c FROM t$i) GROUP BY 1, 2),
+          |p$i AS (SELECT p.x, p.y FROM $in p
+          |        JOIN s$i s ON s.x = p.x AND s.y = p.y
+          |        WHERE s.sup >= 1)""".stripMargin
+      s"""WITH $copartCte,
+        |${round("pairs", 1)},
+        |${round("p1", 2)}
+        |SELECT x, y FROM p2 ORDER BY x, y""".stripMargin
+    },
 
     // Restricted-betweenness numerators replayed by walk enumeration —
     // g20's oracle extended with the per-target scale Π_{j≠t} σ_j

@@ -171,6 +171,49 @@ object LlmQueries {
     "l19_gopher_flags" -> ((s, dir) =>
       Text.gopherFlags(docs(s, dir)).orderBy("doc_id")),
 
+    // L23 — per-source document cap (domain balancing): keep the top-10
+    // docs of each source by (n_chars desc, doc_id) — the per-domain
+    // quota every web-scale corpus applies so no single domain dominates
+    // training. A model quality score slots into the ORDER BY in
+    // production; the deterministic proxy keeps the contract
+    // hash-matched. One window shuffle on source; at 100 TB source is
+    // the natural partition key and the cap never materializes more
+    // than N rows per key past the rank filter.
+    "l23_source_cap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select("source", "rk", "doc_id", "n_chars")
+        .orderBy("source", "rk")
+    }),
+
+    // L24 — mixture weights over the quality-gated corpus (α = 1/2
+    // temperature): per-source sampling weight ∝ sqrt(survivor count),
+    // the standard low-resource-upweighting rule for multi-corpus
+    // training mixes. Cross-engine exactness via QUANTIZE-THEN-SUM:
+    // each source's sqrt is rounded to 1e-6 FIRST (IEEE sqrt + round —
+    // bit-identical on both engines), and the normalizing denominator
+    // is the integer sum of those quanta — order-free, unlike a float
+    // Σsqrt whose partial-sum order could flip a rounded digit. The
+    // same quantization is what makes the weights reproducible across
+    // cluster topologies at 100 TB.
+    "l24_mixture_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = Text.gopherFlags(d).filter(col("keep"))
+        .select("doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+      val counts = kept.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("q", round(sqrt(col("n_docs")) * lit(1e6)).cast("long"))
+      val total = counts.agg(sum(col("q")).as("q_total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"),
+          round(col("q") / col("q_total"), 6).as("weight"))
+        .orderBy("source")
+    }),
+
     // L20 — binary (sign-bit) embeddings: 64 float dims -> two 32-bit
     // sign words (32x working-set shrink); exact integer fold, so the
     // packed words hash-match the SQL oracle.
@@ -897,6 +940,44 @@ object LlmQueries {
         |    AND COALESCE(mean_word_len BETWEEN 2.0 AND 12.0, false)
         |    AND COALESCE(stop_frac >= 0.01, false) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "l23_source_cap" ->
+      """SELECT source, rk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    // l24 replays the l19 gate, then the quantize-then-sum weights: each
+    // source's sqrt rounded to 1e-6 first, integer-summed denominator.
+    "l24_mixture_weights" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'))
+        |      AS BIGINT) AS n_words,
+        |    len(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS wc,
+        |    CAST(len(list_filter(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+'),
+        |      w -> list_contains(['the','a','an','and','of','to','in','is',
+        |                          'that','for','on','with','as'], lower(w))))
+        |      AS BIGINT) AS n_stop
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0
+        |      THEN round(CAST(wc AS DOUBLE) / n_words, 4) END AS mean_word_len,
+        |    CASE WHEN n_words > 0
+        |      THEN round(CAST(n_stop AS DOUBLE) / n_words, 4) END AS stop_frac
+        |  FROM m),
+        |kept AS (SELECT d.source FROM documents d JOIN f ON f.doc_id = d.doc_id
+        |  WHERE (f.n_words BETWEEN 5 AND 100000)
+        |    AND COALESCE(f.mean_word_len BETWEEN 2.0 AND 12.0, false)
+        |    AND COALESCE(f.stop_frac >= 0.01, false)),
+        |counts AS (SELECT source, count(*) AS n_docs,
+        |    CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS q
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT CAST(sum(q) AS BIGINT) AS q_total FROM counts)
+        |SELECT source, n_docs,
+        |  round(CAST(q AS DOUBLE) / q_total, 6) AS weight
+        |FROM counts, tot ORDER BY source""".stripMargin,
 
     "l20_sign_pack" -> signPackSql("SELECT vec_id, w0, w1 FROM packed ORDER BY vec_id"),
 

@@ -405,6 +405,55 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("kTrussPeel == local peeling oracle (hand + random graphs)") {
+    import spark.implicits._
+
+    def localTruss(pairs: Set[(Long, Long)], k: Int,
+        rounds: Int): Set[(Long, Long)] = {
+      var e = pairs
+      for (_ <- 1 to rounds) {
+        def connected(a: Long, b: Long) =
+          e.contains((math.min(a, b), math.max(a, b)))
+        val verts = e.flatMap(p => Seq(p._1, p._2))
+        e = e.filter { case (x, y) =>
+          verts.count(w => w != x && w != y &&
+            connected(x, w) && connected(y, w)) >= k - 2
+        }
+      }
+      e
+    }
+
+    // hand case: a triangle with a pendant edge — the pendant dies in
+    // round 1 at k=3, the triangle survives both rounds
+    val hand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val handGot = Graphs.kTrussPeel(spark, hand, k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(handGot == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    // a chained collapse: two triangles sharing edge (2,3), one edge of
+    // the second triangle also in NO other triangle — removing nothing
+    // round 1 (all edges in a triangle), so survivors are stable
+    val rnd = new scala.util.Random(91)
+    for (trial <- 1 to 5) {
+      val n = 18
+      val pairs = (1 to 70).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val want = localTruss(pairs.toSet, k = 3, rounds = 3)
+      val got = Graphs.kTrussPeel(spark, pairs.toDF("x", "y"),
+          k = 3, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"trial $trial")
+      // k=4 is strictly tighter
+      val want4 = localTruss(pairs.toSet, k = 4, rounds = 3)
+      val got4 = Graphs.kTrussPeel(spark, pairs.toDF("x", "y"),
+          k = 4, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got4 == want4 && got4.subsetOf(got), s"trial $trial k=4")
+    }
+  }
+
   test("reliable checkpoints reap mid-loop: dead rounds' files are deleted") {
     // cleanCheckpoints=true (static conf, SparkSpecBase) + the natural
     // loop shape `state = cut(step(state))` — each round drops the only
