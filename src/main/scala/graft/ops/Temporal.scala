@@ -372,4 +372,41 @@ object Temporal {
   def resampleDaily(changes: DataFrame, entity: String, ts: String,
       value: String, tieBreak: String): DataFrame =
     resampleDaily(changes, Seq(entity), ts, value, tieBreak)
+
+  /** T17 — gap detection (the dual of [[sessionize]]): per entity, emit
+    * every silence STRICTLY longer than `minGapSeconds` between
+    * consecutive change points as an interval
+    * `(entity…, gap_start, gap_end, gap_us)` — the downtime/outage view
+    * a monitoring or data-freshness pipeline reads, where sessionize's
+    * islands are the uptime view of the very same lag. Consistent with
+    * sessionize's boundary rule: a gap of exactly the threshold is NOT
+    * reported.
+    *
+    * One shuffle on the entity key(s) and a single lag window — no
+    * self-join. At 100 TB the window's per-key state is one row (the
+    * previous timestamp), and the output is bounded by the event count,
+    * in practice a tiny fraction of it. Ordering ties at equal ts break
+    * by `tieBreak` so duplicate timestamps pair deterministically (their
+    * internal gap is 0 and never reported).
+    */
+  def gaps(
+      df: DataFrame,
+      entity: Seq[String],
+      ts: String,
+      tieBreak: String,
+      minGapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(entity.map(col): _*)
+      .orderBy(col(ts).asc, col(tieBreak).asc)
+    df.withColumn("__prev", lag(col(ts), 1).over(order))
+      .withColumn("gap_us",
+        unix_micros(col(ts)) - unix_micros(col("__prev")))
+      .filter(col("__prev").isNotNull &&
+        col("gap_us") > lit(minGapSeconds * 1000000L))
+      .select(entity.map(col) :+ col("__prev").as("gap_start") :+
+        col(ts).as("gap_end") :+ col("gap_us"): _*)
+  }
+
+  def gaps(df: DataFrame, entity: String, ts: String, tieBreak: String,
+      minGapSeconds: Long): DataFrame =
+    gaps(df, Seq(entity), ts, tieBreak, minGapSeconds)
 }

@@ -344,4 +344,31 @@ object Text {
       lit(0L),
       (acc, tok) => pmod(acc * lit(31L) + pmod(graft.Det.md5Long(tok), m), m))
   }
+
+  /** L25 — PII scrubbing patterns, deliberately restricted to syntax
+    * Java regex and RE2 interpret identically (explicit classes, bounded
+    * quantifiers; no \b, no \d shorthand — same portability discipline
+    * as [[GopherWhitespace]]). Emails then dashed phone numbers then
+    * bare long digit runs; the order matters only if a pattern could
+    * match inside an earlier replacement, which `<EMAIL>`/`<PHONE>`
+    * tokens (letter-only) cannot.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val IdRe = "[0-9]{9,}"
+
+  /** Per-row PII redaction: counts of each pattern in `text` plus the
+    * scrubbed string. Pure per-row codegen'd regex work — no shuffle, no
+    * UDF; at 100 TB this pipelines inside the scan's whole-stage-codegen
+    * like any other projection.
+    */
+  def piiRedact(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+    regexp_count(text, lit(PhoneRe)).cast("long").as("n_phones"),
+    regexp_count(text, lit(IdRe)).cast("long").as("n_ids"),
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IdRe, "<ID>").as("redacted"))
 }

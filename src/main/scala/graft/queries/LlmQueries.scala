@@ -214,6 +214,41 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // L25 — PII redaction: emails / dashed phone numbers / long digit
+    // runs scrubbed to typed placeholder tokens, with per-doc match
+    // counts — the scrub every web-scale corpus runs before training.
+    // The synthetic corpus carries no PII, so a deterministic contact
+    // trailer derived from doc_id is appended IDENTICALLY on both
+    // engines first (variable shape: every doc one email + one phone,
+    // every 3rd a second email, every 5th an account number) — the
+    // redaction itself is genuinely exercised, not a no-op. Patterns are
+    // restricted to Java-regex/RE2-identical syntax (Text.EmailRe etc.);
+    // output carries md5(redacted) so the full scrubbed string is
+    // hash-matched without shipping it. Pure per-row projection work —
+    // pipelines inside scan codegen, no shuffle.
+    "l25_pii_redact" -> ((s, dir) => {
+      val full = concat(
+        col("text"),
+        lit(" Contact doc"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" or doc"), col("doc_id").cast("string"),
+            lit(".alt@mail"), (col("doc_id") % 7).cast("string"),
+            lit(".example.org"))).otherwise(lit("")),
+        lit(" call +"), (col("doc_id") % 89 + 1).cast("string"),
+        lit("-"), (col("doc_id") % 900 + 100).cast("string"),
+        lit("-"), (col("doc_id") % 9000 + 1000).cast("string"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" acct "),
+            (col("doc_id") * 97 + 123456789L).cast("string")))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .select(col("doc_id") +: Text.piiRedact(full): _*)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ids"), md5(col("redacted")).as("red_md5"))
+        .orderBy("doc_id")
+    }),
+
     // L20 — binary (sign-bit) embeddings: 64 float dims -> two 32-bit
     // sign words (32x working-set shrink); exact integer fold, so the
     // packed words hash-match the SQL oracle.
@@ -978,6 +1013,37 @@ object LlmQueries {
         |SELECT source, n_docs,
         |  round(CAST(q AS DOUBLE) / q_total, 6) AS weight
         |FROM counts, tot ORDER BY source""".stripMargin,
+
+    // l25 rebuilds the same contact trailer, then replays the same
+    // 3-pattern scrub; md5 agrees byte-for-byte across engines.
+    "l25_pii_redact" ->
+      """WITH f AS (SELECT doc_id,
+        |    text || ' Contact doc' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com'
+        |      || CASE WHEN doc_id % 3 = 0
+        |           THEN ' or doc' || CAST(doc_id AS VARCHAR) || '.alt@mail'
+        |             || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+        |           ELSE '' END
+        |      || ' call +' || CAST(doc_id % 89 + 1 AS VARCHAR)
+        |      || '-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN ' acct ' || CAST(doc_id * 97 + 123456789 AS VARCHAR)
+        |           ELSE '' END AS doctext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(doctext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(doctext,
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(doctext, '[0-9]{9,}')) AS BIGINT)
+        |    AS n_ids,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(doctext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{9,}', '<ID>', 'g')) AS red_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "l20_sign_pack" -> signPackSql("SELECT vec_id, w0, w1 FROM packed ORDER BY vec_id"),
 

@@ -415,6 +415,18 @@ object TemporalQueries {
         .orderBy("event_type")
     }),
 
+    // T17 — gap detection, the dual of sessionize: every per-user
+    // silence strictly longer than 1 day between consecutive events,
+    // emitted as (user, gap_start, gap_end, gap_us) — the downtime /
+    // data-freshness view of the same lag window t06 builds islands
+    // from. One entity shuffle, exact integer microseconds.
+    "t17_gap_detect" -> ((s, dir) => {
+      Temporal.gaps(ev(s, dir), "user_id", "ts", "event_id",
+          minGapSeconds = 86400L)
+        .select("user_id", "gap_start", "gap_end", "gap_us")
+        .orderBy("user_id", "gap_start")
+    }),
+
     // T11 — temporal interval-intersection join (the temporal-algebra
     // inner join): the per-user VALUE intervals joined with the per-user
     // EVENT-TYPE intervals (the compacted T08 stream, so the two interval
@@ -714,6 +726,22 @@ object TemporalQueries {
         |  AND CAST(ts AS DATE) < DATE '2024-01-01' + 60
         |  AND (CAST(ts AS DATE) - DATE '2024-01-01') % 7 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t17_gap_detect" ->
+      """WITH o AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |                  ORDER BY ts, event_id) AS pts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(pts AS TIMESTAMP) AS gap_start,
+        |  CAST(ts AS TIMESTAMP) AS gap_end,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - epoch_us(CAST(pts AS TIMESTAMP)) AS gap_us
+        |FROM o
+        |WHERE pts IS NOT NULL
+        |  AND epoch_us(CAST(ts AS TIMESTAMP))
+        |    - epoch_us(CAST(pts AS TIMESTAMP)) > 86400000000
+        |ORDER BY user_id, gap_start""".stripMargin,
 
     "t10_txtime_read" ->
       """WITH s1 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_cents

@@ -227,6 +227,46 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("gaps is the dual of sessionize: breaks align, boundary excluded (randomized)") {
+    // Same lag, two views: sessionize's session increments happen exactly
+    // at the silences gaps() reports, so per entity
+    // n_gaps == max(session_id), and each reported (gap_start, gap_end)
+    // must be a consecutive cross-session pair. Exact-threshold rule
+    // shares sessionize's: == gap is NOT a gap.
+    val rnd = new scala.util.Random(29)
+    val gapSec = 100L
+    val rows = (0 until 80).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(5000).toLong))
+    val df = changeDf(rows)
+    val sessions = Temporal.sessionize(df, "user_id", "ts", "event_id", gapSec)
+      .groupBy("user_id").agg(max(col("session_id")).as("n_breaks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gaps = Temporal.gaps(df, "user_id", "ts", "event_id", gapSec)
+      .select(col("user_id"), unix_micros(col("gap_start")).as("f"),
+        unix_micros(col("gap_end")).as("t"), col("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byEntity = gaps.groupBy(_._1)
+    (0L to 2L).foreach { u =>
+      assert(byEntity.getOrElse(u, Array.empty).length ==
+        sessions.getOrElse(u, 0L), s"entity $u")
+    }
+    gaps.foreach { case (_, f, t, us) =>
+      assert(us == t - f && us > gapSec * 1000000L)
+    }
+
+    // boundary: exactly-threshold silence is not reported, +1us is
+    val base = 1700000000000000L
+    import spark.implicits._
+    val edge = Seq((1L, 1L, base), (2L, 1L, base + gapSec * 1000000L),
+        (3L, 1L, base + 2 * gapSec * 1000000L + 1))
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = Temporal.gaps(edge, "user_id", "ts", "event_id", gapSec)
+      .select("gap_us").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(gapSec * 1000000L + 1))
+  }
+
   test("compaction == linear-scan oracle, null-safe, idempotent (randomized)") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)

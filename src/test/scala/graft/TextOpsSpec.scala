@@ -178,6 +178,27 @@ class TextOpsSpec extends SparkSpecBase {
     assert(Text.vocabCoverage(empty, 2).collect().isEmpty)
   }
 
+  test("piiRedact: counts and scrub on hand-built strings, clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b-c_d%e+f@sub.example.co.uk now"),
+      (2L, "call +1-555-0123 or 44-123-4567 done"),
+      (3L, "acct 123456789 id 98765432109876 short 12345678"),
+      (4L, "x@y.io +1-555-0123 123456789 together"),
+      (5L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val got = rows
+      .select(col("doc_id") +: graft.ops.Text.piiRedact(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == (1L, 0L, 0L, "mail <EMAIL> now"))
+    assert(got(2L) == (0L, 2L, 0L, "call <PHONE> or <PHONE> done"))
+    // 8-digit run is below the >=9 ID floor and survives
+    assert(got(3L) == (0L, 0L, 2L, "acct <ID> id <ID> short 12345678"))
+    assert(got(4L) == (1L, 1L, 1L, "<EMAIL> <PHONE> <ID> together"))
+    assert(got(5L) == (0L, 0L, 0L, "no pii here at all"))
+  }
+
   test("gopherFlags: each rule flips on its own boundary case") {
     import spark.implicits._
     val docs = Seq(
