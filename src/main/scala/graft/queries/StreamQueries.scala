@@ -180,6 +180,21 @@ object StreamQueries {
         .orderBy("view_id", "purchase_id")
     }),
 
+    // S17 — FULL OUTER stream-stream join: the join matrix's last cell —
+    // unmatched views AND unmatched purchases both survive, nulls
+    // coalesced to -1 for a divergence-free total order. Symmetric
+    // watermark eviction is asserted in StreamingSpec; this batch twin
+    // is hash-checked.
+    "s17_stream_full_outer" -> ((s, dir) => {
+      val e = ev(s, dir)
+      Streams.viewPurchaseJoinFull(e, e)
+        .select(coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          col("user_id"),
+          coalesce(col("delta_us"), lit(-1L)).as("delta_us"))
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // S16 — latest-state snapshot (batch form of the foreachBatch
     // maintenance sink): one row per user, greatest (ts, event_id). The
     // SAME latestState step reduces each micro-batch in mergeSnapshot;
@@ -355,6 +370,18 @@ object StreamQueries {
         |      > 9 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * q
         |                                  - CAST(s AS HUGEINT) * s)
         |ORDER BY event_id""".stripMargin,
+
+    "s17_stream_full_outer" ->
+      """SELECT coalesce(v.event_id, -1) AS view_id,
+        |  coalesce(p.event_id, -1) AS purchase_id,
+        |  coalesce(v.user_id, p.user_id) AS user_id,
+        |  coalesce(epoch_us(CAST(p.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(v.ts AS TIMESTAMP)), -1) AS delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "s16_latest_state" ->
       """SELECT user_id, event_id AS last_event_id,

@@ -180,6 +180,19 @@ object Streams {
   def viewPurchaseJoinSemi(views: DataFrame, purchases: DataFrame): DataFrame =
     viewPurchaseJoinImpl(views, purchases, "left_semi")
 
+  /** S17 — FULL OUTER variant of [[viewPurchaseJoin]], completing the
+    * stream-stream join matrix (inner / left outer / left semi / full
+    * outer): unmatched views AND unmatched purchases both survive with
+    * nulls on the other side. Streaming eviction is symmetric — each
+    * side's state row is emitted null-extended when its own watermark
+    * proves no future match can arrive (the same condition that lets the
+    * symmetric-hash join drop the row's state). `user_id` is coalesced
+    * across sides so purchase-only rows keep their key. Batch twin =
+    * FULL JOIN, hash-checked (s17); stream == batch in StreamingSpec.
+    */
+  def viewPurchaseJoinFull(views: DataFrame, purchases: DataFrame): DataFrame =
+    viewPurchaseJoinImpl(views, purchases, "full_outer")
+
   private def viewPurchaseJoinImpl(views: DataFrame, purchases: DataFrame,
       joinType: String): DataFrame = {
     val v = views.filter(col("event_type") === "view")
@@ -197,10 +210,14 @@ object Streams {
         joinType)
     if (joinType == "left_semi")
       joined.select(col("view_id"), col("user_id"), col("view_ts"))
-    else
-      joined.select(col("view_id"), col("purchase_id"), col("user_id"),
+    else {
+      // full outer: purchase-only rows have a null view-side user_id
+      val user = if (joinType == "full_outer")
+        coalesce(col("user_id"), col("purchase_user")) else col("user_id")
+      joined.select(col("view_id"), col("purchase_id"), user.as("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
           .as("delta_us"))
+    }
   }
 
   /** Streaming graph construction (the reference's continuous temporal

@@ -488,6 +488,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S17 full outer stream-stream join: both sides null-extend after watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // view 1 (t=0, u1) never purchased; purchase 12 (t=2, u3) never
+    // viewed; view 2 (t=5, u2) matches purchase 10 (t=20, u2)
+    val views = mkEvents((1, 0, 1, "view", 1.0), (2, 5, 2, "view", 1.0))
+    val purchases = mkEvents((10, 20, 2, "purchase", 2.0),
+      (12, 2, 3, "purchase", 2.0))
+    val flushV = mkEvents((3, 300, 9, "view", 1.0))
+    val flushP = mkEvents((11, 300, 9, "purchase", 1.0))
+    val vSrc = MemoryStream[Ev]
+    val pSrc = MemoryStream[Ev]
+    val q = Streams.viewPurchaseJoinFull(vSrc.toDF(), pSrc.toDF())
+      .writeStream.format("memory").queryName("s17sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      vSrc.addData(views); pSrc.addData(purchases)
+      q.processAllAvailable()
+      vSrc.addData(flushV); pSrc.addData(flushP)
+      q.processAllAvailable()
+      vSrc.addData(Seq.empty[Ev]); pSrc.addData(Seq.empty[Ev])
+      q.processAllAvailable()
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => ((if (r.isNullAt(0)) -1L else r.getLong(0)),
+          (if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toSet
+      val streamed = norm(spark.table("s17sink")
+        .filter(coalesce(col("view_id"), lit(-1L)) <= 2 &&
+          coalesce(col("purchase_id"), lit(-1L)) =!= 11L))
+      val batch = norm(
+        Streams.viewPurchaseJoinFull(views.toDF(), purchases.toDF()))
+      // the unmatched VIEW null-extends, the unmatched PURCHASE
+      // null-extends, and the matched pair appears exactly once
+      assert(batch == Set((1L, -1L, 1L), (2L, 10L, 2L), (-1L, 12L, 3L)))
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("S14 interval maintenance: stream == batch fold == intervalView closed rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
