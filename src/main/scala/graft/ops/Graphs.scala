@@ -746,6 +746,109 @@ object Graphs {
     e
   }
 
+  /** G23 — strongly connected components by the distributed COLORING
+    * algorithm (forward/backward label propagation — the standard
+    * MapReduce/Pregel SCC of Orzan-style detectors, not Tarjan's stack,
+    * which is inherently sequential):
+    *
+    * per outer round, over the still-unsettled subgraph:
+    *   1. FORWARD fixpoint: f(v) = min vertex id among v's ancestors
+    *      (including v), by iterated edge-join min-propagation.
+    *   2. BACKWARD sweep restricted to each color class {v : f(v)=r}:
+    *      starting from the root r itself, mark vertices that reach r
+    *      through same-colored vertices. Soundness: any path v →* r with
+    *      f(v)=r stays inside color r (an off-color vertex w on it would
+    *      have an ancestor u < r, and u →* w →* r →* v would drag f(v)
+    *      below r) — so marked ⇔ (r →* v ∧ v →* r) ⇔ v ∈ SCC(r).
+    *   3. Marked vertices settle with scc_id = their color root; both
+    *      endpoints' edges drop out; repeat on the remainder.
+    *
+    * Every step is an equi join + agg (no nested loops); per-iteration
+    * state is one (id, label) row per vertex, lineage cut per iteration
+    * like the other iterative ops. Each round settles one SCC per color
+    * root IN PARALLEL across roots, so rounds track the condensation
+    * DAG's depth, not the SCC count. Bounds are explicit; a non-converged
+    * run THROWS (scalar count check) instead of returning a wrong
+    * partition — at 100 TB you want the loud failure, not silent
+    * mislabeled components.
+    *
+    * Returns (id, scc_id) with scc_id = min member id — deterministic,
+    * so the g23 contract query hash-matches a DuckDB recursive
+    * mutual-reachability oracle, and GraphOpsSpec gates the operator
+    * against a local Tarjan on random digraphs.
+    */
+  def stronglyConnectedComponents(s: SparkSession, edges: DataFrame,
+      rounds: Int, iters: Int): DataFrame = {
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .transform(Checkpoints.cut)
+    var verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct().transform(Checkpoints.cut)
+    var settled: DataFrame = null
+
+    for (_ <- 1 to rounds) {
+      // 1. forward min-ancestor fixpoint over the remaining subgraph
+      var f = verts.withColumn("f", col("id"))
+      for (_ <- 1 to iters) {
+        val in = e.join(f.select(col("id").as("src"), col("f").as("fs")),
+            "src")
+          .groupBy(col("dst").as("id")).agg(min(col("fs")).as("fin"))
+        f = f.join(in, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("f"), coalesce(col("fin"), col("f"))).as("f"))
+          .transform(Checkpoints.cut)
+      }
+      // 2. backward marking through same-color edges, seeded at roots
+      val ec = e
+        .join(f.select(col("id").as("src"), col("f").as("fs")), "src")
+        .join(f.select(col("id").as("dst"), col("f").as("fd")), "dst")
+        .filter(col("fs") === col("fd"))
+        .select("src", "dst")
+        .transform(Checkpoints.cut)
+      var m = f.filter(col("f") === col("id")).select("id")
+        .transform(Checkpoints.cut)
+      for (_ <- 1 to iters) {
+        m = m.unionAll(
+            ec.join(m.select(col("id").as("dst")), "dst")
+              .select(col("src").as("id")))
+          .distinct().transform(Checkpoints.cut)
+      }
+      // 3. settle marked vertices, shrink the subgraph
+      val done = f.join(m, Seq("id"), "left_semi")
+        .select(col("id"), col("f").as("scc_id"))
+        .transform(Checkpoints.cut)
+      settled = if (settled == null) done else settled.unionAll(done)
+      verts = verts.join(done.select("id"), Seq("id"), "left_anti")
+        .transform(Checkpoints.cut)
+      e = e.join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .transform(Checkpoints.cut)
+    }
+    val leftover = verts.count()
+    require(leftover == 0,
+      s"SCC did not settle $leftover vertices within rounds=$rounds " +
+        s"iters=$iters — raise the bounds (condensation deeper than " +
+        "expected); refusing to return a partial partition")
+    settled
+  }
+
+  /** Directed part-flow graph: within each order, the part on line i
+    * points at the part on line i+1 (lineitem's l_linenumber sequencing).
+    * Opposing precedence across different orders creates genuine directed
+    * cycles, making this the repo's nontrivial-SCC fixture. One window
+    * shuffle on l_orderkey, then distinct.
+    */
+  def partFlowEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    graft.Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("nxt", lead(col("l_partkey"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("l_partkey") =!= col("nxt"))
+      .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+      .distinct()
+  }
+
   /** Global triangle count over canonical (src < dst) pairs. */
   def triangleCount(s: SparkSession, pairs: DataFrame): Long = {
     val e = pairs.select(col("x").cast("long"), col("y").cast("long"))

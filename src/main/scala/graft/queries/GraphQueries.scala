@@ -221,6 +221,21 @@ object GraphQueries {
         .orderBy("x", "y")
     }),
 
+    // G23 — strongly connected components on the directed part-flow
+    // graph (within each order, line i's part points at line i+1's;
+    // opposing precedence across orders makes real cycles). Distributed
+    // coloring algorithm engine-side (forward min-ancestor fixpoint +
+    // color-restricted backward sweep, settle, repeat — throws rather
+    // than return a partial partition); the oracle recomputes SCC from
+    // first principles as recursive-closure mutual reachability. Exact
+    // integer ids -> hash-matched; GraphOpsSpec gates the operator
+    // against a Floyd-Warshall oracle on random digraphs.
+    "g23_scc" -> ((s, dir) => {
+      Graphs.stronglyConnectedComponents(s, Graphs.partFlowEdges(s, dir),
+          rounds = 4, iters = 8)
+        .orderBy("id")
+    }),
+
     // G08 — PageRank on G_supply, 10 fixed iterations, via the
     // Catalyst-native power iteration (pageRankDF; the GraphX twin is
     // asserted within 1e-6 with identical top-20 order in ToleranceSpec).
@@ -434,6 +449,28 @@ object GraphQueries {
         |SELECT DISTINCT l_partkey AS p_partkey FROM
         |  (SELECT l_partkey FROM p2 UNION ALL SELECT l_partkey FROM p3)
         |ORDER BY p_partkey""".stripMargin,
+
+    // g23 replays SCC from first principles: recursive transitive
+    // closure over the part-flow edges, mutual pairs = (a ->* b) ∧
+    // (b ->* a), scc_id = min mutual partner (self included).
+    "g23_scc" ->
+      """WITH RECURSIVE flow AS (
+        |  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+        |    SELECT l_partkey,
+        |      lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber) AS nxt
+        |    FROM lineitem)
+        |  WHERE nxt IS NOT NULL AND l_partkey <> nxt),
+        |r AS (SELECT src AS a, dst AS b FROM flow
+        |      UNION
+        |      SELECT r.a, f.dst FROM r JOIN flow f ON f.src = r.b),
+        |verts AS (SELECT src AS id FROM flow UNION SELECT dst FROM flow),
+        |mut AS (SELECT x.a AS id, x.b AS p
+        |        FROM r x JOIN r y ON y.a = x.b AND y.b = x.a)
+        |SELECT v.id, CAST(least(v.id, coalesce(min(m.p), v.id)) AS BIGINT)
+        |  AS scc_id
+        |FROM verts v LEFT JOIN mut m ON m.id = v.id
+        |GROUP BY v.id ORDER BY v.id""".stripMargin,
 
     "g04_reachability" ->
       s"""WITH RECURSIVE $copartCte,

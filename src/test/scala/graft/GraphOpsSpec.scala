@@ -454,6 +454,46 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("stronglyConnectedComponents == mutual-reachability oracle (hand + random digraphs)") {
+    import spark.implicits._
+
+    // Floyd–Warshall mutual reachability: obviously-correct SCC on small
+    // graphs — scc_id = min over {w : v ->* w and w ->* v}
+    def localScc(edges: Set[(Long, Long)]): Map[Long, Long] = {
+      val verts = edges.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+      val idx = verts.zipWithIndex.toMap
+      val n = verts.size
+      val reach = Array.fill(n, n)(false)
+      verts.indices.foreach(i => reach(i)(i) = true)
+      edges.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      verts.map(v => v -> verts.filter(w =>
+        reach(idx(v))(idx(w)) && reach(idx(w))(idx(v))).min).toMap
+    }
+
+    def run(edges: Set[(Long, Long)], rounds: Int = 6): Map[Long, Long] =
+      Graphs.stronglyConnectedComponents(spark,
+          edges.toSeq.toDF("src", "dst"), rounds = rounds, iters = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // hand case: 3-cycle feeding a 2-cycle feeding a chain
+    val hand = Set((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (5L, 6L), (6L, 7L))
+    assert(run(hand) == localScc(hand))
+    assert(localScc(hand)(2L) == 1L && localScc(hand)(5L) == 4L &&
+      localScc(hand)(7L) == 7L) // sanity: the oracle itself
+
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 5) {
+      val n = 14
+      val edges = (1 to 34).map { _ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1)
+      }.filter(p => p._1 != p._2).toSet
+      assert(run(edges) == localScc(edges), s"trial $trial")
+    }
+  }
+
   test("reliable checkpoints reap mid-loop: dead rounds' files are deleted") {
     // cleanCheckpoints=true (static conf, SparkSpecBase) + the natural
     // loop shape `state = cut(step(state))` — each round drops the only
