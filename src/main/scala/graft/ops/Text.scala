@@ -345,6 +345,33 @@ object Text {
       (acc, tok) => pmod(acc * lit(31L) + pmod(graft.Det.md5Long(tok), m), m))
   }
 
+  /** L26 — fasttext-shaped linear quality scorer over hashed bigram
+    * features: lowercase tokens → adjacent bigrams → feature id =
+    * md5Long(bigram) mod `buckets` (the hashing trick — fixed-width
+    * feature space, no vocabulary build) → score = Σ weight(fid), an
+    * integer. A trained model ships its weight table; the fixture
+    * derives weight(fid) = fid % 201 − 100 deterministically so the
+    * whole scoring path — hashing, bucketing, lookup, sum — is exercised
+    * and EXACT (integer arithmetic end-to-end, md5Long replays in
+    * DuckDB). Per-row HOF work: no shuffle, no UDF; the 100 TB cost is
+    * one codegen'd pass over the text column, like the other quality
+    * gates.
+    */
+  def hashedLinearScore(text: Column, buckets: Int): Seq[Column] = {
+    val toks = regexp_extract_all(lower(text),
+      lit(s"[^$GopherWhitespace]+"), lit(0))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit("_"), b))
+    val scoreSum = aggregate(bigrams, lit(0L),
+      (acc, g) =>
+        acc + (pmod(graft.Det.md5Long(g), lit(buckets.toLong)) % 201L
+          - 100L))
+    Seq(size(bigrams).cast("long").as("n_bigrams"),
+      scoreSum.as("score_sum"),
+      (scoreSum >= 0).as("keep"))
+  }
+
   /** L25 — PII scrubbing patterns, deliberately restricted to syntax
     * Java regex and RE2 interpret identically (explicit classes, bounded
     * quantifiers; no \b, no \d shorthand — same portability discipline

@@ -249,6 +249,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L26 — hashed-feature linear quality scorer (fasttext shape):
+    // lowercase bigrams -> md5Long feature hashing into 4096 buckets ->
+    // integer weight lookup -> per-doc score + keep decision. The
+    // deterministic fixture weights (fid % 201 - 100) stand in for a
+    // trained table; every step of the scoring path replays exactly in
+    // DuckDB (md5 fold twin), so the full per-doc score column
+    // hash-matches.
+    "l26_quality_score" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id") +:
+          Text.hashedLinearScore(col("text"), buckets = 4096): _*)
+        .orderBy("doc_id")),
+
     // L20 — binary (sign-bit) embeddings: 64 float dims -> two 32-bit
     // sign words (32x working-set shrink); exact integer fold, so the
     // packed words hash-match the SQL oracle.

@@ -308,6 +308,30 @@ object Relational {
         .orderBy("event_type", "event_id")
     }),
 
+    // Q37 — IGNORE NULLS forward-fill window: the last NON-NULL value
+    // at-or-before each row (sparse sensor readings carried forward —
+    // the window-function form of T13's grid resample). The fixture has
+    // no nulls, so a deterministic mask (every 3rd event by id) blanks
+    // values IDENTICALLY on both engines first; last(..., ignoreNulls)
+    // over an unbounded-preceding ROWS frame then fills them. Rows
+    // before an entity's first non-null stay null (coalesced to -1 for
+    // the cross-engine total order).
+    "q37_ffill_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("sparse_cents",
+          when(col("event_id") % 3 === 0, lit(null).cast("long"))
+            .otherwise(cents(col("value"))))
+        .withColumn("filled_cents",
+          last(col("sparse_cents"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          coalesce(col("sparse_cents"), lit(-1L)).as("sparse_cents"),
+          coalesce(col("filled_cents"), lit(-1L)).as("filled_cents"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -886,6 +910,18 @@ object Relational {
         |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         |  FROM events)
         |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
+
+    "q37_ffill_ignore_nulls" ->
+      """WITH m AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL
+        |         ELSE CAST(round(value*100) AS BIGINT) END AS sparse_cents
+        |  FROM events)
+        |SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  coalesce(sparse_cents, -1) AS sparse_cents,
+        |  coalesce(last_value(sparse_cents IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
+        |FROM m ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q12_running_sum" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
