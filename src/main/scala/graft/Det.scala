@@ -25,6 +25,16 @@ object Det {
   /** Ratios/averages rounded to 4 decimals. */
   def round4(c: Column): Column = round(c, 4)
 
+  /** Epoch microseconds of a timestamp of EITHER flavor. `unix_micros`
+    * rejects TIMESTAMP_NTZ at analysis time; casting first makes every
+    * temporal operator accept both TIMESTAMP and TIMESTAMP_NTZ inputs
+    * (a real lakehouse mixes them). With the session TZ pinned UTC the
+    * cast relabels the same micros value — a no-op on TimestampType, so
+    * plans/hashes for already-normalized inputs are unchanged.
+    */
+  def epochUs(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** Engine-portable 60-bit hash: the first 15 hex chars of md5, parsed
     * as an integer. Spark's `md5` and DuckDB's `md5` emit identical
     * lowercase hex for identical bytes (the same property behind

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over the driver-generated parquet fixtures.
   *
@@ -19,17 +19,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    // reader rejects. Read nanos as long and truncate to the engine's
-    // microsecond TimestampType (lossless: the generator emits µs values —
-    // verified ts % 1000 == 0 at every SF). Integer `div`, NOT `/`:
-    // double division loses precision above 2^53 ns.
+    // The fixtures have shipped timestamps in two parquet encodings so
+    // far, and a real lakehouse mixes more. Normalize BOTH to the
+    // engine's canonical session-TZ TimestampType at load, so every
+    // operator downstream sees exactly one timestamp type:
+    //  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it. Read
+    //    nanos as long and truncate to µs (lossless: the generator emits
+    //    µs values — verified ts % 1000 == 0 at every SF). Integer
+    //    `div`, NOT `/`: double division loses precision above 2^53 ns.
+    //  - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
+    //    TimestampType. The session TZ is pinned UTC everywhere (Bench/
+    //    Verify/specs), so the cast relabels the same micros value —
+    //    formatting and cross-engine hashes are unchanged.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == LongType)
-        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else d
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 

@@ -29,16 +29,16 @@ object RangeJoin {
     val w = upperUs - lowerUs
     val aExp = a
       .withColumn("__bucket", explode(array_distinct(array(
-        floor((unix_micros(col(aTs)) + lowerUs) / w),
-        floor((unix_micros(col(aTs)) + upperUs) / w)))))
+        floor((graft.Det.epochUs(col(aTs)) + lowerUs) / w),
+        floor((graft.Det.epochUs(col(aTs)) + upperUs) / w)))))
     val bExp = b
       .withColumn("__bkey", col(key))
-      .withColumn("__bbucket", floor(unix_micros(col(bTs)) / w))
+      .withColumn("__bbucket", floor(graft.Det.epochUs(col(bTs)) / w))
       .drop(key)
     aExp.join(bExp,
         col(key) === col("__bkey") && col("__bucket") === col("__bbucket") &&
-        unix_micros(col(bTs)) > unix_micros(col(aTs)) + lowerUs &&
-        unix_micros(col(bTs)) <= unix_micros(col(aTs)) + upperUs)
+        graft.Det.epochUs(col(bTs)) > graft.Det.epochUs(col(aTs)) + lowerUs &&
+        graft.Det.epochUs(col(bTs)) <= graft.Det.epochUs(col(aTs)) + upperUs)
       .drop("__bucket", "__bbucket", "__bkey")
   }
 }

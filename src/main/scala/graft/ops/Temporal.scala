@@ -253,8 +253,8 @@ object Temporal {
       t2: Column): DataFrame =
     timeRange(changes, entity, ts, tieBreak, t1, t2)
       .select(entity.map(col) :+ valueCents.as("__c") :+
-        unix_micros(greatest(col("valid_from"), t1)).as("__f") :+
-        unix_micros(least(coalesce(col("valid_to"), t2), t2)).as("__t"): _*)
+        graft.Det.epochUs(greatest(col("valid_from"), t1)).as("__f") :+
+        graft.Det.epochUs(least(coalesce(col("valid_to"), t2), t2)).as("__t"): _*)
       .groupBy(entity.map(col): _*)
       .agg(sum(expr("__c * (__t - __f)")).as("weighted_cents_us"),
         sum(expr("__t - __f")).as("covered_us"))
@@ -324,7 +324,7 @@ object Temporal {
     df.withColumn("__prev", lag(col(ts), 1).over(order))
       .withColumn("__brk",
         when(col("__prev").isNull, lit(0))
-          .when(unix_micros(col(ts)) - unix_micros(col("__prev")) >
+          .when(graft.Det.epochUs(col(ts)) - graft.Det.epochUs(col("__prev")) >
             lit(gapSeconds * 1000000L), lit(1))
           .otherwise(lit(0)))
       .withColumn("session_id", sum(col("__brk")).over(run))
@@ -399,7 +399,7 @@ object Temporal {
       .orderBy(col(ts).asc, col(tieBreak).asc)
     df.withColumn("__prev", lag(col(ts), 1).over(order))
       .withColumn("gap_us",
-        unix_micros(col(ts)) - unix_micros(col("__prev")))
+        graft.Det.epochUs(col(ts)) - graft.Det.epochUs(col("__prev")))
       .filter(col("__prev").isNotNull &&
         col("gap_us") > lit(minGapSeconds * 1000000L))
       .select(entity.map(col) :+ col("__prev").as("gap_start") :+

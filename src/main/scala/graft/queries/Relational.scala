@@ -147,7 +147,7 @@ object Relational {
       graft.ops.RangeJoin.banded(a, b, key = "user_id",
           aTs = "a_ts", bTs = "b_ts", lowerUs = 0L, upperUs = 300000000L)
         .select(col("user_id"), col("a_id"), col("b_id"),
-          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+          (graft.Det.epochUs(col("b_ts")) - graft.Det.epochUs(col("a_ts"))).as("gap_us"))
         .orderBy("user_id", "a_id", "b_id")
     }),
 
@@ -355,7 +355,7 @@ object Relational {
         .orderBy(col("ts_us"))
         .rangeBetween(-(7L * 86400000000L - 1L), Window.currentRow)
       t(s, dir, "events")
-        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("ts_us", graft.Det.epochUs(col("ts")))
         .withColumn("trail_cents", sum(cents(col("value"))).over(w))
         .select("user_id", "event_id", "ts", "trail_cents")
         .orderBy("user_id", "ts", "event_id")
@@ -368,7 +368,7 @@ object Relational {
       t(s, dir, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("gap_us",
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+          graft.Det.epochUs(col("ts")) - graft.Det.epochUs(col("prev_ts")))
         .select("user_id", "event_id", "ts", "gap_us")
         .orderBy("user_id", "ts", "event_id")
     }),

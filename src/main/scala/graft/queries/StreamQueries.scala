@@ -106,7 +106,7 @@ object StreamQueries {
       val s = stateSession(s0)
       import s.implicits._
       val in = ev(s, dir)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        .select(col("user_id"), col("event_id"), graft.Det.epochUs(col("ts")).as("ts_us"),
           graft.Det.cents(col("value")).as("cents"))
         .as[Streams.TsEv]
       Streams.lastKTotals(in, k = 5)
@@ -148,8 +148,8 @@ object StreamQueries {
       graft.ops.Temporal.sessionize(ev(s, dir), entity = "user_id",
           ts = "ts", tieBreak = "event_id", gapSeconds = 1800)
         .groupBy("user_id", "session_id")
-        .agg(unix_micros(min(col("ts"))).as("start_us"),
-          unix_micros(max(col("ts"))).as("end_us"),
+        .agg(graft.Det.epochUs(min(col("ts"))).as("start_us"),
+          graft.Det.epochUs(max(col("ts"))).as("end_us"),
           count(lit(1)).as("n_events"))
         .select("user_id", "start_us", "end_us", "n_events")
         .orderBy("user_id", "start_us")
@@ -220,7 +220,7 @@ object StreamQueries {
       import s.implicits._
       val in = ev(s, dir)
         .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
           graft.Det.cents(col("value")).as("cents"))
         .as[Streams.ChangeEv]
       Streams.intervalsBatch(in)
@@ -236,7 +236,7 @@ object StreamQueries {
     "s12_incremental_arrival" -> ((s, dir) => {
       val e = ev(s, dir)
       val seedRow = e.orderBy("event_id")
-        .select(col("event_id"), unix_micros(col("ts"))).head()
+        .select(col("event_id"), graft.Det.epochUs(col("ts"))).head()
       graft.ops.Graphs.earliestArrival(s, graft.ops.Graphs.sessionEdges(s, dir),
           seedRow.getLong(0), seedRow.getLong(1), maxHops = 8)
         .select(col("id").as("event_id"), col("arrival_us"))

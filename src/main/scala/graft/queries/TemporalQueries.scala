@@ -350,7 +350,7 @@ object TemporalQueries {
     // day's answer even after backfills land.
     "t15_bitemporal_read" -> ((s, dir) => {
       val e = ev(s, dir).withColumn("tx_us",
-        unix_micros(col("ts")) + (col("event_id") % 5) * lit(86400000000L))
+        graft.Det.epochUs(col("ts")) + (col("event_id") % 5) * lit(86400000000L))
       Temporal.bitemporalSnapshot(e, entity = Seq("user_id"),
           validTs = "ts", txTs = "tx_us",
           tValid = lit("2024-01-13 00:00:00").cast("timestamp"),
@@ -369,7 +369,7 @@ object TemporalQueries {
     "t15b_bitemporal_sql" -> ((s, dir) => {
       graft.functions.TableFunctions.ensureRegistered(s)
       ev(s, dir).withColumn("tx_us",
-          unix_micros(col("ts")) + (col("event_id") % 5) * lit(86400000000L))
+          graft.Det.epochUs(col("ts")) + (col("event_id") % 5) * lit(86400000000L))
         .createOrReplaceTempView("graft_t15b_events")
       s.sql("""SELECT user_id, event_id,
         |  CAST(round(value*100) AS BIGINT) AS val_cents

@@ -215,7 +215,7 @@ object Streams {
       val user = if (joinType == "full_outer")
         coalesce(col("user_id"), col("purchase_user")) else col("user_id")
       joined.select(col("view_id"), col("purchase_id"), user.as("user_id"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+        (graft.Det.epochUs(col("purchase_ts")) - graft.Det.epochUs(col("view_ts")))
           .as("delta_us"))
     }
   }
