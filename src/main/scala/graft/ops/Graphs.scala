@@ -226,7 +226,7 @@ object Graphs {
   def sessionEdges(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
     graft.Tables.load(s, dir, "events")
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .select(col("event_id"), col("user_id"), graft.Det.epochUs(col("ts")).as("ts_us"))
       .withColumn("dst", lead(col("event_id"), 1).over(w))
       .withColumn("dst_ts_us", lead(col("ts_us"), 1).over(w))
       .filter(col("dst").isNotNull)
@@ -466,6 +466,60 @@ object Graphs {
       level -= 1
     }
     bfs.join(deltaAll, Seq("seed", "id"))
+  }
+
+  /** G21b — restricted betweenness in EXACT integers: the betweenness
+    * numerators over the pair set {(s, t1..t3)} (s = min vertex, tj =
+    * first three distance-3 targets), scaled by the common σ product —
+    * b̂(v) = Σ_t σ_st(v)·Π_{j≠t}σ_stj = (Πσ)·Σ_t σ_st(v)/σ_st, i.e.
+    * Brandes' pair-dependency sum times an integer constant. Every
+    * factor is an exact path count, so the result hash-matches a DuckDB
+    * walk-enumeration replay. The 3-row σ table is a constant-size
+    * driver fetch (like codebook collects).
+    *
+    * Exactness guards (ADVICE r8/r9): the scale product runs in BigInt
+    * and THROWS past Long range (a bare Long product wraps silently on a
+    * denser graph, unlike the oracle's HUGEINT which errors on its
+    * BIGINT cast); the σ·σ·scale sum runs in decimal(38,0) with an ANSI
+    * cast back to long (loud on overflow, like the oracle). Fewer than 2
+    * targets also throws: the engine's empty scale product (= 1) and the
+    * oracle's empty self-join (= no rows) would silently disagree.
+    */
+  def restrictedBetweenness(s: SparkSession, edges: DataFrame): DataFrame = {
+    val seed = edges.agg(min(col("src"))).head().getLong(0)
+    val fwd = pathCountBfs(s, edges,
+        s.createDataFrame(Seq(Tuple1(seed))).toDF("id"), maxDepth = 3)
+      .transform(Checkpoints.cut)
+    val targets = fwd.filter(col("dist") === 3)
+      .select(col("id")).orderBy("id").limit(3)
+    val bwd = pathCountBfs(s, edges, targets, maxDepth = 3)
+    val sig = fwd.join(targets, "id")
+      .select(col("id"), col("paths")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(sig.length >= 2,
+      s"restricted betweenness needs >=2 distance-3 targets, got " +
+        s"${sig.length}: a single target's empty scale product (= 1) " +
+        "diverges from the oracle's empty cross-target join")
+    val scales = sig.map { case (t, _) =>
+      val p = sig.filter(_._1 != t).map(x => BigInt(x._2)).product
+      require(p.isValidLong,
+        s"sigma product $p for target $t overflows long — the bare " +
+          "product would wrap silently where the oracle errors")
+      (t, p.toLong)
+    }.toSeq
+    val scaleDf = s.createDataFrame(scales).toDF("t_id", "scale")
+    fwd.select(col("id"), col("dist").as("d_s"), col("paths").as("p_s"))
+      .join(bwd.select(col("seed").as("t_id"), col("id"),
+        col("dist").as("d_t"), col("paths").as("p_t")), "id")
+      .filter(col("d_s") + col("d_t") === 3 &&
+        col("id") =!= seed && col("id") =!= col("t_id"))
+      .join(broadcast(scaleDf), "t_id")
+      .groupBy(col("id"))
+      .agg(sum(col("p_s").cast("decimal(38,0)") * col("p_t") * col("scale"))
+        .as("btw_dec"))
+      .select(col("id").as("v_id"),
+        col("btw_dec").cast("long").as("btw_scaled"))
+      .orderBy("v_id")
   }
 
   /** Single-source weighted shortest distances (min-plus), frontier-based
@@ -786,11 +840,29 @@ object Graphs {
       .unionAll(e.select(col("dst").as("id")))
       .distinct().transform(Checkpoints.cut)
     var settled: DataFrame = null
+    var remaining = verts.count()
+    var round = 0
 
-    for (_ <- 1 to rounds) {
-      // 1. forward min-ancestor fixpoint over the remaining subgraph
-      var f = verts.withColumn("f", col("id"))
-      for (_ <- 1 to iters) {
+    // Σf over the current label vector, in decimal so a 100 TB-scale id
+    // space cannot wrap a long. Labels only ever DECREASE componentwise,
+    // so an unchanged sum after a full propagation step PROVES the
+    // fixpoint — a fixed iteration count could stop early and settle a
+    // coloring whose roots still disagree, silently splitting one SCC
+    // across two color roots (the r8/r9 ADVICE finding).
+    def labelSum(f: DataFrame): java.math.BigDecimal =
+      f.agg(sum(col("f").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    while (remaining > 0 && round < rounds) {
+      round += 1
+      // 1. forward min-ancestor fixpoint over the remaining subgraph —
+      //    loop until a step changes nothing (early exit on shallow
+      //    graphs), THROW if `iters` steps can't prove stability.
+      var f = verts.withColumn("f", col("id")).transform(Checkpoints.cut)
+      var fsum = labelSum(f)
+      var stable = false
+      var it = 0
+      while (!stable && it < iters) {
+        it += 1
         val in = e.join(f.select(col("id").as("src"), col("f").as("fs")),
             "src")
           .groupBy(col("dst").as("id")).agg(min(col("fs")).as("fin"))
@@ -798,8 +870,20 @@ object Graphs {
           .select(col("id"),
             least(col("f"), coalesce(col("fin"), col("f"))).as("f"))
           .transform(Checkpoints.cut)
+        val s2 = labelSum(f)
+        stable = s2.compareTo(fsum) == 0
+        fsum = s2
       }
-      // 2. backward marking through same-color edges, seeded at roots
+      require(stable,
+        s"SCC forward min-label fixpoint still changing after iters=$iters " +
+          s"steps (round $round) — raise iters (label propagation depth " +
+          "exceeds the bound); refusing to settle a non-converged coloring")
+      // 2. backward marking through same-color edges, seeded at roots.
+      //    Delta-frontier: each step expands only from newly marked
+      //    vertices (the anti-join keeps frontiers disjoint, so the
+      //    running marked set needs NO re-distinct — per-step cost tracks
+      //    the frontier, not the accumulated set). Empty frontier IS the
+      //    convergence proof; a still-live frontier at the bound throws.
       val ec = e
         .join(f.select(col("id").as("src"), col("f").as("fs")), "src")
         .join(f.select(col("id").as("dst"), col("f").as("fd")), "dst")
@@ -808,12 +892,23 @@ object Graphs {
         .transform(Checkpoints.cut)
       var m = f.filter(col("f") === col("id")).select("id")
         .transform(Checkpoints.cut)
-      for (_ <- 1 to iters) {
-        m = m.unionAll(
-            ec.join(m.select(col("id").as("dst")), "dst")
-              .select(col("src").as("id")))
-          .distinct().transform(Checkpoints.cut)
+      var frontier = m
+      var fcount = frontier.count()
+      it = 0
+      while (fcount > 0 && it < iters) {
+        it += 1
+        val next = ec.join(frontier.select(col("id").as("dst")), "dst")
+          .select(col("src").as("id")).distinct()
+          .join(m, Seq("id"), "left_anti")
+          .transform(Checkpoints.cut)
+        m = m.unionAll(next)
+        frontier = next
+        fcount = frontier.count()
       }
+      require(fcount == 0,
+        s"SCC backward same-color sweep still expanding after iters=$iters " +
+          s"steps (round $round) — raise iters; refusing to settle a " +
+          "partially marked color class")
       // 3. settle marked vertices, shrink the subgraph
       val done = f.join(m, Seq("id"), "left_semi")
         .select(col("id"), col("f").as("scc_id"))
@@ -824,10 +919,10 @@ object Graphs {
       e = e.join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .transform(Checkpoints.cut)
+      remaining = verts.count()
     }
-    val leftover = verts.count()
-    require(leftover == 0,
-      s"SCC did not settle $leftover vertices within rounds=$rounds " +
+    require(remaining == 0,
+      s"SCC did not settle $remaining vertices within rounds=$rounds " +
         s"iters=$iters — raise the bounds (condensation deeper than " +
         "expected); refusing to return a partial partition")
     settled
@@ -1092,5 +1187,103 @@ object Graphs {
     s.createDataFrame(res.vertices.filter(_._2 != Long.MaxValue)
       .map { case (id, a) => (id, a) })
       .toDF("id", "arrival_us")
+  }
+
+  /** Temporal latest-departure (G10b) — the backward twin of
+    * [[earliestArrival]], completing the classic temporal-path triple
+    * (earliest-arrival / latest-departure / fastest-journey): the latest
+    * time one can still be at each vertex and reach `target` by
+    * `deadlineUs`. An edge (u,v,avail,arrive) is usable iff its arrival
+    * makes v's own latest departure (`arrive <= d(v)`); using it means
+    * leaving u no later than its availability, so d(u) = max over usable
+    * out-edges of avail. Max-aggregation Pregel seeded at the target,
+    * messages flowing dst→src, bounded to `maxHops` supersteps — the
+    * same O(hops × E) shape as the forward traversal. Returns
+    * (id, depart_us) for vertices that can reach the target in time.
+    */
+  def latestDeparture(s: SparkSession, edges: DataFrame, target: Long,
+      deadlineUs: Long, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("avail_us").cast("long"), col("arrive_us").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), (r.getLong(2), r.getLong(3))))
+    val g = Graph.fromEdges(e, Long.MinValue, StorageLevel.MEMORY_AND_DISK,
+        StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (id == target) deadlineUs else Long.MinValue)
+    val res = Pregel(g, Long.MinValue, maxIterations = maxHops)(
+      (_, d, msg) => math.max(d, msg),
+      t => {
+        val (avail, arrive) = t.attr
+        if (t.dstAttr != Long.MinValue && arrive <= t.dstAttr &&
+            avail > t.srcAttr)
+          Iterator((t.srcId, avail))
+        else Iterator.empty
+      },
+      math.max)
+    s.createDataFrame(res.vertices.filter(_._2 != Long.MinValue)
+      .map { case (id, d) => (id, d) })
+      .toDF("id", "depart_us")
+  }
+
+  /** Temporal fastest-journey (G10c) — the triple's third member: the
+    * minimum journey DURATION (arrival − departure) from `seed` to every
+    * vertex, over all start times. Unlike earliest-arrival, no single
+    * scalar per vertex suffices: a later start can strictly shorten the
+    * journey, so each vertex carries the PARETO frontier of
+    * (start_us, arr_us) pairs — a pair survives iff no other pair starts
+    * later-or-equal AND arrives earlier-or-equal. Catalyst-native
+    * frontier iteration: per hop one join of the checkpointed temporal
+    * edge list against the new pairs (`arr <= avail` gates usability),
+    * then Pareto pruning as ONE window pass (sort each vertex's pairs by
+    * start desc / arr asc; a pair is dominated iff the running min of
+    * arrival over strictly-later starts is <= its own arrival). Frontier
+    * = pairs that survived pruning and are new this hop, so converged
+    * vertices cost nothing and the loop early-exits when no
+    * non-dominated pair appears. Per-vertex state is bounded by the
+    * number of distinct useful start times (the seed's temporal
+    * out-degree), not path counts. Returns (id, duration_us), the
+    * frontier's min duration per vertex (seed excluded — its journey is
+    * trivially 0).
+    */
+  def fastestJourney(s: SparkSession, edges: DataFrame, seed: Long,
+      maxHops: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("avail_us").cast("long"), col("arrive_us").cast("long"))
+      .transform(Checkpoints.cut)
+    def pareto(pairs: DataFrame): DataFrame = {
+      val w = Window.partitionBy("id")
+        .orderBy(col("start_us").desc, col("arr_us").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pairs.withColumn("__best", min(col("arr_us")).over(w))
+        .filter(col("__best").isNull || col("arr_us") < col("__best"))
+        .drop("__best")
+    }
+    var all = pareto(
+        e.filter(col("src") === seed)
+          .select(col("dst").as("id"), col("avail_us").as("start_us"),
+            col("arrive_us").as("arr_us"))
+          .distinct())
+      .transform(Checkpoints.cut)
+    var frontier = all
+    var newRows = frontier.count()
+    var hops = 1
+    while (newRows > 0 && hops < maxHops) {
+      hops += 1
+      val extended = e
+        .join(frontier.select(col("id").as("src"), col("start_us"),
+          col("arr_us")), "src")
+        .filter(col("arr_us") <= col("avail_us"))
+        .select(col("dst").as("id"), col("start_us"),
+          col("arrive_us").as("arr_us"))
+        .distinct()
+      val pruned = pareto(all.unionAll(extended)).transform(Checkpoints.cut)
+      frontier = pruned
+        .join(all, Seq("id", "start_us", "arr_us"), "left_anti")
+        .transform(Checkpoints.cut)
+      all = pruned
+      newRows = frontier.count()
+    }
+    all.filter(col("id") =!= seed)
+      .groupBy("id")
+      .agg(min(col("arr_us") - col("start_us")).as("duration_us"))
   }
 }

@@ -173,34 +173,9 @@ object GraphQueries {
     // an integer constant. Every factor is an exact path count, so the
     // query hash-matches the DuckDB walk-enumeration replay. The 3-row
     // σ table is a constant-size driver fetch (like codebook collects).
-    "g21b_restricted_betweenness" -> ((s, dir) => {
-      val edges = Graphs.copartEdges(s, dir)
-        .transform(graft.ops.Checkpoints.cut)
-      val seed = edges.agg(min(col("src"))).head().getLong(0)
-      val fwd = Graphs.pathCountBfs(s, edges,
-          s.createDataFrame(Seq(Tuple1(seed))).toDF("id"), maxDepth = 3)
-        .transform(graft.ops.Checkpoints.cut)
-      val targets = fwd.filter(col("dist") === 3)
-        .select(col("id")).orderBy("id").limit(3)
-      val bwd = Graphs.pathCountBfs(s, edges, targets, maxDepth = 3)
-      val sig = fwd.join(targets, "id")
-        .select(col("id"), col("paths")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val scales = sig.map { case (t, _) =>
-        (t, sig.filter(_._1 != t).map(_._2).product)
-      }.toSeq
-      val scaleDf = s.createDataFrame(scales).toDF("t_id", "scale")
-      fwd.select(col("id"), col("dist").as("d_s"), col("paths").as("p_s"))
-        .join(bwd.select(col("seed").as("t_id"), col("id"),
-          col("dist").as("d_t"), col("paths").as("p_t")), "id")
-        .filter(col("d_s") + col("d_t") === 3 &&
-          col("id") =!= seed && col("id") =!= col("t_id"))
-        .join(broadcast(scaleDf), "t_id")
-        .groupBy(col("id"))
-        .agg(sum(col("p_s") * col("p_t") * col("scale")).as("btw_scaled"))
-        .select(col("id").as("v_id"), col("btw_scaled"))
-        .orderBy("v_id")
-    }),
+    "g21b_restricted_betweenness" -> ((s, dir) =>
+      Graphs.restrictedBetweenness(s, Graphs.copartEdges(s, dir)
+        .transform(graft.ops.Checkpoints.cut))),
 
     // G07 — global triangle count of the restricted co-part graph.
     "g07_triangles" -> ((s, dir) => {
@@ -393,13 +368,50 @@ object GraphQueries {
     "g10_temporal_path" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val seedRow = ev.orderBy("event_id")
-        .select(col("event_id"), unix_micros(col("ts"))).head()
+        .select(col("event_id"), graft.Det.epochUs(col("ts"))).head()
       val seedId = seedRow.getLong(0)
       val seedUs = seedRow.getLong(1)
       Graphs.earliestArrival(s, Graphs.sessionEdges(s, dir),
           seedId, seedUs, maxHops = 8)
         .select(col("id").as("event_id"),
           timestamp_micros(col("arrival_us")).as("arrival_ts"))
+        .orderBy("event_id")
+    }),
+
+    // G10b — temporal latest-departure (the triple's backward member):
+    // target = the LAST event of the seed user's session chain, deadline
+    // = its own timestamp, 8 hops. On the chain fixture every reachable
+    // event's latest departure is its own ts (each hop's availability IS
+    // the source event's time), which the DuckDB window replay states
+    // directly; the richer multi-out-degree semantics are gated in
+    // GraphOpsSpec on hand temporal graphs where depart != ts.
+    "g10b_latest_departure" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val seedUser = ev.orderBy("event_id").select(col("user_id")).head()
+        .getLong(0)
+      val tgt = ev.filter(col("user_id") === seedUser)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .select(col("event_id"), graft.Det.epochUs(col("ts"))).head()
+      Graphs.latestDeparture(s, Graphs.sessionEdges(s, dir),
+          tgt.getLong(0), tgt.getLong(1), maxHops = 8)
+        .select(col("id").as("event_id"),
+          timestamp_micros(col("depart_us")).as("depart_ts"))
+        .orderBy("event_id")
+    }),
+
+    // G10c — temporal fastest-journey (the triple's third member) from
+    // g10's seed, 8 hops: minimum (arrival − start) duration per
+    // reachable event via the Pareto-frontier iteration. On the chain
+    // fixture the only journey to hop-k is start = the seed's ts, so
+    // duration = ts_k − ts_seed; Pareto semantics proper (a later start
+    // strictly shortening a journey) are gated in GraphOpsSpec.
+    "g10c_fastest_journey" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val seedId = ev.orderBy("event_id").select(col("event_id")).head()
+        .getLong(0)
+      Graphs.fastestJourney(s, Graphs.sessionEdges(s, dir), seedId,
+          maxHops = 8)
+        .select(col("id").as("event_id"), col("duration_us"))
         .orderBy("event_id")
     })
   )
@@ -777,6 +789,40 @@ object GraphQueries {
         |SELECT o.event_id, CAST(o.ts AS TIMESTAMP) AS arrival_ts
         |FROM o JOIN s ON o.user_id = s.user_id
         |WHERE o.rn >= s.rn AND o.rn <= s.rn + 8
+        |ORDER BY o.event_id""".stripMargin,
+
+    // Chain replay: on the per-user session chain every reachable
+    // event's latest departure equals its own ts (the out-edge's
+    // availability); reachable = the target user's events within 8
+    // chain hops upstream of the LAST event (max rn).
+    "g10b_latest_departure" ->
+      """WITH o AS (SELECT event_id, user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |  su AS (SELECT user_id FROM o
+        |         WHERE event_id = (SELECT min(event_id) FROM events)),
+        |  c AS (SELECT o.* FROM o JOIN su ON o.user_id = su.user_id),
+        |  tg AS (SELECT max(rn) AS rt FROM c)
+        |SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS depart_ts
+        |FROM c, tg WHERE c.rn >= tg.rt - 8
+        |ORDER BY c.event_id""".stripMargin,
+
+    // Chain replay: the only journey to the event k hops down the
+    // seed's chain starts at the seed's own ts, so its duration is the
+    // timestamp difference; 8-hop bound, seed itself excluded.
+    "g10c_fastest_journey" ->
+      """WITH o AS (SELECT event_id, user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |  s AS (SELECT user_id, rn, ts FROM o
+        |        WHERE event_id = (SELECT min(event_id) FROM events))
+        |SELECT o.event_id,
+        |  epoch_us(CAST(o.ts AS TIMESTAMP))
+        |    - epoch_us(CAST(s.ts AS TIMESTAMP)) AS duration_us
+        |FROM o JOIN s ON o.user_id = s.user_id
+        |WHERE o.rn > s.rn AND o.rn <= s.rn + 8
         |ORDER BY o.event_id""".stripMargin
   )
 }

@@ -494,6 +494,86 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("stronglyConnectedComponents THROWS on non-convergence, never mislabels") {
+    import spark.implicits._
+    // An 8-cycle needs 7 forward propagation steps (+1 to prove the
+    // fixpoint); iters=2 must throw — the r8 shape would instead settle
+    // a split coloring and return a silently wrong partition.
+    val ring = (1L to 8L).map(i => (i, i % 8 + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.stronglyConnectedComponents(spark, ring, rounds = 4, iters = 2)
+        .collect()
+    }
+    assert(ex.getMessage.contains("fixpoint still changing"))
+    // with honest bounds the same ring is one SCC rooted at 1
+    val ok = Graphs.stronglyConnectedComponents(spark, ring,
+        rounds = 2, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == (1L to 8L).map(i => (i, 1L)).toSet)
+  }
+
+  test("latestDeparture: deadline prunes edges, backward chain propagates") {
+    import spark.implicits._
+    // two parallel temporal edges 1→2 plus an upstream hop 0→1
+    val edges = Seq(
+      (0L, 1L, 5L, 8L),    // avail 5, arrive 8
+      (1L, 2L, 10L, 20L),
+      (1L, 2L, 15L, 25L)).toDF("src", "dst", "avail_us", "arrive_us")
+    def run(deadline: Long): Map[Long, Long] =
+      Graphs.latestDeparture(spark, edges, target = 2L,
+          deadlineUs = deadline, maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deadline 22: only the arrive-20 edge works -> depart(1) = 10;
+    // upstream 0 must arrive 1 by 10 (arrive 8 <= 10) -> depart(0) = 5
+    assert(run(22L) == Map(2L -> 22L, 1L -> 10L, 0L -> 5L))
+    // deadline 30 admits the later edge -> depart(1) = 15
+    assert(run(30L) == Map(2L -> 30L, 1L -> 15L, 0L -> 5L))
+    // deadline 19: no edge into 2 arrives in time — only the target
+    assert(run(19L) == Map(2L -> 19L))
+  }
+
+  test("fastestJourney: later start wins, Pareto frontier kept per vertex") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, 0L, 10L),   // start 0, arrive 10
+      (1L, 2L, 5L, 50L),   // start 5, arrive 50 — later start, later arrive
+      (2L, 4L, 20L, 21L),  // only reachable from the (0,10) pair
+      (2L, 4L, 60L, 61L),  // reachable from both pairs
+      (1L, 3L, 90L, 95L),  // direct late sprint to 3
+      (2L, 3L, 12L, 97L)   // early path to 3: start 0, arrive 97
+    ).toDF("src", "dst", "avail_us", "arrive_us")
+    val got = Graphs.fastestJourney(spark, edges, seed = 1L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // v2: min(10-0, 50-5) = 10; v4: min(21-0, 61-5) = 21
+    // v3: the late sprint (95-90=5) beats the early path (97-0=97) —
+    //     exactly the case a single earliest-arrival scalar cannot see
+    assert(got == Map(2L -> 10L, 4L -> 21L, 3L -> 5L))
+  }
+
+  test("restrictedBetweenness: <2 distance-3 targets THROWS, two-paths exact") {
+    import spark.implicits._
+    // the operator's contract input is a SYMMETRIC edge list (its copart
+    // fixture ships both directions — the backward σ pass follows
+    // forward edges of the transpose-free list)
+    def sym(e: Seq[(Long, Long)]) =
+      (e ++ e.map(_.swap)).toDF("src", "dst")
+    // path 1–2–3–4 has exactly ONE distance-3 target — must throw
+    // rather than diverge from the oracle's empty cross-target join
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.restrictedBetweenness(spark,
+        sym(Seq((1L, 2L), (2L, 3L), (3L, 4L)))).collect()
+    }
+    assert(ex.getMessage.contains(">=2 distance-3 targets"))
+
+    // two disjoint length-3 paths from 1: targets {7, 8}, each σ = 1,
+    // scales = 1; interiors get σ_s·σ_t·scale = 1 per pair they serve
+    val twoPaths = sym(Seq((1L, 2L), (2L, 3L), (3L, 7L),
+      (1L, 4L), (4L, 5L), (5L, 8L)))
+    val got = Graphs.restrictedBetweenness(spark, twoPaths)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("reliable checkpoints reap mid-loop: dead rounds' files are deleted") {
     // cleanCheckpoints=true (static conf, SparkSpecBase) + the natural
     // loop shape `state = cut(step(state))` — each round drops the only
