@@ -859,6 +859,32 @@ object LlmQueries {
         |    AS n_correct
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // L26 replay: same lowercase-bigram hashing-trick pipeline —
+    // md5Long(bigram) mod 4096 buckets, fixture weight fid % 201 − 100,
+    // integer sum. Tokenizer is the explicit GopherWhitespace class on
+    // BOTH engines; empty/1-token docs produce an empty bigram list →
+    // list_sum NULL coalesced to the engine's fold seed 0 (keep = true).
+    "l26_quality_score" -> {
+      val gHash = graft.Det.duckMd5Long("g")
+      val ws = graft.ops.Text.GopherWhitespace
+      s"""WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[^$ws]+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)),
+        |                     i -> toks[i] || '_' || toks[i + 1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bg
+        |  FROM t),
+        |s AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |    CAST(coalesce(list_sum(list_transform(bg,
+        |        g -> ($gHash % 4096) % 201 - 100)), 0) AS BIGINT)
+        |      AS score_sum
+        |  FROM b)
+        |SELECT doc_id, n_bigrams, score_sum, score_sum >= 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin
+    },
+
     // Rolling fingerprint replay: same fold, same per-token md5-derived
     // hash (Det.duckMd5Long), seed 0 via list_prepend (list_reduce seeds
     // with the first element). Tokenizer is the explicit GopherWhitespace

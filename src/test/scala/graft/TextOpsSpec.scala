@@ -235,4 +235,29 @@ class TextOpsSpec extends SparkSpecBase {
       Seq((10L, "the cat\u000Bsat on the mat")).toDF("doc_id", "text")).head()
     assert(vt.getLong(1) == 6L, s"vertical tab must split words: $vt")
   }
+
+  test("hashedLinearScore: empty, 1-token, and hand-hashed bigram docs") {
+    // Independent JVM replication of the scoring path: md5 hex → first
+    // 15 chars as a long → mod 4096 buckets → weight fid % 201 − 100.
+    // Not circular: java.security.MessageDigest, not the Spark column.
+    def weight(bigram: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bigram.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val fid = java.lang.Long.parseLong(hex, 16) % 4096L
+      fid % 201L - 100L
+    }
+    val d = mkDocs(
+      (0L, ""),                    // no tokens -> 0 bigrams, score 0, keep
+      (1L, "solo"),                // 1 token -> 0 bigrams, score 0, keep
+      (2L, "Hello World again"))   // lowercased bigrams, hand-hashed
+    val out = d.select(col("doc_id") +:
+        Text.hashedLinearScore(col("text"), buckets = 4096): _*)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val s2 = weight("hello_world") + weight("world_again")
+    assert(out(0) == ((0L, 0L, 0L, true)))
+    assert(out(1) == ((1L, 0L, 0L, true)))
+    assert(out(2) == ((2L, 2L, s2, s2 >= 0)))
+  }
 }
