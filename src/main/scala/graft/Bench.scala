@@ -8,13 +8,16 @@ import org.apache.spark.sql.SparkSession
   * path) and b12 IVF-PQ probe over the persisted index — timed on
   * `SPARK_GRAFT_SF_DIR` and emitted as ONE JSON line.
   *
-  * Methodology (mirrors the DuckDB baseline's best-of-3 warm-cache runs):
+  * Methodology (vs the DuckDB baseline's best-of-3 warm-cache runs):
   * one shared SparkSession, shuffle partitions sized to cores (32, not
   * 200 — sf0.1 partitions would be ~50 rows each otherwise), all tables
   * warmed into the in-memory columnar cache once (plan-equality makes
   * every query hit it), then each query is materialized through the noop
   * sink (forces full column computation — `.count()` would let Catalyst
-  * prune the sort/projection) twice and the best wall time is reported.
+  * prune the sort/projection) once untimed and three times timed; the
+  * MEDIAN is reported with the raw runs alongside, so one contended
+  * pass cannot distort the round's number and any adjudication is
+  * reproducible from the artifact itself.
   * b11/b12's index state (bucketed tables, IVF-PQ codes) is built OUTSIDE
   * the timed region: the bench measures per-query latency, which is the
   * point of persisted indexes — their build cost amortizes over queries.
@@ -140,23 +143,37 @@ object Bench {
         bid -> (() => SparkEntry.queries(key)(spark, sfDir))
       } ++ signature
 
+    // Warm-up (JIT + codegen + cache fill), then THREE timed runs with
+    // the MEDIAN reported: a single contended pass (the driver benches
+    // right after its correctness sweep) distorted r9's b7 by 5× — the
+    // median of three in one JVM is robust to one outlier run, and the
+    // raw runs ship alongside so any adjudication is reproducible from
+    // the artifact alone (VERDICT r9 / ADVICE).
     val results = benchables.map { case (bid, mk) =>
       try {
-        once(mk) // warm-up: JIT + codegen + cache fill
-        val (t1, s1) = once(mk)
-        val (t2, s2) = once(mk)
-        (bid, math.min(t1, t2), math.max(s1, s2))
+        once(mk) // warm-up
+        val runs = Seq(once(mk), once(mk), once(mk))
+        val median = runs.map(_._1).sorted.apply(1)
+        (bid, median, runs.map(_._2).max, runs.map(_._1))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $bid failed: ${e.getMessage}")
-          (bid, -1.0, 0)
+          (bid, -1.0, 0, Seq.empty[Double])
       }
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
+    def f(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v, _, _) => s""""$k":${f(v)}""" }
       .mkString("{", ",", "}")
+    val raw = results.map { case (k, _, _, rs) =>
+      s""""$k":[${rs.map(f).mkString(",")}]""" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _, _) if v < 0 => s""""$k"""" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val skewTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","aqe":$aqeOn,"skew_joins":$skewTotal}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$raw,"failed":$failed,"sf":"$sfDir","aqe":$aqeOn,"skew_joins":$skewTotal}""")
     spark.stop()
+    // a visible nonzero exit when any headline query failed (ADVICE r9:
+    // rc 0 + missing metrics read as a clean run downstream)
+    if (results.exists(_._2 < 0)) sys.exit(3)
   }
 }
