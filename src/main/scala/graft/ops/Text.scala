@@ -372,6 +372,74 @@ object Text {
       (scoreSum >= 0).as("keep"))
   }
 
+  /** L27 — BPE merge TRAINING (Sennrich et al. 2016's corpus half, the
+    * piece L22's coverage query assumed pre-trained): learn the first
+    * `merges` byte-pair merges over the corpus vocabulary. Classic
+    * word-frequency formulation: tokenize (lowercase, the explicit
+    * [[GopherWhitespace]] class, alphabetic words only — symbol strings
+    * then never collide with any delimiter the oracle replay uses),
+    * keep the `vocabWords` most frequent words (deterministic total
+    * order: freq desc, word asc), split each into characters, then per
+    * round: count adjacent symbol pairs weighted by word frequency, pick
+    * the max-count pair (tie-break count desc, p1 asc, p2 asc — a 1-row
+    * driver fetch like the codebook collects), and merge it greedily
+    * left-to-right in every word via one array fold.
+    *
+    * Scale shape: the iterated state is the VOCABULARY (distinct words ×
+    * frequency), which is millions of rows when the corpus is 100 TB —
+    * the corpus itself is touched exactly once by the word count. Each
+    * round is one pair-count shuffle over the vocab plus a map-only
+    * merge, rounds bounded by `merges`. Exact integer counts and
+    * deterministic tie-breaks end-to-end, so the merge table
+    * hash-matches an unrolled DuckDB replay (the same fold runs as a
+    * list_reduce over single-element lists). Returns one row per learned
+    * merge: (round, p1, p2, cnt).
+    */
+  def bpeTrain(docs: DataFrame, vocabWords: Int, merges: Int): DataFrame = {
+    val s = docs.sparkSession
+    val toks = docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit(s"[^$GopherWhitespace]+"), lit(0))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    var words = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(vocabWords)
+      .withColumn("syms", split(col("w"), ""))
+      .transform(Checkpoints.cut)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < merges && !exhausted) {
+      round += 1
+      val n1 = greatest(size(col("syms")) - 1, lit(0))
+      val top = words
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), n1), slice(col("syms"), lit(2), n1),
+          (a, b) => struct(a.as("p1"), b.as("p2")))).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+        .take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (p1, p2, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((round, p1, p2, cnt))
+        // greedy left-to-right merge: a fold that replaces [.., p1] + p2
+        // with [.., p1p2]; a just-merged symbol is its own string, so it
+        // cannot re-merge within the same pass (aaa + (a,a) -> [aa, a])
+        words = Checkpoints.cut(words.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) === 0, array(x))
+                .when(element_at(acc, -1) === lit(p1) && x === lit(p2),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(p1 + p2))))
+                .otherwise(concat(acc, array(x))))))
+      }
+    }
+    import s.implicits._
+    learned.toSeq.toDF("round", "p1", "p2", "cnt")
+  }
+
   /** L25 — PII scrubbing patterns, deliberately restricted to syntax
     * Java regex and RE2 interpret identically (explicit classes, bounded
     * quantifiers; no \b, no \d shorthand — same portability discipline

@@ -262,6 +262,14 @@ object LlmQueries {
           Text.hashedLinearScore(col("text"), buckets = 4096): _*)
         .orderBy("doc_id")),
 
+    // L27 — BPE merge training over the documents vocabulary: the first
+    // 8 learned merges (round, pair, weighted count). Exact integer
+    // counts + deterministic tie-breaks; hash-matched against an
+    // unrolled 8-round DuckDB replay of the same count→pick→fold cycle.
+    "l27_bpe_merges" -> ((s, dir) =>
+      Text.bpeTrain(docs(s, dir), vocabWords = 500, merges = 8)
+        .orderBy("round")),
+
     // L20 — binary (sign-bit) embeddings: 64 float dims -> two 32-bit
     // sign words (32x working-set shrink); exact integer fold, so the
     // packed words hash-match the SQL oracle.
@@ -883,6 +891,46 @@ object LlmQueries {
         |  FROM b)
         |SELECT doc_id, n_bigrams, score_sum, score_sum >= 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // L27 replay: the engine's count→pick→merge cycle unrolled for 8
+    // rounds. Same vocab (top-500 alphabetic words by freq desc, word
+    // asc), same pair counting (adjacent symbols weighted by word freq),
+    // same tie-break (cnt DESC, p1, p2 LIMIT 1), and the SAME greedy
+    // left-to-right fold — list_reduce over single-element lists (the
+    // seed is the first symbol's singleton, matching the engine's
+    // empty-accumulator CASE), so "aaa" merges to [aa, a] on both sides.
+    "l27_bpe_merges" -> {
+      val ws = graft.ops.Text.GopherWhitespace
+      val rounds = 8
+      val head =
+        s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+          |    '[^$ws]+')) AS w FROM documents),
+          |wf AS (SELECT w, count(*) AS freq FROM tok
+          |       WHERE regexp_full_match(w, '[a-z]+')
+          |       GROUP BY w ORDER BY freq DESC, w LIMIT 500),
+          |w0 AS (SELECT w, freq, regexp_extract_all(w, '.') AS l FROM wf)""".stripMargin
+      val steps = (1 to rounds).map { i =>
+        s"""c$i AS (SELECT pr[1] AS p1, pr[2] AS p2,
+          |    CAST(sum(freq) AS BIGINT) AS cnt
+          |  FROM (SELECT freq, unnest(list_transform(range(1, len(l)),
+          |          j -> [l[j], l[j + 1]])) AS pr
+          |        FROM w${i - 1})
+          |  GROUP BY 1, 2),
+          |m$i AS (SELECT p1, p2, cnt FROM c$i
+          |        ORDER BY cnt DESC, p1, p2 LIMIT 1),
+          |w$i AS (SELECT w.w, w.freq,
+          |    list_reduce(list_transform(w.l, x -> [x]),
+          |      (acc, x) -> CASE
+          |        WHEN acc[-1] = m.p1 AND x[1] = m.p2
+          |        THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2)
+          |        ELSE list_append(acc, x[1]) END) AS l
+          |  FROM w${i - 1} w CROSS JOIN m$i m)""".stripMargin
+      }
+      val tail = (1 to rounds)
+        .map(i => s"SELECT $i AS round, p1, p2, cnt FROM m$i")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+      (head +: steps).mkString(",\n") + tail
     },
 
     // Rolling fingerprint replay: same fold, same per-token md5-derived

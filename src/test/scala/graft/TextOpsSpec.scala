@@ -260,4 +260,21 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(1) == ((1L, 0L, 0L, true)))
     assert(out(2) == ((2L, 2L, s2, s2 >= 0)))
   }
+
+  test("bpeTrain: known merge sequence, greedy overlap, early exhaustion") {
+    def merges(text: String, n: Int) =
+      Text.bpeTrain(mkDocs((0L, text)), vocabWords = 10, merges = n)
+        .orderBy("round")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    // vocab {aaab: 2, ab: 1}: round 1 merges (a,a) cnt 4 (two per aaab);
+    // round 2 (a,b) cnt 3 (aaab's tail + ab); round 3 (aa,ab) cnt 2;
+    // then every word is a single symbol -> exhausted before merges=5
+    assert(merges("aaab aaab ab", 5) == Seq(
+      (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+    // greedy left-to-right: "aaa" + (a,a) -> [aa, a], NOT [a, aa] —
+    // round 2's top pair must therefore be (aa, a)
+    assert(merges("aaa aaa", 4) == Seq(
+      (1, "a", "a", 4L), (2, "aa", "a", 2L)))
+  }
 }
