@@ -19,12 +19,96 @@ object Bucketing {
     * "this process never built it".
     */
   def dropStaleLocation(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-    // managed-table locations use the LOWER-CASED identifier — a
-    // mixed-case caller name would probe a path saveAsTable never writes
-    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val path = tableLocation(s, table)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Warehouse location of a managed table — the LOWER-CASED identifier;
+    * a mixed-case caller name would probe a path saveAsTable never
+    * writes.
+    */
+  private def tableLocation(s: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+
+  /** Everything a LATER PROCESS needs to reattach this table without
+    * rebuilding, written as `_graft_table.props` inside the table
+    * location (underscore prefix → invisible to parquet readers, like
+    * _SUCCESS): schema DDL, bucketing spec, partition column. The
+    * default in-memory catalog forgets table metadata at session end
+    * while the warehouse files persist — before this descriptor existed,
+    * a new process had to delete-and-rebuild derived state that was
+    * perfectly good ([[reattach]] is the read side). At 100 TB this is
+    * the difference between re-deriving edge tables / LSH indexes per
+    * session and re-registering them in milliseconds.
+    */
+  private val DescriptorFile = "_graft_table.props"
+
+  def writeDescriptor(s: org.apache.spark.sql.SparkSession, table: String,
+      keys: Seq[String] = Seq.empty, buckets: Int = 0,
+      sortCols: Seq[String] = Seq.empty, partitionCol: String = ""): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("schema", s.table(table).schema.toDDL)
+    if (keys.nonEmpty) {
+      p.setProperty("keys", keys.mkString(","))
+      p.setProperty("buckets", buckets.toString)
+      p.setProperty("sorts",
+        (if (sortCols.nonEmpty) sortCols else keys).mkString(","))
+    }
+    if (partitionCol.nonEmpty) p.setProperty("partition", partitionCol)
+    val loc = tableLocation(s, table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, DescriptorFile), true)
+    try p.store(out, "graft reattachable table descriptor") finally out.close()
+  }
+
+  /** Re-register a table a PREVIOUS process built (descriptor present at
+    * the warehouse location) as an external table over the existing
+    * files — bucketing and sort metadata restored from the descriptor,
+    * partitions recovered — instead of delete-and-rebuild. Returns true
+    * iff the table is usable in this session's catalog afterwards.
+    * Bucketed reattachment is exact: Spark encodes the bucket id in the
+    * data file names, so the CLUSTERED BY spec re-applies to the same
+    * layout and joins stay Exchange-free (gated in BucketingSpec).
+    */
+  def reattach(s: org.apache.spark.sql.SparkSession, table: String): Boolean = {
+    if (s.catalog.tableExists(table)) return true
+    val loc = tableLocation(s, table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val descPath = new org.apache.hadoop.fs.Path(loc, DescriptorFile)
+    if (!fs.exists(descPath)) return false
+    val p = new java.util.Properties()
+    val in = fs.open(descPath)
+    try p.load(in) finally in.close()
+    def quoted(csv: String) = csv.split(',').map(c => s"`$c`").mkString(", ")
+    val clustered = Option(p.getProperty("keys")).fold("") { ks =>
+      s"CLUSTERED BY (${quoted(ks)}) SORTED BY (${quoted(p.getProperty("sorts"))}) " +
+        s"INTO ${p.getProperty("buckets")} BUCKETS "
+    }
+    val partitioned = Option(p.getProperty("partition"))
+      .fold("")(c => s"PARTITIONED BY (`$c`) ")
+    s.sql(s"CREATE TABLE `$table` (${p.getProperty("schema")}) USING PARQUET " +
+      partitioned + clustered + s"LOCATION '${loc.toString}'")
+    if (p.getProperty("partition") != null)
+      s.sql(s"MSCK REPAIR TABLE `$table`")
+    true
+  }
+
+  /** Build-once lifecycle for a bucketed table: reuse the session
+    * catalog's copy, else reattach a previous process's build, else
+    * build + record the descriptor. The canonical entry point for
+    * derived bucketed state that must outlive the session.
+    */
+  def bucketedTable(s: org.apache.spark.sql.SparkSession, table: String,
+      keys: Seq[String], buckets: Int, sortCols: Seq[String] = Seq.empty)(
+      build: => DataFrame): DataFrame = {
+    if (!s.catalog.tableExists(table) && !reattach(s, table)) {
+      dropStaleLocation(s, table)
+      writeBucketedMulti(build, table, keys, buckets, sortCols)
+    }
+    s.table(table)
   }
 
   /** Write `df` as a bucketed, per-bucket-sorted managed parquet table.
@@ -51,6 +135,7 @@ object Bucketing {
       .sortBy(sorts.head, sorts.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
+    writeDescriptor(df.sparkSession, table, keys, buckets, sorts)
   }
 
   /** Write an event-style table hive-partitioned by the day of `tsCol`
@@ -78,7 +163,7 @@ object Bucketing {
     */
   def dayPartitionedTable(s: org.apache.spark.sql.SparkSession, name: String,
       tsCol: String)(build: => DataFrame): DataFrame = {
-    if (!s.catalog.tableExists(name)) {
+    if (!s.catalog.tableExists(name) && !reattach(s, name)) {
       dropStaleLocation(s, name)
       build.withColumn("p_day",
           org.apache.spark.sql.functions.to_date(
@@ -88,6 +173,7 @@ object Bucketing {
         .partitionBy("p_day")
         .mode("overwrite")
         .saveAsTable(name)
+      writeDescriptor(s, name, partitionCol = "p_day")
     }
     s.table(name)
   }

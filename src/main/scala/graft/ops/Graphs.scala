@@ -63,7 +63,10 @@ object Graphs {
     */
   def supplyEdgeTable(s: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
     val name = "graft_edges_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    if (!s.catalog.tableExists(name)) {
+    // reattach a previous process's build from its on-disk descriptor
+    // before re-deriving: at 100 TB the edge union is hours of work a
+    // session restart must not repeat
+    if (!s.catalog.tableExists(name) && !Bucketing.reattach(s, name)) {
       Bucketing.dropStaleLocation(s, name)
       Bucketing.writeBucketed(supplyEdgesRaw(s, dir).select("src", "dst"),
         name, "src", buckets, sortCols = Seq("src", "dst"))

@@ -50,16 +50,32 @@ object SimIndex {
     Bucketing.dropStaleLocation(spark, s"${prefix}_meta")
     Seq((n, sig)).toDF("n_rows", "content_sig")
       .write.mode("overwrite").saveAsTable(s"${prefix}_meta")
+    Bucketing.writeDescriptor(spark, s"${prefix}_meta")
   }
+
+  /** Every table an index build may persist under `prefix`. */
+  private val Suffixes = Seq("_meta", "_bands", "_sigs", "_centroids",
+    "_vectors", "_pq_codebooks", "_pq_codes", "_shingles")
+
+  /** Reattach every piece of the index a PREVIOUS process left in the
+    * warehouse (no-op for pieces this index flavor never wrote, and for
+    * tables already in the catalog). Readers and the freshness check
+    * route through here, so a new session reuses a persisted index —
+    * signature-checked via requireFresh — instead of rebuilding it.
+    */
+  private def reattachAll(spark: SparkSession, prefix: String): Unit =
+    Suffixes.foreach(sfx => Bucketing.reattach(spark, prefix + sfx))
 
   /** True iff the index at `prefix` recorded a build signature and it
     * matches `base`'s CURRENT content (same column set as at build).
     */
-  def isFresh(spark: SparkSession, prefix: String, base: DataFrame): Boolean =
+  def isFresh(spark: SparkSession, prefix: String, base: DataFrame): Boolean = {
+    reattachAll(spark, prefix)
     spark.catalog.tableExists(s"${prefix}_meta") && {
       val r = spark.table(s"${prefix}_meta").head()
       (r.getLong(0), r.getLong(1)) == signature(base)
     }
+  }
 
   /** Fail fast (with a rebuild hint) when the persisted index no longer
     * matches the base table the caller is querying against. Every reader
@@ -97,6 +113,7 @@ object SimIndex {
     */
   def lshCandidatesFromIndex(spark: SparkSession, prefix: String,
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
+    reattachAll(spark, prefix)
     verifyAgainst.foreach(requireFresh(spark, prefix, _))
     val b1 = spark.table(s"${prefix}_bands")
     val b2 = b1.select(col("doc_id").as("b_id"), col("band"),
@@ -116,7 +133,9 @@ object SimIndex {
     // every caller having done it (Similarity.dot/norm resolve it).
     graft.functions.VecFunctions.ensureRegistered(vecs.sparkSession)
     val centroids = Similarity.kmeansCentroids(vecs, k, maxIter = 10)
+    Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_centroids")
     centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+    Bucketing.writeDescriptor(vecs.sparkSession, s"${prefix}_centroids")
     val assigned = Similarity.ivfAssign(vecs, centroids, nprobe)
     val bucketVecs = vecs.join(assigned, "vec_id")
       .select(col("vec_id"), col("embedding"),
@@ -132,6 +151,7 @@ object SimIndex {
     */
   def ivfPairsFromIndex(spark: SparkSession, prefix: String,
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
+    reattachAll(spark, prefix)
     verifyAgainst.foreach(requireFresh(spark, prefix, _))
     graft.functions.VecFunctions.ensureRegistered(spark)
     val v = spark.table(s"${prefix}_vectors")
@@ -176,7 +196,9 @@ object SimIndex {
         transform(Similarity.l2normalize(col("embedding")),
           _.cast("float")).as("embedding"))
     val centroids = Similarity.kmeansCentroids(unit, nCentroids, maxIter = 10)
+    Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_centroids")
     centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
+    Bucketing.writeDescriptor(vecs.sparkSession, s"${prefix}_centroids")
     val assigned = Similarity.ivfAssign(unit, centroids, nprobe = 1)
     // cached: pqTrain re-scans it m times (one kmeans fit per subspace)
     // and the encode + bucket join read it twice more
@@ -188,7 +210,9 @@ object SimIndex {
           (x, c) => x.cast("double") - c).as("embedding"))
       .cache()
     val codebooks = Similarity.pqTrain(resid, m, dims, k)
+    Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_pq_codebooks")
     codebooks.write.mode("overwrite").saveAsTable(s"${prefix}_pq_codebooks")
+    Bucketing.writeDescriptor(vecs.sparkSession, s"${prefix}_pq_codebooks")
     val codes = Similarity.pqEncode(resid, codebooks, m, dims)
       .join(resid.select("vec_id", "bucket"), "vec_id")
       .select("vec_id", "bucket", "codes")
@@ -215,6 +239,7 @@ object SimIndex {
   def ivfPqSearch(spark: SparkSession, prefix: String, query: Seq[Float],
       nprobe: Int, topk: Int,
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
+    reattachAll(spark, prefix)
     verifyAgainst.foreach(requireFresh(spark, prefix, _))
     import spark.implicits._
     val q = query.map(_.toDouble)
@@ -271,6 +296,7 @@ object SimIndex {
   def decontaminateFromIndex(spark: SparkSession, train: DataFrame,
       prefix: String, n: Int,
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
+    reattachAll(spark, prefix)
     verifyAgainst.foreach(requireFresh(spark, prefix, _))
     val bench = spark.table(s"${prefix}_shingles")
     val contaminated = Text.shingleStream(train, n)

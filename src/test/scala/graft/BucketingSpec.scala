@@ -125,4 +125,88 @@ class BucketingSpec extends SparkSpecBase {
         col("ts") < lit("2024-01-12").cast("timestamp")).count()
     assert(filtered.count() == expect)
   }
+
+  /** Simulate a PREVIOUS PROCESS's build: the in-memory catalog of a new
+    * JVM knows nothing, but the warehouse files + descriptor persist. A
+    * same-JVM test can't get a second isolated catalog (newSession shares
+    * SharedState), so we copy the built directory to a name the catalog
+    * has never seen — byte-identical to what a fresh process finds.
+    */
+  private def cloneWarehouseDir(from: String, to: String): Unit = {
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f =>
+          cp(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val wh = "/tmp/graft-test-warehouse"
+    val dstDir = new java.io.File(s"$wh/$to")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    if (dstDir.exists()) rm(dstDir)
+    cp(new java.io.File(s"$wh/$from"), dstDir)
+  }
+
+  test("reattach: a second process reuses a bucketed build without rebuilding") {
+    Seq("reat_src", "reat_dst").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("reat_src", "reat_dst").foreach(Bucketing.dropStaleLocation(spark, _))
+    var builds = 0
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val built = Bucketing.bucketedTable(spark, "reat_src",
+        Seq("l_orderkey"), 8, Seq("l_orderkey", "l_partkey")) {
+      builds += 1; li
+    }
+    assert(builds == 1 && built.count() == li.count())
+    // same session asks again: catalog hit, no rebuild
+    Bucketing.bucketedTable(spark, "reat_src", Seq("l_orderkey"), 8) {
+      builds += 1; li
+    }
+    assert(builds == 1)
+
+    // "new process": unknown table name over the same bytes
+    cloneWarehouseDir("reat_src", "reat_dst")
+    val reattached = Bucketing.bucketedTable(spark, "reat_dst",
+        Seq("l_orderkey"), 8) {
+      builds += 1; li
+    }
+    assert(builds == 1, "reattach must NOT rebuild")
+    assert(reattached.count() == li.count())
+    // bucketing metadata survived the reattach: self-join on the bucket
+    // key plans with zero Exchange, same as a first-process build
+    withoutAutoBroadcast {
+      val j = spark.table("reat_dst").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q"))
+      val exchanges = physical(j).collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+      assert(exchanges.isEmpty,
+        s"reattached table lost its bucketing: ${exchanges.map(_.nodeName)}")
+    }
+  }
+
+  test("reattach: SimIndex freshness check reuses a prior process's index") {
+    import graft.ops.SimIndex
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pfxA = "reat_lsh_a"
+    val pfxB = "reat_lsh_b"
+    for (p <- Seq(pfxA, pfxB); sfx <- Seq("_meta", "_bands", "_sigs")) {
+      spark.sql(s"DROP TABLE IF EXISTS $p$sfx")
+      Bucketing.dropStaleLocation(spark, p + sfx)
+    }
+    SimIndex.writeLshIndex(docs, pfxA, numHashes = 8, bands = 4, buckets = 4)
+    assert(SimIndex.isFresh(spark, pfxA, docs))
+    // clone to a prefix this catalog has never seen = a new process
+    Seq("_meta", "_bands", "_sigs").foreach(sfx =>
+      cloneWarehouseDir(pfxA + sfx, pfxB + sfx))
+    assert(SimIndex.isFresh(spark, pfxB, docs),
+      "a new session must reattach the persisted index, not rebuild")
+    val viaB = SimIndex.lshCandidatesFromIndex(spark, pfxB,
+      verifyAgainst = Some(docs)).count()
+    val viaA = SimIndex.lshCandidatesFromIndex(spark, pfxA).count()
+    assert(viaB == viaA && viaA > 0)
+    // staleness still detected through the reattached meta
+    assert(!SimIndex.isFresh(spark, pfxB, docs.limit(10)))
+  }
 }
