@@ -228,6 +228,23 @@ object StreamQueries {
         .orderBy("user_id", "valid_from_us", "event_id")
     }),
 
+    // S18 — streaming near-dup gate: per-doc dup flag = some earlier doc
+    // (smaller id) already claimed one of its 4 SimHash band buckets.
+    // The streaming form (Streams.bandGate state across batches) is
+    // asserted equal in StreamingSpec; this batch twin runs the SAME
+    // processor over the whole corpus and is hash-checked against a
+    // DuckDB window replay of the simhash→band→first-claim pipeline.
+    "s18_neardup_gate" -> ((s0, dir) => {
+      val s = stateSession(s0)
+      import s.implicits._
+      val bands = Streams.simHashBands(Tables.load(s, dir, "documents"))
+        .as[Streams.BandEv]
+      Streams.bandGate(bands).toDF()
+        .groupBy("doc_id")
+        .agg((max(col("prior").cast("int")) === 1).as("dup"))
+        .orderBy("doc_id")
+    }),
+
     // S12 — incremental temporal earliest-arrival. The streaming form
     // (Streams.earliestArrivalStream) is asserted equal to the Pregel
     // recomputation in StreamingSpec; THIS batch twin is that same
@@ -414,6 +431,34 @@ object StreamQueries {
         |      FROM events)
         |WHERE next_ts IS NOT NULL
         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    // S18 replay: the l07 simhash replay (per-token md5Long, majority
+    // vote per bit), bands as 15-bit slices (signed >> then mask —
+    // identical to the engine's shiftright+AND since the mask keeps only
+    // the sliced bits), then dup ⟺ a smaller doc_id shares a bucket ⟺
+    // doc_id > min(doc_id) over any of its (band, bits) groups.
+    "s18_neardup_gate" -> {
+      val tokHash = graft.Det.duckMd5Long("t")
+      val ws = graft.ops.Text.GopherWhitespace
+      val bitTerms = (0 until 60).map { b =>
+        s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) " +
+          s"> len(hs) THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END"
+      }.mkString("\n    + ")
+      s"""WITH toks AS (SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[^$ws]+'),
+        |      t -> $tokHash) AS hs
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+        |       FROM toks),
+        |b AS (SELECT doc_id, band,
+        |        (simhash >> (15 * band)) & 32767 AS bits
+        |      FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)),
+        |m AS (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY band, bits) AS mn
+        |      FROM b)
+        |SELECT doc_id, bool_or(doc_id > mn) AS dup
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "s12_incremental_arrival" ->
       """WITH o AS (SELECT event_id, user_id, ts,

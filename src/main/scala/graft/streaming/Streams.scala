@@ -693,6 +693,72 @@ object Streams {
       }
   }
 
+  /** S18 rows: the streaming near-dup gate on SimHash band buckets. */
+  case class BandEv(band: Int, bits: Long, doc_id: Long)
+  case class BandFlag(doc_id: Long, band: Int, prior: Boolean)
+
+  /** Explode a documents frame into its SimHash band buckets: the 60
+    * significant bits of [[graft.ops.Similarity.simHash]] split into 4
+    * disjoint 15-bit bands — two docs within Hamming distance 3 of each
+    * other are GUARANTEED to share at least one band (pigeonhole), the
+    * standard SimHash blocking scheme. Pure projection + generator, so
+    * it runs identically on a batch frame and a stream.
+    */
+  def simHashBands(docs: DataFrame): DataFrame = {
+    graft.functions.VecFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        graft.ops.Similarity.simHash(col("text")).as("simhash"))
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "bits")))
+      .select(col("band"), col("bits"), col("doc_id"))
+  }
+
+  /** S18 — streaming near-dup gate: per (band, bits) bucket, ValueState
+    * holds the MINIMUM doc_id ever seen; each arriving doc emits whether
+    * an earlier doc (smaller id, this batch or any prior one) already
+    * claimed its bucket. Intake-order semantics replay in batch because
+    * "earlier" is the doc id itself, not arrival wall-clock: a doc is a
+    * near-dup candidate iff ANY of its 4 bands was claimed first — the
+    * per-doc OR is a plain downstream agg. State is ONE long per live
+    * bucket (≤ 4 per distinct doc, shrinking with collisions), the
+    * smallest state any banded dedup can carry.
+    */
+  class BandGateProcessor
+      extends StatefulProcessor[(Int, Long), BandEv, BandFlag] {
+    @transient private var minDoc: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      minDoc = getHandle.getValueState[Long]("min_doc",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandEv],
+        timerValues: TimerValues): Iterator[BandFlag] = {
+      // ascending doc order makes "seen smaller" a running minimum
+      val sorted = rows.toArray.sortBy(_.doc_id)
+      var best = if (minDoc.exists()) minDoc.get() else Long.MaxValue
+      val out = sorted.map { e =>
+        val prior = best < e.doc_id
+        if (e.doc_id < best) best = e.doc_id
+        BandFlag(e.doc_id, e.band, prior)
+      }
+      minDoc.update(best)
+      out.iterator
+    }
+  }
+
+  /** S18 entry: batch = the whole corpus in one pass (per-doc dup flags
+    * hash-oracled against a DuckDB window replay); streaming = the same
+    * processor fed incrementally, bucket state carrying across batches.
+    */
+  def bandGate(bands: Dataset[BandEv]): Dataset[BandFlag] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(e => (e.band, e.bits))
+      .transformWithState(new BandGateProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Batch twin of [[flagAnomalies]] with O(1) state per task (hash-
     * repartition + secondary sort + one streaming pass per partition — see
     * [[sessionEdgesBatch]]): a hot key's full history is never

@@ -230,6 +230,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Map(1L -> -13L, 2L -> 13L))
   }
 
+  test("S18 near-dup gate: stream == batch, bucket state carries across batches") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch transformWithState needs the coordinator endpoint streaming
+    // normally bootstraps (same bootstrap as StreamQueries.stateSession)
+    org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(spark)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally different words here now"),
+      (3L, "alpha beta gamma delta"),          // exact dup of 1
+      (4L, "alpha beta gamma delta epsilon"),  // near dup of 1
+      (5L, "unrelated content entirely distinct tokens"))
+      .toDF("doc_id", "text")
+    val bandRows = Streams.simHashBands(docs)
+      .as[Streams.BandEv].collect().toSeq
+    // independent local oracle: dup ⟺ a smaller doc_id shares a bucket
+    val minPer = bandRows.groupBy(e => (e.band, e.bits))
+      .view.mapValues(_.map(_.doc_id).min).toMap
+    val expect = bandRows.groupBy(_.doc_id).map { case (d, rs) =>
+      d -> rs.exists(e => minPer((e.band, e.bits)) < d) }
+    assert(expect(3L) && !expect(2L) && !expect(1L),
+      s"fixture must contain a dup and non-dups: $expect")
+
+    val batch = Streams.bandGate(bandRows.toDS()).collect()
+      .groupBy(_.doc_id).map { case (d, rs) => d -> rs.exists(_.prior) }
+    assert(batch == expect)
+
+    // streaming: docs arrive in id order over three micro-batches; the
+    // bucket-minimum state must carry batch 1's claims into batch 2+
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Streams.BandEv]
+    val q = Streams.bandGate(source.toDS()).toDF()
+      .writeStream.format("memory").queryName("s18sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      Seq(Seq(1L, 2L), Seq(3L), Seq(4L, 5L)).foreach { ids =>
+        source.addData(bandRows.filter(e => ids.contains(e.doc_id)))
+        q.processAllAvailable()
+      }
+      val viaStream = spark.table("s18sink").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2)))
+        .groupBy(_._1).map { case (d, rs) => d -> rs.exists(_._2) }
+      assert(viaStream == expect)
+    } finally q.stop()
+  }
+
   test("S08 transformWithState: streaming final state == batch run") {
     import spark.implicits._
     // transformWithState requires the RocksDB state store provider
