@@ -768,32 +768,62 @@ object Graphs {
     * deterministic and hash-oracle-able — the same contract as
     * [[kCorePeelDF]]'s bounded peeling.
     *
-    * Per round: canonical triangle enumeration as a 2-join over the
-    * surviving edge list (a<b<c via (a,b)⋈(a,c)⋈(b,c) — each triangle
-    * materializes ONCE), then each triangle votes support into its 3
-    * edges and a groupBy counts. Support recomputation-from-scratch per
-    * round (not decremented) keeps every round a pure function of the
-    * surviving edge set — idempotent, retry-safe, and exactly
-    * replayable in SQL. At 100 TB: the joins are equi joins on (x) and
-    * (x, y); bucket the edge table on x and the triangle enumeration is
-    * co-located, the same layout the triangle count uses; each round is
-    * O(Σ min(deg)) like any sorted-adjacency triangle pass.
+    * Per round: DEGREE-ORDERED triangle enumeration — each surviving
+    * edge is oriented from its (deg, id)-smaller endpoint to the larger,
+    * wedges are generated only at each triangle's degree-minimum apex
+    * (two out-edges of the same vertex, ordered), and the closing
+    * oriented edge joins them shut, so each triangle materializes ONCE.
+    * Orientation bounds the wedge fan-out by the ORIENTED out-degree,
+    * which is O(√m) on any graph — a canonical a<b<c enumeration instead
+    * fans a low-ID hub out by its full degree squared, the classic skew
+    * killer on power-law graphs (this is the cost shape that makes
+    * triangle listing feasible at 100 TB at all). Each triangle then
+    * votes support into its 3 canonical (x<y) edges and a groupBy
+    * counts. Support recomputation-from-scratch per round (not
+    * decremented) keeps every round a pure function of the surviving
+    * edge set — idempotent, retry-safe, and exactly replayable in SQL.
+    * At 100 TB: degree agg + orientation are one shuffle each, the
+    * wedge join keys on the apex, the closure join on the (b, c) pair —
+    * all equi joins over the edge list.
     */
   def kTrussPeel(s: SparkSession, pairs: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     var e = pairs.select(col("x").cast("long"), col("y").cast("long"))
       .distinct().transform(Checkpoints.cut)
     for (_ <- 1 to rounds) {
-      val ab = e.select(col("x").as("a"), col("y").as("b"))
-      val ac = e.select(col("x").as("a2"), col("y").as("c"))
-      val bc = e.select(col("x").as("b2"), col("y").as("c2"))
-      val tri = ab
-        .join(ac, col("a") === col("a2") && col("b") < col("c"))
-        .join(bc, col("b2") === col("b") && col("c2") === col("c"))
-        .select(col("a"), col("b"), col("c"))
-      val support = tri.select(col("a").as("x"), col("b").as("y"))
-        .unionAll(tri.select(col("a").as("x"), col("c").as("y")))
-        .unionAll(tri.select(col("b").as("x"), col("c").as("y")))
+      val deg = e.select(col("x").as("id"))
+        .unionAll(e.select(col("y").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val o = e
+        .join(deg.select(col("id").as("x"), col("deg").as("dx")), "x")
+        .join(deg.select(col("id").as("y"), col("deg").as("dy")), "y")
+        .select(when(col("dx") < col("dy") ||
+              (col("dx") === col("dy") && col("x") < col("y")),
+            struct(col("x").as("u"), col("y").as("v"),
+              col("dx").as("du"), col("dy").as("dv")))
+          .otherwise(struct(col("y").as("u"), col("x").as("v"),
+            col("dy").as("du"), col("dx").as("dv"))).as("s"))
+        .select(col("s.u").as("u"), col("s.v").as("v"),
+          col("s.du").as("du"), col("s.dv").as("dv"))
+        .transform(Checkpoints.cut)
+      // wedges at the degree-minimum apex: out-edge pairs in orientation
+      // order; the closing edge exists only in that same order, so the
+      // join both completes and dedups the triangle
+      val wedges = o.select(col("u").as("a"), col("v").as("b"),
+          col("dv").as("db"))
+        .join(o.select(col("u").as("a"), col("v").as("c"),
+          col("dv").as("dc")), "a")
+        .filter(col("db") < col("dc") ||
+          (col("db") === col("dc") && col("b") < col("c")))
+      val tri = wedges
+        .join(o.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+        .select("a", "b", "c")
+      def canon(p: Column, q: Column) =
+        struct(least(p, q).as("x"), greatest(p, q).as("y"))
+      val support = tri.select(canon(col("a"), col("b")).as("e"))
+        .unionAll(tri.select(canon(col("a"), col("c")).as("e")))
+        .unionAll(tri.select(canon(col("b"), col("c")).as("e")))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
         .groupBy("x", "y").agg(count(lit(1)).as("support"))
       e = e.join(support, Seq("x", "y"), "left_outer")
         .filter(coalesce(col("support"), lit(0L)) >= k - 2)
