@@ -24,6 +24,7 @@ object Verify {
     // plan-equal, so every query reads from memory instead of re-decoding
     // parquet per query.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache().count())
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -34,6 +35,7 @@ object Verify {
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +53,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Erroring queries recorded IN the artifact (ADVICE r9: a query that
+    // throws otherwise just goes missing from the report, and
+    // missing-vs-passing is only visible by recounting the registry).
+    // Exits nonzero too — a clean rc with absent dump dirs reads as
+    // green downstream.
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

@@ -61,6 +61,11 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
     n_ok = n_bad = n_rowsonly = 0
+    errf = f"{out_dir}/_verify_errors.json"
+    if os.path.exists(errf):
+        for name, err in sorted(json.load(open(errf)).items()):
+            print(f"ERRORED  {name}: {err[:160]}")
+            n_bad += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
