@@ -395,6 +395,50 @@ object Text {
     * list_reduce over single-element lists). Returns one row per learned
     * merge: (round, p1, p2, cnt).
     */
+  /** One greedy left-to-right BPE merge pass over a symbol array: every
+    * adjacent (p1, p2) becomes p1p2; a just-merged symbol cannot
+    * re-merge within the same pass ("aaa" + (a,a) → [aa, a]). Shared by
+    * [[bpeTrain]] (vocab side) and [[bpeSubtokenCounts]] (corpus side).
+    */
+  private def applyMerge(syms: Column, p1: String, p2: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) === 0, array(x))
+          .when(element_at(acc, -1) === lit(p1) && x === lit(p2),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(p1 + p2))))
+          .otherwise(concat(acc, array(x))))
+
+  /** L28 — BPE ENCODING with a learned merge table ([[bpeTrain]]'s
+    * output, applied in training order — the standard BPE apply rule):
+    * per document, tokenize (same lowercase alphabetic tokenizer the
+    * training side used), split each word to characters, run every
+    * merge as one greedy pass, and report (n_words, n_subtokens). The
+    * compression ratio n_subtokens/n_words is THE tokenizer-quality
+    * metric a vocab build is judged by. Merges arrive as a driver-side
+    * Seq (8 rows — the codebook-collect pattern); the per-doc work is a
+    * chain of codegen'd HOF folds, no shuffle beyond the final per-doc
+    * agg. Zero-token docs survive with zeros (left join from the corpus).
+    */
+  def bpeSubtokenCounts(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(s"[^$GopherWhitespace]+"), lit(0))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val merged = merges.foldLeft(split(col("w"), ""): Column) {
+      case (c, (p1, p2)) => applyMerge(c, p1, p2)
+    }
+    val perDoc = toks.select(col("doc_id"), size(merged).as("n_sub"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subtokens"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subtokens"), lit(0L)).as("n_subtokens"))
+  }
+
   def bpeTrain(docs: DataFrame, vocabWords: Int, merges: Int): DataFrame = {
     val s = docs.sparkSession
     val toks = docs.select(explode(regexp_extract_all(lower(col("text")),
@@ -423,17 +467,8 @@ object Text {
         val (p1, p2, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((round, p1, p2, cnt))
-        // greedy left-to-right merge: a fold that replaces [.., p1] + p2
-        // with [.., p1p2]; a just-merged symbol is its own string, so it
-        // cannot re-merge within the same pass (aaa + (a,a) -> [aa, a])
-        words = Checkpoints.cut(words.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) =>
-              when(size(acc) === 0, array(x))
-                .when(element_at(acc, -1) === lit(p1) && x === lit(p2),
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                    array(lit(p1 + p2))))
-                .otherwise(concat(acc, array(x))))))
+        words = Checkpoints.cut(
+          words.withColumn("syms", applyMerge(col("syms"), p1, p2)))
       }
     }
     import s.implicits._

@@ -270,6 +270,20 @@ object LlmQueries {
       Text.bpeTrain(docs(s, dir), vocabWords = 500, merges = 8)
         .orderBy("round")),
 
+    // L28 — BPE encoding with the merges L27 just learned: per-doc
+    // (n_words, n_subtokens) after applying all 8 merges in training
+    // order — the compression-ratio metric a tokenizer build is judged
+    // by. The 8-row merge table is a driver fetch (codebook pattern);
+    // hash-matched against the unrolled replay (train chain + 8 apply
+    // folds over each doc's words).
+    "l28_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Text.bpeTrain(d, vocabWords = 500, merges = 8)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Text.bpeSubtokenCounts(d, merges).orderBy("doc_id")
+    }),
+
     // L20 — binary (sign-bit) embeddings: 64 float dims -> two 32-bit
     // sign words (32x working-set shrink); exact integer fold, so the
     // packed words hash-match the SQL oracle.
@@ -658,6 +672,41 @@ object LlmQueries {
         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared DuckDB replay of [[graft.ops.Text.bpeTrain]]'s
+    * count→pick→merge cycle, unrolled: WITH-clause prefix `tok/wf/w0`
+    * plus one `c$i/m$i/w$i` step per round (same vocab, same tie-break,
+    * same greedy fold as list_reduce over single-element lists). l27
+    * selects the m$i rows; l28 chains apply-folds on top.
+    */
+  private def bpeChainSql(rounds: Int): (String, Seq[String]) = {
+    val ws = graft.ops.Text.GopherWhitespace
+    val head =
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+        |    '[^$ws]+')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS freq FROM tok
+        |       WHERE regexp_full_match(w, '[a-z]+')
+        |       GROUP BY w ORDER BY freq DESC, w LIMIT 500),
+        |w0 AS (SELECT w, freq, regexp_extract_all(w, '.') AS l FROM wf)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT pr[1] AS p1, pr[2] AS p2,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, unnest(list_transform(range(1, len(l)),
+        |          j -> [l[j], l[j + 1]])) AS pr
+        |        FROM w${i - 1})
+        |  GROUP BY 1, 2),
+        |m$i AS (SELECT p1, p2, cnt FROM c$i
+        |        ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |w$i AS (SELECT w.w, w.freq,
+        |    list_reduce(list_transform(w.l, x -> [x]),
+        |      (acc, x) -> CASE
+        |        WHEN acc[-1] = m.p1 AND x[1] = m.p2
+        |        THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2)
+        |        ELSE list_append(acc, x[1]) END) AS l
+        |  FROM w${i - 1} w CROSS JOIN m$i m)""".stripMargin
+    }
+    (head, steps)
+  }
+
   val oracles: Map[String, String] = Map(
     "l10_decontaminate" -> decontamSql,
     "l10b_decontaminate_bloom" -> decontamSql,
@@ -901,36 +950,46 @@ object LlmQueries {
     // seed is the first symbol's singleton, matching the engine's
     // empty-accumulator CASE), so "aaa" merges to [aa, a] on both sides.
     "l27_bpe_merges" -> {
+      val (head, steps) = bpeChainSql(8)
+      val tail = (1 to 8)
+        .map(i => s"SELECT $i AS round, p1, p2, cnt FROM m$i")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+      (head +: steps).mkString(",\n") + tail
+    },
+
+    // L28 replay: the l27 train chain for m1..m8, then the SAME greedy
+    // fold applied per merge to every doc's alphabetic words (a0..a8),
+    // summed per doc; zero-token docs survive the LEFT JOIN with zeros.
+    "l28_bpe_encode" -> {
+      val (head, steps) = bpeChainSql(8)
       val ws = graft.ops.Text.GopherWhitespace
-      val rounds = 8
-      val head =
-        s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
-          |    '[^$ws]+')) AS w FROM documents),
-          |wf AS (SELECT w, count(*) AS freq FROM tok
-          |       WHERE regexp_full_match(w, '[a-z]+')
-          |       GROUP BY w ORDER BY freq DESC, w LIMIT 500),
-          |w0 AS (SELECT w, freq, regexp_extract_all(w, '.') AS l FROM wf)""".stripMargin
-      val steps = (1 to rounds).map { i =>
-        s"""c$i AS (SELECT pr[1] AS p1, pr[2] AS p2,
-          |    CAST(sum(freq) AS BIGINT) AS cnt
-          |  FROM (SELECT freq, unnest(list_transform(range(1, len(l)),
-          |          j -> [l[j], l[j + 1]])) AS pr
-          |        FROM w${i - 1})
-          |  GROUP BY 1, 2),
-          |m$i AS (SELECT p1, p2, cnt FROM c$i
-          |        ORDER BY cnt DESC, p1, p2 LIMIT 1),
-          |w$i AS (SELECT w.w, w.freq,
-          |    list_reduce(list_transform(w.l, x -> [x]),
+      val a0 =
+        s"""a0 AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_extract_all(lower(text),
+          |      '[^$ws]+'), w -> regexp_full_match(w, '[a-z]+'))) AS w
+          |  FROM documents),
+          |b0 AS (SELECT doc_id, regexp_extract_all(w, '.') AS l FROM a0)""".stripMargin
+      val applies = (1 to 8).map { i =>
+        s"""b$i AS (SELECT b.doc_id,
+          |    list_reduce(list_transform(b.l, x -> [x]),
           |      (acc, x) -> CASE
           |        WHEN acc[-1] = m.p1 AND x[1] = m.p2
           |        THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2)
           |        ELSE list_append(acc, x[1]) END) AS l
-          |  FROM w${i - 1} w CROSS JOIN m$i m)""".stripMargin
+          |  FROM b${i - 1} b CROSS JOIN m$i m)""".stripMargin
       }
-      val tail = (1 to rounds)
-        .map(i => s"SELECT $i AS round, p1, p2, cnt FROM m$i")
-        .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
-      (head +: steps).mkString(",\n") + tail
+      val agg =
+        """agg AS (SELECT doc_id, count(*) AS n_words,
+          |    CAST(sum(len(l)) AS BIGINT) AS n_subtokens
+          |  FROM b8 GROUP BY doc_id)""".stripMargin
+      val tail =
+        """
+          |SELECT d.doc_id,
+          |  CAST(coalesce(agg.n_words, 0) AS BIGINT) AS n_words,
+          |  CAST(coalesce(agg.n_subtokens, 0) AS BIGINT) AS n_subtokens
+          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+          |ORDER BY d.doc_id""".stripMargin
+      (head +: (steps ++ Seq(a0) ++ applies ++ Seq(agg))).mkString(",\n") + tail
     },
 
     // Rolling fingerprint replay: same fold, same per-token md5-derived

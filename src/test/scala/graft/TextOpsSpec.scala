@@ -277,4 +277,20 @@ class TextOpsSpec extends SparkSpecBase {
     assert(merges("aaa aaa", 4) == Seq(
       (1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
+
+  test("bpeSubtokenCounts: learned merges compress, OOV words still merge") {
+    val d = mkDocs((0L, "aaab aaab ab"), (1L, "aabx"), (2L, ""))
+    val learned = Text.bpeTrain(d.filter(col("doc_id") === 0), 10, 5)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(learned == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val out = Text.bpeSubtokenCounts(d, learned).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 0: every word collapses to ONE vocab symbol (full compression)
+    assert(out(0) == ((0L, 3L, 3L)))
+    // doc 1: OOV word aabx -> [aa, b, x] — merge 1 applies, 2/3 don't
+    assert(out(1) == ((1L, 1L, 3L)))
+    // doc 2: no tokens -> zeros, not a dropped row
+    assert(out(2) == ((2L, 0L, 0L)))
+  }
 }
