@@ -112,7 +112,8 @@ object Bench {
 
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val pqPrefix = "graft_bench_ivfpq"
-    if (!SimIndex.isFresh(spark, pqPrefix, vecs)) {
+    if (!SimIndex.isUsable(spark, pqPrefix, vecs,
+        Seq("_centroids", "_pq_codebooks", "_pq_codes"))) {
       Seq("_centroids", "_pq_codebooks", "_pq_codes", "_meta").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $pqPrefix$t")
         Bucketing.dropStaleLocation(spark, pqPrefix + t)

@@ -138,6 +138,27 @@ object Bucketing {
     writeDescriptor(df.sparkSession, table, keys, buckets, sorts)
   }
 
+  /** APPEND to an existing bucketed table (same keys/bucket count —
+    * Spark enforces the spec matches): each append lays down its own
+    * per-bucket files and readers merge them per bucket, so growing a
+    * 100 TB derived table costs O(new data), never a rewrite. Sort
+    * order within a bucket holds per-file; operators needing a global
+    * per-bucket sort (the as-of merge) get a cheap merge of sorted runs
+    * rather than a full sort.
+    */
+  def appendBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    val sorts = if (sortCols.nonEmpty) sortCols else keys
+    df.repartition(buckets,
+        keys.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .mode("append")
+      .saveAsTable(table)
+  }
+
   /** Write an event-style table hive-partitioned by the day of `tsCol`
     * (SURVEY.md §7 phase 6: "partition events by day"). Time-range
     * predicates then prune whole directories at planning time — at 100 TB

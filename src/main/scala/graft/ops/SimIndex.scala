@@ -43,12 +43,21 @@ object SimIndex {
     (row.getLong(0), sig)
   }
 
-  private def writeSignature(prefix: String, base: DataFrame): Unit = {
+  /** Record the build signature plus the BUILD PARAMETERS (append-path
+    * callers re-derive shingles/signatures with them — parameter drift
+    * between build and append would silently corrupt the index).
+    * `precomputed` carries an already-combined (count, sig) for the
+    * additive append bump.
+    */
+  private def writeSignature(prefix: String, base: DataFrame,
+      params: Seq[(String, Long)] = Nil,
+      precomputed: Option[(Long, Long)] = None): Unit = {
     val spark = base.sparkSession
-    import spark.implicits._
-    val (n, sig) = signature(base)
+    val (n, sig) = precomputed.getOrElse(signature(base))
+    val cols = (Seq("n_rows" -> n, "content_sig" -> sig) ++ params)
+      .map { case (k, v) => lit(v).as(k) }
     Bucketing.dropStaleLocation(spark, s"${prefix}_meta")
-    Seq((n, sig)).toDF("n_rows", "content_sig")
+    spark.range(1).select(cols: _*)
       .write.mode("overwrite").saveAsTable(s"${prefix}_meta")
     Bucketing.writeDescriptor(spark, s"${prefix}_meta")
   }
@@ -77,6 +86,17 @@ object SimIndex {
     }
   }
 
+  /** [[isFresh]] AND the index's data tables are actually present —
+    * build-once lifecycles must gate on THIS, not on isFresh alone: a
+    * meta table whose data tables were dropped (or only partially
+    * reattached) would otherwise skip the rebuild and crash at read
+    * time with TABLE_NOT_FOUND instead of rebuilding.
+    */
+  def isUsable(spark: SparkSession, prefix: String, base: DataFrame,
+      dataSuffixes: Seq[String]): Boolean =
+    isFresh(spark, prefix, base) &&
+      dataSuffixes.forall(sfx => spark.catalog.tableExists(prefix + sfx))
+
   /** Fail fast (with a rebuild hint) when the persisted index no longer
     * matches the base table the caller is querying against. Every reader
     * below takes an optional `verifyAgainst` that routes through here —
@@ -103,7 +123,53 @@ object SimIndex {
       sortCols = Seq("band", "band_sig", "doc_id"))
     Bucketing.writeBucketed(sigs, s"${prefix}_sigs", "doc_id", buckets)
     sigs.unpersist()
-    writeSignature(prefix, docs)
+    writeSignature(prefix, docs, params = Seq(
+      "num_hashes" -> numHashes.toLong, "bands" -> bands.toLong,
+      "shingle_len" -> shingleLen.toLong, "buckets" -> buckets.toLong))
+  }
+
+  /** INCREMENTAL LSH maintenance: index only the NEW documents and
+    * append their band/signature rows to the persisted tables — at
+    * 100 TB the corpus grows daily and a from-scratch rebuild per
+    * intake is the difference between minutes and a day. Build
+    * parameters come from the meta table (recorded at build time), so
+    * an append can never use a different shingle length or band count
+    * than the original build. The freshness signature is bumped
+    * ADDITIVELY: (count, sum-of-hashes mod 2^64) is commutative over
+    * disjoint row sets, so meta' = meta + signature(newDocs) equals
+    * signature(old base ∪ newDocs) exactly — requireFresh against the
+    * full corpus still decides validity, and appending a row that was
+    * already indexed makes the signature diverge from the deduped base
+    * (a loud staleness error, not silent double-counting).
+    */
+  def appendLshIndex(newDocs: DataFrame, prefix: String): Unit = {
+    val spark = newDocs.sparkSession
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_meta"),
+      s"no LSH index at '$prefix' to append to — build with writeLshIndex")
+    val metaDf = spark.table(s"${prefix}_meta")
+    val schema = metaDf.columns
+    require(schema.contains("num_hashes"),
+      s"index '$prefix' predates recorded build params — rebuild once " +
+        "with writeLshIndex to enable appends")
+    val meta = metaDf.head()
+    def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
+    val (numHashes, bands, shingleLen, buckets) =
+      (p("num_hashes"), p("bands"), p("shingle_len"), p("buckets"))
+    val sh = Text.shingles(newDocs, shingleLen)
+    val sigs = Similarity.minHashSignatures(sh, numHashes).cache()
+    Bucketing.appendBucketedMulti(
+      Similarity.minHashBands(sigs, numHashes, bands),
+      s"${prefix}_bands", Seq("band", "band_sig"), buckets,
+      sortCols = Seq("band", "band_sig", "doc_id"))
+    Bucketing.appendBucketedMulti(sigs, s"${prefix}_sigs", Seq("doc_id"),
+      buckets)
+    sigs.unpersist()
+    val (dn, dsig) = signature(newDocs)
+    writeSignature(prefix, newDocs, params = Seq(
+      "num_hashes" -> numHashes.toLong, "bands" -> bands.toLong,
+      "shingle_len" -> shingleLen.toLong, "buckets" -> buckets.toLong),
+      precomputed = Some((meta.getLong(0) + dn, meta.getLong(1) + dsig)))
   }
 
   /** LSH candidate pairs from the persisted band table: a self equi join

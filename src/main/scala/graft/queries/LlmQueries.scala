@@ -86,7 +86,8 @@ object LlmQueries {
       // corpus, not mere table existence — a regenerated fixture under
       // the same dir invalidates and rebuilds instead of silently
       // serving candidates from the old data
-      if (!SimIndex.isFresh(s, prefix, docs(s, dir))) {
+      if (!SimIndex.isUsable(s, prefix, docs(s, dir),
+          Seq("_bands", "_sigs"))) {
         Seq("_bands", "_sigs", "_meta").foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $prefix$t")
           Bucketing.dropStaleLocation(s, prefix + t)
@@ -329,7 +330,8 @@ object LlmQueries {
       // cache validity = build signature vs the live embeddings table
       // (not table existence): a regenerated fixture rebuilds the index
       // instead of silently probing codes from the old vectors
-      if (!SimIndex.isFresh(s, prefix, vecs(s, dir))) {
+      if (!SimIndex.isUsable(s, prefix, vecs(s, dir),
+          Seq("_centroids", "_pq_codebooks", "_pq_codes"))) {
         Seq("_centroids", "_pq_codebooks", "_pq_codes", "_meta").foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $prefix$t")
           Bucketing.dropStaleLocation(s, prefix + t)

@@ -57,6 +57,49 @@ class SimIndexSpec extends SparkSpecBase {
     assert(fromIdx == fresh && fromIdx.nonEmpty)
   }
 
+  test("LSH append: incremental intake == full rebuild, signature stays additive") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("lshapp_bands", "lshapp_sigs", "lshapp_meta",
+      "lshfull_bands", "lshfull_sigs", "lshfull_meta")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 =!= 0)
+
+    SimIndex.writeLshIndex(old, "lshapp", numHashes = 32, bands = 16,
+      buckets = 4)
+    assert(SimIndex.isFresh(spark, "lshapp", old))
+    assert(!SimIndex.isFresh(spark, "lshapp", docs))
+    // incremental intake: index ONLY the new docs, append, bump signature
+    SimIndex.appendLshIndex(incoming, "lshapp")
+    // the additive signature equals the full corpus's — requireFresh on
+    // the union passes, on the old slice alone fails
+    assert(SimIndex.isFresh(spark, "lshapp", docs))
+    assert(!SimIndex.isFresh(spark, "lshapp", old))
+
+    // appended index == a from-scratch build over the full corpus
+    SimIndex.writeLshIndex(docs, "lshfull", numHashes = 32, bands = 16,
+      buckets = 4)
+    val viaAppend = SimIndex.lshCandidatesFromIndex(spark, "lshapp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFull = SimIndex.lshCandidatesFromIndex(spark, "lshfull")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAppend == viaFull && viaAppend.nonEmpty)
+    // cross-slice pairs exist — the append genuinely joins old x new
+    assert(viaAppend.exists { case (a, b) => (a + b) % 2 == 1 },
+      "expected at least one old-new candidate pair")
+
+    // bucket locality survives appends: candidate join still Exchange-free
+    withoutAutoBroadcast {
+      val b1 = spark.table("lshapp_bands")
+      val b2 = b1.select(col("doc_id").as("b_id"), col("band"),
+        col("band_sig"))
+      val exchanges = physical(b1.join(b2, Seq("band", "band_sig")))
+        .collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"append broke bucket locality: ${exchanges.map(_.nodeName)}")
+    }
+  }
+
   test("IVF index: within-bucket join is Exchange-free and matches fresh assignment") {
     graft.functions.VecFunctions.ensureRegistered(spark)
     dropIdx("ivfidx_centroids", "ivfidx_vectors")
