@@ -208,7 +208,42 @@ object SimIndex {
         Similarity.norm(col("embedding")).as("nrm"), col("bucket"))
     Bucketing.writeBucketed(bucketVecs, s"${prefix}_vectors", "bucket",
       buckets, sortCols = Seq("bucket", "vec_id"))
-    writeSignature(prefix, vecs)
+    writeSignature(prefix, vecs, params = Seq(
+      "k" -> k.toLong, "nprobe" -> nprobe.toLong,
+      "buckets" -> buckets.toLong))
+  }
+
+  /** Incremental IVF maintenance: assign the NEW vectors to the
+    * EXISTING coarse centroids (the standard IVF insert — centroids are
+    * trained once; drift is a periodic re-train decision, not a
+    * per-intake cost) and append them to the bucketed vector table.
+    * Same additive signature bump as [[appendLshIndex]].
+    */
+  def appendIvfIndex(newVecs: DataFrame, prefix: String): Unit = {
+    val spark = newVecs.sparkSession
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_meta"),
+      s"no IVF index at '$prefix' to append to — build with writeIvfIndex")
+    val metaDf = spark.table(s"${prefix}_meta")
+    val schema = metaDf.columns
+    require(schema.contains("nprobe"),
+      s"index '$prefix' predates recorded build params — rebuild once " +
+        "with writeIvfIndex to enable appends")
+    val meta = metaDf.head()
+    def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
+    val assigned = Similarity.ivfAssign(newVecs,
+      spark.table(s"${prefix}_centroids"), p("nprobe"))
+    val bucketVecs = newVecs.join(assigned, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"), col("bucket"))
+    Bucketing.appendBucketedMulti(bucketVecs, s"${prefix}_vectors",
+      Seq("bucket"), p("buckets"), sortCols = Seq("bucket", "vec_id"))
+    val (dn, dsig) = signature(newVecs)
+    writeSignature(prefix, newVecs, params = Seq(
+      "k" -> p("k").toLong, "nprobe" -> p("nprobe").toLong,
+      "buckets" -> p("buckets").toLong),
+      precomputed = Some((meta.getLong(0) + dn, meta.getLong(1) + dsig)))
   }
 
   /** Within-bucket cosine pairs from the persisted IVF vectors: self equi
@@ -350,7 +385,38 @@ object SimIndex {
       .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
     Bucketing.writeBucketed(sh, s"${prefix}_shingles", "sh_hash", buckets,
       sortCols = Seq("sh_hash"))
-    writeSignature(prefix, bench)
+    writeSignature(prefix, bench, params = Seq(
+      "shingle_len" -> n.toLong, "buckets" -> buckets.toLong))
+  }
+
+  /** Incremental shingle-index maintenance: shingle only the NEW
+    * benchmark docs, anti-join away hashes the index already holds (the
+    * stored set stays exactly DISTINCT — duplicate keys would inflate
+    * every decontamination join), append, bump the signature additively.
+    */
+  def appendShingleIndex(newBench: DataFrame, prefix: String): Unit = {
+    val spark = newBench.sparkSession
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_meta"),
+      s"no shingle index at '$prefix' to append to — build with " +
+        "writeShingleIndex")
+    val metaDf = spark.table(s"${prefix}_meta")
+    val schema = metaDf.columns
+    require(schema.contains("shingle_len"),
+      s"index '$prefix' predates recorded build params — rebuild once " +
+        "with writeShingleIndex to enable appends")
+    val meta = metaDf.head()
+    def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
+    val fresh = Text.shingles(newBench, p("shingle_len"))
+      .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
+      .join(spark.table(s"${prefix}_shingles"), Seq("sh_hash"), "left_anti")
+    Bucketing.appendBucketedMulti(fresh, s"${prefix}_shingles",
+      Seq("sh_hash"), p("buckets"), sortCols = Seq("sh_hash"))
+    val (dn, dsig) = signature(newBench)
+    writeSignature(prefix, newBench, params = Seq(
+      "shingle_len" -> p("shingle_len").toLong,
+      "buckets" -> p("buckets").toLong),
+      precomputed = Some((meta.getLong(0) + dn, meta.getLong(1) + dsig)))
   }
 
   /** Decontaminate `train` against a persisted shingle index: anti-join

@@ -100,6 +100,52 @@ class SimIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF + shingle appends: existing-centroid inserts and exact-distinct growth") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("ivfapp_centroids", "ivfapp_vectors", "ivfapp_meta",
+      "shapp_shingles", "shapp_meta")
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val oldV = vecs.filter(col("vec_id") % 2 === 0)
+    val newV = vecs.filter(col("vec_id") % 2 =!= 0)
+    SimIndex.writeIvfIndex(oldV, "ivfapp", k = 4, nprobe = 2, buckets = 4)
+    SimIndex.appendIvfIndex(newV, "ivfapp")
+    assert(SimIndex.isFresh(spark, "ivfapp", vecs))
+    assert(!SimIndex.isFresh(spark, "ivfapp", oldV))
+    // appended vectors = the full set assigned to the ORIGINAL centroids
+    // (IVF insert semantics — centroids are not retrained per intake)
+    val expect = Similarity.ivfAssign(vecs,
+        spark.table("ivfapp_centroids"), nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = spark.table("ivfapp_vectors")
+      .select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expect && got.size > oldV.count())
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val oldB = docs.filter(col("doc_id") % 2 === 0)
+    val newB = docs.filter(col("doc_id") % 2 =!= 0)
+    SimIndex.writeShingleIndex(oldB, "shapp", n = 20, buckets = 4)
+    SimIndex.appendShingleIndex(newB, "shapp")
+    assert(SimIndex.isFresh(spark, "shapp", docs))
+    // stored hash set stays exactly distinct after the anti-joined append
+    val stored = spark.table("shapp_shingles")
+    assert(stored.count() == stored.distinct().count())
+    // decontamination through the appended index == the exact string pass
+    val train = docs.filter(col("doc_id") % 5 === 3)
+    val viaIdx = SimIndex.decontaminateFromIndex(spark, train, "shapp",
+        n = 20, verifyAgainst = Some(docs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = {
+      val benchSh = Text.shingles(docs, 20).select("shingle").distinct()
+      train.join(
+        Text.shingleStream(train, 20).join(benchSh, Seq("shingle"))
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(viaIdx == exact)
+  }
+
   test("IVF index: within-bucket join is Exchange-free and matches fresh assignment") {
     graft.functions.VecFunctions.ensureRegistered(spark)
     dropIdx("ivfidx_centroids", "ivfidx_vectors")
