@@ -1242,12 +1242,15 @@ object Graphs {
     val g = Graph.fromEdges(e, Long.MinValue, StorageLevel.MEMORY_AND_DISK,
         StorageLevel.MEMORY_AND_DISK)
       .mapVertices((id, _) => if (id == target) deadlineUs else Long.MinValue)
+    // the target's own value is pinned at the deadline: a cycle back
+    // into the target (depart late, loop, re-arrive in time) must not
+    // raise "latest departure from the target" past the deadline itself
     val res = Pregel(g, Long.MinValue, maxIterations = maxHops)(
-      (_, d, msg) => math.max(d, msg),
+      (id, d, msg) => if (id == target) d else math.max(d, msg),
       t => {
         val (avail, arrive) = t.attr
         if (t.dstAttr != Long.MinValue && arrive <= t.dstAttr &&
-            avail > t.srcAttr)
+            avail > t.srcAttr && t.srcId != target)
           Iterator((t.srcId, avail))
         else Iterator.empty
       },

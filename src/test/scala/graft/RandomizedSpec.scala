@@ -294,4 +294,79 @@ class RandomizedSpec extends SparkSpecBase {
       graft.ops.Media.decodeWav(mutate(validWav))
     }
   }
+
+  test("temporal-path triple == local journey enumeration on random graphs (8 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(131)
+    for (trial <- 1 to 8) {
+      val n = 9
+      // random temporal multigraph: parallel edges with distinct
+      // (avail, arrive) windows are exactly where the Pareto frontier
+      // and deadline pruning semantics bite
+      val edges = (1 to 28).map { _ =>
+        val u = rnd.nextInt(n).toLong; val v = rnd.nextInt(n).toLong
+        val avail = rnd.nextInt(50).toLong
+        (u, v, avail, avail + 1 + rnd.nextInt(10).toLong)
+      }.filter(e => e._1 != e._2)
+      val maxHops = 5
+
+      // local oracle: enumerate ALL journeys of <= maxHops hops by
+      // depth-first expansion over (vertex, arrival) states
+      case class J(start: Long, arrive: Long)
+      def journeysFrom(seed: Long): Map[Long, Seq[J]] = {
+        val out = scala.collection.mutable.Map.empty[Long, Vector[J]]
+        def go(v: Long, start: Long, arr: Long, hops: Int): Unit = {
+          if (hops > 0)
+            edges.filter(e => e._1 == v && arr <= e._3).foreach { e =>
+              out(e._2) = out.getOrElse(e._2, Vector()) :+ J(start, e._4)
+              go(e._2, start, e._4, hops - 1)
+            }
+        }
+        edges.filter(_._1 == seed).foreach { e =>
+          out(e._2) = out.getOrElse(e._2, Vector()) :+ J(e._3, e._4)
+          go(e._2, e._3, e._4, maxHops - 1)
+        }
+        out.toMap
+      }
+
+      val df = edges.toDF("src", "dst", "avail_us", "arrive_us")
+      val seed = edges.map(_._1).min
+      val js = journeysFrom(seed)
+
+      // fastest journey: min (arrive - start) over all journeys
+      val wantFast = js.view.mapValues(_.map(j => j.arrive - j.start).min)
+        .toMap.removed(seed)
+      val gotFast = Graphs.fastestJourney(spark, df, seed, maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .removed(seed)
+      assert(gotFast == wantFast, s"trial $trial fastest: $gotFast vs $wantFast")
+
+      // latest departure to a random reachable target: max start over
+      // journeys arriving by the deadline — plus intermediate vertices'
+      // own latest feasible departure, checked by re-enumeration per v
+      if (js.nonEmpty) {
+        val target = js.keys.toSeq.sorted.apply(rnd.nextInt(js.size))
+        val deadline = js(target).map(_.arrive).max
+        def latestTo(v: Long): Option[Long] = {
+          // journeys v ->* target arriving <= deadline; departure = the
+          // avail of the journey's FIRST edge; within maxHops hops
+          def go(x: Long, arr: Long, hops: Int): Boolean =
+            (x == target && arr <= deadline) || (hops > 0 &&
+              edges.exists(e => e._1 == x && arr <= e._3 &&
+                e._4 <= deadline && go(e._2, e._4, hops - 1)))
+          val starts = edges.filter(e => e._1 == v && e._4 <= deadline)
+            .filter(e => go(e._2, e._4, maxHops - 1))
+            .map(_._3)
+          if (starts.isEmpty) None else Some(starts.max)
+        }
+        val want = (0L until n).flatMap(v =>
+            if (v == target) Some(v -> deadline)
+            else latestTo(v).map(v -> _)).toMap
+        val got = Graphs.latestDeparture(spark, df, target, deadline,
+            maxHops)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial latest: $got vs $want")
+      }
+    }
+  }
 }
