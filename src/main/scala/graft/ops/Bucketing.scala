@@ -73,15 +73,25 @@ object Bucketing {
     * data file names, so the CLUSTERED BY spec re-applies to the same
     * layout and joins stay Exchange-free (gated in BucketingSpec).
     */
-  def reattach(s: org.apache.spark.sql.SparkSession, table: String): Boolean = {
-    if (s.catalog.tableExists(table)) return true
+  /** The descriptor at `table`'s warehouse location, if one was written. */
+  def readDescriptor(s: org.apache.spark.sql.SparkSession,
+      table: String): Option[java.util.Properties] = {
     val loc = tableLocation(s, table)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     val descPath = new org.apache.hadoop.fs.Path(loc, DescriptorFile)
-    if (!fs.exists(descPath)) return false
-    val p = new java.util.Properties()
-    val in = fs.open(descPath)
-    try p.load(in) finally in.close()
+    if (!fs.exists(descPath)) None
+    else {
+      val p = new java.util.Properties()
+      val in = fs.open(descPath)
+      try p.load(in) finally in.close()
+      Some(p)
+    }
+  }
+
+  def reattach(s: org.apache.spark.sql.SparkSession, table: String): Boolean = {
+    if (s.catalog.tableExists(table)) return true
+    val loc = tableLocation(s, table)
+    val p = readDescriptor(s, table).getOrElse(return false)
     def quoted(csv: String) = csv.split(',').map(c => s"`$c`").mkString(", ")
     val clustered = Option(p.getProperty("keys")).fold("") { ks =>
       s"CLUSTERED BY (${quoted(ks)}) SORTED BY (${quoted(p.getProperty("sorts"))}) " +
@@ -94,6 +104,44 @@ object Bucketing {
     if (p.getProperty("partition") != null)
       s.sql(s"MSCK REPAIR TABLE `$table`")
     true
+  }
+
+  /** Compact a bucketed table grown by [[appendBucketedMulti]]: each
+    * append lays down its own file set, so a year of daily intakes
+    * reads ~365 small sorted runs per bucket. One rewrite (read through
+    * the catalog, write a shadow table with the descriptor's own
+    * bucket/sort spec, swap by rename) restores one sorted run per
+    * bucket — O(table) paid once, amortized over every later read. The
+    * standard maintenance pass any append-grown 100 TB layout schedules.
+    */
+  def compactBucketed(s: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val p = readDescriptor(s, table).getOrElse(throw
+      new IllegalArgumentException(s"no descriptor for '$table' — only " +
+        "tables written by writeBucketedMulti/appendBucketedMulti compact"))
+    require(p.getProperty("keys") != null, s"'$table' is not bucketed")
+    val keys = p.getProperty("keys").split(',').toSeq
+    val sorts = p.getProperty("sorts").split(',').toSeq
+    val buckets = p.getProperty("buckets").toInt
+    val tmp = table + "__compact"
+    s.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    dropStaleLocation(s, tmp)
+    // Land-mine dodged here: the planner ELIMINATES the rewrite's
+    // repartition (the source table's bucketing already "provides" that
+    // partitioning) while DisableUnnecessaryBucketedScan SEPARATELY
+    // un-buckets the scan — leaving arbitrary size-packed file splits
+    // feeding the writer, which then emits one file per (task, bucket):
+    // MORE fragmentation, not less. Pinning the bucketed scan on makes
+    // the task set = the bucket set, so the rewrite is a SHUFFLE-FREE
+    // per-bucket merge emitting exactly one sorted file per bucket.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try writeBucketedMulti(s.table(table), tmp, keys, buckets, sorts)
+    finally s.conf.set(key, prev)
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    dropStaleLocation(s, table) // external (reattached) drops keep files
+    s.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
   /** Build-once lifecycle for a bucketed table: reuse the session

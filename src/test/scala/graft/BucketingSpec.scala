@@ -186,6 +186,41 @@ class BucketingSpec extends SparkSpecBase {
     }
   }
 
+  test("compactBucketed: appended runs collapse to one file per bucket") {
+    Seq("cmp_t", "cmp_t__compact").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Bucketing.dropStaleLocation(spark, t)
+    }
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val slices = Seq(0, 1, 2).map(i => li.filter(col("l_orderkey") % 3 === i))
+    Bucketing.writeBucketedMulti(slices(0), "cmp_t", Seq("l_orderkey"), 4)
+    slices.tail.foreach(sl =>
+      Bucketing.appendBucketedMulti(sl, "cmp_t", Seq("l_orderkey"), 4))
+    def dataFiles = new java.io.File("/tmp/graft-test-warehouse/cmp_t")
+      .listFiles.count(_.getName.startsWith("part-"))
+    assert(dataFiles > 4, s"expected >4 files after 3 intakes, got $dataFiles")
+    val before = spark.table("cmp_t").groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("q")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    Bucketing.compactBucketed(spark, "cmp_t")
+
+    assert(dataFiles == 4, s"expected one file per bucket, got $dataFiles")
+    val after = spark.table("cmp_t").groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("q")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(after == before && after.nonEmpty)
+    // bucket locality intact post-swap: keyed agg plans with no Exchange
+    withoutAutoBroadcast {
+      val agg = spark.table("cmp_t").groupBy("l_orderkey")
+        .agg(sum("l_quantity"))
+      val exchanges = physical(agg).collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"compaction broke bucket metadata: ${exchanges.map(_.nodeName)}")
+    }
+  }
+
   test("reattach: SimIndex freshness check reuses a prior process's index") {
     import graft.ops.SimIndex
     val docs = Tables.load(spark, sfDir, "documents")
