@@ -64,7 +64,7 @@ object SimIndex {
 
   /** Every table an index build may persist under `prefix`. */
   private val Suffixes = Seq("_meta", "_bands", "_sigs", "_centroids",
-    "_vectors", "_pq_codebooks", "_pq_codes", "_shingles")
+    "_vectors", "_pq_codebooks", "_pq_codes", "_shingles", "_applied")
 
   /** Reattach every piece of the index a PREVIOUS process left in the
     * warehouse (no-op for pieces this index flavor never wrote, and for
@@ -211,6 +211,38 @@ object SimIndex {
     writeSignature(prefix, vecs, params = Seq(
       "k" -> k.toLong, "nprobe" -> nprobe.toLong,
       "buckets" -> buckets.toLong))
+  }
+
+  /** S19 — one micro-batch of corpus intake into the LSH index, guarded
+    * by an applied-batch ledger: [[appendLshIndex]] is additive, so a
+    * REPLAYED foreachBatch invocation (restart mid-epoch) must be
+    * skipped, not re-applied. Ledger check + append + ledger record;
+    * the crash window between append and record is the classic
+    * two-phase gap — on replay after exactly that crash the signature
+    * check goes loudly stale (double-appended rows diverge from the
+    * corpus) rather than silently double-counting; a transactional
+    * table format closes the gap at deployment.
+    */
+  def appendLshIndexBatch(batch: DataFrame, prefix: String, batchId: Long,
+      numHashes: Int, bands: Int, buckets: Int,
+      shingleLen: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val ledger = s"${prefix}_applied"
+    Bucketing.reattach(spark, ledger)
+    val seen = spark.catalog.tableExists(ledger) &&
+      spark.table(ledger).filter(col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!seen) {
+      reattachAll(spark, prefix)
+      if (spark.catalog.tableExists(s"${prefix}_meta"))
+        appendLshIndex(batch, prefix)
+      else // first intake bootstraps the index with the stream's params
+        writeLshIndex(batch, prefix, numHashes, bands, buckets, shingleLen)
+      val fresh = !spark.catalog.tableExists(ledger)
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").saveAsTable(ledger)
+      if (fresh) Bucketing.writeDescriptor(spark, ledger)
+    }
   }
 
   /** Incremental IVF maintenance: assign the NEW vectors to the

@@ -759,6 +759,25 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** S19 — corpus-intake stream maintaining the persisted LSH index: one
+    * ledgered append per micro-batch ([[graft.ops.SimIndex
+    * .appendLshIndexBatch]] — batch 0 bootstraps the index, later
+    * batches append only their own docs, replayed batch ids are
+    * skipped). The streaming face of the incremental-maintenance story:
+    * the corpus lands continuously, the index trails it by one
+    * micro-batch, and nothing is ever rebuilt from scratch.
+    */
+  def maintainLshIndex(docs: DataFrame, prefix: String,
+      checkpointDir: String, numHashes: Int, bands: Int, buckets: Int,
+      shingleLen: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        graft.ops.SimIndex.appendLshIndexBatch(batch, prefix, batchId,
+          numHashes, bands, buckets, shingleLen))
+      .start()
+
   /** Batch twin of [[flagAnomalies]] with O(1) state per task (hash-
     * repartition + secondary sort + one streaming pass per partition — see
     * [[sessionEdgesBatch]]): a hot key's full history is never

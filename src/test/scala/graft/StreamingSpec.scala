@@ -9,6 +9,8 @@ import org.apache.spark.sql.streaming.OutputMode
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class S19Doc(doc_id: Long, text: String, n_chars: Long)
+
 /** Structured Streaming semantics (SURVEY.md §2.4): batch-equivalence via
   * MemoryStream replay, watermark late-data drops, stateful dedup,
   * arbitrary state, stream-static joins.
@@ -275,6 +277,47 @@ class StreamingSpec extends SparkSpecBase {
         .groupBy(_._1).map { case (d, rs) => d -> rs.exists(_._2) }
       assert(viaStream == expect)
     } finally q.stop()
+  }
+
+  test("S19 LSH maintenance stream: ledgered appends == batch build, replay skipped") {
+    import spark.implicits._
+    import graft.ops.SimIndex
+    for (p <- Seq("s19lsh", "s19full");
+         sfx <- Seq("_meta", "_bands", "_sigs", "_applied")) {
+      spark.sql(s"DROP TABLE IF EXISTS $p$sfx")
+      graft.ops.Bucketing.dropStaleLocation(spark, p + sfx)
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 200)
+      .select("doc_id", "text", "n_chars")
+    val rows = docs.as[(Long, String, Long)].collect()
+      .map(t => S19Doc(t._1, t._2, t._3)).toSeq
+
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[S19Doc]
+    val ckpt = java.nio.file.Files.createTempDirectory("s19ckpt").toString
+    val q = Streams.maintainLshIndex(source.toDF(), "s19lsh", ckpt,
+      numHashes = 16, bands = 8, buckets = 4)
+    try {
+      rows.grouped(70).foreach { g => source.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+
+    // trailing index == a one-shot batch build over the same corpus
+    assert(SimIndex.isFresh(spark, "s19lsh", docs))
+    SimIndex.writeLshIndex(docs, "s19full", numHashes = 16, bands = 8,
+      buckets = 4)
+    val viaStream = SimIndex.lshCandidatesFromIndex(spark, "s19lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBatch = SimIndex.lshCandidatesFromIndex(spark, "s19full")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStream == viaBatch && viaStream.nonEmpty)
+
+    // a replayed micro-batch (restart duplicating batch id 1) is a no-op
+    val replaySlice = spark.createDataFrame(rows.slice(70, 140))
+    SimIndex.appendLshIndexBatch(replaySlice, "s19lsh", batchId = 1L,
+      numHashes = 16, bands = 8, buckets = 4)
+    assert(SimIndex.isFresh(spark, "s19lsh", docs),
+      "replayed batch must not double-append")
   }
 
   test("S08 transformWithState: streaming final state == batch run") {
