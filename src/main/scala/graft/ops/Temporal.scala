@@ -41,6 +41,37 @@ object Temporal {
       tieBreak: String): DataFrame =
     snapshot(changes, Seq(entity), ts, t, tieBreak)
 
+  /** T18 — snapshot DIFF: the entity-level delta between the state at
+    * `t1` and at `t2` (t1 < t2) — `insert` (entity first appears in
+    * (t1, t2]) or `update` (its value columns changed); unchanged
+    * entities are omitted. This is the delta feed an incremental
+    * downstream applies instead of re-reading the full snapshot — the
+    * classic temporal-store "what changed since" read. Presence is
+    * tracked by a marker column, NOT by value nullness (a legitimately
+    * NULL value at t1 is not an insert), and value comparison is
+    * null-safe. Plan: two window snapshots (one shuffle each on the
+    * entity key) + one entity-keyed join — at 100 TB both snapshots
+    * prune to `ts <= t2` at the scan and co-locate under entity
+    * bucketing.
+    */
+  def snapshotDiff(changes: DataFrame, entity: Seq[String], ts: String,
+      t1: Column, t2: Column, tieBreak: String,
+      valueCols: Seq[String]): DataFrame = {
+    val olds = valueCols.map(c => col(c).as(s"old_$c"))
+    val s1 = snapshot(changes, entity, ts, t1, tieBreak)
+      .select(entity.map(col) ++ olds :+ lit(1).as("__was"): _*)
+    val s2 = snapshot(changes, entity, ts, t2, tieBreak)
+    s2.join(s1, entity, "left_outer")
+      .withColumn("change_kind",
+        when(col("__was").isNull, lit("insert"))
+          .when(valueCols.map(c => !(col(c) <=> col(s"old_$c")))
+            .reduce(_ || _), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_kind") =!= "unchanged")
+      .select(entity.map(col) ++ Seq(col("change_kind")) ++
+        valueCols.map(col) ++ valueCols.map(c => col(s"old_$c")): _*)
+  }
+
   /** BITEMPORAL time-point read: the latest change point at-or-before
     * `tValid` on the VALID-time axis, among only the change points the
     * store had RECORDED by `tTx` on the transaction-time axis

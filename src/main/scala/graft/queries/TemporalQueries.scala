@@ -103,6 +103,21 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // T18 — snapshot DIFF: the per-user delta between the 2024-01-10
+    // state and the 2024-01-15 state — 'insert' for users first seen in
+    // between, 'update' for changed values, unchanged users omitted.
+    // Exact integer cents, so the delta feed hash-matches the DuckDB
+    // two-snapshot replay.
+    "t18_snapshot_diff" -> ((s, dir) => {
+      val changes = ev(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), cents(col("value")).as("val_cents"))
+      Temporal.snapshotDiff(changes, entity = Seq("user_id"), ts = "ts",
+          t1 = lit("2024-01-10 00:00:00").cast("timestamp"),
+          t2 = lit("2024-01-15 00:00:00").cast("timestamp"),
+          tieBreak = "event_id", valueCols = Seq("val_cents"))
+        .orderBy("user_id")
+    }),
+
     // T01 — snapshot: every user's property value as of t (latest change
     // point at-or-before t).
     "t01_snapshot" -> ((s, dir) => {
@@ -547,6 +562,29 @@ object TemporalQueries {
     "t01_snapshot" -> t01Oracle,
 
     "t01b_snapshot_sql" -> t01Oracle,
+
+    "t18_snapshot_diff" ->
+      """WITH s1 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM (SELECT user_id, value, row_number() OVER (
+        |          PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |          AS rn
+        |        FROM events
+        |        WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+        |  WHERE rn = 1),
+        |s2 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM (SELECT user_id, value, row_number() OVER (
+        |          PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        |          AS rn
+        |        FROM events
+        |        WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT s2.user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'insert' ELSE 'update' END
+        |    AS change_kind,
+        |  s2.v AS val_cents, s1.v AS old_val_cents
+        |FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+        |WHERE s1.user_id IS NULL OR s2.v IS DISTINCT FROM s1.v
+        |ORDER BY s2.user_id""".stripMargin,
 
     "t14_multikey_snapshot" -> t14Oracle,
 

@@ -487,4 +487,39 @@ class TemporalSpec extends SparkSpecBase {
         lit("2024-01-12 00:00:00").cast("timestamp"),
         lit("2024-01-11 00:00:00").cast("timestamp"), "event_id")))
   }
+
+  test("snapshotDiff: insert / update / unchanged / null-value semantics") {
+    import spark.implicits._
+    val ch = Seq(
+      // user 1: 10 at day 1, updated to 20 at day 3  -> update
+      (1L, "2024-01-01 00:00:00", 1L, Some(10L)),
+      (1L, "2024-01-03 00:00:00", 2L, Some(20L)),
+      // user 2: unchanged between t1 and t2          -> omitted
+      (2L, "2024-01-01 00:00:00", 3L, Some(5L)),
+      // user 3: first appears at day 3               -> insert
+      (3L, "2024-01-03 00:00:00", 4L, Some(7L)),
+      // user 4: NULL at t1, NULL at t2 (same change point) -> omitted;
+      // null value must NOT read as absence
+      (4L, "2024-01-01 00:00:00", 5L, None),
+      // user 5: NULL at t1, 9 at t2 -> update (null-safe comparison)
+      (5L, "2024-01-01 00:00:00", 6L, None),
+      (5L, "2024-01-03 00:00:00", 7L, Some(9L)),
+      // user 6: appears AFTER t2 -> not in the diff at all
+      (6L, "2024-01-09 00:00:00", 8L, Some(1L)))
+      .toDF("user_id", "ts_s", "event_id", "v")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("event_id"), col("v"))
+    val got = Temporal.snapshotDiff(ch, Seq("user_id"), "ts",
+        t1 = lit("2024-01-02 00:00:00").cast("timestamp"),
+        t2 = lit("2024-01-05 00:00:00").cast("timestamp"),
+        tieBreak = "event_id", valueCols = Seq("v"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      (1L, "update", Some(20L), Some(10L)),
+      (3L, "insert", Some(7L), None),
+      (5L, "update", Some(9L), None)))
+  }
 }
