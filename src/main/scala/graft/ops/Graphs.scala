@@ -302,6 +302,27 @@ object Graphs {
     visited
   }
 
+  /** G24 — double-sweep eccentricity: BFS from a canonical seed, hop to
+    * the farthest vertex found (ties to min id), BFS again — the second
+    * sweep's eccentricity is the classic diameter LOWER BOUND (exact on
+    * trees; in practice within a hop or two on most real graphs), at
+    * the cost of exactly TWO traversals instead of the all-pairs sweep
+    * an exact diameter needs. The standard first question asked of a
+    * 100 TB graph ("how wide is this thing?") at the only price that's
+    * payable there. Returns one row (seed, peak, ecc_lb).
+    */
+  def doubleSweepEcc(s: SparkSession, edges: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val seed = edges.agg(min(col("src"))).head().getLong(0)
+    val far = bfsDepthsDF(s, edges, seed, maxDepth)
+      .orderBy(col("dist").desc, col("id").asc).head()
+    val peak = far.getLong(0)
+    val ecc = bfsDepthsDF(s, edges, peak, maxDepth)
+      .agg(max(col("dist"))).head().getInt(0)
+    s.createDataFrame(Seq((seed, peak, ecc.toLong)))
+      .toDF("seed", "peak", "ecc_lb")
+  }
+
   /** G17 — MULTI-source BFS in one traversal: exact min-depths from every
     * seed simultaneously, state keyed on (seed, id). The primitive behind
     * closeness/harmonic centrality sampling — k seeds cost ONE pass of

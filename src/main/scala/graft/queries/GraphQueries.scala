@@ -378,6 +378,15 @@ object GraphQueries {
         .orderBy("event_id")
     }),
 
+    // G24 — double-sweep diameter lower bound on the co-part graph:
+    // BFS from the min vertex, hop to the farthest (tie → min id), BFS
+    // again; the second eccentricity bounds the diameter from below at
+    // the cost of two traversals. Exact integers, hash-matched against
+    // a two-stage recursive-CTE replay.
+    "g24_diameter_lb" -> ((s, dir) =>
+      Graphs.doubleSweepEcc(s, Graphs.copartEdges(s, dir)
+        .transform(graft.ops.Checkpoints.cut), maxDepth = 12)),
+
     // G10b — temporal latest-departure (the triple's backward member):
     // target = the LAST event of the seed user's session chain, deadline
     // = its own timestamp, 8 hops. On the chain fixture every reachable
@@ -790,6 +799,30 @@ object GraphQueries {
         |FROM o JOIN s ON o.user_id = s.user_id
         |WHERE o.rn >= s.rn AND o.rn <= s.rn + 8
         |ORDER BY o.event_id""".stripMargin,
+
+    // Two-stage BFS replay: recursive walk states deduped by UNION
+    // (states are (id, depth) pairs, so the recursion is V×depth
+    // bounded, not path-enumeration), min depth per vertex, argmax
+    // picks the peak, repeat from the peak.
+    "g24_diameter_lb" ->
+      s"""WITH RECURSIVE $copartCte,
+        |s0 AS (SELECT min(src) AS v FROM e),
+        |w1(id, d) AS (
+        |  SELECT v, 0 FROM s0
+        |  UNION
+        |  SELECT e.dst, w1.d + 1 FROM w1 JOIN e ON e.src = w1.id
+        |  WHERE w1.d < 12),
+        |m1 AS (SELECT id, min(d) AS dist FROM w1 GROUP BY id),
+        |p AS (SELECT id FROM m1 ORDER BY dist DESC, id ASC LIMIT 1),
+        |w2(id, d) AS (
+        |  SELECT id, 0 FROM p
+        |  UNION
+        |  SELECT e.dst, w2.d + 1 FROM w2 JOIN e ON e.src = w2.id
+        |  WHERE w2.d < 12),
+        |m2 AS (SELECT id, min(d) AS dist FROM w2 GROUP BY id)
+        |SELECT (SELECT v FROM s0) AS seed, (SELECT id FROM p) AS peak,
+        |  CAST(max(dist) AS BIGINT) AS ecc_lb
+        |FROM m2""".stripMargin,
 
     // Chain replay: on the per-user session chain every reachable
     // event's latest departure equals its own ts (the out-edge's

@@ -512,6 +512,24 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(ok == (1L to 8L).map(i => (i, 1L)).toSet)
   }
 
+  test("doubleSweepEcc: exact diameter on trees, bound on cycles") {
+    import spark.implicits._
+    def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
+    // path 1-2-3-4-5: sweep 1 from 1 peaks at 5 (dist 4); sweep 2 from
+    // 5 gives eccentricity 4 — the exact diameter (trees are exact)
+    val path = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val r1 = Graphs.doubleSweepEcc(spark, path, maxDepth = 10).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((1L, 5L, 4L)))
+    // star around 1: peak = leaf 2 (dist 1, tie -> min id), ecc 2
+    val star = sym(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    val r2 = Graphs.doubleSweepEcc(spark, star, maxDepth = 10).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((1L, 2L, 2L)))
+    // 6-cycle: true diameter 3, double sweep must report >= 3 (here 3)
+    val cyc = sym((1L to 6L).map(i => (i, i % 6 + 1)))
+    val r3 = Graphs.doubleSweepEcc(spark, cyc, maxDepth = 10).head()
+    assert(r3.getLong(2) == 3L)
+  }
+
   test("latestDeparture: deadline prunes edges, backward chain propagates") {
     import spark.implicits._
     // two parallel temporal edges 1→2 plus an upstream hop 0→1
