@@ -998,6 +998,48 @@ object Graphs {
       .distinct()
   }
 
+  /** G25 — link prediction over an undirected graph given as canonical
+    * `(x < y)` pairs: for every NON-adjacent pair with at least one
+    * common neighbor, the common-neighbor count `cn` and the Resource
+    * Allocation index `ra_e9 = Σ_z 10^9 div deg(z)` over common
+    * neighbors z (Zhou/Lü/Zhang 2009's RA — the same neighborhood
+    * weighting as Adamic-Adar, but 1/deg instead of 1/ln(deg), kept in
+    * EXACT integer arithmetic: `ln` is libm-dependent and a float sum
+    * is order-dependent, either of which would break cross-engine
+    * hashing). Top `topK` by (cn, ra_e9) with the unique (x, y) as the
+    * total-order tie-break.
+    *
+    * ONE shuffle builds per-center sorted neighbor lists (the
+    * [[copartPairs]] idiom), each center expands its wedge pairs
+    * in-row with codegen HOFs carrying the center's 1/deg contribution,
+    * and the score groupBy + candidate anti join against the edge set
+    * are plain hash shuffles on the pair key. Wedge fan-out is
+    * Σ deg(z)², the triangle-enumeration bound: at 100 TB a skewed hub
+    * would cap or sample its neighbor list (the [[kTrussPeel]]
+    * degree-orientation move); the contract graph's restricted degrees
+    * don't need it.
+    */
+  def linkPrediction(s: SparkSession, pairs: DataFrame, topK: Int): DataFrame = {
+    val ed = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+    val wedges = ed.groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      // canonical pairs are distinct, so deg == size(ns) exactly
+      .select(explode(flatten(transform(col("ns"), (a, i) =>
+          transform(slice(col("ns"), i + lit(2), size(col("ns"))),
+            b => struct(a.as("a"), b.as("b")))))).as("p"),
+        expr("1000000000 div size(ns)").as("contrib"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("contrib"))
+    wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum(col("contrib")).as("ra_e9"))
+      .join(pairs, col("a") === col("x") && col("b") === col("y"),
+        "left_anti")
+      .select(col("a").as("x"), col("b").as("y"), col("cn"), col("ra_e9"))
+      .orderBy(col("cn").desc, col("ra_e9").desc, col("x").asc,
+        col("y").asc)
+      .limit(topK)
+  }
+
   /** Global triangle count over canonical (src < dst) pairs. */
   def triangleCount(s: SparkSession, pairs: DataFrame): Long = {
     val e = pairs.select(col("x").cast("long"), col("y").cast("long"))

@@ -440,4 +440,52 @@ object Temporal {
   def gaps(df: DataFrame, entity: String, ts: String, tieBreak: String,
       minGapSeconds: Long): DataFrame =
     gaps(df, Seq(entity), ts, tieBreak, minGapSeconds)
+
+  /** T19 — interval coalescing (temporal-algebra COALESCE / PACK): merge
+    * each entity's overlapping-or-touching intervals into their maximal
+    * covered spans — the normalization every interval algebra needs
+    * before set operations (an SCD2 history with churned attributes,
+    * per-shard uptime windows, lease/hold ranges all coalesce to "when
+    * was the entity covered at all"). Touching intervals
+    * (`end == next start`) merge; only a strict gap splits, consistent
+    * with [[sessionize]]'s boundary rule.
+    *
+    * Gaps-and-islands in ONE shuffle on the entity key(s): a running
+    * `max(end)` over preceding rows marks span breaks (`start` strictly
+    * past everything seen), a running sum numbers the islands, and the
+    * final groupBy on (entity, island) reuses the window's hash
+    * partitioning — Catalyst plans zero additional Exchanges. The
+    * running max, NOT `lag(end)`, is what makes nesting correct: an
+    * interval wholly inside an earlier long one must not re-open a span
+    * when its own end precedes the covered frontier. At 100 TB the
+    * window state is one value per key and the output is bounded by the
+    * input row count. Output: entity…, `span_start`, `span_end`,
+    * `n_intervals` (merged-input count per span).
+    */
+  def coalesceIntervals(
+      df: DataFrame,
+      entity: Seq[String],
+      start: String,
+      end: String,
+      tieBreak: String): DataFrame = {
+    val order = Window.partitionBy(entity.map(col): _*)
+      .orderBy(col(start).asc, col(tieBreak).asc)
+    val frontier = order.rowsBetween(Window.unboundedPreceding, -1)
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__frontier", max(col(end)).over(frontier))
+      .withColumn("__brk",
+        when(col("__frontier").isNull, lit(0))
+          .when(col(start) > col("__frontier"), lit(1))
+          .otherwise(lit(0)))
+      .withColumn("__island", sum(col("__brk")).over(run))
+      .groupBy((entity :+ "__island").map(col): _*)
+      .agg(min(col(start)).as("span_start"), max(col(end)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(entity.map(col) :+ col("span_start") :+ col("span_end") :+
+        col("n_intervals"): _*)
+  }
+
+  def coalesceIntervals(df: DataFrame, entity: String, start: String,
+      end: String, tieBreak: String): DataFrame =
+    coalesceIntervals(df, Seq(entity), start, end, tieBreak)
 }

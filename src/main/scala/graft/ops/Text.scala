@@ -372,6 +372,57 @@ object Text {
       (scoreSum >= 0).as("keep"))
   }
 
+  /** L29 — hashed n-gram importance weights (the DSIR shape — Xie et
+    * al. 2023's "Data Selection with Importance Resampling"): score
+    * every document by how much more likely its features are under a
+    * TARGET corpus (`isTarget` rows — the curated set you want more of)
+    * than under the full raw pool. Features are the same lowercase
+    * bigrams → md5Long mod `buckets` hashing trick as
+    * [[hashedLinearScore]]; bucket b gets the Laplace-smoothed
+    * likelihood ratio, kept EXACT as
+    * `score_e6(b) = 10^6·(cnt_t+1)·(N_r+B) div ((cnt_r+1)·(N_t+B))`
+    * (DSIR's log-ratio sum is libm- and order-dependent across engines;
+    * the linearized ratio sum ranks the same direction and replays
+    * bit-for-bit in integer arithmetic — magnitudes stay under 2^63 up
+    * to ~10^8 corpus bigrams, beyond which the same formula lifts to
+    * decimal(38,0)). Per doc: `w_e6 = Σ_occurrences score_e6(fid)`,
+    * with feature-less docs kept at (0, 0).
+    *
+    * Plan: one explode pass over the text (codegen HOFs), ONE bucket
+    * groupBy (B rows out), totals re-aggregated FROM the bucket stats
+    * (no second corpus pass), and the ≤B-row score table broadcast back
+    * onto the exploded stream for the per-doc sum — at 100 TB the only
+    * wide exchange is the doc-keyed final groupBy.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")),
+      lit(s"[^$GopherWhitespace]+"), lit(0))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit("_"), b))
+    val feats = docs
+      .select(col("doc_id"), isTarget.as("__tgt"), explode(bigrams).as("g"))
+      .select(col("doc_id"), col("__tgt"),
+        pmod(graft.Det.md5Long(col("g")), lit(buckets.toLong)).as("fid"))
+    val stats = feats.groupBy("fid").agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("cnt_t"))
+    val totals = stats.agg(sum("cnt_r").as("n_r"), sum("cnt_t").as("n_t"))
+    val scores = stats.crossJoin(broadcast(totals))
+      .withColumn("score_e6",
+        expr(s"1000000 * (cnt_t + 1) * (n_r + $buckets)" +
+          s" div ((cnt_r + 1) * (n_t + $buckets))"))
+      .select("fid", "score_e6")
+    val perDoc = feats.join(broadcast(scores), "fid")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("score_e6").as("w_e6"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_e6"), lit(0L)).as("w_e6"))
+  }
+
   /** L27 — BPE merge TRAINING (Sennrich et al. 2016's corpus half, the
     * piece L22's coverage query assumed pre-trained): learn the first
     * `merges` byte-pair merges over the corpus vocabulary. Classic

@@ -387,6 +387,15 @@ object GraphQueries {
       Graphs.doubleSweepEcc(s, Graphs.copartEdges(s, dir)
         .transform(graft.ops.Checkpoints.cut), maxDepth = 12)),
 
+    // G25 — link prediction on the co-part graph: top-50 non-adjacent
+    // pairs by common-neighbor count + exact-integer Resource Allocation
+    // index (Σ 10^9 div deg over common neighbors — the Adamic-Adar
+    // family with a cross-engine-hashable weighting). One shuffle to
+    // neighbor lists, in-row wedge expansion, pair-keyed score agg +
+    // anti join against the edge set.
+    "g25_link_prediction" -> ((s, dir) =>
+      Graphs.linkPrediction(s, Graphs.copartPairs(s, dir), topK = 50)),
+
     // G10b — temporal latest-departure (the triple's backward member):
     // target = the LAST event of the seed user's session chain, deadline
     // = its own timestamp, 8 hops. On the chain fixture every reachable
@@ -559,6 +568,20 @@ object GraphQueries {
         |SELECT CAST(t_id AS BIGINT) AS t_id, CAST(v_id AS BIGINT) AS v_id,
         |  CAST(count(*) AS BIGINT) AS sigma
         |FROM interior GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g25_link_prediction" ->
+      s"""WITH $copartCte,
+        |deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1),
+        |w AS (SELECT e1.dst AS a, e2.dst AS b, e1.src AS z
+        |      FROM e e1 JOIN e e2
+        |        ON e1.src = e2.src AND e1.dst < e2.dst),
+        |sc AS (SELECT w.a, w.b, count(*) AS cn,
+        |         CAST(sum(1000000000 // deg.d) AS BIGINT) AS ra_e9
+        |       FROM w JOIN deg ON w.z = deg.id GROUP BY 1, 2)
+        |SELECT a AS x, b AS y, cn, ra_e9 FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p
+        |                  WHERE p.x = sc.a AND p.y = sc.b)
+        |ORDER BY cn DESC, ra_e9 DESC, x, y LIMIT 50""".stripMargin,
 
     // 2-round unrolled 3-truss replay: per round, canonical triangles
     // (a<b<c) from the surviving pairs, each voting support into its 3

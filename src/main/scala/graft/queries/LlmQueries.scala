@@ -285,6 +285,16 @@ object LlmQueries {
       Text.bpeSubtokenCounts(d, merges).orderBy("doc_id")
     }),
 
+    // L29 — DSIR-style hashed-bigram importance weights: target = the
+    // English subset, raw = the full pool; per-bucket Laplace-smoothed
+    // likelihood ratios in exact integer e6 scale, summed per doc. The
+    // data-selection score a curated-corpus resample draws against;
+    // every step (tokenize, hash, smooth, ratio, sum) replays in DuckDB.
+    "l29_importance_weights" -> ((s, dir) =>
+      Text.importanceWeights(docs(s, dir), isTarget = col("lang") === "en",
+          buckets = 4096)
+        .orderBy("doc_id")),
+
     // L20 — binary (sign-bit) embeddings: 64 float dims -> two 32-bit
     // sign words (32x working-set shrink); exact integer fold, so the
     // packed words hash-match the SQL oracle.
@@ -942,6 +952,43 @@ object LlmQueries {
         |  FROM b)
         |SELECT doc_id, n_bigrams, score_sum, score_sum >= 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // L29 replay: same bigram→md5-bucket pipeline as the l26 twin, then
+    // bucket stats, re-aggregated totals, the exact integer ratio
+    // (HUGEINT-safe in DuckDB, // = floor = Spark's div on positives),
+    // and the per-doc sum — LEFT-joined onto the doc spine so
+    // feature-less docs keep (0, 0).
+    "l29_importance_weights" -> {
+      val gHash = graft.Det.duckMd5Long("g")
+      val ws = graft.ops.Text.GopherWhitespace
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[^$ws]+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)),
+        |                     i -> toks[i] || '_' || toks[i + 1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bg
+        |  FROM t),
+        |f AS (SELECT doc_id, lang = 'en' AS tgt, ($gHash) % 4096 AS fid
+        |  FROM (SELECT doc_id, lang, unnest(bg) AS g FROM b)),
+        |st AS (SELECT fid, count(*) AS cnt_r,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS n_r,
+        |    CAST(sum(cnt_t) AS BIGINT) AS n_t FROM st),
+        |sc AS (SELECT fid,
+        |    CAST(1000000 * (cnt_t + 1) * (n_r + 4096)
+        |         // ((cnt_r + 1) * (n_t + 4096)) AS BIGINT) AS score_e6
+        |  FROM st CROSS JOIN tot),
+        |pd AS (SELECT f.doc_id, count(*) AS n_feats,
+        |    CAST(sum(sc.score_e6) AS BIGINT) AS w_e6
+        |  FROM f JOIN sc USING (fid) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(pd.n_feats, 0) AS n_feats,
+        |  coalesce(pd.w_e6, 0) AS w_e6
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
     },
 
     // L27 replay: the engine's count→pick→merge cycle unrolled for 8

@@ -442,6 +442,20 @@ object TemporalQueries {
         .orderBy("user_id", "gap_start")
     }),
 
+    // T19 — interval coalescing (temporal-algebra COALESCE/PACK): each
+    // event opens a 45-minute hold [ts, ts+45m); per user, merge
+    // overlapping-or-touching holds into maximal covered spans. The
+    // normalization step before any interval set-algebra; one entity
+    // shuffle, island groupBy reusing the window's partitioning.
+    "t19_coalesce_intervals" -> ((s, dir) => {
+      val holds = ev(s, dir).select(col("user_id"), col("event_id"),
+        col("ts").as("hold_start"),
+        (col("ts") + expr("interval 45 minutes")).as("hold_end"))
+      Temporal.coalesceIntervals(holds, entity = Seq("user_id"),
+          start = "hold_start", end = "hold_end", tieBreak = "event_id")
+        .orderBy("user_id", "span_start")
+    }),
+
     // T11 — temporal interval-intersection join (the temporal-algebra
     // inner join): the per-user VALUE intervals joined with the per-user
     // EVENT-TYPE intervals (the compacted T08 stream, so the two interval
@@ -780,6 +794,27 @@ object TemporalQueries {
         |  AND epoch_us(CAST(ts AS TIMESTAMP))
         |    - epoch_us(CAST(pts AS TIMESTAMP)) > 86400000000
         |ORDER BY user_id, gap_start""".stripMargin,
+
+    "t19_coalesce_intervals" ->
+      """WITH iv AS (SELECT user_id, event_id, ts AS s,
+        |    ts + INTERVAL 45 MINUTE AS e FROM events),
+        |m AS (SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS frontier
+        |  FROM iv),
+        |b AS (SELECT user_id, event_id, s, e,
+        |    CASE WHEN frontier IS NULL OR s <= frontier THEN 0 ELSE 1 END
+        |      AS brk
+        |  FROM m),
+        |g AS (SELECT user_id, s, e,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM b)
+        |SELECT user_id, CAST(min(s) AS TIMESTAMP) AS span_start,
+        |  CAST(max(e) AS TIMESTAMP) AS span_end, count(*) AS n_intervals
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, span_start""".stripMargin,
 
     "t10_txtime_read" ->
       """WITH s1 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_cents

@@ -725,6 +725,34 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("linkPrediction == brute-force CN/RA oracle; adjacent pairs excluded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 3) {
+      val n = 12
+      val pairsSet = (for {
+        x <- 0 until n; y <- x + 1 until n if rnd.nextInt(100) < 30
+      } yield (x.toLong, y.toLong)).toSet
+      val pairs = pairsSet.toSeq.toDF("x", "y")
+      val got = Graphs.linkPrediction(spark, pairs, topK = 1000)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      val adj = pairsSet.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val want = (for {
+        a <- 0L until n; b <- a + 1 until n
+        if !pairsSet.contains((a, b))
+        common = adj.getOrElse(a, Set.empty[Long])
+          .intersect(adj.getOrElse(b, Set.empty[Long]))
+        if common.nonEmpty
+      } yield (a, b) -> (common.size.toLong,
+        common.toSeq.map(z => 1000000000L / adj(z).size).sum)).toMap
+      assert(got == want)
+      // no predicted pair may already be an edge
+      assert(got.keySet.intersect(pairsSet).isEmpty)
+    }
+  }
+
   test("multiSourceBfs: both frontier branches — plan shapes differ, results equal") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (10L, 11L))

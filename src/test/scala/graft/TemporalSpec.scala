@@ -522,4 +522,68 @@ class TemporalSpec extends SparkSpecBase {
       (3L, "insert", Some(7L), None),
       (5L, "update", Some(9L), None)))
   }
+
+  test("coalesceIntervals: nesting, touching merges, strict gap splits") {
+    import spark.implicits._
+    // The lag(end) trap: [0,100) swallows [10,20); [10,20)'s own end must
+    // NOT re-open a span when [90,110) arrives (frontier is 100, not 20).
+    // [110,120) touches 110 -> merges; [121,130) is a strict gap -> splits.
+    val iv = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 90L, 110L),
+      (1L, 4L, 110L, 120L), (1L, 5L, 121L, 130L),
+      (2L, 6L, 5L, 6L))
+      .toDF("user_id", "event_id", "s_sec", "e_sec")
+      .withColumn("ivl_start", timestamp_seconds(col("s_sec")))
+      .withColumn("ivl_end", timestamp_seconds(col("e_sec")))
+    val got = Temporal.coalesceIntervals(iv, Seq("user_id"),
+        "ivl_start", "ivl_end", "event_id")
+      .select(col("user_id"), unix_timestamp(col("span_start")).as("f"),
+        unix_timestamp(col("span_end")).as("t"), col("n_intervals"))
+      .orderBy("user_id", "f")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 120L, 4L), (1L, 121L, 130L, 1L), (2L, 5L, 6L, 1L)))
+  }
+
+  test("coalesceIntervals == linear-sweep oracle; spans disjoint (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 5) {
+      val rows = (0 until 80).map { i =>
+        val s = rnd.nextInt(200).toLong
+        (rnd.nextInt(4).toLong, i.toLong, s, s + 1 + rnd.nextInt(30).toLong)
+      }
+      val df = rows.toDF("user_id", "event_id", "s_sec", "e_sec")
+        .withColumn("ivl_start", timestamp_seconds(col("s_sec")))
+        .withColumn("ivl_end", timestamp_seconds(col("e_sec")))
+      val got = Temporal.coalesceIntervals(df, Seq("user_id"),
+          "ivl_start", "ivl_end", "event_id")
+        .select(col("user_id"), unix_timestamp(col("span_start")).as("f"),
+          unix_timestamp(col("span_end")).as("t"), col("n_intervals"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._2))
+        val spans = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)] // (start, end, n)
+        sorted.foreach { case (_, _, s, e) =>
+          if (spans.nonEmpty && s <= spans.last._2) {
+            val (f0, t0, n0) = spans.last
+            spans(spans.length - 1) = (f0, math.max(t0, e), n0 + 1)
+          } else spans += ((s, e, 1L))
+        }
+        spans.map { case (f, t, n) => (u, f, t, n) }
+      }.toSet
+      assert(got == want)
+      // spans per entity are pairwise disjoint and strictly separated
+      want.groupBy(_._1).values.foreach { spans =>
+        val sorted = spans.toSeq.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Seq((_, _, t1, _), (_, f2, _, _)) => assert(t1 < f2)
+          case _ =>
+        }
+      }
+    }
+  }
 }

@@ -261,6 +261,31 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(2) == ((2L, 2L, s2, s2 >= 0)))
   }
 
+  test("importanceWeights: all-target ratio is exactly 1e6; target pulls up") {
+    val d = mkDocs(
+      (0L, "spark table scan"),   // en-ish: bigrams spark_table table_scan
+      (1L, "spark table scan"),
+      (2L, "der tisch hier"),     // raw-only bigrams
+      (3L, "solo"),               // 1 token -> featureless, kept at (0,0)
+      (4L, ""))                   // empty -> (0,0)
+    // With EVERY doc in the target, cnt_t == cnt_r and n_t == n_r, so
+    // each bucket's ratio collapses to exactly 10^6 — w_e6 must equal
+    // n_feats * 1e6 with no rounding residue anywhere.
+    val all = Text.importanceWeights(d, isTarget = lit(true), buckets = 64)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(all.toSeq == Seq((0L, 2L, 2000000L), (1L, 2L, 2000000L),
+      (2L, 2L, 2000000L), (3L, 0L, 0L), (4L, 0L, 0L)))
+    // Target = docs 0/1: their bigrams are target-frequent, doc 2's are
+    // target-absent — doc 0 must outscore doc 2, and identical docs tie.
+    val sel = Text.importanceWeights(d, isTarget = col("doc_id") < 2,
+        buckets = 4096)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(sel(0)._2 == sel(1)._2)
+    assert(sel(0)._2 > sel(2)._2)
+  }
+
   test("bpeTrain: known merge sequence, greedy overlap, early exhaustion") {
     def merges(text: String, n: Int) =
       Text.bpeTrain(mkDocs((0L, text)), vocabWords = 10, merges = n)
