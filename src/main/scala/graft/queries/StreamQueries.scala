@@ -245,6 +245,27 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // S20 — STREAMING as-of join: purchases answered with the most
+    // recent at-or-before click of the same user from one-row per-user
+    // state (no buffering — "at-or-before" needs only the running best).
+    // Streaming == batch fold in StreamingSpec; THIS batch twin is the
+    // same fold over the whole table, held to q10's oracle semantics
+    // (tie at equal ts -> max click id; no prior click -> -1).
+    "s20_stream_asof" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
+          (col("event_type") === "click").as("is_click"))
+        .as[Streams.AsofEv]
+      Streams.asofBatch(in).toDF()
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("ts"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy("event_id")
+    }),
+
     // S12 — incremental temporal earliest-arrival. The streaming form
     // (Streams.earliestArrivalStream) is asserted equal to the Pregel
     // recomputation in StreamingSpec; THIS batch twin is that same
@@ -310,6 +331,18 @@ object StreamQueries {
     "s10_map_state_counts" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q10's as-of semantics with the no-match null coalesced to -1.
+    "s20_stream_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |  coalesce((SELECT max_by(c.click_id, c.ts) FROM c
+        |            WHERE c.user_id = p.user_id AND c.ts <= p.ts), -1)
+        |    AS click_id
+        |FROM p ORDER BY p.event_id""".stripMargin,
 
     "s08_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,

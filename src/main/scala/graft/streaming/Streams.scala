@@ -356,6 +356,93 @@ object Streams {
       }
   }
 
+  /** S20 — STREAMING as-of join, the engine's signature operator in
+    * continuous form: each arriving purchase is answered with the most
+    * recent at-or-before click of the same user (tie at equal ts → max
+    * click id — exactly q10's semantics). Per-user state is ONE row (the
+    * best click so far), not a buffer: the probe side never waits,
+    * because "at-or-before" only needs the running maximum. Rows are
+    * applied in event-time order — (ts, clicks-first, id) — within each
+    * micro-batch, clicks-first so an equal-ts click is visible to the
+    * purchase that shares its timestamp, matching the batch at-or-before
+    * rule; across batches the source must deliver in event-time order
+    * (the fixture replay does), the same contract as
+    * [[sessionEdgesStream]]. An out-of-order-tolerant variant would
+    * buffer within the watermark and emit on event-time timers — the
+    * [[timerSessions]] machinery — at the cost of state proportional to
+    * the watermark window.
+    */
+  case class AsofEv(user_id: Long, event_id: Long, ts_us: Long,
+    is_click: Boolean)
+  case class AsofHit(event_id: Long, user_id: Long, ts_us: Long,
+    click_id: Option[Long])
+  case class BestClick(click_id: Long, ts_us: Long)
+
+  /** One as-of step: state + next row -> (new state, emitted hit).
+    * Shared by the streaming operator and the batch fold so the two
+    * paths cannot diverge (the sessionStep pattern).
+    */
+  private def asofStep(st: Option[BestClick], e: AsofEv)
+      : (Option[BestClick], Option[AsofHit]) =
+    if (e.is_click) {
+      val better = st match {
+        case Some(c) if c.ts_us > e.ts_us ||
+          (c.ts_us == e.ts_us && c.click_id > e.event_id) => c
+        case _ => BestClick(e.event_id, e.ts_us)
+      }
+      (Some(better), None)
+    } else
+      (st, Some(AsofHit(e.event_id, e.user_id, e.ts_us, st.map(_.click_id))))
+
+  private def asofOrder(e: AsofEv): (Long, Int, Long) =
+    (e.ts_us, if (e.is_click) 0 else 1, e.event_id)
+
+  def asofStream(events: Dataset[AsofEv]): Dataset[AsofHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BestClick, AsofHit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[AsofEv], state: GroupState[BestClick]) =>
+          var st = state.getOption
+          val out = rows.toSeq.sortBy(asofOrder).flatMap { e =>
+            val (s2, hit) = asofStep(st, e)
+            st = s2
+            hit
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[asofStream]] with O(1) state per task (the
+    * [[sessionEdgesBatch]] repartition + secondary-sort + fold pattern):
+    * the WHOLE history streams through one fold per user, never
+    * materialized — the single-pass merge the AsOfMergeJoin exec makes,
+    * without building its right-side index.
+    */
+  def asofBatch(events: Dataset[AsofEv]): Dataset[AsofHit] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"),
+        col("is_click").desc, col("event_id"))
+      .mapPartitions { it =>
+        var curUser = 0L
+        var started = false
+        var st: Option[BestClick] = None
+        it.flatMap { e =>
+          if (!started || e.user_id != curUser) {
+            curUser = e.user_id; started = true; st = None
+          }
+          val (s2, hit) = asofStep(st, e)
+          st = s2
+          hit
+        }
+      }
+  }
+
   /** Per-user running state for S06: EXACT integer moments — event
     * count, Σ cents, Σ cents². Integer state (not Welford mean/M2
     * doubles) is what makes the 3σ flag decision exact and therefore

@@ -803,4 +803,70 @@ class StreamingSpec extends SparkSpecBase {
       assert(closed == oracle && closed.nonEmpty)
     } finally q.stop()
   }
+
+  test("S20 streaming as-of == batch fold == AsOfJoin operator (fixture)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // Batch oracle: the engine's own as-of operator on the fixture table
+    // (the q10 contract query shape — most recent at-or-before click,
+    // tie -> max click id).
+    val e = Tables.load(spark, sfDir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val oracle = graft.ops.AsOfJoin(purchases, clicks, on = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", payload = Seq("click_id"),
+        tieBreak = "click_id")
+      .select(col("event_id"),
+        coalesce(col("click_id_asof"), lit(-1L)).as("click_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val in = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        graft.Det.epochUs(col("ts")).as("ts_us"),
+        (col("event_type") === "click").as("is_click"))
+      .as[Streams.AsofEv]
+    def toMap(hits: Array[Streams.AsofHit]) =
+      hits.map(h => h.event_id -> h.click_id.getOrElse(-1L)).toMap
+    // batch fold twin
+    assert(toMap(Streams.asofBatch(in).collect()) == oracle)
+    assert(oracle.nonEmpty && oracle.values.exists(_ >= 0))
+
+    // streaming run: event-time-ordered rows over 4 micro-batches
+    val evs = in.orderBy("ts_us", "event_id").collect().toSeq
+    val source = MemoryStream[Streams.AsofEv]
+    val q = Streams.asofStream(source.toDS())
+      .writeStream.format("memory").queryName("s20sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+      }
+      val viaStream = spark.table("s20sink").collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(-1L)).toMap
+      assert(viaStream == oracle)
+    } finally q.stop()
+  }
+
+  test("S20 as-of step: equal-ts click visible, later click never leaks") {
+    import spark.implicits._
+    // user 7: click id 1 at t=100; purchase id 2 at t=100 (equal ts ->
+    // the click IS visible); click id 3 at t=150; purchase id 4 at t=120
+    // (after click 1, before click 3 -> must see click 1, NOT 3);
+    // purchase id 5 at t=150 (equal ts -> click 3).
+    val rows = Seq(
+      Streams.AsofEv(7L, 1L, 100L, true),
+      Streams.AsofEv(7L, 2L, 100L, false),
+      Streams.AsofEv(7L, 4L, 120L, false),
+      Streams.AsofEv(7L, 3L, 150L, true),
+      Streams.AsofEv(7L, 5L, 150L, false),
+      // user 8: purchase with NO prior click -> None
+      Streams.AsofEv(8L, 6L, 10L, false))
+    val got = Streams.asofBatch(rows.toDS()).collect()
+      .map(h => h.event_id -> h.click_id).toMap
+    assert(got == Map(2L -> Some(1L), 4L -> Some(1L), 5L -> Some(3L),
+      6L -> None))
+  }
 }
