@@ -608,6 +608,32 @@ object LlmQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // L30 — cross-document duplicated-span mining (the exact-substring
+    // dedup read, Lee et al. 2022): 20-char shingles occurring in >= 2
+    // distinct docs mark duplicated text; each doc's hit positions
+    // merge into maximal spans [pos, pos+20) via the T19
+    // interval-coalescing operator — the temporal-algebra op reused on
+    // character offsets (the generic-column payoff of keeping it
+    // type-agnostic). Unlike l16 (decontamination vs an external
+    // benchmark), this is intra-corpus: the spans a training pipeline
+    // cuts before packing. Plan: shingle explode, one shingle-keyed
+    // distinct+count to find cross-doc shingles, a semi join back, and
+    // the single-shuffle island merge per doc.
+    "l30_dup_spans" -> ((s, dir) => {
+      val sh = Text.shingleStreamPos(docs(s, dir), 20)
+      val dup = sh.select("doc_id", "shingle").distinct()
+        .groupBy("shingle").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("shingle")
+      val iv = sh.join(dup, Seq("shingle"), "left_semi")
+        .select(col("doc_id"), col("pos").as("dup_s"),
+          (col("pos") + 20).as("dup_e"))
+      graft.ops.Temporal.coalesceIntervals(iv, Seq("doc_id"),
+          "dup_s", "dup_e", "dup_s")
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_intervals").as("n_shingles"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // L10b — same decontamination result through the bloom-filter
     // runtime prefilter (Text.bloomContaminated): the compact filter
     // prunes the shingle stream before the exact semi join, so the
@@ -734,6 +760,37 @@ object LlmQueries {
         |        FROM documents WHERE doc_id % 20 != 0 AND n_chars >= 20))
         |SELECT tr.doc_id, tr.pos FROM tr JOIN bs ON tr.shingle = bs.shingle
         |ORDER BY tr.doc_id, tr.pos""".stripMargin,
+
+    // L30 replay: shingle explode, cross-doc shingle set, then the same
+    // frontier/island merge as the t19 oracle on [pos, pos+20).
+    "l30_dup_spans" ->
+      """WITH sh AS (SELECT doc_id, CAST(gs AS BIGINT) AS pos,
+        |    substr(text, CAST(gs AS INT), 20) AS shingle
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, n_chars - 19)) AS gs
+        |        FROM documents WHERE n_chars >= 20)),
+        |dup AS (SELECT shingle FROM
+        |  (SELECT shingle, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+        |  WHERE nd >= 2),
+        |iv AS (SELECT doc_id, pos AS s, pos + 20 AS e FROM sh
+        |       WHERE shingle IN (SELECT shingle FROM dup)),
+        |m AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS frontier
+        |  FROM iv),
+        |b AS (SELECT doc_id, s, e,
+        |    CASE WHEN frontier IS NULL OR s <= frontier THEN 0 ELSE 1 END
+        |      AS brk
+        |  FROM m),
+        |g AS (SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM b)
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        |  count(*) AS n_shingles
+        |FROM g GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "l12_salient_terms" ->
       """WITH tok AS (SELECT doc_id,

@@ -286,6 +286,31 @@ class TextOpsSpec extends SparkSpecBase {
     assert(sel(0)._2 > sel(2)._2)
   }
 
+  test("l30 dup spans: >= 20 chars, disjoint per doc, inside the doc") {
+    val rows = graft.queries.LlmQueries.queries("l30_dup_spans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    // span geometry: at least one shingle long, at most n * shingle len
+    rows.foreach { case (_, s, e, n) =>
+      assert(e - s >= 20 && n >= 1 && e - s <= 20 * n)
+    }
+    // spans per doc are disjoint with a strict gap (else they'd merge)
+    rows.groupBy(_._1).values.foreach { sp =>
+      sp.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(e1 < s2)
+        case _ =>
+      }
+    }
+    // every span sits inside its document (1-based, end exclusive)
+    val nchars = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (d, s, e, _) =>
+      assert(s >= 1 && e <= nchars(d) + 1)
+    }
+  }
+
   test("bpeTrain: known merge sequence, greedy overlap, early exhaustion") {
     def merges(text: String, n: Int) =
       Text.bpeTrain(mkDocs((0L, text)), vocabWords = 10, merges = n)
