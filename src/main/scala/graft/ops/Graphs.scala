@@ -1040,6 +1040,45 @@ object Graphs {
       .limit(topK)
   }
 
+  /** G26 — modularity of a vertex partition over an undirected graph
+    * (canonical `x < y` pairs + a `(id, label)` community assignment),
+    * kept EXACT: per community c the row
+    * `(community, n_vertices, e_in, deg_sum, q_num)` where
+    * `q_num = 4·m·e_in − deg_sum²` — Newman's Q is `Σ_c q_num / (4m²)`,
+    * left as an integer numerator so the quality of two partitions
+    * compares without a float in sight (the caller divides once for
+    * display). `e_in` counts edges with BOTH endpoints in c;
+    * cross-community edges contribute to neither side's e_in but to
+    * both deg_sums — exactly the penalty structure of Q.
+    *
+    * Plan: degree agg + two label lookups on the pair list (vertex-keyed
+    * shuffles), the community groupBy, and the 1-row edge count
+    * broadcast onto the community table (the HITS/PageRank norm-fetch
+    * pattern — no driver barrier). At 100 TB all joins key on vertex or
+    * label and co-locate under the same bucketing as the traversals.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val comm = labels.join(deg, labels("id") === deg("src"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vertices"), sum("deg").as("deg_sum"))
+    val eIn = pairs
+      .join(labels.select(col("id").as("x"), col("label").as("lx")), "x")
+      .join(labels.select(col("id").as("y"), col("label").as("ly")), "y")
+      .filter(col("lx") === col("ly"))
+      .groupBy("lx").agg(count(lit(1)).as("e_in"))
+      .withColumnRenamed("lx", "label")
+    comm.join(eIn, Seq("label"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select(col("label").as("community"), col("n_vertices"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+          - col("deg_sum") * col("deg_sum")).as("q_num"))
+  }
+
   /** Global triangle count over canonical (src < dst) pairs. */
   def triangleCount(s: SparkSession, pairs: DataFrame): Long = {
     val e = pairs.select(col("x").cast("long"), col("y").cast("long"))

@@ -387,6 +387,20 @@ object GraphQueries {
       Graphs.doubleSweepEcc(s, Graphs.copartEdges(s, dir)
         .transform(graft.ops.Checkpoints.cut), maxDepth = 12)),
 
+    // G26 — modularity of the g13 label-propagation partition on the
+    // co-part graph: per community (n_vertices, e_in, deg_sum) plus the
+    // exact integer numerator q_num = 4·m·e_in − deg_sum² (Newman's Q =
+    // Σ q_num / 4m²) — the partition-quality read a community detection
+    // pass is judged by, with no float anywhere.
+    "g26_modularity" -> ((s, dir) => {
+      val pairs = Graphs.copartPairs(s, dir)
+        .transform(graft.ops.Checkpoints.cut)
+      val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+      Graphs.modularity(pairs, Graphs.labelPropagationDF(s, edges, rounds = 3))
+        .orderBy("community")
+    }),
+
     // G25 — link prediction on the co-part graph: top-50 non-adjacent
     // pairs by common-neighbor count + exact-integer Resource Allocation
     // index (Σ 10^9 div deg over common neighbors — the Adamic-Adar
@@ -444,6 +458,29 @@ object GraphQueries {
       |          WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)),
       |e AS (SELECT x AS src, y AS dst FROM pairs
       |      UNION ALL SELECT y, x FROM pairs)""".stripMargin
+
+  // Shared oracle snippet: the 3-round label-propagation replay over `e`
+  // (deterministic tie-break count desc, min label — g13's rounds).
+  private val lpCte =
+    """l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+      |l1 AS (SELECT id, label FROM (
+      |  SELECT e.src AS id, l.label,
+      |    row_number() OVER (PARTITION BY e.src
+      |      ORDER BY count(*) DESC, l.label ASC) AS rn
+      |  FROM e JOIN l0 l ON e.dst = l.id
+      |  GROUP BY e.src, l.label) WHERE rn = 1),
+      |l2 AS (SELECT id, label FROM (
+      |  SELECT e.src AS id, l.label,
+      |    row_number() OVER (PARTITION BY e.src
+      |      ORDER BY count(*) DESC, l.label ASC) AS rn
+      |  FROM e JOIN l1 l ON e.dst = l.id
+      |  GROUP BY e.src, l.label) WHERE rn = 1),
+      |l3 AS (SELECT id, label FROM (
+      |  SELECT e.src AS id, l.label,
+      |    row_number() OVER (PARTITION BY e.src
+      |      ORDER BY count(*) DESC, l.label ASC) AS rn
+      |  FROM e JOIN l2 l ON e.dst = l.id
+      |  GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "g01_graph_build" ->
@@ -706,26 +743,29 @@ object GraphQueries {
 
     "g13_label_propagation" ->
       s"""WITH $copartCte,
-        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
-        |l1 AS (SELECT id, label FROM (
-        |  SELECT e.src AS id, l.label,
-        |    row_number() OVER (PARTITION BY e.src
-        |      ORDER BY count(*) DESC, l.label ASC) AS rn
-        |  FROM e JOIN l0 l ON e.dst = l.id
-        |  GROUP BY e.src, l.label) WHERE rn = 1),
-        |l2 AS (SELECT id, label FROM (
-        |  SELECT e.src AS id, l.label,
-        |    row_number() OVER (PARTITION BY e.src
-        |      ORDER BY count(*) DESC, l.label ASC) AS rn
-        |  FROM e JOIN l1 l ON e.dst = l.id
-        |  GROUP BY e.src, l.label) WHERE rn = 1),
-        |l3 AS (SELECT id, label FROM (
-        |  SELECT e.src AS id, l.label,
-        |    row_number() OVER (PARTITION BY e.src
-        |      ORDER BY count(*) DESC, l.label ASC) AS rn
-        |  FROM e JOIN l2 l ON e.dst = l.id
-        |  GROUP BY e.src, l.label) WHERE rn = 1)
+        |$lpCte
         |SELECT id, label FROM l3 ORDER BY id""".stripMargin,
+
+    // g26: modularity of the SAME 3-round LP replay — degree agg, edge
+    // count, per-community e_in/deg_sum, integer numerator.
+    "g26_modularity" ->
+      s"""WITH $copartCte,
+        |$lpCte,
+        |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+        |mm AS (SELECT count(*) AS m FROM pairs),
+        |comm AS (SELECT l.label, count(*) AS n_vertices,
+        |    CAST(sum(d.deg) AS BIGINT) AS deg_sum
+        |  FROM l3 l JOIN deg d ON l.id = d.id GROUP BY 1),
+        |ein AS (SELECT lx.label, count(*) AS e_in
+        |  FROM pairs p JOIN l3 lx ON p.x = lx.id
+        |               JOIN l3 ly ON p.y = ly.id
+        |  WHERE lx.label = ly.label GROUP BY 1)
+        |SELECT comm.label AS community, comm.n_vertices,
+        |  coalesce(ein.e_in, 0) AS e_in, comm.deg_sum,
+        |  CAST(4 * mm.m * coalesce(ein.e_in, 0)
+        |       - comm.deg_sum * comm.deg_sum AS BIGINT) AS q_num
+        |FROM comm LEFT JOIN ein ON comm.label = ein.label CROSS JOIN mm
+        |ORDER BY community""".stripMargin,
 
     "g14_kcore" ->
       s"""WITH $copartCte,

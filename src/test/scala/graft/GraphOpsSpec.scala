@@ -725,6 +725,26 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("modularity: hand-computed two-triangle graph; one community == 0") {
+    import spark.implicits._
+    // two triangles {1,2,3} {4,5,6} bridged by 3-4: m = 7, degrees
+    // 2,2,3,3,2,2; split by triangle -> e_in 3 each, deg_sum 7 each,
+    // q_num = 4*7*3 - 49 = 35 each (Q = 70/196).
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("x", "y")
+    val split = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "label")
+    val got = Graphs.modularity(pairs, split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((1L, 3L, 3L, 7L, 35L), (4L, 3L, 3L, 7L, 35L)))
+    // the degenerate single-community partition has Q exactly 0:
+    // e_in = m, deg_sum = 2m, q_num = 4m^2 - 4m^2 = 0
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> 9L).toDF("id", "label")
+    val q0 = Graphs.modularity(pairs, one).collect()
+    assert(q0.length == 1 && q0(0).getLong(4) == 0L)
+  }
+
   test("linkPrediction == brute-force CN/RA oracle; adjacent pairs excluded") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
