@@ -171,6 +171,40 @@ object AsOfJoin {
         .as(p + "_near")): _*)
   }
 
+  /** Backward as-of join with a TOLERANCE (pandas merge_asof
+    * `tolerance=`): a candidate older than `toleranceUs` microseconds
+    * before the probe is discarded — the payload comes back null,
+    * exactly as if no right row existed. The same single-shuffle
+    * backward pass as [[apply]] with `rightTs` carried alongside the
+    * payload for the staleness test (the [[nearest]] composition move);
+    * both ts columns must be timestamps. The stale check happens AFTER
+    * the pick, not by pre-filtering the right side — a stale-but-newest
+    * click correctly yields NO match rather than falling back to an
+    * even older one (pandas semantics).
+    */
+  def tolerance(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: String,
+      toleranceUs: Long): DataFrame = {
+    require(!payload.contains(rightTs),
+      s"payload must not contain $rightTs (appended internally for the staleness test)")
+    val payloadB = payload :+ rightTs
+    val outClash = payloadB.map(_ + "_asof").filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"as-of tolerance join left input already contains output column(s): ${outClash.mkString(", ")}")
+    val b = apply(left, right, on, leftTs, rightTs, payloadB, tieBreak)
+    val fresh = col(rightTs + "_asof").isNotNull &&
+      graft.Det.epochUs(col(leftTs)) -
+        graft.Det.epochUs(col(rightTs + "_asof")) <= toleranceUs
+    b.select(left.columns.toSeq.map(col) ++ payload.map(p =>
+      when(fresh, col(p + "_asof")).otherwise(lit(null)).as(p + "_asof")): _*)
+  }
+
   def apply(
       left: DataFrame,
       right: DataFrame,

@@ -332,6 +332,31 @@ object Relational {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Q38 — rolling 7-day DISTINCT users per day (the WAU curve): exact,
+    // not sketched, via contribution-explode — each (user, active day)
+    // pair contributes to the 7 window-end days it falls in, then ONE
+    // distinct aggregation per target day. count(DISTINCT) cannot slide
+    // in a window frame on either engine; the explode turns it into a
+    // plain groupBy at a bounded ×7 fan-out — at 100 TB the exploded
+    // stream is (distinct user-days)×window/slide rows, far below the
+    // event log, and the distinct agg partial-aggregates map-side.
+    // Days past the last activity are clipped (broadcast 1-row max).
+    "q38_rolling_distinct" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .distinct()
+      val maxDay = ud.agg(max(col("day")).as("max_day"))
+      ud.select(col("user_id"),
+          explode(sequence(col("day"),
+            col("day") + expr("interval 6 days"),
+            expr("interval 1 day"))).as("wday"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("wday") <= col("max_day"))
+        .groupBy("wday")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("wday")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -922,6 +947,18 @@ object Relational {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
         |FROM m ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q38_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |            FROM events),
+        |x AS (SELECT user_id,
+        |        day + INTERVAL 1 DAY * CAST(gs AS INT) AS wday
+        |      FROM ud, generate_series(0, 6) AS t(gs)),
+        |mx AS (SELECT max(day) AS max_day FROM ud)
+        |SELECT CAST(wday AS TIMESTAMP) AS wday,
+        |  count(DISTINCT user_id) AS wau
+        |FROM x CROSS JOIN mx WHERE wday <= mx.max_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q12_running_sum" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -90,6 +90,21 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // Q10f — as-of join WITH TOLERANCE: the q10 backward probe, but a
+    // click more than 1 hour stale is no match at all (null, NOT a
+    // fall-back to an even older click — pandas merge_asof tolerance
+    // semantics, applied after the pick). Completes the merge_asof
+    // surface: backward / forward / nearest / tolerance.
+    "q10f_asof_tolerance" -> ((s, dir) => {
+      val (purchases, clicks) = purchasesAndClicks(s, dir)
+      AsOfJoin.tolerance(purchases, clicks, on = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("click_id"),
+          tieBreak = "click_id", toleranceUs = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_id_asof").as("click_id"))
+        .orderBy("event_id")
+    }),
+
     // Q10d — NEAREST as-of join: the closer of the backward and forward
     // candidates, exact ties going backward (pandas merge_asof
     // direction="nearest" semantics).
@@ -571,6 +586,17 @@ object TemporalQueries {
         |     (CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END) ASC,
         |     (CASE WHEN c.ts <= p.ts THEN -c.click_id ELSE c.click_id END) ASC
         |   LIMIT 1) AS click_id
+        |FROM p ORDER BY p.event_id""".stripMargin,
+
+    "q10f_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |  (SELECT max_by(c.click_id, c.ts) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |     AND c.ts >= p.ts - INTERVAL 1 HOUR) AS click_id
         |FROM p ORDER BY p.event_id""".stripMargin,
 
     "t01_snapshot" -> t01Oracle,

@@ -137,6 +137,29 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out.getLong(out.length - 1) == 9L)
   }
 
+  test("tolerance: stale-but-newest match nulls out, no fallback to older") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_seconds
+    // key 1: clicks rid 1 @ 0s, rid 2 @ 100s. Probe @ 150s: newest is
+    // rid 2, 50s old -> fresh under a 60s tolerance. Probe @ 200s:
+    // newest is STILL rid 2 but 100s old -> null, and rid 1 must NOT be
+    // picked instead (pandas discards, it does not fall back). Key 2 has
+    // no clicks at all -> null.
+    val l = Seq((10L, 1L, 150L), (11L, 1L, 200L), (12L, 2L, 50L))
+      .toDF("id", "k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val r = Seq((1L, 1L, 0L), (2L, 1L, 100L))
+      .toDF("rid", "k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = AsOfJoin.tolerance(l, r, on = Seq("k"), leftTs = "ts",
+      rightTs = "ts", payload = Seq("rid"), tieBreak = "rid",
+      toleranceUs = 60L * 1000000L)
+    assert(out.columns.toSeq == Seq("id", "k", "ts", "rid_asof"))
+    val got = out.collect().map(row =>
+      row.getLong(0) -> Option(row.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(10L -> Some(2L), 11L -> None, 12L -> None))
+  }
+
   test("property: asofJoin == per-row linear scan on random tables") {
     val rnd = new scala.util.Random(42)
     for (iter <- 1 to 8) {
