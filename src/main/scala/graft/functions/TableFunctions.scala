@@ -178,8 +178,30 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** coalesce_intervals(table, entity_csv, start, end, tie_break) — the
+    * T19 interval COALESCE/PACK from pure SQL: per entity, merge
+    * overlapping-or-touching `[start, end)` intervals into maximal
+    * spans (entity…, span_start, span_end, n_intervals). Type-agnostic
+    * like the Scala API — timestamps, character offsets, any orderable
+    * interval bounds.
+    */
+  private def coalesceIntervalsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "coalesce_intervals"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (table, entity_csv, start, end, " +
+        s"tie_break), got ${exprs.length}")
+    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val s = SparkSession.active
+    Temporal.coalesceIntervals(s.table(a(0)), entity = csv(a(1)),
+        start = a(2), end = a(3), tieBreak = a(4))
+      .queryExecution.logical
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("coalesce_intervals"),
+      new ExpressionInfo(getClass.getName, "coalesce_intervals"),
+      coalesceIntervalsPlan _),
     (new FunctionIdentifier("asof_join"),
       new ExpressionInfo(getClass.getName, "asof_join"),
       asofJoinPlan _),

@@ -38,13 +38,12 @@ object Media {
     StructField("maxval", IntegerType), StructField("mean_r", DoubleType),
     StructField("mean_g", DoubleType), StructField("mean_b", DoubleType)))
 
-  /** REAL PPM (P6) decode: "P6" <ws> width <ws> height <ws> maxval <one
-    * ws> then width*height*3 RGB bytes ('#' comments allowed in the
-    * header per the spec). Returns None on anything malformed or
-    * truncated — the caller sees a null meta, never an exception (a
-    * 100 TB scrape WILL contain garbage bytes).
+  /** Header scan shared by [[decodePpm]] and [[resizePpm]]:
+    * (width, height, maxval, raster offset); None on malformed headers
+    * ('#' comments allowed per the spec, exactly ONE whitespace after
+    * maxval, then the raster).
     */
-  def decodePpm(bytes: Array[Byte]): Option[DecodedImage] = {
+  private def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 2 ||
       bytes(0) != 'P' || bytes(1) != '6') return None
     var i = 2
@@ -77,12 +76,21 @@ object Media {
       maxval <- readInt()
       if w > 0 && h > 0 && maxval > 0 && maxval <= 255 &&
         i < bytes.length && bytes(i).toChar.isWhitespace
-      _ = { i += 1 } // exactly ONE whitespace after maxval, then raster
-      if bytes.length - i >= 3L * w * h
-      stats <- {
+    } yield { i += 1; (w, h, maxval, i) }
+  }
+
+  /** REAL PPM (P6) decode: "P6" <ws> width <ws> height <ws> maxval <one
+    * ws> then width*height*3 RGB bytes. Returns None on anything
+    * malformed or truncated — the caller sees a null meta, never an
+    * exception (a 100 TB scrape WILL contain garbage bytes).
+    */
+  def decodePpm(bytes: Array[Byte]): Option[DecodedImage] =
+    parsePpmHeader(bytes).flatMap { case (w, h, maxval, off) =>
+      if (bytes.length - off < 3L * w * h) None
+      else {
         var (sr, sg, sb) = (0L, 0L, 0L)
-        var p = i
-        val end = i + 3 * w * h
+        var p = off
+        val end = off + 3 * w * h
         while (p < end) {
           sr += bytes(p) & 0xff; sg += bytes(p + 1) & 0xff
           sb += bytes(p + 2) & 0xff; p += 3
@@ -90,8 +98,42 @@ object Media {
         val n = (w.toLong * h).toDouble
         Some(DecodedImage(w, h, maxval, sr / n, sg / n, sb / n))
       }
-    } yield stats
-  }
+    }
+
+  /** MATERIALIZED nearest-neighbor resize of a P6 payload to exactly
+    * `w2`×`h2`: source pixel = floor(target·src/dst) on each axis (the
+    * top-left-anchor mapping — integer-exact, deterministic, and the
+    * identity when w2 == w and h2 == h). Re-encodes a canonical P6
+    * header; None on malformed/truncated input or a degenerate target.
+    * This is the eager half of [[resizeMeta]]'s lazy plan — the thumb
+    * materialization step an embedding pipeline runs right before
+    * feature extraction.
+    */
+  def resizePpm(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] =
+    parsePpmHeader(bytes).flatMap { case (w, h, maxval, off) =>
+      if (bytes.length - off < 3L * w * h || w2 <= 0 || h2 <= 0 ||
+        3L * w2 * h2 > Int.MaxValue - 32) None
+      else {
+        val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
+        val out = new Array[Byte](header.length + 3 * w2 * h2)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var q = header.length
+        var y = 0
+        while (y < h2) {
+          val sy = (y.toLong * h / h2).toInt
+          var x = 0
+          while (x < w2) {
+            val sx = (x.toLong * w / w2).toInt
+            val p = off + 3 * (sy * w + sx)
+            out(q) = bytes(p); out(q + 1) = bytes(p + 1)
+            out(q + 2) = bytes(p + 2)
+            q += 3; x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    }
 
   // ---------------------------------------------------------------- WAV
 
@@ -182,6 +224,22 @@ object Media {
   def decodeAudio(df: DataFrame, payloadCol: String,
       out: String = "audio_meta"): DataFrame =
     decodeWith(df, payloadCol, out, audioMetaSchema, decodeWav)
+
+  /** Materialize nearest-neighbor thumbnails of a PPM payload column
+    * into `out` (null on malformed bytes) — same mapPartitions batch
+    * shape as the decoders.
+    */
+  def resizeImages(df: DataFrame, payloadCol: String, w2: Int, h2: Int,
+      out: String = "resized_payload"): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema.add(out, BinaryType, nullable = true)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val r = resizePpm(row.getAs[Array[Byte]](idx), w2, h2).orNull
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Lazy resize: recompute metadata for a target box, preserving aspect
     * ratio (integer math, deterministic) — payload untouched, as a real

@@ -488,4 +488,58 @@ object Temporal {
   def coalesceIntervals(df: DataFrame, entity: String, start: String,
       end: String, tieBreak: String): DataFrame =
     coalesceIntervals(df, Seq(entity), start, end, tieBreak)
+
+  /** T20 — interval COMPLEMENT over a reporting range: per entity, the
+    * sub-ranges of `[lo, hi)` NOT covered by any input interval — the
+    * uncovered dual of [[coalesceIntervals]] (SLA downtime inside the
+    * audit window, un-leased capacity, unmonitored spans). Built ON the
+    * coalesce: merge to maximal spans, clip to the range, then each
+    * uncovered stretch is (previous clipped end, next clipped start)
+    * via one lag over the SAME entity shuffle — plus the head gap
+    * `[lo, first start)` and the tail gap `[last end, hi)`, emitted by
+    * the boundary rows themselves (no union, no second pass). Entities
+    * with NO interval in range produce nothing — the caller decides
+    * whether absent means "fully uncovered" (join the entity dim and
+    * union `[lo, hi)` rows) or "out of scope"; baking either in would
+    * be wrong for the other.
+    */
+  def intervalComplement(
+      df: DataFrame,
+      entity: Seq[String],
+      start: String,
+      end: String,
+      tieBreak: String,
+      lo: Column,
+      hi: Column): DataFrame = {
+    val spans = coalesceIntervals(df, entity, start, end, tieBreak)
+      .filter(col("span_end") > lo && col("span_start") < hi)
+      .select(entity.map(col) :+
+        greatest(col("span_start"), lo).as("__s") :+
+        least(col("span_end"), hi).as("__e"): _*)
+    val order = Window.partitionBy(entity.map(col): _*).orderBy(col("__s"))
+    val wAll = Window.partitionBy(entity.map(col): _*)
+    // spans are disjoint and strictly separated, so lag(end) IS the
+    // coverage frontier here (unlike the raw-interval case)
+    // Each clipped span row emits 0..3 gap structs (null when its
+    // condition fails, filtered before the explode) — type-agnostic
+    // like coalesceIntervals, no hard-coded bound type anywhere.
+    val candidates = array(
+      // head gap before the first span
+      when(col("__rn") === 1 && col("__s") > lo,
+        struct(lo.as("gap_start"), col("__s").as("gap_end"))),
+      // gap between this span and the previous one
+      when(col("__prev_e").isNotNull && col("__s") > col("__prev_e"),
+        struct(col("__prev_e").as("gap_start"), col("__s").as("gap_end"))),
+      // tail gap after the LAST span (emitted by the max-end row)
+      when(col("__e") === col("__max_e") && col("__e") < hi,
+        struct(col("__e").as("gap_start"), hi.as("gap_end"))))
+    spans
+      .withColumn("__prev_e", lag(col("__e"), 1).over(order))
+      .withColumn("__rn", row_number().over(order))
+      .withColumn("__max_e", max(col("__e")).over(wAll))
+      .select(entity.map(col) :+
+        explode(filter(candidates, g => g.isNotNull)).as("__g"): _*)
+      .select(entity.map(col) :+ col("__g.gap_start") :+
+        col("__g.gap_end"): _*)
+  }
 }

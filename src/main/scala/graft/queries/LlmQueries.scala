@@ -17,6 +17,26 @@ object LlmQueries {
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Synthetic P6 payloads for the media pipeline (l09/l09b): each doc's
+    * UTF-8 bytes become a 32-wide RGB raster, zero-padded to whole rows
+    * — deterministic binaries exercising the REAL codec end-to-end.
+    */
+  private def ppmSrc(s: SparkSession, dir: String): DataFrame = {
+    val w = 32
+    val rowBytes = w * 3
+    docs(s, dir)
+      .withColumn("body", encode(col("text"), "UTF-8"))
+      .withColumn("h", greatest(lit(1),
+        ceil(octet_length(col("body")) / lit(rowBytes.toDouble))
+          .cast("int")))
+      .withColumn("payload", concat(
+        encode(concat(lit(s"P6\n$w "), col("h").cast("string"),
+          lit("\n255\n")), "UTF-8"),
+        concat(col("body"), lit(Array.fill[Byte](rowBytes)(0)))
+          .substr(lit(1), col("h") * rowBytes)))
+      .drop("body")
+  }
+
   // Manual double-precision cosine pieces for the DuckDB oracle — same
   // sequential fold order as the Spark HOFs, then round(4) absorbs any
   // residual ULP difference.
@@ -524,20 +544,7 @@ object LlmQueries {
     // dimensions/stats on synthesized binaries round-tripped through
     // parquet.
     "l09_media_pipeline" -> ((s, dir) => {
-      val w = 32
-      val rowBytes = w * 3
-      val src = docs(s, dir)
-        .withColumn("body", encode(col("text"), "UTF-8"))
-        .withColumn("h", greatest(lit(1),
-          ceil(octet_length(col("body")) / lit(rowBytes.toDouble))
-            .cast("int")))
-        .withColumn("payload", concat(
-          encode(concat(lit(s"P6\n$w "), col("h").cast("string"),
-            lit("\n255\n")), "UTF-8"),
-          concat(col("body"), lit(Array.fill[Byte](rowBytes)(0)))
-            .substr(lit(1), col("h") * rowBytes)))
-        .drop("body")
-      val decoded = graft.ops.Media.decodeImages(src, "payload")
+      val decoded = graft.ops.Media.decodeImages(ppmSrc(s, dir), "payload")
         .withColumn("meta_small",
           graft.ops.Media.resizeMeta(col("image_meta"), 64, 64))
       graft.ops.Media.frameSample(decoded, "payload", 4)
@@ -547,6 +554,23 @@ object LlmQueries {
           round(col("image_meta.mean_r"), 4).as("mean_r"))
         .agg(count(lit(1)).as("n_frames"),
           sum(octet_length(col("frame_payload"))).as("frame_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // L09b — MATERIALIZED thumbnails: the same payloads resized eagerly
+    // to 8×8 by the real nearest-neighbor raster kernel (Media
+    // .resizePpm — l09's resizeMeta is the lazy half), then re-decoded;
+    // the thumb md5 fingerprints every byte of the re-encoded raster.
+    // Engine-only (rows-only check); MediaSpec pins exact pixel
+    // mappings (duplication, identity, top-left pick, malformed→null).
+    "l09b_media_resize" -> ((s, dir) => {
+      val resized = graft.ops.Media.resizeImages(ppmSrc(s, dir),
+        "payload", 8, 8)
+      graft.ops.Media.decodeImages(resized, "resized_payload", "thumb_meta")
+        .select(col("doc_id"), col("thumb_meta.width").as("w"),
+          col("thumb_meta.height").as("h"),
+          round(col("thumb_meta.mean_r"), 4).as("mean_r"),
+          md5(col("resized_payload")).as("thumb_md5"))
         .orderBy("doc_id")
     }),
 

@@ -266,6 +266,29 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // S21 — streaming SCD2 maintenance: the T07 merge driven through
+    // the foreachBatch CDC-apply path — an EMPTY history folded over
+    // the Jan-10 and Jan-20 snapshots stamped in one multi-stamp batch
+    // (first stamp seeds via insert-open, exactly scd2Init's rows).
+    // Held to t07's oracle; replay idempotence and the streaming run
+    // are in StreamingSpec.
+    "s21_scd2_maintenance" -> ((s, dir) => {
+      import graft.ops.Temporal
+      val t1Us = 1704844800000000L // 2024-01-10 00:00:00 UTC
+      val t2Us = 1705708800000000L // 2024-01-20 00:00:00 UTC
+      def snap(t: String) =
+        Temporal.snapshot(ev(s, dir), entity = "user_id", ts = "ts",
+            t = lit(t).cast("timestamp"), tieBreak = "event_id")
+          .select(col("user_id"), graft.Det.cents(col("value")).as("value_cents"))
+      val stamped = snap("2024-01-10 00:00:00")
+        .withColumn("snap_us", lit(t1Us))
+        .unionByName(snap("2024-01-20 00:00:00")
+          .withColumn("snap_us", lit(t2Us)))
+      val empty = Temporal.scd2Init(snap("2024-01-10 00:00:00").limit(0), t1Us)
+      Streams.scd2ApplyBatch(empty, stamped, "user_id", Seq("value_cents"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     // S12 — incremental temporal earliest-arrival. The streaming form
     // (Streams.earliestArrivalStream) is asserted equal to the Pregel
     // recomputation in StreamingSpec; THIS batch twin is that same
@@ -331,6 +354,10 @@ object StreamQueries {
     "s10_map_state_counts" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // s21 is the t07 merge through the CDC-apply path — same oracle.
+    "s21_scd2_maintenance" ->
+      graft.queries.TemporalQueries.oracles("t07_scd2_merge"),
 
     // q10's as-of semantics with the no-match null coalesced to -1.
     "s20_stream_asof" ->

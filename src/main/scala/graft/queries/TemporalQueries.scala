@@ -471,6 +471,36 @@ object TemporalQueries {
         .orderBy("user_id", "span_start")
     }),
 
+    // T20 — interval COMPLEMENT: per user, the sub-ranges of the
+    // [Jan-08, Jan-18) audit window NOT covered by any 45-minute hold —
+    // the uncovered dual of t19 (SLA downtime, unmonitored spans).
+    // Same entity shuffle as the coalesce it builds on; head/between/
+    // tail gaps emitted by the boundary rows themselves.
+    "t20_interval_complement" -> ((s, dir) => {
+      val holds = ev(s, dir).select(col("user_id"), col("event_id"),
+        col("ts").as("hold_start"),
+        (col("ts") + expr("interval 45 minutes")).as("hold_end"))
+      Temporal.intervalComplement(holds, entity = Seq("user_id"),
+          start = "hold_start", end = "hold_end", tieBreak = "event_id",
+          lo = lit("2024-01-08 00:00:00").cast("timestamp"),
+          hi = lit("2024-01-18 00:00:00").cast("timestamp"))
+        .orderBy("user_id", "gap_start")
+    }),
+
+    // T19b — the same interval coalescing from pure SQL text via the
+    // coalesce_intervals TVF; identical oracle to t19.
+    "t19b_coalesce_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      ev(s, dir).select(col("user_id"), col("event_id"),
+          col("ts").as("hold_start"),
+          (col("ts") + expr("interval 45 minutes")).as("hold_end"))
+        .createOrReplaceTempView("graft_t19b_holds")
+      s.sql("""SELECT user_id, span_start, span_end, n_intervals
+        |FROM coalesce_intervals('graft_t19b_holds', 'user_id',
+        |                        'hold_start', 'hold_end', 'event_id')
+        |ORDER BY user_id, span_start""".stripMargin)
+    }),
+
     // T11 — temporal interval-intersection join (the temporal-algebra
     // inner join): the per-user VALUE intervals joined with the per-user
     // EVENT-TYPE intervals (the compacted T08 stream, so the two interval
@@ -546,6 +576,27 @@ object TemporalQueries {
       |                           ORDER BY ts DESC, event_id DESC) AS rn
       |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  private val t19Oracle =
+    """WITH iv AS (SELECT user_id, event_id, ts AS s,
+      |    ts + INTERVAL 45 MINUTE AS e FROM events),
+      |m AS (SELECT user_id, event_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS frontier
+      |  FROM iv),
+      |b AS (SELECT user_id, event_id, s, e,
+      |    CASE WHEN frontier IS NULL OR s <= frontier THEN 0 ELSE 1 END
+      |      AS brk
+      |  FROM m),
+      |g AS (SELECT user_id, s, e,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM b)
+      |SELECT user_id, CAST(min(s) AS TIMESTAMP) AS span_start,
+      |  CAST(max(e) AS TIMESTAMP) AS span_end, count(*) AS n_intervals
+      |FROM g GROUP BY user_id, island
+      |ORDER BY user_id, span_start""".stripMargin
 
   private val t01Oracle =
     """SELECT user_id, CAST(round(value*100) AS BIGINT) AS val_cents
@@ -821,7 +872,13 @@ object TemporalQueries {
         |    - epoch_us(CAST(pts AS TIMESTAMP)) > 86400000000
         |ORDER BY user_id, gap_start""".stripMargin,
 
-    "t19_coalesce_intervals" ->
+    "t19_coalesce_intervals" -> t19Oracle,
+
+    "t19b_coalesce_sql" -> t19Oracle,
+
+    // t20: the t19 island replay, clipped to the audit window, then the
+    // head/between/tail gaps via one more window pass.
+    "t20_interval_complement" ->
       """WITH iv AS (SELECT user_id, event_id, ts AS s,
         |    ts + INTERVAL 45 MINUTE AS e FROM events),
         |m AS (SELECT user_id, event_id, s, e,
@@ -836,11 +893,31 @@ object TemporalQueries {
         |g AS (SELECT user_id, s, e,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
         |                   ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM b)
-        |SELECT user_id, CAST(min(s) AS TIMESTAMP) AS span_start,
-        |  CAST(max(e) AS TIMESTAMP) AS span_end, count(*) AS n_intervals
-        |FROM g GROUP BY user_id, island
-        |ORDER BY user_id, span_start""".stripMargin,
+        |  FROM b),
+        |sp AS (SELECT user_id, min(s) AS ss, max(e) AS se
+        |       FROM g GROUP BY user_id, island),
+        |cl AS (SELECT user_id,
+        |    greatest(ss, TIMESTAMP '2024-01-08 00:00:00') AS s,
+        |    least(se, TIMESTAMP '2024-01-18 00:00:00') AS e
+        |  FROM sp
+        |  WHERE se > TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ss < TIMESTAMP '2024-01-18 00:00:00'),
+        |x AS (SELECT user_id, s, e,
+        |    lag(e) OVER (PARTITION BY user_id ORDER BY s) AS pe,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+        |    max(e) OVER (PARTITION BY user_id) AS me
+        |  FROM cl)
+        |SELECT user_id, CAST(gs AS TIMESTAMP) AS gap_start,
+        |  CAST(ge AS TIMESTAMP) AS gap_end
+        |FROM (
+        |  SELECT user_id, TIMESTAMP '2024-01-08 00:00:00' AS gs, s AS ge
+        |  FROM x WHERE rn = 1 AND s > TIMESTAMP '2024-01-08 00:00:00'
+        |  UNION ALL
+        |  SELECT user_id, pe, s FROM x WHERE pe IS NOT NULL AND s > pe
+        |  UNION ALL
+        |  SELECT user_id, e, TIMESTAMP '2024-01-18 00:00:00'
+        |  FROM x WHERE e = me AND e < TIMESTAMP '2024-01-18 00:00:00')
+        |ORDER BY user_id, gap_start""".stripMargin,
 
     "t10_txtime_read" ->
       """WITH s1 AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_cents

@@ -356,6 +356,32 @@ object Streams {
       }
   }
 
+  /** S21 — streaming SCD2 maintenance (the CDC-apply sink): each
+    * micro-batch carries full entity snapshots stamped with their as-of
+    * time (`snap_us`); foreachBatch folds them into the running SCD2
+    * history with the SAME `Temporal.scd2Merge` the T07 batch contract
+    * uses — keep / close+reopen / delete-close / insert-open per
+    * entity. A batch holding several stamps applies them in ascending
+    * order (the stamp set is a tiny per-batch driver fetch, the
+    * codebook pattern). Exactly-once comes from MERGE IDEMPOTENCE, not
+    * a ledger: re-applying an already-applied snapshot at the same
+    * as-of time compares every entity unchanged against the row the
+    * first apply wrote and emits the identical history (asserted in
+    * StreamingSpec) — the property foreachBatch retries require,
+    * complementing S16's max-reduction trick and T09b's batch-id
+    * ledger as the third idempotence strategy in the suite.
+    */
+  def scd2ApplyBatch(history: DataFrame, batch: DataFrame, entity: String,
+      attrs: Seq[String]): DataFrame = {
+    val times = batch.select("snap_us").distinct()
+      .collect().map(_.getLong(0)).sorted
+    times.foldLeft(history) { (h, t) =>
+      graft.ops.Temporal.scd2Merge(h,
+        batch.filter(col("snap_us") === t).drop("snap_us"),
+        entity, attrs, t)
+    }
+  }
+
   /** S20 — STREAMING as-of join, the engine's signature operator in
     * continuous form: each arriving purchase is answered with the most
     * recent at-or-before click of the same user (tie at equal ts → max

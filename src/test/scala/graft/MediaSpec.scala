@@ -47,6 +47,37 @@ class MediaSpec extends SparkSpecBase {
     assert(Media.decodePpm(Array.emptyByteArray).isEmpty)
   }
 
+  test("PPM resize: exact pixel duplication, identity, top-left pick, garbage -> null") {
+    // 2x2 with 4 DISTINCT pixels laid out row-major
+    val px = Seq((10, 11, 12), (20, 21, 22), (30, 31, 32), (40, 41, 42))
+    val src = "P6\n2 2\n255\n".getBytes("UTF-8") ++
+      px.flatMap { case (r, g, b) =>
+        Seq(r.toByte, g.toByte, b.toByte) }.toArray
+    def raster(bytes: Array[Byte]) = {
+      // canonical header is "P6\nW H\n255\n"
+      val headerEnd = bytes.indexOf('\n'.toInt,
+        bytes.indexOf('\n'.toInt, 3) + 1) + 1
+      bytes.drop(headerEnd).map(_ & 0xff).toSeq
+    }
+    // 2x2 -> 4x4: each source pixel becomes a 2x2 block (floor mapping)
+    val up = Media.resizePpm(src, 4, 4).get
+    assert(Media.decodePpm(up).exists(d => d.width == 4 && d.height == 4))
+    val want = Seq(0, 0, 1, 1).flatMap(r => Seq(0, 0, 1, 1).map(c =>
+      px(r * 2 + c))).flatMap { case (r, g, b) => Seq(r, g, b) }
+    assert(raster(up) == want)
+    // identity resize reproduces the raster byte-for-byte
+    assert(raster(Media.resizePpm(src, 2, 2).get) ==
+      src.drop("P6\n2 2\n255\n".length).map(_ & 0xff).toSeq)
+    // 1x1 picks the top-left pixel (floor anchor)
+    assert(raster(Media.resizePpm(src, 1, 1).get) == Seq(10, 11, 12))
+    // means survive the re-encode: upscaled means == original means
+    assert(Media.decodePpm(up).get.mean_r == Media.decodePpm(src).get.mean_r)
+    // malformed / degenerate
+    assert(Media.resizePpm(src.dropRight(1), 4, 4).isEmpty)
+    assert(Media.resizePpm(src, 0, 4).isEmpty)
+    assert(Media.resizePpm("junk".getBytes, 2, 2).isEmpty)
+  }
+
   test("WAV decode: exact format, sample count and RMS; non-PCM16 -> null") {
     // constant amplitude 3 -> RMS exactly 3
     assert(Media.decodeWav(wav(8000, 1, Array.fill[Short](100)(3))) ==

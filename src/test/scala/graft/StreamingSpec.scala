@@ -11,6 +11,8 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 
 case class S19Doc(doc_id: Long, text: String, n_chars: Long)
 
+case class Scd2Row(user_id: Long, value_cents: Long, snap_us: Long)
+
 /** Structured Streaming semantics (SURVEY.md §2.4): batch-equivalence via
   * MemoryStream replay, watermark late-data drops, stateful dedup,
   * arbitrary state, stream-static joins.
@@ -802,6 +804,57 @@ class StreamingSpec extends SparkSpecBase {
           r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
       assert(closed == oracle && closed.nonEmpty)
     } finally q.stop()
+  }
+
+  test("S21 SCD2 foreachBatch maintenance: == direct merges, replay no-op, delete closes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // snapshot 1 @ t=100: users 1->10, 2->20, 3->30
+    // snapshot 2 @ t=200: 1->10 (keep), 2->25 (close+reopen),
+    //                     4->40 (insert) — 3 absent (delete-close)
+    val s1 = Seq(Scd2Row(1, 10, 100), Scd2Row(2, 20, 100), Scd2Row(3, 30, 100))
+    val s2 = Seq(Scd2Row(1, 10, 200), Scd2Row(2, 25, 200), Scd2Row(4, 40, 200))
+    def hist0 = graft.ops.Temporal.scd2Init(
+      Seq.empty[(Long, Long)].toDF("user_id", "value_cents"), 0L)
+    val source = MemoryStream[Scd2Row]
+    var state = hist0
+    var lastBatch: Option[DataFrame] = None
+    val q = source.toDS().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Scd2Row], _: Long) =>
+        state = Streams.scd2ApplyBatch(state, b.toDF(), "user_id",
+          Seq("value_cents")).localCheckpoint()
+        lastBatch = Some(b.toDF().localCheckpoint())
+      }
+      .outputMode(OutputMode.Append()).start()
+    try Seq(s1, s2).foreach { b => source.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    val streamed = rows(state)
+    // direct double-merge oracle (the t07 path)
+    val direct = graft.ops.Temporal.scd2Merge(
+      graft.ops.Temporal.scd2Init(
+        s1.map(r => (r.user_id, r.value_cents)).toDF("user_id", "value_cents"),
+        100L),
+      s2.map(r => (r.user_id, r.value_cents)).toDF("user_id", "value_cents"),
+      "user_id", Seq("value_cents"), 200L)
+    assert(streamed == rows(direct))
+    assert(streamed == Set(
+      (1L, 10L, 100L, None),          // kept open
+      (2L, 20L, 100L, Some(200L)),    // closed at t2
+      (2L, 25L, 200L, None),          // reopened
+      (3L, 30L, 100L, Some(200L)),    // delete-closed
+      (4L, 40L, 200L, None)))         // inserted
+    // replaying the last micro-batch is a no-op (merge idempotence)
+    val replayed = rows(Streams.scd2ApplyBatch(state, lastBatch.get,
+      "user_id", Seq("value_cents")))
+    assert(replayed == streamed)
+    // a single MULTI-STAMP batch applies stamps in ascending order:
+    // the whole feed in one batch equals the two-batch stream
+    val oneShot = rows(Streams.scd2ApplyBatch(hist0, (s1 ++ s2).toDF(),
+      "user_id", Seq("value_cents")))
+    assert(oneShot == streamed)
   }
 
   test("S20 streaming as-of == batch fold == AsOfJoin operator (fixture)") {

@@ -462,6 +462,15 @@ class TemporalSpec extends SparkSpecBase {
     assert(rows(spark.sql(
         "SELECT * FROM sessionize('tvf_changes', 'user_id', 'ts', 'event_id', 86400)")) ==
       rows(Temporal.sessionize(changes, "user_id", "ts", "event_id", 86400)))
+    val holds = changes.select(col("user_id"), col("event_id"),
+      col("ts").as("h_start"),
+      (col("ts") + expr("interval 2 days")).as("h_end"))
+    holds.createOrReplaceTempView("tvf_holds")
+    assert(rows(spark.sql(
+        "SELECT * FROM coalesce_intervals('tvf_holds', 'user_id', " +
+          "'h_start', 'h_end', 'event_id')")) ==
+      rows(Temporal.coalesceIntervals(holds, Seq("user_id"),
+        "h_start", "h_end", "event_id")))
     // non-integer gap argument fails fast
     assertThrows[Exception](spark.sql(
       "SELECT * FROM sessionize('tvf_changes', 'user_id', 'ts', 'event_id', 'soon')")
@@ -544,6 +553,66 @@ class TemporalSpec extends SparkSpecBase {
         r.getLong(3)))
     assert(got.toSeq == Seq(
       (1L, 0L, 120L, 4L), (1L, 121L, 130L, 1L), (2L, 5L, 6L, 1L)))
+  }
+
+  test("intervalComplement: head/between/tail gaps, clipping, full coverage empty") {
+    import spark.implicits._
+    // window [100, 200). user 1: spans [110,120) and [150,160) -> gaps
+    // [100,110) [120,150) [160,200). user 2: one span [90,210) crossing
+    // both bounds -> fully covered, NO gaps. user 3: span [50,60) wholly
+    // before the window -> filtered out, NO rows (absent != uncovered).
+    val iv = Seq(
+      (1L, 1L, 110L, 120L), (1L, 2L, 150L, 160L),
+      (2L, 3L, 90L, 210L),
+      (3L, 4L, 50L, 60L))
+      .toDF("user_id", "event_id", "s_sec", "e_sec")
+      .withColumn("ivl_start", timestamp_seconds(col("s_sec")))
+      .withColumn("ivl_end", timestamp_seconds(col("e_sec")))
+    val got = Temporal.intervalComplement(iv, Seq("user_id"),
+        "ivl_start", "ivl_end", "event_id",
+        lo = timestamp_seconds(lit(100)), hi = timestamp_seconds(lit(200)))
+      .select(col("user_id"), unix_timestamp(col("gap_start")).as("f"),
+        unix_timestamp(col("gap_end")).as("t"))
+      .orderBy("user_id", "f")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 100L, 110L), (1L, 120L, 150L), (1L, 160L, 200L)))
+  }
+
+  test("intervalComplement + clipped coverage partition the window (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val (lo, hi) = (100L, 300L)
+    for (_ <- 1 to 3) {
+      val rows = (0 until 60).map { i =>
+        val s = rnd.nextInt(350).toLong
+        (rnd.nextInt(3).toLong, i.toLong, s, s + 1 + rnd.nextInt(40).toLong)
+      }
+      val df = rows.toDF("user_id", "event_id", "s_sec", "e_sec")
+        .withColumn("ivl_start", timestamp_seconds(col("s_sec")))
+        .withColumn("ivl_end", timestamp_seconds(col("e_sec")))
+      val gaps = Temporal.intervalComplement(df, Seq("user_id"),
+          "ivl_start", "ivl_end", "event_id",
+          lo = timestamp_seconds(lit(lo)), hi = timestamp_seconds(lit(hi)))
+        .select(col("user_id"), unix_timestamp(col("gap_start")).as("f"),
+          unix_timestamp(col("gap_end")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // per entity WITH in-window coverage: gap seconds + clipped
+      // covered seconds == window width, and gaps never overlap spans
+      val covered = rows.groupBy(_._1).map { case (u, rs) =>
+        val secs = rs.flatMap { case (_, _, s, e) =>
+          (math.max(s, lo) until math.min(e, hi)) }.toSet
+        u -> secs
+      }
+      gaps.groupBy(_._1).foreach { case (u, gs) =>
+        val gapSecs = gs.flatMap { case (_, f, t) => f until t }.toSet
+        assert(gapSecs.intersect(covered(u)).isEmpty)
+        assert(gapSecs.size + covered(u).size == (hi - lo))
+      }
+      // entities with some in-window interval but full coverage appear
+      // with zero gaps — and none of the reported entities lack coverage
+      gaps.foreach { case (u, _, _) => assert(covered(u).nonEmpty) }
+    }
   }
 
   test("coalesceIntervals == linear-sweep oracle; spans disjoint (randomized)") {
