@@ -423,6 +423,33 @@ object Text {
         coalesce(col("w_e6"), lit(0L)).as("w_e6"))
   }
 
+  /** L31 — largest-remainder apportionment (Hamilton's method): split an
+    * integer `budget` across the groups of `counts` (`group`, `n`)
+    * exactly proportionally — `floor(budget·n_i/N)` seats each, the
+    * `budget − Σfloor` leftovers to the largest integer remainders
+    * (`budget·n_i mod N`, ties → group asc). Every quantity is integer:
+    * the allocation replays bit-for-bit cross-engine and can neither
+    * over- nor under-allocate (Σalloc == budget whenever budget ≤ N·…,
+    * exactly). Windows run on the GROUP DIMENSION (|groups| rows), not
+    * the data — the global window is dimension-sized by construction.
+    * Output: (group, n, alloc).
+    */
+  def apportion(counts: DataFrame, group: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.orderBy(col("rem").desc, col(group).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts.crossJoin(broadcast(counts.agg(sum("n").as("big_n"))))
+      .withColumn("floor_alloc", expr(s"$budget * n div big_n"))
+      .withColumn("rem", expr(s"($budget * n) % big_n"))
+      .withColumn("extra_seats",
+        lit(budget.toLong) - sum("floor_alloc").over(wAll))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col(group).asc)))
+      .withColumn("alloc", col("floor_alloc") +
+        when(col("rk") <= col("extra_seats"), 1L).otherwise(0L))
+      .select(col(group), col("n"), col("alloc"))
+  }
+
   /** L27 — BPE merge TRAINING (Sennrich et al. 2016's corpus half, the
     * piece L22's coverage query assumed pre-trained): learn the first
     * `merges` byte-pair merges over the corpus vocabulary. Classic

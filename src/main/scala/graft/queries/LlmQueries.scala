@@ -210,6 +210,32 @@ object LlmQueries {
         .orderBy("source", "rk")
     }),
 
+    // L31 — proportional corpus sample by LARGEST-REMAINDER
+    // apportionment (Hamilton's method): a fixed budget of 100 docs
+    // split across sources exactly proportionally — floor(K·n_i/N)
+    // seats each, the K − Σfloor leftovers to the largest integer
+    // remainders (K·n_i mod N, ties → source asc). Every quantity is
+    // integer, so the allocation replays bit-for-bit cross-engine —
+    // unlike float-quota rounding, it can neither over- nor
+    // under-allocate. Docs picked per source by the q36 md5 sort key
+    // (rerun- and engine-stable). The apportionment windows run on the
+    // SOURCE DIMENSION (|sources| rows), not the corpus — the global
+    // window is dimension-sized by construction.
+    "l31_proportional_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val alloc = Text.apportion(
+        d.groupBy("source").agg(count(lit(1)).as("n")), "source",
+        budget = 100)
+      val wPick = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.join(broadcast(alloc), "source")
+        .withColumn("sel_rank", row_number().over(wPick).cast("long"))
+        .filter(col("sel_rank") <= col("alloc"))
+        .select("source", "sel_rank", "doc_id")
+        .orderBy("source", "sel_rank")
+    }),
+
     // L24 — mixture weights over the quality-gated corpus (α = 1/2
     // temperature): per-source sampling weight ∝ sqrt(survivor count),
     // the standard low-resource-upweighting rule for multi-corpus
@@ -1259,6 +1285,34 @@ object LlmQueries {
         |                       ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    // l31 replays the largest-remainder apportionment (all integers) and
+    // the md5-keyed per-source pick.
+    "l31_proportional_sample" ->
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents
+        |               GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM counts),
+        |q AS (SELECT source, n,
+        |    CAST(100 * n // big_n AS BIGINT) AS floor_alloc,
+        |    CAST((100 * n) % big_n AS BIGINT) AS rem
+        |  FROM counts CROSS JOIN tot),
+        |a AS (SELECT source, floor_alloc, rem,
+        |    100 - sum(floor_alloc) OVER () AS extra_seats,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |  FROM q),
+        |alloc AS (SELECT source,
+        |    floor_alloc + CASE WHEN rk <= extra_seats THEN 1 ELSE 0 END
+        |      AS alloc
+        |  FROM a),
+        |picked AS (SELECT d.source, d.doc_id,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+        |      AS sel_rank
+        |  FROM documents d)
+        |SELECT p.source, CAST(p.sel_rank AS BIGINT) AS sel_rank, p.doc_id
+        |FROM picked p JOIN alloc ON p.source = alloc.source
+        |WHERE p.sel_rank <= alloc.alloc
+        |ORDER BY p.source, p.sel_rank""".stripMargin,
 
     // l24 replays the l19 gate, then the quantize-then-sum weights: each
     // source's sqrt rounded to 1e-6 first, integer-summed denominator.

@@ -286,6 +286,33 @@ class TextOpsSpec extends SparkSpecBase {
     assert(sel(0)._2 > sel(2)._2)
   }
 
+  test("apportion: exact budget, within-one-seat quotas, remainder ranking") {
+    import spark.implicits._
+    def run(counts: Seq[(String, Long)], budget: Int): Map[String, Long] =
+      Text.apportion(counts.toDF("source", "n"), "source", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // classic: quotas 4.29/2.86/2.86 (N=7, K=10) -> floors 4/2/2, two
+    // leftover seats to the largest remainders (b and c, rem 6/7 each,
+    // tie -> both get one; a's rem 2/7 misses out)
+    assert(run(Seq(("a", 3L), ("b", 2L), ("c", 2L)), 10) ==
+      Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // Σalloc == budget and every group within one seat of its quota
+    val rnd = new scala.util.Random(53)
+    for (_ <- 1 to 5) {
+      val counts = (0 until 8).map(i => (s"s$i", 1L + rnd.nextInt(500)))
+      val budget = 1 + rnd.nextInt(200)
+      val got = run(counts, budget)
+      assert(got.values.sum == budget)
+      val n = counts.map(_._2).sum
+      counts.foreach { case (g, c) =>
+        val floorQ = budget.toLong * c / n
+        assert(got(g) == floorQ || got(g) == floorQ + 1)
+      }
+    }
+    // degenerate: budget 0 -> all zeros
+    assert(run(Seq(("a", 5L), ("b", 5L)), 0).values.forall(_ == 0L))
+  }
+
   test("l30 dup spans: >= 20 chars, disjoint per doc, inside the doc") {
     val rows = graft.queries.LlmQueries.queries("l30_dup_spans")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
