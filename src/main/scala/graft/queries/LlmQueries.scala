@@ -409,6 +409,23 @@ object LlmQueries {
         .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
     }),
 
+    // L32 — Matryoshka-truncated top-k (the MRL practice): the SAME
+    // exact blocked kernel over the embeddings' first 16 of 64 dims —
+    // cosine self-normalizes the prefix, so truncation is a pure
+    // `slice` and the 4x-smaller working set reuses every downstream
+    // path unchanged (the coarse pass of a truncate-then-rerank
+    // funnel). Hash-matched against the l03 oracle on sliced lists;
+    // ToleranceSpec pins the full-width-slice identity. (No recall
+    // gate: the fixture embeddings are RANDOM, so a 16-dim prefix is
+    // uncorrelated with full-64 cosine by construction — measured 0/20
+    // at sf0.001 — where trained matryoshka prefixes would correlate.)
+    "l32_matryoshka_topk" -> ((s, dir) => {
+      val trunc = vecs(s, dir).select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"), col("label"))
+      Similarity.topKCosinePairs(trunc, 20)
+        .orderBy(desc("cos_sim"), col("a_id"), col("b_id"))
+    }),
+
     // L03b — IVF-bucketed ANN: seeded k-means coarse quantizer ->
     // multi-probe (nprobe=2) bucket assignment -> exact rerank only WITHIN
     // buckets (equi join on bucket replaces the all-pairs quadratic).
@@ -938,6 +955,17 @@ object LlmQueries {
       val dotAB = duckDot.format("a.embedding", "b.embedding")
       val nA = duckNormSq.format("a.embedding")
       val nB = duckNormSq.format("b.embedding")
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin
+    },
+
+    // l32: the l03 replay on 16-element list slices.
+    "l32_matryoshka_topk" -> {
+      val dotAB = duckDot.format("a.embedding[1:16]", "b.embedding[1:16]")
+      val nA = duckNormSq.format("a.embedding[1:16]")
+      val nB = duckNormSq.format("b.embedding[1:16]")
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

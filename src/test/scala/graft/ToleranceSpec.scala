@@ -151,6 +151,24 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("l32 matryoshka slice: full-width slice is the identity kernel") {
+    // The 16-dim prefix query is hash-oracled; what the suite pins here
+    // is that the slice path itself is lossless — a 64-of-64 "prefix"
+    // must reproduce the full top-k bit-for-bit. (No recall gate for
+    // the 16-dim prefix: the fixture embeddings are random, so prefix
+    // and full cosine are uncorrelated by construction — trained
+    // matryoshka embeddings are what make truncation meaningful.)
+    val v = Tables.load(spark, sfDir, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.topKCosinePairs(df, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val full = run(v)
+    val sliced = run(v.select(col("vec_id"),
+      slice(col("embedding"), 1, 64).as("embedding"), col("label")))
+    assert(full == sliced && full.size == 10)
+  }
+
   test("l02b LSH near-dedup recall >= 95% of exact pairs, zero false accepts") {
     val exact = SparkEntry.queries("l02_near_dedup")(spark, sfDir)
       .select("a_id", "b_id").collect()
