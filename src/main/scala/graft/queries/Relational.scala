@@ -519,6 +519,45 @@ object Relational {
         .orderBy("op", "c_custkey")
     }),
 
+    // Q18b — BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL):
+    // multiset difference keeps max(n_a − n_b, 0) copies per key and
+    // multiset intersection min(n_a, n_b) — the multiplicity rules
+    // DISTINCT-based set ops silently destroy (and the variant most
+    // engines get subtly wrong). Reported as per-key copy counts for a
+    // stable total order; hash-matched against DuckDB's EXCEPT
+    // ALL/INTERSECT ALL.
+    "q18b_set_ops_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_suppkey"))
+      val b = li.filter(col("l_quantity") > 25).select(col("l_suppkey"))
+      val e = a.exceptAll(b).withColumn("op", lit("except_all"))
+      val i = a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      e.unionByName(i)
+        .groupBy("op", "l_suppkey")
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy("op", "l_suppkey")
+    }),
+
+    // Q39 — RUNNING DISTINCT count ("new items seen to date"): per user
+    // in event-time order, how many DISTINCT event types seen so far.
+    // A distinct count cannot slide in a window frame on either engine;
+    // the first-occurrence flag (row_number over (user, type) == 1)
+    // turns it into a plain running sum — two windows, exact, no state
+    // beyond the frames.
+    "q39_running_distinct" -> ((s, dir) => {
+      val firstSeen = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val run = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("__first",
+          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum(col("__first")).over(run))
+        .select("user_id", "event_id", "ts", "n_types_seen")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -947,6 +986,30 @@ object Relational {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
         |FROM m ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q18b_set_ops_all" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem),
+        |     b AS (SELECT l_suppkey FROM lineitem WHERE l_quantity > 25)
+        |SELECT op, l_suppkey, count(*) AS n_copies FROM (
+        |  SELECT 'except_all' AS op, l_suppkey FROM (
+        |    SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+        |  UNION ALL
+        |  SELECT 'intersect_all', l_suppkey FROM (
+        |    SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q39_running_distinct" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(sum(first_flag) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_types_seen
+        |FROM (SELECT user_id, event_id, ts,
+        |        CASE WHEN row_number() OVER (
+        |            PARTITION BY user_id, event_type
+        |            ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END
+        |          AS first_flag
+        |      FROM events)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q38_rolling_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
