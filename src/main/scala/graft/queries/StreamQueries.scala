@@ -266,6 +266,23 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // S22 — streaming heavy hitters (space-saving, m = 8 counters per
+    // event type over the user stream): bounded sketch state no matter
+    // how many distinct users flow — engine-only (the fold is
+    // order-dependent by design; a SQL replay would be a 150k-row
+    // recursive CTE), rows-only check; the sketch guarantees
+    // (est >= true >= est - err, exact-while-unevicted, dominant
+    // survivor, stream == batch) are gated in StreamingSpec.
+    "s22_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir)
+        .select(col("event_type").as("gkey"), col("user_id").as("item"),
+          graft.Det.epochUs(col("ts")).as("ts_us"), col("event_id"))
+        .as[Streams.SsEv]
+      Streams.heavyHittersBatch(in, m = 8).toDF()
+        .orderBy(col("gkey"), desc("est"), col("item"))
+    }),
+
     // S21 — streaming SCD2 maintenance: the T07 merge driven through
     // the foreachBatch CDC-apply path — an EMPTY history folded over
     // the Jan-10 and Jan-20 snapshots stamped in one multi-stamp batch

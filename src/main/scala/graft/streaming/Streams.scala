@@ -356,6 +356,81 @@ object Streams {
       }
   }
 
+  /** S22 — streaming heavy hitters by SPACE-SAVING (Metwally et al.
+    * 2005): per group key, at most `m` tracked (item, count, err)
+    * counters — an untracked arrival evicts the minimum-count entry
+    * and inherits its count as both estimate floor and error bound.
+    * The sketch guarantees, gated in StreamingSpec against exact
+    * fixture counts: `est ≥ true` and `est − err ≤ true` for every
+    * tracked item, exactness while no eviction has occurred, and the
+    * dominant item of a skewed stream always survives. State is
+    * BOUNDED (m counters per key) no matter how many distinct items
+    * flow — the property windowed exact counting cannot give at
+    * 100 TB. Deterministic: rows apply in (ts, id) order and eviction
+    * ties break by greatest item id; stream == batch fold in
+    * StreamingSpec.
+    */
+  case class SsEv(gkey: String, item: Long, ts_us: Long, event_id: Long)
+  case class SsEntry(item: Long, est: Long, err: Long)
+  case class SsState(entries: List[SsEntry])
+  case class SsOut(gkey: String, item: Long, est: Long, err: Long)
+
+  /** One space-saving step. List state stays tiny (≤ m entries). */
+  private def ssStep(st: List[SsEntry], item: Long, m: Int): List[SsEntry] =
+    st.find(_.item == item) match {
+      case Some(e) =>
+        st.filterNot(_.item == item) :+ e.copy(est = e.est + 1)
+      case None if st.size < m => st :+ SsEntry(item, 1L, 0L)
+      case None =>
+        val victim = st.minBy(e => (e.est, -e.item))
+        st.filterNot(_.item == victim.item) :+
+          SsEntry(item, victim.est + 1, victim.est)
+    }
+
+  private def ssOrder(e: SsEv): (Long, Long) = (e.ts_us, e.event_id)
+
+  def heavyHittersStream(events: Dataset[SsEv], m: Int): Dataset[SsOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.gkey)
+      .flatMapGroupsWithState[SsState, SsOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[SsEv], state: GroupState[SsState]) =>
+          var st = state.getOption.map(_.entries).getOrElse(Nil)
+          rows.toSeq.sortBy(ssOrder).foreach { e =>
+            st = ssStep(st, e.item, m)
+          }
+          state.update(SsState(st))
+          st.iterator.map(e => SsOut(key, e.item, e.est, e.err))
+      }
+  }
+
+  /** Batch twin of [[heavyHittersStream]]: one fold per key over the
+    * secondary-sorted partition, O(m) state.
+    */
+  def heavyHittersBatch(events: Dataset[SsEv], m: Int): Dataset[SsOut] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("gkey"))
+      .sortWithinPartitions(col("gkey"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        // fold each contiguous key run, emitting its final sketch; the
+        // working set is one (key, ≤m entries) pair at a time
+        var out = List.empty[SsOut]
+        var curKey: String = null
+        var st = List.empty[SsEntry]
+        def flush(): Unit = if (curKey != null)
+          out = out ++ st.map(e => SsOut(curKey, e.item, e.est, e.err))
+        it.foreach { e =>
+          if (e.gkey != curKey) { flush(); curKey = e.gkey; st = Nil }
+          st = ssStep(st, e.item, m)
+        }
+        flush()
+        out.iterator
+      }
+  }
+
   /** S21 — streaming SCD2 maintenance (the CDC-apply sink): each
     * micro-batch carries full entity snapshots stamped with their as-of
     * time (`snap_us`); foreachBatch folds them into the running SCD2

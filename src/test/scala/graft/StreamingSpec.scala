@@ -806,6 +806,66 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S22 space-saving: sketch guarantees vs exact counts on the fixture") {
+    import spark.implicits._
+    val in = Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("gkey"), col("user_id").as("item"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[Streams.SsEv]
+    val exact = in.groupBy("gkey", "item").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sketch = Streams.heavyHittersBatch(in, m = 8).collect()
+    assert(sketch.nonEmpty)
+    sketch.foreach { o =>
+      val truth = exact((o.gkey, o.item))
+      // the space-saving guarantees: never undercounts, and the error
+      // bound brackets the true count from below
+      assert(o.est >= truth && o.est - o.err <= truth,
+        s"${o.gkey}/${o.item}: est=${o.est} err=${o.err} true=$truth")
+    }
+    // m counters max per key
+    sketch.groupBy(_.gkey).values.foreach(g => assert(g.length <= 8))
+    // with m >= distinct items, the sketch IS the exact count table
+    val wide = Streams.heavyHittersBatch(in, m = 1000).collect()
+    assert(wide.forall(o => o.err == 0L && o.est == exact((o.gkey, o.item))))
+    assert(wide.length == exact.size)
+  }
+
+  test("S22 space-saving: dominant survivor, stream == batch, state carries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // skewed stream: item 1 dominates (16 of 20 arrivals), the tail
+    // churns through m = 2 counters — item 1 must survive tracked, and
+    // the sketch never undercounts it (est >= 16)
+    val rnd = new scala.util.Random(59)
+    val evs = (0 until 20).map { i =>
+      val item = if (i % 5 != 2) 1L else 2L + rnd.nextInt(8)
+      Streams.SsEv("k", item, 1000L + i, i.toLong)
+    }
+    val batch = Streams.heavyHittersBatch(evs.toDS(), m = 2).collect()
+      .map(o => o.item -> (o.est, o.err)).toMap
+    assert(batch.contains(1L) && batch(1L)._1 >= 16L)
+    // streaming over 3 micro-batches: the FINAL batch's emissions are
+    // the final sketch — compare against the batch fold
+    val source = MemoryStream[Streams.SsEv]
+    val q = Streams.heavyHittersStream(source.toDS(), m = 2)
+      .writeStream.format("memory").queryName("s22sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val parts = evs.grouped(7).toSeq
+      var before = 0L
+      parts.zipWithIndex.foreach { case (g, i) =>
+        before = spark.table("s22sink").count()
+        source.addData(g); q.processAllAvailable()
+      }
+      // rows appended by the LAST batch = the final sketch state
+      val all = spark.table("s22sink").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val finalRows = all.drop(before.toInt).toSet
+      assert(finalRows == batch.map { case (i, (e, r)) => (i, e, r) }.toSet)
+    } finally q.stop()
+  }
+
   test("S21 SCD2 foreachBatch maintenance: == direct merges, replay no-op, delete closes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
