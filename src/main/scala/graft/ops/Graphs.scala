@@ -1079,6 +1079,42 @@ object Graphs {
           - col("deg_sum") * col("deg_sum")).as("q_num"))
   }
 
+  /** G27 — local clustering coefficient per vertex over canonical
+    * `(x < y)` pairs: `coeff_e6 = 10^6 · n_triangles div n_wedges` with
+    * `n_wedges = deg·(deg−1)/2` — all integer, so the per-vertex
+    * cohesion read hash-matches cross-engine (the float ratio is kept
+    * to the caller). Only vertices with ≥2 neighbors appear (a vertex
+    * with no wedge has no defined coefficient — emitting 0 would
+    * conflate "no opportunity" with "no closure").
+    *
+    * Triangle enumeration is the canonical a<b<c three-way pair join
+    * (the g07 shape); per-vertex counts come from ONE explode of the
+    * triangle's three corners. On a skewed graph the enumeration wants
+    * the [[kTrussPeel]] degree-ordered orientation (bounding wedge
+    * fan-out by oriented out-degree); the restricted contract graph
+    * doesn't need it.
+    */
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val tri = pairs.as("ab")
+      .join(pairs.as("bc"), col("ab.y") === col("bc.x"))
+      .join(pairs.as("ac"),
+        col("ac.x") === col("ab.x") && col("ac.y") === col("bc.y"))
+      .select(col("ab.x").as("a"), col("ab.y").as("b"), col("bc.y").as("c"))
+    val triPerV = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val deg = pairs.select(col("x").as("id"))
+      .unionAll(pairs.select(col("y").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerV, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("deg * (deg - 1) div 2").as("n_wedges"),
+        expr("1000000 * coalesce(n_triangles, 0)" +
+          " div (deg * (deg - 1) div 2)").as("coeff_e6"))
+  }
+
   /** Global triangle count over canonical (src < dst) pairs. */
   def triangleCount(s: SparkSession, pairs: DataFrame): Long = {
     val e = pairs.select(col("x").cast("long"), col("y").cast("long"))

@@ -401,6 +401,16 @@ object GraphQueries {
         .orderBy("community")
     }),
 
+    // G27 — local clustering coefficients on the co-part graph: exact
+    // integer per-vertex triangle counts over wedge counts (coeff_e6 =
+    // 1e6·tri div wedges; deg >= 2 vertices only). The per-vertex
+    // cohesion read between g07's global count and g22's truss
+    // structure; hash-matched.
+    "g27_clustering_coeff" -> ((s, dir) =>
+      Graphs.clusteringCoefficients(
+        Graphs.copartPairs(s, dir).transform(graft.ops.Checkpoints.cut))
+        .orderBy("id")),
+
     // G25 — link prediction on the co-part graph: top-50 non-adjacent
     // pairs by common-neighbor count + exact-integer Resource Allocation
     // index (Σ 10^9 div deg over common neighbors — the Adamic-Adar
@@ -605,6 +615,24 @@ object GraphQueries {
         |SELECT CAST(t_id AS BIGINT) AS t_id, CAST(v_id AS BIGINT) AS v_id,
         |  CAST(count(*) AS BIGINT) AS sigma
         |FROM interior GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g27_clustering_coeff" ->
+      s"""WITH $copartCte,
+        |tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
+        |  FROM pairs ab
+        |  JOIN pairs bc ON ab.y = bc.x
+        |  JOIN pairs ac ON ac.x = ab.x AND ac.y = bc.y),
+        |tv AS (SELECT id, count(*) AS n_triangles FROM (
+        |    SELECT a AS id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1)
+        |SELECT deg.id, coalesce(tv.n_triangles, 0) AS n_triangles,
+        |  CAST(deg * (deg - 1) // 2 AS BIGINT) AS n_wedges,
+        |  CAST(1000000 * coalesce(tv.n_triangles, 0)
+        |       // (deg * (deg - 1) // 2) AS BIGINT) AS coeff_e6
+        |FROM deg LEFT JOIN tv ON deg.id = tv.id
+        |WHERE deg >= 2 ORDER BY deg.id""".stripMargin,
 
     "g25_link_prediction" ->
       s"""WITH $copartCte,

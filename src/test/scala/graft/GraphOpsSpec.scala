@@ -725,6 +725,38 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("clusteringCoefficients: hand triangle+pendant, brute-force random") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant edge 3-4: v1/v2 close their only wedge
+    // (coeff 1e6), v3 closes 1 of 3 (333333), v4 has deg 1 -> excluded
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val got = Graphs.clusteringCoefficients(pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> (1L, 1L, 1000000L), 2L -> (1L, 1L, 1000000L),
+      3L -> (1L, 3L, 333333L)))
+    // randomized brute force
+    val rnd = new scala.util.Random(61)
+    val n = 10
+    val ps = (for {
+      x <- 0 until n; y <- x + 1 until n if rnd.nextInt(100) < 35
+    } yield (x.toLong, y.toLong)).toSet
+    val adj = ps.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val want = adj.collect { case (v, nbrs) if nbrs.size >= 2 =>
+      val tri = nbrs.toSeq.combinations(2).count {
+        case Seq(p, q) => ps.contains((math.min(p, q), math.max(p, q)))
+      }.toLong
+      val wedges = nbrs.size.toLong * (nbrs.size - 1) / 2
+      v -> (tri, wedges, 1000000L * tri / wedges)
+    }
+    val got2 = Graphs.clusteringCoefficients(ps.toSeq.toDF("x", "y"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got2 == want)
+  }
+
   test("modularity: hand-computed two-triangle graph; one community == 0") {
     import spark.implicits._
     // two triangles {1,2,3} {4,5,6} bridged by 3-4: m = 7, degrees
