@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over the driver-generated parquet fixtures.
   *
@@ -31,6 +31,13 @@ object Tables {
     //    TimestampType. The session TZ is pinned UTC everywhere (Bench/
     //    Verify/specs), so the cast relabels the same micros value —
     //    formatting and cross-engine hashes are unchanged.
+    //  - date32 → TimestampType (midnight UTC): the generator has so far
+    //    shipped the date-grain columns (o_orderdate, l_shipdate) as
+    //    timestamps; if a future re-encode narrows them to parquet DATE,
+    //    every `<= TIMESTAMP '...'` comparison and date-function call
+    //    keeps working with identical values (midnight == what the
+    //    current timestamps carry). Same insurance class as the NTZ
+    //    branch — the round-9 lesson applied forward.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
@@ -38,6 +45,8 @@ object Tables {
         case LongType if f.name == "ts" =>
           d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case DateType =>
           d.withColumn(f.name, col(f.name).cast(TimestampType))
         case _ => d
       }

@@ -49,6 +49,30 @@ class NtzSpec extends SparkSpecBase {
     assert(first == 1704067200000000L) // 2024-01-01T00:00:00Z in UTC session
   }
 
+  test("Tables.load normalizes parquet DATE columns to midnight timestamps") {
+    // Forward insurance for the next fixture re-encode: if a date-grain
+    // column (o_orderdate/l_shipdate today ship as timestamp[us])
+    // narrows to parquet DATE, loads must surface the same midnight-UTC
+    // timestamp values the current encoding carries.
+    val dir = Files.createTempDirectory("graft-date").toFile
+    dir.deleteOnExit()
+    val s = spark
+    import s.implicits._
+    Seq((1L, "2024-01-05"), (2L, "2024-02-29"))
+      .toDF("o_orderkey", "d_s")
+      .withColumn("o_orderdate", col("d_s").cast(org.apache.spark.sql.types.DateType))
+      .drop("d_s")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/orders.parquet")
+    val raw = spark.read.parquet(s"${dir.getAbsolutePath}/orders.parquet")
+    assert(raw.schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val df = Tables.load(spark, dir.getAbsolutePath, "orders")
+    assert(df.schema("o_orderdate").dataType == TimestampType)
+    val got = df.orderBy("o_orderkey")
+      .select(unix_micros(col("o_orderdate"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1704412800000000L, 1709164800000000L))
+  }
+
   test("sessionize and banded range join run on raw NTZ input") {
     // Deliberately NOT via Tables.load: operators themselves must accept
     // NTZ (library inputs aren't always catalog-loaded).
