@@ -489,6 +489,38 @@ object Temporal {
       end: String, tieBreak: String): DataFrame =
     coalesceIntervals(df, Seq(entity), start, end, tieBreak)
 
+  /** T21 — interval OVERLAP AUDIT: per entity, every interval that
+    * begins STRICTLY before the coverage frontier of the rows sorted
+    * before it — the integrity read over any validity-interval table
+    * (two open SCD2 rows, double-booked leases, conflicting holds),
+    * where a clean table returns ZERO rows. Touching (`start ==
+    * frontier`) is legal, consistent with [[coalesceIntervals]]'
+    * merge rule. Each offending row is reported ONCE against the
+    * frontier (not once per overlapping partner — the all-pairs
+    * listing is quadratic on pathological tables; the frontier form is
+    * linear and names every violator): (entity…, tieBreak, `ov_from`,
+    * `ov_to`, `ov_us`). Timestamp bounds (ov_us is exact integer
+    * microseconds). Same single entity-shuffle window as the other
+    * interval ops.
+    */
+  def overlapAudit(
+      df: DataFrame,
+      entity: Seq[String],
+      start: String,
+      end: String,
+      tieBreak: String): DataFrame = {
+    val order = Window.partitionBy(entity.map(col): _*)
+      .orderBy(col(start).asc, col(tieBreak).asc)
+    val frontier = order.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__f", max(col(end)).over(frontier))
+      .filter(col("__f").isNotNull && col(start) < col("__f"))
+      .select(entity.map(col) :+ col(tieBreak) :+
+        col(start).as("ov_from") :+
+        least(col(end), col("__f")).as("ov_to") :+
+        (graft.Det.epochUs(least(col(end), col("__f"))) -
+          graft.Det.epochUs(col(start))).as("ov_us"): _*)
+  }
+
   /** T20 — interval COMPLEMENT over a reporting range: per entity, the
     * sub-ranges of `[lo, hi)` NOT covered by any input interval — the
     * uncovered dual of [[coalesceIntervals]] (SLA downtime inside the

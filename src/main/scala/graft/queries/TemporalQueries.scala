@@ -487,6 +487,21 @@ object TemporalQueries {
         .orderBy("user_id", "gap_start")
     }),
 
+    // T21 — interval overlap audit on the 45-minute holds: every hold
+    // that begins while the user's earlier holds still cover time —
+    // each violator reported once against the frontier (linear, not
+    // the quadratic all-pairs listing), exact integer overlap micros.
+    // On a CLEAN validity table this returns zero rows — the SCD2
+    // integrity check (TemporalSpec gates scd2Merge output clean).
+    "t21_overlap_audit" -> ((s, dir) => {
+      val holds = ev(s, dir).select(col("user_id"), col("event_id"),
+        col("ts").as("hold_start"),
+        (col("ts") + expr("interval 45 minutes")).as("hold_end"))
+      Temporal.overlapAudit(holds, entity = Seq("user_id"),
+          start = "hold_start", end = "hold_end", tieBreak = "event_id")
+        .orderBy("user_id", "ov_from", "event_id")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -875,6 +890,22 @@ object TemporalQueries {
     "t19_coalesce_intervals" -> t19Oracle,
 
     "t19b_coalesce_sql" -> t19Oracle,
+
+    "t21_overlap_audit" ->
+      """WITH iv AS (SELECT user_id, event_id, ts AS s,
+        |    ts + INTERVAL 45 MINUTE AS e FROM events),
+        |m AS (SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS f
+        |  FROM iv)
+        |SELECT user_id, event_id,
+        |  CAST(s AS TIMESTAMP) AS ov_from,
+        |  CAST(least(e, f) AS TIMESTAMP) AS ov_to,
+        |  epoch_us(CAST(least(e, f) AS TIMESTAMP))
+        |    - epoch_us(CAST(s AS TIMESTAMP)) AS ov_us
+        |FROM m WHERE f IS NOT NULL AND s < f
+        |ORDER BY user_id, ov_from, event_id""".stripMargin,
 
     // t20: the t19 island replay, clipped to the audit window, then the
     // head/between/tail gaps via one more window pass.

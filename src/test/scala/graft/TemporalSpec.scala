@@ -555,6 +555,43 @@ class TemporalSpec extends SparkSpecBase {
       (1L, 0L, 120L, 4L), (1L, 121L, 130L, 1L), (2L, 5L, 6L, 1L)))
   }
 
+  test("overlapAudit: touching legal, nested caught once, scd2 history clean") {
+    import spark.implicits._
+    // user 1: [0,10) then [10,20) touch -> legal; [15,30) overlaps the
+    // frontier (20) -> ONE violation [15,20); [18,19) nested inside the
+    // new frontier (30) -> violation [18,19) (own end < frontier).
+    val iv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 10L, 20L), (1L, 3L, 15L, 30L),
+      (1L, 4L, 18L, 19L),
+      (2L, 5L, 0L, 5L), (2L, 6L, 7L, 9L)) // clean user
+      .toDF("user_id", "event_id", "s_sec", "e_sec")
+      .withColumn("ivl_start", timestamp_seconds(col("s_sec")))
+      .withColumn("ivl_end", timestamp_seconds(col("e_sec")))
+    val got = Temporal.overlapAudit(iv, Seq("user_id"),
+        "ivl_start", "ivl_end", "event_id")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ov_from")).as("f"),
+        unix_timestamp(col("ov_to")).as("t"), col("ov_us"))
+      .orderBy("user_id", "f")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 15L, 20L, 5000000L), (1L, 4L, 18L, 19L, 1000000L)))
+
+    // an SCD2 history produced by the engine's own merge must be
+    // audit-CLEAN: closed rows tile, one open row per entity
+    val s1 = Seq((1L, 10L), (2L, 20L)).toDF("user_id", "v")
+    val s2 = Seq((1L, 11L), (3L, 30L)).toDF("user_id", "v")
+    val hist = Temporal.scd2Merge(Temporal.scd2Init(s1, 100L), s2,
+        "user_id", Seq("v"), 200L)
+      .withColumn("vf", timestamp_micros(col("valid_from_us")))
+      // open rows audit with an effectively-infinite end
+      .withColumn("vt", timestamp_micros(
+        coalesce(col("valid_to_us"), lit(Long.MaxValue / 2))))
+    assert(Temporal.overlapAudit(hist, Seq("user_id"), "vf", "vt", "v")
+      .isEmpty)
+  }
+
   test("intervalComplement: head/between/tail gaps, clipping, full coverage empty") {
     import spark.implicits._
     // window [100, 200). user 1: spans [110,120) and [150,160) -> gaps
