@@ -394,26 +394,49 @@ object Text {
     * onto the exploded stream for the per-doc sum — at 100 TB the only
     * wide exchange is the doc-keyed final groupBy.
     */
-  def importanceWeights(docs: DataFrame, isTarget: Column,
+  /** The hashed-bigram feature stream (doc_id, __tgt, fid) shared by
+    * [[importanceWeights]] and the streaming stats maintenance (S23).
+    */
+  def hashedFeatures(docs: DataFrame, isTarget: Column,
       buckets: Int): DataFrame = {
     val toks = regexp_extract_all(lower(col("text")),
       lit(s"[^$GopherWhitespace]+"), lit(0))
     val n1 = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => concat(a, lit("_"), b))
-    val feats = docs
+    docs
       .select(col("doc_id"), isTarget.as("__tgt"), explode(bigrams).as("g"))
       .select(col("doc_id"), col("__tgt"),
         pmod(graft.Det.md5Long(col("g")), lit(buckets.toLong)).as("fid"))
-    val stats = feats.groupBy("fid").agg(
+  }
+
+  /** Bucket stats (fid, cnt_r, cnt_t) of a feature stream — ADDITIVE
+    * over disjoint doc sets, which is what makes the streaming
+    * maintenance (S23) correct: stats of a union == summed stats of
+    * the parts.
+    */
+  def bucketStats(feats: DataFrame): DataFrame =
+    feats.groupBy("fid").agg(
       count(lit(1)).as("cnt_r"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("cnt_t"))
+
+  /** The ≤buckets-row score table from bucket stats: per-bucket
+    * Laplace-smoothed likelihood ratios in exact e6 integers, totals
+    * re-aggregated FROM the stats (no second corpus pass).
+    */
+  def bucketScores(stats: DataFrame, buckets: Int): DataFrame = {
     val totals = stats.agg(sum("cnt_r").as("n_r"), sum("cnt_t").as("n_t"))
-    val scores = stats.crossJoin(broadcast(totals))
+    stats.crossJoin(broadcast(totals))
       .withColumn("score_e6",
         expr(s"1000000 * (cnt_t + 1) * (n_r + $buckets)" +
           s" div ((cnt_r + 1) * (n_t + $buckets))"))
       .select("fid", "score_e6")
+  }
+
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    val feats = hashedFeatures(docs, isTarget, buckets)
+    val scores = bucketScores(bucketStats(feats), buckets)
     val perDoc = feats.join(broadcast(scores), "fid")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("score_e6").as("w_e6"))

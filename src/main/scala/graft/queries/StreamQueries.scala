@@ -266,6 +266,39 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // S23 — streaming importance-weight maintenance (continuous DSIR):
+    // the l29 bucket stats maintained through 3 deterministic
+    // "micro-batches" (doc_id mod 3) of batch-id-stamped partials, one
+    // batch REPLAYED (delete-then-insert idempotence), then the score
+    // table rebuilt from the maintained stats and the whole corpus
+    // scored — held to l29's one-shot oracle, proving maintained ==
+    // from-scratch. StreamingSpec drives the same fold from a real
+    // MemoryStream.
+    "s23_importance_maintenance" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val tgt = col("lang") === "en"
+      val b = 4096
+      var state = Streams.importancePartials(d.limit(0), tgt, b, -1L)
+      (0 to 2).foreach { i =>
+        state = Streams.mergeImportancePartials(state,
+          d.filter(col("doc_id") % 3 === i), tgt, b, i.toLong)
+      }
+      // replayed batch: REPLACES its own rows — a no-op by construction
+      state = Streams.mergeImportancePartials(state,
+        d.filter(col("doc_id") % 3 === 2), tgt, b, 2L)
+      val scores = graft.ops.Text.bucketScores(
+        Streams.statsFromPartials(state), b)
+      val feats = graft.ops.Text.hashedFeatures(d, tgt, b)
+      val perDoc = feats.join(broadcast(scores), "fid")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("score_e6").as("w_e6"))
+      d.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("w_e6"), lit(0L)).as("w_e6"))
+        .orderBy("doc_id")
+    }),
+
     // S22 — streaming heavy hitters (space-saving, m = 8 counters per
     // event type over the user stream): bounded sketch state no matter
     // how many distinct users flow — engine-only (the fold is
@@ -371,6 +404,10 @@ object StreamQueries {
     "s10_map_state_counts" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // s23 must reproduce l29's one-shot weights from maintained stats.
+    "s23_importance_maintenance" ->
+      graft.queries.LlmQueries.oracles("l29_importance_weights"),
 
     // s21 is the t07 merge through the CDC-apply path — same oracle.
     "s21_scd2_maintenance" ->

@@ -144,6 +144,35 @@ object Streams {
         sum("sum_cents").as("sum_cents"),
         sum("cnt").as("cnt"))
 
+  /** S23 — streaming importance-weight maintenance (continuous DSIR):
+    * the L29 bucket statistics kept live as corpus batches land, so
+    * the data-selection score table is always current without
+    * re-scanning the corpus. Bucket counts are ADDITIVE over disjoint
+    * doc sets (Text.bucketStats), so maintenance is the t09b partials
+    * pattern verbatim: each micro-batch's stats stored as its OWN
+    * batch-id-stamped rows, a replay REPLACES them (delete-then-insert
+    * — additive counts would double on retry), and the read side
+    * re-aggregates partials → stats → the ≤B-row score table. State
+    * size is bounded by B·batches and compacts to B rows whenever
+    * settled batches fold together (same move as dailyFromPartials).
+    */
+  def importancePartials(batch: DataFrame, isTarget: org.apache.spark.sql.Column,
+      buckets: Int, batchId: Long): DataFrame =
+    graft.ops.Text.bucketStats(
+        graft.ops.Text.hashedFeatures(batch, isTarget, buckets))
+      .withColumn("batch_id", lit(batchId))
+
+  def mergeImportancePartials(state: DataFrame, batch: DataFrame,
+      isTarget: org.apache.spark.sql.Column, buckets: Int,
+      batchId: Long): DataFrame =
+    state.filter(col("batch_id") =!= batchId)
+      .unionByName(importancePartials(batch, isTarget, buckets, batchId))
+
+  /** Read side: maintained partials → the exact one-shot bucket stats. */
+  def statsFromPartials(state: DataFrame): DataFrame =
+    state.groupBy("fid").agg(
+      sum("cnt_r").as("cnt_r"), sum("cnt_t").as("cnt_t"))
+
   /** S13 — stream-stream interval join: each `view` event paired with the
     * same user's `purchase` events in the following 30 minutes
     * (attribution-window join). Both sides carry event-time watermarks and

@@ -806,6 +806,59 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S23 importance stats foreachBatch: == one-shot weights, replay no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        (col("lang") === "en").as("tgt")).limit(30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val b = 64
+    // one-shot reference over the same 30 docs
+    val ref = graft.ops.Text.importanceWeights(
+        docs.toSeq.toDF("doc_id", "text", "tgt")
+          .withColumn("n_chars", length(col("text"))),
+        isTarget = col("tgt"), buckets = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val source = MemoryStream[(Long, String, Boolean)]
+    var state = Streams.importancePartials(
+      Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "tgt"),
+      col("tgt"), b, -1L)
+    var lastBatch: Option[org.apache.spark.sql.DataFrame] = None
+    var lastId = -1L
+    val q = source.toDS().toDF("doc_id", "text", "tgt").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        state = Streams.mergeImportancePartials(state, batch, col("tgt"),
+          b, id).localCheckpoint()
+        lastBatch = Some(batch.localCheckpoint()); lastId = id
+      }
+      .outputMode(OutputMode.Append()).start()
+    try docs.grouped(11).foreach { g =>
+      source.addData(g.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def weights(st: org.apache.spark.sql.DataFrame) = {
+      val scores = graft.ops.Text.bucketScores(
+        Streams.statsFromPartials(st), b)
+      val all = docs.toSeq.toDF("doc_id", "text", "tgt")
+      val feats = graft.ops.Text.hashedFeatures(all, col("tgt"), b)
+      val perDoc = feats.join(broadcast(scores), "fid")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("score_e6").as("w_e6"))
+      all.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("w_e6"), lit(0L)).as("w_e6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(weights(state) == ref && ref.nonEmpty)
+    // replaying the last micro-batch replaces its own partials — no-op
+    val replayed = Streams.mergeImportancePartials(state, lastBatch.get,
+      col("tgt"), b, lastId)
+    assert(weights(replayed) == ref)
+  }
+
   test("S22 space-saving: sketch guarantees vs exact counts on the fixture") {
     import spark.implicits._
     val in = Tables.load(spark, sfDir, "events")
