@@ -1115,6 +1115,32 @@ object Graphs {
           " div (deg * (deg - 1) div 2)").as("coeff_e6"))
   }
 
+  /** G28 — degree-assortativity MOMENTS over canonical `(x < y)` pairs:
+    * one row of exact integer sums over the directed edge list (both
+    * directions) — `m, Σxy, Σx, Σy, Σx², Σy²` with x = deg(src),
+    * y = deg(dst). Newman's assortativity coefficient is
+    * `r = (m·Σxy − Σx·Σy) / √((m·Σx² − Σx²)·(m·Σy² − Σy²))` — the ONE
+    * float division left to the caller, so the moments hash-match
+    * cross-engine and two graphs compare without rounding drift
+    * (a path gives exactly r = −1, pinned in GraphOpsSpec). Plan:
+    * degree agg + two vertex-keyed joins + a global agg — no shuffle
+    * wider than the edge list.
+    */
+  def assortativityMoments(pairs: DataFrame): DataFrame = {
+    val ed = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("d"))
+    ed.join(deg.select(col("src").as("u"), col("d").as("dx")),
+        col("src") === col("u"))
+      .join(deg.select(col("src").as("v"), col("d").as("dy")),
+        col("dst") === col("v"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx") * col("dy")).as("sum_xy"),
+        sum(col("dx")).as("sum_x"), sum(col("dy")).as("sum_y"),
+        sum(col("dx") * col("dx")).as("sum_x2"),
+        sum(col("dy") * col("dy")).as("sum_y2"))
+  }
+
   /** Global triangle count over canonical (src < dst) pairs. */
   def triangleCount(s: SparkSession, pairs: DataFrame): Long = {
     val e = pairs.select(col("x").cast("long"), col("y").cast("long"))

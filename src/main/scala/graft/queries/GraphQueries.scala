@@ -401,6 +401,13 @@ object GraphQueries {
         .orderBy("community")
     }),
 
+    // G28 — degree assortativity moments of the co-part graph: the six
+    // exact integer sums Newman's r is computed from (the one float
+    // division stays with the caller) — do high-degree parts co-occur
+    // with high-degree parts? Hash-matched.
+    "g28_assortativity" -> ((s, dir) =>
+      Graphs.assortativityMoments(Graphs.copartPairs(s, dir))),
+
     // G27 — local clustering coefficients on the co-part graph: exact
     // integer per-vertex triangle counts over wedge counts (coeff_e6 =
     // 1e6·tri div wedges; deg >= 2 vertices only). The per-vertex
@@ -615,6 +622,18 @@ object GraphQueries {
         |SELECT CAST(t_id AS BIGINT) AS t_id, CAST(v_id AS BIGINT) AS v_id,
         |  CAST(count(*) AS BIGINT) AS sigma
         |FROM interior GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g28_assortativity" ->
+      s"""WITH $copartCte,
+        |deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1)
+        |SELECT count(*) AS m,
+        |  CAST(sum(dx.d * dy.d) AS BIGINT) AS sum_xy,
+        |  CAST(sum(dx.d) AS BIGINT) AS sum_x,
+        |  CAST(sum(dy.d) AS BIGINT) AS sum_y,
+        |  CAST(sum(dx.d * dx.d) AS BIGINT) AS sum_x2,
+        |  CAST(sum(dy.d * dy.d) AS BIGINT) AS sum_y2
+        |FROM e JOIN deg dx ON e.src = dx.id
+        |       JOIN deg dy ON e.dst = dy.id""".stripMargin,
 
     "g27_clustering_coeff" ->
       s"""WITH $copartCte,

@@ -558,6 +558,22 @@ object Relational {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Q40 — deterministic MODE per group: the most frequent user per
+    // event type with an explicit total order (count desc, user asc) —
+    // engines' built-in mode() leaves ties unspecified, which is
+    // exactly the nondeterminism a hash-matched contract can't carry;
+    // the window form pins it.
+    "q40_mode" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(desc("n"), col("user_id").asc)
+      t(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select("event_type", "user_id", "n")
+        .orderBy("event_type")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -986,6 +1002,14 @@ object Relational {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
         |FROM m ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q40_mode" ->
+      """SELECT event_type, user_id, n FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, user_id ASC) AS rk
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q18b_set_ops_all" ->
       """WITH a AS (SELECT l_suppkey FROM lineitem),

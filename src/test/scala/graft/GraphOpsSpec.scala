@@ -725,6 +725,28 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("assortativityMoments: path gives exactly r = -1, star too") {
+    import spark.implicits._
+    def moments(ps: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, Long) = {
+      val r = Graphs.assortativityMoments(ps.toDF("x", "y")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    def rOf(t: (Long, Long, Long, Long, Long, Long)): Double = {
+      val (m, xy, x, y, x2, y2) = t
+      (m.toDouble * xy - x.toDouble * y) /
+        math.sqrt((m.toDouble * x2 - x.toDouble * x) *
+          (m.toDouble * y2 - y.toDouble * y))
+    }
+    // path 1-2-3: degrees 1,2,1; hand moments m=4, Σxy=8, Σx=Σy=6,
+    // Σx²=Σy²=10 → r = (32−36)/(40−36) = −1 (ends only touch the middle)
+    val path = moments(Seq((1L, 2L), (2L, 3L)))
+    assert(path == ((4L, 8L, 6L, 6L, 10L, 10L)))
+    assert(rOf(path) == -1.0)
+    // any star is perfectly disassortative too
+    assert(rOf(moments(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))) == -1.0)
+  }
+
   test("clusteringCoefficients: hand triangle+pendant, brute-force random") {
     import spark.implicits._
     // triangle {1,2,3} + pendant edge 3-4: v1/v2 close their only wedge
