@@ -989,7 +989,13 @@ object Graphs {
     * shuffle on l_orderkey, then distinct.
     */
   def partFlowEdges(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    // (l_orderkey, l_linenumber) is NOT unique in the fixtures (11785
+    // duplicate groups at sf0.01) — without the l_partkey tie-break the
+    // lead() order is engine- and partitioning-dependent and the edge
+    // set silently drifts (surfaced by g29's reciprocity count; g23's
+    // SCC labels happened to absorb it). Both oracles order the same way.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey")
     graft.Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       .withColumn("nxt", lead(col("l_partkey"), 1).over(w))

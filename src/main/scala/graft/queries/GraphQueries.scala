@@ -401,6 +401,20 @@ object GraphQueries {
         .orderBy("community")
     }),
 
+    // G29 — reciprocity of the DIRECTED part-flow graph (the g23 SCC
+    // substrate): of all distinct directed edges, how many have their
+    // reverse present — exact integer (n_edges, n_reciprocal) with the
+    // ratio left to the caller; a semi join against the swapped edge
+    // list, no all-pairs anything. Hash-matched.
+    "g29_reciprocity" -> ((s, dir) => {
+      val e = Graphs.partFlowEdges(s, dir).transform(graft.ops.Checkpoints.cut)
+      val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+    }),
+
     // G28 — degree assortativity moments of the co-part graph: the six
     // exact integer sums Newman's r is computed from (the one float
     // division stays with the caller) — do high-degree parts co-occur
@@ -542,7 +556,7 @@ object GraphQueries {
         |  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
         |    SELECT l_partkey,
         |      lead(l_partkey) OVER (PARTITION BY l_orderkey
-        |                            ORDER BY l_linenumber) AS nxt
+        |                            ORDER BY l_linenumber, l_partkey) AS nxt
         |    FROM lineitem)
         |  WHERE nxt IS NOT NULL AND l_partkey <> nxt),
         |r AS (SELECT src AS a, dst AS b FROM flow
@@ -622,6 +636,19 @@ object GraphQueries {
         |SELECT CAST(t_id AS BIGINT) AS t_id, CAST(v_id AS BIGINT) AS v_id,
         |  CAST(count(*) AS BIGINT) AS sigma
         |FROM interior GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g29_reciprocity" ->
+      """WITH flow AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+        |    SELECT l_partkey,
+        |      lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, l_partkey) AS nxt
+        |    FROM lineitem)
+        |  WHERE nxt IS NOT NULL AND l_partkey <> nxt)
+        |SELECT (SELECT count(*) FROM flow) AS n_edges,
+        |  (SELECT count(*) FROM flow f
+        |   WHERE EXISTS (SELECT 1 FROM flow r
+        |                 WHERE r.src = f.dst AND r.dst = f.src))
+        |    AS n_reciprocal""".stripMargin,
 
     "g28_assortativity" ->
       s"""WITH $copartCte,

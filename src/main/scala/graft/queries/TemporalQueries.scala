@@ -487,6 +487,26 @@ object TemporalQueries {
         .orderBy("user_id", "gap_start")
     }),
 
+    // T22 — time-in-state histogram: total held duration per state
+    // value across all users — the occupancy read a state machine is
+    // judged by ("how long do users sit in 'view' before converting").
+    // Built on the compacted change-point stream (T08) so runs of the
+    // same state count once, with each user's open tail interval
+    // excluded (no end observation — counting it would fabricate
+    // duration). Exact integer micros.
+    "t22_time_in_state" -> ((s, dir) => {
+      val compact = Temporal.compactChangePoints(ev(s, dir),
+        entity = "user_id", ts = "ts", tieBreak = "event_id",
+        value = col("event_type"))
+      Temporal.intervalView(compact, "user_id", "ts", "event_id")
+        .filter(col("valid_to").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(graft.Det.epochUs(col("valid_to")) -
+            graft.Det.epochUs(col("valid_from"))).as("held_us"))
+        .orderBy("event_type")
+    }),
+
     // T21 — interval overlap audit on the 45-minute holds: every hold
     // that begins while the user's earlier holds still cover time —
     // each violator reported once against the frontier (linear, not
@@ -890,6 +910,25 @@ object TemporalQueries {
     "t19_coalesce_intervals" -> t19Oracle,
 
     "t19b_coalesce_sql" -> t19Oracle,
+
+    // t22: compaction replay (lag over the entity shuffle keeps only
+    // state CHANGES), then lead() closes each interval; open tails drop.
+    "t22_time_in_state" ->
+      """WITH ch AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |cx AS (SELECT user_id, event_id, ts, event_type FROM ch
+        |       WHERE pv IS DISTINCT FROM event_type),
+        |iv AS (SELECT user_id, event_type, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS vt
+        |  FROM cx)
+        |SELECT event_type, count(*) AS n_intervals,
+        |  CAST(sum(epoch_us(CAST(vt AS TIMESTAMP))
+        |       - epoch_us(CAST(vf AS TIMESTAMP))) AS BIGINT) AS held_us
+        |FROM iv WHERE vt IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t21_overlap_audit" ->
       """WITH iv AS (SELECT user_id, event_id, ts AS s,
