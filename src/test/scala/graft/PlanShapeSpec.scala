@@ -294,6 +294,38 @@ class PlanShapeSpec extends SparkSpecBase {
         scans.map(_.partitionFilters.mkString(",")).mkString(" | "))
   }
 
+  test("t19 coalesce: the island groupBy reuses the window shuffle") {
+    // ONE data exchange (the entity shuffle feeding the windows); the
+    // groupBy on (entity, island) must NOT add a second — hash
+    // partitioning on user_id already clusters every (user_id, island)
+    // group. The only other exchange is the output sort's range
+    // partitioning.
+    val q = SparkEntry.queries("t19_coalesce_intervals")(spark, sfDir)
+    val ex = all(q).collect { case e: ShuffleExchangeExec => e }
+    val hashEx = ex.filterNot(
+      _.outputPartitioning.toString.contains("rangepartitioning"))
+    assert(hashEx.length == 1,
+      s"expected exactly 1 hash exchange, got: ${ex.map(_.outputPartitioning)}")
+  }
+
+  test("q38 rolling distinct: only the 1-row max-day dim nested-loops") {
+    // the contribution-explode plan may cross-join ONLY the broadcast
+    // 1-row clip dim; any other nested loop would be the quadratic cliff
+    val q = SparkEntry.queries("q38_rolling_distinct")(spark, sfDir)
+    val nlj = all(q).collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nlj.length == 1)
+    assert(!all(q).exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("l29 importance weights: bucket scores broadcast onto the stream") {
+    // the <=B-row score table must come back as a broadcast join — a
+    // shuffled join here would re-shuffle the whole exploded corpus
+    val q = SparkEntry.queries("l29_importance_weights")(spark, sfDir)
+    val p = all(q)
+    assert(p.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("whole-stage codegen covers the hot aggregation path (q02)") {
     val q = SparkEntry.queries("q02_pricing_summary")(spark, sfDir)
     q.collect() // codegen collapse happens per-stage at execution under AQE
