@@ -37,6 +37,32 @@ object LlmQueries {
       .drop("body")
   }
 
+  // Shared oracle snippet: the l15 near-dup clustering replay (3-char
+  // shingle Jaccard > 0.6 pairs, min-label closure over the recursive
+  // CTE) — reused by l15 and the l33 keep-list.
+  private val dedupClusterCte =
+    """WITH RECURSIVE g AS (SELECT doc_id, text,
+      |    unnest(generate_series(1, n_chars - 2)) AS gs
+      |  FROM documents WHERE n_chars >= 3),
+      | sh AS (SELECT DISTINCT doc_id,
+      |    substr(text, CAST(gs AS INT), 3) AS shingle FROM g),
+      | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      | i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n
+      |       FROM sh a JOIN sh b
+      |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      | pairs AS (SELECT a_id, b_id FROM i
+      |           JOIN sz sa ON sa.doc_id = a_id
+      |           JOIN sz sb ON sb.doc_id = b_id
+      |           WHERE n * 1.0 / (sa.sz + sb.sz - n) > 0.6),
+      | e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |       UNION ALL SELECT b_id, a_id FROM pairs),
+      | v AS (SELECT DISTINCT src AS id FROM e),
+      | lp(id, lbl) AS (
+      |   SELECT id, id FROM v
+      |   UNION
+      |   SELECT e.dst, lp.lbl FROM lp JOIN e ON e.src = lp.id)""".stripMargin
+
   // Manual double-precision cosine pieces for the DuckDB oracle — same
   // sequential fold order as the Spark HOFs, then round(4) absorbs any
   // residual ULP difference.
@@ -142,6 +168,28 @@ object LlmQueries {
         .select(col("a_id").as("src"), col("b_id").as("dst"))
       Graphs.connectedComponentsDF(s, pairs)
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // L33 — the dedup KEEP-LIST, the actionable output of the near-dup
+    // pipeline: within each l15 cluster the canonical doc (longest,
+    // tie → min id) keeps, every other member is the drop list a
+    // training pipeline deletes. One window over the cluster key on
+    // top of the l15 components; hash-matched against the shared
+    // cluster replay + canonical pick.
+    "l33_dedup_keeplist" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Similarity.exactJaccard(Text.shingles(d, 3))
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val clusters = Graphs.connectedComponentsDF(s, pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(desc("n_chars"), col("doc_id").asc)
+      clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster_id", "keep")
         .orderBy("doc_id")
     }),
 
@@ -919,29 +967,20 @@ object LlmQueries {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "l15_dedup_clusters" ->
-      """WITH RECURSIVE g AS (SELECT doc_id, text,
-        |    unnest(generate_series(1, n_chars - 2)) AS gs
-        |  FROM documents WHERE n_chars >= 3),
-        | sh AS (SELECT DISTINCT doc_id,
-        |    substr(text, CAST(gs AS INT), 3) AS shingle FROM g),
-        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        | i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n
-        |       FROM sh a JOIN sh b
-        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        | pairs AS (SELECT a_id, b_id FROM i
-        |           JOIN sz sa ON sa.doc_id = a_id
-        |           JOIN sz sb ON sb.doc_id = b_id
-        |           WHERE n * 1.0 / (sa.sz + sb.sz - n) > 0.6),
-        | e AS (SELECT a_id AS src, b_id AS dst FROM pairs
-        |       UNION ALL SELECT b_id, a_id FROM pairs),
-        | v AS (SELECT DISTINCT src AS id FROM e),
-        | lp(id, lbl) AS (
-        |   SELECT id, id FROM v
-        |   UNION
-        |   SELECT e.dst, lp.lbl FROM lp JOIN e ON e.src = lp.id)
+      s"""$dedupClusterCte
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
         |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // l33: the l15 cluster replay + the canonical pick per cluster.
+    "l33_dedup_keeplist" ->
+      s"""$dedupClusterCte,
+        |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        |       FROM lp GROUP BY id)
+        |SELECT cl.doc_id, cl.cluster_id,
+        |  row_number() OVER (PARTITION BY cl.cluster_id
+        |    ORDER BY d.n_chars DESC, cl.doc_id ASC) = 1 AS keep
+        |FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+        |ORDER BY cl.doc_id""".stripMargin,
 
     "l17_fuzzy_join" ->
       """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,

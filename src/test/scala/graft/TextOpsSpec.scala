@@ -338,6 +338,27 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("l33 keep-list: one keep per cluster, canonical is the longest") {
+    val rows = graft.queries.LlmQueries.queries("l33_dedup_keeplist")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val nchars = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).values.foreach { members =>
+      // every cluster member arrived via a near-dup pair -> >= 2 docs
+      assert(members.length >= 2)
+      val keeps = members.filter(_._3)
+      assert(keeps.length == 1)
+      val k = keeps.head._1
+      members.foreach { case (d, _, _) =>
+        assert(nchars(d) < nchars(k) ||
+          (nchars(d) == nchars(k) && d >= k))
+      }
+    }
+  }
+
   test("bpeTrain: known merge sequence, greedy overlap, early exhaustion") {
     def merges(text: String, n: Int) =
       Text.bpeTrain(mkDocs((0L, text)), vocabWords = 10, merges = n)
