@@ -444,19 +444,25 @@ object Streams {
       .repartition(col("gkey"))
       .sortWithinPartitions(col("gkey"), col("ts_us"), col("event_id"))
       .mapPartitions { it =>
-        // fold each contiguous key run, emitting its final sketch; the
-        // working set is one (key, ≤m entries) pair at a time
-        var out = List.empty[SsOut]
-        var curKey: String = null
-        var st = List.empty[SsEntry]
-        def flush(): Unit = if (curKey != null)
-          out = out ++ st.map(e => SsOut(curKey, e.item, e.est, e.err))
-        it.foreach { e =>
-          if (e.gkey != curKey) { flush(); curKey = e.gkey; st = Nil }
-          st = ssStep(st, e.item, m)
+        // LAZY per-key folding: each contiguous key run folds and emits
+        // before the next begins, so the working set is ONE (key, ≤m
+        // entries) sketch no matter how many keys land in the partition
+        // — accumulating all sketches first would break the op's own
+        // bounded-state promise on high-cardinality keys.
+        val b = it.buffered
+        new Iterator[SsOut] {
+          private var queue: Iterator[SsOut] = Iterator.empty
+          private def refill(): Unit =
+            while (!queue.hasNext && b.hasNext) {
+              val key = b.head.gkey
+              var st = List.empty[SsEntry]
+              while (b.hasNext && b.head.gkey == key)
+                st = ssStep(st, b.next().item, m)
+              queue = st.iterator.map(e => SsOut(key, e.item, e.est, e.err))
+            }
+          def hasNext: Boolean = { refill(); queue.hasNext }
+          def next(): SsOut = { refill(); queue.next() }
         }
-        flush()
-        out.iterator
       }
   }
 
