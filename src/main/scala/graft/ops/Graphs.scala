@@ -1068,7 +1068,12 @@ object Graphs {
       .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
     val m = pairs.agg(count(lit(1)).as("m"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val comm = labels.join(deg, labels("id") === deg("src"))
+    // LEFT join + coalesce: an isolated vertex (no incident edge) still
+    // belongs to its community — an inner join would undercount
+    // n_vertices and silently drop an all-isolated community, making Q
+    // comparisons run over different vertex sets with no error raised.
+    val comm = labels.join(deg, labels("id") === deg("src"), "left_outer")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vertices"), sum("deg").as("deg_sum"))
     val eIn = pairs

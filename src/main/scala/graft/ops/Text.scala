@@ -433,10 +433,15 @@ object Text {
       .select("fid", "score_e6")
   }
 
-  def importanceWeights(docs: DataFrame, isTarget: Column,
-      buckets: Int): DataFrame = {
+  /** Score a doc set against a (fid, score_e6) table: per-doc feature
+    * count + weight sum, feature-less docs kept at (0, 0). THE one
+    * scoring tail — the one-shot weights, the S23 maintained-stats
+    * read, and the streaming spec all call this, so the feature-less
+    * default can never diverge between them.
+    */
+  def weightsFromScores(docs: DataFrame, isTarget: Column, buckets: Int,
+      scores: DataFrame): DataFrame = {
     val feats = hashedFeatures(docs, isTarget, buckets)
-    val scores = bucketScores(bucketStats(feats), buckets)
     val perDoc = feats.join(broadcast(scores), "fid")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("score_e6").as("w_e6"))
@@ -444,6 +449,13 @@ object Text {
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("w_e6"), lit(0L)).as("w_e6"))
+  }
+
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    val scores = bucketScores(
+      bucketStats(hashedFeatures(docs, isTarget, buckets)), buckets)
+    weightsFromScores(docs, isTarget, buckets, scores)
   }
 
   /** L31 — largest-remainder apportionment (Hamilton's method): split an

@@ -420,7 +420,8 @@ object GraphQueries {
     // division stays with the caller) — do high-degree parts co-occur
     // with high-degree parts? Hash-matched.
     "g28_assortativity" -> ((s, dir) =>
-      Graphs.assortativityMoments(Graphs.copartPairs(s, dir))),
+      Graphs.assortativityMoments(Graphs.copartPairs(s, dir)
+        .transform(graft.ops.Checkpoints.cut))),
 
     // G27 — local clustering coefficients on the co-part graph: exact
     // integer per-vertex triangle counts over wedge counts (coeff_e6 =
@@ -439,7 +440,8 @@ object GraphQueries {
     // neighbor lists, in-row wedge expansion, pair-keyed score agg +
     // anti join against the edge set.
     "g25_link_prediction" -> ((s, dir) =>
-      Graphs.linkPrediction(s, Graphs.copartPairs(s, dir), topK = 50)),
+      Graphs.linkPrediction(s, Graphs.copartPairs(s, dir)
+        .transform(graft.ops.Checkpoints.cut), topK = 50)),
 
     // G10b — temporal latest-departure (the triple's backward member):
     // target = the LAST event of the seed user's session chain, deadline

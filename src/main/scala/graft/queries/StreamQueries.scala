@@ -288,14 +288,7 @@ object StreamQueries {
         d.filter(col("doc_id") % 3 === 2), tgt, b, 2L)
       val scores = graft.ops.Text.bucketScores(
         Streams.statsFromPartials(state), b)
-      val feats = graft.ops.Text.hashedFeatures(d, tgt, b)
-      val perDoc = feats.join(broadcast(scores), "fid")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"), sum("score_e6").as("w_e6"))
-      d.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-          coalesce(col("w_e6"), lit(0L)).as("w_e6"))
+      graft.ops.Text.weightsFromScores(d, tgt, b, scores)
         .orderBy("doc_id")
     }),
 

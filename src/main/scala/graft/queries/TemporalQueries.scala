@@ -26,6 +26,14 @@ object TemporalQueries {
       "graft_events_day_" + dir.replaceAll("[^A-Za-z0-9]", "_"), "ts")(
       ev(s, dir))
 
+  /** The 45-minute hold intervals shared by t19/t19b/t20/t21: each
+    * event opens [ts, ts+45m) for its user.
+    */
+  private def holds45(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(col("user_id"), col("event_id"),
+      col("ts").as("hold_start"),
+      (col("ts") + expr("interval 45 minutes")).as("hold_end"))
+
   /** Shared inputs for the q10/q10b pair: each purchase probes for the
     * most recent at-or-before click of the same user.
     */
@@ -463,10 +471,7 @@ object TemporalQueries {
     // normalization step before any interval set-algebra; one entity
     // shuffle, island groupBy reusing the window's partitioning.
     "t19_coalesce_intervals" -> ((s, dir) => {
-      val holds = ev(s, dir).select(col("user_id"), col("event_id"),
-        col("ts").as("hold_start"),
-        (col("ts") + expr("interval 45 minutes")).as("hold_end"))
-      Temporal.coalesceIntervals(holds, entity = Seq("user_id"),
+      Temporal.coalesceIntervals(holds45(s, dir), entity = Seq("user_id"),
           start = "hold_start", end = "hold_end", tieBreak = "event_id")
         .orderBy("user_id", "span_start")
     }),
@@ -477,10 +482,7 @@ object TemporalQueries {
     // Same entity shuffle as the coalesce it builds on; head/between/
     // tail gaps emitted by the boundary rows themselves.
     "t20_interval_complement" -> ((s, dir) => {
-      val holds = ev(s, dir).select(col("user_id"), col("event_id"),
-        col("ts").as("hold_start"),
-        (col("ts") + expr("interval 45 minutes")).as("hold_end"))
-      Temporal.intervalComplement(holds, entity = Seq("user_id"),
+      Temporal.intervalComplement(holds45(s, dir), entity = Seq("user_id"),
           start = "hold_start", end = "hold_end", tieBreak = "event_id",
           lo = lit("2024-01-08 00:00:00").cast("timestamp"),
           hi = lit("2024-01-18 00:00:00").cast("timestamp"))
@@ -514,10 +516,7 @@ object TemporalQueries {
     // On a CLEAN validity table this returns zero rows — the SCD2
     // integrity check (TemporalSpec gates scd2Merge output clean).
     "t21_overlap_audit" -> ((s, dir) => {
-      val holds = ev(s, dir).select(col("user_id"), col("event_id"),
-        col("ts").as("hold_start"),
-        (col("ts") + expr("interval 45 minutes")).as("hold_end"))
-      Temporal.overlapAudit(holds, entity = Seq("user_id"),
+      Temporal.overlapAudit(holds45(s, dir), entity = Seq("user_id"),
           start = "hold_start", end = "hold_end", tieBreak = "event_id")
         .orderBy("user_id", "ov_from", "event_id")
     }),
@@ -526,10 +525,7 @@ object TemporalQueries {
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
       graft.functions.TableFunctions.ensureRegistered(s)
-      ev(s, dir).select(col("user_id"), col("event_id"),
-          col("ts").as("hold_start"),
-          (col("ts") + expr("interval 45 minutes")).as("hold_end"))
-        .createOrReplaceTempView("graft_t19b_holds")
+      holds45(s, dir).createOrReplaceTempView("graft_t19b_holds")
       s.sql("""SELECT user_id, span_start, span_end, n_intervals
         |FROM coalesce_intervals('graft_t19b_holds', 'user_id',
         |                        'hold_start', 'hold_end', 'event_id')

@@ -418,6 +418,16 @@ object Streams {
 
   private def ssOrder(e: SsEv): (Long, Long) = (e.ts_us, e.event_id)
 
+  /** OUTPUT CONTRACT: each micro-batch re-emits the FULL current sketch
+    * for every key it touched — Update-mode semantics carried over an
+    * Append-mode channel (flatMapGroupsWithState exposes no batch id to
+    * stamp rows with). A downstream consumer must keep only the LATEST
+    * emission per key — e.g. land batches into a keyed upsert sink
+    * (the [[mergeSnapshot]] pattern), or, on a raw append sink, take
+    * the final batch's rows (what StreamingSpec does by offset). Rows
+    * from earlier batches are stale state, including entries for items
+    * since evicted.
+    */
   def heavyHittersStream(events: Dataset[SsEv], m: Int): Dataset[SsOut] = {
     import events.sparkSession.implicits._
     events

@@ -797,6 +797,15 @@ class GraphOpsSpec extends SparkSpecBase {
     val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> 9L).toDF("id", "label")
     val q0 = Graphs.modularity(pairs, one).collect()
     assert(q0.length == 1 && q0(0).getLong(4) == 0L)
+    // isolated vertices stay counted: vertex 7 has no edge but belongs
+    // to community 1; an all-isolated community 8 must appear as
+    // (8, 1, 0, 0, 0), not vanish
+    val withIso = split.union(Seq((7L, 1L), (8L, 8L)).toDF("id", "label"))
+    val iso = Graphs.modularity(pairs, withIso)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(iso == Set((1L, 4L, 3L, 7L, 35L), (4L, 3L, 3L, 7L, 35L),
+      (8L, 1L, 0L, 0L, 0L)))
   }
 
   test("linkPrediction == brute-force CN/RA oracle; adjacent pairs excluded") {

@@ -841,15 +841,8 @@ class StreamingSpec extends SparkSpecBase {
     def weights(st: org.apache.spark.sql.DataFrame) = {
       val scores = graft.ops.Text.bucketScores(
         Streams.statsFromPartials(st), b)
-      val all = docs.toSeq.toDF("doc_id", "text", "tgt")
-      val feats = graft.ops.Text.hashedFeatures(all, col("tgt"), b)
-      val perDoc = feats.join(broadcast(scores), "fid")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"), sum("score_e6").as("w_e6"))
-      all.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-          coalesce(col("w_e6"), lit(0L)).as("w_e6"))
+      graft.ops.Text.weightsFromScores(
+          docs.toSeq.toDF("doc_id", "text", "tgt"), col("tgt"), b, scores)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     }
     assert(weights(state) == ref && ref.nonEmpty)
