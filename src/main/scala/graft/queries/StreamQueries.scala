@@ -266,6 +266,20 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // S24 — streaming rolling 7-day distinct users: q38's WAU curve as
+    // a continuous query (dedup -> x7 contribution explode -> dedup ->
+    // windowed count, all watermark-evictable). Batch twin == q38
+    // exactly (same oracle); stream == batch in StreamingSpec.
+    "s24_streaming_wau" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val maxDay = e.agg(date_trunc("DAY", max(col("ts"))).as("max_day"))
+      Streams.rollingDistinctUsers(e)
+        .crossJoin(broadcast(maxDay))
+        .filter(col("wday") <= col("max_day"))
+        .select("wday", "wau")
+        .orderBy("wday")
+    }),
+
     // S23 — streaming importance-weight maintenance (continuous DSIR):
     // the l29 bucket stats maintained through 3 deterministic
     // "micro-batches" (doc_id mod 3) of batch-id-stamped partials, one
@@ -397,6 +411,10 @@ object StreamQueries {
     "s10_map_state_counts" ->
       """SELECT user_id, event_type, count(*) AS n FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // s24 is q38's WAU curve through the streaming plan — same oracle.
+    "s24_streaming_wau" ->
+      graft.queries.Relational.oracles("q38_rolling_distinct"),
 
     // s23 must reproduce l29's one-shot weights from maintained stats.
     "s23_importance_maintenance" ->

@@ -144,6 +144,29 @@ object Streams {
         sum("sum_cents").as("sum_cents"),
         sum("cnt").as("cnt"))
 
+  /** S24 — STREAMING rolling 7-day distinct users (the q38 WAU curve,
+    * continuously): the contribution-explode made stream-safe by two
+    * stateful dedups — (user, active-day) first (so a chatty user
+    * costs one state row per day, not per event), then (user,
+    * window-end day) after the ×7 explode (a user active on two days
+    * of the same window must still count ONCE). Both dedup states and
+    * the final per-day count are watermark-evictable; in batch the
+    * same plan collapses to q38's exact result (dedup ∘ explode ∘
+    * dedup ∘ count ≡ count-distinct per window-end day). The
+    * last-activity clip stays with the batch reader — a stream has no
+    * final day until the watermark closes it.
+    */
+  def rollingDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .dropDuplicates("user_id", "day")
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + expr("interval 6 days"),
+          expr("interval 1 day"))).as("wday"))
+      .dropDuplicates("user_id", "wday")
+      .groupBy("wday")
+      .agg(count(lit(1)).as("wau"))
+
   /** S23 — streaming importance-weight maintenance (continuous DSIR):
     * the L29 bucket statistics kept live as corpus batches land, so
     * the data-selection score table is always current without

@@ -806,6 +806,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S24 streaming WAU: stream (complete) == batch == brute-force distinct") {
+    import spark.implicits._
+    val streamed = runStream("s24sink", OutputMode.Complete(),
+        Streams.rollingDistinctUsers, sampleBatches)
+      .orderBy("wday").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toSeq
+    val batch = Streams.rollingDistinctUsers(sampleBatches.flatten.toDF())
+      .orderBy("wday").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // brute force: every window-end day's trailing-7-day distinct users
+    val dayMs = 86400000L
+    val userDays = sampleBatches.flatten
+      .map(e => (e.user_id, e.ts.getTime / dayMs * dayMs)).distinct
+    val want = userDays.flatMap { case (_, d) => (0 to 6).map(k => d + k * dayMs) }
+      .distinct.sorted.map { w =>
+        w -> userDays.collect {
+          case (u, d) if d <= w && d > w - 7 * dayMs => u
+        }.distinct.size.toLong
+      }
+    assert(batch.map { case (t, n) => t.getTime -> n } == want)
+  }
+
   test("S23 importance stats foreachBatch: == one-shot weights, replay no-op") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
