@@ -558,6 +558,22 @@ object Relational {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Q41 — rank-DISTRIBUTION windows: dense_rank + percent_rank +
+    // cume_dist over the (cents desc, id) total order. Both ratio
+    // functions are a SINGLE IEEE division of exact integers —
+    // deterministic cross-engine without rounding, unlike any
+    // sum-then-divide float path (the t03 lesson's safe subset).
+    "q41_rank_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(cents(col("value")).desc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          dense_rank().over(w).as("drk"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // Q40 — deterministic MODE per group: the most frequent user per
     // event type with an explicit total order (count desc, user asc) —
     // engines' built-in mode() leaves ties unspecified, which is
@@ -1002,6 +1018,17 @@ object Relational {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING), -1) AS filled_cents
         |FROM m ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q41_rank_dist" ->
+      """SELECT event_type, event_id,
+        |  dense_rank() OVER w AS drk,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type
+        |             ORDER BY CAST(round(value*100) AS BIGINT) DESC,
+        |                      event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "q40_mode" ->
       """SELECT event_type, user_id, n FROM (
