@@ -458,6 +458,22 @@ object Text {
     weightsFromScores(docs, isTarget, buckets, scores)
   }
 
+  /** L34 — deterministic text canonicalization, the cleaning pass every
+    * hash-keyed step downstream (exact dedup, fingerprints, shingles)
+    * assumes has already run: lowercase, control chars → space,
+    * whitespace runs collapsed to one space, edges trimmed. Pure
+    * codegen'd regexp_replace chain — no UDF — and every rule replays
+    * in DuckDB, so canonical-form md5s are engine-portable corpus keys.
+    * (Unicode NFC is deliberately OUT: Spark has no codegen
+    * normalization primitive, and a JVM Normalizer UDF would make the
+    * canonical key engine-private — the exact property this op exists
+    * to avoid.)
+    */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), lit("[\\p{Cntrl}]"), lit(" ")),
+      lit(s"[$GopherWhitespace]+"), lit(" ")))
+
   /** L31 — largest-remainder apportionment (Hamilton's method): split an
     * integer `budget` across the groups of `counts` (`group`, `n`)
     * exactly proportionally — `floor(budget·n_i/N)` seats each, the

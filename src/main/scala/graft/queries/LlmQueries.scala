@@ -171,6 +171,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L34 — deterministic text canonicalization: the cleaning pass the
+    // hash-keyed pipeline assumes (lowercase, control chars stripped,
+    // whitespace collapsed, trimmed), with the canonical md5 as the
+    // engine-portable corpus key plus the shrinkage it bought. Pure
+    // codegen regex chain; every rule replays in DuckDB.
+    "l34_text_canonical" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("raw_bytes"),
+          octet_length(Text.canonicalText(col("text"))).cast("long")
+            .as("canon_bytes"),
+          md5(Text.canonicalText(col("text"))).as("canon_md5"))
+        .orderBy("doc_id")),
+
     // L33 — the dedup KEEP-LIST, the actionable output of the near-dup
     // pipeline: within each l15 cluster the canonical doc (longest,
     // tie → min id) keeps, every other member is the drop list a
@@ -970,6 +984,21 @@ object LlmQueries {
       s"""$dedupClusterCte
         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
         |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // l34: the same canonicalization chain in DuckDB regex syntax; the
+    // GopherWhitespace class literal is shared with the engine.
+    "l34_text_canonical" -> {
+      val ws = graft.ops.Text.GopherWhitespace
+      s"""SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS raw_bytes,
+        |  CAST(strlen(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+        |    '[$ws]+', ' ', 'g'))) AS BIGINT) AS canon_bytes,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+        |    '[$ws]+', ' ', 'g'))) AS canon_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // l33: the l15 cluster replay + the canonical pick per cluster.
     "l33_dedup_keeplist" ->

@@ -338,6 +338,22 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("canonicalText: case, control chars, runs, trim — and idempotent") {
+    import spark.implicits._
+    val d = Seq((0L, "  Hello\t\nWORLD  x\u0001y  "), (1L, ""),
+      (2L, "a"), (3L, "\u0002\u0003"))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        Text.canonicalText(col("text")).as("c"),
+        Text.canonicalText(Text.canonicalText(col("text"))).as("cc"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got(0)._2 == "hello world x y")
+    assert(got(1)._2 == "" && got(2)._2 == "a" && got(3)._2 == "")
+    // canonicalization is a projection: applying it twice changes nothing
+    got.foreach { case (_, c, cc) => assert(c == cc) }
+  }
+
   test("l33 keep-list: one keep per cluster, canonical is the longest") {
     val rows = graft.queries.LlmQueries.queries("l33_dedup_keeplist")(
       spark, sfDir).collect()
