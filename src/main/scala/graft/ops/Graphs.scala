@@ -1046,6 +1046,43 @@ object Graphs {
       .limit(topK)
   }
 
+  /** G30 — neighborhood Jaccard similarity over canonical `x < y` pairs:
+    * for every vertex pair sharing ≥1 neighbor, `|N∩|`, `|N∪|` and the
+    * exact-integer ratio `jac_e6 = 10^6·cn div un` — the structural
+    * vertex-similarity read behind "customers like this one" and role
+    * clustering. Unlike G25 (which scores NON-adjacent pairs for link
+    * prediction), adjacency doesn't gate membership here: similarity is
+    * a property of the neighborhoods themselves.
+    *
+    * Plan: one shuffle to sorted neighbor lists, in-row wedge expansion
+    * (each common neighbor emits its pair once, so the pair-keyed count
+    * IS |N∩| — no per-pair set intersection materializes), then two
+    * degree lookups; `un` by inclusion-exclusion. The wedge fan-out is
+    * Σ deg², the triangle/G25 budget, bounded by the same degree-cap
+    * reasoning; at skew scale the hub split of [[clusteringCoefficients]]
+    * applies unchanged.
+    */
+  def neighborhoodJaccard(pairs: DataFrame, topK: Int): DataFrame = {
+    val ed = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cn = ed.groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      .select(explode(flatten(transform(col("ns"), (a, i) =>
+          transform(slice(col("ns"), i + lit(2), size(col("ns"))),
+            b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(deg.select(col("src").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a").as("x"), col("b").as("y"), col("cn"),
+        (col("deg_a") + col("deg_b") - col("cn")).as("un"))
+      .withColumn("jac_e6", expr("1000000 * cn div un"))
+      .orderBy(col("jac_e6").desc, col("cn").desc, col("x").asc,
+        col("y").asc)
+      .limit(topK)
+  }
+
   /** G26 — modularity of a vertex partition over an undirected graph
     * (canonical `x < y` pairs + a `(id, label)` community assignment),
     * kept EXACT: per community c the row

@@ -443,6 +443,15 @@ object GraphQueries {
       Graphs.linkPrediction(s, Graphs.copartPairs(s, dir)
         .transform(graft.ops.Checkpoints.cut), topK = 50)),
 
+    // G30 — neighborhood Jaccard similarity on the co-part graph:
+    // top-100 vertex pairs by exact-integer Jaccard of their neighbor
+    // sets (jac_e6 = 10^6·|N∩| div |N∪|) — the vertex-similarity dual
+    // of g25's link prediction (adjacent pairs INCLUDED: similarity is
+    // a neighborhood property, not an edge property). Hash-matched.
+    "g30_jaccard_similarity" -> ((s, dir) =>
+      Graphs.neighborhoodJaccard(Graphs.copartPairs(s, dir)
+        .transform(graft.ops.Checkpoints.cut), topK = 100)),
+
     // G10b — temporal latest-departure (the triple's backward member):
     // target = the LAST event of the seed user's session chain, deadline
     // = its own timestamp, 8 hops. On the chain fixture every reachable
@@ -695,6 +704,20 @@ object GraphQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p
         |                  WHERE p.x = sc.a AND p.y = sc.b)
         |ORDER BY cn DESC, ra_e9 DESC, x, y LIMIT 50""".stripMargin,
+
+    "g30_jaccard_similarity" ->
+      s"""WITH $copartCte,
+        |deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1),
+        |cn AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS cn
+        |       FROM e e1 JOIN e e2
+        |         ON e1.src = e2.src AND e1.dst < e2.dst
+        |       GROUP BY 1, 2)
+        |SELECT a AS x, b AS y, cn,
+        |  dx.d + dy.d - cn AS un,
+        |  1000000 * cn // (dx.d + dy.d - cn) AS jac_e6
+        |FROM cn JOIN deg dx ON dx.id = cn.a
+        |        JOIN deg dy ON dy.id = cn.b
+        |ORDER BY jac_e6 DESC, cn DESC, x, y LIMIT 100""".stripMargin,
 
     // 2-round unrolled 3-truss replay: per round, canonical triangles
     // (a<b<c) from the surviving pairs, each voting support into its 3

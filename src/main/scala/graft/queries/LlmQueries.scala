@@ -807,6 +807,62 @@ object LlmQueries {
         .orderBy("doc_id", "rn")
     }),
 
+    // L35 — bigram familiarity: a corpus-level language-model quality
+    // signal without a trained LM — each document scored by how common
+    // its word bigrams are in the WHOLE corpus (boilerplate and fluent
+    // text score high, gibberish and OCR noise score low; the cheap
+    // stand-in for LM perplexity filtering). Counts stay integer and the
+    // mean is ONE integer division (fam_e4 = 10^4·Σcnt div n) — log-prob
+    // would be the t03 float trap. Plan: doc-partitioned lead() builds
+    // the bigram stream, one bigram-keyed count agg, one bigram-keyed
+    // join back, one doc agg — every shuffle keys on doc or bigram, the
+    // two natural partitions; docs with <2 tokens have no bigrams and
+    // yield no row.
+    "l35_bigram_familiarity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir).select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as(Seq("pos", "token")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = tok.withColumn("nxt", lead("token", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("token"), col("nxt")).as("bigram"))
+      val cnt = big.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      big.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("fam_sum"))
+        .withColumn("fam_e4", expr("10000 * fam_sum div n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
+    // L36 — readability surface statistics: the Flesch-Kincaid family's
+    // inputs (words, sentence runs, vowel-group "syllables") as exact
+    // counts + the two ratios that drive every readability formula —
+    // words-per-sentence and syllables-per-word — each ONE integer
+    // division ×10^4. The formula's float constants stay with the
+    // caller: the per-doc ratios are the engine-portable part, the
+    // affine map isn't worth a hash mismatch. Sentence count is a
+    // terminator-run count ([.!?]+), floored at 1 so a fragment doc
+    // divides cleanly on both engines. Pure codegen regex counts, one
+    // scan, no shuffle at all until the output sort.
+    "l36_readability" -> ((s, dir) => {
+      val txt = col("text")
+      val nWords = size(regexp_extract_all(txt, lit("[A-Za-z]+"), lit(0)))
+        .cast("long")
+      val nSent = greatest(lit(1L),
+        size(regexp_extract_all(txt, lit("[.!?]+"), lit(0))).cast("long"))
+      val nSyl = size(regexp_extract_all(lower(txt), lit("[aeiouy]+"),
+        lit(0))).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sents"),
+          nSyl.as("n_syls"))
+        .filter(col("n_words") > 0)
+        .withColumn("wps_e4", expr("10000 * n_words div n_sents"))
+        .withColumn("spw_e4", expr("10000 * n_syls div n_words"))
+        .orderBy("doc_id")
+    }),
+
     // L11 — greedy sequence packing to a 256-token budget across 8
     // independent bucket streams (Text.packGreedy — the training-batch
     // assembly op); result is the per-pack occupancy, hash-checked
@@ -935,6 +991,38 @@ object LlmQueries {
         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
         |SELECT doc_id, rn, token, score FROM scored WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+
+    "l35_bigram_familiarity" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |big AS (SELECT doc_id,
+        |    toks[CAST(gs AS INT)] || ' ' || toks[CAST(gs AS INT) + 1]
+        |      AS bigram
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS gs
+        |        FROM d)),
+        |cnt AS (SELECT bigram, count(*) AS cnt FROM big GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(cnt.cnt) AS BIGINT) AS fam_sum,
+        |  CAST(10000 * CAST(sum(cnt.cnt) AS BIGINT) // count(*)
+        |    AS BIGINT) AS fam_e4
+        |FROM big JOIN cnt USING (bigram)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "l36_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+        |      AS n_words,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syls
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syls,
+        |  10000 * n_words // n_sents AS wps_e4,
+        |  10000 * n_syls // n_words AS spw_e4
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     "l11_pack_greedy" ->
       """WITH RECURSIVE t AS (

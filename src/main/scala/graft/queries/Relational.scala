@@ -590,6 +590,139 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Q42 — sequence-pattern match (MATCH_RECOGNIZE-lite): per user, the
+    // event-type string in (ts, event_id) order and the count of
+    // NON-OVERLAPPING view→click→purchase runs inside it. Occurrences by
+    // the replace trick — (len − len(replace(seq,'vcp','')))/3 — which
+    // is the same greedy left-to-right scan both engines' replace does,
+    // so the count is engine-portable without a pattern automaton.
+    // collect_list carries no order guarantee, so the (ts, event_id,
+    // code) structs are array_sort'ed BEFORE the codes are joined
+    // (string_agg ORDER BY in the oracle): one agg, one window-free
+    // pass, the sequence never leaves its user partition.
+    "q42_seq_pattern" -> ((s, dir) => {
+      val code = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .otherwise("x")
+      t(s, dir, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), code.as("code")).as("e"))
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("e"))),
+            x => x.getField("code")), "").as("seq"))
+        .withColumn("n_events", length(col("seq")).cast("long"))
+        .withColumn("n_funnel_runs",
+          expr("CAST((length(seq) - length(replace(seq, 'vcp', ''))) DIV 3 AS BIGINT)"))
+        .filter(col("n_funnel_runs") > 0)
+        .select("user_id", "n_events", "n_funnel_runs")
+        .orderBy("user_id")
+    }),
+
+    // Q43 — robust outliers via MAD (median absolute deviation): rows
+    // whose |value − median| exceeds 3× the MAD of their event type —
+    // the outlier gate that, unlike z-scores, a few extreme points
+    // cannot drag. Both medians are EXACT lower-median order statistics
+    // picked by rank ((n+1) div 2 over the sorted ints) — the value at
+    // a rank is well-defined even under ties, so the pick is engine-
+    // portable where any interpolating percentile would float-drift.
+    // Two rank windows + two ≤|types|-row broadcast joins, all integer
+    // cents.
+    "q43_mad_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("v_cents"))
+      def lowerMedian(in: DataFrame, v: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col(v).asc, col("event_id").asc)
+        in.withColumn("__rn", row_number().over(w))
+          .withColumn("__n",
+            count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col("event_type"), col(v).as(out))
+      }
+      val med = lowerMedian(e, "v_cents", "med_cents")
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev_cents", abs(col("v_cents") - col("med_cents")))
+      val mad = lowerMedian(dev, "dev_cents", "mad_cents")
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("dev_cents") > lit(3) * col("mad_cents"))
+        .select("event_id", "event_type", "v_cents", "med_cents",
+          "mad_cents", "dev_cents")
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Q44 — equi-width histogram: SQL-standard width_bucket over integer
+    // cents (25 buckets across [0, 50000)); the standard's underflow/
+    // overflow buckets 0 and 26 keep domain-edge rows visible instead of
+    // silently clipping them. One two-phase agg, exact.
+    "q44_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          width_bucket(cents(col("value")), lit(0), lit(50000), lit(25))
+            .as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Q45 — contribution / Pareto analysis: supplier revenue shares and
+    // the running concentration curve ("what fraction of revenue do the
+    // top k suppliers hold"). Every ratio is ONE IEEE division of exact
+    // integer cents (t03's safe subset), so the floats are bit-identical
+    // cross-engine; ties in revenue break by suppkey. The global-order
+    // window runs over the ALREADY-AGGREGATED supplier table (|suppliers|
+    // rows, not |lineitem|); at 100 TB the same curve would range-
+    // partition the sort and two-pass the total, but a concentration
+    // curve is a total order by definition — the single-partition window
+    // here is over the small side only.
+    "q45_pareto" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_cents"))
+      val total = rev.agg(sum("rev_cents").as("__total"))
+      val w = Window.orderBy(col("rev_cents").desc, col("l_suppkey").asc)
+      rev.crossJoin(broadcast(total))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("__cum", sum("rev_cents")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rk"), col("l_suppkey"), col("rev_cents"),
+          (col("rev_cents") / col("__total")).as("share"),
+          (col("__cum") / col("__total")).as("cum_share"))
+        .orderBy("rk")
+    }),
+
+    // Q46 — exact WEIGHTED median: per return flag, the price at which
+    // half the shipped QUANTITY sits at-or-below — the order statistic
+    // that answers "what does the median unit cost", which the row
+    // median cannot (a 50-unit line counts 50×). Classic cumulative-
+    // weight selection: sort by (v, tie keys), running Σw, the first
+    // row with 2·cumw ≥ total is the weighted lower median; since the
+    // qualifying set is a SUFFIX of the sort order, "first" collapses
+    // to min(v) after the filter — and v is tie-stable even though
+    // (l_orderkey, l_linenumber) duplicates exist (equal sort keys ⇒
+    // equal v, so any permutation picks the same value). One window
+    // shuffle on the group key, all integer.
+    "q46_weighted_median" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"),
+        cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      val wOrd = Window.partitionBy("rf")
+        .orderBy(col("v").asc, col("ok").asc, col("ln").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("cumw", sum("w").over(wOrd))
+        .withColumn("total", sum("w").over(Window.partitionBy("rf")))
+        .filter(col("cumw") * 2 >= col("total"))
+        .groupBy("rf")
+        .agg(min("v").as("wmed_cents"), min("total").as("total_weight"))
+        .select(col("rf").as("l_returnflag"), col("wmed_cents"),
+          col("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1037,6 +1170,85 @@ object Relational {
         |      ORDER BY count(*) DESC, user_id ASC) AS rk
         |  FROM events GROUP BY 1, 2)
         |WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q42_seq_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'view' THEN 'v'
+        |                 WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |                 ELSE 'x' END, '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |  CAST((length(seq) - length(replace(seq, 'vcp', ''))) // 3
+        |    AS BIGINT) AS n_funnel_runs
+        |FROM s
+        |WHERE (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q46_weighted_median" ->
+      """WITH e AS (SELECT l_returnflag AS rf,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |r AS (SELECT rf, v,
+        |    sum(w) OVER (PARTITION BY rf ORDER BY v, ok, ln
+        |                 ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(w) OVER (PARTITION BY rf) AS total
+        |  FROM e)
+        |SELECT rf AS l_returnflag, min(v) AS wmed_cents,
+        |  CAST(min(total) AS BIGINT) AS total_weight
+        |FROM r WHERE cumw * 2 >= total
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY v, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type, v AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT e.event_id, e.event_type, e.v, m.med,
+        |        abs(e.v - m.med) AS dev
+        |      FROM e JOIN med m USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY dev, event_id) AS rn,
+        |       count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type, dev AS mad FROM r2
+        |        WHERE rn = (n + 1) // 2)
+        |SELECT d.event_id, d.event_type, d.v AS v_cents,
+        |  d.med AS med_cents, mad.mad AS mad_cents, d.dev AS dev_cents
+        |FROM d JOIN mad USING (event_type)
+        |WHERE d.dev > 3 * mad.mad
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // DuckDB 1.0 has no width_bucket; the SQL-standard semantics spelled
+    // out: underflow -> 0, overflow -> n+1, else 1 + (v-lo) div width.
+    "q44_histogram" ->
+      """SELECT event_type,
+        |  CAST(CASE WHEN v < 0 THEN 0 WHEN v >= 50000 THEN 26
+        |       ELSE 1 + v // 2000 END AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q45_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(l_extendedprice * (1 - l_discount) * 100))
+        |      AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(rev_cents) AS total FROM rev)
+        |SELECT
+        |  CAST(row_number() OVER w AS BIGINT) AS rk,
+        |  l_suppkey, rev_cents,
+        |  CAST(rev_cents AS DOUBLE) / total AS share,
+        |  CAST(sum(rev_cents) OVER (w ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE) / total AS cum_share
+        |FROM rev CROSS JOIN tot
+        |WINDOW w AS (ORDER BY rev_cents DESC, l_suppkey ASC)
+        |ORDER BY rk""".stripMargin,
 
     "q18b_set_ops_all" ->
       """WITH a AS (SELECT l_suppkey FROM lineitem),

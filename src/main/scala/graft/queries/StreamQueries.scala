@@ -280,6 +280,15 @@ object StreamQueries {
         .orderBy("wday")
     }),
 
+    // S25 — streaming OHLC bars: t24's per-(user, day) candle bars as a
+    // continuous query (order-insensitive min_by/max_by folds, so late
+    // rows inside the watermark land exactly); in batch the plan
+    // collapses to t24 and hash-matches its oracle. Stream == batch in
+    // StreamingSpec.
+    "s25_streaming_ohlc" -> ((s, dir) =>
+      Streams.ohlcBars(ev(s, dir))
+        .orderBy("user_id", "day")),
+
     // S23 — streaming importance-weight maintenance (continuous DSIR):
     // the l29 bucket stats maintained through 3 deterministic
     // "micro-batches" (doc_id mod 3) of batch-id-stamped partials, one
@@ -415,6 +424,10 @@ object StreamQueries {
     // s24 is q38's WAU curve through the streaming plan — same oracle.
     "s24_streaming_wau" ->
       graft.queries.Relational.oracles("q38_rolling_distinct"),
+
+    // s25 collapses to t24's bars in batch — same oracle.
+    "s25_streaming_ohlc" ->
+      graft.queries.TemporalQueries.oracles("t24_ohlc_bars"),
 
     // s23 must reproduce l29's one-shot weights from maintained stats.
     "s23_importance_maintenance" ->

@@ -532,6 +532,53 @@ object TemporalQueries {
         |ORDER BY user_id, span_start""".stripMargin)
     }),
 
+    // T23 — date-spine zero-fill: daily event counts per type with the
+    // MISSING days present as explicit zeros between the global min and
+    // max day — the dense series every downstream rolling window / chart
+    // / forecast join assumes ("no row" and "zero events" are different
+    // facts). The spine is generated from a 1-row bounds agg via
+    // sequence() + explode (a few hundred rows even at 100 TB: days ×
+    // types, both tiny), then LEFT-joined by the real counts — the big
+    // side aggregates BEFORE the join, so the spine join touches
+    // |days × types| rows, never |events|.
+    "t23_date_spine" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev(s, dir)
+        .agg(date_trunc("day", min(col("ts"))).as("lo"),
+          date_trunc("day", max(col("ts"))).as("hi"))
+      val types = ev(s, dir).select("event_type").distinct()
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+        .crossJoin(broadcast(types))
+      spine.join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day", "event_type")
+    }),
+
+    // T24 — OHLC bars: per (user, day), the open/high/low/close of the
+    // event value stream — the canonical time-series downsample (candle
+    // bars, sensor rollups). Open/close are argmin/argmax by (ts,
+    // event_id) via Spark's max_by/min_by with a struct ordering key —
+    // one two-phase agg, no window, no shuffle beyond the group keys;
+    // values exact integer cents.
+    "t24_ohlc_bars" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+          struct(col("ts"), col("event_id")).as("ord"),
+          cents(col("value")).as("v_cents"))
+      e.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("v_cents"), col("ord")).as("open_cents"),
+          max(col("v_cents")).as("high_cents"),
+          min(col("v_cents")).as("low_cents"),
+          max_by(col("v_cents"), col("ord")).as("close_cents"))
+        .orderBy("user_id", "day")
+    }),
+
     // T11 — temporal interval-intersection join (the temporal-algebra
     // inner join): the per-user VALUE intervals joined with the per-user
     // EVENT-TYPE intervals (the compacted T08 stream, so the two interval
@@ -906,6 +953,37 @@ object TemporalQueries {
     "t19_coalesce_intervals" -> t19Oracle,
 
     "t19b_coalesce_sql" -> t19Oracle,
+
+    "t23_date_spine" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('day', min(ts)) AS lo,
+        |             date_trunc('day', max(ts)) AS hi FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day,
+        |         t.event_type
+        |  FROM b, (SELECT DISTINCT event_type FROM events) t)
+        |SELECT CAST(s.day AS TIMESTAMP) AS day, s.event_type,
+        |  coalesce(d.n, 0) AS n
+        |FROM spine s LEFT JOIN daily d
+        |  ON d.day = s.day AND d.event_type = s.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    "t24_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(round(value*100) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day, count(*) AS n,
+        |  max(CASE WHEN rn_a = 1 THEN v END) AS open_cents,
+        |  max(v) AS high_cents, min(v) AS low_cents,
+        |  max(CASE WHEN rn_d = 1 THEN v END) AS close_cents
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // t22: compaction replay (lag over the entity shuffle keeps only
     // state CHANGES), then lead() closes each interval; open tails drop.

@@ -49,6 +49,32 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** S25 — streaming OHLC bars: per (user, 1-day tumbling window), the
+    * open/high/low/close of the value stream — T24's time-series
+    * downsample maintained CONTINUOUSLY. `min_by`/`max_by` keyed on the
+    * (ts, event_id) total order are order-INSENSITIVE aggregates, so a
+    * late row inside the watermark folds into the right bar exactly
+    * (an order-dependent "first value wins" fold would not replay); in
+    * batch the same plan collapses to T24's bars and hash-matches its
+    * oracle — epoch-aligned 1-day windows start at UTC midnight, which
+    * IS date_trunc('day').
+    */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val v = Det.cents(col("value"))
+    val ord = struct(col("ts"), col("event_id"))
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"),
+        min_by(v, ord).as("open_cents"),
+        max(v).as("high_cents"),
+        min(v).as("low_cents"),
+        max_by(v, ord).as("close_cents"))
+      .select(col("user_id"), col("window.start").as("day"), col("n"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"))
+  }
+
   /** S05 — stateful dedup on event_id within the watermark. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

@@ -806,6 +806,23 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S25 streaming OHLC: stream (complete) == batch == hand bars") {
+    import spark.implicits._
+    val streamed = runStream("s25sink", OutputMode.Complete(),
+        Streams.ohlcBars, sampleBatches)
+      .orderBy("user_id", "day").collect().toSeq
+    val batch = Streams.ohlcBars(sampleBatches.flatten.toDF())
+      .orderBy("user_id", "day").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // hand check: all sample events are inside one UTC day; user 1 saw
+    // values 1.0 (min 0), 2.0 (min 10), 4.0 (min 65) -> open 100,
+    // high 400, low 100, close 400; user 2: 3.0 then 5.0.
+    val byUser = batch.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(byUser(1L) == ((3L, 100L, 400L, 100L, 400L)))
+    assert(byUser(2L) == ((2L, 300L, 500L, 300L, 500L)))
+  }
+
   test("S24 streaming WAU: stream (complete) == batch == brute-force distinct") {
     import spark.implicits._
     val streamed = runStream("s24sink", OutputMode.Complete(),
