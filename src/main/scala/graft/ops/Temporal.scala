@@ -404,6 +404,52 @@ object Temporal {
       value: String, tieBreak: String): DataFrame =
     resampleDaily(changes, Seq(entity), ts, value, tieBreak)
 
+  /** T25 — daily resample with LINEAR interpolation: each midnight grid
+    * point gets the value interpolated between its entity's last
+    * observation at-or-before and first at-or-after — the resample a
+    * continuously-varying signal (sensor, price, utilization) wants
+    * where [[resampleDaily]]'s step-hold is wrong. Exact integer
+    * arithmetic in cents × epoch micros, in the BARYCENTRIC form
+    * `(v0·(t1−g) + v1·(g−t0)) div (t1−t0)`: both weights are
+    * non-negative, so with a non-negative value domain the numerator is
+    * non-negative and Spark's truncating `div` equals DuckDB's flooring
+    * `//` — the subtraction form `v0 + (Δv·(g−t0)) div Δt` breaks
+    * cross-engine exactly when Δv < 0. (Caveats: negative values would
+    * reopen the trunc-vs-floor gap, and |v|·span_us must stay under
+    * 2^63 — cents ≤ 5·10^4 × a 30-day span ≈ 1.3·10^17 here; a wider
+    * domain wants the product in decimal(38,0).) Head grid points
+    * before the first observation back-fill from it; a grid point ON an
+    * observation returns that value exactly (g = t0 ⇒ the v0 term
+    * alone). Plan: the two as-of directions over the same spine — two
+    * entity-keyed window shuffles, no self-join, same shape at 100 TB.
+    */
+  def resampleInterpolatedDaily(changes: DataFrame, entity: Seq[String],
+      ts: String, value: String, tieBreak: String): DataFrame = {
+    val spine = changes.groupBy(entity.map(col): _*)
+      .agg(date_trunc("DAY", min(col(ts))).as("__d0"),
+        date_trunc("DAY", max(col(ts))).as("__d1"))
+      .select(entity.map(col) :+
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("interval 1 day"))).as("day"): _*)
+    val obs = changes.select((entity :+ ts :+ tieBreak :+ value).map(col): _*)
+    val back = AsOfJoin(spine, obs, on = entity, leftTs = "day",
+      rightTs = ts, payload = Seq(ts, value), tieBreak = tieBreak)
+    val both = AsOfJoin.forward(back, obs, on = entity, leftTs = "day",
+      rightTs = ts, payload = Seq(ts, value), tieBreak = tieBreak)
+    both
+      .withColumn("__gu", graft.Det.epochUs(col("day")))
+      .withColumn("__t0", graft.Det.epochUs(col(s"${ts}_asof")))
+      .withColumn("__t1", graft.Det.epochUs(col(s"${ts}_fwd")))
+      .withColumn("__v0", graft.Det.cents(col(s"${value}_asof")))
+      .withColumn("__v1", graft.Det.cents(col(s"${value}_fwd")))
+      .withColumn("interp_cents", expr(
+        """CASE WHEN __t0 IS NULL THEN __v1
+          |     WHEN __t1 IS NULL OR __t1 <= __t0 THEN __v0
+          |     ELSE (__v0 * (__t1 - __gu) + __v1 * (__gu - __t0))
+          |          div (__t1 - __t0) END""".stripMargin))
+      .select(entity.map(col) :+ col("day") :+ col("interp_cents"): _*)
+  }
+
   /** T17 — gap detection (the dual of [[sessionize]]): per entity, emit
     * every silence STRICTLY longer than `minGapSeconds` between
     * consecutive change points as an interval

@@ -274,6 +274,25 @@ object GraphQueries {
         .orderBy("seed")
     }),
 
+    // G31 — harmonic centrality from the same 3 seeds, EXACT integers:
+    // Σ 1/d over reached vertices scaled by lcm(1..6)=60 (depth is
+    // bounded at 6, so 60 div d is exact for every reachable d) —
+    // the centrality that, unlike closeness, stays well-defined on
+    // disconnected graphs (unreachable vertices contribute 0 instead
+    // of poisoning the sum). Same single multi-source traversal as
+    // g17/g19; hash-matched against the seeded recursive-CTE replay.
+    "g31_harmonic" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(3)
+      Graphs.multiSourceBfs(s, edges, seeds, maxDepth = 6)
+        .filter(col("dist") > 0)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("60 div dist")).as("harmonic_x60"))
+        .orderBy("seed")
+    }),
+
     // G16 — deterministic hash-walk sampling from customers 1..5 on the
     // supply graph (2 walks × ≤3 steps each): node2vec-style walk data
     // whose "randomness" is a seeded hash, so retries/reruns reproduce
@@ -624,6 +643,19 @@ object GraphQueries {
         |SELECT seed, count(*) - 1 AS n_reached,
         |  CAST(sum(dist) AS BIGINT) AS total_dist
         |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g31_harmonic" ->
+      s"""WITH RECURSIVE $copartCte,
+        |seeds AS (SELECT DISTINCT src AS s FROM e ORDER BY s LIMIT 3),
+        |r(seed, id, d) AS (
+        |  SELECT s, s, 0 FROM seeds
+        |  UNION
+        |  SELECT r.seed, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.d < 6),
+        |md AS (SELECT seed, id, min(d) AS dist FROM r GROUP BY 1, 2)
+        |SELECT seed, count(*) AS n_reached,
+        |  CAST(sum(60 // dist) AS BIGINT) AS harmonic_x60
+        |FROM md WHERE dist > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Shortest-path counts replayed by WALK ENUMERATION: every walk of
     // length <= 3 from the seed, then (a) a walk whose length equals its

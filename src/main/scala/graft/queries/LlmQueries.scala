@@ -863,6 +863,37 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L37 — collocation mining: the top-50 adjacent word pairs by PMI
+    // (pointwise mutual information) with support ≥ 5 — the
+    // association-strength read behind multiword-expression detection
+    // and tokenizer-merge seeding, sharing l35's bigram stream. PMI's
+    // log is monotone, so ranking by the RATIONAL inside it is the same
+    // ranking without the float: score_e6 = 10^6·c_xy·N div (c_x·c_y),
+    // with c_x/c_y the left/right marginals. One bigram-keyed count,
+    // two broadcast-size marginal joins, a top-k sort.
+    "l37_collocations" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir).select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as(Seq("pos", "token")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = tok.withColumn("nxt", lead("token", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("token").as("w1"), col("nxt").as("w2"))
+      val cxy = big.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      val cx = big.groupBy("w1").agg(count(lit(1)).as("cx"))
+      val cy = big.groupBy("w2").agg(count(lit(1)).as("cy"))
+      val n = big.agg(count(lit(1)).as("n"))
+      cxy.filter(col("cxy") >= 5)
+        .join(cx, "w1").join(cy, "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("score_e6",
+          expr("1000000 * cxy * n div (cx * cy)"))
+        .select("w1", "w2", "cxy", "score_e6")
+        .orderBy(col("score_e6").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
+    }),
+
     // L11 — greedy sequence packing to a 256-token budget across 8
     // independent bucket streams (Text.packGreedy — the training-batch
     // assembly op); result is the per-pack occupancy, hash-checked
@@ -1009,6 +1040,26 @@ object LlmQueries {
         |    AS BIGINT) AS fam_e4
         |FROM big JOIN cnt USING (bigram)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "l37_collocations" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |big AS (SELECT toks[CAST(gs AS INT)] AS w1,
+        |               toks[CAST(gs AS INT) + 1] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS gs
+        |        FROM d)),
+        |cxy AS (SELECT w1, w2, count(*) AS cxy FROM big GROUP BY 1, 2),
+        |cx AS (SELECT w1, count(*) AS cx FROM big GROUP BY 1),
+        |cy AS (SELECT w2, count(*) AS cy FROM big GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM big)
+        |SELECT cxy.w1, cxy.w2, cxy.cxy,
+        |  CAST(1000000 * cxy.cxy * n.n // (cx.cx * cy.cy) AS BIGINT)
+        |    AS score_e6
+        |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+        |WHERE cxy.cxy >= 5
+        |ORDER BY score_e6 DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "l36_readability" ->
       """WITH c AS (SELECT doc_id,

@@ -723,6 +723,31 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Q47 — decile analysis: orders cut into revenue deciles (ntile(10)
+    // over the (cents desc, key) total order), each decile reporting
+    // count, revenue, and its share of total as ONE integer division —
+    // the "top 10% of orders carry X% of revenue" read. ntile's
+    // remainder rule (first n mod k tiles get the extra row) is SQL
+    // standard and position-determined, so identical cross-engine under
+    // the total order. The global-order window runs over base rows here
+    // (|orders|); the curve is a total order by definition — at 100 TB
+    // the same cut comes from a two-pass rank (per-partition counts →
+    // offset broadcast) instead of one window partition.
+    "q47_decile_stats" -> ((s, dir) => {
+      val w = Window.orderBy(cents(col("o_totalprice")).desc,
+        col("o_orderkey").asc)
+      val o = t(s, dir, "orders")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_orders"),
+          sumCents(col("o_totalprice")).as("rev_cents"))
+      val total = o.agg(sum("rev_cents").as("__total"))
+      o.crossJoin(broadcast(total))
+        .select(col("decile"), col("n_orders"), col("rev_cents"),
+          (col("rev_cents") / col("__total")).as("share"))
+        .orderBy("decile")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1184,6 +1209,20 @@ object Relational {
         |FROM s
         |WHERE (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q47_decile_stats" ->
+      """WITH r AS (SELECT
+        |    ntile(10) OVER (ORDER BY CAST(round(o_totalprice*100)
+        |      AS BIGINT) DESC, o_orderkey) AS decile,
+        |    o_totalprice
+        |  FROM orders),
+        |d AS (SELECT decile, count(*) AS n_orders,
+        |    CAST(round(sum(o_totalprice*100)) AS BIGINT) AS rev_cents
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT sum(rev_cents) AS total FROM d)
+        |SELECT decile, n_orders, rev_cents,
+        |  CAST(rev_cents AS DOUBLE) / total AS share
+        |FROM d CROSS JOIN t ORDER BY decile""".stripMargin,
 
     "q46_weighted_median" ->
       """WITH e AS (SELECT l_returnflag AS rf,

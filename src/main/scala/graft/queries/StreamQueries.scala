@@ -280,6 +280,28 @@ object StreamQueries {
         .orderBy("wday")
     }),
 
+    // S26 — streaming funnel progression: q33's view→click→purchase
+    // stage sets maintained exactly under out-of-order arrival (a late
+    // earlier view retroactively re-qualifies clicks — the state keeps
+    // the lists it needs to re-derive the chain). Batch run = one batch
+    // over the whole table; the per-user truths aggregate to q33's
+    // stage counts and hash-match its oracle. Stream == batch in
+    // StreamingSpec, including a late-view reorder case.
+    "s26_streaming_funnel" -> ((s0, dir) => {
+      val s = stateSession(s0)
+      import s.implicits._
+      val in = ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          graft.Det.epochUs(col("ts")).as("ts_us"))
+        .as[Streams.FunnelEv]
+      val per = Streams.funnelStages(in).toDF()
+      Seq(("1_view", col("v_us") >= 0), ("2_click", col("c_us") >= 0),
+          ("3_purchase", col("p_us") >= 0))
+        .map { case (nm, cond) => per.filter(cond)
+          .agg(lit(nm).as("stage"), count(lit(1)).as("n_users")) }
+        .reduce(_.unionAll(_)).orderBy("stage")
+    }),
+
     // S25 — streaming OHLC bars: t24's per-(user, day) candle bars as a
     // continuous query (order-insensitive min_by/max_by folds, so late
     // rows inside the watermark land exactly); in batch the plan
@@ -424,6 +446,10 @@ object StreamQueries {
     // s24 is q38's WAU curve through the streaming plan — same oracle.
     "s24_streaming_wau" ->
       graft.queries.Relational.oracles("q38_rolling_distinct"),
+
+    // s26's per-user truths aggregate to q33's stage counts.
+    "s26_streaming_funnel" ->
+      graft.queries.Relational.oracles("q33_funnel"),
 
     // s25 collapses to t24's bars in batch — same oracle.
     "s25_streaming_ohlc" ->

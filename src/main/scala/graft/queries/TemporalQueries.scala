@@ -204,6 +204,17 @@ object TemporalQueries {
         .orderBy("user_id", "day")
     }),
 
+    // T25 — daily resample with LINEAR interpolation between the
+    // surrounding observations (t13's step-hold is wrong for a
+    // continuously-varying signal): exact barycentric integer form —
+    // see Temporal.resampleInterpolatedDaily for the trunc-vs-floor
+    // reasoning. Two as-of directions over one spine; hash-matched.
+    "t25_resample_interp" -> ((s, dir) => {
+      Temporal.resampleInterpolatedDaily(ev(s, dir), entity = Seq("user_id"),
+          ts = "ts", value = "value", tieBreak = "event_id")
+        .orderBy("user_id", "day")
+    }),
+
     // T02 — time-range read: per-user (interval, value) pairs overlapping
     // [2024-01-10, 2024-01-12).
     "t02_time_range" -> ((s, dir) => {
@@ -953,6 +964,34 @@ object TemporalQueries {
     "t19_coalesce_intervals" -> t19Oracle,
 
     "t19b_coalesce_sql" -> t19Oracle,
+
+    "t25_resample_interp" ->
+      """WITH span AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+        |                     date_trunc('day', max(ts)) AS d1
+        |              FROM events GROUP BY 1),
+        |g AS (SELECT user_id,
+        |        unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |      FROM span),
+        |o AS (SELECT user_id, ts, event_id,
+        |        CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |x AS (SELECT g.user_id, g.day,
+        |  (SELECT o.ts FROM o WHERE o.user_id = g.user_id AND o.ts <= g.day
+        |   ORDER BY o.ts DESC, o.event_id DESC LIMIT 1) AS t0,
+        |  (SELECT o.v  FROM o WHERE o.user_id = g.user_id AND o.ts <= g.day
+        |   ORDER BY o.ts DESC, o.event_id DESC LIMIT 1) AS v0,
+        |  (SELECT o.ts FROM o WHERE o.user_id = g.user_id AND o.ts >= g.day
+        |   ORDER BY o.ts ASC, o.event_id ASC LIMIT 1) AS t1,
+        |  (SELECT o.v  FROM o WHERE o.user_id = g.user_id AND o.ts >= g.day
+        |   ORDER BY o.ts ASC, o.event_id ASC LIMIT 1) AS v1
+        | FROM g)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        |  CAST(CASE WHEN t0 IS NULL THEN v1
+        |       WHEN t1 IS NULL OR epoch_us(t1) <= epoch_us(t0) THEN v0
+        |       ELSE (v0 * (epoch_us(t1) - epoch_us(day))
+        |             + v1 * (epoch_us(day) - epoch_us(t0)))
+        |            // (epoch_us(t1) - epoch_us(t0)) END AS BIGINT)
+        |    AS interp_cents
+        |FROM x ORDER BY user_id, day""".stripMargin,
 
     "t23_date_spine" ->
       """WITH daily AS (

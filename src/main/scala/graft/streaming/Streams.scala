@@ -774,6 +774,72 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** S26 funnel rows: per-user view→click→purchase progression. */
+  case class FunnelEv(user_id: Long, event_type: String, ts_us: Long)
+  case class FunnelOut(user_id: Long, v_us: Long, c_us: Long, p_us: Long)
+
+  /** S26 — streaming funnel progression (Q33 continuously): per user the
+    * earliest view, earliest click AT-OR-AFTER that view, and earliest
+    * purchase at-or-after that click, maintained EXACTLY under
+    * out-of-order arrival. The subtlety an O(1) fold gets wrong: a late
+    * EARLIER view can lower v_ts and retroactively qualify clicks that
+    * were ineligible when they arrived — so the state keeps v_min (one
+    * long) plus the click/purchase time LISTS, and re-derives the chain
+    * per batch (min click ≥ v, then min purchase ≥ that). State is
+    * O(clicks+purchases) per user — in production the lists live under
+    * the same watermark horizon as every buffered-input operator here;
+    * the funnel fixture's per-user volumes are tens of rows. Update-mode
+    * emission: the last row per user is its current funnel truth; one
+    * batch over the whole table = Q33's stage sets exactly.
+    */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, FunnelEv, FunnelOut] {
+    @transient private var vMin: ValueState[Long] = _
+    @transient private var clicks: ListState[Long] = _
+    @transient private var purchases: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      vMin = getHandle.getValueState[Long]("vmin",
+        Encoders.scalaLong, TTLConfig.NONE)
+      clicks = getHandle.getListState[Long]("clicks",
+        Encoders.scalaLong, TTLConfig.NONE)
+      purchases = getHandle.getListState[Long]("purchases",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEv],
+        timerValues: TimerValues): Iterator[FunnelOut] = {
+      var v = if (vMin.exists()) vMin.get() else Long.MaxValue
+      rows.foreach { e =>
+        e.event_type match {
+          case "view"     => v = math.min(v, e.ts_us)
+          case "click"    => clicks.appendValue(e.ts_us)
+          case "purchase" => purchases.appendValue(e.ts_us)
+          case _          => ()
+        }
+      }
+      vMin.update(v)
+      def minAtOrAfter(it: Iterator[Long], lo: Long): Long = {
+        var best = Long.MaxValue
+        it.foreach(t => if (t >= lo && t < best) best = t)
+        best
+      }
+      val c = if (v == Long.MaxValue) Long.MaxValue
+              else minAtOrAfter(clicks.get(), v)
+      val p = if (c == Long.MaxValue) Long.MaxValue
+              else minAtOrAfter(purchases.get(), c)
+      def norm(x: Long) = if (x == Long.MaxValue) -1L else x
+      Iterator(FunnelOut(key, norm(v), norm(c), norm(p)))
+    }
+  }
+
+  def funnelStages(events: Dataset[FunnelEv]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** S11 session input/state/output: timer-closed sessions. The input
     * carries a real TimestampType column (`Instant` — microsecond exact)
     * because event-time mode needs a watermarked event-time attribute.

@@ -806,6 +806,56 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S26 streaming funnel: stream == batch, late earlier view re-qualifies") {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider (and
+    // the coordinator endpoint batch runs don't bootstrap on their own)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(spark)
+    val evs = Seq(
+      // user 1 arrives out of order: the view lands in batch 2, AFTER
+      // the click@12 / purchase@20 it must retroactively qualify
+      Streams.FunnelEv(1L, "click", 12L), Streams.FunnelEv(1L, "purchase", 20L),
+      // user 3 funnels in batch 1, then a LATE earlier view+click lower
+      // the whole chain (c must decrease from 60 to 7)
+      Streams.FunnelEv(3L, "view", 50L), Streams.FunnelEv(3L, "click", 60L),
+      // batch 2
+      Streams.FunnelEv(1L, "view", 10L), Streams.FunnelEv(1L, "click", 5L),
+      Streams.FunnelEv(1L, "purchase", 11L),
+      Streams.FunnelEv(3L, "view", 5L), Streams.FunnelEv(3L, "click", 7L),
+      Streams.FunnelEv(2L, "click", 1L))
+    val want = Map(1L -> (10L, 12L, 20L), 2L -> (-1L, -1L, -1L),
+      3L -> (5L, 7L, -1L))
+    val batch = Streams.funnelStages(evs.toDS()).collect()
+      .map(r => r.user_id -> (r.v_us, r.c_us, r.p_us)).toMap
+    assert(batch == want)
+
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Streams.FunnelEv]
+    val q = Streams.funnelStages(source.toDS())
+      .writeStream.format("memory").queryName("s26sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      Seq(evs.take(4), evs.drop(4)).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+      }
+      val rows = spark.table("s26sink").collect()
+      val last = rows.zipWithIndex
+        .groupBy(_._1.getAs[Long]("user_id"))
+        .map { case (u, rs) =>
+          val r = rs.maxBy(_._2)._1
+          u -> (r.getAs[Long]("v_us"), r.getAs[Long]("c_us"),
+            r.getAs[Long]("p_us"))
+        }
+      assert(last == want)
+      // mid-stream truth after batch 1: user 3's chain sat at (50, 60)
+      val mid = rows.zipWithIndex.filter(_._1.getAs[Long]("user_id") == 3L)
+        .minBy(_._2)._1
+      assert((mid.getAs[Long]("v_us"), mid.getAs[Long]("c_us")) == ((50L, 60L)))
+    } finally q.stop()
+  }
+
   test("S25 streaming OHLC: stream (complete) == batch == hand bars") {
     import spark.implicits._
     val streamed = runStream("s25sink", OutputMode.Complete(),
