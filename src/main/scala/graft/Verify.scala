@@ -5,12 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: only run queries whose name starts with the
-    // prefix (local iteration aid; the driver always passes two args)
+    // optional 3rd arg: only run queries whose name starts with one of
+    // the comma-separated prefixes (local iteration aid; the driver
+    // always passes two args)
     val (sfDir, outDir, prefix) = args match {
       case Array(a, b)    => (a, b, "")
       case Array(a, b, p) => (a, b, p)
     }
+    val prefixes = prefix.split(',').toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +28,7 @@ object Verify {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache().count())
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+      .filter(n => prefixes.exists(n._1.startsWith)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

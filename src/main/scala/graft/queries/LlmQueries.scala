@@ -894,6 +894,34 @@ object LlmQueries {
         .limit(50)
     }),
 
+    // L38 — vocabulary growth curve (Heaps' law empirics): cumulative
+    // (tokens seen, distinct tokens seen) in doc_id order — the curve
+    // that predicts vocab size at corpus scale and flags drift when a
+    // new ingest bends it. Scale shape: a token's first occurrence is
+    // simply its MIN doc_id (token-keyed agg — the heavy lifting), so
+    // per-doc new-token counts come from one groupBy and the running
+    // sums run over the |docs|-row table, never the token stream; the
+    // global-order window is over that small side only.
+    "l38_vocab_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+          .as("toks"))
+      val perDoc = d.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"))
+      val firsts = d.select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy("token").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.join(firsts, Seq("doc_id"), "left")
+        .withColumn("cum_tokens", sum("n_toks").over(w))
+        .withColumn("cum_vocab",
+          sum(coalesce(col("n_new"), lit(0L))).over(w))
+        .select("doc_id", "cum_tokens", "cum_vocab")
+        .orderBy("doc_id")
+    }),
+
     // L11 — greedy sequence packing to a 256-token budget across 8
     // independent bucket streams (Text.packGreedy — the training-batch
     // assembly op); result is the per-pack occupancy, hash-checked
@@ -1040,6 +1068,23 @@ object LlmQueries {
         |    AS BIGINT) AS fam_e4
         |FROM big JOIN cnt USING (bigram)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "l38_vocab_growth" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+        |fo AS (SELECT min(doc_id) AS doc_id
+        |       FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+        |       GROUP BY token),
+        |nn AS (SELECT doc_id, count(*) AS n_new FROM fo GROUP BY 1)
+        |SELECT pd.doc_id,
+        |  CAST(sum(pd.n_toks) OVER (ORDER BY pd.doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY pd.doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM pd LEFT JOIN nn USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "l37_collocations" ->
       """WITH d AS (SELECT doc_id,

@@ -748,6 +748,35 @@ object Relational {
         .orderBy("decile")
     }),
 
+    // Q48 — referential-integrity audit: orphan counts for every FK
+    // edge of the star schema in ONE result — the ingest gate a
+    // lakehouse runs before publishing a snapshot. The clean fixture
+    // would make every row 0, so the declared query INJECTS violations
+    // first (a key-shifted slice of orders, the s05 move) and must find
+    // exactly those; each relation is one left-anti join keyed on the
+    // FK — broadcast for dim parents, shuffle for fact parents, never
+    // quadratic.
+    "q48_fk_audit" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // every 97th order re-keyed out of the customer domain
+      val dirty = o.unionAll(o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      def orphans(nm: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.join(parent, child(ck) === parent(pk), "left_anti")
+          .agg(lit(nm).as("relation"), count(lit(1)).as("n_orphans"))
+      orphans("orders->customer", dirty, "o_custkey",
+          t(s, dir, "customer"), "c_custkey")
+        .unionAll(orphans("lineitem->orders", t(s, dir, "lineitem"),
+          "l_orderkey", o, "o_orderkey"))
+        .unionAll(orphans("lineitem->part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionAll(orphans("customer->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        .orderBy("relation")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1209,6 +1238,30 @@ object Relational {
         |FROM s
         |WHERE (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q48_fk_audit" ->
+      """WITH dirty AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey + 1000000 FROM orders
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT * FROM (
+        |  SELECT 'orders->customer' AS relation, count(*) AS n_orphans
+        |  FROM dirty WHERE NOT EXISTS (SELECT 1 FROM customer
+        |    WHERE c_custkey = dirty.o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', count(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_orderkey = lineitem.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem->part', count(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM part
+        |    WHERE p_partkey = lineitem.l_partkey)
+        |  UNION ALL
+        |  SELECT 'customer->nation', count(*) FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM nation
+        |    WHERE n_nationkey = customer.c_nationkey))
+        |ORDER BY relation""".stripMargin,
 
     "q47_decile_stats" ->
       """WITH r AS (SELECT

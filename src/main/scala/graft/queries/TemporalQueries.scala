@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{AsOfJoin, Temporal}
 
@@ -52,6 +53,28 @@ object TemporalQueries {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("click_id_asof").as("click_id"))
       .orderBy("event_id")
+  }
+
+  /** t23/t26 shared dense daily series: per-type daily counts with
+    * missing days as explicit zeros (spine = 1-row bounds agg ×
+    * broadcast type dim; the event table aggregates BEFORE the spine
+    * join, so the join touches |days × types| rows, never |events|).
+    */
+  private def denseDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev(s, dir)
+      .agg(date_trunc("day", min(col("ts"))).as("lo"),
+        date_trunc("day", max(col("ts"))).as("hi"))
+    val types = ev(s, dir).select("event_type").distinct()
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+      .crossJoin(broadcast(types))
+    spine.join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -552,21 +575,23 @@ object TemporalQueries {
     // types, both tiny), then LEFT-joined by the real counts — the big
     // side aggregates BEFORE the join, so the spine join touches
     // |days × types| rows, never |events|.
-    "t23_date_spine" -> ((s, dir) => {
-      val daily = ev(s, dir)
-        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val bounds = ev(s, dir)
-        .agg(date_trunc("day", min(col("ts"))).as("lo"),
-          date_trunc("day", max(col("ts"))).as("hi"))
-      val types = ev(s, dir).select("event_type").distinct()
-      val spine = bounds
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("interval 1 day"))).as("day"))
-        .crossJoin(broadcast(types))
-      spine.join(daily, Seq("day", "event_type"), "left")
-        .select(col("day"), col("event_type"),
-          coalesce(col("n"), lit(0L)).as("n"))
+    "t23_date_spine" -> ((s, dir) =>
+      denseDaily(s, dir).orderBy("day", "event_type")),
+
+    // T26 — week-over-week change: each (day, type) count against the
+    // count 7 days earlier, as exact integers. Built ON the dense t23
+    // series, which is what makes a row-lag a TIME-lag: zeros fill the
+    // holes, so lag(7 rows) over the per-type day order is exactly
+    // "same weekday last week" — on a sparse series this identity is
+    // silently wrong, which is the reason t23 exists. First week drops
+    // (no prior week to compare).
+    "t26_wow_change" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      denseDaily(s, dir)
+        .withColumn("n_prev", lag("n", 7).over(w))
+        .filter(col("n_prev").isNotNull)
+        .withColumn("delta", col("n") - col("n_prev"))
+        .select("day", "event_type", "n", "n_prev", "delta")
         .orderBy("day", "event_type")
     }),
 
@@ -1007,6 +1032,29 @@ object TemporalQueries {
         |  coalesce(d.n, 0) AS n
         |FROM spine s LEFT JOIN daily d
         |  ON d.day = s.day AND d.event_type = s.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    "t26_wow_change" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('day', min(ts)) AS lo,
+        |             date_trunc('day', max(ts)) AS hi FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day,
+        |         t.event_type
+        |  FROM b, (SELECT DISTINCT event_type FROM events) t),
+        |dense AS (
+        |  SELECT s.day, s.event_type, coalesce(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.day = s.day AND d.event_type = s.event_type),
+        |lagged AS (
+        |  SELECT day, event_type, n,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS n_prev
+        |  FROM dense)
+        |SELECT CAST(day AS TIMESTAMP) AS day, event_type, n, n_prev,
+        |  n - n_prev AS delta
+        |FROM lagged WHERE n_prev IS NOT NULL
         |ORDER BY 1, 2""".stripMargin,
 
     "t24_ohlc_bars" ->

@@ -317,6 +317,37 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!all(q).exists(_.isInstanceOf[CartesianProductExec]))
   }
 
+  test("t25 interpolating resample: as-of directions, no join operator") {
+    // both as-of passes are the union+window shape — a planner change
+    // that reintroduces a real join here would be the O(n·m) range-join
+    // cliff at scale
+    val q = SparkEntry.queries("t25_resample_interp")(spark, sfDir)
+    val p = all(q)
+    assert(!p.exists(_.nodeName.contains("Join")),
+      s"expected a join-free union+window plan: ${p.map(_.nodeName).distinct}")
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("q45/q47 concentration curves: 1-row total broadcast, no cartesian") {
+    for (name <- Seq("q45_pareto", "q47_decile_stats")) {
+      val q = SparkEntry.queries(name)(spark, sfDir)
+      val p = all(q)
+      // the only nested loop is the broadcast 1-row total dim
+      val nlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(nlj.length == 1, s"$name: ${p.map(_.nodeName).distinct}")
+      assert(!p.exists(_.isInstanceOf[CartesianProductExec]), name)
+    }
+  }
+
+  test("l37 collocations: marginal joins are not nested loops") {
+    val q = SparkEntry.queries("l37_collocations")(spark, sfDir)
+    val p = all(q)
+    // cx/cy marginals join by key (hash or broadcast-hash); only the
+    // 1-row N total may nested-loop
+    assert(p.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1)
+    assert(!p.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("l29 importance weights: bucket scores broadcast onto the stream") {
     // the <=B-row score table must come back as a broadcast join — a
     // shuffled join here would re-shuffle the whole exploded corpus
