@@ -329,6 +329,59 @@ object Temporal {
       .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
   }
 
+  /** T27 — temporal ALIGN (the full-outer member of the interval
+    * algebra, completing [[temporalJoin]]'s inner intersection): both
+    * inputs' validity intervals re-segmented on the UNION of their
+    * breakpoints, each segment carrying the covering payload from each
+    * side or null where that side has a coverage gap — "value is stale
+    * but the state machine still holds" is a fact only the outer form
+    * can state. Inputs: per-entity DISJOINT, closed intervals
+    * (`valid_from`/`valid_to` half-open), payload column names disjoint
+    * across the two inputs.
+    *
+    * Spark-first shape: NO inequality join. Per side, the covering
+    * interval of a segment `[sf, st)` is the unique one with
+    * `vf ≤ sf` (disjointness) — an AS-OF pick (union+window, one
+    * entity-keyed shuffle) gated by `vt ≥ st`. `tieBreak` matters
+    * exactly when zero-length intervals `[t, t)` tie with a real
+    * interval starting at `t` (duplicate change timestamps): backward
+    * as-of keeps the GREATEST tie, and interval-view construction gives
+    * the last tied row the real (non-degenerate) interval, so the
+    * coverable candidate wins deterministically. Segments covered by
+    * neither side are dropped (they are the mutual gap).
+    */
+  def temporalAlign(a: DataFrame, b: DataFrame, entity: String,
+      aTie: String, bTie: String): DataFrame = {
+    val meta = Set(entity, "valid_from", "valid_to")
+    val aPay = a.columns.filterNot(meta.contains).toSeq
+    val bPay = b.columns.filterNot(meta.contains).toSeq
+    require(aPay.intersect(bPay).isEmpty,
+      s"align payload name clash: ${aPay.intersect(bPay).mkString(",")}")
+    val bps = a.select(col(entity), col("valid_from").as("bp"))
+      .unionAll(a.select(col(entity), col("valid_to")))
+      .unionAll(b.select(col(entity), col("valid_from")))
+      .unionAll(b.select(col(entity), col("valid_to")))
+      .distinct()
+    val w = Window.partitionBy(entity).orderBy("bp")
+    val segs = bps.withColumn("__st", lead("bp", 1).over(w))
+      .filter(col("__st").isNotNull)
+      .select(col(entity), col("bp").as("seg_from"), col("__st").as("seg_to"))
+    def side(left: DataFrame, in: DataFrame, pay: Seq[String],
+        tie: String, covFlag: String): DataFrame = {
+      val j = AsOfJoin(left, in, on = Seq(entity), leftTs = "seg_from",
+        rightTs = "valid_from", payload = "valid_to" +: pay, tieBreak = tie)
+      j.withColumn(covFlag, col("valid_to_asof").isNotNull &&
+          col("valid_to_asof") >= col("seg_to"))
+        .select(left.columns.map(col) ++ Seq(col(covFlag)) ++
+          pay.map(p => when(col(covFlag), col(p + "_asof")).as(p)): _*)
+    }
+    val withA = side(segs, a, aPay, aTie, "__a_cov")
+    side(withA, b, bPay, bTie, "__b_cov")
+      .filter(col("__a_cov") || col("__b_cov"))
+      .select(Seq(col(entity), col("seg_from"), col("seg_to")) ++
+        (aPay ++ bPay).map(col): _*)
+  }
+
   /** Gaps-and-islands sessionization: a new session starts when the gap to
     * the previous row of the same entity is STRICTLY greater than
     * `gapSeconds` (FIXTURES.md: a gap of exactly the threshold does NOT

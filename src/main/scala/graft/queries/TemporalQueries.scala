@@ -615,6 +615,41 @@ object TemporalQueries {
         .orderBy("user_id", "day")
     }),
 
+    // T27 — temporal ALIGN (full-outer interval algebra; t11's missing
+    // dual): the per-user VALUE intervals — CLIPPED to a 2-hour
+    // staleness horizon, which is what creates genuine coverage gaps —
+    // aligned with the compacted EVENT-TYPE intervals on the union of
+    // their breakpoints. Segments where the value has expired carry the
+    // type alone (val_id = -1): the "state machine still holds but the
+    // reading is stale" fact only the outer form can state. No
+    // inequality join — two as-of picks over one segment spine
+    // (Temporal.temporalAlign); nulls coalesced to -1/'none' for
+    // cross-engine null-ordering safety; hash-matched.
+    "t27_temporal_align" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val values = Temporal.intervalView(e, "user_id", "ts", "event_id")
+        .filter(col("valid_to").isNotNull)
+        .withColumn("valid_to", least(col("valid_to"),
+          col("valid_from") + expr("interval 2 hours")))
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_id").as("val_id"), cents(col("value")).as("val_cents"))
+      val types = Temporal.intervalView(
+          Temporal.compactChangePoints(e, "user_id", "ts", "event_id",
+            col("event_type")),
+          "user_id", "ts", "event_id")
+        .filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_id").as("type_id"), col("event_type"))
+      Temporal.temporalAlign(values, types, "user_id",
+          aTie = "val_id", bTie = "type_id")
+        .select(col("user_id"), col("seg_from"), col("seg_to"),
+          coalesce(col("val_id"), lit(-1L)).as("val_id"),
+          coalesce(col("val_cents"), lit(-1L)).as("val_cents"),
+          coalesce(col("type_id"), lit(-1L)).as("type_id"),
+          coalesce(col("event_type"), lit("none")).as("event_type"))
+        .orderBy("user_id", "seg_from")
+    }),
+
     // T11 — temporal interval-intersection join (the temporal-algebra
     // inner join): the per-user VALUE intervals joined with the per-user
     // EVENT-TYPE intervals (the compacted T08 stream, so the two interval
@@ -1168,6 +1203,57 @@ object TemporalQueries {
         |  coalesce(s2.value_cents, -1) AS cents_at_t2
         |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
         |ORDER BY user_id""".stripMargin,
+
+    "t27_temporal_align" ->
+      """WITH iv0 AS (SELECT user_id, event_id AS val_id, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        |    CAST(round(value*100) AS BIGINT) AS val_cents
+        |  FROM events),
+        |a AS (SELECT user_id, val_id, val_cents, vf,
+        |        least(vt, vf + INTERVAL 2 HOUR) AS vt
+        |      FROM iv0 WHERE vt IS NOT NULL),
+        |ct AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |cx AS (SELECT user_id, event_id AS type_id, ts, event_type FROM ct
+        |       WHERE pv IS DISTINCT FROM event_type),
+        |b AS (SELECT * FROM (
+        |    SELECT user_id, type_id, event_type, ts AS tf,
+        |      lead(ts) OVER (PARTITION BY user_id
+        |                     ORDER BY ts, type_id) AS tt
+        |    FROM cx) WHERE tt IS NOT NULL),
+        |bp AS (SELECT DISTINCT user_id, bp FROM (
+        |  SELECT user_id, vf AS bp FROM a
+        |  UNION ALL SELECT user_id, vt FROM a
+        |  UNION ALL SELECT user_id, tf FROM b
+        |  UNION ALL SELECT user_id, tt FROM b)),
+        |seg AS (SELECT * FROM (
+        |  SELECT user_id, bp AS sf,
+        |    lead(bp) OVER (PARTITION BY user_id ORDER BY bp) AS st
+        |  FROM bp) WHERE st IS NOT NULL),
+        |x AS (SELECT seg.user_id, seg.sf, seg.st,
+        |  (SELECT a.val_id FROM a WHERE a.user_id = seg.user_id
+        |     AND a.vf <= seg.sf AND a.vt >= seg.st
+        |   ORDER BY a.vf DESC, a.val_id DESC LIMIT 1) AS val_id,
+        |  (SELECT a.val_cents FROM a WHERE a.user_id = seg.user_id
+        |     AND a.vf <= seg.sf AND a.vt >= seg.st
+        |   ORDER BY a.vf DESC, a.val_id DESC LIMIT 1) AS val_cents,
+        |  (SELECT b.type_id FROM b WHERE b.user_id = seg.user_id
+        |     AND b.tf <= seg.sf AND b.tt >= seg.st
+        |   ORDER BY b.tf DESC, b.type_id DESC LIMIT 1) AS type_id,
+        |  (SELECT b.event_type FROM b WHERE b.user_id = seg.user_id
+        |     AND b.tf <= seg.sf AND b.tt >= seg.st
+        |   ORDER BY b.tf DESC, b.type_id DESC LIMIT 1) AS event_type
+        | FROM seg)
+        |SELECT user_id, CAST(sf AS TIMESTAMP) AS seg_from,
+        |  CAST(st AS TIMESTAMP) AS seg_to,
+        |  coalesce(val_id, -1) AS val_id,
+        |  coalesce(val_cents, -1) AS val_cents,
+        |  coalesce(type_id, -1) AS type_id,
+        |  coalesce(event_type, 'none') AS event_type
+        |FROM x WHERE val_id IS NOT NULL OR type_id IS NOT NULL
+        |ORDER BY user_id, seg_from""".stripMargin,
 
     "t11_temporal_join" ->
       """WITH iv AS (SELECT user_id, event_id AS val_id, ts AS vf,

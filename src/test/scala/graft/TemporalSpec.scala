@@ -532,6 +532,38 @@ class TemporalSpec extends SparkSpecBase {
       (5L, "update", Some(9L), None)))
   }
 
+  test("temporalAlign: outer segments, stale gaps, mutual gaps dropped") {
+    import spark.implicits._
+    def iv(rows: Seq[(Long, Long, Long, Long, Long)], pay: String) =
+      rows.toDF("user_id", "f", "t", "id", pay)
+        .withColumn("valid_from", timestamp_seconds(col("f")))
+        .withColumn("valid_to", timestamp_seconds(col("t")))
+        .drop("f", "t")
+    // user 1: A covers [0,10) and [20,30); B covers [5,25) and [40,50).
+    // Expected segments: [0,5) A-only, [5,10) both, [10,20) B-only,
+    // [20,25) both, [25,30) A-only, [40,50) B-only; [30,40) is the
+    // mutual gap and must NOT appear.
+    val a = iv(Seq((1L, 0L, 10L, 101L, 7L), (1L, 20L, 30L, 102L, 8L)), "va")
+      .withColumnRenamed("id", "a_id")
+    val b = iv(Seq((1L, 5L, 25L, 201L, 1L), (1L, 40L, 50L, 202L, 2L)), "vb")
+      .withColumnRenamed("id", "b_id")
+    val got = Temporal.temporalAlign(a, b, "user_id", "a_id", "b_id")
+      .select(unix_seconds(col("seg_from")), unix_seconds(col("seg_to")),
+        col("a_id"), col("b_id"))
+      .orderBy("seg_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSeq
+    assert(got == Seq(
+      (0L, 5L, Some(101L), None),
+      (5L, 10L, Some(101L), Some(201L)),
+      (10L, 20L, None, Some(201L)),
+      (20L, 25L, Some(102L), Some(201L)),
+      (25L, 30L, Some(102L), None),
+      (40L, 50L, None, Some(202L))))
+  }
+
   test("coalesceIntervals: nesting, touching merges, strict gap splits") {
     import spark.implicits._
     // The lag(end) trap: [0,100) swallows [10,20); [10,20)'s own end must
