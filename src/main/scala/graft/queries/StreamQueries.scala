@@ -280,6 +280,29 @@ object StreamQueries {
         .orderBy("wday")
     }),
 
+    // S27 — incremental connected components: g06's labels maintained
+    // through 3 deterministic hash-split micro-batches of the co-part
+    // edge stream, one batch REPLAYED (merging already-merged
+    // components is naturally a no-op — CC's idempotence needs no
+    // ledger); each fold contracts only the batch-sized quotient graph
+    // and relabels via a broadcast remap. Final labels == the one-shot
+    // star-contraction CC (g06's oracle). StreamingSpec drives the same
+    // fold from a real MemoryStream.
+    "s27_incremental_cc" -> ((s, dir) => {
+      val edges = graft.ops.Graphs.copartEdges(s, dir)
+        .transform(graft.ops.Checkpoints.cut)
+      def slice(i: Int) =
+        edges.filter(pmod(xxhash64(col("src"), col("dst")), lit(3)) === i)
+      var labels = edges.select(col("src").cast("long").as("id"),
+        col("src").cast("long").as("component")).limit(0)
+      (0 to 2).foreach { i =>
+        labels = Streams.ccApplyBatch(s, labels, slice(i))
+      }
+      labels = Streams.ccApplyBatch(s, labels, slice(2)) // replay: no-op
+      labels.select(col("id").as("p_partkey"), col("component"))
+        .orderBy("p_partkey")
+    }),
+
     // S26 — streaming funnel progression: q33's view→click→purchase
     // stage sets maintained exactly under out-of-order arrival (a late
     // earlier view retroactively re-qualifies clicks — the state keeps
@@ -446,6 +469,10 @@ object StreamQueries {
     // s24 is q38's WAU curve through the streaming plan — same oracle.
     "s24_streaming_wau" ->
       graft.queries.Relational.oracles("q38_rolling_distinct"),
+
+    // s27's maintained labels must equal the one-shot CC.
+    "s27_incremental_cc" ->
+      graft.queries.GraphQueries.oracles("g06_connected_components"),
 
     // s26's per-user truths aggregate to q33's stage counts.
     "s26_streaming_funnel" ->

@@ -238,6 +238,30 @@ object TemporalQueries {
         .orderBy("user_id", "day")
     }),
 
+    // T28 — time-to-event with CENSORING (survival-analysis prep): for
+    // every click, the microseconds until the same user's next purchase
+    // at-or-after it — and, where no purchase ever follows, tt_us = −1
+    // with censored = true rather than a dropped row: survival curves
+    // are WRONG without the censored population (dropping them biases
+    // the hazard toward converters). One forward as-of (union+window,
+    // single user-keyed shuffle); exact integer micros.
+    "t28_time_to_event" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("p_id"))
+      AsOfJoin.forward(clicks, purchases, on = Seq("user_id"),
+          leftTs = "ts", rightTs = "pts", payload = Seq("pts", "p_id"),
+          tieBreak = "p_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(Det.epochUs(col("pts_fwd")) - Det.epochUs(col("ts")),
+            lit(-1L)).as("tt_us"),
+          col("pts_fwd").isNull.as("censored"))
+        .orderBy("event_id")
+    }),
+
     // T02 — time-range read: per-user (interval, value) pairs overlapping
     // [2024-01-10, 2024-01-12).
     "t02_time_range" -> ((s, dir) => {
@@ -1203,6 +1227,21 @@ object TemporalQueries {
         |  coalesce(s2.value_cents, -1) AS cents_at_t2
         |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
         |ORDER BY user_id""".stripMargin,
+
+    "t28_time_to_event" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, event_id AS p_id FROM events
+        |      WHERE event_type = 'purchase'),
+        |x AS (SELECT c.event_id, c.user_id, c.ts,
+        |  (SELECT p.pts FROM p WHERE p.user_id = c.user_id
+        |     AND p.pts >= c.ts
+        |   ORDER BY p.pts ASC, p.p_id ASC LIMIT 1) AS pts
+        | FROM c)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  coalesce(epoch_us(pts) - epoch_us(ts), -1) AS tt_us,
+        |  pts IS NULL AS censored
+        |FROM x ORDER BY event_id""".stripMargin,
 
     "t27_temporal_align" ->
       """WITH iv0 AS (SELECT user_id, event_id AS val_id, ts AS vf,

@@ -222,6 +222,48 @@ object Streams {
     state.groupBy("fid").agg(
       sum("cnt_r").as("cnt_r"), sum("cnt_t").as("cnt_t"))
 
+  /** S27 — incremental connected components: fold one micro-batch of
+    * edges into a maintained `(id, component)` label table — continuous
+    * graph ingestion's core maintenance problem. The merge works on the
+    * QUOTIENT graph: each batch edge (u, v) becomes an edge between the
+    * endpoints' CURRENT components (new vertices start as their own),
+    * star-contraction CC runs on that super-edge list — sized by the
+    * BATCH, not the graph — and the resulting `old comp → merged comp`
+    * map (≤ 2·|batch| rows, broadcast) relabels the full table in one
+    * join. Correct because existing labels already quotient all prior
+    * edges, so CC(labels ∪ batch) = CC over the quotient; the min-id
+    * label invariant survives (min of merged mins = merged min).
+    * Re-applying a batch is a natural no-op (merging merged components
+    * changes nothing) — idempotence for free, asserted in StreamingSpec.
+    */
+  def ccApplyBatch(s: org.apache.spark.sql.SparkSession, labels: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    val lab = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+    val superEdges = e
+      .join(lab.select(col("id").as("src"), col("component").as("c1")), "src")
+      .join(lab.select(col("id").as("dst"), col("component").as("c2")), "dst")
+      .select(col("c1").as("src"), col("c2").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val remap =
+      if (superEdges.isEmpty) null
+      else graft.ops.Graphs.connectedComponentsDF(s, superEdges)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("component"), col("component").as("__new"))
+    val all = labels.unionByName(
+      lab.join(labels.select("id"), Seq("id"), "left_anti"))
+    val out = if (remap == null) all
+      else all.join(broadcast(remap), Seq("component"), "left")
+        .select(col("id"),
+          coalesce(col("__new"), col("component")).as("component"))
+    out.transform(graft.ops.Checkpoints.cut)
+  }
+
   /** S13 — stream-stream interval join: each `view` event paired with the
     * same user's `purchase` events in the following 30 minutes
     * (attribution-window join). Both sides carry event-time watermarks and

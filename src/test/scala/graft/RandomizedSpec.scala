@@ -259,6 +259,84 @@ class RandomizedSpec extends SparkSpecBase {
     }
   }
 
+  test("resampleInterpolatedDaily == brute-force interpolation (random, 15 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val dayUs = 86400000000L
+    for (trial <- 1 to 15) {
+      val nUsers = 1 + rnd.nextInt(3)
+      val rows = (1 to 30).map { i =>
+        val us = (rnd.nextInt(10) * dayUs) + rnd.nextInt(5) * 1000000L
+        (rnd.nextInt(nUsers).toLong,
+          java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000)),
+          i.toLong, rnd.nextInt(10000).toDouble / 100.0)
+      }
+      val df = rows.toDF("user_id", "ts", "event_id", "value")
+      val got = graft.ops.Temporal
+        .resampleInterpolatedDaily(df, Seq("user_id"), "ts", "value", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> r.getLong(2))
+        .toMap
+      val expect = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        def usOf(t: java.sql.Timestamp) = t.getTime * 1000L
+        val us = rs.map(r => usOf(r._2))
+        val (d0, d1) = (us.min / dayUs, us.max / dayUs)
+        (d0 to d1).map { d =>
+          val g = d * dayUs
+          // back: max (ts, id) at-or-before g; fwd: min (ts, id) at-or-after
+          val back = rs.filter(r => usOf(r._2) <= g)
+            .sortBy(r => (usOf(r._2), r._3)).lastOption
+          val fwd = rs.filter(r => usOf(r._2) >= g)
+            .sortBy(r => (usOf(r._2), r._3)).headOption
+          def cents(v: Double) = graft.Det.centsJvm(v)
+          val interp = (back, fwd) match {
+            case (None, Some(f)) => cents(f._4)
+            case (Some(b), None) => cents(b._4)
+            case (Some(b), Some(f)) =>
+              val (t0, t1) = (usOf(b._2), usOf(f._2))
+              if (t1 <= t0) cents(b._4)
+              else (cents(b._4) * (t1 - g) + cents(f._4) * (g - t0)) / (t1 - t0)
+            case _ => sys.error("grid day with no observation either side")
+          }
+          (u, g / 1000L) -> interp
+        }
+      }.toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("weighted median == local cumulative-weight selection (random, 20 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 20) {
+      // deliberate value ties across different weights so the suffix-min
+      // collapse is exercised on tied sort keys
+      val rows = (1 to 40).map { i =>
+        (rnd.nextInt(3).toLong, rnd.nextInt(8).toLong * 100,
+          1L + rnd.nextInt(5), i.toLong, i.toLong)
+      } // (grp, v, w, ok, ln)
+      val df = rows.toDF("rf", "v", "w", "ok", "ln")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("rf")
+        .orderBy(col("v").asc, col("ok").asc, col("ln").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val got = df.withColumn("cumw", sum("w").over(w))
+        .withColumn("total", sum("w").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("rf")))
+        .filter(col("cumw") * 2 >= col("total"))
+        .groupBy("rf").agg(min("v").as("med"), min("total").as("tw"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._4, r._5))
+        val total = rs.map(_._3).sum
+        var cum = 0L
+        val med = sorted.find { r => cum += r._3; cum * 2 >= total }.get._2
+        g -> (med, total)
+      }
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("media codecs never throw on fuzzed bytes (500 mutations each)") {
     // the 100 TB-scrape contract: garbage decodes to None, never an
     // exception — fuzz with random bytes AND bit-flipped valid containers

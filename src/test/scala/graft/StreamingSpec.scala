@@ -806,6 +806,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S27 incremental CC: foreachBatch fold == one-shot CC, replay no-op") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val allEdges = (0 until 60).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val oneShot = graft.ops.Graphs
+      .connectedComponentsDF(spark, allEdges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    var labels = Seq.empty[(Long, Long)].toDF("id", "component")
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, Long)]
+    val q = source.toDF().toDF("src", "dst").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        labels = Streams.ccApplyBatch(spark, labels, batch)
+        ()
+      }.start()
+    try {
+      allEdges.grouped(20).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def snap() = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = snap()
+    assert(streamed == oneShot && oneShot.nonEmpty)
+    // replaying the last slice merges already-merged components: no-op
+    labels = Streams.ccApplyBatch(spark, labels,
+      allEdges.takeRight(20).toDF("src", "dst"))
+    assert(snap() == oneShot)
+  }
+
   test("S26 streaming funnel: stream == batch, late earlier view re-qualifies") {
     import spark.implicits._
     // transformWithState requires the RocksDB state store provider (and
