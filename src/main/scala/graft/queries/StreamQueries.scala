@@ -280,6 +280,28 @@ object StreamQueries {
         .orderBy("wday")
     }),
 
+    // S28 — streaming interval coalescing: t19's maximal spans as a
+    // continuous query — the per-user span list folds each arriving
+    // 45-minute hold in (set union: associative+commutative, so a late
+    // interval that BRIDGES two spans collapses them exactly); batch
+    // run = one batch over the whole table = t19, hash-matched against
+    // its oracle. Stream == batch incl. bridging in StreamingSpec.
+    "s28_streaming_coalesce" -> ((s0, dir) => {
+      val s = stateSession(s0)
+      import s.implicits._
+      val in = ev(s, dir)
+        .select(col("user_id"), graft.Det.epochUs(col("ts")).as("start_us"),
+          (graft.Det.epochUs(col("ts")) + lit(45L * 60 * 1000000))
+            .as("end_us"))
+        .as[Streams.HoldEv]
+      Streams.coalesceSpans(in).toDF()
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).as("span_start"),
+          timestamp_micros(col("end_us")).as("span_end"),
+          col("n_intervals"))
+        .orderBy("user_id", "span_start")
+    }),
+
     // S27 — incremental connected components: g06's labels maintained
     // through 3 deterministic hash-split micro-batches of the co-part
     // edge stream, one batch REPLAYED (merging already-merged
@@ -469,6 +491,10 @@ object StreamQueries {
     // s24 is q38's WAU curve through the streaming plan — same oracle.
     "s24_streaming_wau" ->
       graft.queries.Relational.oracles("q38_rolling_distinct"),
+
+    // s28 collapses to t19's spans in batch — same oracle.
+    "s28_streaming_coalesce" ->
+      graft.queries.TemporalQueries.oracles("t19_coalesce_intervals"),
 
     // s27's maintained labels must equal the one-shot CC.
     "s27_incremental_cc" ->

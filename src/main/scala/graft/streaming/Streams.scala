@@ -264,6 +264,56 @@ object Streams {
     out.transform(graft.ops.Checkpoints.cut)
   }
 
+  /** S28 rows: per-user coalesced validity spans, maintained live. */
+  case class HoldEv(user_id: Long, start_us: Long, end_us: Long)
+  case class Span(start_us: Long, end_us: Long, n: Long)
+  case class SpanOut(user_id: Long, start_us: Long, end_us: Long,
+      n_intervals: Long)
+
+  /** S28 — streaming interval coalescing: T19's maximal covered spans
+    * maintained continuously — each arriving interval folds into the
+    * per-entity span list (insert + merge sweep), with T19's exact
+    * boundary rule (touching `end == next start` MERGES; only a strict
+    * gap splits). The fold is a set union — associative and commutative
+    * — so out-of-order arrival lands exactly: a late interval that
+    * BRIDGES two spans collapses them (and sums their interval counts),
+    * which no append-only form can express. State = the disjoint span
+    * list per entity (bounded by the entity's coverage structure, not
+    * its event count); Update-mode emission is the entity's current
+    * span set, so one batch over the whole table IS t19.
+    */
+  class CoalesceProcessor
+      extends StatefulProcessor[Long, HoldEv, SpanOut] {
+    @transient private var spans: ListState[Span] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      spans = getHandle.getListState[Span]("spans",
+        Encoders.product[Span], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[HoldEv],
+        timerValues: TimerValues): Iterator[SpanOut] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Span]
+      spans.get().foreach(buf += _)
+      rows.foreach(e => buf += Span(e.start_us, e.end_us, 1L))
+      val merged = buf.sortBy(s => (s.start_us, s.end_us))
+        .foldLeft(List.empty[Span]) { (acc, s) => acc match {
+          case h :: t if s.start_us <= h.end_us =>
+            Span(h.start_us, math.max(h.end_us, s.end_us), h.n + s.n) :: t
+          case _ => s :: acc
+        }}.reverse.toArray
+      spans.put(merged)
+      merged.iterator.map(sp =>
+        SpanOut(key, sp.start_us, sp.end_us, sp.n))
+    }
+  }
+
+  def coalesceSpans(holds: Dataset[HoldEv]): Dataset[SpanOut] = {
+    import holds.sparkSession.implicits._
+    holds.groupByKey(_.user_id)
+      .transformWithState(new CoalesceProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** S13 — stream-stream interval join: each `view` event paired with the
     * same user's `purchase` events in the following 30 minutes
     * (attribution-window join). Both sides carry event-time watermarks and

@@ -806,6 +806,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S28 streaming coalesce: every emission == prefix coalesce, late bridge merges") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.GraftPlanBridge.ensureStateStoreCoordinator(spark)
+    // user 1: [0,10) and [20,30) land first; the LATE [8,22) bridges
+    // them into one [0,30) span of 3 intervals
+    val batches = Seq(
+      Seq(Streams.HoldEv(1L, 0L, 10L), Streams.HoldEv(1L, 20L, 30L),
+        Streams.HoldEv(2L, 5L, 6L)),
+      Seq(Streams.HoldEv(1L, 8L, 22L), Streams.HoldEv(2L, 6L, 7L)))
+    // batch-mode single pass == full coalesce
+    val batchRun = Streams.coalesceSpans(batches.flatten.toDS()).collect()
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_intervals)).toSet
+    assert(batchRun == Set((1L, 0L, 30L, 3L), (2L, 5L, 7L, 2L)))
+
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Streams.HoldEv]
+    val q = Streams.coalesceSpans(source.toDS())
+      .writeStream.format("memory").queryName("s28sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      batches.foreach { b => source.addData(b); q.processAllAvailable() }
+      // every batch's emission must equal the coalesce of the prefix —
+      // the sink multiset is the union of the per-prefix truths
+      val got = spark.table("s28sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val want = batches.indices.flatMap { i =>
+        Streams.coalesceSpans(batches.take(i + 1).flatten.toDS()).collect()
+          .map(s => (s.user_id, s.start_us, s.end_us, s.n_intervals))
+      }.groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("S27 incremental CC: foreachBatch fold == one-shot CC, replay no-op") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
