@@ -588,6 +588,43 @@ object Temporal {
       end: String, tieBreak: String): DataFrame =
     coalesceIntervals(df, Seq(entity), start, end, tieBreak)
 
+  /** T29 — peak concurrency by SWEEP LINE: per entity, the maximum
+    * number of simultaneously-open intervals — the capacity question
+    * ("how many leases/sessions/connections at once") that
+    * [[coalesceIntervals]]' spans deliberately erase. Each interval
+    * contributes a +1 boundary at `start` and a −1 at `end`; the
+    * running sum over the boundary stream is the live count, and ends
+    * sort BEFORE starts at equal time so the half-open convention
+    * holds: touching intervals never overlap (the same boundary rule
+    * as the whole interval algebra). One entity shuffle, one
+    * running-sum window, a groupBy reusing the window's partitioning —
+    * linear where an all-pairs overlap count is quadratic; per-key
+    * window state is a single counter at any scale. Output:
+    * (entity…, n_intervals, peak).
+    */
+  def peakConcurrency(
+      df: DataFrame,
+      entity: Seq[String],
+      start: String,
+      end: String,
+      tieBreak: String): DataFrame = {
+    val ec = entity.map(col)
+    val b = df.select(ec :+ graft.Det.epochUs(col(start)).as("__t") :+
+        lit(1).as("__d") :+ col(tieBreak).as("__tb"): _*)
+      .unionAll(df.select(ec :+ graft.Det.epochUs(col(end)).as("__t") :+
+        lit(-1).as("__d") :+ col(tieBreak).as("__tb"): _*))
+    val w = Window.partitionBy(ec: _*)
+      .orderBy(col("__t").asc, col("__d").asc, col("__tb").asc)
+    b.withColumn("__conc", sum(col("__d")).over(w))
+      .groupBy(ec: _*)
+      .agg(expr("count(1) div 2").as("n_intervals"),
+        max(col("__conc")).cast("long").as("peak"))
+  }
+
+  def peakConcurrency(df: DataFrame, entity: String, start: String,
+      end: String, tieBreak: String): DataFrame =
+    peakConcurrency(df, Seq(entity), start, end, tieBreak)
+
   /** T21 — interval OVERLAP AUDIT: per entity, every interval that
     * begins STRICTLY before the coverage frontier of the rows sorted
     * before it — the integrity read over any validity-interval table

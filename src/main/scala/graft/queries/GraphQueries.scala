@@ -293,6 +293,32 @@ object GraphQueries {
         .orderBy("seed")
     }),
 
+    // G32 — Katz centrality, EXACT: walk counts of length 1..3 ending
+    // at each vertex (c_{k+1} = A^T c_k — one edge join + vertex groupBy
+    // per round, the sparse matvec shape that scales as rounds × one
+    // shuffle), combined with attenuation β = 1/4 scaled by 4³:
+    // katz_x64 = 16·c1 + 4·c2 + c3. Integer walk counts make the
+    // truncated Katz sum hash-exact — no float power iteration — and
+    // the top-100 cut is deterministic (score desc, id asc). The
+    // attenuated-influence read PageRank's normalization hides: a
+    // vertex's score counts its short walk catchment directly.
+    "g32_katz" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
+      val c1 = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("c"))
+      def step(prev: DataFrame): DataFrame =
+        edges.join(prev.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum("c").as("c"))
+      val c2 = step(c1)
+      val c3 = step(c2)
+      c1.select(col("id"), col("c").as("w1"))
+        .join(c2.select(col("id"), col("c").as("w2")), "id")
+        .join(c3.select(col("id"), col("c").as("w3")), "id")
+        .select(col("id").as("part_id"), col("w1"), col("w2"), col("w3"),
+          (col("w1") * 16 + col("w2") * 4 + col("w3")).as("katz_x64"))
+        .orderBy(col("katz_x64").desc, col("part_id").asc)
+        .limit(100)
+    }),
+
     // G16 — deterministic hash-walk sampling from customers 1..5 on the
     // supply graph (2 walks × ≤3 steps each): node2vec-style walk data
     // whose "randomness" is a seeded hash, so retries/reruns reproduce
@@ -656,6 +682,22 @@ object GraphQueries {
         |SELECT seed, count(*) AS n_reached,
         |  CAST(sum(60 // dist) AS BIGINT) AS harmonic_x60
         |FROM md WHERE dist > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Truncated Katz replayed by the same unrolled sparse matvec: walk
+    // counts are exact integers, so the attenuated sum is hash-exact.
+    "g32_katz" ->
+      s"""WITH $copartCte,
+        |c1 AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY 1),
+        |c2 AS (SELECT e.dst AS id, sum(c1.c) AS c FROM e
+        |       JOIN c1 ON c1.id = e.src GROUP BY 1),
+        |c3 AS (SELECT e.dst AS id, sum(c2.c) AS c FROM e
+        |       JOIN c2 ON c2.id = e.src GROUP BY 1)
+        |SELECT CAST(c1.id AS BIGINT) AS part_id,
+        |  CAST(c1.c AS BIGINT) AS w1, CAST(c2.c AS BIGINT) AS w2,
+        |  CAST(c3.c AS BIGINT) AS w3,
+        |  CAST(16 * c1.c + 4 * c2.c + c3.c AS BIGINT) AS katz_x64
+        |FROM c1 JOIN c2 ON c2.id = c1.id JOIN c3 ON c3.id = c1.id
+        |ORDER BY katz_x64 DESC, part_id LIMIT 100""".stripMargin,
 
     // Shortest-path counts replayed by WALK ENUMERATION: every walk of
     // length <= 3 from the seed, then (a) a walk whose length equals its

@@ -922,6 +922,40 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L39 — per-document n-gram NOVELTY: the fraction of a doc's
+    // distinct word bigrams whose corpus-wide FIRST occurrence (min
+    // doc_id) is this doc — the marginal-diversity signal dedup-aware
+    // data curation ranks by ("does this doc add anything the corpus
+    // hasn't seen"), the per-doc dual of l38's corpus growth curve.
+    // Exact scaled integers (novelty_e6 = 1e6·n_new div n_distinct).
+    // Scale shape: first-occurrence is a bigram-keyed min — one agg
+    // over the bigram stream, joined back bigram-keyed; nothing is
+    // ever quadratic in docs and no per-doc state exceeds its own
+    // bigram set. Zero-bigram docs (≤ 1 token) drop: novelty of an
+    // empty set is undefined, not zero.
+    "l39_ngram_novelty" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir).select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as(Seq("pos", "token")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = tok.withColumn("nxt", lead("token", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("token"), col("nxt")).as("bg"))
+        .distinct()
+      val firsts = big.groupBy("bg").agg(min("doc_id").as("first_doc"))
+      big.join(firsts, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("first_doc") === col("doc_id"), 1L)
+            .otherwise(0L)).as("n_new"))
+        .withColumn("novelty_e6",
+          expr("1000000 * n_new div n_distinct"))
+        .select("doc_id", "n_distinct", "n_new", "novelty_e6")
+        .orderBy("doc_id")
+    }),
+
     // L11 — greedy sequence packing to a 256-token budget across 8
     // independent bucket streams (Text.packGreedy — the training-batch
     // assembly op); result is the per-pack occupancy, hash-checked
@@ -1085,6 +1119,25 @@ object LlmQueries {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
         |FROM pd LEFT JOIN nn USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "l39_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |big AS (SELECT DISTINCT doc_id,
+        |    toks[CAST(gs AS INT)] || ' ' || toks[CAST(gs AS INT) + 1] AS bg
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS gs
+        |        FROM d)),
+        |firsts AS (SELECT bg, min(doc_id) AS first_doc FROM big GROUP BY 1)
+        |SELECT big.doc_id, count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN firsts.first_doc = big.doc_id
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(1000000 * sum(CASE WHEN firsts.first_doc = big.doc_id
+        |                          THEN 1 ELSE 0 END) // count(*)
+        |    AS BIGINT) AS novelty_e6
+        |FROM big JOIN firsts USING (bg)
+        |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
 
     "l37_collocations" ->
       """WITH d AS (SELECT doc_id,

@@ -777,6 +777,34 @@ object Relational {
         .orderBy("relation")
     }),
 
+    // Q49 — Markov transition matrix over sessionized clickstreams: for
+    // every (from_type, to_type) pair, how often the user's NEXT event
+    // (within the same 30-minute-gap session — t06's boundary rule, so
+    // a gap of exactly 30 min still chains) is of each type, with the
+    // row-normalized transition probability as an exact scaled integer
+    // (p_e6 = 1e6·n div from_total — no floats to hash). The "what do
+    // users do next" read behind path analysis and next-step
+    // prediction. One entity-shuffle lag window over events; the
+    // transition table itself is |types|² — tiny at any scale — so the
+    // normalizing window runs on the aggregate, never the event stream.
+    "q49_markov" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = t(s, dir, "events")
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .withColumn("gap_us",
+          epochUs(lead("ts", 1).over(w)) - epochUs(col("ts")))
+        .filter(col("to_type").isNotNull &&
+          col("gap_us") <= lit(1800L * 1000000))
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .withColumn("p_e6",
+          expr("1000000 * n div sum(n) over (partition by from_type)"))
+        .select("from_type", "to_type", "n", "p_e6")
+        .orderBy("from_type", "to_type")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1238,6 +1266,21 @@ object Relational {
         |FROM s
         |WHERE (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q49_markov" ->
+      """WITH x AS (SELECT event_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    epoch_us(CAST(lead(ts) OVER w AS TIMESTAMP))
+        |      - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM x WHERE to_type IS NOT NULL AND gap_us <= 1800000000
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(1000000 * n // (sum(n) OVER (PARTITION BY from_type))
+        |    AS BIGINT) AS p_e6
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
 
     "q48_fk_audit" ->
       """WITH dirty AS (

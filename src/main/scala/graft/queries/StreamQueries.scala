@@ -302,6 +302,26 @@ object StreamQueries {
         .orderBy("user_id", "span_start")
     }),
 
+    // S29 — streaming gap detection: t17's silences live — each event
+    // checked against the user's previous one from one-row state, a
+    // super-threshold silence emitted as a closed gap the moment the
+    // next event lands. Batch twin = the same fold over the whole
+    // table, hash-matched against t17's oracle; stream == batch fold
+    // in StreamingSpec.
+    "s29_streaming_gaps" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir)
+        .select(col("user_id"), col("event_id"),
+          graft.Det.epochUs(col("ts")).as("ts_us"))
+        .as[Streams.GapEv]
+      Streams.gapsBatch(in, minGapUs = 86400L * 1000000).toDF()
+        .select(col("user_id"),
+          timestamp_micros(col("gap_start_us")).as("gap_start"),
+          timestamp_micros(col("gap_end_us")).as("gap_end"),
+          col("gap_us"))
+        .orderBy("user_id", "gap_start")
+    }),
+
     // S27 — incremental connected components: g06's labels maintained
     // through 3 deterministic hash-split micro-batches of the co-part
     // edge stream, one batch REPLAYED (merging already-merged
@@ -511,6 +531,10 @@ object StreamQueries {
     // s23 must reproduce l29's one-shot weights from maintained stats.
     "s23_importance_maintenance" ->
       graft.queries.LlmQueries.oracles("l29_importance_weights"),
+
+    // s29 is t17's gap detection through the streaming fold — same oracle.
+    "s29_streaming_gaps" ->
+      graft.queries.TemporalQueries.oracles("t17_gap_detect"),
 
     // s21 is the t07 merge through the CDC-apply path — same oracle.
     "s21_scd2_maintenance" ->

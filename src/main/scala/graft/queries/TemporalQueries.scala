@@ -579,6 +579,18 @@ object TemporalQueries {
         .orderBy("user_id", "ov_from", "event_id")
     }),
 
+    // T29 — peak concurrency by sweep line over the 45-minute holds:
+    // per user, the maximum number of simultaneously-open holds — the
+    // capacity read t19's coalesced spans deliberately erase (see
+    // Temporal.peakConcurrency for the boundary rule: ends before
+    // starts at equal time, so touching holds never overlap).
+    "t29_concurrency" -> ((s, dir) => {
+      Temporal.peakConcurrency(holds45(s, dir), entity = Seq("user_id"),
+          start = "hold_start", end = "hold_end", tieBreak = "event_id")
+        .withColumnRenamed("n_intervals", "n_holds")
+        .orderBy("user_id")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -1149,6 +1161,22 @@ object TemporalQueries {
         |       - epoch_us(CAST(vf AS TIMESTAMP))) AS BIGINT) AS held_us
         |FROM iv WHERE vt IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t29_concurrency" ->
+      """WITH h AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 2700000000 AS e_us
+        |  FROM events),
+        |b AS (SELECT user_id, s_us AS t, 1 AS d, event_id FROM h
+        |  UNION ALL
+        |  SELECT user_id, e_us, -1, event_id FROM h),
+        |r AS (SELECT user_id,
+        |    sum(d) OVER (PARTITION BY user_id
+        |                 ORDER BY t, d, event_id) AS conc
+        |  FROM b)
+        |SELECT user_id, CAST(count(*) // 2 AS BIGINT) AS n_holds,
+        |  CAST(max(conc) AS BIGINT) AS peak
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "t21_overlap_audit" ->
       """WITH iv AS (SELECT user_id, event_id, ts AS s,

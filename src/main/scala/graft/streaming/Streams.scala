@@ -526,6 +526,72 @@ object Streams {
       }
   }
 
+  /** S29 — streaming gap detection (T17 live): each arriving event is
+    * checked against the same user's previous event; a silence longer
+    * than the threshold emits the closed gap immediately. The
+    * data-freshness monitor as a continuous query — in batch the same
+    * fold over the whole table IS `Temporal.gaps` (s29's twin
+    * hash-matches t17's oracle), and per-user state is ONE row (the
+    * last seen event), the cheapest state shape in the suite: "gap to
+    * the previous event" never needs a buffer. Boundary rule matches
+    * gaps/sessionize: silence of exactly the threshold is NOT a gap.
+    * Rows apply in (ts_us, event_id) order within a batch, so stream
+    * == batch fold (StreamingSpec), the sessionStep pattern.
+    */
+  case class GapEv(user_id: Long, event_id: Long, ts_us: Long)
+  case class GapSeen(event_id: Long, ts_us: Long)
+  case class GapRow(user_id: Long, gap_start_us: Long, gap_end_us: Long,
+    gap_us: Long)
+
+  /** One gap step: last-seen + next event -> (new state, maybe a gap).
+    * Shared by the streaming operator and the batch fold.
+    */
+  private def gapStep(last: Option[GapSeen], e: GapEv, minGapUs: Long)
+      : (GapSeen, Option[GapRow]) =
+    (GapSeen(e.event_id, e.ts_us),
+      last.filter(l => e.ts_us - l.ts_us > minGapUs)
+        .map(l => GapRow(e.user_id, l.ts_us, e.ts_us, e.ts_us - l.ts_us)))
+
+  def gapsStream(events: Dataset[GapEv], minGapUs: Long): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapSeen, GapRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[GapEv], state: GroupState[GapSeen]) =>
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+            val (st, gap) = gapStep(last, e, minGapUs)
+            last = Some(st)
+            gap
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[gapsStream]] with O(1) state per task. */
+  def gapsBatch(events: Dataset[GapEv], minGapUs: Long): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var curUser = 0L
+        var started = false
+        var last: Option[GapSeen] = None
+        it.flatMap { e =>
+          if (!started || e.user_id != curUser) {
+            curUser = e.user_id; started = true; last = None
+          }
+          val (st, gap) = gapStep(last, e, minGapUs)
+          last = Some(st)
+          gap
+        }
+      }
+  }
+
   /** S22 — streaming heavy hitters by SPACE-SAVING (Metwally et al.
     * 2005): per group key, at most `m` tracked (item, count, err)
     * counters — an untracked arrival evicts the minimum-count entry

@@ -652,6 +652,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S29 streaming gaps: stream == batch fold == Temporal.gaps") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // user 1: events at 0, 10, 100, 101 min (gap 10->100 = 90min > 1h;
+    // the 1-min and 10-min silences stay under threshold); user 2: a
+    // cross-batch gap (state must carry the last-seen event over the
+    // micro-batch boundary) and an exactly-threshold silence (NOT a gap)
+    def e(id: Long, min: Long, user: Long) =
+      Streams.GapEv(user, id, 1700006400000000L + min * 60000000L)
+    val b1 = Seq(e(1, 0, 1), e(2, 10, 1), e(5, 0, 2))
+    val b2 = Seq(e(3, 100, 1), e(4, 101, 1), e(6, 120, 2), e(7, 180, 2))
+    val minGapUs = 3600L * 1000000
+    val src = MemoryStream[Streams.GapEv]
+    val q = Streams.gapsStream(src.toDS(), minGapUs)
+      .writeStream.format("memory").queryName("s29sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("s29sink")
+        .orderBy("user_id", "gap_start_us").collect().toSeq
+      val batch = Streams.gapsBatch((b1 ++ b2).toDS(), minGapUs)
+        .toDF().orderBy("user_id", "gap_start_us").collect().toSeq
+      assert(streamed == batch)
+      // user 1's 90-min gap + user 2's cross-batch 120-min gap; the
+      // exactly-60-min silence (120->180) is excluded by the boundary rule
+      assert(batch.map(r => (r.getLong(0), r.getLong(3) / 60000000L)) ==
+        Seq((1L, 90L), (2L, 120L)))
+      // and both equal the window-based batch operator on the same rows
+      val viaOp = graft.ops.Temporal.gaps(
+          (b1 ++ b2).toDF("user_id", "event_id", "ts_us")
+            .withColumn("ts", timestamp_micros(col("ts_us"))),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          minGapSeconds = 3600L)
+        .select(col("user_id"), graft.Det.epochUs(col("gap_start")),
+          graft.Det.epochUs(col("gap_end")), col("gap_us"))
+        .orderBy("user_id", "gap_start")
+        .collect().toSeq
+      assert(viaOp == batch)
+    } finally q.stop()
+  }
+
   test("S09 ListState last-K: streaming final state == batch run") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -587,6 +587,49 @@ class TemporalSpec extends SparkSpecBase {
       (1L, 0L, 120L, 4L), (1L, 121L, 130L, 1L), (2L, 5L, 6L, 1L)))
   }
 
+  test("peakConcurrency: touching not concurrent, nesting stacks, sweep is linear") {
+    import spark.implicits._
+    // user 1: [0,100) ∪ nested [10,20) ∪ [15,30) -> three open at t=15..20
+    // (peak 3); [100,110) TOUCHES the first's end -> the -1 sorts before
+    // the +1 at t=100, so the count never reads 2 there.
+    // user 2: disjoint intervals only -> peak 1.
+    val iv = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 15L, 30L),
+      (1L, 4L, 100L, 110L),
+      (2L, 5L, 0L, 5L), (2L, 6L, 7L, 9L))
+      .toDF("user_id", "event_id", "s_sec", "e_sec")
+      .withColumn("ivl_start", timestamp_seconds(col("s_sec")))
+      .withColumn("ivl_end", timestamp_seconds(col("e_sec")))
+    val got = Temporal.peakConcurrency(iv, Seq("user_id"),
+        "ivl_start", "ivl_end", "event_id")
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 4L, 3L), (2L, 2L, 1L)))
+  }
+
+  test("peakConcurrency == brute-force max overlap at starts (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val iv = (1 to 300).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (rnd.nextInt(5).toLong + 1, i.toLong, s, s + 1 + rnd.nextInt(60))
+    }
+    val df = iv.toDF("user_id", "event_id", "s_sec", "e_sec")
+      .withColumn("ivl_start", timestamp_seconds(col("s_sec")))
+      .withColumn("ivl_end", timestamp_seconds(col("e_sec")))
+    val got = Temporal.peakConcurrency(df, Seq("user_id"),
+        "ivl_start", "ivl_end", "event_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // peak concurrency is attained at some interval's start point, so
+    // brute force = for each interval, count its user's intervals
+    // covering [its start, its start+1)
+    val brute = iv.groupBy(_._1).map { case (u, ivs) =>
+      u -> (ivs.size.toLong,
+        ivs.map(a => ivs.count(b => b._3 <= a._3 && a._3 < b._4).toLong).max)
+    }
+    assert(got == brute)
+  }
+
   test("overlapAudit: touching legal, nested caught once, scd2 history clean") {
     import spark.implicits._
     // user 1: [0,10) then [10,20) touch -> legal; [15,30) overlaps the
