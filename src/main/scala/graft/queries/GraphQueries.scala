@@ -319,6 +319,41 @@ object GraphQueries {
         .limit(100)
     }),
 
+    // G33 — rich-club coefficient, EXACT: for each degree threshold k,
+    // φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts vertices of degree
+    // > k and E_k the edges with BOTH endpoints past the threshold —
+    // the "do the hubs talk to each other" curve (Colizza 2006)
+    // assortativity's single moment (g28) cannot show. Scale shape:
+    // both suffix counts come from DEGREE HISTOGRAMS (≤ maxdeg rows —
+    // broadcast side of an explicitly-bounded theta join; the hint is
+    // also the NestedLoopGuard opt-in), so after the one degree join
+    // over edges nothing touches the graph again; E_k halves the
+    // both-directions edge list exactly (each undirected edge counted
+    // twice). φ as exact scaled integer, zero-division impossible
+    // (n_k ≥ 2 filter).
+    "g33_rich_club" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      val em = edges
+        .join(deg.select(col("id").as("src"), col("d").as("ds")), "src")
+        .join(deg.select(col("id").as("dst"), col("d").as("dd")), "dst")
+        .select(least(col("ds"), col("dd")).as("m"))
+      val nodeH = deg.groupBy("d").agg(count(lit(1)).as("nodes"))
+      val edgeH = em.groupBy("m").agg(count(lit(1)).as("dedges"))
+      val ks = nodeH.select(col("d").as("k"))
+      val nk = ks.join(broadcast(nodeH), nodeH("d") > ks("k"))
+        .groupBy("k").agg(sum("nodes").as("n_k"))
+      val ek = ks.join(broadcast(edgeH), edgeH("m") > ks("k"))
+        .groupBy("k").agg(expr("sum(dedges) div 2").as("e_k"))
+      nk.join(ek, Seq("k"), "left")
+        .filter(col("n_k") >= 2)
+        .select(col("k"), col("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"),
+          expr("1000000 * 2 * coalesce(e_k, 0) div (n_k * (n_k - 1))")
+            .as("phi_e6"))
+        .orderBy("k")
+    }),
+
     // G16 — deterministic hash-walk sampling from customers 1..5 on the
     // supply graph (2 walks × ≤3 steps each): node2vec-style walk data
     // whose "randomness" is a seeded hash, so retries/reruns reproduce
@@ -698,6 +733,27 @@ object GraphQueries {
         |  CAST(16 * c1.c + 4 * c2.c + c3.c AS BIGINT) AS katz_x64
         |FROM c1 JOIN c2 ON c2.id = c1.id JOIN c3 ON c3.id = c1.id
         |ORDER BY katz_x64 DESC, part_id LIMIT 100""".stripMargin,
+
+    // Rich-club replayed from the same degree histograms; thresholds k
+    // range over the distinct degree values.
+    "g33_rich_club" ->
+      s"""WITH $copartCte,
+        |deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1),
+        |em AS (SELECT least(da.d, db.d) AS m FROM e
+        |       JOIN deg da ON da.id = e.src
+        |       JOIN deg db ON db.id = e.dst),
+        |nh AS (SELECT d, count(*) AS nodes FROM deg GROUP BY 1),
+        |eh AS (SELECT m, count(*) AS dedges FROM em GROUP BY 1),
+        |nk AS (SELECT k.d AS k, sum(nh.nodes) AS n_k
+        |       FROM (SELECT d FROM nh) k JOIN nh ON nh.d > k.d GROUP BY 1),
+        |ek AS (SELECT k.d AS k, sum(eh.dedges) // 2 AS e_k
+        |       FROM (SELECT d FROM nh) k JOIN eh ON eh.m > k.d GROUP BY 1)
+        |SELECT CAST(nk.k AS BIGINT) AS k, CAST(nk.n_k AS BIGINT) AS n_k,
+        |  CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k,
+        |  CAST(1000000 * 2 * coalesce(ek.e_k, 0)
+        |       // (nk.n_k * (nk.n_k - 1)) AS BIGINT) AS phi_e6
+        |FROM nk LEFT JOIN ek ON ek.k = nk.k
+        |WHERE nk.n_k >= 2 ORDER BY k""".stripMargin,
 
     // Shortest-path counts replayed by WALK ENUMERATION: every walk of
     // length <= 3 from the seed, then (a) a walk whose length equals its

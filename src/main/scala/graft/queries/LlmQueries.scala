@@ -956,6 +956,37 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L40 — per-source term LIFT: each source's top-10 over-represented
+    // words vs the whole corpus (lift_e6 = 10^6·tf_s·N_c div
+    // (tf_c·N_s), support ≥ 20) — the domain-mix audit behind mixture
+    // weighting: what vocabulary a source actually contributes, read
+    // as an exact integer ratio (the log in PMI/KL is monotone — same
+    // ranking, no float; the l37 move applied to source mix). Token-
+    // keyed aggs + two broadcast-size marginal joins; the rank window
+    // runs on the filtered (source, token) aggregate, never the token
+    // stream.
+    "l40_source_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir).select(col("source"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("token"))
+      val tfs = tok.groupBy("source", "token").agg(count(lit(1)).as("tf_s"))
+      val tfc = tok.groupBy("token").agg(count(lit(1)).as("tf_c"))
+      val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nc = tok.agg(count(lit(1)).as("n_c"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("lift_e6").desc, col("token").asc)
+      tfs.filter(col("tf_s") >= 20)
+        .join(tfc, "token")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(nc))
+        .withColumn("lift_e6", expr("1000000 * tf_s * n_c div (tf_c * n_s)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("source", "rn", "token", "tf_s", "lift_e6")
+        .orderBy("source", "rn")
+    }),
+
     // L11 — greedy sequence packing to a 256-token budget across 8
     // independent bucket streams (Text.packGreedy — the training-batch
     // assembly op); result is the per-pack occupancy, hash-checked
@@ -1119,6 +1150,25 @@ object LlmQueries {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
         |FROM pd LEFT JOIN nn USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "l40_source_lift" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents),
+        |tfs AS (SELECT source, token, count(*) AS tf_s
+        |        FROM tok GROUP BY 1, 2),
+        |tfc AS (SELECT token, count(*) AS tf_c FROM tok GROUP BY 1),
+        |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+        |nc AS (SELECT count(*) AS n_c FROM tok),
+        |x AS (SELECT tfs.source, tfs.token, tfs.tf_s,
+        |    CAST(1000000 * tfs.tf_s * nc.n_c
+        |         // (tfc.tf_c * ns.n_s) AS BIGINT) AS lift_e6
+        |  FROM tfs JOIN tfc USING (token) JOIN ns USING (source)
+        |  CROSS JOIN nc WHERE tfs.tf_s >= 20),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY lift_e6 DESC, token) AS rn FROM x)
+        |SELECT source, rn, token, tf_s, lift_e6
+        |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
 
     "l39_ngram_novelty" ->
       """WITH d AS (SELECT doc_id,

@@ -322,6 +322,25 @@ object StreamQueries {
         .orderBy("user_id", "gap_start")
     }),
 
+    // S30 — streaming retention cohorts: q34's cohort table from the
+    // per-user week-set state (a late earlier-week event shifts the
+    // user's cohort retroactively — snapshot re-emission, not pair
+    // appends). Batch fold == q34's aggregation exactly (same oracle);
+    // stream == batch incl. the cohort shift in StreamingSpec.
+    "s30_streaming_retention" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir)
+        .select(col("user_id"),
+          floor(datediff(col("ts"), lit("2024-01-01").cast("date")) /
+            lit(7.0)).cast("long").as("wk"))
+        .as[Streams.WkEv]
+      Streams.retentionBatch(in).toDF()
+        .select(col("cohort_wk"), explode(col("weeks")).as("wk"))
+        .groupBy("cohort_wk", "wk")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "wk")
+    }),
+
     // S27 — incremental connected components: g06's labels maintained
     // through 3 deterministic hash-split micro-batches of the co-part
     // edge stream, one batch REPLAYED (merging already-merged
@@ -531,6 +550,10 @@ object StreamQueries {
     // s23 must reproduce l29's one-shot weights from maintained stats.
     "s23_importance_maintenance" ->
       graft.queries.LlmQueries.oracles("l29_importance_weights"),
+
+    // s30 is q34's retention cohorts from maintained state — same oracle.
+    "s30_streaming_retention" ->
+      graft.queries.Relational.oracles("q34_retention"),
 
     // s29 is t17's gap detection through the streaming fold — same oracle.
     "s29_streaming_gaps" ->

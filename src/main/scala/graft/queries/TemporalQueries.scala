@@ -591,6 +591,48 @@ object TemporalQueries {
         .orderBy("user_id")
     }),
 
+    // T30 — SEMI-ADDITIVE end-of-day totals by DELTA ENCODING: the
+    // daily sum over users of each user's last-known "value" (the
+    // balance/inventory/gauge aggregation where summing raw events
+    // double-counts). The naive plan materializes |users|×|days|
+    // snapshots; the delta plan never does — each user's per-day LAST
+    // cents (one window over the user's own change points) becomes a
+    // day-keyed DELTA against their previous known day, so the global
+    // curve is just a running sum of per-day delta totals over the
+    // dense t23 spine (|days| rows). n_users rises the same way from
+    // each user's first-seen day. Exact integer cents end to end.
+    "t30_eop_balance" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_id"),
+        date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value*100) AS BIGINT)").as("cents"),
+        col("ts"))
+      val wLast = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val lastPerDay = e.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select("user_id", "day", "cents")
+      val wUser = Window.partitionBy("user_id").orderBy("day")
+      val deltas = lastPerDay
+        .withColumn("prev", lag("cents", 1).over(wUser))
+        .select(col("day"),
+          (col("cents") - coalesce(col("prev"), lit(0L))).as("delta"),
+          when(col("prev").isNull, 1L).otherwise(0L).as("is_first"))
+        .groupBy("day")
+        .agg(sum("delta").as("day_delta"), sum("is_first").as("new_users"))
+      val bounds = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+      val wSpine = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(deltas, Seq("day"), "left")
+        .withColumn("n_users",
+          sum(coalesce(col("new_users"), lit(0L))).over(wSpine))
+        .withColumn("eod_total_cents",
+          sum(coalesce(col("day_delta"), lit(0L))).over(wSpine))
+        .select("day", "n_users", "eod_total_cents")
+        .orderBy("day")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -1088,6 +1130,26 @@ object TemporalQueries {
         |            // (epoch_us(t1) - epoch_us(t0)) END AS BIGINT)
         |    AS interp_cents
         |FROM x ORDER BY user_id, day""".stripMargin,
+
+    // Brute-force twin of the delta plan: every (day, user) end-of-day
+    // snapshot materialized directly — O(|days|·|events|), fine at
+    // oracle scale, exactly what the engine's delta encoding avoids.
+    "t30_eop_balance" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(round(value*100) AS BIGINT) AS cents,
+        |    date_trunc('day', ts) AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |           AS day FROM b),
+        |x AS (SELECT d.day AS day, e.user_id, e.cents,
+        |        row_number() OVER (PARTITION BY d.day, e.user_id
+        |                           ORDER BY e.ts DESC, e.event_id DESC)
+        |          AS rn
+        |      FROM days d JOIN e ON e.day <= d.day)
+        |SELECT CAST(day AS TIMESTAMP) AS day, count(*) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS eod_total_cents
+        |FROM x WHERE rn = 1 GROUP BY day ORDER BY day""".stripMargin,
 
     "t23_date_spine" ->
       """WITH daily AS (

@@ -592,6 +592,46 @@ object Streams {
       }
   }
 
+  /** S30 — streaming retention cohorts (Q34 live): per user, the set of
+    * active weeks and the cohort week (its MIN) maintained as state.
+    * The state subtlety this operator exists for: a LATE event from an
+    * EARLIER week RETROACTIVELY moves the user's cohort, shifting every
+    * (cohort, week) pair the user has ever contributed — so append-mode
+    * emission of pairs is WRONG by construction (the s26 lesson); each
+    * batch re-emits the user's full current snapshot and Update
+    * semantics replace the old one. State is the user's distinct-week
+    * set — bounded by the calendar, not the event count. Batch runs of
+    * the same fold aggregate to exactly q34's cohort table
+    * (hash-matched); stream == batch incl. a cohort shift in
+    * StreamingSpec.
+    */
+  case class WkEv(user_id: Long, wk: Long)
+  case class WkState(weeks: List[Long])
+  case class UserWeeks(user_id: Long, cohort_wk: Long, weeks: Seq[Long])
+
+  def retentionStream(evs: Dataset[WkEv]): Dataset[UserWeeks] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[WkState, UserWeeks](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[WkEv], state: GroupState[WkState]) =>
+          var weeks = state.getOption.map(_.weeks).getOrElse(Nil)
+          rows.foreach(e => if (!weeks.contains(e.wk)) weeks = e.wk :: weeks)
+          state.update(WkState(weeks))
+          Iterator.single(UserWeeks(uid, weeks.min, weeks.sorted))
+      }
+  }
+
+  /** Batch twin of [[retentionStream]]'s final state. */
+  def retentionBatch(evs: Dataset[WkEv]): Dataset[UserWeeks] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id).mapGroups { (uid, rows) =>
+      val weeks = rows.map(_.wk).toSeq.distinct.sorted
+      UserWeeks(uid, weeks.min, weeks)
+    }
+  }
+
   /** S22 — streaming heavy hitters by SPACE-SAVING (Metwally et al.
     * 2005): per group key, at most `m` tracked (item, count, err)
     * counters — an untracked arrival evicts the minimum-count entry

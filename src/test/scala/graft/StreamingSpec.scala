@@ -694,6 +694,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S30 retention: late earlier week shifts cohort; stream == batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // user 1 first seen in week 3; batch 2 delivers a LATE week-1 event
+    // -> cohort must shift 3 -> 1 and the week-3 pair must re-home.
+    // user 2: weeks 2 and 4, no shift. Duplicate weeks collapse.
+    val b1 = Seq(Streams.WkEv(1L, 3L), Streams.WkEv(2L, 2L),
+      Streams.WkEv(2L, 2L))
+    val b2 = Seq(Streams.WkEv(1L, 1L), Streams.WkEv(1L, 4L),
+      Streams.WkEv(2L, 4L))
+    val src = MemoryStream[Streams.WkEv]
+    val q = Streams.retentionStream(src.toDS())
+      .writeStream.format("memory").queryName("s30sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      // mid-stream: user 1's cohort is still 3
+      val mid = spark.table("s30sink").as[Streams.UserWeeks]
+        .collect().filter(_.user_id == 1L)
+      assert(mid.map(_.cohort_wk).toSeq == Seq(3L))
+      src.addData(b2); q.processAllAvailable()
+      // week sets only grow, so each user's LATEST snapshot is its
+      // largest; dedupe the update-mode emissions down to that
+      val streamed = spark.table("s30sink").as[Streams.UserWeeks]
+        .collect().groupBy(_.user_id)
+        .map { case (u, rows) => rows.maxBy(_.weeks.size) }
+        .map(r => (r.user_id, r.cohort_wk, r.weeks.toList)).toSet
+      val batch = Streams.retentionBatch((b1 ++ b2).toDS())
+        .collect().map(r => (r.user_id, r.cohort_wk, r.weeks.toList)).toSet
+      assert(streamed == batch)
+      assert(batch == Set((1L, 1L, List(1L, 3L, 4L)),
+        (2L, 2L, List(2L, 4L))))
+    } finally q.stop()
+  }
+
   test("S09 ListState last-K: streaming final state == batch run") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
