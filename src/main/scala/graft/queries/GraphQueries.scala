@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.Graphs
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph operators (SURVEY.md §2.2 G01–G10) over the canonical derived
@@ -209,6 +210,49 @@ object GraphQueries {
       Graphs.stronglyConnectedComponents(s, Graphs.partFlowEdges(s, dir),
           rounds = 4, iters = 8)
         .orderBy("id")
+    }),
+
+    // G34 — CONDENSATION DAG: the part-flow graph quotiented by its
+    // g23 SCC labels — every cross-component edge rewritten to
+    // (src_scc, dst_scc) with multiplicity, intra-component edges
+    // dropped. The acyclic "what feeds what" view a cyclic flow graph
+    // hides, and the standard second act of any SCC run (Tarjan's
+    // condensation theorem: the result is always a DAG). The substrate
+    // restricts to ≤2-lineitem orders: the FULL flow graph collapses
+    // into one giant SCC (condensation = a single vertex, zero edges —
+    // true but vacuous); the sparse restriction has real structure
+    // (~1.7k components, ~2k condensation edges at sf0.01). Scale
+    // shape: the label table joins the edge list twice on vertex id
+    // (the same shuffles SCC itself already paid), and the groupBy
+    // output is bounded by the condensation's edge count, never the
+    // graph's.
+    "g34_condensation" -> ((s, dir) => {
+      val li = graft.Tables.load(s, dir, "lineitem")
+      val small = li.groupBy("l_orderkey").agg(count(lit(1)).as("nl"))
+        .filter(col("nl") <= 2).select("l_orderkey")
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber").asc, col("l_partkey").asc)
+      val flow = li.join(small, "l_orderkey")
+        .withColumn("nxt", lead("l_partkey", 1).over(w))
+        .filter(col("nxt").isNotNull && col("l_partkey") =!= col("nxt"))
+        .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+        .distinct()
+      val edges = flow
+        .select(col("src").cast("long"), col("dst").cast("long"))
+      // the sparse restriction has longer min-label chains than the
+      // dense full graph — deeper fixpoint bound (convergence still
+      // PROVEN by the operator, which throws rather than settle early)
+      val labels = Graphs.stronglyConnectedComponents(s, edges,
+        rounds = 12, iters = 64)
+      edges
+        .join(labels.select(col("id").as("src"), col("scc_id").as("src_scc")),
+          "src")
+        .join(labels.select(col("id").as("dst"), col("scc_id").as("dst_scc")),
+          "dst")
+        .filter(col("src_scc") =!= col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(count(lit(1)).as("n_edges"))
+        .orderBy("src_scc", "dst_scc")
     }),
 
     // G08 — PageRank on G_supply, 10 fixed iterations, via the
@@ -660,6 +704,35 @@ object GraphQueries {
         |  AS scc_id
         |FROM verts v LEFT JOIN mut m ON m.id = v.id
         |GROUP BY v.id ORDER BY v.id""".stripMargin,
+
+    // Condensation = the same SCC label replay on the ≤2-lineitem
+    // restriction, then every cross-label flow edge quotiented onto
+    // (src_scc, dst_scc) with multiplicity.
+    "g34_condensation" ->
+      """WITH RECURSIVE ok AS (SELECT l_orderkey FROM lineitem
+        |      GROUP BY 1 HAVING count(*) <= 2),
+        |flow AS (
+        |  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+        |    SELECT l_partkey,
+        |      lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, l_partkey) AS nxt
+        |    FROM lineitem
+        |    WHERE l_orderkey IN (SELECT l_orderkey FROM ok))
+        |  WHERE nxt IS NOT NULL AND l_partkey <> nxt),
+        |r AS (SELECT src AS a, dst AS b FROM flow
+        |      UNION
+        |      SELECT r.a, f.dst FROM r JOIN flow f ON f.src = r.b),
+        |verts AS (SELECT src AS id FROM flow UNION SELECT dst FROM flow),
+        |mut AS (SELECT x.a AS id, x.b AS p
+        |        FROM r x JOIN r y ON y.a = x.b AND y.b = x.a),
+        |lab AS (SELECT v.id, least(v.id, coalesce(min(m.p), v.id)) AS scc_id
+        |        FROM verts v LEFT JOIN mut m ON m.id = v.id GROUP BY v.id)
+        |SELECT CAST(la.scc_id AS BIGINT) AS src_scc,
+        |  CAST(lb.scc_id AS BIGINT) AS dst_scc, count(*) AS n_edges
+        |FROM flow f JOIN lab la ON la.id = f.src
+        |JOIN lab lb ON lb.id = f.dst
+        |WHERE la.scc_id <> lb.scc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "g04_reachability" ->
       s"""WITH RECURSIVE $copartCte,

@@ -987,6 +987,34 @@ object LlmQueries {
         .orderBy("source", "rn")
     }),
 
+    // L41 — cluster COHESION audit: per label, how tightly the member
+    // embeddings sit around their own centroid (count, mean and worst
+    // cosine-to-centroid, rounded 4dp like every float in the suite) —
+    // the embedding-space quality read before trusting labels for
+    // semantic dedup or stratified sampling: a low min flags mislabeled
+    // outliers, a low avg a label that isn't a cluster at all. Scale
+    // shape: everything is keyed by (label, dim) or (vec_id) — the
+    // centroid table is |labels|×|dims| (broadcast), the per-vector
+    // sums one exploded groupBy; no pairwise anything.
+    "l41_cluster_cohesion" -> ((s, dir) => {
+      val v = vecs(s, dir).select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val cent = v.groupBy("label", "d").agg(avg("x").as("c"))
+      val cn = cent.groupBy("label").agg(sum(col("c") * col("c")).as("nc"))
+      v.join(broadcast(cent), Seq("label", "d"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("x") * col("c")).as("dot"),
+          sum(col("x") * col("x")).as("nx"))
+        .join(broadcast(cn), "label")
+        .withColumn("cos", col("dot") / (sqrt(col("nx")) * sqrt(col("nc"))))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("cos"), 4).as("avg_cos4"),
+          round(min("cos"), 4).as("min_cos4"))
+        .orderBy("label")
+    }),
+
     // L11 — greedy sequence packing to a 256-token budget across 8
     // independent bucket streams (Text.packGreedy — the training-batch
     // assembly op); result is the per-pack occupancy, hash-checked
@@ -1150,6 +1178,25 @@ object LlmQueries {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
         |FROM pd LEFT JOIN nn USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "l41_cluster_cohesion" ->
+      """WITH v AS (SELECT vec_id, label, gs AS d,
+        |    CAST(embedding[CAST(gs AS INT)] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS gs
+        |        FROM embeddings)),
+        |cent AS (SELECT label, d, avg(x) AS c FROM v GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(c*c) AS nc FROM cent GROUP BY 1),
+        |per AS (SELECT v.vec_id, v.label,
+        |    sum(v.x * cent.c) AS dot, sum(v.x * v.x) AS nx
+        |  FROM v JOIN cent ON cent.label = v.label AND cent.d = v.d
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT per.label,
+        |    per.dot / (sqrt(per.nx) * sqrt(cn.nc)) AS cos
+        |  FROM per JOIN cn ON cn.label = per.label)
+        |SELECT label, count(*) AS n, round(avg(cos), 4) AS avg_cos4,
+        |  round(min(cos), 4) AS min_cos4
+        |FROM cs GROUP BY label ORDER BY label""".stripMargin,
 
     "l40_source_lift" ->
       """WITH tok AS (SELECT source,

@@ -805,6 +805,39 @@ object Relational {
         .orderBy("from_type", "to_type")
     }),
 
+    // Q50 — key-sequence GAP AUDIT without a global window: find every
+    // missing run in a dense surrogate-key sequence (the "did the
+    // loader drop rows" check). The naive plan is lag() over ALL keys
+    // — a single-task global sort at any scale. The engine decomposes:
+    // within-bucket gaps from a PARTITIONED lag window (bucket = k div
+    // B), cross-bucket gaps from the bucket summary (min/max per
+    // bucket — |keys|/B rows; pick B so that table stays one-task
+    // small, the decomposition is B-agnostic), and an empty bucket
+    // falls out correctly because the summary's lead() skips it. The
+    // clean fixture is gap-free, so the declared query DELETES
+    // k % 101 == 7 and the 5000..5004 slice (the q48 move) and must
+    // report exactly those. Oracle = the naive global lag the engine
+    // refuses to run.
+    "q50_key_gap_audit" -> ((s, dir) => {
+      val B = 1024L
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+        .filter(col("k") % 101 =!= 7 && !col("k").between(5000, 5004))
+        .withColumn("b", expr(s"k div $B"))
+      val w = Window.partitionBy("b").orderBy("k")
+      val within = o.withColumn("nxt", lead("k", 1).over(w))
+        .filter(col("nxt") > col("k") + 1)
+        .select((col("k") + 1).as("gap_from"), (col("nxt") - 1).as("gap_to"))
+      val summary = o.groupBy("b").agg(min("k").as("mn"), max("k").as("mx"))
+      val ws = Window.orderBy("b")
+      val across = summary.withColumn("nxt_mn", lead("mn", 1).over(ws))
+        .filter(col("nxt_mn") > col("mx") + 1)
+        .select((col("mx") + 1).as("gap_from"),
+          (col("nxt_mn") - 1).as("gap_to"))
+      within.unionAll(across)
+        .withColumn("n_missing", col("gap_to") - col("gap_from") + 1)
+        .orderBy("gap_from")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1266,6 +1299,15 @@ object Relational {
         |FROM s
         |WHERE (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q50_key_gap_audit" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders
+        |  WHERE o_orderkey % 101 <> 7
+        |    AND o_orderkey NOT BETWEEN 5000 AND 5004),
+        |x AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM o)
+        |SELECT k + 1 AS gap_from, nxt - 1 AS gap_to,
+        |  nxt - 1 - k AS n_missing
+        |FROM x WHERE nxt > k + 1 ORDER BY gap_from""".stripMargin,
 
     "q49_markov" ->
       """WITH x AS (SELECT event_type,
