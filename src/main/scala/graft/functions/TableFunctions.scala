@@ -197,8 +197,48 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** detect_gaps(table, entity_csv, ts, tie_break, min_gap_seconds) —
+    * the T17 silence detector from pure SQL: per entity, every
+    * consecutive-event gap STRICTLY longer than the threshold as
+    * (entity…, gap_start, gap_end, gap_us).
+    */
+  private def detectGapsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "detect_gaps"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (table, entity_csv, ts, tie_break, " +
+        s"min_gap_seconds), got ${exprs.length}")
+    val a = exprs.take(4).zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val minGap = long(exprs(4), 5, fn)
+    val s = SparkSession.active
+    Temporal.gaps(s.table(a(0)), entity = csv(a(1)), ts = a(2),
+        tieBreak = a(3), minGapSeconds = minGap)
+      .queryExecution.logical
+  }
+
+  /** peak_concurrency(table, entity_csv, start, end, tie_break) — the
+    * T29 sweep line from pure SQL: per entity, (n_intervals, peak)
+    * simultaneous-interval count with the half-open boundary rule.
+    */
+  private def peakConcurrencyPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "peak_concurrency"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (table, entity_csv, start, end, " +
+        s"tie_break), got ${exprs.length}")
+    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val s = SparkSession.active
+    Temporal.peakConcurrency(s.table(a(0)), entity = csv(a(1)),
+        start = a(2), end = a(3), tieBreak = a(4))
+      .queryExecution.logical
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("detect_gaps"),
+      new ExpressionInfo(getClass.getName, "detect_gaps"),
+      detectGapsPlan _),
+    (new FunctionIdentifier("peak_concurrency"),
+      new ExpressionInfo(getClass.getName, "peak_concurrency"),
+      peakConcurrencyPlan _),
     (new FunctionIdentifier("coalesce_intervals"),
       new ExpressionInfo(getClass.getName, "coalesce_intervals"),
       coalesceIntervalsPlan _),

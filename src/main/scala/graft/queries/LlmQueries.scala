@@ -393,6 +393,29 @@ object LlmQueries {
       Text.bpeSubtokenCounts(d, merges).orderBy("doc_id")
     }),
 
+    // L42 — tokenizer FERTILITY by language: subtokens-per-word of the
+    // trained BPE (l27's merges applied by l28's encoder), aggregated
+    // per lang as an exact scaled integer (fert_e4 = 10^4·Σsub div
+    // Σwords) — the canonical "is the tokenizer fair to this
+    // language" audit (high fertility = more compute per word, worse
+    // effective context for that slice of the corpus). Same tiny
+    // merge-table collect as l28 (codebook pattern), one extra
+    // broadcast lang join and a ≤|langs|-row aggregate on top.
+    "l42_bpe_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Text.bpeTrain(d, vocabWords = 500, merges = 8)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Text.bpeSubtokenCounts(d, merges)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"),
+          sum("n_subtokens").as("n_subtokens"))
+        .filter(col("n_words") > 0)
+        .withColumn("fert_e4", expr("10000 * n_subtokens div n_words"))
+        .orderBy("lang")
+    }),
+
     // L29 — DSIR-style hashed-bigram importance weights: target = the
     // English subset, raw = the full pool; per-bucket Laplace-smoothed
     // likelihood ratios in exact integer e6 scale, summed per doc. The
@@ -1575,6 +1598,43 @@ object LlmQueries {
           |  CAST(coalesce(agg.n_subtokens, 0) AS BIGINT) AS n_subtokens
           |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
           |ORDER BY d.doc_id""".stripMargin
+      (head +: (steps ++ Seq(a0) ++ applies ++ Seq(agg))).mkString(",\n") + tail
+    },
+
+    // The same trained-BPE encode chain, aggregated per language.
+    "l42_bpe_fertility" -> {
+      val (head, steps) = bpeChainSql(8)
+      val ws = graft.ops.Text.GopherWhitespace
+      val a0 =
+        s"""a0 AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_extract_all(lower(text),
+          |      '[^$ws]+'), w -> regexp_full_match(w, '[a-z]+'))) AS w
+          |  FROM documents),
+          |b0 AS (SELECT doc_id, regexp_extract_all(w, '.') AS l FROM a0)""".stripMargin
+      val applies = (1 to 8).map { i =>
+        s"""b$i AS (SELECT b.doc_id,
+          |    list_reduce(list_transform(b.l, x -> [x]),
+          |      (acc, x) -> CASE
+          |        WHEN acc[-1] = m.p1 AND x[1] = m.p2
+          |        THEN list_append(acc[1:len(acc)-1], m.p1 || m.p2)
+          |        ELSE list_append(acc, x[1]) END) AS l
+          |  FROM b${i - 1} b CROSS JOIN m$i m)""".stripMargin
+      }
+      val agg =
+        """agg AS (SELECT doc_id, count(*) AS n_words,
+          |    CAST(sum(len(l)) AS BIGINT) AS n_subtokens
+          |  FROM b8 GROUP BY doc_id)""".stripMargin
+      val tail =
+        """
+          |SELECT d.lang,
+          |  CAST(sum(coalesce(agg.n_words, 0)) AS BIGINT) AS n_words,
+          |  CAST(sum(coalesce(agg.n_subtokens, 0)) AS BIGINT)
+          |    AS n_subtokens,
+          |  CAST(10000 * sum(coalesce(agg.n_subtokens, 0))
+          |       // sum(coalesce(agg.n_words, 0)) AS BIGINT) AS fert_e4
+          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+          |GROUP BY d.lang HAVING sum(coalesce(agg.n_words, 0)) > 0
+          |ORDER BY d.lang""".stripMargin
       (head +: (steps ++ Seq(a0) ++ applies ++ Seq(agg))).mkString(",\n") + tail
     },
 

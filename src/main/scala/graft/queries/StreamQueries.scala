@@ -341,6 +341,48 @@ object StreamQueries {
         .orderBy("cohort_wk", "wk")
     }),
 
+    // S31 — streaming end-of-day balance: t30's semi-additive daily
+    // curve from the per-(user, day) last-change state (late events
+    // rewrite their own day's last only if later within it — see
+    // Streams.eodStream). Batch fold + the same delta-encoded spine
+    // aggregation == t30 exactly (same oracle); stream == batch incl.
+    // late-event rewrites in StreamingSpec.
+    "s31_streaming_eod" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val in = ev(s, dir).select(col("user_id"),
+          graft.Det.epochUs(date_trunc("day", col("ts"))).as("day_us"),
+          graft.Det.epochUs(col("ts")).as("ts_us"), col("event_id"),
+          expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+        .as[Streams.BalEv]
+      val lastPerDay = Streams.eodBatch(in).toDF()
+        .select(col("user_id"), explode(col("days")).as("dl"))
+        .select(col("user_id"), timestamp_micros(col("dl.day_us")).as("day"),
+          col("dl.cents"))
+      val wUser = Window.partitionBy("user_id").orderBy("day")
+      val deltas = lastPerDay
+        .withColumn("prev", lag("cents", 1).over(wUser))
+        .select(col("day"),
+          (col("cents") - coalesce(col("prev"), lit(0L))).as("delta"),
+          when(col("prev").isNull, 1L).otherwise(0L).as("is_first"))
+        .groupBy("day")
+        .agg(sum("delta").as("day_delta"), sum("is_first").as("new_users"))
+      val bounds = ev(s, dir).agg(
+        date_trunc("day", min(col("ts"))).as("lo"),
+        date_trunc("day", max(col("ts"))).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+      val wSpine = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(deltas, Seq("day"), "left")
+        .withColumn("n_users",
+          sum(coalesce(col("new_users"), lit(0L))).over(wSpine))
+        .withColumn("eod_total_cents",
+          sum(coalesce(col("day_delta"), lit(0L))).over(wSpine))
+        .select("day", "n_users", "eod_total_cents")
+        .orderBy("day")
+    }),
+
     // S27 — incremental connected components: g06's labels maintained
     // through 3 deterministic hash-split micro-batches of the co-part
     // edge stream, one batch REPLAYED (merging already-merged
@@ -550,6 +592,10 @@ object StreamQueries {
     // s23 must reproduce l29's one-shot weights from maintained stats.
     "s23_importance_maintenance" ->
       graft.queries.LlmQueries.oracles("l29_importance_weights"),
+
+    // s31 is t30's semi-additive curve from maintained state — same oracle.
+    "s31_streaming_eod" ->
+      graft.queries.TemporalQueries.oracles("t30_eop_balance"),
 
     // s30 is q34's retention cohorts from maintained state — same oracle.
     "s30_streaming_retention" ->

@@ -633,6 +633,28 @@ object TemporalQueries {
         .orderBy("day")
     }),
 
+    // T17b — the same gap detection from pure SQL text via the
+    // detect_gaps TVF; identical oracle to t17.
+    "t17b_gaps_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      ev(s, dir).createOrReplaceTempView("graft_t17b_events")
+      s.sql("""SELECT user_id, gap_start, gap_end, gap_us
+        |FROM detect_gaps('graft_t17b_events', 'user_id', 'ts',
+        |                 'event_id', 86400)
+        |ORDER BY user_id, gap_start""".stripMargin)
+    }),
+
+    // T29b — the same sweep-line peak concurrency from pure SQL text
+    // via the peak_concurrency TVF; identical oracle to t29.
+    "t29b_concurrency_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      holds45(s, dir).createOrReplaceTempView("graft_t29b_holds")
+      s.sql("""SELECT user_id, n_intervals AS n_holds, peak
+        |FROM peak_concurrency('graft_t29b_holds', 'user_id',
+        |                      'hold_start', 'hold_end', 'event_id')
+        |ORDER BY user_id""".stripMargin)
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -803,6 +825,38 @@ object TemporalQueries {
       |                           ORDER BY ts DESC, event_id DESC) AS rn
       |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  private val t17Oracle =
+    """WITH o AS (SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id
+      |                  ORDER BY ts, event_id) AS pts
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(pts AS TIMESTAMP) AS gap_start,
+      |  CAST(ts AS TIMESTAMP) AS gap_end,
+      |  epoch_us(CAST(ts AS TIMESTAMP))
+      |    - epoch_us(CAST(pts AS TIMESTAMP)) AS gap_us
+      |FROM o
+      |WHERE pts IS NOT NULL
+      |  AND epoch_us(CAST(ts AS TIMESTAMP))
+      |    - epoch_us(CAST(pts AS TIMESTAMP)) > 86400000000
+      |ORDER BY user_id, gap_start""".stripMargin
+
+  private val t29Oracle =
+    """WITH h AS (SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + 2700000000 AS e_us
+      |  FROM events),
+      |b AS (SELECT user_id, s_us AS t, 1 AS d, event_id FROM h
+      |  UNION ALL
+      |  SELECT user_id, e_us, -1, event_id FROM h),
+      |r AS (SELECT user_id,
+      |    sum(d) OVER (PARTITION BY user_id
+      |                 ORDER BY t, d, event_id) AS conc
+      |  FROM b)
+      |SELECT user_id, CAST(count(*) // 2 AS BIGINT) AS n_holds,
+      |  CAST(max(conc) AS BIGINT) AS peak
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
 
   private val t19Oracle =
     """WITH iv AS (SELECT user_id, event_id, ts AS s,
@@ -1083,23 +1137,13 @@ object TemporalQueries {
         |  AND (CAST(ts AS DATE) - DATE '2024-01-01') % 7 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "t17_gap_detect" ->
-      """WITH o AS (SELECT user_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id
-        |                  ORDER BY ts, event_id) AS pts
-        |  FROM events)
-        |SELECT user_id,
-        |  CAST(pts AS TIMESTAMP) AS gap_start,
-        |  CAST(ts AS TIMESTAMP) AS gap_end,
-        |  epoch_us(CAST(ts AS TIMESTAMP))
-        |    - epoch_us(CAST(pts AS TIMESTAMP)) AS gap_us
-        |FROM o
-        |WHERE pts IS NOT NULL
-        |  AND epoch_us(CAST(ts AS TIMESTAMP))
-        |    - epoch_us(CAST(pts AS TIMESTAMP)) > 86400000000
-        |ORDER BY user_id, gap_start""".stripMargin,
+    "t17_gap_detect" -> t17Oracle,
 
     "t19_coalesce_intervals" -> t19Oracle,
+
+    // SQL-TVF twins: identical semantics, identical oracles.
+    "t17b_gaps_sql" -> t17Oracle,
+    "t29b_concurrency_sql" -> t29Oracle,
 
     "t19b_coalesce_sql" -> t19Oracle,
 
@@ -1224,21 +1268,7 @@ object TemporalQueries {
         |FROM iv WHERE vt IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "t29_concurrency" ->
-      """WITH h AS (SELECT user_id, event_id,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) + 2700000000 AS e_us
-        |  FROM events),
-        |b AS (SELECT user_id, s_us AS t, 1 AS d, event_id FROM h
-        |  UNION ALL
-        |  SELECT user_id, e_us, -1, event_id FROM h),
-        |r AS (SELECT user_id,
-        |    sum(d) OVER (PARTITION BY user_id
-        |                 ORDER BY t, d, event_id) AS conc
-        |  FROM b)
-        |SELECT user_id, CAST(count(*) // 2 AS BIGINT) AS n_holds,
-        |  CAST(max(conc) AS BIGINT) AS peak
-        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "t29_concurrency" -> t29Oracle,
 
     "t21_overlap_audit" ->
       """WITH iv AS (SELECT user_id, event_id, ts AS s,

@@ -632,6 +632,65 @@ object Streams {
     }
   }
 
+  /** S31 — streaming end-of-day balance maintenance (T30 live): per
+    * user, the LAST change of every day kept as state — the
+    * semi-additive aggregation's streaming form. The state subtlety:
+    * a late event lands in an EARLIER day and must rewrite that day's
+    * last value only if it is genuinely later WITHIN that day (by
+    * (ts, event_id)) — an append-only "day closed at watermark"
+    * emission would either drop it or double-count it, so each batch
+    * re-emits the user's full per-day snapshot and Update semantics
+    * replace it (the s30 move). State is one row per (user, ACTIVE
+    * day) — bounded by the calendar horizon, compactable by dropping
+    * days past the watermark into a single carried opening balance.
+    * Batch runs of the same fold feed t30's delta-encoded daily curve
+    * exactly (hash-matched against t30's brute-force oracle); stream
+    * == batch incl. both late-event cases in StreamingSpec.
+    */
+  case class BalEv(user_id: Long, day_us: Long, ts_us: Long,
+    event_id: Long, cents: Long)
+  case class DayLast(day_us: Long, ts_us: Long, event_id: Long, cents: Long)
+  case class BalState(days: List[DayLast])
+  case class UserDays(user_id: Long, days: Seq[DayLast])
+
+  /** One fold step: replace the day's entry iff the event is later
+    * within its day by (ts_us, event_id). Shared stream/batch.
+    */
+  private def balFold(st: List[DayLast], e: BalEv): List[DayLast] =
+    st.find(_.day_us == e.day_us) match {
+      case Some(d) if d.ts_us > e.ts_us ||
+        (d.ts_us == e.ts_us && d.event_id >= e.event_id) => st
+      case Some(d) => st.filterNot(_.day_us == e.day_us) :+
+        DayLast(e.day_us, e.ts_us, e.event_id, e.cents)
+      case None => st :+ DayLast(e.day_us, e.ts_us, e.event_id, e.cents)
+    }
+
+  def eodStream(evs: Dataset[BalEv]): Dataset[UserDays] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BalState, UserDays](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[BalEv], state: GroupState[BalState]) =>
+          var days = state.getOption.map(_.days).getOrElse(Nil)
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            .foreach(e => days = balFold(days, e))
+          state.update(BalState(days))
+          Iterator.single(UserDays(uid, days.sortBy(_.day_us)))
+      }
+  }
+
+  /** Batch twin of [[eodStream]]'s final state. */
+  def eodBatch(evs: Dataset[BalEv]): Dataset[UserDays] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id).mapGroups { (uid, rows) =>
+      var days: List[DayLast] = Nil
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        .foreach(e => days = balFold(days, e))
+      UserDays(uid, days.sortBy(_.day_us))
+    }
+  }
+
   /** S22 — streaming heavy hitters by SPACE-SAVING (Metwally et al.
     * 2005): per group key, at most `m` tracked (item, count, err)
     * counters — an untracked arrival evicts the minimum-count entry

@@ -729,6 +729,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S31 EOD balance: late events rewrite their own day only if later within it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val day1 = 1700006400000000L          // day boundaries in micros
+    val day2 = day1 + 86400000000L
+    def e(id: Long, dayUs: Long, minInDay: Long, cents: Long) =
+      Streams.BalEv(1L, dayUs, dayUs + minInDay * 60000000L, id, cents)
+    // batch 1: day1 last = 200 (min 30), day2 last = 500 (min 10)
+    val b1 = Seq(e(1, day1, 10, 100), e(2, day1, 30, 200), e(3, day2, 10, 500))
+    // batch 2, both LATE into day1: id 4 at min 40 MUST rewrite day1's
+    // last (200 -> 250); id 5 at min 20 must NOT (earlier than min 40)
+    val b2 = Seq(e(4, day1, 40, 250), e(5, day1, 20, 999))
+    val src = MemoryStream[Streams.BalEv]
+    val q = Streams.eodStream(src.toDS())
+      .writeStream.format("memory").queryName("s31sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(b1); q.processAllAvailable()
+      src.addData(b2); q.processAllAvailable()
+      // day sets only grow and within-day lasts are monotone by
+      // (ts, id): the latest snapshot is the one with the max total
+      // (days, max ts) — here simply the row from the final batch,
+      // identifiable as the snapshot whose day1 entry has event_id 4
+      val streamed = spark.table("s31sink").as[Streams.UserDays]
+        .collect().map(r => (r.user_id, r.days.toList)).toSet
+      val finalSnap = Streams.eodBatch((b1 ++ b2).toDS())
+        .collect().map(r => (r.user_id, r.days.toList)).head
+      assert(streamed.contains(finalSnap))
+      assert(finalSnap._2 == List(
+        Streams.DayLast(day1, day1 + 40 * 60000000L, 4L, 250L),
+        Streams.DayLast(day2, day2 + 10 * 60000000L, 3L, 500L)))
+    } finally q.stop()
+  }
+
   test("S09 ListState last-K: streaming final state == batch run") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
