@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
+  /** Shared substrate for g34/g35: the part-flow graph restricted to
+    * ≤2-lineitem orders. The FULL flow graph collapses into one giant
+    * SCC (condensation and bow-tie both become vacuous one-class
+    * answers); the sparse restriction has real macro-structure
+    * (~1.7k components at sf0.01). Distinct directed edges, self-loops
+    * dropped, checkpointed once for the iterative consumers.
+    */
+  private def restrictedFlowEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val small = li.groupBy("l_orderkey").agg(count(lit(1)).as("nl"))
+      .filter(col("nl") <= 2).select("l_orderkey")
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber").asc, col("l_partkey").asc)
+    li.join(small, "l_orderkey")
+      .withColumn("nxt", lead("l_partkey", 1).over(w))
+      .filter(col("nxt").isNotNull && col("l_partkey") =!= col("nxt"))
+      .select(col("l_partkey").cast("long").as("src"),
+        col("nxt").cast("long").as("dst"))
+      .distinct()
+      .transform(graft.ops.Checkpoints.cut)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G01 — graph construction: vertex/edge counts by kind.
     "g01_graph_build" -> ((s, dir) => {
@@ -227,18 +249,7 @@ object GraphQueries {
     // output is bounded by the condensation's edge count, never the
     // graph's.
     "g34_condensation" -> ((s, dir) => {
-      val li = graft.Tables.load(s, dir, "lineitem")
-      val small = li.groupBy("l_orderkey").agg(count(lit(1)).as("nl"))
-        .filter(col("nl") <= 2).select("l_orderkey")
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy(col("l_linenumber").asc, col("l_partkey").asc)
-      val flow = li.join(small, "l_orderkey")
-        .withColumn("nxt", lead("l_partkey", 1).over(w))
-        .filter(col("nxt").isNotNull && col("l_partkey") =!= col("nxt"))
-        .select(col("l_partkey").as("src"), col("nxt").as("dst"))
-        .distinct()
-      val edges = flow
-        .select(col("src").cast("long"), col("dst").cast("long"))
+      val edges = restrictedFlowEdges(s, dir)
       // the sparse restriction has longer min-label chains than the
       // dense full graph — deeper fixpoint bound (convergence still
       // PROVEN by the operator, which throws rather than settle early)
@@ -253,6 +264,48 @@ object GraphQueries {
         .groupBy("src_scc", "dst_scc")
         .agg(count(lit(1)).as("n_edges"))
         .orderBy("src_scc", "dst_scc")
+    }),
+
+    // G35 — BOW-TIE decomposition (Broder 2000): every vertex of the
+    // restricted part-flow graph classified against the giant SCC —
+    // core, in (reaches the core), out (reached from it), other
+    // (tendrils/disconnected) — the macro-structure read that tells an
+    // ingestion pipeline which slice of a dependency graph is
+    // upstream, downstream, or isolated (91/264/267/1162 at sf0.01).
+    // Reachability from a vertex SET is one virtual super-source (-1,
+    // outside the id domain) wired to every core member, then the
+    // adaptive-frontier BFS run to its FIX POINT on the forward and
+    // reversed edge lists — two traversals total, no per-member BFS,
+    // no transitive closure (the oracle pays the closure; the engine
+    // never does). in ∩ out = core by SCC maximality, so the CASE
+    // precedence is decorative, and the giant pick (max size, tie min
+    // label) is a 1-row fetch off the label aggregate.
+    "g35_bowtie" -> ((s, dir) => {
+      val edges = restrictedFlowEdges(s, dir)
+      val labels = Graphs.stronglyConnectedComponents(s, edges,
+        rounds = 12, iters = 64)
+      val giant = labels.groupBy("scc_id").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("scc_id").asc).limit(1)
+        .head().getLong(0)
+      val core = labels.filter(col("scc_id") === giant).select("id")
+      val seedEdges = core.select(lit(-1L).as("src"), col("id").as("dst"))
+      val fromCore = Graphs.bfsDepthsDF(s,
+          edges.unionAll(seedEdges), seed = -1L, maxDepth = Int.MaxValue)
+        .filter(col("id") =!= -1L).select("id")
+      val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+      val toCore = Graphs.bfsDepthsDF(s,
+          rev.unionAll(seedEdges), seed = -1L, maxDepth = Int.MaxValue)
+        .filter(col("id") =!= -1L).select("id")
+      labels.select("id")
+        .join(core.withColumn("in_core", lit(1)), Seq("id"), "left")
+        .join(toCore.withColumn("reaches", lit(1)), Seq("id"), "left")
+        .join(fromCore.withColumn("reached", lit(1)), Seq("id"), "left")
+        .select(when(col("in_core") === 1, "core")
+          .when(col("reaches") === 1, "in")
+          .when(col("reached") === 1, "out")
+          .otherwise("other").as("cls"))
+        .groupBy("cls").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("cls")
     }),
 
     // G08 — PageRank on G_supply, 10 fixed iterations, via the
@@ -704,6 +757,52 @@ object GraphQueries {
         |  AS scc_id
         |FROM verts v LEFT JOIN mut m ON m.id = v.id
         |GROUP BY v.id ORDER BY v.id""".stripMargin,
+
+    // Bow-tie replayed via the full closure on the same restricted
+    // substrate: class membership is one EXISTS against the closure
+    // from/to the giant component. NOTE the `lab` anchor for the class
+    // scan — inside WITH RECURSIVE, DuckDB does NOT dedupe a plain
+    // UNION in a non-recursive member, so `verts` carries duplicates
+    // and only the GROUP BY in `lab` collapses them.
+    "g35_bowtie" ->
+      """WITH RECURSIVE ok AS (SELECT l_orderkey FROM lineitem
+        |      GROUP BY 1 HAVING count(*) <= 2),
+        |flow AS (
+        |  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+        |    SELECT l_partkey,
+        |      lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, l_partkey) AS nxt
+        |    FROM lineitem
+        |    WHERE l_orderkey IN (SELECT l_orderkey FROM ok))
+        |  WHERE nxt IS NOT NULL AND l_partkey <> nxt),
+        |r AS (SELECT src AS a, dst AS b FROM flow
+        |      UNION
+        |      SELECT r.a, f.dst FROM r JOIN flow f ON f.src = r.b),
+        |verts AS (SELECT src AS id FROM flow UNION SELECT dst FROM flow),
+        |mut AS (SELECT x.a AS id, x.b AS p
+        |        FROM r x JOIN r y ON y.a = x.b AND y.b = x.a),
+        |lab AS (SELECT v.id, least(v.id, coalesce(min(m.p), v.id)) AS scc_id
+        |        FROM verts v LEFT JOIN mut m ON m.id = v.id GROUP BY v.id),
+        |giant AS (SELECT scc_id FROM (
+        |  SELECT scc_id, count(*) AS c FROM lab GROUP BY 1
+        |  ORDER BY c DESC, scc_id ASC LIMIT 1)),
+        |core AS (SELECT id FROM lab
+        |         WHERE scc_id = (SELECT scc_id FROM giant)),
+        |reaches AS (SELECT DISTINCT x.a AS id FROM r x
+        |            JOIN core c ON x.b = c.id),
+        |reached AS (SELECT DISTINCT x.b AS id FROM r x
+        |            JOIN core c ON x.a = c.id),
+        |cls AS (SELECT v.id,
+        |    CASE WHEN co.id IS NOT NULL THEN 'core'
+        |         WHEN ri.id IS NOT NULL THEN 'in'
+        |         WHEN ro.id IS NOT NULL THEN 'out'
+        |         ELSE 'other' END AS cls
+        |  FROM lab v
+        |  LEFT JOIN core co ON co.id = v.id
+        |  LEFT JOIN reaches ri ON ri.id = v.id
+        |  LEFT JOIN reached ro ON ro.id = v.id)
+        |SELECT cls, count(*) AS n_vertices
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Condensation = the same SCC label replay on the ≤2-lineitem
     // restriction, then every cross-label flow edge quotiented onto

@@ -838,6 +838,41 @@ object Relational {
         .orderBy("gap_from")
     }),
 
+    // Q51 — EXACT distributed least squares: per event type, the OLS
+    // trend slope of value-cents over time from the five classical
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx²) — one partial-
+    // aggregated groupBy, which is the whole point: regression at
+    // 100 TB is just a sum, no solver, no iteration, and merging
+    // partials is addition. Exactness discipline: x in whole MINUTES
+    // since the corpus min (broadcast 1-row agg) keeps the raw sums in
+    // long range; the slope numerator n·Σxy − Σx·Σy crosses 2^63, so
+    // the COMBINATION runs in decimal(38,0), and the final scaled
+    // ratio truncates toward zero on |num| so Spark's div and DuckDB's
+    // floor-// agree for negative slopes. slope_e6 = 10^6 · num/den
+    // in cents per minute.
+    "q51_trend_slope" -> ((s, dir) => {
+      val t0 = t(s, dir, "events").agg(min(col("ts")).as("t0"))
+      val sums = t(s, dir, "events").crossJoin(broadcast(t0))
+        .withColumn("dx_us", epochUs(col("ts")) - epochUs(col("t0")))
+        .select(col("event_type"),
+          expr("dx_us div 60000000").as("x"),
+          expr("CAST(round(value*100) AS BIGINT)").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      sums
+        .withColumn("num", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+        .withColumn("den", expr(
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .withColumn("slope_e6", expr("""CASE WHEN num >= 0
+            THEN CAST(floor(1000000 * num / den) AS BIGINT)
+            ELSE -CAST(floor(1000000 * (-num) / den) AS BIGINT) END"""))
+        .select("event_type", "n", "slope_e6")
+        .orderBy("event_type")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1299,6 +1334,25 @@ object Relational {
         |FROM s
         |WHERE (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q51_trend_slope" ->
+      """WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+        |b AS (SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP))
+        |     - epoch_us(CAST(t0.t0 AS TIMESTAMP))) // 60000000 AS x,
+        |    CAST(round(value*100) AS BIGINT) AS y
+        |  FROM events CROSS JOIN t0),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT event_type, n,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |  FROM s)
+        |SELECT event_type, n,
+        |  CASE WHEN num >= 0 THEN CAST(1000000 * num // den AS BIGINT)
+        |       ELSE -CAST((1000000 * (-num)) // den AS BIGINT) END
+        |    AS slope_e6
+        |FROM c ORDER BY event_type""".stripMargin,
 
     "q50_key_gap_audit" ->
       """WITH o AS (SELECT o_orderkey AS k FROM orders
