@@ -63,6 +63,24 @@ object LlmQueries {
       |   UNION
       |   SELECT e.dst, lp.lbl FROM lp JOIN e ON e.src = lp.id)""".stripMargin
 
+  /** Shared by l33/l43: per-doc near-dup cluster id + keep flag (largest
+    * doc of each >0.6-Jaccard cluster wins, ties to min doc_id).
+    */
+  private def dedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Similarity.exactJaccard(Text.shingles(d, 3))
+      .filter(col("jaccard") > 0.6)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val clusters = Graphs.connectedComponentsDF(s, pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(desc("n_chars"), col("doc_id").asc)
+    clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "keep")
+  }
+
   // Manual double-precision cosine pieces for the DuckDB oracle — same
   // sequential fold order as the Spark HOFs, then round(4) absorbs any
   // residual ULP difference.
@@ -191,20 +209,41 @@ object LlmQueries {
     // training pipeline deletes. One window over the cluster key on
     // top of the l15 components; hash-matched against the shared
     // cluster replay + canonical pick.
-    "l33_dedup_keeplist" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = Similarity.exactJaccard(Text.shingles(d, 3))
-        .filter(col("jaccard") > 0.6)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-      val clusters = Graphs.connectedComponentsDF(s, pairs)
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("cluster_id")
-        .orderBy(desc("n_chars"), col("doc_id").asc)
-      clusters.join(d.select("doc_id", "n_chars"), "doc_id")
-        .withColumn("keep", row_number().over(w) === 1)
+    "l33_dedup_keeplist" -> ((s, dir) =>
+      dedupKeep(s, dir)
         .select("doc_id", "cluster_id", "keep")
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // L43 — the PIPELINE MANIFEST: the whole curation funnel as one
+    // attrition table — every doc pushed through language gate (l04c's
+    // n-gram guesser, keep 'en'), quality gate (l19's Gopher flags),
+    // and near-dup gate (l33's keep-list), with surviving (n_docs,
+    // n_chars) after each stage. The number a data lead actually signs
+    // off on ("how much training data is left, and which gate ate
+    // what") — and because every component is individually
+    // hash-matched, the COMPOSITION is too. One pass computes all
+    // per-doc gate bits; the stage rows are four aggregates over that
+    // table, the dedup join is the only non-doc-local work (exactly
+    // l33's).
+    "l43_pipeline_manifest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bits = d
+        .withColumn("lang_ok", Text.langIdGuess(col("text")) === "en")
+        .join(Text.gopherFlags(d).select(col("doc_id"),
+          col("keep").as("q_ok")), "doc_id")
+        .join(dedupKeep(s, dir).select(col("doc_id"),
+          col("keep").as("dup_keep")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"), col("lang_ok"), col("q_ok"),
+          coalesce(col("dup_keep"), lit(true)).as("dup_ok"))
+      def stage(name: String, cond: org.apache.spark.sql.Column) =
+        bits.filter(cond).agg(lit(name).as("stage"),
+          count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      stage("0_all", lit(true))
+        .unionAll(stage("1_lang", col("lang_ok")))
+        .unionAll(stage("2_quality", col("lang_ok") && col("q_ok")))
+        .unionAll(stage("3_dedup",
+          col("lang_ok") && col("q_ok") && col("dup_ok")))
+        .orderBy("stage")
     }),
 
     // L17 — blocked fuzzy join (entity resolution): part-name pairs at
@@ -1367,6 +1406,73 @@ object LlmQueries {
         |    ORDER BY d.n_chars DESC, cl.doc_id ASC) = 1 AS keep
         |FROM cl JOIN documents d ON d.doc_id = cl.doc_id
         |ORDER BY cl.doc_id""".stripMargin,
+
+    // The composed funnel: dedup-cluster CTE + per-doc langid + per-doc
+    // gopher flags, staged. Fresh CTE names (lh/lg/gm/gf) because the
+    // shared dedup CTE already owns `g`.
+    "l43_pipeline_manifest" ->
+      s"""$dedupClusterCte,
+        |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        |       FROM lp GROUP BY id),
+        |keepl AS (SELECT cl.doc_id,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY d.n_chars DESC, cl.doc_id ASC) = 1 AS dup_keep
+        |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+        |lh AS (SELECT doc_id, text,
+        |    len(regexp_extract_all(lower(text),
+        |      '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS de,
+        |    len(regexp_extract_all(lower(text),
+        |      '\\b(the|and|is|of|to|in|that|with)\\b')) AS en,
+        |    len(regexp_extract_all(lower(text),
+        |      '\\b(el|la|los|las|es|y|que|una)\\b')) AS es,
+        |    len(regexp_extract_all(lower(text),
+        |      '\\b(le|la|les|est|et|que|une|dans)\\b')) AS fr
+        |  FROM documents),
+        |lg AS (SELECT doc_id,
+        |    CASE
+        |      WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 4
+        |           > len(text) THEN 'zh'
+        |      WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+        |      WHEN en >= es AND en >= fr THEN 'en'
+        |      WHEN es >= fr THEN 'es'
+        |      ELSE 'fr' END AS guess
+        |  FROM lh),
+        |gm AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+'))
+        |      AS BIGINT) AS n_words,
+        |    len(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS wc,
+        |    CAST(len(list_filter(regexp_extract_all(text,
+        |      '[^ \\t\\n\\x0B\\f\\r]+'),
+        |      w -> list_contains(['the','a','an','and','of','to','in','is',
+        |                          'that','for','on','with','as'], lower(w))))
+        |      AS BIGINT) AS n_stop
+        |  FROM documents),
+        |gf AS (SELECT doc_id,
+        |    (n_words BETWEEN 5 AND 100000)
+        |      AND COALESCE(round(CAST(wc AS DOUBLE) / nullif(n_words, 0), 4)
+        |            BETWEEN 2.0 AND 12.0, false)
+        |      AND COALESCE(round(CAST(n_stop AS DOUBLE) / nullif(n_words, 0),
+        |            4) >= 0.01, false) AS q_ok
+        |  FROM gm),
+        |staged AS (SELECT d.doc_id, d.n_chars,
+        |    lg.guess = 'en' AS lang_ok, gf.q_ok,
+        |    coalesce(k.dup_keep, true) AS dup_ok
+        |  FROM documents d
+        |  JOIN lg ON lg.doc_id = d.doc_id
+        |  JOIN gf ON gf.doc_id = d.doc_id
+        |  LEFT JOIN keepl k ON k.doc_id = d.doc_id)
+        |SELECT * FROM (
+        |  SELECT '0_all' AS stage, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars FROM staged
+        |  UNION ALL SELECT '1_lang', count(*),
+        |    CAST(sum(n_chars) AS BIGINT) FROM staged WHERE lang_ok
+        |  UNION ALL SELECT '2_quality', count(*),
+        |    CAST(sum(n_chars) AS BIGINT) FROM staged
+        |    WHERE lang_ok AND q_ok
+        |  UNION ALL SELECT '3_dedup', count(*),
+        |    CAST(sum(n_chars) AS BIGINT) FROM staged
+        |    WHERE lang_ok AND q_ok AND dup_ok)
+        |ORDER BY stage""".stripMargin,
 
     "l17_fuzzy_join" ->
       """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,

@@ -383,6 +383,25 @@ object StreamQueries {
         .orderBy("day")
     }),
 
+    // S32 — streaming trend maintenance: q51's regression from
+    // 3 deterministic hash-split batches of partials + one REPLAYED
+    // batch (replace, not add — the t09b idempotence), finished by the
+    // shared decimal slope; == q51's one-shot oracle exactly.
+    "s32_streaming_trend" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val originUs = e.agg(min(graft.Det.epochUs(col("ts"))))
+        .head().getLong(0)
+      var state = Streams.trendPartials(e.limit(0), originUs, -1L)
+      (0 to 2).foreach { i =>
+        state = Streams.mergeTrendPartials(state,
+          e.filter(col("event_id") % 3 === i), originUs, i.toLong)
+      }
+      // replayed batch REPLACES its own rows — a no-op by construction
+      state = Streams.mergeTrendPartials(state,
+        e.filter(col("event_id") % 3 === 1), originUs, 1L)
+      Streams.trendFromPartials(state).orderBy("event_type")
+    }),
+
     // S27 — incremental connected components: g06's labels maintained
     // through 3 deterministic hash-split micro-batches of the co-part
     // edge stream, one batch REPLAYED (merging already-merged
@@ -592,6 +611,10 @@ object StreamQueries {
     // s23 must reproduce l29's one-shot weights from maintained stats.
     "s23_importance_maintenance" ->
       graft.queries.LlmQueries.oracles("l29_importance_weights"),
+
+    // s32 is q51's regression from maintained partials — same oracle.
+    "s32_streaming_trend" ->
+      graft.queries.Relational.oracles("q51_trend_slope"),
 
     // s31 is t30's semi-additive curve from maintained state — same oracle.
     "s31_streaming_eod" ->

@@ -222,6 +222,51 @@ object Streams {
     state.groupBy("fid").agg(
       sum("cnt_r").as("cnt_r"), sum("cnt_t").as("cnt_t"))
 
+  /** S32 — streaming trend maintenance (Q51 live): the OLS sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) are ADDITIVE over disjoint event
+    * sets, so a continuously-maintained regression is the t09b partials
+    * pattern verbatim — per-batch per-type sums stamped with their
+    * batch id, replay REPLACES (delete-then-insert; additive sums would
+    * double on retry), read side folds partials and finishes the slope
+    * in decimal(38,0) exactly as the batch query does. `originUs` is a
+    * FIXED pipeline-configured x origin: the slope is shift-invariant,
+    * but partials from different origins must never mix, so it is a
+    * parameter, not a data-dependent min.
+    */
+  def trendPartials(batch: DataFrame, originUs: Long,
+      batchId: Long): DataFrame =
+    batch
+      .withColumn("__dx", graft.Det.epochUs(col("ts")) - lit(originUs))
+      .select(col("event_type"),
+        expr("__dx div 60000000").as("x"),
+        expr("CAST(round(value*100) AS BIGINT)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("batch_id", lit(batchId))
+
+  def mergeTrendPartials(state: DataFrame, batch: DataFrame,
+      originUs: Long, batchId: Long): DataFrame =
+    state.filter(col("batch_id") =!= batchId)
+      .unionByName(trendPartials(batch, originUs, batchId))
+
+  /** Read side: maintained partials → (event_type, n, slope_e6), the
+    * q51 finish (decimal combination, truncate-toward-zero ratio).
+    */
+  def trendFromPartials(state: DataFrame): DataFrame =
+    state.groupBy("event_type")
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("slope_e6", expr("""CASE WHEN num >= 0
+          THEN CAST(floor(1000000 * num / den) AS BIGINT)
+          ELSE -CAST(floor(1000000 * (-num) / den) AS BIGINT) END"""))
+      .select("event_type", "n", "slope_e6")
+
   /** S27 — incremental connected components: fold one micro-batch of
     * edges into a maintained `(id, component)` label table — continuous
     * graph ingestion's core maintenance problem. The merge works on the

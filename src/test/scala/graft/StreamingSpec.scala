@@ -1075,6 +1075,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.map { case (t, n) => t.getTime -> n } == want)
   }
 
+  test("S32 trend partials foreachBatch: == one-shot slope, replay no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = mkEvents((1L to 40L).map(i =>
+      (i, i % 13, i % 3, if (i % 2 == 0) "view" else "click",
+        (i * 7 % 50).toDouble)): _*)
+    val all = evs.toDF()
+    val originUs = 1700006400000000L
+    def slope(st: DataFrame) = Streams.trendFromPartials(st)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = slope(Streams.trendPartials(all, originUs, 0L))
+
+    val source = MemoryStream[Ev]
+    var state = Streams.trendPartials(all.limit(0), originUs, -1L)
+    var lastBatch: Option[DataFrame] = None
+    var lastId = -1L
+    val q = source.toDS().toDF().writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        state = Streams.mergeTrendPartials(state, batch, originUs, id)
+          .localCheckpoint()
+        lastBatch = Some(batch.localCheckpoint()); lastId = id
+      }
+      .outputMode(OutputMode.Append()).start()
+    try evs.grouped(15).foreach { g =>
+      source.addData(g.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(slope(state) == ref && ref.nonEmpty)
+    // replaying the last micro-batch replaces its own partials — no-op
+    lastBatch.foreach { b =>
+      val replayed = Streams.mergeTrendPartials(state, b, originUs, lastId)
+      assert(slope(replayed) == ref)
+    }
+  }
+
   test("S23 importance stats foreachBatch: == one-shot weights, replay no-op") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
