@@ -873,6 +873,43 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Q52 — association rules (market-basket): for ordered part pairs
+    // co-occurring in an order, the classic support / confidence /
+    // lift triple as exact scaled integers (conf_e6 = 10^6·n_xy div
+    // n_x; lift_e6 = 10^6·n_xy·N div (n_x·n_y); N = basket count, a
+    // broadcast 1-row agg). Pair generation reuses the bounded
+    // in-basket expansion (collect_set ≤ 8 items per order — real
+    // basket mining prunes the same way: frequent-item filters bound
+    // the expansion, never all-pairs over the catalog); the pair agg
+    // and the two marginal joins are all item-keyed. DIRECTED rules
+    // (x→y and y→x both emitted — confidence is asymmetric), support
+    // ≥ 3, top-50 by (lift desc, x, y).
+    "q52_assoc_rules" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")).between(2, 8))
+      val n = baskets.agg(count(lit(1)).as("n_baskets"))
+      val pairs = baskets
+        .select(explode(flatten(transform(col("ps"), x =>
+          transform(col("ps"), y => struct(x.as("x"), y.as("y")))))).as("p"))
+        .select(col("p.x"), col("p.y"))
+        .filter(col("x") =!= col("y"))
+      val nxy = pairs.groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      // basket-presence marginals (ps is a set: one count per basket)
+      val nx = baskets.select(explode(col("ps")).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("n_x"))
+      nxy.filter(col("n_xy") >= 3)
+        .join(nx, "x")
+        .join(nx.select(col("x").as("y"), col("n_x").as("n_y")), "y")
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("n_xy"),
+          expr("1000000 * n_xy div n_x").as("conf_e6"),
+          expr("1000000 * n_xy * n_baskets div (n_x * n_y)").as("lift_e6"))
+        .orderBy(col("lift_e6").desc, col("x").asc, col("y").asc)
+        .limit(50)
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1334,6 +1371,27 @@ object Relational {
         |FROM s
         |WHERE (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q52_assoc_rules" ->
+      """WITH b AS (SELECT l_orderkey, list_sort(list_distinct(
+        |      list(l_partkey))) AS ps
+        |  FROM lineitem GROUP BY 1
+        |  HAVING len(list_distinct(list(l_partkey))) BETWEEN 2 AND 8),
+        |n AS (SELECT count(*) AS n_baskets FROM b),
+        |items AS (SELECT l_orderkey, unnest(ps) AS x FROM b),
+        |nx AS (SELECT x, count(*) AS n_x FROM items GROUP BY 1),
+        |pairs AS (SELECT a.l_orderkey, a.x, bb.x AS y
+        |  FROM items a JOIN items bb
+        |    ON a.l_orderkey = bb.l_orderkey AND a.x <> bb.x),
+        |nxy AS (SELECT x, y, count(*) AS n_xy FROM pairs GROUP BY 1, 2)
+        |SELECT nxy.x, nxy.y, nxy.n_xy,
+        |  CAST(1000000 * nxy.n_xy // ax.n_x AS BIGINT) AS conf_e6,
+        |  CAST(1000000 * nxy.n_xy * n.n_baskets
+        |       // (ax.n_x * ay.n_x) AS BIGINT) AS lift_e6
+        |FROM nxy JOIN nx ax ON ax.x = nxy.x
+        |JOIN nx ay ON ay.x = nxy.y CROSS JOIN n
+        |WHERE nxy.n_xy >= 3
+        |ORDER BY lift_e6 DESC, nxy.x, nxy.y LIMIT 50""".stripMargin,
 
     "q51_trend_slope" ->
       """WITH t0 AS (SELECT min(ts) AS t0 FROM events),

@@ -655,6 +655,38 @@ object TemporalQueries {
         |ORDER BY user_id""".stripMargin)
     }),
 
+    // T31 — dwell-time QUANTILES per state: exact lower-median and p90
+    // of closed-interval durations on the compacted change-point
+    // stream (t22's substrate) — the tail read capacity planning needs
+    // where t22's totals hide the distribution. Exact order
+    // statistics by rank ((n+1) div 2 and ceil(0.9n) as (9n+9) div
+    // 10), NOT interpolating percentiles — well-defined under ties
+    // where interpolation float-drifts, and tie order can't matter
+    // because the rank picks a VALUE off the value-sorted order. One
+    // state-keyed rank window + a ≤|states|-row count join.
+    "t31_dwell_quantiles" -> ((s, dir) => {
+      val compact = Temporal.compactChangePoints(ev(s, dir),
+        entity = "user_id", ts = "ts", tieBreak = "event_id",
+        value = col("event_type"))
+      val iv = Temporal.intervalView(compact, "user_id", "ts", "event_id")
+        .filter(col("valid_to").isNotNull)
+        .select(col("event_type"),
+          (graft.Det.epochUs(col("valid_to")) -
+            graft.Det.epochUs(col("valid_from"))).as("dur_us"))
+      val w = Window.partitionBy("event_type").orderBy(col("dur_us").asc)
+      val cnt = iv.groupBy("event_type").agg(count(lit(1)).as("n"))
+      iv.withColumn("rn", row_number().over(w))
+        .join(cnt, "event_type")
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(9 * n + 9) div 10"))
+        .groupBy("event_type", "n")
+        .agg(min(when(col("rn") === expr("(n + 1) div 2"),
+            col("dur_us"))).as("med_dur_us"),
+          min(when(col("rn") === expr("(9 * n + 9) div 10"),
+            col("dur_us"))).as("p90_dur_us"))
+        .orderBy("event_type")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -1269,6 +1301,35 @@ object TemporalQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t29_concurrency" -> t29Oracle,
+
+    "t31_dwell_quantiles" ->
+      """WITH ch AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |cx AS (SELECT user_id, event_id, ts, event_type FROM ch
+        |       WHERE pv IS DISTINCT FROM event_type),
+        |iv AS (SELECT user_id, event_type, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS vt
+        |  FROM cx),
+        |d AS (SELECT event_type,
+        |    epoch_us(CAST(vt AS TIMESTAMP))
+        |      - epoch_us(CAST(vf AS TIMESTAMP)) AS dur_us
+        |  FROM iv WHERE vt IS NOT NULL),
+        |r AS (SELECT event_type, dur_us,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY dur_us) AS rn
+        |  FROM d),
+        |c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+        |SELECT r.event_type, c.n,
+        |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN dur_us END)
+        |    AS BIGINT) AS med_dur_us,
+        |  CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN dur_us END)
+        |    AS BIGINT) AS p90_dur_us
+        |FROM r JOIN c ON c.event_type = r.event_type
+        |WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "t21_overlap_audit" ->
       """WITH iv AS (SELECT user_id, event_id, ts AS s,
