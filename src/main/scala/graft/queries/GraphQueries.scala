@@ -308,6 +308,34 @@ object GraphQueries {
         .orderBy("cls")
     }),
 
+    // G36 — hub-removal RESILIENCE curve: the co-part graph's giant
+    // component re-measured after deleting its top-k degree hubs
+    // (k = 0, 5, 20; hub pick deterministic by (degree desc, id)) —
+    // the scale-free-fragility read behind "what breaks if the busiest
+    // nodes go away" (Albert/Jeong/Barabási 2000). Per declaration the
+    // measure covers the EDGE-BEARING survivors (a survivor whose
+    // every neighbor was removed leaves the edge list and is not
+    // counted — the isolated tail is not what resilience asks about).
+    // Scale shape: the hub set is an orderBy(k).limit — a top-k, not
+    // a global rank window — and each k re-runs the same
+    // star-contraction CC on an anti-joined edge list; 3 bounded CC
+    // runs, nothing quadratic.
+    "g36_resilience" -> ((s, dir) => {
+      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      val rows = Seq(0, 5, 20).map { k =>
+        val hubs = deg.orderBy(col("d").desc, col("id").asc).limit(k)
+        val e2 = edges
+          .join(hubs.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(hubs.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        val sizes = Graphs.connectedComponentsDF(s, e2)
+          .groupBy("component").agg(count(lit(1)).as("sz"))
+        sizes.agg(lit(k).as("k"), sum("sz").as("n_live"),
+          count(lit(1)).as("n_components"), max("sz").as("giant_size"))
+      }
+      rows.reduce(_ unionAll _).orderBy("k")
+    }),
+
     // G08 — PageRank on G_supply, 10 fixed iterations, via the
     // Catalyst-native power iteration (pageRankDF; the GraphX twin is
     // asserted within 1e-6 with identical top-20 order in ToleranceSpec).
@@ -1141,6 +1169,47 @@ object GraphQueries {
         |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id)
         |SELECT id AS p_partkey, min(lbl) AS component FROM walk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Resilience replay: one recursive-walk CC per k over the
+    // hub-filtered edge list; hubs ranked (degree desc, id).
+    "g36_resilience" ->
+      s"""WITH RECURSIVE $copartCte,
+        |deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1),
+        |rk AS (SELECT id, row_number() OVER (ORDER BY d DESC, id) AS r
+        |       FROM deg),
+        |e5 AS (SELECT e.src, e.dst FROM e
+        |       JOIN rk a ON a.id = e.src JOIN rk b ON b.id = e.dst
+        |       WHERE a.r > 5 AND b.r > 5),
+        |e20 AS (SELECT e.src, e.dst FROM e
+        |       JOIN rk a ON a.id = e.src JOIN rk b ON b.id = e.dst
+        |       WHERE a.r > 20 AND b.r > 20),
+        |n0 AS (SELECT DISTINCT src AS id FROM e),
+        |w0(id, lbl) AS (SELECT id, id FROM n0
+        |  UNION SELECT e.dst, w0.lbl FROM w0 JOIN e ON e.src = w0.id),
+        |c0 AS (SELECT id, min(lbl) AS comp FROM w0 GROUP BY 1),
+        |n5 AS (SELECT DISTINCT src AS id FROM e5),
+        |w5(id, lbl) AS (SELECT id, id FROM n5
+        |  UNION SELECT e5.dst, w5.lbl FROM w5 JOIN e5 ON e5.src = w5.id),
+        |c5 AS (SELECT id, min(lbl) AS comp FROM w5 GROUP BY 1),
+        |n20 AS (SELECT DISTINCT src AS id FROM e20),
+        |w20(id, lbl) AS (SELECT id, id FROM n20
+        |  UNION SELECT e20.dst, w20.lbl FROM w20 JOIN e20 ON e20.src = w20.id),
+        |c20 AS (SELECT id, min(lbl) AS comp FROM w20 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 0 AS k, count(*) AS n_live,
+        |    count(DISTINCT comp) AS n_components,
+        |    CAST(max(sz) AS BIGINT) AS giant_size
+        |  FROM (SELECT comp, count(*) OVER (PARTITION BY comp) AS sz
+        |        FROM c0)
+        |  UNION ALL
+        |  SELECT 5, count(*), count(DISTINCT comp), CAST(max(sz) AS BIGINT)
+        |  FROM (SELECT comp, count(*) OVER (PARTITION BY comp) AS sz
+        |        FROM c5)
+        |  UNION ALL
+        |  SELECT 20, count(*), count(DISTINCT comp), CAST(max(sz) AS BIGINT)
+        |  FROM (SELECT comp, count(*) OVER (PARTITION BY comp) AS sz
+        |        FROM c20))
+        |ORDER BY k""".stripMargin,
 
     "g13_label_propagation" ->
       s"""WITH $copartCte,

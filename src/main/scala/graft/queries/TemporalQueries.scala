@@ -687,6 +687,46 @@ object TemporalQueries {
         .orderBy("event_type")
     }),
 
+    // T32 — POINT-IN-TIME feature join (leakage-safe feature
+    // engineering): for every order, the customer's event history
+    // aggregated STRICTLY BEFORE the order date — count, spend, and
+    // most recent event type — the join that makes a training set
+    // honest (an at-or-before join would leak same-instant outcomes
+    // into features; strictness is the whole point and is pinned by
+    // the probes-BEFORE-events tie order at equal ts). The union
+    // trick generalized from as-of point lookup to RUNNING AGGREGATE
+    // probes: one entity shuffle over events ∪ probes, running
+    // sums/last over the preceding-rows frame, probe rows carry zero
+    // weight — no per-probe subquery, no inequality join (the oracle
+    // pays that quadratic form; the engine never does).
+    "t32_pit_features" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        graft.Det.epochUs(col("ts")).as("ts_us"),
+        lit(1L).as("is_event"), col("event_id").as("tie"),
+        expr("CAST(round(value*100) AS BIGINT)").as("cents"),
+        col("event_type").as("etype"),
+        lit(null).cast("long").as("o_orderkey"))
+      val p = Tables.load(s, dir, "orders").select(
+        (col("o_custkey") % 50).as("user_id"),
+        graft.Det.epochUs(col("o_orderdate")).as("ts_us"),
+        lit(0L).as("is_event"), col("o_orderkey").as("tie"),
+        lit(0L).as("cents"), lit(null).cast("string").as("etype"),
+        col("o_orderkey"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("is_event").asc, col("tie").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.unionByName(p)
+        .withColumn("n_prior", sum("is_event").over(w))
+        .withColumn("cents_prior", sum("cents").over(w))
+        .withColumn("last_type", last("etype", ignoreNulls = true).over(w))
+        .filter(col("is_event") === 0)
+        .select(col("o_orderkey"),
+          coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+          coalesce(col("cents_prior"), lit(0L)).as("cents_prior"),
+          coalesce(col("last_type"), lit("none")).as("last_type"))
+        .orderBy("o_orderkey")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -1301,6 +1341,25 @@ object TemporalQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t29_concurrency" -> t29Oracle,
+
+    // The quadratic form the engine avoids: a user-keyed join widened
+    // by the strict time predicate, one group per order.
+    "t32_pit_features" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT o_orderkey, o_custkey % 50 AS user_id,
+        |    o_orderdate FROM orders),
+        |j AS (SELECT p.o_orderkey, e.cents, e.event_type, e.ts, e.event_id
+        |  FROM p LEFT JOIN e ON e.user_id = p.user_id
+        |    AND e.ts < p.o_orderdate)
+        |SELECT o_orderkey,
+        |  CAST(count(event_id) AS BIGINT) AS n_prior,
+        |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents_prior,
+        |  coalesce(max_by(event_type,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000
+        |      + event_id), 'none') AS last_type
+        |FROM j GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "t31_dwell_quantiles" ->
       """WITH ch AS (SELECT user_id, event_id, ts, event_type,
