@@ -250,11 +250,12 @@ object GraphQueries {
     // graph's.
     "g34_condensation" -> ((s, dir) => {
       val edges = restrictedFlowEdges(s, dir)
-      // the sparse restriction has longer min-label chains than the
-      // dense full graph — deeper fixpoint bound (convergence still
-      // PROVEN by the operator, which throws rather than settle early)
-      val labels = Graphs.stronglyConnectedComponents(s, edges,
-        rounds = 12, iters = 64)
+      // the sparse restriction is ~95% trimmable: TRIM peels the
+      // acyclic bulk in cheap rounds, the proven-convergence coloring
+      // (which still throws rather than settle early) runs only on the
+      // small cyclic core
+      val labels = Graphs.sccTrimmed(s, edges,
+        trimRounds = 64, rounds = 8, iters = 64)
       edges
         .join(labels.select(col("id").as("src"), col("scc_id").as("src_scc")),
           "src")
@@ -282,8 +283,8 @@ object GraphQueries {
     // label) is a 1-row fetch off the label aggregate.
     "g35_bowtie" -> ((s, dir) => {
       val edges = restrictedFlowEdges(s, dir)
-      val labels = Graphs.stronglyConnectedComponents(s, edges,
-        rounds = 12, iters = 64)
+      val labels = Graphs.sccTrimmed(s, edges,
+        trimRounds = 64, rounds = 8, iters = 64)
       val giant = labels.groupBy("scc_id").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("scc_id").asc).limit(1)
         .head().getLong(0)

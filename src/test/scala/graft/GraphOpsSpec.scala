@@ -494,6 +494,47 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("sccTrimmed == stronglyConnectedComponents (hand + random digraphs)") {
+    import spark.implicits._
+    def runBoth(edges: Set[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+      val df = edges.toSeq.toDF("src", "dst")
+      val plain = Graphs.stronglyConnectedComponents(spark, df,
+          rounds = 6, iters = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val trimmed = Graphs.sccTrimmed(spark, df,
+          trimRounds = 16, rounds = 6, iters = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (plain, trimmed)
+    }
+    // hand cases exercising every trim shape: pure chain (all trimmed),
+    // cycle + tail (partial trim), cycle only (nothing trims)
+    for (hand <- Seq(
+        Set((1L, 2L), (2L, 3L), (3L, 4L)),
+        Set((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)),
+        Set((1L, 2L), (2L, 3L), (3L, 1L)))) {
+      val (p, t) = runBoth(hand)
+      assert(p == t, s"hand $hand")
+    }
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 5) {
+      val n = 14
+      val edges = (1 to 30).map { _ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1)
+      }.filter(p => p._1 != p._2).toSet
+      val (p, t) = runBoth(edges)
+      assert(p == t, s"trial $trial")
+    }
+    // trim bound is best-effort, never a correctness bound: one cheap
+    // round, deep chain — coloring picks up whatever trim left behind
+    val chain = (1L to 9L).map(i => (i, i + 1)).toSet
+    // (the leftover chain settles ONE forward-root per coloring round —
+    // the very cost profile trim exists to avoid)
+    val one = Graphs.sccTrimmed(spark, chain.toSeq.toDF("src", "dst"),
+        trimRounds = 1, rounds = 12, iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == (1L to 10L).map(i => i -> i).toMap)
+  }
+
   test("stronglyConnectedComponents THROWS on non-convergence, never mislabels") {
     import spark.implicits._
     // An 8-cycle needs 7 forward propagation steps (+1 to prove the
