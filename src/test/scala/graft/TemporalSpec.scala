@@ -767,4 +767,57 @@ class TemporalSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("t32 point-in-time features are STRICTLY before (randomized, " +
+      "forced ts collisions)") {
+    // The leakage guarantee under test: a probe at ts T must see events
+    // with ts < T and NOTHING at ts == T. Events and probes land on the
+    // same coarse hour grid, so probe/event and event/event collisions
+    // are guaranteed — the exact cases the probes-before-events tie
+    // order exists for. Runs the REGISTRY entry end-to-end (temp parquet
+    // fixture through Tables.load) against a brute-force per-probe scan.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val dir = java.nio.file.Files.createTempDirectory("graft-t32").toFile
+    dir.deleteOnExit()
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z
+    val hourUs = 3600000000L
+    val events = (1 to 120).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        base + rnd.nextInt(40) * hourUs,
+        Seq("click", "view", "purchase")(rnd.nextInt(3)),
+        // negative values exercise the HALF_UP cents rounding
+        rnd.nextDouble() * 50 - 5)
+    }
+    events.toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val orders = (1 to 60).map { i =>
+      val u = rnd.nextInt(5).toLong
+      // o_custkey ≡ user (mod 50) — the query's probe-key convention
+      (1000L + i, u + 50, base + rnd.nextInt(40) * hourUs)
+    }
+    orders.toDF("o_orderkey", "o_custkey", "ts_us")
+      .withColumn("o_orderdate", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("t32_pit_features")(spark, dir.getAbsolutePath)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val want = orders.map { case (ok, ck, tUs) =>
+      val prior = events.filter(e => e._2 == ck % 50 && e._3 < tUs)
+      val cents = prior.map(e => Det.centsJvm(e._5)).sum
+      val lastType =
+        if (prior.isEmpty) "none"
+        else prior.maxBy(e => (e._3, e._1))._4
+      ok -> ((prior.size.toLong, cents, lastType))
+    }.toMap
+    assert(got == want)
+    // collisions actually occurred (the test would be vacuous otherwise)
+    val eventTs = events.map(e => (e._2, e._3)).toSet
+    assert(orders.exists(o => eventTs.contains((o._2 % 50, o._3))),
+      "no probe landed on an event timestamp — tighten the grid")
+  }
 }
