@@ -337,6 +337,37 @@ object GraphQueries {
       rows.reduce(_ unionAll _).orderBy("k")
     }),
 
+    // G37 — bipartite projection + cluster structure: project the
+    // order–part bipartite relation onto parts (co-purchase edges,
+    // weight = #orders sharing the pair), threshold at weight ≥ 2 to
+    // kill incidental co-occurrence, and report the connected-component
+    // size profile of what remains — the product-affinity clusters
+    // behind "bought together" features. Scale shape: pair expansion is
+    // the bounded in-basket transform (q52's — baskets capped at 8
+    // items, so fan-out is ≤ C(8,2) per order, never catalog-quadratic),
+    // the pair count is one pair-keyed agg, and CC runs on the
+    // THRESHOLDED projection, which is the small survivor set.
+    // connectedComponentsDF symmetrizes internally, so the x<y pair
+    // orientation is enough.
+    "g37_copurchase" -> ((s, dir) => {
+      val baskets = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")).between(2, 8))
+      val pairs = baskets
+        .select(explode(flatten(transform(col("ps"), x =>
+          transform(col("ps"), y => struct(x.as("x"), y.as("y")))))).as("p"))
+        .select(col("p.x"), col("p.y"))
+        .filter(col("x") < col("y"))
+      val proj = pairs.groupBy("x", "y").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graphs.connectedComponentsDF(s,
+          proj.select(col("x").as("src"), col("y").as("dst")))
+        .groupBy("component").agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("n_parts").desc, col("component").asc)
+    }),
+
     // G08 — PageRank on G_supply, 10 fixed iterations, via the
     // Catalyst-native power iteration (pageRankDF; the GraphX twin is
     // asserted within 1e-6 with identical top-20 order in ToleranceSpec).
@@ -1211,6 +1242,27 @@ object GraphQueries {
         |  FROM (SELECT comp, count(*) OVER (PARTITION BY comp) AS sz
         |        FROM c20))
         |ORDER BY k""".stripMargin,
+
+    // Co-purchase projection replay: bounded-basket pair counts, the
+    // weight-2 threshold, then the standard recursive-walk CC.
+    "g37_copurchase" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (SELECT l_orderkey FROM li GROUP BY 1
+        |       HAVING count(*) BETWEEN 2 AND 8),
+        |pr AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  JOIN ok ON ok.l_orderkey = a.l_orderkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT x AS src, y AS dst FROM pr
+        |      UNION ALL SELECT y AS src, x AS dst FROM pr),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |walk(id, lbl) AS (SELECT id, id FROM n
+        |  UNION SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id),
+        |c AS (SELECT id, min(lbl) AS component FROM walk GROUP BY 1)
+        |SELECT component, CAST(count(*) AS BIGINT) AS n_parts
+        |FROM c GROUP BY 1 ORDER BY n_parts DESC, component""".stripMargin,
 
     "g13_label_propagation" ->
       s"""WITH $copartCte,

@@ -37,6 +37,56 @@ object LlmQueries {
       .drop("body")
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * local fingerprinting scheme) shared by l44/l45: hash every word
+    * 3-gram (40-bit md5 prefix — cross-engine replayable, [[graft.Det]]
+    * md5Long's discipline at a width that leaves room for the position
+    * encoding), then in every window of W=4 consecutive gram hashes
+    * select the RIGHTMOST minimum. The guarantee that makes it the
+    * standard near-dup primitive: any shared run of ≥ k+W-1 tokens
+    * yields at least one shared fingerprint, while only ~2/W of grams
+    * are kept. The rightmost-min pick is ONE window MIN over
+    * v = h·2^20 + (2^20−1−pos) (min h, then max pos; pos < 2^20 —
+    * documents are chunk-grained, l14 bounds real corpora), and
+    * adjacent windows re-selecting the same gram dedup on the decode —
+    * no self-join, no per-window explode. Output: the selected
+    * (doc_id, pos, fp) set.
+    */
+  /** Positional word 3-grams per document — the unit of winnowing
+    * (l44/l45) and of exact containment (l46): (doc_id, pos, gram).
+    */
+  private def grams3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir).select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as(Seq("pos", "token")))
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    tok
+      .withColumn("t2", lead("token", 1).over(wn))
+      .withColumn("t3", lead("token", 2).over(wn))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("token"), col("t2"), col("t3")).as("gram"))
+  }
+
+  private def winnowed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 4
+    val maxP = (1L << 20) - 1
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    grams3(s, dir)
+      .withColumn("h",
+        conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long"))
+      .withColumn("v",
+        col("h") * lit(maxP + 1) + (lit(maxP) - col("pos")))
+      .withColumn("mv", min("v").over(wn.rowsBetween(-(W - 1), 0)))
+      .filter(col("pos") >= W - 1)
+      .select(col("doc_id"),
+        (lit(maxP) - col("mv") % lit(maxP + 1)).as("pos"),
+        expr(s"mv div ${maxP + 1}").as("fp"))
+      .distinct()
+  }
+
   // Shared oracle snippet: the l15 near-dup clustering replay (3-char
   // shingle Jaccard > 0.6 pairs, min-label closure over the recursive
   // CTE) — reused by l15 and the l33 keep-list.
@@ -1018,6 +1068,72 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L44 — the winnowed fingerprint set itself (see [[winnowed]]):
+    // per document, which (position, 40-bit fingerprint) survived the
+    // rightmost-min-per-window selection. Hash-matched against a full
+    // DuckDB replay of the hash/encode/window-min pipeline.
+    "l44_winnow" -> ((s, dir) =>
+      winnowed(s, dir).orderBy("doc_id", "pos")),
+
+    // L45 — MOSS-style overlap report on the winnowed fingerprints:
+    // document pairs ranked by how many fingerprints they share. The
+    // two standard scale guards are part of the operator, not tuning:
+    // fingerprints present in > 50 documents are dropped (boilerplate
+    // — shared-by-everyone n-grams carry no pair signal but drive the
+    // join fan-out quadratic), and pairs need ≥ 3 shared prints (one
+    // window-sized accident is noise). What remains is a fingerprint-
+    // keyed self-join over rare keys — bounded fan-out per key by the
+    // df cap, exactly the l02/LSH candidate-join shape.
+    "l45_winnow_overlap" -> ((s, dir) => {
+      val fps = winnowed(s, dir).select("doc_id", "fp").distinct()
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+      val f = fps.join(rare.select("fp"), "fp")
+      f.as("a").join(f.as("b"), "fp")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+        .orderBy(col("shared").desc, col("d1").asc, col("d2").asc)
+        .limit(50)
+    }),
+
+    // L46 — asymmetric CONTAINMENT on the winnow candidates: for every
+    // pair with ≥ 3 shared fingerprints, the exact 3-gram containment
+    // in BOTH directions (cont12 = |A∩B|/|A|, cont21 = |A∩B|/|B|, as
+    // exact e6 integers). Jaccard misses subset duplication — a doc
+    // quoted whole inside a longer one scores low symmetric similarity
+    // but containment ≈ 1 on the short side; this is the dedup read
+    // that catches it. Scale shape: the sketch (winnowing) proposes,
+    // the exact measure disposes, and the exact gram joins run ONLY
+    // over the candidate pair set — never all-pairs; the l02/LSH
+    // verify-stage discipline with containment instead of Jaccard.
+    "l46_containment" -> ((s, dir) => {
+      val fps = winnowed(s, dir).select("doc_id", "fp").distinct()
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+      val f = fps.join(rare.select("fp"), "fp")
+      val cand = f.as("a").join(f.as("b"), "fp")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+        .select("d1", "d2")
+      val sh = grams3(s, dir).select("doc_id", "gram").distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("gram")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("gram")),
+          Seq("d2", "gram"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .select(col("d1"), col("d2"), col("inter"),
+          expr("1000000 * inter div sz1").as("cont12_e6"),
+          expr("1000000 * inter div sz2").as("cont21_e6"))
+        .orderBy("d1", "d2")
+    }),
+
     // L40 — per-source term LIFT: each source's top-10 over-represented
     // words vs the whole corpus (lift_e6 = 10^6·tf_s·N_c div
     // (tf_c·N_s), support ≥ 20) — the domain-mix audit behind mixture
@@ -1144,7 +1260,72 @@ object LlmQueries {
     (head, steps)
   }
 
+  /** Shared DuckDB replay of [[winnowed]]: positional 3-grams via
+    * generate_series, the 10-hex md5 fold (the [[graft.Det.duckMd5Long]]
+    * move at 40 bits), the same v-encoding, one window MIN, decode.
+    */
+  private val winnowCte: String =
+    """d AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(gs AS BIGINT) - 1 AS gpos,
+      |    toks[CAST(gs AS INT)] || ' ' || toks[CAST(gs AS INT) + 1] ||
+      |      ' ' || toks[CAST(gs AS INT) + 2] AS gram
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(1, len(toks) - 2)) AS gs
+      |        FROM d)),
+      |hv AS (SELECT doc_id, gpos,
+      |    list_reduce(list_transform(
+      |        regexp_extract_all(substr(md5(gram), 1, 10), '.'),
+      |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) * 1048576 + (1048575 - gpos) AS v
+      |  FROM g),
+      |mw AS (SELECT doc_id, gpos,
+      |    min(v) OVER (PARTITION BY doc_id ORDER BY gpos
+      |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mv
+      |  FROM hv),
+      |sel AS (SELECT DISTINCT doc_id,
+      |    1048575 - (mv % 1048576) AS pos, mv // 1048576 AS fp
+      |  FROM mw WHERE gpos >= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "l44_winnow" ->
+      s"""WITH $winnowCte
+        |SELECT doc_id, pos, fp FROM sel
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "l45_winnow_overlap" ->
+      s"""WITH $winnowCte,
+        |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |rare AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 50),
+        |f AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY shared DESC, d1, d2 LIMIT 50""".stripMargin,
+
+    "l46_containment" ->
+      s"""WITH $winnowCte,
+        |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |rare AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= 50),
+        |f AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp)),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, gram FROM g),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |i AS (SELECT c.d1, c.d2, count(*) AS inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+        |  JOIN sh b ON b.doc_id = c.d2 AND b.gram = a.gram
+        |  GROUP BY 1, 2)
+        |SELECT i.d1, i.d2, i.inter,
+        |  CAST(1000000 * i.inter // s1.sz AS BIGINT) AS cont12_e6,
+        |  CAST(1000000 * i.inter // s2.sz AS BIGINT) AS cont21_e6
+        |FROM i JOIN sizes s1 ON s1.doc_id = i.d1
+        |JOIN sizes s2 ON s2.doc_id = i.d2
+        |ORDER BY i.d1, i.d2""".stripMargin,
+
     "l10_decontaminate" -> decontamSql,
     "l10b_decontaminate_bloom" -> decontamSql,
 

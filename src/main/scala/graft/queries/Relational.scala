@@ -910,6 +910,45 @@ object Relational {
         .limit(50)
     }),
 
+    // Q53 — exact-statistics correlation matrix: pairwise Pearson r
+    // over four lineitem measures from ONE pass of integer sufficient
+    // statistics (n, Σx, Σxy), summed in DECIMAL(38,0) because the
+    // price-cents squares overflow BIGINT already at sf0.1. corr is
+    // then pure arithmetic on exact integers: both engines evaluate
+    // the identical double expression tree on identical inputs (IEEE
+    // ops are correctly rounded, sqrt included), so round4 is
+    // hash-stable — q51's determinism discipline extended to the
+    // two-variable moments. `+ 0.0` canonicalizes -0.0 for the
+    // near-zero correlations. At 100 TB the plan is unchanged: one
+    // partial+final aggregate, then a 6-row unpivot of the 1-row
+    // statistics — regression/correlation at scale is just sums.
+    "q53_corr_matrix" -> ((s, dir) => {
+      val m = t(s, dir, "lineitem").select(
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        expr("CAST(round(l_extendedprice*100) AS BIGINT)").as("price_c"),
+        expr("CAST(round(l_discount*100) AS BIGINT)").as("disc_bp"),
+        expr("CAST(round(l_tax*100) AS BIGINT)").as("tax_bp"))
+      val names = Seq("qty", "price_c", "disc_bp", "tax_bp")
+      val prods = for {
+        i <- names.indices; j <- i until names.length
+      } yield sum(expr(s"CAST(${names(i)} AS DECIMAL(38,0)) * ${names(j)}"))
+        .as(s"s_${names(i)}_${names(j)}")
+      val aggs = names.map(x => sum(col(x)).as(s"s_$x")) ++ prods
+      val sums = m.agg(count(lit(1)).as("n"), aggs: _*)
+      def den(x: String) =
+        s"CAST(CAST(n AS DECIMAL(38,0)) * s_${x}_${x} - " +
+          s"CAST(s_$x AS DECIMAL(38,0)) * s_$x AS DOUBLE)"
+      def corrRow(x: String, y: String) =
+        sums.select(lit(x).as("x"), lit(y).as("y"), col("n"),
+          (round(
+            expr(s"CAST(CAST(n AS DECIMAL(38,0)) * s_${x}_${y} - " +
+              s"CAST(s_$x AS DECIMAL(38,0)) * s_$y AS DOUBLE)") /
+            sqrt(expr(den(x)) * expr(den(y))), 4) + lit(0.0)).as("corr_r4"))
+      (for { i <- names.indices; j <- i + 1 until names.length }
+        yield corrRow(names(i), names(j)))
+        .reduce(_ unionAll _).orderBy("x", "y")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1179,7 +1218,43 @@ object Relational {
     })
   )
 
+  /** Q53's generated oracle: the same 6-pair unpivot over exact integer
+    * sufficient statistics (DuckDB's sum(BIGINT) is HUGEINT, so the
+    * moment products stay exact without explicit widening casts beyond
+    * the per-row one).
+    */
+  private val corrOracleSql: String = {
+    val names = Seq("qty", "price_c", "disc_bp", "tax_bp")
+    val prods = (for {
+      i <- names.indices; j <- i until names.length
+    } yield s"sum(CAST(${names(i)} AS HUGEINT) * ${names(j)}) " +
+        s"AS s_${names(i)}_${names(j)}").mkString(",\n    ")
+    def pair(x: String, y: String) =
+      s"""SELECT '$x' AS x, '$y' AS y, n,
+         |  round(CAST(n*s_${x}_${y} - s_${x}*s_${y} AS DOUBLE)
+         |    / sqrt(CAST(n*s_${x}_${x} - s_${x}*s_${x} AS DOUBLE)
+         |         * CAST(n*s_${y}_${y} - s_${y}*s_${y} AS DOUBLE)), 4) + 0.0
+         |    AS corr_r4
+         |FROM s""".stripMargin
+    val pairs = (for { i <- names.indices; j <- i + 1 until names.length }
+      yield pair(names(i), names(j))).mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+       |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+       |    CAST(round(l_discount*100) AS BIGINT) AS disc_bp,
+       |    CAST(round(l_tax*100) AS BIGINT) AS tax_bp
+       |  FROM lineitem),
+       |s AS (SELECT count(*) AS n,
+       |    sum(qty) AS s_qty, sum(price_c) AS s_price_c,
+       |    sum(disc_bp) AS s_disc_bp, sum(tax_bp) AS s_tax_bp,
+       |    $prods
+       |  FROM m)
+       |$pairs
+       |ORDER BY x, y""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q53_corr_matrix" -> corrOracleSql,
+
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem

@@ -727,6 +727,77 @@ object TemporalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // T33 — last-touch attribution: every purchase credits its most
+    // recent click/view within a 7-day lookback (same user, STRICTLY
+    // earlier in the (ts, event_id) event order — t32's leakage rule
+    // applied to marketing credit); no qualifying touch → 'direct'.
+    // One entity-partitioned window over the unified event stream (an
+    // ignore-nulls last() carries the latest touch forward — touches
+    // and purchases already share the stream, so no second input or
+    // join exists at all), then a channel-count rollup. The oracle
+    // pays the per-purchase inequality-join form the engine avoids.
+    "t33_attribution" -> ((s, dir) => {
+      val base = ev(s, dir).select(col("user_id"),
+        epochUs(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"),
+        expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("click", "view"),
+        struct(col("ts_us").as("t_us"), col("event_type").as("ch")))
+      base
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("lt").isNotNull &&
+              col("lt.t_us") >= col("ts_us") - lit(7L * 86400000000L),
+            col("lt.ch")).otherwise(lit("direct")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("cents").as("cents_revenue"))
+        .orderBy("channel")
+    }),
+
+    // T34 — weekday-adjusted anomaly days: per event type, the top-5
+    // most anomalous days of the DENSE daily series (t23's spine — a
+    // zero day must be able to flag) after removing weekday
+    // seasonality, with the anomaly bit from the classic robust rule
+    // |resid| > 3·MAD. All order statistics are exact lower-median
+    // rank picks (t31's discipline — well-defined under ties), so the
+    // whole pipeline is integer arithmetic: med_dow = per-(type,
+    // weekday) median daily count, resid = n − med_dow, MAD = per-type
+    // median |resid|. Plain MAD outliers (q43) misfire weekly rhythms
+    // as anomalies — detrending first is the operator's point. Scale:
+    // everything runs on the |days × types| aggregate, never events.
+    "t34_seasonal_anomaly" -> ((s, dir) => {
+      val dd = denseDaily(s, dir)
+        .withColumn("dow", expr("weekday(day)").cast("long"))
+      val grp = Window.partitionBy("event_type", "dow")
+      val med = dd
+        .withColumn("rn", row_number().over(grp.orderBy("n", "day")))
+        .withColumn("cnt", count(lit(1)).over(grp))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("dow"), col("n").as("med_dow"))
+      val resid = dd.join(med, Seq("event_type", "dow"))
+        .withColumn("resid", col("n") - col("med_dow"))
+      val byType = Window.partitionBy("event_type")
+      val mad = resid
+        .withColumn("rn",
+          row_number().over(byType.orderBy(abs(col("resid")), col("day"))))
+        .withColumn("cnt", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), abs(col("resid")).as("mad"))
+      resid.join(broadcast(mad), "event_type")
+        .withColumn("rk", row_number().over(
+          byType.orderBy(abs(col("resid")).desc, col("day").asc)))
+        .filter(col("rk") <= 5)
+        .withColumn("is_anomaly", abs(col("resid")) > lit(3L) * col("mad"))
+        .select("event_type", "day", "n", "med_dow", "resid", "mad",
+          "is_anomaly")
+        .orderBy("event_type", "day")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -1360,6 +1431,70 @@ object TemporalQueries {
         |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000
         |      + event_id), 'none') AS last_type
         |FROM j GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    // Per-purchase best-touch via the quadratic inequality join the
+    // engine never runs; the (ts, event_id) lexicographic tie rule is
+    // the same HUGEINT-encoded max_by key as t32's.
+    "t33_attribution" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_id, event_type FROM events
+        |      WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.event_id AS pid, p.cents,
+        |    max_by(t.event_type,
+        |      CAST(epoch_us(CAST(t.ts AS TIMESTAMP)) AS HUGEINT) * 10000000
+        |        + t.event_id) AS lt
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |    AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+        |    AND epoch_us(CAST(t.ts AS TIMESTAMP))
+        |        >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 604800000000
+        |  GROUP BY p.event_id, p.cents)
+        |SELECT coalesce(lt, 'direct') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS cents_revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Dense-spine replay (t23's CTE), then the same exact rank-pick
+    // medians; isodow-1 == Spark's weekday (0 = Monday).
+    "t34_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('day', min(ts)) AS lo,
+        |             date_trunc('day', max(ts)) AS hi FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day,
+        |         t.event_type
+        |  FROM b, (SELECT DISTINCT event_type FROM events) t),
+        |dd AS (SELECT CAST(s.day AS TIMESTAMP) AS day, s.event_type,
+        |    coalesce(d.n, 0) AS n,
+        |    CAST(isodow(s.day) - 1 AS BIGINT) AS dow
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.day = s.day AND d.event_type = s.event_type),
+        |medd AS (SELECT event_type, dow, n AS med_dow FROM (
+        |    SELECT event_type, dow, n, day,
+        |      row_number() OVER (PARTITION BY event_type, dow
+        |                         ORDER BY n, day) AS rn,
+        |      count(*) OVER (PARTITION BY event_type, dow) AS cnt
+        |    FROM dd) WHERE rn = (cnt + 1) // 2),
+        |r AS (SELECT dd.day, dd.event_type, dd.n, medd.med_dow,
+        |    dd.n - medd.med_dow AS resid
+        |  FROM dd JOIN medd USING (event_type, dow)),
+        |mad AS (SELECT event_type, abs(resid) AS mad FROM (
+        |    SELECT event_type, resid, day,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY abs(resid), day) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM r) WHERE rn = (cnt + 1) // 2),
+        |top AS (SELECT r.event_type, r.day, r.n, r.med_dow, r.resid,
+        |    mad.mad,
+        |    row_number() OVER (PARTITION BY r.event_type
+        |                       ORDER BY abs(r.resid) DESC, r.day) AS rk
+        |  FROM r JOIN mad USING (event_type))
+        |SELECT event_type, day, n, med_dow, resid, mad,
+        |  abs(resid) > 3 * mad AS is_anomaly
+        |FROM top WHERE rk <= 5 ORDER BY event_type, day""".stripMargin,
 
     "t31_dwell_quantiles" ->
       """WITH ch AS (SELECT user_id, event_id, ts, event_type,
