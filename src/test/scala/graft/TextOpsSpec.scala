@@ -407,4 +407,50 @@ class TextOpsSpec extends SparkSpecBase {
     // doc 2: no tokens -> zeros, not a dropped row
     assert(out(2) == ((2L, 0L, 0L)))
   }
+
+  test("winnowing invariants: window coverage + shared-run guarantee") {
+    // The two properties that make winnowing (l44/l45/l46) a sound
+    // near-dup primitive, asserted on the REGISTRY entry end-to-end:
+    // (1) coverage — every window of W=4 consecutive 3-gram positions
+    // contains a selected fingerprint; (2) guarantee — documents
+    // sharing a token run of >= k+W-1 = 6 share a fingerprint VALUE.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toFile
+    dir.deleteOnExit()
+    val rnd = new scala.util.Random(17)
+    def words(n: Int): String =
+      Seq.fill(n)("w" + rnd.nextInt(400)).mkString(" ")
+    val shared = words(12) // >= 6-token shared run between docs 1 and 2
+    val docsRows = Seq(
+      (1L, words(40) + " " + shared + " " + words(40)),
+      (2L, words(25) + " " + shared + " " + words(60)),
+      (3L, words(90)), // unrelated
+      (4L, "a b")) // < k tokens: no grams, no fingerprints, no crash
+    docsRows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val sel = SparkEntry.queries("l44_winnow")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = sel.groupBy(_._1)
+    assert(!byDoc.contains(4L))
+    for ((id, text) <- docsRows if id != 4L) {
+      val nGrams = text.split(" ").length - 2
+      val poss = byDoc(id).map(_._2).toSet
+      // coverage: every full window [p-3, p] holds a selection
+      for (p <- 3 until nGrams)
+        assert((p - 3 to p).exists(q => poss.contains(q.toLong)),
+          s"doc $id window at $p")
+      // selection is sparse, not everything
+      assert(poss.size < nGrams)
+    }
+    val fp1 = byDoc(1L).map(_._3).toSet
+    val fp2 = byDoc(2L).map(_._3).toSet
+    val fp3 = byDoc(3L).map(_._3).toSet
+    // guarantee: the 12-token shared run forces shared fingerprints
+    assert((fp1 & fp2).nonEmpty)
+    // unrelated doc shares (essentially) nothing: below l45's >= 3 gate
+    assert((fp1 & fp3).size < 3 && (fp2 & fp3).size < 3)
+  }
 }
