@@ -546,6 +546,58 @@ object Graphs {
       .orderBy("v_id")
   }
 
+  /** G38 — restricted EDGE betweenness in exact integers: the same pair
+    * set, σ scaling, and overflow discipline as
+    * [[restrictedBetweenness]], counted per directed ARC instead of per
+    * interior vertex — Girvan–Newman's edge-removal score. An arc
+    * (u, v) lies on an s→t shortest path iff d_s(u) + 1 + d̂_t(v) =
+    * d(s, t) (= 3 here), and then carries σ_s(u)·σ̂_t(v) of the σ_st
+    * paths; level consistency is automatic (a cheaper meeting would
+    * contradict d(s, t)). All three arcs of every path count —
+    * endpoints included, unlike the vertex form's interior-only
+    * convention — matching the oracle's path-edge enumeration. The
+    * backward counts reuse the same edge set, which is correct on the
+    * symmetric co-part substrate (every arc has its reverse).
+    */
+  def restrictedEdgeBetweenness(s: SparkSession, edges: DataFrame)
+      : DataFrame = {
+    val seed = edges.agg(min(col("src"))).head().getLong(0)
+    val fwd = pathCountBfs(s, edges,
+        s.createDataFrame(Seq(Tuple1(seed))).toDF("id"), maxDepth = 3)
+      .transform(Checkpoints.cut)
+    val targets = fwd.filter(col("dist") === 3)
+      .select(col("id")).orderBy("id").limit(3)
+    val bwd = pathCountBfs(s, edges, targets, maxDepth = 3)
+      .transform(Checkpoints.cut)
+    val sig = fwd.join(targets, "id")
+      .select(col("id"), col("paths")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    require(sig.length >= 2,
+      s"restricted edge betweenness needs >=2 distance-3 targets, got " +
+        s"${sig.length} (the g21b divergence guard)")
+    val scales = sig.map { case (t, _) =>
+      val p = sig.filter(_._1 != t).map(x => BigInt(x._2)).product
+      require(p.isValidLong,
+        s"sigma product $p for target $t overflows long")
+      (t, p.toLong)
+    }
+    val scaleDf = s.createDataFrame(scales.toSeq).toDF("t_id", "scale")
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .join(fwd.select(col("id").as("src"), col("dist").as("d_s"),
+        col("paths").as("p_s")), "src")
+      .join(bwd.select(col("seed").as("t_id"), col("id").as("dst"),
+        col("dist").as("d_t"), col("paths").as("p_t")), "dst")
+      .filter(col("d_s") + lit(1) + col("d_t") === 3)
+      .join(broadcast(scaleDf), "t_id")
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("p_s").cast("decimal(38,0)") * col("p_t") * col("scale"))
+        .as("btw_dec"))
+      .select(col("src"), col("dst"),
+        col("btw_dec").cast("long").as("btw_scaled"))
+      .orderBy("src", "dst")
+  }
+
   /** Single-source weighted shortest distances (min-plus), frontier-based
     * Bellman-Ford over DataFrames: each round relaxes only the edges out
     * of vertices improved in the previous round, so a converged region

@@ -200,6 +200,13 @@ object GraphQueries {
       Graphs.restrictedBetweenness(s, Graphs.copartEdges(s, dir)
         .transform(graft.ops.Checkpoints.cut))),
 
+    // G38 — edge betweenness (Girvan–Newman's removal score) on the
+    // same restricted pair set as g21b, exact-integer per directed arc;
+    // hash-matched against the path-EDGE enumeration replay.
+    "g38_edge_betweenness" -> ((s, dir) =>
+      Graphs.restrictedEdgeBetweenness(s, Graphs.copartEdges(s, dir)
+        .transform(graft.ops.Checkpoints.cut))),
+
     // G07 — global triangle count of the restricted co-part graph.
     "g07_triangles" -> ((s, dir) => {
       val n = Graphs.triangleCount(s, Graphs.copartPairs(s, dir))
@@ -1131,6 +1138,35 @@ object GraphQueries {
         |  CAST(sum(c.sigma * s.scale) AS BIGINT) AS btw_scaled
         |FROM contrib c JOIN scales s ON s.t_id = c.t_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // g21b's enumeration replay with path EDGES unnested instead of
+    // interior vertices: each length-3 path contributes its 3 arcs.
+    "g38_edge_betweenness" ->
+      s"""WITH RECURSIVE $copartCte,
+        |seed AS (SELECT min(src) AS s FROM e),
+        |walk(id, d, path) AS (
+        |  SELECT s, 0, [s] FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, w.d + 1, list_append(w.path, e.dst)
+        |  FROM walk w JOIN e ON e.src = w.id WHERE w.d < 3),
+        |md AS (SELECT id, min(d) AS dist FROM walk GROUP BY id),
+        |targets AS (SELECT id FROM md WHERE dist = 3 ORDER BY id LIMIT 3),
+        |sp AS (SELECT w.id AS t_id, w.path FROM walk w
+        |       JOIN targets t ON t.id = w.id WHERE w.d = 3),
+        |sig AS (SELECT t_id, count(*) AS s_st FROM sp GROUP BY 1),
+        |scales AS (SELECT a.t_id,
+        |    CAST(round(product(b.s_st)) AS BIGINT) AS scale
+        |  FROM sig a JOIN sig b ON b.t_id <> a.t_id GROUP BY a.t_id),
+        |pedges AS (
+        |  SELECT t_id, path[1] AS u, path[2] AS v FROM sp
+        |  UNION ALL SELECT t_id, path[2] AS u, path[3] AS v FROM sp
+        |  UNION ALL SELECT t_id, path[3] AS u, path[4] AS v FROM sp),
+        |contrib AS (SELECT t_id, u, v, count(*) AS sigma
+        |            FROM pedges GROUP BY 1, 2, 3)
+        |SELECT CAST(c.u AS BIGINT) AS src, CAST(c.v AS BIGINT) AS dst,
+        |  CAST(sum(c.sigma * s.scale) AS BIGINT) AS btw_scaled
+        |FROM contrib c JOIN scales s ON s.t_id = c.t_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Exact replay of the seeded hash walks: ranked adjacency (one
     // window), then one unrolled pick+advance join per step, with the

@@ -266,6 +266,26 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // S33 — streaming last-touch attribution: t33's credit rule
+    // maintained live with one LastTouch per user (see Streams
+    // .attribStep); batch twin = the same fold over the whole table,
+    // per-purchase rows hash-matched against the t33 oracle's
+    // pre-rollup form. Stream == batch (incl. the strictly-earlier
+    // equal-ts rule) in StreamingSpec.
+    "s33_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir).select(col("user_id"), col("event_id"),
+        graft.Det.epochUs(col("ts")).as("ts_us"),
+        col("event_type").isin("click", "view").as("is_touch"),
+        (col("event_type") === "purchase").as("is_purchase"),
+        col("event_type").as("channel"),
+        expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+        .as[Streams.AttribEv]
+      Streams.attributionBatch(in).toDF()
+        .select("event_id", "channel", "cents")
+        .orderBy("event_id")
+    }),
+
     // S24 — streaming rolling 7-day distinct users: q38's WAU curve as
     // a continuous query (dedup -> x7 contribution explode -> dedup ->
     // windowed count, all watermark-evictable). Batch twin == q38
@@ -643,6 +663,26 @@ object StreamQueries {
         |            WHERE c.user_id = p.user_id AND c.ts <= p.ts), -1)
         |    AS click_id
         |FROM p ORDER BY p.event_id""".stripMargin,
+
+    // t33's oracle stopped before the channel rollup: per-purchase
+    // attribution rows, same strictly-earlier HUGEINT max_by key.
+    "s33_stream_attribution" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_id, event_type FROM events
+        |      WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.event_id, p.cents,
+        |    max_by(t.event_type,
+        |      CAST(epoch_us(CAST(t.ts AS TIMESTAMP)) AS HUGEINT) * 10000000
+        |        + t.event_id) AS lt
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |    AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+        |    AND epoch_us(CAST(t.ts AS TIMESTAMP))
+        |        >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 604800000000
+        |  GROUP BY p.event_id, p.cents)
+        |SELECT event_id, coalesce(lt, 'direct') AS channel, cents
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "s08_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,

@@ -798,6 +798,41 @@ object TemporalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // T35 — churn-risk scoring: each user's current SILENCE (time from
+    // their last event to the corpus frontier) against 3× their OWN
+    // median inter-event gap — the personalized inactivity alarm (a
+    // global threshold misfires both the hourly user and the weekly
+    // one; self-calibration is the operator's point). Median gap is the
+    // exact lower-median rank pick over the user's lag-gaps (t31's
+    // discipline); users need ≥ 3 events (≥ 2 gaps) to calibrate. One
+    // entity-windowed pass over events + a broadcast 1-row frontier —
+    // nothing leaves the user partition until the ≤|users|-row result.
+    "t35_churn_risk" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        epochUs(col("ts")).as("ts_us"), col("event_id"))
+      val now = e.agg(max("ts_us").as("now_us"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = e
+        .withColumn("prev", lag("ts_us", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("ts_us") - col("prev")).as("gap_us"))
+      val grp = Window.partitionBy("user_id")
+      val med = gaps
+        .withColumn("rn", row_number().over(grp.orderBy("gap_us")))
+        .withColumn("cnt", count(lit(1)).over(grp))
+        .filter(col("rn") === expr("(cnt + 1) div 2") && col("cnt") >= 2)
+        .select(col("user_id"), col("gap_us").as("med_gap_us"),
+          (col("cnt") + 1).as("n_events"))
+      val lastTs = e.groupBy("user_id").agg(max("ts_us").as("last_us"))
+      med.join(lastTs, "user_id").crossJoin(broadcast(now))
+        .withColumn("silence_us", col("now_us") - col("last_us"))
+        .withColumn("at_risk",
+          col("silence_us") > lit(3L) * col("med_gap_us"))
+        .select("user_id", "n_events", "med_gap_us", "silence_us",
+          "at_risk")
+        .orderBy("user_id")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -1495,6 +1530,29 @@ object TemporalQueries {
         |SELECT event_type, day, n, med_dow, resid, mad,
         |  abs(resid) > 3 * mad AS is_anomaly
         |FROM top WHERE rk <= 5 ORDER BY event_type, day""".stripMargin,
+
+    "t35_churn_risk" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events),
+        |now_t AS (SELECT max(ts_us) AS now_us FROM e),
+        |g AS (SELECT user_id, ts_us - lag(ts_us)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |  FROM e),
+        |g2 AS (SELECT user_id, gap_us FROM g WHERE gap_us IS NOT NULL),
+        |med AS (SELECT user_id, gap_us AS med_gap_us,
+        |    cnt + 1 AS n_events FROM (
+        |    SELECT user_id, gap_us,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY gap_us) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS cnt FROM g2)
+        |  WHERE rn = (cnt + 1) // 2 AND cnt >= 2),
+        |lastt AS (SELECT user_id, max(ts_us) AS last_us FROM e GROUP BY 1)
+        |SELECT m.user_id, m.n_events, m.med_gap_us,
+        |  n.now_us - l.last_us AS silence_us,
+        |  n.now_us - l.last_us > 3 * m.med_gap_us AS at_risk
+        |FROM med m JOIN lastt l USING (user_id) CROSS JOIN now_t n
+        |ORDER BY m.user_id""".stripMargin,
 
     "t31_dwell_quantiles" ->
       """WITH ch AS (SELECT user_id, event_id, ts, event_type,

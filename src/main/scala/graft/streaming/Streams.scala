@@ -940,6 +940,90 @@ object Streams {
       }
   }
 
+  case class AttribEv(user_id: Long, event_id: Long, ts_us: Long,
+    is_touch: Boolean, is_purchase: Boolean, channel: String, cents: Long)
+  case class LastTouch(ts_us: Long, event_id: Long, channel: String)
+  case class Attribution(event_id: Long, user_id: Long, channel: String,
+    cents: Long)
+
+  private val attribLookbackUs = 7L * 86400000000L
+
+  /** One attribution step (t33's rule as a fold): a touch becomes the
+    * carried last-touch if it is LATER in (ts, event_id) order than the
+    * carried one (the comparison — not blind replacement — keeps the
+    * state right if a microbatch boundary splits equal timestamps); a
+    * purchase emits the carried channel when the touch is within the
+    * 7-day lookback, else 'direct'. A purchase at a touch's exact ts
+    * with a smaller event_id does NOT see it — t33's strictly-earlier
+    * rule, preserved by processing in plain (ts_us, event_id) order.
+    */
+  private def attribStep(st: Option[LastTouch], e: AttribEv)
+      : (Option[LastTouch], Option[Attribution]) =
+    if (e.is_touch) {
+      val better = st match {
+        case Some(t) if t.ts_us > e.ts_us ||
+          (t.ts_us == e.ts_us && t.event_id > e.event_id) => t
+        case _ => LastTouch(e.ts_us, e.event_id, e.channel)
+      }
+      (Some(better), None)
+    } else if (e.is_purchase) {
+      val ch = st match {
+        case Some(t) if t.ts_us >= e.ts_us - attribLookbackUs => t.channel
+        case _ => "direct"
+      }
+      (st, Some(Attribution(e.event_id, e.user_id, ch, e.cents)))
+    } else (st, None)
+
+  private def attribOrder(e: AttribEv): (Long, Long) = (e.ts_us, e.event_id)
+
+  /** S33 — streaming last-touch attribution: t33 maintained live with
+    * O(1) state per user (one LastTouch), purchases credited as they
+    * arrive. flatMapGroupsWithState in Append mode, the asofStream
+    * shape.
+    */
+  def attributionStream(events: Dataset[AttribEv]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouch, Attribution](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[AttribEv], state: GroupState[LastTouch]) =>
+          var st = state.getOption
+          val out = rows.toSeq.sortBy(attribOrder).flatMap { e =>
+            val (s2, hit) = attribStep(st, e)
+            st = s2
+            hit
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[attributionStream]]: the asofBatch repartition +
+    * secondary-sort + fold shape — O(1) state per task, never a
+    * per-user buffer.
+    */
+  def attributionBatch(events: Dataset[AttribEv]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var curUser = 0L
+        var started = false
+        var st: Option[LastTouch] = None
+        it.flatMap { e =>
+          if (!started || e.user_id != curUser) {
+            curUser = e.user_id; started = true; st = None
+          }
+          val (s2, hit) = attribStep(st, e)
+          st = s2
+          hit
+        }
+      }
+  }
+
   /** Per-user running state for S06: EXACT integer moments — event
     * count, Σ cents, Σ cents². Integer state (not Welford mean/M2
     * doubles) is what makes the 3σ flag decision exact and therefore

@@ -633,6 +633,58 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("restrictedEdgeBetweenness == local path-edge enumeration (random)") {
+    import spark.implicits._
+    // Every length-3 walk from the seed to a distance-3 node is a
+    // shortest path (each step must raise the BFS level by exactly 1),
+    // so local enumeration is trivial: 3 nested adjacency expansions.
+    val rnd = new scala.util.Random(29)
+    var done = 0
+    var trial = 0
+    while (done < 4 && trial < 40) {
+      trial += 1
+      val n = 12
+      val und = (1 to 22).map(_ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(p => p._1 != p._2).toSet
+      val sym = und ++ und.map(p => (p._2, p._1))
+      val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        .withDefaultValue(Set.empty[Long])
+      val seed = sym.map(_._1).min
+      // local BFS levels
+      var dist = Map(seed -> 0)
+      var frontier = Set(seed)
+      for (d <- 1 to 3) {
+        frontier = frontier.flatMap(adj).filterNot(dist.contains)
+        dist ++= frontier.map(_ -> d)
+      }
+      val targets = dist.collect { case (v, 3) => v }.toSeq.sorted.take(3)
+      if (targets.size >= 2) {
+        val tset = targets.toSet
+        val paths = for {
+          v1 <- adj(seed).toSeq; v2 <- adj(v1).toSeq; v3 <- adj(v2).toSeq
+          if tset.contains(v3)
+        } yield Seq(seed, v1, v2, v3)
+        val sigma = paths.groupBy(_.last).map { case (t, ps) => t -> ps.size.toLong }
+        if (sigma.size >= 2) {
+          val scale = sigma.map { case (t, _) =>
+            t -> sigma.filter(_._1 != t).values.product
+          }
+          val want = paths.flatMap { p =>
+            p.sliding(2).map(a => (a(0), a(1)) -> scale(p.last))
+          }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+          val got = Graphs.restrictedEdgeBetweenness(spark,
+              sym.toSeq.toDF("src", "dst"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+          assert(got == want, s"trial $trial")
+          done += 1
+        }
+      }
+    }
+    assert(done == 4, s"only $done eligible random graphs in $trial trials")
+  }
+
   test("reliable checkpoints reap mid-loop: dead rounds' files are deleted") {
     // cleanCheckpoints=true (static conf, SparkSpecBase) + the natural
     // loop shape `state = cut(step(state))` — each round drops the only

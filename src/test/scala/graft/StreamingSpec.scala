@@ -1331,4 +1331,57 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Map(2L -> Some(1L), 4L -> Some(1L), 5L -> Some(3L),
       6L -> None))
   }
+
+  test("S33 streaming attribution == batch fold (fixture, 4 micro-batches)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val e = Tables.load(spark, sfDir, "events")
+    val in = e.select(col("user_id"), col("event_id"),
+      graft.Det.epochUs(col("ts")).as("ts_us"),
+      col("event_type").isin("click", "view").as("is_touch"),
+      (col("event_type") === "purchase").as("is_purchase"),
+      col("event_type").as("channel"),
+      expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+      .as[Streams.AttribEv]
+    val batch = Streams.attributionBatch(in).collect()
+      .map(a => a.event_id -> ((a.channel, a.cents))).toMap
+    assert(batch.nonEmpty && batch.values.exists(_._1 != "direct"))
+
+    val evs = in.orderBy("ts_us", "event_id").collect().toSeq
+    val source = MemoryStream[Streams.AttribEv]
+    val q = Streams.attributionStream(source.toDS())
+      .writeStream.format("memory").queryName("s33sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+      }
+      val viaStream = spark.table("s33sink").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+      assert(viaStream == batch)
+    } finally q.stop()
+  }
+
+  test("S33 attribution step: strictly-earlier tie rule + 7-day lookback") {
+    import spark.implicits._
+    val day = 86400000000L
+    def touch(id: Long, ts: Long, ch: String) =
+      Streams.AttribEv(7L, id, ts, true, false, ch, 0L)
+    def buy(id: Long, ts: Long, cents: Long) =
+      Streams.AttribEv(7L, id, ts, false, true, "purchase", cents)
+    val rows = Seq(
+      touch(1L, 100L, "click"),
+      // equal ts, LARGER id than the purchase -> must NOT be credited
+      touch(3L, 200L, "view"),
+      buy(2L, 200L, 10L), // sees click 1 (strictly earlier), not view 3
+      buy(4L, 300L, 20L), // now view 3 is strictly earlier -> view
+      // signup is neither touch nor purchase: ignored entirely
+      Streams.AttribEv(7L, 5L, 400L, false, false, "signup", 0L),
+      buy(6L, 400L + 8 * day, 30L), // last touch beyond 7d -> direct
+      buy(7L, 50L, 40L)) // user 8-style no-prior case, same user early ts
+    val got = Streams.attributionBatch(rows.toDS()).collect()
+      .map(a => a.event_id -> a.channel).toMap
+    assert(got == Map(2L -> "click", 4L -> "view", 6L -> "direct",
+      7L -> "direct"))
+  }
 }
