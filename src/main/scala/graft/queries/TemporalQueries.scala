@@ -833,6 +833,36 @@ object TemporalQueries {
         .orderBy("user_id")
     }),
 
+    // T36 — rolling 28-day trend: q51's exact OLS as a WINDOW — per
+    // (event type, day), the slope of daily counts over the trailing
+    // 28 days of the dense spine (zeros included: a quiet week must
+    // pull the trend down, which a sparse series silently would not).
+    // The five sufficient statistics become five window sums over the
+    // same frame (one shuffle, five aggregates in one window pass);
+    // x = dense day index, so den > 0 always and every sum stays in
+    // long range by construction; the signed scaled division truncates
+    // toward zero like q51. Emitted only where the frame is FULL (m =
+    // 28) — a partial-window slope is a different, noisier statistic.
+    "t36_rolling_trend" -> ((s, dir) => {
+      val idx = Window.partitionBy("event_type").orderBy("day")
+      val d2 = denseDaily(s, dir)
+        .withColumn("x", row_number().over(idx).cast("long"))
+      val w = idx.rowsBetween(-27, 0)
+      d2.withColumn("m", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w))
+        .withColumn("sy", sum("n").over(w))
+        .withColumn("sxy", sum(col("x") * col("n")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .filter(col("m") === 28)
+        .withColumn("num", col("m") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("m") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("slope_e6", expr("""CASE WHEN num >= 0
+            THEN 1000000 * num div den
+            ELSE -((1000000 * (-num)) div den) END"""))
+        .select("event_type", "day", "slope_e6")
+        .orderBy("event_type", "day")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -1553,6 +1583,39 @@ object TemporalQueries {
         |  n.now_us - l.last_us > 3 * m.med_gap_us AS at_risk
         |FROM med m JOIN lastt l USING (user_id) CROSS JOIN now_t n
         |ORDER BY m.user_id""".stripMargin,
+
+    "t36_rolling_trend" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('day', min(ts)) AS lo,
+        |             date_trunc('day', max(ts)) AS hi FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day,
+        |         t.event_type
+        |  FROM b, (SELECT DISTINCT event_type FROM events) t),
+        |dense AS (SELECT CAST(s.day AS TIMESTAMP) AS day, s.event_type,
+        |    coalesce(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.day = s.day AND d.event_type = s.event_type),
+        |d2 AS (SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY day) AS BIGINT) AS x
+        |  FROM dense),
+        |r AS (SELECT event_type, day,
+        |    count(*) OVER w AS m,
+        |    sum(x) OVER w AS sx, sum(n) OVER w AS sy,
+        |    sum(x*n) OVER w AS sxy, sum(x*x) OVER w AS sxx
+        |  FROM d2 WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  CASE WHEN m*sxy - sx*sy >= 0
+        |    THEN CAST(1000000*(m*sxy - sx*sy) // (m*sxx - sx*sx)
+        |      AS BIGINT)
+        |    ELSE -CAST((1000000*(sx*sy - m*sxy)) // (m*sxx - sx*sx)
+        |      AS BIGINT)
+        |  END AS slope_e6
+        |FROM r WHERE m = 28 ORDER BY event_type, day""".stripMargin,
 
     "t31_dwell_quantiles" ->
       """WITH ch AS (SELECT user_id, event_id, ts, event_type,
