@@ -844,15 +844,27 @@ object TemporalQueries {
     // toward zero like q51. Emitted only where the frame is FULL (m =
     // 28) — a partial-window slope is a different, noisier statistic.
     "t36_rolling_trend" -> ((s, dir) => {
-      val idx = Window.partitionBy("event_type").orderBy("day")
-      val d2 = denseDaily(s, dir)
-        .withColumn("x", row_number().over(idx).cast("long"))
-      val w = idx.rowsBetween(-27, 0)
-      d2.withColumn("m", count(lit(1)).over(w))
-        .withColumn("sx", sum("x").over(w))
-        .withColumn("sy", sum("n").over(w))
-        .withColumn("sxy", sum(col("x") * col("n")).over(w))
-        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      // x = 1 + days since the spine origin — an ARITHMETIC day index,
+      // not a row_number: a windowed x would chain the sxy/sxx products
+      // behind a prior Window's output and split the statistics across
+      // four Window operators (observed; PlanShapeSpec pins the fused
+      // shape). Same values (the dense spine starts at lo for every
+      // type), one window pass.
+      val lo = ev(s, dir).agg(date_trunc("day", min(col("ts"))).as("lo"))
+      val d2 = denseDaily(s, dir).crossJoin(broadcast(lo))
+        .withColumn("x", (datediff(col("day"), col("lo")) + 1).cast("long"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-27, 0)
+      // products as plain pre-window columns + ONE select with all five
+      // frame aggregates: a withColumn chain interleaves Projects (the
+      // product inputs) between the Window ops and defeats
+      // CollapseWindow — one select over ready columns fuses them
+      d2.withColumn("xn", col("x") * col("n"))
+        .withColumn("xx", col("x") * col("x"))
+        .select(col("event_type"), col("day"),
+          count(lit(1)).over(w).as("m"),
+          sum("x").over(w).as("sx"), sum("n").over(w).as("sy"),
+          sum("xn").over(w).as("sxy"), sum("xx").over(w).as("sxx"))
         .filter(col("m") === 28)
         .withColumn("num", col("m") * col("sxy") - col("sx") * col("sy"))
         .withColumn("den", col("m") * col("sxx") - col("sx") * col("sx"))

@@ -308,6 +308,31 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected exactly 1 hash exchange, got: ${ex.map(_.outputPartitioning)}")
   }
 
+  test("t33 attribution: one entity shuffle, join-free credit pass") {
+    // touches and purchases share the event stream, so the credit pass
+    // is ONE hash exchange (user_id feeding the window) + the tiny
+    // channel rollup — a planner change reintroducing a per-purchase
+    // join here would be the inequality-join cliff the oracle pays
+    val q = SparkEntry.queries("t33_attribution")(spark, sfDir)
+    assert(!all(q).exists(_.nodeName.contains("Join")),
+      s"expected a join-free plan: ${all(q).map(_.nodeName).distinct}")
+    val hashEx = all(q).collect { case e: ShuffleExchangeExec => e }
+      .filterNot(_.outputPartitioning.toString.contains("rangepartitioning"))
+    // entity window + the 5-row channel rollup's exchange, nothing more
+    assert(hashEx.length <= 2,
+      s"expected <=2 hash exchanges: ${hashEx.map(_.outputPartitioning)}")
+  }
+
+  test("t36 rolling trend: all five statistics share one window frame") {
+    // five window sums over the same (type-partitioned, day-ordered)
+    // frame must plan as ONE Window operator — five separate window
+    // operators would be five passes over the spine at scale
+    val q = SparkEntry.queries("t36_rolling_trend")(spark, sfDir)
+    val windows = all(q).filter(_.nodeName.contains("Window"))
+    assert(windows.length == 1, // arithmetic x keeps all five sums fused
+      s"expected the stats to share ONE Window op: ${windows.length}")
+  }
+
   test("q38 rolling distinct: only the 1-row max-day dim nested-loops") {
     // the contribution-explode plan may cross-join ONLY the broadcast
     // 1-row clip dim; any other nested loop would be the quadratic cliff
