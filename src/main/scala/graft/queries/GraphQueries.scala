@@ -375,6 +375,48 @@ object GraphQueries {
         .orderBy(col("n_parts").desc, col("component").asc)
     }),
 
+    // G39 — BOM explosion (the classic bill-of-materials recursive
+    // rollup, with MULTIPLICATIVE quantities — a different semiring
+    // from every BFS/min/count traversal above): over the derived
+    // binary part hierarchy (child c needs qty(c) = c%3+1 units per
+    // unit of parent c div 2), each part's total descendant count and
+    // total component units U(p) = Σ_c qty(c)·(1 + U(c)) — the number
+    // procurement actually orders. The engine runs bottom-up LEVEL DP:
+    // heap keys make every child exactly one level deeper
+    // (level = len(bin(id))−1, exact integer — no float log2), so
+    // ~log N rounds of (child→parent aggregate + left join) compute
+    // every part in O(V) total work; the oracle pays full root×path
+    // enumeration (Σ depths ≈ N·log N rows), the standard
+    // engine-avoids/oracle-pays split. At 100 TB: per-round shuffle is
+    // one level's parent-keyed aggregate; depth stays logarithmic in
+    // the catalog.
+    "g39_bom_explosion" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("id"))
+        .withColumn("lvl", (length(bin(col("id"))) - 1).cast("int"))
+        .transform(graft.ops.Checkpoints.cut)
+      val maxL = p.agg(max("lvl")).head().getInt(0)
+      var computed = p.filter(col("lvl") === maxL)
+        .select(col("id"), lit(0L).as("n_desc"), lit(0L).as("units"))
+      var acc = computed
+      for (d <- maxL - 1 to 0 by -1) {
+        val agg = computed
+          .filter(col("id") >= 2)
+          .select(expr("id div 2").as("pid"),
+            (col("id") % 3 + 1).as("qty"), col("n_desc"), col("units"))
+          .groupBy("pid")
+          .agg(sum(lit(1L) + col("n_desc")).as("kn"),
+            sum(col("qty") * (lit(1L) + col("units"))).as("ku"))
+        computed = p.filter(col("lvl") === d).select("id")
+          .join(agg, col("id") === col("pid"), "left")
+          .select(col("id"), coalesce(col("kn"), lit(0L)).as("n_desc"),
+            coalesce(col("ku"), lit(0L)).as("units"))
+          .transform(graft.ops.Checkpoints.cut)
+        acc = acc.unionAll(computed)
+      }
+      acc.orderBy("id")
+    }),
+
     // G08 — PageRank on G_supply, 10 fixed iterations, via the
     // Catalyst-native power iteration (pageRankDF; the GraphX twin is
     // asserted within 1e-6 with identical top-20 order in ToleranceSpec).
@@ -1278,6 +1320,27 @@ object GraphQueries {
         |  FROM (SELECT comp, count(*) OVER (PARTITION BY comp) AS sz
         |        FROM c20))
         |ORDER BY k""".stripMargin,
+
+    // BOM replay: full root×descendant path enumeration with the
+    // multiplicative unit product carried on the walk — the quadratic
+    // form the engine's bottom-up level DP avoids.
+    "g39_bom_explosion" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id FROM part),
+        |e AS (SELECT id AS child, id // 2 AS parent,
+        |    CAST(id % 3 + 1 AS BIGINT) AS qty
+        |  FROM p WHERE id >= 2 AND id // 2 IN (SELECT id FROM p)),
+        |walk(root, node, units) AS (
+        |  SELECT e.parent, e.child, e.qty FROM e
+        |  UNION ALL
+        |  SELECT w.root, e.child, w.units * e.qty
+        |  FROM walk w JOIN e ON e.parent = w.node),
+        |agg AS (SELECT root, count(*) AS n_desc, sum(units) AS units
+        |        FROM walk GROUP BY 1)
+        |SELECT p.id, CAST(coalesce(a.n_desc, 0) AS BIGINT) AS n_desc,
+        |  CAST(coalesce(a.units, 0) AS BIGINT) AS units
+        |FROM p LEFT JOIN agg a ON a.root = p.id
+        |ORDER BY p.id""".stripMargin,
 
     // Co-purchase projection replay: bounded-basket pair counts, the
     // weight-2 threshold, then the standard recursive-walk CC.
