@@ -949,6 +949,40 @@ object Relational {
         .reduce(_ unionAll _).orderBy("x", "y")
     }),
 
+    // Q54 — Gini concentration of customer spend per market segment:
+    // the standard inequality/concentration audit (revenue dependence,
+    // dataset skew), exact via the sorted-rank identity
+    // G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) with x ascending — ties in x
+    // cannot perturb Σi·x (equal values swap ranks freely), so the
+    // rank pick is deterministic without a tie rule, though one is
+    // pinned anyway. Zero-spend customers INCLUDED via the left join
+    // (dropping them understates inequality — the usual mistake).
+    // Scaled to e6 in decimal(38,0) (the e6 numerator crosses 2^63 at
+    // sf0.1); numerator ≥ 0 by the ascending sort, so floor == DuckDB's
+    // HUGEINT //. One join + one segment window + a ≤|segments|-row agg.
+    "q54_gini" -> ((s, dir) => {
+      val spend = t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(coalesce(
+          sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")), lit(0L))
+          .as("cents"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("cents"), col("c_custkey"))
+      spend.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+          sum(col("i") * col("cents")).as("six"))
+        .withColumn("gini_e6", expr(
+          """CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
+            |  (2 * CAST(six AS DECIMAL(38,0)) -
+            |   (CAST(n AS DECIMAL(38,0)) + 1) * sx)) /
+            |  (CAST(n AS DECIMAL(38,0)) * sx)) AS BIGINT)""".stripMargin))
+        .select("c_mktsegment", "n", "gini_e6")
+        .orderBy("c_mktsegment")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1254,6 +1288,24 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q53_corr_matrix" -> corrOracleSql,
+
+    "q54_gini" ->
+      """WITH sp AS (SELECT c.c_custkey, c.c_mktsegment,
+        |    coalesce(sum(CAST(round(o.o_totalprice*100) AS BIGINT)), 0)
+        |      AS cents
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, cents,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY cents, c_custkey) AS BIGINT)
+        |      AS i
+        |  FROM sp),
+        |a AS (SELECT c_mktsegment, count(*) AS n, sum(cents) AS sx,
+        |      sum(i * cents) AS six FROM r GROUP BY 1)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+        |  CAST((1000000 * (2*six - (n+1)*sx)) // (n * sx) AS BIGINT)
+        |    AS gini_e6
+        |FROM a ORDER BY c_mktsegment""".stripMargin,
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
