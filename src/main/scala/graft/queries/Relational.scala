@@ -983,6 +983,38 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // Q55 — chi-squared independence audit (segment × order priority):
+    // the contingency-table statistic behind "is this dimension
+    // independent of that one" (A/B checks, stratification audits,
+    // drift alarms). Per cell, the contribution (O−E)²/E is computed
+    // as the EXACT integer-scaled rational (O·N − R·C)²·10⁶ div
+    // (N·R·C) — multiplying through by N clears the rational expected
+    // count E = R·C/N, so both engines evaluate integers end-to-end
+    // and the operator's chi2_e6 is DEFINED as the sum of the
+    // floor-scaled cell terms (deterministic by construction; the e6
+    // numerator crosses 2^63, so decimal(38,0)/HUGEINT). One fact
+    // join + three broadcast marginal aggregates.
+    "q55_chi2" -> ((s, dir) => {
+      val o = t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+      val cells = o.groupBy("seg", "pri").agg(count(lit(1)).as("obs"))
+      val rm = o.groupBy("seg").agg(count(lit(1)).as("r"))
+      val cm = o.groupBy("pri").agg(count(lit(1)).as("c"))
+      val n = o.agg(count(lit(1)).as("nn"))
+      cells.join(broadcast(rm), "seg").join(broadcast(cm), "pri")
+        .crossJoin(broadcast(n))
+        .withColumn("d", expr(
+          "CAST(obs AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c"))
+        .withColumn("contrib_e6", expr(
+          """CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * d * d) /
+            |  (CAST(nn AS DECIMAL(38,0)) * r * c)) AS BIGINT)"""
+            .stripMargin))
+        .select(col("seg"), col("pri"), col("obs"), col("contrib_e6"))
+        .orderBy("seg", "pri")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1306,6 +1338,25 @@ object Relational {
         |  CAST((1000000 * (2*six - (n+1)*sx)) // (n * sx) AS BIGINT)
         |    AS gini_e6
         |FROM a ORDER BY c_mktsegment""".stripMargin,
+
+    "q55_chi2" ->
+      """WITH o AS (SELECT c.c_mktsegment AS seg,
+        |    ord.o_orderpriority AS pri
+        |  FROM orders ord JOIN customer c
+        |    ON ord.o_custkey = c.c_custkey),
+        |cells AS (SELECT seg, pri, count(*) AS obs FROM o GROUP BY 1, 2),
+        |rm AS (SELECT seg, count(*) AS r FROM o GROUP BY 1),
+        |cm AS (SELECT pri, count(*) AS c FROM o GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM o),
+        |x AS (SELECT cells.seg, cells.pri, cells.obs,
+        |    CAST(cells.obs AS HUGEINT) * nn
+        |      - CAST(rm.r AS HUGEINT) * cm.c AS d,
+        |    CAST(nn AS HUGEINT) * rm.r * cm.c AS den
+        |  FROM cells JOIN rm USING (seg) JOIN cm USING (pri) CROSS JOIN n)
+        |SELECT seg, pri, CAST(obs AS BIGINT) AS obs,
+        |  CAST((CAST(1000000 AS HUGEINT) * d * d) // den AS BIGINT)
+        |    AS contrib_e6
+        |FROM x ORDER BY seg, pri""".stripMargin,
 
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
