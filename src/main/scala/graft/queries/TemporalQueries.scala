@@ -875,6 +875,48 @@ object TemporalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // T37 — CUSUM change detection (Page 1954): per event type, the
+    // one-sided cumulative-sum statistic over the dense daily series —
+    // S_t = max(0, S_{t-1} + (n_t − med)) detects a sustained LEVEL
+    // SHIFT that per-day outlier rules (t34) structurally cannot (ten
+    // days each +2·MAD never flag individually; their cumulative drift
+    // does). The recursion is not window-expressible, but the classic
+    // identity S_t = P_t − min(0, min_{i≤t} P_i) over prefix sums
+    // P_t = Σ(n_i − med) IS — two stacked running windows over the
+    // same (type, day) order, one shuffle. med and MAD are the exact
+    // rank picks (t31/t34 discipline), the shift flag is
+    // cusum > 5·MAD, and the top-5 cusum days per type are emitted so
+    // the result is informative even on a shift-free corpus.
+    "t37_cusum" -> ((s, dir) => {
+      val byType = Window.partitionBy("event_type")
+      val dd = denseDaily(s, dir)
+      val med = dd
+        .withColumn("rn", row_number().over(byType.orderBy("n", "day")))
+        .withColumn("cnt", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("n").as("med"))
+      val wd = dd.join(broadcast(med), "event_type")
+        .withColumn("dev", col("n") - col("med"))
+      val mad = wd
+        .withColumn("rn",
+          row_number().over(byType.orderBy(abs(col("dev")), col("day"))))
+        .withColumn("cnt", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), abs(col("dev")).as("mad"))
+      val run = byType.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      wd.withColumn("p", sum("dev").over(run))
+        .withColumn("pmin", min(least(col("p"), lit(0L))).over(run))
+        .withColumn("cusum", col("p") - col("pmin"))
+        .join(broadcast(mad), "event_type")
+        .withColumn("rk", row_number().over(
+          byType.orderBy(col("cusum").desc, col("day").asc)))
+        .filter(col("rk") <= 5)
+        .withColumn("shifted", col("cusum") > lit(5L) * col("mad"))
+        .select("event_type", "day", "n", "cusum", "shifted")
+        .orderBy("event_type", "day")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -1628,6 +1670,51 @@ object TemporalQueries {
         |      AS BIGINT)
         |  END AS slope_e6
         |FROM r WHERE m = 28 ORDER BY event_type, day""".stripMargin,
+
+    "t37_cusum" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('day', min(ts)) AS lo,
+        |             date_trunc('day', max(ts)) AS hi FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day,
+        |         t.event_type
+        |  FROM b, (SELECT DISTINCT event_type FROM events) t),
+        |dense AS (SELECT CAST(s.day AS TIMESTAMP) AS day, s.event_type,
+        |    coalesce(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.day = s.day AND d.event_type = s.event_type),
+        |med AS (SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n, day,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY n, day) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM dense) WHERE rn = (cnt + 1) // 2),
+        |wd AS (SELECT dense.event_type, dense.day, dense.n,
+        |    dense.n - med.med AS dev
+        |  FROM dense JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, abs(dev) AS mad FROM (
+        |    SELECT event_type, dev, day,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY abs(dev), day) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM wd) WHERE rn = (cnt + 1) // 2),
+        |p1 AS (SELECT event_type, day, n,
+        |    sum(dev) OVER (PARTITION BY event_type ORDER BY day) AS p
+        |  FROM wd),
+        |p2 AS (SELECT event_type, day, n, p,
+        |    min(least(p, 0)) OVER (PARTITION BY event_type
+        |                           ORDER BY day) AS pmin
+        |  FROM p1),
+        |c AS (SELECT event_type, day, n, p - pmin AS cusum FROM p2),
+        |top AS (SELECT c.event_type, c.day, c.n, c.cusum, mad.mad,
+        |    row_number() OVER (PARTITION BY c.event_type
+        |                       ORDER BY c.cusum DESC, c.day) AS rk
+        |  FROM c JOIN mad USING (event_type))
+        |SELECT event_type, day, n, CAST(cusum AS BIGINT) AS cusum,
+        |  cusum > 5 * mad AS shifted
+        |FROM top WHERE rk <= 5 ORDER BY event_type, day""".stripMargin,
 
     "t31_dwell_quantiles" ->
       """WITH ch AS (SELECT user_id, event_id, ts, event_type,
