@@ -1134,6 +1134,27 @@ object LlmQueries {
         .orderBy("d1", "d2")
     }),
 
+    // L47 — per-source REDUNDANCY: 1 − distinct/total over each
+    // source's word 3-grams, as an exact e6 integer — the
+    // compression-ratio proxy behind source capping (a boilerplate-
+    // heavy source repeats its n-grams; a diverse one doesn't), read
+    // per source so l23's caps can be set from evidence rather than
+    // folklore. Two gram-keyed aggregates (total + distinct), nothing
+    // leaves the (source, gram) key space until the ≤|sources|-row
+    // result.
+    "l47_redundancy" -> ((s, dir) => {
+      val gr = grams3(s, dir)
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+      val tot = gr.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val dist = gr.select("source", "gram").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      tot.join(dist, "source")
+        .withColumn("redundancy_e6",
+          expr("1000000 * (n_grams - n_distinct) div n_grams"))
+        .select("source", "n_grams", "n_distinct", "redundancy_e6")
+        .orderBy("source")
+    }),
+
     // L40 — per-source term LIFT: each source's top-10 over-represented
     // words vs the whole corpus (lift_e6 = 10^6·tf_s·N_c div
     // (tf_c·N_s), support ≥ 20) — the domain-mix audit behind mixture
@@ -1325,6 +1346,24 @@ object LlmQueries {
         |FROM i JOIN sizes s1 ON s1.doc_id = i.d1
         |JOIN sizes s2 ON s2.doc_id = i.d2
         |ORDER BY i.d1, i.d2""".stripMargin,
+
+    "l47_redundancy" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |g AS (SELECT source,
+        |    toks[CAST(gs AS INT)] || ' ' || toks[CAST(gs AS INT) + 1] ||
+        |      ' ' || toks[CAST(gs AS INT) + 2] AS gram
+        |  FROM (SELECT source, toks,
+        |          unnest(generate_series(1, len(toks) - 2)) AS gs
+        |        FROM d)),
+        |tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+        |dist AS (SELECT source, count(*) AS n_distinct
+        |  FROM (SELECT DISTINCT source, gram FROM g) GROUP BY 1)
+        |SELECT t.source, t.n_grams, dist.n_distinct,
+        |  CAST(1000000 * (t.n_grams - dist.n_distinct) // t.n_grams
+        |    AS BIGINT) AS redundancy_e6
+        |FROM tot t JOIN dist USING (source) ORDER BY source""".stripMargin,
 
     "l10_decontaminate" -> decontamSql,
     "l10b_decontaminate_bloom" -> decontamSql,
