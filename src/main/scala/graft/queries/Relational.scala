@@ -1015,6 +1015,39 @@ object Relational {
         .orderBy("seg", "pri")
     }),
 
+    // Q56 — top-decile revenue share per segment: the "what fraction
+    // of revenue do the top 10% of customers hold" concentration read
+    // that pairs with q54's Gini (one number each: inequality shape vs
+    // top-heavy mass). Exact: the decile cut is the rank pick
+    // rn ≤ (n+9) div 10 over (cents DESC, custkey) — boundary ties
+    // resolved by the pinned key order identically in both engines —
+    // and the share is an e6 integer division in decimal (the e6
+    // numerator leaves long range past sf0.1). One segment window
+    // carrying rank/count/total together, then a ≤|segments|-row agg.
+    "q56_top_decile_share" -> ((s, dir) => {
+      val spend = t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(coalesce(
+          sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")), lit(0L))
+          .as("cents"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("cents").desc, col("c_custkey").asc)
+      val grp = Window.partitionBy("c_mktsegment")
+      spend.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(grp))
+        .withColumn("sx", sum("cents").over(grp))
+        .filter(col("rn") <= expr("(n + 9) div 10"))
+        .groupBy(col("c_mktsegment"), col("n"), col("sx"))
+        .agg(count(lit(1)).as("n_top"), sum("cents").as("top_cents"))
+        .withColumn("share_e6", expr(
+          "CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * top_cents) / sx)" +
+            " AS BIGINT)"))
+        .select("c_mktsegment", "n", "n_top", "top_cents", "share_e6")
+        .orderBy("c_mktsegment")
+    }),
+
     // Q19 — scalar functions: string/math/conditional.
     "q19_scalar_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1338,6 +1371,25 @@ object Relational {
         |  CAST((1000000 * (2*six - (n+1)*sx)) // (n * sx) AS BIGINT)
         |    AS gini_e6
         |FROM a ORDER BY c_mktsegment""".stripMargin,
+
+    "q56_top_decile_share" ->
+      """WITH sp AS (SELECT c.c_custkey, c.c_mktsegment,
+        |    coalesce(sum(CAST(round(o.o_totalprice*100) AS BIGINT)), 0)
+        |      AS cents
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY cents DESC, c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n,
+        |    sum(cents) OVER (PARTITION BY c_mktsegment) AS sx
+        |  FROM sp)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_top,
+        |  CAST(sum(cents) AS BIGINT) AS top_cents,
+        |  CAST((1000000 * sum(cents)) // sx AS BIGINT) AS share_e6
+        |FROM r WHERE rn <= (n + 9) // 10
+        |GROUP BY c_mktsegment, n, sx ORDER BY c_mktsegment""".stripMargin,
 
     "q55_chi2" ->
       """WITH o AS (SELECT c.c_mktsegment AS seg,
