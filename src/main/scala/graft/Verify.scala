@@ -63,6 +63,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/_verify_errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
+    // Machine-readable run summary next to the dumps (same rationale as
+    // Bench's bench_last.json — VERDICT r10 "wrong" #1): counts are
+    // checkable without re-parsing stderr or recounting dump dirs.
+    val ran = SparkEntry.queries.keys.count(n => prefixes.exists(n.startsWith))
+    Files.writeString(Paths.get(s"$outDir/_verify_summary.json"),
+      s"""{"registry":${SparkEntry.queries.size},"ran":$ran,"ok":${ran - errors.size},"failed":${errors.size},"sf":${q(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

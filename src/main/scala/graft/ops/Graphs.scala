@@ -541,10 +541,25 @@ object Graphs {
       .groupBy(col("id"))
       .agg(sum(col("p_s").cast("decimal(38,0)") * col("p_t") * col("scale"))
         .as("btw_dec"))
-      .select(col("id").as("v_id"),
-        col("btw_dec").cast("long").as("btw_scaled"))
+      .select(col("id").as("v_id"), checkedLong(col("btw_dec"), "g21b")
+        .as("btw_scaled"))
       .orderBy("v_id")
   }
+
+  /** decimal(38,0) → long with the suite's throw-don't-wrap discipline
+    * (ADVICE r10): in non-ANSI mode an out-of-range decimal→long cast
+    * yields NULL silently; here that NULL trips assert_true instead.
+    * The sum can never be genuinely NULL (groupBy emits only non-empty
+    * groups over non-null products), so cast-null ⇔ overflow exactly.
+    * assert_true returns NULL on pass, so the coalesce feeds the real
+    * cast through while keeping the check in the live plan.
+    */
+  private def checkedLong(dec: Column, tag: String): Column =
+    coalesce(
+      assert_true(dec.cast("long").isNotNull,
+        concat(lit(s"$tag betweenness sum overflows long: "),
+          dec.cast("string"))).cast("long"),
+      dec.cast("long"))
 
   /** G38 — restricted EDGE betweenness in exact integers: the same pair
     * set, σ scaling, and overflow discipline as
@@ -593,8 +608,8 @@ object Graphs {
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("p_s").cast("decimal(38,0)") * col("p_t") * col("scale"))
         .as("btw_dec"))
-      .select(col("src"), col("dst"),
-        col("btw_dec").cast("long").as("btw_scaled"))
+      .select(col("src"), col("dst"), checkedLong(col("btw_dec"), "g38")
+        .as("btw_scaled"))
       .orderBy("src", "dst")
   }
 

@@ -1179,7 +1179,10 @@ object LlmQueries {
         .join(tfc, "token")
         .join(broadcast(ns), "source")
         .crossJoin(broadcast(nc))
-        .withColumn("lift_e6", expr("1000000 * tf_s * n_c div (tf_c * n_s)"))
+        // e6·tf_s·N_c wraps past 2^63 at corpus scale — decimal(38,0)
+        // like q51/q52 (ADVICE r10); div stays IntegralDivide → BIGINT.
+        .withColumn("lift_e6", expr("CAST(1000000 AS DECIMAL(38,0)) *" +
+          " tf_s * n_c div (CAST(tf_c AS DECIMAL(38,0)) * n_s)"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select("source", "rn", "token", "tf_s", "lift_e6")
@@ -1490,8 +1493,9 @@ object LlmQueries {
         |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
         |nc AS (SELECT count(*) AS n_c FROM tok),
         |x AS (SELECT tfs.source, tfs.token, tfs.tf_s,
-        |    CAST(1000000 * tfs.tf_s * nc.n_c
-        |         // (tfc.tf_c * ns.n_s) AS BIGINT) AS lift_e6
+        |    CAST(CAST(1000000 AS HUGEINT) * tfs.tf_s * nc.n_c
+        |         // (CAST(tfc.tf_c AS HUGEINT) * ns.n_s) AS BIGINT)
+        |      AS lift_e6
         |  FROM tfs JOIN tfc USING (token) JOIN ns USING (source)
         |  CROSS JOIN nc WHERE tfs.tf_s >= 20),
         |r AS (SELECT *, row_number() OVER (PARTITION BY source

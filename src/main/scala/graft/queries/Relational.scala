@@ -799,8 +799,12 @@ object Relational {
         .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
       trans
+        // e6·n leaves long range once a transition pair exceeds ~9e12
+        // rows — widened to decimal(38,0) like q51/q52 (ADVICE r10);
+        // IntegralDivide on decimals still emits BIGINT.
         .withColumn("p_e6",
-          expr("1000000 * n div sum(n) over (partition by from_type)"))
+          expr("CAST(1000000 AS DECIMAL(38,0)) * n" +
+            " div sum(n) over (partition by from_type)"))
         .select("from_type", "to_type", "n", "p_e6")
         .orderBy("from_type", "to_type")
     }),
@@ -866,7 +870,13 @@ object Relational {
           "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
         .withColumn("den", expr(
           "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
-        .withColumn("slope_e6", expr("""CASE WHEN num >= 0
+        // den = n·Σx² − (Σx)² = 0 ⇔ all x equal (one event, or all in
+        // one minute bucket): slope is undefined — pinned to NULL in
+        // BOTH engines (ADVICE r10: Spark's non-ANSI division returned
+        // NULL silently here while DuckDB errored on the degenerate
+        // input; now the semantics are explicit and identical).
+        .withColumn("slope_e6", expr("""CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+            WHEN num >= 0
             THEN CAST(floor(1000000 * num / den) AS BIGINT)
             ELSE -CAST(floor(1000000 * (-num) / den) AS BIGINT) END"""))
         .select("event_type", "n", "slope_e6")
@@ -905,7 +915,13 @@ object Relational {
         .crossJoin(broadcast(n))
         .select(col("x"), col("y"), col("n_xy"),
           expr("1000000 * n_xy div n_x").as("conf_e6"),
-          expr("1000000 * n_xy * n_baskets div (n_x * n_y)").as("lift_e6"))
+          // the e6·n_xy·N numerator crosses 2^63 at corpus scale while
+          // the testdata stays in long range — widened to decimal(38,0)
+          // (the q51/q54/q55 discipline) so both engines stay exact
+          // instead of Spark wrapping silently (ADVICE r10). div on
+          // decimals is Spark's IntegralDivide → BIGINT.
+          expr("CAST(1000000 AS DECIMAL(38,0)) * n_xy * n_baskets" +
+            " div (CAST(n_x AS DECIMAL(38,0)) * n_y)").as("lift_e6"))
         .orderBy(col("lift_e6").desc, col("x").asc, col("y").asc)
         .limit(50)
     }),
@@ -974,11 +990,16 @@ object Relational {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
           sum(col("i") * col("cents")).as("six"))
+        // sx = 0 (a segment whose customers all have zero spend) makes
+        // Gini undefined — nullif pins NULL explicitly in BOTH engines
+        // instead of relying on Spark's silent non-ANSI NULL while
+        // DuckDB errors (ADVICE r10).
         .withColumn("gini_e6", expr(
           """CAST(floor((CAST(1000000 AS DECIMAL(38,0)) *
             |  (2 * CAST(six AS DECIMAL(38,0)) -
             |   (CAST(n AS DECIMAL(38,0)) + 1) * sx)) /
-            |  (CAST(n AS DECIMAL(38,0)) * sx)) AS BIGINT)""".stripMargin))
+            |  nullif(CAST(n AS DECIMAL(38,0)) * sx, 0)) AS BIGINT)"""
+            .stripMargin))
         .select("c_mktsegment", "n", "gini_e6")
         .orderBy("c_mktsegment")
     }),
@@ -1041,9 +1062,11 @@ object Relational {
         .filter(col("rn") <= expr("(n + 9) div 10"))
         .groupBy(col("c_mktsegment"), col("n"), col("sx"))
         .agg(count(lit(1)).as("n_top"), sum("cents").as("top_cents"))
+        // sx = 0 → share undefined; NULL pinned in both engines
+        // (ADVICE r10, same rationale as q54).
         .withColumn("share_e6", expr(
-          "CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * top_cents) / sx)" +
-            " AS BIGINT)"))
+          "CAST(floor((CAST(1000000 AS DECIMAL(38,0)) * top_cents) /" +
+            " nullif(CAST(sx AS DECIMAL(38,0)), 0)) AS BIGINT)"))
         .select("c_mktsegment", "n", "n_top", "top_cents", "share_e6")
         .orderBy("c_mktsegment")
     }),
@@ -1368,8 +1391,8 @@ object Relational {
         |a AS (SELECT c_mktsegment, count(*) AS n, sum(cents) AS sx,
         |      sum(i * cents) AS six FROM r GROUP BY 1)
         |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
-        |  CAST((1000000 * (2*six - (n+1)*sx)) // (n * sx) AS BIGINT)
-        |    AS gini_e6
+        |  CAST((1000000 * (2*six - (n+1)*sx)) // nullif(n * sx, 0)
+        |    AS BIGINT) AS gini_e6
         |FROM a ORDER BY c_mktsegment""".stripMargin,
 
     "q56_top_decile_share" ->
@@ -1387,7 +1410,8 @@ object Relational {
         |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
         |  CAST(count(*) AS BIGINT) AS n_top,
         |  CAST(sum(cents) AS BIGINT) AS top_cents,
-        |  CAST((1000000 * sum(cents)) // sx AS BIGINT) AS share_e6
+        |  CAST((1000000 * sum(cents)) // nullif(sx, 0) AS BIGINT)
+        |    AS share_e6
         |FROM r WHERE rn <= (n + 9) // 10
         |GROUP BY c_mktsegment, n, sx ORDER BY c_mktsegment""".stripMargin,
 
@@ -1616,8 +1640,8 @@ object Relational {
         |nxy AS (SELECT x, y, count(*) AS n_xy FROM pairs GROUP BY 1, 2)
         |SELECT nxy.x, nxy.y, nxy.n_xy,
         |  CAST(1000000 * nxy.n_xy // ax.n_x AS BIGINT) AS conf_e6,
-        |  CAST(1000000 * nxy.n_xy * n.n_baskets
-        |       // (ax.n_x * ay.n_x) AS BIGINT) AS lift_e6
+        |  CAST(CAST(1000000 AS HUGEINT) * nxy.n_xy * n.n_baskets
+        |       // (CAST(ax.n_x AS HUGEINT) * ay.n_x) AS BIGINT) AS lift_e6
         |FROM nxy JOIN nx ax ON ax.x = nxy.x
         |JOIN nx ay ON ay.x = nxy.y CROSS JOIN n
         |WHERE nxy.n_xy >= 3
@@ -1637,7 +1661,8 @@ object Relational {
         |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
         |  FROM s)
         |SELECT event_type, n,
-        |  CASE WHEN num >= 0 THEN CAST(1000000 * num // den AS BIGINT)
+        |  CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+        |       WHEN num >= 0 THEN CAST(1000000 * num // den AS BIGINT)
         |       ELSE -CAST((1000000 * (-num)) // den AS BIGINT) END
         |    AS slope_e6
         |FROM c ORDER BY event_type""".stripMargin,
@@ -1662,7 +1687,8 @@ object Relational {
         |  FROM x WHERE to_type IS NOT NULL AND gap_us <= 1800000000
         |  GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        |  CAST(1000000 * n // (sum(n) OVER (PARTITION BY from_type))
+        |  CAST(CAST(1000000 AS HUGEINT) * n
+        |       // (sum(n) OVER (PARTITION BY from_type))
         |    AS BIGINT) AS p_e6
         |FROM t ORDER BY from_type, to_type""".stripMargin,
 

@@ -262,7 +262,10 @@ object Streams {
         "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
       .withColumn("den", expr(
         "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
-      .withColumn("slope_e6", expr("""CASE WHEN num >= 0
+      // den = 0 (all x equal across every merged batch) → NULL slope,
+      // pinned identically to q51's batch form (ADVICE r10).
+      .withColumn("slope_e6", expr("""CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+          WHEN num >= 0
           THEN CAST(floor(1000000 * num / den) AS BIGINT)
           ELSE -CAST(floor(1000000 * (-num) / den) AS BIGINT) END"""))
       .select("event_type", "n", "slope_e6")
