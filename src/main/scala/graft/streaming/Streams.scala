@@ -867,10 +867,10 @@ object Streams {
     * purchase that shares its timestamp, matching the batch at-or-before
     * rule; across batches the source must deliver in event-time order
     * (the fixture replay does), the same contract as
-    * [[sessionEdgesStream]]. An out-of-order-tolerant variant would
-    * buffer within the watermark and emit on event-time timers — the
-    * [[timerSessions]] machinery — at the cost of state proportional to
-    * the watermark window.
+    * [[sessionEdgesStream]]. When that contract does NOT hold — late
+    * clicks landing in later micro-batches — use [[bufferedAsofStream]]
+    * (S20b), which buffers within the watermark and emits on event-time
+    * timers at the cost of state proportional to the watermark window.
     */
   case class AsofEv(user_id: Long, event_id: Long, ts_us: Long,
     is_click: Boolean)
@@ -941,6 +941,119 @@ object Streams {
           hit
         }
       }
+  }
+
+  /** S20b — OUT-OF-ORDER-tolerant streaming as-of: the watermark-buffered
+    * twin of [[asofStream]]. [[asofStream]] answers each probe
+    * immediately from the running best click, which is exact only if
+    * rows arrive in event-time order ACROSS micro-batches; a click that
+    * lands in a later batch than a probe it should have answered is
+    * silently missed (the caveat on [[asofStream]]'s scaladoc). This
+    * variant holds each probe until the watermark passes its timestamp —
+    * at that point no click at-or-before it can still arrive (rows below
+    * the watermark are dropped before the processor), so the answer is
+    * FINAL and equals the batch as-of on the undropped row set.
+    *
+    * Mechanics (the [[SessionTimerProcessor]] event-time-timer shape):
+    * per user, a ListState of pending probes, a ListState of buffered
+    * in-window clicks, and ONE compacted [[BestClick]] for everything
+    * already below the watermark — every pending probe's ts is >= the
+    * watermark at the last flush, hence >= every folded click's ts, so
+    * folding is lossless for at-or-before answers. One live timer per
+    * key, armed at the earliest pending probe + 1 ms (timers are
+    * millisecond-granular; answering needs watermark STRICTLY past the
+    * probe so an equal-ts click in flight still counts). Each expiry
+    * answers every ripe probe (best of folded + buffered clicks with
+    * click ts <= probe ts, max (ts, id) — q10's tie rule), folds ripe
+    * clicks, re-arms for the earliest survivor.
+    *
+    * State is O(probes + clicks inside the watermark window) per user —
+    * the price of out-of-order tolerance, bounded by the watermark delay,
+    * exactly like s13/s17's stream-stream join buffers. At 100 TB the
+    * state is keyed by user and RocksDB-backed; nothing global.
+    */
+  case class AsofInT(user_id: Long, event_id: Long, ts: java.time.Instant,
+    is_click: Boolean)
+  private case class PendProbe(event_id: Long, ts_us: Long)
+
+  class BufferedAsofProcessor
+      extends StatefulProcessor[Long, AsofInT, AsofHit] {
+    @transient private var best: ValueState[BestClick] = _
+    @transient private var clicks: ListState[BestClick] = _
+    @transient private var probes: ListState[PendProbe] = _
+
+    private def tsUs(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      best = getHandle.getValueState[BestClick]("best",
+        Encoders.product[BestClick], TTLConfig.NONE)
+      clicks = getHandle.getListState[BestClick]("clicks",
+        Encoders.product[BestClick], TTLConfig.NONE)
+      probes = getHandle.getListState[PendProbe]("probes",
+        Encoders.product[PendProbe], TTLConfig.NONE)
+    }
+
+    // Exactly one live timer per key: earliest pending probe + 1 ms
+    // (watermark must be strictly past the probe's microsecond ts, and
+    // timers are ms-granular — round the probe ts UP, then +1).
+    private def rearm(): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val pending = probes.get()
+      if (pending.hasNext) {
+        val earliest = pending.map(_.ts_us).min
+        getHandle.registerTimer((earliest + 999L) / 1000L + 1L)
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AsofInT],
+        timerValues: TimerValues): Iterator[AsofHit] = {
+      rows.foreach { e =>
+        if (e.is_click) clicks.appendValue(BestClick(e.event_id, tsUs(e.ts)))
+        else probes.appendValue(PendProbe(e.event_id, tsUs(e.ts)))
+      }
+      rearm()
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AsofHit] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val bufClicks = clicks.get().toArray
+      val (ripe, pending) = probes.get().toArray.partition(_.ts_us < wmUs)
+      val folded = if (best.exists()) Some(best.get()) else None
+      // Answer ripe probes in event-time order (deterministic emission;
+      // the answer itself depends only on the candidate set, not order).
+      val out = ripe.sortBy(p => (p.ts_us, p.event_id)).map { p =>
+        val cands = bufClicks.filter(_.ts_us <= p.ts_us) ++ folded
+        val hit = if (cands.isEmpty) None
+          else Some(cands.maxBy(c => (c.ts_us, c.click_id)).click_id)
+        AsofHit(p.event_id, key, p.ts_us, hit)
+      }
+      // Fold clicks now below the watermark into the one-row compact:
+      // every surviving / future probe has ts >= wm > these clicks' ts.
+      val (old, inWin) = bufClicks.partition(_.ts_us < wmUs)
+      if (old.nonEmpty) {
+        val b = (old ++ folded).maxBy(c => (c.ts_us, c.click_id))
+        best.update(b)
+      }
+      clicks.clear(); inWin.foreach(clicks.appendValue)
+      probes.clear(); pending.foreach(probes.appendValue)
+      rearm()
+      out.iterator
+    }
+  }
+
+  /** S20b entry: event-time mode over a watermarked `ts` column. Stream
+    * == [[asofBatch]] on the undropped rows regardless of how (and how
+    * out-of-order) rows split across micro-batches — asserted in
+    * StreamingSpec with a click landing batches AFTER its probe.
+    */
+  def bufferedAsofStream(events: Dataset[AsofInT]): Dataset[AsofHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BufferedAsofProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   case class AttribEv(user_id: Long, event_id: Long, ts_us: Long,

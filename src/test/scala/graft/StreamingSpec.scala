@@ -1332,6 +1332,98 @@ class StreamingSpec extends SparkSpecBase {
       6L -> None))
   }
 
+  test("S20b buffered as-of: click in a LATER batch than its probe still answers it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def in(u: Long, id: Long, min: Long, click: Boolean) =
+      Streams.AsofInT(u, id, ts(min).toInstant, click)
+    // user 1: probe 10 @10min arrives in batch 1; the LATE click 2 @5min
+    // lands in batch 2 — AFTER its probe — and must still win over click
+    // 1 @0. Probe 12 @30 gets its equal-ts click 3 @30 a batch later.
+    // user 2: probe 20 @7 with no click ever -> -1. The mid flush pushes
+    // the watermark to 25min: probes 10 and 20 are answered THERE while
+    // 12 and 11 stay pending and clicks 1,2 fold into the compacted
+    // best — exercising both the partial-flush and fold paths.
+    val b1 = Seq(in(1, 1, 0, true), in(1, 10, 10, false),
+      in(1, 12, 30, false), in(2, 20, 7, false))
+    val b2 = Seq(in(1, 2, 5, true), in(1, 3, 30, true))
+    val b3 = Seq(in(1, 5, 50, true), in(1, 11, 60, false))
+    val mid = Seq(in(99, 1000, 145, true)) // wm -> 145-120 = 25min
+    val fin1 = Seq(in(99, 1001, 100000, true))
+    val fin2 = Seq(in(99, 1002, 100001, true))
+    val source = MemoryStream[Streams.AsofInT]
+    val q = Streams.bufferedAsofStream(
+        source.toDS().withWatermark("ts", "120 minutes"))
+      .writeStream.format("memory").queryName("s20bsink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3, mid, fin1, fin2).foreach { b =>
+        source.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("s20bsink").collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(-1L)).toMap
+      assert(got == Map(10L -> 2L, 12L -> 3L, 11L -> 5L, 20L -> -1L))
+      // the eager per-row stream would have answered probe 10 with click
+      // 1 (the late click 2 invisible) — the buffered form matches the
+      // batch fold over the same rows instead:
+      val all = (b1 ++ b2 ++ b3).map(e => Streams.AsofEv(e.user_id,
+        e.event_id, e.ts.getEpochSecond * 1000000L + e.ts.getNano / 1000L,
+        e.is_click))
+      val batch = Streams.asofBatch(all.toDS()).collect()
+        .map(h => h.event_id -> h.click_id.getOrElse(-1L)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("S20b buffered as-of on a fully SHUFFLED fixture == batch fold") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val e = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+    val rows = e.select(col("user_id"), col("event_id"), col("ts"),
+        (col("event_type") === "click").as("is_click"))
+      .as[Streams.AsofInT].collect()
+    // bit-reversal permutation: deterministic and thoroughly out of
+    // event-time order, so clicks routinely land batches after the
+    // probes they answer
+    val shuffled = rows.sortBy(r => java.lang.Long.reverse(r.event_id))
+    val maxTs = java.time.Instant.ofEpochMilli(
+      rows.map(_.ts.toEpochMilli).max)
+    // watermark delay > the fixture's whole span -> nothing is dropped;
+    // two far-future flush rows drive every timer
+    val flush = Seq(
+      Streams.AsofInT(-99L, -1L, maxTs.plusSeconds(40000000L), true),
+      Streams.AsofInT(-99L, -2L, maxTs.plusSeconds(40000001L), true))
+    val source = MemoryStream[Streams.AsofInT]
+    val q = Streams.bufferedAsofStream(
+        source.toDS().withWatermark("ts", "365 days"))
+      .writeStream.format("memory").queryName("s20bfixsink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (shuffled.grouped(math.max(1, shuffled.length / 5)).map(_.toSeq).toSeq
+        ++ flush.map(Seq(_))).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+      }
+      val viaStream = spark.table("s20bfixsink")
+        .filter(col("user_id") =!= -99L).collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(3)).map(_.asInstanceOf[Long]).getOrElse(-1L)).toMap
+      val in = e.select(col("user_id"), col("event_id"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
+          (col("event_type") === "click").as("is_click"))
+        .as[Streams.AsofEv]
+      val batch = Streams.asofBatch(in).collect()
+        .map(h => h.event_id -> h.click_id.getOrElse(-1L)).toMap
+      assert(viaStream == batch && batch.nonEmpty
+        && batch.values.exists(_ >= 0))
+    } finally q.stop()
+  }
+
   test("S33 streaming attribution == batch fold (fixture, 4 micro-batches)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
