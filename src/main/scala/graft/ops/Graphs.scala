@@ -1281,6 +1281,82 @@ object Graphs {
           - col("deg_sum") * col("deg_sum")).as("q_num"))
   }
 
+  /** G40 — one Louvain LEVEL, distributed and deterministic: `rounds`
+    * bounded SYNCHRONOUS rounds of greedy modularity moves over the
+    * canonical `(x < y)` pair list. Every vertex starts in its own
+    * community; each round every vertex evaluates, for each NEIGHBORING
+    * community B ≠ its current A, the exact-integer modularity gain of
+    * moving there and takes the best strictly-positive one (tie-break:
+    * gain desc, community asc — the g13 determinism discipline, which is
+    * what makes the k-round result SQL-expressible and hash-oracle-able
+    * against an unrolled DuckDB replay).
+    *
+    * Gain algebra (all integers — [[modularity]]'s q_num scale, Δ of
+    * 4m²·Q): moving v (degree d_v) from A to B changes
+    *   Δ = 4m·(k_vB − k_vA) − 2·d_v·(deg_B − deg_A + d_v)
+    * where k_vC = v's neighbor count inside C (v ∉ C terms are automatic:
+    * no self-loops), deg_A/deg_B are the CURRENT community degree sums
+    * (v still counted in A). Products are widened to decimal(38,0)
+    * (4m·k crosses 2^63 within the suite's 100 TB design point; DuckDB
+    * widens to HUGEINT — the q51/q52 discipline).
+    *
+    * Sequential Louvain moves one vertex at a time and is monotone in Q;
+    * the synchronous variant trades that guarantee for distribution and
+    * takes bounded rounds instead (GraphOpsSpec pins monotone Q on a
+    * two-community fixture and convergence to the planted partition).
+    * Plan shape per round: degree-sum agg (community-keyed), one
+    * edge×label join for the k_vC counts (vertex-keyed, the LPA round
+    * shape), two broadcast-size degsum lookups, one argmax window.
+    * Labels are checkpointed each round — a round reads them four times,
+    * so a lazy unroll would re-execute the prior round's subtree 4^r
+    * times (the kCorePeelDF lesson).
+    */
+  def louvainOneLevel(s: SparkSession, pairs: DataFrame, rounds: Int)
+      : DataFrame = {
+    val p = pairs.select("x", "y").transform(Checkpoints.cut)
+    val e = p.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(p.select(col("y").as("src"), col("x").as("dst")))
+      .transform(Checkpoints.cut)
+    val mDf = p.agg(count(lit(1)).as("m"))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .transform(Checkpoints.cut)
+    var labels = deg.select(col("id"), col("id").as("community"))
+    for (_ <- 1 to rounds) {
+      val degSum = labels.join(deg, "id").groupBy("community")
+        .agg(sum("deg").as("degsum"))
+      val kv = e.join(labels.select(col("id").as("dst"),
+          col("community").as("cand")), "dst")
+        .groupBy(col("src").as("id"), col("cand"))
+        .agg(count(lit(1)).as("k"))
+        .transform(Checkpoints.cut) // read twice: candidates + k_vA lookup
+      val ka = kv.join(labels, "id")
+        .filter(col("cand") === col("community"))
+        .select(col("id"), col("k").as("k_a"))
+      val best = kv.join(labels, "id")
+        .filter(col("cand") =!= col("community"))
+        .join(deg, "id")
+        .join(degSum.withColumnRenamed("degsum", "degsum_a"), "community")
+        .join(degSum.select(col("community").as("cand"),
+          col("degsum").as("degsum_b")), "cand")
+        .join(ka, Seq("id"), "left_outer")
+        .crossJoin(broadcast(mDf))
+        .withColumn("gain", expr(
+          """4 * CAST(m AS DECIMAL(38,0)) * (k - coalesce(k_a, 0)) -
+            |2 * CAST(deg AS DECIMAL(38,0)) *
+            |  (degsum_b - degsum_a + deg)""".stripMargin))
+        .filter(col("gain") > 0)
+        .withColumn("__rn", row_number().over(Window.partitionBy("id")
+          .orderBy(col("gain").desc, col("cand").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("cand"))
+      labels = labels.join(best, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("cand"), col("community")).as("community"))
+        .transform(Checkpoints.cut)
+    }
+    labels
+  }
+
   /** G27 — local clustering coefficient per vertex over canonical
     * `(x < y)` pairs: `coeff_e6 = 10^6 · n_triangles div n_wedges` with
     * `n_wedges = deg·(deg−1)/2` — all integer, so the per-vertex

@@ -687,6 +687,18 @@ object GraphQueries {
         .orderBy("community")
     }),
 
+    // G40 — one Louvain level on the co-part graph: 2 synchronous rounds
+    // of deterministic greedy modularity moves (gain in exact integers —
+    // g26's q_num algebra; tie-break gain desc, community asc). The
+    // canonical "what a graph user asks for after LPA" operator; the
+    // determinism makes it hash-checked against a 2-round unrolled
+    // DuckDB move replay. Q-monotonicity and planted-partition recovery
+    // are pinned in GraphOpsSpec.
+    "g40_louvain" -> ((s, dir) => {
+      Graphs.louvainOneLevel(s, Graphs.copartPairs(s, dir), rounds = 2)
+        .orderBy("id")
+    }),
+
     // G29 — reciprocity of the DIRECTED part-flow graph (the g23 SCC
     // substrate): of all distinct directed edges, how many have their
     // reverse present — exact integer (n_edges, n_reciprocal) with the
@@ -810,7 +822,47 @@ object GraphQueries {
       |  FROM e JOIN l2 l ON e.dst = l.id
       |  GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
 
+  /** One unrolled Louvain round (g40's oracle): lv{i-1} -> lv{i} via the
+    * same integer gain Δ = 4m·(k_vB − k_vA) − 2·d_v·(deg_B − deg_A + d_v)
+    * and (gain desc, community asc) argmax the engine computes. k_vA is
+    * a self-join of the per-(vertex, community) neighbor counts.
+    */
+  private def louvainRoundCte(i: Int): String = {
+    val prev = s"lv${i - 1}"
+    s"""ds$i AS (SELECT community, sum(deg) AS degsum
+       |  FROM $prev JOIN deg USING (id) GROUP BY 1),
+       |kv$i AS (SELECT e.src AS id, l.community AS cand, count(*) AS k
+       |  FROM e JOIN $prev l ON l.id = e.dst GROUP BY 1, 2),
+       |g$i AS (SELECT kv.id, kv.cand,
+       |    4 * CAST(mm.m AS HUGEINT) * (kv.k - coalesce(ka.k, 0)) -
+       |    2 * CAST(d.deg AS HUGEINT) *
+       |      (dsb.degsum - dsa.degsum + d.deg) AS gain
+       |  FROM kv$i kv
+       |  JOIN $prev l ON l.id = kv.id
+       |  JOIN deg d ON d.id = kv.id
+       |  JOIN ds$i dsa ON dsa.community = l.community
+       |  JOIN ds$i dsb ON dsb.community = kv.cand
+       |  LEFT JOIN kv$i ka ON ka.id = kv.id AND ka.cand = l.community
+       |  CROSS JOIN mm
+       |  WHERE kv.cand <> l.community),
+       |b$i AS (SELECT id, cand FROM (
+       |  SELECT id, cand, row_number() OVER (PARTITION BY id
+       |    ORDER BY gain DESC, cand ASC) AS rn
+       |  FROM g$i WHERE gain > 0) WHERE rn = 1),
+       |lv$i AS (SELECT l.id, coalesce(b.cand, l.community) AS community
+       |  FROM $prev l LEFT JOIN b$i b USING (id))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "g40_louvain" ->
+      s"""WITH $copartCte,
+        |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+        |mm AS (SELECT count(*) AS m FROM pairs),
+        |lv0 AS (SELECT id, id AS community FROM deg),
+        |${louvainRoundCte(1)},
+        |${louvainRoundCte(2)}
+        |SELECT id, community FROM lv2 ORDER BY id""".stripMargin,
+
     "g01_graph_build" ->
       """SELECT kind, n FROM (
         |  SELECT 'v_customer' AS kind, count(*) AS n FROM customer

@@ -901,6 +901,35 @@ class GraphOpsSpec extends SparkSpecBase {
       (8L, 1L, 0L, 0L, 0L)))
   }
 
+  test("louvainOneLevel: two planted K4s recovered; Q monotone per round") {
+    import spark.implicits._
+    // two 4-cliques {1..4} {5..8} bridged by 4-5: m = 13. From
+    // singletons, round 1 moves every vertex to its best neighbor
+    // community — NOT the bridge vertices' (their degree-4 endpoints
+    // make the bridge-side gain 28 vs 34), so each clique splits into
+    // a 3-member community + the odd one out; round 2 collapses each
+    // clique onto its majority label — the planted partition.
+    // Synchronous moves carry no general Q guarantee; THIS instance
+    // must be monotone, and is (hand-checked q_num sums: singletons
+    // -86 -> {1}{2,3,4}{6}{5,7,8} = 94 -> planted 286, then stable).
+    val pairs = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L),
+      (7L, 8L), (4L, 5L))).toDF("x", "y")
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      Graphs.modularity(pairs,
+          labels.select(col("id"), col("community").as("label")))
+        .agg(fsum("q_num")).head().getLong(0)
+    val qs = (0 to 3).map(r =>
+      q(Graphs.louvainOneLevel(spark, pairs, rounds = r)))
+    assert(qs == Seq(-86L, 94L, 286L, 286L))
+    // rounds 2 and 3 both sit at the planted two-community partition
+    val fin = Graphs.louvainOneLevel(spark, pairs, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = fin.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups == Set(Set(1L, 2L, 3L, 4L), Set(5L, 6L, 7L, 8L)))
+  }
+
   test("linkPrediction == brute-force CN/RA oracle; adjacent pairs excluded") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
