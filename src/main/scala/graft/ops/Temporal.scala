@@ -263,6 +263,78 @@ object Temporal {
         sum("sum_cents").as("sum_cents"),
         sum("cnt").as("cnt"))
 
+  /** T38 — MERGEABLE percentile index, build side: per (entity, day,
+    * bucket) integer histogram counts with q44's width_bucket scheme
+    * (`nb` equal buckets over `[lo, hi)` cents; 0 = underflow,
+    * nb+1 = overflow). Counts are ADDITIVE — the q16b/t09 move applied
+    * to quantiles: the raw table is scanned once at build time, and any
+    * date range is answered by summing day partials, never rescanning —
+    * which is the only way "p99 over an arbitrary range" works at
+    * 100 TB (q28's exact percentile is a full re-sort per range;
+    * q28b's sketch is one-shot, not maintained).
+    */
+  def histogramDaily(
+      events: DataFrame,
+      entity: String,
+      ts: String,
+      valueCents: Column,
+      loCents: Long,
+      hiCents: Long,
+      nBuckets: Int): DataFrame =
+    events
+      .groupBy(col(entity), date_trunc("day", col(ts)).as("day"),
+        width_bucket(valueCents, lit(loCents), lit(hiCents), lit(nBuckets))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** T38 — read side: bounded-error percentiles from re-aggregated
+    * histogram partials. For each percentile p (integer percent) the
+    * answer is the bucket holding the rank-⌈p·n/100⌉ order statistic —
+    * min bucket whose cumulative count reaches the rank — emitted with
+    * its `[lo_cents, hi_cents)` edges, so the error bound IS the bucket
+    * width and every output is an exact integer (hash-matchable, unlike
+    * a sketch). ToleranceSpec pins the containment: the exact rank-r
+    * order statistic lies inside the returned bucket by construction.
+    *
+    * Plan: one partial re-agg (entity, bucket), one ≤nb-row-per-entity
+    * cumulative window, and a broadcast percentile explode — nothing
+    * touches the raw table. Underflow rows (bucket 0) still count
+    * toward n and the cumulative walk; edges for them are emitted as
+    * `[min_long, lo)` clamped to the scheme's lo.
+    */
+  def percentilesFromHistogram(
+      partials: DataFrame,
+      entity: String,
+      percents: Seq[Int],
+      loCents: Long,
+      hiCents: Long,
+      nBuckets: Int): DataFrame = {
+    val width = (hiCents - loCents) / nBuckets
+    val hist = partials.groupBy(col(entity), col("bucket"))
+      .agg(sum("n").as("n"))
+    val w = Window.partitionBy(entity).orderBy("bucket")
+    val cum = hist
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("n").over(
+        Window.partitionBy(entity)))
+    val ps = partials.sparkSession
+      .createDataFrame(percents.map(Tuple1(_))).toDF("p")
+    cum.crossJoin(broadcast(ps))
+      // rank r = ceil(p*n/100) in pure integer arithmetic
+      .withColumn("r", expr("(total * p + 99) div 100"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col(entity), col("p"), col("total").as("n"))
+      .agg(min("bucket").as("bucket"))
+      // edges are the scheme's arithmetic extension — the rails
+      // (bucket 0 / nb+1) are really open intervals, so containment is
+      // only as tight as one width beyond [lo, hi); callers whose data
+      // honors the scheme bounds never see a rail bucket.
+      .select(col(entity), col("p"), col("n"), col("bucket"),
+        (lit(loCents) + (col("bucket") - 1) * width).as("lo_cents"),
+        (lit(loCents) + col("bucket") * width).as("hi_cents"))
+  }
+
   /** T12 — time-weighted temporal aggregation over `[t1, t2)`: each value
     * interval clipped to the window contributes `value × clipped-duration`
     * — the genuinely temporal mean/sum (a value held for 2 days weighs

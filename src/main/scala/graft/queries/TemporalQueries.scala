@@ -917,6 +917,30 @@ object TemporalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // T38 — MERGEABLE percentile index: p50/p90/p99 of value-cents per
+    // event type over an arbitrary two-week window, answered from
+    // per-(type, day, bucket) additive histogram partials — q44's
+    // integer buckets put through the q16b/t09 build-once/re-agg
+    // pattern, closing the gap q28b left (its sketch is one-shot, not
+    // range-composable). Every output is an exact integer (the bucket
+    // holding the rank-⌈p·n/100⌉ order statistic plus its edges), so
+    // the whole index path hash-matches a DuckDB replay of the same
+    // buckets; the error-≤-bucket-width containment vs exact
+    // percentiles is pinned in ToleranceSpec.
+    "t38_percentile_index" -> ((s, dir) => {
+      val parts = Temporal.histogramDaily(ev(s, dir),
+        entity = "event_type", ts = "ts",
+        valueCents = cents(col("value")),
+        loCents = 0L, hiCents = 50000L, nBuckets = 25)
+      Temporal.percentilesFromHistogram(
+          parts.filter(col("day").between(
+            lit("2024-01-08").cast("timestamp"),
+            lit("2024-01-21").cast("timestamp"))),
+          entity = "event_type", percents = Seq(50, 90, 99),
+          loCents = 0L, hiCents = 50000L, nBuckets = 25)
+        .orderBy("event_type", "p")
+    }),
+
     // T19b — the same interval coalescing from pure SQL text via the
     // coalesce_intervals TVF; identical oracle to t19.
     "t19b_coalesce_sql" -> ((s, dir) => {
@@ -1670,6 +1694,38 @@ object TemporalQueries {
         |      AS BIGINT)
         |  END AS slope_e6
         |FROM r WHERE m = 28 ORDER BY event_type, day""".stripMargin,
+
+    // t38: the same day-partial histogram build + range re-agg + rank
+    // pick the engine runs — hash equality proves the index decomposes
+    // losslessly.
+    "t38_percentile_index" ->
+      """WITH raw AS (SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS v,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events),
+        |bk AS (SELECT event_type, day,
+        |    CAST(CASE WHEN v < 0 THEN 0 WHEN v >= 50000 THEN 26
+        |         ELSE 1 + v // 2000 END AS BIGINT) AS bucket
+        |  FROM raw),
+        |parts AS (SELECT event_type, day, bucket, count(*) AS n
+        |  FROM bk GROUP BY 1, 2, 3),
+        |hist AS (SELECT event_type, bucket, sum(n) AS n FROM parts
+        |  WHERE day BETWEEN TIMESTAMP '2024-01-08'
+        |    AND TIMESTAMP '2024-01-21'
+        |  GROUP BY 1, 2),
+        |c AS (SELECT event_type, bucket, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS total
+        |  FROM hist),
+        |ps AS (SELECT unnest([50, 90, 99]) AS p),
+        |x AS (SELECT c.event_type, ps.p, c.total AS n,
+        |    min(c.bucket) AS bucket
+        |  FROM c CROSS JOIN ps
+        |  WHERE c.cum >= (c.total * ps.p + 99) // 100
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, p, CAST(n AS BIGINT) AS n, bucket,
+        |  (bucket - 1) * 2000 AS lo_cents, bucket * 2000 AS hi_cents
+        |FROM x ORDER BY event_type, p""".stripMargin,
 
     "t37_cusum" ->
       """WITH daily AS (

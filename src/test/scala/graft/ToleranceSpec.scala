@@ -54,6 +54,32 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("t38 percentile index: bucket contains the exact rank statistic (error <= width)") {
+    // The mergeable-histogram percentile is bounded-error by
+    // construction: the rank-ceil(p*n/100) order statistic of the SAME
+    // row set must lie inside the returned [lo_cents, hi_cents) bucket.
+    val got = SparkEntry.queries("t38_percentile_index")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty && got.keySet.map(_._2) == Set(50, 90, 99))
+    val rows = graft.Tables.load(spark, sfDir, "events")
+      .filter(date_trunc("day", col("ts")).between(
+        lit("2024-01-08").cast("timestamp"),
+        lit("2024-01-21").cast("timestamp")))
+      .select(col("event_type"), graft.Det.cents(col("value")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case ((et, p), (bucket, lo, hi)) =>
+      val vs = rows(et)
+      val r = (vs.length * p + 99) / 100 // ceil, matches the operator
+      val exact = vs(r - 1)
+      assert(lo <= exact && exact < hi,
+        s"$et p$p: exact=$exact outside bucket $bucket [$lo,$hi)")
+      assert(hi - lo == 2000L)
+    }
+  }
+
   test("q27b stratified sample: per-stratum rates, exact 1.0 stratum, seeded") {
     val fractions = Map("click" -> 0.2, "view" -> 0.1, "purchase" -> 0.05,
       "error" -> 0.5, "signup" -> 1.0)
