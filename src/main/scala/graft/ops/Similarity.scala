@@ -252,6 +252,58 @@ object Similarity {
     survivors.toDF("a_id", "b_id", "cos_sim")
   }
 
+  /** L48 — SemDeDup-style SEMANTIC dedup keep-list over clustered
+    * embeddings, with an EXACT INTEGER decision layer so the whole
+    * operator hash-matches cross-engine (unlike the k-means path, whose
+    * seeded mllib clusters are engine-private and tolerance-gated).
+    *
+    * Clusters are the embedding table's `label` column (at 100 TB:
+    * whatever partitioner produced them — k-means cids via [[ivfAssign]]
+    * plug in identically). Per cluster the centroid is the member MEAN;
+    * a member is a semantic duplicate ("close") when its
+    * cosine-to-centroid exceeds tauNum/tauDen, and of each cluster's
+    * close set only the min-id member keeps (l33's canonical-pick
+    * discipline).
+    *
+    * Exactness: embeddings quantize to integers (round(x·scale)); the
+    * centroid is used UN-normalized (c_num = Σx_int — the 1/n cancels in
+    * cosine), and the threshold compares squares:
+    *   cos > τ  ⇔  dot > 0  ∧  tauDen²·dot² > tauNum²·nx·nc
+    * — decimal(38,0) products (dot² alone crosses 2^63), no float
+    * anywhere in a DECISION, so the DuckDB replay agrees bit-for-bit;
+    * the quantization error vs float cosine is gated in ToleranceSpec.
+    *
+    * Scale shape: everything keys on (label, d) or vec_id — the centroid
+    * table is |labels|×dims (broadcast), per-member scores one exploded
+    * groupBy; no pairwise anything (SemDeDup's point: cluster-then-
+    * centroid replaces the quadratic).
+    */
+  def semanticDedupKeep(vecs: DataFrame, scale: Long = 1000L,
+      tauNum: Long = 3L, tauDen: Long = 10L): DataFrame = {
+    val x = vecs.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "e")))
+      .select(col("vec_id"), col("label"), col("d"),
+        expr(s"CAST(round(CAST(e AS DOUBLE) * $scale) AS BIGINT)").as("xi"))
+    val c = x.groupBy("label", "d").agg(sum("xi").as("cn"))
+    val nc = c.groupBy("label")
+      .agg(sum(expr("CAST(cn AS DECIMAL(38,0)) * cn")).as("nc"))
+    val m = x.join(broadcast(c), Seq("label", "d"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("xi") * col("cn")).as("dot"),
+        sum(col("xi") * col("xi")).as("nx"))
+    val scored = m.join(broadcast(nc), "label")
+      .withColumn("close", expr(
+        s"""dot > 0 AND
+           |${tauDen * tauDen} * CAST(dot AS DECIMAL(38,0)) * dot >
+           |${tauNum * tauNum} * CAST(nx AS DECIMAL(38,0)) * nc"""
+          .stripMargin))
+    val keepId = scored.filter(col("close"))
+      .groupBy("label").agg(min("vec_id").as("keep_id"))
+    scored.join(broadcast(keepId), Seq("label"), "left_outer")
+      .select(col("vec_id"), col("label"), col("close"),
+        (!col("close") || col("vec_id") === col("keep_id")).as("keep"))
+  }
+
   /** IVF coarse quantizer: k-means (mllib, seeded) over L2-normalized
     * vectors. Returns a small (cid, centroid: array<double>) DataFrame.
     */

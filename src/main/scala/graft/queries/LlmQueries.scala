@@ -264,6 +264,18 @@ object LlmQueries {
         .select("doc_id", "cluster_id", "keep")
         .orderBy("doc_id")),
 
+    // L48 — SEMANTIC dedup keep-list (SemDeDup): per embedding cluster,
+    // members whose cosine-to-centroid clears 0.3 are semantic
+    // duplicates; the min-id one keeps. The decision layer is exact
+    // integer (quantized embeddings, squared-cosine comparison in
+    // decimal — see Similarity.semanticDedupKeep), so the lexical
+    // stack's hash-match discipline extends to embedding space;
+    // quantization fidelity vs float cosine is gated in ToleranceSpec.
+    "l48_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupKeep(vecs(s, dir))
+        .select("vec_id", "label", "close", "keep")
+        .orderBy("vec_id")),
+
     // L43 — the PIPELINE MANIFEST: the whole curation funnel as one
     // attrition table — every doc pushed through language gate (l04c's
     // n-gram guesser, keep 'en'), quality gate (l19's Gopher flags),
@@ -283,8 +295,14 @@ object LlmQueries {
           col("keep").as("q_ok")), "doc_id")
         .join(dedupKeep(s, dir).select(col("doc_id"),
           col("keep").as("dup_keep")), Seq("doc_id"), "left")
+        // stage 4: l48's semantic keep-list (vec_id IS the doc bridge);
+        // docs without an embedding pass through, like the dedup stage
+        .join(Similarity.semanticDedupKeep(vecs(s, dir))
+          .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep")),
+          Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_chars"), col("lang_ok"), col("q_ok"),
-          coalesce(col("dup_keep"), lit(true)).as("dup_ok"))
+          coalesce(col("dup_keep"), lit(true)).as("dup_ok"),
+          coalesce(col("sem_keep"), lit(true)).as("sem_ok"))
       def stage(name: String, cond: org.apache.spark.sql.Column) =
         bits.filter(cond).agg(lit(name).as("stage"),
           count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
@@ -293,6 +311,8 @@ object LlmQueries {
         .unionAll(stage("2_quality", col("lang_ok") && col("q_ok")))
         .unionAll(stage("3_dedup",
           col("lang_ok") && col("q_ok") && col("dup_ok")))
+        .unionAll(stage("4_semantic",
+          col("lang_ok") && col("q_ok") && col("dup_ok") && col("sem_ok")))
         .orderBy("stage")
     }),
 
@@ -1229,6 +1249,34 @@ object LlmQueries {
     })
   )
 
+  /** Shared DuckDB replay of [[Similarity.semanticDedupKeep]]'s integer
+    * pipeline (l48 + l43 stage 4): quantize → centroid sums → squared-
+    * cosine threshold in HUGEINT → min-id keep. generate_subscripts is
+    * 1-based vs posexplode's 0-based `d` — both internal join keys only.
+    */
+  private val semCte: String =
+    """semx AS (SELECT vec_id, label,
+      |    CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) AS xi, d
+      |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |semc AS (SELECT label, d, sum(xi) AS cn FROM semx GROUP BY 1, 2),
+      |semnc AS (SELECT label, sum(CAST(cn AS HUGEINT) * cn) AS nc
+      |          FROM semc GROUP BY 1),
+      |semm AS (SELECT x.vec_id, x.label, sum(x.xi * c.cn) AS dot,
+      |      sum(x.xi * x.xi) AS nx
+      |    FROM semx x JOIN semc c ON c.label = x.label AND c.d = x.d
+      |    GROUP BY 1, 2),
+      |semsc AS (SELECT m.vec_id, m.label,
+      |    (m.dot > 0 AND 100 * CAST(m.dot AS HUGEINT) * m.dot >
+      |     9 * CAST(m.nx AS HUGEINT) * nc.nc) AS close
+      |  FROM semm m JOIN semnc nc ON nc.label = m.label),
+      |semk AS (SELECT label, min(vec_id) AS keep_id FROM semsc
+      |         WHERE close GROUP BY 1),
+      |semkeep AS (SELECT s.vec_id, s.label, s.close,
+      |    (NOT s.close OR s.vec_id = k.keep_id) AS keep
+      |  FROM semsc s LEFT JOIN semk k ON k.label = s.label)""".stripMargin
+
   // shared by l10 and l10b: the bloom pass returns the identical result
   // (the prefilter is conservative, the exact re-check removes its false
   // positives), so both hash-match the same exact-SQL oracle
@@ -1631,11 +1679,17 @@ object LlmQueries {
         |FROM cl JOIN documents d ON d.doc_id = cl.doc_id
         |ORDER BY cl.doc_id""".stripMargin,
 
+    "l48_semantic_dedup" ->
+      s"""WITH $semCte
+        |SELECT vec_id, label, close, keep FROM semkeep
+        |ORDER BY vec_id""".stripMargin,
+
     // The composed funnel: dedup-cluster CTE + per-doc langid + per-doc
-    // gopher flags, staged. Fresh CTE names (lh/lg/gm/gf) because the
-    // shared dedup CTE already owns `g`.
+    // gopher flags + the l48 semantic CTE, staged. Fresh CTE names
+    // (lh/lg/gm/gf) because the shared dedup CTE already owns `g`.
     "l43_pipeline_manifest" ->
       s"""$dedupClusterCte,
+        |$semCte,
         |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
         |       FROM lp GROUP BY id),
         |keepl AS (SELECT cl.doc_id,
@@ -1680,11 +1734,13 @@ object LlmQueries {
         |  FROM gm),
         |staged AS (SELECT d.doc_id, d.n_chars,
         |    lg.guess = 'en' AS lang_ok, gf.q_ok,
-        |    coalesce(k.dup_keep, true) AS dup_ok
+        |    coalesce(k.dup_keep, true) AS dup_ok,
+        |    coalesce(sk.keep, true) AS sem_ok
         |  FROM documents d
         |  JOIN lg ON lg.doc_id = d.doc_id
         |  JOIN gf ON gf.doc_id = d.doc_id
-        |  LEFT JOIN keepl k ON k.doc_id = d.doc_id)
+        |  LEFT JOIN keepl k ON k.doc_id = d.doc_id
+        |  LEFT JOIN semkeep sk ON sk.vec_id = d.doc_id)
         |SELECT * FROM (
         |  SELECT '0_all' AS stage, count(*) AS n_docs,
         |    CAST(sum(n_chars) AS BIGINT) AS n_chars FROM staged
@@ -1695,7 +1751,10 @@ object LlmQueries {
         |    WHERE lang_ok AND q_ok
         |  UNION ALL SELECT '3_dedup', count(*),
         |    CAST(sum(n_chars) AS BIGINT) FROM staged
-        |    WHERE lang_ok AND q_ok AND dup_ok)
+        |    WHERE lang_ok AND q_ok AND dup_ok
+        |  UNION ALL SELECT '4_semantic', count(*),
+        |    CAST(sum(n_chars) AS BIGINT) FROM staged
+        |    WHERE lang_ok AND q_ok AND dup_ok AND sem_ok)
         |ORDER BY stage""".stripMargin,
 
     "l17_fuzzy_join" ->

@@ -80,6 +80,49 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("l48 semantic dedup: integer close-decision == float cosine threshold; one keeper per close set") {
+    val got = SparkEntry.queries("l48_semantic_dedup")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number](1).longValue,
+        r.getBoolean(2), r.getBoolean(3)))).toMap
+    // float-side recomputation of cosine-to-label-centroid on the RAW
+    // (unquantized) embeddings: the integer decision must agree with
+    // cos > 0.3 everywhere except inside the quantization band
+    val raw = graft.Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue,
+        r.getAs[Number]("label").longValue,
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray))
+    val byLabel = raw.groupBy(_._2)
+    var checked = 0
+    byLabel.foreach { case (_, members) =>
+      val dims = members.head._3.length
+      val cent = Array.tabulate(dims)(d => members.map(_._3(d)).sum)
+      val nc = math.sqrt(cent.map(c => c * c).sum)
+      members.foreach { case (id, _, v) =>
+        val cos = v.zip(cent).map { case (a, b) => a * b }.sum /
+          (math.sqrt(v.map(x => x * x).sum) * nc)
+        val close = got(id)._2
+        // quantization to 1e-3 units perturbs cosine by well under 1e-2
+        // on 64-dim unit-scale vectors; outside that band the integer
+        // and float decisions must coincide
+        if (math.abs(cos - 0.3) > 0.01) {
+          assert(close == (cos > 0.3), s"vec $id cos=$cos close=$close")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > raw.length * 9 / 10)
+    // keep-list shape: per label exactly one close member keeps (the
+    // min id), every non-close member keeps
+    got.values.groupBy(_._1).foreach { case (_, ms) =>
+      val close = ms.filter(_._2)
+      if (close.nonEmpty) assert(close.count(_._3) == 1)
+      assert(ms.filter(!_._2).forall(_._3))
+    }
+    assert(got.values.exists(v => v._2 && !v._3)) // some drops happen
+  }
+
   test("q27b stratified sample: per-stratum rates, exact 1.0 stratum, seeded") {
     val fractions = Map("click" -> 0.2, "view" -> 0.1, "purchase" -> 0.05,
       "error" -> 0.5, "signup" -> 1.0)
