@@ -620,6 +620,38 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Q57 — PARAMETERIZED sequence-pattern matching (MATCH_RECOGNIZE-
+    // lite): q42 generalized to a pattern ARGUMENT, matched by the
+    // Patterns.matchCounts state-machine fold. Declared instance: the
+    // 4-stage funnel view→click→view→purchase with gaps allowed (the
+    // subsequence semantics real conversion funnels use — q42's
+    // replace trick cannot express it). Hash-checked against a DuckDB
+    // recursive-CTE replay of the same greedy machine.
+    "q57_pattern_funnel" -> ((s, dir) =>
+      graft.ops.Patterns.matchCounts(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          typeCol = "event_type",
+          pattern = Seq("view", "click", "view", "purchase"),
+          contiguous = false)
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")),
+
+    // Q57b — the fixed-pattern instance: the SAME machine in contiguous
+    // (KMP) mode on view→click→purchase must reproduce q42's replace-
+    // trick result exactly — gated by sharing q42's oracle verbatim.
+    "q57b_pattern_contiguous" -> ((s, dir) =>
+      graft.ops.Patterns.matchCounts(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          typeCol = "event_type",
+          pattern = Seq("view", "click", "purchase"),
+          contiguous = true)
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches").as("n_funnel_runs"))
+        .orderBy("user_id")),
+
     // Q43 — robust outliers via MAD (median absolute deviation): rows
     // whose |value − median| exceeds 3× the MAD of their event type —
     // the outlier gate that, unlike z-scores, a few extreme points
@@ -1374,7 +1406,10 @@ object Relational {
        |ORDER BY x, y""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** The declared oracle twins; [[oracles]] adds the shared-SQL aliases
+    * on top (q57b is defined to reproduce q42).
+    */
+  private lazy val oracles0: Map[String, String] = Map(
     "q53_corr_matrix" -> corrOracleSql,
 
     "q54_gini" ->
@@ -1625,6 +1660,35 @@ object Relational {
         |FROM s
         |WHERE (length(seq) - length(replace(seq, 'vcp', ''))) // 3 > 0
         |ORDER BY user_id""".stripMargin,
+
+    // q57: one-row-at-a-time recursive replay of the subsequence
+    // machine — state (user, position, stage, count) advances one event
+    // per recursion step; stage wraps on the 4th hit. Total recursive
+    // rows = |events|, depth = max events per user.
+    "q57_pattern_funnel" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |n AS (SELECT user_id, max(i) AS n FROM e GROUP BY 1),
+        |pat(stage, sym) AS (VALUES (0, 'view'), (1, 'click'),
+        |                          (2, 'view'), (3, 'purchase')),
+        |walk(user_id, i, stage, cnt) AS (
+        |  SELECT user_id, 0, 0, 0 FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.i + 1,
+        |    CASE WHEN e.event_type = p.sym
+        |         THEN CASE WHEN w.stage = 3 THEN 0 ELSE w.stage + 1 END
+        |         ELSE w.stage END,
+        |    w.cnt + CASE WHEN e.event_type = p.sym AND w.stage = 3
+        |                 THEN 1 ELSE 0 END
+        |  FROM walk w
+        |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1
+        |  JOIN pat p ON p.stage = w.stage)
+        |SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,
+        |  CAST(w.cnt AS BIGINT) AS n_matches
+        |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
+        |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin,
 
     "q52_assoc_rules" ->
       """WITH b AS (SELECT l_orderkey, list_sort(list_distinct(
@@ -2063,6 +2127,11 @@ object Relational {
     // to the SAME oracle as the exact aggregation
     "q29b_approx_top_k" -> heavyHittersSql
   )
+
+  // the KMP machine on the fixed contiguous pattern is DEFINED to
+  // reproduce q42's replace trick — same oracle verbatim
+  val oracles: Map[String, String] =
+    oracles0 + ("q57b_pattern_contiguous" -> oracles0("q42_seq_pattern"))
 
   private lazy val heavyHittersSql: String =
     """SELECT token, count(*) AS n FROM (
