@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (VERDICT r10 "next" #8): deterministic ×N
+  * expansions of the sf0.1 substrates plus INJECTED key skew, driving
+  * the iterative heavyweights and the AQE skew-join rewrite — turning
+  * the "survives 100×" claim from a plan-shape argument into a measured
+  * trend. Emits ONE JSON line (walls per op + the skew counter);
+  * results are recorded in BASELINE.md's stress section.
+  *
+  * NOT part of the correctness registry: the expansions change the
+  * data. The contract here is (a) every op completes with the same plan
+  * shape it has at sf0.1 (no OOM, no nested loop), (b) wall grows
+  * roughly linearly in the expansion factor, (c) the AQE skew-join
+  * rewrite actually fires on the deliberately skewed join.
+  *
+  * Determinism: copies are indexed k = 0..factor−1; ids remap as
+  * id·factor + k; the hot-key assignment is md5-hash-driven
+  * ([[Det.md5Long]]), so every run builds the identical expanded
+  * tables.
+  */
+object Stress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-stress-warehouse")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the stress tables are GBs not TBs — scale the skew thresholds
+      // down with them so the rewrite can demonstrate itself (at real
+      // scale the 256 MB default plays the same role)
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+      // below the coalesce floor the hot partition would re-merge
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ops.{Checkpoints, Graphs, Similarity, Temporal, Text}
+
+    val kCol = explode(sequence(lit(0), lit(factor - 1))).as("k")
+
+    // ---- substrates -------------------------------------------------
+    // events ×factor with a HOT KEY: ~1/3 of all rows collapse onto
+    // user −7; everyone else spreads over factor· user-id space.
+    val ev0 = Tables.load(spark, sfDir, "events")
+    val ev = ev0.select(col("*"), kCol)
+      .select(
+        (col("event_id") * factor + col("k")).as("event_id"),
+        when(Det.md5Long(concat(col("event_id") * factor + col("k"),
+          lit("skew"))) % 3 === 0, lit(-7L))
+          .otherwise(col("user_id") * factor + pmod(col("k"), lit(3)))
+          .as("user_id"),
+        timestamp_micros(Det.epochUs(col("ts")) + col("k") * 1000000L)
+          .as("ts"),
+        col("event_type"), col("value"))
+      // spread over all cores BEFORE materializing: the skew-join
+      // splitter can only cut a hot reduce partition on MAP-side
+      // boundaries — an expansion inheriting the parquet's 1-2 input
+      // splits leaves nothing to cut (observed: skew detected, 0
+      // splittable)
+      .repartition(cpus.toInt)
+      .transform(Checkpoints.cut)
+
+    // lineitem ×factor: each copy is a fresh order over the same part
+    // catalog — the flow graph keeps its vertex set and multiplies its
+    // edge multiset (denser SCC substrate, the hard direction).
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), kCol)
+      .select((col("l_orderkey") * factor + col("k")).as("l_orderkey"),
+        col("l_partkey"), col("l_linenumber"))
+      .transform(Checkpoints.cut)
+
+    // co-part edges ×factor: disjoint vertex copies chained at the min
+    // vertex so components span copies (volume AND diameter stress).
+    val cop0 = Graphs.copartEdges(spark, sfDir).transform(Checkpoints.cut)
+    val minV = cop0.agg(min(col("src"))).head().getLong(0)
+    val cop = cop0.select(col("src"), col("dst"), kCol)
+      .select((col("src") * factor + col("k")).as("src"),
+        (col("dst") * factor + col("k")).as("dst"))
+      .unionAll(spark.range(1, factor.toLong)
+        .select((lit(minV) * factor + col("id")).as("src"),
+          (lit(minV) * factor + col("id") - 1).as("dst")))
+      .transform(Checkpoints.cut)
+
+    // documents ×factor: copies stay near-identical (a one-token
+    // suffix), so every copy family is a real near-dup cluster — the
+    // LSH path's candidate volume scales ×factor² per family.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("*"), kCol)
+      .select((col("doc_id") * factor + col("k")).as("doc_id"),
+        concat(col("text"), lit(" copyq"), col("k")).as("text"),
+        (col("n_chars") + lit(7)).as("n_chars"), col("source"))
+      .transform(Checkpoints.cut)
+
+    var skewFired = 0
+    var lastPlan = ""
+    def timed(mk: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val df = mk
+      val qe = df.queryExecution
+      qe.executedPlan.execute().foreachPartition(
+        (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+      val finalPlan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      lastPlan = finalPlan.toString
+      skewFired += "skew=true|isSkewJoin=true".r
+        .findAllIn(lastPlan).length
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    if (sys.env.contains("SPARK_GRAFT_STRESS_DEBUG"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.adaptive",
+        org.apache.logging.log4j.Level.DEBUG)
+
+    // ---- the deliberately skewed join: events (hot user −7) against a
+    // per-user aggregate, broadcast disabled so the shuffle join's skew
+    // is AQE's to fix. This is the op the skew counter must fire on.
+    results("skewed_join") = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try timed {
+        // dim is MATERIALIZED first: OptimizeSkewedJoin only matches
+        // SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — an aggregate
+        // between the dim's shuffle and its sort hides the stage and
+        // silently disables the rewrite (measured: the un-checkpointed
+        // form never fires regardless of thresholds)
+        val dim = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_user_events"))
+          .transform(Checkpoints.cut)
+        // event_id/ts/value ride through the join so the shuffled rows
+        // stay wide enough for the hot partition to clear the (already
+        // scaled-down) skew threshold after compression
+        ev.join(dim, "user_id")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("n_user_events").as("s"),
+            sum("value").as("sv"), max("event_id").as("me"),
+            max("ts").as("mt"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    if (sys.env.contains("SPARK_GRAFT_STRESS_DEBUG")) {
+      System.err.println(s"[stress] skewed_join final plan:\n$lastPlan")
+      val top = ev.groupBy("user_id").count()
+        .orderBy(col("count").desc).limit(3).collect()
+        .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(", ")
+      System.err.println(s"[stress] hottest users: $top; total ${ev.count()}")
+    }
+
+    // ---- iterative heavyweights on the expanded substrates ----------
+    results("t06_sessionize_skewed") = timed {
+      Temporal.sessionize(ev, entity = "user_id", ts = "ts",
+          tieBreak = "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+    }
+
+    results("g34_condensation") = timed {
+      val small = li.groupBy("l_orderkey").agg(count(lit(1)).as("nl"))
+        .filter(col("nl") <= 2).select("l_orderkey")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber").asc, col("l_partkey").asc)
+      val edges = li.join(small, "l_orderkey")
+        .withColumn("nxt", lead("l_partkey", 1).over(w))
+        .filter(col("nxt").isNotNull && col("l_partkey") =!= col("nxt"))
+        .select(col("l_partkey").cast("long").as("src"),
+          col("nxt").cast("long").as("dst"))
+        .distinct()
+        .transform(Checkpoints.cut)
+      val labels = Graphs.sccTrimmed(spark, edges,
+        trimRounds = 64, rounds = 8, iters = 64)
+      edges
+        .join(labels.select(col("id").as("src"),
+          col("scc_id").as("src_scc")), "src")
+        .join(labels.select(col("id").as("dst"),
+          col("scc_id").as("dst_scc")), "dst")
+        .filter(col("src_scc") =!= col("dst_scc"))
+        .groupBy("src_scc", "dst_scc").agg(count(lit(1)).as("n_edges"))
+    }
+
+    results("s27_incremental_cc") = timed {
+      def slice(i: Int) =
+        cop.filter(pmod(xxhash64(col("src"), col("dst")), lit(3)) === i)
+      var labels = cop.select(col("src").cast("long").as("id"),
+        col("src").cast("long").as("component")).limit(0)
+      (0 to 2).foreach { i =>
+        labels = graft.streaming.Streams.ccApplyBatch(spark, labels, slice(i))
+      }
+      labels
+    }
+
+    results("l02b_lsh_near_dedup") = timed {
+      graft.functions.VecFunctions.ensureRegistered(spark)
+      val sh = Text.shingles(docs, 3).cache()
+      val sigs = Similarity.minHashSignatures(sh, numHashes = 32).cache()
+      val cands = Similarity.lshCandidates(sigs, numHashes = 32, bands = 16)
+      val likely = Similarity.estimateJaccard(cands, sigs)
+        .filter(col("est_jaccard") >= 0.42)
+        .select("a_id", "b_id")
+      Similarity.exactJaccardCompact(sh, likely)
+        .filter(col("jaccard") > 0.6)
+    }
+
+    def f(v: Double): String = f"$v%.1f"
+    val ops = results.map { case (k, v) => s""""$k":${f(v)}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"stress","factor":$factor,"sf":"$sfDir","ops":$ops,"skew_joins":$skewFired}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("stress_last.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[stress] write failed: ${e.getMessage}") }
+    spark.stop()
+  }
+}

@@ -604,6 +604,91 @@ object Text {
     learned.toSeq.toDF("round", "p1", "p2", "cnt")
   }
 
+  /** L49 — unigram-style tokenizer TRAINING (the SentencePiece
+    * companion to [[bpeTrain]]): start from a LARGE candidate piece set
+    * (frequent-word substrings), then run bounded PRUNING rounds —
+    * segment the weighted vocabulary with the current pieces, measure
+    * per-piece usage, drop the least-used multi-char pieces — the
+    * top-down mirror of BPE's bottom-up merges. SentencePiece prunes by
+    * EM likelihood loss with a float Viterbi; this trainer pins the
+    * deterministic integer skeleton of the same loop so the k-round
+    * result hash-matches a DuckDB replay: segmentation is greedy
+    * LONGEST-MATCH (WordPiece's MaxMatch — the argmax is unique because
+    * equal-length matches at one position are the same string), usage
+    * is the freq-weighted piece count, pruning order is
+    * (usage asc, piece asc), and single characters are never pruned
+    * (coverage can never break).
+    *
+    * Scale shape (the l27 discipline): the corpus is scanned ONCE —
+    * distributed — for the word-frequency table; everything after
+    * operates on the top-`vocabWords` slice, which is BOUNDED BY
+    * CONSTRUCTION (limit + checkpoint), so the rounds run driver-local
+    * over ≤ vocabWords words × ≤ candidates pieces — exactly how
+    * SentencePiece itself trains (the unbounded corpus reduces to a
+    * bounded word-frequency table; the SimIndex codebook precedent for
+    * bounded driver state).
+    *
+    * Returns the surviving pieces with their FINAL usage:
+    * (piece, is_single, usage), usage recomputed against the final set.
+    */
+  def unigramTrain(docs: DataFrame, vocabWords: Int, maxPieceLen: Int,
+      candidates: Int, rounds: Int, prunePerRound: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(explode(regexp_extract_all(lower(col("text")),
+        lit(s"[^$GopherWhitespace]+"), lit(0))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val words = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(vocabWords)
+      .transform(Checkpoints.cut)
+    val wordRows = words.as[(String, Long)].collect()
+    // candidate multi-char pieces: every substring of length 2..L of a
+    // vocab word, weighted by word freq; top `candidates` by
+    // (cnt desc, piece asc). Singles = every char seen (never pruned).
+    val subs = words.select(col("freq"),
+        explode(flatten(transform(
+          sequence(lit(1), length(col("w"))),
+          i => transform(sequence(lit(2), lit(maxPieceLen)),
+            l => when(i + l - 1 <= length(col("w")),
+              col("w").substr(i, l)))))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy("p").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("p").asc).limit(candidates)
+    val singles = wordRows.flatMap(_._1.split("")).distinct.toSet
+    var multi = subs.select("p").as[String].collect().toVector
+
+    def maxMatch(w: String, pieces: Set[String]): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        var l = math.min(maxPieceLen, w.length - i)
+        while (l > 1 && !pieces(w.substring(i, i + l))) l -= 1
+        out += w.substring(i, i + l)
+        i += l
+      }
+      out.result()
+    }
+
+    def usageOf(ms: Vector[String]): Map[String, Long] = {
+      val pieces = singles ++ ms
+      wordRows.toSeq
+        .flatMap { case (w, f) => maxMatch(w, pieces).map(_ -> f) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+
+    for (_ <- 1 to rounds) {
+      val usage = usageOf(multi)
+      multi = multi
+        .sortBy(p => (usage.getOrElse(p, 0L), p))
+        .drop(prunePerRound)
+    }
+    val fin = usageOf(multi)
+    val out = (multi.map(p => (p, false)) ++
+        singles.toSeq.map(c => (c, true)))
+      .map { case (p, sng) => (p, sng, fin.getOrElse(p, 0L)) }
+    s.createDataFrame(out).toDF("piece", "is_single", "usage")
+  }
+
   /** L25 — PII scrubbing patterns, deliberately restricted to syntax
     * Java regex and RE2 interpret identically (explicit classes, bounded
     * quantifiers; no \b, no \d shorthand — same portability discipline

@@ -900,6 +900,15 @@ object GraphQueries {
     // g23 replays SCC from first principles: recursive transitive
     // closure over the part-flow edges, mutual pairs = (a ->* b) ∧
     // (b ->* a), scc_id = min mutual partner (self included).
+    // SCC replay WITHOUT the all-pairs closure (VERDICT r10 "next" #3:
+    // the old full-closure oracle ran ~30 min at sf0.1): peel the min
+    // vertex's SCC first as fwd-closure ∩ bwd-closure (two single-
+    // source recursions, O(V) rows each — the substrate's one giant
+    // SCC), then run the exact pairwise closure only on the REMAINDER.
+    // Sound by the standard decomposition property: any mutual pair
+    // routed through the peeled SCC would itself be mutual with it and
+    // hence inside it. Verified identical to the full-closure replay at
+    // sf0.001/sf0.01; sf0.1 drops 30 min → ~7 s.
     "g23_scc" ->
       """WITH RECURSIVE flow AS (
         |  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
@@ -908,16 +917,29 @@ object GraphQueries {
         |                            ORDER BY l_linenumber, l_partkey) AS nxt
         |    FROM lineitem)
         |  WHERE nxt IS NOT NULL AND l_partkey <> nxt),
-        |r AS (SELECT src AS a, dst AS b FROM flow
-        |      UNION
-        |      SELECT r.a, f.dst FROM r JOIN flow f ON f.src = r.b),
-        |verts AS (SELECT src AS id FROM flow UNION SELECT dst FROM flow),
+        |verts AS (SELECT DISTINCT src AS id FROM
+        |  (SELECT src FROM flow UNION ALL SELECT dst FROM flow)),
+        |mv AS (SELECT min(id) AS m FROM verts),
+        |rf(id) AS (SELECT m FROM mv
+        |  UNION SELECT f.dst FROM rf JOIN flow f ON f.src = rf.id),
+        |rb(id) AS (SELECT m FROM mv
+        |  UNION SELECT f.src FROM rb JOIN flow f ON f.dst = rb.id),
+        |s0 AS (SELECT id FROM rf WHERE id IN (SELECT id FROM rb)),
+        |rest AS (SELECT id FROM verts
+        |         WHERE id NOT IN (SELECT id FROM s0)),
+        |fr AS (SELECT f.src, f.dst FROM flow f
+        |       JOIN rest a ON a.id = f.src JOIN rest b ON b.id = f.dst),
+        |r AS (SELECT src AS a, dst AS b FROM fr
+        |      UNION SELECT r.a, f.dst FROM r JOIN fr f ON f.src = r.b),
         |mut AS (SELECT x.a AS id, x.b AS p
-        |        FROM r x JOIN r y ON y.a = x.b AND y.b = x.a)
-        |SELECT v.id, CAST(least(v.id, coalesce(min(m.p), v.id)) AS BIGINT)
-        |  AS scc_id
-        |FROM verts v LEFT JOIN mut m ON m.id = v.id
-        |GROUP BY v.id ORDER BY v.id""".stripMargin,
+        |        FROM r x JOIN r y ON y.a = x.b AND y.b = x.a),
+        |lab_rest AS (SELECT v.id,
+        |    least(v.id, coalesce(min(m2.p), v.id)) AS scc_id
+        |  FROM rest v LEFT JOIN mut m2 ON m2.id = v.id GROUP BY v.id)
+        |SELECT id, CAST((SELECT min(id) FROM s0) AS BIGINT) AS scc_id
+        |FROM s0
+        |UNION ALL SELECT id, CAST(scc_id AS BIGINT) FROM lab_rest
+        |ORDER BY id""".stripMargin,
 
     // Bow-tie replayed via the full closure on the same restricted
     // substrate: class membership is one EXISTS against the closure

@@ -90,28 +90,75 @@ object LlmQueries {
   // Shared oracle snippet: the l15 near-dup clustering replay (3-char
   // shingle Jaccard > 0.6 pairs, min-label closure over the recursive
   // CTE) — reused by l15 and the l33 keep-list.
-  private val dedupClusterCte =
-    """WITH RECURSIVE g AS (SELECT doc_id, text,
-      |    unnest(generate_series(1, n_chars - 2)) AS gs
-      |  FROM documents WHERE n_chars >= 3),
-      | sh AS (SELECT DISTINCT doc_id,
-      |    substr(text, CAST(gs AS INT), 3) AS shingle FROM g),
-      | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      | i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n
-      |       FROM sh a JOIN sh b
-      |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2),
-      | pairs AS (SELECT a_id, b_id FROM i
-      |           JOIN sz sa ON sa.doc_id = a_id
-      |           JOIN sz sb ON sb.doc_id = b_id
-      |           WHERE n * 1.0 / (sa.sz + sb.sz - n) > 0.6),
-      | e AS (SELECT a_id AS src, b_id AS dst FROM pairs
-      |       UNION ALL SELECT b_id, a_id FROM pairs),
-      | v AS (SELECT DISTINCT src AS id FROM e),
-      | lp(id, lbl) AS (
-      |   SELECT id, id FROM v
-      |   UNION
-      |   SELECT e.dst, lp.lbl FROM lp JOIN e ON e.src = lp.id)""".stripMargin
+  /** Shared DuckDB replay of the >0.6-Jaccard near-dup CLUSTERS, ending
+    * in `cl(doc_id, cluster_id)`. Rewritten for the sf0.1 dual-scale
+    * sweep (VERDICT r10 "next" #3): the old single recursive label walk
+    * enumerated Σ|cluster|² (member, label) rows — ~30 min at sf0.1 on
+    * the 1.65M-edge dup graph. The replay now runs TWO min-contraction
+    * rounds (the engine's own star-contraction CC move) to shrink the
+    * graph 1.65M → 5734 → 136 edges, then the SAME exact recursive walk
+    * on the tiny quotient — always exact, no convergence assumption
+    * (the walk is the backstop), verified identical to the old replay
+    * at sf0.001/sf0.01 and ~34 s at sf0.1.
+    *
+    * DuckDB 1.0 planner notes, all measured: (a) the shingle subquery
+    * is INLINED at each use — plain subqueries parallelize far better
+    * than materialized-CTE probes (12 s vs 144 s for the pair join);
+    * (b) the heavy CTEs are MATERIALIZED — plain CTEs re-expand
+    * per reference and the round chain multiplies references
+    * (5^rounds copies of the pair join = 25 GiB spills); (c) chains
+    * beyond ~12 materialized CTEs hit a planner cliff (even when the
+    * extra CTEs are empty), which is why contraction stops at 2 and
+    * the exact walk — not more unrolling — finishes the job; (d) each
+    * round's vertex map is built over ALL prior labels (not just
+    * edge sources), so the inner-join label composition is total.
+    */
+  private val dedupClusterCte: String = {
+    val sh = "(SELECT DISTINCT doc_id, substr(text, CAST(gs AS INT), 3)" +
+      " AS shingle FROM (SELECT doc_id, text," +
+      " unnest(generate_series(1, n_chars - 2)) AS gs" +
+      " FROM documents WHERE n_chars >= 3))"
+    // ONE round: it already shrinks the walk substrate 1.65M → 5734
+    // edges at sf0.1 (the walk's Σ|cluster|² blowup dies with the first
+    // contraction), and l43's combined query — this CTE + the semantic
+    // CTE + the langid/quality stages — sits close enough to the
+    // planner cliff (note c) that the second round's two extra
+    // materialized CTEs pushed it over.
+    val rounds = 1
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = s"e${k - 1}"
+      val vsrc =
+        if (k == 1) "(SELECT DISTINCT src AS id FROM e0)"
+        else s"(SELECT DISTINCT l AS id FROM m${k - 1})"
+      s"""m$k AS MATERIALIZED (SELECT v.id,
+         |    least(v.id, coalesce(min(e.dst), v.id)) AS l
+         |  FROM $vsrc v
+         |  LEFT JOIN $prev e ON e.src = v.id GROUP BY v.id),
+         |e$k AS MATERIALIZED (SELECT DISTINCT a.l AS src, b.l AS dst
+         |  FROM $prev e JOIN m$k a ON a.id = e.src
+         |  JOIN m$k b ON b.id = e.dst WHERE a.l <> b.l)""".stripMargin
+    }.mkString(",\n")
+    val comp = (2 to rounds)
+      .map(k => s"JOIN m$k ON m$k.id = m${k - 1}.l").mkString(" ")
+    s"""WITH RECURSIVE i AS MATERIALIZED (SELECT a.doc_id AS a_id,
+       |    b.doc_id AS b_id, count(*) AS n
+       |  FROM $sh a JOIN $sh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM $sh GROUP BY 1),
+       |pairs AS MATERIALIZED (SELECT a_id, b_id FROM i
+       |  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |  WHERE n * 1.0 / (sa.sz + sb.sz - n) > 0.6),
+       |e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |$roundCtes,
+       |lp(id, lbl) AS (SELECT DISTINCT l AS id, l FROM m$rounds
+       |  UNION SELECT e$rounds.dst, lp.lbl FROM lp
+       |  JOIN e$rounds ON e$rounds.src = lp.id),
+       |ql AS (SELECT id, min(lbl) AS ql FROM lp GROUP BY 1),
+       |cl AS (SELECT m1.id AS doc_id, CAST(ql.ql AS BIGINT) AS cluster_id
+       |  FROM m1 $comp JOIN ql ON ql.id = m$rounds.l)""".stripMargin
+  }
 
   /** Shared by l33/l43: per-doc near-dup cluster id + keep flag (largest
     * doc of each >0.6-Jaccard cluster wins, ties to min doc_id).
@@ -501,6 +548,19 @@ object LlmQueries {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Text.bpeSubtokenCounts(d, merges).orderBy("doc_id")
     }),
+
+    // L49 — unigram-style (SentencePiece-companion) tokenizer TRAINING:
+    // candidate substring pieces of the frequent-word vocabulary pruned
+    // over 3 bounded rounds by MaxMatch usage (least-used multi-char
+    // pieces drop, singles never do) — the top-down mirror of l27's
+    // bottom-up BPE merges. Deterministic integers end-to-end
+    // (longest-match argmax is unique; prune order usage asc, piece
+    // asc), so the surviving vocabulary + final usage hash-match an
+    // unrolled DuckDB replay of the same segment→count→prune rounds.
+    "l49_unigram_vocab" -> ((s, dir) =>
+      Text.unigramTrain(docs(s, dir), vocabWords = 200, maxPieceLen = 4,
+          candidates = 150, rounds = 3, prunePerRound = 30)
+        .orderBy("piece")),
 
     // L42 — tokenizer FERTILITY by language: subtokens-per-word of the
     // trained BPE (l27's merges applied by l28's encoder), aggregated
@@ -1332,6 +1392,74 @@ object LlmQueries {
     (head, steps)
   }
 
+  /** DuckDB replay of [[graft.ops.Text.unigramTrain]], rounds unrolled:
+    * candidate substrings of the top-word vocabulary, then per round a
+    * recursive MaxMatch segmentation (the longest-match pick is a
+    * unique `max_by(p, strlen(p))` — equal-length matches at one
+    * position are the same string), usage aggregation, and the
+    * (usage asc, piece asc) prune of `prunePerRound` multi-char pieces.
+    * One extra segmentation pass recomputes usage for the final set.
+    */
+  private def unigramChainSql(vocabWords: Int, maxPieceLen: Int,
+      candidates: Int, rounds: Int, prunePerRound: Int): String = {
+    val ws = graft.ops.Text.GopherWhitespace
+    val head =
+      s"""WITH RECURSIVE tok AS (SELECT unnest(regexp_extract_all(
+        |    lower(text), '[^$ws]+')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS freq FROM tok
+        |       WHERE regexp_full_match(w, '[a-z]+')
+        |       GROUP BY w ORDER BY freq DESC, w LIMIT $vocabWords),
+        |subs AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS p,
+        |    sum(freq) AS cnt
+        |  FROM (SELECT w, freq,
+        |          unnest(generate_series(1, strlen(w))) AS i FROM wf)
+        |  CROSS JOIN (SELECT unnest(generate_series(2,
+        |          $maxPieceLen)) AS l)
+        |  WHERE i + l - 1 <= strlen(w) GROUP BY 1),
+        |m0 AS (SELECT p FROM subs ORDER BY cnt DESC, p
+        |       LIMIT $candidates),
+        |sing AS (SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS p
+        |         FROM wf)""".stripMargin
+    // round r segments with m{r-1} ∪ sing; r = rounds+1 is the final
+    // usage pass (no prune)
+    val steps = (1 to rounds + 1).map { r =>
+      val prune =
+        if (r <= rounds)
+          s""",
+             |m$r AS (SELECT p FROM (
+             |  SELECT m.p, row_number() OVER (
+             |      ORDER BY coalesce(u.usage, 0), m.p) AS rn
+             |  FROM m${r - 1} m LEFT JOIN u$r u ON u.piece = m.p)
+             |  WHERE rn > $prunePerRound)""".stripMargin
+        else ""
+      s"""vv$r AS (SELECT p FROM m${r - 1}
+         |        UNION ALL SELECT p FROM sing),
+         |seg$r(w, freq, pos, piece) AS (
+         |  SELECT w, freq, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR)
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT s.w, s.freq, s.pos + strlen(s.pc), s.pc FROM (
+         |    SELECT w, freq, pos,
+         |      (SELECT max_by(vv.p, strlen(vv.p)) FROM vv$r vv
+         |       WHERE substr(seg$r.w, CAST(seg$r.pos AS INT),
+         |               strlen(vv.p)) = vv.p) AS pc
+         |    FROM seg$r WHERE pos <= strlen(w)) s),
+         |u$r AS (SELECT piece, sum(freq) AS usage FROM seg$r
+         |        WHERE piece IS NOT NULL GROUP BY 1)$prune""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT piece, is_single, CAST(usage AS BIGINT) AS usage FROM (
+       |  SELECT m.p AS piece, false AS is_single,
+       |    coalesce(u.usage, 0) AS usage
+       |  FROM m$rounds m
+       |  LEFT JOIN u${rounds + 1} u ON u.piece = m.p
+       |  UNION ALL
+       |  SELECT s.p, true, coalesce(u.usage, 0)
+       |  FROM sing s LEFT JOIN u${rounds + 1} u ON u.piece = s.p)
+       |ORDER BY piece""".stripMargin
+  }
+
   /** Shared DuckDB replay of [[winnowed]]: positional 3-grams via
     * generate_series, the 10-hex md5 fold (the [[graft.Det.duckMd5Long]]
     * move at 40 bits), the same v-encoding, one window MIN, decode.
@@ -1650,8 +1778,7 @@ object LlmQueries {
 
     "l15_dedup_clusters" ->
       s"""$dedupClusterCte
-        |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-        |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
 
     // l34: the same canonicalization chain in DuckDB regex syntax; the
     // GopherWhitespace class literal is shared with the engine.
@@ -1670,9 +1797,7 @@ object LlmQueries {
 
     // l33: the l15 cluster replay + the canonical pick per cluster.
     "l33_dedup_keeplist" ->
-      s"""$dedupClusterCte,
-        |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-        |       FROM lp GROUP BY id)
+      s"""$dedupClusterCte
         |SELECT cl.doc_id, cl.cluster_id,
         |  row_number() OVER (PARTITION BY cl.cluster_id
         |    ORDER BY d.n_chars DESC, cl.doc_id ASC) = 1 AS keep
@@ -1687,12 +1812,14 @@ object LlmQueries {
     // The composed funnel: dedup-cluster CTE + per-doc langid + per-doc
     // gopher flags + the l48 semantic CTE, staged. Fresh CTE names
     // (lh/lg/gm/gf) because the shared dedup CTE already owns `g`.
+    // keepl/staged are MATERIALIZED: the five stage aggregates each
+    // reference `staged`, and DuckDB inlines plain CTEs per reference —
+    // five re-expansions of the whole dedup+semantic chain spilled
+    // 20 GiB at sf0.1; materialized, the query runs in ~14 s.
     "l43_pipeline_manifest" ->
       s"""$dedupClusterCte,
         |$semCte,
-        |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-        |       FROM lp GROUP BY id),
-        |keepl AS (SELECT cl.doc_id,
+        |keepl AS MATERIALIZED (SELECT cl.doc_id,
         |    row_number() OVER (PARTITION BY cl.cluster_id
         |      ORDER BY d.n_chars DESC, cl.doc_id ASC) = 1 AS dup_keep
         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
@@ -1732,7 +1859,7 @@ object LlmQueries {
         |      AND COALESCE(round(CAST(n_stop AS DOUBLE) / nullif(n_words, 0),
         |            4) >= 0.01, false) AS q_ok
         |  FROM gm),
-        |staged AS (SELECT d.doc_id, d.n_chars,
+        |staged AS MATERIALIZED (SELECT d.doc_id, d.n_chars,
         |    lg.guess = 'en' AS lang_ok, gf.q_ok,
         |    coalesce(k.dup_keep, true) AS dup_ok,
         |    coalesce(sk.keep, true) AS sem_ok
@@ -1939,6 +2066,9 @@ object LlmQueries {
         |FROM documents d LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin
     },
+
+    "l49_unigram_vocab" -> unigramChainSql(vocabWords = 200,
+      maxPieceLen = 4, candidates = 150, rounds = 3, prunePerRound = 30),
 
     // L27 replay: the engine's count→pick→merge cycle unrolled for 8
     // rounds. Same vocab (top-500 alphabetic words by freq desc, word

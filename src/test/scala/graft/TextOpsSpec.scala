@@ -453,4 +453,34 @@ class TextOpsSpec extends SparkSpecBase {
     // unrelated doc shares (essentially) nothing: below l45's >= 3 gate
     assert((fp1 & fp3).size < 3 && (fp2 & fp3).size < 3)
   }
+
+  test("l49 unigramTrain: singles survive, prune count exact, usage favors frequent substrings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("unigram").toFile
+    // 'abab' dominates: its substrings (ab, ba, aba, bab, abab) should
+    // out-use 'cd''s after pruning; chars a,b,c,d are the singles
+    val rows = Seq(
+      (1L, ("abab " * 30) + "cd", 1L),
+      (2L, "abab abab cd cd", 2L))
+    rows.toDF("doc_id", "text", "x").drop("x")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val docs = spark.read.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val out = Text.unigramTrain(docs, vocabWords = 10, maxPieceLen = 4,
+        candidates = 6, rounds = 2, prunePerRound = 2)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val (singles, multi) = out.partition(_._2)
+    // every char of the vocab words survives as a single
+    assert(singles.map(_._1).toSet == Set("a", "b", "c", "d"))
+    // exactly candidates - rounds*prunePerRound multi pieces remain
+    assert(multi.length == 6 - 2 * 2)
+    // 'abab' (freq 32) maxmatches to one 4-char piece per occurrence —
+    // the top surviving piece by usage must be 'abab' with usage 32
+    assert(multi.maxBy(m => (m._3, m._1)) == (("abab", false, 32L)))
+    // a piece never matched under MaxMatch shows usage 0 or was pruned;
+    // all survivors are genuine substrings of the vocab words
+    assert(multi.forall(m => "abab".contains(m._1) || "cd".contains(m._1)))
+  }
 }
