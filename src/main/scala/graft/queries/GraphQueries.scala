@@ -75,7 +75,13 @@ object GraphQueries {
         // kHopIds output is already distinct and id -> p_partkey is
         // injective. One-task sort instead of orderBy: a global sort's
         // range-sampling pass would execute the whole traversal twice
-        // for a result that is only the ids within 3 hops.
+        // for a result that is only the ids within 3 hops. THRESHOLD
+        // (VERDICT r10): this trade holds while the 3-hop id set fits
+        // one task comfortably — roughly < 10M ids / a few hundred MB;
+        // a supply-graph neighborhood approaching |parts| at 100×
+        // should switch to Checkpoints.cut + orderBy (materialize
+        // once, then the double-execution the sampling pass costs is
+        // off the traversal, not on it).
         .repartition(1).sortWithinPartitions("p_partkey")
     }),
 
@@ -634,6 +640,7 @@ object GraphQueries {
       Graphs.kHopIds(snap.edges, col("src") === lit(Graphs.CUST + 1L), k = 3)
         .filter(col("id") >= Graphs.PART && col("id") < Graphs.PART + Graphs.TAG)
         .select((col("id") - Graphs.PART).as("p_partkey"))
+        // same one-task-sort trade and < ~10M-id threshold as g03
         .repartition(1).sortWithinPartitions("p_partkey")
     }),
 
