@@ -287,10 +287,14 @@ object Similarity {
     val c = x.groupBy("label", "d").agg(sum("xi").as("cn"))
     val nc = c.groupBy("label")
       .agg(sum(expr("CAST(cn AS DECIMAL(38,0)) * cn")).as("nc"))
+    // xi·cn widened BEFORE the sum: cn grows with cluster size, so at
+    // the 100 TB design point the raw long product wraps silently while
+    // the DuckDB replay widens to HUGEINT (ADVICE r11 — the q51/q52
+    // discipline; xi² is safe at this scale but widened for symmetry).
     val m = x.join(broadcast(c), Seq("label", "d"))
       .groupBy("vec_id", "label")
-      .agg(sum(col("xi") * col("cn")).as("dot"),
-        sum(col("xi") * col("xi")).as("nx"))
+      .agg(sum(expr("CAST(xi AS DECIMAL(38,0)) * cn")).as("dot"),
+        sum(expr("CAST(xi AS DECIMAL(38,0)) * xi")).as("nx"))
     val scored = m.join(broadcast(nc), "label")
       .withColumn("close", expr(
         s"""dot > 0 AND

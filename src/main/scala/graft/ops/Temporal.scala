@@ -280,12 +280,19 @@ object Temporal {
       valueCents: Column,
       loCents: Long,
       hiCents: Long,
-      nBuckets: Int): DataFrame =
+      nBuckets: Int): DataFrame = {
+    // nBuckets must divide the range exactly: the read side reconstructs
+    // integer edges as lo + bucket·((hi-lo)/nb), which drifts from
+    // width_bucket's double-based boundaries on a non-dividing scheme and
+    // silently breaks the containment contract (ADVICE r11).
+    require((hiCents - loCents) % nBuckets == 0,
+      s"nBuckets=$nBuckets must divide hiCents-loCents=${hiCents - loCents}")
     events
       .groupBy(col(entity), date_trunc("day", col(ts)).as("day"),
         width_bucket(valueCents, lit(loCents), lit(hiCents), lit(nBuckets))
           .as("bucket"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** T38 — read side: bounded-error percentiles from re-aggregated
     * histogram partials. For each percentile p (integer percent) the
@@ -299,8 +306,11 @@ object Temporal {
     * Plan: one partial re-agg (entity, bucket), one ≤nb-row-per-entity
     * cumulative window, and a broadcast percentile explode — nothing
     * touches the raw table. Underflow rows (bucket 0) still count
-    * toward n and the cumulative walk; edges for them are emitted as
-    * `[min_long, lo)` clamped to the scheme's lo.
+    * toward n and the cumulative walk; their edges are the scheme's
+    * ARITHMETIC EXTENSION — `[lo − width, lo)` — i.e. the rail buckets
+    * really denote open intervals and containment is only as tight as
+    * one width beyond `[lo, hi)` (see the inline comment at the edge
+    * emission).
     */
   def percentilesFromHistogram(
       partials: DataFrame,
@@ -309,6 +319,8 @@ object Temporal {
       loCents: Long,
       hiCents: Long,
       nBuckets: Int): DataFrame = {
+    require((hiCents - loCents) % nBuckets == 0,
+      s"nBuckets=$nBuckets must divide hiCents-loCents=${hiCents - loCents}")
     val width = (hiCents - loCents) / nBuckets
     val hist = partials.groupBy(col(entity), col("bucket"))
       .agg(sum("n").as("n"))

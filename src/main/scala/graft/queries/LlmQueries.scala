@@ -1323,8 +1323,9 @@ object LlmQueries {
       |semc AS (SELECT label, d, sum(xi) AS cn FROM semx GROUP BY 1, 2),
       |semnc AS (SELECT label, sum(CAST(cn AS HUGEINT) * cn) AS nc
       |          FROM semc GROUP BY 1),
-      |semm AS (SELECT x.vec_id, x.label, sum(x.xi * c.cn) AS dot,
-      |      sum(x.xi * x.xi) AS nx
+      |semm AS (SELECT x.vec_id, x.label,
+      |      sum(CAST(x.xi AS HUGEINT) * c.cn) AS dot,
+      |      sum(CAST(x.xi AS HUGEINT) * x.xi) AS nx
       |    FROM semx x JOIN semc c ON c.label = x.label AND c.d = x.d
       |    GROUP BY 1, 2),
       |semsc AS (SELECT m.vec_id, m.label,

@@ -946,7 +946,10 @@ object Relational {
         .join(nx.select(col("x").as("y"), col("n_x").as("n_y")), "y")
         .crossJoin(broadcast(n))
         .select(col("x"), col("y"), col("n_xy"),
-          expr("1000000 * n_xy div n_x").as("conf_e6"),
+          // same overflow class as lift_e6, just a further-out threshold
+          // (1e6·n_xy wraps past ~9.2e12 co-occurrences) — widened per
+          // ADVICE r11; div on decimals is IntegralDivide → BIGINT.
+          expr("CAST(1000000 AS DECIMAL(38,0)) * n_xy div n_x").as("conf_e6"),
           // the e6·n_xy·N numerator crosses 2^63 at corpus scale while
           // the testdata stays in long range — widened to decimal(38,0)
           // (the q51/q54/q55 discipline) so both engines stay exact
@@ -1703,7 +1706,8 @@ object Relational {
         |    ON a.l_orderkey = bb.l_orderkey AND a.x <> bb.x),
         |nxy AS (SELECT x, y, count(*) AS n_xy FROM pairs GROUP BY 1, 2)
         |SELECT nxy.x, nxy.y, nxy.n_xy,
-        |  CAST(1000000 * nxy.n_xy // ax.n_x AS BIGINT) AS conf_e6,
+        |  CAST(CAST(1000000 AS HUGEINT) * nxy.n_xy // ax.n_x
+        |       AS BIGINT) AS conf_e6,
         |  CAST(CAST(1000000 AS HUGEINT) * nxy.n_xy * n.n_baskets
         |       // (CAST(ax.n_x AS HUGEINT) * ay.n_x) AS BIGINT) AS lift_e6
         |FROM nxy JOIN nx ax ON ax.x = nxy.x
