@@ -64,15 +64,31 @@ object Patterns {
   /** Per-entity (n_events, n_matches) for `pattern` over the stream
     * ordered by (ts, tieBreak). Every entity with at least one event
     * appears (callers filter n_matches > 0 when they only want hits).
+    *
+    * Q57c — `withinUs`: a time bound on the MATCH, the `WITHIN
+    * <duration>` every real funnel carries ("view→click→purchase within
+    * 7 days"). The structural machine is UNCHANGED — events advance
+    * stages and are consumed exactly as in the unbounded fold (so
+    * withinUs=None reproduces q57 bit-for-bit); the bound only gates
+    * whether a completed match COUNTS: it counts iff
+    * ts(last stage) − ts(first stage) ≤ withinUs. State cost: one
+    * anchor timestamp (subsequence — stamped on the 0→1 transition) or
+    * a |pattern|−1 ring of recent timestamps (contiguous — a completed
+    * KMP match is always the last |pattern| consecutive events, so the
+    * run start is the event |pattern|−1 steps back). Still O(1) per
+    * entity, still one entity-keyed shuffle + linear scan.
     */
   def matchCounts(events: DataFrame, entity: String, ts: String,
       tieBreak: String, typeCol: String, pattern: Seq[String],
-      contiguous: Boolean): DataFrame = {
+      contiguous: Boolean, withinUs: Option[Long] = None): DataFrame = {
     require(pattern.nonEmpty, "empty pattern")
+    require(withinUs.forall(_ >= 0L), "negative withinUs")
     val spark = events.sparkSession
     import spark.implicits._
     val pat = pattern.toArray
     val fail = failure(pattern)
+    val within = withinUs.getOrElse(Long.MaxValue)
+    val span = pat.length - 1
     events.select(col(entity).cast("long").as("entity"),
         graft.Det.epochUs(col(ts)).as("ts_us"),
         col(tieBreak).cast("long").as("tie"),
@@ -87,14 +103,100 @@ object Patterns {
         var stage = 0
         var cnt = 0L
         var n = 0L
+        var anchor = 0L
+        val ring = new Array[Long](math.max(span, 1))
         it.foreach { e =>
           if (!started) { started = true; cur = e.entity }
           else if (e.entity != cur) {
             out += PatCount(cur, n, cnt)
             cur = e.entity; stage = 0; cnt = 0L; n = 0L
           }
+          // run-start bookkeeping — read by the counting gate only; the
+          // structural step below never sees it. A contiguous hit at
+          // per-entity index n spans events [n-span, n], whose start ts
+          // sits at ring(n % span) (written span events ago, same
+          // entity because a hit needs ≥ span prior events).
+          val runStart =
+            if (span == 0) e.ts_us
+            else if (contiguous) ring((n % span).toInt)
+            else {
+              if (stage == 0 && e.sym == pat(0)) anchor = e.ts_us
+              anchor
+            }
           val (s2, hit) = step(pat, fail, contiguous, stage, e.sym)
           stage = s2
+          if (hit && e.ts_us - runStart <= within) cnt += 1
+          if (span > 0) ring((n % span).toInt) = e.ts_us
+          n += 1
+        }
+        if (started) out += PatCount(cur, n, cnt)
+        out.iterator
+      }
+      .toDF()
+  }
+
+  /** Q57d — quantified stages: the MATCH_RECOGNIZE `A B+ C` form. Each
+    * stage is (symbol, minReps, maxReps) with maxReps=Int.MaxValue for
+    * unbounded; matching is CONTIGUOUS and non-overlapping with these
+    * pinned semantics (QuantSpec in PatternsSpec tests them explicitly):
+    *
+    *  - intermediate stages are GREEDY: while the event matches the
+    *    current stage's symbol and reps < max, it extends that stage;
+    *    the machine only advances on an event the stage cannot absorb
+    *    (adjacent stages must use distinct symbols — required — so
+    *    extend-vs-advance is never ambiguous and no backtracking
+    *    arises);
+    *  - advancing from a stage requires reps ≥ min; stages with min=0
+    *    may be skipped entirely;
+    *  - the FINAL stage is LAZY: the match completes (count++, reset)
+    *    as soon as its min reps are reached — greedy-final would hold
+    *    the match open speculatively, which a one-pass non-overlapping
+    *    counter cannot do without lookahead;
+    *  - on failure the machine resets and RE-TRIES the failing event
+    *    from the start state (naive restart — the KMP table does not
+    *    generalize to quantified stages; PatternsSpec pins this
+    *    restart, e.g. in-flight `view` after a dead funnel starts the
+    *    next attempt).
+    *
+    * Same 100 TB plan as matchCounts: one entity shuffle, linear scan,
+    * O(#stages) state.
+    */
+  def quantifiedCounts(events: DataFrame, entity: String, ts: String,
+      tieBreak: String, typeCol: String,
+      stages: Seq[(String, Int, Int)]): DataFrame = {
+    require(stages.nonEmpty, "empty stage list")
+    require(stages.forall { case (_, mn, mx) => mn >= 0 && mx >= 1 && mx >= mn },
+      "each stage needs 0 <= min <= max, max >= 1")
+    require(stages.head._2 >= 1 && stages.last._2 >= 1,
+      "first and last stage need min >= 1 (else the match has no anchor)")
+    require(stages.sliding(2).forall(w => w.length < 2 || w(0)._1 != w(1)._1),
+      "adjacent stages must use distinct symbols")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val st = stages.toArray
+    events.select(col(entity).cast("long").as("entity"),
+        graft.Det.epochUs(col(ts)).as("ts_us"),
+        col(tieBreak).cast("long").as("tie"),
+        col(typeCol).cast("string").as("sym"))
+      .as[PatEv]
+      .repartition(col("entity"))
+      .sortWithinPartitions("entity", "ts_us", "tie")
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[PatCount]
+        var cur = 0L
+        var started = false
+        var stage = 0
+        var reps = 0
+        var cnt = 0L
+        var n = 0L
+        it.foreach { e =>
+          if (!started) { started = true; cur = e.entity }
+          else if (e.entity != cur) {
+            out += PatCount(cur, n, cnt)
+            cur = e.entity; stage = 0; reps = 0; cnt = 0L; n = 0L
+          }
+          val (s2, r2, hit) = qstep(st, stage, reps, e.sym)
+          stage = s2; reps = r2
           if (hit) cnt += 1
           n += 1
         }
@@ -102,5 +204,32 @@ object Patterns {
         out.iterator
       }
       .toDF()
+  }
+
+  /** One quantified-machine step: returns (stage, reps, matchedNow).
+    * Shared between the batch fold and any future streaming twin (the
+    * sessionStep discipline).
+    */
+  private[ops] def qstep(st: Array[(String, Int, Int)], s0: Int, r0: Int,
+      sym: String): (Int, Int, Boolean) = {
+    // attempt: consume sym at stage s (reps r so far), advancing through
+    // min-satisfied / min-0 stages; Nothing = this attempt dies.
+    @annotation.tailrec
+    def attempt(s: Int, r: Int): (Int, Int, Boolean) = {
+      val (sSym, sMin, sMax) = st(s)
+      if (sym == sSym && r < sMax) {
+        val r2 = r + 1
+        if (s == st.length - 1 && r2 >= sMin) (0, 0, true) // lazy final
+        else (s, r2, false)
+      } else if (r >= sMin && s + 1 < st.length) attempt(s + 1, 0)
+      else (-1, -1, false)
+    }
+    val a = attempt(s0, r0)
+    if (a._1 >= 0) a
+    else if (s0 == 0 && r0 == 0) (0, 0, false)
+    else { // naive restart: the failing event may begin the next attempt
+      val b = attempt(0, 0)
+      if (b._1 >= 0) b else (0, 0, false)
+    }
   }
 }

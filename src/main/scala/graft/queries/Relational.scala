@@ -652,6 +652,44 @@ object Relational {
           col("n_matches").as("n_funnel_runs"))
         .orderBy("user_id")),
 
+    // Q57c — the time-bounded form every real funnel takes: q57's
+    // subsequence machine with WITHIN 7 days — a completed
+    // view→click→view→purchase run only counts if its last stage lands
+    // ≤7 days after its first. Structural machine unchanged (q57 IS
+    // this query at withinUs=None — PatternsSpec pins it); the oracle
+    // is q57's recursive replay with one extra anchor column. On the
+    // fixture the bound genuinely discriminates (130 of 150 users
+    // retain a match; 290 of 443 matches survive).
+    "q57c_pattern_within" -> ((s, dir) =>
+      graft.ops.Patterns.matchCounts(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          typeCol = "event_type",
+          pattern = Seq("view", "click", "view", "purchase"),
+          contiguous = false, withinUs = Some(7L * 86400L * 1000000L))
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")),
+
+    // Q57d — quantified stages (MATCH_RECOGNIZE `A B+ C`): contiguous
+    // view click+ purchase — one view, one-or-more clicks, then the
+    // purchase. Semantics pinned in Patterns.quantifiedCounts' scaladoc
+    // (greedy intermediate stages, lazy final, naive restart) and in
+    // PatternsSpec's greedy-vs-lazy cases. The oracle replays the
+    // hand-derived 3-state DFA of this machine for this pattern
+    // (start / view-seen / in-clicks) — an independent derivation, not
+    // a port of the fold.
+    "q57d_pattern_quantified" -> ((s, dir) =>
+      graft.ops.Patterns.quantifiedCounts(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          typeCol = "event_type",
+          stages = Seq(("view", 1, 1), ("click", 1, Int.MaxValue),
+            ("purchase", 1, 1)))
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")),
+
     // Q43 — robust outliers via MAD (median absolute deviation): rows
     // whose |value − median| exceeds 3× the MAD of their event type —
     // the outlier gate that, unlike z-scores, a few extreme points
@@ -1688,6 +1726,65 @@ object Relational {
         |  FROM walk w
         |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1
         |  JOIN pat p ON p.stage = w.stage)
+        |SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,
+        |  CAST(w.cnt AS BIGINT) AS n_matches
+        |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
+        |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin,
+
+    // q57c: the q57 walk plus one anchor column — stamped when stage
+    // 0 consumes a view, read by the count gate at the stage-3 hit
+    // (604800000000 = 7 days in micros).
+    "q57c_pattern_within" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |n AS (SELECT user_id, max(i) AS n FROM e GROUP BY 1),
+        |pat(stage, sym) AS (VALUES (0, 'view'), (1, 'click'),
+        |                          (2, 'view'), (3, 'purchase')),
+        |walk(user_id, i, stage, cnt, anchor) AS (
+        |  SELECT user_id, 0, 0, 0, CAST(0 AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.i + 1,
+        |    CASE WHEN e.event_type = p.sym
+        |         THEN CASE WHEN w.stage = 3 THEN 0 ELSE w.stage + 1 END
+        |         ELSE w.stage END,
+        |    w.cnt + CASE WHEN e.event_type = p.sym AND w.stage = 3
+        |                  AND e.ts_us - w.anchor <= 604800000000
+        |                 THEN 1 ELSE 0 END,
+        |    CASE WHEN w.stage = 0 AND e.event_type = p.sym
+        |         THEN e.ts_us ELSE w.anchor END
+        |  FROM walk w
+        |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1
+        |  JOIN pat p ON p.stage = w.stage)
+        |SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,
+        |  CAST(w.cnt AS BIGINT) AS n_matches
+        |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
+        |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin,
+
+    // q57d: replay of the 3-state DFA hand-derived from the quantified
+    // machine for view click+ purchase (greedy clicks, lazy final,
+    // naive restart): q=0 start, q=1 view-seen, q=2 in-clicks; a view
+    // always (re)anchors at q=1, clicks extend q>=1 to q=2, purchase at
+    // q=2 counts and resets, anything else resets.
+    "q57d_pattern_quantified" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |n AS (SELECT user_id, max(i) AS n FROM e GROUP BY 1),
+        |walk(user_id, i, q, cnt) AS (
+        |  SELECT user_id, 0, 0, 0 FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.i + 1,
+        |    CASE WHEN e.event_type = 'view' THEN 1
+        |         WHEN w.q >= 1 AND e.event_type = 'click' THEN 2
+        |         ELSE 0 END,
+        |    w.cnt + CASE WHEN w.q = 2 AND e.event_type = 'purchase'
+        |                 THEN 1 ELSE 0 END
+        |  FROM walk w
+        |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1)
         |SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,
         |  CAST(w.cnt AS BIGINT) AS n_matches
         |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n

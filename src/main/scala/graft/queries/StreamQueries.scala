@@ -484,6 +484,39 @@ object StreamQueries {
     // scored — held to l29's one-shot oracle, proving maintained ==
     // from-scratch. StreamingSpec drives the same fold from a real
     // MemoryStream.
+    // S35 — streaming maintenance of the T38 percentile index: the
+    // day-bucket histogram partials maintained through 3 deterministic
+    // "micro-batches" (event_id mod 3) of batch-id-stamped rows, one
+    // batch REPLAYED (delete-then-insert idempotence), then the t38
+    // read path answered from the MAINTAINED table — held to t38's
+    // one-shot oracle, proving maintained == built-from-scratch.
+    // StreamingSpec drives the same fold from a real MemoryStream and
+    // answers a range query mid-stream.
+    "s35_percentile_maintenance" -> ((s, dir) => {
+      import graft.ops.Temporal
+      val e = ev(s, dir)
+      val vc = graft.Det.cents(col("value"))
+      var state = Streams.histogramPartials(e.limit(0), "event_type",
+        "ts", vc, 0L, 50000L, 25, -1L)
+      (0 to 2).foreach { i =>
+        state = Streams.mergeHistogramPartials(state,
+          e.filter(col("event_id") % 3 === i), "event_type", "ts", vc,
+          0L, 50000L, 25, i.toLong)
+      }
+      // replayed batch: REPLACES its own rows — a no-op by construction
+      state = Streams.mergeHistogramPartials(state,
+        e.filter(col("event_id") % 3 === 2), "event_type", "ts", vc,
+        0L, 50000L, 25, 2L)
+      Temporal.percentilesFromHistogram(
+          Streams.histogramFromPartials(state, "event_type")
+            .filter(col("day").between(
+              lit("2024-01-08").cast("timestamp"),
+              lit("2024-01-21").cast("timestamp"))),
+          entity = "event_type", percents = Seq(50, 90, 99),
+          loCents = 0L, hiCents = 50000L, nBuckets = 25)
+        .orderBy("event_type", "p")
+    }),
+
     "s23_importance_maintenance" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val tgt = col("lang") === "en"
@@ -631,6 +664,10 @@ object StreamQueries {
     // s23 must reproduce l29's one-shot weights from maintained stats.
     "s23_importance_maintenance" ->
       graft.queries.LlmQueries.oracles("l29_importance_weights"),
+
+    // s35 must reproduce t38's percentile index from maintained partials.
+    "s35_percentile_maintenance" ->
+      graft.queries.TemporalQueries.oracles("t38_percentile_index"),
 
     // s32 is q51's regression from maintained partials — same oracle.
     "s32_streaming_trend" ->

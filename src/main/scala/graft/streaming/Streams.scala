@@ -270,6 +270,48 @@ object Streams {
           ELSE -CAST(floor(1000000 * (-num) / den) AS BIGINT) END"""))
       .select("event_type", "n", "slope_e6")
 
+  /** S35 — streaming maintenance of the T38 mergeable percentile index:
+    * the per-(entity, day, bucket) histogram counts kept live as event
+    * batches land, so an arbitrary-range percentile query is always
+    * answerable without rescanning the stream. The day-bucket counts
+    * are ADDITIVE over disjoint event sets
+    * ([[graft.ops.Temporal.histogramDaily]] is one groupBy-count), so
+    * maintenance is the t09b partials pattern verbatim: each
+    * micro-batch's histogram stored as its OWN batch-id-stamped rows, a
+    * replay REPLACES them (delete-then-insert — additive counts would
+    * double on retry), and the read side re-aggregates partials before
+    * [[graft.ops.Temporal.percentilesFromHistogram]] walks the
+    * cumulative ranks. State is bounded by entities × days × (nb+2) ×
+    * batches and compacts to entities × days × (nb+2) whenever settled
+    * batches fold together — never by stream length. At 100 TB the
+    * partials table is bucketed on the entity and each merge shuffles
+    * only the (tiny) batch delta.
+    */
+  def histogramPartials(batch: DataFrame, entity: String, ts: String,
+      valueCents: org.apache.spark.sql.Column, loCents: Long,
+      hiCents: Long, nBuckets: Int, batchId: Long): DataFrame =
+    graft.ops.Temporal.histogramDaily(batch, entity, ts, valueCents,
+        loCents, hiCents, nBuckets)
+      .withColumn("batch_id", lit(batchId))
+
+  def mergeHistogramPartials(state: DataFrame, batch: DataFrame,
+      entity: String, ts: String,
+      valueCents: org.apache.spark.sql.Column, loCents: Long,
+      hiCents: Long, nBuckets: Int, batchId: Long): DataFrame =
+    state.filter(col("batch_id") =!= batchId)
+      .unionByName(histogramPartials(batch, entity, ts, valueCents,
+        loCents, hiCents, nBuckets, batchId))
+
+  /** Read side: maintained partials → the exact one-shot
+    * [[graft.ops.Temporal.histogramDaily]] table (sum of sums — the
+    * compaction and the query read are the same re-agg). Feed a
+    * day-range filter of this to percentilesFromHistogram and the
+    * answer equals the batch-built index's bit-for-bit.
+    */
+  def histogramFromPartials(state: DataFrame, entity: String): DataFrame =
+    state.groupBy(col(entity), col("day"), col("bucket"))
+      .agg(sum("n").as("n"))
+
   /** S27 — incremental connected components: fold one micro-batch of
     * edges into a maintained `(id, component)` label table — continuous
     * graph ingestion's core maintenance problem. The merge works on the

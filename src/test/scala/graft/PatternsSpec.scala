@@ -81,6 +81,176 @@ class PatternsSpec extends SparkSpecBase {
     }
   }
 
+  private def runWithin(df: org.apache.spark.sql.DataFrame,
+      pat: Seq[String], contiguous: Boolean,
+      within: Long): Map[Long, (Long, Long)] =
+    Patterns.matchCounts(df, "user_id", "ts", "event_id", "event_type",
+        pat, contiguous, withinUs = Some(within))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  /** Bounded subsequence reference: same greedy fold, anchor stamped on
+    * the 0→1 transition, hit counts iff span ≤ within. Timestamps are
+    * the evDF minute grid (event i at i minutes).
+    */
+  private def subseqCountWithin(syms: Seq[String], pat: Seq[String],
+      withinMin: Long): Long = {
+    var stage = 0; var cnt = 0L; var anchor = 0L
+    syms.zipWithIndex.foreach { case (sym, i) =>
+      if (sym == pat(stage)) {
+        if (stage == 0) anchor = i.toLong
+        stage += 1
+        if (stage == pat.length) {
+          if (i.toLong - anchor <= withinMin) cnt += 1
+          stage = 0
+        }
+      }
+    }
+    cnt
+  }
+
+  /** Bounded contiguous reference: leftmost non-overlapping occurrences
+    * via indexOf (independent of the KMP fold); each occupies |pat|
+    * CONSECUTIVE events so its span is |pat|−1 minutes — the bound
+    * either admits every match or none, which the test exploits.
+    */
+  private def contCountWithin(syms: Seq[String], pat: Seq[String],
+      withinMin: Long): Long = {
+    val s = syms.map(_.head).mkString
+    val p = pat.map(_.head).mkString
+    var from = 0; var cnt = 0L
+    var i = s.indexOf(p, from)
+    while (i >= 0) {
+      if ((p.length - 1).toLong <= withinMin) cnt += 1
+      from = i + p.length
+      i = s.indexOf(p, from)
+    }
+    cnt
+  }
+
+  test("withinUs gates counting only; None reproduces the unbounded fold") {
+    val rnd = new scala.util.Random(571)
+    val alphabet = Vector("a", "b", "c")
+    val cases = (1L to 80L).map { u =>
+      u -> Seq.fill(3 + rnd.nextInt(40))(alphabet(rnd.nextInt(3)))
+    }
+    val df = evDF(cases: _*)
+    for (pat <- Seq(Seq("a", "b"), Seq("a", "a", "b"), Seq("a", "b", "a"));
+        withinMin <- Seq(0L, 1L, 2L, 5L)) {
+      val sub = runWithin(df, pat, contiguous = false,
+        within = withinMin * 60000000L)
+      val cont = runWithin(df, pat, contiguous = true,
+        within = withinMin * 60000000L)
+      cases.foreach { case (u, syms) =>
+        assert(sub(u) ==
+          ((syms.length.toLong, subseqCountWithin(syms, pat, withinMin))),
+          s"subseq user $u pat $pat within $withinMin syms $syms")
+        assert(cont(u) ==
+          ((syms.length.toLong, contCountWithin(syms, pat, withinMin))),
+          s"cont user $u pat $pat within $withinMin syms $syms")
+      }
+    }
+    // a huge bound == unbounded, both modes
+    for (pat <- Seq(Seq("a", "b", "a"))) {
+      assert(runWithin(df, pat, contiguous = false, within = Long.MaxValue)
+        == run(df, pat, contiguous = false))
+      assert(runWithin(df, pat, contiguous = true, within = Long.MaxValue)
+        == run(df, pat, contiguous = true))
+    }
+  }
+
+  test("q57c: bound excludes the slow funnel, keeps the fast one") {
+    // user 1: v..c..v..p inside 3 minutes → counts at within=3min;
+    // user 2: same shape but the purchase lands 10 minutes after the
+    // anchor view → structural match, excluded by the bound
+    val df = evDF(
+      1L -> Seq("view", "click", "view", "purchase"),
+      2L -> Seq("view", "click", "view", "x", "x", "x", "x", "x", "x",
+        "x", "purchase"))
+    val got = runWithin(df, Seq("view", "click", "view", "purchase"),
+      contiguous = false, within = 3L * 60000000L)
+    assert(got == Map(1L -> ((4L, 1L)), 2L -> ((11L, 0L))))
+  }
+
+  // ---- quantified stages (q57d) ----
+
+  private def runQ(df: org.apache.spark.sql.DataFrame,
+      stages: Seq[(String, Int, Int)]): Map[Long, (Long, Long)] =
+    Patterns.quantifiedCounts(df, "user_id", "ts", "event_id",
+        "event_type", stages)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  /** Independent reference for `A B+ C`-class patterns via regex over
+    * the one-char symbol string: greedy intermediate / lazy final /
+    * naive restart over DISTINCT-adjacent symbols is exactly leftmost
+    * non-overlapping regex matching with a reluctant final quantifier.
+    */
+  private def regexCount(syms: Seq[String], re: String): Long =
+    re.r.findAllIn(syms.map(_.head).mkString).length.toLong
+
+  test("quantified: A B+ C greedy/lazy/restart semantics") {
+    // basic: a bb c = one match; clicks absorbed greedily
+    assert(runQ(evDF(1L -> Seq("a", "b", "b", "c")),
+      Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1)))
+      == Map(1L -> ((4L, 1L))))
+    // zero clicks = no match (min 1)
+    assert(runQ(evDF(1L -> Seq("a", "c")),
+      Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1)))
+      == Map(1L -> ((2L, 0L))))
+    // min 0 middle stage may be skipped entirely
+    assert(runQ(evDF(1L -> Seq("a", "c")),
+      Seq(("a", 1, 1), ("b", 0, Int.MaxValue), ("c", 1, 1)))
+      == Map(1L -> ((2L, 1L))))
+    // naive restart: a b a b c — the dead first attempt's trailing `a`
+    // re-anchors, so the second attempt still lands
+    assert(runQ(evDF(1L -> Seq("a", "b", "a", "b", "c")),
+      Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1)))
+      == Map(1L -> ((5L, 1L))))
+    // bounded max: a b b b c with b{1,2} — third b overflows, restart
+    // finds no second attempt
+    assert(runQ(evDF(1L -> Seq("a", "b", "b", "b", "c")),
+      Seq(("a", 1, 1), ("b", 1, 2), ("c", 1, 1)))
+      == Map(1L -> ((5L, 0L))))
+    // lazy final: with C{1,2} the match closes at the FIRST c; the
+    // second c cannot extend a closed match, and no new match starts
+    assert(runQ(evDF(1L -> Seq("a", "b", "c", "c")),
+      Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 2)))
+      == Map(1L -> ((4L, 1L))))
+    // non-overlapping: two back-to-back full runs both count
+    assert(runQ(evDF(1L -> Seq("a", "b", "c", "a", "b", "b", "c")),
+      Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1)))
+      == Map(1L -> ((7L, 2L))))
+  }
+
+  test("quantified == regex reference on random streams (80 cases)") {
+    val rnd = new scala.util.Random(5757)
+    val alphabet = Vector("a", "b", "c", "x")
+    val cases = (1L to 80L).map { u =>
+      u -> Seq.fill(3 + rnd.nextInt(40))(alphabet(rnd.nextInt(4)))
+    }
+    val df = evDF(cases: _*)
+    val got = runQ(df,
+      Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1)))
+    cases.foreach { case (u, syms) =>
+      assert(got(u) == ((syms.length.toLong, regexCount(syms, "ab+?c"))),
+        s"user $u syms $syms got ${got(u)} want ${regexCount(syms, "ab+?c")}")
+    }
+  }
+
+  test("q57c at withinUs=None == q57 on the fixture") {
+    val q57 = SparkEntry.queries("q57_pattern_funnel")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unbounded = Patterns.matchCounts(
+        graft.Tables.load(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "view", "purchase"), contiguous = false,
+        withinUs = None)
+      .filter(col("n_matches") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(unbounded == q57 && q57.nonEmpty)
+  }
+
   test("q57b contiguous machine == q42 replace trick on the fixture") {
     val q42 = SparkEntry.queries("q42_seq_pattern")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

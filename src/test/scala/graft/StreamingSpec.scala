@@ -1109,6 +1109,68 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("S35 percentile-index foreachBatch: == one-shot index, mid-stream reads, replay no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .limit(90).as[Ev].collect().toSeq
+    val vc = graft.Det.cents(col("value"))
+    val (lo, hi, nb) = (0L, 50000L, 25)
+
+    def oneShot(rows: Seq[Ev]) =
+      graft.ops.Temporal.histogramDaily(rows.toDF(), "event_type", "ts",
+          vc, lo, hi, nb)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1),
+          r.getLong(2), r.getLong(3))).toSet
+    def maintained(st: DataFrame) =
+      Streams.histogramFromPartials(st, "event_type")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1),
+          r.getLong(2), r.getLong(3))).toSet
+    def percentiles(hist: DataFrame) =
+      graft.ops.Temporal.percentilesFromHistogram(hist, "event_type",
+          Seq(50, 90, 99), lo, hi, nb)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+    val source = MemoryStream[Ev]
+    var state = Streams.histogramPartials(Seq.empty[Ev].toDF(),
+      "event_type", "ts", vc, lo, hi, nb, -1L)
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var lastBatch: Option[DataFrame] = None
+    var lastId = -1L
+    val q = source.toDS().toDF().writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        state = Streams.mergeHistogramPartials(state, batch, "event_type",
+          "ts", vc, lo, hi, nb, id).localCheckpoint()
+        lastBatch = Some(batch.localCheckpoint()); lastId = id
+      }
+      .outputMode(OutputMode.Append()).start()
+    val groups = evs.grouped(30).toSeq
+    try groups.zipWithIndex.foreach { case (g, _) =>
+      source.addData(g); q.processAllAvailable()
+      snapshots += state
+    } finally q.stop()
+
+    // final maintained partials == one-shot histogram over everything
+    assert(maintained(state) == oneShot(evs) && oneShot(evs).nonEmpty)
+    // the index answered a query MID-STREAM too: after 2 of 3 batches
+    // the maintained read path == the one-shot index over what had
+    // arrived by then (both the histogram and the percentile walk)
+    val mid = snapshots(1)
+    val midRows = groups.take(2).flatten
+    assert(maintained(mid) == oneShot(midRows))
+    assert(percentiles(Streams.histogramFromPartials(mid, "event_type"))
+      == percentiles(midRows.toDF()
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+            width_bucket(vc, lit(lo), lit(hi), lit(nb)).as("bucket"))
+          .agg(count(lit(1)).as("n"))))
+    // replaying the last micro-batch replaces its own partials — no-op
+    val replayed = Streams.mergeHistogramPartials(state, lastBatch.get,
+      "event_type", "ts", vc, lo, hi, nb, lastId)
+    assert(maintained(replayed) == oneShot(evs))
+  }
+
   test("S23 importance stats foreachBatch: == one-shot weights, replay no-op") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
