@@ -65,12 +65,22 @@ object Patterns {
     * ordered by (ts, tieBreak). Every entity with at least one event
     * appears (callers filter n_matches > 0 when they only want hits).
     *
-    * Q57c — `withinUs`: a time bound on the MATCH, the `WITHIN
-    * <duration>` every real funnel carries ("view→click→purchase within
-    * 7 days"). The structural machine is UNCHANGED — events advance
-    * stages and are consumed exactly as in the unbounded fold (so
-    * withinUs=None reproduces q57 bit-for-bit); the bound only gates
-    * whether a completed match COUNTS: it counts iff
+    * Q57c — `withinUs`: a time bound on the MATCH in the spirit of
+    * `WITHIN <duration>` ("view→click→purchase within 7 days") — with
+    * ONE deliberate semantic narrowing (ADVICE r12): the bound FILTERS
+    * the greedy machine's completed matches, anchored at the FIRST
+    * stage-0 symbol of each attempt. It does NOT re-try later anchors
+    * the way SQL MATCH_RECOGNIZE's WITHIN does, so a stream whose
+    * greedy anchor is stale but which contains a later bounded match
+    * (view@t0, view@t5m, click@t5m30s, within=1min) counts 0 here
+    * where a re-anchoring matcher counts 1 — greedy-anchor WITHIN can
+    * UNDERCOUNT vs MATCH_RECOGNIZE. The oracle replays exactly this
+    * greedy-anchor semantics bit-for-bit; callers who need re-anchoring
+    * parity need a per-anchor machine (O(|pattern|) parallel states),
+    * not this O(1) fold. The structural machine is UNCHANGED — events
+    * advance stages and are consumed exactly as in the unbounded fold
+    * (so withinUs=None reproduces q57 bit-for-bit); the bound only
+    * gates whether a completed match COUNTS: it counts iff
     * ts(last stage) − ts(first stage) ≤ withinUs. State cost: one
     * anchor timestamp (subsequence — stamped on the 0→1 transition) or
     * a |pattern|−1 ring of recent timestamps (contiguous — a completed
@@ -156,24 +166,47 @@ object Patterns {
     *    from the start state (naive restart — the KMP table does not
     *    generalize to quantified stages; PatternsSpec pins this
     *    restart, e.g. in-flight `view` after a dead funnel starts the
-    *    next attempt).
+    *    next attempt). The restart re-tries ONLY the single failing
+    *    event, so a first stage with min > 1 could miss matches a
+    *    backtracking matcher finds (stream a,a,a,b under (a,2,2),(b,1,1)
+    *    has a match starting at the SECOND a, which a one-event restart
+    *    never re-anchors to) — hence the `min == 1` anchor require
+    *    below (ADVICE r12).
+    *
+    * Q57e — `withinUs`: the same greedy-anchor WITHIN filter as
+    * [[matchCounts]] (see the q57c caveat there — it FILTERS completed
+    * matches against the anchor of the attempt that produced them and
+    * does not re-try later anchors, so it can undercount vs
+    * MATCH_RECOGNIZE's re-anchoring WITHIN). The anchor is the event
+    * that begins an attempt: the stage-0 consumption out of the reset
+    * state, including the naive-restart re-try (a re-anchoring `view`
+    * in the funnel instance restarts the clock, exactly what a live
+    * funnel wants). withinUs=None reproduces the unbounded fold
+    * bit-for-bit. Same state cost: one anchor long.
     *
     * Same 100 TB plan as matchCounts: one entity shuffle, linear scan,
     * O(#stages) state.
     */
   def quantifiedCounts(events: DataFrame, entity: String, ts: String,
       tieBreak: String, typeCol: String,
-      stages: Seq[(String, Int, Int)]): DataFrame = {
+      stages: Seq[(String, Int, Int)],
+      withinUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "empty stage list")
+    require(withinUs.forall(_ >= 0L), "negative withinUs")
     require(stages.forall { case (_, mn, mx) => mn >= 0 && mx >= 1 && mx >= mn },
       "each stage needs 0 <= min <= max, max >= 1")
-    require(stages.head._2 >= 1 && stages.last._2 >= 1,
-      "first and last stage need min >= 1 (else the match has no anchor)")
+    require(stages.last._2 >= 1,
+      "last stage needs min >= 1 (else the match has no final anchor)")
+    require(stages.head._2 == 1,
+      "first stage needs min == 1: the naive restart re-tries only the " +
+        "single failing event, so a multi-rep anchor stage would miss " +
+        "matches a backtracking matcher finds")
     require(stages.sliding(2).forall(w => w.length < 2 || w(0)._1 != w(1)._1),
       "adjacent stages must use distinct symbols")
     val spark = events.sparkSession
     import spark.implicits._
     val st = stages.toArray
+    val within = withinUs.getOrElse(Long.MaxValue)
     events.select(col(entity).cast("long").as("entity"),
         graft.Det.epochUs(col(ts)).as("ts_us"),
         col(tieBreak).cast("long").as("tie"),
@@ -189,15 +222,17 @@ object Patterns {
         var reps = 0
         var cnt = 0L
         var n = 0L
+        var anchor = 0L
         it.foreach { e =>
           if (!started) { started = true; cur = e.entity }
           else if (e.entity != cur) {
             out += PatCount(cur, n, cnt)
             cur = e.entity; stage = 0; reps = 0; cnt = 0L; n = 0L
           }
-          val (s2, r2, hit) = qstep(st, stage, reps, e.sym)
+          val (s2, r2, hit, anchored) = qstep(st, stage, reps, e.sym)
           stage = s2; reps = r2
-          if (hit) cnt += 1
+          if (anchored) anchor = e.ts_us
+          if (hit && e.ts_us - anchor <= within) cnt += 1
           n += 1
         }
         if (started) out += PatCount(cur, n, cnt)
@@ -206,12 +241,17 @@ object Patterns {
       .toDF()
   }
 
-  /** One quantified-machine step: returns (stage, reps, matchedNow).
+  /** One quantified-machine step: returns (stage, reps, matchedNow,
+    * anchoredNow) — anchoredNow = this event was consumed as the FIRST
+    * event of a fresh attempt (stage-0 consumption out of the reset
+    * state, directly or via the naive restart; with the head-stage
+    * `min == 1` require an attempt's first consumption is always at
+    * stage 0, so the flag is exactly "the WITHIN clock starts here").
     * Shared between the batch fold and any future streaming twin (the
     * sessionStep discipline).
     */
   private[ops] def qstep(st: Array[(String, Int, Int)], s0: Int, r0: Int,
-      sym: String): (Int, Int, Boolean) = {
+      sym: String): (Int, Int, Boolean, Boolean) = {
     // attempt: consume sym at stage s (reps r so far), advancing through
     // min-satisfied / min-0 stages; Nothing = this attempt dies.
     @annotation.tailrec
@@ -224,12 +264,13 @@ object Patterns {
       } else if (r >= sMin && s + 1 < st.length) attempt(s + 1, 0)
       else (-1, -1, false)
     }
+    val fresh = s0 == 0 && r0 == 0
     val a = attempt(s0, r0)
-    if (a._1 >= 0) a
-    else if (s0 == 0 && r0 == 0) (0, 0, false)
+    if (a._1 >= 0) (a._1, a._2, a._3, fresh)
+    else if (fresh) (0, 0, false, false)
     else { // naive restart: the failing event may begin the next attempt
       val b = attempt(0, 0)
-      if (b._1 >= 0) b else (0, 0, false)
+      if (b._1 >= 0) (b._1, b._2, b._3, true) else (0, 0, false, false)
     }
   }
 }

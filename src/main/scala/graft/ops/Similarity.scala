@@ -291,6 +291,17 @@ object Similarity {
     // the 100 TB design point the raw long product wraps silently while
     // the DuckDB replay widens to HUGEINT (ADVICE r11 — the q51/q52
     // discipline; xi² is safe at this scale but widened for symmetry).
+    // HEADROOM BOUND (ADVICE r12): the widening is exact only while the
+    // downstream tauDen²·dot·dot product stays under decimal(38,0)'s 38
+    // digits — i.e. |dot| must stay below ~1e18 for tauDen=10 (1e38/100
+    // square-rooted). DuckDB's HUGEINT holds ~1.7e38 and ERRORS on
+    // overflow while Spark's decimal NULLs silently (making `close`
+    // false), so past that bound the engines diverge rather than both
+    // failing loudly. With scale=1000, dims=64: |dot| <= 64·1000·|cn|,
+    // so clusters are safe up to ~1.5e13 members·avg|coord| — far past
+    // any real cluster, but a caller raising `scale` or dims must
+    // re-check. ToleranceSpec's adversarial-magnitude case pins the
+    // in-bounds side.
     val m = x.join(broadcast(c), Seq("label", "d"))
       .groupBy("vec_id", "label")
       .agg(sum(expr("CAST(xi AS DECIMAL(38,0)) * cn")).as("dot"),

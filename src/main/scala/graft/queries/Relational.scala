@@ -690,6 +690,28 @@ object Relational {
           col("n_matches"))
         .orderBy("user_id")),
 
+    // Q57e — quantified stages + WITHIN (q57d ∧ q57c): view click+
+    // purchase where the purchase lands ≤1 day after the anchoring
+    // view. The anchor is the attempt's first consumed event — a
+    // re-anchoring view RESTARTS the clock (the naive-restart re-try),
+    // exactly the live-funnel reading; same greedy-anchor undercount
+    // caveat as q57c vs MATCH_RECOGNIZE's re-anchoring WITHIN. On the
+    // fixture the bound genuinely discriminates (45 of q57d's 66 users
+    // retain a match; 60 of 93 matches survive). Oracle = q57d's
+    // hand-derived DFA replay + the anchor column (a view always
+    // stamps it) gating the count.
+    "q57e_pattern_quant_within" -> ((s, dir) =>
+      graft.ops.Patterns.quantifiedCounts(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          typeCol = "event_type",
+          stages = Seq(("view", 1, 1), ("click", 1, Int.MaxValue),
+            ("purchase", 1, 1)),
+          withinUs = Some(86400L * 1000000L))
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")),
+
     // Q43 — robust outliers via MAD (median absolute deviation): rows
     // whose |value − median| exceeds 3× the MAD of their event type —
     // the outlier gate that, unlike z-scores, a few extreme points
@@ -1783,6 +1805,35 @@ object Relational {
         |         ELSE 0 END,
         |    w.cnt + CASE WHEN w.q = 2 AND e.event_type = 'purchase'
         |                 THEN 1 ELSE 0 END
+        |  FROM walk w
+        |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1)
+        |SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,
+        |  CAST(w.cnt AS BIGINT) AS n_matches
+        |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
+        |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin,
+
+    // q57e: the q57d DFA replay plus the anchor column — a view always
+    // (re)anchors, so it always stamps; the count gate reads it at the
+    // purchase hit (86400000000 = 1 day in micros).
+    "q57e_pattern_quant_within" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |n AS (SELECT user_id, max(i) AS n FROM e GROUP BY 1),
+        |walk(user_id, i, q, cnt, anchor) AS (
+        |  SELECT user_id, 0, 0, 0, CAST(0 AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.i + 1,
+        |    CASE WHEN e.event_type = 'view' THEN 1
+        |         WHEN w.q >= 1 AND e.event_type = 'click' THEN 2
+        |         ELSE 0 END,
+        |    w.cnt + CASE WHEN w.q = 2 AND e.event_type = 'purchase'
+        |                  AND e.ts_us - w.anchor <= 86400000000
+        |                 THEN 1 ELSE 0 END,
+        |    CASE WHEN e.event_type = 'view' THEN e.ts_us
+        |         ELSE w.anchor END
         |  FROM walk w
         |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1)
         |SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,

@@ -238,6 +238,64 @@ class PatternsSpec extends SparkSpecBase {
     }
   }
 
+  // ---- quantified stages + WITHIN (q57e) ----
+
+  private def runQW(df: org.apache.spark.sql.DataFrame,
+      stages: Seq[(String, Int, Int)], within: Long): Map[Long, (Long, Long)] =
+    Patterns.quantifiedCounts(df, "user_id", "ts", "event_id",
+        "event_type", stages, withinUs = Some(within))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("quantified WITHIN: re-anchoring view restarts the clock; " +
+      "slow runs excluded; None == unbounded") {
+    val st = Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1))
+    // fast run (a b c in 2 minutes) counts at within=2min
+    assert(runQW(evDF(1L -> Seq("a", "b", "c")), st, 2L * 60000000L)
+      == Map(1L -> ((3L, 1L))))
+    // greedy clicks stretch the span past the bound → structural match,
+    // excluded (a b b b b c spans 5 minutes, bound 2)
+    assert(runQW(evDF(1L -> Seq("a", "b", "b", "b", "b", "c")), st,
+      2L * 60000000L) == Map(1L -> ((6L, 0L))))
+    // the naive-restart re-anchor RESTARTS the clock: a b a b c — the
+    // first attempt dies at minute 2's `a`, which anchors the second
+    // attempt; its span (minutes 2→4) fits a 2-minute bound even though
+    // the stream's full span (0→4) doesn't
+    assert(runQW(evDF(1L -> Seq("a", "b", "a", "b", "c")), st,
+      2L * 60000000L) == Map(1L -> ((5L, 1L))))
+    // huge bound == unbounded fold, on a random stream
+    val rnd = new scala.util.Random(575)
+    val cases = (1L to 40L).map { u =>
+      u -> Seq.fill(3 + rnd.nextInt(40))(
+        Vector("a", "b", "c", "x")(rnd.nextInt(4)))
+    }
+    val df = evDF(cases: _*)
+    assert(runQW(df, st, Long.MaxValue) == runQ(df, st))
+  }
+
+  test("quantified WITHIN == bounded regex reference on random streams (80 cases)") {
+    // the completing attempt's consumed events are CONSECUTIVE, so its
+    // anchor is the regex match start and the span is (end-1 − start)
+    // minutes on the evDF grid — bounded count = regex matches whose
+    // span fits the bound (leftmost non-overlapping, reluctant final)
+    val rnd = new scala.util.Random(57575)
+    val alphabet = Vector("a", "b", "c", "x")
+    val cases = (1L to 80L).map { u =>
+      u -> Seq.fill(3 + rnd.nextInt(40))(alphabet(rnd.nextInt(4)))
+    }
+    val df = evDF(cases: _*)
+    val st = Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1))
+    for (withinMin <- Seq(2L, 4L, 8L)) {
+      val got = runQW(df, st, withinMin * 60000000L)
+      cases.foreach { case (u, syms) =>
+        val want = "ab+?c".r.findAllMatchIn(syms.map(_.head).mkString)
+          .count(m => (m.end - 1 - m.start).toLong <= withinMin).toLong
+        assert(got(u) == ((syms.length.toLong, want)),
+          s"user $u within $withinMin syms $syms got ${got(u)} want $want")
+      }
+    }
+  }
+
   test("q57c at withinUs=None == q57 on the fixture") {
     val q57 = SparkEntry.queries("q57_pattern_funnel")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
