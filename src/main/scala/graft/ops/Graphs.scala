@@ -1357,6 +1357,159 @@ object Graphs {
     labels
   }
 
+  /** One WEIGHTED Louvain level over an edge-weighted quotient graph —
+    * the engine [[louvainTwoLevel]] runs on the contracted communities.
+    * Inputs: `verts (id)` — EVERY quotient vertex (a community whose
+    * edges are all internal has no row in `wpairs` and must not vanish),
+    * `wpairs (x < y, w)` — inter-vertex multiplicities, `selfLoops
+    * (id, sl)` — intra-community edge counts, and `mDf (m)` — the
+    * ORIGINAL graph's undirected edge count (contraction preserves total
+    * weight: Σw + Σsl = m, so modularity across levels shares one scale).
+    *
+    * Same synchronous gain algebra as [[louvainOneLevel]] with weighted
+    * terms: d_v = Σ incident w + 2·sl_v (a self-loop contributes twice
+    * to its vertex's degree), k_vC = Σ w(v→C) (v's self-loop moves with
+    * v and cancels in Δ — the 4m·(k_vB−k_vA) term never sees it):
+    *   Δ(4m²Q) = 4m·(k_vB − k_vA) − 2·d_v·(deg_B − deg_A + d_v)
+    * — the sl terms drop out of e_in deltas exactly as in the unweighted
+    * derivation, so the formula is unchanged; only k and deg gain
+    * weights. Tie-break (gain desc, community asc) and the decimal(38,0)
+    * widening are the louvainOneLevel discipline, which keeps the
+    * two-level composite hash-oracle-able against an unrolled DuckDB
+    * replay.
+    *
+    * One rule the unweighted level doesn't need: SWAP SUPPRESSION.
+    * Every quotient vertex starts as a singleton community, so two
+    * mutually-best neighbors generically pick EACH OTHER's community
+    * and a synchronous round swaps their labels instead of merging them
+    * (then swaps back — the fold oscillates with net-zero movement;
+    * observed on every fragment-pair quotient, where it silently turns
+    * level 2 into a no-op). The guard: a move A→B is blocked when
+    * A > B and some vertex is simultaneously moving B→A — the lower-id-
+    * source half of every reciprocal pair proceeds, so the pair MERGES
+    * (into the higher id: the survivor is the A→B move with A < B).
+    * Suppressing moves is always safe (the applied set is a subset of
+    * the gain-positive set) and the rule is deterministic, hence
+    * replayable in the oracle's al-CTE. Longer move cycles (A→B→C→A)
+    * are not suppressed — rounds are bounded, determinism is what
+    * matters. Plan shape per round is otherwise identical to
+    * louvainOneLevel: community-keyed degsum agg, one vertex-keyed
+    * edge×label join, broadcast m, argmax window, plus one
+    * (community-pair)-keyed self-join over the round's move list
+    * (≤ one row per vertex) for the guard — the quotient graph is
+    * SMALLER than the input (≤ one vertex per level-1 community), so
+    * each level-2 round costs strictly less than a level-1 round at any
+    * scale.
+    */
+  def louvainLevelWeighted(s: SparkSession, verts: DataFrame,
+      wpairs: DataFrame, selfLoops: DataFrame, mDf: DataFrame, rounds: Int)
+      : DataFrame = {
+    val p = wpairs.select("x", "y", "w").transform(Checkpoints.cut)
+    val e = p.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .unionAll(p.select(col("y").as("src"), col("x").as("dst"), col("w")))
+      .transform(Checkpoints.cut)
+    val wsum = e.groupBy(col("src").as("id")).agg(sum("w").as("wsum"))
+    val deg = verts.select("id")
+      .join(wsum, Seq("id"), "left_outer")
+      .join(selfLoops.select(col("id"), col("sl")), Seq("id"), "left_outer")
+      .select(col("id"), (coalesce(col("wsum"), lit(0L))
+        + lit(2L) * coalesce(col("sl"), lit(0L))).as("deg"))
+      .transform(Checkpoints.cut)
+    var labels = deg.select(col("id"), col("id").as("community"))
+    for (_ <- 1 to rounds) {
+      val degSum = labels.join(deg, "id").groupBy("community")
+        .agg(sum("deg").as("degsum"))
+      val kv = e.join(labels.select(col("id").as("dst"),
+          col("community").as("cand")), "dst")
+        .groupBy(col("src").as("id"), col("cand"))
+        .agg(sum("w").as("k"))
+        .transform(Checkpoints.cut) // read twice: candidates + k_vA lookup
+      val ka = kv.join(labels, "id")
+        .filter(col("cand") === col("community"))
+        .select(col("id"), col("k").as("k_a"))
+      val best = kv.join(labels, "id")
+        .filter(col("cand") =!= col("community"))
+        .join(deg, "id")
+        .join(degSum.withColumnRenamed("degsum", "degsum_a"), "community")
+        .join(degSum.select(col("community").as("cand"),
+          col("degsum").as("degsum_b")), "cand")
+        .join(ka, Seq("id"), "left_outer")
+        .crossJoin(broadcast(mDf))
+        .withColumn("gain", expr(
+          """4 * CAST(m AS DECIMAL(38,0)) * (k - coalesce(k_a, 0)) -
+            |2 * CAST(deg AS DECIMAL(38,0)) *
+            |  (degsum_b - degsum_a + deg)""".stripMargin))
+        .filter(col("gain") > 0)
+        .withColumn("__rn", row_number().over(Window.partitionBy("id")
+          .orderBy(col("gain").desc, col("cand").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("community").as("ca"), col("cand"))
+        .transform(Checkpoints.cut) // read twice: recip pairs + the guard
+      val movedPairs = best.select(col("ca"), col("cand").as("cb")).distinct()
+      val blocked = movedPairs
+        .join(movedPairs.select(col("ca").as("rb"), col("cb").as("ra")),
+          col("ca") === col("ra") && col("cb") === col("rb"))
+        .filter(col("ca") > col("cb"))
+        .select(col("ca"), col("cb"))
+      val applied = best.join(blocked,
+          best("ca") === blocked("ca") && best("cand") === blocked("cb"),
+          "left_anti")
+        .select(col("id"), col("cand"))
+      labels = labels.join(applied, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("cand"), col("community")).as("community"))
+        .transform(Checkpoints.cut)
+    }
+    labels
+  }
+
+  /** G40b — MULTI-LEVEL Louvain (two levels, the full algorithm's
+    * level-contract-repeat step): run [[louvainOneLevel]], CONTRACT its
+    * communities into a weighted quotient graph (groupBy on the
+    * community pair — inter-community multiplicities become edge
+    * weights, intra-community edges become self-loops), run
+    * [[louvainLevelWeighted]] on the quotient, and compose the label
+    * maps so every original vertex lands in its level-2 community.
+    * This is what separates a community DETECTOR from a community
+    * refiner: level 1 alone leaves adjacent micro-communities unmerged
+    * whenever no single vertex move bridges them, while the quotient
+    * move relocates a whole community at once (GraphOpsSpec pins a
+    * clique-chain where exactly that merge happens and Q strictly
+    * rises).
+    *
+    * m is passed through unchanged — contraction preserves total edge
+    * weight, so level-2 gains are denominated in the SAME 4m² modularity
+    * scale and Q comparisons across levels are exact-integer.
+    *
+    * Scale: the contraction is one groupBy over the edge list keyed by
+    * (community_x, community_y) after two vertex-keyed label joins — the
+    * LPA round shape, no new shuffle class; the quotient has ≤ one
+    * vertex per community, so level 2 runs on a graph typically orders
+    * of magnitude smaller than the input. At 100 TB the level-1 rounds
+    * dominate and the added level is ~free.
+    */
+  def louvainTwoLevel(s: SparkSession, pairs: DataFrame, rounds: Int)
+      : DataFrame = {
+    val p = pairs.select("x", "y").transform(Checkpoints.cut)
+    val l1 = louvainOneLevel(s, p, rounds).transform(Checkpoints.cut)
+    val mDf = p.agg(count(lit(1)).as("m"))
+    val tagged = p
+      .join(l1.select(col("id").as("x"), col("community").as("cx")), "x")
+      .join(l1.select(col("id").as("y"), col("community").as("cy")), "y")
+      .transform(Checkpoints.cut) // read twice: quotient edges + self-loops
+    val qp = tagged.filter(col("cx") =!= col("cy"))
+      .select(least(col("cx"), col("cy")).as("x"),
+        greatest(col("cx"), col("cy")).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+    val qsl = tagged.filter(col("cx") === col("cy"))
+      .groupBy(col("cx").as("id")).agg(count(lit(1)).as("sl"))
+    val qverts = l1.select(col("community").as("id")).distinct()
+    val l2 = louvainLevelWeighted(s, qverts, qp, qsl, mDf, rounds)
+    l1.join(l2.select(col("id").as("community"), col("community").as("c2")),
+        "community")
+      .select(col("id"), col("c2").as("community"))
+  }
+
   /** G27 — local clustering coefficient per vertex over canonical
     * `(x < y)` pairs: `coeff_e6 = 10^6 · n_triangles div n_wedges` with
     * `n_wedges = deg·(deg−1)/2` — all integer, so the per-vertex

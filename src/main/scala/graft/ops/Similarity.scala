@@ -302,6 +302,13 @@ object Similarity {
     // any real cluster, but a caller raising `scale` or dims must
     // re-check. ToleranceSpec's adversarial-magnitude case pins the
     // in-bounds side.
+    // Sharper in-envelope guarantee (r13): whenever BOTH decision
+    // products fit decimal(38,0) (tauDen²·dot² and tauNum²·nx·nc under
+    // 1e38), Cauchy–Schwarz bounds every xi·cn term AND partial sum by
+    // Σ_d|xi_d||cn_d| ≤ √(nx·nc) ≤ √(1.1e37) < 3.4e18 < 2^63 — inside
+    // the valid envelope the unwidened long sum could not have wrapped;
+    // the widening buys deterministic behavior (NULL, not garbage) for
+    // out-of-envelope callers rather than in-envelope correctness.
     val m = x.join(broadcast(c), Seq("label", "d"))
       .groupBy("vec_id", "label")
       .agg(sum(expr("CAST(xi AS DECIMAL(38,0)) * cn")).as("dot"),
@@ -317,6 +324,70 @@ object Similarity {
     scored.join(broadcast(keepId), Seq("label"), "left_outer")
       .select(col("vec_id"), col("label"), col("close"),
         (!col("close") || col("vec_id") === col("keep_id")).as("keep"))
+  }
+
+  /** L48b — deterministic EXACT-INTEGER Lloyd k-means assignment, the
+    * clustering front half SemDeDup needs when no label column exists.
+    * Unlike [[kmeansCentroids]] (seeded mllib — engine-private float
+    * iterations, tolerance-gated only), every step here is integer
+    * arithmetic both engines compute bit-identically, so the WHOLE
+    * l48b pipeline (cluster → centroid → cosine gate → keep) is one
+    * hash-matched query against an unrolled DuckDB replay:
+    *
+    *   - quantize: xi = round(coord·scale) — the [[semanticDedupKeep]]
+    *     discipline, shared scale.
+    *   - seed: the k smallest vec_ids' quantized vectors become
+    *     centroids 0..k−1 (data-derived and replayable — no RNG).
+    *   - iterate `iters`×: assign each vector to the centroid minimizing
+    *     the integer squared L2 distance Σ(xi−c)² (tie → min cid), then
+    *     re-quantize each centroid as the member-wise floor mean
+    *     `sum(xi) div n` (both engines truncate integer division toward
+    *     zero, so the re-quantized centroids agree exactly). A cluster
+    *     that loses all members drops out of the candidate set — the
+    *     remaining assignments stay total and deterministic.
+    *   - final label = assignment against the last centroids.
+    *
+    * Overflow bound: per-dim (xi−c)² ≤ (2·scale·max|coord|)², summed
+    * over dims — with scale=1000, dims=64, |coord|≤2 that is ~1e9, nine
+    * orders under 2^63; a caller raising scale past ~1e7 must re-check.
+    *
+    * Scale shape: the per-iteration cost is one broadcast join of the
+    * k×dims centroid table against the exploded vectors (n·dims·k rows
+    * pre-aggregation, map-side combined into n·k distance rows) plus a
+    * vec-keyed argmin window and a (cid,d)-keyed mean — linear in
+    * n·dims·k with no pairwise term, exactly how an IVF coarse
+    * quantizer trains at 100 TB. Lloyd quality vs mllib's float k-means
+    * is gated in ToleranceSpec (planted-blob recovery).
+    */
+  def kmeansExactAssign(vecs: DataFrame, k: Int, iters: Int,
+      scale: Long = 1000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val x = vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "e")))
+      .select(col("vec_id"), col("d"),
+        expr(s"CAST(round(CAST(e AS DOUBLE) * $scale) AS BIGINT)").as("xi"))
+      .transform(Checkpoints.cut) // read 2·iters+1 times across the loop
+    val seeds = vecs.select("vec_id").orderBy("vec_id").limit(k)
+      .withColumn("cid",
+        row_number().over(w.orderBy("vec_id")).cast("long") - 1L)
+    def assignTo(c: DataFrame): DataFrame =
+      x.join(broadcast(c), "d")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("xi") - col("c")) * (col("xi") - col("c")))
+          .as("dist"))
+        .withColumn("__rn", row_number().over(w.partitionBy("vec_id")
+          .orderBy(col("dist").asc, col("cid").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    var c = x.join(seeds, "vec_id")
+      .select(col("cid"), col("d"), col("xi").as("c"))
+      .transform(Checkpoints.cut)
+    for (_ <- 1 to iters) {
+      c = assignTo(c).join(x, "vec_id").groupBy("cid", "d")
+        .agg(expr("sum(xi) div count(1)").as("c"))
+        .transform(Checkpoints.cut)
+    }
+    assignTo(c).select(col("vec_id"), col("cid").as("label"))
   }
 
   /** IVF coarse quantizer: k-means (mllib, seeded) over L2-normalized

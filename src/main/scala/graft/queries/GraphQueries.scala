@@ -706,6 +706,20 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G40b — MULTI-LEVEL Louvain (NEW r13): g40's level-1 communities
+    // are contracted into a weighted quotient graph (inter-community
+    // multiplicities = edge weights, intra-community edges = self-loops
+    // carrying 2× into quotient degrees) and a second weighted level
+    // runs on it; original vertices are relabeled through the composed
+    // map. Deterministic end to end, so the two-level composite is
+    // hash-checked against a fully unrolled DuckDB replay (level-1
+    // rounds + contraction + weighted rounds). The whole-community
+    // merge that level 2 alone can perform is pinned in GraphOpsSpec.
+    "g40b_louvain_multilevel" -> ((s, dir) => {
+      Graphs.louvainTwoLevel(s, Graphs.copartPairs(s, dir), rounds = 2)
+        .orderBy("id")
+    }),
+
     // G29 — reciprocity of the DIRECTED part-flow graph (the g23 SCC
     // substrate): of all distinct directed edges, how many have their
     // reverse present — exact integer (n_edges, n_reciprocal) with the
@@ -834,6 +848,14 @@ object GraphQueries {
     * and (gain desc, community asc) argmax the engine computes. k_vA is
     * a self-join of the per-(vertex, community) neighbor counts.
     */
+  /** Force-materialize the named CTEs of an oracle fragment (DuckDB
+    * inlines CTEs by default, so a CTE referenced k times re-expands its
+    * whole subtree k-fold — g40b references lv2 four times and each lv2
+    * expansion re-expands both level-1 rounds, which exploded parquet
+    * file handles past the 20k fd limit before materialization). */
+  private def mat(cte: String, names: String*): String =
+    names.foldLeft(cte)((c, n) => c.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
+
   private def louvainRoundCte(i: Int): String = {
     val prev = s"lv${i - 1}"
     s"""ds$i AS (SELECT community, sum(deg) AS degsum
@@ -860,6 +882,45 @@ object GraphQueries {
        |  FROM $prev l LEFT JOIN b$i b USING (id))""".stripMargin
   }
 
+  /** One unrolled WEIGHTED Louvain round on the contracted quotient
+    * (g40b's oracle, level 2): wl{i-1} -> wl{i} with k = Σ edge weight
+    * and deg from `qdeg` (self-loops already folded in at 2×) — the
+    * same gain/tie-break algebra as [[louvainRoundCte]], independently
+    * restated over the quotient relations rather than ported from the
+    * Scala fold. The al-CTE replays the swap-suppression guard
+    * ([[Graphs.louvainLevelWeighted]]): a best move ca→cb is dropped
+    * when ca > cb and a reciprocal cb→ca best move exists this round.
+    */
+  private def louvainWeightedRoundCte(i: Int): String = {
+    val prev = s"wl${i - 1}"
+    s"""wds$i AS (SELECT community, sum(deg) AS degsum
+       |  FROM $prev JOIN qdeg USING (id) GROUP BY 1),
+       |wkv$i AS (SELECT qe.src AS id, l.community AS cand, sum(qe.w) AS k
+       |  FROM qe JOIN $prev l ON l.id = qe.dst GROUP BY 1, 2),
+       |wg$i AS (SELECT kv.id, l.community AS ca, kv.cand,
+       |    4 * CAST(mm.m AS HUGEINT) * (kv.k - coalesce(ka.k, 0)) -
+       |    2 * CAST(d.deg AS HUGEINT) *
+       |      (dsb.degsum - dsa.degsum + d.deg) AS gain
+       |  FROM wkv$i kv
+       |  JOIN $prev l ON l.id = kv.id
+       |  JOIN qdeg d ON d.id = kv.id
+       |  JOIN wds$i dsa ON dsa.community = l.community
+       |  JOIN wds$i dsb ON dsb.community = kv.cand
+       |  LEFT JOIN wkv$i ka ON ka.id = kv.id AND ka.cand = l.community
+       |  CROSS JOIN mm
+       |  WHERE kv.cand <> l.community),
+       |wb$i AS (SELECT id, ca, cand FROM (
+       |  SELECT id, ca, cand, row_number() OVER (PARTITION BY id
+       |    ORDER BY gain DESC, cand ASC) AS rn
+       |  FROM wg$i WHERE gain > 0) WHERE rn = 1),
+       |mp$i AS (SELECT DISTINCT ca, cand AS cb FROM wb$i),
+       |al$i AS (SELECT id, cand FROM wb$i m
+       |  WHERE NOT (m.ca > m.cand AND EXISTS (SELECT 1 FROM mp$i r
+       |    WHERE r.ca = m.cand AND r.cb = m.ca))),
+       |wl$i AS (SELECT l.id, coalesce(b.cand, l.community) AS community
+       |  FROM $prev l LEFT JOIN al$i b USING (id))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "g40_louvain" ->
       s"""WITH $copartCte,
@@ -869,6 +930,36 @@ object GraphQueries {
         |${louvainRoundCte(1)},
         |${louvainRoundCte(2)}
         |SELECT id, community FROM lv2 ORDER BY id""".stripMargin,
+
+    "g40b_louvain_multilevel" ->
+      s"""WITH ${mat(copartCte, "pairs", "e")},
+        |deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+        |mm AS (SELECT count(*) AS m FROM pairs),
+        |${mat("lv0 AS (SELECT id, id AS community FROM deg)", "lv0")},
+        |${mat(louvainRoundCte(1), "kv1", "lv1")},
+        |${mat(louvainRoundCte(2), "kv2", "lv2")},
+        |qp AS (SELECT least(a.community, b.community) AS x,
+        |    greatest(a.community, b.community) AS y, count(*) AS w
+        |  FROM pairs p JOIN lv2 a ON a.id = p.x JOIN lv2 b ON b.id = p.y
+        |  WHERE a.community <> b.community GROUP BY 1, 2),
+        |qsl AS (SELECT a.community AS id, count(*) AS sl
+        |  FROM pairs p JOIN lv2 a ON a.id = p.x JOIN lv2 b ON b.id = p.y
+        |  WHERE a.community = b.community GROUP BY 1),
+        |qe AS MATERIALIZED (SELECT x AS src, y AS dst, w FROM qp
+        |       UNION ALL SELECT y, x, w FROM qp),
+        |qverts AS (SELECT DISTINCT community AS id FROM lv2),
+        |qdeg AS MATERIALIZED (
+        |  SELECT v.id, coalesce(s.wsum, 0) + 2 * coalesce(l.sl, 0)
+        |    AS deg
+        |  FROM qverts v
+        |  LEFT JOIN (SELECT src AS id, sum(w) AS wsum FROM qe GROUP BY 1) s
+        |    USING (id)
+        |  LEFT JOIN qsl l USING (id)),
+        |${mat("wl0 AS (SELECT id, id AS community FROM qdeg)", "wl0")},
+        |${mat(louvainWeightedRoundCte(1), "wkv1", "wb1", "wl1")},
+        |${mat(louvainWeightedRoundCte(2), "wkv2", "wb2", "wl2")}
+        |SELECT l.id, w.community FROM lv2 l
+        |JOIN wl2 w ON w.id = l.community ORDER BY l.id""".stripMargin,
 
     "g01_graph_build" ->
       """SELECT kind, n FROM (

@@ -323,6 +323,24 @@ object LlmQueries {
         .select("vec_id", "label", "close", "keep")
         .orderBy("vec_id")),
 
+    // L48b — SemDeDup with the clustering DERIVED, not read (NEW r13):
+    // the fixture's label column is replaced by a deterministic
+    // exact-integer Lloyd k-means (k=8, 2 iterations, min-id seeds —
+    // Similarity.kmeansExactAssign), then the same integer cosine gate
+    // and min-id keep as l48. Because the clustering itself is integer
+    // arithmetic, the ENTIRE pipeline — cluster assignment included —
+    // hash-matches an unrolled DuckDB Lloyd replay; this is the full
+    // SemDeDup shape (embed → cluster → per-cluster centroid dedup)
+    // with no engine-private state anywhere.
+    "l48b_semantic_dedup_kmeans" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      val lab = Similarity.kmeansExactAssign(v, k = 8, iters = 2)
+      Similarity.semanticDedupKeep(
+          v.select("vec_id", "embedding").join(lab, "vec_id"))
+        .select("vec_id", "label", "close", "keep")
+        .orderBy("vec_id")
+    }),
+
     // L43 — the PIPELINE MANIFEST: the whole curation funnel as one
     // attrition table — every doc pushed through language gate (l04c's
     // n-gram guesser, keep 'en'), quality gate (l19's Gopher flags),
@@ -1314,12 +1332,16 @@ object LlmQueries {
     * cosine threshold in HUGEINT → min-id keep. generate_subscripts is
     * 1-based vs posexplode's 0-based `d` — both internal join keys only.
     */
-  private val semCte: String =
-    """semx AS (SELECT vec_id, label,
+  /** The l48 semantic-keep oracle chain over any labeled-embedding
+    * source relation (must expose vec_id, label, embedding) — l48 reads
+    * the fixture table directly, l48b feeds the k-means-derived labels.
+    */
+  private def semCteFrom(src: String): String =
+    s"""semx AS (SELECT vec_id, label,
       |    CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) AS xi, d
       |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
       |          generate_subscripts(embedding, 1) AS d
-      |        FROM embeddings)),
+      |        FROM $src)),
       |semc AS (SELECT label, d, sum(xi) AS cn FROM semx GROUP BY 1, 2),
       |semnc AS (SELECT label, sum(CAST(cn AS HUGEINT) * cn) AS nc
       |          FROM semc GROUP BY 1),
@@ -1337,6 +1359,47 @@ object LlmQueries {
       |semkeep AS (SELECT s.vec_id, s.label, s.close,
       |    (NOT s.close OR s.vec_id = k.keep_id) AS keep
       |  FROM semsc s LEFT JOIN semk k ON k.label = s.label)""".stripMargin
+
+  private val semCte: String = semCteFrom("embeddings")
+
+  /** Unrolled exact-integer Lloyd replay (l48b's oracle, mirror of
+    * [[graft.ops.Similarity.kmeansExactAssign]] with k=8, iters=2,
+    * scale=1000): kx = quantized coords, ks/kc0 = min-id seed
+    * centroids, then per iteration a distance agg + per-vector argmin
+    * (kd/ka) and a floor-mean centroid rebuild (kc — DuckDB `//` and
+    * Spark `div` both truncate toward zero). ka/kc are MATERIALIZED:
+    * each is referenced downstream and DuckDB re-expands plain CTEs per
+    * reference. */
+  private val kmeansCte: String = {
+    def assign(i: Int, cPrev: String): String =
+      s"""kd$i AS (SELECT x.vec_id, c.cid,
+         |    sum((x.xi - c.c) * (x.xi - c.c)) AS dist
+         |  FROM kx x JOIN $cPrev c ON c.d = x.d GROUP BY 1, 2),
+         |ka$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, cid ASC) AS rn FROM kd$i) WHERE rn = 1)"""
+        .stripMargin
+    def update(i: Int): String =
+      s"""kc$i AS MATERIALIZED (SELECT a.cid, x.d,
+         |    sum(x.xi) // count(*) AS c
+         |  FROM ka$i a JOIN kx x USING (vec_id) GROUP BY 1, 2)"""
+        .stripMargin
+    s"""kx AS MATERIALIZED (SELECT vec_id, d,
+       |    CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT) AS xi
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS d
+       |        FROM embeddings)),
+       |ks AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
+       |    AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |kc0 AS MATERIALIZED (SELECT s.cid, x.d, x.xi AS c
+       |  FROM ks s JOIN kx x USING (vec_id)),
+       |${assign(1, "kc0")},
+       |${update(1)},
+       |${assign(2, "kc1")},
+       |${update(2)},
+       |${assign(3, "kc2")}""".stripMargin
+  }
 
   // shared by l10 and l10b: the bloom pass returns the identical result
   // (the prefilter is conservative, the exact re-check removes its false
@@ -1807,6 +1870,16 @@ object LlmQueries {
 
     "l48_semantic_dedup" ->
       s"""WITH $semCte
+        |SELECT vec_id, label, close, keep FROM semkeep
+        |ORDER BY vec_id""".stripMargin,
+
+    // l48b: the Lloyd replay feeds the same semantic-keep chain — the
+    // labeled source is the k-means assignment joined back to the
+    // embeddings instead of the fixture's label column.
+    "l48b_semantic_dedup_kmeans" ->
+      s"""WITH $kmeansCte,
+        |${semCteFrom("(SELECT e.vec_id, a.cid AS label, e.embedding" +
+          " FROM embeddings e JOIN ka3 a USING (vec_id))")}
         |SELECT vec_id, label, close, keep FROM semkeep
         |ORDER BY vec_id""".stripMargin,
 

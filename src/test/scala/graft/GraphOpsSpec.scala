@@ -930,6 +930,55 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(groups == Set(Set(1L, 2L, 3L, 4L), Set(5L, 6L, 7L, 8L)))
   }
 
+  test("louvainTwoLevel: level 2 merges level-1 fragments; Q strictly rises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    def q(pairs: org.apache.spark.sql.DataFrame,
+        labels: org.apache.spark.sql.DataFrame): Long =
+      Graphs.modularity(pairs,
+          labels.select(col("id"), col("community").as("label")))
+        .agg(fsum("q_num")).head().getLong(0)
+    // Two triangles {1,2,3} {4,5,6} bridged by 3-4, plus a distant K8
+    // ballast {11..18} that raises m to 35 so merging two level-1
+    // fragments is modularity-positive. Level 1 (2 synchronous rounds)
+    // leaves each triangle SPLIT ({1,3}+{2}, {4,5}+{6} — the bridge
+    // asymmetry stalls the round-2 collapse that the planted-K4 fixture
+    // enjoys); no single vertex move can heal it. Level 2 relocates the
+    // whole fragment at once: the quotient's singleton communities are
+    // mutually-best pairs, the swap-suppression guard turns the would-be
+    // label swap into a merge, and both triangles reassemble —
+    // Q 1006 -> 1526 (4m²-scale, m=35), strictly up.
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val k8 = for { x <- 11L to 18L; y <- x + 1 to 18L } yield (x, y)
+    val pairs = (tri ++ k8).toDF("x", "y")
+    val l1 = Graphs.louvainOneLevel(spark, pairs, rounds = 2)
+    val l2 = Graphs.louvainTwoLevel(spark, pairs, rounds = 2)
+    assert(q(pairs, l1) == 1006L && q(pairs, l2) == 1526L)
+    val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = m2.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups == Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L),
+      (11L to 18L).toSet))
+    // COARSENING invariant: every level-1 community lands whole inside
+    // one level-2 community (level 2 moves communities, never splits)
+    val m1 = l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m1.groupBy(_._2).values.foreach { member =>
+      assert(member.keys.map(m2).toSet.size == 1)
+    }
+    // Already-optimal level-1 partitions pass through UNCHANGED: on the
+    // planted-K4 fixture (+K9 ballast) level 2 finds no positive move.
+    val k4s = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L),
+      (7L, 8L), (4L, 5L))
+    val k9 = for { x <- 11L to 19L; y <- x + 1 to 19L } yield (x, y)
+    val pk = (k4s ++ k9).toDF("x", "y")
+    val a1 = Graphs.louvainOneLevel(spark, pk, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val a2 = Graphs.louvainTwoLevel(spark, pk, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(a1 == a2)
+  }
+
   test("linkPrediction == brute-force CN/RA oracle; adjacent pairs excluded") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)

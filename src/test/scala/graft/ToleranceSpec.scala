@@ -123,6 +123,90 @@ class ToleranceSpec extends SparkSpecBase {
     assert(got.values.exists(v => v._2 && !v._3)) // some drops happen
   }
 
+  test("l48 decision layer at adversarial magnitudes: exact vs BigInt reference beyond double precision") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // Magnitudes pushed to the envelope's edge: scale=1e6 quantizes
+    // coord 400 to xi=4e8; a 3-member aligned cluster gives cn=1.2e9
+    // per dim, so dot = 9.6e17 and 100·dot² = 9.2e37 — one digit under
+    // decimal(38,0)'s cap, and every product far beyond double's 2^53
+    // (a float pipeline would round; BigInt is the truth). NOTE the
+    // r11 "xi·cn wraps int64" scenario is IMPOSSIBLE inside the valid
+    // envelope: whenever 100·dot² and 9·nx·nc both fit in 38 digits,
+    // Cauchy–Schwarz bounds every xi·cn term and partial sum by
+    // √(nx·nc) ≤ √(1.1e37) < 3.4e18 < 2^63 — the decimal widening is
+    // safety margin for out-of-envelope callers, not in-envelope
+    // correctness (see semanticDedupKeep's headroom scaladoc).
+    val vecsIn = Seq(
+      (1L, Array(400f, 400f), 7L),
+      (2L, Array(400f, 400f), 7L),
+      (3L, Array(400f, 400f), 7L),
+      (4L, Array(0f, -400f), 7L), // points away: dot < 0
+      (5L, Array(-400f, -400f), 7L) // anti-aligned: dot < 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedupKeep(vecsIn, scale = 1000000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    // BigInt reference of the exact comparison (tau = 3/10)
+    val xi = Map(1L -> Seq(BigInt(400000000L), BigInt(400000000L)),
+      2L -> Seq(BigInt(400000000L), BigInt(400000000L)),
+      3L -> Seq(BigInt(400000000L), BigInt(400000000L)),
+      4L -> Seq(BigInt(0L), BigInt(-400000000L)),
+      5L -> Seq(BigInt(-400000000L), BigInt(-400000000L)))
+    val cn = Seq(0, 1).map(d => xi.values.map(_(d)).sum)
+    val nc = cn.map(c => c * c).sum
+    val close = xi.map { case (id, v) =>
+      val dot = v.zip(cn).map { case (a, b) => a * b }.sum
+      val nx = v.map(a => a * a).sum
+      id -> (dot > 0 && dot * dot * 100 > nx * nc * 9)
+    }
+    val keepId = close.collect { case (id, true) => id }.min
+    val expect = close.map { case (id, c) =>
+      id -> ((c, !c || id == keepId))
+    }
+    // magnitude sanity: the decision runs beyond double-exact range,
+    // inside the decimal envelope, and both sides of the cluster exist
+    val dot1 = xi(1L).zip(cn).map { case (a, b) => a * b }.sum
+    assert(dot1 > BigInt(2).pow(53) &&
+      dot1 * dot1 * 100 < BigInt(10).pow(38))
+    assert(close.values.exists(identity) && close.values.exists(!_))
+    assert(got == expect)
+  }
+
+  test("l48b kmeansExactAssign: planted blobs recovered, deterministic, empty clusters tolerated") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(7)
+    // three planted blobs at (10,0,0,0)/(0,10,0,0)/(0,0,10,0), jitter
+    // ±0.3; ids interleaved (id % 3 picks the blob) so the k min-id
+    // seeds land one per blob and two Lloyd iterations converge
+    val centers = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f))
+    val data = (1L to 30L).map { id =>
+      val c = centers(((id - 1) % 3).toInt)
+      (id, c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.6f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansExactAssign(data, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 30)
+    // exact blob recovery: members of one blob share a label, blobs
+    // have distinct labels
+    val byBlob = got.groupBy { case (id, _) => (id - 1) % 3 }
+      .map { case (b, m) => b -> m.values.toSet }
+    assert(byBlob.values.forall(_.size == 1) &&
+      byBlob.values.flatten.toSet.size == 3)
+    // deterministic: a second run is bit-identical
+    val again = Similarity.kmeansExactAssign(data, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // k beyond the planted structure: assignments stay total and
+    // deterministic even as surplus clusters empty out
+    val wide = Similarity.kmeansExactAssign(data, k = 5, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide.size == 30 && wide.values.toSet.size >= 3)
+  }
+
   test("q27b stratified sample: per-stratum rates, exact 1.0 stratum, seeded") {
     val fractions = Map("click" -> 0.2, "view" -> 0.1, "purchase" -> 0.05,
       "error" -> 0.5, "signup" -> 1.0)
