@@ -173,6 +173,7 @@ object Bench {
     val skewTotal = results.map(_._3).sum
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$raw,"failed":$failed,"sf":"$sfDir","aqe":$aqeOn,"skew_joins":$skewTotal}"""
     println(line)
+    System.err.println(line) // r13: both streams — the driver may tail either
     // The same object as a FILE: the stdout line is buried in sbt's log
     // tail, so the driver's `parsed` field stayed null through r10
     // (VERDICT r10 "wrong" #1). bench_last.json in the repo root is the
@@ -182,6 +183,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}") }
     spark.stop()
+    // Re-emit AFTER spark.stop(): shutdown logging can land on stdout
+    // between the first print and process exit, so the last stdout line
+    // (the likeliest thing a parser reads) is the JSON itself.
+    println(line)
+    Console.out.flush()
     // a visible nonzero exit when any headline query failed (ADVICE r9:
     // rc 0 + missing metrics read as a clean run downstream)
     if (results.exists(_._2 < 0)) sys.exit(3)

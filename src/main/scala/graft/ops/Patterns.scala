@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Q57 — parameterized sequence-pattern matching over event streams, the
   * MATCH_RECOGNIZE-lite surface q42's fixed view→click→purchase motif
@@ -121,28 +122,107 @@ object Patterns {
             out += PatCount(cur, n, cnt)
             cur = e.entity; stage = 0; cnt = 0L; n = 0L
           }
-          // run-start bookkeeping — read by the counting gate only; the
-          // structural step below never sees it. A contiguous hit at
-          // per-entity index n spans events [n-span, n], whose start ts
-          // sits at ring(n % span) (written span events ago, same
-          // entity because a hit needs ≥ span prior events).
-          val runStart =
-            if (span == 0) e.ts_us
-            else if (contiguous) ring((n % span).toInt)
-            else {
-              if (stage == 0 && e.sym == pat(0)) anchor = e.ts_us
-              anchor
-            }
-          val (s2, hit) = step(pat, fail, contiguous, stage, e.sym)
-          stage = s2
-          if (hit && e.ts_us - runStart <= within) cnt += 1
-          if (span > 0) ring((n % span).toInt) = e.ts_us
-          n += 1
+          val r = boundedStep(pat, fail, contiguous, within, span,
+            stage, n, cnt, anchor, ring, e.ts_us, e.sym)
+          stage = r._1; n = r._2; cnt = r._3; anchor = r._4
         }
         if (started) out += PatCount(cur, n, cnt)
         out.iterator
       }
       .toDF()
+  }
+
+  /** The COMPLETE per-event transition both twins share (the sessionStep
+    * discipline one level up from [[step]]): structural machine step +
+    * WITHIN bookkeeping (anchor stamp / contiguous run-start ring) +
+    * counting gate, so the batch fold and the streaming twin cannot
+    * diverge even in the bookkeeping. Mutates `ring` in place (the
+    * caller owns it — the batch fold reuses one array per task, the
+    * streaming twin clones state-in and stores state-out); returns
+    * (stage, n, cnt, anchor).
+    *
+    * Run-start bookkeeping — read by the counting gate only; the
+    * structural step never sees it. A contiguous hit at per-entity
+    * index n spans events [n−span, n], whose start ts sits at
+    * ring(n % span) (written span events ago, same entity because a
+    * hit needs ≥ span prior events).
+    */
+  private[graft] def boundedStep(pat: Array[String], fail: Array[Int],
+      contiguous: Boolean, within: Long, span: Int,
+      stage0: Int, n0: Long, cnt0: Long, anchor0: Long, ring: Array[Long],
+      tsUs: Long, sym: String): (Int, Long, Long, Long) = {
+    var anchor = anchor0
+    val runStart =
+      if (span == 0) tsUs
+      else if (contiguous) ring((n0 % span).toInt)
+      else {
+        if (stage0 == 0 && sym == pat(0)) anchor = tsUs
+        anchor
+      }
+    val (s2, hit) = step(pat, fail, contiguous, stage0, sym)
+    val cnt = if (hit && tsUs - runStart <= within) cnt0 + 1L else cnt0
+    if (span > 0) ring((n0 % span).toInt) = tsUs
+    (s2, n0 + 1L, cnt, anchor)
+  }
+
+  /** Cross-batch streaming state: the machine's full O(1) residue —
+    * stage, per-entity event index, running match count, WITHIN anchor,
+    * and the |pattern|−1 run-start ring.
+    */
+  case class PatState(stage: Int, n: Long, cnt: Long, anchor: Long,
+      ring: Array[Long])
+
+  /** S36 — STREAMING pattern matching: live funnel counting, the
+    * continuous form of [[matchCounts]]. Per entity the machine's O(1)
+    * residue (stage, n, cnt, anchor, run-start ring) persists across
+    * micro-batches in GroupState; each batch folds its slice in
+    * (ts, tie) order through the SAME [[boundedStep]] as the batch
+    * fold and emits one running (entity, n_events, n_matches) snapshot
+    * row — Update-style semantics over an Append channel (each
+    * emission supersedes the entity's previous row; the final emission
+    * equals the batch fold exactly, which is what StreamingSpec
+    * asserts, cross-batch ring and anchor included).
+    *
+    * Same caveat as [[graft.streaming.Streams.asofStream]]: rows must
+    * arrive in event-time order ACROSS micro-batches (within a batch
+    * the sort handles it) — an event landing after a later-ts event
+    * already folded would need the S34 watermark-buffer machinery,
+    * which pattern COUNTING does not justify: a funnel count is not
+    * probe-answering, and the retroactive fix is a replay.
+    *
+    * At 100 TB (continuous form): state is ~|pattern| longs per ACTIVE
+    * entity in RocksDB, the per-batch work is one shuffle of the batch
+    * delta keyed by entity — the sessionStep scale shape.
+    */
+  def matchCountsStream(events: Dataset[PatEv], pattern: Seq[String],
+      contiguous: Boolean, withinUs: Option[Long] = None)
+      : Dataset[PatCount] = {
+    require(pattern.nonEmpty, "empty pattern")
+    require(withinUs.forall(_ >= 0L), "negative withinUs")
+    import events.sparkSession.implicits._
+    val pat = pattern.toArray
+    val fl = failure(pattern)
+    val within = withinUs.getOrElse(Long.MaxValue)
+    val span = pat.length - 1
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[PatState, PatCount](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (ent: Long, rows: Iterator[PatEv], state: GroupState[PatState]) =>
+          val st0 = state.getOption.getOrElse(
+            PatState(0, 0L, 0L, 0L, new Array[Long](math.max(span, 1))))
+          var stage = st0.stage; var n = st0.n
+          var cnt = st0.cnt; var anchor = st0.anchor
+          val ring = st0.ring.clone()
+          // sorts ONE entity's slice of ONE micro-batch — bounded by
+          // the trigger interval, not history (state carries the rest)
+          rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+            val r = boundedStep(pat, fl, contiguous, within, span,
+              stage, n, cnt, anchor, ring, e.ts_us, e.sym)
+            stage = r._1; n = r._2; cnt = r._3; anchor = r._4
+          }
+          state.update(PatState(stage, n, cnt, anchor, ring))
+          Iterator.single(PatCount(ent, n, cnt))
+      }
   }
 
   /** Q57d — quantified stages: the MATCH_RECOGNIZE `A B+ C` form. Each
@@ -191,18 +271,7 @@ object Patterns {
       tieBreak: String, typeCol: String,
       stages: Seq[(String, Int, Int)],
       withinUs: Option[Long] = None): DataFrame = {
-    require(stages.nonEmpty, "empty stage list")
-    require(withinUs.forall(_ >= 0L), "negative withinUs")
-    require(stages.forall { case (_, mn, mx) => mn >= 0 && mx >= 1 && mx >= mn },
-      "each stage needs 0 <= min <= max, max >= 1")
-    require(stages.last._2 >= 1,
-      "last stage needs min >= 1 (else the match has no final anchor)")
-    require(stages.head._2 == 1,
-      "first stage needs min == 1: the naive restart re-tries only the " +
-        "single failing event, so a multi-rep anchor stage would miss " +
-        "matches a backtracking matcher finds")
-    require(stages.sliding(2).forall(w => w.length < 2 || w(0)._1 != w(1)._1),
-      "adjacent stages must use distinct symbols")
+    validateStages(stages, withinUs)
     val spark = events.sparkSession
     import spark.implicits._
     val st = stages.toArray
@@ -229,16 +298,80 @@ object Patterns {
             out += PatCount(cur, n, cnt)
             cur = e.entity; stage = 0; reps = 0; cnt = 0L; n = 0L
           }
-          val (s2, r2, hit, anchored) = qstep(st, stage, reps, e.sym)
-          stage = s2; reps = r2
-          if (anchored) anchor = e.ts_us
-          if (hit && e.ts_us - anchor <= within) cnt += 1
-          n += 1
+          val r = qboundedStep(st, within, stage, reps, n, cnt, anchor,
+            e.ts_us, e.sym)
+          stage = r._1; reps = r._2; n = r._3; cnt = r._4; anchor = r._5
         }
         if (started) out += PatCount(cur, n, cnt)
         out.iterator
       }
       .toDF()
+  }
+
+  /** The quantified-machine preconditions, shared by both twins. */
+  private def validateStages(stages: Seq[(String, Int, Int)],
+      withinUs: Option[Long]): Unit = {
+    require(stages.nonEmpty, "empty stage list")
+    require(withinUs.forall(_ >= 0L), "negative withinUs")
+    require(stages.forall { case (_, mn, mx) => mn >= 0 && mx >= 1 && mx >= mn },
+      "each stage needs 0 <= min <= max, max >= 1")
+    require(stages.last._2 >= 1,
+      "last stage needs min >= 1 (else the match has no final anchor)")
+    require(stages.head._2 == 1,
+      "first stage needs min == 1: the naive restart re-tries only the " +
+        "single failing event, so a multi-rep anchor stage would miss " +
+        "matches a backtracking matcher finds")
+    require(stages.sliding(2).forall(w => w.length < 2 || w(0)._1 != w(1)._1),
+      "adjacent stages must use distinct symbols")
+  }
+
+  /** The complete quantified per-event transition both twins share
+    * (structural [[qstep]] + anchor stamp + WITHIN counting gate);
+    * returns (stage, reps, n, cnt, anchor).
+    */
+  private[graft] def qboundedStep(st: Array[(String, Int, Int)],
+      within: Long, stage0: Int, reps0: Int, n0: Long, cnt0: Long,
+      anchor0: Long, tsUs: Long, sym: String)
+      : (Int, Int, Long, Long, Long) = {
+    val (s2, r2, hit, anchored) = qstep(st, stage0, reps0, sym)
+    val anchor = if (anchored) tsUs else anchor0
+    val cnt = if (hit && tsUs - anchor <= within) cnt0 + 1L else cnt0
+    (s2, r2, n0 + 1L, cnt, anchor)
+  }
+
+  /** Cross-batch streaming state for the quantified machine. */
+  case class QPatState(stage: Int, reps: Int, n: Long, cnt: Long,
+      anchor: Long)
+
+  /** S36's quantified sibling — [[quantifiedCounts]] as a continuous
+    * query: the same GroupState discipline as [[matchCountsStream]]
+    * (per-batch (ts, tie) sort, fold through the shared
+    * [[qboundedStep]], one running snapshot row per entity per batch).
+    * Same in-order-across-batches caveat; state is five scalars per
+    * active entity.
+    */
+  def quantifiedCountsStream(events: Dataset[PatEv],
+      stages: Seq[(String, Int, Int)], withinUs: Option[Long] = None)
+      : Dataset[PatCount] = {
+    validateStages(stages, withinUs)
+    import events.sparkSession.implicits._
+    val st = stages.toArray
+    val within = withinUs.getOrElse(Long.MaxValue)
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[QPatState, PatCount](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (ent: Long, rows: Iterator[PatEv], state: GroupState[QPatState]) =>
+          val st0 = state.getOption.getOrElse(QPatState(0, 0, 0L, 0L, 0L))
+          var stage = st0.stage; var reps = st0.reps; var n = st0.n
+          var cnt = st0.cnt; var anchor = st0.anchor
+          rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+            val r = qboundedStep(st, within, stage, reps, n, cnt, anchor,
+              e.ts_us, e.sym)
+            stage = r._1; reps = r._2; n = r._3; cnt = r._4; anchor = r._5
+          }
+          state.update(QPatState(stage, reps, n, cnt, anchor))
+          Iterator.single(PatCount(ent, n, cnt))
+      }
   }
 
   /** One quantified-machine step: returns (stage, reps, matchedNow,

@@ -286,6 +286,48 @@ object StreamQueries {
         .orderBy("event_id")
     }),
 
+    // S36 — streaming pattern matching: live funnel counting, q57's
+    // machine as a continuous query (Patterns.matchCountsStream — the
+    // machine's O(1) residue incl. the WITHIN ring persists in
+    // GroupState across micro-batches, each batch emits a running
+    // snapshot per entity). Batch run = one batch over the whole table
+    // → the final snapshots, which ARE q57's result (shared
+    // boundedStep), hash-matched against q57's oracle verbatim.
+    // Stream == batch across splits (ring/anchor crossing batch
+    // boundaries) in StreamingSpec.
+    "s36_stream_patterns" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir).select(col("user_id").as("entity"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
+          col("event_id").as("tie"), col("event_type").as("sym"))
+        .as[graft.ops.Patterns.PatEv]
+      graft.ops.Patterns.matchCountsStream(in,
+          Seq("view", "click", "view", "purchase"), contiguous = false)
+        .toDF()
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")
+    }),
+
+    // S36b — the quantified sibling (q57d's `view click+ purchase`
+    // machine live); same discipline, held to q57d's DFA-replay oracle.
+    "s36b_stream_quant_patterns" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir).select(col("user_id").as("entity"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
+          col("event_id").as("tie"), col("event_type").as("sym"))
+        .as[graft.ops.Patterns.PatEv]
+      graft.ops.Patterns.quantifiedCountsStream(in,
+          Seq(("view", 1, 1), ("click", 1, Int.MaxValue),
+            ("purchase", 1, 1)))
+        .toDF()
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")
+    }),
+
     // S24 — streaming rolling 7-day distinct users: q38's WAU curve as
     // a continuous query (dedup -> x7 contribution explode -> dedup ->
     // windowed count, all watermark-evictable). Batch twin == q38
@@ -688,6 +730,13 @@ object StreamQueries {
     // s21 is the t07 merge through the CDC-apply path — same oracle.
     "s21_scd2_maintenance" ->
       graft.queries.TemporalQueries.oracles("t07_scd2_merge"),
+
+    // s36/s36b run q57/q57d's machines through the streaming twin in a
+    // one-batch fold — same final snapshots, same oracles verbatim.
+    "s36_stream_patterns" ->
+      graft.queries.Relational.oracles("q57_pattern_funnel"),
+    "s36b_stream_quant_patterns" ->
+      graft.queries.Relational.oracles("q57d_pattern_quantified"),
 
     // q10's as-of semantics with the no-match null coalesced to -1.
     "s20_stream_asof" ->

@@ -1538,4 +1538,128 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Map(2L -> "click", 4L -> "view", 6L -> "direct",
       7L -> "direct"))
   }
+
+  test("S36 streaming patterns == batch fold (fixture, 5 micro-batches, WITHIN)") {
+    import spark.implicits._
+    import graft.ops.Patterns
+    implicit val sq = spark.sqlContext
+    val pat = Seq("view", "click", "view", "purchase")
+    val within = Some(7L * 86400L * 1000000L)
+    val in = Tables.load(spark, sfDir, "events")
+      .select(col("user_id").as("entity"),
+        graft.Det.epochUs(col("ts")).as("ts_us"),
+        col("event_id").as("tie"), col("event_type").as("sym"))
+      .as[Patterns.PatEv]
+    val batch = Patterns.matchCounts(Tables.load(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type", pat,
+        contiguous = false, withinUs = within)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(batch.values.exists(_._2 > 0))
+    val evs = in.orderBy("ts_us", "tie").collect().toSeq
+    val source = MemoryStream[Patterns.PatEv]
+    val q = Patterns.matchCountsStream(source.toDS(), pat,
+        contiguous = false, withinUs = within)
+      .writeStream.format("memory").queryName("s36sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(math.max(1, evs.length / 5)).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+      }
+      // each batch emits a running snapshot for its touched entities;
+      // the FINAL snapshot (max n_events) is the entity's truth
+      val last = spark.table("s36sink").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._1) }
+      assert(last == batch)
+    } finally q.stop()
+  }
+
+  test("S36 contiguous ring + quantified anchor survive a batch boundary") {
+    import spark.implicits._
+    import graft.ops.Patterns
+    implicit val sq = spark.sqlContext
+    def pe(ts: Long, tie: Long, sym: String) = Patterns.PatEv(1L, ts, tie, sym)
+    // contiguous a,a,b WITHIN 10: run [a@0, a@5, b@9] spans the ring —
+    // split so the batch boundary falls MID-RUN (a@0,a@5 | b@9 ...):
+    // the run start ts(0) must come from the state-carried ring. The
+    // second run [a@100, a@200, b@205] spans 105 > 10 -> gated out.
+    val evs = Seq(pe(0L, 1L, "a"), pe(5L, 2L, "a"),
+      pe(9L, 3L, "b"), pe(100L, 4L, "a"),
+      pe(200L, 5L, "a"), pe(205L, 6L, "b"))
+    val src = MemoryStream[Patterns.PatEv]
+    val q = Patterns.matchCountsStream(src.toDS(), Seq("a", "a", "b"),
+        contiguous = true, withinUs = Some(10L))
+      .writeStream.format("memory").queryName("s36ring")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(evs.take(2), evs.slice(2, 4), evs.drop(4)).foreach { g =>
+        src.addData(g); q.processAllAvailable()
+      }
+      val last = spark.table("s36ring").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).maxBy(_._1)
+      assert(last == ((6L, 1L)))
+      // == the batch fold on the same rows (shared boundedStep)
+      val b = Patterns.matchCounts(
+          evs.toDF("entity", "ts_us", "tie", "sym")
+            .select(col("entity"), timestamp_micros(col("ts_us")).as("ts"),
+              col("tie"), col("sym")),
+          "entity", "ts", "tie", "sym", Seq("a", "a", "b"),
+          contiguous = true, withinUs = Some(10L))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      assert(b == last)
+    } finally q.stop()
+    // quantified (a, b+, c) WITHIN 50: anchor a@0 stamped in batch 1,
+    // lazy-final c@40 lands two batches later -> counted (40 ≤ 50);
+    // second attempt anchored a@100 with c@300 -> gated (200 > 50).
+    val qevs = Seq(pe(0L, 1L, "a"), pe(10L, 2L, "b"), pe(20L, 3L, "b"),
+      pe(40L, 4L, "c"), pe(100L, 5L, "a"), pe(110L, 6L, "b"),
+      pe(300L, 7L, "c"))
+    val src2 = MemoryStream[Patterns.PatEv]
+    val q2 = Patterns.quantifiedCountsStream(src2.toDS(),
+        Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1)),
+        withinUs = Some(50L))
+      .writeStream.format("memory").queryName("s36quant")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(qevs.take(1), qevs.slice(1, 3), qevs.drop(3)).foreach { g =>
+        src2.addData(g); q2.processAllAvailable()
+      }
+      val last2 = spark.table("s36quant").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).maxBy(_._1)
+      assert(last2 == ((7L, 1L)))
+    } finally q2.stop()
+  }
+
+  test("S36b quantified stream == batch fold (fixture)") {
+    import spark.implicits._
+    import graft.ops.Patterns
+    implicit val sq = spark.sqlContext
+    val stages = Seq(("view", 1, 1), ("click", 1, Int.MaxValue),
+      ("purchase", 1, 1))
+    val in = Tables.load(spark, sfDir, "events")
+      .select(col("user_id").as("entity"),
+        graft.Det.epochUs(col("ts")).as("ts_us"),
+        col("event_id").as("tie"), col("event_type").as("sym"))
+      .as[Patterns.PatEv]
+    val batch = Patterns.quantifiedCounts(
+        Tables.load(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type", stages)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val evs = in.orderBy("ts_us", "tie").collect().toSeq
+    val source = MemoryStream[Patterns.PatEv]
+    val q = Patterns.quantifiedCountsStream(source.toDS(), stages)
+      .writeStream.format("memory").queryName("s36bsink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+      }
+      val last = spark.table("s36bsink").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._1) }
+      assert(last == batch)
+    } finally q.stop()
+  }
 }
