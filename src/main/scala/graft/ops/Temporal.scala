@@ -347,6 +347,61 @@ object Temporal {
         (lit(loCents) + col("bucket") * width).as("hi_cents"))
   }
 
+  /** S37 — population-stability-index drift between two day-ranges of
+    * the SAME maintained histogram (the monitoring read a training-data
+    * pipeline runs continuously: "has this feed's value distribution
+    * moved since the reference period?"). PSI = Σ_b (p_b − q_b)·
+    * ln(p_b/q_b) over the FULL bucket domain 0..nb+1 (width_bucket's
+    * under/overflow rails included) with add-one smoothing — p_b =
+    * (c_ref_b+1)/(n_ref+B), q_b = (c_live_b+1)/(n_live+B), B = nb+2 —
+    * so empty buckets carry their smoothed mass and PSI is finite for
+    * any pair of periods, including an entity absent from one side.
+    * Output (entity, n_ref, n_live, psi_r4); the conventional read:
+    * <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+    *
+    * Plan: two filtered re-aggs of the (tiny) histogram, a dense
+    * entity×bucket domain built by explode(sequence) — ≤ |entities|·B
+    * rows — and one ≤B-row-per-entity sum. Nothing touches raw events:
+    * at 100 TB this reads the maintained partials only, which is the
+    * point of maintaining them. Floats appear in the final
+    * (p−q)·ln(p/q) only; the oracle mirrors the exact expression
+    * order and round(4) on the ≤B-term sum absorbs ULP noise.
+    */
+  def psiFromHistogram(
+      hist: DataFrame,
+      entity: String,
+      refFrom: Column, refTo: Column,
+      liveFrom: Column, liveTo: Column,
+      nBuckets: Int): DataFrame = {
+    val b = nBuckets + 2
+    def period(from: Column, to: Column, name: String) =
+      hist.filter(col("day").between(from, to))
+        .groupBy(col(entity), col("bucket")).agg(sum("n").as(name))
+    val ref = period(refFrom, refTo, "c_ref")
+    val live = period(liveFrom, liveTo, "c_live")
+    val ents = ref.select(col(entity))
+      .unionAll(live.select(col(entity))).distinct()
+    val domain = ents.select(col(entity),
+      explode(sequence(lit(0), lit(nBuckets + 1))).as("bucket"))
+    val counts = domain
+      .join(ref, Seq(entity, "bucket"), "left")
+      .join(live, Seq(entity, "bucket"), "left")
+      .select(col(entity), col("bucket"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_live"), lit(0L)).as("c_live"))
+    val totals = counts.groupBy(col(entity))
+      .agg(sum("c_ref").as("n_ref"), sum("c_live").as("n_live"))
+    counts.join(broadcast(totals), entity)
+      .withColumn("p",
+        (col("c_ref") + 1).cast("double") / (col("n_ref") + b))
+      .withColumn("q",
+        (col("c_live") + 1).cast("double") / (col("n_live") + b))
+      .groupBy(col(entity))
+      .agg(max("n_ref").as("n_ref"), max("n_live").as("n_live"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4)
+          .as("psi_r4"))
+  }
+
   /** T12 — time-weighted temporal aggregation over `[t1, t2)`: each value
     * interval clipped to the window contributes `value × clipped-duration`
     * — the genuinely temporal mean/sum (a value held for 2 days weighs

@@ -458,6 +458,55 @@ object Text {
     weightsFromScores(docs, isTarget, buckets, scores)
   }
 
+  /** L50 — bigram-LM cross-entropy scoring (the CCNet-style quality
+    * filter): train an add-one-smoothed word-bigram model on a
+    * REFERENCE slice of the corpus, then score EVERY doc by the mean
+    * negative log-likelihood of its bigrams under that model —
+    * fluent, reference-like text scores low; boilerplate and garble
+    * score high. p(w2|w1) = (c2(w1,w2)+1) / (c1(w1)+V), where c1
+    * counts w1 as a bigram HEAD (so the conditional normalizes
+    * exactly over the V-smoothed vocabulary) and V = |reference
+    * vocabulary| over all token positions. Output (doc_id, n_bigrams,
+    * xent_r4); xent_r4 is NULL when a doc has no bigram.
+    *
+    * Scale: the model is reference-sized and BROADCAST twice (bigram
+    * and head-count tables); scoring is then map-side only — one
+    * explode, two broadcast hash joins, one per-doc aggregate. At
+    * 100 TB you'd cap the model at top-K bigrams (the tail is
+    * Laplace-smoothed anyway); nothing else changes. Floats appear
+    * only in the final ln()s; round(4) on the MEAN absorbs sub-1e-12
+    * fold-order noise (the l03 cosine-oracle precedent).
+    */
+  def bigramXent(docs: DataFrame, isRef: Column): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairs = docs
+      .select(col("doc_id"), isRef.as("__ref"),
+        explode(zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("__ref"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val ref = pairs.filter(col("__ref"))
+    val c2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.filter(isRef)
+      .select(explode(toks).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val nll = pairs
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (log(coalesce(col("c1"), lit(0L)) + col("v")) -
+          log(coalesce(col("c2"), lit(0L)) + lit(1L))).as("nll"))
+    val perDoc = nll.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("xent_r4"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("xent_r4"))
+  }
+
   /** L34 — deterministic text canonicalization, the cleaning pass every
     * hash-keyed step downstream (exact dedup, fingerprints, shingles)
     * assumes has already run: lowercase, control chars → space,

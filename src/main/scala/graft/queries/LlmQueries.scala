@@ -178,6 +178,63 @@ object LlmQueries {
       .select("doc_id", "cluster_id", "keep")
   }
 
+  /** L43b's dedup stage: EXACT dedup — keep the lowest doc_id of each
+    * byte-identical text group. The shuffle key is sha2(text) rather
+    * than the text itself so a 100 TB run moves 32-byte digests, not
+    * document bodies, through the exchange (collisions are beyond
+    * reach for 2^128-strength digests; the oracle groups by raw text,
+    * which is the same partition).
+    */
+  private def exactDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("text"), 256))
+    docs(s, dir).select(col("doc_id"),
+      (col("doc_id") === min("doc_id").over(w)).as("keep"))
+  }
+
+  /** L43/L43b — the PIPELINE MANIFEST: the whole curation funnel as one
+    * attrition table — every doc pushed through language gate (l04c's
+    * n-gram guesser, keep 'en'), quality gate (l19's Gopher flags),
+    * the given dedup keep-list (l33's LSH clusters for l43, exact-hash
+    * for l43b), and the given semantic keep-list (l48's fixture-labeled
+    * form or l48b's k-means-derived form), with surviving (n_docs,
+    * n_chars) after each stage. The number a data lead actually signs
+    * off on ("how much training data is left, and which gate ate
+    * what") — and because every component is individually
+    * hash-matched, the COMPOSITION is too. One pass computes all
+    * per-doc gate bits; the stage rows are five aggregates over that
+    * table, the dedup join is the only non-doc-local work.
+    */
+  private def manifestDf(s: SparkSession, dir: String,
+      dupKeep: DataFrame, semKeep: DataFrame): DataFrame = {
+    val d = docs(s, dir)
+    val bits = d
+      .withColumn("lang_ok", Text.langIdGuess(col("text")) === "en")
+      .join(Text.gopherFlags(d).select(col("doc_id"),
+        col("keep").as("q_ok")), "doc_id")
+      .join(dupKeep.select(col("doc_id"),
+        col("keep").as("dup_keep")), Seq("doc_id"), "left")
+      // stage 4: the semantic keep-list (vec_id IS the doc bridge);
+      // docs without an embedding pass through, like the dedup stage
+      .join(semKeep
+        .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), col("lang_ok"), col("q_ok"),
+        coalesce(col("dup_keep"), lit(true)).as("dup_ok"),
+        coalesce(col("sem_keep"), lit(true)).as("sem_ok"))
+    def stage(name: String, cond: org.apache.spark.sql.Column) =
+      bits.filter(cond).agg(lit(name).as("stage"),
+        count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    stage("0_all", lit(true))
+      .unionAll(stage("1_lang", col("lang_ok")))
+      .unionAll(stage("2_quality", col("lang_ok") && col("q_ok")))
+      .unionAll(stage("3_dedup",
+        col("lang_ok") && col("q_ok") && col("dup_ok")))
+      .unionAll(stage("4_semantic",
+        col("lang_ok") && col("q_ok") && col("dup_ok") && col("sem_ok")))
+      .orderBy("stage")
+  }
+
   // Manual double-precision cosine pieces for the DuckDB oracle — same
   // sequential fold order as the Spark HOFs, then round(4) absorbs any
   // residual ULP difference.
@@ -352,33 +409,29 @@ object LlmQueries {
     // per-doc gate bits; the stage rows are four aggregates over that
     // table, the dedup join is the only non-doc-local work (exactly
     // l33's).
-    "l43_pipeline_manifest" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val bits = d
-        .withColumn("lang_ok", Text.langIdGuess(col("text")) === "en")
-        .join(Text.gopherFlags(d).select(col("doc_id"),
-          col("keep").as("q_ok")), "doc_id")
-        .join(dedupKeep(s, dir).select(col("doc_id"),
-          col("keep").as("dup_keep")), Seq("doc_id"), "left")
-        // stage 4: l48's semantic keep-list (vec_id IS the doc bridge);
-        // docs without an embedding pass through, like the dedup stage
-        .join(Similarity.semanticDedupKeep(vecs(s, dir))
-          .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chars"), col("lang_ok"), col("q_ok"),
-          coalesce(col("dup_keep"), lit(true)).as("dup_ok"),
-          coalesce(col("sem_keep"), lit(true)).as("sem_ok"))
-      def stage(name: String, cond: org.apache.spark.sql.Column) =
-        bits.filter(cond).agg(lit(name).as("stage"),
-          count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
-      stage("0_all", lit(true))
-        .unionAll(stage("1_lang", col("lang_ok")))
-        .unionAll(stage("2_quality", col("lang_ok") && col("q_ok")))
-        .unionAll(stage("3_dedup",
-          col("lang_ok") && col("q_ok") && col("dup_ok")))
-        .unionAll(stage("4_semantic",
-          col("lang_ok") && col("q_ok") && col("dup_ok") && col("sem_ok")))
-        .orderBy("stage")
+    "l43_pipeline_manifest" -> ((s, dir) =>
+      manifestDf(s, dir, dedupKeep(s, dir),
+        Similarity.semanticDedupKeep(vecs(s, dir)))),
+
+    // L43b — the manifest with BOTH data-derived gates: exact-hash
+    // dedup (the realistic first dedup pass — identical bytes, keep
+    // min doc_id) and a semantic stage consuming l48b's DERIVED
+    // clusters (exact-integer Lloyd k-means) instead of the fixture's
+    // label column: the funnel, clustering included, is
+    // engine-computable and hash-matches its unrolled replay. The LSH
+    // stage stays l43's: composing the recursive LSH replay with the
+    // k-means replay in ONE DuckDB 1.0 statement triggers an unbounded
+    // parallel-spill pathology (bisected r13: either chain alone, or
+    // both without the manifest join, completes in seconds; joined
+    // through `staged` the engine spills >79 GB of temp and never
+    // finishes — single-threaded it completes, so it is a scheduler
+    // artifact, not a plan-shape issue).
+    "l43b_manifest_derived_clusters" -> ((s, dir) => {
+      val v = vecs(s, dir)
+      val lab = Similarity.kmeansExactAssign(v, k = 8, iters = 2)
+      manifestDf(s, dir, exactDedupKeep(s, dir),
+        Similarity.semanticDedupKeep(
+          v.select("vec_id", "embedding").join(lab, "vec_id")))
     }),
 
     // L17 — blocked fuzzy join (entity resolution): part-name pairs at
@@ -611,6 +664,14 @@ object LlmQueries {
     "l29_importance_weights" -> ((s, dir) =>
       Text.importanceWeights(docs(s, dir), isTarget = col("lang") === "en",
           buckets = 4096)
+        .orderBy("doc_id")),
+
+    // L50 — bigram-LM cross-entropy scoring (the CCNet-style quality
+    // filter): add-one-smoothed word-bigram model trained on the
+    // doc_id%5==0 reference slice, every doc scored by mean -ln p of
+    // its bigrams. The model tables broadcast; scoring is map-side.
+    "l50_bigram_xent" -> ((s, dir) =>
+      Text.bigramXent(docs(s, dir), isRef = col("doc_id") % 5 === 0)
         .orderBy("doc_id")),
 
     // L20 — binary (sign-bit) embeddings: 64 float dims -> two 32-bit
@@ -1367,20 +1428,27 @@ object LlmQueries {
     * scale=1000): kx = quantized coords, ks/kc0 = min-id seed
     * centroids, then per iteration a distance agg + per-vector argmin
     * (kd/ka) and a floor-mean centroid rebuild (kc — DuckDB `//` and
-    * Spark `div` both truncate toward zero). ka/kc are MATERIALIZED:
-    * each is referenced downstream and DuckDB re-expands plain CTEs per
-    * reference. */
+    * Spark `div` both truncate toward zero). Only kx (5 references)
+    * and the final ka3 (feeds the multiply-referenced semx) are
+    * MATERIALIZED: the intermediate chain is linear single-reference,
+    * so plain CTEs expand exactly once — and DuckDB 1.0 hits a
+    * serialize-and-spill cliff at ~12+ materialized CTEs in one
+    * statement (BASELINE.md r11 notes). This chain must also never
+    * share a statement with dedupClusterCte's recursive replay — see
+    * the l43b registry comment for the parallel-spill pathology. */
   private val kmeansCte: String = {
-    def assign(i: Int, cPrev: String): String =
+    def assign(i: Int, cPrev: String): String = {
+      val mat = if (i == 3) " MATERIALIZED" else ""
       s"""kd$i AS (SELECT x.vec_id, c.cid,
          |    sum((x.xi - c.c) * (x.xi - c.c)) AS dist
          |  FROM kx x JOIN $cPrev c ON c.d = x.d GROUP BY 1, 2),
-         |ka$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |ka$i AS$mat (SELECT vec_id, cid FROM (
          |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY dist ASC, cid ASC) AS rn FROM kd$i) WHERE rn = 1)"""
         .stripMargin
+    }
     def update(i: Int): String =
-      s"""kc$i AS MATERIALIZED (SELECT a.cid, x.d,
+      s"""kc$i AS (SELECT a.cid, x.d,
          |    sum(x.xi) // count(*) AS c
          |  FROM ka$i a JOIN kx x USING (vec_id) GROUP BY 1, 2)"""
         .stripMargin
@@ -1392,7 +1460,7 @@ object LlmQueries {
        |ks AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1
        |    AS cid
        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-       |kc0 AS MATERIALIZED (SELECT s.cid, x.d, x.xi AS c
+       |kc0 AS (SELECT s.cid, x.d, x.xi AS c
        |  FROM ks s JOIN kx x USING (vec_id)),
        |${assign(1, "kc0")},
        |${update(1)},
@@ -1890,13 +1958,39 @@ object LlmQueries {
     // reference `staged`, and DuckDB inlines plain CTEs per reference —
     // five re-expansions of the whole dedup+semantic chain spilled
     // 20 GiB at sf0.1; materialized, the query runs in ~14 s.
-    "l43_pipeline_manifest" ->
+    "l43_pipeline_manifest" -> manifestOracle(
       s"""$dedupClusterCte,
         |$semCte,
         |keepl AS MATERIALIZED (SELECT cl.doc_id,
         |    row_number() OVER (PARTITION BY cl.cluster_id
         |      ORDER BY d.n_chars DESC, cl.doc_id ASC) = 1 AS dup_keep
-        |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+        |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)""".stripMargin),
+
+    // l43b: the manifest replay with exact-hash dedup (group by raw
+    // text — sha2 is the engine's shuffle key, same partition) and the
+    // semantic chain fed by the unrolled Lloyd k-means labels instead
+    // of the fixture column. Recursion-free on purpose: see the l43b
+    // registry comment.
+    "l43b_manifest_derived_clusters" -> manifestOracle(
+      s"""WITH $kmeansCte,
+        |${semCteFrom("(SELECT e.vec_id, a.cid AS label, e.embedding" +
+          " FROM embeddings e JOIN ka3 a USING (vec_id))")},
+        |keepl AS (SELECT doc_id,
+        |    doc_id = min(doc_id) OVER (PARTITION BY text) AS dup_keep
+        |  FROM documents)""".stripMargin),
+  ) ++ oraclesTail
+
+  /** The manifest oracle over any CTE preamble that defines
+    * `keepl(doc_id, dup_keep)` and `semkeep(vec_id, keep)`. The caller
+    * supplies the whole `WITH ...` prefix (l43's starts WITH RECURSIVE
+    * via dedupClusterCte; l43b's is recursion-free by design — see the
+    * l43b registry comment for the DuckDB 1.0 parallel-spill pathology
+    * that forbids combining the two replay chains in one statement).
+    * Fresh CTE names (lh/lg/gm/gf) because the shared dedup CTE
+    * already owns `g`.
+    */
+  private def manifestOracle(preamble: String): String =
+      s"""$preamble,
         |lh AS (SELECT doc_id, text,
         |    len(regexp_extract_all(lower(text),
         |      '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS de,
@@ -1956,8 +2050,9 @@ object LlmQueries {
         |  UNION ALL SELECT '4_semantic', count(*),
         |    CAST(sum(n_chars) AS BIGINT) FROM staged
         |    WHERE lang_ok AND q_ok AND dup_ok AND sem_ok)
-        |ORDER BY stage""".stripMargin,
+        |ORDER BY stage""".stripMargin
 
+  private lazy val oraclesTail: Map[String, String] = Map(
     "l17_fuzzy_join" ->
       """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
@@ -2143,6 +2238,36 @@ object LlmQueries {
 
     "l49_unigram_vocab" -> unigramChainSql(vocabWords = 200,
       maxPieceLen = 4, candidates = 150, rounds = 3, prunePerRound = 30),
+
+    // l50: the bigram-model replay — parallel unnests zip the slice
+    // pair exactly like Spark's zip_with(slice, slice); DuckDB ln and
+    // JVM Math.log agree to <1 ulp per term and round(4) on the mean
+    // absorbs the fold-order residue (l03's cosine precedent).
+    "l50_bigram_xent" ->
+      """WITH t AS (SELECT doc_id, doc_id % 5 = 0 AS ref,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, ref,
+        |    unnest(toks[1:len(toks)-1]) AS w1,
+        |    unnest(toks[2:len(toks)]) AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM p WHERE ref
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM p WHERE ref GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM t WHERE ref)),
+        |nll AS (SELECT p.doc_id,
+        |    ln(coalesce(c1.c1, 0) + v.v) - ln(coalesce(c2.c2, 0) + 1)
+        |      AS nll
+        |  FROM p LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+        |         LEFT JOIN c1 ON c1.w1 = p.w1
+        |         CROSS JOIN v),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    round(avg(nll), 4) AS xent_r4 FROM nll GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |  sc.xent_r4
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // L27 replay: the engine's count→pick→merge cycle unrolled for 8
     // rounds. Same vocab (top-500 alphabetic words by freq desc, word

@@ -559,6 +559,37 @@ object StreamQueries {
         .orderBy("event_type", "p")
     }),
 
+    // S37 — streaming drift detection: PSI between a reference and a
+    // live day-range of the SAME maintained histogram s35 keeps (the
+    // continuous "has this feed's distribution moved?" monitor). The
+    // maintenance is s35's batch-id-stamped partials verbatim; the new
+    // piece is the smoothed-PSI read over the full bucket domain.
+    "s37_drift_psi" -> ((s, dir) => {
+      import graft.ops.Temporal
+      val e = ev(s, dir)
+      val vc = graft.Det.cents(col("value"))
+      var state = Streams.histogramPartials(e.limit(0), "event_type",
+        "ts", vc, 0L, 50000L, 25, -1L)
+      (0 to 2).foreach { i =>
+        state = Streams.mergeHistogramPartials(state,
+          e.filter(col("event_id") % 3 === i), "event_type", "ts", vc,
+          0L, 50000L, 25, i.toLong)
+      }
+      // replayed batch: REPLACES its own rows — a no-op by construction
+      state = Streams.mergeHistogramPartials(state,
+        e.filter(col("event_id") % 3 === 2), "event_type", "ts", vc,
+        0L, 50000L, 25, 2L)
+      Temporal.psiFromHistogram(
+          Streams.histogramFromPartials(state, "event_type"),
+          entity = "event_type",
+          refFrom = lit("2024-01-01").cast("timestamp"),
+          refTo = lit("2024-01-14").cast("timestamp"),
+          liveFrom = lit("2024-01-15").cast("timestamp"),
+          liveTo = lit("2024-01-30").cast("timestamp"),
+          nBuckets = 25)
+        .orderBy("event_type")
+    }),
+
     "s23_importance_maintenance" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val tgt = col("lang") === "en"
@@ -710,6 +741,46 @@ object StreamQueries {
     // s35 must reproduce t38's percentile index from maintained partials.
     "s35_percentile_maintenance" ->
       graft.queries.TemporalQueries.oracles("t38_percentile_index"),
+
+    // s37: one-shot PSI replay from raw events — t38's bucketing CTE,
+    // two period re-aggs, dense 0..26 domain, add-one-smoothed PSI.
+    // The (p−q)·ln(p/q) expression order mirrors the engine exactly;
+    // round(4) on the ≤27-term sum absorbs ULP noise.
+    "s37_drift_psi" ->
+      """WITH raw AS (SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS v,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events),
+        |bk AS (SELECT event_type, day,
+        |    CAST(CASE WHEN v < 0 THEN 0 WHEN v >= 50000 THEN 26
+        |         ELSE 1 + v // 2000 END AS BIGINT) AS bucket
+        |  FROM raw),
+        |ref AS (SELECT event_type, bucket, count(*) AS c_ref FROM bk
+        |  WHERE day BETWEEN TIMESTAMP '2024-01-01'
+        |    AND TIMESTAMP '2024-01-14'
+        |  GROUP BY 1, 2),
+        |live AS (SELECT event_type, bucket, count(*) AS c_live FROM bk
+        |  WHERE day BETWEEN TIMESTAMP '2024-01-15'
+        |    AND TIMESTAMP '2024-01-30'
+        |  GROUP BY 1, 2),
+        |ents AS (SELECT event_type FROM ref
+        |  UNION SELECT event_type FROM live),
+        |dom AS (SELECT e.event_type, CAST(b.b AS BIGINT) AS bucket
+        |  FROM ents e CROSS JOIN (SELECT unnest(range(0, 27)) AS b) b),
+        |cts AS (SELECT d.event_type, d.bucket,
+        |    coalesce(r.c_ref, 0) AS c_ref, coalesce(l.c_live, 0) AS c_live
+        |  FROM dom d LEFT JOIN ref r USING (event_type, bucket)
+        |             LEFT JOIN live l USING (event_type, bucket)),
+        |tot AS (SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |    CAST(sum(c_live) AS BIGINT) AS n_live FROM cts GROUP BY 1)
+        |SELECT c.event_type, t.n_ref, t.n_live,
+        |  round(sum((CAST(c_ref + 1 AS DOUBLE) / (n_ref + 27) -
+        |             CAST(c_live + 1 AS DOUBLE) / (n_live + 27)) *
+        |            ln((CAST(c_ref + 1 AS DOUBLE) / (n_ref + 27)) /
+        |               (CAST(c_live + 1 AS DOUBLE) / (n_live + 27)))), 4)
+        |    AS psi_r4
+        |FROM cts c JOIN tot t USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
 
     // s32 is q51's regression from maintained partials — same oracle.
     "s32_streaming_trend" ->

@@ -1171,6 +1171,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(maintained(replayed) == oneShot(evs))
   }
 
+  test("S37 PSI drift: zero on identical periods, flags a shifted feed, maintained == one-shot") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // entity a: identical value profile in both periods -> PSI == 0
+      ("a", t("2024-01-01 01:00:00"), 10.0), ("a", t("2024-01-02 01:00:00"), 10.0),
+      ("a", t("2024-01-01 02:00:00"), 120.0), ("a", t("2024-01-02 02:00:00"), 120.0),
+      ("a", t("2024-01-10 01:00:00"), 10.0), ("a", t("2024-01-11 01:00:00"), 10.0),
+      ("a", t("2024-01-10 02:00:00"), 120.0), ("a", t("2024-01-11 02:00:00"), 120.0),
+      // entity b: all mass moves bucket 1 -> bucket 23;
+      // psi = (8/31)·ln 5 = 0.4153 (hand-derived, add-one smoothing)
+      ("b", t("2024-01-01 01:00:00"), 10.0), ("b", t("2024-01-02 01:00:00"), 10.0),
+      ("b", t("2024-01-01 02:00:00"), 10.0), ("b", t("2024-01-02 02:00:00"), 10.0),
+      ("b", t("2024-01-10 01:00:00"), 450.0), ("b", t("2024-01-11 01:00:00"), 450.0),
+      ("b", t("2024-01-10 02:00:00"), 450.0), ("b", t("2024-01-11 02:00:00"), 450.0)
+    ).toDF("event_type", "ts", "value")
+    val vc = graft.Det.cents(col("value"))
+    val (lo, hi, nb) = (0L, 50000L, 25)
+    def psi(hist: DataFrame) =
+      graft.ops.Temporal.psiFromHistogram(hist, "event_type",
+          lit("2024-01-01").cast("timestamp"),
+          lit("2024-01-05").cast("timestamp"),
+          lit("2024-01-08").cast("timestamp"),
+          lit("2024-01-12").cast("timestamp"), nb)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toMap
+    val oneShot = psi(graft.ops.Temporal.histogramDaily(
+      rows, "event_type", "ts", vc, lo, hi, nb))
+    assert(oneShot("a") == ((4L, 4L, 0.0)))       // stable feed
+    assert(oneShot("b") == ((4L, 4L, 0.4153)))    // shifted: > 0.25
+    // maintained partials (two batches + a replayed batch) read the same
+    var state = Streams.histogramPartials(rows.limit(0), "event_type",
+      "ts", vc, lo, hi, nb, -1L)
+    state = Streams.mergeHistogramPartials(state,
+      rows.filter(col("event_type") === "a"), "event_type", "ts", vc,
+      lo, hi, nb, 0L)
+    state = Streams.mergeHistogramPartials(state,
+      rows.filter(col("event_type") === "b"), "event_type", "ts", vc,
+      lo, hi, nb, 1L)
+    state = Streams.mergeHistogramPartials(state,
+      rows.filter(col("event_type") === "b"), "event_type", "ts", vc,
+      lo, hi, nb, 1L) // replay: REPLACES, never doubles
+    assert(psi(Streams.histogramFromPartials(state, "event_type"))
+      == oneShot)
+  }
+
   test("S23 importance stats foreachBatch: == one-shot weights, replay no-op") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

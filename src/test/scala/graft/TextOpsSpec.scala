@@ -117,6 +117,27 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bigramXent: hand-computed smoothed model, OOV doc, no-bigram doc") {
+    // reference = {0, 5}: tokens the/cat/sat + the/cat/ran -> V = 4,
+    // c2 = {(the,cat):2, (cat,sat):1, (cat,ran):1}, c1 = {the:2, cat:2}
+    // doc 1 == ref text: -ln(3/6), -ln(2/6) -> mean = ln(6)/2 = 0.8959
+    // doc 2 all-OOV:     -ln(1/(0+4)) twice  -> mean = ln(4)  = 1.3863
+    // doc 3 one token:   no bigrams -> n = 0, xent NULL
+    val d = mkDocs((0L, "the cat sat"), (5L, "the cat ran"),
+      (1L, "the cat sat"), (2L, "zz qq pp"), (3L, "x"))
+    val got = Text.bigramXent(d, isRef = col("doc_id") % 5 === 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toList
+    assert(got.map(t => (t._1, t._2)) ==
+      List((0L, 2L), (1L, 2L), (2L, 2L), (3L, 0L), (5L, 2L)))
+    assert(got(0)._3 == 0.8959 && got(1)._3 == 0.8959)
+    assert(got(2)._3 == 1.3863)   // OOV head falls back to ln(V)-mass
+    assert(got(3)._3.isNaN)
+    // the quality signal: reference-like text scores strictly lower
+    assert(got(1)._3 < got(2)._3)
+  }
+
   test("repetition features: degenerate and hand-computed docs") {
     import spark.implicits._
     val docs = Seq(
