@@ -144,6 +144,30 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** match_pattern(table, entity, ts, tie_break, type_col, pattern,
+    * within_us) — the q57/q58 machine from pure SQL. `pattern` is a
+    * compact spec: whitespace-separated stages, each `sym`,
+    * `(sym1|sym2)` or with a trailing `+` for one-or-more reps
+    * (`view (click|error)+ purchase`); within_us <= 0 means unbounded.
+    * Returns (entity, n_events, n_matches) — one row per entity, the
+    * same machine and caveats as [[graft.ops.Patterns
+    * .quantifiedCountsAlt]].
+    */
+  private def matchPatternPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "match_pattern"
+    require(exprs.length == 7,
+      s"$fn takes 7 arguments (table, entity, ts, tie_break, type_col, " +
+        s"pattern, within_us), got ${exprs.length}")
+    val a = exprs.take(6).zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val within = long(exprs(6), 7, fn)
+    val s = SparkSession.active
+    graft.ops.Patterns.quantifiedCountsAlt(s.table(a(0)), entity = a(1),
+        ts = a(2), tieBreak = a(3), typeCol = a(4),
+        stages = graft.ops.Patterns.parsePattern(a(5)),
+        withinUs = if (within > 0) Some(within) else None)
+      .queryExecution.logical
+  }
+
   /** bitemporal_snapshot(table, entity_csv, valid_ts, tx_ts, t_valid,
     * t_tx, tie_break) — the two-axis time-point read: the latest change
     * at-or-before `t_valid` on the valid-time axis among only the rows
@@ -259,7 +283,10 @@ object TableFunctions {
       sessionizePlan _),
     (new FunctionIdentifier("bitemporal_snapshot"),
       new ExpressionInfo(getClass.getName, "bitemporal_snapshot"),
-      bitemporalPlan _))
+      bitemporalPlan _),
+    (new FunctionIdentifier("match_pattern"),
+      new ExpressionInfo(getClass.getName, "match_pattern"),
+      matchPatternPlan _))
 
   /** Register the TVFs on an already-built session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -270,8 +270,24 @@ object Patterns {
   def quantifiedCounts(events: DataFrame, entity: String, ts: String,
       tieBreak: String, typeCol: String,
       stages: Seq[(String, Int, Int)],
+      withinUs: Option[Long] = None): DataFrame =
+    quantifiedCountsAlt(events, entity, ts, tieBreak, typeCol,
+      stages.map { case (s, mn, mx) => (Set(s), mn, mx) }, withinUs)
+
+  /** Q58 — ALTERNATION: each stage matches a SET of symbols
+    * (`view (click|error)+ purchase`-style patterns). The machine is
+    * [[quantifiedCounts]]'s with set membership in place of symbol
+    * equality — every caveat there (greedy anchor, lazy final, naive
+    * restart, the head-stage min == 1 require) carries over verbatim;
+    * adjacent stages must use DISJOINT sets (the set generalization of
+    * "distinct symbols" — an overlapping symbol would make the
+    * stay-vs-advance choice ambiguous).
+    */
+  def quantifiedCountsAlt(events: DataFrame, entity: String, ts: String,
+      tieBreak: String, typeCol: String,
+      stages: Seq[(Set[String], Int, Int)],
       withinUs: Option[Long] = None): DataFrame = {
-    validateStages(stages, withinUs)
+    validateStageSets(stages, withinUs)
     val spark = events.sparkSession
     import spark.implicits._
     val st = stages.toArray
@@ -308,10 +324,99 @@ object Patterns {
       .toDF()
   }
 
-  /** The quantified-machine preconditions, shared by both twins. */
+  case class PatMatch(entity: Long, match_no: Long, anchor_us: Long,
+    end_us: Long)
+
+  /** Q59 — PER-MATCH EMISSION (MATCH_RECOGNIZE's ONE ROW PER MATCH):
+    * the same quantified/alternation machine, but instead of one
+    * count-snapshot per entity it emits one row PER COMPLETED MATCH —
+    * (entity, match_no, anchor_us, end_us), the surface a user joins
+    * back to events ("show me each converting funnel run with its
+    * anchor and completion times"). anchor_us is the attempt's first
+    * consumed event (the WITHIN clock start — see quantifiedCounts'
+    * greedy-anchor caveat), end_us the completing event; match_no
+    * numbers an entity's matches in stream order from 1. Under a
+    * `withinUs` bound only bounded matches emit (the same gate that
+    * counts).
+    *
+    * Same 100 TB plan: one entity shuffle, linear scan — output is one
+    * row per MATCH (not per entity), still radically smaller than the
+    * input and never buffered (each hit appends as the scan passes it).
+    */
+  def quantifiedMatchesAlt(events: DataFrame, entity: String, ts: String,
+      tieBreak: String, typeCol: String,
+      stages: Seq[(Set[String], Int, Int)],
+      withinUs: Option[Long] = None): DataFrame = {
+    validateStageSets(stages, withinUs)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val st = stages.toArray
+    val within = withinUs.getOrElse(Long.MaxValue)
+    events.select(col(entity).cast("long").as("entity"),
+        graft.Det.epochUs(col(ts)).as("ts_us"),
+        col(tieBreak).cast("long").as("tie"),
+        col(typeCol).cast("string").as("sym"))
+      .as[PatEv]
+      .repartition(col("entity"))
+      .sortWithinPartitions("entity", "ts_us", "tie")
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[PatMatch]
+        var cur = 0L
+        var started = false
+        var stage = 0
+        var reps = 0
+        var cnt = 0L
+        var n = 0L
+        var anchor = 0L
+        it.foreach { e =>
+          if (!started) { started = true; cur = e.entity }
+          else if (e.entity != cur) {
+            cur = e.entity; stage = 0; reps = 0; cnt = 0L; n = 0L
+            anchor = 0L
+          }
+          val r = qboundedStep(st, within, stage, reps, n, cnt, anchor,
+            e.ts_us, e.sym)
+          // the count advanced => THIS event completed a bounded match;
+          // r's anchor is the completing attempt's (stamped before the
+          // gate reads it, incl. the anchor==end single-stage case)
+          if (r._4 > cnt) out += PatMatch(cur, r._4, r._5, e.ts_us)
+          stage = r._1; reps = r._2; n = r._3; cnt = r._4; anchor = r._5
+        }
+        out.iterator
+      }
+      .toDF()
+  }
+
+  /** Parse the compact TVF pattern spec: whitespace-separated stages,
+    * each `sym`, `(a|b)`, or either with a trailing `+` (one-or-more
+    * reps) — `view (click|error)+ purchase`. Quantifier richness beyond
+    * `+` stays on the Scala API (explicit (min,max) tuples); the SQL
+    * door covers the funnel shapes users actually type.
+    */
+  private[graft] def parsePattern(p: String): Seq[(Set[String], Int, Int)] =
+    p.trim.split("\\s+").toSeq.map { tok =>
+      require(tok.nonEmpty, "empty pattern stage")
+      val (body, mn, mx) =
+        if (tok.endsWith("+")) (tok.dropRight(1), 1, Int.MaxValue)
+        else (tok, 1, 1)
+      val syms = body.stripPrefix("(").stripSuffix(")")
+        .split("\\|").map(_.trim).toSet
+      require(syms.nonEmpty && syms.forall(s =>
+          s.nonEmpty && s.forall(c => c != '(' && c != ')')),
+        s"bad pattern stage '$tok'")
+      (syms, mn, mx)
+    }
+
+  /** The quantified-machine preconditions, shared by all twins. */
   private def validateStages(stages: Seq[(String, Int, Int)],
+      withinUs: Option[Long]): Unit =
+    validateStageSets(
+      stages.map { case (s, mn, mx) => (Set(s), mn, mx) }, withinUs)
+
+  private def validateStageSets(stages: Seq[(Set[String], Int, Int)],
       withinUs: Option[Long]): Unit = {
     require(stages.nonEmpty, "empty stage list")
+    require(stages.forall(_._1.nonEmpty), "empty stage symbol set")
     require(withinUs.forall(_ >= 0L), "negative withinUs")
     require(stages.forall { case (_, mn, mx) => mn >= 0 && mx >= 1 && mx >= mn },
       "each stage needs 0 <= min <= max, max >= 1")
@@ -321,15 +426,16 @@ object Patterns {
       "first stage needs min == 1: the naive restart re-tries only the " +
         "single failing event, so a multi-rep anchor stage would miss " +
         "matches a backtracking matcher finds")
-    require(stages.sliding(2).forall(w => w.length < 2 || w(0)._1 != w(1)._1),
-      "adjacent stages must use distinct symbols")
+    require(stages.sliding(2).forall(w =>
+        w.length < 2 || w(0)._1.intersect(w(1)._1).isEmpty),
+      "adjacent stages must use disjoint symbol sets")
   }
 
   /** The complete quantified per-event transition both twins share
     * (structural [[qstep]] + anchor stamp + WITHIN counting gate);
     * returns (stage, reps, n, cnt, anchor).
     */
-  private[graft] def qboundedStep(st: Array[(String, Int, Int)],
+  private[graft] def qboundedStep(st: Array[(Set[String], Int, Int)],
       within: Long, stage0: Int, reps0: Int, n0: Long, cnt0: Long,
       anchor0: Long, tsUs: Long, sym: String)
       : (Int, Int, Long, Long, Long) = {
@@ -352,8 +458,17 @@ object Patterns {
     */
   def quantifiedCountsStream(events: Dataset[PatEv],
       stages: Seq[(String, Int, Int)], withinUs: Option[Long] = None)
+      : Dataset[PatCount] =
+    quantifiedCountsStreamAlt(events,
+      stages.map { case (s, mn, mx) => (Set(s), mn, mx) }, withinUs)
+
+  /** The alternation form of the streaming twin (see
+    * [[quantifiedCountsAlt]]); same GroupState residue.
+    */
+  def quantifiedCountsStreamAlt(events: Dataset[PatEv],
+      stages: Seq[(Set[String], Int, Int)], withinUs: Option[Long] = None)
       : Dataset[PatCount] = {
-    validateStages(stages, withinUs)
+    validateStageSets(stages, withinUs)
     import events.sparkSession.implicits._
     val st = stages.toArray
     val within = withinUs.getOrElse(Long.MaxValue)
@@ -383,14 +498,14 @@ object Patterns {
     * Shared between the batch fold and any future streaming twin (the
     * sessionStep discipline).
     */
-  private[ops] def qstep(st: Array[(String, Int, Int)], s0: Int, r0: Int,
-      sym: String): (Int, Int, Boolean, Boolean) = {
+  private[ops] def qstep(st: Array[(Set[String], Int, Int)], s0: Int,
+      r0: Int, sym: String): (Int, Int, Boolean, Boolean) = {
     // attempt: consume sym at stage s (reps r so far), advancing through
     // min-satisfied / min-0 stages; Nothing = this attempt dies.
     @annotation.tailrec
     def attempt(s: Int, r: Int): (Int, Int, Boolean) = {
       val (sSym, sMin, sMax) = st(s)
-      if (sym == sSym && r < sMax) {
+      if (sSym(sym) && r < sMax) {
         val r2 = r + 1
         if (s == st.length - 1 && r2 >= sMin) (0, 0, true) // lazy final
         else (s, r2, false)

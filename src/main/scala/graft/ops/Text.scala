@@ -477,22 +477,56 @@ object Text {
     * only in the final ln()s; round(4) on the MEAN absorbs sub-1e-12
     * fold-order noise (the l03 cosine-oracle precedent).
     */
-  def bigramXent(docs: DataFrame, isRef: Column): DataFrame = {
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
-    val n1 = greatest(size(toks) - 1, lit(0))
-    val pairs = docs
-      .select(col("doc_id"), isRef.as("__ref"),
-        explode(zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+  private val lmToks =
+    regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+
+  /** (doc_id, w1, w2) bigram stream of a doc table (L50's tokenization:
+    * lowercase alphabetic words).
+    */
+  def bigramPairs(docs: DataFrame): DataFrame = {
+    val n1 = greatest(size(lmToks) - 1, lit(0))
+    docs
+      .select(col("doc_id"),
+        explode(zip_with(slice(lmToks, lit(1), n1),
+          slice(lmToks, lit(2), n1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("doc_id"), col("__ref"),
-        col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val ref = pairs.filter(col("__ref"))
-    val c2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = docs.filter(isRef)
-      .select(explode(toks).as("tok"))
-      .agg(countDistinct("tok").as("v"))
-    val nll = pairs
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** The L50 model STATS of a reference slice, as one tall additive
+    * table (kind, a, b, n): kind 'c2' = bigram counts, 'c1' = bigram-
+    * HEAD counts, 'tok' = per-token occurrence counts (the vocabulary
+    * is its row count). ADDITIVE over disjoint doc sets — what makes
+    * the S38 streaming maintenance correct (stats of a union == summed
+    * stats of the parts; 'tok' rows sum too, and V = #distinct rows is
+    * read off the aggregated table).
+    */
+  def bigramStats(refDocs: DataFrame): DataFrame = {
+    val pairs = bigramPairs(refDocs)
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .select(lit("c2").as("kind"), col("w1").as("a"), col("w2").as("b"),
+        col("n"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("n"))
+      .select(lit("c1").as("kind"), col("w1").as("a"),
+        lit(null).cast("string").as("b"), col("n"))
+    val tok = refDocs.select(explode(lmToks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .select(lit("tok").as("kind"), col("tok").as("a"),
+        lit(null).cast("string").as("b"), col("n"))
+    c2.unionByName(c1).unionByName(tok)
+  }
+
+  /** Score every doc against aggregated L50 stats (see [[bigramXent]]
+    * for the model and the scale notes — both paths share this scorer).
+    */
+  def bigramXentFromStats(docs: DataFrame, stats: DataFrame): DataFrame = {
+    val c2 = stats.filter(col("kind") === "c2")
+      .select(col("a").as("w1"), col("b").as("w2"), col("n").as("c2"))
+    val c1 = stats.filter(col("kind") === "c1")
+      .select(col("a").as("w1"), col("n").as("c1"))
+    val v = stats.filter(col("kind") === "tok")
+      .agg(count(lit(1)).as("v"))
+    val nll = bigramPairs(docs)
       .join(broadcast(c2), Seq("w1", "w2"), "left")
       .join(broadcast(c1), Seq("w1"), "left")
       .crossJoin(broadcast(v))
@@ -506,6 +540,9 @@ object Text {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("xent_r4"))
   }
+
+  def bigramXent(docs: DataFrame, isRef: Column): DataFrame =
+    bigramXentFromStats(docs, bigramStats(docs.filter(isRef)))
 
   /** L34 — deterministic text canonicalization, the cleaning pass every
     * hash-keyed step downstream (exact dedup, fingerprints, shingles)

@@ -712,6 +712,57 @@ object Relational {
           col("n_matches"))
         .orderBy("user_id")),
 
+    // Q58b — the SQL door: q58 through the match_pattern TVF (the
+    // t01b/q10e precedent — signature operators reachable from pure
+    // SQL text), held to q58's oracle verbatim.
+    "q58b_pattern_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_q58b_events")
+      s.sql("""SELECT entity AS user_id, n_events, n_matches
+        |FROM match_pattern('graft_q58b_events', 'user_id', 'ts',
+        |       'event_id', 'event_type',
+        |       'view (click|error)+ purchase', 0)
+        |WHERE n_matches > 0 ORDER BY user_id""".stripMargin)
+    }),
+
+    // Q59 — PER-MATCH EMISSION (MATCH_RECOGNIZE's ONE ROW PER MATCH):
+    // q57e's bounded funnel (view click+ purchase WITHIN 1 day), but
+    // emitting each converting run as its own row with the anchoring
+    // view's and completing purchase's epoch-µs — the surface a user
+    // joins back to events. Oracle = the q57e DFA walk, selecting the
+    // hit steps instead of the final snapshot (match_no = row_number
+    // per user over steps).
+    "q59_pattern_match_rows" -> ((s, dir) =>
+      graft.ops.Patterns.quantifiedMatchesAlt(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          typeCol = "event_type",
+          stages = Seq((Set("view"), 1, 1),
+            (Set("click"), 1, Int.MaxValue), (Set("purchase"), 1, 1)),
+          withinUs = Some(86400L * 1000000L))
+        .select(col("entity").as("user_id"), col("match_no"),
+          col("anchor_us"), col("end_us"))
+        .orderBy("user_id", "match_no")),
+
+    // Q58 — ALTERNATION stages (MATCH_RECOGNIZE `A (B|C)+ D`):
+    // view (click|error)+ purchase — the engagement stage accepts
+    // either symbol. Same machine as q57d with set membership in place
+    // of symbol equality (adjacent sets must be disjoint); the oracle
+    // is the q57d DFA replay with an IN-list on the alternation stage
+    // — again a hand derivation of THIS pattern's 3 states, not a port
+    // of the fold. On the fixture the alternation genuinely widens the
+    // funnel vs q57d (the error path keeps attempts alive).
+    "q58_pattern_alternation" -> ((s, dir) =>
+      graft.ops.Patterns.quantifiedCountsAlt(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          typeCol = "event_type",
+          stages = Seq((Set("view"), 1, 1),
+            (Set("click", "error"), 1, Int.MaxValue),
+            (Set("purchase"), 1, 1)))
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")),
+
     // Q43 — robust outliers via MAD (median absolute deviation): rows
     // whose |value − median| exceeds 3× the MAD of their event type —
     // the outlier gate that, unlike z-scores, a few extreme points
@@ -1472,6 +1523,31 @@ object Relational {
   /** The declared oracle twins; [[oracles]] adds the shared-SQL aliases
     * on top (q57b is defined to reproduce q42).
     */
+  // Shared by q58 (Scala API) and q58b (the match_pattern TVF): the
+  // hand-derived 3-state DFA replay of view (click|error)+ purchase.
+  private val q58OracleSql: String =
+    """WITH RECURSIVE e AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS i
+      |  FROM events),
+      |n AS (SELECT user_id, max(i) AS n FROM e GROUP BY 1),
+      |walk(user_id, i, q, cnt) AS (
+      |  SELECT user_id, 0, 0, 0 FROM n
+      |  UNION ALL
+      |  SELECT w.user_id, w.i + 1,
+      |    CASE WHEN e.event_type = 'view' THEN 1
+      |         WHEN w.q >= 1 AND e.event_type IN ('click', 'error')
+      |           THEN 2
+      |         ELSE 0 END,
+      |    w.cnt + CASE WHEN w.q = 2 AND e.event_type = 'purchase'
+      |                 THEN 1 ELSE 0 END
+      |  FROM walk w
+      |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1)
+      |SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,
+      |  CAST(w.cnt AS BIGINT) AS n_matches
+      |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
+      |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin
+
   private lazy val oracles0: Map[String, String] = Map(
     "q53_corr_matrix" -> corrOracleSql,
 
@@ -1811,6 +1887,49 @@ object Relational {
         |  CAST(w.cnt AS BIGINT) AS n_matches
         |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
         |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin,
+
+    // q59: the q57e DFA walk, emitting the HIT steps as rows — anchor
+    // at the hit is w.anchor (a purchase never re-stamps it), end is
+    // the hit event's ts; match_no numbers a user's hits in step order.
+    "q59_pattern_match_rows" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |n AS (SELECT user_id, max(i) AS n FROM e GROUP BY 1),
+        |walk(user_id, i, q, cnt, anchor) AS (
+        |  SELECT user_id, 0, 0, 0, CAST(0 AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.i + 1,
+        |    CASE WHEN e.event_type = 'view' THEN 1
+        |         WHEN w.q >= 1 AND e.event_type = 'click' THEN 2
+        |         ELSE 0 END,
+        |    w.cnt + CASE WHEN w.q = 2 AND e.event_type = 'purchase'
+        |                  AND e.ts_us - w.anchor <= 86400000000
+        |                 THEN 1 ELSE 0 END,
+        |    CASE WHEN e.event_type = 'view' THEN e.ts_us
+        |         ELSE w.anchor END
+        |  FROM walk w
+        |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1),
+        |hits AS (SELECT w.user_id, w.i + 1 AS step,
+        |    w.anchor AS anchor_us, e.ts_us AS end_us
+        |  FROM walk w
+        |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1
+        |  WHERE w.q = 2 AND e.event_type = 'purchase'
+        |    AND e.ts_us - w.anchor <= 86400000000)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY step)
+        |    AS match_no,
+        |  anchor_us, end_us
+        |FROM hits ORDER BY user_id, match_no""".stripMargin,
+
+    // q58b is q58 through the SQL TVF — same machine, same oracle.
+    "q58b_pattern_sql" -> q58OracleSql,
+
+    // q58: the q57d DFA with the alternation stage as an IN-list —
+    // hand-derived for view (click|error)+ purchase.
+    "q58_pattern_alternation" -> q58OracleSql,
 
     // q57e: the q57d DFA replay plus the anchor column — a view always
     // (re)anchors, so it always stamps; the count gate reads it at the

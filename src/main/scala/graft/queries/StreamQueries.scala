@@ -590,6 +590,27 @@ object StreamQueries {
         .orderBy("event_type")
     }),
 
+    // S38 — streaming bigram-LM maintenance: l50's quality-filter model
+    // kept live as reference docs land (the s23 shape over Text.
+    // bigramStats' additive tall table); the read scores the full
+    // corpus against the maintained model and must equal the one-shot
+    // l50 build exactly.
+    "s38_bigram_lm_maintenance" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val isRef = col("doc_id") % 5 === 0
+      var state = Streams.bigramStatPartials(d.limit(0), isRef, -1L)
+      (0 to 2).foreach { i =>
+        state = Streams.mergeBigramStatPartials(state,
+          d.filter(col("doc_id") % 3 === i), isRef, i.toLong)
+      }
+      // replayed batch: REPLACES its own rows — a no-op by construction
+      state = Streams.mergeBigramStatPartials(state,
+        d.filter(col("doc_id") % 3 === 2), isRef, 2L)
+      graft.ops.Text.bigramXentFromStats(d,
+          Streams.bigramStatsFromPartials(state))
+        .orderBy("doc_id")
+    }),
+
     "s23_importance_maintenance" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val tgt = col("lang") === "en"
@@ -737,6 +758,10 @@ object StreamQueries {
     // s23 must reproduce l29's one-shot weights from maintained stats.
     "s23_importance_maintenance" ->
       graft.queries.LlmQueries.oracles("l29_importance_weights"),
+
+    // s38 must reproduce l50's one-shot scores from the maintained model.
+    "s38_bigram_lm_maintenance" ->
+      graft.queries.LlmQueries.oracles("l50_bigram_xent"),
 
     // s35 must reproduce t38's percentile index from maintained partials.
     "s35_percentile_maintenance" ->

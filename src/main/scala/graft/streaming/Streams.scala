@@ -222,6 +222,32 @@ object Streams {
     state.groupBy("fid").agg(
       sum("cnt_r").as("cnt_r"), sum("cnt_t").as("cnt_t"))
 
+  /** S38 — streaming maintenance of the L50 bigram-LM model: the
+    * reference corpus arrives as a stream, and the model stats
+    * ([[graft.ops.Text.bigramStats]] — bigram counts, head counts,
+    * per-token counts whose row count IS the vocabulary) are ADDITIVE
+    * over disjoint doc sets, so maintenance is the t09b/s23 partials
+    * pattern verbatim: per-batch stats stamped with their batch id,
+    * replay REPLACES (delete-then-insert), the read side folds
+    * partials and scores any corpus against the maintained model.
+    * At 100 TB the stats table is reference-sized (and top-K-prunable)
+    * exactly like the one-shot model; each merge shuffles only the
+    * batch delta.
+    */
+  def bigramStatPartials(batch: DataFrame, isRef: org.apache.spark.sql.Column,
+      batchId: Long): DataFrame =
+    graft.ops.Text.bigramStats(batch.filter(isRef))
+      .withColumn("batch_id", lit(batchId))
+
+  def mergeBigramStatPartials(state: DataFrame, batch: DataFrame,
+      isRef: org.apache.spark.sql.Column, batchId: Long): DataFrame =
+    state.filter(col("batch_id") =!= batchId)
+      .unionByName(bigramStatPartials(batch, isRef, batchId))
+
+  /** Read side: maintained partials → the exact one-shot model stats. */
+  def bigramStatsFromPartials(state: DataFrame): DataFrame =
+    state.groupBy("kind", "a", "b").agg(sum("n").as("n"))
+
   /** S32 — streaming trend maintenance (Q51 live): the OLS sufficient
     * statistics (n, Σx, Σy, Σxy, Σx²) are ADDITIVE over disjoint event
     * sets, so a continuously-maintained regression is the t09b partials

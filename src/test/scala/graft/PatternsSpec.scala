@@ -273,6 +273,109 @@ class PatternsSpec extends SparkSpecBase {
     assert(runQW(df, st, Long.MaxValue) == runQ(df, st))
   }
 
+  // ---- alternation stages (q58) ----
+
+  private def runQA(df: org.apache.spark.sql.DataFrame,
+      stages: Seq[(Set[String], Int, Int)]): Map[Long, (Long, Long)] =
+    Patterns.quantifiedCountsAlt(df, "user_id", "ts", "event_id",
+        "event_type", stages)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("alternation: A (B|X)+ C semantics, disjointness require, " +
+      "singleton == string form, regex equivalence (60 cases)") {
+    val st = Seq((Set("a"), 1, 1), (Set("b", "x"), 1, Int.MaxValue),
+      (Set("c"), 1, 1))
+    // the x path keeps the attempt alive where the b-only machine dies
+    assert(runQA(evDF(1L -> Seq("a", "x", "c")), st)
+      == Map(1L -> ((3L, 1L))))
+    assert(runQA(evDF(1L -> Seq("a", "b", "x", "b", "c")), st)
+      == Map(1L -> ((5L, 1L))))
+    // singleton sets == the string form bit-for-bit
+    val strSt = Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1))
+    val dfs = evDF(1L -> Seq("a", "b", "a", "b", "c", "x", "a", "b", "c"))
+    assert(runQA(dfs, strSt.map { case (s, mn, mx) => (Set(s), mn, mx) })
+      == runQ(dfs, strSt))
+    // adjacent sets must be DISJOINT (overlap makes stay-vs-advance
+    // ambiguous)
+    intercept[IllegalArgumentException] {
+      runQA(evDF(1L -> Seq("a")),
+        Seq((Set("a"), 1, 1), (Set("a", "b"), 1, 2)))
+    }
+    // randomized equivalence vs the regex reference a[bx]+?c
+    val rnd = new scala.util.Random(5858)
+    val alphabet = Vector("a", "b", "c", "x")
+    val cases = (1L to 60L).map { u =>
+      u -> Seq.fill(3 + rnd.nextInt(40))(alphabet(rnd.nextInt(4)))
+    }
+    val got = runQA(evDF(cases: _*), st)
+    cases.foreach { case (u, syms) =>
+      assert(got(u) == ((syms.length.toLong, regexCount(syms, "a[bx]+?c"))),
+        s"user $u syms $syms")
+    }
+  }
+
+  // ---- the SQL door (q58b) ----
+
+  test("match_pattern TVF: SQL == Scala API for alternation, '+', " +
+      "bare stages, and the within bound") {
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    val df = evDF(1L -> Seq("a", "x", "b", "c", "a", "b", "c"),
+      2L -> Seq("a", "c"))
+    df.createOrReplaceTempView("tvf_pat_events")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(
+        "SELECT * FROM match_pattern('tvf_pat_events', 'user_id', 'ts', " +
+          "'event_id', 'event_type', 'a (b|x)+ c', 0)")) ==
+      rows(Patterns.quantifiedCountsAlt(df, "user_id", "ts", "event_id",
+        "event_type", Seq((Set("a"), 1, 1),
+          (Set("b", "x"), 1, Int.MaxValue), (Set("c"), 1, 1)))))
+    assert(rows(spark.sql(
+        "SELECT * FROM match_pattern('tvf_pat_events', 'user_id', 'ts', " +
+          s"'event_id', 'event_type', 'a b c', ${3L * 60000000L})")) ==
+      rows(Patterns.quantifiedCountsAlt(df, "user_id", "ts", "event_id",
+        "event_type",
+        Seq((Set("a"), 1, 1), (Set("b"), 1, 1), (Set("c"), 1, 1)),
+        withinUs = Some(3L * 60000000L))))
+  }
+
+  // ---- per-match emission (q59) ----
+
+  test("per-match rows: anchors/ends on the evDF minute grid, bound " +
+      "filters, row count == match count on random streams") {
+    val st = Seq((Set("a"), 1, 1), (Set("b"), 1, Int.MaxValue),
+      (Set("c"), 1, 1))
+    def rows(df: org.apache.spark.sql.DataFrame, within: Option[Long]) =
+      Patterns.quantifiedMatchesAlt(df, "user_id", "ts", "event_id",
+          "event_type", st, within)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toList.sorted
+    // two runs: a b c | a b b c — anchors at minutes 0 and 3, ends at
+    // minutes 2 and 6 (evDF places event k at minute k)
+    val df = evDF(1L -> Seq("a", "b", "c", "a", "b", "b", "c"))
+    val min = 60000000L
+    val base = rows(df, None).map(t => (t._1, t._2,
+      (t._3 - rows(df, None).head._3) / min,
+      (t._4 - rows(df, None).head._3) / min))
+    assert(base == List((1L, 1L, 0L, 2L), (1L, 2L, 3L, 6L)))
+    // a 2-minute bound keeps only the first (span 2 ≤ 2; span 3 > 2)
+    assert(rows(df, Some(2L * min)).map(_._2) == List(1L))
+    // random streams: per-user row count == quantifiedCounts' n_matches
+    val rnd = new scala.util.Random(5959)
+    val cases = (1L to 50L).map { u =>
+      u -> Seq.fill(3 + rnd.nextInt(40))(
+        Vector("a", "b", "c", "x")(rnd.nextInt(4)))
+    }
+    val rdf = evDF(cases: _*)
+    val counts = runQ(rdf,
+      Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1)))
+    val perUser = rows(rdf, None).groupBy(_._1).view.mapValues(_.size.toLong)
+    cases.foreach { case (u, _) =>
+      assert(perUser.getOrElse(u, 0L) == counts(u)._2, s"user $u")
+    }
+  }
+
   test("quantified WITHIN == bounded regex reference on random streams (80 cases)") {
     // the completing attempt's consumed events are CONSECUTIVE, so its
     // anchor is the regex match start and the span is (end-1 − start)

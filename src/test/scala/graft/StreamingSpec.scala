@@ -1218,6 +1218,47 @@ class StreamingSpec extends SparkSpecBase {
       == oneShot)
   }
 
+  test("S38 bigram-LM stats foreachBatch: == one-shot scores, replay no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(30)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val isRef = col("doc_id") % 5 === 0
+    def docDF = docs.toSeq.toDF("doc_id", "text")
+    // one-shot reference over the same 30 docs
+    val ref = graft.ops.Text.bigramXent(docDF, isRef)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSet
+
+    val source = MemoryStream[(Long, String)]
+    var state = Streams.bigramStatPartials(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), isRef, -1L)
+    var lastBatch: Option[org.apache.spark.sql.DataFrame] = None
+    var lastId = -1L
+    val q = source.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        state = Streams.mergeBigramStatPartials(state, batch, isRef, id)
+          .localCheckpoint()
+        lastBatch = Some(batch.localCheckpoint()); lastId = id
+      }
+      .outputMode(OutputMode.Append()).start()
+    try docs.grouped(11).foreach { g =>
+      source.addData(g.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def scores(st: org.apache.spark.sql.DataFrame) =
+      graft.ops.Text.bigramXentFromStats(docDF,
+          Streams.bigramStatsFromPartials(st))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSet
+    assert(scores(state) == ref && ref.nonEmpty)
+    // replaying the last micro-batch replaces its own partials — no-op
+    val replayed = Streams.mergeBigramStatPartials(state, lastBatch.get,
+      isRef, lastId)
+    assert(scores(replayed) == ref)
+  }
+
   test("S23 importance stats foreachBatch: == one-shot weights, replay no-op") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
