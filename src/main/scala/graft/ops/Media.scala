@@ -196,6 +196,70 @@ object Media {
     out
   }
 
+  /** Encode mono PCM16 samples into a minimal valid WAV container
+    * (RIFF + fmt + data, little-endian) — the synthesis half of the
+    * real codec path ([[decodeWav]]/[[wavSamples]] parse it back
+    * bit-for-bit; L51 round-trips its deterministic "recordings"
+    * through this container before extracting features).
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put(off: Int, s: String): Unit =
+      s.indices.foreach(k => out(off + k) = s(k).toByte)
+    def p16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(off: Int, v: Long): Unit = (0 until 4).foreach(k =>
+      out(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+    put(0, "RIFF"); p32(4, 36L + dataLen); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16L); p16(20, 1); p16(22, 1)
+    p32(24, sampleRate.toLong); p32(28, sampleRate.toLong * 2)
+    p16(32, 2); p16(34, 16)
+    put(36, "data"); p32(40, dataLen.toLong)
+    samples.indices.foreach(i => p16(44 + 2 * i, samples(i) & 0xffff))
+    out
+  }
+
+  /** Parse a PCM16 WAV into its sign-extended samples (interleaved if
+    * multi-channel); None on anything [[decodeWav]] would reject — the
+    * sample-level read the feature extractors (L51) run on.
+    */
+  def wavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    def tag(off: Int, s: String): Boolean =
+      off + 4 <= bytes.length && s.indices.forall(k => bytes(off + k) == s(k))
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes == null || bytes.length < 44 ||
+      !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var fmtOk = false
+    var out: Option[Array[Int]] = None
+    while (out.isEmpty && off + 8 <= bytes.length) {
+      val size = u32(off + 4)
+      val body = off + 8
+      if (body + size > bytes.length) return None
+      if (tag(off, "fmt ") && size >= 16) {
+        if (u16(body) != 1 || u16(body + 14) != 16 || u16(body + 2) == 0)
+          return None // PCM16 only, like decodeWav's feature path
+        fmtOk = true
+      } else if (tag(off, "data")) {
+        if (!fmtOk) return None
+        val n = (size / 2).toInt
+        val arr = new Array[Int](n)
+        var (p, k) = (body, 0)
+        while (k < n) { arr(k) = (u16(p) << 16) >> 16; p += 2; k += 1 }
+        out = Some(arr)
+      }
+      off = body + size.toInt + (size.toInt & 1)
+    }
+    out
+  }
+
   // ------------------------------------------------- DataFrame wrappers
 
   private def decodeWith(df: DataFrame, payloadCol: String, out: String,
@@ -224,6 +288,23 @@ object Media {
   def decodeAudio(df: DataFrame, payloadCol: String,
       out: String = "audio_meta"): DataFrame =
     decodeWith(df, payloadCol, out, audioMetaSchema, decodeWav)
+
+  /** Decode a WAV payload column into its raw sample array (null on
+    * malformed bytes) — same mapPartitions batch shape as the decoders.
+    */
+  def decodeAudioSamples(df: DataFrame, payloadCol: String,
+      out: String = "samples"): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema.add(out, ArrayType(IntegerType),
+      nullable = true)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val s = wavSamples(row.getAs[Array[Byte]](idx))
+          .map(_.toSeq).orNull
+        Row.fromSeq(row.toSeq :+ s)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Materialize nearest-neighbor thumbnails of a PPM payload column
     * into `out` (null on malformed bytes) — same mapPartitions batch

@@ -387,6 +387,42 @@ object Patterns {
       .toDF()
   }
 
+  /** S39 — LIVE per-match emission: the q59 surface as a continuous
+    * query (streaming MATCH_RECOGNIZE). Each micro-batch folds its
+    * slice in (ts, tie) order through the same [[qboundedStep]]; every
+    * match COMPLETED in the batch emits one [[PatMatch]] row — Append-
+    * mode clean, because a completed match is FINAL (the one-pass
+    * machine never retracts or extends it), so the stream of emitted
+    * rows equals the batch fold's row set exactly. match_no continues
+    * across batches from the GroupState count. Same in-order-across-
+    * batches caveat as S20/S36.
+    */
+  def quantifiedMatchesStream(events: Dataset[PatEv],
+      stages: Seq[(Set[String], Int, Int)], withinUs: Option[Long] = None)
+      : Dataset[PatMatch] = {
+    validateStageSets(stages, withinUs)
+    import events.sparkSession.implicits._
+    val st = stages.toArray
+    val within = withinUs.getOrElse(Long.MaxValue)
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[QPatState, PatMatch](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (ent: Long, rows: Iterator[PatEv], state: GroupState[QPatState]) =>
+          val st0 = state.getOption.getOrElse(QPatState(0, 0, 0L, 0L, 0L))
+          var stage = st0.stage; var reps = st0.reps; var n = st0.n
+          var cnt = st0.cnt; var anchor = st0.anchor
+          val out = scala.collection.mutable.ArrayBuffer.empty[PatMatch]
+          rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+            val r = qboundedStep(st, within, stage, reps, n, cnt, anchor,
+              e.ts_us, e.sym)
+            if (r._4 > cnt) out += PatMatch(ent, r._4, r._5, e.ts_us)
+            stage = r._1; reps = r._2; n = r._3; cnt = r._4; anchor = r._5
+          }
+          state.update(QPatState(stage, reps, n, cnt, anchor))
+          out.iterator
+      }
+  }
+
   /** Parse the compact TVF pattern spec: whitespace-separated stages,
     * each `sym`, `(a|b)`, or either with a trailing `+` (one-or-more
     * reps) — `view (click|error)+ purchase`. Quantifier richness beyond

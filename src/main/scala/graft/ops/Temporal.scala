@@ -347,6 +347,60 @@ object Temporal {
         (lit(loCents) + col("bucket") * width).as("hi_cents"))
   }
 
+  /** T39 — linear-interpolation resampling, the other half of T31's
+    * forward-fill: each entity's irregular value series read out on the
+    * daily UTC-midnight grid between its first and last event, each
+    * grid point EXACTLY interpolated between its bracketing events in
+    * pure integer arithmetic — v = (v0·(t1−t) + v1·(t−t0)) div (t1−t0)
+    * over µs and cents, decimal(38,0) products (cents × a month of µs
+    * overflows 2^63), truncation toward zero on both engines. The
+    * degenerate cases fall out of the formula: an event exactly at the
+    * grid point makes t0 = t and the quotient collapse to v0 exactly;
+    * a grid point at the series' last event (no later event) reads v0.
+    *
+    * Plan: one entity-keyed groupBy for the bounds, one
+    * explode(sequence) grid, then a SINGLE entity shuffle+sort shared
+    * by the two frames (events and grid points interleaved; grid rows
+    * carry null values so IGNORE NULLS last/first pick the bracketing
+    * events) — no per-grid-point join, no as-of probe storm. At 100 TB
+    * the grid is bounded by entities × days, tiny next to the events.
+    */
+  def resampleInterpolate(events: DataFrame, entity: String, ts: String,
+      tieBreak: String, valueCents: Column): DataFrame = {
+    val e = events.select(col(entity).as("__ent"), col(ts).as("__ts"),
+      col(tieBreak).cast("long").as("__tie"),
+      valueCents.cast("long").as("__v"))
+    val grid = e.groupBy("__ent")
+      .agg(min("__ts").as("mn"), max("__ts").as("mx"))
+      .select(col("__ent"), col("mn"),
+        explode(sequence(date_trunc("day", col("mn")), col("mx"),
+          expr("interval 1 day"))).as("__ts"))
+      .filter(col("__ts") >= col("mn"))
+      .select(col("__ent"), col("__ts"), lit(1).as("__isg"),
+        lit(Long.MaxValue).as("__tie"), lit(null).cast("long").as("__v"))
+    val u = e.withColumn("__isg", lit(0))
+      .select("__ent", "__ts", "__isg", "__tie", "__v")
+      .unionByName(grid)
+      .withColumn("__us", graft.Det.epochUs(col("__ts")))
+      .withColumn("__evus", when(col("__isg") === 0, col("__us")))
+    val w = Window.partitionBy("__ent")
+      .orderBy(col("__ts"), col("__isg"), col("__tie"))
+    val pw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nw = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("v0", last("__v", ignoreNulls = true).over(pw))
+      .withColumn("t0", last("__evus", ignoreNulls = true).over(pw))
+      .withColumn("v1", first("__v", ignoreNulls = true).over(nw))
+      .withColumn("t1", first("__evus", ignoreNulls = true).over(nw))
+      .filter(col("__isg") === 1)
+      .select(col("__ent").as(entity), col("__ts").as("day"),
+        when(col("t1").isNull || col("t1") === col("t0"), col("v0"))
+          .otherwise(expr(
+            """CAST((CAST(v0 AS DECIMAL(38,0)) * (t1 - __us) +
+              |      CAST(v1 AS DECIMAL(38,0)) * (__us - t0))
+              |     div (t1 - t0) AS BIGINT)""".stripMargin))
+          .as("v_cents"))
+  }
+
   /** S37 — population-stability-index drift between two day-ranges of
     * the SAME maintained histogram (the monitoring read a training-data
     * pipeline runs continuously: "has this feed's value distribution

@@ -950,6 +950,49 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L51 — audio FEATURE EXTRACTION through the real codec: each doc
+    // gets a deterministic PCM16 "recording" (sample_i =
+    // md5Long(doc_id||'_'||i) % 65536 − 32768 — engine-portable, so
+    // DuckDB replays the exact stream arithmetically), ENCODED into a
+    // real WAV container, PARSED BACK by the byte-level codec
+    // (Media.wavSamples — the container round-trip is genuinely
+    // exercised), then reduced to per-64-sample-window exact integer
+    // features: energy (Σ s²) and zero crossings (sign flips). The
+    // windowed-feature shape every audio curation pipeline runs; at
+    // 100 TB the decode is the same mapPartitions batch a native codec
+    // binding uses and the features are one lag + one groupBy.
+    "l51_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val n = 256
+      val smp = docs(s, dir).select(col("doc_id"))
+        .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
+        .withColumn("smp",
+          (graft.Det.md5Long(concat(col("doc_id"), lit("_"), col("i")))
+            % 65536 - 32768).cast("int"))
+      val wavs = smp.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("i"), col("smp"))))
+          .as("ss"))
+        .as[(Long, Seq[(Int, Int)])]
+        .map { case (id, ss) =>
+          (id, graft.ops.Media.encodeWav(16000,
+            ss.map(_._2.toShort).toArray))
+        }
+        .toDF("doc_id", "payload")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")
+      graft.ops.Media.decodeAudioSamples(wavs, "payload")
+        .select(col("doc_id"),
+          posexplode(col("samples")).as(Seq("i", "smp")))
+        .withColumn("prev", lag("smp", 1).over(w))
+        .groupBy(col("doc_id"), expr("CAST(i div 64 AS BIGINT)").as("win"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("smp").cast("long") * col("smp")).as("energy"),
+          sum(when(col("i") % 64 =!= 0 &&
+              col("prev").cast("long") * col("smp") < 0, 1L)
+            .otherwise(0L)).as("crossings"))
+        .orderBy("doc_id", "win")
+    }),
+
     // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
     "l06_knn" -> ((s, dir) => {
       graft.functions.VecFunctions.ensureRegistered(s)
@@ -2238,6 +2281,26 @@ object LlmQueries {
 
     "l49_unigram_vocab" -> unigramChainSql(vocabWords = 200,
       maxPieceLen = 4, candidates = 150, rounds = 3, prunePerRound = 30),
+
+    // l51: the WAV round-trip is engine-side; the oracle replays the
+    // deterministic sample stream arithmetically (same md5 formula)
+    // and the exact integer window features.
+    "l51_audio_features" -> {
+      val h = graft.Det.duckMd5Long("doc_id || '_' || i")
+      s"""WITH s AS (SELECT doc_id, i,
+        |    CAST(($h) % 65536 - 32768 AS BIGINT) AS smp
+        |  FROM (SELECT doc_id, unnest(range(0, 256)) AS i
+        |        FROM documents)),
+        |p AS (SELECT doc_id, i, smp,
+        |    lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM s)
+        |SELECT doc_id, CAST(i // 64 AS BIGINT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(smp * smp) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN i % 64 <> 0 AND prev * smp < 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+        |FROM p GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin
+    },
 
     // l50: the bigram-model replay — parallel unnests zip the slice
     // pair exactly like Spark's zip_with(slice, slice); DuckDB ln and

@@ -310,6 +310,26 @@ object StreamQueries {
         .orderBy("user_id")
     }),
 
+    // S39 — LIVE per-match emission (streaming MATCH_RECOGNIZE): q59's
+    // bounded funnel matches emitted as rows the moment they complete;
+    // a completed match is final, so Append mode is exact and the
+    // one-batch fold reproduces q59's oracle verbatim.
+    "s39_stream_match_rows" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir).select(col("user_id").as("entity"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
+          col("event_id").as("tie"), col("event_type").as("sym"))
+        .as[graft.ops.Patterns.PatEv]
+      graft.ops.Patterns.quantifiedMatchesStream(in,
+          Seq((Set("view"), 1, 1), (Set("click"), 1, Int.MaxValue),
+            (Set("purchase"), 1, 1)),
+          withinUs = Some(86400L * 1000000L))
+        .toDF()
+        .select(col("entity").as("user_id"), col("match_no"),
+          col("anchor_us"), col("end_us"))
+        .orderBy("user_id", "match_no")
+    }),
+
     // S36b — the quantified sibling (q57d's `view click+ purchase`
     // machine live); same discipline, held to q57d's DFA-replay oracle.
     "s36b_stream_quant_patterns" -> ((s, dir) => {
@@ -762,6 +782,11 @@ object StreamQueries {
     // s38 must reproduce l50's one-shot scores from the maintained model.
     "s38_bigram_lm_maintenance" ->
       graft.queries.LlmQueries.oracles("l50_bigram_xent"),
+
+    // s39 emits q59's match rows through the streaming twin — same
+    // oracle verbatim.
+    "s39_stream_match_rows" ->
+      graft.queries.Relational.oracles("q59_pattern_match_rows"),
 
     // s35 must reproduce t38's percentile index from maintained partials.
     "s35_percentile_maintenance" ->

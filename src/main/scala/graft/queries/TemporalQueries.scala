@@ -927,6 +927,16 @@ object TemporalQueries {
     // the whole index path hash-matches a DuckDB replay of the same
     // buckets; the error-≤-bucket-width containment vs exact
     // percentiles is pinned in ToleranceSpec.
+    // T39 — linear-interpolation resampling (the other half of t31's
+    // forward-fill): each user's value series read out on the daily
+    // UTC-midnight grid, exactly interpolated between bracketing events
+    // in integer µs/cents arithmetic (decimal(38,0) products, div).
+    "t39_resample_interpolate" -> ((s, dir) =>
+      Temporal.resampleInterpolate(ev(s, dir), entity = "user_id",
+          ts = "ts", tieBreak = "event_id",
+          valueCents = cents(col("value")))
+        .orderBy("user_id", "day")),
+
     "t38_percentile_index" -> ((s, dir) => {
       val parts = Temporal.histogramDaily(ev(s, dir),
         entity = "event_type", ts = "ts",
@@ -1698,6 +1708,44 @@ object TemporalQueries {
     // t38: the same day-partial histogram build + range re-agg + rank
     // pick the engine runs — hash equality proves the index decomposes
     // losslessly.
+    // t39: the interleaved-window replay — grid rows carry NULLs so
+    // IGNORE-NULLS last/first pick the bracketing events; HUGEINT
+    // products mirror the engine's decimal(38,0); // and div both
+    // truncate toward zero (all quantities non-negative here anyway).
+    "t39_resample_interpolate" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_id AS tie, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM e
+        |  GROUP BY 1),
+        |g AS (SELECT user_id, CAST(t AS TIMESTAMP) AS t
+        |  FROM (SELECT user_id, mn,
+        |      unnest(generate_series(date_trunc('day', mn), mx,
+        |        INTERVAL 1 DAY)) AS t
+        |    FROM b) WHERE CAST(t AS TIMESTAMP) >= mn),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS isg, tie, v FROM e
+        |  UNION ALL
+        |  SELECT user_id, t, 1, 9223372036854775807, NULL FROM g),
+        |w AS (SELECT user_id, ts, isg, epoch_us(ts) AS us,
+        |    last_value(v IGNORE NULLS) OVER pw AS v0,
+        |    last_value(CASE WHEN isg = 0 THEN epoch_us(ts) END
+        |      IGNORE NULLS) OVER pw AS t0,
+        |    first_value(v IGNORE NULLS) OVER nw AS v1,
+        |    first_value(CASE WHEN isg = 0 THEN epoch_us(ts) END
+        |      IGNORE NULLS) OVER nw AS t1
+        |  FROM u
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, isg, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    nw AS (PARTITION BY user_id ORDER BY ts, isg, tie
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, ts AS day,
+        |  CAST(CASE WHEN t1 IS NULL OR t1 = t0 THEN v0
+        |       ELSE (CAST(v0 AS HUGEINT) * (t1 - us) +
+        |             CAST(v1 AS HUGEINT) * (us - t0)) // (t1 - t0)
+        |       END AS BIGINT) AS v_cents
+        |FROM w WHERE isg = 1 ORDER BY user_id, day""".stripMargin,
+
     "t38_percentile_index" ->
       """WITH raw AS (SELECT event_type,
         |    CAST(round(value*100) AS BIGINT) AS v,

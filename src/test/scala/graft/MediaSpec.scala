@@ -92,6 +92,21 @@ class MediaSpec extends SparkSpecBase {
     assert(Media.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)
   }
 
+  test("encodeWav/wavSamples: exact PCM16 round trip incl. the rails; " +
+      "garbage and truncated containers rejected") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 1234, -4321)
+    val bytes = Media.encodeWav(8000, samples)
+    assert(Media.wavSamples(bytes).get.toSeq == samples.map(_.toInt).toSeq)
+    val meta = Media.decodeWav(bytes).get
+    assert((meta.sample_rate, meta.channels, meta.bits_per_sample,
+      meta.n_samples) == ((8000, 1, 16, samples.length.toLong)))
+    assert(Media.wavSamples("garbage".getBytes("UTF-8")).isEmpty)
+    assert(Media.wavSamples(bytes.take(50)).isEmpty) // truncated data
+    assert(Media.encodeWav(8000, Array.empty[Short]).length == 44)
+    assert(Media.wavSamples(Media.encodeWav(8000, Array.empty[Short]))
+      .get.isEmpty)
+  }
+
   test("decode wrappers: parquet round-trip, mixed good/garbage payloads") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString

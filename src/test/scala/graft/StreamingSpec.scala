@@ -1719,6 +1719,61 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("S39 per-match stream: boundary-spanning match emits once, " +
+      "rows == q59 fold (fixture)") {
+    import spark.implicits._
+    import graft.ops.Patterns
+    implicit val sq = spark.sqlContext
+    val stages = Seq((Set("a"), 1, 1), (Set("b"), 1, Int.MaxValue),
+      (Set("c"), 1, 1))
+    // hand case: anchor lands in batch 1, completion in batch 2 — the
+    // match emits exactly once, in batch 2, with the batch-1 anchor
+    val evs = Seq(
+      Patterns.PatEv(1L, 100L, 1L, "a"), Patterns.PatEv(1L, 200L, 2L, "b"),
+      Patterns.PatEv(1L, 300L, 3L, "b"), Patterns.PatEv(1L, 400L, 4L, "c"))
+    val src = MemoryStream[Patterns.PatEv]
+    val q = Patterns.quantifiedMatchesStream(src.toDS(), stages)
+      .writeStream.format("memory").queryName("s39hand")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(evs.take(2)); q.processAllAvailable()
+      assert(spark.table("s39hand").count() == 0) // nothing completed yet
+      src.addData(evs.drop(2)); q.processAllAvailable()
+      val rows = spark.table("s39hand").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, 1L, 100L, 400L)))
+    } finally q.stop()
+    // fixture: streamed rows == the batch q59 fold, any batching
+    val in = Tables.load(spark, sfDir, "events")
+      .select(col("user_id").as("entity"),
+        graft.Det.epochUs(col("ts")).as("ts_us"),
+        col("event_id").as("tie"), col("event_type").as("sym"))
+      .as[Patterns.PatEv]
+    val fstages = Seq((Set("view"), 1, 1), (Set("click"), 1, Int.MaxValue),
+      (Set("purchase"), 1, 1))
+    val bound = Some(86400L * 1000000L)
+    val batch = Patterns.quantifiedMatchesAlt(
+        Tables.load(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type", fstages, bound)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val fevs = in.orderBy("ts_us", "tie").collect().toSeq
+    val fsrc = MemoryStream[Patterns.PatEv]
+    val fq = Patterns.quantifiedMatchesStream(fsrc.toDS(), fstages, bound)
+      .writeStream.format("memory").queryName("s39fix")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      fevs.grouped(math.max(1, fevs.length / 5)).foreach { g =>
+        fsrc.addData(g); fq.processAllAvailable()
+      }
+      val streamed = spark.table("s39fix").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally fq.stop()
+  }
+
   test("S36b quantified stream == batch fold (fixture)") {
     import spark.implicits._
     import graft.ops.Patterns

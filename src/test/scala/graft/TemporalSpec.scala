@@ -691,6 +691,30 @@ class TemporalSpec extends SparkSpecBase {
       (1L, 100L, 110L), (1L, 120L, 150L), (1L, 160L, 200L)))
   }
 
+  test("resampleInterpolate: hand interpolation, exact-at-grid and " +
+      "last-point degenerate to the event value") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: 100 cents at 01-01 00:00, 400 cents at 01-03 12:00
+    //   grid 01-01 (exact hit) -> 100; 01-02 -> 24h/60h of +300 = 220;
+    //   01-03 -> 48h/60h -> 340. user 2: one midnight event -> itself.
+    val e = Seq(
+      (1L, t("2024-01-01 00:00:00"), 10L, 1.00),
+      (1L, t("2024-01-03 12:00:00"), 11L, 4.00),
+      (2L, t("2024-02-10 00:00:00"), 20L, 7.00))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = graft.ops.Temporal.resampleInterpolate(e, "user_id", "ts",
+        "event_id", graft.Det.cents(col("value")))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (1L, "2024-01-01 00:00:00.0", 100L),
+      (1L, "2024-01-02 00:00:00.0", 220L),
+      (1L, "2024-01-03 00:00:00.0", 340L),
+      (2L, "2024-02-10 00:00:00.0", 700L)))
+  }
+
   test("intervalComplement + clipped coverage partition the window (randomized)") {
     import spark.implicits._
     val rnd = new scala.util.Random(47)
