@@ -423,6 +423,39 @@ object GraphQueries {
       acc.orderBy("id")
     }),
 
+    // G41 — DAG CRITICAL PATH (assembly makespan): over g39's implicit
+    // BOM tree (children of id = {2id, 2id+1} within the part set),
+    // each part's critical path = its own build cost (id%7+1) plus the
+    // MAX over children's critical paths — the longest-cost chain a
+    // scheduler cannot compress. Same bounded level-DP loop as g39
+    // (depth = log2 |parts| rounds, each one groupBy + one join on the
+    // level slice, checkpoint-cut lineage) with max in place of sum —
+    // the scheduling dual of the BOM rollup. Oracle = a DuckDB
+    // recursive descendant walk taking max path cost per start.
+    "g41_critical_path" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("id"))
+        .withColumn("lvl", (length(bin(col("id"))) - 1).cast("int"))
+        .withColumn("cost", (col("id") % 7 + 1).cast("long"))
+        .transform(graft.ops.Checkpoints.cut)
+      val maxL = p.agg(max("lvl")).head().getInt(0)
+      var computed = p.filter(col("lvl") === maxL)
+        .select(col("id"), col("cost").as("crit"))
+      var acc = computed
+      for (d <- maxL - 1 to 0 by -1) {
+        val best = computed.filter(col("id") >= 2)
+          .select(expr("id div 2").as("pid"), col("crit"))
+          .groupBy("pid").agg(max("crit").as("mc"))
+        computed = p.filter(col("lvl") === d)
+          .join(best, col("id") === col("pid"), "left")
+          .select(col("id"),
+            (col("cost") + coalesce(col("mc"), lit(0L))).as("crit"))
+          .transform(graft.ops.Checkpoints.cut)
+        acc = acc.unionAll(computed)
+      }
+      acc.orderBy("id")
+    }),
+
     // G08 — PageRank on G_supply, 10 fixed iterations, via the
     // Catalyst-native power iteration (pageRankDF; the GraphX twin is
     // asserted within 1e-6 with identical top-20 order in ToleranceSpec).
@@ -1492,6 +1525,20 @@ object GraphQueries {
         |  FROM (SELECT comp, count(*) OVER (PARTITION BY comp) AS sz
         |        FROM c20))
         |ORDER BY k""".stripMargin,
+
+    // Critical-path replay: descendant walk carrying the additive path
+    // cost, max per start — the path-enumeration form the engine's
+    // bottom-up max-DP avoids.
+    "g41_critical_path" ->
+      """WITH RECURSIVE p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+        |    CAST(p_partkey % 7 + 1 AS BIGINT) AS cost FROM part),
+        |walk(start, node, acc) AS (
+        |  SELECT id, id, cost FROM p
+        |  UNION ALL
+        |  SELECT w.start, c.id, w.acc + c.cost
+        |  FROM walk w JOIN p c ON c.id // 2 = w.node AND c.id >= 2)
+        |SELECT start AS id, CAST(max(acc) AS BIGINT) AS crit
+        |FROM walk GROUP BY 1 ORDER BY id""".stripMargin,
 
     // BOM replay: full root×descendant path enumeration with the
     // multiplicative unit product carried on the walk — the quadratic

@@ -357,6 +357,37 @@ object Relational {
         .orderBy("wday")
     }),
 
+    // Q60 — EXACT rolling 7-day median per event_type: q38's
+    // contribution-explode applied to ORDER STATISTICS — each event
+    // contributes to the ≤7 window-end days it falls in, then the
+    // lower median is the rank-((n+1) div 2) pick inside each
+    // (type, window-day) group. The rolling robust baseline a rolling
+    // MEAN can't give, made exact and hash-stable: a bounded ×7
+    // fan-out + one rank window, no per-day re-scan — survives 100×
+    // because the fan-out is a constant, not a window length.
+    "q60_rolling_median" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"),
+          cents(col("value")).as("v"), col("event_id"))
+      val maxDay = e.agg(max(col("day")).as("max_day"))
+      val contrib = e.select(col("event_type"), col("v"), col("event_id"),
+          explode(sequence(col("day"),
+            col("day") + expr("interval 6 days"),
+            expr("interval 1 day"))).as("wday"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("wday") <= col("max_day"))
+      contrib
+        .withColumn("r", row_number().over(
+          Window.partitionBy("event_type", "wday")
+            .orderBy(col("v"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type", "wday")))
+        .filter(col("r") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("wday"), col("n"),
+          col("v").as("median_cents"))
+        .orderBy("event_type", "wday")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -1926,6 +1957,30 @@ object Relational {
 
     // q58b is q58 through the SQL TVF — same machine, same oracle.
     "q58b_pattern_sql" -> q58OracleSql,
+
+    // q60: the same explode + rank pick; (n+1)//2 and (n+1) div 2 agree
+    // on positive counts.
+    "q60_rolling_median" ->
+      """WITH e AS (SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(round(value*100) AS BIGINT) AS v, event_id
+        |  FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM e),
+        |c AS (SELECT event_type, v, event_id, CAST(w AS TIMESTAMP) AS wday
+        |  FROM (SELECT event_type, v, event_id,
+        |      unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |        INTERVAL 1 DAY)) AS w
+        |    FROM e) CROSS JOIN mx
+        |  WHERE CAST(w AS TIMESTAMP) <= max_day),
+        |r AS (SELECT event_type, wday, v,
+        |    row_number() OVER (PARTITION BY event_type, wday
+        |      ORDER BY v, event_id) AS r,
+        |    count(*) OVER (PARTITION BY event_type, wday) AS n
+        |  FROM c)
+        |SELECT event_type, wday, CAST(n AS BIGINT) AS n,
+        |  v AS median_cents
+        |FROM r WHERE r = (n + 1) // 2
+        |ORDER BY event_type, wday""".stripMargin,
 
     // q58: the q57d DFA with the alternation stage as an IN-list —
     // hand-derived for view (click|error)+ purchase.
