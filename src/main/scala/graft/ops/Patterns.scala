@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Q57 — parameterized sequence-pattern matching over event streams, the
   * MATCH_RECOGNIZE-lite surface q42's fixed view→click→purchase motif
@@ -167,10 +167,32 @@ object Patterns {
 
   /** Cross-batch streaming state: the machine's full O(1) residue —
     * stage, per-entity event index, running match count, WITHIN anchor,
-    * and the |pattern|−1 run-start ring.
+    * the |pattern|−1 run-start ring, plus the in-order guard's residue
+    * (maxTs/maxTie = the last folded event's (ts, tie); nLate = dropped
+    * out-of-order rows so far).
     */
   case class PatState(stage: Int, n: Long, cnt: Long, anchor: Long,
-      ring: Array[Long])
+      ring: Array[Long], maxTs: Long, maxTie: Long, nLate: Long)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The in-order-across-batches runtime guard (ADVICE r13): the
+    * unbuffered streaming twins require event-time order ACROSS
+    * micro-batches; a late row folded at its arrival position would
+    * silently corrupt counts and anchors from then on. The guard DROPS
+    * rows at-or-before the last folded (ts, tie), counts them in state
+    * (nLate) and logs — the watermark philosophy without the buffer; the
+    * buffered [[BufferedPatternProcessor]] twins fold late rows
+    * losslessly instead.
+    */
+  private def isLate(maxTs: Long, maxTie: Long, e: PatEv): Boolean =
+    e.ts_us < maxTs || (e.ts_us == maxTs && e.tie <= maxTie)
+
+  private def warnLate(ent: Long, dropped: Long, total: Long): Unit =
+    if (dropped > 0) log.warn(
+      s"pattern stream: dropped $dropped out-of-order row(s) for entity " +
+        s"$ent ($total dropped so far); use the buffered twin for " +
+        "out-of-order feeds")
 
   /** S36 — STREAMING pattern matching: live funnel counting, the
     * continuous form of [[matchCounts]]. Per entity the machine's O(1)
@@ -178,17 +200,20 @@ object Patterns {
     * micro-batches in GroupState; each batch folds its slice in
     * (ts, tie) order through the SAME [[boundedStep]] as the batch
     * fold and emits one running (entity, n_events, n_matches) snapshot
-    * row — Update-style semantics over an Append channel (each
-    * emission supersedes the entity's previous row; the final emission
-    * equals the batch fold exactly, which is what StreamingSpec
-    * asserts, cross-batch ring and anchor included).
+    * row in UPDATE mode (each emission supersedes the entity's previous
+    * row — since r14 the declared output mode matches that semantics,
+    * ADVICE r13; the final emission equals the batch fold exactly,
+    * which is what StreamingSpec asserts, cross-batch ring and anchor
+    * included).
     *
     * Same caveat as [[graft.streaming.Streams.asofStream]]: rows must
     * arrive in event-time order ACROSS micro-batches (within a batch
-    * the sort handles it) — an event landing after a later-ts event
-    * already folded would need the S34 watermark-buffer machinery,
-    * which pattern COUNTING does not justify: a funnel count is not
-    * probe-answering, and the retroactive fix is a replay.
+    * the sort handles it). Since r14 the caveat is GUARDED, not silent:
+    * a row at-or-before the last folded (ts, tie) is dropped, counted
+    * in state and logged (see [[isLate]]) rather than folded at its
+    * arrival position. Feeds that need late rows folded losslessly use
+    * the watermark-buffered [[bufferedQuantifiedCountsStream]] /
+    * [[bufferedQuantifiedMatchesStream]] twins.
     *
     * At 100 TB (continuous form): state is ~|pattern| longs per ACTIVE
     * entity in RocksDB, the per-batch work is one shuffle of the batch
@@ -205,22 +230,31 @@ object Patterns {
     val within = withinUs.getOrElse(Long.MaxValue)
     val span = pat.length - 1
     events.groupByKey(_.entity)
-      .flatMapGroupsWithState[PatState, PatCount](OutputMode.Append(),
+      .flatMapGroupsWithState[PatState, PatCount](OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) {
         (ent: Long, rows: Iterator[PatEv], state: GroupState[PatState]) =>
           val st0 = state.getOption.getOrElse(
-            PatState(0, 0L, 0L, 0L, new Array[Long](math.max(span, 1))))
+            PatState(0, 0L, 0L, 0L, new Array[Long](math.max(span, 1)),
+              Long.MinValue, Long.MinValue, 0L))
           var stage = st0.stage; var n = st0.n
           var cnt = st0.cnt; var anchor = st0.anchor
+          var maxTs = st0.maxTs; var maxTie = st0.maxTie
+          var late = 0L
           val ring = st0.ring.clone()
           // sorts ONE entity's slice of ONE micro-batch — bounded by
           // the trigger interval, not history (state carries the rest)
           rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
-            val r = boundedStep(pat, fl, contiguous, within, span,
-              stage, n, cnt, anchor, ring, e.ts_us, e.sym)
-            stage = r._1; n = r._2; cnt = r._3; anchor = r._4
+            if (isLate(maxTs, maxTie, e)) late += 1L
+            else {
+              val r = boundedStep(pat, fl, contiguous, within, span,
+                stage, n, cnt, anchor, ring, e.ts_us, e.sym)
+              stage = r._1; n = r._2; cnt = r._3; anchor = r._4
+              maxTs = e.ts_us; maxTie = e.tie
+            }
           }
-          state.update(PatState(stage, n, cnt, anchor, ring))
+          warnLate(ent, late, st0.nLate + late)
+          state.update(PatState(stage, n, cnt, anchor, ring,
+            maxTs, maxTie, st0.nLate + late))
           Iterator.single(PatCount(ent, n, cnt))
       }
   }
@@ -394,8 +428,9 @@ object Patterns {
     * mode clean, because a completed match is FINAL (the one-pass
     * machine never retracts or extends it), so the stream of emitted
     * rows equals the batch fold's row set exactly. match_no continues
-    * across batches from the GroupState count. Same in-order-across-
-    * batches caveat as S20/S36.
+    * across batches from the GroupState count. Same guarded in-order-
+    * across-batches caveat as S36 (late rows dropped + counted +
+    * logged; the buffered twin folds them losslessly).
     */
   def quantifiedMatchesStream(events: Dataset[PatEv],
       stages: Seq[(Set[String], Int, Int)], withinUs: Option[Long] = None)
@@ -408,17 +443,25 @@ object Patterns {
       .flatMapGroupsWithState[QPatState, PatMatch](OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (ent: Long, rows: Iterator[PatEv], state: GroupState[QPatState]) =>
-          val st0 = state.getOption.getOrElse(QPatState(0, 0, 0L, 0L, 0L))
+          val st0 = state.getOption.getOrElse(qPatState0)
           var stage = st0.stage; var reps = st0.reps; var n = st0.n
           var cnt = st0.cnt; var anchor = st0.anchor
+          var maxTs = st0.maxTs; var maxTie = st0.maxTie
+          var late = 0L
           val out = scala.collection.mutable.ArrayBuffer.empty[PatMatch]
           rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
-            val r = qboundedStep(st, within, stage, reps, n, cnt, anchor,
-              e.ts_us, e.sym)
-            if (r._4 > cnt) out += PatMatch(ent, r._4, r._5, e.ts_us)
-            stage = r._1; reps = r._2; n = r._3; cnt = r._4; anchor = r._5
+            if (isLate(maxTs, maxTie, e)) late += 1L
+            else {
+              val r = qboundedStep(st, within, stage, reps, n, cnt, anchor,
+                e.ts_us, e.sym)
+              if (r._4 > cnt) out += PatMatch(ent, r._4, r._5, e.ts_us)
+              stage = r._1; reps = r._2; n = r._3; cnt = r._4; anchor = r._5
+              maxTs = e.ts_us; maxTie = e.tie
+            }
           }
-          state.update(QPatState(stage, reps, n, cnt, anchor))
+          warnLate(ent, late, st0.nLate + late)
+          state.update(QPatState(stage, reps, n, cnt, anchor,
+            maxTs, maxTie, st0.nLate + late))
           out.iterator
       }
   }
@@ -435,20 +478,26 @@ object Patterns {
       val (body, mn, mx) =
         if (tok.endsWith("+")) (tok.dropRight(1), 1, Int.MaxValue)
         else (tok, 1, 1)
-      val syms = body.stripPrefix("(").stripSuffix(")")
-        .split("\\|").map(_.trim).toSet
+      // parens must be balanced — '(a|b' / 'a|b)' are malformed, and a
+      // bare '|' needs the parens (ADVICE r13: stripPrefix/stripSuffix
+      // silently accepted both)
+      val wrapped = body.startsWith("(") && body.endsWith(")")
+      require(wrapped || (!body.startsWith("(") && !body.endsWith(")")),
+        s"unbalanced parentheses in pattern stage '$tok'")
+      val inner = if (wrapped) body.drop(1).dropRight(1) else body
+      require(wrapped || !inner.contains("|"),
+        s"alternation needs parentheses in pattern stage '$tok'")
+      val syms = inner.split("\\|", -1).map(_.trim).toSet
       require(syms.nonEmpty && syms.forall(s =>
-          s.nonEmpty && s.forall(c => c != '(' && c != ')')),
+          s.nonEmpty && s.forall(c => c != '(' && c != ')' && c != '|')),
         s"bad pattern stage '$tok'")
       (syms, mn, mx)
     }
 
-  /** The quantified-machine preconditions, shared by all twins. */
-  private def validateStages(stages: Seq[(String, Int, Int)],
-      withinUs: Option[Long]): Unit =
-    validateStageSets(
-      stages.map { case (s, mn, mx) => (Set(s), mn, mx) }, withinUs)
-
+  /** The quantified-machine preconditions, shared by all twins (the
+    * string-form entry points delegate through the Set-based Alt
+    * variants, so this is the single gate).
+    */
   private def validateStageSets(stages: Seq[(Set[String], Int, Int)],
       withinUs: Option[Long]): Unit = {
     require(stages.nonEmpty, "empty stage list")
@@ -481,15 +530,20 @@ object Patterns {
     (s2, r2, n0 + 1L, cnt, anchor)
   }
 
-  /** Cross-batch streaming state for the quantified machine. */
+  /** Cross-batch streaming state for the quantified machine (plus the
+    * [[isLate]] guard residue).
+    */
   case class QPatState(stage: Int, reps: Int, n: Long, cnt: Long,
-      anchor: Long)
+      anchor: Long, maxTs: Long, maxTie: Long, nLate: Long)
+
+  private val qPatState0 =
+    QPatState(0, 0, 0L, 0L, 0L, Long.MinValue, Long.MinValue, 0L)
 
   /** S36's quantified sibling — [[quantifiedCounts]] as a continuous
     * query: the same GroupState discipline as [[matchCountsStream]]
     * (per-batch (ts, tie) sort, fold through the shared
     * [[qboundedStep]], one running snapshot row per entity per batch).
-    * Same in-order-across-batches caveat; state is five scalars per
+    * Same guarded in-order-across-batches caveat; state is five scalars per
     * active entity.
     */
   def quantifiedCountsStream(events: Dataset[PatEv],
@@ -509,20 +563,180 @@ object Patterns {
     val st = stages.toArray
     val within = withinUs.getOrElse(Long.MaxValue)
     events.groupByKey(_.entity)
-      .flatMapGroupsWithState[QPatState, PatCount](OutputMode.Append(),
+      .flatMapGroupsWithState[QPatState, PatCount](OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) {
         (ent: Long, rows: Iterator[PatEv], state: GroupState[QPatState]) =>
-          val st0 = state.getOption.getOrElse(QPatState(0, 0, 0L, 0L, 0L))
+          val st0 = state.getOption.getOrElse(qPatState0)
           var stage = st0.stage; var reps = st0.reps; var n = st0.n
           var cnt = st0.cnt; var anchor = st0.anchor
+          var maxTs = st0.maxTs; var maxTie = st0.maxTie
+          var late = 0L
           rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
-            val r = qboundedStep(st, within, stage, reps, n, cnt, anchor,
-              e.ts_us, e.sym)
-            stage = r._1; reps = r._2; n = r._3; cnt = r._4; anchor = r._5
+            if (isLate(maxTs, maxTie, e)) late += 1L
+            else {
+              val r = qboundedStep(st, within, stage, reps, n, cnt, anchor,
+                e.ts_us, e.sym)
+              stage = r._1; reps = r._2; n = r._3; cnt = r._4; anchor = r._5
+              maxTs = e.ts_us; maxTie = e.tie
+            }
           }
-          state.update(QPatState(stage, reps, n, cnt, anchor))
+          warnLate(ent, late, st0.nLate + late)
+          state.update(QPatState(stage, reps, n, cnt, anchor,
+            maxTs, maxTie, st0.nLate + late))
           Iterator.single(PatCount(ent, n, cnt))
       }
+  }
+
+  /** Event row for the BUFFERED streaming twins: a real timestamp column
+    * (the watermark anchor — callers `.withWatermark("ts", delay)`
+    * before grouping) in place of the pre-computed epoch micros.
+    */
+  case class PatEvT(entity: Long, ts: java.time.Instant, tie: Long,
+      sym: String)
+
+  private def tsUs(t: java.time.Instant): Long =
+    t.getEpochSecond * 1000000L + t.getNano / 1000L
+
+  /** One watermark-triggered fold shared by both buffered processors:
+    * split the buffer at the watermark, fold the ripe slice in
+    * (ts, tie) order through [[qboundedStep]] from the carried machine
+    * residue, return (new residue, surviving buffer, matches completed
+    * this fold). The guard drop can only fire if a row below the last
+    * fold boundary somehow reached the buffer (Spark's watermark
+    * eviction makes that unreachable; counted defensively).
+    */
+  private def foldRipe(st: Array[(Set[String], Int, Int)], within: Long,
+      st0: QPatState, buffered: Array[PatEv], wmUs: Long)
+      : (QPatState, Array[PatEv], Vector[PatMatch]) = {
+    val (ripe, pending) = buffered.partition(_.ts_us < wmUs)
+    var stage = st0.stage; var reps = st0.reps; var n = st0.n
+    var cnt = st0.cnt; var anchor = st0.anchor
+    var maxTs = st0.maxTs; var maxTie = st0.maxTie
+    var late = 0L
+    val out = Vector.newBuilder[PatMatch]
+    ripe.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+      if (isLate(maxTs, maxTie, e)) late += 1L
+      else {
+        val r = qboundedStep(st, within, stage, reps, n, cnt, anchor,
+          e.ts_us, e.sym)
+        if (r._4 > cnt) out += PatMatch(e.entity, r._4, r._5, e.ts_us)
+        stage = r._1; reps = r._2; n = r._3; cnt = r._4; anchor = r._5
+        maxTs = e.ts_us; maxTie = e.tie
+      }
+    }
+    (QPatState(stage, reps, n, cnt, anchor, maxTs, maxTie,
+      st0.nLate + late), pending, out.result())
+  }
+
+  /** S36c/S39b — OUT-OF-ORDER-TOLERANT streaming pattern matching: the
+    * S34 watermark-buffer discipline ([[graft.streaming.Streams
+    * .BufferedAsofProcessor]]) composed with the quantified machine. A
+    * late event landing batches after its successors still folds at its
+    * EVENT-TIME position: rows buffer in ListState until the watermark
+    * passes them; an event-time timer (earliest buffered row + 1 ms,
+    * re-armed each visit — exactly one live timer per key) fires the
+    * fold, which advances the machine residue over the now-immutable
+    * below-watermark slice in (ts, tie) order. Stream == the batch fold
+    * on the undropped rows REGARDLESS of arrival order — StreamingSpec
+    * asserts it on a bit-reversal-shuffled fixture (the S34 gate,
+    * applied to patterns).
+    *
+    * At 100 TB: state per active entity = the O(#stages) machine
+    * residue + the in-flight window of events still above the
+    * watermark (bounded by the watermark delay × the entity's rate,
+    * the same bound every stream-stream join buffer carries), all in
+    * RocksDB; the per-batch work is one shuffle of the batch delta.
+    */
+  class BufferedPatternProcessor(stages: Seq[(Set[String], Int, Int)],
+      withinUs: Option[Long], emitMatches: Boolean)
+      extends StatefulProcessor[Long, PatEvT, Row14] {
+    private val st = stages.toArray
+    private val within = withinUs.getOrElse(Long.MaxValue)
+    @transient private var buf: ListState[PatEv] = _
+    @transient private var mach: ValueState[QPatState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[PatEv]("buf",
+        Encoders.product[PatEv], TTLConfig.NONE)
+      mach = getHandle.getValueState[QPatState]("mach",
+        Encoders.product[QPatState], TTLConfig.NONE)
+    }
+
+    // Exactly one live timer per key: earliest buffered row, rounded UP
+    // to the ms timer grain, + 1 (the BufferedAsofProcessor rule — the
+    // watermark must be strictly past the row's microsecond ts).
+    private def rearm(): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val it = buf.get()
+      if (it.hasNext) {
+        val earliest = it.map(_.ts_us).min
+        getHandle.registerTimer((earliest + 999L) / 1000L + 1L)
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[PatEvT],
+        timerValues: TimerValues): Iterator[Row14] = {
+      rows.foreach(e => buf.appendValue(PatEv(key, tsUs(e.ts), e.tie, e.sym)))
+      rearm()
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Row14] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val st0 = if (mach.exists()) mach.get() else qPatState0
+      val (st1, pending, hits) = foldRipe(st, within, st0,
+        buf.get().toArray, wmUs)
+      mach.update(st1)
+      buf.clear(); pending.foreach(buf.appendValue)
+      rearm()
+      if (emitMatches)
+        hits.iterator.map(h =>
+          Row14(h.entity, h.match_no, h.anchor_us, h.end_us))
+      else if (st1.n > st0.n) // snapshot only when the fold advanced
+        Iterator.single(Row14(key, st1.n, st1.cnt, -1L))
+      else Iterator.empty
+    }
+  }
+
+  /** The buffered processors' wire row — [[PatMatch]]'s shape, doubling
+    * as a (entity, n_events, n_matches, -1) snapshot for the counts
+    * twin (one output encoder per processor class keeps the state-store
+    * schema stable across both twins).
+    */
+  case class Row14(entity: Long, a: Long, b: Long, c: Long)
+
+  /** S39b entry — q59's per-match surface, out-of-order tolerant: every
+    * completed match emits once with its event-time anchor/end, no
+    * matter how arrival order scrambled the events (Append-clean: a
+    * below-watermark match is final). Callers watermark `ts` first.
+    */
+  def bufferedQuantifiedMatchesStream(events: Dataset[PatEvT],
+      stages: Seq[(Set[String], Int, Int)], withinUs: Option[Long] = None)
+      : Dataset[PatMatch] = {
+    validateStageSets(stages, withinUs)
+    import events.sparkSession.implicits._
+    events.groupByKey(_.entity)
+      .transformWithState(
+        new BufferedPatternProcessor(stages, withinUs, emitMatches = true),
+        TimeMode.EventTime(), OutputMode.Append())
+      .map(r => PatMatch(r.entity, r.a, r.b, r.c))
+  }
+
+  /** S36c entry — the counts surface of [[bufferedQuantifiedMatchesStream]]:
+    * one (entity, n_events, n_matches) snapshot per fold that advanced
+    * the machine (Update semantics — each supersedes the last).
+    */
+  def bufferedQuantifiedCountsStream(events: Dataset[PatEvT],
+      stages: Seq[(Set[String], Int, Int)], withinUs: Option[Long] = None)
+      : Dataset[PatCount] = {
+    validateStageSets(stages, withinUs)
+    import events.sparkSession.implicits._
+    events.groupByKey(_.entity)
+      .transformWithState(
+        new BufferedPatternProcessor(stages, withinUs, emitMatches = false),
+        TimeMode.EventTime(), OutputMode.Update())
+      .map(r => PatCount(r.entity, r.a, r.b))
   }
 
   /** One quantified-machine step: returns (stage, reps, matchedNow,

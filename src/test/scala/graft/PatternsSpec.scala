@@ -317,6 +317,17 @@ class PatternsSpec extends SparkSpecBase {
 
   // ---- the SQL door (q58b) ----
 
+  test("parsePattern rejects unbalanced parens and bare alternation") {
+    import graft.ops.Patterns.parsePattern
+    assert(parsePattern("view (click|error)+ purchase") ==
+      Seq((Set("view"), 1, 1), (Set("click", "error"), 1, Int.MaxValue),
+        (Set("purchase"), 1, 1)))
+    // ADVICE r13: these parsed silently before — now they must fail
+    Seq("(a|b", "a|b)", "a|b", "(a|b+", "()", "(|)").foreach { bad =>
+      intercept[IllegalArgumentException] { parsePattern(s"$bad c") }
+    }
+  }
+
   test("match_pattern TVF: SQL == Scala API for alternation, '+', " +
       "bare stages, and the within bound") {
     graft.functions.TableFunctions.ensureRegistered(spark)

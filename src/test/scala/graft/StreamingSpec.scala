@@ -1649,7 +1649,7 @@ class StreamingSpec extends SparkSpecBase {
     val q = Patterns.matchCountsStream(source.toDS(), pat,
         contiguous = false, withinUs = within)
       .writeStream.format("memory").queryName("s36sink")
-      .outputMode(OutputMode.Append()).start()
+      .outputMode(OutputMode.Update()).start()
     try {
       evs.grouped(math.max(1, evs.length / 5)).foreach { g =>
         source.addData(g); q.processAllAvailable()
@@ -1679,7 +1679,7 @@ class StreamingSpec extends SparkSpecBase {
     val q = Patterns.matchCountsStream(src.toDS(), Seq("a", "a", "b"),
         contiguous = true, withinUs = Some(10L))
       .writeStream.format("memory").queryName("s36ring")
-      .outputMode(OutputMode.Append()).start()
+      .outputMode(OutputMode.Update()).start()
     try {
       Seq(evs.take(2), evs.slice(2, 4), evs.drop(4)).foreach { g =>
         src.addData(g); q.processAllAvailable()
@@ -1708,7 +1708,7 @@ class StreamingSpec extends SparkSpecBase {
         Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1)),
         withinUs = Some(50L))
       .writeStream.format("memory").queryName("s36quant")
-      .outputMode(OutputMode.Append()).start()
+      .outputMode(OutputMode.Update()).start()
     try {
       Seq(qevs.take(1), qevs.slice(1, 3), qevs.drop(3)).foreach { g =>
         src2.addData(g); q2.processAllAvailable()
@@ -1774,6 +1774,134 @@ class StreamingSpec extends SparkSpecBase {
     } finally fq.stop()
   }
 
+  test("S36 unbuffered guard: a late row is DROPPED (counted), not folded") {
+    import spark.implicits._
+    import graft.ops.Patterns
+    implicit val sq = spark.sqlContext
+    val stages = Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1))
+    val src = MemoryStream[Patterns.PatEv]
+    val q = Patterns.quantifiedCountsStream(src.toDS(), stages)
+      .writeStream.format("memory").queryName("s36guard")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(Seq(Patterns.PatEv(1L, 100L, 1L, "a"),
+        Patterns.PatEv(1L, 200L, 2L, "b")))
+      q.processAllAvailable()
+      // a@150 arrives AFTER b@200 was folded: folding it at arrival
+      // position would re-anchor and kill the match (final (4, 0));
+      // the guard drops it instead, so c@300 completes: (3, 1)
+      src.addData(Seq(Patterns.PatEv(1L, 150L, 3L, "a"),
+        Patterns.PatEv(1L, 300L, 4L, "c")))
+      q.processAllAvailable()
+      val last = spark.table("s36guard").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).maxBy(_._1)
+      assert(last == ((3L, 1L)))
+    } finally q.stop()
+  }
+
+  test("S39b buffered patterns: late anchor lands a batch after the " +
+      "purchase and still matches") {
+    import spark.implicits._
+    import graft.ops.Patterns
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stages = Seq((Set("a"), 1, 1), (Set("b"), 1, Int.MaxValue),
+      (Set("c"), 1, 1))
+    def in(min: Long, tie: Long, sym: String, ent: Long = 1L) =
+      Patterns.PatEvT(ent, ts(min).toInstant, tie, sym)
+    // the anchor a@0 arrives LAST — an unbuffered fold would have
+    // killed the b@10..c@20 suffix; the buffer replays event-time order
+    val b1 = Seq(in(10, 2, "b"), in(20, 3, "c"))
+    val b2 = Seq(in(0, 1, "a"))
+    val flush1 = Seq(in(1000000, 90, "a", ent = -99L))
+    val flush2 = Seq(in(1000001, 91, "a", ent = -99L))
+    val src = MemoryStream[Patterns.PatEvT]
+    val q = Patterns.bufferedQuantifiedMatchesStream(
+        src.toDS().withWatermark("ts", "300 minutes"), stages)
+      .writeStream.format("memory").queryName("s39bhand")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, flush1, flush2).foreach { b =>
+        src.addData(b); q.processAllAvailable()
+      }
+      val rows = spark.table("s39bhand").filter(col("entity") =!= -99L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      def us(t: java.sql.Timestamp) = t.getTime * 1000L
+      val t0us = us(ts(0))
+      val t20us = us(ts(20))
+      assert(rows.toSeq == Seq((1L, 1L, t0us, t20us)))
+    } finally q.stop()
+  }
+
+  test("S36c/S39b buffered patterns on a fully SHUFFLED fixture == " +
+      "batch fold (the S34 gate, applied to patterns)") {
+    import spark.implicits._
+    import graft.ops.Patterns
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stages = Seq((Set("view"), 1, 1), (Set("click"), 1, Int.MaxValue),
+      (Set("purchase"), 1, 1))
+    val bound = Some(86400L * 1000000L)
+    val e = Tables.load(spark, sfDir, "events")
+    val rows = e.select(col("user_id").as("entity"), col("ts"),
+        col("event_id").as("tie"), col("event_type").as("sym"))
+      .as[Patterns.PatEvT].collect()
+    // bit-reversal permutation: deterministic and thoroughly out of
+    // event-time order across batches
+    val shuffled = rows.sortBy(r => java.lang.Long.reverse(r.tie))
+    val maxTs = java.time.Instant.ofEpochMilli(
+      rows.map(_.ts.toEpochMilli).max)
+    val flush = Seq(
+      Patterns.PatEvT(-99L, maxTs.plusSeconds(40000000L), 1L, "view"),
+      Patterns.PatEvT(-99L, maxTs.plusSeconds(40000001L), 2L, "view"))
+    // matches surface
+    val src = MemoryStream[Patterns.PatEvT]
+    val q = Patterns.bufferedQuantifiedMatchesStream(
+        src.toDS().withWatermark("ts", "365 days"), stages, bound)
+      .writeStream.format("memory").queryName("s39bfix")
+      .outputMode(OutputMode.Append()).start()
+    val batchMatches = Patterns.quantifiedMatchesAlt(e,
+        "user_id", "ts", "event_id", "event_type", stages, bound)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    try {
+      (shuffled.grouped(math.max(1, shuffled.length / 5)).map(_.toSeq).toSeq
+        ++ flush.map(Seq(_))).foreach { g =>
+        src.addData(g); q.processAllAvailable()
+      }
+      val streamed = spark.table("s39bfix").filter(col("entity") =!= -99L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batchMatches && batchMatches.nonEmpty)
+    } finally q.stop()
+    // counts surface: final snapshot per entity == the batch fold
+    val src2 = MemoryStream[Patterns.PatEvT]
+    val q2 = Patterns.bufferedQuantifiedCountsStream(
+        src2.toDS().withWatermark("ts", "365 days"), stages, bound)
+      .writeStream.format("memory").queryName("s36cfix")
+      .outputMode(OutputMode.Update()).start()
+    val batchCounts = Patterns.quantifiedCountsAlt(e,
+        "user_id", "ts", "event_id", "event_type", stages, bound)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    try {
+      (shuffled.grouped(math.max(1, shuffled.length / 5)).map(_.toSeq).toSeq
+        ++ flush.map(Seq(_))).foreach { g =>
+        src2.addData(g); q2.processAllAvailable()
+      }
+      val streamed = spark.table("s36cfix").filter(col("entity") =!= -99L)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._1) }
+      assert(streamed == batchCounts && batchCounts.nonEmpty)
+    } finally q2.stop()
+  }
+
   test("S36b quantified stream == batch fold (fixture)") {
     import spark.implicits._
     import graft.ops.Patterns
@@ -1794,7 +1922,7 @@ class StreamingSpec extends SparkSpecBase {
     val source = MemoryStream[Patterns.PatEv]
     val q = Patterns.quantifiedCountsStream(source.toDS(), stages)
       .writeStream.format("memory").queryName("s36bsink")
-      .outputMode(OutputMode.Append()).start()
+      .outputMode(OutputMode.Update()).start()
     try {
       evs.grouped(math.max(1, evs.length / 4)).foreach { g =>
         source.addData(g); q.processAllAvailable()
