@@ -587,6 +587,104 @@ object Patterns {
       }
   }
 
+  /** Q57f — RE-ANCHORING WITHIN (MATCH_RECOGNIZE parity for the
+    * subsequence funnel): where [[matchCounts]]' greedy-anchor WITHIN
+    * can undercount (its one attempt stays welded to a stale anchor —
+    * view@t0, view@t5m, click@t5m30s, within=1min counts 0 there), this
+    * machine counts a match iff SOME anchor yields a bounded completion,
+    * with SKIP PAST LAST ROW non-overlap: after a counted match nothing
+    * at-or-before its completing event is reused.
+    *
+    * The trick that keeps state O(|pattern|) instead of O(#anchors):
+    * run ALL anchored attempts in parallel, but keep only the LATEST
+    * live anchor per stage. Sound because (a) same-stage attempts
+    * advance identically forever after, so they complete at the same
+    * event; (b) the bound gate passes the latest anchor whenever it
+    * passes any (latest ⇒ smallest elapsed); (c) liveness pruning
+    * (ts − anchor > within ⇒ the attempt can never complete in bound)
+    * kills exactly the attempts a re-anchoring matcher abandons. The
+    * COUNT therefore equals the operational semantics "find the
+    * smallest anchor ≥ pos whose greedy completion is in bound; count;
+    * resume after its completing event" — PatternsSpec asserts the
+    * equivalence against that brute-force replay on random streams.
+    * (Which anchor produced a match is NOT tracked — the earliest
+    * qualifying anchor may differ from the surviving latest one — so
+    * this is a counts surface; per-match anchors stay on q59's greedy
+    * machine.)
+    *
+    * Per-event transition (anchors(s) = latest live anchor of an
+    * attempt that has matched pat(0..s-1), NONE = MinValue):
+    *  1. prune every anchor with ts − anchor > within;
+    *  2. if anchors(len−1) is live and sym = pat(len−1): count++,
+    *     clear all anchors (skip past last row);
+    *  3. else, for s = len−2 down to 1: sym = pat(s) advances the
+    *     stage-s attempt — anchors(s+1) = max(anchors(s+1), anchors(s)),
+    *     anchors(s) = NONE (descending order: one event never advances
+    *     the same attempt twice);
+    *  4. and sym = pat(0) opens a fresh attempt: anchors(1) = ts.
+    *
+    * Same plan as every per-entity fold here: one entity-keyed shuffle,
+    * linear scan, O(|pattern|) longs of state.
+    */
+  def reanchoredCounts(events: DataFrame, entity: String, ts: String,
+      tieBreak: String, typeCol: String, pattern: Seq[String],
+      withinUs: Long): DataFrame = {
+    require(pattern.nonEmpty, "empty pattern")
+    require(withinUs >= 0L, "negative withinUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pat = pattern.toArray
+    events.select(col(entity).cast("long").as("entity"),
+        graft.Det.epochUs(col(ts)).as("ts_us"),
+        col(tieBreak).cast("long").as("tie"),
+        col(typeCol).cast("string").as("sym"))
+      .as[PatEv]
+      .repartition(col("entity"))
+      .sortWithinPartitions("entity", "ts_us", "tie")
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[PatCount]
+        val NONE = Long.MinValue
+        val len = pat.length
+        val anchors = Array.fill(len)(NONE) // slot 0 unused
+        var cur = 0L
+        var started = false
+        var cnt = 0L
+        var n = 0L
+        def reset(): Unit = { var s = 1; while (s < len) { anchors(s) = NONE; s += 1 } }
+        it.foreach { e =>
+          if (!started) { started = true; cur = e.entity }
+          else if (e.entity != cur) {
+            out += PatCount(cur, n, cnt)
+            cur = e.entity; cnt = 0L; n = 0L; reset()
+          }
+          var s = 1
+          while (s < len) {
+            if (anchors(s) != NONE && e.ts_us - anchors(s) > withinUs)
+              anchors(s) = NONE
+            s += 1
+          }
+          if (len == 1) { if (e.sym == pat(0)) cnt += 1L }
+          else if (anchors(len - 1) != NONE && e.sym == pat(len - 1)) {
+            cnt += 1L; reset()
+          } else {
+            s = len - 2
+            while (s >= 1) {
+              if (e.sym == pat(s) && anchors(s) != NONE) {
+                if (anchors(s) > anchors(s + 1)) anchors(s + 1) = anchors(s)
+                anchors(s) = NONE
+              }
+              s -= 1
+            }
+            if (e.sym == pat(0)) anchors(1) = e.ts_us
+          }
+          n += 1L
+        }
+        if (started) out += PatCount(cur, n, cnt)
+        out.iterator
+      }
+      .toDF()
+  }
+
   /** Event row for the BUFFERED streaming twins: a real timestamp column
     * (the watermark anchor — callers `.withWatermark("ts", delay)`
     * before grouping) in place of the pre-computed epoch micros.

@@ -743,6 +743,27 @@ object Relational {
           col("n_matches"))
         .orderBy("user_id")),
 
+    // Q57f — RE-ANCHORING WITHIN (q57c's MATCH_RECOGNIZE-parity form,
+    // NEW r14): the same view→click→view→purchase subsequence funnel
+    // within 7 days, but a match counts if ANY anchor yields a bounded
+    // completion — the greedy machine's stale-anchor undercount
+    // (documented at q57c) is gone. Parallel attempts, latest live
+    // anchor per stage, O(|pattern|) state (Patterns.reanchoredCounts;
+    // count-equivalence to the operational smallest-bounded-anchor
+    // semantics proven against a brute-force replay in PatternsSpec).
+    // Oracle = a recursive replay of the per-stage-anchor machine
+    // (prune / hit / descending advance / re-anchor per step).
+    "q57f_pattern_reanchor" -> ((s, dir) =>
+      graft.ops.Patterns.reanchoredCounts(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          typeCol = "event_type",
+          pattern = Seq("view", "click", "view", "purchase"),
+          withinUs = 7L * 86400L * 1000000L)
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")),
+
     // Q58b — the SQL door: q58 through the match_pattern TVF (the
     // t01b/q10e precedent — signature operators reachable from pure
     // SQL text), held to q58's oracle verbatim.
@@ -1887,6 +1908,48 @@ object Relational {
         |  FROM walk w
         |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1
         |  JOIN pat p ON p.stage = w.stage)
+        |SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,
+        |  CAST(w.cnt AS BIGINT) AS n_matches
+        |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
+        |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin,
+
+    // q57f: recursive replay of the per-stage-anchor re-anchoring
+    // machine — state (a1, a2, a3) = latest LIVE anchor of an attempt
+    // at stages 1..3 (0 = none), each step prunes anchors past the
+    // 7-day bound, counts a hit when stage 3 is live and a purchase
+    // lands, else advances descending (view: a3 = max(a3, a2); click:
+    // a2 = max(a2, a1)) and re-anchors a1 on every view.
+    "q57f_pattern_reanchor" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |n AS (SELECT user_id, max(i) AS n FROM e GROUP BY 1),
+        |walk(user_id, i, a1, a2, a3, cnt) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), 0 FROM n
+        |  UNION ALL
+        |  SELECT user_id, i,
+        |    CASE WHEN p3 > 0 AND sym = 'purchase' THEN 0
+        |         WHEN sym = 'view' THEN ts_us
+        |         WHEN sym = 'click' THEN 0 ELSE p1 END,
+        |    CASE WHEN p3 > 0 AND sym = 'purchase' THEN 0
+        |         ELSE greatest(CASE WHEN sym = 'view' THEN 0 ELSE p2 END,
+        |                       CASE WHEN sym = 'click' THEN p1 ELSE 0 END)
+        |         END,
+        |    CASE WHEN p3 > 0 AND sym = 'purchase' THEN 0
+        |         WHEN sym = 'view' THEN greatest(p3, p2) ELSE p3 END,
+        |    cnt + CASE WHEN p3 > 0 AND sym = 'purchase' THEN 1 ELSE 0 END
+        |  FROM (SELECT w.user_id, w.i + 1 AS i, e.event_type AS sym,
+        |      e.ts_us, w.cnt,
+        |      CASE WHEN w.a1 > 0 AND e.ts_us - w.a1 <= 604800000000
+        |           THEN w.a1 ELSE 0 END AS p1,
+        |      CASE WHEN w.a2 > 0 AND e.ts_us - w.a2 <= 604800000000
+        |           THEN w.a2 ELSE 0 END AS p2,
+        |      CASE WHEN w.a3 > 0 AND e.ts_us - w.a3 <= 604800000000
+        |           THEN w.a3 ELSE 0 END AS p3
+        |    FROM walk w JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1))
         |SELECT w.user_id, CAST(n.n AS BIGINT) AS n_events,
         |  CAST(w.cnt AS BIGINT) AS n_matches
         |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n

@@ -315,6 +315,107 @@ class PatternsSpec extends SparkSpecBase {
     }
   }
 
+  // ---- q57f: re-anchoring WITHIN (MATCH_RECOGNIZE parity) ----
+
+  /** Events for one user at explicit SECOND offsets. */
+  private def evSec(userEvs: (Long, Seq[(Long, String)])*) = {
+    import spark.implicits._
+    userEvs.flatMap { case (u, evs) =>
+      evs.zipWithIndex.map { case ((sec, sym), i) =>
+        (u, i.toLong + 1L,
+          new java.sql.Timestamp(1700006400000L + sec * 1000L), sym)
+      }
+    }.toDF("user_id", "event_id", "ts", "event_type")
+  }
+
+  private def runRe(df: org.apache.spark.sql.DataFrame, pat: Seq[String],
+      w: Long): Map[Long, (Long, Long)] =
+    Patterns.reanchoredCounts(df, "user_id", "ts", "event_id",
+        "event_type", pat, w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  /** The operational re-anchoring semantics, brute force: smallest
+    * anchor ≥ pos whose greedy-earliest completion is in bound counts;
+    * resume after its completing event (SKIP PAST LAST ROW). evs =
+    * (ts_us, sym) in stream order.
+    */
+  private def bruteReanchored(evs: IndexedSeq[(Long, String)],
+      pat: Seq[String], w: Long): Long = {
+    val n = evs.length
+    var pos = 0; var cnt = 0L; var more = true
+    while (more) {
+      var a = pos; var end = -1
+      while (a < n && end < 0) {
+        if (evs(a)._2 == pat(0)) {
+          if (pat.length == 1) end = a
+          else {
+            var i = a + 1; var stage = 1; var done = false
+            while (i < n && !done) {
+              if (evs(i)._2 == pat(stage)) {
+                stage += 1
+                if (stage == pat.length) {
+                  done = true
+                  if (evs(i)._1 - evs(a)._1 <= w) end = i
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        if (end < 0) a += 1
+      }
+      if (end >= 0) { cnt += 1; pos = end + 1 } else more = false
+    }
+    cnt
+  }
+
+  test("q57f re-anchoring WITHIN: ADVICE example counts 1 where the " +
+      "greedy anchor counts 0") {
+    // view@t0, view@t5m, click@t5m30s, within = 1 minute
+    val adv = evSec(1L -> Seq((0L, "view"), (300L, "view"),
+      (330L, "click")))
+    assert(runRe(adv, Seq("view", "click"), 60L * 1000000L) ==
+      Map(1L -> ((3L, 1L))))
+    val greedy = Patterns.matchCounts(adv, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click"), contiguous = false,
+        withinUs = Some(60L * 1000000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(greedy == ((3L, 0L)))
+  }
+
+  test("q57f == brute-force re-anchoring replay on random streams; " +
+      "unbounded == the greedy subsequence fold") {
+    val rnd = new scala.util.Random(5714)
+    val alphabet = Vector("a", "b", "c", "x")
+    val cases = (1L to 60L).map { u =>
+      var t = 0L
+      u -> Seq.fill(3 + rnd.nextInt(40)) {
+        t += 1L + rnd.nextInt(5)
+        (t, alphabet(rnd.nextInt(4)))
+      }
+    }
+    val df = evSec(cases: _*)
+    for (pat <- Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "b", "a"),
+          Seq("a", "a", "b"));
+        wSec <- Seq(3L, 7L, 20L)) {
+      val w = wSec * 1000000L
+      val got = runRe(df, pat, w)
+      cases.foreach { case (u, evs) =>
+        val ref = bruteReanchored(
+          evs.map { case (s, sym) => (s * 1000000L, sym) }.toIndexedSeq,
+          pat, w)
+        assert(got(u) == ((evs.length.toLong, ref)),
+          s"user $u pat $pat w=$wSec evs $evs got ${got(u)} want $ref")
+      }
+    }
+    // bound off => every attempt stays live => the earliest anchor wins
+    // every completion => exactly the greedy subsequence machine
+    val un = runRe(df, Seq("a", "b", "c"), Long.MaxValue / 2)
+    val greedy = run(df, Seq("a", "b", "c"), contiguous = false)
+    assert(un == greedy)
+  }
+
   // ---- the SQL door (q58b) ----
 
   test("parsePattern rejects unbalanced parens and bare alternation") {
