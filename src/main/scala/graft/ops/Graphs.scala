@@ -1321,7 +1321,8 @@ object Graphs {
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .transform(Checkpoints.cut)
     var labels = deg.select(col("id"), col("id").as("community"))
-    for (_ <- 1 to rounds) {
+    var converged = false // gain-adaptive: stop on a zero-move round
+    for (_ <- 1 to rounds if !converged) {
       val degSum = labels.join(deg, "id").groupBy("community")
         .agg(sum("deg").as("degsum"))
       val kv = e.join(labels.select(col("id").as("dst"),
@@ -1349,7 +1350,13 @@ object Graphs {
           .orderBy(col("gain").desc, col("cand").asc)))
         .filter(col("__rn") === 1)
         .select(col("id"), col("cand"))
-      labels = labels.join(best, Seq("id"), "left_outer")
+        .transform(Checkpoints.cut) // read twice: the exit probe + apply
+      // a converged round recomputes an identical empty move set, so
+      // skipping the tail rounds cannot change the result (the unrolled
+      // oracle replays them as no-ops) — at 100 TB each skipped round
+      // is a full edge-shuffle saved
+      if (best.limit(1).count() == 0L) converged = true
+      else labels = labels.join(best, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("cand"), col("community")).as("community"))
         .transform(Checkpoints.cut)
@@ -1416,7 +1423,8 @@ object Graphs {
         + lit(2L) * coalesce(col("sl"), lit(0L))).as("deg"))
       .transform(Checkpoints.cut)
     var labels = deg.select(col("id"), col("id").as("community"))
-    for (_ <- 1 to rounds) {
+    var converged = false // gain-adaptive: stop on a zero-move round
+    for (_ <- 1 to rounds if !converged) {
       val degSum = labels.join(deg, "id").groupBy("community")
         .agg(sum("deg").as("degsum"))
       val kv = e.join(labels.select(col("id").as("dst"),
@@ -1455,7 +1463,12 @@ object Graphs {
           best("ca") === blocked("ca") && best("cand") === blocked("cb"),
           "left_anti")
         .select(col("id"), col("cand"))
-      labels = labels.join(applied, Seq("id"), "left_outer")
+        .transform(Checkpoints.cut) // read twice: the exit probe + apply
+      // applied is empty iff best is (every blocked move's reciprocal —
+      // the ca < cb half — proceeds), so the zero-move exit is exactly
+      // convergence and the unrolled oracle's tail rounds are no-ops
+      if (applied.limit(1).count() == 0L) converged = true
+      else labels = labels.join(applied, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("cand"), col("community")).as("community"))
         .transform(Checkpoints.cut)
@@ -1508,6 +1521,67 @@ object Graphs {
     l1.join(l2.select(col("id").as("community"), col("community").as("c2")),
         "community")
       .select(col("id"), col("c2").as("community"))
+  }
+
+  /** G40c — Louvain TO CONVERGENCE (the full algorithm): repeat the
+    * contract-and-refine level step while it still MOVES anything, up to
+    * `maxLevels`. Each level contracts the ORIGINAL edge list by the
+    * COMPOSED label map (equivalent to contracting the previous
+    * quotient — edge multiplicities between composed communities are
+    * sums of quotient weights — but with one fewer moving part and the
+    * oracle replays it the same way), runs the weighted level on the
+    * quotient, and stops as soon as a level applies zero moves: a
+    * no-move level is the fixed point (the next quotient would be
+    * IDENTICAL, so every later level is a no-op — which is also why the
+    * unrolled replay oracle, which always runs maxLevels levels, gets
+    * the same labels). Q never decreases across levels: every applied
+    * move has a positive exact-integer gain on the SAME 4m² scale
+    * (contraction preserves total weight).
+    *
+    * Scale: each level's quotient has ≤ one vertex per community —
+    * geometric shrink in practice — so level 1 dominates and the
+    * convergence loop costs little beyond louvainTwoLevel; the
+    * early-exit probe is one count on the checkpointed level labels.
+    * The level count is data-dependent but bounded (maxLevels), the
+    * per-level plan is the bounded-rounds LPA shape, and determinism
+    * (tie-breaks, swap suppression) is preserved level over level, so
+    * the composite stays hash-replayable.
+    */
+  def louvainMultiLevel(s: SparkSession, pairs: DataFrame, rounds: Int,
+      maxLevels: Int): DataFrame = {
+    require(maxLevels >= 1, "maxLevels must be >= 1")
+    val p = pairs.select("x", "y").transform(Checkpoints.cut)
+    val mDf = p.agg(count(lit(1)).as("m"))
+    var labels = louvainOneLevel(s, p, rounds).transform(Checkpoints.cut)
+    var level = 1
+    var moved = true
+    while (moved && level < maxLevels) {
+      val tagged = p
+        .join(labels.select(col("id").as("x"), col("community").as("cx")),
+          "x")
+        .join(labels.select(col("id").as("y"), col("community").as("cy")),
+          "y")
+        .transform(Checkpoints.cut) // read twice: quotient edges + loops
+      val qp = tagged.filter(col("cx") =!= col("cy"))
+        .select(least(col("cx"), col("cy")).as("x"),
+          greatest(col("cx"), col("cy")).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("w"))
+      val qsl = tagged.filter(col("cx") === col("cy"))
+        .groupBy(col("cx").as("id")).agg(count(lit(1)).as("sl"))
+      val qverts = labels.select(col("community").as("id")).distinct()
+      val lk = louvainLevelWeighted(s, qverts, qp, qsl, mDf, rounds)
+        .transform(Checkpoints.cut) // read twice: the exit probe + compose
+      moved = lk.filter(col("community") =!= col("id"))
+        .limit(1).count() > 0L
+      if (moved) {
+        labels = labels.join(lk.select(col("id").as("community"),
+            col("community").as("c2")), "community")
+          .select(col("id"), col("c2").as("community"))
+          .transform(Checkpoints.cut)
+        level += 1
+      }
+    }
+    labels
   }
 
   /** G27 — local clustering coefficient per vertex over canonical

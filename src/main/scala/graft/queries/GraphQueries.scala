@@ -753,6 +753,23 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G40c — Louvain TO CONVERGENCE (NEW r14): the full
+    // contract-and-repeat loop — levels run while they still move
+    // anything (zero applied moves = the fixed point; every later level
+    // would replay identically), bounded by maxLevels = 3 here; round
+    // loops inside each level gained the same gain-adaptive early exit.
+    // Deterministic end to end (tie-breaks + swap suppression carried
+    // level over level), so it hash-checks against a fully unrolled
+    // 3-level DuckDB replay in which the engine's skipped levels/rounds
+    // are provably no-op replays. GraphOpsSpec pins a hierarchical
+    // fixture where level 3 merges what level 2 left (Q strictly
+    // rising) and a 4th level applies zero moves.
+    "g40c_louvain_converged" -> ((s, dir) => {
+      Graphs.louvainMultiLevel(s, Graphs.copartPairs(s, dir), rounds = 2,
+          maxLevels = 3)
+        .orderBy("id")
+    }),
+
     // G29 — reciprocity of the DIRECTED part-flow graph (the g23 SCC
     // substrate): of all distinct directed edges, how many have their
     // reverse present — exact integer (n_edges, n_reciprocal) with the
@@ -924,34 +941,71 @@ object GraphQueries {
     * ([[Graphs.louvainLevelWeighted]]): a best move ca→cb is dropped
     * when ca > cb and a reciprocal cb→ca best move exists this round.
     */
-  private def louvainWeightedRoundCte(i: Int): String = {
-    val prev = s"wl${i - 1}"
-    s"""wds$i AS (SELECT community, sum(deg) AS degsum
-       |  FROM $prev JOIN qdeg USING (id) GROUP BY 1),
-       |wkv$i AS (SELECT qe.src AS id, l.community AS cand, sum(qe.w) AS k
-       |  FROM qe JOIN $prev l ON l.id = qe.dst GROUP BY 1, 2),
-       |wg$i AS (SELECT kv.id, l.community AS ca, kv.cand,
+  private def louvainWeightedRoundCte(i: Int, p: String = "w",
+      qe: String = "qe", qdeg: String = "qdeg"): String = {
+    val prev = s"${p}l${i - 1}"
+    s"""${p}ds$i AS (SELECT community, sum(deg) AS degsum
+       |  FROM $prev JOIN $qdeg USING (id) GROUP BY 1),
+       |${p}kv$i AS (SELECT q.src AS id, l.community AS cand, sum(q.w) AS k
+       |  FROM $qe q JOIN $prev l ON l.id = q.dst GROUP BY 1, 2),
+       |${p}g$i AS (SELECT kv.id, l.community AS ca, kv.cand,
        |    4 * CAST(mm.m AS HUGEINT) * (kv.k - coalesce(ka.k, 0)) -
        |    2 * CAST(d.deg AS HUGEINT) *
        |      (dsb.degsum - dsa.degsum + d.deg) AS gain
-       |  FROM wkv$i kv
+       |  FROM ${p}kv$i kv
        |  JOIN $prev l ON l.id = kv.id
-       |  JOIN qdeg d ON d.id = kv.id
-       |  JOIN wds$i dsa ON dsa.community = l.community
-       |  JOIN wds$i dsb ON dsb.community = kv.cand
-       |  LEFT JOIN wkv$i ka ON ka.id = kv.id AND ka.cand = l.community
+       |  JOIN $qdeg d ON d.id = kv.id
+       |  JOIN ${p}ds$i dsa ON dsa.community = l.community
+       |  JOIN ${p}ds$i dsb ON dsb.community = kv.cand
+       |  LEFT JOIN ${p}kv$i ka ON ka.id = kv.id AND ka.cand = l.community
        |  CROSS JOIN mm
        |  WHERE kv.cand <> l.community),
-       |wb$i AS (SELECT id, ca, cand FROM (
+       |${p}b$i AS (SELECT id, ca, cand FROM (
        |  SELECT id, ca, cand, row_number() OVER (PARTITION BY id
        |    ORDER BY gain DESC, cand ASC) AS rn
-       |  FROM wg$i WHERE gain > 0) WHERE rn = 1),
-       |mp$i AS (SELECT DISTINCT ca, cand AS cb FROM wb$i),
-       |al$i AS (SELECT id, cand FROM wb$i m
-       |  WHERE NOT (m.ca > m.cand AND EXISTS (SELECT 1 FROM mp$i r
+       |  FROM ${p}g$i WHERE gain > 0) WHERE rn = 1),
+       |${p}mp$i AS (SELECT DISTINCT ca, cand AS cb FROM ${p}b$i),
+       |${p}al$i AS (SELECT id, cand FROM ${p}b$i m
+       |  WHERE NOT (m.ca > m.cand AND EXISTS (SELECT 1 FROM ${p}mp$i r
        |    WHERE r.ca = m.cand AND r.cb = m.ca))),
-       |wl$i AS (SELECT l.id, coalesce(b.cand, l.community) AS community
-       |  FROM $prev l LEFT JOIN al$i b USING (id))""".stripMargin
+       |${p}l$i AS (SELECT l.id, coalesce(b.cand, l.community) AS community
+       |  FROM $prev l LEFT JOIN ${p}al$i b USING (id))""".stripMargin
+  }
+
+  /** The level-k contraction + weighted-round block (g40c's oracle,
+    * levels ≥ 2): quotient the ORIGINAL pairs by the composed label map
+    * `lbl`, then run `rounds` weighted rounds under CTE prefix `p`,
+    * ending at label map ${p}l$rounds (quotient-vertex -> community).
+    */
+  private def louvainLevelBlock(lbl: String, p: String,
+      rounds: Int): String = {
+    val qp = s"${p}qp"
+    val quotient =
+      s"""$qp AS (SELECT least(a.community, b.community) AS x,
+       |    greatest(a.community, b.community) AS y, count(*) AS w
+       |  FROM pairs pp JOIN $lbl a ON a.id = pp.x
+       |  JOIN $lbl b ON b.id = pp.y
+       |  WHERE a.community <> b.community GROUP BY 1, 2),
+       |${p}qsl AS (SELECT a.community AS id, count(*) AS sl
+       |  FROM pairs pp JOIN $lbl a ON a.id = pp.x
+       |  JOIN $lbl b ON b.id = pp.y
+       |  WHERE a.community = b.community GROUP BY 1),
+       |${p}qe AS MATERIALIZED (SELECT x AS src, y AS dst, w FROM $qp
+       |       UNION ALL SELECT y, x, w FROM $qp),
+       |${p}qverts AS (SELECT DISTINCT community AS id FROM $lbl),
+       |${p}qdeg AS MATERIALIZED (
+       |  SELECT v.id, coalesce(s.wsum, 0) + 2 * coalesce(l.sl, 0)
+       |    AS deg
+       |  FROM ${p}qverts v
+       |  LEFT JOIN (SELECT src AS id, sum(w) AS wsum FROM ${p}qe
+       |             GROUP BY 1) s USING (id)
+       |  LEFT JOIN ${p}qsl l USING (id)),
+       |${mat(s"${p}l0 AS (SELECT id, id AS community FROM ${p}qdeg)",
+          s"${p}l0")}""".stripMargin
+    val roundsSql = (1 to rounds).map(i =>
+      mat(louvainWeightedRoundCte(i, p, s"${p}qe", s"${p}qdeg"),
+        s"${p}kv$i", s"${p}b$i", s"${p}l$i")).mkString(",\n")
+    s"$quotient,\n$roundsSql"
   }
 
   val oracles: Map[String, String] = Map(
@@ -993,6 +1047,26 @@ object GraphQueries {
         |${mat(louvainWeightedRoundCte(2), "wkv2", "wb2", "wl2")}
         |SELECT l.id, w.community FROM lv2 l
         |JOIN wl2 w ON w.id = l.community ORDER BY l.id""".stripMargin,
+
+    // g40c: the fully unrolled 3-level replay — level 1 = the g40
+    // rounds, then two contract-by-composed-labels + weighted-rounds
+    // blocks. The engine's convergence early-exits are no-ops here by
+    // construction: a level that applies zero moves leaves the composed
+    // map unchanged, so the replayed extra level recomputes an
+    // identical quotient and moves nothing either.
+    "g40c_louvain_converged" ->
+      s"""WITH ${mat(copartCte, "pairs", "e")},
+        |deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+        |mm AS (SELECT count(*) AS m FROM pairs),
+        |${mat("lv0 AS (SELECT id, id AS community FROM deg)", "lv0")},
+        |${mat(louvainRoundCte(1), "kv1", "lv1")},
+        |${mat(louvainRoundCte(2), "kv2", "lv2")},
+        |${louvainLevelBlock("lv2", "w2", 2)},
+        |cl2 AS MATERIALIZED (SELECT l.id, w.community FROM lv2 l
+        |  JOIN w2l2 w ON w.id = l.community),
+        |${louvainLevelBlock("cl2", "w3", 2)}
+        |SELECT c.id, x.community FROM cl2 c
+        |JOIN w3l2 x ON x.id = c.community ORDER BY c.id""".stripMargin,
 
     "g01_graph_build" ->
       """SELECT kind, n FROM (

@@ -979,6 +979,46 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(a1 == a2)
   }
 
+  test("louvainMultiLevel: level 3 merges what level 2 left, Q strictly " +
+      "rises, and a zero-move level stops the loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    // A 3-scale hierarchy: two triangle-pair motifs (triangles {1,2,3}
+    // {4,5,6} bridged 3-4; {21,22,23} {24,25,26} bridged 23-24), a weak
+    // A-B bridge 6-21, and K8 ballast {41..48} tuned so m = 43 sits in
+    // the band where triangle-pair merges are Q-positive (2m > d², d≈7)
+    // but 6-group merges are not (2m < d², d≈16). Level 1 leaves
+    // fragments, level 2 reassembles the four triangles, level 3 merges
+    // each bridged triangle pair into its 6-group — a merge only the
+    // SECOND contraction can perform — and level 4 applies zero moves,
+    // so maxLevels 3, 4, 5 all return the same labels.
+    def tri(b: Long) = Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    val k8 = for { x <- 41L to 48L; y <- x + 1 to 48L } yield (x, y)
+    val pairs = (tri(1) ++ tri(4) ++ Seq((3L, 4L)) ++ tri(21) ++ tri(24)
+      ++ Seq((23L, 24L)) ++ Seq((6L, 21L)) ++ k8).toDF("x", "y")
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      Graphs.modularity(pairs,
+          labels.select(col("id"), col("community").as("label")))
+        .agg(fsum("q_num")).head().getLong(0)
+    def run(ml: Int) = {
+      val l = Graphs.louvainMultiLevel(spark, pairs, rounds = 2,
+        maxLevels = ml)
+      val m = l.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (q(l), m.groupBy(_._2).values.map(_.keys.toSet).toSet)
+    }
+    val (q1, g1) = run(1)
+    val (q2, g2) = run(2)
+    val (q3, g3) = run(3)
+    assert(q1 == 2230L && q2 == 3518L && q3 == 3638L) // strictly rising
+    assert(g2.contains(Set(1L, 2L, 3L)) && g2.contains(Set(4L, 5L, 6L)))
+    assert(g3 == Set((1L to 6L).toSet, (21L to 26L).toSet,
+      (41L to 48L).toSet))
+    // convergence: the 4th level moves nothing and the loop stops —
+    // deeper maxLevels return identical labels
+    assert(run(4) == ((q3, g3)) && run(5) == ((q3, g3)))
+    assert(g1 != g2 && g2 != g3)
+  }
+
   test("linkPrediction == brute-force CN/RA oracle; adjacent pairs excluded") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
