@@ -1077,6 +1077,40 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // L52 — SPAN-CUT dedup stage (NEW r14, the substring-level ACTION
+    // on l30's read): per document, the kept-text accounting after
+    // cutting every cross-document duplicated span — (n_spans_cut,
+    // chars_cut, kept_chars) — the Lee-et-al-style dedup a 100 TB
+    // curation pass applies instead of dropping whole documents. Spans
+    // are l30's maximal islands (20-char cross-doc shingles coalesced
+    // on character offsets); every document appears (zero spans ->
+    // kept_chars = n_chars), so the output IS the post-cut manifest.
+    // Plan: l30's pipeline + one doc-keyed agg + a left join back to
+    // the corpus — nothing beyond the l30 shuffles.
+    "l52_span_cut" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = Text.shingleStreamPos(d, 20)
+      val dup = sh.select("doc_id", "shingle").distinct()
+        .groupBy("shingle").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("shingle")
+      val iv = sh.join(dup, Seq("shingle"), "left_semi")
+        .select(col("doc_id"), col("pos").as("dup_s"),
+          (col("pos") + 20).as("dup_e"))
+      val spans = graft.ops.Temporal.coalesceIntervals(iv, Seq("doc_id"),
+          "dup_s", "dup_e", "dup_s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans_cut"),
+          sum(col("span_end") - col("span_start")).as("chars_cut"))
+      d.select("doc_id", "n_chars")
+        .join(spans, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+          coalesce(col("chars_cut"), lit(0L)).as("chars_cut"),
+          (col("n_chars") - coalesce(col("chars_cut"), lit(0L)))
+            .as("kept_chars"))
+        .orderBy("doc_id")
+    }),
+
     // L10b — same decontamination result through the bloom-filter
     // runtime prefilter (Text.bloomContaminated): the compact filter
     // prunes the shingle stream before the exact semi join, so the
@@ -1764,6 +1798,45 @@ object LlmQueries {
         |  count(*) AS n_shingles
         |FROM g GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // L52 replay: the l30 island merge, aggregated per doc and joined
+    // back to the full corpus (zero-span docs keep everything).
+    "l52_span_cut" ->
+      """WITH sh AS (SELECT doc_id, CAST(gs AS BIGINT) AS pos,
+        |    substr(text, CAST(gs AS INT), 20) AS shingle
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, n_chars - 19)) AS gs
+        |        FROM documents WHERE n_chars >= 20)),
+        |dup AS (SELECT shingle FROM
+        |  (SELECT shingle, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+        |  WHERE nd >= 2),
+        |iv AS (SELECT doc_id, pos AS s, pos + 20 AS e FROM sh
+        |       WHERE shingle IN (SELECT shingle FROM dup)),
+        |m AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS frontier
+        |  FROM iv),
+        |b AS (SELECT doc_id, s, e,
+        |    CASE WHEN frontier IS NULL OR s <= frontier THEN 0 ELSE 1 END
+        |      AS brk
+        |  FROM m),
+        |g AS (SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM b),
+        |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+        |  FROM g GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, count(*) AS n_spans_cut,
+        |    CAST(sum(se - ss) AS BIGINT) AS chars_cut
+        |  FROM spans GROUP BY 1)
+        |SELECT d.doc_id, d.n_chars,
+        |  CAST(coalesce(a.n_spans_cut, 0) AS BIGINT) AS n_spans_cut,
+        |  CAST(coalesce(a.chars_cut, 0) AS BIGINT) AS chars_cut,
+        |  CAST(d.n_chars - coalesce(a.chars_cut, 0) AS BIGINT)
+        |    AS kept_chars
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "l12_salient_terms" ->
       """WITH tok AS (SELECT doc_id,
