@@ -330,6 +330,47 @@ object StreamQueries {
         .orderBy("user_id", "match_no")
     }),
 
+    // S36d — the WITHIN-bounded subsequence funnel LIVE (q57c's
+    // semantics as a continuous query, NEW r14): qboundedStep already
+    // threads the anchor + run-start ring through GroupState (the
+    // batch-boundary crossings are pinned in StreamingSpec), so the
+    // bound is one argument; the one-batch fold == q57c exactly (same
+    // oracle verbatim).
+    "s36d_stream_within_patterns" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir).select(col("user_id").as("entity"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
+          col("event_id").as("tie"), col("event_type").as("sym"))
+        .as[graft.ops.Patterns.PatEv]
+      graft.ops.Patterns.matchCountsStream(in,
+          Seq("view", "click", "view", "purchase"), contiguous = false,
+          withinUs = Some(7L * 86400L * 1000000L))
+        .toDF()
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")
+    }),
+
+    // S36e — quantified stages + WITHIN live (q57e's machine as a
+    // continuous query, NEW r14); held to q57e's DFA-replay oracle.
+    "s36e_stream_quant_within" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir).select(col("user_id").as("entity"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
+          col("event_id").as("tie"), col("event_type").as("sym"))
+        .as[graft.ops.Patterns.PatEv]
+      graft.ops.Patterns.quantifiedCountsStream(in,
+          Seq(("view", 1, 1), ("click", 1, Int.MaxValue),
+            ("purchase", 1, 1)),
+          withinUs = Some(86400L * 1000000L))
+        .toDF()
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")
+    }),
+
     // S36b — the quantified sibling (q57d's `view click+ purchase`
     // machine live); same discipline, held to q57d's DFA-replay oracle.
     "s36b_stream_quant_patterns" -> ((s, dir) => {
@@ -858,6 +899,13 @@ object StreamQueries {
       graft.queries.Relational.oracles("q57_pattern_funnel"),
     "s36b_stream_quant_patterns" ->
       graft.queries.Relational.oracles("q57d_pattern_quantified"),
+
+    // s36d/s36e run the WITHIN-bounded machines (q57c/q57e) through the
+    // streaming twins in a one-batch fold — same oracles verbatim.
+    "s36d_stream_within_patterns" ->
+      graft.queries.Relational.oracles("q57c_pattern_within"),
+    "s36e_stream_quant_within" ->
+      graft.queries.Relational.oracles("q57e_pattern_quant_within"),
 
     // q10's as-of semantics with the no-match null coalesced to -1.
     "s20_stream_asof" ->
