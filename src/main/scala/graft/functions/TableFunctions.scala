@@ -1,9 +1,9 @@
 package graft.functions
 
 import graft.ops.{AsOfJoin, Temporal}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, FunctionTableSubqueryArgumentExpression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.StringType
@@ -27,10 +27,21 @@ import org.apache.spark.sql.types.StringType
   * read. Registered per session via [[ensureRegistered]] (idempotent) or
   * for config-only sessions via `spark.sql.extensions=graft.GraftExtensions`.
   *
-  * Arguments must be string literals: TVF arguments are expressions with
-  * no input row to bind to, and the table/column names they carry are
-  * needed at ANALYSIS time — the same reason Spark's own `range(...)`
-  * TVF takes only foldable arguments.
+  * Input tables are passed either as string-literal names resolved
+  * through the session catalog, or (since r14) as SQL-standard
+  * `TABLE(<subquery>)` polymorphic table arguments — the analyzer hands
+  * the builder the resolved subquery plan, so operators compose over
+  * inline subqueries without intermediate temp views:
+  *
+  * {{{
+  * SELECT * FROM match_pattern(
+  *   TABLE(SELECT * FROM events WHERE event_type <> 'error'),
+  *   'user_id', 'ts', 'event_id', 'event_type', 'view click+ purchase', 0)
+  * }}}
+  *
+  * All OTHER arguments must be string/integer literals: they carry
+  * column names and parameters needed at ANALYSIS time — the same
+  * reason Spark's own `range(...)` TVF takes only foldable arguments.
   */
 object TableFunctions {
 
@@ -40,6 +51,31 @@ object TableFunctions {
     case other => throw new IllegalArgumentException(
       s"$fn: argument $pos must be a non-null string literal, got ${other.sql}")
   }
+
+  /** A TVF's input-table argument: either a string-literal table/view
+    * name or a `TABLE(<subquery>)` argument (SQL-standard polymorphic
+    * table argument — the analyzer hands the builder the RESOLVED
+    * subquery plan inside a FunctionTableSubqueryArgumentExpression, so
+    * `match_pattern(TABLE(SELECT ... FROM e WHERE ...), ...)` composes
+    * without a temp view). PARTITION BY / ORDER BY / WITH SINGLE
+    * PARTITION decorations are rejected: these operators define their
+    * own per-entity partitioning and ordering internally, and silently
+    * accepting a conflicting spec would be worse than an error.
+    */
+  private def tableArg(e: Expression, pos: Int, fn: String): DataFrame =
+    e match {
+      case f: FunctionTableSubqueryArgumentExpression =>
+        require(f.outerAttrs.isEmpty,
+          s"$fn: correlated TABLE() arguments are not supported")
+        require(f.partitionByExpressions.isEmpty &&
+            f.orderByExpressions.isEmpty && !f.withSinglePartition,
+          s"$fn: PARTITION BY / ORDER BY / WITH SINGLE PARTITION on the " +
+            "TABLE() argument are not supported — the operator defines " +
+            "its own per-entity partitioning and ordering")
+        org.apache.spark.sql.GraftPlanBridge.ofRows(SparkSession.active,
+          f.plan)
+      case other => SparkSession.active.table(str(other, pos, fn))
+    }
 
   private def long(e: Expression, pos: Int, fn: String): Long = e match {
     case l: Literal if l.value != null && (l.dataType match {
@@ -66,11 +102,10 @@ object TableFunctions {
     require(exprs.length == 7 || exprs.length == 8,
       s"$fn takes 7 or 8 arguments (left, right, on_csv, left_ts, " +
         s"right_ts, payload_csv, tie_break[, direction]), got ${exprs.length}")
-    val a = exprs.take(7).zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val (left, right) = (tableArg(exprs(0), 1, fn), tableArg(exprs(1), 2, fn))
+    val a = exprs.slice(2, 7).zipWithIndex.map { case (e, i) => str(e, i + 3, fn) }
     val direction = if (exprs.length == 8) str(exprs(7), 8, fn) else "backward"
-    val s = SparkSession.active
-    val (left, right) = (s.table(a(0)), s.table(a(1)))
-    val (on, lts, rts, pay, tie) = (csv(a(2)), a(3), a(4), csv(a(5)), a(6))
+    val (on, lts, rts, pay, tie) = (csv(a(0)), a(1), a(2), csv(a(3)), a(4))
     val df = direction match {
       case "backward" => AsOfJoin.merge(left, right, on, lts, rts, pay, tie)
       case "forward" => AsOfJoin.forward(left, right, on, lts, rts, pay, tie)
@@ -93,10 +128,10 @@ object TableFunctions {
     require(exprs.length == 5,
       s"$fn takes 5 arguments (table, entity, ts, at_timestamp, " +
         s"tie_break), got ${exprs.length}")
-    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
-    val s = SparkSession.active
-    Temporal.snapshot(s.table(a(0)), entity = csv(a(1)), ts = a(2),
-        t = lit(a(3)).cast("timestamp"), tieBreak = a(4))
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.drop(1).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
+    Temporal.snapshot(tbl, entity = csv(a(0)), ts = a(1),
+        t = lit(a(2)).cast("timestamp"), tieBreak = a(3))
       .queryExecution.logical
   }
 
@@ -107,10 +142,10 @@ object TableFunctions {
     val fn = "interval_view"
     require(exprs.length == 4,
       s"$fn takes 4 arguments (table, entity, ts, tie_break), got ${exprs.length}")
-    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
-    val s = SparkSession.active
-    Temporal.intervalView(s.table(a(0)), entity = csv(a(1)), ts = a(2),
-        tieBreak = a(3))
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.drop(1).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
+    Temporal.intervalView(tbl, entity = csv(a(0)), ts = a(1),
+        tieBreak = a(2))
       .queryExecution.logical
   }
 
@@ -121,11 +156,11 @@ object TableFunctions {
     val fn = "time_range"
     require(exprs.length == 6,
       s"$fn takes 6 arguments (table, entity, ts, tie_break, t1, t2), got ${exprs.length}")
-    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
-    val s = SparkSession.active
-    Temporal.timeRange(s.table(a(0)), entity = csv(a(1)), ts = a(2),
-        tieBreak = a(3), t1 = lit(a(4)).cast("timestamp"),
-        t2 = lit(a(5)).cast("timestamp"))
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.drop(1).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
+    Temporal.timeRange(tbl, entity = csv(a(0)), ts = a(1),
+        tieBreak = a(2), t1 = lit(a(3)).cast("timestamp"),
+        t2 = lit(a(4)).cast("timestamp"))
       .queryExecution.logical
   }
 
@@ -136,11 +171,11 @@ object TableFunctions {
     val fn = "sessionize"
     require(exprs.length == 5,
       s"$fn takes 5 arguments (table, entity, ts, tie_break, gap_seconds), got ${exprs.length}")
-    val a = exprs.take(4).zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.slice(1, 4).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
     val gap = long(exprs(4), 5, fn)
-    val s = SparkSession.active
-    Temporal.sessionize(s.table(a(0)), entity = csv(a(1)), ts = a(2),
-        tieBreak = a(3), gapSeconds = gap)
+    Temporal.sessionize(tbl, entity = csv(a(0)), ts = a(1),
+        tieBreak = a(2), gapSeconds = gap)
       .queryExecution.logical
   }
 
@@ -158,12 +193,12 @@ object TableFunctions {
     require(exprs.length == 7,
       s"$fn takes 7 arguments (table, entity, ts, tie_break, type_col, " +
         s"pattern, within_us), got ${exprs.length}")
-    val a = exprs.take(6).zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.slice(1, 6).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
     val within = long(exprs(6), 7, fn)
-    val s = SparkSession.active
-    graft.ops.Patterns.quantifiedCountsAlt(s.table(a(0)), entity = a(1),
-        ts = a(2), tieBreak = a(3), typeCol = a(4),
-        stages = graft.ops.Patterns.parsePattern(a(5)),
+    graft.ops.Patterns.quantifiedCountsAlt(tbl, entity = a(0),
+        ts = a(1), tieBreak = a(2), typeCol = a(3),
+        stages = graft.ops.Patterns.parsePattern(a(4)),
         withinUs = if (within > 0) Some(within) else None)
       .queryExecution.logical
   }
@@ -181,7 +216,7 @@ object TableFunctions {
     require(exprs.length == 7,
       s"$fn takes 7 arguments (table, entity_csv, valid_ts, tx_ts, " +
         s"t_valid, t_tx, tie_break), got ${exprs.length}")
-    val table = str(exprs(0), 1, fn)
+    val tbl = tableArg(exprs(0), 1, fn)
     val entity = csv(str(exprs(1), 2, fn))
     val (validTs, txTs) = (str(exprs(2), 3, fn), str(exprs(3), 4, fn))
     val tValid = lit(str(exprs(4), 5, fn)).cast("timestamp")
@@ -196,8 +231,7 @@ object TableFunctions {
       case e => lit(str(e, 6, fn)).cast("timestamp")
     }
     val tie = str(exprs(6), 7, fn)
-    val s = SparkSession.active
-    Temporal.bitemporalSnapshot(s.table(table), entity, validTs, txTs,
+    Temporal.bitemporalSnapshot(tbl, entity, validTs, txTs,
         tValid, tTx, tie)
       .queryExecution.logical
   }
@@ -214,10 +248,10 @@ object TableFunctions {
     require(exprs.length == 5,
       s"$fn takes 5 arguments (table, entity_csv, start, end, " +
         s"tie_break), got ${exprs.length}")
-    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
-    val s = SparkSession.active
-    Temporal.coalesceIntervals(s.table(a(0)), entity = csv(a(1)),
-        start = a(2), end = a(3), tieBreak = a(4))
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.drop(1).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
+    Temporal.coalesceIntervals(tbl, entity = csv(a(0)),
+        start = a(1), end = a(2), tieBreak = a(3))
       .queryExecution.logical
   }
 
@@ -231,11 +265,11 @@ object TableFunctions {
     require(exprs.length == 5,
       s"$fn takes 5 arguments (table, entity_csv, ts, tie_break, " +
         s"min_gap_seconds), got ${exprs.length}")
-    val a = exprs.take(4).zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.slice(1, 4).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
     val minGap = long(exprs(4), 5, fn)
-    val s = SparkSession.active
-    Temporal.gaps(s.table(a(0)), entity = csv(a(1)), ts = a(2),
-        tieBreak = a(3), minGapSeconds = minGap)
+    Temporal.gaps(tbl, entity = csv(a(0)), ts = a(1),
+        tieBreak = a(2), minGapSeconds = minGap)
       .queryExecution.logical
   }
 
@@ -248,10 +282,10 @@ object TableFunctions {
     require(exprs.length == 5,
       s"$fn takes 5 arguments (table, entity_csv, start, end, " +
         s"tie_break), got ${exprs.length}")
-    val a = exprs.zipWithIndex.map { case (e, i) => str(e, i + 1, fn) }
-    val s = SparkSession.active
-    Temporal.peakConcurrency(s.table(a(0)), entity = csv(a(1)),
-        start = a(2), end = a(3), tieBreak = a(4))
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.drop(1).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
+    Temporal.peakConcurrency(tbl, entity = csv(a(0)),
+        start = a(1), end = a(2), tieBreak = a(3))
       .queryExecution.logical
   }
 

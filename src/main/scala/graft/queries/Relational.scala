@@ -777,6 +777,25 @@ object Relational {
         |WHERE n_matches > 0 ORDER BY user_id""".stripMargin)
     }),
 
+    // Q58c — TABLE() polymorphic table argument (NEW r14, ROADMAP #10
+    // closed): the SAME q58 machine invoked over an INLINE SUBQUERY —
+    // no temp view of the subquery needed; the analyzer hands the TVF
+    // builder the resolved plan inside the SQL-standard TABLE()
+    // wrapper. The subquery here is a genuine reshaping (projection +
+    // a no-op-preserving filter), and the result is held to q58's
+    // oracle verbatim.
+    "q58c_pattern_sql_table" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_q58c_events")
+      s.sql("""SELECT entity AS user_id, n_events, n_matches
+        |FROM match_pattern(
+        |       TABLE(SELECT user_id, ts, event_id, event_type
+        |             FROM graft_q58c_events WHERE event_id >= 0),
+        |       'user_id', 'ts', 'event_id', 'event_type',
+        |       'view (click|error)+ purchase', 0)
+        |WHERE n_matches > 0 ORDER BY user_id""".stripMargin)
+    }),
+
     // Q59 — PER-MATCH EMISSION (MATCH_RECOGNIZE's ONE ROW PER MATCH):
     // q57e's bounded funnel (view click+ purchase WITHIN 1 day), but
     // emitting each converting run as its own row with the anchoring
@@ -2020,6 +2039,10 @@ object Relational {
 
     // q58b is q58 through the SQL TVF — same machine, same oracle.
     "q58b_pattern_sql" -> q58OracleSql,
+
+    // q58c is q58 through the TVF over a TABLE() subquery — same
+    // machine, same oracle.
+    "q58c_pattern_sql_table" -> q58OracleSql,
 
     // q60: the same explode + rank pick; (n+1)//2 and (n+1) div 2 agree
     // on positive counts.

@@ -418,6 +418,62 @@ class PatternsSpec extends SparkSpecBase {
 
   // ---- the SQL door (q58b) ----
 
+  test("match_pattern TVF over a TABLE() subquery == Scala API on the " +
+      "filtered frame; decorations rejected") {
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    // with x filtered out by the SUBQUERY, user 1's a..b..c becomes one
+    // contiguous a b+ c match that the unfiltered stream does NOT have
+    // (x kills the quantified attempt) — proving the subquery actually
+    // feeds the machine
+    val df = evDF(1L -> Seq("a", "x", "b", "c"), 2L -> Seq("a", "b", "c"))
+    df.createOrReplaceTempView("tvf_tblarg_events")
+    val viaSql = spark.sql(
+      """SELECT entity, n_events, n_matches FROM match_pattern(
+        |  TABLE(SELECT * FROM tvf_tblarg_events WHERE event_type <> 'x'),
+        |  'user_id', 'ts', 'event_id', 'event_type', 'a b+ c', 0)
+        |ORDER BY entity""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == Seq((1L, 3L, 1L), (2L, 3L, 1L)))
+    val viaApi = Patterns.quantifiedCounts(
+        df.filter(col("event_type") =!= "x"),
+        "user_id", "ts", "event_id", "event_type",
+        Seq(("a", 1, 1), ("b", 1, Int.MaxValue), ("c", 1, 1)))
+      .orderBy("entity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaApi == viaSql)
+    // unfiltered control: user 1 has NO match (x breaks contiguity)
+    val ctl = spark.sql(
+      """SELECT n_matches FROM match_pattern('tvf_tblarg_events',
+        |  'user_id', 'ts', 'event_id', 'event_type', 'a b+ c', 0)
+        |WHERE entity = 1""".stripMargin).collect()
+    assert(ctl.head.getLong(0) == 0L)
+    // PARTITION BY / ORDER BY decorations on the table argument clash
+    // with the operator's own partitioning — rejected, not ignored
+    val ex = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM match_pattern(
+          |  TABLE(SELECT * FROM tvf_tblarg_events)
+          |    PARTITION BY user_id ORDER BY ts,
+          |  'user_id', 'ts', 'event_id', 'event_type', 'a b+ c', 0)"""
+          .stripMargin).collect()
+    }
+    assert(ex.getMessage.contains("PARTITION BY") ||
+      String.valueOf(ex.getCause).contains("PARTITION BY"))
+    // TABLE() also reaches the other doors: asof_join over subqueries
+    val trades = evDF(1L -> Seq("t", "t"))
+    val quotes = evDF(1L -> Seq("q"))
+    trades.createOrReplaceTempView("tvf_tblarg_trades")
+    quotes.createOrReplaceTempView("tvf_tblarg_quotes")
+    val aj = spark.sql(
+      """SELECT count(*) FROM asof_join(
+        |  TABLE(SELECT user_id, ts, event_id FROM tvf_tblarg_trades),
+        |  TABLE(SELECT user_id, ts AS qts, event_id AS qid
+        |        FROM tvf_tblarg_quotes),
+        |  'user_id', 'ts', 'qts', 'qid', 'qid')""".stripMargin)
+      .collect()
+    assert(aj.head.getLong(0) == 2L)
+  }
+
   test("parsePattern rejects unbalanced parens and bare alternation") {
     import graft.ops.Patterns.parsePattern
     assert(parsePattern("view (click|error)+ purchase") ==
