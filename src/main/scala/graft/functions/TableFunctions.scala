@@ -203,6 +203,27 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** match_rows(table, entity, ts, tie_break, type_col, pattern,
+    * within_us) — q59's ONE ROW PER MATCH surface from pure SQL: the
+    * same machine and compact pattern spec as [[matchPatternPlan]], but
+    * emitting (entity, match_no, anchor_us, end_us) per completed
+    * (bounded) match instead of a per-entity count snapshot.
+    */
+  private def matchRowsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "match_rows"
+    require(exprs.length == 7,
+      s"$fn takes 7 arguments (table, entity, ts, tie_break, type_col, " +
+        s"pattern, within_us), got ${exprs.length}")
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.slice(1, 6).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
+    val within = long(exprs(6), 7, fn)
+    graft.ops.Patterns.quantifiedMatchesAlt(tbl, entity = a(0),
+        ts = a(1), tieBreak = a(2), typeCol = a(3),
+        stages = graft.ops.Patterns.parsePattern(a(4)),
+        withinUs = if (within > 0) Some(within) else None)
+      .queryExecution.logical
+  }
+
   /** bitemporal_snapshot(table, entity_csv, valid_ts, tx_ts, t_valid,
     * t_tx, tie_break) — the two-axis time-point read: the latest change
     * at-or-before `t_valid` on the valid-time axis among only the rows
@@ -320,7 +341,10 @@ object TableFunctions {
       bitemporalPlan _),
     (new FunctionIdentifier("match_pattern"),
       new ExpressionInfo(getClass.getName, "match_pattern"),
-      matchPatternPlan _))
+      matchPatternPlan _),
+    (new FunctionIdentifier("match_rows"),
+      new ExpressionInfo(getClass.getName, "match_rows"),
+      matchRowsPlan _))
 
   /** Register the TVFs on an already-built session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

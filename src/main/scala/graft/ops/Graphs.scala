@@ -215,6 +215,24 @@ object Graphs {
       .distinct()
   }
 
+  /** WEIGHTED restricted G_copart: the same canonical `x < y` pairs,
+    * with `w` = number of orders the pair co-occurs in (multiplicity
+    * kept instead of the final distinct) — the natural edge-weight
+    * column a co-occurrence graph carries.
+    */
+  def copartWeightedPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")).between(2, 3))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+  }
+
   /** Both directions of the restricted co-part graph. */
   def copartEdges(s: SparkSession, dir: String): DataFrame = {
     val p = copartPairs(s, dir)
@@ -1474,6 +1492,26 @@ object Graphs {
         .transform(Checkpoints.cut)
     }
     labels
+  }
+
+  /** G40d — Louvain over a USER-SUPPLIED edge-weight column: the
+    * public weighted-graph surface of [[louvainLevelWeighted]] (until
+    * r14 the weighted level only ran on internally contracted
+    * quotients). `wpairs` is canonical `(x < y, w)` with integer
+    * weights; m = Σw (the weighted modularity scale — for a weighted
+    * graph the 4m² denominator is total WEIGHT, which reduces to edge
+    * count when w ≡ 1), no self-loops. Same exact-integer gain,
+    * tie-break, and swap-suppression determinism, hence the same
+    * unrolled-replay oracle discipline.
+    */
+  def louvainWeightedGraph(s: SparkSession, wpairs: DataFrame,
+      rounds: Int): DataFrame = {
+    val p = wpairs.select("x", "y", "w").transform(Checkpoints.cut)
+    val verts = p.select(col("x").as("id"))
+      .unionAll(p.select(col("y").as("id"))).distinct()
+    val mDf = p.agg(sum("w").as("m"))
+    val noLoops = p.select(col("x").as("id"), lit(0L).as("sl")).limit(0)
+    louvainLevelWeighted(s, verts, p, noLoops, mDf, rounds)
   }
 
   /** G40b — MULTI-LEVEL Louvain (two levels, the full algorithm's

@@ -135,6 +135,39 @@ object Media {
       }
     }
 
+  /** REAL PPM (P6) encode: canonical header + the raw RGB raster —
+    * the inverse of [[decodePpm]]/[[ppmRaster]] (byte-exact round trip,
+    * MediaSpec-pinned). Raster length must be 3·w·h (rgbrgb…).
+    */
+  def encodePpm(w: Int, h: Int, maxval: Int, raster: Array[Byte])
+      : Array[Byte] = {
+    require(w > 0 && h > 0 && maxval > 0 && maxval <= 255,
+      "bad PPM dimensions")
+    require(raster.length == 3 * w * h,
+      s"raster length ${raster.length} != 3*$w*$h")
+    val header = s"P6\n$w $h\n$maxval\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + raster.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(raster, 0, out, header.length, raster.length)
+    out
+  }
+
+  /** Parse a P6 payload into its raw channel values (raster order
+    * rgbrgb…, each 0..255) — the image twin of [[wavSamples]]; None on
+    * malformed/truncated bytes.
+    */
+  def ppmRaster(bytes: Array[Byte]): Option[Array[Int]] =
+    parsePpmHeader(bytes).flatMap { case (w, h, _, off) =>
+      val n = 3 * w * h
+      if (bytes.length - off < n.toLong) None
+      else {
+        val arr = new Array[Int](n)
+        var k = 0
+        while (k < n) { arr(k) = bytes(off + k) & 0xff; k += 1 }
+        Some(arr)
+      }
+    }
+
   // ---------------------------------------------------------------- WAV
 
   /** Decoded PCM16 WAV: format fields + exact sample count and RMS
@@ -300,6 +333,24 @@ object Media {
     df.mapPartitions { it =>
       it.map { row =>
         val s = wavSamples(row.getAs[Array[Byte]](idx))
+          .map(_.toSeq).orNull
+        Row.fromSeq(row.toSeq :+ s)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode a PPM payload column into its raw channel-value array (null
+    * on malformed bytes) — the image twin of [[decodeAudioSamples]],
+    * same mapPartitions batch shape.
+    */
+  def decodeImagePixels(df: DataFrame, payloadCol: String,
+      out: String = "pixels"): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema.add(out, ArrayType(IntegerType),
+      nullable = true)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val s = ppmRaster(row.getAs[Array[Byte]](idx))
           .map(_.toSeq).orNull
         Row.fromSeq(row.toSeq :+ s)
       }

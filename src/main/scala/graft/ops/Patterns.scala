@@ -643,46 +643,105 @@ object Patterns {
       .sortWithinPartitions("entity", "ts_us", "tie")
       .mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[PatCount]
-        val NONE = Long.MinValue
         val len = pat.length
-        val anchors = Array.fill(len)(NONE) // slot 0 unused
+        val anchors = Array.fill(len)(ANCHOR_NONE) // slot 0 unused
         var cur = 0L
         var started = false
         var cnt = 0L
         var n = 0L
-        def reset(): Unit = { var s = 1; while (s < len) { anchors(s) = NONE; s += 1 } }
         it.foreach { e =>
           if (!started) { started = true; cur = e.entity }
           else if (e.entity != cur) {
             out += PatCount(cur, n, cnt)
-            cur = e.entity; cnt = 0L; n = 0L; reset()
+            cur = e.entity; cnt = 0L; n = 0L
+            java.util.Arrays.fill(anchors, ANCHOR_NONE)
           }
-          var s = 1
-          while (s < len) {
-            if (anchors(s) != NONE && e.ts_us - anchors(s) > withinUs)
-              anchors(s) = NONE
-            s += 1
-          }
-          if (len == 1) { if (e.sym == pat(0)) cnt += 1L }
-          else if (anchors(len - 1) != NONE && e.sym == pat(len - 1)) {
-            cnt += 1L; reset()
-          } else {
-            s = len - 2
-            while (s >= 1) {
-              if (e.sym == pat(s) && anchors(s) != NONE) {
-                if (anchors(s) > anchors(s + 1)) anchors(s + 1) = anchors(s)
-                anchors(s) = NONE
-              }
-              s -= 1
-            }
-            if (e.sym == pat(0)) anchors(1) = e.ts_us
-          }
+          cnt = reanchorStep(pat, withinUs, anchors, cnt, e.ts_us, e.sym)
           n += 1L
         }
         if (started) out += PatCount(cur, n, cnt)
         out.iterator
       }
       .toDF()
+  }
+
+  private[graft] val ANCHOR_NONE = Long.MinValue
+
+  /** The re-anchoring machine's per-event transition, shared by the
+    * batch fold and the streaming twin (the sessionStep discipline).
+    * Mutates `anchors` in place (slot s = latest live anchor at stage
+    * s, [[ANCHOR_NONE]] = none, slot 0 unused); returns the new count.
+    */
+  private[graft] def reanchorStep(pat: Array[String], within: Long,
+      anchors: Array[Long], cnt0: Long, tsUs: Long, sym: String): Long = {
+    val len = pat.length
+    var s = 1
+    while (s < len) {
+      if (anchors(s) != ANCHOR_NONE && tsUs - anchors(s) > within)
+        anchors(s) = ANCHOR_NONE
+      s += 1
+    }
+    if (len == 1) { if (sym == pat(0)) cnt0 + 1L else cnt0 }
+    else if (anchors(len - 1) != ANCHOR_NONE && sym == pat(len - 1)) {
+      java.util.Arrays.fill(anchors, ANCHOR_NONE)
+      cnt0 + 1L
+    } else {
+      s = len - 2
+      while (s >= 1) {
+        if (sym == pat(s) && anchors(s) != ANCHOR_NONE) {
+          if (anchors(s) > anchors(s + 1)) anchors(s + 1) = anchors(s)
+          anchors(s) = ANCHOR_NONE
+        }
+        s -= 1
+      }
+      if (sym == pat(0)) anchors(1) = tsUs
+      cnt0
+    }
+  }
+
+  /** Cross-batch state for the re-anchoring streaming twin: the live
+    * anchor array + counters + the [[isLate]] guard residue.
+    */
+  case class RePatState(anchors: Array[Long], n: Long, cnt: Long,
+      maxTs: Long, maxTie: Long, nLate: Long)
+
+  /** S36f — q57f's re-anchoring WITHIN machine LIVE: the same
+    * O(|pattern|) anchor array persists in GroupState across
+    * micro-batches; each batch folds its slice in (ts, tie) order
+    * through the shared [[reanchorStep]] and emits one running
+    * (entity, n_events, n_matches) snapshot in Update mode. Same
+    * guarded in-order-across-batches caveat as S36.
+    */
+  def reanchoredCountsStream(events: Dataset[PatEv], pattern: Seq[String],
+      withinUs: Long): Dataset[PatCount] = {
+    require(pattern.nonEmpty, "empty pattern")
+    require(withinUs >= 0L, "negative withinUs")
+    import events.sparkSession.implicits._
+    val pat = pattern.toArray
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[RePatState, PatCount](OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (ent: Long, rows: Iterator[PatEv], state: GroupState[RePatState]) =>
+          val st0 = state.getOption.getOrElse(RePatState(
+            Array.fill(pat.length)(ANCHOR_NONE), 0L, 0L,
+            Long.MinValue, Long.MinValue, 0L))
+          val anchors = st0.anchors.clone()
+          var n = st0.n; var cnt = st0.cnt
+          var maxTs = st0.maxTs; var maxTie = st0.maxTie
+          var late = 0L
+          rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+            if (isLate(maxTs, maxTie, e)) late += 1L
+            else {
+              cnt = reanchorStep(pat, withinUs, anchors, cnt, e.ts_us, e.sym)
+              n += 1L
+              maxTs = e.ts_us; maxTie = e.tie
+            }
+          }
+          warnLate(ent, late, st0.nLate + late)
+          state.update(RePatState(anchors, n, cnt, maxTs, maxTie,
+            st0.nLate + late))
+          Iterator.single(PatCount(ent, n, cnt))
+      }
   }
 
   /** Event row for the BUFFERED streaming twins: a real timestamp column

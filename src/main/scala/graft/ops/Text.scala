@@ -787,6 +787,33 @@ object Text {
   val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
   val IdRe = "[0-9]{9,}"
 
+  /** L52's read: per-document kept-text accounting after cutting every
+    * span covered by a shingle in `dup` (a one-column `shingle` set —
+    * the cross-document duplicate index, built one-shot by l52 or
+    * continuously by s40's maintained partials). Every document
+    * appears; zero-span docs keep everything. Plan: shingle explode →
+    * semi join against the index → T19 interval coalescing on character
+    * offsets → one doc-keyed agg + a left join to the corpus.
+    */
+  def spanCutStats(d: DataFrame, dup: DataFrame): DataFrame = {
+    val sh = shingleStreamPos(d, 20)
+    val iv = sh.join(dup.select("shingle"), Seq("shingle"), "left_semi")
+      .select(col("doc_id"), col("pos").as("dup_s"),
+        (col("pos") + 20).as("dup_e"))
+    val spans = Temporal.coalesceIntervals(iv, Seq("doc_id"),
+        "dup_s", "dup_e", "dup_s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans_cut"),
+        sum(col("span_end") - col("span_start")).as("chars_cut"))
+    d.select("doc_id", "n_chars")
+      .join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("chars_cut"), lit(0L)).as("chars_cut"),
+        (col("n_chars") - coalesce(col("chars_cut"), lit(0L)))
+          .as("kept_chars"))
+  }
+
   /** Per-row PII redaction: counts of each pattern in `text` plus the
     * scrubbed string. Pure per-row codegen'd regex work — no shuffle, no
     * UDF; at 100 TB this pipelines inside the scan's whole-stage-codegen

@@ -770,6 +770,17 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G40d — Louvain over a USER-SUPPLIED edge-weight column (NEW r14):
+    // the weighted co-part graph (w = co-occurrence multiplicity), 2
+    // synchronous weighted rounds — the public weighted-modularity
+    // surface (m = Σw). Deterministic (exact-integer gains, swap
+    // suppression), hash-checked against the unrolled weighted replay.
+    "g40d_louvain_weighted" -> ((s, dir) => {
+      Graphs.louvainWeightedGraph(s, Graphs.copartWeightedPairs(s, dir),
+          rounds = 2)
+        .orderBy("id")
+    }),
+
     // G29 — reciprocity of the DIRECTED part-flow graph (the g23 SCC
     // substrate): of all distinct directed edges, how many have their
     // reverse present — exact integer (n_edges, n_reciprocal) with the
@@ -1047,6 +1058,29 @@ object GraphQueries {
         |${mat(louvainWeightedRoundCte(2), "wkv2", "wb2", "wl2")}
         |SELECT l.id, w.community FROM lv2 l
         |JOIN wl2 w ON w.id = l.community ORDER BY l.id""".stripMargin,
+
+    // g40d: the weighted rounds replayed directly over the
+    // multiplicity-weighted co-part pairs — qdeg from Σ incident w (no
+    // self-loops), mm = Σw (the weighted modularity scale).
+    "g40d_louvain_weighted" ->
+      s"""WITH wok AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |       HAVING count(DISTINCT l_partkey) BETWEEN 2 AND 3),
+        |wpp AS (SELECT DISTINCT a.l_orderkey, a.l_partkey AS x,
+        |    b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey IN (SELECT l_orderkey FROM wok)),
+        |wp AS MATERIALIZED (SELECT x, y, count(*) AS w FROM wpp
+        |  GROUP BY 1, 2),
+        |qe AS MATERIALIZED (SELECT x AS src, y AS dst, w FROM wp
+        |       UNION ALL SELECT y, x, w FROM wp),
+        |qdeg AS MATERIALIZED (SELECT src AS id, sum(w) AS deg FROM qe
+        |  GROUP BY 1),
+        |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM wp),
+        |${mat("wl0 AS (SELECT id, id AS community FROM qdeg)", "wl0")},
+        |${mat(louvainWeightedRoundCte(1), "wkv1", "wb1", "wl1")},
+        |${mat(louvainWeightedRoundCte(2), "wkv2", "wb2", "wl2")}
+        |SELECT id, community FROM wl2 ORDER BY id""".stripMargin,
 
     // g40c: the fully unrolled 3-level replay — level 1 = the g40
     // rounds, then two contract-by-composed-labels + weighted-rounds

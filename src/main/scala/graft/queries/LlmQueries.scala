@@ -993,6 +993,51 @@ object LlmQueries {
         .orderBy("doc_id", "win")
     }),
 
+    // L53 — IMAGE channel features through a REAL PPM encode→parse
+    // round trip (NEW r14, the image twin of l51's WAV gate): one
+    // deterministic 8×8 RGB image per doc (channel values from the
+    // md5Long grid both engines can compute), encoded to real P6 bytes
+    // (Media.encodePpm), parsed back by the real raster parser
+    // (Media.decodeImagePixels), then per-(doc, channel) exact-integer
+    // moments + a 4-bucket intensity histogram — the embedding-input
+    // statistics a multimodal curation pass runs. The oracle computes
+    // the same features from the md5 grid directly, so the hash match
+    // certifies the codec round trip end to end. Plan: the encode and
+    // parse are one mapPartitions each (the codec batch shape); the
+    // feature agg is one hash aggregate over the exploded raster —
+    // at 100 TB the raster explode stays inside the partition.
+    "l53_image_features" -> ((s, dir) => {
+      import s.implicits._
+      val n = 8 * 8 * 3
+      val pix = docs(s, dir).select(col("doc_id"))
+        .withColumn("p", explode(sequence(lit(0), lit(n - 1))))
+        .withColumn("v",
+          (graft.Det.md5Long(concat(col("doc_id"), lit("_"), col("p")))
+            % 256).cast("int"))
+      val ppms = pix.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("p"), col("v"))))
+          .as("ps"))
+        .as[(Long, Seq[(Int, Int)])]
+        .map { case (id, ps) =>
+          (id, graft.ops.Media.encodePpm(8, 8, 255,
+            ps.map(_._2.toByte).toArray))
+        }
+        .toDF("doc_id", "payload")
+      graft.ops.Media.decodeImagePixels(ppms, "payload")
+        .select(col("doc_id"), posexplode(col("pixels")).as(Seq("i", "v")))
+        .groupBy(col("doc_id"), (col("i") % 3).cast("long").as("channel"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("long")).as("sum_v"),
+          sum(col("v").cast("long") * col("v")).as("sum_sq"),
+          sum(when(col("v") < 64, 1L).otherwise(0L)).as("h0"),
+          sum(when(col("v") >= 64 && col("v") < 128, 1L).otherwise(0L))
+            .as("h1"),
+          sum(when(col("v") >= 128 && col("v") < 192, 1L).otherwise(0L))
+            .as("h2"),
+          sum(when(col("v") >= 192, 1L).otherwise(0L)).as("h3"))
+        .orderBy("doc_id", "channel")
+    }),
+
     // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
     "l06_knn" -> ((s, dir) => {
       graft.functions.VecFunctions.ensureRegistered(s)
@@ -1089,26 +1134,11 @@ object LlmQueries {
     // the corpus — nothing beyond the l30 shuffles.
     "l52_span_cut" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sh = Text.shingleStreamPos(d, 20)
-      val dup = sh.select("doc_id", "shingle").distinct()
+      val dup = Text.shingleStreamPos(d, 20)
+        .select("doc_id", "shingle").distinct()
         .groupBy("shingle").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select("shingle")
-      val iv = sh.join(dup, Seq("shingle"), "left_semi")
-        .select(col("doc_id"), col("pos").as("dup_s"),
-          (col("pos") + 20).as("dup_e"))
-      val spans = graft.ops.Temporal.coalesceIntervals(iv, Seq("doc_id"),
-          "dup_s", "dup_e", "dup_s")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans_cut"),
-          sum(col("span_end") - col("span_start")).as("chars_cut"))
-      d.select("doc_id", "n_chars")
-        .join(spans, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("n_chars"),
-          coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
-          coalesce(col("chars_cut"), lit(0L)).as("chars_cut"),
-          (col("n_chars") - coalesce(col("chars_cut"), lit(0L)))
-            .as("kept_chars"))
-        .orderBy("doc_id")
+      Text.spanCutStats(d, dup).orderBy("doc_id")
     }),
 
     // L10b — same decontamination result through the bloom-filter
@@ -2358,6 +2388,28 @@ object LlmQueries {
     // l51: the WAV round-trip is engine-side; the oracle replays the
     // deterministic sample stream arithmetically (same md5 formula)
     // and the exact integer window features.
+    // L53 replay: the same md5 channel grid, features computed directly
+    // (no codec) — a hash match therefore certifies the engine's
+    // encode→parse round trip byte-for-byte.
+    "l53_image_features" -> {
+      val h = graft.Det.duckMd5Long("doc_id || '_' || p")
+      s"""WITH px AS (SELECT doc_id, p,
+        |    CAST(($h) % 256 AS BIGINT) AS v
+        |  FROM (SELECT doc_id, unnest(range(0, 192)) AS p
+        |        FROM documents))
+        |SELECT doc_id, CAST(p % 3 AS BIGINT) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN v < 64 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(sum(CASE WHEN v >= 64 AND v < 128 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS h1,
+        |  CAST(sum(CASE WHEN v >= 128 AND v < 192 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS h2,
+        |  CAST(sum(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+        |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     "l51_audio_features" -> {
       val h = graft.Det.duckMd5Long("doc_id || '_' || i")
       s"""WITH s AS (SELECT doc_id, i,

@@ -814,6 +814,20 @@ object Relational {
           col("anchor_us"), col("end_us"))
         .orderBy("user_id", "match_no")),
 
+    // Q59b — q59's per-match surface through the match_rows TVF
+    // (NEW r14): the SQL door for ONE ROW PER MATCH, compact pattern
+    // spec + TABLE() composability like match_pattern; held to q59's
+    // oracle verbatim.
+    "q59b_match_rows_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_q59b_events")
+      s.sql("""SELECT entity AS user_id, match_no, anchor_us, end_us
+        |FROM match_rows('graft_q59b_events', 'user_id', 'ts',
+        |       'event_id', 'event_type', 'view click+ purchase',
+        |       86400000000)
+        |ORDER BY user_id, match_no""".stripMargin)
+    }),
+
     // Q58 — ALTERNATION stages (MATCH_RECOGNIZE `A (B|C)+ D`):
     // view (click|error)+ purchase — the engagement stage accepts
     // either symbol. Same machine as q57d with set membership in place
@@ -2044,6 +2058,10 @@ object Relational {
     // machine, same oracle.
     "q58c_pattern_sql_table" -> q58OracleSql,
 
+    // q59b is q59 through the match_rows TVF — same machine, same
+    // oracle (assigned below, after the map literal, to reference the
+    // q59 entry).
+
     // q60: the same explode + rank pick; (n+1)//2 and (n+1) div 2 agree
     // on positive counts.
     "q60_rolling_median" ->
@@ -2543,7 +2561,10 @@ object Relational {
   // the KMP machine on the fixed contiguous pattern is DEFINED to
   // reproduce q42's replace trick — same oracle verbatim
   val oracles: Map[String, String] =
-    oracles0 + ("q57b_pattern_contiguous" -> oracles0("q42_seq_pattern"))
+    oracles0 +
+      ("q57b_pattern_contiguous" -> oracles0("q42_seq_pattern")) +
+      // q59b is q59 through the match_rows TVF — same machine, oracle
+      ("q59b_match_rows_sql" -> oracles0("q59_pattern_match_rows"))
 
   private lazy val heavyHittersSql: String =
     """SELECT token, count(*) AS n FROM (

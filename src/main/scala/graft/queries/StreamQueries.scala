@@ -371,6 +371,25 @@ object StreamQueries {
         .orderBy("user_id")
     }),
 
+    // S36f — q57f's RE-ANCHORING WITHIN machine live (NEW r14): the
+    // O(|pattern|) anchor array persists across batches; the one-batch
+    // fold == q57f exactly (same oracle verbatim).
+    "s36f_stream_reanchor" -> ((s, dir) => {
+      import s.implicits._
+      val in = ev(s, dir).select(col("user_id").as("entity"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
+          col("event_id").as("tie"), col("event_type").as("sym"))
+        .as[graft.ops.Patterns.PatEv]
+      graft.ops.Patterns.reanchoredCountsStream(in,
+          Seq("view", "click", "view", "purchase"),
+          withinUs = 7L * 86400L * 1000000L)
+        .toDF()
+        .filter(col("n_matches") > 0)
+        .select(col("entity").as("user_id"), col("n_events"),
+          col("n_matches"))
+        .orderBy("user_id")
+    }),
+
     // S36b — the quantified sibling (q57d's `view click+ purchase`
     // machine live); same discipline, held to q57d's DFA-replay oracle.
     "s36b_stream_quant_patterns" -> ((s, dir) => {
@@ -672,6 +691,26 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // S40 — streaming span-cut maintenance (NEW r14): l52's global
+    // cross-doc duplicate-shingle index kept live through 3
+    // batch-id-stamped partial batches (doc_id mod 3), one REPLAYED
+    // (delete-then-insert idempotence); the read cuts spans against the
+    // MAINTAINED set and must equal the one-shot l52 exactly.
+    "s40_span_cut_maintenance" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      var state = Streams.shingleDocPartials(d.limit(0), 20, -1L)
+      (0 to 2).foreach { i =>
+        state = Streams.mergeShingleDocPartials(state,
+          d.filter(col("doc_id") % 3 === i), 20, i.toLong)
+      }
+      // replayed batch: REPLACES its own rows — a no-op by construction
+      state = Streams.mergeShingleDocPartials(state,
+        d.filter(col("doc_id") % 3 === 2), 20, 2L)
+      graft.ops.Text.spanCutStats(d,
+          Streams.dupShinglesFromPartials(state))
+        .orderBy("doc_id")
+    }),
+
     "s23_importance_maintenance" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val tgt = col("lang") === "en"
@@ -824,6 +863,11 @@ object StreamQueries {
     "s38_bigram_lm_maintenance" ->
       graft.queries.LlmQueries.oracles("l50_bigram_xent"),
 
+    // s40 must reproduce l52's one-shot span cut from the maintained
+    // duplicate-shingle index — same oracle verbatim.
+    "s40_span_cut_maintenance" ->
+      graft.queries.LlmQueries.oracles("l52_span_cut"),
+
     // s39 emits q59's match rows through the streaming twin — same
     // oracle verbatim.
     "s39_stream_match_rows" ->
@@ -906,6 +950,11 @@ object StreamQueries {
       graft.queries.Relational.oracles("q57c_pattern_within"),
     "s36e_stream_quant_within" ->
       graft.queries.Relational.oracles("q57e_pattern_quant_within"),
+
+    // s36f runs q57f's re-anchoring machine through the streaming twin
+    // in a one-batch fold — same oracle verbatim.
+    "s36f_stream_reanchor" ->
+      graft.queries.Relational.oracles("q57f_pattern_reanchor"),
 
     // q10's as-of semantics with the no-match null coalesced to -1.
     "s20_stream_asof" ->

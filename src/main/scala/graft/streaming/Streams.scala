@@ -248,6 +248,34 @@ object Streams {
   def bigramStatsFromPartials(state: DataFrame): DataFrame =
     state.groupBy("kind", "a", "b").agg(sum("n").as("n"))
 
+  /** S40 — streaming maintenance of the cross-document duplicate-shingle
+    * index (l52's global piece kept live): per batch, the DISTINCT
+    * (shingle → doc count) of that batch's docs, stamped with the batch
+    * id. Because a document lands WHOLLY in exactly one batch (the same
+    * CDC convention as s23/s38) and replay REPLACES the batch's rows,
+    * per-batch distinct-doc counts are additive across batches and the
+    * folded index equals the one-shot build exactly. The per-doc span
+    * CUT then stays an embarrassingly parallel map against this
+    * maintained set — the read never rescans the corpus to rebuild the
+    * global index, which is the point at 100 TB.
+    */
+  def shingleDocPartials(batch: DataFrame, k: Int,
+      batchId: Long): DataFrame =
+    graft.ops.Text.shingles(batch, k)
+      .select("shingle", "doc_id").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("nd"))
+      .withColumn("batch_id", lit(batchId))
+
+  def mergeShingleDocPartials(state: DataFrame, batch: DataFrame, k: Int,
+      batchId: Long): DataFrame =
+    state.filter(col("batch_id") =!= batchId)
+      .unionByName(shingleDocPartials(batch, k, batchId))
+
+  /** Read side: maintained partials → the cross-doc duplicate set. */
+  def dupShinglesFromPartials(state: DataFrame): DataFrame =
+    state.groupBy("shingle").agg(sum("nd").as("nd"))
+      .filter(col("nd") >= 2).select("shingle")
+
   /** S32 — streaming trend maintenance (Q51 live): the OLS sufficient
     * statistics (n, Σx, Σy, Σxy, Σx²) are ADDITIVE over disjoint event
     * sets, so a continuously-maintained regression is the t09b partials

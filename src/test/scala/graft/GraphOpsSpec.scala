@@ -1019,6 +1019,30 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(g1 != g2 && g2 != g3)
   }
 
+  test("louvainWeightedGraph: edge weights matter — a heavy bridge " +
+      "merges what a unit bridge keeps apart") {
+    import spark.implicits._
+    // two triangles bridged 3-4 + K8 ballast; unit weights keep the
+    // triangles separate communities after 2 rounds, but a heavy (w=9)
+    // bridge makes the bridge endpoints' merge dominate
+    val tri = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L))
+    val k8 = for { x <- 11L to 18L; y <- x + 1 to 18L } yield (x, y, 1L)
+    def run(bridgeW: Long): Set[Set[Long]] = {
+      val wp = (tri ++ Seq((3L, 4L, bridgeW)) ++ k8).toDF("x", "y", "w")
+      Graphs.louvainWeightedGraph(spark, wp, rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .groupBy(_._2).values.map(_.keys.toSet).toSet
+    }
+    val light = run(1L)
+    val heavy = run(9L)
+    // unit bridge: 3 and 4 stay with their triangles
+    assert(light.exists(g => g.contains(3L) && !g.contains(4L)))
+    // heavy bridge: 3 and 4 end up together
+    assert(heavy.exists(g => g.contains(3L) && g.contains(4L)))
+    assert(light != heavy)
+  }
+
   test("linkPrediction == brute-force CN/RA oracle; adjacent pairs excluded") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)

@@ -107,6 +107,27 @@ class MediaSpec extends SparkSpecBase {
       .get.isEmpty)
   }
 
+  test("encodePpm/ppmRaster: exact P6 round trip; truncated/garbage " +
+      "rejected; raster == decodePpm's means") {
+    val raster = Array.tabulate(3 * 4 * 2)(i => ((i * 37 + 5) % 256).toByte)
+    val bytes = Media.encodePpm(4, 2, 255, raster)
+    assert(Media.ppmRaster(bytes).get.toSeq ==
+      raster.map(_ & 0xff).toSeq)
+    // a decode of our own encode parses the same header fields
+    val meta = Media.decodePpm(bytes).get
+    assert((meta.width, meta.height, meta.maxval) == ((4, 2, 255)))
+    val n = (4 * 2).toDouble
+    assert(meta.mean_r ==
+      raster.indices.filter(_ % 3 == 0).map(raster(_) & 0xff).sum / n)
+    // resize identity re-encode reproduces the raster bit-for-bit
+    assert(Media.resizePpm(bytes, 4, 2).get.toSeq == bytes.toSeq)
+    assert(Media.ppmRaster("garbage".getBytes("UTF-8")).isEmpty)
+    assert(Media.ppmRaster(bytes.take(12)).isEmpty) // truncated raster
+    intercept[IllegalArgumentException] {
+      Media.encodePpm(4, 2, 255, raster.take(5))
+    }
+  }
+
   test("decode wrappers: parquet round-trip, mixed good/garbage payloads") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString

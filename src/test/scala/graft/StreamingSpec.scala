@@ -1218,6 +1218,53 @@ class StreamingSpec extends SparkSpecBase {
       == oneShot)
   }
 
+  test("S40 duplicate-shingle index foreachBatch: span cut against the " +
+      "maintained set == one-shot l52, replay no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars")).limit(30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def docDF = docs.toSeq.toDF("doc_id", "text", "n_chars")
+    // one-shot reference over the same 30 docs
+    val oneShotDup = graft.ops.Text.shingleStreamPos(docDF, 20)
+      .select("doc_id", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("shingle")
+    val ref = graft.ops.Text.spanCutStats(docDF, oneShotDup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(ref.exists(_._3 > 0)) // some doc genuinely loses spans
+
+    val source = MemoryStream[(Long, String, Long)]
+    var state = Streams.shingleDocPartials(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars"),
+      20, -1L)
+    var lastBatch: Option[org.apache.spark.sql.DataFrame] = None
+    var lastId = -1L
+    val q = source.toDS().toDF("doc_id", "text", "n_chars").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        state = Streams.mergeShingleDocPartials(state, batch, 20, id)
+          .localCheckpoint()
+        lastBatch = Some(batch.localCheckpoint()); lastId = id
+      }
+      .outputMode(OutputMode.Append()).start()
+    try docs.grouped(11).foreach { g =>
+      source.addData(g.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def cut(st: org.apache.spark.sql.DataFrame) =
+      graft.ops.Text.spanCutStats(docDF,
+          Streams.dupShinglesFromPartials(st))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(cut(state) == ref)
+    // replaying the last micro-batch replaces its own partials — no-op
+    val replayed = Streams.mergeShingleDocPartials(state, lastBatch.get,
+      20, lastId)
+    assert(cut(replayed) == ref)
+  }
+
   test("S38 bigram-LM stats foreachBatch: == one-shot scores, replay no-op") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -1797,6 +1844,60 @@ class StreamingSpec extends SparkSpecBase {
         .map(r => (r.getLong(1), r.getLong(2))).maxBy(_._1)
       assert(last == ((3L, 1L)))
     } finally q.stop()
+  }
+
+  test("S36f reanchored stream == batch fold; the live anchor array " +
+      "crosses a batch boundary") {
+    import spark.implicits._
+    import graft.ops.Patterns
+    implicit val sq = spark.sqlContext
+    val pat = Seq("view", "click")
+    val w = 60L * 1000000L
+    // the ADVICE case split mid-stream: the re-anchoring view@300s is
+    // folded in batch 1, the click@330s lands in batch 2 — the anchor
+    // array in GroupState must carry the FRESH anchor across
+    def pe(sec: Long, tie: Long, sym: String) =
+      Patterns.PatEv(1L, sec * 1000000L, tie, sym)
+    val evs = Seq(pe(0, 1, "view"), pe(300, 2, "view"), pe(330, 3, "click"))
+    val src = MemoryStream[Patterns.PatEv]
+    val q = Patterns.reanchoredCountsStream(src.toDS(), pat, w)
+      .writeStream.format("memory").queryName("s36fhand")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      Seq(evs.take(2), evs.drop(2)).foreach { g =>
+        src.addData(g); q.processAllAvailable()
+      }
+      val last = spark.table("s36fhand").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).maxBy(_._1)
+      assert(last == ((3L, 1L)))
+    } finally q.stop()
+    // fixture: final snapshots == the batch reanchoredCounts fold
+    val fpat = Seq("view", "click", "view", "purchase")
+    val fw = 7L * 86400L * 1000000L
+    val batch = Patterns.reanchoredCounts(
+        Tables.load(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type", fpat, fw)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val in = Tables.load(spark, sfDir, "events")
+      .select(col("user_id").as("entity"),
+        graft.Det.epochUs(col("ts")).as("ts_us"),
+        col("event_id").as("tie"), col("event_type").as("sym"))
+      .as[Patterns.PatEv]
+    val fevs = in.orderBy("ts_us", "tie").collect().toSeq
+    val fsrc = MemoryStream[Patterns.PatEv]
+    val fq = Patterns.reanchoredCountsStream(fsrc.toDS(), fpat, fw)
+      .writeStream.format("memory").queryName("s36ffix")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      fevs.grouped(math.max(1, fevs.length / 5)).foreach { g =>
+        fsrc.addData(g); fq.processAllAvailable()
+      }
+      val last = spark.table("s36ffix").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._1) }
+      assert(last == batch && batch.values.exists(_._2 > 0))
+    } finally fq.stop()
   }
 
   test("S39b buffered patterns: late anchor lands a batch after the " +
