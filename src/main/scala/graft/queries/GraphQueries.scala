@@ -770,6 +770,38 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G42 — TEMPORAL CO-OCCURRENCE MOTIF counting (NEW r14): supplier
+    // pairs repeatedly shipping the SAME part within 7 days — the
+    // time-respecting wedge (s1 → p ← s2, |t1−t2| ≤ δ) a temporal graph
+    // engine counts to find coordinated actors. Every unordered
+    // shipment pair is counted exactly once (canonical order: later
+    // shipdate, row-id tiebreak on equal days), aggregated per
+    // supplier pair, kept at n ≥ 3. The pair generation goes through
+    // the BANDED range join (RangeJoin.banded — one (part, time-band)
+    // shuffle, candidates only within one δ band), never the per-part
+    // quadratic self-join the oracle pays. Hash-matched.
+    "g42_temporal_coship" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val a = li.select(col("l_partkey"), col("l_suppkey").as("s_a"),
+        col("l_shipdate").as("ta"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid_a"))
+      val b = li.select(col("l_partkey"), col("l_suppkey").as("s_b"),
+        col("l_shipdate").as("tb"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid_b"))
+      graft.ops.RangeJoin.banded(a, b, "l_partkey", "ta", "tb",
+          lowerUs = -1L, upperUs = 7L * 86400L * 1000000L)
+        .filter(col("s_a") =!= col("s_b"))
+        // banded gives tb >= ta; on equal days the row id orders the
+        // pair so each unordered shipment pair counts exactly once
+        .filter(graft.Det.epochUs(col("tb")) > graft.Det.epochUs(col("ta"))
+          || col("rid_b") > col("rid_a"))
+        .select(least(col("s_a"), col("s_b")).as("s1"),
+          greatest(col("s_a"), col("s_b")).as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_coship"))
+        .filter(col("n_coship") >= 3)
+        .orderBy("s1", "s2")
+    }),
+
     // G40d — Louvain over a USER-SUPPLIED edge-weight column (NEW r14):
     // the weighted co-part graph (w = co-occurrence multiplicity), 2
     // synchronous weighted rounds — the public weighted-modularity
@@ -1058,6 +1090,20 @@ object GraphQueries {
         |${mat(louvainWeightedRoundCte(2), "wkv2", "wb2", "wl2")}
         |SELECT l.id, w.community FROM lv2 l
         |JOIN wl2 w ON w.id = l.community ORDER BY l.id""".stripMargin,
+
+    // g42: the direct per-part pair join the banded engine plan avoids
+    // — same canonical once-per-unordered-pair rule.
+    "g42_temporal_coship" ->
+      """WITH li AS (SELECT l_partkey AS p, l_suppkey AS s,
+        |    CAST(l_shipdate AS TIMESTAMP) AS t,
+        |    l_orderkey * 10 + l_linenumber AS rid
+        |  FROM lineitem),
+        |pairs AS (SELECT least(a.s, b.s) AS s1, greatest(a.s, b.s) AS s2
+        |  FROM li a JOIN li b ON a.p = b.p AND a.s <> b.s
+        |   AND (b.t > a.t OR (b.t = a.t AND b.rid > a.rid))
+        |   AND epoch_us(b.t) - epoch_us(a.t) <= 604800000000)
+        |SELECT s1, s2, count(*) AS n_coship FROM pairs
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin,
 
     // g40d: the weighted rounds replayed directly over the
     // multiplicity-weighted co-part pairs — qdeg from Σ incident w (no
