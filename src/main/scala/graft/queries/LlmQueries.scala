@@ -598,6 +598,60 @@ object LlmQueries {
           Text.hashedLinearScore(col("text"), buckets = 4096): _*)
         .orderBy("doc_id")),
 
+    // L54 — TOKEN-BUDGET corpus selection (NEW r14): the "best docs
+    // until the budget runs out" pass every training run makes —
+    // greedy by integer quality (alpha-density score_e6 = 10^6·n_alpha
+    // div n_chars), doc_id tiebreak, budget = ⌊total tokens / 5⌋,
+    // reported per source. The SELECTION RULE is the global
+    // (score desc, doc_id) prefix under the budget, but the PLAN is
+    // two-pass threshold, never a global single-partition cumsum: (1)
+    // cumulate tokens over the SCORE-BUCKET dimension (≤ 10^6+1 rows —
+    // a bounded dimension table, so its order-by window is fine) to
+    // find the boundary score; (2) whole buckets above it semi-join in;
+    // the ONE boundary bucket takes a doc_id-ordered prefix of its
+    // remaining budget (window over that bucket's population only). At
+    // 100 TB pass 1 is a broadcast-size aggregate and pass 2 is
+    // map-side — the oracle pays the global cumsum instead.
+    "l54_budget_select" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = Text.GopherWhitespace
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(regexp_extract_all(lower(col("text")),
+            lit(s"[^$ws]+"), lit(0))).cast("long").as("n_toks"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0)))
+            .cast("long").as("n_alpha"))
+        .withColumn("score", expr("1000000 * n_alpha div n_chars"))
+        .transform(graft.ops.Checkpoints.cut) // read by both passes
+      val budget = d.agg(expr("sum(n_toks) div 5").as("budget"))
+      val buckets = d.groupBy("score").agg(sum("n_toks").as("btoks"))
+        .withColumn("cum_before", coalesce(sum("btoks").over(
+          Window.orderBy(col("score").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(budget))
+      val fullBuckets = buckets
+        .filter(col("cum_before") + col("btoks") <= col("budget"))
+        .select("score")
+      val boundary = buckets
+        .filter(col("cum_before") <= col("budget") &&
+          col("cum_before") + col("btoks") > col("budget"))
+        .select(col("score").as("bscore"),
+          (col("budget") - col("cum_before")).as("rem"))
+      val selFull = d.join(fullBuckets, Seq("score"), "left_semi")
+      val selBoundary = d.join(broadcast(boundary),
+          col("score") === col("bscore"))
+        .withColumn("icum", sum("n_toks").over(
+          Window.partitionBy("bscore").orderBy("doc_id")))
+        .filter(col("icum") <= col("rem"))
+        .select("doc_id", "source", "n_chars", "n_toks", "n_alpha",
+          "score")
+      selFull.unionByName(selBoundary)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"),
+          sum("n_toks").as("sel_tokens"))
+        .orderBy("source")
+    }),
+
     // L27 — BPE merge training over the documents vocabulary: the first
     // 8 learned merges (round, pair, weighted count). Exact integer
     // counts + deterministic tie-breaks; hash-matched against an
@@ -1828,6 +1882,25 @@ object LlmQueries {
         |  count(*) AS n_shingles
         |FROM g GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // L54 replay: the straightforward global cumsum prefix the two-pass
+    // engine plan is provably equal to.
+    "l54_budget_select" -> {
+      val ws = graft.ops.Text.GopherWhitespace
+      s"""WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[^$ws]+'))
+        |      AS BIGINT) AS n_toks,
+        |    1000000 * CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      AS BIGINT) // n_chars AS score
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(n_toks) // 5 AS BIGINT) AS budget FROM d),
+        |c AS (SELECT *, sum(n_toks) OVER (ORDER BY score DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT source, count(*) AS n_selected,
+        |  CAST(sum(n_toks) AS BIGINT) AS sel_tokens
+        |FROM c CROSS JOIN tot WHERE cum <= budget
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // L52 replay: the l30 island merge, aggregated per doc and joined
     // back to the full corpus (zero-span docs keep everything).

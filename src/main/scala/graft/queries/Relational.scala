@@ -388,6 +388,44 @@ object Relational {
         .orderBy("event_type", "wday")
     }),
 
+    // Q61 — exact rolling QUARTILE BANDS (NEW r14, q60's machinery
+    // generalized to order-statistic TRIPLES): per (type, 7-day
+    // window-end day), the rank-picked q1/median/q3 plus the IQR — the
+    // rolling robust dispersion band a monitoring read draws. Rank
+    // conventions pinned identically in both engines: r1 = (n+3) div 4,
+    // r2 = (n+1) div 2, r3 = (3n+1) div 4 (1-indexed lower quartile /
+    // lower median / upper quartile). Same plan as q60 — bounded ×7
+    // contribution explode + ONE rank window + a conditional agg that
+    // picks all three ranks in a single pass (no per-quantile window).
+    "q61_rolling_iqr" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("DAY", col("ts")).as("day"),
+          cents(col("value")).as("v"), col("event_id"))
+      val maxDay = e.agg(max(col("day")).as("max_day"))
+      val contrib = e.select(col("event_type"), col("v"), col("event_id"),
+          explode(sequence(col("day"),
+            col("day") + expr("interval 6 days"),
+            expr("interval 1 day"))).as("wday"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("wday") <= col("max_day"))
+      contrib
+        .withColumn("r", row_number().over(
+          Window.partitionBy("event_type", "wday")
+            .orderBy(col("v"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type", "wday")))
+        .groupBy("event_type", "wday")
+        .agg(max(col("n")).as("n"),
+          max(when(col("r") === expr("(n + 3) div 4"), col("v")))
+            .as("q1_cents"),
+          max(when(col("r") === expr("(n + 1) div 2"), col("v")))
+            .as("median_cents"),
+          max(when(col("r") === expr("(3 * n + 1) div 4"), col("v")))
+            .as("q3_cents"))
+        .withColumn("iqr_cents", col("q3_cents") - col("q1_cents"))
+        .orderBy("event_type", "wday")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -2118,6 +2156,34 @@ object Relational {
         |  CAST(w.cnt AS BIGINT) AS n_matches
         |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
         |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin,
+
+    // q61: the q60 explode + rank replay, picking three ranks via
+    // conditional max (same pinned rank conventions).
+    "q61_rolling_iqr" ->
+      """WITH e AS (SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(round(value*100) AS BIGINT) AS v, event_id
+        |  FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM e),
+        |c AS (SELECT event_type, v, event_id, CAST(w AS TIMESTAMP) AS wday
+        |  FROM (SELECT event_type, v, event_id,
+        |      unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |        INTERVAL 1 DAY)) AS w
+        |    FROM e) CROSS JOIN mx
+        |  WHERE CAST(w AS TIMESTAMP) <= max_day),
+        |r AS (SELECT event_type, wday, v,
+        |    row_number() OVER (PARTITION BY event_type, wday
+        |      ORDER BY v, event_id) AS r,
+        |    count(*) OVER (PARTITION BY event_type, wday) AS n
+        |  FROM c),
+        |p AS (SELECT event_type, wday, CAST(max(n) AS BIGINT) AS n,
+        |    max(CASE WHEN r = (n + 3) // 4 THEN v END) AS q1_cents,
+        |    max(CASE WHEN r = (n + 1) // 2 THEN v END) AS median_cents,
+        |    max(CASE WHEN r = (3 * n + 1) // 4 THEN v END) AS q3_cents
+        |  FROM r GROUP BY 1, 2)
+        |SELECT event_type, wday, n, q1_cents, median_cents, q3_cents,
+        |  q3_cents - q1_cents AS iqr_cents
+        |FROM p ORDER BY event_type, wday""".stripMargin,
 
     "q52_assoc_rules" ->
       """WITH b AS (SELECT l_orderkey, list_sort(list_distinct(

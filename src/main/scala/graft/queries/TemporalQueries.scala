@@ -457,6 +457,40 @@ object TemporalQueries {
         .orderBy("user_id")
     }),
 
+    // T40 — BITEMPORAL CORRECTION DIFF (NEW r14): "what did we LEARN
+    // about the past between two knowledge times?" — the same
+    // valid-time point V read as-of transaction times TX1 and TX2,
+    // full-outer joined per entity; a row appears iff the WINNING
+    // change point differs (a late-arriving correction revised the
+    // believed state of V, or the entity became visible at all). The
+    // audit read a bitemporal store exists to answer; -1 coalescing
+    // keeps the cross-engine hash free of null ordering.
+    "t40_bitemporal_diff" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("tx_us",
+        graft.Det.epochUs(col("ts")) + (col("event_id") % 5) * lit(86400000000L))
+      def snap(txUs: Long) =
+        Temporal.bitemporalSnapshot(e, entity = Seq("user_id"),
+            validTs = "ts", txTs = "tx_us",
+            tValid = lit("2024-01-13 00:00:00").cast("timestamp"),
+            tTx = lit(txUs), tieBreak = "event_id")
+          .select(col("user_id"), col("event_id"),
+            cents(col("value")).as("cents"))
+      val a = snap(1705276800000000L) // as known 2024-01-15
+      val b = snap(1705708800000000L) // as known 2024-01-20
+      a.select(col("user_id"), col("event_id").as("old_event"),
+          col("cents").as("old_cents"))
+        .join(b.select(col("user_id"), col("event_id").as("new_event"),
+          col("cents").as("new_cents")), Seq("user_id"), "full_outer")
+        .filter(col("old_event").isNull || col("new_event").isNull ||
+          col("old_event") =!= col("new_event"))
+        .select(col("user_id"),
+          coalesce(col("old_event"), lit(-1L)).as("old_event"),
+          coalesce(col("old_cents"), lit(-1L)).as("old_cents"),
+          coalesce(col("new_event"), lit(-1L)).as("new_event"),
+          coalesce(col("new_cents"), lit(-1L)).as("new_cents"))
+        .orderBy("user_id")
+    }),
+
     // T15b — the bitemporal read from pure SQL text through the
     // bitemporal_snapshot TVF: same two-axis semantics as t15 (valid
     // time ≤ Jan-13 among rows recorded by Jan-15 on the tx axis), the
@@ -1395,6 +1429,41 @@ object TemporalQueries {
         |            <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
         |        AND ts <= TIMESTAMP '2024-01-13 00:00:00')
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // t40: the two rn=1 knowledge-time reads full-joined; a row
+    // survives iff the winning change point differs.
+    "t40_bitemporal_diff" ->
+      """WITH s1 AS (SELECT user_id, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM (SELECT user_id, event_id, value,
+        |          row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events
+        |        WHERE epoch_us(CAST(ts AS TIMESTAMP))
+        |                + (event_id % 5) * 86400000000
+        |              <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+        |          AND ts <= TIMESTAMP '2024-01-13 00:00:00')
+        |  WHERE rn = 1),
+        |s2 AS (SELECT user_id, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM (SELECT user_id, event_id, value,
+        |          row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events
+        |        WHERE epoch_us(CAST(ts AS TIMESTAMP))
+        |                + (event_id % 5) * 86400000000
+        |              <= epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+        |          AND ts <= TIMESTAMP '2024-01-13 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+        |  coalesce(s1.event_id, -1) AS old_event,
+        |  coalesce(s1.cents, -1) AS old_cents,
+        |  coalesce(s2.event_id, -1) AS new_event,
+        |  coalesce(s2.cents, -1) AS new_cents
+        |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+        |WHERE s1.event_id IS NULL OR s2.event_id IS NULL
+        |   OR s1.event_id <> s2.event_id
+        |ORDER BY user_id""".stripMargin,
 
     // t15b drives the identical bitemporal read from SQL text — same
     // oracle as t15.
