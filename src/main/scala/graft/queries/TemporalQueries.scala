@@ -1123,6 +1123,31 @@ object TemporalQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // T41 — SESSION STATISTICS (NEW r14): the per-session summary a
+    // product read draws from t06's sessionization — duration, event
+    // count, and the idle gap since the user's previous session ended
+    // (-1 for the first). One session-keyed agg on top of the single
+    // sessionize shuffle + a user-keyed lag over the (small) session
+    // dimension. Hash-matched against the t06 session CTE + lag replay.
+    "t41_session_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = Temporal.sessionize(ev(s, dir), entity = "user_id",
+          ts = "ts", tieBreak = "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_id")
+        .agg(graft.Det.epochUs(min(col("ts"))).as("start_us"),
+          graft.Det.epochUs(max(col("ts"))).as("end_us"),
+          count(lit(1)).as("n_events"))
+      sess
+        .withColumn("prev_end", lag("end_us", 1).over(
+          Window.partitionBy("user_id").orderBy("session_id")))
+        .select(col("user_id"), col("session_id"), col("start_us"),
+          col("end_us"), (col("end_us") - col("start_us")).as("duration_us"),
+          col("n_events"),
+          coalesce(col("start_us") - col("prev_end"), lit(-1L))
+            .as("idle_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // T06b — the same sessionization from pure SQL text via the
     // sessionize TVF; identical oracle to t06.
     "t06b_sessionize_sql" -> ((s, dir) => {
@@ -1429,6 +1454,30 @@ object TemporalQueries {
         |            <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
         |        AND ts <= TIMESTAMP '2024-01-13 00:00:00')
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // t41: the t06 session CTE aggregated per session + a user-keyed
+    // lag for the idle gap.
+    "t41_session_stats" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |g AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |    epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+        |    epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_id, start_us, end_us,
+        |  end_us - start_us AS duration_us, n_events,
+        |  coalesce(start_us - lag(end_us) OVER (PARTITION BY user_id
+        |                                        ORDER BY session_id), -1)
+        |    AS idle_us
+        |FROM g ORDER BY user_id, session_id""".stripMargin,
 
     // t40: the two rn=1 knowledge-time reads full-joined; a row
     // survives iff the winning change point differs.
