@@ -204,6 +204,28 @@ object Stress {
       labels
     }
 
+    // ---- r14 heavyweights: convergence-loop Louvain on the expanded
+    // co-part pairs (disjoint copies chained at the min vertex — level
+    // count and per-level quotient both stress), and the span-cut
+    // manifest on the near-identical doc copies (every shingle becomes
+    // cross-doc duplicated, so the semi join passes ~everything and the
+    // coalescer sees maximal island pressure — the worst case for the
+    // read).
+    results("g40c_louvain_multilevel") = timed {
+      val pairs = cop.filter(col("src") < col("dst"))
+        .select(col("src").as("x"), col("dst").as("y")).distinct()
+        .transform(Checkpoints.cut)
+      Graphs.louvainMultiLevel(spark, pairs, rounds = 2, maxLevels = 3)
+    }
+
+    results("l52_span_cut") = timed {
+      val dup = Text.shingleStreamPos(docs, 20)
+        .select("doc_id", "shingle").distinct()
+        .groupBy("shingle").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("shingle")
+      Text.spanCutStats(docs, dup)
+    }
+
     results("l02b_lsh_near_dedup") = timed {
       graft.functions.VecFunctions.ensureRegistered(spark)
       val sh = Text.shingles(docs, 3).cache()

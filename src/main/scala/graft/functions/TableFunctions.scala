@@ -224,6 +224,32 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** match_reanchored(table, entity, ts, tie_break, type_col, pattern,
+    * within_us) — q57f's re-anchoring WITHIN counter from pure SQL:
+    * plain whitespace-separated symbol stages (no quantifiers — the
+    * re-anchoring machine is defined on the subsequence form),
+    * within_us must be positive (the bound is the point of this
+    * machine; unbounded callers use match_pattern).
+    */
+  private def matchReanchoredPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "match_reanchored"
+    require(exprs.length == 7,
+      s"$fn takes 7 arguments (table, entity, ts, tie_break, type_col, " +
+        s"pattern, within_us), got ${exprs.length}")
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.slice(1, 6).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
+    val within = long(exprs(6), 7, fn)
+    require(within > 0, s"$fn: within_us must be positive")
+    val pattern = a(4).trim.split("\\s+").toSeq
+    require(pattern.forall(t => t.nonEmpty && t.forall(c =>
+        c != '(' && c != ')' && c != '|' && c != '+')),
+      s"$fn: plain symbol stages only (no quantifiers/alternation)")
+    graft.ops.Patterns.reanchoredCounts(tbl, entity = a(0), ts = a(1),
+        tieBreak = a(2), typeCol = a(3), pattern = pattern,
+        withinUs = within)
+      .queryExecution.logical
+  }
+
   /** bitemporal_snapshot(table, entity_csv, valid_ts, tx_ts, t_valid,
     * t_tx, tie_break) — the two-axis time-point read: the latest change
     * at-or-before `t_valid` on the valid-time axis among only the rows
@@ -344,7 +370,10 @@ object TableFunctions {
       matchPatternPlan _),
     (new FunctionIdentifier("match_rows"),
       new ExpressionInfo(getClass.getName, "match_rows"),
-      matchRowsPlan _))
+      matchRowsPlan _),
+    (new FunctionIdentifier("match_reanchored"),
+      new ExpressionInfo(getClass.getName, "match_reanchored"),
+      matchReanchoredPlan _))
 
   /** Register the TVFs on an already-built session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -865,6 +865,44 @@ object Graphs {
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** G43 — FULL CORENESS DECOMPOSITION by H-index iteration (Lü et al.
+    * 2016: iterating c(v) ← H-index of neighbors' c from c0 = degree
+    * converges to the core number): per round, each vertex's new value
+    * is the largest h such that ≥ h neighbors currently hold ≥ h —
+    * computed with one vertex-keyed join + one rank window + one agg,
+    * the LPA round shape. Where [[kCorePeelDF]] answers "who survives
+    * the k-core" for ONE k, this returns every vertex's shell index in
+    * one bounded loop (values only DECREASE, so convergence is
+    * monotone; the registry's 8 rounds are mirrored exactly in the
+    * unrolled oracle, and GraphOpsSpec pins true coreness on
+    * clique+path+bridge fixtures plus an extra-round fixpoint).
+    * Tie-order inside the rank window is (value desc, neighbor id) —
+    * ties hold identical values, so the h read is order-independent,
+    * but the pinned order keeps the plan deterministic end to end.
+    *
+    * Precondition (as [[kCorePeelDF]]): `edges` contains both
+    * directions. At 100 TB: rounds × (one edge-keyed shuffle + one
+    * per-vertex window) with checkpoint cuts — no peeling cascade, no
+    * per-k re-run.
+    */
+  def corenessHIndex(s: SparkSession, edges: DataFrame, rounds: Int)
+      : DataFrame = {
+    val e = edges.select("src", "dst").transform(Checkpoints.cut)
+    var c = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
+      .transform(Checkpoints.cut)
+    for (_ <- 1 to rounds) {
+      val nb = e.join(c.select(col("id").as("dst"), col("c").as("cn")),
+          "dst")
+        .withColumn("r", row_number().over(Window.partitionBy("src")
+          .orderBy(col("cn").desc, col("dst").asc)))
+      c = nb.groupBy(col("src").as("id"))
+        .agg(coalesce(max(when(col("cn") >= col("r"), col("r"))), lit(0L))
+          .cast("long").as("c"))
+        .transform(Checkpoints.cut)
+    }
+    c.select(col("id"), col("c").as("coreness"))
+  }
+
   /** G22 — bounded k-TRUSS peeling over canonical (x < y) pairs: each
     * round computes per-edge SUPPORT (the number of triangles the edge
     * closes) and drops edges with support < k−2; the fix point is the

@@ -770,6 +770,17 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G43 — full coreness decomposition (NEW r14): every co-part
+    // vertex's shell index by H-index iteration from degree (8 rounds,
+    // mirrored exactly by the unrolled oracle — values only decrease,
+    // and GraphOpsSpec pins true coreness on hand fixtures + an
+    // extra-round fixpoint). The per-vertex answer g14's single-k peel
+    // cannot give without re-running per k.
+    "g43_coreness" -> ((s, dir) => {
+      Graphs.corenessHIndex(s, Graphs.copartEdges(s, dir), rounds = 8)
+        .orderBy("id")
+    }),
+
     // G42 — TEMPORAL CO-OCCURRENCE MOTIF counting (NEW r14): supplier
     // pairs repeatedly shipping the SAME part within 7 days — the
     // time-respecting wedge (s1 → p ← s2, |t1−t2| ≤ δ) a temporal graph
@@ -949,6 +960,22 @@ object GraphQueries {
   private def mat(cte: String, names: String*): String =
     names.foldLeft(cte)((c, n) => c.replace(s"$n AS (", s"$n AS MATERIALIZED ("))
 
+  /** One unrolled H-index round (g43's oracle): c{i-1} -> c{i} —
+    * neighbors' values ranked desc per vertex, h = max rank r with
+    * value ≥ r (0 if none).
+    */
+  private def hIndexRoundCte(i: Int): String = {
+    val prev = s"hc${i - 1}"
+    s"""hn$i AS (SELECT e.src AS id, p.c AS cn,
+       |    row_number() OVER (PARTITION BY e.src
+       |      ORDER BY p.c DESC, e.dst ASC) AS r
+       |  FROM e JOIN $prev p ON p.id = e.dst),
+       |hc$i AS (SELECT id,
+       |    CAST(coalesce(max(CASE WHEN cn >= r THEN r END), 0) AS BIGINT)
+       |      AS c
+       |  FROM hn$i GROUP BY id)""".stripMargin
+  }
+
   private def louvainRoundCte(i: Int): String = {
     val prev = s"lv${i - 1}"
     s"""ds$i AS (SELECT community, sum(deg) AS degsum
@@ -1090,6 +1117,16 @@ object GraphQueries {
         |${mat(louvainWeightedRoundCte(2), "wkv2", "wb2", "wl2")}
         |SELECT l.id, w.community FROM lv2 l
         |JOIN wl2 w ON w.id = l.community ORDER BY l.id""".stripMargin,
+
+    // g43: 8 unrolled H-index rounds from degree over the co-part
+    // edges — the same recurrence the engine folds.
+    "g43_coreness" ->
+      s"""WITH ${mat(copartCte, "pairs", "e")},
+        |${mat("hc0 AS (SELECT src AS id, count(*) AS c FROM e GROUP BY 1)",
+          "hc0")},
+        |${(1 to 8).map(i => mat(hIndexRoundCte(i), s"hc$i"))
+          .mkString(",\n")}
+        |SELECT id, c AS coreness FROM hc8 ORDER BY id""".stripMargin,
 
     // g42: the direct per-part pair join the banded engine plan avoids
     // — same canonical once-per-unordered-pair rule.

@@ -802,6 +802,19 @@ object Relational {
           col("n_matches"))
         .orderBy("user_id")),
 
+    // Q57g — q57f through the match_reanchored TVF (NEW r14): the
+    // re-anchoring WITHIN counter from pure SQL; held to q57f's oracle
+    // verbatim.
+    "q57g_reanchor_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_q57g_events")
+      s.sql("""SELECT entity AS user_id, n_events, n_matches
+        |FROM match_reanchored('graft_q57g_events', 'user_id', 'ts',
+        |       'event_id', 'event_type', 'view click view purchase',
+        |       604800000000)
+        |WHERE n_matches > 0 ORDER BY user_id""".stripMargin)
+    }),
+
     // Q58b — the SQL door: q58 through the match_pattern TVF (the
     // t01b/q10e precedent — signature operators reachable from pure
     // SQL text), held to q58's oracle verbatim.
@@ -2630,7 +2643,9 @@ object Relational {
     oracles0 +
       ("q57b_pattern_contiguous" -> oracles0("q42_seq_pattern")) +
       // q59b is q59 through the match_rows TVF — same machine, oracle
-      ("q59b_match_rows_sql" -> oracles0("q59_pattern_match_rows"))
+      ("q59b_match_rows_sql" -> oracles0("q59_pattern_match_rows")) +
+      // q57g is q57f through the match_reanchored TVF — same machine
+      ("q57g_reanchor_sql" -> oracles0("q57f_pattern_reanchor"))
 
   private lazy val heavyHittersSql: String =
     """SELECT token, count(*) AS n FROM (

@@ -1019,6 +1019,31 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(g1 != g2 && g2 != g3)
   }
 
+  test("corenessHIndex: clique+chain coreness exact; extra rounds are " +
+      "a fixpoint; 3-core peel agrees") {
+    import spark.implicits._
+    // K4 {1..4} with a pendant chain 4-5-6-7: coreness 3 on the clique
+    // (vertex 4's degree is 4 but its core is 3), 1 on the chain
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("x", "y")
+    val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+    def run(r: Int) = Graphs.corenessHIndex(spark, edges, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = run(8)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+    // h-index iteration converges fast and only decreases — round 3
+    // already sits at the fixpoint here
+    assert(run(3) == got)
+    // cross-check against the single-k peel: the 3-core is exactly the
+    // coreness >= 3 set
+    val core3 = Graphs.kCorePeelDF(spark, edges, k = 3, rounds = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(core3 == got.filter(_._2 >= 3L).keySet)
+  }
+
   test("louvainWeightedGraph: edge weights matter — a heavy bridge " +
       "merges what a unit bridge keeps apart") {
     import spark.implicits._
