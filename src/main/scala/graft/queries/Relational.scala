@@ -426,6 +426,23 @@ object Relational {
         .orderBy("event_type", "wday")
     }),
 
+    // Q62 — LONGEST ACTIVITY STREAK (NEW r14): per user, the longest
+    // run of consecutive active days — the canonical gaps-and-islands
+    // read (distinct active days; day − row_number collapses each
+    // consecutive run onto one island key; max island size). One
+    // distinct + one user-keyed window + two aggs; hash-matched.
+    "q62_longest_streak" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("rn", row_number().over(w))
+        .withColumn("island", expr("date_sub(day, rn)"))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max("len").as("longest_streak"))
+        .orderBy("user_id")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -2169,6 +2186,21 @@ object Relational {
         |  CAST(w.cnt AS BIGINT) AS n_matches
         |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
         |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin,
+
+    // q62: the same islands trick — day minus row_number is constant
+    // exactly along a consecutive run.
+    "q62_longest_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM d),
+        |i AS (SELECT user_id,
+        |    day - CAST(rn AS INT) * INTERVAL 1 DAY AS island FROM r),
+        |g AS (SELECT user_id, island, count(*) AS len
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q61: the q60 explode + rank replay, picking three ranks via
     // conditional max (same pinned rank conventions).

@@ -396,6 +396,35 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("spanCutStats: identical twins cut fully, sub-shingle docs keep " +
+      "everything, partial overlap cuts only the shared run") {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMN" // 50
+    val docs = mkDocs(
+      1L -> base, 2L -> base,          // identical twins: cut everything
+      3L -> "short",                   // < 20 chars: no shingles at all
+      4L -> "zzzzyyyyxxxxwwwwvvvvuuuuttttssssrrrrqqqq",  // unique
+      5L -> (base.take(30) + "QQQQQQQQQQQQQQQQQQQQQQ")) // shares a prefix
+    val dup = Text.shingleStreamPos(docs, 20)
+      .select("doc_id", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("shingle")
+    val got = Text.spanCutStats(docs, dup)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // twins: every position is in a cross-doc shingle -> one maximal
+    // span covering the doc, kept 0
+    assert(got(1L) == ((1L, 50L, 0L)) && got(2L) == ((1L, 50L, 0L)))
+    // too short for a shingle and fully unique: kept everything
+    assert(got(3L) == ((0L, 0L, 5L)))
+    assert(got(4L) == ((0L, 0L, 40L)))
+    // prefix sharer: shingles at positions 1..11 of doc 5 match doc
+    // 1/2's prefix (30-char shared run -> 11 shingle starts), so the
+    // cut span is [1, 31) = 30 chars; the Q-tail survives
+    assert(got(5L) == ((1L, 30L, 22L)))
+    // doc 1's mirrored cut: the shared 30-prefix also marks doc 1's
+    // first 11 shingles... (it is fully covered by the twin anyway)
+  }
+
   test("bpeTrain: known merge sequence, greedy overlap, early exhaustion") {
     def merges(text: String, n: Int) =
       Text.bpeTrain(mkDocs((0L, text)), vocabWords = 10, merges = n)
