@@ -174,7 +174,8 @@ object Patterns {
   case class PatState(stage: Int, n: Long, cnt: Long, anchor: Long,
       ring: Array[Long], maxTs: Long, maxTie: Long, nLate: Long)
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val log =
+    org.apache.logging.log4j.LogManager.getLogger(getClass)
 
   /** The in-order-across-batches runtime guard (ADVICE r13): the
     * unbuffered streaming twins require event-time order ACROSS

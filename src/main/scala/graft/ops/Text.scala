@@ -814,6 +814,51 @@ object Text {
           .as("kept_chars"))
   }
 
+  /** L54's selection: the docs chosen by the token-budget greedy rule —
+    * global (alpha-density score desc, doc_id) prefix with Σ tokens ≤
+    * ⌊total / budgetDenom⌋ — via the two-pass bucket-threshold plan
+    * (cumulate over the bounded score domain, semi-join whole buckets,
+    * doc_id-ordered prefix inside the one boundary bucket; never a
+    * global single-partition cumsum). Input needs (doc_id, source,
+    * n_chars, text); returns the selected rows with (n_toks, score)
+    * attached.
+    */
+  def budgetSelect(d0: DataFrame, budgetDenom: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = d0
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+        size(regexp_extract_all(lower(col("text")),
+          lit(s"[^$GopherWhitespace]+"), lit(0))).cast("long").as("n_toks"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0)))
+          .cast("long").as("n_alpha"))
+      .withColumn("score", expr("1000000 * n_alpha div n_chars"))
+      .transform(Checkpoints.cut) // read by both passes
+    val budget = d.agg(expr(s"sum(n_toks) div $budgetDenom").as("budget"))
+    val buckets = d.groupBy("score").agg(sum("n_toks").as("btoks"))
+      .withColumn("cum_before", coalesce(sum("btoks").over(
+        Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(budget))
+    val fullBuckets = buckets
+      .filter(col("cum_before") + col("btoks") <= col("budget"))
+      .select("score")
+    val boundary = buckets
+      .filter(col("cum_before") <= col("budget") &&
+        col("cum_before") + col("btoks") > col("budget"))
+      .select(col("score").as("bscore"),
+        (col("budget") - col("cum_before")).as("rem"))
+    val selFull = d.join(fullBuckets, Seq("score"), "left_semi")
+    val keep = Seq("doc_id", "source", "n_chars", "text", "n_toks",
+      "n_alpha", "score")
+    val selBoundary = d.join(broadcast(boundary),
+        col("score") === col("bscore"))
+      .withColumn("icum", sum("n_toks").over(
+        Window.partitionBy("bscore").orderBy("doc_id")))
+      .filter(col("icum") <= col("rem"))
+      .select(keep.head, keep.tail: _*)
+    selFull.select(keep.head, keep.tail: _*).unionByName(selBoundary)
+  }
+
   /** Per-row PII redaction: counts of each pattern in `text` plus the
     * scrubbed string. Pure per-row codegen'd regex work — no shuffle, no
     * UDF; at 100 TB this pipelines inside the scan's whole-stage-codegen

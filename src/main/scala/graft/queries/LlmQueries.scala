@@ -612,45 +612,28 @@ object LlmQueries {
     // remaining budget (window over that bucket's population only). At
     // 100 TB pass 1 is a broadcast-size aggregate and pass 2 is
     // map-side — the oracle pays the global cumsum instead.
-    "l54_budget_select" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ws = Text.GopherWhitespace
-      val d = docs(s, dir)
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          size(regexp_extract_all(lower(col("text")),
-            lit(s"[^$ws]+"), lit(0))).cast("long").as("n_toks"),
-          size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0)))
-            .cast("long").as("n_alpha"))
-        .withColumn("score", expr("1000000 * n_alpha div n_chars"))
-        .transform(graft.ops.Checkpoints.cut) // read by both passes
-      val budget = d.agg(expr("sum(n_toks) div 5").as("budget"))
-      val buckets = d.groupBy("score").agg(sum("n_toks").as("btoks"))
-        .withColumn("cum_before", coalesce(sum("btoks").over(
-          Window.orderBy(col("score").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .crossJoin(broadcast(budget))
-      val fullBuckets = buckets
-        .filter(col("cum_before") + col("btoks") <= col("budget"))
-        .select("score")
-      val boundary = buckets
-        .filter(col("cum_before") <= col("budget") &&
-          col("cum_before") + col("btoks") > col("budget"))
-        .select(col("score").as("bscore"),
-          (col("budget") - col("cum_before")).as("rem"))
-      val selFull = d.join(fullBuckets, Seq("score"), "left_semi")
-      val selBoundary = d.join(broadcast(boundary),
-          col("score") === col("bscore"))
-        .withColumn("icum", sum("n_toks").over(
-          Window.partitionBy("bscore").orderBy("doc_id")))
-        .filter(col("icum") <= col("rem"))
-        .select("doc_id", "source", "n_chars", "n_toks", "n_alpha",
-          "score")
-      selFull.unionByName(selBoundary)
+    "l54_budget_select" -> ((s, dir) =>
+      Text.budgetSelect(docs(s, dir), budgetDenom = 5L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_selected"),
           sum("n_toks").as("sel_tokens"))
-        .orderBy("source")
-    }),
+        .orderBy("source")),
+
+    // L55 — SELECT-THEN-PACK (NEW r14): the l54 budget selection
+    // composed with l11's greedy sequence packing — the two adjacent
+    // stages every pretraining data pipeline runs back to back ("pick
+    // the best docs under the token budget, then pack them into
+    // context windows"). Pack stats per (bucket, pack): the packer
+    // folds ONLY the selected docs, so pack ids/fills differ from
+    // l11's whole-corpus run wherever the selection dropped a doc —
+    // the composition is genuinely exercised. Oracle = the l54 global-
+    // cumsum selection feeding l11's recursive pack replay.
+    "l55_select_pack" -> ((s, dir) =>
+      Text.packGreedy(Text.budgetSelect(docs(s, dir), budgetDenom = 5L),
+          cap = 256L, buckets = 8)
+        .groupBy("bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("sum_tokens"))
+        .orderBy("bucket", "pack_id")),
 
     // L27 — BPE merge training over the documents vocabulary: the first
     // 8 learned merges (round, pair, weighted count). Exact integer
@@ -1882,6 +1865,43 @@ object LlmQueries {
         |  count(*) AS n_shingles
         |FROM g GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // L55 replay: the l54 selection prefix feeding l11's recursive pack
+    // fold — rn re-numbered over the SELECTED docs per bucket.
+    "l55_select_pack" -> {
+      val ws = graft.ops.Text.GopherWhitespace
+      s"""WITH RECURSIVE d AS (SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(lower(text), '[^$ws]+'))
+        |      AS BIGINT) AS n_toks,
+        |    1000000 * CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+        |      AS BIGINT) // n_chars AS score
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(n_toks) // 5 AS BIGINT) AS budget FROM d),
+        |c AS (SELECT *, sum(n_toks) OVER (ORDER BY score DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |sel AS (SELECT doc_id, text FROM c CROSS JOIN tot
+        |        WHERE cum <= budget),
+        |t AS (
+        |  SELECT doc_id % 8 AS bucket, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tc,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |      AS rn
+        |  FROM sel),
+        |rec AS (
+        |  SELECT bucket, rn, doc_id, tc, CAST(0 AS BIGINT) AS pack_id,
+        |    tc AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.bucket, t.rn, t.doc_id, t.tc,
+        |    CASE WHEN rec.fill + t.tc > 256 THEN rec.pack_id + 1
+        |         ELSE rec.pack_id END,
+        |    CASE WHEN rec.fill + t.tc > 256 THEN t.tc
+        |         ELSE rec.fill + t.tc END
+        |  FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1)
+        |SELECT bucket, pack_id, count(*) AS n_docs,
+        |  CAST(sum(tc) AS BIGINT) AS sum_tokens
+        |FROM rec GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // L54 replay: the straightforward global cumsum prefix the two-pass
     // engine plan is provably equal to.
