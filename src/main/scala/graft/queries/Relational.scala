@@ -443,6 +443,38 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Q63 — SESSION-SCOPED FUNNEL (NEW r14): q33's view→click→purchase
+    // progression required to complete INSIDE one t06 session — the
+    // "does the funnel convert within a visit" read, which q33's
+    // lifetime-window form cannot answer. Per session the stage chain
+    // is the earliest-qualifying fold (first view; first click strictly
+    // after it; any purchase strictly after that), computed as three
+    // conditional aggregates over the session dimension — no second
+    // pass over raw events after the one sessionize shuffle. Output:
+    // per user, sessions total and sessions converting.
+    "q63_session_funnel" -> ((s, dir) => {
+      val se = graft.ops.Temporal.sessionize(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"), col("event_type"),
+          graft.Det.epochUs(col("ts")).as("ts_us"))
+      val v = se.groupBy("user_id", "session_id")
+        .agg(min(when(col("event_type") === "view", col("ts_us")))
+          .as("v_us"))
+      val c = se.join(v, Seq("user_id", "session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(min(when(col("event_type") === "click" &&
+          col("ts_us") > col("v_us"), col("ts_us"))).as("c_us"))
+      val conv = se.join(c, Seq("user_id", "session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("c_us"), 1L).otherwise(0L)).as("converted"))
+      conv.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("converted").as("n_converting"))
+        .orderBy("user_id")
+    }),
+
     // Q12 — running (cumulative) sum per user, in cents so the running
     // total is integral and order-independent across engines.
     "q12_running_sum" -> ((s, dir) => {
@@ -2186,6 +2218,37 @@ object Relational {
         |  CAST(w.cnt AS BIGINT) AS n_matches
         |FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.n
         |WHERE w.cnt > 0 ORDER BY w.user_id""".stripMargin,
+
+    // q63: the session CTE + the same three-step earliest-qualifying
+    // conditional aggregation (NULL comparisons fall through to 0
+    // identically in both engines).
+    "q63_session_funnel" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |se AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |v AS (SELECT user_id, sid,
+        |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS v_us
+        |  FROM se GROUP BY 1, 2),
+        |c AS (SELECT se.user_id, se.sid,
+        |    min(CASE WHEN event_type = 'click' AND ts_us > v_us
+        |        THEN ts_us END) AS c_us
+        |  FROM se JOIN v ON v.user_id = se.user_id AND v.sid = se.sid
+        |  GROUP BY 1, 2),
+        |conv AS (SELECT se.user_id, se.sid,
+        |    max(CASE WHEN event_type = 'purchase' AND ts_us > c_us
+        |        THEN 1 ELSE 0 END) AS converted
+        |  FROM se JOIN c ON c.user_id = se.user_id AND c.sid = se.sid
+        |  GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(converted) AS BIGINT) AS n_converting
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q62: the same islands trick — day minus row_number is constant
     // exactly along a consecutive run.
