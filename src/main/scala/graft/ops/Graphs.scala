@@ -832,6 +832,35 @@ object Graphs {
     labels
   }
 
+  /** G44 — WEIGHTED label propagation (added r14): [[labelPropagationDF]]
+    * with the neighbor vote weighted by the edge-weight column `w`
+    * (a vertex adopts the label with the largest incident WEIGHT sum;
+    * tie-break weight desc, label asc — the same determinism contract).
+    * Input edges in both directions carrying `w`; at w ≡ 1 this IS the
+    * unweighted kernel. Same plan per round: one vertex-keyed join +
+    * one (vertex, label) agg + one argmax window.
+    */
+  def labelPropagationWeightedDF(s: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select("src", "dst", "w")
+    var labels = e.select(col("src").as("id")).unionAll(
+        e.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      val win = Window.partitionBy("id")
+        .orderBy(col("wsum").desc, col("label").asc)
+      labels = e.join(labels.select(col("id").as("dst"), col("label")),
+          "dst")
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(sum("w").as("wsum"))
+        .withColumn("__rn", row_number().over(win))
+        .filter(col("__rn") === 1)
+        .select("id", "label")
+    }
+    labels
+  }
+
   /** G14 — bounded k-core peeling: `rounds` synchronous rounds of
     * dropping vertices with degree < k (and their edges) from the
     * undirected graph (edges given in both directions, so out-degree ==

@@ -770,6 +770,21 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G44 — WEIGHTED label propagation (NEW r14): g13's community
+    // rounds with votes weighted by co-occurrence multiplicity (the
+    // g40d weighted co-part graph) — 3 deterministic rounds, weight
+    // sums in exact integers; hash-checked against the unrolled
+    // weighted-vote replay.
+    "g44_weighted_lpa" -> ((s, dir) => {
+      val wp = Graphs.copartWeightedPairs(s, dir)
+        .transform(graft.ops.Checkpoints.cut)
+      val we = wp.select(col("x").as("src"), col("y").as("dst"), col("w"))
+        .unionAll(wp.select(col("y").as("src"), col("x").as("dst"),
+          col("w")))
+      Graphs.labelPropagationWeightedDF(s, we, rounds = 3)
+        .orderBy("id")
+    }),
+
     // G43 — full coreness decomposition (NEW r14): every co-part
     // vertex's shell index by H-index iteration from degree (8 rounds,
     // mirrored exactly by the unrolled oracle — values only decrease,
@@ -1117,6 +1132,35 @@ object GraphQueries {
         |${mat(louvainWeightedRoundCte(2), "wkv2", "wb2", "wl2")}
         |SELECT l.id, w.community FROM lv2 l
         |JOIN wl2 w ON w.id = l.community ORDER BY l.id""".stripMargin,
+
+    // g44: 3 unrolled WEIGHTED label-propagation rounds over the
+    // multiplicity-weighted co-part edges (vote = sum of incident w).
+    "g44_weighted_lpa" -> {
+      def round(i: Int) =
+        s"""wl$i AS (SELECT id, label FROM (
+           |  SELECT we.src AS id, l.label,
+           |    row_number() OVER (PARTITION BY we.src
+           |      ORDER BY sum(we.w) DESC, l.label ASC) AS rn
+           |  FROM we JOIN wl${i - 1} l ON we.dst = l.id
+           |  GROUP BY we.src, l.label) WHERE rn = 1)""".stripMargin
+      s"""WITH wok AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |       HAVING count(DISTINCT l_partkey) BETWEEN 2 AND 3),
+        |wpp AS (SELECT DISTINCT a.l_orderkey, a.l_partkey AS x,
+        |    b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey IN (SELECT l_orderkey FROM wok)),
+        |wp AS MATERIALIZED (SELECT x, y, count(*) AS w FROM wpp
+        |  GROUP BY 1, 2),
+        |we AS MATERIALIZED (SELECT x AS src, y AS dst, w FROM wp
+        |       UNION ALL SELECT y, x, w FROM wp),
+        |${mat("wl0 AS (SELECT DISTINCT src AS id, src AS label FROM we)",
+          "wl0")},
+        |${mat(round(1), "wl1")},
+        |${mat(round(2), "wl2")},
+        |${mat(round(3), "wl3")}
+        |SELECT id, label FROM wl3 ORDER BY id""".stripMargin
+    },
 
     // g43: 8 unrolled H-index rounds from degree over the co-part
     // edges — the same recurrence the engine folds.

@@ -323,6 +323,33 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected <=2 hash exchanges: ${hashEx.map(_.outputPartitioning)}")
   }
 
+  test("g42 temporal motif: banded equi join, no quadratic strategy") {
+    // the per-part pair generation must ride the (part, time-band)
+    // equi keys — a planner falling back to BNLJ/cartesian on the
+    // inequality residual is the per-part quadratic cliff the banding
+    // exists to avoid
+    val q = SparkEntry.queries("g42_temporal_coship")(spark, sfDir)
+    val p = all(q)
+    assert(!p.exists(x => x.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      x.isInstanceOf[CartesianProductExec]),
+      s"quadratic join in g42: ${p.map(_.nodeName).distinct}")
+    assert(p.exists(_.nodeName.contains("Join")))
+  }
+
+  test("q57f re-anchoring: one entity shuffle feeding the linear fold") {
+    // the parallel-anchor machine is still the partition-sort-scan
+    // shape: exactly one hash exchange (the entity repartition) before
+    // the mapPartitions fold; no join, no window
+    val q = SparkEntry.queries("q57f_pattern_reanchor")(spark, sfDir)
+    val p = all(q)
+    assert(!p.exists(_.nodeName.contains("Join")),
+      s"unexpected join: ${p.map(_.nodeName).distinct}")
+    val hashEx = p.collect { case e: ShuffleExchangeExec => e }
+      .filterNot(_.outputPartitioning.toString.contains("rangepartitioning"))
+    assert(hashEx.length == 1,
+      s"expected exactly 1 hash exchange: ${hashEx.map(_.outputPartitioning)}")
+  }
+
   test("t36 rolling trend: all five statistics share one window frame") {
     // five window sums over the same (type-partitioned, day-ordered)
     // frame must plan as ONE Window operator — five separate window
