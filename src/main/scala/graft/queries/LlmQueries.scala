@@ -1178,6 +1178,32 @@ object LlmQueries {
       Text.spanCutStats(d, dup).orderBy("doc_id")
     }),
 
+    // L56 — CONTAMINATION-SAFE SPLIT (NEW r14): l18's leakage-safe
+    // stable split with the l10 decontamination gate composed in —
+    // training docs sharing any 20-char shingle with the held-out
+    // slice land in a QUARANTINE split instead of train/val/test, so
+    // no benchmark-overlapping text can reach any training-run split
+    // by hash accident. Clean docs split by the same content-hash rule
+    // as l18 (dup content still co-locates).
+    "l56_contamination_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      val train = d.filter(col("doc_id") % 20 =!= 0)
+      val benchSh = Text.shingles(bench, 20).select("shingle").distinct()
+      val contaminated = Text.shingleStream(train, 20)
+        .join(benchSh, "shingle")
+        .select("doc_id").distinct()
+        .withColumn("q", lit(1))
+      train.join(contaminated, Seq("doc_id"), "left_outer")
+        .withColumn("split", when(col("q").isNotNull, lit("quarantine"))
+          .otherwise(Text.stableSplit(col("text"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"))
+        .orderBy("split")
+    }),
+
     // L10b — same decontamination result through the bloom-filter
     // runtime prefilter (Text.bloomContaminated): the compact filter
     // prunes the shingle stream before the exact semi join, so the
@@ -1822,6 +1848,29 @@ object LlmQueries {
 
     "l10_decontaminate" -> decontamSql,
     "l10b_decontaminate_bloom" -> decontamSql,
+
+    // l56: the l10 contamination CTE + the l18 hash-split CASE, with
+    // quarantine overriding the hash.
+    "l56_contamination_safe_split" ->
+      """WITH bench AS (SELECT DISTINCT substr(text, CAST(gs AS INT), 20) AS sh
+        |  FROM (SELECT text, unnest(generate_series(1, n_chars - 19)) AS gs
+        |        FROM documents WHERE doc_id % 20 = 0 AND n_chars >= 20)),
+        |contaminated AS (SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, substr(text, CAST(gs AS INT), 20) AS sh
+        |        FROM (SELECT doc_id, text,
+        |                unnest(generate_series(1, n_chars - 19)) AS gs
+        |              FROM documents WHERE doc_id % 20 != 0 AND n_chars >= 20))
+        |  WHERE sh IN (SELECT sh FROM bench)),
+        |s AS (SELECT
+        |    CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+        |         THEN 'quarantine'
+        |         WHEN substr(md5(text), 1, 4) < 'cccd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split, n_chars
+        |  FROM documents WHERE doc_id % 20 != 0)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "l16_contaminated_spans" ->
       """WITH bs AS (SELECT DISTINCT substr(text, CAST(gs AS INT), 20) AS shingle
