@@ -824,17 +824,40 @@ object Text {
     * attached.
     */
   def budgetSelect(d0: DataFrame, budgetDenom: Long): DataFrame = {
+    val d = scored(d0)
+    selectAgainstBuckets(d, scoreBuckets(d), budgetDenom)
+  }
+
+  /** The selection's per-doc features: whitespace token count +
+    * alpha-density score (shared by the one-shot l54 and s41's
+    * maintained form — the sessionStep discipline for scoring).
+    */
+  def scored(d0: DataFrame): DataFrame = d0
+    .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+      size(regexp_extract_all(lower(col("text")),
+        lit(s"[^$GopherWhitespace]+"), lit(0))).cast("long").as("n_toks"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0)))
+        .cast("long").as("n_alpha"))
+    .withColumn("score", expr("1000000 * n_alpha div n_chars"))
+    .transform(Checkpoints.cut) // read by both passes
+
+  /** The selection's pass-1 aggregate: tokens per score bucket (the
+    * bounded dimension s41 maintains as batch-stamped partials).
+    */
+  def scoreBuckets(d: DataFrame): DataFrame =
+    d.groupBy("score").agg(sum("n_toks").as("btoks"))
+
+  /** Pass 2 of the budget selection against an EXTERNALLY SUPPLIED
+    * bucket histogram (one-shot or maintained): budget = Σbtoks div
+    * budgetDenom, whole buckets above the boundary semi-join in, the
+    * boundary bucket takes a doc_id-ordered prefix of its remainder.
+    */
+  def selectAgainstBuckets(d: DataFrame, buckets0: DataFrame,
+      budgetDenom: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = d0
-      .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
-        size(regexp_extract_all(lower(col("text")),
-          lit(s"[^$GopherWhitespace]+"), lit(0))).cast("long").as("n_toks"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0)))
-          .cast("long").as("n_alpha"))
-      .withColumn("score", expr("1000000 * n_alpha div n_chars"))
-      .transform(Checkpoints.cut) // read by both passes
-    val budget = d.agg(expr(s"sum(n_toks) div $budgetDenom").as("budget"))
-    val buckets = d.groupBy("score").agg(sum("n_toks").as("btoks"))
+    val budget = buckets0.agg(
+      expr(s"sum(btoks) div $budgetDenom").as("budget"))
+    val buckets = buckets0
       .withColumn("cum_before", coalesce(sum("btoks").over(
         Window.orderBy(col("score").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

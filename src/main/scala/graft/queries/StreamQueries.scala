@@ -711,6 +711,29 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // S41 — streaming budget-selection maintenance (NEW r14): l54's
+    // score histogram maintained through 3 batch-id-stamped partial
+    // batches (doc_id mod 3), one REPLAYED; the selection threshold is
+    // computed from the MAINTAINED histogram and the result must equal
+    // the one-shot l54 exactly (same oracle).
+    "s41_budget_maintenance" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      var state = Streams.scoreBucketPartials(d.limit(0), -1L)
+      (0 to 2).foreach { i =>
+        state = Streams.mergeScoreBucketPartials(state,
+          d.filter(col("doc_id") % 3 === i), i.toLong)
+      }
+      // replayed batch: REPLACES its own rows — a no-op by construction
+      state = Streams.mergeScoreBucketPartials(state,
+        d.filter(col("doc_id") % 3 === 2), 2L)
+      graft.ops.Text.selectAgainstBuckets(graft.ops.Text.scored(d),
+          Streams.scoreBucketsFromPartials(state), budgetDenom = 5L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"),
+          sum("n_toks").as("sel_tokens"))
+        .orderBy("source")
+    }),
+
     "s23_importance_maintenance" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val tgt = col("lang") === "en"
@@ -867,6 +890,11 @@ object StreamQueries {
     // duplicate-shingle index — same oracle verbatim.
     "s40_span_cut_maintenance" ->
       graft.queries.LlmQueries.oracles("l52_span_cut"),
+
+    // s41 must reproduce l54's one-shot selection from the maintained
+    // score histogram — same oracle verbatim.
+    "s41_budget_maintenance" ->
+      graft.queries.LlmQueries.oracles("l54_budget_select"),
 
     // s39 emits q59's match rows through the streaming twin — same
     // oracle verbatim.

@@ -276,6 +276,27 @@ object Streams {
     state.groupBy("shingle").agg(sum("nd").as("nd"))
       .filter(col("nd") >= 2).select("shingle")
 
+  /** S41 — streaming maintenance of the budget-selection score
+    * histogram (l54's pass-1 aggregate kept live): per batch the
+    * (score → token sum) rows of that batch's docs, batch-id-stamped
+    * (token sums are additive over disjoint doc batches; replay
+    * REPLACES). The selection read (Text.selectAgainstBuckets) then
+    * computes the threshold from the MAINTAINED histogram — the global
+    * piece — and the per-doc pass stays map-side.
+    */
+  def scoreBucketPartials(batch: DataFrame, batchId: Long): DataFrame =
+    graft.ops.Text.scoreBuckets(graft.ops.Text.scored(batch))
+      .withColumn("batch_id", lit(batchId))
+
+  def mergeScoreBucketPartials(state: DataFrame, batch: DataFrame,
+      batchId: Long): DataFrame =
+    state.filter(col("batch_id") =!= batchId)
+      .unionByName(scoreBucketPartials(batch, batchId))
+
+  /** Read side: maintained partials → the exact one-shot histogram. */
+  def scoreBucketsFromPartials(state: DataFrame): DataFrame =
+    state.groupBy("score").agg(sum("btoks").as("btoks"))
+
   /** S32 — streaming trend maintenance (Q51 live): the OLS sufficient
     * statistics (n, Σx, Σy, Σxy, Σx²) are ADDITIVE over disjoint event
     * sets, so a continuously-maintained regression is the t09b partials

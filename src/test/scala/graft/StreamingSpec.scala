@@ -1265,6 +1265,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(cut(replayed) == ref)
   }
 
+  test("S41 score-histogram foreachBatch: selection against the " +
+      "maintained buckets == one-shot l54, replay no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    def docDF = docs.toSeq.toDF("doc_id", "source", "n_chars", "text")
+    val ref = graft.ops.Text.budgetSelect(docDF, budgetDenom = 5L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ref.nonEmpty && ref.size < docs.length) // budget binds
+
+    val source = MemoryStream[(Long, String, Long, String)]
+    var state = Streams.scoreBucketPartials(
+      Seq.empty[(Long, String, Long, String)]
+        .toDF("doc_id", "source", "n_chars", "text"), -1L)
+    var lastBatch: Option[org.apache.spark.sql.DataFrame] = None
+    var lastId = -1L
+    val q = source.toDS().toDF("doc_id", "source", "n_chars", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        state = Streams.mergeScoreBucketPartials(state, batch, id)
+          .localCheckpoint()
+        lastBatch = Some(batch.localCheckpoint()); lastId = id
+      }
+      .outputMode(OutputMode.Append()).start()
+    try docs.grouped(15).foreach { g =>
+      source.addData(g.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def sel(st: org.apache.spark.sql.DataFrame) =
+      graft.ops.Text.selectAgainstBuckets(graft.ops.Text.scored(docDF),
+          Streams.scoreBucketsFromPartials(st), budgetDenom = 5L)
+        .collect().map(_.getLong(0)).toSet
+    assert(sel(state) == ref)
+    // replaying the last micro-batch replaces its own partials — no-op
+    val replayed = Streams.mergeScoreBucketPartials(state, lastBatch.get,
+      lastId)
+    assert(sel(replayed) == ref)
+  }
+
   test("S38 bigram-LM stats foreachBatch: == one-shot scores, replay no-op") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
