@@ -58,6 +58,30 @@ case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def connectedComponents: DataFrame =
     Graphs.connectedComponentsDF(spark, edges.select("src", "dst"))
 
+  /** Full coreness decomposition (shell index per vertex) by bounded
+    * H-index iteration over the UNDIRECTED view of this graph's edges
+    * ([[Graphs.corenessHIndex]] — G43).
+    */
+  def coreness(rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = edges.select("src", "dst")
+    val both = e.unionAll(e.select(col("dst").as("src"),
+      col("src").as("dst")))
+    Graphs.corenessHIndex(spark, both, rounds)
+  }
+
+  /** Louvain community detection to convergence over the UNDIRECTED
+    * view (canonical x < y pairs derived from the edge list) —
+    * [[Graphs.louvainMultiLevel]] (G40c).
+    */
+  def louvain(rounds: Int = 2, maxLevels: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val pairs = edges.select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    Graphs.louvainMultiLevel(spark, pairs, rounds, maxLevels)
+  }
+
   /** Static PageRank with a fixed iteration count — DataFrame power
     * iteration (the GraphX twin is the 1e-6 equivalence oracle).
     */

@@ -38,6 +38,45 @@ case class TemporalTable(
   def sessionize(gapSeconds: Long): DataFrame =
     Temporal.sessionize(changes, entity, ts, tieBreak, gapSeconds)
 
+  /** T41 — per-session summary: (start, end, duration, n_events) plus
+    * the idle gap since the entity's previous session (-1 for the
+    * first).
+    */
+  def sessionStats(gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sess = sessionize(gapSeconds)
+      .groupBy(entity, "session_id")
+      .agg(graft.Det.epochUs(min(col(ts))).as("start_us"),
+        graft.Det.epochUs(max(col(ts))).as("end_us"),
+        count(lit(1)).as("n_events"))
+    sess
+      .withColumn("prev_end", lag("end_us", 1).over(
+        Window.partitionBy(entity).orderBy("session_id")))
+      .select(col(entity), col("session_id"), col("start_us"),
+        col("end_us"), (col("end_us") - col("start_us")).as("duration_us"),
+        col("n_events"),
+        coalesce(col("start_us") - col("prev_end"), lit(-1L)).as("idle_us"))
+  }
+
+  /** Q57-family — sequence-pattern counting over this table's
+    * (entity, ts, tieBreak) order; `typeCol` names the symbol column.
+    * See [[graft.ops.Patterns.matchCounts]] for the semantics matrix.
+    */
+  def matchPattern(typeCol: String, pattern: Seq[String],
+      contiguous: Boolean = false,
+      withinUs: Option[Long] = None): DataFrame =
+    graft.ops.Patterns.matchCounts(changes, entity, ts, tieBreak,
+      typeCol, pattern, contiguous, withinUs)
+
+  /** Q57f — the re-anchoring WITHIN counter (MATCH_RECOGNIZE-parity
+    * bound); see [[graft.ops.Patterns.reanchoredCounts]].
+    */
+  def matchReanchored(typeCol: String, pattern: Seq[String],
+      withinUs: Long): DataFrame =
+    graft.ops.Patterns.reanchoredCounts(changes, entity, ts, tieBreak,
+      typeCol, pattern, withinUs)
+
   /** For each probe row, the latest change payload at-or-before its
     * timestamp (`strict` = strictly-before). Probes join on this table's
     * entity column name.

@@ -65,6 +65,51 @@ class ApiSpec extends SparkSpecBase {
     assert(asof == Map(10L -> Some(2.0), 20L -> None))
   }
 
+  test("PropertyGraph coreness and louvain facades (undirected view)") {
+    import spark.implicits._
+    // K4 {1..4} + pendant chain 4-5-6 as DIRECTED edges: the facades
+    // must undirect/canonicalize before calling the kernels
+    val v = (1L to 6L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val g = PropertyGraph(v, e)
+    val cores = g.coreness().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cores == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L))
+    val comm = g.louvain().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .groupBy(_._2).values.map(_.keys.toSet).toSet
+    // the clique assembles into one community; chain tail follows 4 or
+    // forms its own — either way the clique is whole
+    assert(comm.exists(c => Set(1L, 2L, 3L, 4L).subsetOf(c)))
+  }
+
+  test("TemporalTable sessionStats and matchPattern/matchReanchored facades") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, 0L, "view"), (2L, 10L, 60L, "click"),
+      // 1-hour silence -> second session
+      (3L, 10L, 3700L, "view"), (4L, 10L, 3760L, "purchase"))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val tt = TemporalTable(changes, "user_id", "ts", "event_id")
+    val stats = tt.sessionStats(gapSeconds = 1800)
+      .orderBy("session_id").collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(stats.toSeq == Seq((0L, 60000000L, 2L, -1L),
+      (1L, 60000000L, 2L, 3640000000L)))
+    val mc = tt.matchPattern("event_type", Seq("view", "click"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(mc == ((4L, 1L)))
+    // re-anchoring: view@0 stale, view@3700 anchors, purchase@3760 in
+    // bound — pattern view->purchase within 2 minutes counts 1
+    val rc = tt.matchReanchored("event_type", Seq("view", "purchase"),
+        withinUs = 120L * 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(rc == ((4L, 1L)))
+  }
+
   test("TemporalTable facade wires forward/nearest asOf, compact, rollup") {
     import spark.implicits._
     val changes = Seq(
