@@ -807,7 +807,7 @@ object Patterns {
     */
   class BufferedPatternProcessor(stages: Seq[(Set[String], Int, Int)],
       withinUs: Option[Long], emitMatches: Boolean)
-      extends StatefulProcessor[Long, PatEvT, Row14] {
+      extends StatefulProcessor[Long, PatEvT, PatWire] {
     private val st = stages.toArray
     private val within = withinUs.getOrElse(Long.MaxValue)
     @transient private var buf: ListState[PatEv] = _
@@ -833,14 +833,14 @@ object Patterns {
     }
 
     override def handleInputRows(key: Long, rows: Iterator[PatEvT],
-        timerValues: TimerValues): Iterator[Row14] = {
+        timerValues: TimerValues): Iterator[PatWire] = {
       rows.foreach(e => buf.appendValue(PatEv(key, tsUs(e.ts), e.tie, e.sym)))
       rearm()
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[Row14] = {
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[PatWire] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       val st0 = if (mach.exists()) mach.get() else qPatState0
       val (st1, pending, hits) = foldRipe(st, within, st0,
@@ -850,19 +850,21 @@ object Patterns {
       rearm()
       if (emitMatches)
         hits.iterator.map(h =>
-          Row14(h.entity, h.match_no, h.anchor_us, h.end_us))
+          PatWire(h.entity, h.match_no, h.anchor_us, h.end_us))
       else if (st1.n > st0.n) // snapshot only when the fold advanced
-        Iterator.single(Row14(key, st1.n, st1.cnt, -1L))
+        Iterator.single(PatWire(key, st1.n, st1.cnt, -1L))
       else Iterator.empty
     }
   }
 
-  /** The buffered processors' wire row — [[PatMatch]]'s shape, doubling
-    * as a (entity, n_events, n_matches, -1) snapshot for the counts
+  /** The buffered processors' wire row — [[PatMatch]]'s shape
+    * (a=match_no, b=anchor_us, c=end_us), doubling as a
+    * (entity, a=n_events, b=n_matches, c=-1) snapshot for the counts
     * twin (one output encoder per processor class keeps the state-store
-    * schema stable across both twins).
+    * schema stable across both twins; the public entry points remap to
+    * the typed rows immediately).
     */
-  case class Row14(entity: Long, a: Long, b: Long, c: Long)
+  case class PatWire(entity: Long, a: Long, b: Long, c: Long)
 
   /** S39b entry — q59's per-match surface, out-of-order tolerant: every
     * completed match emits once with its event-time anchor/end, no
