@@ -1257,6 +1257,103 @@ object Streams {
       }
   }
 
+  /** Event row for the BUFFERED attribution twin: a real timestamp
+    * column for the watermark (callers `.withWatermark("ts", delay)`).
+    */
+  case class AttribEvT(user_id: Long, event_id: Long,
+    ts: java.time.Instant, is_touch: Boolean, is_purchase: Boolean,
+    channel: String, cents: Long)
+  private case class PendPurchase(event_id: Long, ts_us: Long, cents: Long)
+
+  /** S33b — OUT-OF-ORDER-TOLERANT streaming attribution: the S34
+    * watermark-buffer discipline applied to last-touch credit. The
+    * eager [[attributionStream]] credits a purchase the moment it
+    * arrives, so a late touch landing batches after the purchase is
+    * silently invisible (the guarded in-order caveat); here purchases
+    * buffer in ListState until the watermark passes them — at which
+    * point every touch at-or-before them is final — and are answered
+    * against the buffered touch set with exactly [[attribStep]]'s
+    * strictly-earlier (ts, event_id) + 7-day-lookback rule. Stream ==
+    * [[attributionBatch]] on the undropped rows regardless of arrival
+    * order (StreamingSpec: bit-reversal-shuffled fixture + a
+    * late-touch hand case).
+    *
+    * State stays bounded without a fold-to-best compaction: a pending
+    * purchase has ts ≥ wm, so any touch that could still credit one
+    * has ts ≥ wm − lookback — older touches are DROPPED outright (a
+    * purchase whose latest prior touch is older than its lookback is
+    * 'direct' anyway). Per key: touches within one lookback window +
+    * purchases within the watermark delay, all in RocksDB.
+    */
+  class BufferedAttributionProcessor
+      extends StatefulProcessor[Long, AttribEvT, Attribution] {
+    @transient private var touches: ListState[LastTouch] = _
+    @transient private var purchases: ListState[PendPurchase] = _
+
+    private def tsUs(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      touches = getHandle.getListState[LastTouch]("touches",
+        Encoders.product[LastTouch], TTLConfig.NONE)
+      purchases = getHandle.getListState[PendPurchase]("purchases",
+        Encoders.product[PendPurchase], TTLConfig.NONE)
+    }
+
+    // one live timer per key: earliest pending purchase, ms-rounded up
+    // + 1 (the BufferedAsofProcessor rule)
+    private def rearm(): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val pending = purchases.get()
+      if (pending.hasNext) {
+        val earliest = pending.map(_.ts_us).min
+        getHandle.registerTimer((earliest + 999L) / 1000L + 1L)
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AttribEvT],
+        timerValues: TimerValues): Iterator[Attribution] = {
+      rows.foreach { e =>
+        if (e.is_touch)
+          touches.appendValue(LastTouch(tsUs(e.ts), e.event_id, e.channel))
+        else if (e.is_purchase)
+          purchases.appendValue(PendPurchase(e.event_id, tsUs(e.ts),
+            e.cents))
+      }
+      rearm()
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Attribution] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val buf = touches.get().toArray
+      val (ripe, pending) = purchases.get().toArray.partition(_.ts_us < wmUs)
+      val out = ripe.sortBy(p => (p.ts_us, p.event_id)).map { p =>
+        val cands = buf.filter(t => (t.ts_us < p.ts_us ||
+            (t.ts_us == p.ts_us && t.event_id < p.event_id)) &&
+          t.ts_us >= p.ts_us - attribLookbackUs)
+        val ch = if (cands.isEmpty) "direct"
+          else cands.maxBy(t => (t.ts_us, t.event_id)).channel
+        Attribution(p.event_id, key, ch, p.cents)
+      }
+      val kept = buf.filter(_.ts_us >= wmUs - attribLookbackUs)
+      touches.clear(); kept.foreach(touches.appendValue)
+      purchases.clear(); pending.foreach(purchases.appendValue)
+      rearm()
+      out.iterator
+    }
+  }
+
+  /** S33b entry — event-time mode over a watermarked `ts` column. */
+  def bufferedAttributionStream(events: Dataset[AttribEvT])
+      : Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BufferedAttributionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Per-user running state for S06: EXACT integer moments — event
     * count, Σ cents, Σ cents². Integer state (not Welford mean/M2
     * doubles) is what makes the 3σ flag decision exact and therefore

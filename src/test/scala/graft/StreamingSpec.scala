@@ -1664,6 +1664,85 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S33b buffered attribution: late touch lands a batch after the " +
+      "purchase and still gets credit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def in(id: Long, min: Long, touch: Boolean, buy: Boolean, ch: String,
+        cents: Long = 0L, u: Long = 1L) =
+      Streams.AttribEvT(u, id, ts(min).toInstant, touch, buy, ch, cents)
+    // batch 1: purchase @20min (plus an old view @0); batch 2 delivers
+    // the LATE click @10min — before the watermark passes the purchase,
+    // so the buffered form credits the click where the eager stream
+    // would have said view
+    val b1 = Seq(in(1, 0, true, false, "view"),
+      in(10, 20, false, true, "purchase", 500L))
+    val b2 = Seq(in(2, 10, true, false, "click"))
+    val flush1 = Seq(in(90, 100000, true, false, "view", u = -99L))
+    val flush2 = Seq(in(91, 100001, true, false, "view", u = -99L))
+    val src = MemoryStream[Streams.AttribEvT]
+    val q = Streams.bufferedAttributionStream(
+        src.toDS().withWatermark("ts", "600 minutes"))
+      .writeStream.format("memory").queryName("s33bhand")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, flush1, flush2).foreach { b =>
+        src.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("s33bhand").filter(col("user_id") =!= -99L)
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      assert(got.toSeq == Seq((10L, "click", 500L)))
+    } finally q.stop()
+  }
+
+  test("S33b buffered attribution on a fully SHUFFLED fixture == batch fold") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val e = Tables.load(spark, sfDir, "events")
+    val rows = e.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").isin("click", "view").as("is_touch"),
+        (col("event_type") === "purchase").as("is_purchase"),
+        col("event_type").as("channel"),
+        expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+      .as[Streams.AttribEvT].collect()
+    val shuffled = rows.sortBy(r => java.lang.Long.reverse(r.event_id))
+    val maxTs = java.time.Instant.ofEpochMilli(
+      rows.map(_.ts.toEpochMilli).max)
+    val flush = Seq(
+      Streams.AttribEvT(-99L, -1L, maxTs.plusSeconds(40000000L), true,
+        false, "view", 0L),
+      Streams.AttribEvT(-99L, -2L, maxTs.plusSeconds(40000001L), true,
+        false, "view", 0L))
+    val src = MemoryStream[Streams.AttribEvT]
+    val q = Streams.bufferedAttributionStream(
+        src.toDS().withWatermark("ts", "365 days"))
+      .writeStream.format("memory").queryName("s33bfix")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (shuffled.grouped(math.max(1, shuffled.length / 5)).map(_.toSeq).toSeq
+        ++ flush.map(Seq(_))).foreach { g =>
+        src.addData(g); q.processAllAvailable()
+      }
+      val viaStream = spark.table("s33bfix")
+        .filter(col("user_id") =!= -99L).collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+      val in = e.select(col("user_id"), col("event_id"),
+          graft.Det.epochUs(col("ts")).as("ts_us"),
+          col("event_type").isin("click", "view").as("is_touch"),
+          (col("event_type") === "purchase").as("is_purchase"),
+          col("event_type").as("channel"),
+          expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+        .as[Streams.AttribEv]
+      val batch = Streams.attributionBatch(in).collect()
+        .map(a => a.event_id -> ((a.channel, a.cents))).toMap
+      assert(viaStream == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("S33 streaming attribution == batch fold (fixture, 4 micro-batches)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
