@@ -736,6 +736,77 @@ object Streams {
       }
   }
 
+  /** Event row for the BUFFERED gap twin (watermark anchor). */
+  case class GapEvT(user_id: Long, event_id: Long, ts: java.time.Instant)
+
+  /** S29b — OUT-OF-ORDER-TOLERANT gap detection: the eager
+    * [[gapsStream]] would report a gap a late mid-gap event should
+    * have SPLIT (guarded in-order caveat); here events buffer until
+    * the watermark passes them — at which point nothing can land
+    * inside — then fold through the same [[gapStep]] in (ts, event_id)
+    * order from the carried last-seen. Stream == [[gapsBatch]] on the
+    * undropped rows regardless of arrival order (StreamingSpec:
+    * shuffled fixture + a gap-splitting late event). State per key:
+    * one GapSeen + the above-watermark window.
+    */
+  class BufferedGapsProcessor(minGapUs: Long)
+      extends StatefulProcessor[Long, GapEvT, GapRow] {
+    @transient private var lastSeen: ValueState[GapSeen] = _
+    @transient private var buf: ListState[GapEv] = _
+
+    private def tsUs(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastSeen = getHandle.getValueState[GapSeen]("last",
+        Encoders.product[GapSeen], TTLConfig.NONE)
+      buf = getHandle.getListState[GapEv]("buf",
+        Encoders.product[GapEv], TTLConfig.NONE)
+    }
+
+    private def rearm(): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val it = buf.get()
+      if (it.hasNext) {
+        val earliest = it.map(_.ts_us).min
+        getHandle.registerTimer((earliest + 999L) / 1000L + 1L)
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[GapEvT],
+        timerValues: TimerValues): Iterator[GapRow] = {
+      rows.foreach(e =>
+        buf.appendValue(GapEv(key, e.event_id, tsUs(e.ts))))
+      rearm()
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[GapRow] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val (ripe, pending) = buf.get().toArray.partition(_.ts_us < wmUs)
+      var last = if (lastSeen.exists()) Some(lastSeen.get()) else None
+      val out = ripe.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
+        val (st, gap) = gapStep(last, e, minGapUs)
+        last = Some(st)
+        gap
+      }
+      last.foreach(lastSeen.update)
+      buf.clear(); pending.foreach(buf.appendValue)
+      rearm()
+      out.iterator
+    }
+  }
+
+  /** S29b entry — event-time mode over a watermarked `ts` column. */
+  def bufferedGapsStream(events: Dataset[GapEvT], minGapUs: Long)
+      : Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BufferedGapsProcessor(minGapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Batch twin of [[gapsStream]] with O(1) state per task. */
   def gapsBatch(events: Dataset[GapEv], minGapUs: Long): Dataset[GapRow] = {
     import events.sparkSession.implicits._

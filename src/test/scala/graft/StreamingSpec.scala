@@ -1664,6 +1664,73 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("S29b buffered gaps: a late mid-gap event SPLITS the would-be " +
+      "gap; shuffled fixture == batch fold") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val minGap = 30L * 60L * 1000000L // 30 minutes
+    def in(id: Long, min: Long, u: Long = 1L) =
+      Streams.GapEvT(u, id, ts(min).toInstant)
+    // events @0 and @100min look like a 100-min gap; the LATE @50min
+    // event lands a batch later (before the watermark passes) and
+    // splits it into two 50-min gaps
+    val b1 = Seq(in(1, 0), in(3, 100))
+    val b2 = Seq(in(2, 50))
+    val flush1 = Seq(in(90, 100000, u = -99L))
+    val flush2 = Seq(in(91, 100001, u = -99L))
+    val src = MemoryStream[Streams.GapEvT]
+    val q = Streams.bufferedGapsStream(
+        src.toDS().withWatermark("ts", "600 minutes"), minGap)
+      .writeStream.format("memory").queryName("s29bhand")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, flush1, flush2).foreach { b =>
+        src.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("s29bhand").filter(col("user_id") =!= -99L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      def us(min: Long) = ts(min).getTime * 1000L
+      assert(got == Set((us(0), us(50), 50L * 60 * 1000000),
+        (us(50), us(100), 50L * 60 * 1000000)))
+    } finally q.stop()
+    // fixture: shuffled stream == gapsBatch
+    val e = Tables.load(spark, sfDir, "events")
+    val rows = e.select(col("user_id"), col("event_id"), col("ts"))
+      .as[Streams.GapEvT].collect()
+    val shuffled = rows.sortBy(r => java.lang.Long.reverse(r.event_id))
+    val maxTs = java.time.Instant.ofEpochMilli(
+      rows.map(_.ts.toEpochMilli).max)
+    val flush = Seq(
+      Streams.GapEvT(-99L, -1L, maxTs.plusSeconds(40000000L)),
+      Streams.GapEvT(-99L, -2L, maxTs.plusSeconds(40000001L)))
+    val dayUs = 86400L * 1000000L
+    val fsrc = MemoryStream[Streams.GapEvT]
+    val fq = Streams.bufferedGapsStream(
+        fsrc.toDS().withWatermark("ts", "365 days"), dayUs)
+      .writeStream.format("memory").queryName("s29bfix")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (shuffled.grouped(math.max(1, shuffled.length / 5)).map(_.toSeq).toSeq
+        ++ flush.map(Seq(_))).foreach { g =>
+        fsrc.addData(g); fq.processAllAvailable()
+      }
+      val viaStream = spark.table("s29bfix")
+        .filter(col("user_id") =!= -99L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val inB = e.select(col("user_id"), col("event_id"),
+          graft.Det.epochUs(col("ts")).as("ts_us"))
+        .as[Streams.GapEv]
+      val batch = Streams.gapsBatch(inB, dayUs).collect()
+        .map(g => (g.user_id, g.gap_start_us, g.gap_end_us, g.gap_us))
+        .toSet
+      assert(viaStream == batch && batch.nonEmpty)
+    } finally fq.stop()
+  }
+
   test("S33b buffered attribution: late touch lands a batch after the " +
       "purchase and still gets credit") {
     import spark.implicits._
