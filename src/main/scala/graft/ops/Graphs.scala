@@ -1581,6 +1581,54 @@ object Graphs {
     louvainLevelWeighted(s, verts, p, noLoops, mDf, rounds)
   }
 
+  /** G40e — WEIGHTED Louvain TO CONVERGENCE: [[louvainMultiLevel]]'s
+    * contract-and-refine loop seeded from [[louvainWeightedGraph]], so
+    * a user-supplied edge-weight column gets the full algorithm, not
+    * just one level. Contraction sums the ORIGINAL weights by the
+    * composed label map (inter-community w-sums become quotient
+    * weights, intra-community w-sums become self-loops; m = Σw is
+    * preserved, so every level shares one 4m² modularity scale); the
+    * zero-move fixpoint exit and the unrolled-replay oracle argument
+    * are [[louvainMultiLevel]]'s verbatim.
+    */
+  def louvainMultiLevelWeighted(s: SparkSession, wpairs: DataFrame,
+      rounds: Int, maxLevels: Int): DataFrame = {
+    require(maxLevels >= 1, "maxLevels must be >= 1")
+    val p = wpairs.select("x", "y", "w").transform(Checkpoints.cut)
+    val mDf = p.agg(sum("w").as("m"))
+    var labels = louvainWeightedGraph(s, p, rounds)
+      .transform(Checkpoints.cut)
+    var level = 1
+    var moved = true
+    while (moved && level < maxLevels) {
+      val tagged = p
+        .join(labels.select(col("id").as("x"), col("community").as("cx")),
+          "x")
+        .join(labels.select(col("id").as("y"), col("community").as("cy")),
+          "y")
+        .transform(Checkpoints.cut) // read twice: quotient edges + loops
+      val qp = tagged.filter(col("cx") =!= col("cy"))
+        .select(least(col("cx"), col("cy")).as("x"),
+          greatest(col("cx"), col("cy")).as("y"), col("w"))
+        .groupBy("x", "y").agg(sum("w").as("w"))
+      val qsl = tagged.filter(col("cx") === col("cy"))
+        .groupBy(col("cx").as("id")).agg(sum("w").as("sl"))
+      val qverts = labels.select(col("community").as("id")).distinct()
+      val lk = louvainLevelWeighted(s, qverts, qp, qsl, mDf, rounds)
+        .transform(Checkpoints.cut) // read twice: exit probe + compose
+      moved = lk.filter(col("community") =!= col("id"))
+        .limit(1).count() > 0L
+      if (moved) {
+        labels = labels.join(lk.select(col("id").as("community"),
+            col("community").as("c2")), "community")
+          .select(col("id"), col("c2").as("community"))
+          .transform(Checkpoints.cut)
+        level += 1
+      }
+    }
+    labels
+  }
+
   /** G40b — MULTI-LEVEL Louvain (two levels, the full algorithm's
     * level-contract-repeat step): run [[louvainOneLevel]], CONTRACT its
     * communities into a weighted quotient graph (groupBy on the

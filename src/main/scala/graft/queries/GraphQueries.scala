@@ -796,6 +796,16 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G40e — WEIGHTED Louvain to convergence (NEW r14): g40d's
+    // weighted kernel through g40c's contract-and-refine loop on the
+    // multiplicity-weighted co-part graph; hash-checked against the
+    // fully unrolled weighted 3-level replay.
+    "g40e_louvain_weighted_converged" -> ((s, dir) => {
+      Graphs.louvainMultiLevelWeighted(s,
+          Graphs.copartWeightedPairs(s, dir), rounds = 2, maxLevels = 3)
+        .orderBy("id")
+    }),
+
     // G42 — TEMPORAL CO-OCCURRENCE MOTIF counting (NEW r14): supplier
     // pairs repeatedly shipping the SAME part within 7 days — the
     // time-respecting wedge (s1 → p ← s2, |t1−t2| ≤ δ) a temporal graph
@@ -1063,16 +1073,17 @@ object GraphQueries {
     * ending at label map ${p}l$rounds (quotient-vertex -> community).
     */
   private def louvainLevelBlock(lbl: String, p: String,
-      rounds: Int): String = {
+      rounds: Int, rel: String = "pairs",
+      wExpr: String = "count(*)"): String = {
     val qp = s"${p}qp"
     val quotient =
       s"""$qp AS (SELECT least(a.community, b.community) AS x,
-       |    greatest(a.community, b.community) AS y, count(*) AS w
-       |  FROM pairs pp JOIN $lbl a ON a.id = pp.x
+       |    greatest(a.community, b.community) AS y, $wExpr AS w
+       |  FROM $rel pp JOIN $lbl a ON a.id = pp.x
        |  JOIN $lbl b ON b.id = pp.y
        |  WHERE a.community <> b.community GROUP BY 1, 2),
-       |${p}qsl AS (SELECT a.community AS id, count(*) AS sl
-       |  FROM pairs pp JOIN $lbl a ON a.id = pp.x
+       |${p}qsl AS (SELECT a.community AS id, $wExpr AS sl
+       |  FROM $rel pp JOIN $lbl a ON a.id = pp.x
        |  JOIN $lbl b ON b.id = pp.y
        |  WHERE a.community = b.community GROUP BY 1),
        |${p}qe AS MATERIALIZED (SELECT x AS src, y AS dst, w FROM $qp
@@ -1171,6 +1182,37 @@ object GraphQueries {
         |${(1 to 8).map(i => mat(hIndexRoundCte(i), s"hc$i"))
           .mkString(",\n")}
         |SELECT id, c AS coreness FROM hc8 ORDER BY id""".stripMargin,
+
+    // g40e: the g40d weighted rounds (level 1) + two weighted
+    // contraction blocks (weights SUMMED through the composed labels),
+    // unrolled — the engine's convergence early-exits are no-op
+    // replays exactly as in g40c.
+    "g40e_louvain_weighted_converged" ->
+      s"""WITH wok AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |       HAVING count(DISTINCT l_partkey) BETWEEN 2 AND 3),
+        |wpp AS (SELECT DISTINCT a.l_orderkey, a.l_partkey AS x,
+        |    b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey IN (SELECT l_orderkey FROM wok)),
+        |wp AS MATERIALIZED (SELECT x, y, count(*) AS w FROM wpp
+        |  GROUP BY 1, 2),
+        |qe AS MATERIALIZED (SELECT x AS src, y AS dst, w FROM wp
+        |       UNION ALL SELECT y, x, w FROM wp),
+        |qdeg AS MATERIALIZED (SELECT src AS id, sum(w) AS deg FROM qe
+        |  GROUP BY 1),
+        |mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM wp),
+        |${mat("wl0 AS (SELECT id, id AS community FROM qdeg)", "wl0")},
+        |${mat(louvainWeightedRoundCte(1), "wkv1", "wb1", "wl1")},
+        |${mat(louvainWeightedRoundCte(2), "wkv2", "wb2", "wl2")},
+        |${louvainLevelBlock("wl2", "x2", 2, rel = "wp",
+          wExpr = "CAST(sum(pp.w) AS BIGINT)")},
+        |cel2 AS MATERIALIZED (SELECT l.id, w.community FROM wl2 l
+        |  JOIN x2l2 w ON w.id = l.community),
+        |${louvainLevelBlock("cel2", "x3", 2, rel = "wp",
+          wExpr = "CAST(sum(pp.w) AS BIGINT)")}
+        |SELECT c.id, x.community FROM cel2 c
+        |JOIN x3l2 x ON x.id = c.community ORDER BY c.id""".stripMargin,
 
     // g42: the direct per-part pair join the banded engine plan avoids
     // — same canonical once-per-unordered-pair rule.
