@@ -1068,6 +1068,24 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(light != heavy)
   }
 
+  test("louvainMultiLevelWeighted: heavy bridge merges at level 1, " +
+      "loop converges (deeper maxLevels identical)") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L))
+    val k8 = for { x <- 11L to 18L; y <- x + 1 to 18L } yield (x, y, 1L)
+    val wp = (tri ++ Seq((3L, 4L, 9L)) ++ k8).toDF("x", "y", "w")
+    def run(ml: Int) = Graphs.louvainMultiLevelWeighted(spark, wp,
+        rounds = 2, maxLevels = ml)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .groupBy(_._2).values.map(_.keys.toSet).toSet
+    val g3 = run(3)
+    // the heavy bridge pulls 3 and 4 together; convergence: deeper
+    // maxLevels change nothing
+    assert(g3.exists(g => g.contains(3L) && g.contains(4L)))
+    assert(run(5) == g3)
+  }
+
   test("linkPrediction == brute-force CN/RA oracle; adjacent pairs excluded") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
