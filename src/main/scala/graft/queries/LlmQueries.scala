@@ -635,6 +635,23 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("sum_tokens"))
         .orderBy("bucket", "pack_id")),
 
+    // L57 — PACK MATERIALIZATION (NEW r14): l11 assigns docs to packs;
+    // this EMITS the packed training sequences — per (bucket, pack),
+    // the member texts concatenated in doc_id order with an <eos>
+    // separator plus the exact token accounting, i.e. the artifact a
+    // trainer memory-maps. Deterministic order => the concatenated
+    // STRING hash-matches cross-engine, certifying byte-level
+    // equivalence of the materialized sequence, not just its stats.
+    "l57_pack_emit" -> ((s, dir) =>
+      Text.packGreedy(docs(s, dir), cap = 256L, buckets = 8)
+        .join(docs(s, dir).select("doc_id", "text"), "doc_id")
+        .groupBy("bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("sum_tokens"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "<eos>").as("packed"))
+        .orderBy("bucket", "pack_id")),
+
     // L27 — BPE merge training over the documents vocabulary: the first
     // 8 learned merges (round, pair, weighted count). Exact integer
     // counts + deterministic tie-breaks; hash-matched against an
@@ -2171,6 +2188,30 @@ object LlmQueries {
         |  FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1)
         |SELECT bucket, pack_id, count(*) AS n_docs,
         |  CAST(sum(tc) AS BIGINT) AS sum_tokens
+        |FROM rec GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // l57: the l11 recursive pack fold + an ordered string_agg of the
+    // member texts.
+    "l57_pack_emit" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id % 8 AS bucket, doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tc,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT bucket, rn, doc_id, text, tc, CAST(0 AS BIGINT) AS pack_id,
+        |    tc AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.bucket, t.rn, t.doc_id, t.text, t.tc,
+        |    CASE WHEN rec.fill + t.tc > 256 THEN rec.pack_id + 1
+        |         ELSE rec.pack_id END,
+        |    CASE WHEN rec.fill + t.tc > 256 THEN t.tc
+        |         ELSE rec.fill + t.tc END
+        |  FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1)
+        |SELECT bucket, pack_id, count(*) AS n_docs,
+        |  CAST(sum(tc) AS BIGINT) AS sum_tokens,
+        |  string_agg(text, '<eos>' ORDER BY doc_id) AS packed
         |FROM rec GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "l01_exact_dedup" ->
