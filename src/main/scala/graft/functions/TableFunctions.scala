@@ -336,8 +336,130 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  // ---------------------------------------------------------------- graph
+  // The graph TVFs (r15): a pure-SQL session gets the engine's core
+  // graph domain — components, PageRank, coreness, Louvain, BFS — that
+  // was previously Scala-API-only. Each builder renames the caller's
+  // edge columns to the internal (src, dst) / (x, y) convention and
+  // splices the SAME plan the Scala API returns. These operators are
+  // ITERATIVE: the builder runs the bounded driver-side fix-point
+  // (localCheckpoint-cut rounds, convergence probes) during ANALYSIS of
+  // the enclosing SQL statement — the converged result's plan is what
+  // the statement then reads. That is the exact cost the Scala API
+  // pays; SQL callers just pay it at `sql(...)` time instead of at the
+  // first action.
+
+  /** Caller-named edge columns -> the internal (src, dst) frame. */
+  private def edgeFrame(tbl: Expression, srcE: Expression,
+      dstE: Expression, fn: String): DataFrame = {
+    val df = tableArg(tbl, 1, fn)
+    df.select(df(str(srcE, 2, fn)).as("src"), df(str(dstE, 3, fn)).as("dst"))
+  }
+
+  /** connected_components(table, src_col, dst_col) — (id, component)
+    * with component = min vertex id, via the alternating large-star /
+    * small-star rounds (the g06 operator verbatim). Pass BOTH edge
+    * directions if the graph is undirected — the operator treats the
+    * edge list as directed arcs exactly like the Scala API.
+    */
+  private def connectedComponentsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "connected_components"
+    require(exprs.length == 3,
+      s"$fn takes 3 arguments (table, src_col, dst_col), got ${exprs.length}")
+    graft.ops.Graphs.connectedComponentsDF(SparkSession.active,
+        edgeFrame(exprs(0), exprs(1), exprs(2), fn))
+      .queryExecution.logical
+  }
+
+  /** pagerank(table, src_col, dst_col, iters) — (id, rank) after
+    * `iters` damped power iterations (the g08 operator verbatim;
+    * dangling mass redistributed uniformly each iteration).
+    */
+  private def pageRankPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "pagerank"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, src_col, dst_col, iters), got ${exprs.length}")
+    val iters = long(exprs(3), 4, fn)
+    require(iters >= 1 && iters <= 1000, s"$fn: iters must be in [1, 1000]")
+    graft.ops.Graphs.pageRankDF(SparkSession.active,
+        edgeFrame(exprs(0), exprs(1), exprs(2), fn), iters.toInt)
+      .queryExecution.logical
+  }
+
+  /** coreness(table, src_col, dst_col, rounds) — (id, coreness) by
+    * H-index iteration from degree (the g43 operator verbatim; values
+    * only decrease round over round, exact at the fix point). Pass both
+    * directions for undirected degree semantics.
+    */
+  private def corenessPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "coreness"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, src_col, dst_col, rounds), got ${exprs.length}")
+    val rounds = long(exprs(3), 4, fn)
+    require(rounds >= 1 && rounds <= 1000, s"$fn: rounds must be in [1, 1000]")
+    graft.ops.Graphs.corenessHIndex(SparkSession.active,
+        edgeFrame(exprs(0), exprs(1), exprs(2), fn), rounds.toInt)
+      .queryExecution.logical
+  }
+
+  /** louvain(table, x_col, y_col, rounds, max_levels) — (id, community)
+    * from the multi-level modularity loop over canonical UNDIRECTED
+    * pairs (x < y, one row per edge — the g40c operator verbatim):
+    * `rounds` gain rounds per level, contract, repeat until no move or
+    * `max_levels`. Deterministic tie-breaks end to end.
+    */
+  private def louvainPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "louvain"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (table, x_col, y_col, rounds, max_levels), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val pairs = df.select(df(str(exprs(1), 2, fn)).as("x"),
+      df(str(exprs(2), 3, fn)).as("y"))
+    val rounds = long(exprs(3), 4, fn)
+    val maxLevels = long(exprs(4), 5, fn)
+    require(rounds >= 1 && rounds <= 100, s"$fn: rounds must be in [1, 100]")
+    require(maxLevels >= 1 && maxLevels <= 100,
+      s"$fn: max_levels must be in [1, 100]")
+    graft.ops.Graphs.louvainMultiLevel(SparkSession.active, pairs,
+        rounds.toInt, maxLevels.toInt)
+      .queryExecution.logical
+  }
+
+  /** bfs_depths(table, src_col, dst_col, seed, max_depth) — (id, dist)
+    * for every vertex within `max_depth` hops of `seed` (the g05
+    * operator verbatim; frontier broadcast below the adaptive
+    * threshold).
+    */
+  private def bfsDepthsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "bfs_depths"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (table, src_col, dst_col, seed, max_depth), got ${exprs.length}")
+    val seed = long(exprs(3), 4, fn)
+    val maxDepth = long(exprs(4), 5, fn)
+    require(maxDepth >= 0 && maxDepth <= 10000,
+      s"$fn: max_depth must be in [0, 10000]")
+    graft.ops.Graphs.bfsDepthsDF(SparkSession.active,
+        edgeFrame(exprs(0), exprs(1), exprs(2), fn), seed, maxDepth.toInt)
+      .queryExecution.logical
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("connected_components"),
+      new ExpressionInfo(getClass.getName, "connected_components"),
+      connectedComponentsPlan _),
+    (new FunctionIdentifier("pagerank"),
+      new ExpressionInfo(getClass.getName, "pagerank"),
+      pageRankPlan _),
+    (new FunctionIdentifier("coreness"),
+      new ExpressionInfo(getClass.getName, "coreness"),
+      corenessPlan _),
+    (new FunctionIdentifier("louvain"),
+      new ExpressionInfo(getClass.getName, "louvain"),
+      louvainPlan _),
+    (new FunctionIdentifier("bfs_depths"),
+      new ExpressionInfo(getClass.getName, "bfs_depths"),
+      bfsDepthsPlan _),
     (new FunctionIdentifier("detect_gaps"),
       new ExpressionInfo(getClass.getName, "detect_gaps"),
       detectGapsPlan _),

@@ -64,7 +64,8 @@ object SimIndex {
 
   /** Every table an index build may persist under `prefix`. */
   private val Suffixes = Seq("_meta", "_bands", "_sigs", "_centroids",
-    "_vectors", "_pq_codebooks", "_pq_codes", "_shingles", "_applied")
+    "_vectors", "_pq_codebooks", "_pq_codes", "_shingles", "_applied",
+    "_res_hist")
 
   /** Reattach every piece of the index a PREVIOUS process left in the
     * warehouse (no-op for pieces this index flavor never wrote, and for
@@ -208,9 +209,131 @@ object SimIndex {
         Similarity.norm(col("embedding")).as("nrm"), col("bucket"))
     Bucketing.writeBucketed(bucketVecs, s"${prefix}_vectors", "bucket",
       buckets, sortCols = Seq("bucket", "vec_id"))
+    // Reference residual-distance histogram (drift baseline): how far the
+    // BUILD corpus sits from its own centroids. Intake batches compare
+    // their histogram against this via PSI — the drift observable that
+    // triggers a codebook rebuild (appendIvfIndexWithRefresh).
+    val resHist = residualHistogram(vecs, centroids)
+    Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_res_hist")
+    resHist.write.mode("overwrite").saveAsTable(s"${prefix}_res_hist")
+    Bucketing.writeDescriptor(vecs.sparkSession, s"${prefix}_res_hist")
     writeSignature(prefix, vecs, params = Seq(
       "k" -> k.toLong, "nprobe" -> nprobe.toLong,
       "buckets" -> buckets.toLong))
+  }
+
+  /** Drift-monitoring buckets over the residual cosine DISTANCE
+    * `1 − cos(v, nearest centroid)` ∈ [0, 2]: 20 equal buckets on [0, 1]
+    * plus bucket 20 for the ≥ 1 tail (anti-aligned residuals). Fixed and
+    * bounded, so the histogram is a ≤ 21-row aggregate no matter the
+    * corpus size — the s35/s37 bounded-dimension discipline.
+    */
+  private val ResBuckets = 20
+
+  private def residualHistogram(vecs: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    graft.functions.VecFunctions.ensureRegistered(vecs.sparkSession)
+    val near = Similarity.ivfAssign(vecs, centroids, nprobe = 1)
+    val c = centroids.select(col("cid").as("bucket"),
+      transform(col("centroid"), _.cast("float")).as("cvec"))
+    vecs.join(near, "vec_id").join(broadcast(c), "bucket")
+      .select((lit(1.0) - Similarity.dot(col("embedding"), col("cvec")) /
+        (Similarity.norm(col("embedding")) * Similarity.norm(col("cvec"))))
+        .as("res"))
+      .select(least(floor(col("res") * ResBuckets).cast("long"),
+        lit(ResBuckets.toLong)).as("rbucket"))
+      .groupBy("rbucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI between the recorded reference residual histogram and a live
+    * batch's. Floor-epsilon on the PROPORTIONS (p,q = max(share, 1e-4)),
+    * not add-one on the counts: an intake batch is SMALL relative to the
+    * 21-bucket domain, and add-one smoothing would manufacture PSI out
+    * of the empty buckets whenever the two totals differ (a 20-row
+    * in-distribution batch vs a 120-row reference would "drift" by the
+    * smoothing alone). With the floor, buckets empty on BOTH sides
+    * contribute exactly 0, and genuine drift — live mass in buckets the
+    * reference never occupied — contributes ~ln(1/ε) per unit of mass,
+    * dominating as it should. Both inputs are ≤ 21 rows; the scalar
+    * comes back to the driver as the rebuild decision (bounded, like
+    * the probed-bucket fetch in ivfPqSearch).
+    */
+  private def residualPsi(ref: DataFrame, live: DataFrame): Double = {
+    val spark = ref.sparkSession
+    val domain = spark.range(0, ResBuckets + 1)
+      .select(col("id").as("rbucket"))
+    val eps = 1e-4
+    val counts = domain
+      .join(ref.withColumnRenamed("n", "c_ref"), Seq("rbucket"), "left")
+      .join(live.withColumnRenamed("n", "c_live"), Seq("rbucket"), "left")
+      .select(coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_live"), lit(0L)).as("c_live"))
+    val r = counts
+      .withColumn("n_ref", sum("c_ref").over())
+      .withColumn("n_live", sum("c_live").over())
+      .withColumn("p", greatest(col("c_ref").cast("double") / col("n_ref"),
+        lit(eps)))
+      .withColumn("q", greatest(col("c_live").cast("double") / col("n_live"),
+        lit(eps)))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+      .head()
+    r.getDouble(0)
+  }
+
+  /** Drift-triggered IVF maintenance (r15 — closes the "s19/s23 append,
+    * s37 detects, nothing composes them" gap): one micro-batch of vector
+    * intake that REBUILDS the coarse codebook when the batch's residual
+    * distances no longer resemble the build corpus's.
+    *
+    * Decision: PSI(reference residual histogram recorded at build, this
+    * batch's) > `psiThreshold` (0.25 = the classic "significant shift"
+    * PSI rule of thumb; both histograms are bounded 21-bucket aggregates,
+    * the comparison is one scalar). Below threshold → the standard
+    * [[appendIvfIndex]] insert (centroids stay, one bucketed append). At
+    * or above → the full corpus (persisted vectors ∪ batch) is
+    * MATERIALIZED first (localCheckpoint — the rebuild overwrites the
+    * very tables it reads), then [[writeIvfIndex]] retrains centroids,
+    * re-assigns everything, rewrites the bucketed vectors and the NEW
+    * reference histogram, and bumps the signature — the reader-facing
+    * tables swap wholesale, the s21 SCD2 overwrite discipline (a
+    * transactional table format makes the swap atomic at deployment).
+    * Returns true iff the rebuild fired.
+    *
+    * At 100 TB the rebuild is the expensive rare path by construction:
+    * the PSI gate fires on distribution change, not on volume, and the
+    * k-means retrain is the same bounded-iteration job the original
+    * build paid. SimIndexSpec pins: in-distribution batches append
+    * (gate false, centroids untouched), a deterministically drifted
+    * batch fires the gate, the refreshed index equals the one-shot
+    * rebuild on the post-drift corpus, and recall@10 on drifted queries
+    * RECOVERS vs the stale-append path.
+    */
+  def appendIvfIndexWithRefresh(newVecs: DataFrame, prefix: String,
+      psiThreshold: Double = 0.25): Boolean = {
+    val spark = newVecs.sparkSession
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_res_hist"),
+      s"index '$prefix' predates drift monitoring — rebuild once with " +
+        "writeIvfIndex to record the reference residual histogram")
+    val meta = spark.table(s"${prefix}_meta")
+    val schema = meta.columns
+    val m = meta.head()
+    def p(name: String): Int = m.getLong(schema.indexOf(name)).toInt
+    val live = residualHistogram(newVecs,
+      spark.table(s"${prefix}_centroids"))
+    val psi = residualPsi(spark.table(s"${prefix}_res_hist"), live)
+    if (psi < psiThreshold) {
+      appendIvfIndex(newVecs, prefix)
+      false
+    } else {
+      val full = spark.table(s"${prefix}_vectors")
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(newVecs.select(col("vec_id"), col("embedding")))
+        .transform(Checkpoints.cut) // materialize BEFORE the overwrite
+      writeIvfIndex(full, prefix, p("k"), p("nprobe"), p("buckets"))
+      true
+    }
   }
 
   /** S19 — one micro-batch of corpus intake into the LSH index, guarded

@@ -838,7 +838,12 @@ object Text {
         lit(s"[^$GopherWhitespace]+"), lit(0))).cast("long").as("n_toks"),
       size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0)))
         .cast("long").as("n_alpha"))
-    .withColumn("score", expr("1000000 * n_alpha div n_chars"))
+    // greatest(n_chars, 1): an n_chars=0 doc scores 0 (n_alpha is 0 on
+    // empty text) instead of silently dropping via NULL div — and the
+    // DuckDB oracle's `//` would RAISE on 0, so the guard keeps the two
+    // engines aligned on corpora with empty docs.
+    .withColumn("score",
+      expr("1000000 * n_alpha div greatest(n_chars, 1L)"))
     .transform(Checkpoints.cut) // read by both passes
 
   /** The selection's pass-1 aggregate: tokens per score bucket (the

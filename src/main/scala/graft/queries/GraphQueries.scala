@@ -134,6 +134,73 @@ object GraphQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- SQL door for the graph surface (r15): the same operators
+    // reached through the graph TVFs (TableFunctions) from a pure-SQL
+    // session, held to their Scala siblings' DuckDB oracles VERBATIM —
+    // the t01b/q10e discipline. Each registers the edge list as a temp
+    // view (what a SQL user would have as a table) and runs one SQL
+    // statement; the TVF builder splices the identical converged plan
+    // the Scala API returns.
+
+    // G06b — connected components via `connected_components(...)`.
+    "g06b_cc_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir)
+        .createOrReplaceTempView("graft_g06b_edges")
+      s.sql("""SELECT id AS p_partkey, component
+        |FROM connected_components('graft_g06b_edges', 'src', 'dst')
+        |ORDER BY p_partkey""".stripMargin)
+    }),
+
+    // G05c — bounded BFS via `bfs_depths(...)`. The seed is the min
+    // vertex id — computed here exactly as the Scala sibling does, then
+    // passed as the TVF's integer-literal seed argument.
+    "g05c_bfs_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val edges = Graphs.copartEdges(s, dir)
+      edges.createOrReplaceTempView("graft_g05c_edges")
+      val seed = edges.agg(min(col("src"))).head().getLong(0)
+      s.sql(s"""SELECT id AS p_partkey, dist
+        |FROM bfs_depths('graft_g05c_edges', 'src', 'dst', $seed, 4)
+        |ORDER BY p_partkey""".stripMargin)
+    }),
+
+    // G43b — coreness decomposition via `coreness(...)`, 8 H-index
+    // rounds like the Scala sibling.
+    "g43b_coreness_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir)
+        .createOrReplaceTempView("graft_g43b_edges")
+      s.sql("""SELECT id, coreness
+        |FROM coreness('graft_g43b_edges', 'src', 'dst', 8)
+        |ORDER BY id""".stripMargin)
+    }),
+
+    // G40f — multi-level Louvain via `louvain(...)` over the canonical
+    // undirected pairs, same (rounds=2, maxLevels=3) as g40c.
+    "g40f_louvain_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartPairs(s, dir)
+        .createOrReplaceTempView("graft_g40f_pairs")
+      s.sql("""SELECT id, community
+        |FROM louvain('graft_g40f_pairs', 'x', 'y', 2, 3)
+        |ORDER BY id""".stripMargin)
+    }),
+
+    // G08c — PageRank via `pagerank(...)`: g08's exact projection on
+    // top of the TVF. Tolerance-family like g08 (float iteration
+    // order): no DuckDB oracle; GraphOpsSpec gates the TVF output
+    // row-for-row equal to the Scala sibling (identical plan, so the
+    // floats are bit-identical, not merely close).
+    "g08c_pagerank_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.supplyEdges(s, dir).select("src", "dst")
+        .createOrReplaceTempView("graft_g08c_edges")
+      s.sql("""SELECT id, round(rank, 4) AS rank4
+        |FROM pagerank('graft_g08c_edges', 'src', 'dst', 10)
+        |ORDER BY rank4 DESC, id LIMIT 100""".stripMargin)
+    }),
+
     // G13 — label-propagation communities on the restricted co-part
     // graph, 3 synchronous rounds. Deterministic tie-break (count desc,
     // min label) makes the rounds SQL-expressible: hash-checked against
@@ -1104,7 +1171,7 @@ object GraphQueries {
     s"$quotient,\n$roundsSql"
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "g40_louvain" ->
       s"""WITH $copartCte,
         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
@@ -2039,4 +2106,16 @@ object GraphQueries {
         |WHERE o.rn > s.rn AND o.rn <= s.rn + 8
         |ORDER BY o.event_id""".stripMargin
   )
+
+  /** The SQL-door twins (g05c/g06b/g40f/g43b) reuse their Scala
+    * siblings' oracles VERBATIM — the TVF must reproduce the exact same
+    * result, so the same DuckDB replay is the gate. g08c is
+    * tolerance-family like g08 (no hash oracle; GraphOpsSpec gates it
+    * equal to the Scala sibling).
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "g05c_bfs_sql" -> oraclesBase("g05_bfs_depth"),
+    "g06b_cc_sql" -> oraclesBase("g06_connected_components"),
+    "g40f_louvain_sql" -> oraclesBase("g40c_louvain_converged"),
+    "g43b_coreness_sql" -> oraclesBase("g43_coreness"))
 }

@@ -1940,7 +1940,7 @@ object LlmQueries {
         |    CAST(len(regexp_extract_all(lower(text), '[^$ws]+'))
         |      AS BIGINT) AS n_toks,
         |    1000000 * CAST(len(regexp_extract_all(text, '[A-Za-z]'))
-        |      AS BIGINT) // n_chars AS score
+        |      AS BIGINT) // greatest(n_chars, 1) AS score
         |  FROM documents),
         |tot AS (SELECT CAST(sum(n_toks) // 5 AS BIGINT) AS budget FROM d),
         |c AS (SELECT *, sum(n_toks) OVER (ORDER BY score DESC, doc_id
@@ -1977,7 +1977,7 @@ object LlmQueries {
         |    CAST(len(regexp_extract_all(lower(text), '[^$ws]+'))
         |      AS BIGINT) AS n_toks,
         |    1000000 * CAST(len(regexp_extract_all(text, '[A-Za-z]'))
-        |      AS BIGINT) // n_chars AS score
+        |      AS BIGINT) // greatest(n_chars, 1) AS score
         |  FROM documents),
         |tot AS (SELECT CAST(sum(n_toks) // 5 AS BIGINT) AS budget FROM d),
         |c AS (SELECT *, sum(n_toks) OVER (ORDER BY score DESC, doc_id

@@ -567,6 +567,47 @@ object StreamQueries {
         .orderBy("p_partkey")
     }),
 
+    // S27b — incremental CC WITH RETRACTIONS (r15): the g39 binary
+    // part hierarchy (child c → parent c div 2 — ONE tree, so every
+    // edge is a bridge and every delete genuinely SPLITS, unlike the
+    // expander-robust co-part graph where no natural predicate
+    // disconnects anything) ingested in 3 insert batches through the
+    // decremental fold (Streams.ccApplyDelta — state gains the live
+    // edge set, the price of exact deletes), then a 4th batch DELETES
+    // every edge whose child is ≡ 0 (mod 20): each delete severs that
+    // child's subtree, fragmenting the tree into ~|parts|/20
+    // components. The fold re-colors only the touched components'
+    // surviving subgraphs; final labels == one-shot CC over the
+    // surviving edge list (the recursive-walk oracle over the kept
+    // tree edges). StreamingSpec additionally pins the bridge-delete
+    // split, isolated-vertex drop, a mixed insert+delete fold, and
+    // insert-only equivalence with ccApplyBatch on a hand fixture.
+    "s27b_cc_retraction" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("id"))
+      val pairs = p.filter(col("id") >= 2)
+        .select(expr("id div 2").as("x"), col("id").as("y"))
+        .join(p.select(col("id").as("x")), Seq("x"), "left_semi")
+      val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+        .transform(graft.ops.Checkpoints.cut)
+      def slice(i: Int) =
+        edges.filter(pmod(xxhash64(col("src"), col("dst")), lit(3)) === i)
+      val none = edges.limit(0)
+      var labels = edges.select(col("src").as("id"),
+        col("src").as("component")).limit(0)
+      var live = none
+      (0 to 2).foreach { i =>
+        val r = Streams.ccApplyDelta(s, labels, live, slice(i), none)
+        labels = r._1; live = r._2
+      }
+      val dels = edges.filter(
+        greatest(col("src"), col("dst")) % 20 === 0)
+      val r = Streams.ccApplyDelta(s, labels, live, none, dels)
+      r._1.select(col("id").as("p_partkey"), col("component"))
+        .orderBy("p_partkey")
+    }),
+
     // S26 — streaming funnel progression: q33's view→click→purchase
     // stage sets maintained exactly under out-of-order arrival (a late
     // earlier view retroactively re-qualifies clicks — the state keeps
@@ -869,6 +910,25 @@ object StreamQueries {
     // s27's maintained labels must equal the one-shot CC.
     "s27_incremental_cc" ->
       graft.queries.GraphQueries.oracles("g06_connected_components"),
+
+    // s27b: the one-shot CC over the SURVIVING tree edges — g06's
+    // recursive walk over the binary part hierarchy minus the severed
+    // children (child % 20 == 0).
+    "s27b_cc_retraction" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id FROM part),
+        |kept AS (SELECT id // 2 AS x, id AS y FROM p
+        |         WHERE id >= 2 AND id // 2 IN (SELECT id FROM p)
+        |           AND id % 20 <> 0),
+        |e AS (SELECT x AS src, y AS dst FROM kept
+        |      UNION ALL SELECT y, x FROM kept),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |walk(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.id)
+        |SELECT id AS p_partkey, min(lbl) AS component FROM walk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // s26's per-user truths aggregate to q33's stage counts.
     "s26_streaming_funnel" ->

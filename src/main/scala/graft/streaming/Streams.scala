@@ -18,6 +18,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   */
 object Streams {
 
+  private val log =
+    org.apache.logging.log4j.LogManager.getLogger(getClass)
+
   /** S01 — tumbling 1-hour counts per event type (watermark 10 min). */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
@@ -429,6 +432,122 @@ object Streams {
     out.transform(graft.ops.Checkpoints.cut)
   }
 
+  /** S27b — incremental connected components WITH RETRACTIONS: one
+    * micro-batch of edge inserts AND deletes folded into the maintained
+    * labels (user unmerge, GDPR erasure — the maintenance event the
+    * insert-only [[ccApplyBatch]] cannot express: deleting a bridge
+    * must SPLIT a component, which no monotone merge ever does).
+    *
+    * Exact decremental connectivity needs the surviving edges — a label
+    * table alone cannot tell a redundant edge from a bridge — so the
+    * maintained state grows to (labels, live edge set); the edge set is
+    * the graph the pipeline already ingests, kept checkpoint-cut and
+    * co-partitioned by src.
+    *
+    * The fold is a bounded re-color, never a global recompute:
+    * 1. live′ = live ∖ deletes (one left-anti join);
+    * 2. touched = the components of the deleted edges' endpoints (≤
+    *    2·|deletes| component ids);
+    * 3. star-contraction CC re-runs ONLY on live′ edges inside touched
+    *    components (one semi join carves the subgraph — an edge never
+    *    crosses components, so filtering by the src label is complete);
+    *    vertices left edge-less by the deletes drop out, exactly as a
+    *    from-scratch CC over live′ would drop them;
+    * 4. untouched labels pass through; inserts then fold via the
+    *    quotient-graph merge ([[ccApplyBatch]]), so a batch with both
+    *    kinds applies as delete-then-insert — equal to CC(live ∪ ins ∖
+    *    del) because CC is confluent from any correct labeling.
+    * The min-id label invariant survives every step (recompute emits
+    * min-ids within the split parts; the quotient merge takes min of
+    * mins). Cost scales with the touched components' edge counts +
+    * |batch|, not the graph: the decremental analog of the quotient
+    * fold. StreamingSpec pins the bridge-delete SPLIT == from-scratch
+    * CC; the s27b registry entry holds the 3-insert-batch + 1-delete-
+    * batch fold to g06's oracle over the surviving edge list.
+    */
+  def ccApplyDelta(s: org.apache.spark.sql.SparkSession, labels: DataFrame,
+      liveEdges: DataFrame, inserts: DataFrame, deletes: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val del = deletes.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+    val (liveDel, labels1) = if (del.isEmpty) (liveEdges, labels) else {
+      val liveD = liveEdges.join(del, Seq("src", "dst"), "left_anti")
+        .transform(graft.ops.Checkpoints.cut)
+      val delVerts = del.select(col("src").as("id"))
+        .unionAll(del.select(col("dst").as("id"))).distinct()
+      val touched = labels.join(delVerts, Seq("id"), "left_semi")
+        .select("component").distinct()
+        .transform(graft.ops.Checkpoints.cut) // read 3×: carve+anti+CC
+      val subVerts = labels.join(touched, Seq("component"), "left_semi")
+      val sub = liveD.join(subVerts.select(col("id").as("src")),
+        Seq("src"), "left_semi")
+      val recolored = graft.ops.Graphs.connectedComponentsDF(s, sub)
+        .select(col("id"), col("component"))
+      (liveD, labels.join(touched, Seq("component"), "left_anti")
+        .select(col("id"), col("component"))
+        .unionByName(recolored)
+        .transform(graft.ops.Checkpoints.cut))
+    }
+    val ins = inserts.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    val live = if (ins.isEmpty) liveDel
+      else liveDel.unionByName(ins).distinct()
+        .transform(graft.ops.Checkpoints.cut)
+    (ccApplyBatch(s, labels1, ins), live)
+  }
+
+  /** State-TTL probe rows (ROADMAP #12). */
+  case class TtlIn(user_id: Long, n: Long)
+  case class TtlOut(user_id: Long, ttl_total: Long, all_total: Long)
+
+  /** ROADMAP #12 — processing-time state TTL, EXERCISED: a per-key
+    * running counter kept twice in the same processor — once under
+    * `TTLConfig(ttl)` and once under `TTLConfig.NONE` as the control.
+    * After the TTL elapses with no traffic for a key, the TTL'd value is
+    * ABSENT at the next read (the count restarts) while the control
+    * value still carries — proving the expiry is the TTL's doing, not
+    * state loss. This is the abandoned-entity story at 100 TB: without
+    * TTL, per-key state grows with every entity ever seen (the #1
+    * operational failure of stateful streaming); with it, cold keys'
+    * state is reclaimed by the store itself, no janitor job.
+    * StreamingSpec gates both directions with generous bounds (a long
+    * TTL survives consecutive batches; a short TTL expires after a
+    * sleep strictly past it).
+    */
+  class TtlCounterProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, TtlIn, TtlOut] {
+    @transient private var ttlCnt: ValueState[Long] = _
+    @transient private var allCnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      ttlCnt = getHandle.getValueState[Long]("ttl_cnt",
+        Encoders.scalaLong, TTLConfig(ttl))
+      allCnt = getHandle.getValueState[Long]("all_cnt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TtlIn],
+        timerValues: TimerValues): Iterator[TtlOut] = {
+      val add = rows.map(_.n).sum
+      val t = (if (ttlCnt.exists()) ttlCnt.get() else 0L) + add
+      val a = (if (allCnt.exists()) allCnt.get() else 0L) + add
+      ttlCnt.update(t)
+      allCnt.update(a)
+      Iterator.single(TtlOut(key, t, a))
+    }
+  }
+
+  /** [[TtlCounterProcessor]] entry — processing-time mode (TTL clocks
+    * run on batch processing time, not event time).
+    */
+  def ttlCounterStream(in: Dataset[TtlIn], ttl: java.time.Duration)
+      : Dataset[TtlOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .transformWithState(new TtlCounterProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   /** S28 rows: per-user coalesced validity spans, maintained live. */
   case class HoldEv(user_id: Long, start_us: Long, end_us: Long)
   case class Span(start_us: Long, end_us: Long, n: Long)
@@ -753,6 +872,7 @@ object Streams {
       extends StatefulProcessor[Long, GapEvT, GapRow] {
     @transient private var lastSeen: ValueState[GapSeen] = _
     @transient private var buf: ListState[GapEv] = _
+    @transient private var nLate: ValueState[Long] = _
 
     private def tsUs(t: java.time.Instant): Long =
       t.getEpochSecond * 1000000L + t.getNano / 1000L
@@ -762,6 +882,8 @@ object Streams {
         Encoders.product[GapSeen], TTLConfig.NONE)
       buf = getHandle.getListState[GapEv]("buf",
         Encoders.product[GapEv], TTLConfig.NONE)
+      nLate = getHandle.getValueState[Long]("n_late",
+        Encoders.scalaLong, TTLConfig.NONE)
     }
 
     private def rearm(): Unit = {
@@ -786,10 +908,28 @@ object Streams {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       val (ripe, pending) = buf.get().toArray.partition(_.ts_us < wmUs)
       var last = if (lastSeen.exists()) Some(lastSeen.get()) else None
+      // Defensive below-boundary drop (ADVICE r14, mirroring the
+      // buffered pattern/attribution processors): gapStep updates
+      // last-seen unconditionally, so a row at-or-below the last fold
+      // boundary would silently REWIND the state. Spark's watermark
+      // eviction makes such a row unreachable; count + log, never fold.
+      var late = 0L
       val out = ripe.sortBy(e => (e.ts_us, e.event_id)).flatMap { e =>
-        val (st, gap) = gapStep(last, e, minGapUs)
-        last = Some(st)
-        gap
+        if (last.exists(l => e.ts_us < l.ts_us ||
+            (e.ts_us == l.ts_us && e.event_id <= l.event_id))) {
+          late += 1L
+          None
+        } else {
+          val (st, gap) = gapStep(last, e, minGapUs)
+          last = Some(st)
+          gap
+        }
+      }
+      if (late > 0) {
+        val total = (if (nLate.exists()) nLate.get() else 0L) + late
+        nLate.update(total)
+        log.warn(s"buffered gaps stream: dropped $late below-boundary " +
+          s"row(s) for entity $key ($total dropped so far)")
       }
       last.foreach(lastSeen.update)
       buf.clear(); pending.foreach(buf.appendValue)

@@ -1140,4 +1140,77 @@ class GraphOpsSpec extends SparkSpecBase {
         "shuffle branch planned no shuffle join at all")
     }
   }
+
+  // ---- graph TVF door (r15): the SQL surface must splice the SAME plan
+  // the Scala API returns, so output equality is exact — including g08c's
+  // floats (identical plan ⇒ bit-identical iteration), which is why the
+  // pagerank twin can be gated here without a hash oracle.
+
+  test("graph TVFs == Scala API on a crafted graph (components, coreness, " +
+      "pagerank, bfs, louvain)") {
+    import spark.implicits._
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    // Two components: a K4 (1–4) + a 5-chain (10–14); directed arcs both
+    // ways, as the copart convention feeds the ops.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val chain = (10L to 13L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = (k4 ++ chain).toDF("a", "b")
+    edges.createOrReplaceTempView("tvf_edges")
+    val pairs = edges.filter($"a" < $"b")
+      .select($"a".as("u"), $"b".as("v"))
+    pairs.createOrReplaceTempView("tvf_pairs")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+
+    assert(rows(spark.sql(
+        "SELECT * FROM connected_components('tvf_edges', 'a', 'b') ORDER BY id"))
+      == rows(Graphs.connectedComponentsDF(spark,
+          edges.select($"a".as("src"), $"b".as("dst"))).orderBy("id")))
+    assert(rows(spark.sql(
+        "SELECT * FROM coreness('tvf_edges', 'a', 'b', 6) ORDER BY id"))
+      == rows(Graphs.corenessHIndex(spark,
+          edges.select($"a".as("src"), $"b".as("dst")), 6).orderBy("id")))
+    assert(rows(spark.sql(
+        "SELECT * FROM pagerank('tvf_edges', 'a', 'b', 5) ORDER BY id"))
+      == rows(Graphs.pageRankDF(spark,
+          edges.select($"a".as("src"), $"b".as("dst")), 5).orderBy("id")))
+    assert(rows(spark.sql(
+        "SELECT * FROM bfs_depths('tvf_edges', 'a', 'b', 10, 3) ORDER BY id"))
+      == rows(Graphs.bfsDepthsDF(spark,
+          edges.select($"a".as("src"), $"b".as("dst")), 10L, 3).orderBy("id")))
+    assert(rows(spark.sql(
+        "SELECT * FROM louvain('tvf_pairs', 'u', 'v', 2, 2) ORDER BY id"))
+      == rows(Graphs.louvainMultiLevel(spark,
+          pairs.select($"u".as("x"), $"v".as("y")), 2, 2).orderBy("id")))
+  }
+
+  test("graph TVFs accept TABLE() subquery arguments and reject bad input") {
+    import spark.implicits._
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (7L, 8L), (8L, 7L))
+      .toDF("s", "d").createOrReplaceTempView("tvf_sub_edges")
+    // TABLE(subquery): components of the subgraph excluding vertex 7/8.
+    val got = spark.sql(
+      """SELECT * FROM connected_components(
+        |  TABLE(SELECT s, d FROM tvf_sub_edges WHERE s < 7 AND d < 7),
+        |  's', 'd') ORDER BY id""".stripMargin).collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1)))
+      == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // Wrong arity and non-literal args fail at analysis with the
+    // builder's message, not a downstream mismatch.
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM pagerank('tvf_sub_edges', 's', 'd')").collect())
+    assert(e1.getMessage.contains("4 arguments"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM coreness('tvf_sub_edges', 's', 'd', 0)").collect())
+    assert(e2.getMessage.contains("rounds must be in"))
+  }
+
+  test("g08c pagerank SQL twin == g08 Scala sibling row-for-row (fixture)") {
+    val a = SparkEntry.queries("g08c_pagerank_sql")(spark, sfDir)
+      .collect().toSeq
+    val b = SparkEntry.queries("g08_pagerank")(spark, sfDir)
+      .collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }

@@ -146,6 +146,104 @@ class SimIndexSpec extends SparkSpecBase {
     assert(viaIdx == exact)
   }
 
+  test("drift-triggered IVF refresh: in-distribution batch appends, " +
+      "drifted batch rebuilds, recall recovers vs the stale-append path") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val prefixes = Seq("ivfdrift", "ivfstale", "ivfone")
+    dropIdx(prefixes.flatMap(p => Seq(s"${p}_centroids", s"${p}_vectors",
+      s"${p}_meta", s"${p}_res_hist")): _*)
+
+    // Deterministic clustered corpus, dim 8: build-time clusters on axes
+    // 0/1/2; the DRIFT clusters live on axes 5/6 — orthogonal to every
+    // build centroid, so stale assignment scatters them across buckets.
+    val dim = 8
+    def cluster(axis: Int, n: Int, idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)(0f)
+        v(axis) = 1f
+        (0 until dim).foreach(d =>
+          v(d) += (((idBase + i) * 31 + d * 7) % 11 - 5) * 0.01f)
+        (idBase + i, v.toSeq)
+      }
+    val corpusA = cluster(0, 40, 0L) ++ cluster(1, 40, 100L) ++
+      cluster(2, 40, 200L)
+    val batchA2 = cluster(0, 10, 300L) ++ cluster(1, 10, 400L)
+    val batchB = cluster(5, 30, 500L) ++ cluster(6, 30, 600L)
+    val queries = cluster(5, 3, 700L) ++ cluster(6, 3, 800L)
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    val full = corpusA ++ batchA2 ++ batchB
+
+    def topkFromIndex(prefix: String, q: Seq[Float], k: Int): Set[Long] = {
+      val cents = spark.table(s"${prefix}_centroids")
+      val qdf = df(Seq((0L, q)))
+      val bucket = Similarity.ivfAssign(qdf, cents, nprobe = 1)
+        .head().getInt(1)
+      spark.table(s"${prefix}_vectors")
+        .filter(col("bucket") === bucket)
+        .withColumn("cos", Similarity.dot(col("embedding"), typedLit(q)) /
+          (col("nrm") * Similarity.norm(typedLit(q))))
+        .orderBy(desc("cos"), col("vec_id"))
+        .limit(k).collect().map(_.getLong(0)).toSet
+    }
+    def bruteTopk(q: Seq[Float], k: Int): Set[Long] =
+      df(full)
+        .withColumn("cos", Similarity.dot(col("embedding"), typedLit(q)) /
+          (Similarity.norm(col("embedding")) * Similarity.norm(typedLit(q))))
+        .orderBy(desc("cos"), col("vec_id"))
+        .limit(k).collect().map(_.getLong(0)).toSet
+    def recall(prefix: String): Double = {
+      val per = queries.map { case (_, q) =>
+        val bf = bruteTopk(q, 10)
+        (topkFromIndex(prefix, q, 10) & bf).size.toDouble / bf.size
+      }
+      per.sum / per.size
+    }
+
+    // maintained path: in-distribution batch APPENDS (gate false,
+    // centroids untouched), drifted batch FIRES the rebuild
+    SimIndex.writeIvfIndex(df(corpusA), "ivfdrift", k = 5, nprobe = 1,
+      buckets = 4)
+    val centsBefore = spark.table("ivfdrift_centroids").collect().toSet
+    assert(!SimIndex.appendIvfIndexWithRefresh(df(batchA2), "ivfdrift"))
+    assert(spark.table("ivfdrift_centroids").collect().toSet == centsBefore)
+    assert(SimIndex.appendIvfIndexWithRefresh(df(batchB), "ivfdrift"))
+    assert(spark.table("ivfdrift_centroids").collect().toSet != centsBefore)
+    assert(SimIndex.isFresh(spark, "ivfdrift", df(full)))
+
+    // stale counterfactual: same intake, append-only — no rebuild
+    SimIndex.writeIvfIndex(df(corpusA), "ivfstale", k = 5, nprobe = 1,
+      buckets = 4)
+    SimIndex.appendIvfIndex(df(batchA2), "ivfstale")
+    SimIndex.appendIvfIndex(df(batchB), "ivfstale")
+
+    // recall on drifted queries RECOVERS: the refreshed index answers
+    // like a from-scratch build; the stale one scatters the drift
+    // clusters across old buckets
+    val (rFresh, rStale) = (recall("ivfdrift"), recall("ivfstale"))
+    assert(rFresh >= 0.9, s"refreshed recall $rFresh < 0.9")
+    assert(rFresh > rStale,
+      s"refresh did not improve recall (fresh $rFresh <= stale $rStale)")
+
+    // maintained == one-shot on the post-drift corpus: the bucket
+    // PARTITION of vec_ids (as a set of sets — centroid ids may
+    // permute) matches a writeIvfIndex built from scratch on A∪A2∪B
+    SimIndex.writeIvfIndex(df(full), "ivfone", k = 5, nprobe = 1,
+      buckets = 4)
+    def partition(prefix: String): Set[Set[Long]] =
+      spark.table(s"${prefix}_vectors").select("vec_id", "bucket")
+        .collect().groupBy(_.getInt(1)).values
+        .map(_.map(_.getLong(0)).toSet).toSet
+    assert(partition("ivfdrift") == partition("ivfone"))
+
+    // the reference histogram moved with the rebuild: a SECOND batch
+    // from the post-drift distribution now appends without firing
+    assert(!SimIndex.appendIvfIndexWithRefresh(
+      df(cluster(5, 5, 900L)), "ivfdrift"))
+  }
+
   test("IVF index: within-bucket join is Exchange-free and matches fresh assignment") {
     graft.functions.VecFunctions.ensureRegistered(spark)
     dropIdx("ivfidx_centroids", "ivfidx_vectors")

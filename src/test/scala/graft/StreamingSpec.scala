@@ -355,6 +355,63 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("state TTL (ROADMAP #12): long TTL survives consecutive batches; " +
+      "expired state is absent while the no-TTL control carries") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime time mode advances on EVERY trigger, so with
+    // no-data micro-batches on (the default) the engine fires empty
+    // batches back to back — each committing a RocksDB snapshot per
+    // partition — and processAllAvailable never observes quiet. TTL
+    // expiry is asserted on READ here, which lazy eviction serves.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
+    implicit val sq = spark.sqlContext
+
+    def lastRow(sink: String, key: Long): (Long, Long) = {
+      val rows = spark.table(sink).filter(col("user_id") === key).collect()
+      val r = rows.last
+      (r.getAs[Long]("ttl_total"), r.getAs[Long]("all_total"))
+    }
+
+    // Direction 1 — a generous TTL (10 min) does NOT expire between two
+    // back-to-back batches: the TTL'd counter accumulates like the
+    // control.
+    val s1 = MemoryStream[Streams.TtlIn]
+    val q1 = Streams.ttlCounterStream(s1.toDS(),
+        java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("ttl_long")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      s1.addData(Streams.TtlIn(1L, 5L)); q1.processAllAvailable()
+      s1.addData(Streams.TtlIn(1L, 2L)); q1.processAllAvailable()
+      assert(lastRow("ttl_long", 1L) == ((7L, 7L)))
+    } finally q1.stop()
+
+    // Direction 2 — a 1 s TTL with a 4 s silent gap: the TTL'd counter
+    // is ABSENT at the next read (restarts at the new batch's rows)
+    // while the NONE-TTL control still carries the full total — the
+    // expiry is the TTL's doing, not state loss. Bounds are generous:
+    // the sleep is 4× the TTL, and nothing asserts timing BELOW the
+    // TTL on this query (no flakiness window on a loaded box).
+    val s2 = MemoryStream[Streams.TtlIn]
+    val q2 = Streams.ttlCounterStream(s2.toDS(),
+        java.time.Duration.ofSeconds(1))
+      .writeStream.format("memory").queryName("ttl_short")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      s2.addData(Streams.TtlIn(9L, 5L)); q2.processAllAvailable()
+      Thread.sleep(4000L)
+      s2.addData(Streams.TtlIn(9L, 2L)); q2.processAllAvailable()
+      assert(lastRow("ttl_short", 9L) == ((2L, 7L)))
+    } finally {
+      q2.stop()
+      spark.conf.set(ndKey, ndPrev)
+    }
+  }
+
   test("streaming G_session construction == batch sessionEdges") {
     import spark.implicits._
     // batch reference over the real fixture table
@@ -983,6 +1040,65 @@ class StreamingSpec extends SparkSpecBase {
     labels = Streams.ccApplyBatch(spark, labels,
       allEdges.takeRight(20).toDF("src", "dst"))
     assert(snap() == oneShot)
+  }
+
+  test("S27b CC retractions: a bridge-edge delete SPLITS the component; " +
+      "maintained labels == from-scratch CC; insert-only == ccApplyBatch") {
+    import spark.implicits._
+    def cc(edges: Seq[(Long, Long)]) =
+      graft.ops.Graphs.connectedComponentsDF(spark, edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sym(pairs: (Long, Long)*): Seq[(Long, Long)] =
+      pairs.flatMap(p => Seq(p, p.swap))
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+
+    // Two triangles joined by a bridge: {1,2,3} -4bridge5- {5,6,7},
+    // plus a separate edge {20,21} the deletes never touch.
+    val tri1 = sym((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = sym((5L, 6L), (6L, 7L), (5L, 7L))
+    val bridge = sym((3L, 5L))
+    val far = sym((20L, 21L))
+    val all = tri1 ++ tri2 ++ bridge ++ far
+
+    var labels = Seq.empty[(Long, Long)].toDF("id", "component")
+    var live = none
+    // ingest in two insert batches
+    Seq(tri1 ++ bridge, tri2 ++ far).foreach { b =>
+      val r = Streams.ccApplyDelta(spark, labels, live, b.toDF("src", "dst"),
+        none)
+      labels = r._1; live = r._2
+    }
+    def snap() = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap() == cc(all)) // insert-only path == one-shot
+    // and == the insert-only fold ccApplyBatch produces
+    var labelsIns = Seq.empty[(Long, Long)].toDF("id", "component")
+    Seq(tri1 ++ bridge, tri2 ++ far).foreach { b =>
+      labelsIns = Streams.ccApplyBatch(spark, labelsIns, b.toDF("src", "dst"))
+    }
+    assert(snap() == labelsIns.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+    // DELETE the bridge: the component must SPLIT into the two
+    // triangles; {20,21} untouched; equality with from-scratch CC.
+    val r1 = Streams.ccApplyDelta(spark, labels, live, none,
+      bridge.toDF("src", "dst"))
+    labels = r1._1; live = r1._2
+    val want = cc(tri1 ++ tri2 ++ far)
+    assert(snap() == want)
+    assert(snap().values.toSet.size == 3) // three components now
+    // DELETE tri2's (5,6) and (6,7): 6 keeps only... nothing — vertex 6
+    // loses all edges and must DROP from the labels, exactly as a
+    // from-scratch CC over the survivors drops it; 5–7 stays an edge.
+    val r2 = Streams.ccApplyDelta(spark, labels, live, none,
+      sym((5L, 6L), (6L, 7L)).toDF("src", "dst"))
+    labels = r2._1; live = r2._2
+    assert(snap() == cc(tri1 ++ sym((5L, 7L)) ++ far))
+    assert(!snap().contains(6L))
+    // mixed batch: re-insert the bridge AND delete (20,21) in ONE fold
+    val r3 = Streams.ccApplyDelta(spark, labels, live,
+      bridge.toDF("src", "dst"), far.toDF("src", "dst"))
+    labels = r3._1; live = r3._2
+    assert(snap() == cc(tri1 ++ sym((5L, 7L)) ++ bridge))
   }
 
   test("S26 streaming funnel: stream == batch, late earlier view re-qualifies") {

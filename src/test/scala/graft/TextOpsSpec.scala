@@ -425,6 +425,26 @@ class TextOpsSpec extends SparkSpecBase {
     // first 11 shingles... (it is fully covered by the twin anyway)
   }
 
+  test("scored: an empty (n_chars = 0) doc scores 0 and stays selectable, " +
+      "never NULL-dropped") {
+    import spark.implicits._
+    val d = Seq((1L, "web", "hello world five tokens here"),
+        (2L, "web", ""),
+        (3L, "web", "1234 5678")) // digits: n_alpha = 0, score 0
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val sc = Text.scored(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    // ADVICE r14: 1000000*n_alpha div n_chars on n_chars=0 yields NULL
+    // (doc silently excluded); the greatest(n_chars,1) guard pins 0.
+    assert(sc(2L) == 0L && sc(3L) == 0L && sc(1L) > 0L)
+    // and the empty doc participates in the budget selection (a huge
+    // denominator selects only down to... here denom 1 selects all 3).
+    val sel = Text.budgetSelect(d, budgetDenom = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 2L, 3L))
+  }
+
   test("bpeTrain: known merge sequence, greedy overlap, early exhaustion") {
     def merges(text: String, n: Int) =
       Text.bpeTrain(mkDocs((0L, text)), vocabWords = 10, merges = n)
