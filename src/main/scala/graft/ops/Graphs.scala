@@ -2017,6 +2017,59 @@ object Graphs {
   private def spark_range(s: SparkSession, n: Int): DataFrame =
     s.range(n).select(col("id").as("w"))
 
+  /** G45 — δ-RESTLESS earliest arrival over a temporal edge multigraph
+    * (src, dst, dep_us, arr_us): a walk may continue from a node only
+    * through an edge departing within [arrival, arrival + δ] — the
+    * bounded-layover semantics (Casteigts et al.'s restless temporal
+    * paths) that G10's unrestricted earliest-arrival cannot express.
+    * `seeds` are (id, arr_us) entry labels (the caller decides source
+    * semantics; the registry enters through the earliest edges with
+    * unconstrained source wait).
+    *
+    * Restlessness breaks the single-label-per-node optimality of G10:
+    * an EARLIER arrival can strand (no departure within δ) where a
+    * later one catches a connection, so the state is the SET of
+    * distinct (node, arrival-event) labels — bounded by the edge count,
+    * not by walk combinatorics, because expansion depends only on the
+    * label: each round expands the new labels through ONE equi join on
+    * src (the δ window is a local filter on the joined row), dedups,
+    * and anti-joins against everything seen — the cross-depth dedup is
+    * result-preserving by the standard BFS argument (a label's children
+    * are discovered at its FIRST depth, which is minimal). maxHops
+    * bounds walk length; rounds end early when a frontier empties.
+    * Exact integer micros end to end, so the min-arrival read
+    * hash-matches the depth-bounded recursive-CTE walk replay.
+    */
+  def restlessEarliestArrival(s: SparkSession, edges: DataFrame,
+      seeds: DataFrame, deltaUs: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("dep_us").cast("long"), col("arr_us").cast("long"))
+      .transform(Checkpoints.cut)
+    var labels = seeds.select(col("id").cast("long"),
+        col("arr_us").cast("long")).distinct()
+      .transform(Checkpoints.cut)
+    var frontier = labels
+    var hop = 1
+    var more = frontier.limit(1).count() > 0
+    while (hop < maxHops && more) {
+      hop += 1
+      val expanded = frontier
+        .select(col("id").as("f_id"), col("arr_us").as("f_arr"))
+        .join(e, col("f_id") === col("src"))
+        .filter(col("dep_us") >= col("f_arr") &&
+          col("dep_us") <= col("f_arr") + deltaUs)
+        .select(col("dst").as("id"), col("arr_us"))
+        .distinct()
+      frontier = expanded.join(labels, Seq("id", "arr_us"), "left_anti")
+        .transform(Checkpoints.cut)
+      more = frontier.limit(1).count() > 0
+      if (more)
+        labels = labels.unionAll(frontier).transform(Checkpoints.cut)
+    }
+    labels.groupBy("id").agg(min(col("arr_us")).as("arrival_us"))
+  }
+
   /** Temporal earliest-arrival (SURVEY G10, the reference's signature
     * traversal): from `seed`, an edge (u,v) is usable only if arrival(u) <=
     * its availability time; arrival(v) = the hop's arrival time. Bounded to

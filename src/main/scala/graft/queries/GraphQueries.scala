@@ -873,6 +873,36 @@ object GraphQueries {
         .orderBy("id")
     }),
 
+    // G45 — δ-RESTLESS earliest arrival (r15): the fourth member of the
+    // temporal-path family (G10/g10b/g10c cover earliest/latest/fastest
+    // on the session-chain graph; this one runs on the T_copart
+    // MULTIGRAPH — FIXTURES.md — where a node holds many arrival events
+    // and restlessness genuinely binds: reach is 13/18/24 nodes at
+    // δ = 7/14/30 days on the sf0.01 fixture). Entry = the 10 earliest
+    // edges by the (dep, src, dst, arr) total order, unconstrained
+    // source wait; δ = 30 days, walks ≤ 4 edges. Output: each reached
+    // part's earliest restless arrival, exact integer micros —
+    // hash-matched against the depth-bounded recursive-CTE walk replay.
+    "g45_restless_arrival" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"),
+        graft.Det.epochUs(col("l_shipdate")).as("dep_us"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"),
+        graft.Det.epochUs(col("l_shipdate")).as("arr_us"))
+      val edges = a.join(b, "l_orderkey")
+        .filter(col("src") =!= col("dst") && col("arr_us") > col("dep_us"))
+        .select("src", "dst", "dep_us", "arr_us").distinct()
+        .transform(graft.ops.Checkpoints.cut) // read by seeds + rounds
+      val seeds = edges
+        .orderBy(col("dep_us"), col("src"), col("dst"), col("arr_us"))
+        .limit(10)
+        .select(col("dst").as("id"), col("arr_us"))
+      Graphs.restlessEarliestArrival(s, edges, seeds,
+          deltaUs = 30L * 86400L * 1000000L, maxHops = 4)
+        .select(col("id").as("p_partkey"), col("arrival_us"))
+        .orderBy("p_partkey")
+    }),
+
     // G42 — TEMPORAL CO-OCCURRENCE MOTIF counting (NEW r14): supplier
     // pairs repeatedly shipping the SAME part within 7 days — the
     // time-respecting wedge (s1 → p ← s2, |t1−t2| ≤ δ) a temporal graph
@@ -1172,6 +1202,28 @@ object GraphQueries {
   }
 
   private val oraclesBase: Map[String, String] = Map(
+    // G45 replay: depth-bounded restless walk enumeration over the
+    // T_copart multigraph (FIXTURES.md); UNION dedups (id, arr, depth)
+    // labels, the engine dedups (id, arr) across depths — equal final
+    // min-arrival sets by the BFS first-discovery argument.
+    "g45_restless_arrival" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+        |      epoch_us(CAST(a.l_shipdate AS TIMESTAMP)) AS dep,
+        |      epoch_us(CAST(b.l_shipdate AS TIMESTAMP)) AS arr
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE b.l_shipdate > a.l_shipdate),
+        |seeds AS (SELECT dst, arr FROM e
+        |          ORDER BY dep, src, dst, arr LIMIT 10),
+        |walk(id, arr, dd) AS (
+        |  SELECT dst, arr, 1 FROM seeds
+        |  UNION
+        |  SELECT e.dst, e.arr, walk.dd + 1 FROM walk JOIN e ON e.src = walk.id
+        |  WHERE walk.dd < 4 AND e.dep >= walk.arr
+        |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L})
+        |SELECT id AS p_partkey, min(arr) AS arrival_us FROM walk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g40_louvain" ->
       s"""WITH $copartCte,
         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),

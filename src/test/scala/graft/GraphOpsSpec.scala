@@ -1141,6 +1141,33 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("restlessEarliestArrival: a LATER arrival catches what the earlier " +
+      "strands; delta boundary inclusive; hop bound honored") {
+    import spark.implicits._
+    // (src, dst, dep, arr); delta = 100
+    val edges = Seq(
+      (1L, 2L, 150L, 200L),  // usable from (1,100): wait 50
+      (1L, 2L, 400L, 450L),  // NOT usable: wait 300 > delta
+      (2L, 3L, 210L, 300L),  // usable from (2,200)
+      (2L, 6L, 300L, 310L),  // wait EXACTLY delta (100): inclusive
+      (1L, 4L, 110L, 120L),  // early arrival at 4...
+      (4L, 5L, 500L, 510L),  // ...strands (wait 380), BUT
+      (3L, 4L, 310L, 420L)   // the later (4,420) label catches it (80)
+    ).toDF("src", "dst", "dep_us", "arr_us")
+    val seeds = Seq((1L, 100L)).toDF("id", "arr_us")
+    def run(hops: Int) = Graphs.restlessEarliestArrival(spark, edges,
+        seeds, deltaUs = 100L, maxHops = hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 needs the 4-edge walk 1→2→3→4→5 — a single-label
+    // min-arrival fold (the G10 shape) would keep only (4,120) and
+    // never reach it; the label-SET semantics must.
+    assert(run(5) == Map(1L -> 100L, 2L -> 200L, 3L -> 300L,
+      4L -> 120L, 5L -> 510L, 6L -> 310L))
+    // maxHops 4 (≤ 3 expansions from the seed label) excludes node 5
+    assert(run(4) == Map(1L -> 100L, 2L -> 200L, 3L -> 300L,
+      4L -> 120L, 6L -> 310L))
+  }
+
   // ---- graph TVF door (r15): the SQL surface must splice the SAME plan
   // the Scala API returns, so output equality is exact — including g08c's
   // floats (identical plan ⇒ bit-identical iteration), which is why the
