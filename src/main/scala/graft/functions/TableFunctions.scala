@@ -443,8 +443,49 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** restless_arrival(edges, seeds, delta_us, max_hops) — G45's
+    * δ-restless earliest arrival from pure SQL. Canonical column
+    * convention (two table arguments with six columns between them make
+    * per-column name arguments unwieldy): `edges` must expose
+    * (src, dst, dep_us, arr_us) and `seeds` (id, arr_us); alias inside
+    * a TABLE(SELECT ...) argument to adapt. Returns (id, arrival_us).
+    */
+  private def restlessArrivalPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "restless_arrival"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (edges, seeds, delta_us, max_hops), got ${exprs.length}")
+    // Materialize BOTH table arguments to LogicalRDD leaves before the
+    // label loop: a caller whose seeds view derives from the edges view
+    // (the natural usage) feeds the operator two plans sharing
+    // attribute ids and deep constraint lineage, and the spliced plan's
+    // label union then trips the optimizer's constraint rewrite
+    // (AttributeMap key-not-found in Union.rewriteConstraints). The cut
+    // is what the Scala-API path does anyway (the operator cuts its
+    // edge list), so the TVF pays nothing extra.
+    val edges = graft.ops.Checkpoints.cut(tableArg(exprs(0), 1, fn))
+    val seeds = graft.ops.Checkpoints.cut(tableArg(exprs(1), 2, fn))
+    Seq("src", "dst", "dep_us", "arr_us").foreach(c =>
+      require(edges.columns.contains(c),
+        s"$fn: edges table must expose column '$c' (src, dst, dep_us, " +
+          "arr_us) — alias inside a TABLE(SELECT ...) argument to adapt"))
+    Seq("id", "arr_us").foreach(c =>
+      require(seeds.columns.contains(c),
+        s"$fn: seeds table must expose column '$c' (id, arr_us)"))
+    val delta = long(exprs(2), 3, fn)
+    val maxHops = long(exprs(3), 4, fn)
+    require(delta >= 0, s"$fn: delta_us must be >= 0")
+    require(maxHops >= 1 && maxHops <= 10000,
+      s"$fn: max_hops must be in [1, 10000]")
+    graft.ops.Graphs.restlessEarliestArrival(SparkSession.active,
+        edges, seeds, delta, maxHops.toInt)
+      .queryExecution.logical
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("restless_arrival"),
+      new ExpressionInfo(getClass.getName, "restless_arrival"),
+      restlessArrivalPlan _),
     (new FunctionIdentifier("connected_components"),
       new ExpressionInfo(getClass.getName, "connected_components"),
       connectedComponentsPlan _),

@@ -2070,6 +2070,49 @@ object Graphs {
     labels.groupBy("id").agg(min(col("arr_us")).as("arrival_us"))
   }
 
+  /** G46 — restless WALK COUNTING: how many distinct δ-restless temporal
+    * walks of ≤ maxHops edges from the seed labels END at each node —
+    * the temporal analog of G20's σ path-count primitive (exposure/flow
+    * accounting: "through how many bounded-layover relay chains could
+    * this part have been reached"). Walks of different depths are
+    * different walks, so unlike [[restlessEarliestArrival]] there is NO
+    * cross-depth dedup: each round expands the PREVIOUS round's
+    * (id, arr, n) count labels through one equi join + δ filter and
+    * re-aggregates counts per (dst, arr) — the standard path-count DP,
+    * label volume bounded by distinct (node, arrival-event) pairs per
+    * depth. Exact integer counts; hash-matches the UNION ALL
+    * recursive-CTE walk enumeration.
+    */
+  def restlessWalkCounts(s: SparkSession, edges: DataFrame,
+      seeds: DataFrame, deltaUs: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("dep_us").cast("long"), col("arr_us").cast("long"))
+      .transform(Checkpoints.cut)
+    var level = seeds.select(col("id").cast("long"),
+        col("arr_us").cast("long"))
+      .groupBy("id", "arr_us").agg(count(lit(1)).as("n"))
+      .transform(Checkpoints.cut)
+    var acc = level.groupBy("id").agg(sum("n").as("n_walks"))
+    var hop = 1
+    var more = level.limit(1).count() > 0
+    while (hop < maxHops && more) {
+      hop += 1
+      level = level
+        .select(col("id").as("f_id"), col("arr_us").as("f_arr"), col("n"))
+        .join(e, col("f_id") === col("src"))
+        .filter(col("dep_us") >= col("f_arr") &&
+          col("dep_us") <= col("f_arr") + deltaUs)
+        .groupBy(col("dst").as("id"), col("arr_us"))
+        .agg(sum("n").as("n"))
+        .transform(Checkpoints.cut)
+      more = level.limit(1).count() > 0
+      if (more)
+        acc = acc.unionByName(level.groupBy("id").agg(sum("n").as("n_walks")))
+    }
+    acc.groupBy("id").agg(sum("n_walks").as("n_walks"))
+  }
+
   /** Temporal earliest-arrival (SURVEY G10, the reference's signature
     * traversal): from `seed`, an edge (u,v) is usable only if arrival(u) <=
     * its availability time; arrival(v) = the hop's arrival time. Bounded to

@@ -34,6 +34,33 @@ object GraphQueries {
       .transform(graft.ops.Checkpoints.cut)
   }
 
+  /** G45/G46 substrate: the T_copart temporal multigraph (FIXTURES.md) —
+    * every ordered same-order part pair with a strictly later shipdate,
+    * as (src, dst, dep_us, arr_us) in exact epoch micros, DISTINCT.
+    */
+  private def tcopartEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(s, dir, "lineitem")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"),
+      graft.Det.epochUs(col("l_shipdate")).as("dep_us"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"),
+      graft.Det.epochUs(col("l_shipdate")).as("arr_us"))
+    a.join(b, "l_orderkey")
+      .filter(col("src") =!= col("dst") && col("arr_us") > col("dep_us"))
+      .select("src", "dst", "dep_us", "arr_us").distinct()
+      .transform(graft.ops.Checkpoints.cut) // read by seeds + rounds
+  }
+
+  /** The declared G45/G46 entry labels: the 10 earliest edges by the
+    * (dep, src, dst, arr) total order, entering as (dst, arr) — source
+    * wait unconstrained, δ applies at every subsequent node.
+    */
+  private def tcopartSeeds(edges: DataFrame): DataFrame = edges
+    .orderBy(col("dep_us"), col("src"), col("dst"), col("arr_us"))
+    .limit(10)
+    .select(col("dst").as("id"), col("arr_us"))
+
+  private val RestlessDeltaUs = 30L * 86400L * 1000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G01 — graph construction: vertex/edge counts by kind.
     "g01_graph_build" -> ((s, dir) => {
@@ -884,22 +911,40 @@ object GraphQueries {
     // part's earliest restless arrival, exact integer micros —
     // hash-matched against the depth-bounded recursive-CTE walk replay.
     "g45_restless_arrival" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"),
-        graft.Det.epochUs(col("l_shipdate")).as("dep_us"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"),
-        graft.Det.epochUs(col("l_shipdate")).as("arr_us"))
-      val edges = a.join(b, "l_orderkey")
-        .filter(col("src") =!= col("dst") && col("arr_us") > col("dep_us"))
-        .select("src", "dst", "dep_us", "arr_us").distinct()
-        .transform(graft.ops.Checkpoints.cut) // read by seeds + rounds
-      val seeds = edges
-        .orderBy(col("dep_us"), col("src"), col("dst"), col("arr_us"))
-        .limit(10)
-        .select(col("dst").as("id"), col("arr_us"))
-      Graphs.restlessEarliestArrival(s, edges, seeds,
-          deltaUs = 30L * 86400L * 1000000L, maxHops = 4)
+      val edges = tcopartEdges(s, dir)
+      Graphs.restlessEarliestArrival(s, edges, tcopartSeeds(edges),
+          deltaUs = RestlessDeltaUs, maxHops = 4)
         .select(col("id").as("p_partkey"), col("arrival_us"))
+        .orderBy("p_partkey")
+    }),
+
+    // G45b — the same read from pure SQL through the restless_arrival
+    // TVF (edges + seeds as TABLE() views with the canonical column
+    // convention), held to g45's oracle verbatim.
+    "g45b_restless_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val edges = tcopartEdges(s, dir)
+      edges.createOrReplaceTempView("graft_g45b_edges")
+      tcopartSeeds(edges).createOrReplaceTempView("graft_g45b_seeds")
+      s.sql(s"""SELECT id AS p_partkey, arrival_us
+        |FROM restless_arrival('graft_g45b_edges', 'graft_g45b_seeds',
+        |                      $RestlessDeltaUs, 4)
+        |ORDER BY p_partkey""".stripMargin)
+    }),
+
+    // G46 — restless WALK COUNTING (r15): the temporal σ primitive —
+    // how many distinct ≤4-edge bounded-layover relay chains from the
+    // seed edges END at each part (exposure/flow accounting). Exact
+    // integer counts; the cross-depth dedup that is result-preserving
+    // for g45's min-arrival would be WRONG here (walks of different
+    // depths are different walks), so the DP keeps per-depth
+    // (node, arrival, count) labels. Hash-matched against the
+    // UNION ALL walk-enumeration replay.
+    "g46_restless_walk_counts" -> ((s, dir) => {
+      val edges = tcopartEdges(s, dir)
+      Graphs.restlessWalkCounts(s, edges, tcopartSeeds(edges),
+          deltaUs = RestlessDeltaUs, maxHops = 4)
+        .select(col("id").as("p_partkey"), col("n_walks"))
         .orderBy("p_partkey")
     }),
 
@@ -1223,6 +1268,28 @@ object GraphQueries {
         |  WHERE walk.dd < 4 AND e.dep >= walk.arr
         |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L})
         |SELECT id AS p_partkey, min(arr) AS arrival_us FROM walk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // G46 replay: the same restless walk space ENUMERATED (UNION ALL —
+    // every walk is one row; the engine's per-depth count DP must agree
+    // exactly).
+    "g46_restless_walk_counts" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+        |      epoch_us(CAST(a.l_shipdate AS TIMESTAMP)) AS dep,
+        |      epoch_us(CAST(b.l_shipdate AS TIMESTAMP)) AS arr
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE b.l_shipdate > a.l_shipdate),
+        |seeds AS (SELECT dst, arr FROM e
+        |          ORDER BY dep, src, dst, arr LIMIT 10),
+        |walk(id, arr, dd) AS (
+        |  SELECT dst, arr, 1 FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, e.arr, walk.dd + 1 FROM walk JOIN e ON e.src = walk.id
+        |  WHERE walk.dd < 4 AND e.dep >= walk.arr
+        |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L})
+        |SELECT id AS p_partkey, count(*) AS n_walks FROM walk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g40_louvain" ->
       s"""WITH $copartCte,
@@ -2166,6 +2233,7 @@ object GraphQueries {
     * equal to the Scala sibling).
     */
   val oracles: Map[String, String] = oraclesBase ++ Map(
+    "g45b_restless_sql" -> oraclesBase("g45_restless_arrival"),
     "g05c_bfs_sql" -> oraclesBase("g05_bfs_depth"),
     "g06b_cc_sql" -> oraclesBase("g06_connected_components"),
     "g40f_louvain_sql" -> oraclesBase("g40c_louvain_converged"),

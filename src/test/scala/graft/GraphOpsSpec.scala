@@ -1168,6 +1168,33 @@ class GraphOpsSpec extends SparkSpecBase {
       4L -> 120L, 6L -> 310L))
   }
 
+  test("restlessWalkCounts: parallel edges multiply counts, depths " +
+      "accumulate, hop bound honored") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, 150L, 200L),  // two parallel 1→2 edges land on the SAME
+      (1L, 2L, 160L, 200L),  // (2,200) label: counts must sum, not dedup
+      (1L, 2L, 400L, 450L),  // unusable from (1,100)
+      (2L, 3L, 210L, 300L),
+      (2L, 6L, 300L, 310L),
+      (1L, 4L, 110L, 120L),
+      (4L, 5L, 500L, 510L),  // only reachable via the later (4,420)
+      (3L, 4L, 310L, 420L)
+    ).toDF("src", "dst", "dep_us", "arr_us")
+    val seeds = Seq((1L, 100L)).toDF("id", "arr_us")
+    def run(hops: Int) = Graphs.restlessWalkCounts(spark, edges, seeds,
+        deltaUs = 100L, maxHops = hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every walk from (1,100): 1 zero-edge walk at 1; ×2 to (2,200);
+    // each continues to 3 and 6; 3 continues to (4,420) (+1 direct
+    // 1→4), whose continuation reaches 5 — counts double through the
+    // parallel-edge funnel.
+    assert(run(5) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L))
+    assert(run(4) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L,
+      6L -> 2L))
+  }
+
   // ---- graph TVF door (r15): the SQL surface must splice the SAME plan
   // the Scala API returns, so output equality is exact — including g08c's
   // floats (identical plan ⇒ bit-identical iteration), which is why the
