@@ -443,6 +443,39 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** label_propagation(table, src_col, dst_col, rounds) — (id, label)
+    * after `rounds` synchronous LPA rounds with the deterministic
+    * tie-break (count desc, min label — the g13 operator verbatim).
+    */
+  private def labelPropagationPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "label_propagation"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, src_col, dst_col, rounds), got ${exprs.length}")
+    val rounds = long(exprs(3), 4, fn)
+    require(rounds >= 1 && rounds <= 1000, s"$fn: rounds must be in [1, 1000]")
+    graft.ops.Graphs.labelPropagationDF(SparkSession.active,
+        edgeFrame(exprs(0), exprs(1), exprs(2), fn), rounds.toInt)
+      .queryExecution.logical
+  }
+
+  /** scc(table, src_col, dst_col, rounds, iters) — (id, scc) strongly
+    * connected components by proven-convergence coloring (the g23
+    * operator verbatim; THROWS rather than settle a split coloring).
+    */
+  private def sccPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "scc"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (table, src_col, dst_col, rounds, iters), got ${exprs.length}")
+    val rounds = long(exprs(3), 4, fn)
+    val iters = long(exprs(4), 5, fn)
+    require(rounds >= 1 && rounds <= 1000, s"$fn: rounds must be in [1, 1000]")
+    require(iters >= 1 && iters <= 10000, s"$fn: iters must be in [1, 10000]")
+    graft.ops.Graphs.stronglyConnectedComponents(SparkSession.active,
+        edgeFrame(exprs(0), exprs(1), exprs(2), fn), rounds.toInt,
+        iters.toInt)
+      .queryExecution.logical
+  }
+
   /** restless_arrival(edges, seeds, delta_us, max_hops) — G45's
     * δ-restless earliest arrival from pure SQL. Canonical column
     * convention (two table arguments with six columns between them make
@@ -486,6 +519,12 @@ object TableFunctions {
     (new FunctionIdentifier("restless_arrival"),
       new ExpressionInfo(getClass.getName, "restless_arrival"),
       restlessArrivalPlan _),
+    (new FunctionIdentifier("label_propagation"),
+      new ExpressionInfo(getClass.getName, "label_propagation"),
+      labelPropagationPlan _),
+    (new FunctionIdentifier("scc"),
+      new ExpressionInfo(getClass.getName, "scc"),
+      sccPlan _),
     (new FunctionIdentifier("connected_components"),
       new ExpressionInfo(getClass.getName, "connected_components"),
       connectedComponentsPlan _),

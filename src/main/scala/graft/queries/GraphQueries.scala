@@ -214,6 +214,28 @@ object GraphQueries {
         |ORDER BY id""".stripMargin)
     }),
 
+    // G13b — label propagation via `label_propagation(...)`, 3 rounds
+    // like the Scala sibling.
+    "g13b_lpa_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir)
+        .createOrReplaceTempView("graft_g13b_edges")
+      s.sql("""SELECT id, label
+        |FROM label_propagation('graft_g13b_edges', 'src', 'dst', 3)
+        |ORDER BY id""".stripMargin)
+    }),
+
+    // G23b — strongly connected components via `scc(...)`, the same
+    // (rounds=4, iters=8) proven-convergence coloring as g23.
+    "g23b_scc_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.partFlowEdges(s, dir)
+        .createOrReplaceTempView("graft_g23b_edges")
+      s.sql("""SELECT id, scc_id
+        |FROM scc('graft_g23b_edges', 'src', 'dst', 4, 8)
+        |ORDER BY id""".stripMargin)
+    }),
+
     // G08c — PageRank via `pagerank(...)`: g08's exact projection on
     // top of the TVF. Tolerance-family like g08 (float iteration
     // order): no DuckDB oracle; GraphOpsSpec gates the TVF output
@@ -2234,6 +2256,8 @@ object GraphQueries {
     */
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "g45b_restless_sql" -> oraclesBase("g45_restless_arrival"),
+    "g13b_lpa_sql" -> oraclesBase("g13_label_propagation"),
+    "g23b_scc_sql" -> oraclesBase("g23_scc"),
     "g05c_bfs_sql" -> oraclesBase("g05_bfs_depth"),
     "g06b_cc_sql" -> oraclesBase("g06_connected_components"),
     "g40f_louvain_sql" -> oraclesBase("g40c_louvain_converged"),
