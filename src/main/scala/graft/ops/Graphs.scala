@@ -2113,6 +2113,83 @@ object Graphs {
     acc.groupBy("id").agg(sum("n_walks").as("n_walks"))
   }
 
+  /** G47 — restless VISIT COUNTING (temporal flow-through centrality):
+    * across ALL δ-restless walks of ≤ maxHops edges from the seed
+    * labels, how many times is each node visited — the temporal
+    * betweenness-style read ("how much bounded-layover relay traffic
+    * passes THROUGH this part"), where [[restlessWalkCounts]] only
+    * counts walk ENDPOINTS.
+    *
+    * Every prefix of a restless walk is a restless walk, so visits
+    * decompose exactly: a visit of v at position i in walk W ↔ the pair
+    * (prefix P = W[0..i] ending at v, continuation S = W[i+1..]), hence
+    * σ(v) = Σ_d Σ_a fwd_d(v, a) · cont_{maxHops−d}(v, a) with
+    * fwd_d = the per-depth walk-count DP of [[restlessWalkCounts]] and
+    * cont_r(v, a) = the number of restless continuations of length ≤ r
+    * from the label (empty one included):
+    * cont_r = 1 + Σ_{usable e} cont_{r−1}(e.dst, e.arr). The backward
+    * DP runs over the REACHABLE label set only (successors of reachable
+    * labels within the hop budget are reachable), r = 0..maxHops−1,
+    * one equi join + δ filter + re-aggregation per step — the same
+    * bounded shape as the forward pass, ~2·maxHops joins total. Exact
+    * integers; hash-matches the path-carrying UNION ALL enumeration
+    * (unnest every walk's positions, count per node).
+    */
+  def restlessVisitCounts(s: SparkSession, edges: DataFrame,
+      seeds: DataFrame, deltaUs: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("dep_us").cast("long"), col("arr_us").cast("long"))
+      .transform(Checkpoints.cut)
+    // forward pass: per-depth (id, arr_us, n) walk-count labels
+    var level = seeds.select(col("id").cast("long"),
+        col("arr_us").cast("long"))
+      .groupBy("id", "arr_us").agg(count(lit(1)).as("n"))
+      .transform(Checkpoints.cut)
+    val fwd = scala.collection.mutable.ArrayBuffer((1, level))
+    var hop = 1
+    while (hop < maxHops && level.limit(1).count() > 0) {
+      hop += 1
+      level = level
+        .select(col("id").as("f_id"), col("arr_us").as("f_arr"), col("n"))
+        .join(e, col("f_id") === col("src"))
+        .filter(col("dep_us") >= col("f_arr") &&
+          col("dep_us") <= col("f_arr") + deltaUs)
+        .groupBy(col("dst").as("id"), col("arr_us"))
+        .agg(sum("n").as("n"))
+        .transform(Checkpoints.cut)
+      fwd += ((hop, level))
+    }
+    // reachable label domain (id, arr_us) with its continuation counts
+    // cont_r, built upward from cont_0 = 1 (the empty continuation)
+    val labels = fwd.map(_._2.select("id", "arr_us"))
+      .reduce(_.unionAll(_)).distinct().transform(Checkpoints.cut)
+    var cont = labels.withColumn("c", lit(1L)).transform(Checkpoints.cut)
+    val contAt = scala.collection.mutable.Map(0 -> cont)
+    for (r <- 1 until maxHops) {
+      val stepped = labels
+        .select(col("id").as("l_id"), col("arr_us").as("l_arr"))
+        .join(e, col("l_id") === col("src"))
+        .filter(col("dep_us") >= col("l_arr") &&
+          col("dep_us") <= col("l_arr") + deltaUs)
+        .join(cont.select(col("id").as("dst"), col("arr_us"),
+          col("c").as("c_next")), Seq("dst", "arr_us"))
+        .groupBy(col("l_id").as("id"), col("l_arr").as("arr_us"))
+        .agg(sum("c_next").as("c_sum"))
+      cont = labels.join(stepped, Seq("id", "arr_us"), "left_outer")
+        .select(col("id"), col("arr_us"),
+          (lit(1L) + coalesce(col("c_sum"), lit(0L))).as("c"))
+        .transform(Checkpoints.cut)
+      contAt(r) = cont
+    }
+    // σ(v) = Σ_d fwd_d · cont_{maxHops−d}, joined on the label
+    fwd.map { case (d, f) =>
+      f.join(contAt(maxHops - d), Seq("id", "arr_us"))
+        .select(col("id"), (col("n") * col("c")).as("s"))
+    }.reduce(_.unionAll(_))
+      .groupBy("id").agg(sum("s").as("sigma"))
+  }
+
   /** Temporal earliest-arrival (SURVEY G10, the reference's signature
     * traversal): from `seed`, an edge (u,v) is usable only if arrival(u) <=
     * its availability time; arrival(v) = the hop's arrival time. Bounded to

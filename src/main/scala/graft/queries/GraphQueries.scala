@@ -970,6 +970,21 @@ object GraphQueries {
         .orderBy("p_partkey")
     }),
 
+    // G47 — restless VISIT COUNTING (r15): temporal flow-through
+    // centrality on T_copart — across every ≤4-edge bounded-layover
+    // relay chain from the seed edges, how many times each part is
+    // VISITED (g46 counts only endpoints). σ = Σ_d fwd_d · cont_{4−d}
+    // over (node, arrival) labels — exact integers, hash-matched
+    // against the path-carrying UNION ALL enumeration (every walk's
+    // positions unnested and counted).
+    "g47_restless_visits" -> ((s, dir) => {
+      val edges = tcopartEdges(s, dir)
+      Graphs.restlessVisitCounts(s, edges, tcopartSeeds(edges),
+          deltaUs = RestlessDeltaUs, maxHops = 4)
+        .select(col("id").as("p_partkey"), col("sigma"))
+        .orderBy("p_partkey")
+    }),
+
     // G42 — TEMPORAL CO-OCCURRENCE MOTIF counting (NEW r14): supplier
     // pairs repeatedly shipping the SAME part within 7 days — the
     // time-respecting wedge (s1 → p ← s2, |t1−t2| ≤ δ) a temporal graph
@@ -1312,6 +1327,30 @@ object GraphQueries {
         |  WHERE walk.dd < 4 AND e.dep >= walk.arr
         |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L})
         |SELECT id AS p_partkey, count(*) AS n_walks FROM walk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // G47 replay: the same walk space enumerated WITH its paths; every
+    // walk's positions unnest and count per node — the engine's
+    // fwd × continuation label composition must agree exactly.
+    "g47_restless_visits" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+        |      epoch_us(CAST(a.l_shipdate AS TIMESTAMP)) AS dep,
+        |      epoch_us(CAST(b.l_shipdate AS TIMESTAMP)) AS arr
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE b.l_shipdate > a.l_shipdate),
+        |seeds AS (SELECT dst, arr FROM e
+        |          ORDER BY dep, src, dst, arr LIMIT 10),
+        |walk(path, id, arr, dd) AS (
+        |  SELECT [dst], dst, arr, 1 FROM seeds
+        |  UNION ALL
+        |  SELECT list_append(walk.path, e.dst), e.dst, e.arr, walk.dd + 1
+        |  FROM walk JOIN e ON e.src = walk.id
+        |  WHERE walk.dd < 4 AND e.dep >= walk.arr
+        |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L})
+        |SELECT v AS p_partkey, count(*) AS sigma
+        |FROM (SELECT unnest(path) AS v FROM walk)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g40_louvain" ->
       s"""WITH $copartCte,

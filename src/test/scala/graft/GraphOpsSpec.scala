@@ -1195,6 +1195,58 @@ class GraphOpsSpec extends SparkSpecBase {
       6L -> 2L))
   }
 
+  test("restlessVisitCounts == brute-force walk enumeration (hand + random)") {
+    import spark.implicits._
+    // local enumerator: all restless walks of <= maxHops edges from the
+    // seed labels; count every position of every walk
+    def brute(edges: Seq[(Long, Long, Long, Long)], seeds: Seq[(Long, Long)],
+        delta: Long, maxHops: Int): Map[Long, Long] = {
+      val visits = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      def expand(id: Long, arr: Long, depth: Int, path: List[Long]): Unit = {
+        path.foreach(v => visits(v) += 1L)
+        if (depth < maxHops)
+          edges.foreach { case (s2, d2, dep, a2) =>
+            if (s2 == id && dep >= arr && dep <= arr + delta)
+              expand(d2, a2, depth + 1, path :+ d2)
+          }
+      }
+      seeds.foreach { case (id, arr) => expand(id, arr, 1, List(id)) }
+      visits.toMap
+    }
+    def run(edges: Seq[(Long, Long, Long, Long)], seeds: Seq[(Long, Long)],
+        delta: Long, maxHops: Int): Map[Long, Long] =
+      Graphs.restlessVisitCounts(spark,
+          edges.toDF("src", "dst", "dep_us", "arr_us"),
+          seeds.toDF("id", "arr_us"), delta, maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // the g45/g46 hand fixture (incl. parallel edges + stranding)
+    val hand = Seq(
+      (1L, 2L, 150L, 200L), (1L, 2L, 160L, 200L), (1L, 2L, 400L, 450L),
+      (2L, 3L, 210L, 300L), (2L, 6L, 300L, 310L), (1L, 4L, 110L, 120L),
+      (4L, 5L, 500L, 510L), (3L, 4L, 310L, 420L))
+    val handSeeds = Seq((1L, 100L))
+    Seq(1, 3, 5).foreach { h =>
+      assert(run(hand, handSeeds, 100L, h) == brute(hand, handSeeds, 100L, h),
+        s"hand fixture mismatch at maxHops=$h")
+    }
+
+    // randomized: small dense temporal multigraphs
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val edges = (1 to 60).map { _ =>
+        val dep = rnd.nextInt(50).toLong
+        (rnd.nextInt(6).toLong, rnd.nextInt(6).toLong, dep,
+          dep + 1 + rnd.nextInt(10).toLong)
+      }.filter(e => e._1 != e._2)
+      val seeds = Seq((0L, 0L), (1L, 5L))
+      val got = run(edges, seeds, 12L, 4)
+      val want = brute(edges, seeds, 12L, 4)
+      assert(got == want, s"random trial $trial mismatch")
+    }
+  }
+
   // ---- graph TVF door (r15): the SQL surface must splice the SAME plan
   // the Scala API returns, so output equality is exact — including g08c's
   // floats (identical plan ⇒ bit-identical iteration), which is why the
