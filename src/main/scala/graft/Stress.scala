@@ -226,6 +226,54 @@ object Stress {
       Text.spanCutStats(docs, dup)
     }
 
+    // ---- r15 heavyweights: the DECREMENTAL CC fold with the worst-case
+    // delete (the chain links joining the copies — touched = the whole
+    // chained giant component, so the re-color is maximal), and the
+    // restless visit DP on the ×factor temporal co-part multigraph
+    // (edge-event volume and per-label branching both scale ×factor).
+    results("s27b_cc_retraction") = timed {
+      def slice(i: Int) =
+        cop.filter(pmod(xxhash64(col("src"), col("dst")), lit(3)) === i)
+      val none = cop.limit(0)
+      var labels = cop.select(col("src").cast("long").as("id"),
+        col("src").cast("long").as("component")).limit(0)
+      var live = none
+      (0 to 2).foreach { i =>
+        val r = graft.streaming.Streams.ccApplyDelta(spark, labels, live,
+          slice(i), none)
+        labels = r._1; live = r._2
+      }
+      val chainLinks = spark.range(1, factor.toLong)
+        .select((lit(minV) * factor + col("id")).as("src"),
+          (lit(minV) * factor + col("id") - 1).as("dst"))
+      graft.streaming.Streams.ccApplyDelta(spark, labels, live, none,
+        chainLinks)._1
+    }
+
+    results("g47_restless_visits") = timed {
+      val tli = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"), kCol)
+        .select((col("l_orderkey") * factor + col("k")).as("l_orderkey"),
+          col("l_partkey"),
+          timestamp_micros(Det.epochUs(col("l_shipdate")) +
+            col("k") * 86400000000L).as("l_shipdate"))
+        .transform(Checkpoints.cut)
+      val a = tli.select(col("l_orderkey"), col("l_partkey").as("src"),
+        Det.epochUs(col("l_shipdate")).as("dep_us"))
+      val b = tli.select(col("l_orderkey"), col("l_partkey").as("dst"),
+        Det.epochUs(col("l_shipdate")).as("arr_us"))
+      val tedges = a.join(b, "l_orderkey")
+        .filter(col("src") =!= col("dst") && col("arr_us") > col("dep_us"))
+        .select("src", "dst", "dep_us", "arr_us").distinct()
+        .transform(Checkpoints.cut)
+      val seeds = tedges
+        .orderBy(col("dep_us"), col("src"), col("dst"), col("arr_us"))
+        .limit(10)
+        .select(col("dst").as("id"), col("arr_us"))
+      Graphs.restlessVisitCounts(spark, tedges, seeds,
+        deltaUs = 30L * 86400L * 1000000L, maxHops = 4)
+    }
+
     results("l02b_lsh_near_dedup") = timed {
       graft.functions.VecFunctions.ensureRegistered(spark)
       val sh = Text.shingles(docs, 3).cache()

@@ -475,7 +475,108 @@ object SimIndex {
     Bucketing.writeBucketed(codes, s"${prefix}_pq_codes", "bucket",
       buckets, sortCols = Seq("bucket", "vec_id"))
     resid.unpersist()
-    writeSignature(prefix, vecs)
+    // drift baseline (r15): coarse residual distances of the build
+    // corpus — intake batches PSI-compare against this, exactly like the
+    // plain-IVF index (appendIvfIndexWithRefresh's gate).
+    val resHist = residualHistogram(unit, centroids)
+    Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_res_hist")
+    resHist.write.mode("overwrite").saveAsTable(s"${prefix}_res_hist")
+    Bucketing.writeDescriptor(vecs.sparkSession, s"${prefix}_res_hist")
+    writeSignature(prefix, vecs, params = Seq(
+      "n_centroids" -> nCentroids.toLong, "m" -> m.toLong,
+      "dims" -> dims.toLong, "k" -> k.toLong, "buckets" -> buckets.toLong))
+  }
+
+  /** Incremental IVF-PQ maintenance (r15): the standard PQ insert —
+    * unit-normalize the new vectors, assign to the EXISTING coarse
+    * centroids, encode their residuals with the EXISTING codebooks,
+    * append the codes bucket-locally, bump the signature additively.
+    * Centroids and codebooks are frozen per intake (drift is the
+    * periodic [[appendIvfPqIndexWithRefresh]] decision, not a per-batch
+    * cost), mirroring [[appendIvfIndex]]'s contract for plain IVF.
+    */
+  def appendIvfPqIndex(newVecs: DataFrame, prefix: String): Unit = {
+    val spark = newVecs.sparkSession
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_meta"),
+      s"no IVF-PQ index at '$prefix' to append to — build with " +
+        "writeIvfPqIndex")
+    val metaDf = spark.table(s"${prefix}_meta")
+    val schema = metaDf.columns
+    require(schema.contains("m"),
+      s"index '$prefix' predates recorded build params — rebuild once " +
+        "with writeIvfPqIndex to enable appends")
+    val meta = metaDf.head()
+    def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
+    val centroids = spark.table(s"${prefix}_centroids")
+    val unit = newVecs
+      .filter(Similarity.norm(col("embedding")) > 0.0)
+      .select(col("vec_id"),
+        transform(Similarity.l2normalize(col("embedding")),
+          _.cast("float")).as("embedding"))
+    val assigned = Similarity.ivfAssign(unit, centroids, nprobe = 1)
+    val resid = unit.join(assigned, "vec_id")
+      .join(broadcast(centroids.select(col("cid").as("bucket"),
+        col("centroid"))), "bucket")
+      .select(col("vec_id"), col("bucket"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("embedding"))
+      .cache()
+    val codes = Similarity.pqEncode(resid,
+        spark.table(s"${prefix}_pq_codebooks"), p("m"), p("dims"))
+      .join(resid.select("vec_id", "bucket"), "vec_id")
+      .select("vec_id", "bucket", "codes")
+    Bucketing.appendBucketedMulti(codes, s"${prefix}_pq_codes",
+      Seq("bucket"), p("buckets"), sortCols = Seq("bucket", "vec_id"))
+    resid.unpersist()
+    val (dn, dsig) = signature(newVecs)
+    writeSignature(prefix, newVecs, params = Seq(
+      "n_centroids" -> p("n_centroids").toLong, "m" -> p("m").toLong,
+      "dims" -> p("dims").toLong, "k" -> p("k").toLong,
+      "buckets" -> p("buckets").toLong),
+      precomputed = Some((meta.getLong(0) + dn, meta.getLong(1) + dsig)))
+  }
+
+  /** Drift-triggered IVF-PQ maintenance (r15): [[appendIvfPqIndex]]
+    * guarded by the same residual-PSI gate as the plain-IVF refresh —
+    * with one honest difference: PQ codes are LOSSY, so the index
+    * cannot rebuild itself from its own tables; the caller supplies the
+    * full post-intake corpus (`corpus` — the base table the pipeline
+    * already owns, typically what the signature is checked against) and
+    * past the threshold the index retrains WHOLESALE through
+    * [[writeIvfPqIndex]] (fresh coarse centroids, fresh residual
+    * codebooks, fresh reference histogram — the SCD2 overwrite swap).
+    * Returns true iff the rebuild fired.
+    */
+  def appendIvfPqIndexWithRefresh(newVecs: DataFrame, prefix: String,
+      corpus: DataFrame, psiThreshold: Double = 0.25): Boolean = {
+    val spark = newVecs.sparkSession
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_res_hist"),
+      s"index '$prefix' predates drift monitoring — rebuild once with " +
+        "writeIvfPqIndex to record the reference residual histogram")
+    val meta = spark.table(s"${prefix}_meta")
+    val schema = meta.columns
+    val mRow = meta.head()
+    def p(name: String): Int = mRow.getLong(schema.indexOf(name)).toInt
+    val unit = newVecs
+      .filter(Similarity.norm(col("embedding")) > 0.0)
+      .select(col("vec_id"),
+        transform(Similarity.l2normalize(col("embedding")),
+          _.cast("float")).as("embedding"))
+    val live = residualHistogram(unit,
+      spark.table(s"${prefix}_centroids"))
+    val psi = residualPsi(spark.table(s"${prefix}_res_hist"), live)
+    if (psi < psiThreshold) {
+      appendIvfPqIndex(newVecs, prefix)
+      false
+    } else {
+      writeIvfPqIndex(corpus.transform(Checkpoints.cut), prefix,
+        p("n_centroids"), p("m"), p("dims"), p("k"), p("buckets"))
+      true
+    }
   }
 
   /** ADC search over the persisted IVF-PQ index: probe the `nprobe`

@@ -73,6 +73,122 @@ class PqSpec extends SparkSpecBase {
     assert(run(10) == top10, "seeded PQ must reproduce exactly")
   }
 
+  test("IVF-PQ append + drift refresh: frozen-codebook insert == full-corpus " +
+      "re-encode; drifted batch rebuilds from the supplied corpus; recall recovers") {
+    import spark.implicits._
+    import graft.ops.{Bucketing, SimIndex}
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val pfx = Seq("pqdrift", "pqstale")
+    pfx.foreach(p => Seq("_centroids", "_pq_codebooks", "_pq_codes",
+      "_meta", "_res_hist").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $p$t")
+      Bucketing.dropStaleLocation(spark, p + t)
+    })
+    // the SimIndexSpec drift fixture: clusters on axes 0/1/2 at build,
+    // drift clusters on 5/6, deterministic jitter
+    val d8 = 8
+    def cluster(axis: Int, n: Int, idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(d8)(0f)
+        v(axis) = 1f
+        (0 until d8).foreach(d =>
+          v(d) += (((idBase + i) * 31 + d * 7) % 11 - 5) * 0.01f)
+        (idBase + i, v.toSeq)
+      }
+    val corpusA = cluster(0, 40, 0L) ++ cluster(1, 40, 100L) ++
+      cluster(2, 40, 200L)
+    val batchA2 = cluster(0, 10, 300L) ++ cluster(1, 10, 400L)
+    val batchB = cluster(5, 30, 500L) ++ cluster(6, 30, 600L)
+    val queries = cluster(5, 3, 700L) ++ cluster(6, 3, 800L)
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    val full = corpusA ++ batchA2 ++ batchB
+
+    SimIndex.writeIvfPqIndex(df(corpusA), "pqdrift", nCentroids = 5,
+      m = 2, dims = d8, k = 4, buckets = 4)
+    // frozen-codebook insert: append == re-encoding the FULL corpus
+    // against the ORIGINAL centroids + codebooks (the IVF-append
+    // discipline, lifted to codes)
+    val centsA = spark.table("pqdrift_centroids").collect().toSet
+    val booksA = spark.table("pqdrift_pq_codebooks").collect().toSet
+    SimIndex.appendIvfPqIndex(df(batchA2), "pqdrift")
+    assert(SimIndex.isFresh(spark, "pqdrift", df(corpusA ++ batchA2)))
+    assert(spark.table("pqdrift_centroids").collect().toSet == centsA)
+    assert(spark.table("pqdrift_pq_codebooks").collect().toSet == booksA)
+    val gotCodes = spark.table("pqdrift_pq_codes").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    val unitFull = df(corpusA ++ batchA2)
+      .select(col("vec_id"), transform(
+        Similarity.l2normalize(col("embedding")), _.cast("float"))
+        .as("embedding"))
+    val assignedAll = Similarity.ivfAssign(unitFull,
+      spark.table("pqdrift_centroids"), nprobe = 1)
+    val residAll = unitFull.join(assignedAll, "vec_id")
+      .join(spark.table("pqdrift_centroids")
+        .select(col("cid").as("bucket"), col("centroid")), "bucket")
+      .select(col("vec_id"), col("bucket"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("embedding"))
+    val wantCodes = Similarity.pqEncode(residAll,
+        spark.table("pqdrift_pq_codebooks"), 2, d8)
+      .join(residAll.select("vec_id", "bucket"), "vec_id")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("bucket"), r.getAs[scala.collection.Seq[Int]]("codes").toSeq)))
+      .toMap
+      .map { case (k2, (b, cs)) => k2 -> ((b, cs: Seq[Int])) }
+    assert(gotCodes.size == wantCodes.size && gotCodes.keySet.forall(k2 =>
+      gotCodes(k2)._1 == wantCodes(k2)._1 &&
+        gotCodes(k2)._2.toSeq == wantCodes(k2)._2.toSeq))
+
+    // drift gate: in-distribution batch appends quietly; the orthogonal
+    // batch fires a WHOLESALE rebuild from the supplied corpus (PQ codes
+    // are lossy — the index cannot rebuild itself)
+    assert(!SimIndex.appendIvfPqIndexWithRefresh(
+      df(cluster(2, 5, 900L)), "pqdrift",
+      df(corpusA ++ batchA2 ++ cluster(2, 5, 900L))))
+    val fullWith900 = corpusA ++ batchA2 ++ cluster(2, 5, 900L) ++ batchB
+    assert(SimIndex.appendIvfPqIndexWithRefresh(df(batchB), "pqdrift",
+      df(fullWith900)))
+    assert(spark.table("pqdrift_centroids").collect().toSet != centsA)
+    assert(SimIndex.isFresh(spark, "pqdrift", df(fullWith900)))
+
+    // stale counterfactual: append-only intake of the same batches
+    SimIndex.writeIvfPqIndex(df(corpusA), "pqstale", nCentroids = 5,
+      m = 2, dims = d8, k = 4, buckets = 4)
+    SimIndex.appendIvfPqIndex(df(batchA2), "pqstale")
+    SimIndex.appendIvfPqIndex(df(cluster(2, 5, 900L)), "pqstale")
+    SimIndex.appendIvfPqIndex(df(batchB), "pqstale")
+
+    // shortlist-30 vs exact top-10 (the suite's PQ-recall discipline:
+    // the shortlist absorbs quantization near-tie swaps; what's
+    // measured is whether the right BUCKET holds the answers)
+    def recall(prefix: String): Double = {
+      val per = queries.map { case (_, q) =>
+        val got = SimIndex.ivfPqSearch(spark, prefix, q, nprobe = 1,
+          topk = 30).collect().map(_.getLong(0)).toSet
+        val qCol = array(q.map(v => lit(v)): _*)
+        val exact = df(fullWith900)
+          .select(col("vec_id"),
+            Similarity.cosine(col("embedding"), qCol).as("d"))
+          .orderBy(desc("d"), col("vec_id")).limit(10)
+          .collect().map(_.getLong(0)).toSet
+        (got & exact).size.toDouble / exact.size
+      }
+      per.sum / per.size
+    }
+    val (rFresh, rStale) = (recall("pqdrift"), recall("pqstale"))
+    info(f"IVF-PQ drift recall: refreshed $rFresh%.2f vs stale $rStale%.2f")
+    assert(rFresh >= 0.9, s"refreshed IVF-PQ recall $rFresh < 0.9")
+    assert(rFresh > rStale,
+      s"refresh did not improve recall ($rFresh <= $rStale)")
+    // the reference histogram moved with the rebuild: a second
+    // post-drift batch appends quietly
+    assert(!SimIndex.appendIvfPqIndexWithRefresh(
+      df(cluster(5, 5, 950L)), "pqdrift",
+      df(fullWith900 ++ cluster(5, 5, 950L))))
+  }
+
   test("IVF-PQ persisted index: score identity incl. coarse term, self-match, recall") {
     import graft.ops.{Bucketing, SimIndex}
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
