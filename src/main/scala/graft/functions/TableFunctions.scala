@@ -514,8 +514,45 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** restless_walk_counts / restless_visits — G46/G47 from pure SQL,
+    * same argument and column conventions as [[restlessArrivalPlan]].
+    */
+  private def restlessCountsPlan(visits: Boolean)(
+      exprs: Seq[Expression]): LogicalPlan = {
+    val fn = if (visits) "restless_visits" else "restless_walk_counts"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (edges, seeds, delta_us, max_hops), got ${exprs.length}")
+    val edges = graft.ops.Checkpoints.cut(tableArg(exprs(0), 1, fn))
+    val seeds = graft.ops.Checkpoints.cut(tableArg(exprs(1), 2, fn))
+    Seq("src", "dst", "dep_us", "arr_us").foreach(c =>
+      require(edges.columns.contains(c),
+        s"$fn: edges table must expose column '$c' (src, dst, dep_us, " +
+          "arr_us) — alias inside a TABLE(SELECT ...) argument to adapt"))
+    Seq("id", "arr_us").foreach(c =>
+      require(seeds.columns.contains(c),
+        s"$fn: seeds table must expose column '$c' (id, arr_us)"))
+    val delta = long(exprs(2), 3, fn)
+    val maxHops = long(exprs(3), 4, fn)
+    require(delta >= 0, s"$fn: delta_us must be >= 0")
+    require(maxHops >= 1 && maxHops <= 10000,
+      s"$fn: max_hops must be in [1, 10000]")
+    val df = if (visits)
+      graft.ops.Graphs.restlessVisitCounts(SparkSession.active,
+        edges, seeds, delta, maxHops.toInt)
+    else
+      graft.ops.Graphs.restlessWalkCounts(SparkSession.active,
+        edges, seeds, delta, maxHops.toInt)
+    df.queryExecution.logical
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("restless_walk_counts"),
+      new ExpressionInfo(getClass.getName, "restless_walk_counts"),
+      restlessCountsPlan(visits = false) _),
+    (new FunctionIdentifier("restless_visits"),
+      new ExpressionInfo(getClass.getName, "restless_visits"),
+      restlessCountsPlan(visits = true) _),
     (new FunctionIdentifier("restless_arrival"),
       new ExpressionInfo(getClass.getName, "restless_arrival"),
       restlessArrivalPlan _),

@@ -970,6 +970,31 @@ object GraphQueries {
         .orderBy("p_partkey")
     }),
 
+    // G46b/G47b — the counting twins from pure SQL via the
+    // restless_walk_counts / restless_visits TVFs, held to g46/g47's
+    // oracles verbatim.
+    "g46b_walk_counts_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val edges = tcopartEdges(s, dir)
+      edges.createOrReplaceTempView("graft_g46b_edges")
+      tcopartSeeds(edges).createOrReplaceTempView("graft_g46b_seeds")
+      s.sql(s"""SELECT id AS p_partkey, n_walks
+        |FROM restless_walk_counts('graft_g46b_edges', 'graft_g46b_seeds',
+        |                          $RestlessDeltaUs, 4)
+        |ORDER BY p_partkey""".stripMargin)
+    }),
+
+    "g47b_visits_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val edges = tcopartEdges(s, dir)
+      edges.createOrReplaceTempView("graft_g47b_edges")
+      tcopartSeeds(edges).createOrReplaceTempView("graft_g47b_seeds")
+      s.sql(s"""SELECT id AS p_partkey, sigma
+        |FROM restless_visits('graft_g47b_edges', 'graft_g47b_seeds',
+        |                     $RestlessDeltaUs, 4)
+        |ORDER BY p_partkey""".stripMargin)
+    }),
+
     // G47 — restless VISIT COUNTING (r15): temporal flow-through
     // centrality on T_copart — across every ≤4-edge bounded-layover
     // relay chain from the seed edges, how many times each part is
@@ -2295,6 +2320,8 @@ object GraphQueries {
     */
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "g45b_restless_sql" -> oraclesBase("g45_restless_arrival"),
+    "g46b_walk_counts_sql" -> oraclesBase("g46_restless_walk_counts"),
+    "g47b_visits_sql" -> oraclesBase("g47_restless_visits"),
     "g13b_lpa_sql" -> oraclesBase("g13_label_propagation"),
     "g23b_scc_sql" -> oraclesBase("g23_scc"),
     "g05c_bfs_sql" -> oraclesBase("g05_bfs_depth"),
