@@ -1042,6 +1042,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(snap() == oneShot)
   }
 
+  test("S27b from a real stream: foreachBatch CDC fold (inserts + deletes) " +
+      "== from-scratch CC after every batch") {
+    import spark.implicits._
+    def cc(edges: Seq[(Long, Long)]) =
+      graft.ops.Graphs.connectedComponentsDF(spark, edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sym(pairs: (Long, Long)*): Seq[(Long, Long)] =
+      pairs.flatMap(p => Seq(p, p.swap))
+    // CDC rows: (src, dst, op) with op = +1 insert / -1 delete
+    val tri1 = sym((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = sym((5L, 6L), (6L, 7L), (5L, 7L))
+    val bridge = sym((3L, 5L))
+    val batches: Seq[Seq[(Long, Long, Int)]] = Seq(
+      (tri1 ++ bridge).map { case (a, b) => (a, b, 1) },
+      tri2.map { case (a, b) => (a, b, 1) },
+      bridge.map { case (a, b) => (a, b, -1) },          // SPLIT
+      // mixed batch: delete a triangle edge, re-insert the bridge
+      sym((5L, 6L)).map { case (a, b) => (a, b, -1) } ++
+        bridge.map { case (a, b) => (a, b, 1) })
+    val liveAfter = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Long)]]
+    var edgeSet = Set.empty[(Long, Long)]
+    batches.foreach { b =>
+      edgeSet = edgeSet ++ b.filter(_._3 > 0).map(r => (r._1, r._2)) --
+        b.filter(_._3 < 0).map(r => (r._1, r._2))
+      liveAfter += edgeSet.toSeq
+    }
+
+    var labels = Seq.empty[(Long, Long)].toDF("id", "component")
+    var live = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Int)]
+    val q = source.toDF().toDF("src", "dst", "op").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = Streams.ccApplyDelta(spark, labels, live,
+          batch.filter(col("op") > 0).select("src", "dst"),
+          batch.filter(col("op") < 0).select("src", "dst"))
+        labels = r._1; live = r._2
+        snaps += labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        ()
+      }.start()
+    try {
+      batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    assert(snaps.size == batches.size)
+    snaps.zip(liveAfter).zipWithIndex.foreach { case ((got, edges), i) =>
+      assert(got == cc(edges), s"batch $i: maintained != from-scratch")
+    }
+    // the split batch genuinely split: 1 component -> 2
+    assert(snaps(1).values.toSet.size == 1 && snaps(2).values.toSet.size == 2)
+  }
+
   test("S27b CC retractions: a bridge-edge delete SPLITS the component; " +
       "maintained labels == from-scratch CC; insert-only == ccApplyBatch") {
     import spark.implicits._
