@@ -88,6 +88,27 @@ case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def pageRank(iters: Int): DataFrame =
     Graphs.pageRankDF(spark, edges.select("src", "dst"), iters)
 
+  /** Synchronous label-propagation communities over the UNDIRECTED view
+    * (deterministic tie-break: count desc, min label) —
+    * [[Graphs.labelPropagationDF]] (G13).
+    */
+  def labelPropagation(rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = edges.select("src", "dst")
+    val both = e.unionAll(e.select(col("dst").as("src"),
+      col("src").as("dst")))
+    Graphs.labelPropagationDF(spark, both, rounds)
+  }
+
+  /** Strongly connected components by proven-convergence coloring
+    * (throws rather than settle a split coloring) —
+    * [[Graphs.stronglyConnectedComponents]] (G23).
+    */
+  def stronglyConnectedComponents(rounds: Int = 4,
+      iters: Int = 8): DataFrame =
+    Graphs.stronglyConnectedComponents(spark, edges.select("src", "dst"),
+      rounds, iters)
+
   /** Personalized PageRank from `seed` (reset mass to the seed, ranks
     * L1-normalized) — DataFrame power iteration, GraphX twin-gated.
     */

@@ -85,6 +85,42 @@ class ApiSpec extends SparkSpecBase {
     assert(comm.exists(c => Set(1L, 2L, 3L, 4L).subsetOf(c)))
   }
 
+  test("PropertyGraph labelPropagation and stronglyConnectedComponents " +
+      "facades") {
+    import spark.implicits._
+    // two triangles + a directed 2-cycle bridge: LPA (undirected view)
+    // finds the triangles; SCC finds the 2-cycle {3,10} and singletons
+    val v = (1L to 12L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L), (10L, 3L)).toDF("src", "dst")
+    val g = PropertyGraph(v, e)
+    val lpa = g.labelPropagation().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // facade-wiring gate: == the kernel on the undirected view (the
+    // kernel's own convergence behavior is GraphOpsSpec's business —
+    // synchronous LPA legitimately oscillates on odd cycles)
+    val direct = {
+      val both = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+      graft.ops.Graphs.labelPropagationDF(spark, both, rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(lpa.size == 6 && lpa == direct)
+    val scc = g.stronglyConnectedComponents().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the DIRECTED graph: both triangles are 3-cycles, and the 3↔10
+    // bridge welds them into ONE SCC of all six vertices
+    assert(scc.values.toSet.size == 1 && scc.size == 6)
+    // drop the bridge back-edge: two separate 3-cycles
+    val g2 = PropertyGraph(v, e.filter(!(col("src") === 10L &&
+      col("dst") === 3L)))
+    val scc2 = g2.stronglyConnectedComponents().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scc2.values.toSet.size == 2)
+    assert(Set(1L, 2L, 3L).map(scc2).size == 1 &&
+      Set(10L, 11L, 12L).map(scc2).size == 1)
+  }
+
   test("TemporalTable sessionStats and matchPattern/matchReanchored facades") {
     import spark.implicits._
     val changes = Seq(
