@@ -608,6 +608,45 @@ object StreamQueries {
         .orderBy("p_partkey")
     }),
 
+    // S43 — incremental δ-restless reachability (r15): g45's read
+    // maintained through 3 hash-split batches of the T_copart temporal
+    // edge stream + one REPLAYED batch (set-union edges + min-merge
+    // labels — idempotent by construction); seeds are the FIXED entry
+    // labels (the g45 convention, computed once from the full edge
+    // set — the caller's anchor events in a real pipeline). Final
+    // min-arrival read == the one-shot g45 oracle.
+    "s43_restless_maintenance" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"),
+        graft.Det.epochUs(col("l_shipdate")).as("dep_us"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"),
+        graft.Det.epochUs(col("l_shipdate")).as("arr_us"))
+      val edges = a.join(b, "l_orderkey")
+        .filter(col("src") =!= col("dst") && col("arr_us") > col("dep_us"))
+        .select("src", "dst", "dep_us", "arr_us").distinct()
+        .transform(graft.ops.Checkpoints.cut)
+      val seeds = edges
+        .orderBy(col("dep_us"), col("src"), col("dst"), col("arr_us"))
+        .limit(10)
+        .select(col("dst").as("id"), col("arr_us"))
+      var labels = seeds.withColumn("dmin", lit(1))
+        .groupBy("id", "arr_us").agg(min("dmin").as("dmin"))
+        .transform(graft.ops.Checkpoints.cut)
+      var live = edges.limit(0)
+      def slice(i: Int) = edges.filter(
+        pmod(xxhash64(col("src"), col("dst"), col("dep_us")), lit(3)) === i)
+      (0 to 2).foreach { i =>
+        val r = Streams.restlessApplyBatch(s, labels, live, slice(i),
+          deltaUs = 30L * 86400L * 1000000L, maxHops = 4)
+        labels = r._1; live = r._2
+      }
+      val r = Streams.restlessApplyBatch(s, labels, live, slice(1),
+        deltaUs = 30L * 86400L * 1000000L, maxHops = 4) // replay: no-op
+      r._1.groupBy(col("id").as("p_partkey"))
+        .agg(min("arr_us").as("arrival_us"))
+        .orderBy("p_partkey")
+    }),
+
     // S26 — streaming funnel progression: q33's view→click→purchase
     // stage sets maintained exactly under out-of-order arrival (a late
     // earlier view retroactively re-qualifies clicks — the state keeps
@@ -910,6 +949,10 @@ object StreamQueries {
     // s27's maintained labels must equal the one-shot CC.
     "s27_incremental_cc" ->
       graft.queries.GraphQueries.oracles("g06_connected_components"),
+
+    // s43's maintained labels must equal the one-shot restless read.
+    "s43_restless_maintenance" ->
+      graft.queries.GraphQueries.oracles("g45_restless_arrival"),
 
     // s27b: the one-shot CC over the SURVIVING tree edges — g06's
     // recursive walk over the binary part hierarchy minus the severed

@@ -548,6 +548,78 @@ object Streams {
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  /** S43 — incremental δ-RESTLESS REACHABILITY maintenance: fold one
+    * micro-batch of temporal edges (src, dst, dep_us, arr_us) into the
+    * maintained restless label table — continuous ingestion for the
+    * g45 temporal-path read. State = (labels with their MINIMUM walk
+    * depth, live edge set). Labels carry dmin because the hop bound
+    * makes depth part of reachability: a new edge can both CREATE
+    * labels and IMPROVE an existing label's depth, and an improvement
+    * frees expansion budget that was previously exhausted — so the
+    * fold is a delta iteration on the (dmin min-lattice):
+    * 1. candidates = current labels × the NEW edges (δ-usable,
+    *    depth + 1 ≤ maxHops) — new edges connecting existing labels;
+    * 2. loop ≤ maxHops times: keep candidates that are new (id, arr)
+    *    labels or strictly smaller dmin, merge (min), and expand the
+    *    improved slice through ALL live edges — the cascade a new edge
+    *    unlocks through edges that arrived long ago. Each cascade step
+    *    increases depth by 1, so maxHops rounds provably drain it.
+    * Replaying a batch is a natural no-op (set-union edges, min-merge
+    * labels — both idempotent). The maintained (id, min arr) read
+    * equals the one-shot [[graft.ops.Graphs.restlessEarliestArrival]]
+    * REGARDLESS of edge arrival order (StreamingSpec: shuffled batches,
+    * a cascade-unlocking last edge, replay; the s43 registry entry
+    * holds 3 hash-split batches + a replay to g45's oracle).
+    * Seeds are FIXED entry labels supplied up front (the caller's
+    * anchor events) — the incremental contract, matching the TVF's
+    * seeds-as-input surface.
+    */
+  def restlessApplyBatch(s: org.apache.spark.sql.SparkSession,
+      labels: DataFrame, liveEdges: DataFrame, newEdges: DataFrame,
+      deltaUs: Long, maxHops: Int): (DataFrame, DataFrame) = {
+    val eNew = newEdges.select(col("src").cast("long"),
+        col("dst").cast("long"), col("dep_us").cast("long"),
+        col("arr_us").cast("long")).distinct()
+      .transform(graft.ops.Checkpoints.cut)
+    val live = liveEdges.unionByName(eNew).distinct()
+      .transform(graft.ops.Checkpoints.cut)
+    def expand(from: DataFrame, through: DataFrame): DataFrame = from
+      .filter(col("dmin") < maxHops)
+      .select(col("id").as("f_id"), col("arr_us").as("f_arr"),
+        col("dmin"))
+      .join(through, col("f_id") === col("src"))
+      .filter(col("dep_us") >= col("f_arr") &&
+        col("dep_us") <= col("f_arr") + deltaUs)
+      .groupBy(col("dst").as("id"), col("arr_us"))
+      .agg(min(col("dmin") + 1).as("dmin"))
+    var lab = labels
+    var cand = expand(lab, eNew)
+    var round = 0
+    var more = true
+    while (more) {
+      round += 1
+      // every cascade step raises depth by 1 and depths are ≤ maxHops,
+      // so maxHops improvement rounds provably drain the delta; going
+      // past that means a bug, and a WRONG label table must not ship
+      if (round > maxHops) throw new IllegalStateException(
+        s"restlessApplyBatch: cascade not drained after $maxHops rounds")
+      val improved = cand
+        .join(lab.select(col("id"), col("arr_us"),
+          col("dmin").as("d_old")), Seq("id", "arr_us"), "left_outer")
+        .filter(col("d_old").isNull || col("dmin") < col("d_old"))
+        .select(col("id"), col("arr_us"), col("dmin"))
+        .transform(graft.ops.Checkpoints.cut)
+      more = improved.limit(1).count() > 0
+      if (more) {
+        lab = lab.unionByName(improved).groupBy("id", "arr_us")
+          .agg(min("dmin").as("dmin"))
+          .transform(graft.ops.Checkpoints.cut)
+        cand = expand(improved, live)
+      }
+    }
+    (lab, live)
+  }
+
   /** S28 rows: per-user coalesced validity spans, maintained live. */
   case class HoldEv(user_id: Long, start_us: Long, end_us: Long)
   case class Span(start_us: Long, end_us: Long, n: Long)

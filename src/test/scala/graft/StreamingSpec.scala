@@ -1042,6 +1042,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(snap() == oneShot)
   }
 
+  test("S43 restless maintenance: shuffled edge arrival == one-shot; a " +
+      "late edge CASCADES through long-arrived edges; replay no-op") {
+    import spark.implicits._
+    // the g45 hand fixture (parallel edges, stranding, delta boundary)
+    val edges = Seq(
+      (1L, 2L, 150L, 200L), (1L, 2L, 160L, 200L), (1L, 2L, 400L, 450L),
+      (2L, 3L, 210L, 300L), (2L, 6L, 300L, 310L), (1L, 4L, 110L, 120L),
+      (4L, 5L, 500L, 510L), (3L, 4L, 310L, 420L))
+    val seeds = Seq((1L, 100L)).toDF("id", "arr_us")
+    val oneShot = graft.ops.Graphs.restlessEarliestArrival(spark,
+        edges.toDF("src", "dst", "dep_us", "arr_us"), seeds,
+        deltaUs = 100L, maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def drive(batches: Seq[Seq[(Long, Long, Long, Long)]])
+        : Map[Long, Long] = {
+      var labels = seeds.withColumn("dmin", lit(1))
+      var live = Seq.empty[(Long, Long, Long, Long)]
+        .toDF("src", "dst", "dep_us", "arr_us")
+      implicit val sq = spark.sqlContext
+      val source = MemoryStream[(Long, Long, Long, Long)]
+      val q = source.toDF().toDF("src", "dst", "dep_us", "arr_us")
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val r = Streams.restlessApplyBatch(spark, labels, live, batch,
+              deltaUs = 100L, maxHops = 5)
+            labels = r._1; live = r._2
+            ()
+        }.start()
+      try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      labels.groupBy("id").agg(min("arr_us").as("a"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    // (a) bit-reversal-ish shuffled arrival in 3 batches
+    val shuffled = Seq(
+      Seq(edges(7), edges(2), edges(4)),
+      Seq(edges(0), edges(6), edges(3)),
+      Seq(edges(5), edges(1)))
+    assert(drive(shuffled) == oneShot)
+    // (b) the 1→2 entry edges arrive LAST: everything downstream
+    // (2→3, 3→4, 4→5, 2→6 — long arrived) must light up in ONE fold,
+    // the full-depth cascade through the live edge set
+    val cascade = Seq(edges.drop(2), Seq(edges(0), edges(1)))
+    assert(drive(cascade) == oneShot)
+    // (c) replay idempotence: feeding the whole set twice changes nothing
+    assert(drive(Seq(edges, edges)) == oneShot)
+  }
+
   test("S27b from a real stream: foreachBatch CDC fold (inserts + deletes) " +
       "== from-scratch CC after every batch") {
     import spark.implicits._
