@@ -2051,10 +2051,17 @@ object Graphs {
       .transform(Checkpoints.cut)
     var frontier = labels
     var hop = 1
-    var more = frontier.limit(1).count() > 0
-    while (hop < maxHops && more) {
+    var rows = frontier.count()
+    while (hop < maxHops && rows > 0) {
       hop += 1
-      val expanded = frontier
+      // adaptive frontier broadcast (the bfsDepthsDF discipline): the
+      // checkpointed frontier carries no stats, so without the explicit
+      // hint Catalyst would plan a shuffle join and move the FULL edge
+      // list every round; small frontiers — the normal case for a
+      // depth-bounded temporal expansion — ship as broadcasts instead.
+      val probe = if (rows <= FrontierBroadcastRows) broadcast(frontier)
+        else frontier
+      val expanded = probe
         .select(col("id").as("f_id"), col("arr_us").as("f_arr"))
         .join(e, col("f_id") === col("src"))
         .filter(col("dep_us") >= col("f_arr") &&
@@ -2063,8 +2070,8 @@ object Graphs {
         .distinct()
       frontier = expanded.join(labels, Seq("id", "arr_us"), "left_anti")
         .transform(Checkpoints.cut)
-      more = frontier.limit(1).count() > 0
-      if (more)
+      rows = frontier.count()
+      if (rows > 0)
         labels = labels.unionAll(frontier).transform(Checkpoints.cut)
     }
     labels.groupBy("id").agg(min(col("arr_us")).as("arrival_us"))
@@ -2095,10 +2102,13 @@ object Graphs {
       .transform(Checkpoints.cut)
     var acc = level.groupBy("id").agg(sum("n").as("n_walks"))
     var hop = 1
-    var more = level.limit(1).count() > 0
-    while (hop < maxHops && more) {
+    var rows = level.count()
+    while (hop < maxHops && rows > 0) {
       hop += 1
-      level = level
+      // adaptive level broadcast — see restlessEarliestArrival
+      val probe = if (rows <= FrontierBroadcastRows) broadcast(level)
+        else level
+      level = probe
         .select(col("id").as("f_id"), col("arr_us").as("f_arr"), col("n"))
         .join(e, col("f_id") === col("src"))
         .filter(col("dep_us") >= col("f_arr") &&
@@ -2106,8 +2116,8 @@ object Graphs {
         .groupBy(col("dst").as("id"), col("arr_us"))
         .agg(sum("n").as("n"))
         .transform(Checkpoints.cut)
-      more = level.limit(1).count() > 0
-      if (more)
+      rows = level.count()
+      if (rows > 0)
         acc = acc.unionByName(level.groupBy("id").agg(sum("n").as("n_walks")))
     }
     acc.groupBy("id").agg(sum("n_walks").as("n_walks"))
@@ -2148,9 +2158,13 @@ object Graphs {
       .transform(Checkpoints.cut)
     val fwd = scala.collection.mutable.ArrayBuffer((1, level))
     var hop = 1
-    while (hop < maxHops && level.limit(1).count() > 0) {
+    var rows = level.count()
+    while (hop < maxHops && rows > 0) {
       hop += 1
-      level = level
+      // adaptive level broadcast — see restlessEarliestArrival
+      val probe = if (rows <= FrontierBroadcastRows) broadcast(level)
+        else level
+      level = probe
         .select(col("id").as("f_id"), col("arr_us").as("f_arr"), col("n"))
         .join(e, col("f_id") === col("src"))
         .filter(col("dep_us") >= col("f_arr") &&
@@ -2158,16 +2172,20 @@ object Graphs {
         .groupBy(col("dst").as("id"), col("arr_us"))
         .agg(sum("n").as("n"))
         .transform(Checkpoints.cut)
-      fwd += ((hop, level))
+      rows = level.count()
+      if (rows > 0) fwd += ((hop, level))
     }
     // reachable label domain (id, arr_us) with its continuation counts
     // cont_r, built upward from cont_0 = 1 (the empty continuation)
     val labels = fwd.map(_._2.select("id", "arr_us"))
       .reduce(_.unionAll(_)).distinct().transform(Checkpoints.cut)
+    val labelRows = labels.count()
+    val labelProbe = if (labelRows <= FrontierBroadcastRows)
+      broadcast(labels) else labels
     var cont = labels.withColumn("c", lit(1L)).transform(Checkpoints.cut)
     val contAt = scala.collection.mutable.Map(0 -> cont)
     for (r <- 1 until maxHops) {
-      val stepped = labels
+      val stepped = labelProbe
         .select(col("id").as("l_id"), col("arr_us").as("l_arr"))
         .join(e, col("l_id") === col("src"))
         .filter(col("dep_us") >= col("l_arr") &&

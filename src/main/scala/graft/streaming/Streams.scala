@@ -583,17 +583,30 @@ object Streams {
       .transform(graft.ops.Checkpoints.cut)
     val live = liveEdges.unionByName(eNew).distinct()
       .transform(graft.ops.Checkpoints.cut)
-    def expand(from: DataFrame, through: DataFrame): DataFrame = from
-      .filter(col("dmin") < maxHops)
-      .select(col("id").as("f_id"), col("arr_us").as("f_arr"),
-        col("dmin"))
-      .join(through, col("f_id") === col("src"))
-      .filter(col("dep_us") >= col("f_arr") &&
-        col("dep_us") <= col("f_arr") + deltaUs)
-      .groupBy(col("dst").as("id"), col("arr_us"))
-      .agg(min(col("dmin") + 1).as("dmin"))
+    // adaptive broadcast (the bfsDepthsDF discipline): checkpointed
+    // frames carry no stats, so hint the smaller join side explicitly —
+    // batch-sized new-edge sets and cascade slices are small next to
+    // the accumulated label table / live edge list.
+    val bcastRows = graft.ops.Graphs.FrontierBroadcastRows
+    def expand(from: DataFrame, fromRows: Long, through: DataFrame,
+        throughRows: Long): DataFrame = {
+      val f0 = from.filter(col("dmin") < maxHops)
+        .select(col("id").as("f_id"), col("arr_us").as("f_arr"),
+          col("dmin"))
+      val (f, t) =
+        if (fromRows <= throughRows && fromRows <= bcastRows)
+          (broadcast(f0), through)
+        else if (throughRows <= bcastRows) (f0, broadcast(through))
+        else (f0, through)
+      f.join(t, col("f_id") === col("src"))
+        .filter(col("dep_us") >= col("f_arr") &&
+          col("dep_us") <= col("f_arr") + deltaUs)
+        .groupBy(col("dst").as("id"), col("arr_us"))
+        .agg(min(col("dmin") + 1).as("dmin"))
+    }
+    val liveRows = live.count()
     var lab = labels
-    var cand = expand(lab, eNew)
+    var cand = expand(lab, lab.count(), eNew, eNew.count())
     var round = 0
     var more = true
     while (more) {
@@ -609,12 +622,13 @@ object Streams {
         .filter(col("d_old").isNull || col("dmin") < col("d_old"))
         .select(col("id"), col("arr_us"), col("dmin"))
         .transform(graft.ops.Checkpoints.cut)
-      more = improved.limit(1).count() > 0
+      val improvedRows = improved.count()
+      more = improvedRows > 0
       if (more) {
         lab = lab.unionByName(improved).groupBy("id", "arr_us")
           .agg(min("dmin").as("dmin"))
           .transform(graft.ops.Checkpoints.cut)
-        cand = expand(improved, live)
+        cand = expand(improved, improvedRows, live, liveRows)
       }
     }
     (lab, live)
