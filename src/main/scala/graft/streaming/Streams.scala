@@ -469,21 +469,31 @@ object Streams {
       liveEdges: DataFrame, inserts: DataFrame, deletes: DataFrame)
       : (DataFrame, DataFrame) = {
     val del = deletes.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct()
-    val (liveDel, labels1) = if (del.isEmpty) (liveEdges, labels) else {
-      val liveD = liveEdges.join(del, Seq("src", "dst"), "left_anti")
+      .distinct().transform(graft.ops.Checkpoints.cut)
+    val delRows = del.count()
+    // adaptive hint (the bfsDepthsDF discipline): the delete batch and
+    // everything derived from it (endpoints, touched component ids) are
+    // batch-sized — broadcast them against the accumulated tables when
+    // small instead of letting the stats-less checkpointed frames fall
+    // back to shuffle joins of the full state.
+    def hint(df: DataFrame): DataFrame =
+      if (delRows <= graft.ops.Graphs.FrontierBroadcastRows) broadcast(df)
+      else df
+    val (liveDel, labels1) = if (delRows == 0L) (liveEdges, labels) else {
+      val liveD = liveEdges.join(hint(del), Seq("src", "dst"), "left_anti")
         .transform(graft.ops.Checkpoints.cut)
       val delVerts = del.select(col("src").as("id"))
         .unionAll(del.select(col("dst").as("id"))).distinct()
-      val touched = labels.join(delVerts, Seq("id"), "left_semi")
+      val touched = labels.join(hint(delVerts), Seq("id"), "left_semi")
         .select("component").distinct()
         .transform(graft.ops.Checkpoints.cut) // read 3×: carve+anti+CC
-      val subVerts = labels.join(touched, Seq("component"), "left_semi")
+      val subVerts = labels.join(hint(touched), Seq("component"),
+        "left_semi")
       val sub = liveD.join(subVerts.select(col("id").as("src")),
         Seq("src"), "left_semi")
       val recolored = graft.ops.Graphs.connectedComponentsDF(s, sub)
         .select(col("id"), col("component"))
-      (liveD, labels.join(touched, Seq("component"), "left_anti")
+      (liveD, labels.join(hint(touched), Seq("component"), "left_anti")
         .select(col("id"), col("component"))
         .unionByName(recolored)
         .transform(graft.ops.Checkpoints.cut))
