@@ -260,6 +260,14 @@ object SimIndex {
     */
   private def residualPsi(ref: DataFrame, live: DataFrame): Double = {
     val spark = ref.sparkSession
+    // An EMPTY live histogram (empty intake micro-batch, or a batch of
+    // all zero-norm vectors whose null residual rows the histogram's
+    // domain join drops) is NO EVIDENCE, not drift: with n_live = 0
+    // every live share would floor to eps and the PSI would read
+    // ≈ ln(1/eps) — an empty foreachBatch invocation spuriously firing
+    // a full k-means rebuild. Short-circuit to "no drift".
+    val nLive = live.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    if (nLive == 0L) return 0.0
     val domain = spark.range(0, ResBuckets + 1)
       .select(col("id").as("rbucket"))
     val eps = 1e-4
@@ -327,8 +335,16 @@ object SimIndex {
       appendIvfIndex(newVecs, prefix)
       false
     } else {
+      // `_vectors` holds one row per PROBED bucket — nprobe copies per
+      // vector. The rebuild corpus must be the TRUE corpus (one row per
+      // vec_id): without the dedup an nprobe > 1 index would retrain
+      // k-means on a weight-skewed multiset, re-assign over duplicated
+      // rows (losing probe diversity, multiplying rows up to nprobe²),
+      // and record a signature over the duplicated corpus that silently
+      // breaks isFresh against the real base.
       val full = spark.table(s"${prefix}_vectors")
         .select(col("vec_id"), col("embedding"))
+        .dropDuplicates("vec_id")
         .unionByName(newVecs.select(col("vec_id"), col("embedding")))
         .transform(Checkpoints.cut) // materialize BEFORE the overwrite
       writeIvfIndex(full, prefix, p("k"), p("nprobe"), p("buckets"))

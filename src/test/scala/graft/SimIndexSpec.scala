@@ -244,6 +244,63 @@ class SimIndexSpec extends SparkSpecBase {
       df(cluster(5, 5, 900L)), "ivfdrift"))
   }
 
+  test("drift refresh at nprobe=2: rebuild dedups the probed-copy rows " +
+      "(no corpus inflation, signature fresh); empty batch is a no-drift no-op") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx(Seq("ivfnp2", "ivfnp2one").flatMap(p => Seq(s"${p}_centroids",
+      s"${p}_vectors", s"${p}_meta", s"${p}_res_hist")): _*)
+    val dim = 8
+    def cluster(axis: Int, n: Int, idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)(0f)
+        v(axis) = 1f
+        (0 until dim).foreach(d =>
+          v(d) += (((idBase + i) * 31 + d * 7) % 11 - 5) * 0.01f)
+        (idBase + i, v.toSeq)
+      }
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    val corpusA = cluster(0, 40, 0L) ++ cluster(1, 40, 100L) ++
+      cluster(2, 40, 200L)
+    val batchB = cluster(5, 30, 500L) ++ cluster(6, 30, 600L)
+    val full = corpusA ++ batchB
+
+    SimIndex.writeIvfIndex(df(corpusA), "ivfnp2", k = 5, nprobe = 2,
+      buckets = 4)
+    // _vectors carries nprobe copies per vec by design
+    val copies = spark.table("ivfnp2_vectors").count()
+    assert(copies == 2L * corpusA.size, s"expected nprobe copies, got $copies")
+
+    // EMPTY intake batch: the PSI gate must short-circuit (no evidence
+    // != drift) — no rebuild, centroids untouched.
+    val centsBefore = spark.table("ivfnp2_centroids").collect().toSet
+    assert(!SimIndex.appendIvfIndexWithRefresh(df(corpusA).limit(0), "ivfnp2"))
+    assert(spark.table("ivfnp2_centroids").collect().toSet == centsBefore)
+    assert(SimIndex.isFresh(spark, "ivfnp2", df(corpusA)))
+
+    // drifted batch fires the rebuild; the retrain corpus must be the
+    // TRUE corpus (deduped), so row count is exactly nprobe × |A ∪ B|,
+    // each vec_id appears exactly nprobe times, and the signature is
+    // fresh against the real base (not the probed-copy multiset).
+    assert(SimIndex.appendIvfIndexWithRefresh(df(batchB), "ivfnp2"))
+    val v = spark.table("ivfnp2_vectors")
+    assert(v.count() == 2L * full.size,
+      "rebuild inflated the corpus by probed copies")
+    assert(v.groupBy("vec_id").count().filter(col("count") =!= 2L).count() == 0L)
+    assert(SimIndex.isFresh(spark, "ivfnp2", df(full)))
+
+    // maintained == one-shot nprobe=2 build on the post-drift corpus
+    SimIndex.writeIvfIndex(df(full), "ivfnp2one", k = 5, nprobe = 2,
+      buckets = 4)
+    def partition(prefix: String): Set[Set[Long]] =
+      spark.table(s"${prefix}_vectors").select("vec_id", "bucket")
+        .collect().groupBy(_.getInt(1)).values
+        .map(_.map(_.getLong(0)).toSet).toSet
+    assert(partition("ivfnp2") == partition("ivfnp2one"))
+  }
+
   test("IVF index: within-bucket join is Exchange-free and matches fresh assignment") {
     graft.functions.VecFunctions.ensureRegistered(spark)
     dropIdx("ivfidx_centroids", "ivfidx_vectors")

@@ -376,40 +376,42 @@ class StreamingSpec extends SparkSpecBase {
       (r.getAs[Long]("ttl_total"), r.getAs[Long]("all_total"))
     }
 
-    // Direction 1 — a generous TTL (10 min) does NOT expire between two
-    // back-to-back batches: the TTL'd counter accumulates like the
-    // control.
-    val s1 = MemoryStream[Streams.TtlIn]
-    val q1 = Streams.ttlCounterStream(s1.toDS(),
-        java.time.Duration.ofMinutes(10))
-      .writeStream.format("memory").queryName("ttl_long")
-      .outputMode(OutputMode.Update()).start()
+    // ONE outer try/finally around both directions: a failure anywhere
+    // (including direction 1) must not leak the changed no-data-batch
+    // conf into the rest of the suite.
     try {
-      s1.addData(Streams.TtlIn(1L, 5L)); q1.processAllAvailable()
-      s1.addData(Streams.TtlIn(1L, 2L)); q1.processAllAvailable()
-      assert(lastRow("ttl_long", 1L) == ((7L, 7L)))
-    } finally q1.stop()
+      // Direction 1 — a generous TTL (10 min) does NOT expire between two
+      // back-to-back batches: the TTL'd counter accumulates like the
+      // control.
+      val s1 = MemoryStream[Streams.TtlIn]
+      val q1 = Streams.ttlCounterStream(s1.toDS(),
+          java.time.Duration.ofMinutes(10))
+        .writeStream.format("memory").queryName("ttl_long")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        s1.addData(Streams.TtlIn(1L, 5L)); q1.processAllAvailable()
+        s1.addData(Streams.TtlIn(1L, 2L)); q1.processAllAvailable()
+        assert(lastRow("ttl_long", 1L) == ((7L, 7L)))
+      } finally q1.stop()
 
-    // Direction 2 — a 1 s TTL with a 4 s silent gap: the TTL'd counter
-    // is ABSENT at the next read (restarts at the new batch's rows)
-    // while the NONE-TTL control still carries the full total — the
-    // expiry is the TTL's doing, not state loss. Bounds are generous:
-    // the sleep is 4× the TTL, and nothing asserts timing BELOW the
-    // TTL on this query (no flakiness window on a loaded box).
-    val s2 = MemoryStream[Streams.TtlIn]
-    val q2 = Streams.ttlCounterStream(s2.toDS(),
-        java.time.Duration.ofSeconds(1))
-      .writeStream.format("memory").queryName("ttl_short")
-      .outputMode(OutputMode.Update()).start()
-    try {
-      s2.addData(Streams.TtlIn(9L, 5L)); q2.processAllAvailable()
-      Thread.sleep(4000L)
-      s2.addData(Streams.TtlIn(9L, 2L)); q2.processAllAvailable()
-      assert(lastRow("ttl_short", 9L) == ((2L, 7L)))
-    } finally {
-      q2.stop()
-      spark.conf.set(ndKey, ndPrev)
-    }
+      // Direction 2 — a 1 s TTL with a 4 s silent gap: the TTL'd counter
+      // is ABSENT at the next read (restarts at the new batch's rows)
+      // while the NONE-TTL control still carries the full total — the
+      // expiry is the TTL's doing, not state loss. Bounds are generous:
+      // the sleep is 4× the TTL, and nothing asserts timing BELOW the
+      // TTL on this query (no flakiness window on a loaded box).
+      val s2 = MemoryStream[Streams.TtlIn]
+      val q2 = Streams.ttlCounterStream(s2.toDS(),
+          java.time.Duration.ofSeconds(1))
+        .writeStream.format("memory").queryName("ttl_short")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        s2.addData(Streams.TtlIn(9L, 5L)); q2.processAllAvailable()
+        Thread.sleep(4000L)
+        s2.addData(Streams.TtlIn(9L, 2L)); q2.processAllAvailable()
+        assert(lastRow("ttl_short", 9L) == ((2L, 7L)))
+      } finally q2.stop()
+    } finally spark.conf.set(ndKey, ndPrev)
   }
 
   test("streaming G_session construction == batch sessionEdges") {
