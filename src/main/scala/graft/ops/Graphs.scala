@@ -1808,6 +1808,31 @@ object Graphs {
     g.triangleCount().vertices.map(_._2.toLong).reduce(_ + _) / 3
   }
 
+  /** G32 — truncated Katz centrality, EXACT integers: walk counts of
+    * length 1..3 ending at each vertex (c_{k+1} = A^T c_k — one edge
+    * join + vertex groupBy per round, the sparse matvec shape that
+    * scales as rounds × one shuffle), combined with attenuation β = 1/4
+    * scaled by 4³: katz_x64 = 16·c1 + 4·c2 + c3. Integer walk counts
+    * make the truncated Katz sum hash-exact — no float power iteration.
+    * Returns (id, w1, w2, w3, katz_x64); ranking/limits stay with the
+    * caller. Edges are checkpoint-cut internally (three walk rounds
+    * re-read them).
+    */
+  def katzX64(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select("src", "dst").transform(Checkpoints.cut)
+    val c1 = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("c"))
+    def step(prev: DataFrame): DataFrame =
+      edges.join(prev.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum("c").as("c"))
+    val c2 = step(c1)
+    val c3 = step(c2)
+    c1.select(col("id"), col("c").as("w1"))
+      .join(c2.select(col("id"), col("c").as("w2")), "id")
+      .join(c3.select(col("id"), col("c").as("w3")), "id")
+      .select(col("id"), col("w1"), col("w2"), col("w3"),
+        (col("w1") * 16 + col("w2") * 4 + col("w3")).as("katz_x64"))
+  }
+
   /** Static PageRank, fixed iteration count (tolerance-gated, SURVEY G08). */
   def pageRank(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     val ranks = toGraph(edges).staticPageRank(iters).vertices

@@ -664,18 +664,9 @@ object GraphQueries {
     // attenuated-influence read PageRank's normalization hides: a
     // vertex's score counts its short walk catchment directly.
     "g32_katz" -> ((s, dir) => {
-      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
-      val c1 = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("c"))
-      def step(prev: DataFrame): DataFrame =
-        edges.join(prev.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id")).agg(sum("c").as("c"))
-      val c2 = step(c1)
-      val c3 = step(c2)
-      c1.select(col("id"), col("c").as("w1"))
-        .join(c2.select(col("id"), col("c").as("w2")), "id")
-        .join(c3.select(col("id"), col("c").as("w3")), "id")
+      Graphs.katzX64(Graphs.copartEdges(s, dir))
         .select(col("id").as("part_id"), col("w1"), col("w2"), col("w3"),
-          (col("w1") * 16 + col("w2") * 4 + col("w3")).as("katz_x64"))
+          col("katz_x64"))
         .orderBy(col("katz_x64").desc, col("part_id").asc)
         .limit(100)
     }),
@@ -1139,6 +1130,110 @@ object GraphQueries {
           maxHops = 8)
         .select(col("id").as("event_id"), col("duration_us"))
         .orderBy("event_id")
+    }),
+
+    // G10d/e/f (r16) — the plain temporal-path TRIPLE from pure SQL via
+    // the temporal_arrival / latest_departure / fastest_journey TVFs
+    // (the engine's signature traversal should not be harder to reach
+    // from SQL than its restless generalization, which got its door in
+    // r15). Each twin computes the same driver-side seed as its Scala
+    // sibling, splices the same plan through the TVF, and is held to
+    // the sibling's oracle verbatim.
+    "g10d_temporal_path_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val ev = Tables.load(s, dir, "events")
+      val seedRow = ev.orderBy("event_id")
+        .select(col("event_id"), graft.Det.epochUs(col("ts"))).head()
+      Graphs.sessionEdges(s, dir).createOrReplaceTempView("graft_g10d_edges")
+      s.sql(s"""SELECT id AS event_id,
+        |  timestamp_micros(arrival_us) AS arrival_ts
+        |FROM temporal_arrival('graft_g10d_edges', ${seedRow.getLong(0)},
+        |                      ${seedRow.getLong(1)}, 8)
+        |ORDER BY event_id""".stripMargin)
+    }),
+
+    "g10e_latest_departure_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val ev = Tables.load(s, dir, "events")
+      val seedUser = ev.orderBy("event_id").select(col("user_id")).head()
+        .getLong(0)
+      val tgt = ev.filter(col("user_id") === seedUser)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .select(col("event_id"), graft.Det.epochUs(col("ts"))).head()
+      Graphs.sessionEdges(s, dir).createOrReplaceTempView("graft_g10e_edges")
+      s.sql(s"""SELECT id AS event_id,
+        |  timestamp_micros(depart_us) AS depart_ts
+        |FROM latest_departure('graft_g10e_edges', ${tgt.getLong(0)},
+        |                      ${tgt.getLong(1)}, 8)
+        |ORDER BY event_id""".stripMargin)
+    }),
+
+    "g10f_fastest_journey_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val ev = Tables.load(s, dir, "events")
+      val seedId = ev.orderBy("event_id").select(col("event_id")).head()
+        .getLong(0)
+      Graphs.sessionEdges(s, dir).createOrReplaceTempView("graft_g10f_edges")
+      s.sql(s"""SELECT id AS event_id, duration_us
+        |FROM fastest_journey('graft_g10f_edges', $seedId, 8)
+        |ORDER BY event_id""".stripMargin)
+    }),
+
+    // G07b/G14b/G22b/G32b (r16) — the second-tier graph SQL door:
+    // triangles, k-core, k-truss and Katz through their TVFs, held to
+    // the Scala siblings' hash oracles verbatim (same plan, same exact
+    // integers).
+    "g07b_triangles_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartPairs(s, dir).createOrReplaceTempView("graft_g07b_pairs")
+      s.sql("SELECT n_triangles FROM triangles('graft_g07b_pairs', 'x', 'y')")
+    }),
+
+    "g14b_kcore_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir).createOrReplaceTempView("graft_g14b_edges")
+      s.sql("""SELECT id, deg
+        |FROM k_core('graft_g14b_edges', 'src', 'dst', 2, 3)
+        |ORDER BY id""".stripMargin)
+    }),
+
+    "g22b_ktruss_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartPairs(s, dir).createOrReplaceTempView("graft_g22b_pairs")
+      s.sql("""SELECT x, y
+        |FROM k_truss('graft_g22b_pairs', 'x', 'y', 3, 2)
+        |ORDER BY x, y""".stripMargin)
+    }),
+
+    "g32b_katz_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir).createOrReplaceTempView("graft_g32b_edges")
+      s.sql("""SELECT id AS part_id, w1, w2, w3, katz_x64
+        |FROM katz('graft_g32b_edges', 'src', 'dst')
+        |ORDER BY katz_x64 DESC, part_id LIMIT 100""".stripMargin)
+    }),
+
+    // G18b/G08d (r16) — HITS and personalized PageRank from pure SQL.
+    // Tolerance-family like g08c (float iteration): no DuckDB oracle;
+    // GraphOpsSpec gates each row-for-row equal to its Scala sibling
+    // (identical plan ⇒ bit-identical floats).
+    "g18b_hits_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.supplyEdges(s, dir).select("src", "dst")
+        .createOrReplaceTempView("graft_g18b_edges")
+      s.sql("""SELECT id, round(auth * 1000, 4) AS auth_k,
+        |  round(hub * 1000, 4) AS hub_k
+        |FROM hits('graft_g18b_edges', 'src', 'dst', 10)
+        |ORDER BY auth_k DESC, id LIMIT 20""".stripMargin)
+    }),
+
+    "g08d_ppr_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.supplyEdges(s, dir).select("src", "dst")
+        .createOrReplaceTempView("graft_g08d_edges")
+      s.sql(s"""SELECT id, round(rank * 1e6, 4) AS rank_ppm
+        |FROM ppr('graft_g08d_edges', 'src', 'dst', ${Graphs.CUST + 1L}, 10)
+        |ORDER BY rank_ppm DESC, id LIMIT 100""".stripMargin)
     })
   )
 
@@ -2327,5 +2422,12 @@ object GraphQueries {
     "g05c_bfs_sql" -> oraclesBase("g05_bfs_depth"),
     "g06b_cc_sql" -> oraclesBase("g06_connected_components"),
     "g40f_louvain_sql" -> oraclesBase("g40c_louvain_converged"),
-    "g43b_coreness_sql" -> oraclesBase("g43_coreness"))
+    "g43b_coreness_sql" -> oraclesBase("g43_coreness"),
+    "g10d_temporal_path_sql" -> oraclesBase("g10_temporal_path"),
+    "g10e_latest_departure_sql" -> oraclesBase("g10b_latest_departure"),
+    "g10f_fastest_journey_sql" -> oraclesBase("g10c_fastest_journey"),
+    "g07b_triangles_sql" -> oraclesBase("g07_triangles"),
+    "g14b_kcore_sql" -> oraclesBase("g14_kcore"),
+    "g22b_ktruss_sql" -> oraclesBase("g22_ktruss"),
+    "g32b_katz_sql" -> oraclesBase("g32_katz"))
 }

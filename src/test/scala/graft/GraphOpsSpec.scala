@@ -1319,4 +1319,83 @@ class GraphOpsSpec extends SparkSpecBase {
       .collect().toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  // ---- r16 door completion: every remaining graph operator's SQL twin
+  // must splice the SAME plan as its Scala sibling, so row-for-row
+  // equality on the fixture is the gate (exact for the integer family,
+  // bit-identical for the float family — identical plan).
+
+  test("temporal-path TVF twins == Scala siblings row-for-row (g10d/e/f)") {
+    Seq("g10d_temporal_path_sql" -> "g10_temporal_path",
+        "g10e_latest_departure_sql" -> "g10b_latest_departure",
+        "g10f_fastest_journey_sql" -> "g10c_fastest_journey")
+      .foreach { case (twin, sibling) =>
+        val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
+        val b = SparkEntry.queries(sibling)(spark, sfDir).collect().toSeq
+        assert(a.nonEmpty && a == b, s"$twin != $sibling")
+      }
+  }
+
+  test("second-tier graph TVF twins == Scala siblings row-for-row " +
+      "(triangles, k-core, k-truss, katz, hits, ppr)") {
+    Seq("g07b_triangles_sql" -> "g07_triangles",
+        "g14b_kcore_sql" -> "g14_kcore",
+        "g22b_ktruss_sql" -> "g22_ktruss",
+        "g32b_katz_sql" -> "g32_katz",
+        "g18b_hits_sql" -> "g18_hits",
+        "g08d_ppr_sql" -> "g08b_ppr")
+      .foreach { case (twin, sibling) =>
+        val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
+        val b = SparkEntry.queries(sibling)(spark, sfDir).collect().toSeq
+        assert(a.nonEmpty && a == b, s"$twin != $sibling")
+      }
+  }
+
+  test("iterative graph TVFs memoize the converged plan: EXPLAIN pays " +
+      "once, re-analysis hits, replacing the view's data misses") {
+    import spark.implicits._
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    val tri1 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+    tri1.toDF("a", "b").createOrReplaceTempView("tvf_memo_edges")
+    val before = graft.functions.TableFunctions.memoizedPlanCount(spark)
+
+    // EXPLAIN executes the fix point ONCE and caches the converged plan
+    spark.sql(
+      "EXPLAIN SELECT * FROM pagerank('tvf_memo_edges', 'a', 'b', 3)")
+      .collect()
+    val afterExplain =
+      graft.functions.TableFunctions.memoizedPlanCount(spark)
+    assert(afterExplain == before + 1)
+
+    // the actual run re-analyzes the same invocation — cache hit, no new
+    // entry, and the result matches the Scala API
+    val r1 = spark.sql(
+      "SELECT * FROM pagerank('tvf_memo_edges', 'a', 'b', 3) ORDER BY id")
+      .collect().toSeq
+    assert(graft.functions.TableFunctions.memoizedPlanCount(spark)
+      == afterExplain)
+    assert(r1 == Graphs.pageRankDF(spark,
+      tri1.toDF("src", "dst"), 3).orderBy("id").collect().toSeq)
+
+    // different literal args → a different fix point → new entry
+    spark.sql("SELECT * FROM pagerank('tvf_memo_edges', 'a', 'b', 4)")
+      .collect()
+    assert(graft.functions.TableFunctions.memoizedPlanCount(spark)
+      == afterExplain + 1)
+
+    // REPLACING the view with different data is a cache MISS: the key is
+    // the canonicalized resolved plan (sameResult equality), so the TVF
+    // recomputes on the new data instead of serving a stale hit
+    val chain = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L))
+    chain.toDF("a", "b").createOrReplaceTempView("tvf_memo_edges")
+    val r2 = spark.sql(
+      "SELECT * FROM pagerank('tvf_memo_edges', 'a', 'b', 3) ORDER BY id")
+      .collect().toSeq
+    assert(graft.functions.TableFunctions.memoizedPlanCount(spark)
+      == afterExplain + 2)
+    assert(r2 == Graphs.pageRankDF(spark,
+      chain.toDF("src", "dst"), 3).orderBy("id").collect().toSeq)
+    assert(r2 != r1)
+  }
 }
