@@ -647,6 +647,53 @@ object StreamQueries {
         .orderBy("p_partkey")
     }),
 
+    // S43b — restless maintenance with RETRACTIONS (r16): the s43 fold
+    // plus one temporal-edge DELETE batch — edges with
+    // (src + dst) % 20 == 0 erased after the 3 insert batches, then the
+    // SAME delete batch replayed (taint + refold are idempotent). Seeds
+    // stay the FIXED entry labels computed from the full edge set (the
+    // caller's anchors survive the erasure — the s43 contract). Final
+    // min-arrival read == the one-shot g45 walk replay over the
+    // SURVIVING edges.
+    "s43b_restless_retraction" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"),
+        graft.Det.epochUs(col("l_shipdate")).as("dep_us"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"),
+        graft.Det.epochUs(col("l_shipdate")).as("arr_us"))
+      val edges = a.join(b, "l_orderkey")
+        .filter(col("src") =!= col("dst") && col("arr_us") > col("dep_us"))
+        .select("src", "dst", "dep_us", "arr_us").distinct()
+        .transform(graft.ops.Checkpoints.cut)
+      val seeds = edges
+        .orderBy(col("dep_us"), col("src"), col("dst"), col("arr_us"))
+        .limit(10)
+        .select(col("dst").as("id"), col("arr_us"))
+        .transform(graft.ops.Checkpoints.cut)
+      var labels = seeds.withColumn("dmin", lit(1))
+        .groupBy("id", "arr_us").agg(min("dmin").as("dmin"))
+        .transform(graft.ops.Checkpoints.cut)
+      var live = edges.limit(0)
+      val none = edges.limit(0)
+      val delta = 30L * 86400L * 1000000L
+      def slice(i: Int) = edges.filter(
+        pmod(xxhash64(col("src"), col("dst"), col("dep_us")), lit(3)) === i)
+      (0 to 2).foreach { i =>
+        val r = Streams.restlessApplyDelta(s, labels, live, slice(i), none,
+          seeds, deltaUs = delta, maxHops = 4)
+        labels = r._1; live = r._2
+      }
+      val dels = edges.filter((col("src") + col("dst")) % 20 === 0)
+      (1 to 2).foreach { _ => // second application replays: idempotent
+        val r = Streams.restlessApplyDelta(s, labels, live, none, dels,
+          seeds, deltaUs = delta, maxHops = 4)
+        labels = r._1; live = r._2
+      }
+      labels.groupBy(col("id").as("p_partkey"))
+        .agg(min("arr_us").as("arrival_us"))
+        .orderBy("p_partkey")
+    }),
+
     // S26 — streaming funnel progression: q33's view→click→purchase
     // stage sets maintained exactly under out-of-order arrival (a late
     // earlier view retroactively re-qualifies clicks — the state keeps
@@ -953,6 +1000,30 @@ object StreamQueries {
     // s43's maintained labels must equal the one-shot restless read.
     "s43_restless_maintenance" ->
       graft.queries.GraphQueries.oracles("g45_restless_arrival"),
+
+    // s43b: the one-shot restless walk replay over the SURVIVING edges
+    // — g45's enumeration with the deleted slice ((src+dst) % 20 == 0)
+    // filtered out of the walkable edge set, seeds still taken from the
+    // FULL edge set (fixed anchors, the maintained fold's contract).
+    "s43b_restless_retraction" ->
+      s"""WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+        |      epoch_us(CAST(a.l_shipdate AS TIMESTAMP)) AS dep,
+        |      epoch_us(CAST(b.l_shipdate AS TIMESTAMP)) AS arr
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE b.l_shipdate > a.l_shipdate),
+        |seeds AS (SELECT dst, arr FROM e0
+        |          ORDER BY dep, src, dst, arr LIMIT 10),
+        |e AS (SELECT * FROM e0 WHERE (src + dst) % 20 <> 0),
+        |walk(id, arr, dd) AS (
+        |  SELECT dst, arr, 1 FROM seeds
+        |  UNION
+        |  SELECT e.dst, e.arr, walk.dd + 1 FROM walk JOIN e ON e.src = walk.id
+        |  WHERE walk.dd < 4 AND e.dep >= walk.arr
+        |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L})
+        |SELECT id AS p_partkey, min(arr) AS arrival_us FROM walk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // s27b: the one-shot CC over the SURVIVING tree edges — g06's
     // recursive walk over the binary part hierarchy minus the severed

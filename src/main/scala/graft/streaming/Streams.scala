@@ -593,39 +593,57 @@ object Streams {
       .transform(graft.ops.Checkpoints.cut)
     val live = liveEdges.unionByName(eNew).distinct()
       .transform(graft.ops.Checkpoints.cut)
-    // adaptive broadcast (the bfsDepthsDF discipline): checkpointed
-    // frames carry no stats, so hint the smaller join side explicitly —
-    // batch-sized new-edge sets and cascade slices are small next to
-    // the accumulated label table / live edge list.
-    val bcastRows = graft.ops.Graphs.FrontierBroadcastRows
-    def expand(from: DataFrame, fromRows: Long, through: DataFrame,
-        throughRows: Long): DataFrame = {
-      val f0 = from.filter(col("dmin") < maxHops)
-        .select(col("id").as("f_id"), col("arr_us").as("f_arr"),
-          col("dmin"))
-      val (f, t) =
-        if (fromRows <= throughRows && fromRows <= bcastRows)
-          (broadcast(f0), through)
-        else if (throughRows <= bcastRows) (f0, broadcast(through))
-        else (f0, through)
-      f.join(t, col("f_id") === col("src"))
-        .filter(col("dep_us") >= col("f_arr") &&
-          col("dep_us") <= col("f_arr") + deltaUs)
-        .groupBy(col("dst").as("id"), col("arr_us"))
-        .agg(min(col("dmin") + 1).as("dmin"))
-    }
     val liveRows = live.count()
+    val cand = restlessExpand(labels, labels.count(), eNew, eNew.count(),
+      deltaUs, maxHops)
+    (restlessDrain(labels, cand, live, liveRows, deltaUs, maxHops), live)
+  }
+
+  /** One restless expansion step over the (dmin min-lattice) labels:
+    * every under-budget label stepped through `through`'s δ-usable
+    * edges, min-dmin per produced (id, arr_us). Adaptive broadcast (the
+    * bfsDepthsDF discipline): checkpointed frames carry no stats, so
+    * hint the smaller join side explicitly — batch-sized edge sets and
+    * cascade slices are small next to the accumulated label table /
+    * live edge list.
+    */
+  private def restlessExpand(from: DataFrame, fromRows: Long,
+      through: DataFrame, throughRows: Long, deltaUs: Long,
+      maxHops: Int): DataFrame = {
+    val bcastRows = graft.ops.Graphs.FrontierBroadcastRows
+    val f0 = from.filter(col("dmin") < maxHops)
+      .select(col("id").as("f_id"), col("arr_us").as("f_arr"),
+        col("dmin"))
+    val (f, t) =
+      if (fromRows <= throughRows && fromRows <= bcastRows)
+        (broadcast(f0), through)
+      else if (throughRows <= bcastRows) (f0, broadcast(through))
+      else (f0, through)
+    f.join(t, col("f_id") === col("src"))
+      .filter(col("dep_us") >= col("f_arr") &&
+        col("dep_us") <= col("f_arr") + deltaUs)
+      .groupBy(col("dst").as("id"), col("arr_us"))
+      .agg(min(col("dmin") + 1).as("dmin"))
+  }
+
+  /** Drain the restless cascade: merge candidates that are new labels
+    * or strict dmin improvements, re-expand the improved slice through
+    * ALL live edges, repeat until no improvement. Every cascade step
+    * raises depth by 1 and depths are ≤ maxHops, so maxHops improvement
+    * rounds provably drain it; going past that means a bug, and a WRONG
+    * label table must not ship.
+    */
+  private def restlessDrain(labels: DataFrame, cand0: DataFrame,
+      live: DataFrame, liveRows: Long, deltaUs: Long,
+      maxHops: Int): DataFrame = {
     var lab = labels
-    var cand = expand(lab, lab.count(), eNew, eNew.count())
+    var cand = cand0
     var round = 0
     var more = true
     while (more) {
       round += 1
-      // every cascade step raises depth by 1 and depths are ≤ maxHops,
-      // so maxHops improvement rounds provably drain the delta; going
-      // past that means a bug, and a WRONG label table must not ship
       if (round > maxHops) throw new IllegalStateException(
-        s"restlessApplyBatch: cascade not drained after $maxHops rounds")
+        s"restless cascade not drained after $maxHops rounds")
       val improved = cand
         .join(lab.select(col("id"), col("arr_us"),
           col("dmin").as("d_old")), Seq("id", "arr_us"), "left_outer")
@@ -638,10 +656,114 @@ object Streams {
         lab = lab.unionByName(improved).groupBy("id", "arr_us")
           .agg(min("dmin").as("dmin"))
           .transform(graft.ops.Checkpoints.cut)
-        cand = expand(improved, improvedRows, live, liveRows)
+        cand = restlessExpand(improved, improvedRows, live, liveRows,
+          deltaUs, maxHops)
       }
     }
-    (lab, live)
+    lab
+  }
+
+  /** S43b — restless maintenance with RETRACTIONS (r16 — the s27b
+    * discipline lifted to the dmin lattice): fold one micro-batch of
+    * temporal-edge INSERTS and DELETES into the maintained label table.
+    * A temporal-edge delete (GDPR erasure of a shipment/event) must
+    * invalidate every label whose supporting walk used the deleted
+    * edge; the label's walk set is not stored, so the fold is bounded
+    * INVALIDATE-AND-REFOLD:
+    *
+    * 1. TAINT — labels possibly supported by a deleted edge: each
+    *    deleted edge's (dst, arr_us) label, propagated forward ≤
+    *    maxHops rounds through the SURVIVING live edges (walk arrivals
+    *    strictly increase, so the propagation is acyclic; chain steps
+    *    through other deleted edges need no propagation — they are
+    *    taint roots themselves). Over-taint is safe (the refold
+    *    re-derives anything still reachable); under-taint is
+    *    impossible — every invalid derivation chain passes through some
+    *    deleted edge's dst label and is step-covered from there within
+    *    the ≤ maxHops-step depth budget a real derivation has.
+    * 2. DROP the tainted labels; re-union the caller's FIXED seed
+    *    labels (seeds are given entry points, never derived — a taint
+    *    landing on a seed must not erase it).
+    * 3. REFOLD — expand ALL surviving labels once through the surviving
+    *    live edges and drain the cascade. Survivors hold only
+    *    fully-valid derivations (sound start below the fix point), and
+    *    the seeds are present, so the drain's least fix point EQUALS
+    *    the one-shot [[graft.ops.Graphs.restlessEarliestArrival]] label
+    *    table on the surviving edge set — StreamingSpec pins a
+    *    severed-only-path case and the s43b registry entry holds the
+    *    fold to the g45 oracle over surviving edges.
+    *
+    * Inserts ride the existing delta fold (a delete-free batch takes
+    * exactly the [[restlessApplyBatch]] path, so the insert-only s43
+    * contract is untouched). Replaying a delete batch is idempotent:
+    * the taint re-fires, the refold re-derives the same fix point.
+    * Work scales with the taint's reach + one survivors × live-edge
+    * expansion — not with history, and never a from-scratch multi-round
+    * DP over the seeds.
+    */
+  def restlessApplyDelta(s: org.apache.spark.sql.SparkSession,
+      labels: DataFrame, liveEdges: DataFrame, insEdges: DataFrame,
+      delEdges: DataFrame, seeds: DataFrame, deltaUs: Long,
+      maxHops: Int): (DataFrame, DataFrame) = {
+    val dels = delEdges.select(col("src").cast("long"),
+        col("dst").cast("long"), col("dep_us").cast("long"),
+        col("arr_us").cast("long")).distinct()
+      .transform(graft.ops.Checkpoints.cut)
+    if (dels.isEmpty) {
+      restlessApplyBatch(s, labels, liveEdges, insEdges, deltaUs, maxHops)
+    } else {
+      val bcastRows = graft.ops.Graphs.FrontierBroadcastRows
+      val eNew = insEdges.select(col("src").cast("long"),
+          col("dst").cast("long"), col("dep_us").cast("long"),
+          col("arr_us").cast("long")).distinct()
+      val live = liveEdges.unionByName(eNew).distinct()
+        .join(dels, Seq("src", "dst", "dep_us", "arr_us"), "left_anti")
+        .transform(graft.ops.Checkpoints.cut)
+      val liveRows = live.count()
+      // 1. taint: roots at the deleted edges' (dst, arr) labels, then
+      // the forward closure over existing labels through live edges
+      var taint = labels
+        .join(dels.select(col("dst").as("id"), col("arr_us")).distinct(),
+          Seq("id", "arr_us"), "left_semi")
+        .select("id", "arr_us")
+        .transform(graft.ops.Checkpoints.cut)
+      var frontier = taint
+      var frontierRows = frontier.count()
+      var round = 0
+      while (frontierRows > 0 && round < maxHops) {
+        round += 1
+        val f0 = frontier.select(col("id").as("f_id"),
+          col("arr_us").as("f_arr"))
+        val f = if (frontierRows <= bcastRows) broadcast(f0) else f0
+        val stepped = f.join(live, col("f_id") === col("src"))
+          .filter(col("dep_us") >= col("f_arr") &&
+            col("dep_us") <= col("f_arr") + deltaUs)
+          .select(col("dst").as("id"), col("arr_us")).distinct()
+        frontier = stepped
+          .join(labels, Seq("id", "arr_us"), "left_semi")
+          .join(taint, Seq("id", "arr_us"), "left_anti")
+          .transform(graft.ops.Checkpoints.cut)
+        frontierRows = frontier.count()
+        if (frontierRows > 0)
+          taint = taint.unionByName(frontier)
+            .transform(graft.ops.Checkpoints.cut)
+      }
+      // 2. drop tainted, restore the fixed seeds
+      val seedLab = seeds.select(col("id").cast("long"),
+          col("arr_us").cast("long"))
+        .withColumn("dmin", lit(1))
+      val survivors = labels
+        .join(taint, Seq("id", "arr_us"), "left_anti")
+        .unionByName(seedLab)
+        .groupBy("id", "arr_us").agg(min("dmin").as("dmin"))
+        .transform(graft.ops.Checkpoints.cut)
+      // 3. refold from the survivors through the surviving edges
+      val survivorRows = survivors.count()
+      val cand = restlessExpand(survivors, survivorRows, live, liveRows,
+        deltaUs, maxHops)
+      (restlessDrain(survivors, cand, live, liveRows, deltaUs, maxHops),
+        live)
+    }
   }
 
   /** S28 rows: per-user coalesced validity spans, maintained live. */

@@ -1094,6 +1094,78 @@ class StreamingSpec extends SparkSpecBase {
     assert(drive(Seq(edges, edges)) == oneShot)
   }
 
+  test("S43b restless retractions: CDC fold (inserts + deletes) == " +
+      "one-shot on surviving edges after EVERY batch — severed paths " +
+      "drop, longer alternates re-derive with the correct depth budget") {
+    import spark.implicits._
+    // seed label (2, 10); short chain 2→3→4→6 via eA/eB/eE; longer
+    // alternate 2→5→3 via eC/eD. δ=100, maxHops=4: via the short chain
+    // vertex 6 is reachable at depth 4; via the alternate, 4 is depth 4
+    // and 6 falls OUT of budget — deleting eA must both drop the severed
+    // labels and re-derive (3, 4) at the DEEPER alternate depths.
+    val seeds = Seq((2L, 10L)).toDF("id", "arr_us")
+    val eA = (2L, 3L, 15L, 20L); val eB = (3L, 4L, 25L, 30L)
+    val eC = (2L, 5L, 12L, 18L); val eD = (5L, 3L, 19L, 22L)
+    val eE = (4L, 6L, 35L, 40L)
+    val batches: Seq[Seq[(Long, Long, Long, Long, Int)]] = Seq(
+      Seq(eA, eB, eE).map(e => (e._1, e._2, e._3, e._4, 1)),
+      Seq(eC, eD).map(e => (e._1, e._2, e._3, e._4, 1)),
+      Seq((eA._1, eA._2, eA._3, eA._4, -1)), // sever the short path
+      Seq((eC._1, eC._2, eC._3, eC._4, -1)), // sever the alternate too
+      Seq((eA._1, eA._2, eA._3, eA._4, 1),   // mixed: re-insert + delete
+        (eE._1, eE._2, eE._3, eE._4, -1)))
+    var es = Set.empty[(Long, Long, Long, Long)]
+    val liveAfter = batches.map { b =>
+      es = es ++ b.filter(_._5 > 0).map(r => (r._1, r._2, r._3, r._4)) --
+        b.filter(_._5 < 0).map(r => (r._1, r._2, r._3, r._4))
+      es.toSeq
+    }
+    def oneShot(edges: Seq[(Long, Long, Long, Long)]): Map[Long, Long] =
+      graft.ops.Graphs.restlessEarliestArrival(spark,
+          edges.toDF("src", "dst", "dep_us", "arr_us"), seeds,
+          deltaUs = 100L, maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    var labels = seeds.withColumn("dmin", lit(1))
+    var live = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("src", "dst", "dep_us", "arr_us")
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Long, Long, Int)]
+    val q = source.toDF().toDF("src", "dst", "dep_us", "arr_us", "op")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ins = batch.filter(col("op") > 0).drop("op")
+          val dels = batch.filter(col("op") < 0).drop("op")
+          val r = Streams.restlessApplyDelta(spark, labels, live, ins,
+            dels, seeds, deltaUs = 100L, maxHops = 4)
+          labels = r._1; live = r._2
+          snaps += labels.groupBy("id").agg(min("arr_us").as("a"))
+            .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+          ()
+      }.start()
+    try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    liveAfter.zip(snaps).zipWithIndex.foreach { case ((le, got), i) =>
+      assert(got == oneShot(le), s"batch $i: maintained != one-shot")
+    }
+    // after batch 2 the alternate carries 3/4 at DEEPER depths: 6 must
+    // be gone (depth budget), not merely re-derived
+    assert(snaps(2) == Map(2L -> 10L, 5L -> 18L, 3L -> 22L, 4L -> 30L))
+    // batch 3 severs the only remaining path: only the seed survives
+    assert(snaps(3) == Map(2L -> 10L))
+    // replaying the mixed batch is idempotent (taint re-fires, the
+    // refold re-derives the same fix point)
+    val r = Streams.restlessApplyDelta(spark, labels, live,
+      Seq(eA).toDF("src", "dst", "dep_us", "arr_us"),
+      Seq(eE).toDF("src", "dst", "dep_us", "arr_us"),
+      seeds, deltaUs = 100L, maxHops = 4)
+    assert(r._1.groupBy("id").agg(min("arr_us").as("a"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+      == snaps(4))
+  }
+
   test("S27b from a real stream: foreachBatch CDC fold (inserts + deletes) " +
       "== from-scratch CC after every batch") {
     import spark.implicits._
