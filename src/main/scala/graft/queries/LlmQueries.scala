@@ -37,6 +37,40 @@ object LlmQueries {
       .drop("body")
   }
 
+  /** L53b/L53c substrate: per-doc image EMBEDDINGS through the real PPM
+    * encode→parse round trip (the l53 codec path composed into the
+    * dedup/ANN machinery). Each doc's 8×8 RGB image derives from a
+    * CONTENT key (doc_id % 50 — ten docs share each base image, so
+    * near-dup pairs exist by construction) with 6 of the 192 channel
+    * values carrying per-doc md5 noise; the decoded pixels centered at
+    * 128 become the Array[Float] embedding. Every value is
+    * md5-grid-deterministic, so the DuckDB oracle replays
+    * pixels → embedding → cosine exactly. Returns (vec_id, embedding).
+    */
+  private def imageEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 8 * 8 * 3
+    val pix = docs(s, dir).select(col("doc_id"))
+      .withColumn("p", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("v", when(col("p") < 6,
+          graft.Det.md5Long(concat(col("doc_id"), lit("#"), col("p"))) % 256)
+        .otherwise(graft.Det.md5Long(
+          concat(col("doc_id") % 50, lit("_"), col("p"))) % 256)
+        .cast("int"))
+    val ppms = pix.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("p"), col("v")))).as("ps"))
+      .as[(Long, Seq[(Int, Int)])]
+      .map { case (id, ps) =>
+        (id, graft.ops.Media.encodePpm(8, 8, 255,
+          ps.map(_._2.toByte).toArray))
+      }
+      .toDF("doc_id", "payload")
+    graft.ops.Media.decodeImagePixels(ppms, "payload")
+      .select(col("doc_id").as("vec_id"),
+        transform(col("pixels"), x => (x - 128).cast("float"))
+          .as("embedding"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
     * local fingerprinting scheme) shared by l44/l45: hash every word
     * 3-gram (40-bit md5 prefix — cross-engine replayable, [[graft.Det]]
@@ -1090,6 +1124,37 @@ object LlmQueries {
             .as("h2"),
           sum(when(col("v") >= 192, 1L).otherwise(0L)).as("h3"))
         .orderBy("doc_id", "channel")
+    }),
+
+    // L53b — multimodal (IMAGE) near-dup, exact form (r16 — closes the
+    // "image features don't feed the ANN path" gap): the l53 codec
+    // pipeline composed into the dedup path. Real P6 bytes per doc
+    // (content keyed by doc_id % 50 + per-doc noise channels), decoded
+    // by the raster parser, centered pixels as the embedding column,
+    // near-dup IMAGE pairs from the blocked threshold-cosine kernel —
+    // the l03c discipline on image features. Hash-matched: the oracle
+    // replays pixels → embedding → cosine from the md5 grid, so the
+    // match certifies codec + embedding + pair kernel end to end.
+    "l53b_image_neardup" -> ((s, dir) => {
+      Similarity.thresholdCosinePairs(imageEmbeddings(s, dir),
+          threshold = 0.8)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // L53c — the IVF-bucketed scale path for l53b (bucket-local equi
+    // join + exact cosine filter — the l03d discipline): image
+    // embeddings feed the SAME ANN machinery as text embeddings.
+    // Engine-only (seeded kmeans); ToleranceSpec gates precision == 1.0
+    // and recall vs the exact l53b pairs, plus the keyed ground truth.
+    "l53c_image_neardup_ivf" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      Similarity.ivfThresholdPairs(imageEmbeddings(s, dir),
+          threshold = 0.8, nCentroids = 8, nprobe = 2)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
     }),
 
     // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
@@ -2591,6 +2656,29 @@ object LlmQueries {
         |    AS BIGINT) AS h2,
         |  CAST(sum(CASE WHEN v >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // l53b: the pixels → centered embedding → pairwise cosine replay.
+    // Dots and squared norms are exact integers (centered uint8 values,
+    // sums < 2^22), so sqrt/division/round are bit-identical to the
+    // engine's double fold; the 0.8 threshold compares equal doubles.
+    "l53b_image_neardup" -> {
+      val hNoise = graft.Det.duckMd5Long("doc_id || '#' || p")
+      val hBase = graft.Det.duckMd5Long("(doc_id % 50) || '_' || p")
+      val dotAB = duckDot.format("a.e", "b.e")
+      val nA = duckNormSq.format("a.e")
+      val nB = duckNormSq.format("b.e")
+      s"""WITH px AS (SELECT doc_id, p,
+        |    CAST(CASE WHEN p < 6 THEN ($hNoise) % 256
+        |         ELSE ($hBase) % 256 END AS BIGINT) - 128 AS v
+        |  FROM (SELECT doc_id, unnest(range(0, 192)) AS p
+        |        FROM documents)),
+        |v AS (SELECT doc_id, list(v ORDER BY p) AS e FROM px GROUP BY 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
+        |FROM v a JOIN v b ON a.doc_id < b.doc_id
+        |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) > 0.8
+        |ORDER BY a_id, b_id""".stripMargin
     },
 
     "l51_audio_features" -> {

@@ -500,6 +500,40 @@ class ToleranceSpec extends SparkSpecBase {
     iv.foreach { case (k, v) => assert(ev(k) == v, s"cos mismatch at $k") }
   }
 
+  test("l53c IVF image near-dup: precision 1.0, recall vs exact l53b, " +
+      "and the exact pairs ARE the keyed ground truth") {
+    def pairSet(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("l53b_image_neardup")
+    val ivf = pairSet("l53c_image_neardup_ivf")
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    // ground truth by construction: docs sharing doc_id % 50 hold
+    // near-identical images (186/192 shared channels), everything else
+    // is independent noise — the exact kernel must find exactly the
+    // same-key pairs, no more, no fewer
+    val n = graft.Tables.load(spark, sfDir, "documents").count()
+    val expectedPairs = (0L until n).groupBy(_ % 50).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(exact.forall { case (a, b) => a % 50 == b % 50 },
+      "a cross-key image pair passed the 0.8 threshold")
+    assert(exact.size.toLong == expectedPairs,
+      s"exact image near-dups ${exact.size} != keyed ground truth $expectedPairs")
+    // IVF flavor: precision 1.0 (subset — every candidate re-passes the
+    // exact cosine), recall measured
+    assert(ivf.subsetOf(exact),
+      s"false positives: ${ivf.diff(exact).take(3)}")
+    val recall = ivf.size.toDouble / exact.size
+    info(f"l53c recall vs exact image pairs = $recall%.2f (nprobe=2/8)")
+    assert(recall >= 0.5, s"IVF image near-dup recall $recall")
+    def valued(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ev = valued("l53b_image_neardup")
+    valued("l53c_image_neardup_ivf").foreach { case (k, v) =>
+      assert(ev(k) == v, s"cos mismatch at $k")
+    }
+  }
+
   test("l13 int8 quantization: codes bounded, error <= scale/2, high recall") {
     import org.apache.spark.sql.functions._
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
