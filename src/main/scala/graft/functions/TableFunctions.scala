@@ -702,6 +702,39 @@ object TableFunctions {
     }
   }
 
+  /** restless_betweenness(edges, seeds, delta_us, max_hops, n_targets)
+    * — G48's restricted temporal betweenness from pure SQL: interior
+    * visit counts over SHORTEST-FOREMOST restless walks to the
+    * n_targets smallest reached ids with optimal depth >= 3. Same
+    * (src, dst, dep_us, arr_us) / (id, arr_us) column conventions as
+    * [[restlessArrivalPlan]]. Returns (t_id, v_id, sigma).
+    */
+  private def restlessBetweennessPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "restless_betweenness"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (edges, seeds, delta_us, max_hops, " +
+        s"n_targets), got ${exprs.length}")
+    val edgesRaw = tableArg(exprs(0), 1, fn)
+    val seedsRaw = tableArg(exprs(1), 2, fn)
+    requireCols(edgesRaw, Seq("src", "dst", "dep_us", "arr_us"), fn, "edges")
+    requireCols(seedsRaw, Seq("id", "arr_us"), fn, "seeds")
+    val delta = long(exprs(2), 3, fn)
+    val maxHops = long(exprs(3), 4, fn)
+    val nTargets = long(exprs(4), 5, fn)
+    require(delta >= 0, s"$fn: delta_us must be >= 0")
+    require(maxHops >= 3 && maxHops <= 10000,
+      s"$fn: max_hops must be in [3, 10000]")
+    require(nTargets >= 1 && nTargets <= 1000000,
+      s"$fn: n_targets must be in [1, 1000000]")
+    memo(fn, Seq(edgesRaw, seedsRaw), Seq(delta, maxHops, nTargets)) {
+      graft.ops.Graphs.restlessTemporalBetweenness(SparkSession.active,
+          graft.ops.Checkpoints.cut(edgesRaw),
+          graft.ops.Checkpoints.cut(seedsRaw), delta, maxHops.toInt,
+          nTargets.toInt)
+        .queryExecution.logical
+    }
+  }
+
   /** Caller-named pair columns -> the internal canonical (x, y) frame
     * (undirected one-row-per-edge convention, x < y expected upstream).
     */
@@ -828,6 +861,9 @@ object TableFunctions {
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("restless_betweenness"),
+      new ExpressionInfo(getClass.getName, "restless_betweenness"),
+      restlessBetweennessPlan _),
     (new FunctionIdentifier("temporal_arrival"),
       new ExpressionInfo(getClass.getName, "temporal_arrival"),
       temporalArrivalPlan _),

@@ -2360,4 +2360,132 @@ object Graphs {
       .groupBy("id")
       .agg(min(col("arr_us") - col("start_us")).as("duration_us"))
   }
+
+  /** G48 — TEMPORAL BETWEENNESS, restricted exact-integer form (the
+    * g21b discipline on the restless substrate): where G47 weights
+    * visits by ALL δ-restless walks, the Brandes-style read weights by
+    * OPTIMAL temporal paths only. Optimality here is SHORTEST-FOREMOST
+    * (the standard temporal-betweenness variant: first minimize arrival
+    * time, then hop count): for each target t, A(t) = the earliest
+    * restless arrival and D(t) = the minimum walk depth achieving it;
+    * the optimal walks are exactly those ending at label (t, A(t)) with
+    * D(t) edges... and σ_t(v) counts v's occurrences at STRICTLY
+    * INTERIOR positions 2..D(t)−1 across all of them (endpoints — the
+    * entry label and the target — excluded, as in g21b's restriction).
+    *
+    * Targets: the `nTargets` smallest reached ids with D ≥ 3 (depths
+    * below 3 have no interior — the contract picks targets the measure
+    * is defined on), a deterministic ≤ nTargets-row driver fetch (the
+    * g21b σ-table discipline).
+    *
+    * Engine shape — two bounded label DPs, the g21 forward×backward
+    * product on the temporal substrate:
+    * - forward: fwd_k(v, a) = # of k-edge restless walks from the seeds
+    *   ending at label (v, a) (the g46 per-depth count DP, levels kept);
+    * - backward: bwd_j(v, a, t) = # of EXACTLY-j-edge restless
+    *   continuations from label (v, a) ending at (t, A(t)) — one equi
+    *   join + δ filter per step over the reachable label domain, all
+    *   targets carried together (one DP, not one per target);
+    * - σ_t(v) = Σ_{k=2..D(t)−1} Σ_a fwd_k(v, a) · bwd_{D(t)−k}(v, a, t).
+    * ~2·H bounded joins total, adaptive broadcast per level. Exact
+    * integers end to end — hash-matched against the path-carrying
+    * UNION ALL walk enumeration restricted to shortest-foremost walks
+    * (the g47 oracle with the optimality filter). Returns
+    * (t_id, v_id, sigma), sigma > 0 rows only.
+    */
+  def restlessTemporalBetweenness(s: SparkSession, edges: DataFrame,
+      seeds: DataFrame, deltaUs: Long, maxHops: Int,
+      nTargets: Int = 3): DataFrame = {
+    require(maxHops >= 3, "temporal betweenness needs maxHops >= 3 " +
+      "(shorter walks have no interior)")
+    import s.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("dep_us").cast("long"), col("arr_us").cast("long"))
+      .transform(Checkpoints.cut)
+    // forward per-depth count DP (the g46 kernel, levels kept)
+    var level = seeds.select(col("id").cast("long"),
+        col("arr_us").cast("long"))
+      .groupBy("id", "arr_us").agg(count(lit(1)).as("n"))
+      .transform(Checkpoints.cut)
+    val fwd = scala.collection.mutable.Map(1 -> level)
+    var hop = 1
+    var rows = level.count()
+    while (hop < maxHops && rows > 0) {
+      hop += 1
+      val probe = if (rows <= FrontierBroadcastRows) broadcast(level)
+        else level
+      level = probe
+        .select(col("id").as("f_id"), col("arr_us").as("f_arr"), col("n"))
+        .join(e, col("f_id") === col("src"))
+        .filter(col("dep_us") >= col("f_arr") &&
+          col("dep_us") <= col("f_arr") + deltaUs)
+        .groupBy(col("dst").as("id"), col("arr_us"))
+        .agg(sum("n").as("n"))
+        .transform(Checkpoints.cut)
+      rows = level.count()
+      if (rows > 0) fwd(hop) = level
+    }
+    // shortest-foremost targets: min arrival per id, min depth at that
+    // arrival, D >= 3 — a deterministic <= nTargets driver fetch
+    val labAll = fwd.toSeq.map { case (d, f) =>
+      f.select(col("id"), col("arr_us"), lit(d).as("d"))
+    }.reduce(_.unionAll(_)).transform(Checkpoints.cut)
+    val arrT = labAll.groupBy("id").agg(min("arr_us").as("arr_us"))
+    val targets = labAll.join(arrT, Seq("id", "arr_us"))
+      .groupBy("id", "arr_us").agg(min("d").as("d"))
+      .filter(col("d") >= 3)
+      .orderBy("id").limit(nTargets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    if (targets.isEmpty) {
+      return Seq.empty[(Long, Long, Long)].toDF("t_id", "v_id", "sigma")
+    }
+    // backward exact-hop continuation DP over the reachable label
+    // domain, all targets carried in one (id, arr_us, t_id, c) table
+    val labKeys = labAll.select("id", "arr_us").distinct()
+      .transform(Checkpoints.cut)
+    val labKeyRows = labKeys.count()
+    val labProbe = if (labKeyRows <= FrontierBroadcastRows)
+      broadcast(labKeys) else labKeys
+    // the usable label→successor-label pairs are the same every round —
+    // materialize them ONCE (bounded by one forward round's join volume)
+    val usable = labProbe
+      .select(col("id").as("f_id"), col("arr_us").as("f_arr"))
+      .join(e, col("f_id") === col("src"))
+      .filter(col("dep_us") >= col("f_arr") &&
+        col("dep_us") <= col("f_arr") + deltaUs)
+      .select(col("f_id"), col("f_arr"), col("dst"), col("arr_us"))
+      .transform(Checkpoints.cut)
+    var bwd = targets.toSeq.map { case (t, a, _) => (t, a, t, 1L) }
+      .toDF("id", "arr_us", "t_id", "c")
+    val bwdAt = scala.collection.mutable.Map(0 -> bwd)
+    val maxBack = targets.map(_._3).max - 2 // k >= 2 needs j <= D - 2
+    for (j <- 1 to maxBack) {
+      val prevRows = bwdAt(j - 1).count()
+      val prev0 = bwdAt(j - 1)
+        .select(col("id").as("b_id"), col("arr_us").as("b_arr"),
+          col("t_id"), col("c"))
+      val prev = if (prevRows <= FrontierBroadcastRows) broadcast(prev0)
+        else prev0
+      bwd = usable
+        .join(prev, col("dst") === col("b_id") &&
+          col("arr_us") === col("b_arr"))
+        .groupBy(col("f_id").as("id"), col("f_arr").as("arr_us"),
+          col("t_id"))
+        .agg(sum("c").as("c"))
+        .transform(Checkpoints.cut)
+      bwdAt(j) = bwd
+    }
+    // σ_t(v): interior positions only — fwd_k × bwd_{D-k} per target
+    val contribs = for {
+      (t, _, dd) <- targets.toSeq
+      k <- 2 until dd
+      if fwd.contains(k)
+    } yield fwd(k)
+      .join(bwdAt(dd - k).filter(col("t_id") === t), Seq("id", "arr_us"))
+      .select(col("t_id"), col("id").as("v_id"),
+        (col("n") * col("c")).as("s"))
+    contribs.reduce(_.unionAll(_))
+      .groupBy("t_id", "v_id").agg(sum("s").as("sigma"))
+      .filter(col("sigma") > 0)
+  }
 }

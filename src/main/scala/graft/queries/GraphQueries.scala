@@ -1001,6 +1001,37 @@ object GraphQueries {
         .orderBy("p_partkey")
     }),
 
+    // G48 — TEMPORAL BETWEENNESS, restricted exact-integer form (r16):
+    // where g47 counts visits over ALL restless walks, this weights by
+    // OPTIMAL (shortest-foremost) temporal paths only — the
+    // Brandes-style read on the temporal substrate. Targets = the 3
+    // smallest reached parts whose optimal depth is >= 3 (shallower
+    // optima have no interior); σ_t(v) = v's occurrences at strictly
+    // interior positions across all optimal walks to t, via the g46
+    // per-depth forward DP × an exact-hop backward continuation DP (the
+    // g21 σ-product shape). Exact integers — hash-matched against the
+    // path-carrying walk enumeration restricted to shortest-foremost
+    // walks.
+    "g48_temporal_betweenness" -> ((s, dir) => {
+      val edges = tcopartEdges(s, dir)
+      Graphs.restlessTemporalBetweenness(s, edges, tcopartSeeds(edges),
+          deltaUs = RestlessDeltaUs, maxHops = 4, nTargets = 3)
+        .orderBy("t_id", "v_id")
+    }),
+
+    // G48b — the same read from pure SQL via the restless_betweenness
+    // TVF, held to g48's oracle verbatim.
+    "g48b_betweenness_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val edges = tcopartEdges(s, dir)
+      edges.createOrReplaceTempView("graft_g48b_edges")
+      tcopartSeeds(edges).createOrReplaceTempView("graft_g48b_seeds")
+      s.sql(s"""SELECT t_id, v_id, sigma
+        |FROM restless_betweenness('graft_g48b_edges', 'graft_g48b_seeds',
+        |                          $RestlessDeltaUs, 4, 3)
+        |ORDER BY t_id, v_id""".stripMargin)
+    }),
+
     // G42 — TEMPORAL CO-OCCURRENCE MOTIF counting (NEW r14): supplier
     // pairs repeatedly shipping the SAME part within 7 days — the
     // time-respecting wedge (s1 → p ← s2, |t1−t2| ≤ δ) a temporal graph
@@ -1472,6 +1503,41 @@ object GraphQueries {
         |SELECT v AS p_partkey, count(*) AS sigma
         |FROM (SELECT unnest(path) AS v FROM walk)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // G48 replay: the g47 path-carrying enumeration RESTRICTED to
+    // shortest-foremost walks — per id the min arrival, per (id, min
+    // arrival) the min depth, targets = 3 smallest ids with depth >= 3,
+    // then every optimal walk's strictly-interior positions unnested
+    // and counted.
+    "g48_temporal_betweenness" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+        |      epoch_us(CAST(a.l_shipdate AS TIMESTAMP)) AS dep,
+        |      epoch_us(CAST(b.l_shipdate AS TIMESTAMP)) AS arr
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE b.l_shipdate > a.l_shipdate),
+        |seeds AS (SELECT dst, arr FROM e
+        |          ORDER BY dep, src, dst, arr LIMIT 10),
+        |walk(path, id, arr, dd) AS (
+        |  SELECT [dst], dst, arr, 1 FROM seeds
+        |  UNION ALL
+        |  SELECT list_append(walk.path, e.dst), e.dst, e.arr, walk.dd + 1
+        |  FROM walk JOIN e ON e.src = walk.id
+        |  WHERE walk.dd < 4 AND e.dep >= walk.arr
+        |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L}),
+        |am AS (SELECT id, min(arr) AS a FROM walk GROUP BY 1),
+        |dm AS (SELECT w.id, w.arr, min(w.dd) AS d FROM walk w
+        |       JOIN am ON am.id = w.id AND am.a = w.arr GROUP BY 1, 2),
+        |tg AS (SELECT id, arr, d FROM dm WHERE d >= 3
+        |       ORDER BY id LIMIT 3),
+        |opt AS (SELECT tg.id AS t_id, w.path, tg.d
+        |        FROM walk w JOIN tg ON w.id = tg.id AND w.arr = tg.arr
+        |          AND w.dd = tg.d),
+        |iv AS (SELECT t_id, unnest(list_slice(path, 2, d - 1)) AS v
+        |       FROM opt)
+        |SELECT t_id, v AS v_id, CAST(count(*) AS BIGINT) AS sigma
+        |FROM iv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "g40_louvain" ->
       s"""WITH $copartCte,
         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
@@ -2426,6 +2492,7 @@ object GraphQueries {
     "g10d_temporal_path_sql" -> oraclesBase("g10_temporal_path"),
     "g10e_latest_departure_sql" -> oraclesBase("g10b_latest_departure"),
     "g10f_fastest_journey_sql" -> oraclesBase("g10c_fastest_journey"),
+    "g48b_betweenness_sql" -> oraclesBase("g48_temporal_betweenness"),
     "g07b_triangles_sql" -> oraclesBase("g07_triangles"),
     "g14b_kcore_sql" -> oraclesBase("g14_kcore"),
     "g22b_ktruss_sql" -> oraclesBase("g22_ktruss"),

@@ -1247,6 +1247,86 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("restlessTemporalBetweenness == brute shortest-foremost " +
+      "enumeration (hand + random)") {
+    import spark.implicits._
+    // local reference: enumerate every restless walk as its label path,
+    // derive per-id (min arrival, min depth at it), pick the 3 smallest
+    // ids with depth >= 3, count strictly-interior positions of the
+    // optimal walks
+    def brute(edges: Seq[(Long, Long, Long, Long)],
+        seeds: Seq[(Long, Long)], delta: Long, maxHops: Int,
+        nTargets: Int): Map[(Long, Long), Long] = {
+      var walks: Seq[List[(Long, Long)]] = seeds.map(s => List(s))
+      val all = scala.collection.mutable.ArrayBuffer[List[(Long, Long)]]()
+      all ++= walks
+      for (_ <- 2 to maxHops) {
+        walks = walks.flatMap { w =>
+          val (v, a) = w.head
+          edges.filter(e => e._1 == v && e._3 >= a && e._3 <= a + delta)
+            .map(e => (e._2, e._4) :: w)
+        }
+        all ++= walks
+      }
+      val ends = all.toSeq.map(w => (w.head._1, w.head._2, w.length))
+      val arrA = ends.groupBy(_._1).map { case (id, g) =>
+        id -> g.map(_._2).min }
+      val dM = ends.groupBy(_._1).map { case (id, g) =>
+        id -> g.filter(_._2 == arrA(id)).map(_._3).min }
+      val tgts = arrA.keys.toSeq.filter(id => dM(id) >= 3)
+        .sorted.take(nTargets)
+      val out = scala.collection.mutable.Map.empty[(Long, Long), Long]
+        .withDefaultValue(0L)
+      tgts.foreach { t =>
+        all.filter(w => w.head._1 == t && w.head._2 == arrA(t) &&
+            w.length == dM(t))
+          .foreach { w =>
+            val path = w.reverse.map(_._1)
+            path.slice(1, path.length - 1).foreach(v => out((t, v)) += 1L)
+          }
+      }
+      out.toMap
+    }
+    def run(edges: Seq[(Long, Long, Long, Long)], seeds: Seq[(Long, Long)],
+        delta: Long, maxHops: Int): Map[(Long, Long), Long] =
+      Graphs.restlessTemporalBetweenness(spark,
+          edges.toDF("src", "dst", "dep_us", "arr_us"),
+          seeds.toDF("id", "arr_us"), delta, maxHops, nTargets = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // the g45/g46 hand fixture: at maxHops=5 the optimal walks to 5 run
+    // 1→2→3→4→5 through BOTH parallel 1→2 edges (σ doubles through the
+    // funnel); 3 and 6 are depth-3 targets
+    val hand = Seq(
+      (1L, 2L, 150L, 200L), (1L, 2L, 160L, 200L), (1L, 2L, 400L, 450L),
+      (2L, 3L, 210L, 300L), (2L, 6L, 300L, 310L), (1L, 4L, 110L, 120L),
+      (4L, 5L, 500L, 510L), (3L, 4L, 310L, 420L))
+    val handSeeds = Seq((1L, 100L))
+    Seq(3, 4, 5).foreach { h =>
+      val want = brute(hand, handSeeds, 100L, h, 3)
+      assert(run(hand, handSeeds, 100L, h) == want,
+        s"hand mismatch at maxHops=$h")
+    }
+    // the maxHops=5 case is the interesting one — pin it explicitly
+    assert(run(hand, handSeeds, 100L, 5) == Map(
+      (3L, 2L) -> 2L, (5L, 2L) -> 2L, (5L, 3L) -> 2L, (5L, 4L) -> 2L,
+      (6L, 2L) -> 2L))
+
+    // randomized dense temporal multigraphs
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val edges = (1 to 60).map { _ =>
+        val dep = rnd.nextInt(50).toLong
+        (rnd.nextInt(6).toLong, rnd.nextInt(6).toLong, dep,
+          dep + 1 + rnd.nextInt(10).toLong)
+      }.filter(e => e._1 != e._2)
+      val seeds = Seq((0L, 0L), (1L, 5L))
+      assert(run(edges, seeds, 12L, 4) == brute(edges, seeds, 12L, 4, 3),
+        s"random trial $trial mismatch")
+    }
+  }
+
   // ---- graph TVF door (r15): the SQL surface must splice the SAME plan
   // the Scala API returns, so output equality is exact — including g08c's
   // floats (identical plan ⇒ bit-identical iteration), which is why the
@@ -1328,7 +1408,8 @@ class GraphOpsSpec extends SparkSpecBase {
   test("temporal-path TVF twins == Scala siblings row-for-row (g10d/e/f)") {
     Seq("g10d_temporal_path_sql" -> "g10_temporal_path",
         "g10e_latest_departure_sql" -> "g10b_latest_departure",
-        "g10f_fastest_journey_sql" -> "g10c_fastest_journey")
+        "g10f_fastest_journey_sql" -> "g10c_fastest_journey",
+        "g48b_betweenness_sql" -> "g48_temporal_betweenness")
       .foreach { case (twin, sibling) =>
         val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
         val b = SparkEntry.queries(sibling)(spark, sfDir).collect().toSeq
