@@ -274,6 +274,59 @@ object Stress {
         deltaUs = 30L * 86400L * 1000000L, maxHops = 4)
     }
 
+    // ---- r16 heavyweights: temporal betweenness (the g47 forward DP
+    // composed with the exact-hop backward DP, on the same ×factor
+    // multigraph) and the restless RETRACTION fold with a worst-case
+    // delete (a full hash-third of the edge stream disappears at once —
+    // taint reach and the refold slice are both maximal).
+    def stressTEdges(): (DataFrame, DataFrame) = {
+      val tli = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"), kCol)
+        .select((col("l_orderkey") * factor + col("k")).as("l_orderkey"),
+          col("l_partkey"),
+          timestamp_micros(Det.epochUs(col("l_shipdate")) +
+            col("k") * 86400000000L).as("l_shipdate"))
+        .transform(Checkpoints.cut)
+      val a = tli.select(col("l_orderkey"), col("l_partkey").as("src"),
+        Det.epochUs(col("l_shipdate")).as("dep_us"))
+      val b = tli.select(col("l_orderkey"), col("l_partkey").as("dst"),
+        Det.epochUs(col("l_shipdate")).as("arr_us"))
+      val tedges = a.join(b, "l_orderkey")
+        .filter(col("src") =!= col("dst") && col("arr_us") > col("dep_us"))
+        .select("src", "dst", "dep_us", "arr_us").distinct()
+        .transform(Checkpoints.cut)
+      val seeds = tedges
+        .orderBy(col("dep_us"), col("src"), col("dst"), col("arr_us"))
+        .limit(10)
+        .select(col("dst").as("id"), col("arr_us"))
+      (tedges, seeds)
+    }
+
+    results("g48_temporal_betweenness") = timed {
+      val (tedges, seeds) = stressTEdges()
+      Graphs.restlessTemporalBetweenness(spark, tedges, seeds,
+        deltaUs = 30L * 86400L * 1000000L, maxHops = 4, nTargets = 3)
+    }
+
+    results("s43b_restless_retraction") = timed {
+      val (tedges, seeds) = stressTEdges()
+      val delta = 30L * 86400L * 1000000L
+      def slice(i: Int) = tedges.filter(
+        pmod(xxhash64(col("src"), col("dst"), col("dep_us")), lit(3)) === i)
+      var labels = seeds.withColumn("dmin", lit(1))
+        .groupBy("id", "arr_us").agg(min("dmin").as("dmin"))
+        .transform(Checkpoints.cut)
+      var live = tedges.limit(0)
+      val none = tedges.limit(0)
+      (0 to 2).foreach { i =>
+        val r = graft.streaming.Streams.restlessApplyDelta(spark, labels,
+          live, slice(i), none, seeds, delta, maxHops = 4)
+        labels = r._1; live = r._2
+      }
+      graft.streaming.Streams.restlessApplyDelta(spark, labels, live,
+        none, slice(1), seeds, delta, maxHops = 4)._1
+    }
+
     results("l02b_lsh_near_dedup") = timed {
       graft.functions.VecFunctions.ensureRegistered(spark)
       val sh = Text.shingles(docs, 3).cache()
