@@ -61,6 +61,13 @@ object GraphQueries {
 
   private val RestlessDeltaUs = 30L * 86400L * 1000000L
 
+  /** g48/g48b's wider layover window: at RestlessDeltaUs the sf0.1
+    * shortest-foremost optima collapse to ≤ 2 hops (no interior — an
+    * empty betweenness measure); 90 days keeps depth-3+ optima at both
+    * scales (measured r16).
+    */
+  private val BetweennessDeltaUs = 90L * 86400L * 1000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G01 — graph construction: vertex/edge counts by kind.
     "g01_graph_build" -> ((s, dir) => {
@@ -1009,13 +1016,17 @@ object GraphQueries {
     // optima have no interior); σ_t(v) = v's occurrences at strictly
     // interior positions across all optimal walks to t, via the g46
     // per-depth forward DP × an exact-hop backward continuation DP (the
-    // g21 σ-product shape). Exact integers — hash-matched against the
+    // g21 σ-product shape). δ = 90 days — the DEPTH-RICH window on this
+    // substrate (measured: at δ = 30 d every sf0.1 min arrival is
+    // reachable in ≤ 2 hops from the entry edges, an empty measure; at
+    // 90 d the depth histogram holds 27/8 depth-3 minima at
+    // sf0.01/sf0.1). Exact integers — hash-matched against the
     // path-carrying walk enumeration restricted to shortest-foremost
     // walks.
     "g48_temporal_betweenness" -> ((s, dir) => {
       val edges = tcopartEdges(s, dir)
       Graphs.restlessTemporalBetweenness(s, edges, tcopartSeeds(edges),
-          deltaUs = RestlessDeltaUs, maxHops = 4, nTargets = 3)
+          deltaUs = BetweennessDeltaUs, maxHops = 4, nTargets = 3)
         .orderBy("t_id", "v_id")
     }),
 
@@ -1028,7 +1039,7 @@ object GraphQueries {
       tcopartSeeds(edges).createOrReplaceTempView("graft_g48b_seeds")
       s.sql(s"""SELECT t_id, v_id, sigma
         |FROM restless_betweenness('graft_g48b_edges', 'graft_g48b_seeds',
-        |                          $RestlessDeltaUs, 4, 3)
+        |                          $BetweennessDeltaUs, 4, 3)
         |ORDER BY t_id, v_id""".stripMargin)
     }),
 
@@ -1524,7 +1535,7 @@ object GraphQueries {
         |  SELECT list_append(walk.path, e.dst), e.dst, e.arr, walk.dd + 1
         |  FROM walk JOIN e ON e.src = walk.id
         |  WHERE walk.dd < 4 AND e.dep >= walk.arr
-        |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L}),
+        |    AND e.dep <= walk.arr + ${90L * 86400L * 1000000L}),
         |am AS (SELECT id, min(arr) AS a FROM walk GROUP BY 1),
         |dm AS (SELECT w.id, w.arr, min(w.dd) AS d FROM walk w
         |       JOIN am ON am.id = w.id AND am.a = w.arr GROUP BY 1, 2),
