@@ -402,4 +402,50 @@ object Media {
         col(payloadCol).substr(col("frame_idx") * frameLen + 1, frameLen))
       .filter(octet_length(col("frame_payload")) > 0)
   }
+
+  /** REAL container demux for the concatenated-P6 "video" convention
+    * (r16): walk the byte stream, parse each frame's OWN header to find
+    * its length, slice the frame out, continue at the next offset — the
+    * byte-offset walk an ffmpeg-style demuxer performs. Frame sizes may
+    * DIFFER (which [[frameSample]]'s equal-byte-range slicing cannot
+    * demux). Stops at the first malformed/truncated frame and returns
+    * the frames parsed so far — a scrape's garbage tail truncates,
+    * never throws.
+    */
+  def splitPpmFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var o = 0
+    var go = true
+    while (go && o < bytes.length) {
+      val rest = java.util.Arrays.copyOfRange(bytes, o, bytes.length)
+      parsePpmHeader(rest) match {
+        case Some((w, h, _, off)) if rest.length - off >= 3L * w * h =>
+          val len = off + 3 * w * h
+          out += java.util.Arrays.copyOfRange(bytes, o, o + len)
+          o += len
+        case _ => go = false
+      }
+    }
+    out.toSeq
+  }
+
+  /** Demux a concatenated-P6 payload column into one row per frame
+    * (`frame_idx`, `frame_payload`) — flatMap through the same
+    * mapPartitions batch shape as the decoders (per-partition codec
+    * context slot; malformed tails simply emit fewer rows).
+    */
+  def demuxPpmFrames(df: DataFrame, payloadCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType, nullable = false)
+      .add("frame_payload", BinaryType, nullable = true)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        splitPpmFrames(row.getAs[Array[Byte]](idx)).zipWithIndex.map {
+          case (f, i) => Row.fromSeq(row.toSeq :+ i :+ f)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

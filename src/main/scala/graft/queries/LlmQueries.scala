@@ -71,6 +71,36 @@ object LlmQueries {
           .as("embedding"))
   }
 
+  /** L58 substrate: a deterministic "video" per doc — four REAL P6
+    * frames of DIFFERENT sizes (frame k is (4+k)×2 RGB, channel values
+    * from the md5 grid) concatenated into one binary payload. Variable
+    * frame sizes make equal-byte-range slicing impossible: a demuxer
+    * must parse each frame's own header to find the next offset (the
+    * ffmpeg-shape byte walk [[graft.ops.Media.splitPpmFrames]] does).
+    * Returns (doc_id, payload).
+    */
+  private def videoSrc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"))
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .withColumn("p", explode(sequence(lit(0), (lit(4) + col("k")) * 6 - 1)))
+      .withColumn("v", (graft.Det.md5Long(concat(col("doc_id"), lit("f"),
+        col("k"), lit("_"), col("p"))) % 256).cast("int"))
+      .groupBy("doc_id", "k")
+      .agg(sort_array(collect_list(struct(col("p"), col("v")))).as("ps"))
+      .as[(Long, Int, Seq[(Int, Int)])]
+      .map { case (id, k, ps) =>
+        (id, k, graft.ops.Media.encodePpm(4 + k, 2, 255,
+          ps.map(_._2.toByte).toArray))
+      }
+      .toDF("doc_id", "k", "frame")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("k"), col("frame")))).as("fs"))
+      .as[(Long, Seq[(Int, Array[Byte])])]
+      .map { case (id, fs) => (id, fs.map(_._2).reduce(_ ++ _)) }
+      .toDF("doc_id", "payload")
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
     * local fingerprinting scheme) shared by l44/l45: hash every word
     * 3-gram (40-bit md5 prefix — cross-engine replayable, [[graft.Det]]
@@ -1155,6 +1185,31 @@ object LlmQueries {
         .select(col("a_id"), col("b_id"),
           round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // L58 — VIDEO frame demux + sampling (r16 — the frame-sample member
+    // of the multimodal set done with a REAL demuxer): each doc's
+    // "video" is four concatenated P6 frames of DIFFERENT sizes, so the
+    // demux must walk the byte stream parsing each frame's own header
+    // to find the next offset (Media.splitPpmFrames — equal-byte-range
+    // slicing cannot demux this stream); every 2nd frame is SAMPLED
+    // (the keyframe-stride read a video curation pass runs), each
+    // sampled frame decoded by the raster parser and reduced to
+    // exact-integer moments. The oracle replays the md5 grid for the
+    // sampled frames directly, so the hash match certifies
+    // concat → demux → decode → sample end to end.
+    "l58_video_frames" -> ((s, dir) => {
+      val frames = graft.ops.Media.demuxPpmFrames(videoSrc(s, dir),
+        "payload")
+      val sampled = frames.filter(col("frame_idx") % 2 === 0)
+      graft.ops.Media.decodeImagePixels(sampled, "frame_payload")
+        .select(col("doc_id"), col("frame_idx"),
+          posexplode(col("pixels")).as(Seq("p", "v")))
+        .groupBy("doc_id", "frame_idx")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("long")).as("sum_v"),
+          sum(col("v").cast("long") * col("v")).as("sum_sq"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
@@ -2679,6 +2734,22 @@ object LlmQueries {
         |FROM v a JOIN v b ON a.doc_id < b.doc_id
         |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) > 0.8
         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // l58: the sampled frames' md5 grids replayed arithmetically —
+    // frame k has 6·(4+k) channel values; sampling keeps k ∈ {0, 2}.
+    "l58_video_frames" -> {
+      val h = graft.Det.duckMd5Long("doc_id || 'f' || k || '_' || p")
+      s"""WITH px AS (SELECT doc_id, k,
+        |    CAST(($h) % 256 AS BIGINT) AS v
+        |  FROM (SELECT doc_id, k, unnest(range(0, 6 * (4 + k))) AS p
+        |        FROM (SELECT doc_id, unnest([0, 2]) AS k
+        |              FROM documents)))
+        |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "l51_audio_features" -> {

@@ -167,4 +167,40 @@ class MediaSpec extends SparkSpecBase {
     assert(out.forall(r => r.getInt(1) == 32 && r.getInt(2) >= 1))
     assert(out.forall(_.getLong(5) == 4L))
   }
+
+  test("splitPpmFrames: variable-size frame demux is byte-exact; " +
+      "truncated tails and garbage stop the walk; demux wrapper explodes") {
+    import spark.implicits._
+    // three frames of DIFFERENT sizes — an equal-byte-range slicer
+    // cannot recover these; the demuxer must parse each header
+    val frames = Seq(
+      Media.encodePpm(2, 2, 255, Array.tabulate(12)(i => (i * 7).toByte)),
+      Media.encodePpm(4, 1, 255, Array.tabulate(12)(i => (i + 100).toByte)),
+      Media.encodePpm(1, 3, 255, Array.tabulate(9)(i => (200 - i).toByte)))
+    val video = frames.reduce(_ ++ _)
+    val got = Media.splitPpmFrames(video)
+    assert(got.length == 3)
+    got.zip(frames).foreach { case (g, f) =>
+      assert(java.util.Arrays.equals(g, f), "frame bytes differ")
+    }
+    // truncated last frame: the walk returns the intact prefix
+    assert(Media.splitPpmFrames(video.dropRight(5)).length == 2)
+    // garbage mid-stream stops the walk at the boundary
+    val withGarbage = frames(0) ++ "not a frame".getBytes("US-ASCII") ++
+      frames(1)
+    assert(Media.splitPpmFrames(withGarbage).length == 1)
+    assert(Media.splitPpmFrames(Array.emptyByteArray).isEmpty)
+    assert(Media.splitPpmFrames(null).isEmpty)
+
+    // DataFrame wrapper: one row per frame with its index; decoded
+    // rasters match the originals
+    val df = Seq((1L, video)).toDF("doc_id", "payload")
+    val rows = Media.decodeImagePixels(
+        Media.demuxPpmFrames(df, "payload"), "frame_payload")
+      .select("frame_idx", "pixels")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.keySet == Set(0, 1, 2))
+    assert(rows(0) == Array.tabulate(12)(i => (i * 7) & 0xff).toSeq)
+    assert(rows(2) == Array.tabulate(9)(i => (200 - i) & 0xff).toSeq)
+  }
 }
