@@ -859,8 +859,76 @@ object TableFunctions {
     }
   }
 
+  /** multi_source_bfs(edges, seeds, max_depth) — g17/g19/g31's exact
+    * min-depth traversal from a seed SET in one pass (the closeness/
+    * harmonic sampling primitive). `edges` must expose (src, dst) and
+    * `seeds` (id) — alias inside TABLE(SELECT ...) to adapt. Returns
+    * (seed, id, dist), dist <= max_depth; profile/closeness/harmonic
+    * reads are one GROUP BY away in plain SQL.
+    */
+  private def multiSourceBfsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "multi_source_bfs"
+    require(exprs.length == 3,
+      s"$fn takes 3 arguments (edges, seeds, max_depth), got ${exprs.length}")
+    val edges = tableArg(exprs(0), 1, fn)
+    val seeds = tableArg(exprs(1), 2, fn)
+    requireCols(edges, Seq("src", "dst"), fn, "edges")
+    requireCols(seeds, Seq("id"), fn, "seeds")
+    val maxDepth = long(exprs(2), 3, fn)
+    require(maxDepth >= 0 && maxDepth <= 10000,
+      s"$fn: max_depth must be in [0, 10000]")
+    memo(fn, Seq(edges, seeds), Seq(maxDepth)) {
+      graft.ops.Graphs.multiSourceBfs(SparkSession.active, edges, seeds,
+          maxDepth.toInt)
+        .queryExecution.logical
+    }
+  }
+
+  /** jaccard_similarity(table, x_col, y_col, top_k) — g30's
+    * neighborhood-Jaccard vertex-pair similarity over canonical (x < y)
+    * pairs: top_k pairs by exact-integer jac_e6 = 10^6·|N∩| div |N∪|.
+    * Pure lazy plan (no analysis-time execution), so no memo needed.
+    * Returns (x, y, cn, un, jac_e6).
+    */
+  private def jaccardSimilarityPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "jaccard_similarity"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, x_col, y_col, top_k), got ${exprs.length}")
+    val topK = long(exprs(3), 4, fn)
+    require(topK >= 1 && topK <= 10000000, s"$fn: top_k must be in [1, 1e7]")
+    graft.ops.Graphs.neighborhoodJaccard(
+        pairFrame(exprs(0), exprs(1), exprs(2), fn), topK.toInt)
+      .queryExecution.logical
+  }
+
+  /** link_prediction(table, x_col, y_col, top_k) — g25's
+    * common-neighbor + Resource-Allocation link prediction over
+    * canonical (x < y) pairs: top_k NON-adjacent pairs by (cn desc,
+    * ra_e9 desc). Pure lazy plan — no memo needed. Returns
+    * (x, y, cn, ra_e9).
+    */
+  private def linkPredictionPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "link_prediction"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, x_col, y_col, top_k), got ${exprs.length}")
+    val topK = long(exprs(3), 4, fn)
+    require(topK >= 1 && topK <= 10000000, s"$fn: top_k must be in [1, 1e7]")
+    graft.ops.Graphs.linkPrediction(SparkSession.active,
+        pairFrame(exprs(0), exprs(1), exprs(2), fn), topK.toInt)
+      .queryExecution.logical
+  }
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("multi_source_bfs"),
+      new ExpressionInfo(getClass.getName, "multi_source_bfs"),
+      multiSourceBfsPlan _),
+    (new FunctionIdentifier("jaccard_similarity"),
+      new ExpressionInfo(getClass.getName, "jaccard_similarity"),
+      jaccardSimilarityPlan _),
+    (new FunctionIdentifier("link_prediction"),
+      new ExpressionInfo(getClass.getName, "link_prediction"),
+      linkPredictionPlan _),
     (new FunctionIdentifier("restless_betweenness"),
       new ExpressionInfo(getClass.getName, "restless_betweenness"),
       restlessBetweennessPlan _),

@@ -1043,6 +1043,64 @@ object GraphQueries {
         |ORDER BY t_id, v_id""".stripMargin)
     }),
 
+    // G17b/G19b/G31b (r16) — the multi-source traversal family from
+    // pure SQL: ONE multi_source_bfs TVF, with the profile / closeness /
+    // harmonic reads each a plain GROUP BY over its (seed, id, dist)
+    // output; the seed set rides a TABLE(subquery) argument. Held to
+    // g17/g19/g31's oracles verbatim.
+    "g17b_bfs_profile_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir).createOrReplaceTempView("graft_g17b_edges")
+      s.sql("""SELECT seed, dist, count(*) AS n
+        |FROM multi_source_bfs('graft_g17b_edges',
+        |  TABLE(SELECT DISTINCT src AS id FROM graft_g17b_edges
+        |        ORDER BY id LIMIT 3), 3)
+        |GROUP BY seed, dist ORDER BY seed, dist""".stripMargin)
+    }),
+
+    "g19b_closeness_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir).createOrReplaceTempView("graft_g19b_edges")
+      s.sql("""SELECT seed, count(*) - 1 AS n_reached,
+        |  sum(dist) AS total_dist
+        |FROM multi_source_bfs('graft_g19b_edges',
+        |  TABLE(SELECT DISTINCT src AS id FROM graft_g19b_edges
+        |        ORDER BY id LIMIT 3), 6)
+        |GROUP BY seed ORDER BY seed""".stripMargin)
+    }),
+
+    "g31b_harmonic_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir).createOrReplaceTempView("graft_g31b_edges")
+      s.sql("""SELECT seed, count(*) AS n_reached,
+        |  sum(60 div dist) AS harmonic_x60
+        |FROM multi_source_bfs('graft_g31b_edges',
+        |  TABLE(SELECT DISTINCT src AS id FROM graft_g31b_edges
+        |        ORDER BY id LIMIT 3), 6)
+        |WHERE dist > 0
+        |GROUP BY seed ORDER BY seed""".stripMargin)
+    }),
+
+    // G30b/G25b (r16) — vertex-pair similarity and link prediction from
+    // pure SQL, held to g30/g25's oracles verbatim (the TVFs splice the
+    // ops' lazy plans; the outer ORDER BY restates the ops' internal
+    // deterministic order).
+    "g30b_jaccard_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartPairs(s, dir).createOrReplaceTempView("graft_g30b_pairs")
+      s.sql("""SELECT x, y, cn, un, jac_e6
+        |FROM jaccard_similarity('graft_g30b_pairs', 'x', 'y', 100)
+        |ORDER BY jac_e6 DESC, cn DESC, x, y""".stripMargin)
+    }),
+
+    "g25b_link_prediction_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartPairs(s, dir).createOrReplaceTempView("graft_g25b_pairs")
+      s.sql("""SELECT x, y, cn, ra_e9
+        |FROM link_prediction('graft_g25b_pairs', 'x', 'y', 50)
+        |ORDER BY cn DESC, ra_e9 DESC, x, y""".stripMargin)
+    }),
+
     // G42 — TEMPORAL CO-OCCURRENCE MOTIF counting (NEW r14): supplier
     // pairs repeatedly shipping the SAME part within 7 days — the
     // time-respecting wedge (s1 → p ← s2, |t1−t2| ≤ δ) a temporal graph
@@ -2504,6 +2562,11 @@ object GraphQueries {
     "g10e_latest_departure_sql" -> oraclesBase("g10b_latest_departure"),
     "g10f_fastest_journey_sql" -> oraclesBase("g10c_fastest_journey"),
     "g48b_betweenness_sql" -> oraclesBase("g48_temporal_betweenness"),
+    "g17b_bfs_profile_sql" -> oraclesBase("g17_bfs_profile"),
+    "g19b_closeness_sql" -> oraclesBase("g19_closeness"),
+    "g31b_harmonic_sql" -> oraclesBase("g31_harmonic"),
+    "g30b_jaccard_sql" -> oraclesBase("g30_jaccard_similarity"),
+    "g25b_link_prediction_sql" -> oraclesBase("g25_link_prediction"),
     "g07b_triangles_sql" -> oraclesBase("g07_triangles"),
     "g14b_kcore_sql" -> oraclesBase("g14_kcore"),
     "g22b_ktruss_sql" -> oraclesBase("g22_ktruss"),

@@ -1424,7 +1424,12 @@ class GraphOpsSpec extends SparkSpecBase {
         "g22b_ktruss_sql" -> "g22_ktruss",
         "g32b_katz_sql" -> "g32_katz",
         "g18b_hits_sql" -> "g18_hits",
-        "g08d_ppr_sql" -> "g08b_ppr")
+        "g08d_ppr_sql" -> "g08b_ppr",
+        "g17b_bfs_profile_sql" -> "g17_bfs_profile",
+        "g19b_closeness_sql" -> "g19_closeness",
+        "g31b_harmonic_sql" -> "g31_harmonic",
+        "g30b_jaccard_sql" -> "g30_jaccard_similarity",
+        "g25b_link_prediction_sql" -> "g25_link_prediction")
       .foreach { case (twin, sibling) =>
         val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
         val b = SparkEntry.queries(sibling)(spark, sfDir).collect().toSeq
