@@ -918,112 +918,207 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** One registration row with a `DESCRIBE FUNCTION`-visible usage
+    * string — the SQL-side contract (argument shapes and column
+    * conventions). `_FUNC_` renders as the function name. The iterative
+    * graph family's usage notes the analysis-time execution + per-
+    * session memoization, so a SQL user profiling with EXPLAIN sees the
+    * cost model without reading Scala.
+    */
+  private def reg(name: String, usage: String,
+      builder: Seq[Expression] => LogicalPlan)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, null, name, usage, ""),
+      builder)
+
+  private val IterNote = " Iterative: runs its bounded fix point at " +
+    "ANALYSIS time (EXPLAIN included) and memoizes the converged plan " +
+    "per session keyed on (args, resolved input data), so repeated " +
+    "analysis pays once and changed view data recomputes."
+  private val EdgeConv = " Edges table must expose (src, dst, dep_us, " +
+    "arr_us) and seeds (id, arr_us); alias inside TABLE(SELECT ...) " +
+    "to adapt."
+
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
-    (new FunctionIdentifier("multi_source_bfs"),
-      new ExpressionInfo(getClass.getName, "multi_source_bfs"),
+    reg("multi_source_bfs",
+      "_FUNC_(edges, seeds, max_depth) - exact min-depth BFS from a " +
+        "seed SET in one pass; edges expose (src, dst), seeds (id). " +
+        "Returns (seed, id, dist)." + IterNote,
       multiSourceBfsPlan _),
-    (new FunctionIdentifier("jaccard_similarity"),
-      new ExpressionInfo(getClass.getName, "jaccard_similarity"),
+    reg("jaccard_similarity",
+      "_FUNC_(table, x_col, y_col, top_k) - top-k vertex pairs by " +
+        "exact-integer neighborhood Jaccard over canonical (x < y) " +
+        "pairs. Returns (x, y, cn, un, jac_e6). Lazy plan.",
       jaccardSimilarityPlan _),
-    (new FunctionIdentifier("link_prediction"),
-      new ExpressionInfo(getClass.getName, "link_prediction"),
+    reg("link_prediction",
+      "_FUNC_(table, x_col, y_col, top_k) - top-k NON-adjacent vertex " +
+        "pairs by (common neighbors, Resource Allocation e9) over " +
+        "canonical (x < y) pairs. Returns (x, y, cn, ra_e9). Lazy plan.",
       linkPredictionPlan _),
-    (new FunctionIdentifier("restless_betweenness"),
-      new ExpressionInfo(getClass.getName, "restless_betweenness"),
+    reg("restless_betweenness",
+      "_FUNC_(edges, seeds, delta_us, max_hops, n_targets) - temporal " +
+        "betweenness: interior visit counts over shortest-foremost " +
+        "restless walks to the n_targets smallest reached ids with " +
+        "optimal depth >= 3. Returns (t_id, v_id, sigma)." +
+        EdgeConv + IterNote,
       restlessBetweennessPlan _),
-    (new FunctionIdentifier("temporal_arrival"),
-      new ExpressionInfo(getClass.getName, "temporal_arrival"),
+    reg("temporal_arrival",
+      "_FUNC_(edges, seed_id, seed_ts_us, max_hops) - earliest-arrival " +
+        "temporal traversal; edges expose (src, dst, avail_us, " +
+        "arrive_us). Returns (id, arrival_us)." + IterNote,
       temporalArrivalPlan _),
-    (new FunctionIdentifier("latest_departure"),
-      new ExpressionInfo(getClass.getName, "latest_departure"),
+    reg("latest_departure",
+      "_FUNC_(edges, target_id, deadline_us, max_hops) - latest time " +
+        "one can still be at each vertex and reach the target by the " +
+        "deadline; edges expose (src, dst, avail_us, arrive_us). " +
+        "Returns (id, depart_us)." + IterNote,
       latestDeparturePlan _),
-    (new FunctionIdentifier("fastest_journey"),
-      new ExpressionInfo(getClass.getName, "fastest_journey"),
+    reg("fastest_journey",
+      "_FUNC_(edges, seed_id, max_hops) - minimum journey duration " +
+        "from the seed over all start times (Pareto frontier); edges " +
+        "expose (src, dst, avail_us, arrive_us). Returns " +
+        "(id, duration_us), seed excluded." + IterNote,
       fastestJourneyPlan _),
-    (new FunctionIdentifier("triangles"),
-      new ExpressionInfo(getClass.getName, "triangles"),
+    reg("triangles",
+      "_FUNC_(table, x_col, y_col) - global triangle count over " +
+        "canonical (x < y) pairs. Returns one row (n_triangles)." +
+        IterNote,
       trianglesPlan _),
-    (new FunctionIdentifier("k_core"),
-      new ExpressionInfo(getClass.getName, "k_core"),
+    reg("k_core",
+      "_FUNC_(table, src_col, dst_col, k, rounds) - bounded k-core " +
+        "peeling; pass BOTH edge directions for undirected degrees. " +
+        "Returns surviving (id, deg)." + IterNote,
       kCorePlan _),
-    (new FunctionIdentifier("k_truss"),
-      new ExpressionInfo(getClass.getName, "k_truss"),
+    reg("k_truss",
+      "_FUNC_(table, x_col, y_col, k, rounds) - bounded k-truss " +
+        "peeling over canonical (x < y) pairs. Returns surviving " +
+        "(x, y)." + IterNote,
       kTrussPlan _),
-    (new FunctionIdentifier("katz"),
-      new ExpressionInfo(getClass.getName, "katz"),
+    reg("katz",
+      "_FUNC_(table, src_col, dst_col) - truncated Katz centrality in " +
+        "exact integers (walk counts of length 1..3, attenuation 1/4 " +
+        "scaled by 4^3). Returns (id, w1, w2, w3, katz_x64)." + IterNote,
       katzPlan _),
-    (new FunctionIdentifier("hits"),
-      new ExpressionInfo(getClass.getName, "hits"),
+    reg("hits",
+      "_FUNC_(table, src_col, dst_col, iters) - Kleinberg HITS, " +
+        "L2-normalized iterations. Returns (id, hub, auth) floats." +
+        IterNote,
       hitsPlan _),
-    (new FunctionIdentifier("ppr"),
-      new ExpressionInfo(getClass.getName, "ppr"),
+    reg("ppr",
+      "_FUNC_(table, src_col, dst_col, seed, iters) - personalized " +
+        "PageRank from the seed; ranks L1-normalize to 1. Returns " +
+        "(id, rank)." + IterNote,
       pprPlan _),
-    (new FunctionIdentifier("restless_walk_counts"),
-      new ExpressionInfo(getClass.getName, "restless_walk_counts"),
+    reg("restless_walk_counts",
+      "_FUNC_(edges, seeds, delta_us, max_hops) - number of distinct " +
+        "delta-restless walks ENDING at each node. Returns " +
+        "(id, n_walks)." + EdgeConv + IterNote,
       restlessCountsPlan(visits = false) _),
-    (new FunctionIdentifier("restless_visits"),
-      new ExpressionInfo(getClass.getName, "restless_visits"),
+    reg("restless_visits",
+      "_FUNC_(edges, seeds, delta_us, max_hops) - visit counts across " +
+        "ALL delta-restless walks. Returns (id, sigma)." + EdgeConv +
+        IterNote,
       restlessCountsPlan(visits = true) _),
-    (new FunctionIdentifier("restless_arrival"),
-      new ExpressionInfo(getClass.getName, "restless_arrival"),
+    reg("restless_arrival",
+      "_FUNC_(edges, seeds, delta_us, max_hops) - delta-restless " +
+        "earliest arrival per reached node. Returns (id, arrival_us)." +
+        EdgeConv + IterNote,
       restlessArrivalPlan _),
-    (new FunctionIdentifier("label_propagation"),
-      new ExpressionInfo(getClass.getName, "label_propagation"),
+    reg("label_propagation",
+      "_FUNC_(table, src_col, dst_col, rounds) - synchronous LPA with " +
+        "the deterministic (count desc, min label) tie-break. Returns " +
+        "(id, label)." + IterNote,
       labelPropagationPlan _),
-    (new FunctionIdentifier("scc"),
-      new ExpressionInfo(getClass.getName, "scc"),
+    reg("scc",
+      "_FUNC_(table, src_col, dst_col, rounds, iters) - strongly " +
+        "connected components by proven-convergence coloring (throws " +
+        "rather than settle a split coloring). Returns (id, scc)." +
+        IterNote,
       sccPlan _),
-    (new FunctionIdentifier("connected_components"),
-      new ExpressionInfo(getClass.getName, "connected_components"),
+    reg("connected_components",
+      "_FUNC_(table, src_col, dst_col) - connected components " +
+        "(component = min vertex id); pass BOTH directions if " +
+        "undirected. Returns (id, component)." + IterNote,
       connectedComponentsPlan _),
-    (new FunctionIdentifier("pagerank"),
-      new ExpressionInfo(getClass.getName, "pagerank"),
+    reg("pagerank",
+      "_FUNC_(table, src_col, dst_col, iters) - damped power-iteration " +
+        "PageRank, dangling mass redistributed. Returns (id, rank)." +
+        IterNote,
       pageRankPlan _),
-    (new FunctionIdentifier("coreness"),
-      new ExpressionInfo(getClass.getName, "coreness"),
+    reg("coreness",
+      "_FUNC_(table, src_col, dst_col, rounds) - full coreness " +
+        "decomposition by H-index iteration from degree. Returns " +
+        "(id, coreness)." + IterNote,
       corenessPlan _),
-    (new FunctionIdentifier("louvain"),
-      new ExpressionInfo(getClass.getName, "louvain"),
+    reg("louvain",
+      "_FUNC_(table, x_col, y_col, rounds, max_levels) - multi-level " +
+        "Louvain over canonical undirected (x < y) pairs, " +
+        "deterministic tie-breaks. Returns (id, community)." + IterNote,
       louvainPlan _),
-    (new FunctionIdentifier("bfs_depths"),
-      new ExpressionInfo(getClass.getName, "bfs_depths"),
+    reg("bfs_depths",
+      "_FUNC_(table, src_col, dst_col, seed, max_depth) - " +
+        "bounded-depth BFS from one seed. Returns (id, dist)." + IterNote,
       bfsDepthsPlan _),
-    (new FunctionIdentifier("detect_gaps"),
-      new ExpressionInfo(getClass.getName, "detect_gaps"),
+    reg("detect_gaps",
+      "_FUNC_(table, entity_csv, ts, tie_break, min_gap_seconds) - " +
+        "per-entity gaps STRICTLY longer than the threshold as " +
+        "(entity..., gap_start, gap_end, gap_us).",
       detectGapsPlan _),
-    (new FunctionIdentifier("peak_concurrency"),
-      new ExpressionInfo(getClass.getName, "peak_concurrency"),
+    reg("peak_concurrency",
+      "_FUNC_(table, entity_csv, start, end, tie_break) - per-entity " +
+        "(n_intervals, peak) simultaneous-interval count, half-open " +
+        "boundaries.",
       peakConcurrencyPlan _),
-    (new FunctionIdentifier("coalesce_intervals"),
-      new ExpressionInfo(getClass.getName, "coalesce_intervals"),
+    reg("coalesce_intervals",
+      "_FUNC_(table, entity_csv, start, end, tie_break) - merge " +
+        "overlapping-or-touching [start, end) intervals into maximal " +
+        "spans (entity..., span_start, span_end, n_intervals).",
       coalesceIntervalsPlan _),
-    (new FunctionIdentifier("asof_join"),
-      new ExpressionInfo(getClass.getName, "asof_join"),
+    reg("asof_join",
+      "_FUNC_(left, right, on_csv, left_ts, right_ts, payload_csv, " +
+        "tie_break[, direction = backward|forward|nearest]) - as-of " +
+        "join; appends <payload>_asof/_fwd/_near per direction.",
       asofJoinPlan _),
-    (new FunctionIdentifier("snapshot"),
-      new ExpressionInfo(getClass.getName, "snapshot"),
+    reg("snapshot",
+      "_FUNC_(table, entity_csv, ts, at_timestamp, tie_break) - " +
+        "time-point read: each entity's latest change at-or-before the " +
+        "timestamp.",
       snapshotPlan _),
-    (new FunctionIdentifier("interval_view"),
-      new ExpressionInfo(getClass.getName, "interval_view"),
+    reg("interval_view",
+      "_FUNC_(table, entity, ts, tie_break) - change points to " +
+        "[valid_from, valid_to) rows (open final interval).",
       intervalViewPlan _),
-    (new FunctionIdentifier("time_range"),
-      new ExpressionInfo(getClass.getName, "time_range"),
+    reg("time_range",
+      "_FUNC_(table, entity, ts, tie_break, t1, t2) - validity " +
+        "intervals overlapping [t1, t2).",
       timeRangePlan _),
-    (new FunctionIdentifier("sessionize"),
-      new ExpressionInfo(getClass.getName, "sessionize"),
+    reg("sessionize",
+      "_FUNC_(table, entity, ts, tie_break, gap_seconds) - the input " +
+        "plus a per-entity 0-based session_id (strictly-greater gap " +
+        "split).",
       sessionizePlan _),
-    (new FunctionIdentifier("bitemporal_snapshot"),
-      new ExpressionInfo(getClass.getName, "bitemporal_snapshot"),
+    reg("bitemporal_snapshot",
+      "_FUNC_(table, entity_csv, valid_ts, tx_ts, t_valid, t_tx, " +
+        "tie_break) - two-axis time-point read; t_tx is a timestamp " +
+        "string or microsecond integer per the tx column type.",
       bitemporalPlan _),
-    (new FunctionIdentifier("match_pattern"),
-      new ExpressionInfo(getClass.getName, "match_pattern"),
+    reg("match_pattern",
+      "_FUNC_(table, entity, ts, tie_break, type_col, pattern, " +
+        "within_us) - per-entity pattern-match counts; pattern stages " +
+        "like 'view (click|error)+ purchase'; within_us <= 0 = " +
+        "unbounded. Returns (entity, n_events, n_matches).",
       matchPatternPlan _),
-    (new FunctionIdentifier("match_rows"),
-      new ExpressionInfo(getClass.getName, "match_rows"),
+    reg("match_rows",
+      "_FUNC_(table, entity, ts, tie_break, type_col, pattern, " +
+        "within_us) - ONE ROW PER bounded MATCH: (entity, match_no, " +
+        "anchor_us, end_us).",
       matchRowsPlan _),
-    (new FunctionIdentifier("match_reanchored"),
-      new ExpressionInfo(getClass.getName, "match_reanchored"),
+    reg("match_reanchored",
+      "_FUNC_(table, entity, ts, tie_break, type_col, pattern, " +
+        "within_us) - re-anchoring WITHIN counter (plain symbol " +
+        "stages; within_us must be positive).",
       matchReanchoredPlan _))
 
   /** Register the TVFs on an already-built session (idempotent). */

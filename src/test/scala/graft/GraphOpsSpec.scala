@@ -1437,6 +1437,22 @@ class GraphOpsSpec extends SparkSpecBase {
       }
   }
 
+  test("DESCRIBE FUNCTION renders the TVF contract: argument shapes, " +
+      "column conventions, and the analysis-time cost note") {
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    def usage(fn: String): String = spark.sql(s"DESCRIBE FUNCTION $fn")
+      .collect().map(_.getString(0)).mkString("\n")
+    val pr = usage("pagerank")
+    assert(pr.contains("pagerank(table, src_col, dst_col, iters)"))
+    assert(pr.contains("ANALYSIS time") && pr.contains("memoizes"))
+    val ra = usage("restless_arrival")
+    assert(ra.contains("(src, dst, dep_us, arr_us)") &&
+      ra.contains("TABLE(SELECT ...)"))
+    val aj = usage("asof_join")
+    assert(aj.contains("backward|forward|nearest") &&
+      !aj.contains("ANALYSIS time")) // lazy TVFs carry no cost note
+  }
+
   test("iterative graph TVFs memoize the converged plan: EXPLAIN pays " +
       "once, re-analysis hits, replacing the view's data misses") {
     import spark.implicits._
