@@ -38,15 +38,18 @@ object Media {
     StructField("maxval", IntegerType), StructField("mean_r", DoubleType),
     StructField("mean_g", DoubleType), StructField("mean_b", DoubleType)))
 
-  /** Header scan shared by [[decodePpm]] and [[resizePpm]]:
-    * (width, height, maxval, raster offset); None on malformed headers
+  /** Header scan shared by [[decodePpm]], [[resizePpm]] and the frame
+    * demux: (width, height, maxval, ABSOLUTE raster offset), parsing
+    * from `start` (so [[splitPpmFrames]] walks a concatenated stream
+    * without per-frame suffix copies); None on malformed headers
     * ('#' comments allowed per the spec, exactly ONE whitespace after
     * maxval, then the raster).
     */
-  private def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-    if (bytes == null || bytes.length < 2 ||
-      bytes(0) != 'P' || bytes(1) != '6') return None
-    var i = 2
+  private def parsePpmHeader(bytes: Array[Byte],
+      start: Int = 0): Option[(Int, Int, Int, Int)] = {
+    if (bytes == null || bytes.length < start + 2 ||
+      bytes(start) != 'P' || bytes(start + 1) != '6') return None
+    var i = start + 2
     def skipWs(): Boolean = {
       var progressed = false
       var go = true
@@ -418,12 +421,14 @@ object Media {
     var o = 0
     var go = true
     while (go && o < bytes.length) {
-      val rest = java.util.Arrays.copyOfRange(bytes, o, bytes.length)
-      parsePpmHeader(rest) match {
-        case Some((w, h, _, off)) if rest.length - off >= 3L * w * h =>
-          val len = off + 3 * w * h
-          out += java.util.Arrays.copyOfRange(bytes, o, o + len)
-          o += len
+      // header parse runs AT the offset (no per-frame suffix copy —
+      // the walk stays O(total bytes) however many frames the stream
+      // holds); `off` is absolute, per parsePpmHeader's contract
+      parsePpmHeader(bytes, o) match {
+        case Some((w, h, _, off)) if bytes.length - off >= 3L * w * h =>
+          val end = off + 3 * w * h
+          out += java.util.Arrays.copyOfRange(bytes, o, end)
+          o = end
         case _ => go = false
       }
     }
