@@ -918,6 +918,91 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  // ---------------------------------------------------------- LLM door
+  // (r16): the dedup / similarity / decontamination surface from pure
+  // SQL — before this the whole LLM-pipeline domain was Scala-API-only.
+  // All three are LAZY plans (shingling, blocked kernels, anti joins —
+  // no analysis-time execution), so no memoization is needed.
+
+  /** near_dup_pairs(table, id_col, text_col, shingle_len,
+    * threshold_pct) — exact character-n-gram Jaccard near-dup pairs
+    * (the l02 kernel): all (a_id, b_id) with jaccard >
+    * threshold_pct/100. Returns (a_id, b_id, jaccard) with the RAW
+    * double (round in the outer query — filter-then-round, the l02
+    * discipline).
+    */
+  private def nearDupPairsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "near_dup_pairs"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (table, id_col, text_col, shingle_len, " +
+        s"threshold_pct), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    // n_chars derived from the text itself — the shingle kernel's
+    // position bound, independent of whether the caller's table carries
+    // a length column
+    val docs = df.select(df(str(exprs(1), 2, fn)).as("doc_id"),
+      df(str(exprs(2), 3, fn)).as("text"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+    val n = long(exprs(3), 4, fn)
+    val pct = long(exprs(4), 5, fn)
+    require(n >= 1 && n <= 1000, s"$fn: shingle_len must be in [1, 1000]")
+    require(pct >= 0 && pct <= 100, s"$fn: threshold_pct must be in [0, 100]")
+    graft.ops.Similarity.exactJaccard(graft.ops.Text.shingles(docs, n.toInt))
+      .filter(org.apache.spark.sql.functions.col("jaccard") > pct / 100.0)
+      .queryExecution.logical
+  }
+
+  /** cosine_topk(table, id_col, emb_col, k) — exact top-k cosine pairs
+    * over an embedding column via the blocked kernel (the l03 kernel —
+    * never an all-pairs join materialization). Returns
+    * (a_id, b_id, cos_sim).
+    */
+  private def cosineTopkPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "cosine_topk"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, id_col, emb_col, k), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val vecs = df.select(df(str(exprs(1), 2, fn)).as("vec_id"),
+      df(str(exprs(2), 3, fn)).as("embedding"))
+    val k = long(exprs(3), 4, fn)
+    require(k >= 1 && k <= 10000000, s"$fn: k must be in [1, 1e7]")
+    graft.ops.Similarity.topKCosinePairs(vecs, k.toInt)
+      .queryExecution.logical
+  }
+
+  /** decontaminate(train, bench, id_col, text_col, shingle_len) — drop
+    * every train row sharing ANY character n-shingle with the benchmark
+    * corpus (the l10 doc-level decontamination): returns the CLEAN
+    * train rows with ALL their original columns. Both tables must
+    * expose `id_col` and `text_col`.
+    */
+  private def decontaminatePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "decontaminate"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (train, bench, id_col, text_col, " +
+        s"shingle_len), got ${exprs.length}")
+    val train = tableArg(exprs(0), 1, fn)
+    val bench = tableArg(exprs(1), 2, fn)
+    val (idCol, textCol) = (str(exprs(2), 3, fn), str(exprs(3), 4, fn))
+    requireCols(train, Seq(idCol, textCol), fn, "train")
+    requireCols(bench, Seq(idCol, textCol), fn, "bench")
+    val n = long(exprs(4), 5, fn)
+    require(n >= 1 && n <= 1000, s"$fn: shingle_len must be in [1, 1000]")
+    import org.apache.spark.sql.functions.{col, length}
+    def asDocs(t: DataFrame) =
+      t.select(t(idCol).as("doc_id"), t(textCol).as("text"))
+        .withColumn("n_chars", length(col("text")))
+    val benchSh = graft.ops.Text.shingles(asDocs(bench), n.toInt)
+      .select("shingle").distinct()
+    val contaminated = graft.ops.Text.shingleStream(asDocs(train), n.toInt)
+      .join(benchSh, "shingle")
+      .select(col("doc_id").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+      .queryExecution.logical
+  }
+
   /** One registration row with a `DESCRIBE FUNCTION`-visible usage
     * string — the SQL-side contract (argument shapes and column
     * conventions). `_FUNC_` renders as the function name. The iterative
@@ -942,6 +1027,23 @@ object TableFunctions {
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    reg("near_dup_pairs",
+      "_FUNC_(table, id_col, text_col, shingle_len, threshold_pct) - " +
+        "exact character-n-gram Jaccard near-dup pairs above " +
+        "threshold_pct/100. Returns (a_id, b_id, jaccard) with the raw " +
+        "double; round in the outer query. Lazy plan.",
+      nearDupPairsPlan _),
+    reg("cosine_topk",
+      "_FUNC_(table, id_col, emb_col, k) - exact top-k cosine pairs " +
+        "over an embedding column via the blocked kernel (no all-pairs " +
+        "join). Returns (a_id, b_id, cos_sim). Lazy plan.",
+      cosineTopkPlan _),
+    reg("decontaminate",
+      "_FUNC_(train, bench, id_col, text_col, shingle_len) - drop " +
+        "every train row sharing any character n-shingle with the " +
+        "benchmark corpus; returns the CLEAN train rows with all their " +
+        "columns. Lazy plan.",
+      decontaminatePlan _),
     reg("multi_source_bfs",
       "_FUNC_(edges, seeds, max_depth) - exact min-depth BFS from a " +
         "seed SET in one pass; edges expose (src, dst), seeds (id). " +

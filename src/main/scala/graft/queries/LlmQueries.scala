@@ -1187,6 +1187,42 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L02d/L03e/L10c (r16) — the LLM-pipeline SQL door: dedup,
+    // similarity search, and decontamination from pure SQL via the
+    // near_dup_pairs / cosine_topk / decontaminate TVFs (before these
+    // the whole domain was Scala-API-only). Each twin splices the same
+    // kernel as its Scala sibling and is held to the sibling's oracle
+    // verbatim.
+    "l02d_near_dedup_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      docs(s, dir).createOrReplaceTempView("graft_l02d_docs")
+      s.sql("""SELECT a_id, b_id, round(jaccard, 4) AS jaccard
+        |FROM near_dup_pairs('graft_l02d_docs', 'doc_id', 'text', 3, 60)
+        |ORDER BY a_id, b_id""".stripMargin)
+    }),
+
+    "l03e_cosine_topk_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      vecs(s, dir).createOrReplaceTempView("graft_l03e_vecs")
+      s.sql("""SELECT a_id, b_id, cos_sim
+        |FROM cosine_topk('graft_l03e_vecs', 'vec_id', 'embedding', 20)
+        |ORDER BY cos_sim DESC, a_id, b_id""".stripMargin)
+    }),
+
+    "l10c_decontaminate_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 20 =!= 0)
+        .createOrReplaceTempView("graft_l10c_train")
+      d.filter(col("doc_id") % 20 === 0)
+        .createOrReplaceTempView("graft_l10c_bench")
+      s.sql("""SELECT source, count(*) AS n_clean,
+        |  sum(n_chars) AS clean_chars
+        |FROM decontaminate('graft_l10c_train', 'graft_l10c_bench',
+        |                   'doc_id', 'text', 20)
+        |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     // L58 — VIDEO frame demux + sampling (r16 — the frame-sample member
     // of the multimodal set done with a REAL demuxer): each doc's
     // "video" is four concatenated P6 frames of DIFFERENT sizes, so the
@@ -1927,7 +1963,7 @@ object LlmQueries {
       |    1048575 - (mv % 1048576) AS pos, mv // 1048576 AS fp
       |  FROM mw WHERE gpos >= 3)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private lazy val oraclesBase0: Map[String, String] = Map(
     "l44_winnow" ->
       s"""WITH $winnowCte
         |SELECT doc_id, pos, fp FROM sel
@@ -2428,6 +2464,15 @@ object LlmQueries {
         |    doc_id = min(doc_id) OVER (PARTITION BY text) AS dup_keep
         |  FROM documents)""".stripMargin),
   ) ++ oraclesTail
+
+  /** The r16 LLM SQL-door twins reuse their Scala siblings' oracles
+    * VERBATIM — the TVFs splice the same kernels, so the same DuckDB
+    * replays are the gates.
+    */
+  val oracles: Map[String, String] = oraclesBase0 ++ Map(
+    "l02d_near_dedup_sql" -> oraclesBase0("l02_near_dedup"),
+    "l03e_cosine_topk_sql" -> oraclesBase0("l03_cosine_topk"),
+    "l10c_decontaminate_sql" -> oraclesBase0("l10_decontaminate"))
 
   /** The manifest oracle over any CTE preamble that defines
     * `keepl(doc_id, dup_keep)` and `semkeep(vec_id, keep)`. The caller

@@ -553,4 +553,30 @@ class TextOpsSpec extends SparkSpecBase {
     // all survivors are genuine substrings of the vocab words
     assert(multi.forall(m => "abab".contains(m._1) || "cd".contains(m._1)))
   }
+
+  test("LLM SQL-door twins == Scala siblings row-for-row " +
+      "(near_dup_pairs, cosine_topk, decontaminate)") {
+    Seq("l02d_near_dedup_sql" -> "l02_near_dedup",
+        "l03e_cosine_topk_sql" -> "l03_cosine_topk",
+        "l10c_decontaminate_sql" -> "l10_decontaminate")
+      .foreach { case (twin, sibling) =>
+        val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
+        val b = SparkEntry.queries(sibling)(spark, sfDir).collect().toSeq
+        assert(a.nonEmpty && a == b, s"$twin != $sibling")
+      }
+    // the TVF's derived n_chars must equal the kernel's semantics on a
+    // table WITHOUT a length column (the point of deriving it)
+    import spark.implicits._
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    Seq((1L, "abcabc"), (2L, "abcabd"), (3L, "zzzzzz"))
+      .toDF("id", "body").createOrReplaceTempView("tvf_nd_docs")
+    val pairs = spark.sql(
+      """SELECT a_id, b_id FROM
+        |near_dup_pairs('tvf_nd_docs', 'id', 'body', 3, 40)
+        |ORDER BY a_id, b_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc1 {abc,bca,cab}, doc2 {abc,bca,cab,abd}: inter 3, union 4,
+    // j = 0.75 > 0.4; doc3 {zzz} disjoint from both
+    assert(pairs == Seq((1L, 2L)))
+  }
 }
