@@ -571,10 +571,15 @@ object TableFunctions {
     // (AttributeMap key-not-found in Union.rewriteConstraints). The cut
     // is what the Scala-API path does anyway (the operator cuts its
     // edge list), so the TVF pays nothing extra.
-    // memo keys on the RAW resolved inputs; the lineage cut happens
-    // inside the build thunk (a cut frame is a fresh LogicalRDD, which
-    // would never compare equal across invocations — and on a cache hit
-    // the materialization must not run at all)
+    // memo keys on the RAW resolved inputs; the lineage cuts run inside
+    // the build thunk (a cut frame is a fresh LogicalRDD that never
+    // compares equal across invocations, and a cache hit must not
+    // re-materialize). THIS builder keeps the TVF-side cuts: the
+    // earliest-arrival plan is a label-UNION chain, and splicing it
+    // over shared-lineage edge/seed views trips the optimizer's
+    // Union.rewriteConstraints (AttributeMap key-not-found — reproduced
+    // empirically when the cuts were dropped in r16; the DP-shaped
+    // restless TVFs below carry no such union and run uncut).
     val edgesRaw = tableArg(exprs(0), 1, fn)
     val seedsRaw = tableArg(exprs(1), 2, fn)
     requireCols(edgesRaw, Seq("src", "dst", "dep_us", "arr_us"), fn, "edges")
@@ -610,14 +615,12 @@ object TableFunctions {
     require(maxHops >= 1 && maxHops <= 10000,
       s"$fn: max_hops must be in [1, 10000]")
     memo(fn, Seq(edgesRaw, seedsRaw), Seq(delta, maxHops)) {
-      val edges = graft.ops.Checkpoints.cut(edgesRaw)
-      val seeds = graft.ops.Checkpoints.cut(seedsRaw)
       val df = if (visits)
         graft.ops.Graphs.restlessVisitCounts(SparkSession.active,
-          edges, seeds, delta, maxHops.toInt)
+          edgesRaw, seedsRaw, delta, maxHops.toInt)
       else
         graft.ops.Graphs.restlessWalkCounts(SparkSession.active,
-          edges, seeds, delta, maxHops.toInt)
+          edgesRaw, seedsRaw, delta, maxHops.toInt)
       df.queryExecution.logical
     }
   }
@@ -728,9 +731,7 @@ object TableFunctions {
       s"$fn: n_targets must be in [1, 1000000]")
     memo(fn, Seq(edgesRaw, seedsRaw), Seq(delta, maxHops, nTargets)) {
       graft.ops.Graphs.restlessTemporalBetweenness(SparkSession.active,
-          graft.ops.Checkpoints.cut(edgesRaw),
-          graft.ops.Checkpoints.cut(seedsRaw), delta, maxHops.toInt,
-          nTargets.toInt)
+          edgesRaw, seedsRaw, delta, maxHops.toInt, nTargets.toInt)
         .queryExecution.logical
     }
   }

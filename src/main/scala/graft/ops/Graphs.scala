@@ -1814,8 +1814,14 @@ object Graphs {
     * scales as rounds × one shuffle), combined with attenuation β = 1/4
     * scaled by 4³: katz_x64 = 16·c1 + 4·c2 + c3. Integer walk counts
     * make the truncated Katz sum hash-exact — no float power iteration.
-    * Returns (id, w1, w2, w3, katz_x64); ranking/limits stay with the
-    * caller. Edges are checkpoint-cut internally (three walk rounds
+    * Returns (id, w1, w2, w3, katz_x64) for every vertex with at least
+    * one inbound walk (w1 >= 1; a vertex with no in-edges has Katz 0
+    * and is omitted); w2/w3 LEFT-join and coalesce to 0 — on a DAG most
+    * vertices lack length-2/3 walks and an inner join would silently
+    * drop them (r16 review fix; on both-directions substrates like
+    * g32's co-part graph every reached vertex has walks of all three
+    * lengths, so the g32 result is unchanged). Ranking/limits stay with
+    * the caller. Edges are checkpoint-cut internally (three walk rounds
     * re-read them).
     */
   def katzX64(edges0: DataFrame): DataFrame = {
@@ -1827,10 +1833,13 @@ object Graphs {
     val c2 = step(c1)
     val c3 = step(c2)
     c1.select(col("id"), col("c").as("w1"))
-      .join(c2.select(col("id"), col("c").as("w2")), "id")
-      .join(c3.select(col("id"), col("c").as("w3")), "id")
-      .select(col("id"), col("w1"), col("w2"), col("w3"),
-        (col("w1") * 16 + col("w2") * 4 + col("w3")).as("katz_x64"))
+      .join(c2.select(col("id"), col("c").as("w2")), Seq("id"), "left_outer")
+      .join(c3.select(col("id"), col("c").as("w3")), Seq("id"), "left_outer")
+      .select(col("id"), col("w1"),
+        coalesce(col("w2"), lit(0L)).as("w2"),
+        coalesce(col("w3"), lit(0L)).as("w3"),
+        (col("w1") * 16 + coalesce(col("w2"), lit(0L)) * 4 +
+          coalesce(col("w3"), lit(0L))).as("katz_x64"))
   }
 
   /** Static PageRank, fixed iteration count (tolerance-gated, SURVEY G08). */
@@ -2121,16 +2130,34 @@ object Graphs {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("dep_us").cast("long"), col("arr_us").cast("long"))
       .transform(Checkpoints.cut)
+    restlessForwardLevels(e, seeds, deltaUs, maxHops)
+      .map(_._2.groupBy("id").agg(sum("n").as("n_walks")))
+      .reduce(_.unionByName(_))
+      .groupBy("id").agg(sum("n_walks").as("n_walks"))
+  }
+
+  /** Forward per-depth restless COUNT DP shared by [[restlessWalkCounts]],
+    * [[restlessVisitCounts]] and [[restlessTemporalBetweenness]] (r16
+    * review: three hand-maintained copies of the identical kernel had
+    * accreted — a broadcast-threshold or δ-boundary fix must land once):
+    * level 1 = the seed labels' (id, arr_us, n) multiplicities; each
+    * next level steps every label through the δ-usable edges with the
+    * adaptive broadcast hint (see [[restlessEarliestArrival]]) and
+    * re-aggregates counts per (dst, arr). Returns the per-depth level
+    * tables, 1-indexed, stopping early when a level empties. `e` must
+    * already be the projected + checkpoint-cut 4-column edge frame.
+    */
+  private def restlessForwardLevels(e: DataFrame, seeds: DataFrame,
+      deltaUs: Long, maxHops: Int): Seq[(Int, DataFrame)] = {
     var level = seeds.select(col("id").cast("long"),
         col("arr_us").cast("long"))
       .groupBy("id", "arr_us").agg(count(lit(1)).as("n"))
       .transform(Checkpoints.cut)
-    var acc = level.groupBy("id").agg(sum("n").as("n_walks"))
+    val fwd = scala.collection.mutable.ArrayBuffer((1, level))
     var hop = 1
     var rows = level.count()
     while (hop < maxHops && rows > 0) {
       hop += 1
-      // adaptive level broadcast — see restlessEarliestArrival
       val probe = if (rows <= FrontierBroadcastRows) broadcast(level)
         else level
       level = probe
@@ -2142,10 +2169,9 @@ object Graphs {
         .agg(sum("n").as("n"))
         .transform(Checkpoints.cut)
       rows = level.count()
-      if (rows > 0)
-        acc = acc.unionByName(level.groupBy("id").agg(sum("n").as("n_walks")))
+      if (rows > 0) fwd += ((hop, level))
     }
-    acc.groupBy("id").agg(sum("n_walks").as("n_walks"))
+    fwd.toSeq
   }
 
   /** G47 — restless VISIT COUNTING (temporal flow-through centrality):
@@ -2177,29 +2203,7 @@ object Graphs {
         col("dep_us").cast("long"), col("arr_us").cast("long"))
       .transform(Checkpoints.cut)
     // forward pass: per-depth (id, arr_us, n) walk-count labels
-    var level = seeds.select(col("id").cast("long"),
-        col("arr_us").cast("long"))
-      .groupBy("id", "arr_us").agg(count(lit(1)).as("n"))
-      .transform(Checkpoints.cut)
-    val fwd = scala.collection.mutable.ArrayBuffer((1, level))
-    var hop = 1
-    var rows = level.count()
-    while (hop < maxHops && rows > 0) {
-      hop += 1
-      // adaptive level broadcast — see restlessEarliestArrival
-      val probe = if (rows <= FrontierBroadcastRows) broadcast(level)
-        else level
-      level = probe
-        .select(col("id").as("f_id"), col("arr_us").as("f_arr"), col("n"))
-        .join(e, col("f_id") === col("src"))
-        .filter(col("dep_us") >= col("f_arr") &&
-          col("dep_us") <= col("f_arr") + deltaUs)
-        .groupBy(col("dst").as("id"), col("arr_us"))
-        .agg(sum("n").as("n"))
-        .transform(Checkpoints.cut)
-      rows = level.count()
-      if (rows > 0) fwd += ((hop, level))
-    }
+    val fwd = restlessForwardLevels(e, seeds, deltaUs, maxHops)
     // reachable label domain (id, arr_us) with its continuation counts
     // cont_r, built upward from cont_0 = 1 (the empty continuation)
     val labels = fwd.map(_._2.select("id", "arr_us"))
@@ -2402,29 +2406,8 @@ object Graphs {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("dep_us").cast("long"), col("arr_us").cast("long"))
       .transform(Checkpoints.cut)
-    // forward per-depth count DP (the g46 kernel, levels kept)
-    var level = seeds.select(col("id").cast("long"),
-        col("arr_us").cast("long"))
-      .groupBy("id", "arr_us").agg(count(lit(1)).as("n"))
-      .transform(Checkpoints.cut)
-    val fwd = scala.collection.mutable.Map(1 -> level)
-    var hop = 1
-    var rows = level.count()
-    while (hop < maxHops && rows > 0) {
-      hop += 1
-      val probe = if (rows <= FrontierBroadcastRows) broadcast(level)
-        else level
-      level = probe
-        .select(col("id").as("f_id"), col("arr_us").as("f_arr"), col("n"))
-        .join(e, col("f_id") === col("src"))
-        .filter(col("dep_us") >= col("f_arr") &&
-          col("dep_us") <= col("f_arr") + deltaUs)
-        .groupBy(col("dst").as("id"), col("arr_us"))
-        .agg(sum("n").as("n"))
-        .transform(Checkpoints.cut)
-      rows = level.count()
-      if (rows > 0) fwd(hop) = level
-    }
+    // forward per-depth count DP (the shared g46 kernel, levels kept)
+    val fwd = restlessForwardLevels(e, seeds, deltaUs, maxHops).toMap
     // shortest-foremost targets: min arrival per id, min depth at that
     // arrival, D >= 3 — a deterministic <= nTargets driver fetch
     val labAll = fwd.toSeq.map { case (d, f) =>

@@ -441,6 +441,12 @@ object Media {
     * context slot; malformed tails simply emit fewer rows).
     */
   def demuxPpmFrames(df: DataFrame, payloadCol: String): DataFrame = {
+    require(!df.columns.contains("frame_idx") &&
+        !df.columns.contains("frame_payload"),
+      "demuxPpmFrames: input already carries frame_idx/frame_payload " +
+        "(e.g. frameSample output) — rename or drop them first; the " +
+        "demux appends both and duplicate names would poison every " +
+        "downstream column reference")
     val idx = df.schema.fieldIndex(payloadCol)
     val outSchema = df.schema
       .add("frame_idx", IntegerType, nullable = false)

@@ -199,12 +199,17 @@ object SimIndex {
     // Library entry point: register vec_dot here rather than relying on
     // every caller having done it (Similarity.dot/norm resolve it).
     graft.functions.VecFunctions.ensureRegistered(vecs.sparkSession)
-    val centroids = Similarity.kmeansCentroids(vecs, k, maxIter = 10)
+    // zero-norm vectors have no direction: unassignable (ivfAssign's
+    // cosine divides by the norm — ANSI-throws) and unsearchable — keep
+    // them out of the INDEXED set, the writeIvfPqIndex discipline; the
+    // freshness signature still covers the full input (r16 review fix).
+    val indexable = vecs.filter(Similarity.norm(col("embedding")) > 0.0)
+    val centroids = Similarity.kmeansCentroids(indexable, k, maxIter = 10)
     Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_centroids")
     centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
     Bucketing.writeDescriptor(vecs.sparkSession, s"${prefix}_centroids")
-    val assigned = Similarity.ivfAssign(vecs, centroids, nprobe)
-    val bucketVecs = vecs.join(assigned, "vec_id")
+    val assigned = Similarity.ivfAssign(indexable, centroids, nprobe)
+    val bucketVecs = indexable.join(assigned, "vec_id")
       .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"), col("bucket"))
     Bucketing.writeBucketed(bucketVecs, s"${prefix}_vectors", "bucket",
@@ -213,7 +218,7 @@ object SimIndex {
     // BUILD corpus sits from its own centroids. Intake batches compare
     // their histogram against this via PSI — the drift observable that
     // triggers a codebook rebuild (appendIvfIndexWithRefresh).
-    val resHist = residualHistogram(vecs, centroids)
+    val resHist = residualHistogram(indexable, centroids)
     Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_res_hist")
     resHist.write.mode("overwrite").saveAsTable(s"${prefix}_res_hist")
     Bucketing.writeDescriptor(vecs.sparkSession, s"${prefix}_res_hist")
@@ -230,9 +235,17 @@ object SimIndex {
     */
   private val ResBuckets = 20
 
-  private def residualHistogram(vecs: DataFrame,
+  private def residualHistogram(vecs0: DataFrame,
       centroids: DataFrame): DataFrame = {
-    graft.functions.VecFunctions.ensureRegistered(vecs.sparkSession)
+    graft.functions.VecFunctions.ensureRegistered(vecs0.sparkSession)
+    // zero-norm vectors have no direction, no coarse assignment, and no
+    // residual distance — EXCLUDE them up front (the PQ path's norm > 0
+    // rule, and BEFORE ivfAssign, whose cosine divides by the norm and
+    // throws under ANSI). Without the filter an all-zero batch would
+    // either crash or read as maximal drift in the overflow bucket
+    // instead of no evidence (r16 review fix — the residualPsi
+    // empty-histogram guard relies on this).
+    val vecs = vecs0.filter(Similarity.norm(col("embedding")) > 0.0)
     val near = Similarity.ivfAssign(vecs, centroids, nprobe = 1)
     val c = centroids.select(col("cid").as("bucket"),
       transform(col("centroid"), _.cast("float")).as("cvec"))
@@ -403,9 +416,13 @@ object SimIndex {
         "with writeIvfIndex to enable appends")
     val meta = metaDf.head()
     def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
-    val assigned = Similarity.ivfAssign(newVecs,
+    // zero-norm vectors stay out of the indexed set (writeIvfIndex's
+    // rule); the additive signature bump below covers the full batch
+    val indexable = newVecs
+      .filter(Similarity.norm(col("embedding")) > 0.0)
+    val assigned = Similarity.ivfAssign(indexable,
       spark.table(s"${prefix}_centroids"), p("nprobe"))
-    val bucketVecs = newVecs.join(assigned, "vec_id")
+    val bucketVecs = indexable.join(assigned, "vec_id")
       .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"), col("bucket"))
     Bucketing.appendBucketedMulti(bucketVecs, s"${prefix}_vectors",

@@ -1247,6 +1247,20 @@ class GraphOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("katzX64 on a DAG: vertices lacking length-2/3 walks survive " +
+      "with zero counts (r16 review fix — inner joins dropped them)") {
+    import spark.implicits._
+    val dag = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graphs.katzX64(dag).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // vertex 2: one 1-walk, no longer walks -> 16; vertex 3: one 1-walk
+    // + one 2-walk (1->2->3) -> 16 + 4 = 20; vertex 1 has no inbound
+    // walk (Katz 0, omitted by the declared domain)
+    assert(got == Map(2L -> ((1L, 0L, 0L, 16L)),
+      3L -> ((1L, 1L, 0L, 20L))))
+  }
+
   test("restlessTemporalBetweenness == brute shortest-foremost " +
       "enumeration (hand + random)") {
     import spark.implicits._

@@ -299,6 +299,15 @@ class SimIndexSpec extends SparkSpecBase {
         .collect().groupBy(_.getInt(1)).values
         .map(_.map(_.getLong(0)).toSet).toSet
     assert(partition("ivfnp2") == partition("ivfnp2one"))
+
+    // an all-ZERO-NORM batch is no evidence either (r16 review fix):
+    // the residual histogram excludes direction-less vectors, so the
+    // live histogram is empty and the PSI guard short-circuits instead
+    // of reading the overflow bucket as maximal drift
+    val centsAfter = spark.table("ivfnp2_centroids").collect().toSet
+    val zeros = (0 until 5).map(i => (5000L + i, Seq.fill(dim)(0f)))
+    assert(!SimIndex.appendIvfIndexWithRefresh(df(zeros), "ivfnp2"))
+    assert(spark.table("ivfnp2_centroids").collect().toSet == centsAfter)
   }
 
   test("IVF index: within-bucket join is Exchange-free and matches fresh assignment") {
