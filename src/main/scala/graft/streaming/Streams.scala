@@ -716,8 +716,16 @@ object Streams {
       val eNew = insEdges.select(col("src").cast("long"),
           col("dst").cast("long"), col("dep_us").cast("long"),
           col("arr_us").cast("long")).distinct()
-      val live = liveEdges.unionByName(eNew).distinct()
+      // Delete-then-insert, matching [[ccApplyDelta]]'s ordering: the
+      // deletes apply to the PRE-batch live set only, then the batch's
+      // inserts union in. An upsert-style CDC batch (delete + re-insert
+      // of one temporal edge) therefore keeps the edge — the refold
+      // re-derives its labels because the edge stays live. (The taint
+      // still roots at the deleted edge's (dst, arr) label; over-taint
+      // is safe, the refold restores anything still reachable.)
+      val live = liveEdges
         .join(dels, Seq("src", "dst", "dep_us", "arr_us"), "left_anti")
+        .unionByName(eNew).distinct()
         .transform(graft.ops.Checkpoints.cut)
       val liveRows = live.count()
       // 1. taint: roots at the deleted edges' (dst, arr) labels, then

@@ -1166,6 +1166,38 @@ class StreamingSpec extends SparkSpecBase {
       == snaps(4))
   }
 
+  test("S43b upsert batch: same-batch delete + re-insert of ONE temporal " +
+      "edge keeps the edge (insert wins, matching ccApplyDelta's " +
+      "delete-then-insert ordering) — labels == one-shot over the " +
+      "surviving set that still contains it") {
+    import spark.implicits._
+    val seeds = Seq((2L, 10L)).toDF("id", "arr_us")
+    val eA = (2L, 3L, 15L, 20L); val eB = (3L, 4L, 25L, 30L)
+    // state: both edges live, full chain labelled (one insert-only fold)
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("src", "dst", "dep_us", "arr_us")
+    val (labels0, live0) = Streams.restlessApplyBatch(spark,
+      seeds.withColumn("dmin", lit(1)), empty,
+      Seq(eA, eB).toDF("src", "dst", "dep_us", "arr_us"),
+      deltaUs = 100L, maxHops = 4)
+    // upsert-style CDC batch: delete eA AND re-insert eA (same edge)
+    val r = Streams.restlessApplyDelta(spark, labels0, live0,
+      Seq(eA).toDF("src", "dst", "dep_us", "arr_us"),
+      Seq(eA).toDF("src", "dst", "dep_us", "arr_us"),
+      seeds, deltaUs = 100L, maxHops = 4)
+    // the edge must SURVIVE (delete applies to the pre-batch set, the
+    // insert then unions in) and the labels must equal the unchanged
+    // one-shot fix point — not the severed Map(2 -> 10)
+    assert(r._2.collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+      == Set(eA, eB))
+    val got = r._1.groupBy("id").agg(min("arr_us").as("a"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val want = labels0.groupBy("id").agg(min("arr_us").as("a"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == want && got == Map(2L -> 10L, 3L -> 20L, 4L -> 30L))
+  }
+
   test("S27b from a real stream: foreachBatch CDC fold (inserts + deletes) " +
       "== from-scratch CC after every batch") {
     import spark.implicits._
