@@ -17,8 +17,38 @@ import org.apache.spark.sql.functions._
   *   `<prefix>_sigs`    (doc_id, sig)                   bucketed (doc_id)
   *   `<prefix>_centroids` (cid, centroid)               tiny, unbucketed
   *   `<prefix>_vectors` (vec_id, embedding, nrm, bucket) bucketed (bucket)
+  *   `<prefix>_tombstones` (id)                         small, append-only
+  *
+  * DELETES (r17 — the s27b/s43b retraction discipline applied to the
+  * persisted indexes): a document/vector delete (GDPR erasure, corpus
+  * curation) appends the id to `_tombstones` and RETRACTS the additive
+  * freshness signature — (count, sum-of-hashes mod 2^64) subtracts
+  * exactly, so requireFresh against the SURVIVING base passes and the
+  * pre-delete base goes loudly stale. Readers anti-join the tombstone
+  * set (skipped entirely when no deletes ever happened), so a delete
+  * costs O(batch) — never a rewrite of the 100 TB index; [[vacuumIndex]]
+  * is the scheduled compaction that folds tombstones into the physical
+  * tables, and a drift-triggered rebuild vacuums for free.
+  *
+  * SIGNATURE CONTRACT for the vector indexes (IVF / IVF-PQ): the
+  * recorded signature covers the INDEXABLE (norm > 0) subset of the
+  * ingested rows — zero-norm vectors have no direction, are never
+  * stored, and therefore never count (write, append, delete, and the
+  * drift rebuild all agree; the vector readers filter `verifyAgainst`
+  * the same way, so callers pass the raw base). Text indexes (LSH /
+  * shingle) sign the full ingested row set.
   */
 object SimIndex {
+
+  /** The indexable subset of a vector base: rows whose embedding has a
+    * direction. THE signature domain for IVF/IVF-PQ indexes (see the
+    * contract above) — every write/append/delete/verify path routes
+    * through this one definition so they can never disagree.
+    */
+  private def indexableVecs(vecs: DataFrame): DataFrame = {
+    graft.functions.VecFunctions.ensureRegistered(vecs.sparkSession)
+    vecs.filter(Similarity.norm(col("embedding")) > 0.0)
+  }
 
   /** Order-insensitive content signature of an indexed base table:
     * (row count, wrapping SUM of per-row xxhash64 over every column).
@@ -65,7 +95,83 @@ object SimIndex {
   /** Every table an index build may persist under `prefix`. */
   private val Suffixes = Seq("_meta", "_bands", "_sigs", "_centroids",
     "_vectors", "_pq_codebooks", "_pq_codes", "_shingles", "_applied",
-    "_res_hist")
+    "_res_hist", "_tombstones")
+
+  /** The live tombstone set at `prefix` — None when no delete ever
+    * happened (the common case: readers then skip the anti-join and the
+    * plan is byte-identical to the pre-delete one).
+    */
+  private def tombstones(spark: SparkSession, prefix: String)
+      : Option[DataFrame] = {
+    val t = s"${prefix}_tombstones"
+    Bucketing.reattach(spark, t)
+    if (spark.catalog.tableExists(t)) Some(spark.table(t)) else None
+  }
+
+  /** Drop tombstoned rows from `df` (by `idCol`); identity when no
+    * tombstones exist. The tombstone set is delete-batch-sized —
+    * broadcast it so the anti-join never reshuffles the index scan.
+    */
+  private def antiTombstones(spark: SparkSession, prefix: String,
+      df: DataFrame, idCol: String): DataFrame =
+    tombstones(spark, prefix).fold(df) { t =>
+      df.join(broadcast(t.select(col("id").as(idCol))), Seq(idCol),
+        "left_anti")
+    }
+
+  /** Append newly-deleted ids to the tombstone table (created on first
+    * delete).
+    */
+  private def appendTombstones(spark: SparkSession, prefix: String,
+      ids: DataFrame): Unit = {
+    val t = s"${prefix}_tombstones"
+    val fresh = !spark.catalog.tableExists(t)
+    if (fresh) Bucketing.dropStaleLocation(spark, t)
+    ids.select(col(ids.columns.head).cast("long").as("id"))
+      .write.mode("append").saveAsTable(t)
+    if (fresh) Bucketing.writeDescriptor(spark, t)
+  }
+
+  /** Clear the tombstone set — every full (re)build path starts from
+    * zero deletes (the rebuild reads only surviving rows), and vacuum
+    * ends here after folding the tombstones into the physical tables.
+    */
+  private def dropTombstones(spark: SparkSession, prefix: String): Unit = {
+    val t = s"${prefix}_tombstones"
+    Bucketing.reattach(spark, t)
+    if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
+    Bucketing.dropStaleLocation(spark, t)
+  }
+
+  /** Loud guard for the append paths: re-ingesting a tombstoned id
+    * would be silently invisible to every reader until a vacuum — fail
+    * fast instead. (Resurrection = vacuum first, then append.)
+    */
+  private def requireNotTombstoned(spark: SparkSession, prefix: String,
+      ids: DataFrame, idCol: String): Unit =
+    tombstones(spark, prefix).foreach { t =>
+      val hit = ids.join(broadcast(t.select(col("id").as(idCol))),
+        Seq(idCol), "left_semi").limit(1).count()
+      if (hit > 0) throw new IllegalStateException(
+        s"append to index '$prefix' includes tombstoned ids — run " +
+          "vacuumIndex (or a drift rebuild) before re-ingesting a " +
+          "deleted id")
+    }
+
+  /** Retract `(dn, dsig)` from the recorded signature, preserving every
+    * recorded build parameter: the exact inverse of the append bump
+    * (count subtracts, the mod-2^64 hash sum subtracts).
+    */
+  private def retractSignature(spark: SparkSession, prefix: String,
+      dn: Long, dsig: Long): Unit = {
+    val meta = spark.table(s"${prefix}_meta")
+    val schema = meta.columns
+    val r = meta.head()
+    val params = schema.drop(2).toSeq.map(c =>
+      c -> r.getLong(schema.indexOf(c)))
+    writeSignature(prefix, spark.range(0).toDF(), params,
+      precomputed = Some((r.getLong(0) - dn, r.getLong(1) - dsig)))
+  }
 
   /** Reattach every piece of the index a PREVIOUS process left in the
     * warehouse (no-op for pieces this index flavor never wrote, and for
@@ -124,6 +230,7 @@ object SimIndex {
       sortCols = Seq("band", "band_sig", "doc_id"))
     Bucketing.writeBucketed(sigs, s"${prefix}_sigs", "doc_id", buckets)
     sigs.unpersist()
+    dropTombstones(docs.sparkSession, prefix)
     writeSignature(prefix, docs, params = Seq(
       "num_hashes" -> numHashes.toLong, "bands" -> bands.toLong,
       "shingle_len" -> shingleLen.toLong, "buckets" -> buckets.toLong))
@@ -157,6 +264,8 @@ object SimIndex {
     def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
     val (numHashes, bands, shingleLen, buckets) =
       (p("num_hashes"), p("bands"), p("shingle_len"), p("buckets"))
+    requireNotTombstoned(spark, prefix,
+      newDocs.select("doc_id").distinct(), "doc_id")
     val sh = Text.shingles(newDocs, shingleLen)
     val sigs = Similarity.minHashSignatures(sh, numHashes).cache()
     Bucketing.appendBucketedMulti(
@@ -173,6 +282,36 @@ object SimIndex {
       precomputed = Some((meta.getLong(0) + dn, meta.getLong(1) + dsig)))
   }
 
+  /** Delete documents from the persisted LSH index (r17 retraction):
+    * tombstone the doc_ids and RETRACT their contribution from the
+    * additive freshness signature. `delDocs` must carry the FULL rows
+    * as originally ingested (a CDC delete carries the row image) — the
+    * signature is content-based, so only the true deleted rows subtract
+    * exactly. Replay-idempotent: ids already tombstoned (and ids the
+    * index never held) contribute nothing on a second application.
+    * O(|batch|): one semi/anti membership probe + a tombstone append —
+    * never a rewrite of the bucketed tables; [[vacuumIndex]] compacts.
+    */
+  def deleteFromLshIndex(delDocs: DataFrame, prefix: String): Unit = {
+    val spark = delDocs.sparkSession
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_meta"),
+      s"no LSH index at '$prefix' to delete from")
+    // newly-deleted = present in the index, not already tombstoned
+    val ids = delDocs.select("doc_id").distinct()
+      .join(spark.table(s"${prefix}_sigs").select("doc_id"), Seq("doc_id"),
+        "left_semi")
+    val newIds = antiTombstones(spark, prefix, ids, "doc_id")
+      .transform(Checkpoints.cut) // read 3×: signature, append, and by
+                                  // the tombstone probe it invalidates
+    val (dn, dsig) = signature(
+      delDocs.join(newIds, Seq("doc_id"), "left_semi"))
+    if (dn > 0) {
+      appendTombstones(spark, prefix, newIds)
+      retractSignature(spark, prefix, dn, dsig)
+    }
+  }
+
   /** LSH candidate pairs from the persisted band table: a self equi join
     * on the bucketing key — plans with zero Exchange (asserted in
     * SimIndexSpec), so candidate generation is bucket-local reads.
@@ -182,7 +321,8 @@ object SimIndex {
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
     reattachAll(spark, prefix)
     verifyAgainst.foreach(requireFresh(spark, prefix, _))
-    val b1 = spark.table(s"${prefix}_bands")
+    val b1 = antiTombstones(spark, prefix,
+      spark.table(s"${prefix}_bands"), "doc_id")
     val b2 = b1.select(col("doc_id").as("b_id"), col("band"),
       col("band_sig"))
     b1.join(b2, Seq("band", "band_sig"))
@@ -201,9 +341,12 @@ object SimIndex {
     graft.functions.VecFunctions.ensureRegistered(vecs.sparkSession)
     // zero-norm vectors have no direction: unassignable (ivfAssign's
     // cosine divides by the norm — ANSI-throws) and unsearchable — keep
-    // them out of the INDEXED set, the writeIvfPqIndex discipline; the
-    // freshness signature still covers the full input (r16 review fix).
-    val indexable = vecs.filter(Similarity.norm(col("embedding")) > 0.0)
+    // them out of the INDEXED set; the freshness signature covers this
+    // same indexable subset (the r17 contract — a drift rebuild from
+    // the stored vectors then re-records an identical signature, where
+    // a full-input signature would silently drop the historical
+    // zero-norm rows' contribution and read stale forever).
+    val indexable = indexableVecs(vecs)
     val centroids = Similarity.kmeansCentroids(indexable, k, maxIter = 10)
     Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_centroids")
     centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
@@ -222,7 +365,10 @@ object SimIndex {
     Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_res_hist")
     resHist.write.mode("overwrite").saveAsTable(s"${prefix}_res_hist")
     Bucketing.writeDescriptor(vecs.sparkSession, s"${prefix}_res_hist")
-    writeSignature(prefix, vecs, params = Seq(
+    // a full (re)build starts with an empty tombstone set — writeIvfIndex
+    // is also the drift-rebuild swap target, which folds deletes in
+    dropTombstones(vecs.sparkSession, prefix)
+    writeSignature(prefix, indexable, params = Seq(
       "k" -> k.toLong, "nprobe" -> nprobe.toLong,
       "buckets" -> buckets.toLong))
   }
@@ -354,10 +500,13 @@ object SimIndex {
       // k-means on a weight-skewed multiset, re-assign over duplicated
       // rows (losing probe diversity, multiplying rows up to nprobe²),
       // and record a signature over the duplicated corpus that silently
-      // breaks isFresh against the real base.
-      val full = spark.table(s"${prefix}_vectors")
-        .select(col("vec_id"), col("embedding"))
-        .dropDuplicates("vec_id")
+      // breaks isFresh against the real base. Tombstoned vectors stay
+      // OUT of the rebuild corpus (their signature was retracted at
+      // delete time) — the rebuild doubles as a vacuum.
+      val full = antiTombstones(spark, prefix,
+          spark.table(s"${prefix}_vectors")
+            .select(col("vec_id"), col("embedding"))
+            .dropDuplicates("vec_id"), "vec_id")
         .unionByName(newVecs.select(col("vec_id"), col("embedding")))
         .transform(Checkpoints.cut) // materialize BEFORE the overwrite
       writeIvfIndex(full, prefix, p("k"), p("nprobe"), p("buckets"))
@@ -417,9 +566,11 @@ object SimIndex {
     val meta = metaDf.head()
     def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
     // zero-norm vectors stay out of the indexed set (writeIvfIndex's
-    // rule); the additive signature bump below covers the full batch
-    val indexable = newVecs
-      .filter(Similarity.norm(col("embedding")) > 0.0)
+    // rule); the additive signature bump below covers the SAME
+    // indexable subset (the r17 contract)
+    val indexable = indexableVecs(newVecs)
+    requireNotTombstoned(spark, prefix,
+      indexable.select("vec_id").distinct(), "vec_id")
     val assigned = Similarity.ivfAssign(indexable,
       spark.table(s"${prefix}_centroids"), p("nprobe"))
     val bucketVecs = indexable.join(assigned, "vec_id")
@@ -427,11 +578,35 @@ object SimIndex {
         Similarity.norm(col("embedding")).as("nrm"), col("bucket"))
     Bucketing.appendBucketedMulti(bucketVecs, s"${prefix}_vectors",
       Seq("bucket"), p("buckets"), sortCols = Seq("bucket", "vec_id"))
-    val (dn, dsig) = signature(newVecs)
+    val (dn, dsig) = signature(indexable)
     writeSignature(prefix, newVecs, params = Seq(
       "k" -> p("k").toLong, "nprobe" -> p("nprobe").toLong,
       "buckets" -> p("buckets").toLong),
       precomputed = Some((meta.getLong(0) + dn, meta.getLong(1) + dsig)))
+  }
+
+  /** Delete vectors from the persisted IVF index: [[deleteFromLshIndex]]
+    * for the vector side — tombstone + signature retraction over the
+    * INDEXABLE (norm > 0) subset of the deleted rows, matching the
+    * vector-index signature contract (zero-norm rows never counted, so
+    * deleting them must not retract). Replay-idempotent; O(|batch|).
+    */
+  def deleteFromIvfIndex(delVecs: DataFrame, prefix: String): Unit = {
+    val spark = delVecs.sparkSession
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_meta"),
+      s"no IVF index at '$prefix' to delete from")
+    val del = indexableVecs(delVecs)
+    val ids = del.select("vec_id").distinct()
+      .join(spark.table(s"${prefix}_vectors").select("vec_id"),
+        Seq("vec_id"), "left_semi")
+    val newIds = antiTombstones(spark, prefix, ids, "vec_id")
+      .transform(Checkpoints.cut)
+    val (dn, dsig) = signature(del.join(newIds, Seq("vec_id"), "left_semi"))
+    if (dn > 0) {
+      appendTombstones(spark, prefix, newIds)
+      retractSignature(spark, prefix, dn, dsig)
+    }
   }
 
   /** Within-bucket cosine pairs from the persisted IVF vectors: self equi
@@ -441,9 +616,12 @@ object SimIndex {
   def ivfPairsFromIndex(spark: SparkSession, prefix: String,
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
     reattachAll(spark, prefix)
-    verifyAgainst.foreach(requireFresh(spark, prefix, _))
     graft.functions.VecFunctions.ensureRegistered(spark)
-    val v = spark.table(s"${prefix}_vectors")
+    // the vector-index signature covers the indexable subset — filter
+    // the caller's raw base the same way before comparing
+    verifyAgainst.foreach(b => requireFresh(spark, prefix, indexableVecs(b)))
+    val v = antiTombstones(spark, prefix,
+      spark.table(s"${prefix}_vectors"), "vec_id")
     val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("nrm").as("a_nrm"), col("bucket"))
     val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -515,7 +693,11 @@ object SimIndex {
     Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_res_hist")
     resHist.write.mode("overwrite").saveAsTable(s"${prefix}_res_hist")
     Bucketing.writeDescriptor(vecs.sparkSession, s"${prefix}_res_hist")
-    writeSignature(prefix, vecs, params = Seq(
+    dropTombstones(vecs.sparkSession, prefix)
+    // signature over the indexable subset of the RAW rows (the r17
+    // vector-index contract; `unit` is the normalized copy — signing it
+    // would never match any base the caller holds)
+    writeSignature(prefix, indexableVecs(vecs), params = Seq(
       "n_centroids" -> nCentroids.toLong, "m" -> m.toLong,
       "dims" -> dims.toLong, "k" -> k.toLong, "buckets" -> buckets.toLong))
   }
@@ -543,8 +725,10 @@ object SimIndex {
     val meta = metaDf.head()
     def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
     val centroids = spark.table(s"${prefix}_centroids")
-    val unit = newVecs
-      .filter(Similarity.norm(col("embedding")) > 0.0)
+    val indexable = indexableVecs(newVecs)
+    requireNotTombstoned(spark, prefix,
+      indexable.select("vec_id").distinct(), "vec_id")
+    val unit = indexable
       .select(col("vec_id"),
         transform(Similarity.l2normalize(col("embedding")),
           _.cast("float")).as("embedding"))
@@ -563,7 +747,7 @@ object SimIndex {
     Bucketing.appendBucketedMulti(codes, s"${prefix}_pq_codes",
       Seq("bucket"), p("buckets"), sortCols = Seq("bucket", "vec_id"))
     resid.unpersist()
-    val (dn, dsig) = signature(newVecs)
+    val (dn, dsig) = signature(indexable)
     writeSignature(prefix, newVecs, params = Seq(
       "n_centroids" -> p("n_centroids").toLong, "m" -> p("m").toLong,
       "dims" -> p("dims").toLong, "k" -> p("k").toLong,
@@ -630,7 +814,7 @@ object SimIndex {
       nprobe: Int, topk: Int,
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
     reattachAll(spark, prefix)
-    verifyAgainst.foreach(requireFresh(spark, prefix, _))
+    verifyAgainst.foreach(b => requireFresh(spark, prefix, indexableVecs(b)))
     import spark.implicits._
     val q = query.map(_.toDouble)
     // centroids and codebooks are a handful of rows by construction —
@@ -647,7 +831,8 @@ object SimIndex {
       spark.table(s"${prefix}_pq_codebooks"), query)
     val bucketConst = probed.map { case (cid, dot, _) => (cid, dot) }
       .toSeq.toDF("bucket", "cdot")
-    spark.table(s"${prefix}_pq_codes")
+    antiTombstones(spark, prefix, spark.table(s"${prefix}_pq_codes"),
+        "vec_id")
       .filter(col("bucket").isin(probed.map(_._1): _*))
       .select(col("vec_id"), col("bucket"),
         posexplode(col("codes")).as(Seq("subspace", "cid")))
@@ -660,28 +845,120 @@ object SimIndex {
       .limit(topk)
   }
 
+  /** Delete vectors from the persisted IVF-PQ index: tombstone +
+    * retraction over the indexable subset, exactly [[deleteFromIvfIndex]]
+    * with membership probed against the codes table.
+    */
+  def deleteFromIvfPqIndex(delVecs: DataFrame, prefix: String): Unit = {
+    val spark = delVecs.sparkSession
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_meta"),
+      s"no IVF-PQ index at '$prefix' to delete from")
+    val del = indexableVecs(delVecs)
+    val ids = del.select("vec_id").distinct()
+      .join(spark.table(s"${prefix}_pq_codes").select("vec_id"),
+        Seq("vec_id"), "left_semi")
+    val newIds = antiTombstones(spark, prefix, ids, "vec_id")
+      .transform(Checkpoints.cut)
+    val (dn, dsig) = signature(del.join(newIds, Seq("vec_id"), "left_semi"))
+    if (dn > 0) {
+      appendTombstones(spark, prefix, newIds)
+      retractSignature(spark, prefix, dn, dsig)
+    }
+  }
+
+  /** Scheduled compaction for a deleted-from index: physically drop the
+    * tombstoned rows from every per-id data table under `prefix` (each
+    * rewritten with its descriptor's own bucket/sort spec, the
+    * [[Bucketing.compactBucketed]] discipline), then clear the tombstone
+    * set. The signature is untouched — it was retracted at delete time.
+    * O(table) paid once on an operator's schedule, amortized over every
+    * read that no longer carries the anti-join; the portable-parquet
+    * stand-in for a transactional format's DELETE + OPTIMIZE.
+    */
+  def vacuumIndex(spark: SparkSession, prefix: String): Unit = {
+    reattachAll(spark, prefix)
+    tombstones(spark, prefix) match {
+      case None => ()
+      case Some(t) =>
+        val ts = broadcast(t.select(col("id")))
+        Seq("_bands" -> "doc_id", "_sigs" -> "doc_id",
+          "_vectors" -> "vec_id", "_pq_codes" -> "vec_id").foreach {
+          case (sfx, idCol) =>
+            val table = prefix + sfx
+            if (spark.catalog.tableExists(table)) {
+              val desc = Bucketing.readDescriptor(spark, table)
+              val keys = desc.flatMap(p => Option(p.getProperty("keys")))
+                .map(_.split(',').toSeq).getOrElse(Seq(idCol))
+              val sorts = desc.flatMap(p => Option(p.getProperty("sorts")))
+                .map(_.split(',').toSeq).getOrElse(keys)
+              val buckets = desc.flatMap(p => Option(p.getProperty("buckets")))
+                .map(_.toInt).getOrElse(1)
+              val survivors = spark.table(table)
+                .join(ts.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+                .transform(Checkpoints.cut) // materialize, then overwrite
+              spark.sql(s"DROP TABLE IF EXISTS `$table`")
+              Bucketing.dropStaleLocation(spark, table)
+              Bucketing.writeBucketedMulti(survivors, table, keys, buckets,
+                sorts)
+            }
+        }
+        // the shingle table has no per-id rows — its compaction folds
+        // the log-structured deltas to one net-positive row per hash
+        val shTable = s"${prefix}_shingles"
+        if (spark.catalog.tableExists(shTable)) {
+          val buckets = Bucketing.readDescriptor(spark, shTable)
+            .flatMap(p => Option(p.getProperty("buckets"))).map(_.toInt)
+            .getOrElse(1)
+          val net = spark.table(shTable)
+            .groupBy("sh_hash").agg(sum("nd").as("nd"))
+            .filter(col("nd") > 0)
+            .transform(Checkpoints.cut)
+          spark.sql(s"DROP TABLE IF EXISTS `$shTable`")
+          Bucketing.dropStaleLocation(spark, shTable)
+          Bucketing.writeBucketedMulti(net, shTable, Seq("sh_hash"),
+            buckets, Seq("sh_hash"))
+        }
+        dropTombstones(spark, prefix)
+    }
+  }
+
+  /** Per-hash contribution counts of a benchmark slice: one row per
+    * distinct n-shingle hash with the number of (doc, shingle) pairs
+    * contributing it. THE shingle-index delta unit — build, append, and
+    * delete all derive rows through here, so a delete's negated counts
+    * cancel its docs' earlier contribution EXACTLY.
+    */
+  private def shingleCounts(docs: DataFrame, n: Int): DataFrame =
+    Text.shingles(docs, n)
+      .select(xxhash64(col("shingle")).as("sh_hash"))
+      .groupBy("sh_hash").agg(count(lit(1)).as("nd"))
+
   /** Build + persist the benchmark shingle set for decontamination sweeps
-    * (ROADMAP 4): distinct n-char shingles of the held-out corpus, stored
-    * as 8-byte xxhash64 keys bucketed+sorted on the hash. The benchmark
-    * set changes rarely; training corpora arrive continuously — so the
-    * shingling+distinct of the benchmark side is paid once, and every
-    * sweep joins against co-located buckets (no Exchange on the index
-    * side, asserted in SimIndexSpec).
+    * (ROADMAP 4): n-char shingles of the held-out corpus as 8-byte
+    * xxhash64 keys, stored LOG-STRUCTURED as (sh_hash, nd) contribution
+    * counts, bucketed+sorted on the hash. The benchmark set changes
+    * rarely; training corpora arrive continuously — so the shingling of
+    * the benchmark side is paid once, and every sweep joins against
+    * co-located buckets (no Exchange on the index side, asserted in
+    * SimIndexSpec; the net-count aggregate is bucket-local too).
+    * Appends lay down positive deltas, deletes negative ones —
+    * [[liveShingles]] nets them per hash, so a fully-deleted shingle
+    * disappears without any rewrite.
     */
   def writeShingleIndex(bench: DataFrame, prefix: String, n: Int,
       buckets: Int): Unit = {
-    val sh = Text.shingles(bench, n)
-      .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
-    Bucketing.writeBucketed(sh, s"${prefix}_shingles", "sh_hash", buckets,
-      sortCols = Seq("sh_hash"))
+    Bucketing.writeBucketed(shingleCounts(bench, n), s"${prefix}_shingles",
+      "sh_hash", buckets, sortCols = Seq("sh_hash"))
+    dropTombstones(bench.sparkSession, prefix)
     writeSignature(prefix, bench, params = Seq(
       "shingle_len" -> n.toLong, "buckets" -> buckets.toLong))
   }
 
   /** Incremental shingle-index maintenance: shingle only the NEW
-    * benchmark docs, anti-join away hashes the index already holds (the
-    * stored set stays exactly DISTINCT — duplicate keys would inflate
-    * every decontamination join), append, bump the signature additively.
+    * benchmark docs, append their positive contribution deltas, bump the
+    * signature additively. O(new docs) — the existing rows are never
+    * read.
     */
   def appendShingleIndex(newBench: DataFrame, prefix: String): Unit = {
     val spark = newBench.sparkSession
@@ -696,17 +973,62 @@ object SimIndex {
         "with writeShingleIndex to enable appends")
     val meta = metaDf.head()
     def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
-    val fresh = Text.shingles(newBench, p("shingle_len"))
-      .select(xxhash64(col("shingle")).as("sh_hash")).distinct()
-      .join(spark.table(s"${prefix}_shingles"), Seq("sh_hash"), "left_anti")
-    Bucketing.appendBucketedMulti(fresh, s"${prefix}_shingles",
-      Seq("sh_hash"), p("buckets"), sortCols = Seq("sh_hash"))
+    requireNotTombstoned(spark, prefix,
+      newBench.select("doc_id").distinct(), "doc_id")
+    Bucketing.appendBucketedMulti(shingleCounts(newBench, p("shingle_len")),
+      s"${prefix}_shingles", Seq("sh_hash"), p("buckets"),
+      sortCols = Seq("sh_hash"))
     val (dn, dsig) = signature(newBench)
     writeSignature(prefix, newBench, params = Seq(
       "shingle_len" -> p("shingle_len").toLong,
       "buckets" -> p("buckets").toLong),
       precomputed = Some((meta.getLong(0) + dn, meta.getLong(1) + dsig)))
   }
+
+  /** Delete benchmark documents from the persisted shingle index: append
+    * their NEGATED contribution counts (the log-structured retraction —
+    * [[liveShingles]]' net sum then drops fully-deleted shingles while
+    * shingles shared with surviving docs stay positive), tombstone the
+    * doc_ids for replay idempotence, and retract the signature. `delBench`
+    * must carry the full rows as originally ingested (the CDC row-image
+    * rule) — counts and signature both cancel exactly only then.
+    * O(|batch|): shingling the deleted docs + two appends.
+    */
+  def deleteFromShingleIndex(delBench: DataFrame, prefix: String): Unit = {
+    val spark = delBench.sparkSession
+    reattachAll(spark, prefix)
+    require(spark.catalog.tableExists(s"${prefix}_meta"),
+      s"no shingle index at '$prefix' to delete from")
+    val metaDf = spark.table(s"${prefix}_meta")
+    val schema = metaDf.columns
+    val meta = metaDf.head()
+    def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
+    val newIds = antiTombstones(spark, prefix,
+        delBench.select("doc_id").distinct(), "doc_id")
+      .transform(Checkpoints.cut)
+    val newDel = delBench.join(newIds, Seq("doc_id"), "left_semi")
+      .transform(Checkpoints.cut) // shingled AND signed below
+    val (dn, dsig) = signature(newDel)
+    if (dn > 0) {
+      Bucketing.appendBucketedMulti(
+        shingleCounts(newDel, p("shingle_len"))
+          .select(col("sh_hash"), (-col("nd")).as("nd")),
+        s"${prefix}_shingles", Seq("sh_hash"), p("buckets"),
+        sortCols = Seq("sh_hash"))
+      appendTombstones(spark, prefix, newIds)
+      retractSignature(spark, prefix, dn, dsig)
+    }
+  }
+
+  /** The live (net-positive) shingle hash set: per-hash sum of the
+    * log-structured deltas, keeping hashes some surviving doc still
+    * contributes. The table is bucketed on sh_hash, so the aggregate is
+    * Exchange-free — readers pay one bucket-local fold, never a shuffle.
+    */
+  private def liveShingles(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_shingles")
+      .groupBy("sh_hash").agg(sum("nd").as("net"))
+      .filter(col("net") > 0).select("sh_hash")
 
   /** Decontaminate `train` against a persisted shingle index: anti-join
     * away every doc sharing any n-shingle (by 64-bit hash) with the
@@ -719,7 +1041,7 @@ object SimIndex {
       verifyAgainst: Option[DataFrame] = None): DataFrame = {
     reattachAll(spark, prefix)
     verifyAgainst.foreach(requireFresh(spark, prefix, _))
-    val bench = spark.table(s"${prefix}_shingles")
+    val bench = liveShingles(spark, prefix)
     val contaminated = Text.shingleStream(train, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh_hash"))
       .join(bench, "sh_hash")

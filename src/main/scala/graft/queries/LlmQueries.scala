@@ -390,6 +390,48 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // L02e — near-dedup over the POST-DELETE persisted LSH index (r17
+    // retraction): the l02c index with doc_id % 7 == 3 ERASED through
+    // deleteFromLshIndex — a tombstone append + additive-signature
+    // retraction, O(|delete batch|), never an index rewrite — then the
+    // same candidate → estimate-prune → exact-re-check pipeline over
+    // the surviving corpus. requireFresh passes against the SURVIVORS
+    // (the retracted signature equals theirs), and SimIndexSpec gates
+    // the post-delete candidate set row-for-row == a fresh build on
+    // the survivors. Engine-only for the driver (seeded MinHash),
+    // rows-checked, like l02b/l02c.
+    "l02e_lsh_deleted" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      val prefix = "graft_lshdel_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val all = docs(s, dir)
+      val erased = all.filter(col("doc_id") % 7 === 3)
+      val surviving = all.filter(col("doc_id") % 7 =!= 3)
+      // idempotent per (session, dir): usable == the POST-delete state
+      // (retracted signature matches the surviving corpus) is already
+      // in the warehouse; anything else rebuilds from scratch
+      if (!SimIndex.isUsable(s, prefix, surviving,
+          Seq("_bands", "_sigs"))) {
+        Seq("_bands", "_sigs", "_meta", "_tombstones").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $prefix$t")
+          Bucketing.dropStaleLocation(s, prefix + t)
+        }
+        SimIndex.writeLshIndex(all, prefix, numHashes = 32,
+          bands = 16, buckets = 8)
+        SimIndex.deleteFromLshIndex(erased, prefix)
+      }
+      val cands = SimIndex.lshCandidatesFromIndex(s, prefix,
+        verifyAgainst = Some(surviving))
+      val likely = Similarity
+        .estimateJaccard(cands, s.table(s"${prefix}_sigs"))
+        .filter(col("est_jaccard") >= 0.42)
+        .select("a_id", "b_id")
+      Similarity.exactJaccardCompact(Text.shingles(surviving, 3), likely)
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // L15 — near-dup cluster resolution, the step AFTER pair finding in
     // a real dedup pipeline: the exact-Jaccard pair set (L02's edges)
     // becomes an undirected graph; connected components assign each doc
@@ -1291,6 +1333,38 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // L10d — decontamination through the POST-DELETE shingle index (r17
+    // retraction): half the benchmark (doc_id % 40 == 0) is erased from
+    // the persisted index by appending NEGATED contribution counts
+    // (deleteFromShingleIndex — the log-structured retraction); the
+    // reader's bucket-local net-sum then drops shingles only the erased
+    // docs carried while shingles shared with the surviving half keep
+    // contaminating. HASH-MATCHED: the DuckDB oracle recomputes the
+    // whole pass from scratch against the surviving benchmark slice, so
+    // the match certifies the negative deltas cancel EXACTLY.
+    "l10d_decontaminate_deleted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      val erased = bench.filter(col("doc_id") % 40 === 0)
+      val survB = bench.filter(col("doc_id") % 40 =!= 0)
+      val train = d.filter(col("doc_id") % 20 =!= 0)
+      val prefix = "graft_shdel_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!SimIndex.isUsable(s, prefix, survB, Seq("_shingles"))) {
+        Seq("_shingles", "_meta", "_tombstones").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $prefix$t")
+          Bucketing.dropStaleLocation(s, prefix + t)
+        }
+        SimIndex.writeShingleIndex(bench, prefix, n = 20, buckets = 8)
+        SimIndex.deleteFromShingleIndex(erased, prefix)
+      }
+      SimIndex.decontaminateFromIndex(s, train, prefix, 20,
+          verifyAgainst = Some(survB))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_clean"),
+          sum(col("n_chars")).as("clean_chars"))
+        .orderBy("source")
+    }),
+
     // L16 — span-level decontamination: the exact (doc, position) spans
     // of train docs whose 20-char shingle appears in the held-out slice —
     // the redaction map a pipeline applies when it wants to CLEAN
@@ -1814,11 +1888,13 @@ object LlmQueries {
 
   // shared by l10 and l10b: the bloom pass returns the identical result
   // (the prefilter is conservative, the exact re-check removes its false
-  // positives), so both hash-match the same exact-SQL oracle
-  private val decontamSql: String =
-    """WITH bench AS (SELECT DISTINCT substr(text, CAST(gs AS INT), 20) AS sh
+  // positives), so both hash-match the same exact-SQL oracle; l10d
+  // swaps in the post-delete benchmark predicate (the oracle recomputes
+  // from scratch what the index maintains by negative count deltas)
+  private def decontamSqlFor(benchPred: String): String =
+    s"""WITH bench AS (SELECT DISTINCT substr(text, CAST(gs AS INT), 20) AS sh
         |  FROM (SELECT text, unnest(generate_series(1, n_chars - 19)) AS gs
-        |        FROM documents WHERE doc_id % 20 = 0 AND n_chars >= 20)),
+        |        FROM documents WHERE ($benchPred) AND n_chars >= 20)),
         |contaminated AS (SELECT DISTINCT doc_id
         |  FROM (SELECT doc_id, substr(text, CAST(gs AS INT), 20) AS sh
         |        FROM (SELECT doc_id, text,
@@ -1831,6 +1907,8 @@ object LlmQueries {
         |WHERE doc_id % 20 != 0
         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val decontamSql: String = decontamSqlFor("doc_id % 20 = 0")
 
   /** Shared DuckDB replay of [[graft.ops.Text.bpeTrain]]'s
     * count→pick→merge cycle, unrolled: WITH-clause prefix `tok/wf/w0`
@@ -2021,6 +2099,8 @@ object LlmQueries {
 
     "l10_decontaminate" -> decontamSql,
     "l10b_decontaminate_bloom" -> decontamSql,
+    "l10d_decontaminate_deleted" ->
+      decontamSqlFor("doc_id % 20 = 0 AND doc_id % 40 != 0"),
 
     // l56: the l10 contamination CTE + the l18 hash-split CASE, with
     // quarantine overriding the hash.

@@ -127,9 +127,11 @@ class SimIndexSpec extends SparkSpecBase {
     SimIndex.writeShingleIndex(oldB, "shapp", n = 20, buckets = 4)
     SimIndex.appendShingleIndex(newB, "shapp")
     assert(SimIndex.isFresh(spark, "shapp", docs))
-    // stored hash set stays exactly distinct after the anti-joined append
+    // the log-structured delta rows net to the true contribution count
+    // per hash — every hash strictly positive after two positive appends
     val stored = spark.table("shapp_shingles")
-    assert(stored.count() == stored.distinct().count())
+      .groupBy("sh_hash").agg(sum("nd").as("net"))
+    assert(stored.filter(col("net") <= 0).count() == 0)
     // decontamination through the appended index == the exact string pass
     val train = docs.filter(col("doc_id") % 5 === 3)
     val viaIdx = SimIndex.decontaminateFromIndex(spark, train, "shapp",
@@ -444,5 +446,228 @@ class SimIndexSpec extends SparkSpecBase {
       assert(!exchanges.exists(_.toString.contains("deconidx_shingles")),
         "the bucketed index scan must not sit under any Exchange")
     }
+  }
+
+  test("LSH delete: tombstone + signature retraction — candidates == " +
+      "fresh build on survivors, replay idempotent, vacuum preserves, " +
+      "tombstoned re-append is loud") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx(Seq("lshdel", "lshdelref").flatMap(p => Seq(s"${p}_bands",
+      s"${p}_sigs", s"${p}_meta", s"${p}_tombstones")): _*)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val deleted = docs.filter(col("doc_id") % 7 === 3)
+    val surviving = docs.filter(col("doc_id") % 7 =!= 3)
+    SimIndex.writeLshIndex(docs, "lshdel", numHashes = 32, bands = 16,
+      buckets = 4)
+    SimIndex.deleteFromLshIndex(deleted, "lshdel")
+    // signature: retracted to exactly the surviving corpus
+    assert(SimIndex.isFresh(spark, "lshdel", surviving))
+    assert(!SimIndex.isFresh(spark, "lshdel", docs))
+    // maintained-after-delete == from-scratch on the surviving corpus
+    def pairs(prefix: String) =
+      SimIndex.lshCandidatesFromIndex(spark, prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    SimIndex.writeLshIndex(surviving, "lshdelref", numHashes = 32,
+      bands = 16, buckets = 4)
+    val got = pairs("lshdel")
+    assert(got == pairs("lshdelref") && got.nonEmpty)
+    // replay idempotence: re-applying the same delete changes nothing,
+    // and deleting never-indexed ids is a no-op
+    SimIndex.deleteFromLshIndex(deleted, "lshdel")
+    SimIndex.deleteFromLshIndex(
+      deleted.withColumn("doc_id", col("doc_id") + 1000000L), "lshdel")
+    assert(SimIndex.isFresh(spark, "lshdel", surviving))
+    assert(pairs("lshdel") == got)
+    // re-appending a tombstoned doc must fail fast (vacuum first)
+    intercept[IllegalStateException] {
+      SimIndex.appendLshIndex(deleted.limit(1), "lshdel")
+    }
+    // vacuum: physical rows drop, semantics unchanged
+    SimIndex.vacuumIndex(spark, "lshdel")
+    assert(!spark.catalog.tableExists("lshdel_tombstones"))
+    val delIds = deleted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spark.table("lshdel_bands")
+      .filter(col("doc_id").isInCollection(delIds)).count() == 0)
+    assert(pairs("lshdel") == got)
+    assert(SimIndex.isFresh(spark, "lshdel", surviving))
+  }
+
+  test("IVF delete: pairs drop the deleted ids (centroids frozen), " +
+      "zero-norm deletes retract nothing, drift rebuild excludes " +
+      "tombstones and clears them") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("ivfdel_centroids", "ivfdel_vectors", "ivfdel_meta",
+      "ivfdel_res_hist", "ivfdel_tombstones")
+    val dim = 8
+    def cluster(axis: Int, n: Int, idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)(0f)
+        v(axis) = 1f
+        (0 until dim).foreach(d =>
+          v(d) += (((idBase + i) * 31 + d * 7) % 11 - 5) * 0.01f)
+        (idBase + i, v.toSeq)
+      }
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    val corpus = cluster(0, 30, 0L) ++ cluster(1, 30, 100L)
+    val delRows = corpus.filter(_._1 % 5 == 2)
+    val surv = corpus.filterNot(_._1 % 5 == 2)
+    SimIndex.writeIvfIndex(df(corpus), "ivfdel", k = 4, nprobe = 1,
+      buckets = 4)
+    val before = SimIndex.ivfPairsFromIndex(spark, "ivfdel")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    SimIndex.deleteFromIvfIndex(df(delRows), "ivfdel")
+    // frozen-centroid delete semantics: exactly the pre-delete pairs
+    // with any deleted endpoint dropped
+    val delIds = delRows.map(_._1).toSet
+    val after = SimIndex.ivfPairsFromIndex(spark, "ivfdel",
+        verifyAgainst = Some(df(surv)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.filterNot(p =>
+      delIds(p._1) || delIds(p._2)) && after.nonEmpty)
+    assert(SimIndex.isFresh(spark, "ivfdel", df(surv)))
+    // a zero-norm delete batch retracts nothing (it never counted)
+    val zeros = (0 until 3).map(i => (9000L + i, Seq.fill(dim)(0f)))
+    SimIndex.deleteFromIvfIndex(df(zeros), "ivfdel")
+    assert(SimIndex.isFresh(spark, "ivfdel", df(surv)))
+    // and the signature contract holds THROUGH a drift rebuild: drifted
+    // batch fires, the rebuild corpus is survivors ∪ batch (tombstoned
+    // rows stay out), tombstones clear, signature fresh vs that corpus
+    val drift = cluster(5, 25, 500L) ++ cluster(6, 25, 600L)
+    assert(SimIndex.appendIvfIndexWithRefresh(df(drift), "ivfdel"))
+    assert(!spark.catalog.tableExists("ivfdel_tombstones"))
+    val post = surv ++ drift
+    assert(SimIndex.isFresh(spark, "ivfdel", df(post)))
+    val ids = spark.table("ivfdel_vectors").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == post.map(_._1).toSet)
+  }
+
+  test("IVF signature contract: zero-norm rows never count — write and " +
+      "append with zero-norm rows stay fresh vs the indexable subset, " +
+      "and a drift rebuild does not go spuriously stale") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("ivfzn_centroids", "ivfzn_vectors", "ivfzn_meta",
+      "ivfzn_res_hist", "ivfzn_tombstones")
+    val dim = 8
+    def cluster(axis: Int, n: Int, idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)(0f)
+        v(axis) = 1f
+        (0 until dim).foreach(d =>
+          v(d) += (((idBase + i) * 31 + d * 7) % 11 - 5) * 0.01f)
+        (idBase + i, v.toSeq)
+      }
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    val good = cluster(0, 25, 0L) ++ cluster(1, 25, 100L)
+    val zeros = (0 until 4).map(i => (8000L + i, Seq.fill(dim)(0f)))
+    SimIndex.writeIvfIndex(df(good ++ zeros), "ivfzn", k = 4, nprobe = 1,
+      buckets = 4)
+    // the signature covers the indexable subset: fresh vs good alone,
+    // and the readers filter verifyAgainst the same way, so the RAW
+    // base (zero-norm rows included) also passes through the reader
+    assert(SimIndex.isFresh(spark, "ivfzn", df(good)))
+    SimIndex.ivfPairsFromIndex(spark, "ivfzn",
+      verifyAgainst = Some(df(good ++ zeros))).head(1)
+    // append with more zero-norm rows: bump covers only the indexable
+    val more = cluster(2, 20, 200L)
+    val zeros2 = (0 until 3).map(i => (8100L + i, Seq.fill(dim)(0f)))
+    SimIndex.appendIvfIndex(df(more ++ zeros2), "ivfzn")
+    assert(SimIndex.isFresh(spark, "ivfzn", df(good ++ more)))
+    // drifted batch fires a rebuild from the STORED vectors (which never
+    // held the zero-norm rows) — with the subset signature the rebuilt
+    // index is still fresh vs the indexable base, not stale forever
+    val drift = cluster(5, 25, 500L)
+    assert(SimIndex.appendIvfIndexWithRefresh(df(drift), "ivfzn"))
+    assert(SimIndex.isFresh(spark, "ivfzn", df(good ++ more ++ drift)))
+    SimIndex.ivfPairsFromIndex(spark, "ivfzn",
+      verifyAgainst = Some(df(good ++ more ++ drift ++ zeros))).head(1)
+  }
+
+  test("shingle delete: negative deltas cancel exactly — decontamination " +
+      "== string pass vs surviving bench, shared shingles survive, " +
+      "vacuum compacts to net-positive rows") {
+    dropIdx("shdel_shingles", "shdel_meta", "shdel_tombstones")
+    val d = Tables.load(spark, sfDir, "documents")
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    val delBench = bench.filter(col("doc_id") % 40 === 0)
+    val survBench = bench.filter(col("doc_id") % 40 =!= 0)
+    val train = d.filter(col("doc_id") % 20 =!= 0)
+    SimIndex.writeShingleIndex(bench, "shdel", n = 20, buckets = 4)
+    SimIndex.deleteFromShingleIndex(delBench, "shdel")
+    assert(SimIndex.isFresh(spark, "shdel", survBench))
+    assert(!SimIndex.isFresh(spark, "shdel", bench))
+    def survivors(): Set[Long] =
+      SimIndex.decontaminateFromIndex(spark, train, "shdel", 20)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // == the from-scratch string-keyed pass against the SURVIVING bench:
+    // shingles only the deleted docs contributed stop contaminating,
+    // shingles shared with surviving docs still do
+    val benchSh = Text.shingles(survBench, 20).select("shingle").distinct()
+    val contaminated = Text.shingleStream(train, 20)
+      .join(benchSh, "shingle").select("doc_id").distinct()
+    val exact = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = survivors()
+    assert(got == exact && got.nonEmpty)
+    // replay idempotence
+    SimIndex.deleteFromShingleIndex(delBench, "shdel")
+    assert(SimIndex.isFresh(spark, "shdel", survBench))
+    assert(survivors() == got)
+    // vacuum: one net-positive row per live hash, same result
+    SimIndex.vacuumIndex(spark, "shdel")
+    val compacted = spark.table("shdel_shingles")
+    assert(compacted.count() ==
+      compacted.select("sh_hash").distinct().count())
+    assert(compacted.filter(col("nd") <= 0).count() == 0)
+    assert(survivors() == got)
+    assert(SimIndex.isFresh(spark, "shdel", survBench))
+  }
+
+  test("IVF-PQ delete: search drops deleted ids, signature retracts to " +
+      "the surviving indexable corpus") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("pqdel_centroids", "pqdel_pq_codebooks", "pqdel_pq_codes",
+      "pqdel_meta", "pqdel_res_hist", "pqdel_tombstones")
+    val dim = 8
+    def cluster(axis: Int, n: Int, idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)(0f)
+        v(axis) = 1f
+        (0 until dim).foreach(d =>
+          v(d) += (((idBase + i) * 31 + d * 7) % 11 - 5) * 0.01f)
+        (idBase + i, v.toSeq)
+      }
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    val corpus = cluster(0, 30, 0L) ++ cluster(1, 30, 100L)
+    SimIndex.writeIvfPqIndex(df(corpus), "pqdel", nCentroids = 4, m = 4,
+      dims = dim, k = 8, buckets = 4)
+    val q = {
+      val v = Array.fill(dim)(0f); v(0) = 1f; v.toSeq
+    }
+    val before = SimIndex.ivfPqSearch(spark, "pqdel", q, nprobe = 2,
+      topk = 10).collect().map(_.getLong(0))
+    val delRows = corpus.filter(r => before.take(3).contains(r._1))
+    SimIndex.deleteFromIvfPqIndex(df(delRows), "pqdel")
+    val surv = corpus.filterNot(r => delRows.map(_._1).contains(r._1))
+    assert(SimIndex.isFresh(spark, "pqdel", df(surv)))
+    val after = SimIndex.ivfPqSearch(spark, "pqdel", q, nprobe = 2,
+      topk = 10, verifyAgainst = Some(df(surv)))
+      .collect().map(_.getLong(0)).toSet
+    assert(delRows.map(_._1).forall(id => !after(id)) && after.nonEmpty)
+    // vacuum drops the code rows physically, search unchanged
+    SimIndex.vacuumIndex(spark, "pqdel")
+    assert(spark.table("pqdel_pq_codes")
+      .filter(col("vec_id").isInCollection(delRows.map(_._1))).count() == 0)
+    assert(SimIndex.ivfPqSearch(spark, "pqdel", q, nprobe = 2, topk = 10)
+      .collect().map(_.getLong(0)).toSet == after)
   }
 }
