@@ -955,6 +955,66 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** near_dup_pairs_lsh(table, id_col, text_col, shingle_len,
+    * threshold_pct, num_hashes, bands, est_pct) — the 100 TB near-dup
+    * path from pure SQL (the l02b pipeline verbatim): MinHash
+    * signatures → banded LSH candidates (equi join on (band, band_sig),
+    * never all-pairs) → signature-estimate prune (est_jaccard >=
+    * est_pct/100 — pick ~2σ below the target for the estimator width
+    * sqrt(t(1-t)/num_hashes)) → exact shingle re-check. Every reported
+    * pair is exactly verified; only RECALL is approximate (band
+    * collisions), which is why the exact [[nearDupPairsPlan]] twin
+    * keeps the oracle and this one keeps the scale. Returns
+    * (a_id, b_id, jaccard) raw double like `near_dup_pairs`.
+    *
+    * Memoized like the iterative graph TVFs: the exact re-check's
+    * adaptive set-broadcast sizing materializes the compact shingle
+    * sets at ANALYSIS time, so EXPLAIN-then-run and repeated
+    * references pay that once per (args, resolved input data).
+    */
+  private def nearDupPairsLshPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "near_dup_pairs_lsh"
+    require(exprs.length == 8,
+      s"$fn takes 8 arguments (table, id_col, text_col, shingle_len, " +
+        s"threshold_pct, num_hashes, bands, est_pct), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val docs = df.select(df(str(exprs(1), 2, fn)).as("doc_id"),
+      df(str(exprs(2), 3, fn)).as("text"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+    val n = long(exprs(3), 4, fn)
+    val pct = long(exprs(4), 5, fn)
+    val numHashes = long(exprs(5), 6, fn)
+    val bands = long(exprs(6), 7, fn)
+    val estPct = long(exprs(7), 8, fn)
+    require(n >= 1 && n <= 1000, s"$fn: shingle_len must be in [1, 1000]")
+    require(pct >= 0 && pct <= 100, s"$fn: threshold_pct must be in [0, 100]")
+    require(numHashes >= 1 && numHashes <= 1024,
+      s"$fn: num_hashes must be in [1, 1024]")
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"$fn: bands must divide num_hashes")
+    require(estPct >= 0 && estPct <= 100, s"$fn: est_pct must be in [0, 100]")
+    memo(fn, Seq(df), Seq(str(exprs(1), 2, fn), str(exprs(2), 3, fn),
+        n, pct, numHashes, bands, estPct)) {
+      import org.apache.spark.sql.functions.col
+      graft.functions.VecFunctions.ensureRegistered(SparkSession.active)
+      // same reuse marks as l02b: shingles feed the signatures AND the
+      // exact re-check; signatures feed the bands AND the estimate
+      val sh = graft.ops.Text.shingles(docs, n.toInt).cache()
+      val sigs = graft.ops.Similarity.minHashSignatures(sh, numHashes.toInt)
+        .cache()
+      val cands = graft.ops.Similarity.lshCandidates(sigs, numHashes.toInt,
+        bands.toInt)
+      val likely = graft.ops.Similarity.estimateJaccard(cands, sigs)
+        .filter(col("est_jaccard") >= estPct / 100.0)
+        .select("a_id", "b_id")
+      graft.ops.Similarity.exactJaccardCompact(sh, likely)
+        .filter(col("jaccard") > pct / 100.0)
+        .queryExecution.logical
+    }
+  }
+
   /** cosine_topk(table, id_col, emb_col, k) — exact top-k cosine pairs
     * over an embedding column via the blocked kernel (the l03 kernel —
     * never an all-pairs join materialization). Returns
@@ -1034,6 +1094,15 @@ object TableFunctions {
         "threshold_pct/100. Returns (a_id, b_id, jaccard) with the raw " +
         "double; round in the outer query. Lazy plan.",
       nearDupPairsPlan _),
+    reg("near_dup_pairs_lsh",
+      "_FUNC_(table, id_col, text_col, shingle_len, threshold_pct, " +
+        "num_hashes, bands, est_pct) - MinHash-LSH near-dup pairs, the " +
+        "scale path: banded candidates -> signature-estimate prune " +
+        "(>= est_pct/100) -> exact shingle re-check; reported pairs are " +
+        "exact, recall is approximate. Returns (a_id, b_id, jaccard) " +
+        "raw double. Materializes the compact re-check sets at analysis " +
+        "time; memoized per session like the iterative graph TVFs.",
+      nearDupPairsLshPlan _),
     reg("cosine_topk",
       "_FUNC_(table, id_col, emb_col, k) - exact top-k cosine pairs " +
         "over an embedding column via the blocked kernel (no all-pairs " +

@@ -1243,6 +1243,23 @@ object LlmQueries {
         |ORDER BY a_id, b_id""".stripMargin)
     }),
 
+    // L02f (r17) — the SCALE near-dup path behind the SQL door: the
+    // l02b banded-LSH + estimate-prune + exact-re-check pipeline as the
+    // near_dup_pairs_lsh TVF, so the SQL door's near-dup entry is no
+    // longer only the exact quadratic kernel (l02d — correct but
+    // output-sensitive; ~minutes at sf0.1 where this path is seconds).
+    // Same parameters as l02b, so row-for-row IDENTICAL (TextOpsSpec
+    // gates it); engine-only for the driver (seeded MinHash),
+    // rows-checked like l02b/l02c.
+    "l02f_lsh_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      docs(s, dir).createOrReplaceTempView("graft_l02f_docs")
+      s.sql("""SELECT a_id, b_id, round(jaccard, 4) AS jaccard
+        |FROM near_dup_pairs_lsh('graft_l02f_docs', 'doc_id', 'text',
+        |                        3, 60, 32, 16, 42)
+        |ORDER BY a_id, b_id""".stripMargin)
+    }),
+
     "l03e_cosine_topk_sql" -> ((s, dir) => {
       graft.functions.TableFunctions.ensureRegistered(s)
       vecs(s, dir).createOrReplaceTempView("graft_l03e_vecs")

@@ -557,6 +557,7 @@ class TextOpsSpec extends SparkSpecBase {
   test("LLM SQL-door twins == Scala siblings row-for-row " +
       "(near_dup_pairs, cosine_topk, decontaminate)") {
     Seq("l02d_near_dedup_sql" -> "l02_near_dedup",
+        "l02f_lsh_sql" -> "l02b_lsh_near_dedup",
         "l03e_cosine_topk_sql" -> "l03_cosine_topk",
         "l10c_decontaminate_sql" -> "l10_decontaminate")
       .foreach { case (twin, sibling) =>
