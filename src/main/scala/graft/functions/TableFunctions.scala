@@ -354,22 +354,62 @@ object TableFunctions {
   // or referencing the same TVF twice in one statement would each
   // re-run the fix point. The memo below removes that surprise: the
   // converged plan is cached per session, keyed on (function, literal
-  // args, canonicalized RESOLVED input plans) — Spark's own
-  // `sameResult` equality, which distinguishes LocalRelation data and
-  // file-source paths, so replacing a temp view with different data is
-  // a cache MISS (fresh execution), never a stale hit. EXPLAIN-then-run
-  // and repeated references pay the fix point exactly once.
+  // args, canonicalized RESOLVED input plans, file-listing signature).
+  // The canonicalized plan is Spark's own `sameResult` equality —
+  // distinguishing LocalRelation data and file-source paths — and the
+  // file-listing signature (per file-source leaf: sorted (path, size,
+  // mtime) of the listed files) additionally catches an in-place
+  // OVERWRITE of the files under an unchanged path, which canonicalizes
+  // equal. Staleness semantics therefore MATCH Spark's relation cache:
+  // anything the session's scan would see fresh is a memo miss; a
+  // catalog table whose files changed behind a cached relation needs
+  // `REFRESH TABLE` to invalidate — after which the fresh listing is a
+  // miss here too. EXPLAIN-then-run and repeated references pay the fix
+  // point exactly once.
 
   /** Per-session memo of converged TVF plans. WeakHashMap on the
     * session keeps entries exactly as long as the session lives; the
     * inner map is keyed on (function name, canonicalized resolved input
-    * plans ++ literal scalars). Cached plans hold the fix point's
-    * LogicalRDD leaves — bounded by the number of DISTINCT (fn, data,
-    * args) invocations, the same frames a Scala-API caller would hold.
+    * plans ++ file-listing signatures ++ literal scalars). Cached plans
+    * hold the fix point's LogicalRDD leaves — bounded by the number of
+    * DISTINCT (fn, data, args) invocations, the same frames a
+    * Scala-API caller would hold. Values are lazy cells so concurrent
+    * analysis of the same TVF runs the expensive fix point ONCE (the
+    * losing putIfAbsent racers force the winner's cell).
     */
+  private final class MemoCell(thunk: () => LogicalPlan) {
+    lazy val plan: LogicalPlan = thunk()
+  }
+
   private val planMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, Seq[Any]), LogicalPlan]]())
+      scala.collection.concurrent.TrieMap[(String, Seq[Any]), MemoCell]]())
+
+  /** Snapshot signature of every file-source leaf under `plan`: one
+    * Long per leaf hashing the sorted (path, length, modificationTime)
+    * listing. Two plans over the same PATH but different FILES (the
+    * INSERT OVERWRITE / re-written parquet dir case) canonicalize equal
+    * yet sign differently, so the memo re-runs the fix point. Reads the
+    * relation's OWN FileIndex listing — the exact file set the scan
+    * would use — so the signature can never be fresher than the scan
+    * (Spark relation-cache semantics; REFRESH TABLE invalidates both).
+    */
+  private def fileSignature(df: DataFrame): Seq[Any] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil)
+              .flatMap(_.files.map(f =>
+                (f.getPath.toString, f.getLen, f.getModificationTime)))
+              .sortBy(_._1)
+              .foldLeft(17L) { case (acc, (p, len, mt)) =>
+                ((acc * 31L + p.hashCode) * 31L + len) * 31L + mt
+              }: Any
+          case other => other.getClass.getName: Any
+        }
+    }
 
   private def memo(fn: String, tables: Seq[DataFrame], scalars: Seq[Any])(
       build: => LogicalPlan): LogicalPlan = {
@@ -386,8 +426,10 @@ object TableFunctions {
       mm
     }
     val key: Seq[Any] =
-      tables.map(_.queryExecution.analyzed.canonicalized: Any) ++ scalars
-    m.getOrElseUpdate((fn, key), build)
+      tables.map(_.queryExecution.analyzed.canonicalized: Any) ++
+        tables.flatMap(fileSignature) ++ scalars
+    val cell = new MemoCell(() => build)
+    m.putIfAbsent((fn, key), cell).getOrElse(cell).plan
   }
 
   /** Number of memoized converged plans in the active session (test

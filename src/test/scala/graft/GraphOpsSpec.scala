@@ -1514,4 +1514,52 @@ class GraphOpsSpec extends SparkSpecBase {
       chain.toDF("src", "dst"), 3).orderBy("id").collect().toSeq)
     assert(r2 != r1)
   }
+
+  test("TVF memo: re-written files under an UNCHANGED path are a miss " +
+      "(file-listing signature in the key) — the in-place overwrite " +
+      "serves a fresh fix point, not the stale converged plan") {
+    import spark.implicits._
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    val dir = java.nio.file.Files.createTempDirectory("tvf_overwrite")
+      .toFile.getAbsolutePath
+    try {
+      val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+        (3L, 1L))
+      tri.toDF("a", "b").coalesce(1).write.mode("overwrite").parquet(dir)
+      def run(): Seq[org.apache.spark.sql.Row] = {
+        // a FRESH read per run — new listing, exactly what a session
+        // does after REFRESH TABLE (a cached stale relation is Spark
+        // relation-cache semantics, out of the memo's scope)
+        spark.read.parquet(dir).createOrReplaceTempView("tvf_ow_edges")
+        spark.sql(
+          "SELECT * FROM pagerank('tvf_ow_edges', 'a', 'b', 3) ORDER BY id")
+          .collect().toSeq
+      }
+      val before = graft.functions.TableFunctions.memoizedPlanCount(spark)
+      val r1 = run()
+      assert(graft.functions.TableFunctions.memoizedPlanCount(spark)
+        == before + 1)
+      // same files, fresh read → same signature → memo hit
+      assert(run() == r1)
+      assert(graft.functions.TableFunctions.memoizedPlanCount(spark)
+        == before + 1)
+      // OVERWRITE the files under the SAME path with different data:
+      // the canonicalized plan can compare equal, but the file-listing
+      // signature (names/sizes/mtimes) differs → miss → fresh fix point
+      val chain = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+        (3L, 4L), (4L, 3L))
+      chain.toDF("a", "b").coalesce(1).write.mode("overwrite").parquet(dir)
+      val r2 = run()
+      assert(graft.functions.TableFunctions.memoizedPlanCount(spark)
+        == before + 2)
+      assert(r2 == Graphs.pageRankDF(spark,
+        chain.toDF("src", "dst"), 3).orderBy("id").collect().toSeq)
+      assert(r2 != r1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
