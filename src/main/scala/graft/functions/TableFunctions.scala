@@ -224,6 +224,27 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** match_measures(table, entity, ts, tie_break, type_col, value_col,
+    * pattern, within_us) — q59c's MEASURES surface from pure SQL: one
+    * row per completed bounded match with its aggregates
+    * (entity, match_no, anchor_us, end_us, m_events, m_cents,
+    * stage_first_us array — element_at in the outer query to flatten).
+    */
+  private def matchMeasuresPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "match_measures"
+    require(exprs.length == 8,
+      s"$fn takes 8 arguments (table, entity, ts, tie_break, type_col, " +
+        s"value_col, pattern, within_us), got ${exprs.length}")
+    val tbl = tableArg(exprs(0), 1, fn)
+    val a = exprs.slice(1, 7).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
+    val within = long(exprs(7), 8, fn)
+    graft.ops.Patterns.quantifiedMatchMeasuresAlt(tbl, entity = a(0),
+        ts = a(1), tieBreak = a(2), typeCol = a(3), valueCol = a(4),
+        stages = graft.ops.Patterns.parsePattern(a(5)),
+        withinUs = if (within > 0) Some(within) else None)
+      .queryExecution.logical
+  }
+
   /** match_reanchored(table, entity, ts, tie_break, type_col, pattern,
     * within_us) — q57f's re-anchoring WITHIN counter from pure SQL:
     * plain whitespace-separated symbol stages (no quantifiers — the
@@ -1329,6 +1350,13 @@ object TableFunctions {
         "within_us) - ONE ROW PER bounded MATCH: (entity, match_no, " +
         "anchor_us, end_us).",
       matchRowsPlan _),
+    reg("match_measures",
+      "_FUNC_(table, entity, ts, tie_break, type_col, value_col, " +
+        "pattern, within_us) - ONE ROW PER bounded MATCH with MEASURES: " +
+        "(entity, match_no, anchor_us, end_us, m_events, m_cents, " +
+        "stage_first_us array); value_col is a double money column " +
+        "(cents = round(x*100)).",
+      matchMeasuresPlan _),
     reg("match_reanchored",
       "_FUNC_(table, entity, ts, tie_break, type_col, pattern, " +
         "within_us) - re-anchoring WITHIN counter (plain symbol " +

@@ -186,8 +186,12 @@ object Patterns {
     * buffered [[BufferedPatternProcessor]] twins fold late rows
     * losslessly instead.
     */
+  private def isLate(maxTs: Long, maxTie: Long, tsUs: Long,
+      tie: Long): Boolean =
+    tsUs < maxTs || (tsUs == maxTs && tie <= maxTie)
+
   private def isLate(maxTs: Long, maxTie: Long, e: PatEv): Boolean =
-    e.ts_us < maxTs || (e.ts_us == maxTs && e.tie <= maxTie)
+    isLate(maxTs, maxTie, e.ts_us, e.tie)
 
   private def warnLate(ent: Long, dropped: Long, total: Long): Unit =
     if (dropped > 0) log.warn(
@@ -910,25 +914,217 @@ object Patterns {
     */
   private[ops] def qstep(st: Array[(Set[String], Int, Int)], s0: Int,
       r0: Int, sym: String): (Int, Int, Boolean, Boolean) = {
+    val f = qstepFull(st, s0, r0, sym)
+    (f._1, f._2, f._3, f._4)
+  }
+
+  /** [[qstep]] plus the CONSUMING stage (-1 = the event was not consumed
+    * and the machine reset/stayed fresh) — the extra observability the
+    * MEASURES surface needs to know which stage an event fed. One
+    * machine: qstep delegates here, so the twins cannot diverge.
+    */
+  private[ops] def qstepFull(st: Array[(Set[String], Int, Int)], s0: Int,
+      r0: Int, sym: String): (Int, Int, Boolean, Boolean, Int) = {
     // attempt: consume sym at stage s (reps r so far), advancing through
-    // min-satisfied / min-0 stages; Nothing = this attempt dies.
+    // min-satisfied / min-0 stages; consume-stage -1 = this attempt dies.
     @annotation.tailrec
-    def attempt(s: Int, r: Int): (Int, Int, Boolean) = {
+    def attempt(s: Int, r: Int): (Int, Int, Boolean, Int) = {
       val (sSym, sMin, sMax) = st(s)
       if (sSym(sym) && r < sMax) {
         val r2 = r + 1
-        if (s == st.length - 1 && r2 >= sMin) (0, 0, true) // lazy final
-        else (s, r2, false)
+        if (s == st.length - 1 && r2 >= sMin) (0, 0, true, s) // lazy final
+        else (s, r2, false, s)
       } else if (r >= sMin && s + 1 < st.length) attempt(s + 1, 0)
-      else (-1, -1, false)
+      else (-1, -1, false, -1)
     }
     val fresh = s0 == 0 && r0 == 0
     val a = attempt(s0, r0)
-    if (a._1 >= 0) (a._1, a._2, a._3, fresh)
-    else if (fresh) (0, 0, false, false)
+    if (a._4 >= 0) (a._1, a._2, a._3, fresh, a._4)
+    else if (fresh) (0, 0, false, false, -1)
     else { // naive restart: the failing event may begin the next attempt
       val b = attempt(0, 0)
-      if (b._1 >= 0) (b._1, b._2, b._3, true) else (0, 0, false, false)
+      if (b._4 >= 0) (b._1, b._2, b._3, true, b._4)
+      else (0, 0, false, false, -1)
     }
+  }
+
+  /** Event row for the MEASURES surfaces: [[PatEv]] + the per-event
+    * measure payload (cents — the established exact-integer money
+    * convention).
+    */
+  case class PatEvM(entity: Long, ts_us: Long, tie: Long, sym: String,
+      cents: Long)
+
+  /** Q59c's row: [[PatMatch]] + the per-match MEASURES — events consumed
+    * by the matching run, their cents sum, and each stage's FIRST
+    * consumed event's epoch-µs ([[ANCHOR_NONE]] for min-0 stages the run
+    * skipped). MATCH_RECOGNIZE's MEASURES clause on the one-pass
+    * machine: all state is O(#stages), accumulated as the scan passes —
+    * never a buffer of the match's events.
+    */
+  case class PatMatchM(entity: Long, match_no: Long, anchor_us: Long,
+      end_us: Long, m_events: Long, m_cents: Long, stage_first_us: Seq[Long])
+
+  /** Post-step result of [[qmeasuredStep]]: the machine residue (stage,
+    * reps, n, cnt, anchor — IDENTICAL evolution to [[qboundedStep]], so
+    * counts can never diverge from q57/q58/q59), the accumulator residue
+    * (mEv, mCents — stageTs mutates in the caller-owned array), and the
+    * completed bounded match's measures when this event finished one.
+    */
+  private[graft] final case class QMeasured(stage: Int, reps: Int, n: Long,
+      cnt: Long, anchor: Long, mEv: Long, mCents: Long,
+      emit: Option[(Long, Long, Vector[Long])])
+
+  /** The MEASURES transition both twins share ([[qboundedStep]] + the
+    * bounded per-match accumulators). `stageTs` is caller-owned and
+    * mutated in place, `#stages` slots: slot s = first consumed event's
+    * ts at stage s in the CURRENT attempt ([[ANCHOR_NONE]] = none yet).
+    * An event that begins a fresh attempt (the anchored flag, incl. the
+    * naive restart) RESEEDS the accumulators with itself; an event the
+    * machine could not consume clears them (the attempt died); a
+    * completed match emits its measures INCLUDING the completing event,
+    * then clears. The emission fires only for BOUNDED matches — the
+    * same gate that counts, so emitted rows == q59's row set with
+    * measures appended.
+    */
+  private[graft] def qmeasuredStep(st: Array[(Set[String], Int, Int)],
+      within: Long, stage0: Int, reps0: Int, n0: Long, cnt0: Long,
+      anchor0: Long, mEv0: Long, mCents0: Long, stageTs: Array[Long],
+      tsUs: Long, sym: String, cents: Long): QMeasured = {
+    val (s2, r2, hit, anchored, cStage) = qstepFull(st, stage0, reps0, sym)
+    var anchor = anchor0; var mEv = mEv0; var mCents = mCents0
+    if (cStage >= 0) {
+      if (anchored) {
+        anchor = tsUs
+        mEv = 0L; mCents = 0L
+        java.util.Arrays.fill(stageTs, ANCHOR_NONE)
+      }
+      mEv += 1L; mCents += cents
+      if (stageTs(cStage) == ANCHOR_NONE) stageTs(cStage) = tsUs
+    } else if (!hit) {
+      // not consumed → the machine reset (or stayed fresh): no attempt
+      // is in flight, so no accumulators either
+      mEv = 0L; mCents = 0L
+      java.util.Arrays.fill(stageTs, ANCHOR_NONE)
+    }
+    val counted = hit && tsUs - anchor <= within
+    val emit = if (counted) Some((mEv, mCents, stageTs.toVector)) else None
+    if (hit) { // completion (counted or out-of-bound) resets the attempt
+      mEv = 0L; mCents = 0L
+      java.util.Arrays.fill(stageTs, ANCHOR_NONE)
+    }
+    QMeasured(s2, r2, n0 + 1L, if (counted) cnt0 + 1L else cnt0, anchor,
+      mEv, mCents, emit)
+  }
+
+  /** Q59c — PER-MATCH MEASURES (MATCH_RECOGNIZE's MEASURES clause on
+    * the q59 surface): one row per completed bounded match carrying its
+    * aggregates — events consumed, cents sum, per-stage first-event
+    * timestamps — accumulated in O(#stages) state as the scan passes
+    * (the machine, counts, anchors, and WITHIN gate are bit-identical
+    * to q59's: [[qmeasuredStep]] wraps the same [[qstepFull]]).
+    * `valueCol` is a double money column; measures use the exact
+    * round(×100) cents convention. Same 100 TB plan as every per-entity
+    * fold here: one entity-keyed shuffle, linear scan.
+    */
+  def quantifiedMatchMeasuresAlt(events: DataFrame, entity: String,
+      ts: String, tieBreak: String, typeCol: String, valueCol: String,
+      stages: Seq[(Set[String], Int, Int)],
+      withinUs: Option[Long] = None): DataFrame = {
+    validateStageSets(stages, withinUs)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val st = stages.toArray
+    val within = withinUs.getOrElse(Long.MaxValue)
+    val nStages = st.length
+    events.select(col(entity).cast("long").as("entity"),
+        graft.Det.epochUs(col(ts)).as("ts_us"),
+        col(tieBreak).cast("long").as("tie"),
+        col(typeCol).cast("string").as("sym"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .as[PatEvM]
+      .repartition(col("entity"))
+      .sortWithinPartitions("entity", "ts_us", "tie")
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[PatMatchM]
+        var cur = 0L
+        var started = false
+        var stage = 0; var reps = 0
+        var cnt = 0L; var n = 0L; var anchor = 0L
+        var mEv = 0L; var mCents = 0L
+        val stageTs = Array.fill(nStages)(ANCHOR_NONE)
+        it.foreach { e =>
+          if (!started) { started = true; cur = e.entity }
+          else if (e.entity != cur) {
+            cur = e.entity; stage = 0; reps = 0; cnt = 0L; n = 0L
+            anchor = 0L; mEv = 0L; mCents = 0L
+            java.util.Arrays.fill(stageTs, ANCHOR_NONE)
+          }
+          val r = qmeasuredStep(st, within, stage, reps, n, cnt, anchor,
+            mEv, mCents, stageTs, e.ts_us, e.sym, e.cents)
+          r.emit.foreach { case (ev, cts, sts) =>
+            out += PatMatchM(cur, r.cnt, r.anchor, e.ts_us, ev, cts, sts)
+          }
+          stage = r.stage; reps = r.reps; n = r.n; cnt = r.cnt
+          anchor = r.anchor; mEv = r.mEv; mCents = r.mCents
+        }
+        out.iterator
+      }
+      .toDF()
+  }
+
+  /** Cross-batch streaming state for the MEASURES twin: the counting
+    * residue + the accumulator residue + the [[isLate]] guard residue.
+    */
+  case class QPatStateM(stage: Int, reps: Int, n: Long, cnt: Long,
+      anchor: Long, mEv: Long, mCents: Long, stageTs: Array[Long],
+      maxTs: Long, maxTie: Long, nLate: Long)
+
+  /** S39c — LIVE per-match MEASURES: q59c as a continuous query. The
+    * accumulator residue (mEv/mCents/stageTs) persists in GroupState, so
+    * a match whose stages SPAN micro-batches still emits with its full
+    * measures — Append-clean like S39 (a completed match is final).
+    * Same guarded in-order-across-batches caveat as S36/S39.
+    */
+  def quantifiedMatchMeasuresStream(events: Dataset[PatEvM],
+      stages: Seq[(Set[String], Int, Int)], withinUs: Option[Long] = None)
+      : Dataset[PatMatchM] = {
+    validateStageSets(stages, withinUs)
+    import events.sparkSession.implicits._
+    val st = stages.toArray
+    val within = withinUs.getOrElse(Long.MaxValue)
+    val nStages = st.length
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[QPatStateM, PatMatchM](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (ent: Long, rows: Iterator[PatEvM], state: GroupState[QPatStateM]) =>
+          val st0 = state.getOption.getOrElse(QPatStateM(0, 0, 0L, 0L, 0L,
+            0L, 0L, Array.fill(nStages)(ANCHOR_NONE),
+            Long.MinValue, Long.MinValue, 0L))
+          var stage = st0.stage; var reps = st0.reps; var n = st0.n
+          var cnt = st0.cnt; var anchor = st0.anchor
+          var mEv = st0.mEv; var mCents = st0.mCents
+          val stageTs = st0.stageTs.clone()
+          var maxTs = st0.maxTs; var maxTie = st0.maxTie
+          var late = 0L
+          val out = scala.collection.mutable.ArrayBuffer.empty[PatMatchM]
+          rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+            if (isLate(maxTs, maxTie, e.ts_us, e.tie)) late += 1L
+            else {
+              val r = qmeasuredStep(st, within, stage, reps, n, cnt,
+                anchor, mEv, mCents, stageTs, e.ts_us, e.sym, e.cents)
+              r.emit.foreach { case (ev, cts, sts) =>
+                out += PatMatchM(ent, r.cnt, r.anchor, e.ts_us, ev, cts, sts)
+              }
+              stage = r.stage; reps = r.reps; n = r.n; cnt = r.cnt
+              anchor = r.anchor; mEv = r.mEv; mCents = r.mCents
+              maxTs = e.ts_us; maxTie = e.tie
+            }
+          }
+          warnLate(ent, late, st0.nLate + late)
+          state.update(QPatStateM(stage, reps, n, cnt, anchor, mEv, mCents,
+            stageTs, maxTs, maxTie, st0.nLate + late))
+          out.iterator
+      }
   }
 }

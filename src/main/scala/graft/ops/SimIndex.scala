@@ -514,6 +514,25 @@ object SimIndex {
     }
   }
 
+  /** S42/S44 bootstrap-or-refresh: the per-batch entry point a vector
+    * intake stream's foreachBatch calls. The FIRST batch builds the
+    * index with the stream's parameters (the s19 bootstrap discipline);
+    * every later batch runs the drift-gated append
+    * ([[appendIvfIndexWithRefresh]] — PSI below threshold appends to
+    * the frozen centroids, at/above retrains wholesale). Returns true
+    * iff a drift rebuild fired (the bootstrap build returns false — it
+    * is the reference, not a drift event).
+    */
+  def ivfIntakeBatch(newVecs: DataFrame, prefix: String, k: Int,
+      nprobe: Int, buckets: Int, psiThreshold: Double = 0.25): Boolean = {
+    val spark = newVecs.sparkSession
+    reattachAll(spark, prefix)
+    if (!spark.catalog.tableExists(s"${prefix}_meta")) {
+      writeIvfIndex(newVecs, prefix, k, nprobe, buckets)
+      false
+    } else appendIvfIndexWithRefresh(newVecs, prefix, psiThreshold)
+  }
+
   /** S19 — one micro-batch of corpus intake into the LSH index, guarded
     * by an applied-batch ledger: [[appendLshIndex]] is additive, so a
     * REPLAYED foreachBatch invocation (restart mid-epoch) must be

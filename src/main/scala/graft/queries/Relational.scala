@@ -928,6 +928,40 @@ object Relational {
         |ORDER BY user_id, match_no""".stripMargin)
     }),
 
+    // Q59c — PER-MATCH MEASURES (r17 — MATCH_RECOGNIZE's MEASURES
+    // clause on the q59 surface): each converting run carries its
+    // aggregates — events consumed, cents sum over them, and the first
+    // click's timestamp (per-stage first-event times; the machine
+    // tracks one slot per stage, O(#stages) state, never a buffer of
+    // the match's events). Counts/anchors/WITHIN gate are bit-identical
+    // to q59 (qmeasuredStep wraps the same machine step). Oracle = the
+    // q59 DFA walk extended with the same accumulators.
+    "q59c_match_measures" -> ((s, dir) =>
+      graft.ops.Patterns.quantifiedMatchMeasuresAlt(t(s, dir, "events"),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          typeCol = "event_type", valueCol = "value",
+          stages = Seq((Set("view"), 1, 1),
+            (Set("click"), 1, Int.MaxValue), (Set("purchase"), 1, 1)),
+          withinUs = Some(86400L * 1000000L))
+        .select(col("entity").as("user_id"), col("match_no"),
+          col("anchor_us"), col("end_us"), col("m_events"), col("m_cents"),
+          element_at(col("stage_first_us"), 2).as("click1_us"))
+        .orderBy("user_id", "match_no")),
+
+    // Q59d — q59c through the match_measures TVF: the MEASURES surface
+    // from pure SQL (stage_first_us flattens with element_at in the
+    // outer query); held to q59c's oracle verbatim.
+    "q59d_match_measures_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_q59d_events")
+      s.sql("""SELECT entity AS user_id, match_no, anchor_us, end_us,
+        |  m_events, m_cents, element_at(stage_first_us, 2) AS click1_us
+        |FROM match_measures('graft_q59d_events', 'user_id', 'ts',
+        |       'event_id', 'event_type', 'value',
+        |       'view click+ purchase', 86400000000)
+        |ORDER BY user_id, match_no""".stripMargin)
+    }),
+
     // Q58 — ALTERNATION stages (MATCH_RECOGNIZE `A (B|C)+ D`):
     // view (click|error)+ purchase — the engagement stage accepts
     // either symbol. Same machine as q57d with set membership in place
@@ -2151,6 +2185,59 @@ object Relational {
         |  anchor_us, end_us
         |FROM hits ORDER BY user_id, match_no""".stripMargin,
 
+    // q59c: the q59 DFA walk carrying the MEASURES accumulators (mev,
+    // mcents, first-click ts) through the same transitions — view
+    // reseeds, clicks extend, purchase completes (in-bound) or resets,
+    // any reset clears; the hit row adds the completing purchase.
+    "q59c_match_measures" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |n AS (SELECT user_id, max(i) AS n FROM e GROUP BY 1),
+        |walk(user_id, i, q, cnt, anchor, c1, mev, mcents) AS (
+        |  SELECT user_id, 0, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT w.user_id, w.i + 1,
+        |    CASE WHEN e.event_type = 'view' THEN 1
+        |         WHEN w.q >= 1 AND e.event_type = 'click' THEN 2
+        |         ELSE 0 END,
+        |    w.cnt + CASE WHEN w.q = 2 AND e.event_type = 'purchase'
+        |                  AND e.ts_us - w.anchor <= 86400000000
+        |                 THEN 1 ELSE 0 END,
+        |    CASE WHEN e.event_type = 'view' THEN e.ts_us
+        |         ELSE w.anchor END,
+        |    CASE WHEN e.event_type = 'view' THEN 0
+        |         WHEN w.q >= 1 AND e.event_type = 'click' THEN
+        |           CASE WHEN w.q = 2 THEN w.c1 ELSE e.ts_us END
+        |         ELSE 0 END,
+        |    CASE WHEN e.event_type = 'view' THEN 1
+        |         WHEN w.q >= 1 AND e.event_type = 'click' THEN w.mev + 1
+        |         ELSE 0 END,
+        |    CASE WHEN e.event_type = 'view' THEN e.cents
+        |         WHEN w.q >= 1 AND e.event_type = 'click'
+        |           THEN w.mcents + e.cents
+        |         ELSE 0 END
+        |  FROM walk w
+        |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1),
+        |hits AS (SELECT w.user_id, w.i + 1 AS step,
+        |    w.anchor AS anchor_us, e.ts_us AS end_us,
+        |    w.mev + 1 AS m_events, w.mcents + e.cents AS m_cents,
+        |    w.c1 AS click1_us
+        |  FROM walk w
+        |  JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1
+        |  WHERE w.q = 2 AND e.event_type = 'purchase'
+        |    AND e.ts_us - w.anchor <= 86400000000)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY step)
+        |    AS match_no,
+        |  anchor_us, end_us, CAST(m_events AS BIGINT) AS m_events,
+        |  CAST(m_cents AS BIGINT) AS m_cents, click1_us
+        |FROM hits ORDER BY user_id, match_no""".stripMargin,
+
     // q58b is q58 through the SQL TVF — same machine, same oracle.
     "q58b_pattern_sql" -> q58OracleSql,
 
@@ -2739,6 +2826,8 @@ object Relational {
       ("q57b_pattern_contiguous" -> oracles0("q42_seq_pattern")) +
       // q59b is q59 through the match_rows TVF — same machine, oracle
       ("q59b_match_rows_sql" -> oracles0("q59_pattern_match_rows")) +
+      // q59d is q59c through the match_measures TVF — same machine
+      ("q59d_match_measures_sql" -> oracles0("q59c_match_measures")) +
       // q57g is q57f through the match_reanchored TVF — same machine
       ("q57g_reanchor_sql" -> oracles0("q57f_pattern_reanchor"))
 

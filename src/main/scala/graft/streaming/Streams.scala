@@ -2284,6 +2284,43 @@ object Streams {
     * [[sessionEdgesBatch]]): a hot key's full history is never
     * materialized on a task.
     */
+  /** S44 — streaming MULTIMODAL intake (r17): the l53b codec→embedding
+    * derivation composed into the s42 drift-gated ANN lifecycle, so
+    * image batches flow decode → embed → index inside ONE foreachBatch
+    * invocation. Each batch's P6 payloads are decoded by the real
+    * raster parser ([[graft.ops.Media.decodeImagePixels]] — the
+    * mapPartitions codec shape), pixels centered at 128 become the
+    * Array[Float] embedding (exactly l53b/l53c's feature), and the
+    * embeddings feed [[graft.ops.SimIndex.ivfIntakeBatch]]: first batch
+    * bootstraps the IVF index, later batches append against the frozen
+    * centroids unless the batch's residual-PSI fires the wholesale
+    * retrain. Undecodable payloads (null pixels) are dropped here —
+    * they have no feature vector, the media-table hygiene rule.
+    * Returns true iff a drift rebuild fired.
+    *
+    * At 100 TB this is the shape of a production multimodal intake:
+    * the codec cost is per NEW batch only, the index shuffle is
+    * bucket-local appends, and the expensive retrain is gated on
+    * distribution change, not volume. StreamingSpec gates the
+    * maintained index == the one-shot l53c kernel on the full corpus
+    * (exact pair-set equality after the final rebuild) and recall vs
+    * the exact l53b pairs.
+    */
+  def mediaIntakeBatch(batch: DataFrame, prefix: String, k: Int,
+      nprobe: Int, buckets: Int, psiThreshold: Double = 0.25): Boolean = {
+    val emb = graft.ops.Media.decodeImagePixels(
+        batch.select(col("doc_id"), col("payload")), "payload")
+      .filter(col("pixels").isNotNull)
+      .select(col("doc_id").as("vec_id"),
+        transform(col("pixels"), x => (x - 128).cast("float"))
+          .as("embedding"))
+      // decoded ONCE: the intake reads the embeddings for the residual
+      // histogram, the assignment, and the signature bump
+      .transform(graft.ops.Checkpoints.cut)
+    graft.ops.SimIndex.ivfIntakeBatch(emb, prefix, k, nprobe, buckets,
+      psiThreshold)
+  }
+
   def flagAnomaliesBatch(events: Dataset[EventIn]): Dataset[Flagged] = {
     import events.sparkSession.implicits._
     events

@@ -567,6 +567,67 @@ class PatternsSpec extends SparkSpecBase {
     }
   }
 
+  test("per-match MEASURES: accumulators reseed on re-anchor, include " +
+      "the completing event, min-0 skipped stages leave no timestamp, " +
+      "rows == q59 surface + measures") {
+    import spark.implicits._
+    // events at minute i (0-based), value = i+1 dollars -> (i+1)*100 c
+    def evDFv(userSyms: (Long, Seq[String])*) =
+      userSyms.flatMap { case (u, syms) =>
+        syms.zipWithIndex.map { case (sym, i) =>
+          (u, i.toLong + 1L,
+            new java.sql.Timestamp(1700006400000L + i * 60000L), sym,
+            (i + 1).toDouble)
+        }
+      }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val baseUs = 1700006400000000L
+    def tMin(i: Int): Long = baseUs + i * 60000000L
+    val st = Seq((Set("a"), 1, 1), (Set("b"), 1, Int.MaxValue),
+      (Set("c"), 1, 1))
+    def measured(df: org.apache.spark.sql.DataFrame,
+        stages: Seq[(Set[String], Int, Int)],
+        within: Option[Long] = None) =
+      Patterns.quantifiedMatchMeasuresAlt(df, "user_id", "ts", "event_id",
+          "event_type", "value", stages, within)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getSeq[Long](6).toList)).toList.sortBy(t => (t._1, t._2))
+    // a b c | a a b b c | x a c: run1 = events 0,1,2; the second 'a'
+    // (idx 4) RE-ANCHORS and must reseed the accumulators (idx 3's
+    // event drops out); trailing a,c never completes
+    val df = evDFv(1L -> Seq("a", "b", "c", "a", "a", "b", "b", "c",
+      "x", "a", "c"))
+    assert(measured(df, st) == List(
+      (1L, 1L, tMin(0), tMin(2), 3L, 600L,
+        List(tMin(0), tMin(1), tMin(2))),
+      (1L, 2L, tMin(4), tMin(7), 4L, 2600L,
+        List(tMin(4), tMin(5), tMin(7)))))
+    // a skipped min-0 middle stage leaves ANCHOR_NONE in its slot
+    val st0 = Seq((Set("a"), 1, 1), (Set("b"), 0, 2), (Set("c"), 1, 1))
+    assert(measured(evDFv(2L -> Seq("a", "c")), st0) == List(
+      (2L, 1L, tMin(0), tMin(1), 2L, 300L,
+        List(tMin(0), Patterns.ANCHOR_NONE, tMin(1)))))
+    // the WITHIN gate filters measures rows exactly like q59's rows
+    val dfb = evDFv(3L -> Seq("a", "b", "c", "a", "b", "b", "c"))
+    assert(measured(dfb, st, Some(2L * 60000000L)).map(_._2) == List(1L))
+    // random streams: (entity, match_no, anchor, end) == the q59
+    // surface row-for-row — the machine/count/anchor evolution is
+    // shared, so the measures surface can never diverge
+    val rnd = new scala.util.Random(5960)
+    val cases = (1L to 40L).map { u =>
+      u -> Seq.fill(3 + rnd.nextInt(40))(
+        Vector("a", "b", "c", "x")(rnd.nextInt(4)))
+    }
+    val rdf = evDFv(cases: _*)
+    val q59rows = Patterns.quantifiedMatchesAlt(rdf, "user_id", "ts",
+        "event_id", "event_type", st, Some(3L * 60000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val mrows = measured(rdf, st, Some(3L * 60000000L))
+      .map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(mrows == q59rows && q59rows.nonEmpty)
+  }
+
   test("q57c at withinUs=None == q57 on the fixture") {
     val q57 = SparkEntry.queries("q57_pattern_funnel")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

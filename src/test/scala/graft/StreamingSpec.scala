@@ -1198,6 +1198,82 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want && got == Map(2L -> 10L, 3L -> 20L, 4L -> 30L))
   }
 
+  test("S44 streaming multimodal intake: decode -> embed -> drift-gated " +
+      "IVF inside one foreachBatch — bootstrap, quiet append, drift " +
+      "rebuild; maintained == one-shot l53c kernel on the full corpus") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    Seq("mediaidx_centroids", "mediaidx_vectors", "mediaidx_meta",
+        "mediaidx_res_hist", "mediaidx_tombstones").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.ops.Bucketing.dropStaleLocation(spark, t)
+    }
+    val n = 8 * 8 * 3
+    // in-distribution image: a smooth per-content-key pattern (ten ids
+    // share each key -> near-dup pairs exist by construction) with 4
+    // per-id noise channels; drift image: wide pseudo-random raster
+    def raster(id: Long, drifted: Boolean): Array[Byte] =
+      (0 until n).map { p =>
+        val v =
+          if (drifted) ((id * 7 + p * 13) % 256).toInt
+          else if (p < 4) (100 + (id * 13 + p * 7) % 40).toInt
+          else (100 + ((id % 10) + p) % 40).toInt
+        v.toByte
+      }.toArray
+    def payloads(ids: Seq[Long], drifted: Boolean): Seq[(Long, Array[Byte])] =
+      ids.map(id => id -> graft.ops.Media.encodePpm(8, 8, 255,
+        raster(id, drifted)))
+    val b0 = payloads(0L until 30L, drifted = false)
+    val b1 = payloads(100L until 130L, drifted = false)
+    val b2 = payloads(200L until 230L, drifted = true)
+
+    val flags = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Byte])]
+    val q = source.toDF().toDF("doc_id", "payload")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          flags += Streams.mediaIntakeBatch(batch, "mediaidx", k = 4,
+            nprobe = 2, buckets = 4)
+          ()
+      }.start()
+    try Seq(b0, b1, b2).foreach { b =>
+      source.addData(b); q.processAllAvailable()
+    } finally q.stop()
+
+    // bootstrap is not a drift event; the in-distribution batch appends
+    // quietly; the wide-random batch fires the retrain
+    assert(flags.toSeq == Seq(false, false, true))
+
+    // the final rebuild swapped in a one-shot build over the FULL
+    // corpus, so the maintained index's near-dup pairs equal the
+    // one-shot l53c kernel (same k/nprobe/seeded kmeans) exactly
+    val all = (b0 ++ b1 ++ b2).toDF("vec_id", "payload")
+    val emb = graft.ops.Media.decodeImagePixels(
+        all.withColumnRenamed("vec_id", "doc_id"), "payload")
+      .select(col("doc_id").as("vec_id"),
+        transform(col("pixels"), x => (x - 128).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maintained = pairSet(
+      graft.ops.SimIndex.ivfPairsFromIndex(spark, "mediaidx",
+          verifyAgainst = Some(emb))
+        .filter(col("cos_sim") > 0.8).select("a_id", "b_id"))
+    val oneShot = pairSet(
+      graft.ops.Similarity.ivfThresholdPairs(emb, threshold = 0.8,
+        nCentroids = 4, nprobe = 2).select("a_id", "b_id"))
+    assert(maintained == oneShot && maintained.nonEmpty)
+    // and vs the EXACT kernel (l53b): precision 1.0, recall >= 0.9
+    val exact = pairSet(
+      graft.ops.Similarity.thresholdCosinePairs(emb, threshold = 0.8)
+        .select("a_id", "b_id"))
+    assert(maintained.subsetOf(exact))
+    assert(maintained.size >= (exact.size * 9) / 10,
+      s"recall ${maintained.size}/${exact.size} below 0.9")
+  }
+
   test("S27b from a real stream: foreachBatch CDC fold (inserts + deletes) " +
       "== from-scratch CC after every batch") {
     import spark.implicits._
@@ -2330,6 +2406,71 @@ class StreamingSpec extends SparkSpecBase {
       }
       val streamed = spark.table("s39fix").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally fq.stop()
+  }
+
+  test("S39c live MEASURES: a boundary-spanning match keeps its " +
+      "accumulators across micro-batches; fixture rows == q59c fold") {
+    import spark.implicits._
+    import graft.ops.Patterns
+    implicit val sq = spark.sqlContext
+    val stages = Seq((Set("a"), 1, 1), (Set("b"), 1, Int.MaxValue),
+      (Set("c"), 1, 1))
+    // anchor + first click in batch 1, completion in batch 2: the
+    // emitted row must carry ALL FOUR events' measures and batch-1's
+    // stage timestamps — the accumulator residue crossed the boundary
+    val evs = Seq(
+      Patterns.PatEvM(1L, 100L, 1L, "a", 10L),
+      Patterns.PatEvM(1L, 200L, 2L, "b", 20L),
+      Patterns.PatEvM(1L, 300L, 3L, "b", 30L),
+      Patterns.PatEvM(1L, 400L, 4L, "c", 40L))
+    val src = MemoryStream[Patterns.PatEvM]
+    val q = Patterns.quantifiedMatchMeasuresStream(src.toDS(), stages)
+      .writeStream.format("memory").queryName("s39cm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(evs.take(2)); q.processAllAvailable()
+      assert(spark.table("s39cm").count() == 0)
+      src.addData(evs.drop(2)); q.processAllAvailable()
+      val rows = spark.table("s39cm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getSeq[Long](6).toList))
+      assert(rows.toSeq == Seq(
+        (1L, 1L, 100L, 400L, 4L, 100L, List(100L, 200L, 400L))))
+    } finally q.stop()
+    // fixture: streamed measures rows == the batch q59c fold, any
+    // batching
+    val in = Tables.load(spark, sfDir, "events")
+      .select(col("user_id").as("entity"),
+        graft.Det.epochUs(col("ts")).as("ts_us"),
+        col("event_id").as("tie"), col("event_type").as("sym"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[Patterns.PatEvM]
+    val fstages = Seq((Set("view"), 1, 1), (Set("click"), 1, Int.MaxValue),
+      (Set("purchase"), 1, 1))
+    val bound = Some(86400L * 1000000L)
+    val batch = Patterns.quantifiedMatchMeasuresAlt(
+        Tables.load(spark, sfDir, "events"),
+        "user_id", "ts", "event_id", "event_type", "value", fstages, bound)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getSeq[Long](6).toList))
+      .toSet
+    val fevs = in.orderBy("ts_us", "tie").collect().toSeq
+    val fsrc = MemoryStream[Patterns.PatEvM]
+    val fq = Patterns.quantifiedMatchMeasuresStream(fsrc.toDS(), fstages,
+        bound)
+      .writeStream.format("memory").queryName("s39cfix")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      fevs.grouped(math.max(1, fevs.length / 5)).foreach { g =>
+        fsrc.addData(g); fq.processAllAvailable()
+      }
+      val streamed = spark.table("s39cfix").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getSeq[Long](6).toList))
         .toSet
       assert(streamed == batch && batch.nonEmpty)
     } finally fq.stop()
