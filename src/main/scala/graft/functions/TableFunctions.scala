@@ -799,6 +799,95 @@ object TableFunctions {
     }
   }
 
+  /** double_sweep_ecc(table, src_col, dst_col, max_depth) — g24's
+    * diameter lower bound: BFS from the min vertex, hop to the farthest
+    * (tie → min id), BFS again; the second eccentricity bounds the
+    * diameter from below at the cost of two traversals. Returns one row
+    * (seed, peak, ecc_lb).
+    */
+  private def doubleSweepEccPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "double_sweep_ecc"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, src_col, dst_col, max_depth), " +
+        s"got ${exprs.length}")
+    val maxDepth = long(exprs(3), 4, fn)
+    require(maxDepth >= 1 && maxDepth <= 10000,
+      s"$fn: max_depth must be in [1, 10000]")
+    val edges = edgeFrame(exprs(0), exprs(1), exprs(2), fn)
+    memo(fn, Seq(edges), Seq(maxDepth)) {
+      graft.ops.Graphs.doubleSweepEcc(SparkSession.active,
+          graft.ops.Checkpoints.cut(edges), maxDepth.toInt)
+        .queryExecution.logical
+    }
+  }
+
+  /** bom_rollup(nodes, max_levels) — g39's bill-of-materials explosion
+    * over a generic hierarchy: `nodes` must expose (id, parent, qty)
+    * (alias inside TABLE(SELECT ...) to adapt); roots are nodes whose
+    * parent id is not in the node set. Returns (id, n_desc, units)
+    * with units = Σ_child qty·(1 + units_child).
+    */
+  private def bomRollupPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "bom_rollup"
+    require(exprs.length == 2,
+      s"$fn takes 2 arguments (nodes, max_levels), got ${exprs.length}")
+    val nodes = tableArg(exprs(0), 1, fn)
+    requireCols(nodes, Seq("id", "parent", "qty"), fn, "nodes")
+    val maxLevels = long(exprs(1), 2, fn)
+    require(maxLevels >= 1 && maxLevels <= 10000,
+      s"$fn: max_levels must be in [1, 10000]")
+    memo(fn, Seq(nodes), Seq(maxLevels)) {
+      graft.ops.Graphs.bomRollup(SparkSession.active, nodes,
+          maxLevels.toInt)
+        .queryExecution.logical
+    }
+  }
+
+  /** critical_path(nodes, max_levels) — g41's DAG critical path over a
+    * generic hierarchy: `nodes` must expose (id, parent, cost). Returns
+    * (id, crit) with crit = cost + max over children's crit.
+    */
+  private def criticalPathPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "critical_path"
+    require(exprs.length == 2,
+      s"$fn takes 2 arguments (nodes, max_levels), got ${exprs.length}")
+    val nodes = tableArg(exprs(0), 1, fn)
+    requireCols(nodes, Seq("id", "parent", "cost"), fn, "nodes")
+    val maxLevels = long(exprs(1), 2, fn)
+    require(maxLevels >= 1 && maxLevels <= 10000,
+      s"$fn: max_levels must be in [1, 10000]")
+    memo(fn, Seq(nodes), Seq(maxLevels)) {
+      graft.ops.Graphs.criticalPathRollup(SparkSession.active, nodes,
+          maxLevels.toInt)
+        .queryExecution.logical
+    }
+  }
+
+  /** temporal_cooccurrence(table, key_col, actor_col, ts_col, rid_col,
+    * delta_us, min_count) — g42's time-respecting wedge counter:
+    * unordered pairs of distinct actors touching the same key within
+    * delta_us, each observation pair counted once (later-timestamp /
+    * rid canonical order), kept at n >= min_count. Banded range join
+    * underneath — never a per-key quadratic self join. Lazy plan.
+    * Returns (s1, s2, n_coship).
+    */
+  private def temporalCooccurrencePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "temporal_cooccurrence"
+    require(exprs.length == 7,
+      s"$fn takes 7 arguments (table, key_col, actor_col, ts_col, " +
+        s"rid_col, delta_us, min_count), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val a = exprs.slice(1, 5).zipWithIndex.map { case (e, i) => str(e, i + 2, fn) }
+    val keyed = df.select(df(a(0)).as("key"), df(a(1)).as("actor"),
+      df(a(2)).as("t"), df(a(3)).as("rid"))
+    val delta = long(exprs(5), 6, fn)
+    val minCount = long(exprs(6), 7, fn)
+    require(delta >= 0, s"$fn: delta_us must be >= 0")
+    require(minCount >= 1, s"$fn: min_count must be >= 1")
+    graft.ops.Graphs.temporalCooccurrence(keyed, delta, minCount)
+      .queryExecution.logical
+  }
+
   /** Caller-named pair columns -> the internal canonical (x, y) frame
     * (undirected one-row-per-edge convention, x < y expected upstream).
     */
@@ -1216,6 +1305,29 @@ object TableFunctions {
         "expose (src, dst, avail_us, arrive_us). Returns " +
         "(id, duration_us), seed excluded." + IterNote,
       fastestJourneyPlan _),
+    reg("double_sweep_ecc",
+      "_FUNC_(table, src_col, dst_col, max_depth) - double-sweep " +
+        "diameter lower bound: BFS from the min vertex, re-BFS from the " +
+        "farthest. Returns one row (seed, peak, ecc_lb)." + IterNote,
+      doubleSweepEccPlan _),
+    reg("bom_rollup",
+      "_FUNC_(nodes, max_levels) - bill-of-materials explosion over a " +
+        "generic hierarchy; nodes expose (id, parent, qty), roots have " +
+        "a parent id outside the node set. Returns (id, n_desc, units) " +
+        "with units = sum(qty*(1+units_child))." + IterNote,
+      bomRollupPlan _),
+    reg("critical_path",
+      "_FUNC_(nodes, max_levels) - DAG critical path over a generic " +
+        "hierarchy; nodes expose (id, parent, cost). Returns (id, crit) " +
+        "= cost + max over children's crit." + IterNote,
+      criticalPathPlan _),
+    reg("temporal_cooccurrence",
+      "_FUNC_(table, key_col, actor_col, ts_col, rid_col, delta_us, " +
+        "min_count) - unordered pairs of distinct actors touching the " +
+        "same key within delta_us (each observation pair counted once), " +
+        "kept at n >= min_count; banded range join underneath. Returns " +
+        "(s1, s2, n_coship). Lazy plan.",
+      temporalCooccurrencePlan _),
     reg("triangles",
       "_FUNC_(table, x_col, y_col) - global triangle count over " +
         "canonical (x < y) pairs. Returns one row (n_triangles)." +

@@ -341,6 +341,150 @@ object Graphs {
       .toDF("seed", "peak", "ecc_lb")
   }
 
+  /** Level assignment for a generic (id, parent) forest: roots = nodes
+    * whose parent id is NOT in the node set (a hierarchy table's usual
+    * root marker — null, 0, or a foreign id all read as "no parent
+    * here"), children level = parent level + 1, assigned by a top-down
+    * frontier walk with the adaptive broadcast hint. THROWS past
+    * `maxLevels` or on unreachable nodes (a cycle, or depth beyond the
+    * bound) rather than silently dropping them — the g23 proven-
+    * convergence discipline. Returns (id, lvl). Shared by the generic
+    * BOM/critical-path rollups: both DPs rely on the forest property
+    * child-level = parent-level + 1, which this walk guarantees.
+    */
+  private[graft] def forestLevels(s: SparkSession, nodes: DataFrame,
+      maxLevels: Int): DataFrame = {
+    val ids = nodes.select("id").distinct().transform(Checkpoints.cut)
+    val total = ids.count()
+    var frontier = nodes
+      .join(ids.select(col("id").as("parent")), Seq("parent"), "left_anti")
+      .select(col("id"), lit(0).as("lvl"))
+      .transform(Checkpoints.cut)
+    var all = frontier
+    var lvl = 0
+    var rows = frontier.count()
+    var assigned = rows
+    while (rows > 0 && lvl < maxLevels) {
+      lvl += 1
+      val probe = if (rows <= FrontierBroadcastRows) broadcast(frontier)
+        else frontier
+      frontier = nodes
+        .join(probe.select(col("id").as("parent")), Seq("parent"),
+          "left_semi")
+        .select(col("id"), lit(lvl).as("lvl"))
+        .transform(Checkpoints.cut)
+      rows = frontier.count()
+      assigned += rows
+      if (rows > 0) all = all.unionAll(frontier)
+    }
+    if (assigned < total) throw new IllegalStateException(
+      s"hierarchy is not a bounded forest: ${total - assigned} node(s) " +
+        s"unreachable from the roots within $maxLevels levels (cycle, " +
+        "duplicate id, or depth beyond maxLevels)")
+    all
+  }
+
+  /** G39's BOM explosion over a GENERIC (id, parent, qty) hierarchy
+    * (qty = units of the child needed per unit of its parent): each
+    * node's total descendant count and total component units
+    * U(p) = Σ_c qty(c)·(1 + U(c)) — the number procurement actually
+    * orders. Bottom-up LEVEL DP: [[forestLevels]] assigns depths, then
+    * ~depth rounds of (child→parent aggregate + left join on the level
+    * slice) compute every node in O(V) total work — the engine-
+    * avoids/oracle-pays split vs the full root×path enumeration. At
+    * 100 TB the per-round shuffle is one level's parent-keyed
+    * aggregate; depth stays logarithmic in any real catalog. Returns
+    * (id, n_desc, units).
+    */
+  def bomRollup(s: SparkSession, nodes0: DataFrame,
+      maxLevels: Int = 64): DataFrame = {
+    val nodes = nodes0.select(col("id").cast("long"),
+        col("parent").cast("long"), col("qty").cast("long"))
+      .transform(Checkpoints.cut)
+    val nl = nodes.join(forestLevels(s, nodes, maxLevels), "id")
+      .transform(Checkpoints.cut)
+    val maxL = nl.agg(max("lvl")).head().getInt(0)
+    var computed = nl.filter(col("lvl") === maxL)
+      .select(col("id"), lit(0L).as("n_desc"), lit(0L).as("units"))
+    var acc = computed
+    for (d <- maxL - 1 to 0 by -1) {
+      // children of level-d nodes sit EXACTLY at level d+1 (the forest
+      // property), so aggregating the previous round's slice is complete
+      val agg = computed.join(nl.select("id", "parent", "qty"), "id")
+        .groupBy(col("parent").as("pid"))
+        .agg(sum(lit(1L) + col("n_desc")).as("kn"),
+          sum(col("qty") * (lit(1L) + col("units"))).as("ku"))
+      computed = nl.filter(col("lvl") === d).select("id")
+        .join(agg, col("id") === col("pid"), "left")
+        .select(col("id"), coalesce(col("kn"), lit(0L)).as("n_desc"),
+          coalesce(col("ku"), lit(0L)).as("units"))
+        .transform(Checkpoints.cut)
+      acc = acc.unionAll(computed)
+    }
+    acc
+  }
+
+  /** G41's DAG critical path over a GENERIC (id, parent, cost)
+    * hierarchy: crit(p) = cost(p) + max over children crit(c) — the
+    * longest-cost chain a scheduler cannot compress. Same bounded
+    * level DP as [[bomRollup]] with max in place of the multiplicative
+    * sum (the scheduling dual of the BOM rollup). Returns (id, crit).
+    */
+  def criticalPathRollup(s: SparkSession, nodes0: DataFrame,
+      maxLevels: Int = 64): DataFrame = {
+    val nodes = nodes0.select(col("id").cast("long"),
+        col("parent").cast("long"), col("cost").cast("long"))
+      .transform(Checkpoints.cut)
+    val nl = nodes.join(forestLevels(s, nodes, maxLevels), "id")
+      .transform(Checkpoints.cut)
+    val maxL = nl.agg(max("lvl")).head().getInt(0)
+    var computed = nl.filter(col("lvl") === maxL)
+      .select(col("id"), col("cost").as("crit"))
+    var acc = computed
+    for (d <- maxL - 1 to 0 by -1) {
+      val best = computed.join(nl.select("id", "parent"), "id")
+        .groupBy(col("parent").as("pid"))
+        .agg(max("crit").as("mc"))
+      computed = nl.filter(col("lvl") === d)
+        .join(best, col("id") === col("pid"), "left")
+        .select(col("id"),
+          (col("cost") + coalesce(col("mc"), lit(0L))).as("crit"))
+        .transform(Checkpoints.cut)
+      acc = acc.unionAll(computed)
+    }
+    acc
+  }
+
+  /** G42's temporal co-occurrence motif over GENERIC
+    * (key, actor, t, rid) observations: unordered pairs of DISTINCT
+    * actors touching the same key within `deltaUs`, each observation
+    * pair counted exactly once (canonical order: later timestamp,
+    * rid tie-break), kept at n >= minCount — the time-respecting wedge
+    * (a → key ← b, |t_a − t_b| ≤ δ) a temporal engine counts to find
+    * coordinated actors. Pair generation goes through the BANDED range
+    * join (one (key, time-band) shuffle, candidates only within one δ
+    * band) — never the per-key quadratic self join the oracle pays.
+    * Returns (s1, s2, n_coship).
+    */
+  def temporalCooccurrence(keyed: DataFrame, deltaUs: Long,
+      minCount: Long): DataFrame = {
+    val a = keyed.select(col("key"), col("actor").as("s_a"),
+      col("t").as("ta"), col("rid").as("rid_a"))
+    val b = keyed.select(col("key"), col("actor").as("s_b"),
+      col("t").as("tb"), col("rid").as("rid_b"))
+    RangeJoin.banded(a, b, "key", "ta", "tb", lowerUs = -1L,
+        upperUs = deltaUs)
+      .filter(col("s_a") =!= col("s_b"))
+      // banded gives tb >= ta; on equal stamps the row id orders the
+      // pair so each unordered observation pair counts exactly once
+      .filter(graft.Det.epochUs(col("tb")) > graft.Det.epochUs(col("ta"))
+        || col("rid_b") > col("rid_a"))
+      .select(least(col("s_a"), col("s_b")).as("s1"),
+        greatest(col("s_a"), col("s_b")).as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_coship"))
+      .filter(col("n_coship") >= minCount)
+  }
+
   /** G17 — MULTI-source BFS in one traversal: exact min-depths from every
     * seed simultaneously, state keyed on (seed, id). The primitive behind
     * closeness/harmonic centrality sampling — k seeds cost ONE pass of

@@ -546,6 +546,24 @@ object GraphQueries {
       acc.orderBy("id")
     }),
 
+    // G39b — the BOM rollup from pure SQL (r17 graph-door tail) over
+    // the GENERIC (id, parent, qty) hierarchy surface: the heap-derived
+    // tree arrives as a TABLE() subquery, the bom_rollup TVF assigns
+    // levels by the top-down forest walk (no heap-id trick available to
+    // a generic hierarchy) and runs the same bottom-up level DP; held
+    // to g39's oracle verbatim.
+    "g39b_bom_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Tables.load(s, dir, "part").createOrReplaceTempView("graft_g39b_part")
+      s.sql("""SELECT id, n_desc, units
+        |FROM bom_rollup(TABLE(SELECT CAST(p_partkey AS BIGINT) AS id,
+        |       CASE WHEN p_partkey >= 2
+        |            THEN CAST(p_partkey AS BIGINT) div 2 ELSE -1 END
+        |         AS parent,
+        |       p_partkey % 3 + 1 AS qty FROM graft_g39b_part), 64)
+        |ORDER BY id""".stripMargin)
+    }),
+
     // G41 — DAG CRITICAL PATH (assembly makespan): over g39's implicit
     // BOM tree (children of id = {2id, 2id+1} within the part set),
     // each part's critical path = its own build cost (id%7+1) plus the
@@ -577,6 +595,20 @@ object GraphQueries {
         acc = acc.unionAll(computed)
       }
       acc.orderBy("id")
+    }),
+
+    // G41b — the critical path from pure SQL (r17 graph-door tail),
+    // the generic (id, parent, cost) surface; held to g41's oracle.
+    "g41b_critical_path_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Tables.load(s, dir, "part").createOrReplaceTempView("graft_g41b_part")
+      s.sql("""SELECT id, crit
+        |FROM critical_path(TABLE(SELECT CAST(p_partkey AS BIGINT) AS id,
+        |       CASE WHEN p_partkey >= 2
+        |            THEN CAST(p_partkey AS BIGINT) div 2 ELSE -1 END
+        |         AS parent,
+        |       p_partkey % 7 + 1 AS cost FROM graft_g41b_part), 64)
+        |ORDER BY id""".stripMargin)
     }),
 
     // G08 — PageRank on G_supply, 10 fixed iterations, via the
@@ -826,6 +858,16 @@ object GraphQueries {
     "g24_diameter_lb" -> ((s, dir) =>
       Graphs.doubleSweepEcc(s, Graphs.copartEdges(s, dir)
         .transform(graft.ops.Checkpoints.cut), maxDepth = 12)),
+
+    // G24b — the double sweep from pure SQL (r17 graph-door tail):
+    // same traversals, held to g24's oracle verbatim.
+    "g24b_ecc_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir).createOrReplaceTempView("graft_g24b_edges")
+      s.sql("""SELECT seed, peak, ecc_lb
+        |FROM double_sweep_ecc('graft_g24b_edges', 'src', 'dst', 12)"""
+        .stripMargin)
+    }),
 
     // G26 — modularity of the g13 label-propagation partition on the
     // co-part graph: per community (n_vertices, e_in, deg_sum) plus the
@@ -1131,6 +1173,22 @@ object GraphQueries {
         .groupBy("s1", "s2").agg(count(lit(1)).as("n_coship"))
         .filter(col("n_coship") >= 3)
         .orderBy("s1", "s2")
+    }),
+
+    // G42b — the temporal wedge counter from pure SQL (r17 graph-door
+    // tail): generic (key, actor, ts, rid) observation surface, the
+    // same banded-range-join plan; held to g42's oracle verbatim.
+    "g42b_coship_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Tables.load(s, dir, "lineitem")
+        .createOrReplaceTempView("graft_g42b_li")
+      s.sql("""SELECT s1, s2, n_coship
+        |FROM temporal_cooccurrence(TABLE(SELECT l_partkey, l_suppkey,
+        |       l_shipdate, l_orderkey * 10 + l_linenumber AS rid
+        |       FROM graft_g42b_li),
+        |     'l_partkey', 'l_suppkey', 'l_shipdate', 'rid',
+        |     604800000000, 3)
+        |ORDER BY s1, s2""".stripMargin)
     }),
 
     // G40d — Louvain over a USER-SUPPLIED edge-weight column (NEW r14):
@@ -2570,5 +2628,9 @@ object GraphQueries {
     "g07b_triangles_sql" -> oraclesBase("g07_triangles"),
     "g14b_kcore_sql" -> oraclesBase("g14_kcore"),
     "g22b_ktruss_sql" -> oraclesBase("g22_ktruss"),
-    "g32b_katz_sql" -> oraclesBase("g32_katz"))
+    "g32b_katz_sql" -> oraclesBase("g32_katz"),
+    "g24b_ecc_sql" -> oraclesBase("g24_diameter_lb"),
+    "g39b_bom_sql" -> oraclesBase("g39_bom_explosion"),
+    "g41b_critical_path_sql" -> oraclesBase("g41_critical_path"),
+    "g42b_coship_sql" -> oraclesBase("g42_temporal_coship"))
 }

@@ -1515,6 +1515,38 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(r2 != r1)
   }
 
+  test("generic BOM/critical-path rollups: non-heap ids, null-parent " +
+      "roots, exact semiring values; a cycle throws instead of " +
+      "dropping nodes") {
+    import spark.implicits._
+    // forest with IRREGULAR ids (no heap-level trick available):
+    // 10 -> {20, 30}, 20 -> {40}; roots carry NULL parents
+    val nodes = Seq(
+      (10L, Option.empty[Long], 2L, 5L),
+      (20L, Option(10L), 3L, 2L),
+      (30L, Option(10L), 2L, 7L),
+      (40L, Option(20L), 4L, 1L))
+      .toDF("id", "parent", "qty", "cost")
+    val bom = Graphs.bomRollup(spark, nodes.select("id", "parent", "qty"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // units(20) = qty(40)*(1+0) = 4;
+    // units(10) = qty(20)*(1+4) + qty(30)*(1+0) = 15 + 2 = 17
+    assert(bom == Map(10L -> ((3L, 17L)), 20L -> ((1L, 4L)),
+      30L -> ((0L, 0L)), 40L -> ((0L, 0L))))
+    val crit = Graphs.criticalPathRollup(spark,
+        nodes.select("id", "parent", "cost"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // crit(20) = 2+1 = 3; crit(10) = 5 + max(3, 7) = 12
+    assert(crit == Map(10L -> 12L, 20L -> 3L, 30L -> 7L, 40L -> 1L))
+    // a cycle has no roots to level from — loud failure, not a silent
+    // partial result
+    val cyc = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("id", "parent", "qty")
+    intercept[IllegalStateException] {
+      Graphs.bomRollup(spark, cyc)
+    }
+  }
+
   test("TVF memo: re-written files under an UNCHANGED path are a miss " +
       "(file-listing signature in the key) — the in-place overwrite " +
       "serves a fresh fix point, not the stale converged plan") {
