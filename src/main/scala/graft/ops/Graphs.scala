@@ -2255,6 +2255,52 @@ object Graphs {
     labels.groupBy("id").agg(min(col("arr_us")).as("arrival_us"))
   }
 
+  /** G49 — minimal RESTLESS WALK DEPTH per reached node: the hop-count
+    * twin of [[restlessEarliestArrival]] (same label DP, same
+    * cross-depth dedup — a label's children are discovered at its FIRST
+    * depth, which is minimal, so stamping each (node, arrival) label
+    * with its discovery hop and taking min over a node's labels IS the
+    * minimal δ-restless walk length). Seeds carry depth 1 (they are
+    * one-edge entry labels, the g45/g46 convention). The temporal
+    * analog of the g17/g19/g31 BFS dist — closeness/harmonic reads are
+    * one aggregate away. Returns (id, dist).
+    */
+  def restlessMinDepths(s: SparkSession, edges: DataFrame,
+      seeds: DataFrame, deltaUs: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("dep_us").cast("long"), col("arr_us").cast("long"))
+      .transform(Checkpoints.cut)
+    var labels = seeds.select(col("id").cast("long"),
+        col("arr_us").cast("long")).distinct()
+      .withColumn("dist", lit(1))
+      .transform(Checkpoints.cut)
+    var frontier = labels
+    var hop = 1
+    var rows = frontier.count()
+    while (hop < maxHops && rows > 0) {
+      hop += 1
+      val probe = if (rows <= FrontierBroadcastRows) broadcast(frontier)
+        else frontier
+      val expanded = probe
+        .select(col("id").as("f_id"), col("arr_us").as("f_arr"))
+        .join(e, col("f_id") === col("src"))
+        .filter(col("dep_us") >= col("f_arr") &&
+          col("dep_us") <= col("f_arr") + deltaUs)
+        .select(col("dst").as("id"), col("arr_us"))
+        .distinct()
+        .withColumn("dist", lit(hop))
+      frontier = expanded
+        .join(labels.select("id", "arr_us"), Seq("id", "arr_us"),
+          "left_anti")
+        .transform(Checkpoints.cut)
+      rows = frontier.count()
+      if (rows > 0)
+        labels = labels.unionAll(frontier).transform(Checkpoints.cut)
+    }
+    labels.groupBy("id").agg(min(col("dist")).as("dist"))
+  }
+
   /** G46 — restless WALK COUNTING: how many distinct δ-restless temporal
     * walks of ≤ maxHops edges from the seed labels END at each node —
     * the temporal analog of G20's σ path-count primitive (exposure/flow

@@ -994,6 +994,25 @@ object GraphQueries {
         |ORDER BY p_partkey""".stripMargin)
     }),
 
+    // G49 — TEMPORAL closeness + harmonic on the restless substrate
+    // (r17 — the temporal centrality triple completes: betweenness g48,
+    // closeness/harmonic here): the g19/g31-shape aggregate over the
+    // minimal restless walk DEPTH per reached part (restlessMinDepths —
+    // the g45 label DP stamped with discovery hops; seeds are depth-1
+    // entry labels, the collective seed set is the super-source exactly
+    // as g45 treats it). Exact integers: total_depth = Σ min-depth,
+    // harmonic_x12 = Σ (12 div d) (lcm(1..4) = 12, depth bounded at 4 —
+    // the g31 exact-scaling discipline). Hash-matched against the walk
+    // replay's min-depth aggregation.
+    "g49_temporal_closeness" -> ((s, dir) => {
+      val edges = tcopartEdges(s, dir)
+      Graphs.restlessMinDepths(s, edges, tcopartSeeds(edges),
+          deltaUs = RestlessDeltaUs, maxHops = 4)
+        .agg(count(lit(1)).as("n_reached"),
+          sum("dist").cast("long").as("total_depth"),
+          sum(expr("12 div dist")).cast("long").as("harmonic_x12"))
+    }),
+
     // G46 — restless WALK COUNTING (r15): the temporal σ primitive —
     // how many distinct ≤4-edge bounded-layover relay chains from the
     // seed edges END at each part (exposure/flow accounting). Exact
@@ -1584,6 +1603,28 @@ object GraphQueries {
         |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L})
         |SELECT id AS p_partkey, min(arr) AS arrival_us FROM walk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // g49: the g45 walk replay's min-depth aggregation — min(dd) per
+    // reached id, then the one-row closeness/harmonic read.
+    "g49_temporal_closeness" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+        |      epoch_us(CAST(a.l_shipdate AS TIMESTAMP)) AS dep,
+        |      epoch_us(CAST(b.l_shipdate AS TIMESTAMP)) AS arr
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE b.l_shipdate > a.l_shipdate),
+        |seeds AS (SELECT dst, arr FROM e
+        |          ORDER BY dep, src, dst, arr LIMIT 10),
+        |walk(id, arr, dd) AS (
+        |  SELECT dst, arr, 1 FROM seeds
+        |  UNION
+        |  SELECT e.dst, e.arr, walk.dd + 1 FROM walk JOIN e ON e.src = walk.id
+        |  WHERE walk.dd < 4 AND e.dep >= walk.arr
+        |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L}),
+        |md AS (SELECT id, min(dd) AS d FROM walk GROUP BY 1)
+        |SELECT count(*) AS n_reached, CAST(sum(d) AS BIGINT) AS total_depth,
+        |  CAST(sum(12 // d) AS BIGINT) AS harmonic_x12 FROM md""".stripMargin,
 
     // G46 replay: the same restless walk space ENUMERATED (UNION ALL —
     // every walk is one row; the engine's per-depth count DP must agree
