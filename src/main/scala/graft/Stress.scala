@@ -327,6 +327,30 @@ object Stress {
         none, slice(1), seeds, delta, maxHops = 4)._1
     }
 
+    // ---- r17: index RETRACTION at scale — build the LSH index over
+    // the ×factor near-dup corpus, DELETE a hash-seventh of the docs
+    // (tombstone append + additive-signature retraction: O(batch), no
+    // index rewrite), and read the tombstone-filtered candidates; then
+    // the vacuum — the O(table) compaction paid once on a schedule —
+    // followed by the same read over the physically-compacted tables.
+    results("l02e_lsh_delete_read") = timed {
+      graft.functions.VecFunctions.ensureRegistered(spark)
+      Seq("_bands", "_sigs", "_meta", "_tombstones").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS stress_lshdel$t")
+        graft.ops.Bucketing.dropStaleLocation(spark, "stress_lshdel" + t)
+      }
+      graft.ops.SimIndex.writeLshIndex(docs, "stress_lshdel",
+        numHashes = 32, bands = 16, buckets = 8)
+      graft.ops.SimIndex.deleteFromLshIndex(
+        docs.filter(col("doc_id") % 7 === 3), "stress_lshdel")
+      graft.ops.SimIndex.lshCandidatesFromIndex(spark, "stress_lshdel")
+    }
+
+    results("l02e_vacuum_read") = timed {
+      graft.ops.SimIndex.vacuumIndex(spark, "stress_lshdel")
+      graft.ops.SimIndex.lshCandidatesFromIndex(spark, "stress_lshdel")
+    }
+
     results("l02b_lsh_near_dedup") = timed {
       graft.functions.VecFunctions.ensureRegistered(spark)
       val sh = Text.shingles(docs, 3).cache()

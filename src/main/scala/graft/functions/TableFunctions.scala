@@ -1185,6 +1185,39 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** cosine_pairs_ivf(table, id_col, emb_col, threshold_pct,
+    * n_centroids, nprobe) — the IVF-bucketed SCALE path for embedding
+    * near-dup from pure SQL (the l03d kernel: seeded-kmeans coarse
+    * buckets, bucket-local equi join, exact cosine filter — never the
+    * quadratic all-pairs join). Reported pairs are exact (precision
+    * 1.0 by construction); recall is the approximate part (bucket
+    * misses), like the Scala sibling. Memoized: the kmeans fit runs at
+    * analysis time. Returns (a_id, b_id, cos_sim) raw double.
+    */
+  private def cosinePairsIvfPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "cosine_pairs_ivf"
+    require(exprs.length == 6,
+      s"$fn takes 6 arguments (table, id_col, emb_col, threshold_pct, " +
+        s"n_centroids, nprobe), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val (idCol, embCol) = (str(exprs(1), 2, fn), str(exprs(2), 3, fn))
+    val vecs = df.select(df(idCol).as("vec_id"), df(embCol).as("embedding"))
+    val pct = long(exprs(3), 4, fn)
+    val nCentroids = long(exprs(4), 5, fn)
+    val nprobe = long(exprs(5), 6, fn)
+    require(pct >= 0 && pct <= 100, s"$fn: threshold_pct must be in [0, 100]")
+    require(nCentroids >= 1 && nCentroids <= 100000,
+      s"$fn: n_centroids must be in [1, 100000]")
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"$fn: nprobe must be in [1, n_centroids]")
+    memo(fn, Seq(df), Seq(idCol, embCol, pct, nCentroids, nprobe)) {
+      graft.functions.VecFunctions.ensureRegistered(SparkSession.active)
+      graft.ops.Similarity.ivfThresholdPairs(vecs, pct / 100.0,
+          nCentroids.toInt, nprobe.toInt)
+        .queryExecution.logical
+    }
+  }
+
   /** decontaminate(train, bench, id_col, text_col, shingle_len) — drop
     * every train row sharing ANY character n-shingle with the benchmark
     * corpus (the l10 doc-level decontamination): returns the CLEAN
@@ -1260,6 +1293,14 @@ object TableFunctions {
         "over an embedding column via the blocked kernel (no all-pairs " +
         "join). Returns (a_id, b_id, cos_sim). Lazy plan.",
       cosineTopkPlan _),
+    reg("cosine_pairs_ivf",
+      "_FUNC_(table, id_col, emb_col, threshold_pct, n_centroids, " +
+        "nprobe) - IVF-bucketed embedding near-dup pairs above " +
+        "threshold_pct/100 (seeded kmeans buckets, bucket-local join, " +
+        "exact cosine filter); precision 1.0, recall approximate. " +
+        "Returns (a_id, b_id, cos_sim) raw double. Kmeans fit runs at " +
+        "analysis time; memoized per session.",
+      cosinePairsIvfPlan _),
     reg("decontaminate",
       "_FUNC_(train, bench, id_col, text_col, shingle_len) - drop " +
         "every train row sharing any character n-shingle with the " +

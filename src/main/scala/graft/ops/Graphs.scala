@@ -356,6 +356,10 @@ object Graphs {
       maxLevels: Int): DataFrame = {
     val ids = nodes.select("id").distinct().transform(Checkpoints.cut)
     val total = ids.count()
+    // duplicate ids would double-count the assigned tally below and
+    // could MASK an unreachable node — reject up front, loudly
+    require(nodes.count() == total,
+      "hierarchy has duplicate node ids — one row per id required")
     var frontier = nodes
       .join(ids.select(col("id").as("parent")), Seq("parent"), "left_anti")
       .select(col("id"), lit(0).as("lvl"))

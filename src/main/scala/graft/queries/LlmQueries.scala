@@ -1268,6 +1268,20 @@ object LlmQueries {
         |ORDER BY cos_sim DESC, a_id, b_id""".stripMargin)
     }),
 
+    // L03f (r17) — the IVF-bucketed SCALE path for embedding near-dup
+    // behind the SQL door (the l02f theme on the vector side): the l03d
+    // kernel through the cosine_pairs_ivf TVF, same parameters, so the
+    // output is row-for-row IDENTICAL (TextOpsSpec gates it).
+    // Engine-only (seeded kmeans), rows-checked like l03b/l03d.
+    "l03f_ivf_neardup_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      vecs(s, dir).createOrReplaceTempView("graft_l03f_vecs")
+      s.sql("""SELECT a_id, b_id, round(cos_sim, 4) AS cos_sim
+        |FROM cosine_pairs_ivf('graft_l03f_vecs', 'vec_id', 'embedding',
+        |                      40, 8, 2)
+        |ORDER BY a_id, b_id""".stripMargin)
+    }),
+
     "l10c_decontaminate_sql" -> ((s, dir) => {
       graft.functions.TableFunctions.ensureRegistered(s)
       val d = docs(s, dir)

@@ -559,6 +559,7 @@ class TextOpsSpec extends SparkSpecBase {
     Seq("l02d_near_dedup_sql" -> "l02_near_dedup",
         "l02f_lsh_sql" -> "l02b_lsh_near_dedup",
         "l03e_cosine_topk_sql" -> "l03_cosine_topk",
+        "l03f_ivf_neardup_sql" -> "l03d_ivf_neardup",
         "l10c_decontaminate_sql" -> "l10_decontaminate")
       .foreach { case (twin, sibling) =>
         val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
