@@ -73,12 +73,15 @@ object Bench {
       if (!aqeOn) 0
       else {
         val qe = df.queryExecution
-        // finalize the adaptive plan WITHOUT collecting: run the job but
-        // drop every partition on the executors (an executeCollect here
-        // would pull the full result set into the driver — an OOM hazard
-        // for large-result queries under SPARK_GRAFT_AQE=true)
-        qe.executedPlan.execute()
-          .foreachPartition((_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+        // finalize the adaptive plan WITHOUT collecting: toRdd.count()
+        // runs the full job on the executors and returns one long (an
+        // executeCollect here would pull the full result set into the
+        // driver — an OOM hazard under SPARK_GRAFT_AQE=true). The
+        // previous executedPlan.execute()+foreachPartition recipe
+        // skipped the result stage under Spark 4.1 AQE (see
+        // Stress.timed) — harmless here (the counter only needs the
+        // finalized plan) but corrected for uniformity.
+        qe.toRdd.count()
         val finalPlan = qe.executedPlan match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             a.executedPlan

@@ -109,8 +109,18 @@ object Stress {
       val t0 = System.nanoTime()
       val df = mk
       val qe = df.queryExecution
-      qe.executedPlan.execute().foreachPartition(
-        (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+      // toRdd.count(): a REAL consuming action over the unpruned final
+      // plan. The previous recipe — executedPlan.execute() +
+      // foreachPartition — silently processed ZERO result-stage
+      // partitions under Spark 4.1's AQE (measured r17: the l02b
+      // pipeline's result-stage-fused candidate join reported 35 s
+      // while its true wall is minutes; plan metrics showed 0 rows
+      // through every result-stage node). Shuffle- and broadcast-stage
+      // work still materialized, so entries whose cost lives in
+      // exchanges were measured; result-stage-resident work was not.
+      // Numbers recorded before r17 for such entries UNDER-measure —
+      // BASELINE.md's r17 section carries the corrected matrix.
+      qe.toRdd.count()
       val finalPlan = qe.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan
