@@ -304,8 +304,10 @@ object SimIndex {
     val newIds = antiTombstones(spark, prefix, ids, "doc_id")
       .transform(Checkpoints.cut) // read 3×: signature, append, and by
                                   // the tombstone probe it invalidates
+    // distinct() on the row images: a CDC batch that repeats the same
+    // delete row (at-least-once upstream) must retract once, not twice
     val (dn, dsig) = signature(
-      delDocs.join(newIds, Seq("doc_id"), "left_semi"))
+      delDocs.distinct().join(newIds, Seq("doc_id"), "left_semi"))
     if (dn > 0) {
       appendTombstones(spark, prefix, newIds)
       retractSignature(spark, prefix, dn, dsig)
@@ -615,7 +617,7 @@ object SimIndex {
     reattachAll(spark, prefix)
     require(spark.catalog.tableExists(s"${prefix}_meta"),
       s"no IVF index at '$prefix' to delete from")
-    val del = indexableVecs(delVecs)
+    val del = indexableVecs(delVecs).distinct() // once per row image
     val ids = del.select("vec_id").distinct()
       .join(spark.table(s"${prefix}_vectors").select("vec_id"),
         Seq("vec_id"), "left_semi")
@@ -873,7 +875,7 @@ object SimIndex {
     reattachAll(spark, prefix)
     require(spark.catalog.tableExists(s"${prefix}_meta"),
       s"no IVF-PQ index at '$prefix' to delete from")
-    val del = indexableVecs(delVecs)
+    val del = indexableVecs(delVecs).distinct() // once per row image
     val ids = del.select("vec_id").distinct()
       .join(spark.table(s"${prefix}_pq_codes").select("vec_id"),
         Seq("vec_id"), "left_semi")
@@ -1025,7 +1027,10 @@ object SimIndex {
     val newIds = antiTombstones(spark, prefix,
         delBench.select("doc_id").distinct(), "doc_id")
       .transform(Checkpoints.cut)
-    val newDel = delBench.join(newIds, Seq("doc_id"), "left_semi")
+    // distinct() on the row images: a repeated delete row would double
+    // BOTH the negative count deltas and the signature retraction
+    val newDel = delBench.distinct()
+      .join(newIds, Seq("doc_id"), "left_semi")
       .transform(Checkpoints.cut) // shingled AND signed below
     val (dn, dsig) = signature(newDel)
     if (dn > 0) {

@@ -459,7 +459,9 @@ class SimIndexSpec extends SparkSpecBase {
     val surviving = docs.filter(col("doc_id") % 7 =!= 3)
     SimIndex.writeLshIndex(docs, "lshdel", numHashes = 32, bands = 16,
       buckets = 4)
-    SimIndex.deleteFromLshIndex(deleted, "lshdel")
+    // the delete batch REPEATS every row (at-least-once CDC upstream):
+    // the retraction must fire once per row image, not per occurrence
+    SimIndex.deleteFromLshIndex(deleted.unionAll(deleted), "lshdel")
     // signature: retracted to exactly the surviving corpus
     assert(SimIndex.isFresh(spark, "lshdel", surviving))
     assert(!SimIndex.isFresh(spark, "lshdel", docs))
