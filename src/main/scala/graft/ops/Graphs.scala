@@ -407,7 +407,10 @@ object Graphs {
       .transform(Checkpoints.cut)
     val nl = nodes.join(forestLevels(s, nodes, maxLevels), "id")
       .transform(Checkpoints.cut)
-    val maxL = nl.agg(max("lvl")).head().getInt(0)
+    // max over ZERO rows is null (an empty hierarchy is reachable from
+    // the TVFs via a filtered TABLE() subquery) — coalesce to -1, which
+    // makes the seed slice and the loop both trivially empty
+    val maxL = nl.agg(coalesce(max("lvl"), lit(-1))).head().getInt(0)
     var computed = nl.filter(col("lvl") === maxL)
       .select(col("id"), lit(0L).as("n_desc"), lit(0L).as("units"))
     var acc = computed
@@ -441,7 +444,8 @@ object Graphs {
       .transform(Checkpoints.cut)
     val nl = nodes.join(forestLevels(s, nodes, maxLevels), "id")
       .transform(Checkpoints.cut)
-    val maxL = nl.agg(max("lvl")).head().getInt(0)
+    // empty-hierarchy guard: see bomRollup
+    val maxL = nl.agg(coalesce(max("lvl"), lit(-1))).head().getInt(0)
     var computed = nl.filter(col("lvl") === maxL)
       .select(col("id"), col("cost").as("crit"))
     var acc = computed

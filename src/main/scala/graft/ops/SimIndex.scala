@@ -37,6 +37,16 @@ import org.apache.spark.sql.functions._
   * drift rebuild all agree; the vector readers filter `verifyAgainst`
   * the same way, so callers pass the raw base). Text indexes (LSH /
   * shingle) sign the full ingested row set.
+  *
+  * ROW-UNIQUENESS CONTRACT (r18): an indexed base carries ONE row per
+  * id — enforced loudly at write/append time ([[requireUniqueIds]]).
+  * The delete lifecycle depends on it: a tombstone hides EVERY copy of
+  * an id while the additive signature retracts per ROW IMAGE (deletes
+  * `distinct()` their batch so an at-least-once CDC replay retracts
+  * once) — a base with duplicate identical rows could therefore never
+  * retract exactly, leaving the index permanently stale against its
+  * survivors. One O(batch) aggregate per write/append buys the exact
+  * retraction guarantee.
   */
 object SimIndex {
 
@@ -94,8 +104,27 @@ object SimIndex {
 
   /** Every table an index build may persist under `prefix`. */
   private val Suffixes = Seq("_meta", "_bands", "_sigs", "_centroids",
-    "_vectors", "_pq_codebooks", "_pq_codes", "_shingles", "_applied",
-    "_res_hist", "_tombstones")
+    "_vectors", "_pq_codebooks", "_pq_codes", "_shingles", "_docs",
+    "_applied", "_res_hist", "_tombstones")
+
+  /** Loud guard for the row-uniqueness contract (see the object doc):
+    * duplicate ids in an indexed base would make delete retraction
+    * inexact forever (the tombstone hides all copies; the signature
+    * subtracts one) and, for the LSH flavor, silently disagree with the
+    * signature table (minHashSignatures collapses ids). One aggregate
+    * over the batch, paid on the rare write/append path.
+    */
+  private def requireUniqueIds(df: DataFrame, idCol: String,
+      prefix: String): Unit = {
+    val dup = df.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).head(1)
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"index '$prefix': base has duplicate $idCol=${dup.head.get(0)} — " +
+        "indexed bases must carry ONE row per id (the delete-retraction " +
+        "contract: a tombstone hides every copy while the additive " +
+        "signature subtracts per row, so duplicates can never retract " +
+        "exactly)")
+  }
 
   /** The live tombstone set at `prefix` — None when no delete ever
     * happened (the common case: readers then skip the anti-join and the
@@ -108,15 +137,28 @@ object SimIndex {
     if (spark.catalog.tableExists(t)) Some(spark.table(t)) else None
   }
 
+  /** Tombstone sets START delete-batch-sized but ACCUMULATE across every
+    * delete until a vacuum folds them in — on a delete-heavy 100 TB index
+    * an unconditional broadcast would eventually exceed driver/executor
+    * memory. Broadcast only while the set is provably small.
+    */
+  private val TombstoneBroadcastRows = 4L * 1000 * 1000 // ~32 MB of ids
+
   /** Drop tombstoned rows from `df` (by `idCol`); identity when no
-    * tombstones exist. The tombstone set is delete-batch-sized —
-    * broadcast it so the anti-join never reshuffles the index scan.
+    * tombstones exist. Small tombstone sets (the common, recently-
+    * vacuumed case) broadcast so the anti-join never reshuffles the
+    * index scan; past [[TombstoneBroadcastRows]] the anti-join falls
+    * back to a shuffled plan — slower, but it completes, and the real
+    * remedy (vacuumIndex) is an operator the pipeline already schedules.
+    * The count probe is one metadata-cheap job over the small table.
     */
   private def antiTombstones(spark: SparkSession, prefix: String,
       df: DataFrame, idCol: String): DataFrame =
     tombstones(spark, prefix).fold(df) { t =>
-      df.join(broadcast(t.select(col("id").as(idCol))), Seq(idCol),
-        "left_anti")
+      val ts = t.select(col("id").as(idCol))
+      val probe =
+        if (t.count() <= TombstoneBroadcastRows) broadcast(ts) else ts
+      df.join(probe, Seq(idCol), "left_anti")
     }
 
   /** Append newly-deleted ids to the tombstone table (created on first
@@ -222,6 +264,7 @@ object SimIndex {
     */
   def writeLshIndex(docs: DataFrame, prefix: String, numHashes: Int,
       bands: Int, buckets: Int, shingleLen: Int = 3): Unit = {
+    requireUniqueIds(docs, "doc_id", prefix)
     val sh = Text.shingles(docs, shingleLen)
     val sigs = Similarity.minHashSignatures(sh, numHashes).cache()
     Bucketing.writeBucketedMulti(
@@ -264,6 +307,7 @@ object SimIndex {
     def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
     val (numHashes, bands, shingleLen, buckets) =
       (p("num_hashes"), p("bands"), p("shingle_len"), p("buckets"))
+    requireUniqueIds(newDocs, "doc_id", prefix)
     requireNotTombstoned(spark, prefix,
       newDocs.select("doc_id").distinct(), "doc_id")
     val sh = Text.shingles(newDocs, shingleLen)
@@ -318,18 +362,19 @@ object SimIndex {
     * on the bucketing key — plans with zero Exchange (asserted in
     * SimIndexSpec), so candidate generation is bucket-local reads.
     * `verifyAgainst` (the live base table) opts into the staleness check.
+    * `maxBucket > 0` bounds hot-bucket expansion with the star topology
+    * (see [[Similarity.bandedCandidates]]) — the connectivity-consumer
+    * mode; 0 keeps the exact pair-set contract.
     */
   def lshCandidatesFromIndex(spark: SparkSession, prefix: String,
-      verifyAgainst: Option[DataFrame] = None): DataFrame = {
+      verifyAgainst: Option[DataFrame] = None,
+      maxBucket: Int = 0): DataFrame = {
     reattachAll(spark, prefix)
     verifyAgainst.foreach(requireFresh(spark, prefix, _))
-    val b1 = antiTombstones(spark, prefix,
-      spark.table(s"${prefix}_bands"), "doc_id")
-    val b2 = b1.select(col("doc_id").as("b_id"), col("band"),
-      col("band_sig"))
-    b1.join(b2, Seq("band", "band_sig"))
-      .filter(col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+    Similarity.bandedCandidates(
+      antiTombstones(spark, prefix, spark.table(s"${prefix}_bands"),
+        "doc_id"),
+      maxBucket)
   }
 
   /** Build + persist the IVF index: seeded k-means centroids (tiny) plus
@@ -349,6 +394,7 @@ object SimIndex {
     // a full-input signature would silently drop the historical
     // zero-norm rows' contribution and read stale forever).
     val indexable = indexableVecs(vecs)
+    requireUniqueIds(indexable, "vec_id", prefix)
     val centroids = Similarity.kmeansCentroids(indexable, k, maxIter = 10)
     Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_centroids")
     centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
@@ -590,6 +636,7 @@ object SimIndex {
     // rule); the additive signature bump below covers the SAME
     // indexable subset (the r17 contract)
     val indexable = indexableVecs(newVecs)
+    requireUniqueIds(indexable, "vec_id", prefix)
     requireNotTombstoned(spark, prefix,
       indexable.select("vec_id").distinct(), "vec_id")
     val assigned = Similarity.ivfAssign(indexable,
@@ -683,6 +730,7 @@ object SimIndex {
       .select(col("vec_id"),
         transform(Similarity.l2normalize(col("embedding")),
           _.cast("float")).as("embedding"))
+    requireUniqueIds(unit, "vec_id", prefix)
     val centroids = Similarity.kmeansCentroids(unit, nCentroids, maxIter = 10)
     Bucketing.dropStaleLocation(vecs.sparkSession, s"${prefix}_centroids")
     centroids.write.mode("overwrite").saveAsTable(s"${prefix}_centroids")
@@ -747,6 +795,7 @@ object SimIndex {
     def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
     val centroids = spark.table(s"${prefix}_centroids")
     val indexable = indexableVecs(newVecs)
+    requireUniqueIds(indexable, "vec_id", prefix)
     requireNotTombstoned(spark, prefix,
       indexable.select("vec_id").distinct(), "vec_id")
     val unit = indexable
@@ -888,14 +937,44 @@ object SimIndex {
     }
   }
 
+  /** Rewrite `table` as the shadow-then-swap the compactBucketed
+    * discipline uses: the survivors land in `<table>__vacuum` FIRST and
+    * only a durable shadow replaces the original (drop + rename). The
+    * original table stays intact until then — an executor loss or
+    * failure mid-rewrite leaves the index untouched instead of
+    * destroying it (the r17 drop-then-rewrite ordering lost the table
+    * permanently on exactly that failure, since Checkpoints.cut's
+    * localCheckpoint fallback is not fault-tolerant).
+    */
+  private def rewriteSwap(spark: SparkSession, table: String,
+      survivors: DataFrame, keys: Seq[String], buckets: Int,
+      sorts: Seq[String]): Unit = {
+    val tmp = table + "__vacuum"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    Bucketing.dropStaleLocation(spark, tmp)
+    // pin the bucketed scan on for the rewrite (compactBucketed's
+    // land-mine: plan-eliminated repartition + un-bucketed scan would
+    // fragment the shadow into one file per (task, bucket))
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try Bucketing.writeBucketedMulti(survivors, tmp, keys, buckets, sorts)
+    finally spark.conf.set(key, prev)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    Bucketing.dropStaleLocation(spark, table) // reattached drops keep files
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   /** Scheduled compaction for a deleted-from index: physically drop the
     * tombstoned rows from every per-id data table under `prefix` (each
-    * rewritten with its descriptor's own bucket/sort spec, the
-    * [[Bucketing.compactBucketed]] discipline), then clear the tombstone
-    * set. The signature is untouched — it was retracted at delete time.
-    * O(table) paid once on an operator's schedule, amortized over every
-    * read that no longer carries the anti-join; the portable-parquet
-    * stand-in for a transactional format's DELETE + OPTIMIZE.
+    * rewritten with its descriptor's own bucket/sort spec via a shadow
+    * table + rename swap — the [[Bucketing.compactBucketed]] discipline,
+    * so a failure mid-vacuum leaves every original table intact), then
+    * clear the tombstone set. The signature is untouched — it was
+    * retracted at delete time. O(table) paid once on an operator's
+    * schedule, amortized over every read that no longer carries the
+    * anti-join; the portable-parquet stand-in for a transactional
+    * format's DELETE + OPTIMIZE.
     */
   def vacuumIndex(spark: SparkSession, prefix: String): Unit = {
     reattachAll(spark, prefix)
@@ -904,6 +983,7 @@ object SimIndex {
       case Some(t) =>
         val ts = broadcast(t.select(col("id")))
         Seq("_bands" -> "doc_id", "_sigs" -> "doc_id",
+          "_docs" -> "doc_id",
           "_vectors" -> "vec_id", "_pq_codes" -> "vec_id").foreach {
           case (sfx, idCol) =>
             val table = prefix + sfx
@@ -917,11 +997,7 @@ object SimIndex {
                 .map(_.toInt).getOrElse(1)
               val survivors = spark.table(table)
                 .join(ts.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-                .transform(Checkpoints.cut) // materialize, then overwrite
-              spark.sql(s"DROP TABLE IF EXISTS `$table`")
-              Bucketing.dropStaleLocation(spark, table)
-              Bucketing.writeBucketedMulti(survivors, table, keys, buckets,
-                sorts)
+              rewriteSwap(spark, table, survivors, keys, buckets, sorts)
             }
         }
         // the shingle table has no per-id rows — its compaction folds
@@ -931,14 +1007,20 @@ object SimIndex {
           val buckets = Bucketing.readDescriptor(spark, shTable)
             .flatMap(p => Option(p.getProperty("buckets"))).map(_.toInt)
             .getOrElse(1)
-          val net = spark.table(shTable)
+          val nets = spark.table(shTable)
             .groupBy("sh_hash").agg(sum("nd").as("nd"))
-            .filter(col("nd") > 0)
-            .transform(Checkpoints.cut)
-          spark.sql(s"DROP TABLE IF EXISTS `$shTable`")
-          Bucketing.dropStaleLocation(spark, shTable)
-          Bucketing.writeBucketedMulti(net, shTable, Seq("sh_hash"),
-            buckets, Seq("sh_hash"))
+          // a hash netting NEGATIVE is evidence of a bad delete (a
+          // drifted row image slipped past the membership guard, or a
+          // pre-guard index) — fail LOUDLY instead of compacting the
+          // corruption into a permanently-wrong live set
+          val bad = nets.filter(col("nd") < 0).limit(1).head(1)
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"shingle index '$prefix' has a hash with NEGATIVE net count " +
+              s"(${bad.head.getLong(0)}) — a delete retracted shingles its " +
+              "docs never contributed (drifted row image?); rebuild with " +
+              "writeShingleIndex from the surviving corpus")
+          rewriteSwap(spark, shTable, nets.filter(col("nd") > 0),
+            Seq("sh_hash"), buckets, Seq("sh_hash"))
         }
         dropTombstones(spark, prefix)
     }
@@ -969,9 +1051,22 @@ object SimIndex {
     */
   def writeShingleIndex(bench: DataFrame, prefix: String, n: Int,
       buckets: Int): Unit = {
+    val spark = bench.sparkSession
+    requireUniqueIds(bench, "doc_id", prefix)
     Bucketing.writeBucketed(shingleCounts(bench, n), s"${prefix}_shingles",
       "sh_hash", buckets, sortCols = Seq("sh_hash"))
-    dropTombstones(bench.sparkSession, prefix)
+    // doc-membership sidecar (r18 — the ADVICE membership guard): the
+    // shingle table itself has no per-doc rows, so without this a delete
+    // of a never-ingested doc (or a drifted row image) would append
+    // bogus negative deltas that can push SHARED shingles out of the
+    // net-positive set — silently weakening decontamination for readers
+    // that skip verifyAgainst. One (doc_id) row per ingested doc gives
+    // deletes the same semi-join membership probe the other flavors get.
+    spark.sql(s"DROP TABLE IF EXISTS `${prefix}_docs`")
+    Bucketing.dropStaleLocation(spark, s"${prefix}_docs")
+    Bucketing.writeBucketed(bench.select("doc_id"), s"${prefix}_docs",
+      "doc_id", buckets, sortCols = Seq("doc_id"))
+    dropTombstones(spark, prefix)
     writeSignature(prefix, bench, params = Seq(
       "shingle_len" -> n.toLong, "buckets" -> buckets.toLong))
   }
@@ -994,11 +1089,16 @@ object SimIndex {
         "with writeShingleIndex to enable appends")
     val meta = metaDf.head()
     def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
+    requireUniqueIds(newBench, "doc_id", prefix)
     requireNotTombstoned(spark, prefix,
       newBench.select("doc_id").distinct(), "doc_id")
     Bucketing.appendBucketedMulti(shingleCounts(newBench, p("shingle_len")),
       s"${prefix}_shingles", Seq("sh_hash"), p("buckets"),
       sortCols = Seq("sh_hash"))
+    if (spark.catalog.tableExists(s"${prefix}_docs"))
+      Bucketing.appendBucketedMulti(newBench.select("doc_id"),
+        s"${prefix}_docs", Seq("doc_id"), p("buckets"),
+        sortCols = Seq("doc_id"))
     val (dn, dsig) = signature(newBench)
     writeSignature(prefix, newBench, params = Seq(
       "shingle_len" -> p("shingle_len").toLong,
@@ -1020,12 +1120,20 @@ object SimIndex {
     reattachAll(spark, prefix)
     require(spark.catalog.tableExists(s"${prefix}_meta"),
       s"no shingle index at '$prefix' to delete from")
+    require(spark.catalog.tableExists(s"${prefix}_docs"),
+      s"index '$prefix' predates the doc-membership sidecar — rebuild " +
+        "once with writeShingleIndex to enable membership-checked deletes")
     val metaDf = spark.table(s"${prefix}_meta")
     val schema = metaDf.columns
     val meta = metaDf.head()
     def p(name: String): Int = meta.getLong(schema.indexOf(name)).toInt
+    // membership guard (the other flavors' semi-join, via the _docs
+    // sidecar): a never-ingested doc_id must retract NOTHING — its
+    // negative deltas would otherwise corrupt shared shingles' net counts
     val newIds = antiTombstones(spark, prefix,
-        delBench.select("doc_id").distinct(), "doc_id")
+        delBench.select("doc_id").distinct()
+          .join(spark.table(s"${prefix}_docs"), Seq("doc_id"), "left_semi"),
+        "doc_id")
       .transform(Checkpoints.cut)
     // distinct() on the row images: a repeated delete row would double
     // BOTH the negative count deltas and the signature retraction

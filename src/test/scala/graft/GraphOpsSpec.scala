@@ -1545,6 +1545,12 @@ class GraphOpsSpec extends SparkSpecBase {
     intercept[IllegalStateException] {
       Graphs.bomRollup(spark, cyc)
     }
+    // an EMPTY hierarchy (reachable from the TVFs via a filtered TABLE()
+    // subquery) returns an empty frame — not an NPE from max-over-zero
+    assert(Graphs.bomRollup(spark,
+      nodes.select("id", "parent", "qty").limit(0)).count() == 0)
+    assert(Graphs.criticalPathRollup(spark,
+      nodes.select("id", "parent", "cost").limit(0)).count() == 0)
   }
 
   test("TVF memo: re-written files under an UNCHANGED path are a miss " +

@@ -621,6 +621,14 @@ class SimIndexSpec extends SparkSpecBase {
     SimIndex.deleteFromShingleIndex(delBench, "shdel")
     assert(SimIndex.isFresh(spark, "shdel", survBench))
     assert(survivors() == got)
+    // membership guard (r18): deleting a NEVER-ingested doc retracts
+    // nothing — without the _docs sidecar its negative deltas would push
+    // shared shingles' net counts down, silently weakening
+    // decontamination for readers that skip verifyAgainst
+    SimIndex.deleteFromShingleIndex(
+      delBench.withColumn("doc_id", col("doc_id") + 5000000L), "shdel")
+    assert(SimIndex.isFresh(spark, "shdel", survBench))
+    assert(survivors() == got)
     // vacuum: one net-positive row per live hash, same result
     SimIndex.vacuumIndex(spark, "shdel")
     val compacted = spark.table("shdel_shingles")
@@ -629,6 +637,42 @@ class SimIndexSpec extends SparkSpecBase {
     assert(compacted.filter(col("nd") <= 0).count() == 0)
     assert(survivors() == got)
     assert(SimIndex.isFresh(spark, "shdel", survBench))
+  }
+
+  test("row-uniqueness contract: duplicate ids are rejected loudly at " +
+      "write and append time (the delete-retraction precondition)") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("uniq_bands", "uniq_sigs", "uniq_meta", "uniq_shingles",
+      "uniq_docs", "uniqv_centroids", "uniqv_vectors", "uniqv_meta",
+      "uniqv_res_hist")
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    val duped = docs.unionAll(docs.limit(5))
+    intercept[IllegalArgumentException] {
+      SimIndex.writeLshIndex(duped, "uniq", numHashes = 32, bands = 16,
+        buckets = 2)
+    }
+    intercept[IllegalArgumentException] {
+      SimIndex.writeShingleIndex(duped, "uniq", n = 20, buckets = 2)
+    }
+    // append path: a clean build, then a duplicated batch is rejected
+    SimIndex.writeLshIndex(docs, "uniq", numHashes = 32, bands = 16,
+      buckets = 2)
+    val more = docs.limit(5).withColumn("doc_id", col("doc_id") + 100000L)
+    intercept[IllegalArgumentException] {
+      SimIndex.appendLshIndex(more.unionAll(more), "uniq")
+    }
+    // vector flavor: duplicate vec_ids rejected at write
+    val dim = 8
+    val rows = (0 until 10).map { i =>
+      val v = Array.fill(dim)(0f); v(i % dim) = 1f; (i.toLong, v.toSeq)
+    }
+    val vdf = (rows ++ rows.take(2)).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    intercept[IllegalArgumentException] {
+      SimIndex.writeIvfIndex(vdf, "uniqv", k = 2, nprobe = 1, buckets = 2)
+    }
   }
 
   test("IVF-PQ delete: search drops deleted ids, signature retracts to " +
