@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (SURVEY.md §6): the ten headline queries from
-  * BASELINE.md (B1–B10) plus the engine's two signature operators —
+  * BASELINE.md (B1–B10) plus the engine's signature operators —
   * b11 the custom as-of merge over bucketed inputs (the exchange-free
-  * path) and b12 IVF-PQ probe over the persisted index — timed on
-  * `SPARK_GRAFT_SF_DIR` and emitted as ONE JSON line.
+  * path), b12 IVF-PQ probe over the persisted index, and b13 the
+  * bounded-bucket LSH near-dup pipeline (r18 — the dedup path's
+  * regression canary) — timed on `SPARK_GRAFT_SF_DIR` and emitted as
+  * ONE JSON line.
   *
   * Methodology (vs the DuckDB baseline's best-of-3 warm-cache runs):
   * one shared SparkSession, shuffle partitions sized to cores (32, not
@@ -133,7 +135,26 @@ object Bench {
           Seq("click_id"), "click_id")),
       "b12_ivfpq_search" -> (() =>
         SimIndex.ivfPqSearch(spark, pqPrefix, pqQuery, nprobe = 2,
-          topk = 10)))
+          topk = 10)),
+      // b13 (r18): the BOUNDED-BUCKET banded-LSH near-dup pipeline —
+      // candidates capped at 64/bucket (hub star for hot buckets) →
+      // estimate prune → exact re-check. The dedup path's per-round
+      // regression canary: before this, LSH cost trends only surfaced
+      // in stress runs. shingles/signatures are cache()d — plan-equal
+      // across the 4 runs, so the timed medians measure the candidate +
+      // re-check stages (the stages the cap bounds), not re-shingling.
+      "b13_lsh_capped_neardup" -> (() => {
+        graft.functions.VecFunctions.ensureRegistered(spark)
+        val d = Tables.load(spark, sfDir, "documents")
+        val sh = graft.ops.Text.shingles(d, 3).cache()
+        val sigs = graft.ops.Similarity.minHashSignatures(sh, 32).cache()
+        val cands = graft.ops.Similarity.lshCandidates(sigs, 32, 16,
+          maxBucket = 64)
+        val likely = graft.ops.Similarity.estimateJaccard(cands, sigs)
+          .filter(col("est_jaccard") >= 0.42).select("a_id", "b_id")
+        graft.ops.Similarity.exactJaccardCompact(sh, likely)
+          .filter(col("jaccard") > 0.6)
+      }))
 
     def once(mk: () => org.apache.spark.sql.DataFrame): (Double, Int) = {
       val t0 = System.nanoTime()

@@ -343,7 +343,18 @@ object Stress {
     // index rewrite), and read the tombstone-filtered candidates; then
     // the vacuum — the O(table) compaction paid once on a schedule —
     // followed by the same read over the physically-compacted tables.
-    results("l02e_lsh_delete_read") = timed {
+    //
+    // r18: the reads run in the BOUNDED-BUCKET mode (maxBucket = 64 —
+    // hot (band, band_sig) buckets emit an O(d) hub star instead of
+    // d²/2 pairs; Similarity.bandedCandidates). The r17 corrected
+    // harness proved the UNCAPPED reads quadratic-by-design on this
+    // corpus (every copy family a true near-dup cluster): they OOM'd
+    // the 8 GiB single JVM at ×10. The capped read is the connectivity-
+    // consumer operating mode (l15/l33/l52 clusters), the shape a 100 TB
+    // dedup pipeline actually runs; keys carry a _capped suffix so the
+    // BASELINE.md trend series doesn't silently change semantics.
+    val LshCap = 64
+    results("l02e_lsh_delete_read_capped") = timed {
       graft.functions.VecFunctions.ensureRegistered(spark)
       Seq("_bands", "_sigs", "_meta", "_tombstones").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS stress_lshdel$t")
@@ -353,24 +364,31 @@ object Stress {
         numHashes = 32, bands = 16, buckets = 8)
       graft.ops.SimIndex.deleteFromLshIndex(
         docs.filter(col("doc_id") % 7 === 3), "stress_lshdel")
-      graft.ops.SimIndex.lshCandidatesFromIndex(spark, "stress_lshdel")
+      graft.ops.SimIndex.lshCandidatesFromIndex(spark, "stress_lshdel",
+        maxBucket = LshCap)
     }
 
-    results("l02e_vacuum_read") = timed {
+    results("l02e_vacuum_read_capped") = timed {
       graft.ops.SimIndex.vacuumIndex(spark, "stress_lshdel")
-      graft.ops.SimIndex.lshCandidatesFromIndex(spark, "stress_lshdel")
+      graft.ops.SimIndex.lshCandidatesFromIndex(spark, "stress_lshdel",
+        maxBucket = LshCap)
     }
 
-    results("l02b_lsh_near_dedup") = timed {
+    // the full capped pipeline DOWN TO CLUSTER LABELS (the l02g/l15
+    // consumer): candidates -> estimate prune -> exact re-check -> CC
+    results("l02g_lsh_capped_clusters") = timed {
       graft.functions.VecFunctions.ensureRegistered(spark)
       val sh = Text.shingles(docs, 3).cache()
       val sigs = Similarity.minHashSignatures(sh, numHashes = 32).cache()
-      val cands = Similarity.lshCandidates(sigs, numHashes = 32, bands = 16)
+      val cands = Similarity.lshCandidates(sigs, numHashes = 32,
+        bands = 16, maxBucket = LshCap)
       val likely = Similarity.estimateJaccard(cands, sigs)
         .filter(col("est_jaccard") >= 0.42)
         .select("a_id", "b_id")
-      Similarity.exactJaccardCompact(sh, likely)
+      val pairs = Similarity.exactJaccardCompact(sh, likely)
         .filter(col("jaccard") > 0.6)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Graphs.connectedComponentsDF(spark, pairs)
     }
 
     def f(v: Double): String = f"$v%.1f"

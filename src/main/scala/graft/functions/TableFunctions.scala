@@ -688,6 +688,89 @@ object TableFunctions {
     }
   }
 
+  /** restless_min_depths(edges, seeds, delta_us, max_hops) — G49's
+    * PRIMITIVE from pure SQL: the minimal δ-restless walk DEPTH per
+    * reached node (the g45 label DP stamped with discovery hops).
+    * Returns (id, dist); the closeness/harmonic READS are one SQL
+    * aggregate on top (g49b does exactly that), so the TVF stays
+    * composable instead of baking one aggregate's scaling constant in.
+    * Same conventions as [[restlessArrivalPlan]].
+    */
+  private def restlessMinDepthsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "restless_min_depths"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (edges, seeds, delta_us, max_hops), got ${exprs.length}")
+    val edgesRaw = tableArg(exprs(0), 1, fn)
+    val seedsRaw = tableArg(exprs(1), 2, fn)
+    requireCols(edgesRaw, Seq("src", "dst", "dep_us", "arr_us"), fn, "edges")
+    requireCols(seedsRaw, Seq("id", "arr_us"), fn, "seeds")
+    val delta = long(exprs(2), 3, fn)
+    val maxHops = long(exprs(3), 4, fn)
+    require(delta >= 0, s"$fn: delta_us must be >= 0")
+    require(maxHops >= 1 && maxHops <= 10000,
+      s"$fn: max_hops must be in [1, 10000]")
+    memo(fn, Seq(edgesRaw, seedsRaw), Seq(delta, maxHops)) {
+      // lineage cuts inside the thunk, like restless_arrival: the
+      // min-depth DP carries a label-union chain, and splicing it over
+      // shared-lineage edge/seed views trips the optimizer's
+      // Union.rewriteConstraints (AttributeMap key-not-found)
+      graft.ops.Graphs.restlessMinDepths(SparkSession.active,
+          graft.ops.Checkpoints.cut(edgesRaw),
+          graft.ops.Checkpoints.cut(seedsRaw), delta, maxHops.toInt)
+        .queryExecution.logical
+    }
+  }
+
+  /** modularity(pairs, x_col, y_col, labels) — G26's partition-quality
+    * read from pure SQL: per community (n_vertices, e_in, deg_sum) plus
+    * the exact integer numerator q_num = 4·m·e_in − deg_sum² (Newman's
+    * Q = Σ q_num / 4m²). `pairs` is the canonical UNDIRECTED pair list
+    * (one row per edge, caller-named columns); `labels` must expose
+    * (id, label) — compose with the label_propagation / louvain TVFs
+    * via a TABLE(SELECT ...) argument or a view.
+    */
+  private def modularityPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "modularity"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (pairs, x_col, y_col, labels), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val pairs = df.select(df(str(exprs(1), 2, fn)).as("x"),
+      df(str(exprs(2), 3, fn)).as("y"))
+    val labels = tableArg(exprs(3), 4, fn)
+    requireCols(labels, Seq("id", "label"), fn, "labels")
+    memo(fn, Seq(pairs, labels), Nil) {
+      graft.ops.Graphs.modularity(pairs,
+          labels.select("id", "label"))
+        .queryExecution.logical
+    }
+  }
+
+  /** hash_walks(table, src_col, dst_col, seeds, steps, walks_per_seed)
+    * — G16's deterministic hash-walk sampling from pure SQL: node2vec-
+    * shape walk data whose "randomness" is a seeded md5 pick, so
+    * reruns reproduce the exact walks. `seeds` must expose (id).
+    * Returns (walk_id, seed, step, vertex).
+    */
+  private def hashWalksPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "hash_walks"
+    require(exprs.length == 6,
+      s"$fn takes 6 arguments (table, src_col, dst_col, seeds, steps, " +
+        s"walks_per_seed), got ${exprs.length}")
+    val edges = edgeFrame(exprs(0), exprs(1), exprs(2), fn)
+    val seeds = tableArg(exprs(3), 4, fn)
+    requireCols(seeds, Seq("id"), fn, "seeds")
+    val steps = long(exprs(4), 5, fn)
+    val walksPerSeed = long(exprs(5), 6, fn)
+    require(steps >= 1 && steps <= 10000, s"$fn: steps must be in [1, 10000]")
+    require(walksPerSeed >= 1 && walksPerSeed <= 1000000,
+      s"$fn: walks_per_seed must be in [1, 1e6]")
+    memo(fn, Seq(edges, seeds), Seq(steps, walksPerSeed)) {
+      graft.ops.Graphs.hashWalks(SparkSession.active, edges,
+          seeds.select("id"), steps.toInt, walksPerSeed.toInt)
+        .queryExecution.logical
+    }
+  }
+
   /** temporal_arrival(edges, seed_id, seed_ts_us, max_hops) — G10's
     * earliest-arrival traversal (the engine's signature temporal-path
     * read) from pure SQL: from the vertex `seed_id` already present at
@@ -1108,16 +1191,22 @@ object TableFunctions {
   }
 
   /** near_dup_pairs_lsh(table, id_col, text_col, shingle_len,
-    * threshold_pct, num_hashes, bands, est_pct) — the 100 TB near-dup
-    * path from pure SQL (the l02b pipeline verbatim): MinHash
-    * signatures → banded LSH candidates (equi join on (band, band_sig),
-    * never all-pairs) → signature-estimate prune (est_jaccard >=
-    * est_pct/100 — pick ~2σ below the target for the estimator width
-    * sqrt(t(1-t)/num_hashes)) → exact shingle re-check. Every reported
-    * pair is exactly verified; only RECALL is approximate (band
-    * collisions), which is why the exact [[nearDupPairsPlan]] twin
-    * keeps the oracle and this one keeps the scale. Returns
-    * (a_id, b_id, jaccard) raw double like `near_dup_pairs`.
+    * threshold_pct, num_hashes, bands, est_pct [, max_bucket]) — the
+    * 100 TB near-dup path from pure SQL (the l02b pipeline verbatim):
+    * MinHash signatures → banded LSH candidates (equi join on
+    * (band, band_sig), never all-pairs) → signature-estimate prune
+    * (est_jaccard >= est_pct/100 — pick ~2σ below the target for the
+    * estimator width sqrt(t(1-t)/num_hashes)) → exact shingle re-check.
+    * Every reported pair is exactly verified; only RECALL is
+    * approximate (band collisions), which is why the exact
+    * [[nearDupPairsPlan]] twin keeps the oracle and this one keeps the
+    * scale. Returns (a_id, b_id, jaccard) raw double like
+    * `near_dup_pairs`.
+    *
+    * Optional `max_bucket` (r18): > 0 caps hot (band, band_sig) buckets
+    * with the star topology ([[graft.ops.Similarity.bandedCandidates]])
+    * — bounded candidate volume for CONNECTIVITY consumers (cluster
+    * labels, keep-lists); omit (or 0) for the exact pair-set contract.
     *
     * Memoized like the iterative graph TVFs: the exact re-check's
     * adaptive set-broadcast sizing materializes the compact shingle
@@ -1126,9 +1215,10 @@ object TableFunctions {
     */
   private def nearDupPairsLshPlan(exprs: Seq[Expression]): LogicalPlan = {
     val fn = "near_dup_pairs_lsh"
-    require(exprs.length == 8,
+    require(exprs.length == 8 || exprs.length == 9,
       s"$fn takes 8 arguments (table, id_col, text_col, shingle_len, " +
-        s"threshold_pct, num_hashes, bands, est_pct), got ${exprs.length}")
+        s"threshold_pct, num_hashes, bands, est_pct) plus an optional " +
+        s"max_bucket, got ${exprs.length}")
     val df = tableArg(exprs(0), 1, fn)
     val docs = df.select(df(str(exprs(1), 2, fn)).as("doc_id"),
       df(str(exprs(2), 3, fn)).as("text"))
@@ -1147,8 +1237,11 @@ object TableFunctions {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"$fn: bands must divide num_hashes")
     require(estPct >= 0 && estPct <= 100, s"$fn: est_pct must be in [0, 100]")
+    val maxBucket = if (exprs.length == 9) long(exprs(8), 9, fn) else 0L
+    require(maxBucket >= 0 && maxBucket <= 100000000,
+      s"$fn: max_bucket must be in [0, 1e8] (0 = uncapped)")
     memo(fn, Seq(df), Seq(str(exprs(1), 2, fn), str(exprs(2), 3, fn),
-        n, pct, numHashes, bands, estPct)) {
+        n, pct, numHashes, bands, estPct, maxBucket)) {
       import org.apache.spark.sql.functions.col
       graft.functions.VecFunctions.ensureRegistered(SparkSession.active)
       // same reuse marks as l02b: shingles feed the signatures AND the
@@ -1157,7 +1250,7 @@ object TableFunctions {
       val sigs = graft.ops.Similarity.minHashSignatures(sh, numHashes.toInt)
         .cache()
       val cands = graft.ops.Similarity.lshCandidates(sigs, numHashes.toInt,
-        bands.toInt)
+        bands.toInt, maxBucket.toInt)
       val likely = graft.ops.Similarity.estimateJaccard(cands, sigs)
         .filter(col("est_jaccard") >= estPct / 100.0)
         .select("a_id", "b_id")
@@ -1281,12 +1374,16 @@ object TableFunctions {
       nearDupPairsPlan _),
     reg("near_dup_pairs_lsh",
       "_FUNC_(table, id_col, text_col, shingle_len, threshold_pct, " +
-        "num_hashes, bands, est_pct) - MinHash-LSH near-dup pairs, the " +
-        "scale path: banded candidates -> signature-estimate prune " +
-        "(>= est_pct/100) -> exact shingle re-check; reported pairs are " +
-        "exact, recall is approximate. Returns (a_id, b_id, jaccard) " +
-        "raw double. Materializes the compact re-check sets at analysis " +
-        "time; memoized per session like the iterative graph TVFs.",
+        "num_hashes, bands, est_pct[, max_bucket]) - MinHash-LSH " +
+        "near-dup pairs, the scale path: banded candidates -> " +
+        "signature-estimate prune (>= est_pct/100) -> exact shingle " +
+        "re-check; reported pairs are exact, recall is approximate. " +
+        "max_bucket > 0 caps hot buckets with a hub star (bounded " +
+        "candidate volume, connectivity preserved - the cluster-consumer " +
+        "mode); 0/omitted = the exact pair-set contract. Returns " +
+        "(a_id, b_id, jaccard) raw double. Materializes the compact " +
+        "re-check sets at analysis time; memoized per session like the " +
+        "iterative graph TVFs.",
       nearDupPairsLshPlan _),
     reg("cosine_topk",
       "_FUNC_(table, id_col, emb_col, k) - exact top-k cosine pairs " +
@@ -1414,6 +1511,26 @@ object TableFunctions {
         "earliest arrival per reached node. Returns (id, arrival_us)." +
         EdgeConv + IterNote,
       restlessArrivalPlan _),
+    reg("restless_min_depths",
+      "_FUNC_(edges, seeds, delta_us, max_hops) - minimal delta-restless " +
+        "walk depth per reached node (the temporal closeness/harmonic " +
+        "primitive - aggregate on top). Returns (id, dist)." + EdgeConv +
+        IterNote,
+      restlessMinDepthsPlan _),
+    reg("modularity",
+      "_FUNC_(pairs, x_col, y_col, labels) - Newman modularity of a " +
+        "labeled partition over canonical undirected pairs: per " +
+        "community (n_vertices, e_in, deg_sum, q_num) with " +
+        "q_num = 4*m*e_in - deg_sum^2 (Q = sum(q_num)/4m^2, exact " +
+        "integers). labels must expose (id, label) - compose with " +
+        "label_propagation/louvain via TABLE(SELECT ...).",
+      modularityPlan _),
+    reg("hash_walks",
+      "_FUNC_(table, src_col, dst_col, seeds, steps, walks_per_seed) - " +
+        "deterministic hash-walk sampling (seeded md5 picks - reruns " +
+        "reproduce the exact walks; sink vertices stop early). seeds " +
+        "must expose (id). Returns (walk_id, seed, step, vertex).",
+      hashWalksPlan _),
     reg("label_propagation",
       "_FUNC_(table, src_col, dst_col, rounds) - synchronous LPA with " +
         "the deterministic (count desc, min label) tie-break. Returns " +

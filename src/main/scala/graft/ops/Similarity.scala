@@ -726,14 +726,84 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
 
-  /** LSH near-dup candidates: pairs sharing at least one band signature. */
-  def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val b1 = minHashBands(sigs, numHashes, bands)
-    val b2 = b1.select(col("doc_id").as("b_id"), col("band"),
+  /** LSH near-dup candidates: pairs sharing at least one band signature.
+    * `maxBucket` bounds hot-bucket expansion — see [[bandedCandidates]];
+    * 0 (the default) keeps the exact all-pairs-within-bucket contract.
+    */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int = 0): DataFrame =
+    bandedCandidates(minHashBands(sigs, numHashes, bands), maxBucket)
+
+  /** Candidate pairs from a (doc_id, band, band_sig) band table — THE
+    * shared kernel under [[lshCandidates]] and the persisted-index
+    * reader (SimIndex.lshCandidatesFromIndex).
+    *
+    * `maxBucket = 0` (default): all pairs within each (band, band_sig)
+    * bucket — the exact LSH candidate contract, but one hot bucket of d
+    * docs (a boilerplate family: identical license headers, templated
+    * pages) expands to d²/2 rows inside a SINGLE join-key partition
+    * before any downstream prune runs. At 100 TB that one skewed key is
+    * a scale-killer no executor count fixes (the r17 corrected stress
+    * run OOM'd exactly here).
+    *
+    * `maxBucket > 0` (the r18 bounded mode): buckets at or under the cap
+    * keep all-pairs; a HOT bucket emits a STAR instead — every member
+    * paired with the bucket's minimum doc_id — O(d) rows per bucket, so
+    * the worst bucket costs what an average one does. Within every
+    * bucket the candidate graph stays CONNECTED (the star's hub reaches
+    * all members), so over the CANDIDATE graph the components are
+    * IDENTICAL to uncapped (gated in TextOpsSpec); the pair SET is
+    * deliberately smaller — use the default for the pair-set contract
+    * (l02b/l02f), the cap for cluster pipelines.
+    *
+    * The honest post-FILTER contract (measured r18, not hand-waved):
+    * after a downstream exact-Jaccard edge filter, capped pairs are a
+    * SUBSET of uncapped pairs, so capped clusters are a REFINEMENT of
+    * uncapped clusters — a capped cluster can never merge docs uncapped
+    * kept apart (no false dedup merges, the dangerous direction), but a
+    * CHAINED component (A~B~C where A and C aren't direct near-dups —
+    * the organic-corpus shape, observed on the sf0.001 fixture) can
+    * split when the hub isn't a direct near-dup of every member. When a
+    * hot bucket IS a genuine near-dup clique — the boilerplate-family
+    * shape (identical license headers, templated pages) that actually
+    * CREATES hot buckets at 100 TB — every star edge survives the
+    * filter and the labels are exactly uncapped's. TextOpsSpec gates
+    * all three: candidate-component equality, post-filter refinement on
+    * the organic corpus, exact label equality on a synthetic clique
+    * family. For a keep-list consumer a split is conservative (an extra
+    * canonical survives); a merge would delete non-duplicates.
+    *
+    * Sizing runs as window aggregates over the join key — on the
+    * persisted index the band table is bucketed on (band, band_sig), so
+    * the window (like the join) is Exchange-free; the buffered window
+    * partition is O(d) rows, never O(d²).
+    */
+  private[graft] def bandedCandidates(bandTable: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val b2 = bandTable.select(col("doc_id").as("b_id"), col("band"),
       col("band_sig"))
-    b1.join(b2, Seq("band", "band_sig"))
-      .filter(col("doc_id") < col("b_id"))
-      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+    if (maxBucket <= 0) {
+      bandTable.join(b2, Seq("band", "band_sig"))
+        .filter(col("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("band", "band_sig")
+      val sized = bandTable
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__hub", min("doc_id").over(w))
+      val small = sized.filter(col("__n") <= maxBucket)
+        .select("doc_id", "band", "band_sig")
+      val allPairs = small
+        .join(small.select(col("doc_id").as("b_id"), col("band"),
+          col("band_sig")), Seq("band", "band_sig"))
+        .filter(col("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id"))
+      val star = sized
+        .filter(col("__n") > maxBucket && col("doc_id") =!= col("__hub"))
+        .select(col("__hub").as("a_id"), col("doc_id").as("b_id"))
+      allPairs.unionAll(star).distinct()
+    }
   }
 
   /** Exact n-gram Jaccard over all intersecting pairs, or (re-check pass)
