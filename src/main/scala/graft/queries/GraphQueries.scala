@@ -758,6 +758,19 @@ object GraphQueries {
         .orderBy("walk_id", "step")
     }),
 
+    // G16b (r18) — the same walks from pure SQL via the hash_walks TVF
+    // (seeds as a TABLE() subquery), held to g16's oracle verbatim.
+    "g16b_hash_walks_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.supplyEdges(s, dir).select("src", "dst")
+        .createOrReplaceTempView("graft_g16b_edges")
+      s.sql(s"""SELECT walk_id, seed, step, vertex
+        |FROM hash_walks('graft_g16b_edges', 'src', 'dst',
+        |  TABLE(SELECT id + ${Graphs.CUST} AS id FROM range(1, 6)),
+        |  3, 2)
+        |ORDER BY walk_id, step""".stripMargin)
+    }),
+
     // G09 — motif match customer->order->part with per-vertex predicates,
     // as a 2-edge join plan over the edge lists.
     "g09_motif" -> ((s, dir) => {
@@ -881,6 +894,26 @@ object GraphQueries {
         .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
       Graphs.modularity(pairs, Graphs.labelPropagationDF(s, edges, rounds = 3))
         .orderBy("community")
+    }),
+
+    // G26b (r18) — the same partition-quality read from pure SQL: the
+    // modularity TVF COMPOSED with the label_propagation TVF (labels
+    // arrive as a TABLE(SELECT ...) over the LPA door — the two-door
+    // composition a SQL-only community-detection session actually
+    // writes). Held to g26's oracle verbatim.
+    "g26b_modularity_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val pairs = Graphs.copartPairs(s, dir)
+        .transform(graft.ops.Checkpoints.cut)
+      pairs.createOrReplaceTempView("graft_g26b_pairs")
+      s.sql("""SELECT community, n_vertices, e_in, deg_sum, q_num
+        |FROM modularity('graft_g26b_pairs', 'x', 'y',
+        |  TABLE(SELECT id, label FROM label_propagation(
+        |    TABLE(SELECT x AS src, y AS dst FROM graft_g26b_pairs
+        |          UNION ALL
+        |          SELECT y AS src, x AS dst FROM graft_g26b_pairs),
+        |    'src', 'dst', 3)))
+        |ORDER BY community""".stripMargin)
     }),
 
     // G40 — one Louvain level on the co-part graph: 2 synchronous rounds
@@ -1011,6 +1044,24 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_reached"),
           sum("dist").cast("long").as("total_depth"),
           sum(expr("12 div dist")).cast("long").as("harmonic_x12"))
+    }),
+
+    // G49b (r18) — the same read from pure SQL: the restless_min_depths
+    // TVF exposes the g45-DP-with-depth-stamps PRIMITIVE (id, dist) and
+    // the closeness/harmonic aggregate runs as plain SQL on top (the
+    // TVF stays composable instead of baking the lcm(1..4)=12 scaling
+    // constant of ONE read into the operator). Held to g49's oracle
+    // verbatim.
+    "g49b_temporal_closeness_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      val edges = tcopartEdges(s, dir)
+      edges.createOrReplaceTempView("graft_g49b_edges")
+      tcopartSeeds(edges).createOrReplaceTempView("graft_g49b_seeds")
+      s.sql(s"""SELECT count(*) AS n_reached,
+        |  CAST(sum(dist) AS BIGINT) AS total_depth,
+        |  CAST(sum(12 div dist) AS BIGINT) AS harmonic_x12
+        |FROM restless_min_depths('graft_g49b_edges', 'graft_g49b_seeds',
+        |                         $RestlessDeltaUs, 4)""".stripMargin)
     }),
 
     // G46 — restless WALK COUNTING (r15): the temporal σ primitive —
@@ -2673,5 +2724,8 @@ object GraphQueries {
     "g24b_ecc_sql" -> oraclesBase("g24_diameter_lb"),
     "g39b_bom_sql" -> oraclesBase("g39_bom_explosion"),
     "g41b_critical_path_sql" -> oraclesBase("g41_critical_path"),
-    "g42b_coship_sql" -> oraclesBase("g42_temporal_coship"))
+    "g42b_coship_sql" -> oraclesBase("g42_temporal_coship"),
+    "g49b_temporal_closeness_sql" -> oraclesBase("g49_temporal_closeness"),
+    "g16b_hash_walks_sql" -> oraclesBase("g16_hash_walks"),
+    "g26b_modularity_sql" -> oraclesBase("g26_modularity"))
 }

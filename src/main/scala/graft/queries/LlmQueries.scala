@@ -101,6 +101,60 @@ object LlmQueries {
       .toDF("doc_id", "payload")
   }
 
+  /** L59 substrate: per-VIDEO pooled frame embeddings through the REAL
+    * demux + decode path (r18 — l58's demuxer composed with the l53
+    * embedding discipline). Each doc's video is four 8×2 RGB P6 frames
+    * concatenated into one payload; frame content derives from a
+    * CONTENT key (doc_id % 50 — ten videos share each base, so
+    * near-dup VIDEO pairs exist by construction) with the first 3
+    * channel values of FRAME 0 carrying per-doc md5 noise (noise on one
+    * frame only keeps every family pair safely above the 0.8 gate —
+    * the pooled noise positions stay ¾ base-shared). The
+    * pipeline is the one a video-corpus dedup runs: demux the byte
+    * stream (frame headers, not byte ranges), decode each frame's
+    * raster, SUM-POOL the centered pixels per position across frames
+    * (sum, not mean — cosine is scale-invariant and integer sums stay
+    * exactly replayable cross-engine), and emit the pooled vector as
+    * the video's embedding. Returns (vec_id, embedding: array<float>).
+    */
+  private def videoEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perFrame = 8 * 2 * 3 // 48 channel values per frame
+    val pix = docs(s, dir).select(col("doc_id"))
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .withColumn("p", explode(sequence(lit(0), lit(perFrame - 1))))
+      .withColumn("v", when(col("p") < 3 && col("k") === 0,
+          graft.Det.md5Long(concat(col("doc_id"), lit("#"), col("k"),
+            lit("_"), col("p"))) % 256)
+        .otherwise(graft.Det.md5Long(concat(col("doc_id") % 50, lit("f"),
+          col("k"), lit("_"), col("p"))) % 256)
+        .cast("int"))
+    val payloads = pix.groupBy("doc_id", "k")
+      .agg(sort_array(collect_list(struct(col("p"), col("v")))).as("ps"))
+      .as[(Long, Int, Seq[(Int, Int)])]
+      .map { case (id, k, ps) =>
+        (id, k, graft.ops.Media.encodePpm(8, 2, 255,
+          ps.map(_._2.toByte).toArray))
+      }
+      .toDF("doc_id", "k", "frame")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("k"), col("frame")))).as("fs"))
+      .as[(Long, Seq[(Int, Array[Byte])])]
+      .map { case (id, fs) => (id, fs.map(_._2).reduce(_ ++ _)) }
+      .toDF("doc_id", "payload")
+    val frames = graft.ops.Media.demuxPpmFrames(payloads, "payload")
+    graft.ops.Media.decodeImagePixels(frames, "frame_payload")
+      .select(col("doc_id"), posexplode(col("pixels")).as(Seq("p", "v")))
+      // sum-pool: Σ_k pixel(k, p) − 4·128 (centered) — exact integers
+      .groupBy("doc_id", "p")
+      .agg((sum(col("v").cast("long")) - lit(512L)).as("pv"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("p"), col("pv")))).as("ps"))
+      .select(col("doc_id").as("vec_id"),
+        transform(col("ps"), x => x.getField("pv").cast("float"))
+          .as("embedding"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
     * local fingerprinting scheme) shared by l44/l45: hash every word
     * 3-gram (40-bit md5 prefix — cross-engine replayable, [[graft.Det]]
@@ -1260,6 +1314,41 @@ object LlmQueries {
         |ORDER BY a_id, b_id""".stripMargin)
     }),
 
+    // L02g (r18) — the BOUNDED-BUCKET dedup-cluster path: the l02b
+    // pipeline with hot (band, band_sig) buckets capped at 64 docs —
+    // buckets over the cap emit a hub STAR (each member paired with the
+    // bucket's min doc_id, O(d) rows) instead of all d²/2 pairs
+    // (Similarity.bandedCandidates). This is the CONNECTIVITY-consumer
+    // operating mode: at 100 TB a boilerplate family (identical license
+    // headers, templated pages) lands thousands of docs in ONE
+    // (band, band_sig) join partition, and the uncapped expansion is
+    // quadratic inside a single key no executor count can split (the
+    // r17 ×10 stress OOM'd exactly there); the cluster consumers
+    // (l15/l33/l52) only need CONNECTIVITY, which the star preserves
+    // within every bucket. Output = cluster labels (CC over the
+    // exactly-verified capped pairs). The honest contract (measured,
+    // spec-pinned in TextOpsSpec): a REFINEMENT of the uncapped
+    // pipeline's labels — never a false merge; chained (non-clique)
+    // components may split, genuine boilerplate cliques label exactly
+    // equal. Engine-only for the driver (seeded MinHash), rows-checked
+    // like l02b.
+    "l02g_lsh_capped_clusters" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      val sh = Text.shingles(docs(s, dir), 3).cache()
+      val sigs = Similarity.minHashSignatures(sh, numHashes = 32).cache()
+      val cands = Similarity.lshCandidates(sigs, numHashes = 32,
+        bands = 16, maxBucket = 64)
+      val likely = Similarity.estimateJaccard(cands, sigs)
+        .filter(col("est_jaccard") >= 0.42)
+        .select("a_id", "b_id")
+      val pairs = Similarity.exactJaccardCompact(sh, likely)
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Graphs.connectedComponentsDF(s, pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "l03e_cosine_topk_sql" -> ((s, dir) => {
       graft.functions.TableFunctions.ensureRegistered(s)
       vecs(s, dir).createOrReplaceTempView("graft_l03e_vecs")
@@ -1319,6 +1408,37 @@ object LlmQueries {
           sum(col("v").cast("long")).as("sum_v"),
           sum(col("v").cast("long") * col("v")).as("sum_sq"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // L59 — VIDEO near-dup, exact pooled form (r18 — the read an actual
+    // video-corpus dedup needs, closing the "l58 demuxes and l53b
+    // dedups images but nothing answers which VIDEOS are near-dups"
+    // gap): the l58 demux composed with the l53 embedding + ANN
+    // kernels. Payload → frame demux → raster decode → per-position
+    // SUM-POOL across frames → pooled embedding → blocked
+    // threshold-cosine pairs. HASH-MATCHED: the oracle replays
+    // md5 grid → pooled integers → cosine, so the match certifies
+    // concat → demux → decode → pool → pair kernel end to end.
+    "l59_video_neardup" -> ((s, dir) => {
+      Similarity.thresholdCosinePairs(videoEmbeddings(s, dir),
+          threshold = 0.8)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // L59b — the IVF-bucketed scale path for l59 (the l53c discipline
+    // on pooled video embeddings): bucket-local equi join + exact
+    // cosine filter, never all-pairs. Engine-only (seeded kmeans);
+    // ToleranceSpec gates precision 1.0, recall vs l59, and the keyed
+    // ground truth (videos sharing doc_id % 50 are the true clusters).
+    "l59b_video_neardup_ivf" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      Similarity.ivfThresholdPairs(videoEmbeddings(s, dir),
+          threshold = 0.8, nCentroids = 8, nprobe = 2)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
     }),
 
     // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
@@ -1381,7 +1501,7 @@ object LlmQueries {
       val train = d.filter(col("doc_id") % 20 =!= 0)
       val prefix = "graft_shdel_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       if (!SimIndex.isUsable(s, prefix, survB, Seq("_shingles"))) {
-        Seq("_shingles", "_meta", "_tombstones").foreach { t =>
+        Seq("_shingles", "_docs", "_meta", "_tombstones").foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $prefix$t")
           Bucketing.dropStaleLocation(s, prefix + t)
         }
@@ -2906,6 +3026,32 @@ object LlmQueries {
         |  CAST(sum(v) AS BIGINT) AS sum_v,
         |  CAST(sum(v * v) AS BIGINT) AS sum_sq
         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // l59: the pooled-video replay — per-frame md5 grids summed per
+    // position (exact integers: 4 centered uint8 sums, |v| <= 512, dots
+    // < 48·512² < 2^24), then the l53b pairwise-cosine replay. A hash
+    // match certifies demux + decode + pool + pair kernel end to end.
+    "l59_video_neardup" -> {
+      val hNoise = graft.Det.duckMd5Long("doc_id || '#' || k || '_' || p")
+      val hBase = graft.Det.duckMd5Long("(doc_id % 50) || 'f' || k || '_' || p")
+      val dotAB = duckDot.format("a.e", "b.e")
+      val nA = duckNormSq.format("a.e")
+      val nB = duckNormSq.format("b.e")
+      s"""WITH px AS (SELECT doc_id, k, p,
+        |    CAST(CASE WHEN p < 3 AND k = 0 THEN ($hNoise) % 256
+        |         ELSE ($hBase) % 256 END AS BIGINT) AS v
+        |  FROM (SELECT doc_id, k, unnest(range(0, 48)) AS p
+        |        FROM (SELECT doc_id, unnest(range(0, 4)) AS k
+        |              FROM documents))),
+        |pool AS (SELECT doc_id, p, CAST(sum(v) - 512 AS BIGINT) AS pv
+        |  FROM px GROUP BY 1, 2),
+        |v AS (SELECT doc_id, list(pv ORDER BY p) AS e FROM pool GROUP BY 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
+        |FROM v a JOIN v b ON a.doc_id < b.doc_id
+        |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) > 0.8
+        |ORDER BY a_id, b_id""".stripMargin
     },
 
     "l51_audio_features" -> {

@@ -1451,6 +1451,19 @@ class GraphOpsSpec extends SparkSpecBase {
       }
   }
 
+  test("r18 graph TVF twins == Scala siblings row-for-row " +
+      "(restless_min_depths/g49b, hash_walks/g16b, modularity/g26b — " +
+      "g26b composes TWO doors: modularity over label_propagation)") {
+    Seq("g49b_temporal_closeness_sql" -> "g49_temporal_closeness",
+        "g16b_hash_walks_sql" -> "g16_hash_walks",
+        "g26b_modularity_sql" -> "g26_modularity")
+      .foreach { case (twin, sibling) =>
+        val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
+        val b = SparkEntry.queries(sibling)(spark, sfDir).collect().toSeq
+        assert(a.nonEmpty && a == b, s"$twin != $sibling")
+      }
+  }
+
   test("DESCRIBE FUNCTION renders the TVF contract: argument shapes, " +
       "column conventions, and the analysis-time cost note") {
     graft.functions.TableFunctions.ensureRegistered(spark)

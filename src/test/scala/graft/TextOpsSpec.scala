@@ -554,6 +554,111 @@ class TextOpsSpec extends SparkSpecBase {
     assert(multi.forall(m => "abab".contains(m._1) || "cd".contains(m._1)))
   }
 
+  test("bounded-bucket LSH candidates: hot buckets emit an O(d) hub " +
+      "star with identical candidate-graph components; capped clusters " +
+      "REFINE uncapped (never falsely merge) and EQUAL uncapped on a " +
+      "boilerplate clique family; TVF max_bucket wired") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    // ---- synthetic hot bucket: the provable part of the contract.
+    // One band table: bucket A holds 10 docs (hot under cap 4), bucket B
+    // holds 3 (small), doc 50 bridges A and B via a second band.
+    val bt = ((0L until 10L).map(d => (d, 0, 111L)) ++
+        Seq((50L, 0, 222L), (51L, 0, 222L), (52L, 0, 222L)) ++
+        Seq((5L, 1, 333L), (50L, 1, 333L)))
+      .toDF("doc_id", "band", "band_sig")
+    val uncapped = graft.ops.Similarity.bandedCandidates(bt, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.ops.Similarity.bandedCandidates(bt, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot bucket: 45 pairs uncapped -> 9 star pairs (hub = min id 0);
+    // small buckets keep all pairs; bridge edge survives
+    assert(uncapped.count(p => p._1 < 10 && p._2 < 10) == 45)
+    assert(capped.count(p => p._1 < 10 && p._2 < 10) == 9)
+    assert((0L until 10L).drop(1).forall(d => capped((0L, d))))
+    assert(capped((50L, 51L)) && capped((50L, 52L)) && capped((51L, 52L)))
+    assert(capped((5L, 50L)))
+    // candidate-graph components identical (the connectivity contract)
+    def comps(pairs: Set[(Long, Long)]): Set[Set[Long]] =
+      graft.ops.Graphs.connectedComponentsDF(spark,
+          pairs.toSeq.toDF("src", "dst"))
+        .collect().groupBy(_.getLong(1)).values
+        .map(_.map(_.getLong(0)).toSet).toSet
+    assert(comps(capped) == comps(uncapped))
+
+    // ---- the corpus gate (the honest post-filter contract, see
+    // Similarity.bandedCandidates): capped verified pairs ⊆ uncapped,
+    // so capped CLUSTER LABELS are a REFINEMENT of uncapped — never a
+    // false merge (the dangerous direction for a dedup consumer);
+    // chained components may split. Run at cap 8 so the organic
+    // fixture's buckets genuinely get capped.
+    def pipeline(d: org.apache.spark.sql.DataFrame, maxBucket: Int)
+        : (Set[(Long, Long)], Map[Long, Long]) = {
+      val sh = graft.ops.Text.shingles(d, 3).cache()
+      val sigs = graft.ops.Similarity.minHashSignatures(sh, 32).cache()
+      val cands = graft.ops.Similarity.lshCandidates(sigs, 32, 16, maxBucket)
+      val likely = graft.ops.Similarity.estimateJaccard(cands, sigs)
+        .filter(col("est_jaccard") >= 0.42).select("a_id", "b_id")
+      val pairs = graft.ops.Similarity.exactJaccardCompact(sh, likely)
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val labels = graft.ops.Graphs.connectedComponentsDF(spark, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, labels)
+    }
+    val d = Tables.load(spark, sfDir, "documents")
+    val (pc, lc) = pipeline(d, 8)
+    val (pu, lu) = pipeline(d, 0)
+    assert(pc.nonEmpty && pc.subsetOf(pu),
+      "capped verified pairs must be a subset of uncapped")
+    // refinement: every capped cluster sits inside ONE uncapped cluster
+    lc.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(lu).toSet.size == 1,
+        "a capped cluster spans two uncapped clusters (false merge)")
+    }
+    // and the registry entry is the capped pipeline at cap 64
+    assert(SparkEntry.queries("l02g_lsh_capped_clusters")(spark, sfDir)
+      .count() > 0)
+
+    // ---- clique-family gate: when a hot bucket IS a genuine near-dup
+    // clique (the boilerplate shape that creates hot buckets at scale),
+    // every star edge survives the exact re-check and the capped labels
+    // EQUAL uncapped's. 30 near-identical copies (one-token suffix)
+    // + 5 unrelated docs; cap 8 makes the family's buckets hot.
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark woods tonight while the moon " +
+      "rises slowly over the quiet hills beyond the silver river"
+    val clique = (0L until 30L).map(i => (i, s"$base copy$i")) ++
+      (100L until 105L).map(i =>
+        (i, s"completely unrelated document number $i with its own " +
+          s"words entirely distinct content ${i * 7} nothing shared " +
+          s"here at all ${i * 13} flamingo umbrella ${i * 31} xylophone"))
+    val cdocs = clique.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val (cpc, clcap) = pipeline(cdocs, 8)
+    val (cpu, cluncap) = pipeline(cdocs, 0)
+    assert(cpc.nonEmpty && clcap == cluncap,
+      "clique-family capped labels must equal uncapped exactly")
+    assert((0L until 30L).forall(i => clcap.get(i).contains(0L)),
+      "the boilerplate family must label as one cluster under the cap")
+
+    // ---- SQL door: the optional 9th arg reaches the kernel — capped
+    // pairs are a subset of uncapped, every reported pair still exactly
+    // verified over the threshold
+    graft.functions.TableFunctions.ensureRegistered(spark)
+    Tables.load(spark, sfDir, "documents")
+      .createOrReplaceTempView("graft_l02g_docs")
+    def tvf(arg: String) = spark.sql(
+      s"""SELECT a_id, b_id FROM near_dup_pairs_lsh('graft_l02g_docs',
+         |'doc_id', 'text', 3, 60, 32, 16, 42$arg)
+         |ORDER BY a_id, b_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tvfCapped = tvf(", 8")
+    val tvfFull = tvf("")
+    assert(tvfCapped.nonEmpty && tvfCapped.subsetOf(tvfFull))
+  }
+
   test("LLM SQL-door twins == Scala siblings row-for-row " +
       "(near_dup_pairs, cosine_topk, decontaminate)") {
     Seq("l02d_near_dedup_sql" -> "l02_near_dedup",

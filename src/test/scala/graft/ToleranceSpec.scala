@@ -534,6 +534,38 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("l59b IVF video near-dup: precision 1.0, recall vs exact l59, " +
+      "and the exact pooled pairs ARE the keyed ground truth") {
+    def pairSet(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("l59_video_neardup")
+    val ivf = pairSet("l59b_video_neardup_ivf")
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    // ground truth by construction: videos sharing doc_id % 50 pool to
+    // near-identical embeddings (45/48 positions fully shared; the 3
+    // noise positions differ by one frame's uint8 out of a 4-frame sum),
+    // cross-key videos are independent noise
+    val n = graft.Tables.load(spark, sfDir, "documents").count()
+    val expectedPairs = (0L until n).groupBy(_ % 50).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(exact.forall { case (a, b) => a % 50 == b % 50 },
+      "a cross-key video pair passed the 0.8 threshold")
+    assert(exact.size.toLong == expectedPairs,
+      s"exact video near-dups ${exact.size} != keyed ground truth $expectedPairs")
+    assert(ivf.subsetOf(exact),
+      s"false positives: ${ivf.diff(exact).take(3)}")
+    val recall = ivf.size.toDouble / exact.size
+    info(f"l59b recall vs exact video pairs = $recall%.2f (nprobe=2/8)")
+    assert(recall >= 0.5, s"IVF video near-dup recall $recall")
+    def valued(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ev = valued("l59_video_neardup")
+    valued("l59b_video_neardup_ivf").foreach { case (k, v) =>
+      assert(ev(k) == v, s"cos mismatch at $k")
+    }
+  }
+
   test("l13 int8 quantization: codes bounded, error <= scale/2, high recall") {
     import org.apache.spark.sql.functions._
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
