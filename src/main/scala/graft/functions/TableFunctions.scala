@@ -1342,6 +1342,43 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** decontaminate_bloom(train, bench, id_col, text_col, shingle_len) —
+    * the SCALE path for doc-level decontamination from pure SQL (the
+    * l10b kernel): a driver-built Bloom filter over the benchmark
+    * shingle hashes prefilters the train shingle stream (the 100 TB
+    * shape when the bench set is big — most train shingles never reach
+    * the join), then the exact semi-join re-check keeps the output
+    * IDENTICAL to `decontaminate` (the filter only affects cost, never
+    * the answer — fpp hits are re-checked away). Returns the CLEAN
+    * train rows with all their original columns. Memoized: the bloom
+    * build (one pass over the bench shingles) runs at analysis time,
+    * the iterative-TVF cost discipline.
+    */
+  private def decontaminateBloomPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "decontaminate_bloom"
+    require(exprs.length == 5,
+      s"$fn takes 5 arguments (train, bench, id_col, text_col, " +
+        s"shingle_len), got ${exprs.length}")
+    val train = tableArg(exprs(0), 1, fn)
+    val bench = tableArg(exprs(1), 2, fn)
+    val (idCol, textCol) = (str(exprs(2), 3, fn), str(exprs(3), 4, fn))
+    requireCols(train, Seq(idCol, textCol), fn, "train")
+    requireCols(bench, Seq(idCol, textCol), fn, "bench")
+    val n = long(exprs(4), 5, fn)
+    require(n >= 1 && n <= 1000, s"$fn: shingle_len must be in [1, 1000]")
+    memo(fn, Seq(train, bench), Seq(idCol, textCol, n)) {
+      import org.apache.spark.sql.functions.{col, length}
+      def asDocs(t: DataFrame) =
+        t.select(t(idCol).as("doc_id"), t(textCol).as("text"))
+          .withColumn("n_chars", length(col("text")))
+      val contaminated = graft.ops.Text.bloomContaminated(
+          asDocs(train), asDocs(bench), n.toInt)
+        .select(col("doc_id").as(idCol))
+      train.join(contaminated, Seq(idCol), "left_anti")
+        .queryExecution.logical
+    }
+  }
+
   /** One registration row with a `DESCRIBE FUNCTION`-visible usage
     * string — the SQL-side contract (argument shapes and column
     * conventions). `_FUNC_` renders as the function name. The iterative
@@ -1404,6 +1441,14 @@ object TableFunctions {
         "benchmark corpus; returns the CLEAN train rows with all their " +
         "columns. Lazy plan.",
       decontaminatePlan _),
+    reg("decontaminate_bloom",
+      "_FUNC_(train, bench, id_col, text_col, shingle_len) - the scale " +
+        "path for decontamination: a Bloom filter over the bench " +
+        "shingle hashes prefilters the train shingle stream, then the " +
+        "exact semi-join re-check makes the output IDENTICAL to " +
+        "decontaminate. Builds the bloom at analysis time; memoized " +
+        "per session.",
+      decontaminateBloomPlan _),
     reg("multi_source_bfs",
       "_FUNC_(edges, seeds, max_depth) - exact min-depth BFS from a " +
         "seed SET in one pass; edges expose (src, dst), seeds (id). " +

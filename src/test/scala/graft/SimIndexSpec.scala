@@ -639,6 +639,32 @@ class SimIndexSpec extends SparkSpecBase {
     assert(SimIndex.isFresh(spark, "shdel", survBench))
   }
 
+  test("registry l02h (vacuumed read) == l02e (tombstone-filtered " +
+      "read) row-for-row, and the vacuumed candidate plan carries no " +
+      "anti-join") {
+    // fresh state for both prefixes — the registry builders are
+    // idempotent per (session, dir) but a half-done leftover from an
+    // aborted run must not leak in
+    Seq("graft_lshdel_", "graft_lshvac_").foreach { p =>
+      val prefix = p + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      dropIdx(Seq("_bands", "_sigs", "_meta", "_tombstones")
+        .map(prefix + _): _*)
+    }
+    val a = SparkEntry.queries("l02e_lsh_deleted")(spark, sfDir)
+      .collect().toSeq
+    val b = SparkEntry.queries("l02h_lsh_vacuumed")(spark, sfDir)
+      .collect().toSeq
+    assert(a.nonEmpty && a == b, "vacuumed read != tombstone read")
+    // the vacuumed index has no tombstone table, so its candidate read
+    // plans WITHOUT the anti-join (the cost the vacuum buys back)
+    val vacPrefix = "graft_lshvac_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    assert(!spark.catalog.tableExists(s"${vacPrefix}_tombstones"))
+    val plan = SimIndex.lshCandidatesFromIndex(spark, vacPrefix)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"),
+      "vacuumed candidate plan still carries a tombstone anti-join")
+  }
+
   test("row-uniqueness contract: duplicate ids are rejected loudly at " +
       "write and append time (the delete-retraction precondition)") {
     import spark.implicits._
