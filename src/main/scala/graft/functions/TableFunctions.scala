@@ -1342,6 +1342,137 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** reciprocity(table, src_col, dst_col) — G29's directed-edge
+    * reciprocity counts from pure SQL: one row
+    * (n_edges, n_reciprocal); the ratio stays with the caller. Lazy
+    * plan (no analysis-time execution).
+    */
+  private def reciprocityPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "reciprocity"
+    require(exprs.length == 3,
+      s"$fn takes 3 arguments (table, src_col, dst_col), got ${exprs.length}")
+    graft.ops.Graphs.reciprocityCounts(
+        edgeFrame(exprs(0), exprs(1), exprs(2), fn))
+      .queryExecution.logical
+  }
+
+  /** rich_club(table, src_col, dst_col) — G33's rich-club profile from
+    * pure SQL over a SYMMETRIC directed edge list (pass both
+    * directions): (k, n_k, e_k, phi_e6) per degree threshold. Lazy.
+    */
+  private def richClubPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "rich_club"
+    require(exprs.length == 3,
+      s"$fn takes 3 arguments (table, src_col, dst_col), got ${exprs.length}")
+    graft.ops.Graphs.richClub(edgeFrame(exprs(0), exprs(1), exprs(2), fn))
+      .queryExecution.logical
+  }
+
+  /** condensation(table, src_col, dst_col, trim_rounds, rounds, iters)
+    * — G34's SCC condensation from pure SQL: the quotient DAG's
+    * weighted edges (src_scc, dst_scc, n_edges) over the
+    * trim-then-color labels (throws rather than settle a split
+    * coloring, the scc TVF's discipline).
+    */
+  private def condensationPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "condensation"
+    require(exprs.length == 6,
+      s"$fn takes 6 arguments (table, src_col, dst_col, trim_rounds, " +
+        s"rounds, iters), got ${exprs.length}")
+    val edges = edgeFrame(exprs(0), exprs(1), exprs(2), fn)
+    val trimRounds = long(exprs(3), 4, fn)
+    val rounds = long(exprs(4), 5, fn)
+    val iters = long(exprs(5), 6, fn)
+    require(trimRounds >= 0 && trimRounds <= 1000,
+      s"$fn: trim_rounds must be in [0, 1000]")
+    require(rounds >= 1 && rounds <= 1000, s"$fn: rounds must be in [1, 1000]")
+    require(iters >= 1 && iters <= 10000, s"$fn: iters must be in [1, 10000]")
+    memo(fn, Seq(edges), Seq(trimRounds, rounds, iters)) {
+      graft.ops.Graphs.condensationEdges(SparkSession.active, edges,
+          trimRounds.toInt, rounds.toInt, iters.toInt)
+        .queryExecution.logical
+    }
+  }
+
+  /** bowtie(table, src_col, dst_col, trim_rounds, rounds, iters) —
+    * G35's bow-tie decomposition from pure SQL: (cls, n_vertices) with
+    * cls ∈ core/in/out/other against the giant SCC (two super-source
+    * BFS fix points, never a closure).
+    */
+  private def bowtiePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "bowtie"
+    require(exprs.length == 6,
+      s"$fn takes 6 arguments (table, src_col, dst_col, trim_rounds, " +
+        s"rounds, iters), got ${exprs.length}")
+    val edges = edgeFrame(exprs(0), exprs(1), exprs(2), fn)
+    val trimRounds = long(exprs(3), 4, fn)
+    val rounds = long(exprs(4), 5, fn)
+    val iters = long(exprs(5), 6, fn)
+    require(trimRounds >= 0 && trimRounds <= 1000,
+      s"$fn: trim_rounds must be in [0, 1000]")
+    require(rounds >= 1 && rounds <= 1000, s"$fn: rounds must be in [1, 1000]")
+    require(iters >= 1 && iters <= 10000, s"$fn: iters must be in [1, 10000]")
+    memo(fn, Seq(edges), Seq(trimRounds, rounds, iters)) {
+      graft.ops.Graphs.bowtieProfile(SparkSession.active, edges,
+          trimRounds.toInt, rounds.toInt, iters.toInt)
+        .queryExecution.logical
+    }
+  }
+
+  /** resilience(table, src_col, dst_col, ks_csv) — G36's hub-removal
+    * resilience curve from pure SQL over a SYMMETRIC edge list:
+    * (k, n_live, n_components, giant_size) per k in the comma-
+    * separated threshold list.
+    */
+  private def resiliencePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "resilience"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, src_col, dst_col, ks_csv), got ${exprs.length}")
+    val edges = edgeFrame(exprs(0), exprs(1), exprs(2), fn)
+    val ksRaw = str(exprs(3), 4, fn)
+    val ks = csv(ksRaw).map { k =>
+      require(k.forall(_.isDigit) && k.nonEmpty,
+        s"$fn: ks_csv must be comma-separated non-negative integers")
+      k.toInt
+    }
+    require(ks.nonEmpty && ks.size <= 32,
+      s"$fn: ks_csv must carry 1..32 thresholds")
+    memo(fn, Seq(edges), Seq(ksRaw)) {
+      graft.ops.Graphs.resilienceCurve(SparkSession.active, edges, ks)
+        .queryExecution.logical
+    }
+  }
+
+  /** coproject(table, group_col, item_col, min_basket, max_basket,
+    * min_weight) — G37's bipartite projection from pure SQL: (group,
+    * item) observations projected onto item pairs (x, y, w) with
+    * x < y, weight = #groups sharing the pair, basket sizes bounded to
+    * [min_basket, max_basket] (fan-out ≤ C(max,2) per group — never
+    * catalog-quadratic), pairs below min_weight dropped. Lazy;
+    * component analysis composes on top (feed the output to
+    * `connected_components` via TABLE(SELECT ...) — the g37 read).
+    */
+  private def coprojectPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "coproject"
+    require(exprs.length == 6,
+      s"$fn takes 6 arguments (table, group_col, item_col, min_basket, " +
+        s"max_basket, min_weight), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val rel = df.select(df(str(exprs(1), 2, fn)).as("grp"),
+      df(str(exprs(2), 3, fn)).as("item"))
+    val minBasket = long(exprs(3), 4, fn)
+    val maxBasket = long(exprs(4), 5, fn)
+    val minWeight = long(exprs(5), 6, fn)
+    require(minBasket >= 2 && minBasket <= maxBasket,
+      s"$fn: need 2 <= min_basket <= max_basket")
+    require(maxBasket <= 10000,
+      s"$fn: max_basket must be <= 10000 (the per-group fan-out bound)")
+    require(minWeight >= 1, s"$fn: min_weight must be >= 1")
+    graft.ops.Graphs.bipartiteProjection(rel, minBasket.toInt,
+        maxBasket.toInt, minWeight)
+      .queryExecution.logical
+  }
+
   /** decontaminate_bloom(train, bench, id_col, text_col, shingle_len) —
     * the SCALE path for doc-level decontamination from pure SQL (the
     * l10b kernel): a driver-built Bloom filter over the benchmark
@@ -1576,6 +1707,40 @@ object TableFunctions {
         "reproduce the exact walks; sink vertices stop early). seeds " +
         "must expose (id). Returns (walk_id, seed, step, vertex).",
       hashWalksPlan _),
+    reg("reciprocity",
+      "_FUNC_(table, src_col, dst_col) - directed-edge reciprocity " +
+        "counts: one row (n_edges, n_reciprocal); ratio stays with the " +
+        "caller. Lazy plan.",
+      reciprocityPlan _),
+    reg("rich_club",
+      "_FUNC_(table, src_col, dst_col) - rich-club profile over a " +
+        "SYMMETRIC edge list (pass both directions): (k, n_k, e_k, " +
+        "phi_e6) per degree threshold, exact integers. Lazy plan.",
+      richClubPlan _),
+    reg("condensation",
+      "_FUNC_(table, src_col, dst_col, trim_rounds, rounds, iters) - " +
+        "SCC condensation: the quotient DAG's weighted edges " +
+        "(src_scc, dst_scc, n_edges); throws rather than settle a " +
+        "split coloring." + IterNote,
+      condensationPlan _),
+    reg("bowtie",
+      "_FUNC_(table, src_col, dst_col, trim_rounds, rounds, iters) - " +
+        "bow-tie decomposition vs the giant SCC: (cls, n_vertices) " +
+        "with cls in core/in/out/other; two super-source BFS fix " +
+        "points, never a closure." + IterNote,
+      bowtiePlan _),
+    reg("resilience",
+      "_FUNC_(table, src_col, dst_col, ks_csv) - hub-removal " +
+        "resilience curve over a SYMMETRIC edge list: (k, n_live, " +
+        "n_components, giant_size) per threshold in ks_csv." + IterNote,
+      resiliencePlan _),
+    reg("coproject",
+      "_FUNC_(table, group_col, item_col, min_basket, max_basket, " +
+        "min_weight) - bipartite projection onto item pairs " +
+        "(x, y, w), x < y, basket sizes bounded, weights thresholded; " +
+        "compose with connected_components for co-purchase clusters. " +
+        "Lazy plan.",
+      coprojectPlan _),
     reg("label_propagation",
       "_FUNC_(table, src_col, dst_col, rounds) - synchronous LPA with " +
         "the deterministic (count desc, min label) tie-break. Returns " +

@@ -1951,6 +1951,155 @@ object Graphs {
         sum(col("dy") * col("dy")).as("sum_y2"))
   }
 
+  /** G29 — reciprocity counts of a DIRECTED edge list: one row
+    * (n_edges, n_reciprocal) — of all distinct directed edges, how
+    * many have their reverse present (a semi join against the swapped
+    * list, no all-pairs anything); the ratio stays with the caller.
+    * THE shared kernel: the registry query and the `reciprocity` TVF
+    * splice this one plan (the katzX64 discipline).
+    */
+  def reciprocityCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+  }
+
+  /** G33 — rich-club profile over a symmetric directed edge list:
+    * per degree threshold k, the number of vertices with degree > k
+    * (n_k), the undirected edge count among them (e_k), and
+    * φ·10⁶ = 10⁶·2·e_k div (n_k·(n_k−1)) — Zhou/Mondragón's rich-club
+    * coefficient as an exact integer. Histogram-sized joins broadcast;
+    * thresholds with fewer than 2 qualifying vertices are omitted
+    * (φ undefined). Shared by the registry query and the `rich_club`
+    * TVF.
+    */
+  def richClub(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val em = edges
+      .join(deg.select(col("id").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dd")), "dst")
+      .select(least(col("ds"), col("dd")).as("m"))
+    val nodeH = deg.groupBy("d").agg(count(lit(1)).as("nodes"))
+    val edgeH = em.groupBy("m").agg(count(lit(1)).as("dedges"))
+    val ks = nodeH.select(col("d").as("k"))
+    val nk = ks.join(broadcast(nodeH), nodeH("d") > ks("k"))
+      .groupBy("k").agg(sum("nodes").as("n_k"))
+    val ek = ks.join(broadcast(edgeH), edgeH("m") > ks("k"))
+      .groupBy("k").agg(expr("sum(dedges) div 2").as("e_k"))
+    nk.join(ek, Seq("k"), "left")
+      .filter(col("n_k") >= 2)
+      .select(col("k"), col("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"),
+        expr("1000000 * 2 * coalesce(e_k, 0) div (n_k * (n_k - 1))")
+          .as("phi_e6"))
+  }
+
+  /** G34 — SCC condensation of a directed edge list: the quotient
+    * DAG's weighted edges (src_scc, dst_scc, n_edges) over the
+    * trim-then-color SCC labels. Shared by the registry query and the
+    * `condensation` TVF; callers order.
+    */
+  def condensationEdges(s: SparkSession, edges0: DataFrame,
+      trimRounds: Int, rounds: Int, iters: Int): DataFrame = {
+    val edges = edges0.transform(Checkpoints.cut) // labels + 2 lookups
+    val labels = sccTrimmed(s, edges, trimRounds, rounds, iters)
+    edges
+      .join(labels.select(col("id").as("src"), col("scc_id").as("src_scc")),
+        "src")
+      .join(labels.select(col("id").as("dst"), col("scc_id").as("dst_scc")),
+        "dst")
+      .filter(col("src_scc") =!= col("dst_scc"))
+      .groupBy("src_scc", "dst_scc")
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** G35 — bow-tie decomposition (Broder 2000) of a directed edge
+    * list: every vertex classified against the giant SCC — core, in
+    * (reaches it), out (reached from it), other — as (cls, n_vertices)
+    * counts. Reachability from the core is ONE virtual super-source
+    * (-1, outside the id domain) wired to every core member, then the
+    * adaptive-frontier BFS to its fix point on the forward and
+    * reversed lists — two traversals, never a closure. Shared by the
+    * registry query and the `bowtie` TVF.
+    */
+  def bowtieProfile(s: SparkSession, edges0: DataFrame,
+      trimRounds: Int, rounds: Int, iters: Int): DataFrame = {
+    val edges = edges0.transform(Checkpoints.cut)
+    val labels = sccTrimmed(s, edges, trimRounds, rounds, iters)
+    val giant = labels.groupBy("scc_id").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("scc_id").asc).limit(1)
+      .head().getLong(0)
+    val core = labels.filter(col("scc_id") === giant).select("id")
+    val seedEdges = core.select(lit(-1L).as("src"), col("id").as("dst"))
+    val fromCore = bfsDepthsDF(s,
+        edges.unionAll(seedEdges), seed = -1L, maxDepth = Int.MaxValue)
+      .filter(col("id") =!= -1L).select("id")
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val toCore = bfsDepthsDF(s,
+        rev.unionAll(seedEdges), seed = -1L, maxDepth = Int.MaxValue)
+      .filter(col("id") =!= -1L).select("id")
+    labels.select("id")
+      .join(core.withColumn("in_core", lit(1)), Seq("id"), "left")
+      .join(toCore.withColumn("reaches", lit(1)), Seq("id"), "left")
+      .join(fromCore.withColumn("reached", lit(1)), Seq("id"), "left")
+      .select(when(col("in_core") === 1, "core")
+        .when(col("reaches") === 1, "in")
+        .when(col("reached") === 1, "out")
+        .otherwise("other").as("cls"))
+      .groupBy("cls").agg(count(lit(1)).as("n_vertices"))
+  }
+
+  /** G36 — hub-removal resilience curve over a symmetric directed
+    * edge list: for each k in `ks`, delete the top-k degree hubs
+    * (degree desc, id asc — deterministic) and re-measure the
+    * edge-bearing survivors' component profile:
+    * (k, n_live, n_components, giant_size). Each k is one bounded CC
+    * run on an anti-joined edge list — nothing quadratic. Shared by
+    * the registry query and the `resilience` TVF.
+    */
+  def resilienceCurve(s: SparkSession, edges0: DataFrame,
+      ks: Seq[Int]): DataFrame = {
+    val edges = edges0.transform(Checkpoints.cut)
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val rows = ks.map { k =>
+      val hubs = deg.orderBy(col("d").desc, col("id").asc).limit(k)
+      val e2 = edges
+        .join(hubs.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(hubs.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      val sizes = connectedComponentsDF(s, e2)
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+      sizes.agg(lit(k).as("k"), sum("sz").as("n_live"),
+        count(lit(1)).as("n_components"), max("sz").as("giant_size"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  /** G37 — bipartite projection: (group, item) observations projected
+    * onto item pairs, weight = #groups sharing the pair, baskets
+    * outside [minBasket, maxBasket] dropped (fan-out stays ≤ C(max,2)
+    * per group — never catalog-quadratic), pairs below `minWeight`
+    * dropped. Returns (x, y, w) with x < y. Shared by the registry
+    * query and the `coproject` TVF; downstream component analysis
+    * composes on top (the g37 read runs connected components over it).
+    */
+  def bipartiteProjection(rel: DataFrame, minBasket: Int, maxBasket: Int,
+      minWeight: Long): DataFrame = {
+    val baskets = rel.select(col("grp"), col("item")).distinct()
+      .groupBy("grp")
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .filter(size(col("ps")).between(minBasket, maxBasket))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(col("ps"), y => struct(x.as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x"), col("p.y"))
+      .filter(col("x") < col("y"))
+    pairs.groupBy("x", "y").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minWeight)
+  }
+
   /** Global triangle count over canonical (src < dst) pairs. */
   def triangleCount(s: SparkSession, pairs: DataFrame): Long = {
     val e = pairs.select(col("x").cast("long"), col("y").cast("long"))

@@ -384,24 +384,14 @@ object GraphQueries {
     // (the same shuffles SCC itself already paid), and the groupBy
     // output is bounded by the condensation's edge count, never the
     // graph's.
-    "g34_condensation" -> ((s, dir) => {
-      val edges = restrictedFlowEdges(s, dir)
-      // the sparse restriction is ~95% trimmable: TRIM peels the
-      // acyclic bulk in cheap rounds, the proven-convergence coloring
-      // (which still throws rather than settle early) runs only on the
-      // small cyclic core
-      val labels = Graphs.sccTrimmed(s, edges,
-        trimRounds = 64, rounds = 8, iters = 64)
-      edges
-        .join(labels.select(col("id").as("src"), col("scc_id").as("src_scc")),
-          "src")
-        .join(labels.select(col("id").as("dst"), col("scc_id").as("dst_scc")),
-          "dst")
-        .filter(col("src_scc") =!= col("dst_scc"))
-        .groupBy("src_scc", "dst_scc")
-        .agg(count(lit(1)).as("n_edges"))
-        .orderBy("src_scc", "dst_scc")
-    }),
+    // the sparse restriction is ~95% trimmable: TRIM peels the acyclic
+    // bulk in cheap rounds, the proven-convergence coloring (which
+    // still throws rather than settle early) runs only on the small
+    // cyclic core (kernel shared with the `condensation` TVF)
+    "g34_condensation" -> ((s, dir) =>
+      Graphs.condensationEdges(s, restrictedFlowEdges(s, dir),
+          trimRounds = 64, rounds = 8, iters = 64)
+        .orderBy("src_scc", "dst_scc")),
 
     // G35 — BOW-TIE decomposition (Broder 2000): every vertex of the
     // restricted part-flow graph classified against the giant SCC —
@@ -417,33 +407,10 @@ object GraphQueries {
     // never does). in ∩ out = core by SCC maximality, so the CASE
     // precedence is decorative, and the giant pick (max size, tie min
     // label) is a 1-row fetch off the label aggregate.
-    "g35_bowtie" -> ((s, dir) => {
-      val edges = restrictedFlowEdges(s, dir)
-      val labels = Graphs.sccTrimmed(s, edges,
-        trimRounds = 64, rounds = 8, iters = 64)
-      val giant = labels.groupBy("scc_id").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("scc_id").asc).limit(1)
-        .head().getLong(0)
-      val core = labels.filter(col("scc_id") === giant).select("id")
-      val seedEdges = core.select(lit(-1L).as("src"), col("id").as("dst"))
-      val fromCore = Graphs.bfsDepthsDF(s,
-          edges.unionAll(seedEdges), seed = -1L, maxDepth = Int.MaxValue)
-        .filter(col("id") =!= -1L).select("id")
-      val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
-      val toCore = Graphs.bfsDepthsDF(s,
-          rev.unionAll(seedEdges), seed = -1L, maxDepth = Int.MaxValue)
-        .filter(col("id") =!= -1L).select("id")
-      labels.select("id")
-        .join(core.withColumn("in_core", lit(1)), Seq("id"), "left")
-        .join(toCore.withColumn("reaches", lit(1)), Seq("id"), "left")
-        .join(fromCore.withColumn("reached", lit(1)), Seq("id"), "left")
-        .select(when(col("in_core") === 1, "core")
-          .when(col("reaches") === 1, "in")
-          .when(col("reached") === 1, "out")
-          .otherwise("other").as("cls"))
-        .groupBy("cls").agg(count(lit(1)).as("n_vertices"))
-        .orderBy("cls")
-    }),
+    "g35_bowtie" -> ((s, dir) =>
+      Graphs.bowtieProfile(s, restrictedFlowEdges(s, dir),
+          trimRounds = 64, rounds = 8, iters = 64)
+        .orderBy("cls")),
 
     // G36 — hub-removal RESILIENCE curve: the co-part graph's giant
     // component re-measured after deleting its top-k degree hubs
@@ -457,21 +424,10 @@ object GraphQueries {
     // a global rank window — and each k re-runs the same
     // star-contraction CC on an anti-joined edge list; 3 bounded CC
     // runs, nothing quadratic.
-    "g36_resilience" -> ((s, dir) => {
-      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
-      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      val rows = Seq(0, 5, 20).map { k =>
-        val hubs = deg.orderBy(col("d").desc, col("id").asc).limit(k)
-        val e2 = edges
-          .join(hubs.select(col("id").as("src")), Seq("src"), "left_anti")
-          .join(hubs.select(col("id").as("dst")), Seq("dst"), "left_anti")
-        val sizes = Graphs.connectedComponentsDF(s, e2)
-          .groupBy("component").agg(count(lit(1)).as("sz"))
-        sizes.agg(lit(k).as("k"), sum("sz").as("n_live"),
-          count(lit(1)).as("n_components"), max("sz").as("giant_size"))
-      }
-      rows.reduce(_ unionAll _).orderBy("k")
-    }),
+    "g36_resilience" -> ((s, dir) =>
+      Graphs.resilienceCurve(s, Graphs.copartEdges(s, dir),
+          ks = Seq(0, 5, 20))
+        .orderBy("k")),
 
     // G37 — bipartite projection + cluster structure: project the
     // order–part bipartite relation onto parts (co-purchase edges,
@@ -486,22 +442,81 @@ object GraphQueries {
     // connectedComponentsDF symmetrizes internally, so the x<y pair
     // orientation is enough.
     "g37_copurchase" -> ((s, dir) => {
-      val baskets = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .filter(size(col("ps")).between(2, 8))
-      val pairs = baskets
-        .select(explode(flatten(transform(col("ps"), x =>
-          transform(col("ps"), y => struct(x.as("x"), y.as("y")))))).as("p"))
-        .select(col("p.x"), col("p.y"))
-        .filter(col("x") < col("y"))
-      val proj = pairs.groupBy("x", "y").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      val proj = Graphs.bipartiteProjection(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("grp"), col("l_partkey").as("item")),
+        minBasket = 2, maxBasket = 8, minWeight = 2)
       Graphs.connectedComponentsDF(s,
           proj.select(col("x").as("src"), col("y").as("dst")))
         .groupBy("component").agg(count(lit(1)).as("n_parts"))
         .orderBy(col("n_parts").desc, col("component").asc)
+    }),
+
+    // G34b/G35b/G36b/G37b (r18) — the structural-read door: the last
+    // Scala-only graph reads get their TVFs (condensation / bowtie /
+    // resilience / coproject), each twin feeding the same substrate
+    // through a view and held to its sibling's oracle verbatim. g37b
+    // COMPOSES coproject with the connected_components door in one
+    // statement — the co-purchase-clusters read a SQL-only session
+    // actually writes.
+    "g34b_condensation_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      restrictedFlowEdges(s, dir)
+        .createOrReplaceTempView("graft_g34b_edges")
+      s.sql("""SELECT src_scc, dst_scc, n_edges
+        |FROM condensation('graft_g34b_edges', 'src', 'dst', 64, 8, 64)
+        |ORDER BY src_scc, dst_scc""".stripMargin)
+    }),
+
+    "g35b_bowtie_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      restrictedFlowEdges(s, dir)
+        .createOrReplaceTempView("graft_g35b_edges")
+      s.sql("""SELECT cls, n_vertices
+        |FROM bowtie('graft_g35b_edges', 'src', 'dst', 64, 8, 64)
+        |ORDER BY cls""".stripMargin)
+    }),
+
+    "g36b_resilience_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir)
+        .createOrReplaceTempView("graft_g36b_edges")
+      s.sql("""SELECT k, n_live, n_components, giant_size
+        |FROM resilience('graft_g36b_edges', 'src', 'dst', '0,5,20')
+        |ORDER BY k""".stripMargin)
+    }),
+
+    "g37b_copurchase_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Tables.load(s, dir, "lineitem")
+        .createOrReplaceTempView("graft_g37b_li")
+      s.sql("""SELECT component, count(*) AS n_parts
+        |FROM connected_components(
+        |  TABLE(SELECT x AS src, y AS dst
+        |        FROM coproject('graft_g37b_li', 'l_orderkey',
+        |                       'l_partkey', 2, 8, 2)),
+        |  'src', 'dst')
+        |GROUP BY component
+        |ORDER BY n_parts DESC, component ASC""".stripMargin)
+    }),
+
+    // G29b/G33b (r18) — the lazy aggregate doors (reciprocity /
+    // rich_club), same discipline.
+    "g29b_reciprocity_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.partFlowEdges(s, dir)
+        .createOrReplaceTempView("graft_g29b_edges")
+      s.sql("""SELECT n_edges, n_reciprocal
+        |FROM reciprocity('graft_g29b_edges', 'src', 'dst')""".stripMargin)
+    }),
+
+    "g33b_rich_club_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Graphs.copartEdges(s, dir)
+        .createOrReplaceTempView("graft_g33b_edges")
+      s.sql("""SELECT k, n_k, e_k, phi_e6
+        |FROM rich_club('graft_g33b_edges', 'src', 'dst')
+        |ORDER BY k""".stripMargin)
     }),
 
     // G39 — BOM explosion (the classic bill-of-materials recursive
@@ -722,28 +737,10 @@ object GraphQueries {
     // both-directions edge list exactly (each undirected edge counted
     // twice). φ as exact scaled integer, zero-division impossible
     // (n_k ≥ 2 filter).
-    "g33_rich_club" -> ((s, dir) => {
-      val edges = Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut)
-      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      val em = edges
-        .join(deg.select(col("id").as("src"), col("d").as("ds")), "src")
-        .join(deg.select(col("id").as("dst"), col("d").as("dd")), "dst")
-        .select(least(col("ds"), col("dd")).as("m"))
-      val nodeH = deg.groupBy("d").agg(count(lit(1)).as("nodes"))
-      val edgeH = em.groupBy("m").agg(count(lit(1)).as("dedges"))
-      val ks = nodeH.select(col("d").as("k"))
-      val nk = ks.join(broadcast(nodeH), nodeH("d") > ks("k"))
-        .groupBy("k").agg(sum("nodes").as("n_k"))
-      val ek = ks.join(broadcast(edgeH), edgeH("m") > ks("k"))
-        .groupBy("k").agg(expr("sum(dedges) div 2").as("e_k"))
-      nk.join(ek, Seq("k"), "left")
-        .filter(col("n_k") >= 2)
-        .select(col("k"), col("n_k"),
-          coalesce(col("e_k"), lit(0L)).as("e_k"),
-          expr("1000000 * 2 * coalesce(e_k, 0) div (n_k * (n_k - 1))")
-            .as("phi_e6"))
-        .orderBy("k")
-    }),
+    "g33_rich_club" -> ((s, dir) =>
+      Graphs.richClub(
+          Graphs.copartEdges(s, dir).transform(graft.ops.Checkpoints.cut))
+        .orderBy("k")),
 
     // G16 — deterministic hash-walk sampling from customers 1..5 on the
     // supply graph (2 walks × ≤3 steps each): node2vec-style walk data
@@ -1277,14 +1274,9 @@ object GraphQueries {
     // reverse present — exact integer (n_edges, n_reciprocal) with the
     // ratio left to the caller; a semi join against the swapped edge
     // list, no all-pairs anything. Hash-matched.
-    "g29_reciprocity" -> ((s, dir) => {
-      val e = Graphs.partFlowEdges(s, dir).transform(graft.ops.Checkpoints.cut)
-      val recip = e.join(
-        e.select(col("dst").as("src"), col("src").as("dst")),
-        Seq("src", "dst"), "left_semi")
-      e.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
-    }),
+    "g29_reciprocity" -> ((s, dir) =>
+      Graphs.reciprocityCounts(
+        Graphs.partFlowEdges(s, dir).transform(graft.ops.Checkpoints.cut))),
 
     // G28 — degree assortativity moments of the co-part graph: the six
     // exact integer sums Newman's r is computed from (the one float
@@ -2727,5 +2719,11 @@ object GraphQueries {
     "g42b_coship_sql" -> oraclesBase("g42_temporal_coship"),
     "g49b_temporal_closeness_sql" -> oraclesBase("g49_temporal_closeness"),
     "g16b_hash_walks_sql" -> oraclesBase("g16_hash_walks"),
-    "g26b_modularity_sql" -> oraclesBase("g26_modularity"))
+    "g26b_modularity_sql" -> oraclesBase("g26_modularity"),
+    "g29b_reciprocity_sql" -> oraclesBase("g29_reciprocity"),
+    "g33b_rich_club_sql" -> oraclesBase("g33_rich_club"),
+    "g34b_condensation_sql" -> oraclesBase("g34_condensation"),
+    "g35b_bowtie_sql" -> oraclesBase("g35_bowtie"),
+    "g36b_resilience_sql" -> oraclesBase("g36_resilience"),
+    "g37b_copurchase_sql" -> oraclesBase("g37_copurchase"))
 }

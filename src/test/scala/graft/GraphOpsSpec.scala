@@ -1456,7 +1456,13 @@ class GraphOpsSpec extends SparkSpecBase {
       "g26b composes TWO doors: modularity over label_propagation)") {
     Seq("g49b_temporal_closeness_sql" -> "g49_temporal_closeness",
         "g16b_hash_walks_sql" -> "g16_hash_walks",
-        "g26b_modularity_sql" -> "g26_modularity")
+        "g26b_modularity_sql" -> "g26_modularity",
+        "g29b_reciprocity_sql" -> "g29_reciprocity",
+        "g33b_rich_club_sql" -> "g33_rich_club",
+        "g34b_condensation_sql" -> "g34_condensation",
+        "g35b_bowtie_sql" -> "g35_bowtie",
+        "g36b_resilience_sql" -> "g36_resilience",
+        "g37b_copurchase_sql" -> "g37_copurchase")
       .foreach { case (twin, sibling) =>
         val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
         val b = SparkEntry.queries(sibling)(spark, sfDir).collect().toSeq
