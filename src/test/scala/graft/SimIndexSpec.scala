@@ -57,6 +57,38 @@ class SimIndexSpec extends SparkSpecBase {
     assert(fromIdx == fresh && fromIdx.nonEmpty)
   }
 
+  test("capped candidate read over the bucketed index: the bucket-sizing " +
+      "window is Exchange-free (bucket-local), and the capped set == " +
+      "the from-scratch capped kernel") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("lshcap_bands", "lshcap_sigs", "lshcap_meta")
+    val docs = Tables.load(spark, sfDir, "documents")
+    SimIndex.writeLshIndex(docs, "lshcap", numHashes = 32, bands = 16,
+      buckets = 4)
+    withoutAutoBroadcast {
+      val capped = SimIndex.lshCandidatesFromIndex(spark, "lshcap",
+        maxBucket = 4)
+      val wins = physical(capped).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "capped mode must plan the sizing window")
+      wins.foreach { w =>
+        val ex = w.collect { case e: Exchange => e }
+        assert(ex.isEmpty,
+          s"the sizing window must consume the bucketed scan directly, " +
+            s"found ${ex.map(_.nodeName)}")
+      }
+    }
+    // and the index read reproduces the from-scratch capped candidates
+    val fromIdx = SimIndex.lshCandidatesFromIndex(spark, "lshcap",
+        maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Similarity.minHashSignatures(Text.shingles(docs, 3), 32)
+    val fresh = Similarity.lshCandidates(sigs, 32, 16, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIdx == fresh && fromIdx.nonEmpty)
+  }
+
   test("LSH append: incremental intake == full rebuild, signature stays additive") {
     graft.functions.VecFunctions.ensureRegistered(spark)
     dropIdx("lshapp_bands", "lshapp_sigs", "lshapp_meta",
