@@ -1473,6 +1473,47 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** cosine_pairs(table, id_col, emb_col, threshold_pct) — ALL exact
+    * cosine pairs strictly above threshold_pct/100 via the blocked
+    * kernel (the l53b/l59 dedup-decision form of cosine_topk — never a
+    * BroadcastNestedLoopJoin; candidate enumeration spreads over
+    * blocks²/2 independent tasks). Returns (a_id, b_id, cos_sim) raw
+    * double — round in the outer query. Lazy plan.
+    */
+  private def cosinePairsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "cosine_pairs"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, id_col, emb_col, threshold_pct), " +
+        s"got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val vecs = df.select(df(str(exprs(1), 2, fn)).as("vec_id"),
+      df(str(exprs(2), 3, fn)).as("embedding"))
+    val pct = long(exprs(3), 4, fn)
+    require(pct >= 0 && pct <= 100, s"$fn: threshold_pct must be in [0, 100]")
+    graft.ops.Similarity.thresholdCosinePairs(vecs, pct / 100.0)
+      .queryExecution.logical
+  }
+
+  /** pooled_frame_embeddings(table, id_col, payload_col) — the
+    * MULTIMODAL door's embedding step (the l59 kernel): each row's
+    * payload is a concatenation of P6 frames; demux by frame headers,
+    * decode each raster, SUM-POOL the centered channel values per
+    * position across frames. Returns (vec_id, embedding: array<float>)
+    * — feed it to cosine_pairs / cosine_topk / cosine_pairs_ivf via a
+    * TABLE(SELECT ...) argument for video near-dup from pure SQL.
+    * Lazy plan (the codecs run as per-partition batches at execution).
+    */
+  private def pooledFrameEmbeddingsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "pooled_frame_embeddings"
+    require(exprs.length == 3,
+      s"$fn takes 3 arguments (table, id_col, payload_col), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val vids = df.select(df(str(exprs(1), 2, fn)).as("doc_id"),
+      df(str(exprs(2), 3, fn)).as("payload"))
+    graft.ops.Media.pooledFrameEmbeddings(vids)
+      .queryExecution.logical
+  }
+
   /** decontaminate_bloom(train, bench, id_col, text_col, shingle_len) —
     * the SCALE path for doc-level decontamination from pure SQL (the
     * l10b kernel): a driver-built Bloom filter over the benchmark
@@ -1572,6 +1613,20 @@ object TableFunctions {
         "benchmark corpus; returns the CLEAN train rows with all their " +
         "columns. Lazy plan.",
       decontaminatePlan _),
+    reg("cosine_pairs",
+      "_FUNC_(table, id_col, emb_col, threshold_pct) - ALL exact cosine " +
+        "pairs above threshold_pct/100 via the blocked kernel (the " +
+        "dedup-decision form of cosine_topk; never a nested-loop join). " +
+        "Returns (a_id, b_id, cos_sim) raw double. Lazy plan.",
+      cosinePairsPlan _),
+    reg("pooled_frame_embeddings",
+      "_FUNC_(table, id_col, payload_col) - per-row pooled frame " +
+        "embedding of a concatenated-P6-frames payload: demux by frame " +
+        "headers, decode rasters, sum-pool centered channel values per " +
+        "position across frames. Returns (vec_id, embedding); compose " +
+        "with cosine_pairs/cosine_topk/cosine_pairs_ivf for multimodal " +
+        "near-dup from pure SQL. Lazy plan.",
+      pooledFrameEmbeddingsPlan _),
     reg("decontaminate_bloom",
       "_FUNC_(train, bench, id_col, text_col, shingle_len) - the scale " +
         "path for decontamination: a Bloom filter over the bench " +

@@ -360,6 +360,33 @@ object Media {
     }(Encoders.row(outSchema))
   }
 
+  /** L59 kernel — per-VIDEO pooled frame embedding over a
+    * (doc_id, payload) table of concatenated P6 frames: demux the byte
+    * stream by frame headers ([[demuxPpmFrames]]), decode each frame's
+    * raster, then SUM-POOL the centered channel values per position
+    * across the video's frames — pooled(p) = Σ_k pixel(k, p) − 128·n_k
+    * (sum, not mean: cosine is scale-invariant and integer sums stay
+    * exactly replayable cross-engine; n_k counted per position, so
+    * variable frame sizes pool over the frames that carry the
+    * position). Returns (vec_id, embedding: array<float>) — the column
+    * the ANN kernels (thresholdCosinePairs / ivfThresholdPairs /
+    * topKCosinePairs) consume. THE shared plan under the l59 registry
+    * family and the `pooled_frame_embeddings` TVF.
+    */
+  def pooledFrameEmbeddings(videos: DataFrame): DataFrame = {
+    val frames = demuxPpmFrames(videos, "payload")
+    decodeImagePixels(frames, "frame_payload")
+      .select(col("doc_id"), posexplode(col("pixels")).as(Seq("p", "v")))
+      .groupBy("doc_id", "p")
+      .agg((sum(col("v").cast("long")) - lit(128L) * count(lit(1)))
+        .as("pv"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("p"), col("pv")))).as("ps"))
+      .select(col("doc_id").as("vec_id"),
+        transform(col("ps"), x => x.getField("pv").cast("float"))
+          .as("embedding"))
+  }
+
   /** Materialize nearest-neighbor thumbnails of a PPM payload column
     * into `out` (null on malformed bytes) — same mapPartitions batch
     * shape as the decoders.

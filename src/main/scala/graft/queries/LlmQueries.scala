@@ -117,7 +117,7 @@ object LlmQueries {
     * exactly replayable cross-engine), and emit the pooled vector as
     * the video's embedding. Returns (vec_id, embedding: array<float>).
     */
-  private def videoEmbeddings(s: SparkSession, dir: String): DataFrame = {
+  private def videoPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perFrame = 8 * 2 * 3 // 48 channel values per frame
     val pix = docs(s, dir).select(col("doc_id"))
@@ -129,7 +129,7 @@ object LlmQueries {
         .otherwise(graft.Det.md5Long(concat(col("doc_id") % 50, lit("f"),
           col("k"), lit("_"), col("p"))) % 256)
         .cast("int"))
-    val payloads = pix.groupBy("doc_id", "k")
+    pix.groupBy("doc_id", "k")
       .agg(sort_array(collect_list(struct(col("p"), col("v")))).as("ps"))
       .as[(Long, Int, Seq[(Int, Int)])]
       .map { case (id, k, ps) =>
@@ -142,18 +142,12 @@ object LlmQueries {
       .as[(Long, Seq[(Int, Array[Byte])])]
       .map { case (id, fs) => (id, fs.map(_._2).reduce(_ ++ _)) }
       .toDF("doc_id", "payload")
-    val frames = graft.ops.Media.demuxPpmFrames(payloads, "payload")
-    graft.ops.Media.decodeImagePixels(frames, "frame_payload")
-      .select(col("doc_id"), posexplode(col("pixels")).as(Seq("p", "v")))
-      // sum-pool: Σ_k pixel(k, p) − 4·128 (centered) — exact integers
-      .groupBy("doc_id", "p")
-      .agg((sum(col("v").cast("long")) - lit(512L)).as("pv"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("p"), col("pv")))).as("ps"))
-      .select(col("doc_id").as("vec_id"),
-        transform(col("ps"), x => x.getField("pv").cast("float"))
-          .as("embedding"))
   }
+
+  private def videoEmbeddings(s: SparkSession, dir: String): DataFrame =
+    // demux → decode → sum-pool, the shared Media kernel (also behind
+    // the pooled_frame_embeddings TVF — l59c composes it from SQL)
+    graft.ops.Media.pooledFrameEmbeddings(videoPayloads(s, dir))
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
     * local fingerprinting scheme) shared by l44/l45: hash every word
@@ -351,6 +345,29 @@ object LlmQueries {
       .unionAll(stage("4_semantic",
         col("lang_ok") && col("q_ok") && col("dup_ok") && col("sem_ok")))
       .orderBy("stage")
+  }
+
+  /** l59/l59c shared DuckDB replay (see the oracles map). */
+  private lazy val l59OracleSql: String = {
+    val hNoise = graft.Det.duckMd5Long("doc_id || '#' || k || '_' || p")
+    val hBase = graft.Det.duckMd5Long("(doc_id % 50) || 'f' || k || '_' || p")
+    val dotAB = duckDot.format("a.e", "b.e")
+    val nA = duckNormSq.format("a.e")
+    val nB = duckNormSq.format("b.e")
+    s"""WITH px AS (SELECT doc_id, k, p,
+      |    CAST(CASE WHEN p < 3 AND k = 0 THEN ($hNoise) % 256
+      |         ELSE ($hBase) % 256 END AS BIGINT) AS v
+      |  FROM (SELECT doc_id, k, unnest(range(0, 48)) AS p
+      |        FROM (SELECT doc_id, unnest(range(0, 4)) AS k
+      |              FROM documents))),
+      |pool AS (SELECT doc_id, p, CAST(sum(v) - 512 AS BIGINT) AS pv
+      |  FROM px GROUP BY 1, 2),
+      |v AS (SELECT doc_id, list(pv ORDER BY p) AS e FROM pool GROUP BY 1)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
+      |FROM v a JOIN v b ON a.doc_id < b.doc_id
+      |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) > 0.8
+      |ORDER BY a_id, b_id""".stripMargin
   }
 
   // Manual double-precision cosine pieces for the DuckDB oracle — same
@@ -1506,6 +1523,26 @@ object LlmQueries {
         .select(col("a_id"), col("b_id"),
           round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // L59c (r18, second wave) — VIDEO near-dup from PURE SQL: the
+    // multimodal door. Two TVFs composed in one statement —
+    // pooled_frame_embeddings (demux → decode → sum-pool, the l59
+    // kernel verbatim) feeding cosine_pairs (the exact blocked
+    // threshold kernel) through a TABLE(SELECT ...) argument. Before
+    // this the multimodal pipeline was Scala-API-only; now a SQL
+    // session runs video dedup end to end. Held to l59's oracle
+    // verbatim (hash).
+    "l59c_video_neardup_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      videoPayloads(s, dir).createOrReplaceTempView("graft_l59c_videos")
+      s.sql("""SELECT a_id, b_id, round(cos_sim, 4) AS cos_sim
+        |FROM cosine_pairs(
+        |  TABLE(SELECT vec_id, embedding
+        |        FROM pooled_frame_embeddings('graft_l59c_videos',
+        |                                     'doc_id', 'payload')),
+        |  'vec_id', 'embedding', 80)
+        |ORDER BY a_id, b_id""".stripMargin)
     }),
 
     // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
@@ -3100,27 +3137,10 @@ object LlmQueries {
     // position (exact integers: 4 centered uint8 sums, |v| <= 512, dots
     // < 48·512² < 2^24), then the l53b pairwise-cosine replay. A hash
     // match certifies demux + decode + pool + pair kernel end to end.
-    "l59_video_neardup" -> {
-      val hNoise = graft.Det.duckMd5Long("doc_id || '#' || k || '_' || p")
-      val hBase = graft.Det.duckMd5Long("(doc_id % 50) || 'f' || k || '_' || p")
-      val dotAB = duckDot.format("a.e", "b.e")
-      val nA = duckNormSq.format("a.e")
-      val nB = duckNormSq.format("b.e")
-      s"""WITH px AS (SELECT doc_id, k, p,
-        |    CAST(CASE WHEN p < 3 AND k = 0 THEN ($hNoise) % 256
-        |         ELSE ($hBase) % 256 END AS BIGINT) AS v
-        |  FROM (SELECT doc_id, k, unnest(range(0, 48)) AS p
-        |        FROM (SELECT doc_id, unnest(range(0, 4)) AS k
-        |              FROM documents))),
-        |pool AS (SELECT doc_id, p, CAST(sum(v) - 512 AS BIGINT) AS pv
-        |  FROM px GROUP BY 1, 2),
-        |v AS (SELECT doc_id, list(pv ORDER BY p) AS e FROM pool GROUP BY 1)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
-        |FROM v a JOIN v b ON a.doc_id < b.doc_id
-        |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) > 0.8
-        |ORDER BY a_id, b_id""".stripMargin
-    },
+    // l59c (the two-door SQL composition) reproduces the same result,
+    // so it holds the same oracle verbatim.
+    "l59_video_neardup" -> l59OracleSql,
+    "l59c_video_neardup_sql" -> l59OracleSql,
 
     "l51_audio_features" -> {
       val h = graft.Det.duckMd5Long("doc_id || '_' || i")

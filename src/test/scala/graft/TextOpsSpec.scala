@@ -666,7 +666,8 @@ class TextOpsSpec extends SparkSpecBase {
         "l03e_cosine_topk_sql" -> "l03_cosine_topk",
         "l03f_ivf_neardup_sql" -> "l03d_ivf_neardup",
         "l10c_decontaminate_sql" -> "l10_decontaminate",
-        "l10e_decontaminate_bloom_sql" -> "l10b_decontaminate_bloom")
+        "l10e_decontaminate_bloom_sql" -> "l10b_decontaminate_bloom",
+        "l59c_video_neardup_sql" -> "l59_video_neardup")
       .foreach { case (twin, sibling) =>
         val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
         val b = SparkEntry.queries(sibling)(spark, sfDir).collect().toSeq
