@@ -1411,6 +1411,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // L02i (r18, third wave) — the BOUNDED dedup-cluster pipeline from
+    // PURE SQL: near_dup_pairs_lsh with max_bucket=64 (the capped
+    // candidate mode) composed into connected_components through a
+    // TABLE() argument — the l02g read a SQL-only session writes for
+    // 100 TB dedup clustering. Pinned row-for-row == l02g in
+    // TextOpsSpec; engine-only (seeded MinHash), rows-checked.
+    "l02i_lsh_clusters_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      docs(s, dir).createOrReplaceTempView("graft_l02i_docs")
+      s.sql("""SELECT id AS doc_id, component AS cluster_id
+        |FROM connected_components(
+        |  TABLE(SELECT a_id AS src, b_id AS dst
+        |        FROM near_dup_pairs_lsh('graft_l02i_docs', 'doc_id',
+        |                                'text', 3, 60, 32, 16, 42, 64)),
+        |  'src', 'dst')
+        |ORDER BY doc_id""".stripMargin)
+    }),
+
     "l03e_cosine_topk_sql" -> ((s, dir) => {
       graft.functions.TableFunctions.ensureRegistered(s)
       vecs(s, dir).createOrReplaceTempView("graft_l03e_vecs")

@@ -616,9 +616,14 @@ class TextOpsSpec extends SparkSpecBase {
       assert(members.keys.map(lu).toSet.size == 1,
         "a capped cluster spans two uncapped clusters (false merge)")
     }
-    // and the registry entry is the capped pipeline at cap 64
-    assert(SparkEntry.queries("l02g_lsh_capped_clusters")(spark, sfDir)
-      .count() > 0)
+    // and the registry entry is the capped pipeline at cap 64 — with
+    // its SQL-door twin (capped near_dup_pairs_lsh composed into
+    // connected_components) pinned row-for-row equal
+    val l02g = SparkEntry.queries("l02g_lsh_capped_clusters")(spark, sfDir)
+      .collect().toSeq
+    assert(l02g.nonEmpty)
+    assert(SparkEntry.queries("l02i_lsh_clusters_sql")(spark, sfDir)
+      .collect().toSeq == l02g, "l02i SQL composition != l02g")
 
     // ---- clique-family gate: when a hot bucket IS a genuine near-dup
     // clique (the boilerplate shape that creates hot buckets at scale),
