@@ -106,6 +106,40 @@ object Bucketing {
     true
   }
 
+  /** Recover a stranded `<table>__vacuum` shadow (ADVICE r18): the
+    * shadow-then-swap rewrite has a metadata-only window between
+    * DROP TABLE and RENAME where the survivors exist only under the
+    * shadow name — a crash there leaves no live table at `table`. If
+    * `table` is genuinely gone (no catalog entry, no descriptor at its
+    * location) but a COMPLETED shadow exists (its descriptor is the
+    * last thing writeBucketedMulti writes, so descriptor-present means
+    * data-complete), finish the interrupted swap: publish the shadow at
+    * the table's own name/location and reattach. Returns true iff
+    * `table` is usable afterwards. Any tombstones the interrupted
+    * vacuum had not yet cleared re-apply as a no-op anti-join (the ids
+    * are already physically gone) and the next vacuum clears them.
+    */
+  def recoverShadow(s: org.apache.spark.sql.SparkSession,
+      table: String): Boolean = {
+    val shadow = table + "__vacuum"
+    if (readDescriptor(s, table).isDefined) return reattach(s, table)
+    if (s.catalog.tableExists(shadow)) {
+      // same-session window: the shadow is still a catalog (managed)
+      // table — never DROP it (that purges its files); rename moves the
+      // managed location to the table's own.
+      dropStaleLocation(s, table)
+      s.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+      return true
+    }
+    if (readDescriptor(s, shadow).isEmpty) return false
+    val from = tableLocation(s, shadow)
+    val to = tableLocation(s, table)
+    val fs = to.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(to)) fs.delete(to, true) // partial original leftovers
+    fs.rename(from, to)                    // descriptor travels with dir
+    reattach(s, table)
+  }
+
   /** Compact a bucketed table grown by [[appendBucketedMulti]]: each
     * append lays down its own file set, so a year of daily intakes
     * reads ~365 small sorted runs per bucket. One rewrite (read through

@@ -2029,9 +2029,18 @@ object Graphs {
       trimRounds: Int, rounds: Int, iters: Int): DataFrame = {
     val edges = edges0.transform(Checkpoints.cut)
     val labels = sccTrimmed(s, edges, trimRounds, rounds, iters)
-    val giant = labels.groupBy("scc_id").agg(count(lit(1)).as("c"))
+    // empty-input guard (ADVICE r18): a filtered-empty TABLE() subquery
+    // reaches here at analysis time — return the empty profile instead
+    // of throwing NoSuchElementException off the giant-SCC pick (the
+    // same empty-input class as the bomRollup coalesce fix)
+    val giantRow = labels.groupBy("scc_id").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("scc_id").asc).limit(1)
-      .head().getLong(0)
+      .head(1)
+    if (giantRow.isEmpty) {
+      import s.implicits._
+      return Seq.empty[(String, Long)].toDF("cls", "n_vertices")
+    }
+    val giant = giantRow.head.getLong(0)
     val core = labels.filter(col("scc_id") === giant).select("id")
     val seedEdges = core.select(lit(-1L).as("src"), col("id").as("dst"))
     val fromCore = bfsDepthsDF(s,
@@ -2091,11 +2100,17 @@ object Graphs {
       .groupBy("grp")
       .agg(sort_array(collect_set(col("item"))).as("ps"))
       .filter(size(col("ps")).between(minBasket, maxBasket))
+    // per-row memory is O(d), never O(d²) (ADVICE r18): the old form
+    // materialized the full d×d struct array per basket BEFORE the x<y
+    // filter — at max_basket=10000 that's ~1e8 structs in one row.
+    // Two chained generators keep each intermediate row at one basket
+    // array: posexplode yields (i, x), then the ascending-sorted tail
+    // slice after position i IS exactly the x<y partner set (collect_set
+    // + sort_array make ps strictly increasing).
     val pairs = baskets
-      .select(explode(flatten(transform(col("ps"), x =>
-        transform(col("ps"), y => struct(x.as("x"), y.as("y")))))).as("p"))
-      .select(col("p.x"), col("p.y"))
-      .filter(col("x") < col("y"))
+      .select(posexplode(col("ps")).as(Seq("i", "x")), col("ps"))
+      .select(col("x"), explode(slice(col("ps"), col("i") + lit(2),
+        size(col("ps")) - col("i") - lit(1))).as("y"))
     pairs.groupBy("x", "y").agg(count(lit(1)).as("w"))
       .filter(col("w") >= minWeight)
   }

@@ -144,20 +144,42 @@ object SimIndex {
     */
   private val TombstoneBroadcastRows = 4L * 1000 * 1000 // ~32 MB of ids
 
+  /** Tombstone row count memoized per (table, file set): the broadcast
+    * decision needs the count, but readers construct the anti-join plan
+    * on EVERY index read — an eager count() there was one extra Spark
+    * job per read even for a tiny unchanged set (ADVICE r18). The file
+    * set changes exactly when the table does (appendTombstones adds
+    * files, dropTombstones/vacuum removes the table), so it keys the
+    * cache without scanning content, and listing it is driver-side
+    * metadata — no job. Bounded: cleared wholesale if it ever grows
+    * past a few hundred (prefix, delete-epoch) keys.
+    */
+  private val tombstoneCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, Seq[String]), Long]
+
+  private def tombstoneCount(name: String, t: DataFrame): Long = {
+    if (tombstoneCounts.size > 512) tombstoneCounts.clear()
+    tombstoneCounts.getOrElseUpdate(
+      (name, t.inputFiles.sorted.toSeq), t.count())
+  }
+
   /** Drop tombstoned rows from `df` (by `idCol`); identity when no
     * tombstones exist. Small tombstone sets (the common, recently-
     * vacuumed case) broadcast so the anti-join never reshuffles the
     * index scan; past [[TombstoneBroadcastRows]] the anti-join falls
     * back to a shuffled plan — slower, but it completes, and the real
     * remedy (vacuumIndex) is an operator the pipeline already schedules.
-    * The count probe is one metadata-cheap job over the small table.
+    * The count probe is memoized per table version ([[tombstoneCount]]),
+    * so steady-state reads add zero extra jobs.
     */
   private def antiTombstones(spark: SparkSession, prefix: String,
       df: DataFrame, idCol: String): DataFrame =
     tombstones(spark, prefix).fold(df) { t =>
+      val name = s"${prefix}_tombstones"
       val ts = t.select(col("id").as(idCol))
       val probe =
-        if (t.count() <= TombstoneBroadcastRows) broadcast(ts) else ts
+        if (tombstoneCount(name, t) <= TombstoneBroadcastRows) broadcast(ts)
+        else ts
       df.join(probe, Seq(idCol), "left_anti")
     }
 
@@ -222,7 +244,13 @@ object SimIndex {
     * signature-checked via requireFresh — instead of rebuilding it.
     */
   private def reattachAll(spark: SparkSession, prefix: String): Unit =
-    Suffixes.foreach(sfx => Bucketing.reattach(spark, prefix + sfx))
+    Suffixes.foreach { sfx =>
+      val t = prefix + sfx
+      // a table neither in the catalog nor reattachable may be a vacuum
+      // swap interrupted in its metadata-only window — finish the swap
+      // (no-op when no shadow exists, i.e. the suffix was never written)
+      if (!Bucketing.reattach(spark, t)) Bucketing.recoverShadow(spark, t)
+    }
 
   /** True iff the index at `prefix` recorded a build signature and it
     * matches `base`'s CURRENT content (same column set as at build).
@@ -940,11 +968,16 @@ object SimIndex {
   /** Rewrite `table` as the shadow-then-swap the compactBucketed
     * discipline uses: the survivors land in `<table>__vacuum` FIRST and
     * only a durable shadow replaces the original (drop + rename). The
-    * original table stays intact until then — an executor loss or
-    * failure mid-rewrite leaves the index untouched instead of
-    * destroying it (the r17 drop-then-rewrite ordering lost the table
-    * permanently on exactly that failure, since Checkpoints.cut's
-    * localCheckpoint fallback is not fault-tolerant).
+    * original table stays intact through the ENTIRE data rewrite — an
+    * executor loss or failure there leaves the index untouched (the r17
+    * drop-then-rewrite ordering lost the table permanently on exactly
+    * that failure, since Checkpoints.cut's localCheckpoint fallback is
+    * not fault-tolerant). What remains is a metadata-only window
+    * between the DROP and the RENAME where neither name is live; a
+    * crash there strands the survivors under the shadow name, and
+    * [[Bucketing.recoverShadow]] (wired into reattachAll) finishes the
+    * swap on the next read — the parquet stand-in for a transactional
+    * catalog's atomic swap.
     */
   private def rewriteSwap(spark: SparkSession, table: String,
       survivors: DataFrame, keys: Seq[String], buckets: Int,

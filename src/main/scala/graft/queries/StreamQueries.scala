@@ -838,6 +838,55 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // S45 — maintained near-dup CLUSTERS (r19): l02g's bounded dedup
+    // clusters kept live as documents arrive — per batch the new docs'
+    // capped LSH candidates against the live corpus are exactly
+    // re-checked and the surviving edges fold into the incremental CC
+    // labels (Streams.nearDupApplyBatch; same parameters as l02g:
+    // 3-shingles, 32 hashes, 16 bands, est>=0.42, jaccard>0.6, cap 64).
+    // 3 deterministic doc_id-mod-3 batches, the last REPLAYED (already-
+    // indexed docs anti-join away — at-least-once idempotence). Engine-
+    // only (seeded MinHash): rows-checked here; StreamingSpec pins the
+    // uncapped fold == one-shot clusters after EVERY batch, the capped
+    // fold == l02g on a boilerplate-clique family, and this registry
+    // read's relationship to l02g on the organic corpus.
+    "s45_neardup_maintenance" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      val d = Tables.load(s, dir, "documents")
+      var st = Streams.nearDupInit(d, 3, 32, 16)
+      (0 to 2).foreach { i =>
+        st = Streams.nearDupApplyBatch(s, st, d.filter(col("doc_id") % 3 === i),
+          3, 32, 16, 0.42, 0.6, maxBucket = 64)
+      }
+      st = Streams.nearDupApplyBatch(s, st, d.filter(col("doc_id") % 3 === 2),
+        3, 32, 16, 0.42, 0.6, maxBucket = 64) // replay: no-op
+      st.labels.select(col("id").as("doc_id"),
+        col("component").as("cluster_id")).orderBy("doc_id")
+    }),
+
+    // S45b — near-dup maintenance WITH RETRACTIONS (r19): the s45 fold
+    // plus a 4th batch ERASING every doc_id ≡ 7 (mod 10) mid-stream
+    // (GDPR/opt-out), the delete REPLAYED (taint + bounded re-color are
+    // idempotent). Final labels == the one-shot clusters over the
+    // SURVIVING corpus (the erased docs' edges vanish; partners left
+    // edge-less drop out) — pinned in StreamingSpec on the uncapped
+    // fold; engine-only (seeded MinHash), rows-checked here.
+    "s45b_neardup_retraction" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      val d = Tables.load(s, dir, "documents")
+      var st = Streams.nearDupInit(d, 3, 32, 16)
+      (0 to 2).foreach { i =>
+        st = Streams.nearDupApplyBatch(s, st, d.filter(col("doc_id") % 3 === i),
+          3, 32, 16, 0.42, 0.6, maxBucket = 64)
+      }
+      val dels = d.filter(col("doc_id") % 10 === 7)
+      (1 to 2).foreach { _ => // second application replays: idempotent
+        st = Streams.nearDupApplyDelete(s, st, dels)
+      }
+      st.labels.select(col("id").as("doc_id"),
+        col("component").as("cluster_id")).orderBy("doc_id")
+    }),
+
     // S41 — streaming budget-selection maintenance (NEW r14): l54's
     // score histogram maintained through 3 batch-id-stamped partial
     // batches (doc_id mod 3), one REPLAYED; the selection threshold is

@@ -506,6 +506,199 @@ object Streams {
     (ccApplyBatch(s, labels1, ins), live)
   }
 
+  /** S45 maintained state: the live corpus's LSH substrate (docs,
+    * MinHash signatures, band table) + the surviving near-dup edge set
+    * + the incremental CC cluster labels. docs is (doc_id, text);
+    * everything else is derived and carried so no fold ever re-scans
+    * the corpus. In the persisted-index composition (StreamingSpec),
+    * sigs/bands are VIEWS of the SimIndex `_sigs`/`_bands` tables —
+    * the fold never cares where the substrate lives.
+    */
+  case class NearDupState(labels: DataFrame, edges: DataFrame,
+      docs: DataFrame, sigs: DataFrame, bands: DataFrame)
+
+  /** Empty [[NearDupState]] with the right schemas: the real pipeline
+    * run over zero rows (plans only — nothing executes).
+    */
+  def nearDupInit(docsProto: DataFrame, shingleLen: Int,
+      numHashes: Int, bands: Int): NearDupState = {
+    val d = docsProto.select(col("doc_id").cast("long").as("doc_id"),
+      col("text")).limit(0)
+    val sigs = graft.ops.Similarity.minHashSignatures(
+      graft.ops.Text.shingles(d, shingleLen), numHashes)
+    NearDupState(
+      labels = d.select(col("doc_id").as("id"),
+        col("doc_id").as("component")),
+      edges = d.select(col("doc_id").as("src"), col("doc_id").as("dst")),
+      docs = d, sigs = sigs,
+      bands = graft.ops.Similarity.minHashBands(sigs, numHashes, bands))
+  }
+
+  /** New-vs-live candidate pairs for one batch, sharing the capped
+    * hot-bucket discipline of Similarity.bandedCandidates: per
+    * (band, band_sig) bucket, all new-vs-old + new-vs-new pairs while
+    * the bucket total stays at or under `maxBucket`; past the cap each
+    * new member pairs only with the bucket's minimum id (plus one
+    * bridge edge from a new minimum to the old one), so a hot bucket
+    * costs O(new members) rows per batch and the bucket's candidate
+    * graph stays CONNECTED across batches — every earlier member was
+    * linked to the then-hub when it arrived, and hubs chain to the
+    * current minimum. `maxBucket = 0` keeps exact all-pairs: a pair is
+    * then discovered exactly once (in the batch its later endpoint
+    * arrives — band signatures never change), so the union over
+    * batches IS the one-shot candidate set.
+    */
+  private def newVsLiveCandidates(liveBands: DataFrame,
+      freshBands: DataFrame, maxBucket: Int): DataFrame = {
+    def canon(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      Seq(least(x, y).as("a_id"), greatest(x, y).as("b_id"))
+    val live2 = liveBands.select(col("doc_id").as("o_id"), col("band"),
+      col("band_sig"))
+    val fresh2 = freshBands.select(col("doc_id").as("o_id"), col("band"),
+      col("band_sig"))
+    if (maxBucket <= 0) {
+      val newOld = freshBands.join(live2, Seq("band", "band_sig"))
+        .filter(col("doc_id") =!= col("o_id"))
+        .select(canon(col("doc_id"), col("o_id")): _*)
+      val newNew = freshBands.join(fresh2, Seq("band", "band_sig"))
+        .filter(col("doc_id") < col("o_id"))
+        .select(col("doc_id").as("a_id"), col("o_id").as("b_id"))
+      newOld.unionAll(newNew).distinct()
+    } else {
+      // per-bucket occupancy on both sides: the live side's groupBy
+      // runs over the maintained band table — Exchange-free when that
+      // table is the persisted index (bucketed on the key)
+      val stats = freshBands.groupBy("band", "band_sig")
+        .agg(count(lit(1)).as("n_new"), min("doc_id").as("min_new"))
+        .join(liveBands.groupBy("band", "band_sig")
+            .agg(count(lit(1)).as("n_old"), min("doc_id").as("min_old")),
+          Seq("band", "band_sig"), "left")
+        .select(col("band"), col("band_sig"), col("n_new"), col("min_new"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"), col("min_old"))
+      val sized = freshBands.join(stats, Seq("band", "band_sig"))
+      val hotKeys = stats.filter(col("n_old") + col("n_new") > maxBucket)
+      val smallNew = sized.filter(col("n_old") + col("n_new") <= maxBucket)
+      val newOld = smallNew
+        .join(live2.join(hotKeys.select("band", "band_sig"),
+          Seq("band", "band_sig"), "left_anti"), Seq("band", "band_sig"))
+        .filter(col("doc_id") =!= col("o_id"))
+        .select(canon(col("doc_id"), col("o_id")): _*)
+      val newNew = smallNew.join(fresh2, Seq("band", "band_sig"))
+        .filter(col("doc_id") < col("o_id"))
+        .select(col("doc_id").as("a_id"), col("o_id").as("b_id"))
+      val hot = sized.filter(col("n_old") + col("n_new") > maxBucket)
+        .withColumn("hub",
+          least(col("min_new"), coalesce(col("min_old"), col("min_new"))))
+      val star = hot.filter(col("doc_id") =!= col("hub"))
+        .select(canon(col("hub"), col("doc_id")): _*)
+      val bridge = hotKeys
+        .filter(col("n_old") > 0 && col("min_new") < col("min_old"))
+        .select(col("min_new").as("a_id"), col("min_old").as("b_id"))
+      newOld.unionAll(newNew).unionAll(star).unionAll(bridge).distinct()
+    }
+  }
+
+  /** S45 — maintained near-dup CLUSTERS: the dedup-service read a
+    * 100 TB training pipeline actually runs — cluster labels that
+    * update as documents arrive, instead of the batch rebuild
+    * (l02g/l02i). Fold one micro-batch of documents into the state in
+    * four bounded steps:
+    *
+    * 1. genuinely NEW docs (anti-join on doc_id — at-least-once
+    *    replays drop out, so re-delivering a batch is a no-op) are
+    *    shingled, MinHash-signed and banded: O(batch) text work, the
+    *    only scan of the new documents;
+    * 2. candidates are new-vs-live + new-vs-new pairs sharing a band
+    *    bucket, hot buckets capped ([[newVsLiveCandidates]]);
+    * 3. candidates are estimate-prefiltered on the maintained
+    *    signatures, then exactly re-checked (n-gram Jaccard) against
+    *    shingles recomputed for the PAIR ENDPOINTS only — bounded by
+    *    candidate volume, never corpus volume;
+    * 4. surviving edges fold into the maintained labels through the
+    *    batch-sized quotient-graph CC merge ([[ccApplyBatch]]).
+    *
+    * Uncapped, the maintained edge set equals the one-shot surviving
+    * pair set over the accumulated corpus EXACTLY (candidate discovery
+    * is pairwise time-invariant, and so is the exact re-check), so the
+    * maintained labels equal the one-shot clusters after EVERY batch —
+    * the s40/s43 discipline, gated in StreamingSpec. Capped, the
+    * maintained clusters carry the bandedCandidates capped contract:
+    * candidate-graph components identical to uncapped, post-filter a
+    * refinement, and EXACT label equality on boilerplate-clique
+    * families (the shape that creates hot buckets at 100 TB) — gated
+    * on a clique fixture in StreamingSpec.
+    */
+  def nearDupApplyBatch(s: org.apache.spark.sql.SparkSession,
+      st: NearDupState, batch: DataFrame, shingleLen: Int, numHashes: Int,
+      bands: Int, estMin: Double, jacMin: Double, maxBucket: Int)
+      : NearDupState = {
+    import graft.ops.{Checkpoints, Similarity, Text}
+    val fresh = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(st.docs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .transform(Checkpoints.cut)
+    if (fresh.isEmpty) return st
+    val freshSigs = Similarity.minHashSignatures(
+        Text.shingles(fresh, shingleLen), numHashes)
+      .transform(Checkpoints.cut)
+    val freshBands = Similarity.minHashBands(freshSigs, numHashes, bands)
+      .transform(Checkpoints.cut)
+    val cands = newVsLiveCandidates(st.bands, freshBands, maxBucket)
+    val sigsAll = st.sigs.unionByName(freshSigs)
+    val likely = Similarity.estimateJaccard(cands, sigsAll)
+      .filter(col("est_jaccard") >= estMin)
+      .select("a_id", "b_id")
+      .transform(Checkpoints.cut)
+    val endpoints = likely.select(col("a_id").as("doc_id"))
+      .unionAll(likely.select(col("b_id").as("doc_id"))).distinct()
+    val checkDocs = st.docs.unionByName(fresh)
+      .join(endpoints, Seq("doc_id"), "left_semi")
+    val edges = Similarity.exactJaccardCompact(
+        Text.shingles(checkDocs, shingleLen), likely)
+      .filter(col("jaccard") > jacMin)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .transform(Checkpoints.cut)
+    NearDupState(
+      labels = ccApplyBatch(s, st.labels, edges),
+      edges = st.edges.unionByName(edges).transform(Checkpoints.cut),
+      docs = st.docs.unionByName(fresh).transform(Checkpoints.cut),
+      sigs = sigsAll.transform(Checkpoints.cut),
+      bands = st.bands.unionByName(freshBands).transform(Checkpoints.cut))
+  }
+
+  /** S45 retraction: erase `delDocs` (by doc_id) from the maintained
+    * near-dup state — GDPR/opt-out mid-stream. Substrate rows anti-join
+    * away; incident edges delete through [[ccApplyDelta]]'s bounded
+    * decremental fold (only the touched components re-color; the erased
+    * doc and any partner left edge-less drop out of the labels, exactly
+    * as a from-scratch run over the survivors would drop them). The
+    * surviving edge set IS the one-shot pair set over the surviving
+    * corpus (every re-check was pairwise, so pairs not involving the
+    * deleted doc are untouched) — maintained labels == one-shot
+    * clusters on survivors, gated in StreamingSpec; replaying the same
+    * delete is a natural no-op.
+    */
+  def nearDupApplyDelete(s: org.apache.spark.sql.SparkSession,
+      st: NearDupState, delDocs: DataFrame): NearDupState = {
+    import graft.ops.Checkpoints
+    val ids = delDocs.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().transform(Checkpoints.cut)
+    val delEdges = st.edges
+      .join(ids.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      .unionAll(st.edges
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi"))
+      .distinct()
+    val (labels, live) = ccApplyDelta(s, st.labels, st.edges,
+      st.edges.limit(0), delEdges)
+    NearDupState(labels, live,
+      docs = st.docs.join(ids, Seq("doc_id"), "left_anti")
+        .transform(Checkpoints.cut),
+      sigs = st.sigs.join(ids, Seq("doc_id"), "left_anti")
+        .transform(Checkpoints.cut),
+      bands = st.bands.join(ids, Seq("doc_id"), "left_anti")
+        .transform(Checkpoints.cut))
+  }
+
   /** State-TTL probe rows (ROADMAP #12). */
   case class TtlIn(user_id: Long, n: Long)
   case class TtlOut(user_id: Long, ttl_total: Long, all_total: Long)

@@ -1619,4 +1619,15 @@ class GraphOpsSpec extends SparkSpecBase {
       rm(new java.io.File(dir))
     }
   }
+
+  test("g35 bowtie: an empty edge input yields the empty profile " +
+      "(the TVF runs the giant-SCC pick at analysis time, so a " +
+      "filtered-empty TABLE() subquery must not crash)") {
+    import spark.implicits._
+    val out = Graphs.bowtieProfile(spark,
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      trimRounds = 2, rounds = 8, iters = 16)
+    assert(out.columns.toSeq == Seq("cls", "n_vertices"))
+    assert(out.collect().isEmpty)
+  }
 }

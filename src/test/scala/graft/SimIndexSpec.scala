@@ -774,4 +774,56 @@ class SimIndexSpec extends SparkSpecBase {
     assert(SimIndex.ivfPqSearch(spark, "pqdel", q, nprobe = 2, topk = 10)
       .collect().map(_.getLong(0)).toSet == after)
   }
+
+  test("vacuum crash recovery: a swap interrupted in its metadata-only " +
+      "window (shadow stranded, original gone) is finished on the next " +
+      "read — same-session and cross-session shapes") {
+    import graft.ops.Bucketing
+    dropIdx("lshcrash_bands", "lshcrash_sigs", "lshcrash_meta",
+      "lshcrash_tombstones", "lshcrash_bands__vacuum")
+    val docs = Tables.load(spark, sfDir, "documents")
+    SimIndex.writeLshIndex(docs, "lshcrash", numHashes = 32, bands = 16,
+      buckets = 4)
+    def pairs() = SimIndex.lshCandidatesFromIndex(spark, "lshcrash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs()
+    assert(want.nonEmpty)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+
+    // --- same-session shape: shadow still a catalog (managed) table,
+    // original dropped — exactly the state after rewriteSwap's DROP and
+    // before its RENAME, with the crashing process still alive.
+    val desc = Bucketing.readDescriptor(spark, "lshcrash_bands").get
+    val keys = desc.getProperty("keys").split(',').toSeq
+    val sorts = desc.getProperty("sorts").split(',').toSeq
+    val buckets = desc.getProperty("buckets").toInt
+    spark.sql("DROP TABLE IF EXISTS lshcrash_bands__vacuum")
+    Bucketing.dropStaleLocation(spark, "lshcrash_bands__vacuum")
+    Bucketing.writeBucketedMulti(spark.table("lshcrash_bands"),
+      "lshcrash_bands__vacuum", keys, buckets, sorts)
+    spark.sql("DROP TABLE lshcrash_bands")
+    Bucketing.dropStaleLocation(spark, "lshcrash_bands")
+    assert(pairs() == want) // reattachAll finished the swap
+    assert(spark.catalog.tableExists("lshcrash_bands"))
+    assert(!spark.catalog.tableExists("lshcrash_bands__vacuum"))
+
+    // --- cross-session shape: the crashed process is gone, so the new
+    // session's catalog knows NEITHER name; only the shadow's files +
+    // descriptor survive in the warehouse. Simulate by moving the live
+    // table's directory to the shadow name and purging the catalog
+    // entry (its recorded location no longer exists, so the managed
+    // drop deletes nothing).
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(wh, "lshcrash_bands")
+    val shadowLoc = new org.apache.hadoop.fs.Path(wh,
+      "lshcrash_bands__vacuum")
+    if (fs.exists(shadowLoc)) fs.delete(shadowLoc, true)
+    assert(fs.rename(loc, shadowLoc))
+    spark.sql("DROP TABLE IF EXISTS lshcrash_bands")
+    assert(!fs.exists(loc) && fs.exists(shadowLoc))
+    assert(pairs() == want) // recoverShadow moved the files back
+    assert(fs.exists(loc) && !fs.exists(shadowLoc))
+    dropIdx("lshcrash_bands", "lshcrash_sigs", "lshcrash_meta")
+  }
 }

@@ -2689,4 +2689,180 @@ class StreamingSpec extends SparkSpecBase {
       assert(last == batch)
     } finally q.stop()
   }
+
+  // ---- S45: maintained near-dup clusters (r19) ----
+
+  /** One-shot l02-style cluster pipeline over `corpus`: LSH candidates
+    * (capped when maxBucket > 0), estimate prefilter, exact re-check,
+    * connected components — the reference the maintained fold is held
+    * to (l02g's parameters).
+    */
+  private def oneShotClusters(corpus: DataFrame,
+      maxBucket: Int): Map[Long, Long] = {
+    import graft.ops.{Graphs, Similarity, Text}
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val sh = Text.shingles(corpus, 3).cache()
+    val sigs = Similarity.minHashSignatures(sh, 32).cache()
+    val likely = Similarity.estimateJaccard(
+        Similarity.lshCandidates(sigs, 32, 16, maxBucket), sigs)
+      .filter(col("est_jaccard") >= 0.42).select("a_id", "b_id")
+    val pairs = Similarity.exactJaccardCompact(sh, likely)
+      .filter(col("jaccard") > 0.6)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val m = Graphs.connectedComponentsDF(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh.unpersist(); sigs.unpersist()
+    m
+  }
+
+  private def snap45(st: Streams.NearDupState): Map[Long, Long] =
+    st.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("S45 near-dup maintenance (uncapped): maintained labels == " +
+      "one-shot clusters after EVERY batch; mid-stream retraction == " +
+      "one-shot on survivors; batch and delete replays are no-ops") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .localCheckpoint()
+    var st = Streams.nearDupInit(d, 3, 32, 16)
+    (0 to 2).foreach { i =>
+      st = Streams.nearDupApplyBatch(spark, st,
+        d.filter(col("doc_id") % 3 === i), 3, 32, 16, 0.42, 0.6, 0)
+      val want = oneShotClusters(d.filter(col("doc_id") % 3 <= i), 0)
+      assert(snap45(st) == want)
+    }
+    assert(snap45(st).nonEmpty)
+    // replaying an already-folded batch: anti-joined away, no-op
+    st = Streams.nearDupApplyBatch(spark, st,
+      d.filter(col("doc_id") % 3 === 2), 3, 32, 16, 0.42, 0.6, 0)
+    assert(snap45(st) == oneShotClusters(d, 0))
+    // retraction mid-stream (GDPR erasure): == one-shot on survivors
+    val dels = d.filter(col("doc_id") % 10 === 7)
+    val surv = d.filter(col("doc_id") % 10 =!= 7)
+    st = Streams.nearDupApplyDelete(spark, st, dels)
+    val wantSurv = oneShotClusters(surv, 0)
+    assert(snap45(st) == wantSurv)
+    // replaying the same delete: idempotent
+    st = Streams.nearDupApplyDelete(spark, st, dels)
+    assert(snap45(st) == wantSurv)
+  }
+
+  test("S45 capped composition through the persisted LSH index: " +
+      "foreachBatch (append + capped new-vs-live candidates + " +
+      "incremental CC) == one-shot capped clusters after every batch " +
+      "on a boilerplate-clique family; final capped index read " +
+      "re-derives the same clusters") {
+    import spark.implicits._
+    import graft.ops.{Graphs, SimIndex, Similarity, Text}
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    Seq("s45idx_bands", "s45idx_sigs", "s45idx_meta", "s45idx_docs",
+        "s45idx_tombstones").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(s"$wh/$t"))
+    }
+    // three boilerplate families (identical body per family — the shape
+    // that creates hot buckets at 100 TB); cap 4 makes the 9- and
+    // 7-member families HOT while the 2-member family stays all-pairs
+    def fam(body: String, n: Int, id0: Long): Seq[(Long, String)] =
+      (0 until n).map(i => (id0 + i, body * 20))
+    val docs = fam("alpha beta gamma delta epsilon ", 9, 100L) ++
+      fam("zeta eta theta iota kappa lambda ", 7, 300L) ++
+      fam("mu nu xi omicron pi rho sigma tau ", 2, 500L)
+    val ddf = docs.toDF("doc_id", "text").localCheckpoint()
+    val cap = 4
+    var labels = ddf.select(col("doc_id").as("id"),
+      col("doc_id").as("component")).limit(0)
+    var edges = ddf.select(col("doc_id").as("src"),
+      col("doc_id").as("dst")).limit(0)
+    var arrived = ddf.limit(0)
+    val emptyInit = Streams.nearDupInit(ddf, 3, 32, 16)
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDS().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val haveIdx = spark.catalog.tableExists("s45idx_meta")
+        val st = Streams.NearDupState(labels, edges, arrived,
+          sigs = if (haveIdx) spark.table("s45idx_sigs") else emptyInit.sigs,
+          bands = if (haveIdx) spark.table("s45idx_bands") else emptyInit.bands)
+        val fresh = b.select(col("doc_id").cast("long").as("doc_id"),
+            col("text"))
+          .join(arrived.select("doc_id"), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        // fold against the PRE-append index state (new-vs-live) ...
+        val st2 = Streams.nearDupApplyBatch(spark, st, b, 3, 32, 16,
+          0.42, 0.6, cap)
+        labels = st2.labels; edges = st2.edges; arrived = st2.docs
+        // ... then the genuinely-new docs land in the persisted index
+        if (fresh.head(1).nonEmpty) {
+          if (!haveIdx)
+            SimIndex.writeLshIndex(fresh, "s45idx", numHashes = 32,
+              bands = 16, buckets = 2, shingleLen = 3)
+          else SimIndex.appendLshIndex(fresh, "s45idx")
+        }
+        ()
+      }.start()
+    try {
+      // families interleave across batches, one batch REPLAYED: the
+      // hot buckets grow incrementally, at-least-once delivery holds
+      val batches = Seq(
+        docs.filter(_._1 % 3 == 0), docs.filter(_._1 % 3 == 1),
+        docs.filter(_._1 % 3 == 1), docs.filter(_._1 % 3 == 2))
+      var seen = Set.empty[Long]
+      batches.foreach { batch =>
+        seen = seen ++ batch.map(_._1)
+        source.addData(batch); q.processAllAvailable()
+        val want = oneShotClusters(
+          ddf.filter(col("doc_id").isInCollection(seen)), cap)
+        val got = labels.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want && want.nonEmpty)
+      }
+    } finally q.stop()
+    // every family is one cluster labeled by its minimum member
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == docs.map { case (id, _) =>
+      id -> (if (id < 300) 100L else if (id < 500) 300L else 500L) }.toMap)
+    // the maintained-index capped read (SimIndex.lshCandidatesFromIndex
+    // with maxBucket) re-derives the same clusters one-shot — the l02g
+    // read over the index the stream maintained
+    val idxSigs = spark.table("s45idx_sigs")
+    val likely = Similarity.estimateJaccard(
+        SimIndex.lshCandidatesFromIndex(spark, "s45idx", maxBucket = cap),
+        idxSigs)
+      .filter(col("est_jaccard") >= 0.42).select("a_id", "b_id")
+    val pairs = Similarity.exactJaccardCompact(
+        Text.shingles(ddf, 3), likely)
+      .filter(col("jaccard") > 0.6)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val fromIdx = Graphs.connectedComponentsDF(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromIdx == got)
+  }
+
+  test("S45 capped maintenance on the organic corpus: maintained " +
+      "clusters are a REFINEMENT of the uncapped one-shot clusters " +
+      "(never a false merge), over a subset of its vertices") {
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .localCheckpoint()
+    var st = Streams.nearDupInit(d, 3, 32, 16)
+    (0 to 2).foreach { i =>
+      st = Streams.nearDupApplyBatch(spark, st,
+        d.filter(col("doc_id") % 3 === i), 3, 32, 16, 0.42, 0.6, 8)
+    }
+    val got = snap45(st)
+    val unc = oneShotClusters(d, 0)
+    assert(got.nonEmpty && got.keySet.subsetOf(unc.keySet))
+    got.groupBy(_._2).values.foreach { grp =>
+      assert(grp.keys.map(unc).toSet.size == 1,
+        s"maintained cluster ${grp.keys.toSeq.sorted.take(5)}... spans " +
+          "multiple uncapped clusters (false merge)")
+    }
+  }
 }
