@@ -1473,6 +1473,23 @@ object TableFunctions {
       .queryExecution.logical
   }
 
+  /** triangles_per_vertex(table, x_col, y_col) — (id, n_triangles)
+    * per-vertex triangle counts over canonical (x < y) pairs (the G27
+    * kernel verbatim): each triangle (a<b<c) found once by the wedge-
+    * close join and credited to all three corners. Vertices in no
+    * triangle are ABSENT — LEFT JOIN + coalesce at the call site, as
+    * the g27b clustering-coefficient statement does. Lazy plan.
+    */
+  private def trianglesPerVertexPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "triangles_per_vertex"
+    require(exprs.length == 3,
+      s"$fn takes 3 arguments (table, x_col, y_col), got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val pairs = df.select(df(str(exprs(1), 2, fn)).as("x"),
+      df(str(exprs(2), 3, fn)).as("y"))
+    graft.ops.Graphs.trianglesPerVertex(pairs).queryExecution.logical
+  }
+
   /** cosine_pairs(table, id_col, emb_col, threshold_pct) — ALL exact
     * cosine pairs strictly above threshold_pct/100 via the blocked
     * kernel (the l53b/l59 dedup-decision form of cosine_topk — never a
@@ -1511,6 +1528,28 @@ object TableFunctions {
     val vids = df.select(df(str(exprs(1), 2, fn)).as("doc_id"),
       df(str(exprs(2), 3, fn)).as("payload"))
     graft.ops.Media.pooledFrameEmbeddings(vids)
+      .queryExecution.logical
+  }
+
+  /** pooled_audio_features(table, id_col, payload_col, win_len) — the
+    * l60 kernel: PCM16 WAV parse-back → per-win_len-sample exact
+    * integer features (zero crossings, sample sum) interleaved in
+    * window order into one (vec_id, embedding) row per clip. Compose
+    * with cosine_pairs for audio near-dup from pure SQL (l60c). Lazy
+    * plan.
+    */
+  private def pooledAudioFeaturesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "pooled_audio_features"
+    require(exprs.length == 4,
+      s"$fn takes 4 arguments (table, id_col, payload_col, win_len), " +
+        s"got ${exprs.length}")
+    val df = tableArg(exprs(0), 1, fn)
+    val winLen = long(exprs(3), 4, fn)
+    require(winLen >= 2 && winLen <= 65536,
+      s"$fn: win_len must be in [2, 65536]")
+    val clips = df.select(df(str(exprs(1), 2, fn)).as("doc_id"),
+      df(str(exprs(2), 3, fn)).as("payload"))
+    graft.ops.Media.pooledAudioFeatures(clips, winLen.toInt)
       .queryExecution.logical
   }
 
@@ -1627,6 +1666,14 @@ object TableFunctions {
         "with cosine_pairs/cosine_topk/cosine_pairs_ivf for multimodal " +
         "near-dup from pure SQL. Lazy plan.",
       pooledFrameEmbeddingsPlan _),
+    reg("pooled_audio_features",
+      "_FUNC_(table, id_col, payload_col, win_len) - per-clip pooled " +
+        "audio feature vector of a PCM16 WAV payload: codec parse-back, " +
+        "then per-win_len-sample exact integer (zero crossings, sample " +
+        "sum) features interleaved in window order. Returns " +
+        "(vec_id, embedding); compose with cosine_pairs for audio " +
+        "near-dup from pure SQL. Lazy plan.",
+      pooledAudioFeaturesPlan _),
     reg("decontaminate_bloom",
       "_FUNC_(train, bench, id_col, text_col, shingle_len) - the scale " +
         "path for decontamination: a Bloom filter over the bench " +
@@ -1796,6 +1843,11 @@ object TableFunctions {
         "compose with connected_components for co-purchase clusters. " +
         "Lazy plan.",
       coprojectPlan _),
+    reg("triangles_per_vertex",
+      "_FUNC_(table, x_col, y_col) - per-vertex triangle counts over " +
+        "canonical (x < y) pairs; triangle-less vertices absent. " +
+        "Returns (id, n_triangles). Lazy plan.",
+      trianglesPerVertexPlan _),
     reg("label_propagation",
       "_FUNC_(table, src_col, dst_col, rounds) - synchronous LPA with " +
         "the deterministic (count desc, min label) tie-break. Returns " +

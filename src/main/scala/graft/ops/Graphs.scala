@@ -1904,15 +1904,25 @@ object Graphs {
     * fan-out by oriented out-degree); the restricted contract graph
     * doesn't need it.
     */
-  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+  /** Per-vertex triangle counts over canonical `(x < y)` pairs: each
+    * triangle (a<b<c) is found ONCE by the ab⋈bc⋈ac wedge-close join
+    * and credited to all three corners. Returns (id, n_triangles) for
+    * vertices in at least one triangle. The shared kernel under G27's
+    * clustering coefficients and the `triangles_per_vertex` TVF (r19 —
+    * the SQL door for the per-vertex cohesion family).
+    */
+  def trianglesPerVertex(pairs: DataFrame): DataFrame = {
     val tri = pairs.as("ab")
       .join(pairs.as("bc"), col("ab.y") === col("bc.x"))
       .join(pairs.as("ac"),
         col("ac.x") === col("ab.x") && col("ac.y") === col("bc.y"))
       .select(col("ab.x").as("a"), col("ab.y").as("b"), col("bc.y").as("c"))
-    val triPerV = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val triPerV = trianglesPerVertex(pairs)
     val deg = pairs.select(col("x").as("id"))
       .unionAll(pairs.select(col("y").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))

@@ -387,6 +387,48 @@ object Media {
           .as("embedding"))
   }
 
+  /** L60 kernel — per-CLIP pooled audio feature vector over a
+    * (doc_id, payload) table of PCM16 WAV clips: parse the container
+    * back to samples ([[wavSamples]] — the real byte-level codec, same
+    * mapPartitions batch shape as every decoder), then reduce to
+    * per-`winLen`-sample windows of the two exact integer features the
+    * l51 windowed pass extracts — zero crossings (sign flips, window-
+    * boundary transition excluded) and the sample sum (the DC/loudness
+    * contour; sums, not means — cosine is scale-invariant and integer
+    * sums replay exactly cross-engine) — and interleave them in window
+    * order into one feature vector: [c_0, s_0, c_1, s_1, …]. Returns
+    * (vec_id, embedding: array<float>) — the column the ANN kernels
+    * (thresholdCosinePairs / ivfThresholdPairs) consume; every value
+    * is an integer well under 2^24, so the float storage is exact and
+    * the double-accumulated cosine matches a DuckDB double replay bit
+    * for bit (the l59 discipline on the audio side). THE shared plan
+    * under the l60 registry family and the `pooled_audio_features`
+    * TVF. Plan: one decode pass, one per-clip lag window (clip-sized
+    * partitions), two hash aggregates — nothing wider than the sample
+    * explode, which stays inside the partition at 100 TB.
+    */
+  def pooledAudioFeatures(clips: DataFrame, winLen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    decodeAudioSamples(clips, "payload")
+      .select(col("doc_id"), posexplode(col("samples")).as(Seq("i", "smp")))
+      .withColumn("prev", lag("smp", 1).over(w))
+      .groupBy(col("doc_id"),
+        expr(s"CAST(i div $winLen AS BIGINT)").as("win"))
+      .agg(
+        sum(when(col("i") % winLen =!= 0 &&
+            col("prev").cast("long") * col("smp") < 0, 1L)
+          .otherwise(0L)).as("crossings"),
+        sum(col("smp").cast("long")).as("ssum"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("win"), col("crossings"),
+        col("ssum")))).as("ws"))
+      .select(col("doc_id").as("vec_id"),
+        flatten(transform(col("ws"), x => array(
+          x.getField("crossings").cast("float"),
+          x.getField("ssum").cast("float")))).as("embedding"))
+  }
+
   /** Materialize nearest-neighbor thumbnails of a PPM payload column
     * into `out` (null on malformed bytes) — same mapPartitions batch
     * shape as the decoders.

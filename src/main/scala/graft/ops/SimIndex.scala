@@ -252,6 +252,25 @@ object SimIndex {
       if (!Bucketing.reattach(spark, t)) Bucketing.recoverShadow(spark, t)
     }
 
+  /** Make THIS session observe appends/deletes ANOTHER session applied
+    * to the index at `prefix` — a writer process, a foreachBatch micro-
+    * batch clone (each micro-batch runs in a cloned session, so even a
+    * single-JVM streaming maintainer hits this). Spark caches a table's
+    * data-file listing per session: correct and fast single-session,
+    * but a long-lived reader session over a writer-maintained index
+    * would otherwise read the file set as of its FIRST listing forever
+    * (the SQL-surface twin is REFRESH TABLE). Drops each suffix
+    * table's cached relation; the next read re-lists once. Call it at
+    * the top of a maintenance fold or before a read that must observe
+    * cross-session appends — NOT on every single-session read, where
+    * the listing cache is exactly what you want at 100 TB.
+    */
+  def refreshIndex(spark: SparkSession, prefix: String): Unit =
+    Suffixes.foreach { sfx =>
+      val t = prefix + sfx
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+
   /** True iff the index at `prefix` recorded a build signature and it
     * matches `base`'s CURRENT content (same column set as at build).
     */

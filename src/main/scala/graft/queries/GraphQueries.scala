@@ -500,6 +500,60 @@ object GraphQueries {
         |ORDER BY n_parts DESC, component ASC""".stripMargin)
     }),
 
+    // G27b/G28b (r19) — the LAST two graph reads without a SQL door.
+    // Both derive the co-part pair substrate through the coproject TVF
+    // (lineitem baskets 2..3, min_weight 1 == Graphs.copartPairs
+    // exactly), so the whole statement is SQL end to end. g27b
+    // composes triangles_per_vertex through a TABLE() argument with
+    // the degree/wedge arithmetic inline; g28b is Newman's six exact
+    // integer moments as one aggregate over the degree-joined arc
+    // list. Held to g27/g28's oracles verbatim.
+    "g27b_clustering_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Tables.load(s, dir, "lineitem")
+        .createOrReplaceTempView("graft_g27b_li")
+      s.sql("""WITH pairs AS (
+        |  SELECT x, y FROM coproject('graft_g27b_li', 'l_orderkey',
+        |                             'l_partkey', 2, 3, 1)),
+        |deg AS (
+        |  SELECT id, count(*) AS deg
+        |  FROM (SELECT x AS id FROM pairs
+        |        UNION ALL SELECT y AS id FROM pairs)
+        |  GROUP BY id)
+        |SELECT d.id,
+        |       coalesce(t.n_triangles, 0L) AS n_triangles,
+        |       d.deg * (d.deg - 1) div 2 AS n_wedges,
+        |       1000000 * coalesce(t.n_triangles, 0L)
+        |         div (d.deg * (d.deg - 1) div 2) AS coeff_e6
+        |FROM deg d
+        |LEFT JOIN triangles_per_vertex(
+        |    TABLE(SELECT x, y FROM coproject('graft_g27b_li',
+        |          'l_orderkey', 'l_partkey', 2, 3, 1)),
+        |    'x', 'y') t
+        |  ON d.id = t.id
+        |WHERE d.deg >= 2
+        |ORDER BY id""".stripMargin)
+    }),
+
+    "g28b_assortativity_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      Tables.load(s, dir, "lineitem")
+        .createOrReplaceTempView("graft_g28b_li")
+      s.sql("""WITH pairs AS (
+        |  SELECT x, y FROM coproject('graft_g28b_li', 'l_orderkey',
+        |                             'l_partkey', 2, 3, 1)),
+        |ed AS (
+        |  SELECT x AS src, y AS dst FROM pairs
+        |  UNION ALL SELECT y AS src, x AS dst FROM pairs),
+        |deg AS (SELECT src AS id, count(*) AS d FROM ed GROUP BY src)
+        |SELECT count(*) AS m,
+        |       sum(a.d * b.d) AS sum_xy,
+        |       sum(a.d) AS sum_x, sum(b.d) AS sum_y,
+        |       sum(a.d * a.d) AS sum_x2, sum(b.d * b.d) AS sum_y2
+        |FROM ed JOIN deg a ON ed.src = a.id
+        |        JOIN deg b ON ed.dst = b.id""".stripMargin)
+    }),
+
     // G29b/G33b (r18) — the lazy aggregate doors (reciprocity /
     // rich_club), same discipline.
     "g29b_reciprocity_sql" -> ((s, dir) => {
@@ -2725,5 +2779,7 @@ object GraphQueries {
     "g34b_condensation_sql" -> oraclesBase("g34_condensation"),
     "g35b_bowtie_sql" -> oraclesBase("g35_bowtie"),
     "g36b_resilience_sql" -> oraclesBase("g36_resilience"),
-    "g37b_copurchase_sql" -> oraclesBase("g37_copurchase"))
+    "g37b_copurchase_sql" -> oraclesBase("g37_copurchase"),
+    "g27b_clustering_sql" -> oraclesBase("g27_clustering_coeff"),
+    "g28b_assortativity_sql" -> oraclesBase("g28_assortativity"))
 }

@@ -149,6 +149,46 @@ object LlmQueries {
     // the pooled_frame_embeddings TVF — l59c composes it from SQL)
     graft.ops.Media.pooledFrameEmbeddings(videoPayloads(s, dir))
 
+  /** L60 substrate (r19 — the l59 move on the audio side): each doc's
+    * "clip" is 2048 deterministic PCM16 samples encoded into a REAL
+    * WAV container (Media.encodeWav — the codec round trip is in the
+    * hash-matched path). Sample content derives from a CONTENT key
+    * (doc_id % 50 — forty clips share each base at sf0.01, so near-dup
+    * CLIP pairs exist by construction) with the first 3 samples
+    * carrying per-doc md5 noise; samples stay in ±128
+    * (md5Long % 256 − 128) so every pooled feature is an exact small
+    * integer — float storage exact, double cosine bit-replayable in
+    * DuckDB (the l59 noise-on-one-frame discipline: 3 noisy samples
+    * move one window's sum by ≤ ~765 against a ~3300 vector norm, so
+    * every family pair stays safely above the 0.8 gate while
+    * cross-family cosines concentrate at 0 ± 1/√128).
+    */
+  private def audioClipPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 2048
+    val smp = docs(s, dir).select(col("doc_id"))
+      .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("smp",
+        (when(col("i") < 3,
+            graft.Det.md5Long(concat(col("doc_id"), lit("#"), col("i"))))
+          .otherwise(graft.Det.md5Long(concat(col("doc_id") % 50, lit("a"),
+            col("i"))))
+          % 256 - 128).cast("int"))
+    smp.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("i"), col("smp")))).as("ss"))
+      .as[(Long, Seq[(Int, Int)])]
+      .map { case (id, ss) =>
+        (id, graft.ops.Media.encodeWav(16000, ss.map(_._2.toShort).toArray))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  private def audioFeatureVecs(s: SparkSession, dir: String): DataFrame =
+    // codec parse-back → windowed (crossings, sum) features, the shared
+    // Media kernel (also behind the pooled_audio_features TVF — l60c
+    // composes it from SQL); 16-sample windows → 128 windows → 256 dims
+    graft.ops.Media.pooledAudioFeatures(audioClipPayloads(s, dir), 16)
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
     * local fingerprinting scheme) shared by l44/l45: hash every word
     * 3-gram (40-bit md5 prefix — cross-engine replayable, [[graft.Det]]
@@ -363,6 +403,42 @@ object LlmQueries {
       |pool AS (SELECT doc_id, p, CAST(sum(v) - 512 AS BIGINT) AS pv
       |  FROM px GROUP BY 1, 2),
       |v AS (SELECT doc_id, list(pv ORDER BY p) AS e FROM pool GROUP BY 1)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
+      |FROM v a JOIN v b ON a.doc_id < b.doc_id
+      |WHERE $dotAB / (sqrt($nA) * sqrt($nB)) > 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** l60/l60c shared DuckDB replay: md5 sample stream → lag window →
+    * per-16-sample (crossings, sum) features → interleaved double
+    * vector → cosine pairs above 0.8. Every feature is an exact small
+    * integer and the Spark kernel accumulates the dot in double, so
+    * the match is bit-for-bit (the l59 precedent).
+    */
+  private lazy val l60OracleSql: String = {
+    val hNoise = graft.Det.duckMd5Long("doc_id || '#' || i")
+    val hBase = graft.Det.duckMd5Long("(doc_id % 50) || 'a' || i")
+    val dotAB = duckDot.format("a.e", "b.e")
+    val nA = duckNormSq.format("a.e")
+    val nB = duckNormSq.format("b.e")
+    s"""WITH smp AS (SELECT doc_id, i,
+      |    CAST((CASE WHEN i < 3 THEN ($hNoise) ELSE ($hBase) END)
+      |         % 256 - 128 AS BIGINT) AS smp
+      |  FROM (SELECT doc_id, unnest(range(0, 2048)) AS i
+      |        FROM documents)),
+      |p AS (SELECT doc_id, i, smp,
+      |    lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |  FROM smp),
+      |wf AS (SELECT doc_id, CAST(i // 16 AS BIGINT) AS win,
+      |    sum(CASE WHEN i % 16 <> 0 AND prev * smp < 0
+      |        THEN 1 ELSE 0 END) AS crossings,
+      |    sum(smp) AS ssum
+      |  FROM p GROUP BY 1, 2),
+      |v AS (SELECT doc_id,
+      |    flatten(list([CAST(crossings AS DOUBLE), CAST(ssum AS DOUBLE)]
+      |                 ORDER BY win)) AS e
+      |  FROM wf GROUP BY 1)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  round($dotAB / (sqrt($nA) * sqrt($nB)), 4) AS cos_sim
       |FROM v a JOIN v b ON a.doc_id < b.doc_id
@@ -1559,6 +1635,53 @@ object LlmQueries {
         |  TABLE(SELECT vec_id, embedding
         |        FROM pooled_frame_embeddings('graft_l59c_videos',
         |                                     'doc_id', 'payload')),
+        |  'vec_id', 'embedding', 80)
+        |ORDER BY a_id, b_id""".stripMargin)
+    }),
+
+    // L60 — AUDIO near-dup, exact pooled form (r19 — the l59 move on
+    // l51's WAV feature kernel, completing the multimodal near-dup
+    // matrix: text l02, image l53b, video l59, audio here): WAV encode
+    // → codec parse-back → per-window exact integer (crossings, sum)
+    // features → per-clip feature vector → blocked threshold-cosine
+    // pairs. HASH-MATCHED: the oracle replays md5 stream → windowed
+    // features → double cosine, so the match certifies encode → decode
+    // → window fold → pair kernel end to end.
+    "l60_audio_neardup" -> ((s, dir) => {
+      Similarity.thresholdCosinePairs(audioFeatureVecs(s, dir),
+          threshold = 0.8)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // L60b — the IVF-bucketed scale path for l60 (the l59b discipline
+    // on audio feature vectors): bucket-local equi join + exact cosine
+    // filter, never all-pairs. Engine-only (seeded kmeans);
+    // ToleranceSpec gates precision 1.0, recall vs l60, and the keyed
+    // ground truth (clips sharing doc_id % 50 are the true clusters).
+    "l60b_audio_neardup_ivf" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      Similarity.ivfThresholdPairs(audioFeatureVecs(s, dir),
+          threshold = 0.8, nCentroids = 8, nprobe = 2)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // L60c — AUDIO near-dup from PURE SQL (the l59c discipline): two
+    // TVFs composed in one statement — pooled_audio_features (codec
+    // parse-back → windowed features, the l60 kernel verbatim) feeding
+    // cosine_pairs through a TABLE(SELECT ...) argument. Held to l60's
+    // oracle verbatim (hash).
+    "l60c_audio_neardup_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      audioClipPayloads(s, dir).createOrReplaceTempView("graft_l60c_clips")
+      s.sql("""SELECT a_id, b_id, round(cos_sim, 4) AS cos_sim
+        |FROM cosine_pairs(
+        |  TABLE(SELECT vec_id, embedding
+        |        FROM pooled_audio_features('graft_l60c_clips',
+        |                                   'doc_id', 'payload', 16)),
         |  'vec_id', 'embedding', 80)
         |ORDER BY a_id, b_id""".stripMargin)
     }),
@@ -3159,6 +3282,8 @@ object LlmQueries {
     // so it holds the same oracle verbatim.
     "l59_video_neardup" -> l59OracleSql,
     "l59c_video_neardup_sql" -> l59OracleSql,
+    "l60_audio_neardup" -> l60OracleSql,
+    "l60c_audio_neardup_sql" -> l60OracleSql,
 
     "l51_audio_features" -> {
       val h = graft.Det.duckMd5Long("doc_id || '_' || i")

@@ -847,9 +847,17 @@ object StreamQueries {
     // 3 deterministic doc_id-mod-3 batches, the last REPLAYED (already-
     // indexed docs anti-join away — at-least-once idempotence). Engine-
     // only (seeded MinHash): rows-checked here; StreamingSpec pins the
-    // uncapped fold == one-shot clusters after EVERY batch, the capped
-    // fold == l02g on a boilerplate-clique family, and this registry
-    // read's relationship to l02g on the organic corpus.
+    // exact contracts — UNCAPPED maintained == one-shot clusters after
+    // EVERY batch (edge discovery is pairwise time-invariant, so the
+    // sets are equal, not just the components); CAPPED maintained ==
+    // one-shot capped on a boilerplate-clique family (all star edges
+    // survive the re-check); and on the organic corpus the capped
+    // maintained clusters are a REFINEMENT of the uncapped one-shot
+    // (never a false merge). Vs the capped one-shot (l02g) the PAIR
+    // sets differ by design — the hub of a hot bucket shifts as the
+    // corpus grows — so their post-filter chained components can split
+    // differently (measured at sf0.01: 1 cluster of 329); both sit
+    // inside the same uncapped components.
     "s45_neardup_maintenance" -> ((s, dir) => {
       graft.functions.VecFunctions.ensureRegistered(s)
       val d = Tables.load(s, dir, "documents")

@@ -517,13 +517,23 @@ object Streams {
   case class NearDupState(labels: DataFrame, edges: DataFrame,
       docs: DataFrame, sigs: DataFrame, bands: DataFrame)
 
+  /** The (doc_id, text, n_chars) frame the shingle kernel expects —
+    * n_chars derived from the text when the caller's frame doesn't
+    * carry it (synthetic fixtures, raw intake streams).
+    */
+  private def nearDupDocs(df: DataFrame): DataFrame =
+    if (df.columns.contains("n_chars"))
+      df.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("n_chars").cast("long").as("n_chars"))
+    else df.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+      length(col("text")).cast("long").as("n_chars"))
+
   /** Empty [[NearDupState]] with the right schemas: the real pipeline
     * run over zero rows (plans only — nothing executes).
     */
   def nearDupInit(docsProto: DataFrame, shingleLen: Int,
       numHashes: Int, bands: Int): NearDupState = {
-    val d = docsProto.select(col("doc_id").cast("long").as("doc_id"),
-      col("text")).limit(0)
+    val d = nearDupDocs(docsProto).limit(0)
     val sigs = graft.ops.Similarity.minHashSignatures(
       graft.ops.Text.shingles(d, shingleLen), numHashes)
     NearDupState(
@@ -633,8 +643,7 @@ object Streams {
       bands: Int, estMin: Double, jacMin: Double, maxBucket: Int)
       : NearDupState = {
     import graft.ops.{Checkpoints, Similarity, Text}
-    val fresh = batch
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val fresh = nearDupDocs(batch)
       .join(st.docs.select("doc_id"), Seq("doc_id"), "left_anti")
       .transform(Checkpoints.cut)
     if (fresh.isEmpty) return st
@@ -683,10 +692,15 @@ object Streams {
     import graft.ops.Checkpoints
     val ids = delDocs.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().transform(Checkpoints.cut)
+    // a USING-column semi join puts the join key FIRST in the output —
+    // select (src, dst) back explicitly before the union or the
+    // dst-side branch's rows arrive flipped
     val delEdges = st.edges
       .join(ids.select(col("doc_id").as("src")), Seq("src"), "left_semi")
-      .unionAll(st.edges
-        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi"))
+      .select("src", "dst")
+      .unionByName(st.edges
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst"))
       .distinct()
     val (labels, live) = ccApplyDelta(s, st.labels, st.edges,
       st.edges.limit(0), delEdges)

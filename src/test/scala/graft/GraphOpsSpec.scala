@@ -1462,7 +1462,12 @@ class GraphOpsSpec extends SparkSpecBase {
         "g34b_condensation_sql" -> "g34_condensation",
         "g35b_bowtie_sql" -> "g35_bowtie",
         "g36b_resilience_sql" -> "g36_resilience",
-        "g37b_copurchase_sql" -> "g37_copurchase")
+        "g37b_copurchase_sql" -> "g37_copurchase",
+        // r19: the last two doors — g27b composes coproject +
+        // triangles_per_vertex (TABLE() arg) + inline degree/wedge
+        // arithmetic; g28b is the six-moment aggregate over coproject
+        "g27b_clustering_sql" -> "g27_clustering_coeff",
+        "g28b_assortativity_sql" -> "g28_assortativity")
       .foreach { case (twin, sibling) =>
         val a = SparkEntry.queries(twin)(spark, sfDir).collect().toSeq
         val b = SparkEntry.queries(sibling)(spark, sfDir).collect().toSeq

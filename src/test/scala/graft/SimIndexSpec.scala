@@ -579,6 +579,50 @@ class SimIndexSpec extends SparkSpecBase {
     assert(ids == post.map(_._1).toSet)
   }
 
+  test("IVF vacuum under the shadow-swap discipline: vacuumed pairs == " +
+      "tombstone-filtered pairs row-for-row, physical rows drop, the " +
+      "vacuumed plan carries no tombstone anti-join, signature intact") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    dropIdx("ivfvac_centroids", "ivfvac_vectors", "ivfvac_meta",
+      "ivfvac_res_hist", "ivfvac_tombstones")
+    val dim = 8
+    def cluster(axis: Int, n: Int, idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)(0f)
+        v(axis) = 1f
+        (0 until dim).foreach(d =>
+          v(d) += (((idBase + i) * 31 + d * 7) % 11 - 5) * 0.01f)
+        (idBase + i, v.toSeq)
+      }
+    def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    val corpus = cluster(0, 30, 0L) ++ cluster(1, 30, 100L)
+    val delRows = corpus.filter(_._1 % 5 == 2)
+    val surv = corpus.filterNot(_._1 % 5 == 2)
+    SimIndex.writeIvfIndex(df(corpus), "ivfvac", k = 4, nprobe = 1,
+      buckets = 4)
+    SimIndex.deleteFromIvfIndex(df(delRows), "ivfvac")
+    def pairs() = SimIndex.ivfPairsFromIndex(spark, "ivfvac")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = pairs() // tombstone-filtered read
+    assert(filtered.nonEmpty)
+    // vacuum: the vector table rewrites shadow-then-swap; the read is
+    // unchanged while the tombstone anti-join disappears from the plan
+    SimIndex.vacuumIndex(spark, "ivfvac")
+    assert(!spark.catalog.tableExists("ivfvac_tombstones"))
+    val delIds = delRows.map(_._1).toSet
+    assert(spark.table("ivfvac_vectors")
+      .filter(col("vec_id").isInCollection(delIds)).count() == 0)
+    assert(pairs() == filtered)
+    assert(SimIndex.isFresh(spark, "ivfvac", df(surv)))
+    val plan = SimIndex.ivfPairsFromIndex(spark, "ivfvac")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("anti"),
+      "vacuumed IVF read still carries a tombstone anti-join")
+  }
+
   test("IVF signature contract: zero-norm rows never count — write and " +
       "append with zero-norm rows stay fresh vs the indexable subset, " +
       "and a drift rebuild does not go spuriously stale") {

@@ -2723,7 +2723,8 @@ class StreamingSpec extends SparkSpecBase {
       "one-shot on survivors; batch and delete replays are no-ops") {
     graft.functions.VecFunctions.ensureRegistered(spark)
     val d = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("n_chars"))
       .localCheckpoint()
     var st = Streams.nearDupInit(d, 3, 32, 16)
     (0 to 2).foreach { i =>
@@ -2773,7 +2774,9 @@ class StreamingSpec extends SparkSpecBase {
     val docs = fam("alpha beta gamma delta epsilon ", 9, 100L) ++
       fam("zeta eta theta iota kappa lambda ", 7, 300L) ++
       fam("mu nu xi omicron pi rho sigma tau ", 2, 500L)
-    val ddf = docs.toDF("doc_id", "text").localCheckpoint()
+    val ddf = docs.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
     val cap = 4
     var labels = ddf.select(col("doc_id").as("id"),
       col("doc_id").as("component")).limit(0)
@@ -2785,12 +2788,15 @@ class StreamingSpec extends SparkSpecBase {
     val source = MemoryStream[(Long, String)]
     val q = source.toDS().toDF("doc_id", "text")
       .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        // each micro-batch ran its writes in a CLONED session — this
+        // session's cached file listings must re-list to observe them
+        SimIndex.refreshIndex(spark, "s45idx")
         val haveIdx = spark.catalog.tableExists("s45idx_meta")
         val st = Streams.NearDupState(labels, edges, arrived,
           sigs = if (haveIdx) spark.table("s45idx_sigs") else emptyInit.sigs,
           bands = if (haveIdx) spark.table("s45idx_bands") else emptyInit.bands)
         val fresh = b.select(col("doc_id").cast("long").as("doc_id"),
-            col("text"))
+            col("text"), length(col("text")).cast("long").as("n_chars"))
           .join(arrived.select("doc_id"), Seq("doc_id"), "left_anti")
           .localCheckpoint()
         // fold against the PRE-append index state (new-vs-live) ...
@@ -2830,6 +2836,7 @@ class StreamingSpec extends SparkSpecBase {
     // the maintained-index capped read (SimIndex.lshCandidatesFromIndex
     // with maxBucket) re-derives the same clusters one-shot — the l02g
     // read over the index the stream maintained
+    SimIndex.refreshIndex(spark, "s45idx")
     val idxSigs = spark.table("s45idx_sigs")
     val likely = Similarity.estimateJaccard(
         SimIndex.lshCandidatesFromIndex(spark, "s45idx", maxBucket = cap),
@@ -2849,7 +2856,8 @@ class StreamingSpec extends SparkSpecBase {
       "(never a false merge), over a subset of its vertices") {
     graft.functions.VecFunctions.ensureRegistered(spark)
     val d = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("n_chars"))
       .localCheckpoint()
     var st = Streams.nearDupInit(d, 3, 32, 16)
     (0 to 2).foreach { i =>

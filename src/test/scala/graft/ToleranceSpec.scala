@@ -566,6 +566,39 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("l60b IVF audio near-dup: precision 1.0, recall vs exact l60, " +
+      "and the exact pooled pairs ARE the keyed ground truth") {
+    def pairSet(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("l60_audio_neardup")
+    val ivf = pairSet("l60b_audio_neardup_ivf")
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    // ground truth by construction: clips sharing doc_id % 50 derive
+    // from the same md5 sample stream (only the first 3 samples carry
+    // per-doc noise — one window's sum moves by <= ~765 against a
+    // ~3300 vector norm), cross-key clips are independent noise with
+    // cosines concentrated at 0 +- 1/sqrt(128)
+    val n = graft.Tables.load(spark, sfDir, "documents").count()
+    val expectedPairs = (0L until n).groupBy(_ % 50).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(exact.forall { case (a, b) => a % 50 == b % 50 },
+      "a cross-key clip pair passed the 0.8 threshold")
+    assert(exact.size.toLong == expectedPairs,
+      s"exact audio near-dups ${exact.size} != keyed ground truth $expectedPairs")
+    assert(ivf.subsetOf(exact),
+      s"false positives: ${ivf.diff(exact).take(3)}")
+    val recall = ivf.size.toDouble / exact.size
+    info(f"l60b recall vs exact audio pairs = $recall%.2f (nprobe=2/8)")
+    assert(recall >= 0.5, s"IVF audio near-dup recall $recall")
+    def valued(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ev = valued("l60_audio_neardup")
+    valued("l60b_audio_neardup_ivf").foreach { case (k, v) =>
+      assert(ev(k) == v, s"cos mismatch at $k")
+    }
+  }
+
   test("l13 int8 quantization: codes bounded, error <= scale/2, high recall") {
     import org.apache.spark.sql.functions._
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
