@@ -214,6 +214,24 @@ object Stress {
       labels
     }
 
+    // ---- r19: the maintained triangle fold (s46) on the expanded
+    // pairs — per-batch work is the batch's wedge fan-out, so the trend
+    // should track the edge expansion roughly linearly (the quotient-CC
+    // fold's discipline applied to a corpus-sized enumeration kernel).
+    results("s46_triangle_maintenance") = timed {
+      val pairs = cop.filter(col("src") < col("dst"))
+        .select(col("src").as("x"), col("dst").as("y")).distinct()
+        .transform(Checkpoints.cut)
+      def slice(i: Int) =
+        pairs.filter(pmod(xxhash64(col("x"), col("y")), lit(3)) === i)
+      val none = pairs.limit(0)
+      var st = graft.streaming.Streams.triInit(pairs)
+      (0 to 2).foreach { i =>
+        st = graft.streaming.Streams.triApplyDelta(st, slice(i), none)
+      }
+      st.counts
+    }
+
     // ---- r14 heavyweights: convergence-loop Louvain on the expanded
     // co-part pairs (disjoint copies chained at the min vertex — level
     // count and per-level quotient both stress), and the span-cut

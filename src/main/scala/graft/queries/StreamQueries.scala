@@ -895,6 +895,48 @@ object StreamQueries {
         col("component").as("cluster_id")).orderBy("doc_id")
     }),
 
+    // S46 — maintained per-vertex TRIANGLE COUNTS (r19): g27's cohesion
+    // kernel kept live through 3 hash-split insert batches of the
+    // co-part pair stream + one REPLAYED batch (fresh edges anti-join
+    // away — a natural no-op); each fold enumerates only the triangles
+    // the batch's edges close (batch-incident wedges, never corpus
+    // triangles) and merges corner deltas into the maintained counts.
+    // Final counts == the one-shot triangle SQL over the full pair set
+    // (hash oracle); StreamingSpec pins per-batch equality with
+    // Graphs.trianglesPerVertex on hand fixtures plus the delete cases.
+    "s46_triangle_maintenance" -> ((s, dir) => {
+      val pairs = graft.ops.Graphs.copartPairs(s, dir)
+        .transform(graft.ops.Checkpoints.cut)
+      def slice(i: Int) =
+        pairs.filter(pmod(xxhash64(col("x"), col("y")), lit(3)) === i)
+      val none = pairs.limit(0)
+      var st = Streams.triInit(pairs)
+      (0 to 2).foreach { i => st = Streams.triApplyDelta(st, slice(i), none) }
+      st = Streams.triApplyDelta(st, slice(2), none) // replay: no-op
+      st.counts.orderBy("id")
+    }),
+
+    // S46b — triangle maintenance WITH RETRACTIONS (r19): the s46 fold
+    // plus a 4th batch DELETING every pair with (x + y) ≡ 0 (mod 5),
+    // the delete REPLAYED (deleted edges semi-join the live set first —
+    // idempotent); lost triangles are enumerated against the PRE-delete
+    // graph and subtracted once per sorted triple, so final counts ==
+    // the one-shot triangle SQL over the SURVIVING pairs (hash oracle).
+    "s46b_triangle_retraction" -> ((s, dir) => {
+      val pairs = graft.ops.Graphs.copartPairs(s, dir)
+        .transform(graft.ops.Checkpoints.cut)
+      def slice(i: Int) =
+        pairs.filter(pmod(xxhash64(col("x"), col("y")), lit(3)) === i)
+      val none = pairs.limit(0)
+      var st = Streams.triInit(pairs)
+      (0 to 2).foreach { i => st = Streams.triApplyDelta(st, slice(i), none) }
+      val dels = pairs.filter((col("x") + col("y")) % 5 === 0)
+      (1 to 2).foreach { _ => // second application replays: idempotent
+        st = Streams.triApplyDelta(st, none, dels)
+      }
+      st.counts.orderBy("id")
+    }),
+
     // S41 — streaming budget-selection maintenance (NEW r14): l54's
     // score histogram maintained through 3 batch-id-stamped partial
     // batches (doc_id mod 3), one REPLAYED; the selection threshold is
@@ -1081,6 +1123,44 @@ object StreamQueries {
         |    AND e.dep <= walk.arr + ${30L * 86400L * 1000000L})
         |SELECT id AS p_partkey, min(arr) AS arrival_us FROM walk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // s46: the one-shot per-vertex triangle counts over the full
+    // co-part pair set (the tv half of g27's oracle).
+    "s46_triangle_maintenance" ->
+      """WITH ok AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |       HAVING count(DISTINCT l_partkey) <= 3),
+        |pairs AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |          FROM lineitem a JOIN lineitem b
+        |            ON a.l_orderkey = b.l_orderkey
+        |           AND a.l_partkey < b.l_partkey
+        |          WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)),
+        |tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
+        |  FROM pairs ab
+        |  JOIN pairs bc ON ab.y = bc.x
+        |  JOIN pairs ac ON ac.x = ab.x AND ac.y = bc.y)
+        |SELECT id, count(*) AS n_triangles FROM (
+        |    SELECT a AS id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // s46b: the same read over the SURVIVING pairs ((x+y) % 5 <> 0).
+    "s46b_triangle_retraction" ->
+      """WITH ok AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |       HAVING count(DISTINCT l_partkey) <= 3),
+        |pairs0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |          FROM lineitem a JOIN lineitem b
+        |            ON a.l_orderkey = b.l_orderkey
+        |           AND a.l_partkey < b.l_partkey
+        |          WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)),
+        |pairs AS (SELECT x, y FROM pairs0 WHERE (x + y) % 5 <> 0),
+        |tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
+        |  FROM pairs ab
+        |  JOIN pairs bc ON ab.y = bc.x
+        |  JOIN pairs ac ON ac.x = ab.x AND ac.y = bc.y)
+        |SELECT id, count(*) AS n_triangles FROM (
+        |    SELECT a AS id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // s27b: the one-shot CC over the SURVIVING tree edges — g06's
     // recursive walk over the binary part hierarchy minus the severed

@@ -713,6 +713,128 @@ object Streams {
         .transform(Checkpoints.cut))
   }
 
+  /** S46 maintained state: the live canonical `(x < y)` edge set + the
+    * per-vertex triangle counts over it. The edge set is the graph the
+    * pipeline already ingests (the s27b precedent: exact deletes need
+    * it); the counts table is the maintained read.
+    */
+  case class TriState(edges: DataFrame, counts: DataFrame)
+
+  /** Empty [[TriState]] with the right schemas. */
+  def triInit(edgesProto: DataFrame): TriState = {
+    val e = edgesProto.select(col("x").cast("long").as("x"),
+      col("y").cast("long").as("y")).limit(0)
+    TriState(e, e.select(col("x").as("id"),
+      col("x").as("n_triangles")).limit(0))
+  }
+
+  /** Triangles of `all` (canonical pairs, x < y) that contain at least
+    * one `touch` edge, each triple emitted EXACTLY ONCE as sorted
+    * (a < b < c). Every such triangle (u,v,w) with touch edge (u,v) has
+    * w adjacent to u, so one wedge expansion around each touch edge's
+    * endpoints + one closure semi-join enumerates them all; a triangle
+    * with 2–3 touch edges is found several times and the sorted-triple
+    * distinct collapses it. Cost is Σ deg(endpoint) over the touch
+    * batch — batch-incident wedges, never corpus triangles. At heavy
+    * skew the expansion wants the degree-ordered orientation (the g27
+    * note); the contract fixtures don't need it.
+    */
+  private def touchedTriangles(all: DataFrame, touch: DataFrame,
+      touchRows: Long): DataFrame = {
+    // adaptive hint (the ccApplyDelta discipline): the touch batch is
+    // batch-sized while `all` is the accumulated corpus — broadcast the
+    // small side so the wedge expansion streams the adjacency instead
+    // of reshuffling it (the checkpoint-cut state has no stats to let
+    // the planner see this on its own)
+    def hint(df: DataFrame): DataFrame =
+      if (touchRows <= graft.ops.Graphs.FrontierBroadcastRows) broadcast(df)
+      else df
+    val adj = all.select(col("x").as("s"), col("y").as("t"))
+      .unionAll(all.select(col("y").as("s"), col("x").as("t")))
+    val cand = hint(touch).join(adj, col("x") === col("s"))
+      .filter(col("t") =!= col("y"))
+      .select(col("x"), col("y"), col("t").as("w"),
+        least(col("y"), col("w")).as("cx"),
+        greatest(col("y"), col("w")).as("cy"))
+    // closure: (cx, cy) matches at most one row of the pair SET, so the
+    // equi inner join keeps exactly the closed wedges (and AQE can pick
+    // the build side from the runtime size of the wedge expansion)
+    val closed = cand.join(
+      all.select(col("x").as("cx"), col("y").as("cy")), Seq("cx", "cy"))
+    closed.select(
+        least(col("x"), col("w")).as("a"),
+        (col("x") + col("y") + col("w") - least(col("x"), col("w"))
+          - greatest(col("y"), col("w"))).as("b"),
+        greatest(col("y"), col("w")).as("c"))
+      .distinct()
+  }
+
+  /** Per-vertex count delta from a sorted-triple triangle set: each
+    * triangle credits its three corners once.
+    */
+  private def triCorners(tri: DataFrame): DataFrame =
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+
+  /** S46 — maintained per-vertex TRIANGLE COUNTS: g27's cohesion kernel
+    * kept live as edges arrive and retract — the local-clustering /
+    * spam-cohort read a continuously-ingested graph serves without
+    * batch rebuilds. Fold one micro-batch of canonical-pair inserts and
+    * deletes into the state in three bounded steps:
+    *
+    * 1. deletes are dropped from the live edge set; the triangles LOST
+    *    are exactly those of the PRE-delete graph containing a deleted
+    *    edge ([[touchedTriangles]] — sorted-triple distinct, so a
+    *    triangle losing 2–3 edges at once is subtracted once);
+    * 2. genuinely new edges (anti-join — at-least-once replays drop
+    *    out, so re-delivering a batch is a no-op) join the survivor
+    *    set; the triangles GAINED are exactly those of the POST-insert
+    *    graph containing a fresh edge — a triangle needs its last
+    *    arriving edge to close, and that edge is fresh, so discovery is
+    *    exactly-once across batches even uncapped;
+    * 3. both corner deltas merge into the maintained counts (full-outer
+    *    sum; vertices reaching zero drop out, exactly as the one-shot
+    *    kernel omits triangle-less vertices).
+    *
+    * Each step's work is batch-incident (wedges around the batch's
+    * endpoints), never corpus-sized. A batch deleting and re-inserting
+    * the same edge nets to a no-op (deletes fold first, inserts close
+    * the triangles back). After every fold the maintained counts equal
+    * [[graft.ops.Graphs.trianglesPerVertex]] over the live edge set —
+    * gated per batch in StreamingSpec on hand fixtures and held to the
+    * one-shot DuckDB triangle SQL in the s46/s46b registry entries.
+    */
+  def triApplyDelta(st: TriState, inserts: DataFrame, deletes: DataFrame)
+      : TriState = {
+    import graft.ops.Checkpoints
+    def canon(df: DataFrame): DataFrame =
+      df.select(col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+        .filter(col("x") < col("y")).distinct()
+    val del = canon(deletes).join(st.edges, Seq("x", "y"), "left_semi")
+      .transform(Checkpoints.cut)
+    val delRows = del.count()
+    val (kept, lost) = if (delRows == 0L) (st.edges, None) else (
+      st.edges.join(del, Seq("x", "y"), "left_anti")
+        .transform(Checkpoints.cut),
+      Some(triCorners(touchedTriangles(st.edges, del, delRows))
+        .select(col("id"), (-col("d")).as("d"))))
+    val fresh = canon(inserts).join(kept, Seq("x", "y"), "left_anti")
+      .transform(Checkpoints.cut)
+    val freshRows = fresh.count()
+    if (delRows == 0L && freshRows == 0L) return st
+    val edges = if (freshRows == 0L) kept
+      else kept.unionByName(fresh).transform(Checkpoints.cut)
+    val gained = if (freshRows == 0L) None
+      else Some(triCorners(touchedTriangles(edges, fresh, freshRows)))
+    val counts = (st.counts.select(col("id"), col("n_triangles").as("d"))
+        +: (lost.toSeq ++ gained.toSeq))
+      .reduce(_ unionByName _)
+      .groupBy("id").agg(sum("d").as("n_triangles"))
+      .filter(col("n_triangles") > 0)
+      .transform(Checkpoints.cut)
+    TriState(edges, counts)
+  }
+
   /** State-TTL probe rows (ROADMAP #12). */
   case class TtlIn(user_id: Long, n: Long)
   case class TtlOut(user_id: Long, ttl_total: Long, all_total: Long)

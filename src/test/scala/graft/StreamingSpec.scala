@@ -1044,6 +1044,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(snap() == oneShot)
   }
 
+  test("S46 triangle maintenance: foreachBatch fold == one-shot per-vertex " +
+      "counts after EVERY batch; replay no-op; deletes subtract; " +
+      "same-batch delete+reinsert nets out") {
+    import spark.implicits._
+    // random canonical pairs on 14 vertices — dense enough that batches
+    // share triangles and several triangles close across batch boundaries
+    val rnd = new scala.util.Random(7)
+    val allPairs = (0 until 80)
+      .map(_ => (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    def oneShot(pairs: Seq[(Long, Long)]) =
+      graft.ops.Graphs.trianglesPerVertex(pairs.toDF("x", "y"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val none = Seq.empty[(Long, Long)].toDF("x", "y")
+    var st = Streams.triInit(none)
+    def snap() = st.counts.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, Long)]
+    var seen = Seq.empty[(Long, Long)]
+    val q = source.toDF().toDF("x", "y").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        st = Streams.triApplyDelta(st, batch, none)
+        ()
+      }.start()
+    try {
+      allPairs.grouped(27).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+        seen = seen ++ g
+        // the maintained counts equal the one-shot kernel after EVERY batch
+        assert(snap() == oneShot(seen))
+      }
+    } finally q.stop()
+    assert(snap().values.sum > 0) // the fixture genuinely has triangles
+    // replaying the last slice: fresh edges anti-join away — a no-op
+    st = Streams.triApplyDelta(st, allPairs.takeRight(27).toDF("x", "y"), none)
+    assert(snap() == oneShot(allPairs))
+    // retraction: a delete slice subtracts its triangles once per sorted
+    // triple; vertices losing their last triangle drop out (oneShot omits
+    // them); the replayed delete semi-joins the live set — idempotent
+    val dels = allPairs.filter(e => (e._1 + e._2) % 3 == 0)
+    val kept = allPairs.filterNot(e => (e._1 + e._2) % 3 == 0)
+    assert(dels.nonEmpty && oneShot(kept) != oneShot(allPairs))
+    (1 to 2).foreach { _ =>
+      st = Streams.triApplyDelta(st, none, dels.toDF("x", "y"))
+    }
+    assert(snap() == oneShot(kept))
+    // a batch deleting and re-inserting the same edges nets to a no-op
+    val both = kept.take(5).toDF("x", "y")
+    st = Streams.triApplyDelta(st, both, both)
+    assert(snap() == oneShot(kept))
+  }
+
   test("S43 restless maintenance: shuffled edge arrival == one-shot; a " +
       "late edge CASCADES through long-arrived edges; replay no-op") {
     import spark.implicits._
