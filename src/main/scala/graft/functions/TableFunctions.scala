@@ -1545,8 +1545,13 @@ object TableFunctions {
         s"got ${exprs.length}")
     val df = tableArg(exprs(0), 1, fn)
     val winLen = long(exprs(3), 4, fn)
-    require(winLen >= 2 && winLen <= 65536,
-      s"$fn: win_len must be in [2, 65536]")
+    // 512 keeps the feature EXACT in float32 for any PCM16 input:
+    // |window sum| ≤ 512 · 32768 = 2^24, the float mantissa edge — the
+    // bit-for-bit replay contract the kernel advertises would silently
+    // round past it (review r19)
+    require(winLen >= 2 && winLen <= 512,
+      s"$fn: win_len must be in [2, 512] (float32-exact window sums " +
+        "for PCM16)")
     val clips = df.select(df(str(exprs(1), 2, fn)).as("doc_id"),
       df(str(exprs(2), 3, fn)).as("payload"))
     graft.ops.Media.pooledAudioFeatures(clips, winLen.toInt)

@@ -135,8 +135,21 @@ object Bucketing {
     val from = tableLocation(s, shadow)
     val to = tableLocation(s, table)
     val fs = to.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(to)) fs.delete(to, true) // partial original leftovers
-    fs.rename(from, to)                    // descriptor travels with dir
+    if (fs.exists(to)) {
+      // a descriptor at the target means ANOTHER session finished this
+      // same recovery between our top-of-function check and here — take
+      // its result, touch nothing (deleting would destroy the only
+      // copy). Only descriptor-LESS leftovers (a partial rewrite) go.
+      if (readDescriptor(s, table).isDefined) return reattach(s, table)
+      fs.delete(to, true)
+    }
+    // rename result CHECKED: losing a concurrent-recovery race moves
+    // the shadow under us and the rename returns false — succeed iff
+    // the winner's target is attachable, instead of reporting a
+    // recovery that never happened. (Raw-FS recovery is best-effort
+    // serialized, not transactional: schedule vacuum/recovery from one
+    // maintenance owner, the same contract as the vacuum itself.)
+    if (!fs.rename(from, to)) return reattach(s, table)
     reattach(s, table)
   }
 

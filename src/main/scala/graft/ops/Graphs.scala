@@ -1889,27 +1889,16 @@ object Graphs {
     labels
   }
 
-  /** G27 — local clustering coefficient per vertex over canonical
-    * `(x < y)` pairs: `coeff_e6 = 10^6 · n_triangles div n_wedges` with
-    * `n_wedges = deg·(deg−1)/2` — all integer, so the per-vertex
-    * cohesion read hash-matches cross-engine (the float ratio is kept
-    * to the caller). Only vertices with ≥2 neighbors appear (a vertex
-    * with no wedge has no defined coefficient — emitting 0 would
-    * conflate "no opportunity" with "no closure").
-    *
-    * Triangle enumeration is the canonical a<b<c three-way pair join
-    * (the g07 shape); per-vertex counts come from ONE explode of the
-    * triangle's three corners. On a skewed graph the enumeration wants
-    * the [[kTrussPeel]] degree-ordered orientation (bounding wedge
-    * fan-out by oriented out-degree); the restricted contract graph
-    * doesn't need it.
-    */
   /** Per-vertex triangle counts over canonical `(x < y)` pairs: each
     * triangle (a<b<c) is found ONCE by the ab⋈bc⋈ac wedge-close join
     * and credited to all three corners. Returns (id, n_triangles) for
-    * vertices in at least one triangle. The shared kernel under G27's
-    * clustering coefficients and the `triangles_per_vertex` TVF (r19 —
-    * the SQL door for the per-vertex cohesion family).
+    * vertices in at least one triangle (regardless of degree). The
+    * shared kernel under G27's clustering coefficients and the
+    * `triangles_per_vertex` TVF (r19 — the SQL door for the per-vertex
+    * cohesion family). On a skewed graph the enumeration wants the
+    * [[kTrussPeel]] degree-ordered orientation (bounding wedge fan-out
+    * by oriented out-degree); the restricted contract graph doesn't
+    * need it.
     */
   def trianglesPerVertex(pairs: DataFrame): DataFrame = {
     val tri = pairs.as("ab")
@@ -1921,6 +1910,16 @@ object Graphs {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** G27 — local clustering coefficient per vertex over canonical
+    * `(x < y)` pairs: `coeff_e6 = 10^6 · n_triangles div n_wedges` with
+    * `n_wedges = deg·(deg−1)/2` — all integer, so the per-vertex
+    * cohesion read hash-matches cross-engine (the float ratio is kept
+    * to the caller). Only vertices with ≥2 neighbors appear (a vertex
+    * with no wedge has no defined coefficient — emitting 0 would
+    * conflate "no opportunity" with "no closure"). Per-vertex counts
+    * come from ONE explode of each [[trianglesPerVertex]] triangle's
+    * three corners.
+    */
   def clusteringCoefficients(pairs: DataFrame): DataFrame = {
     val triPerV = trianglesPerVertex(pairs)
     val deg = pairs.select(col("x").as("id"))

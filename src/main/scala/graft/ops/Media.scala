@@ -408,6 +408,13 @@ object Media {
     * explode, which stays inside the partition at 100 TB.
     */
   def pooledAudioFeatures(clips: DataFrame, winLen: Int): DataFrame = {
+    // the exactness contract is a REQUIREMENT, not a fixture accident:
+    // |window sum| ≤ winLen · 32768 must stay ≤ 2^24 (the float32
+    // mantissa edge) for ANY PCM16 input, or the advertised bit-for-bit
+    // cross-engine replay silently degrades to approximate
+    require(winLen >= 2 && winLen <= 512,
+      s"pooledAudioFeatures: winLen must be in [2, 512] (float32-exact " +
+        "window sums for PCM16)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i")
     decodeAudioSamples(clips, "payload")

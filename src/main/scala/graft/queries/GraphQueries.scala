@@ -508,6 +508,14 @@ object GraphQueries {
     // the degree/wedge arithmetic inline; g28b is Newman's six exact
     // integer moments as one aggregate over the degree-joined arc
     // list. Held to g27/g28's oracles verbatim.
+    //
+    // The coproject kernel is SPELLED TWICE in g27b (the pairs CTE and
+    // the TVF's TABLE() argument) because a TABLE(<subquery>) argument
+    // is analyzed OUTSIDE the statement's WITH scope — `TABLE(SELECT x,
+    // y FROM pairs)` fails resolution (verified r19). The cost is NOT
+    // doubled at run time: the TVF builder memoizes per (function,
+    // args, canonicalized input plan), and Catalyst's exchange/subplan
+    // reuse dedups the scans that remain.
     "g27b_clustering_sql" -> ((s, dir) => {
       graft.functions.TableFunctions.ensureRegistered(s)
       Tables.load(s, dir, "lineitem")

@@ -643,10 +643,21 @@ object Streams {
       bands: Int, estMin: Double, jacMin: Double, maxBucket: Int)
       : NearDupState = {
     import graft.ops.{Checkpoints, Similarity, Text}
-    val fresh = nearDupDocs(batch)
+    val fresh = nearDupDocs(batch).distinct()
       .join(st.docs.select("doc_id"), Seq("doc_id"), "left_anti")
       .transform(Checkpoints.cut)
     if (fresh.isEmpty) return st
+    // distinct() above collapses exact intra-batch replays of a row;
+    // what survives with a repeated doc_id is CONFLICTING content for
+    // one id in one batch — shingling would silently union both texts
+    // into a corrupt merged document (wrong signature, wrong clusters,
+    // forever). Fail loudly instead, the requireUniqueIds discipline
+    // the persisted-index path already applies at write.
+    val dup = fresh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"nearDupApplyBatch: batch carries conflicting texts for doc_id " +
+        s"${dup.head.getLong(0)} — one content per id per batch")
     val freshSigs = Similarity.minHashSignatures(
         Text.shingles(fresh, shingleLen), numHashes)
       .transform(Checkpoints.cut)
