@@ -265,7 +265,13 @@ object LlmQueries {
     * round's vertex map is built over ALL prior labels (not just
     * edge sources), so the inner-join label composition is total.
     */
-  private val dedupClusterCte: String = {
+  /** The l15 dedup-cluster replay, optionally with EXTRA canonical
+    * (a_id < b_id) pair rows unioned into the edge set before the
+    * contraction+walk — the l61 ensemble oracle reuses the whole chain
+    * with the embedding-cosine pairs added; `extraPairs` empty yields
+    * the original CTE byte-for-byte (the grow-only contract).
+    */
+  private def clusterCteOver(extraPairs: String): String = {
     val sh = "(SELECT DISTINCT doc_id, substr(text, CAST(gs AS INT), 3)" +
       " AS shingle FROM (SELECT doc_id, text," +
       " unnest(generate_series(1, n_chars - 2)) AS gs" +
@@ -300,7 +306,8 @@ object LlmQueries {
        |sz AS (SELECT doc_id, count(*) AS sz FROM $sh GROUP BY 1),
        |pairs AS MATERIALIZED (SELECT a_id, b_id FROM i
        |  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-       |  WHERE n * 1.0 / (sa.sz + sb.sz - n) > 0.6),
+       |  WHERE n * 1.0 / (sa.sz + sb.sz - n) > 0.6${
+         if (extraPairs.isEmpty) "" else s"\n  UNION $extraPairs"}),
        |e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
        |  UNION ALL SELECT b_id, a_id FROM pairs),
        |$roundCtes,
@@ -311,6 +318,8 @@ object LlmQueries {
        |cl AS (SELECT m1.id AS doc_id, CAST(ql.ql AS BIGINT) AS cluster_id
        |  FROM m1 $comp JOIN ql ON ql.id = m$rounds.l)""".stripMargin
   }
+
+  private val dedupClusterCte: String = clusterCteOver("")
 
   /** Shared by l33/l43: per-doc near-dup cluster id + keep flag (largest
     * doc of each >0.6-Jaccard cluster wins, ties to min doc_id).
@@ -1686,6 +1695,80 @@ object LlmQueries {
         |ORDER BY a_id, b_id""".stripMargin)
     }),
 
+    // L61 — ENSEMBLE (multi-signal) dedup clusters (r19): the fusion a
+    // production pipeline actually ships — LEXICAL near-dup pairs
+    // (>0.6 n-gram Jaccard, the l02/l15 signal) unioned with SEMANTIC
+    // near-dup pairs (>0.4 embedding cosine, the l03c signal) before
+    // clustering, so a paraphrase the shingle signal misses still
+    // merges via its embedding and a verbatim copy with a degenerate
+    // embedding still merges via its text. One CC over the union edge
+    // set; HASH-MATCHED — both pair kernels already hash individually
+    // (l02/l03c) and the cluster replay is the l15 walk over the
+    // unioned edge list.
+    "l61_ensemble_dedup" -> ((s, dir) => {
+      val textPairs = Similarity.exactJaccard(Text.shingles(docs(s, dir), 3))
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val vecPairs = Similarity.thresholdCosinePairs(vecs(s, dir),
+          threshold = 0.4)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Graphs.connectedComponentsDF(s,
+          textPairs.unionByName(vecPairs).distinct())
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // L61b — the SCALE path for the ensemble: capped banded-LSH pairs
+    // (the l02g bounded pipeline) unioned with IVF-bucketed cosine
+    // pairs (the l03d kernel) — both sides sub-quadratic, both sides
+    // exact-RE-CHECKED, so every emitted edge is a true l61 edge and
+    // the ensemble clusters are a REFINEMENT of l61's (gated in
+    // ToleranceSpec with measured recall). Engine-only (seeded MinHash
+    // + seeded kmeans), rows-checked.
+    "l61b_ensemble_scale" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      val sh = Text.shingles(docs(s, dir), 3).cache()
+      val sigs = Similarity.minHashSignatures(sh, numHashes = 32).cache()
+      val cands = Similarity.lshCandidates(sigs, numHashes = 32,
+        bands = 16, maxBucket = 64)
+      val likely = Similarity.estimateJaccard(cands, sigs)
+        .filter(col("est_jaccard") >= 0.42)
+        .select("a_id", "b_id")
+      val textPairs = Similarity.exactJaccardCompact(sh, likely)
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val vecPairs = Similarity.ivfThresholdPairs(vecs(s, dir),
+          threshold = 0.4, nCentroids = 8, nprobe = 2)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      Graphs.connectedComponentsDF(s,
+          textPairs.unionByName(vecPairs).distinct())
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // L61c — the ensemble from PURE SQL: the bounded lexical TVF and
+    // the IVF semantic TVF unioned inside ONE TABLE() argument feeding
+    // connected_components — three operators, one statement, the
+    // multi-signal sibling of l02i. Pinned row-for-row == l61b in
+    // TextOpsSpec (same kernels, same parameters); engine-only,
+    // rows-checked.
+    "l61c_ensemble_sql" -> ((s, dir) => {
+      graft.functions.TableFunctions.ensureRegistered(s)
+      docs(s, dir).createOrReplaceTempView("graft_l61c_docs")
+      vecs(s, dir).createOrReplaceTempView("graft_l61c_vecs")
+      s.sql("""SELECT id AS doc_id, component AS cluster_id
+        |FROM connected_components(
+        |  TABLE(SELECT a_id AS src, b_id AS dst
+        |        FROM near_dup_pairs_lsh('graft_l61c_docs', 'doc_id',
+        |                                'text', 3, 60, 32, 16, 42, 64)
+        |        UNION
+        |        SELECT a_id, b_id
+        |        FROM cosine_pairs_ivf('graft_l61c_vecs', 'vec_id',
+        |                              'embedding', 40, 8, 2)),
+        |  'src', 'dst')
+        |ORDER BY doc_id""".stripMargin)
+    }),
+
     // L06 — top-k similarity search: 10-NN of vec_id 0's embedding.
     "l06_knn" -> ((s, dir) => {
       graft.functions.VecFunctions.ensureRegistered(s)
@@ -2873,6 +2956,20 @@ object LlmQueries {
     "l15_dedup_clusters" ->
       s"""$dedupClusterCte
         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+
+    // l61: the l15 cluster replay with the embedding-cosine pairs
+    // (l03c's kernel, same double fold + threshold) unioned into the
+    // edge set before the contraction+walk.
+    "l61_ensemble_dedup" -> {
+      val dotAB = duckDot.format("a.embedding", "b.embedding")
+      val nA = duckNormSq.format("a.embedding")
+      val nB = duckNormSq.format("b.embedding")
+      s"""${clusterCteOver(
+            s"SELECT a.vec_id AS a_id, b.vec_id AS b_id" +
+            s" FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id" +
+            s" WHERE $dotAB / (sqrt($nA) * sqrt($nB)) > 0.4")}
+        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
+    },
 
     // l34: the same canonicalization chain in DuckDB regex syntax; the
     // GopherWhitespace class literal is shared with the engine.

@@ -599,6 +599,30 @@ class ToleranceSpec extends SparkSpecBase {
     }
   }
 
+  test("l61b ensemble scale path: clusters REFINE the exact ensemble " +
+      "(never a false merge), measured recall; l61c SQL == l61b") {
+    def labels(key: String) = SparkEntry.queries(key)(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = labels("l61_ensemble_dedup")
+    val scale = labels("l61b_ensemble_scale")
+    assert(exact.nonEmpty && scale.nonEmpty)
+    // both scale-side signals exact-RE-CHECK their candidates, so every
+    // scale edge is a true exact edge → every scale cluster must sit
+    // inside ONE exact cluster
+    scale.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(exact).toSet.size == 1,
+        "an ensemble-scale cluster spans two exact clusters (false merge)")
+    }
+    // clustered-doc recall: how much of the exact ensemble's clustered
+    // population the sub-quadratic path recovers
+    val recall = scale.size.toDouble / exact.size
+    info(f"l61b clustered-doc recall vs exact ensemble = $recall%.2f")
+    assert(recall >= 0.5, s"ensemble scale recall $recall")
+    // the SQL door composes the SAME kernels at the same parameters
+    assert(labels("l61c_ensemble_sql") == scale,
+      "l61c SQL composition != l61b")
+  }
+
   test("l13 int8 quantization: codes bounded, error <= scale/2, high recall") {
     import org.apache.spark.sql.functions._
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
