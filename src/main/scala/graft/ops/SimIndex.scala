@@ -724,6 +724,72 @@ object SimIndex {
     }
   }
 
+  /** Drop EVERY table of the index at `prefix` — catalog entries, stale
+    * external locations, and any stranded vacuum shadows — the clean
+    * slate a rebuild-from-scratch (or a fold that BUILDS its own index,
+    * s47) starts from.
+    */
+  def dropIndex(spark: SparkSession, prefix: String): Unit =
+    Suffixes.foreach { sfx =>
+      Seq(prefix + sfx, prefix + sfx + "__vacuum").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        Bucketing.dropStaleLocation(spark, t)
+      }
+    }
+
+  /** True iff an IVF index exists at `prefix` (append/read-ready). */
+  def hasIvfIndex(spark: SparkSession, prefix: String): Boolean = {
+    reattachAll(spark, prefix)
+    spark.catalog.tableExists(s"${prefix}_meta")
+  }
+
+  /** vec_ids PRESENT in the IVF vector table — tombstoned rows INCLUDED
+    * until vacuumed. This is the seen-set an intake fold dedups against:
+    * an at-least-once replay drops out, and an ERASED id stays erased
+    * (re-ingesting it would silently resurrect deleted data; after a
+    * vacuum physically removes the rows, re-ingest becomes possible
+    * again — the operator's explicit reset).
+    */
+  def ivfSeenIds(spark: SparkSession, prefix: String): DataFrame = {
+    reattachAll(spark, prefix)
+    spark.table(s"${prefix}_vectors").select("vec_id").distinct()
+  }
+
+  /** The INCREMENTAL slice of [[ivfPairsFromIndex]]: within-bucket
+    * cosine pairs with at least one endpoint in `newIds` — what one
+    * intake batch adds to the pair set. The index side stays the
+    * bucketed table (zero Exchange); the new side is batch-sized and
+    * broadcasts. Union over batches == the one-shot pair set exactly:
+    * coarse assignment is deterministic given the stored centroids, so
+    * a pair is discovered in the batch its LATER endpoint arrives and
+    * never again (the s45/s46 exactly-once discovery discipline).
+    */
+  def ivfPairsForIds(spark: SparkSession, prefix: String,
+      newIds: DataFrame): DataFrame = {
+    reattachAll(spark, prefix)
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    val v = antiTombstones(spark, prefix,
+      spark.table(s"${prefix}_vectors"), "vec_id")
+    // adaptive hint (the tombstone-broadcast discipline): batch-sized id
+    // sets broadcast; a backfill-sized set falls back to the shuffled
+    // semi join instead of OOMing the driver
+    val ids = newIds.select("vec_id").distinct()
+    val probe = if (ids.count() <= graft.ops.Graphs.FrontierBroadcastRows)
+      broadcast(ids) else ids
+    val n = v.join(probe, Seq("vec_id"), "left_semi")
+    val a = n.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"), col("bucket"))
+    val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"), col("bucket").as("b_bucket"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("p_a"),
+        greatest(col("a_id"), col("b_id")).as("p_b"),
+        round(Similarity.dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm")), 4).as("cos_sim"))
+      .select(col("p_a").as("a_id"), col("p_b").as("b_id"), col("cos_sim"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** Within-bucket cosine pairs from the persisted IVF vectors: self equi
     * join on the bucketing key — zero Exchange on the join (asserted in
     * SimIndexSpec). Multi-probe duplicates are collapsed downstream.

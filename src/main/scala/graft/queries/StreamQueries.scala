@@ -937,6 +937,57 @@ object StreamQueries {
       st.counts.orderBy("id")
     }),
 
+    // S47 — maintained SEMANTIC near-dup clusters THROUGH the persisted
+    // IVF index (r19): the vector-side sibling of s45 with the index AS
+    // the substrate — batch 0 BUILDS it (bootstrap centroids, the s42
+    // drift refresh is the recalibration path), later batches APPEND
+    // (fixed centroids → time-invariant assignment → exactly-once pair
+    // discovery), each batch's incremental within-bucket cosine pairs
+    // (SimIndex.ivfPairsForIds) fold through the quotient-CC merge.
+    // Final labels == one-shot clusters over the index's own pair set;
+    // engine-only (seeded kmeans), rows-checked — the per-batch gates
+    // live in SimIndexSpec through a real foreachBatch.
+    "s47_vecdup_maintenance" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      val prefix = "graft_s47_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.SimIndex.dropIndex(s, prefix)
+      var st = Streams.vecDupInit(s)
+      (0 to 2).foreach { i =>
+        st = Streams.vecDupApplyBatch(s, st,
+          v.filter(col("vec_id") % 3 === i), prefix,
+          threshold = 0.4, k = 8, nprobe = 2, buckets = 8)
+      }
+      st = Streams.vecDupApplyBatch(s, st, v.filter(col("vec_id") % 3 === 2),
+        prefix, 0.4, 8, 2, 8) // replay: no-op
+      st.labels.select(col("id").as("vec_id"),
+        col("component").as("cluster_id")).orderBy("vec_id")
+    }),
+
+    // S47b — semantic maintenance WITH RETRACTIONS (r19): the s47 fold
+    // plus a 4th batch ERASING every vec_id ≡ 7 (mod 10) by row image
+    // (deleteFromIvfIndex tombstones the index; incident edges re-color
+    // through the bounded decremental fold), the delete REPLAYED
+    // (idempotent). Final labels == one-shot clusters over the
+    // SURVIVING index read (ivfPairsFromIndex anti-joins the same
+    // tombstones).
+    "s47b_vecdup_retraction" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      val prefix = "graft_s47b_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.SimIndex.dropIndex(s, prefix)
+      var st = Streams.vecDupInit(s)
+      (0 to 2).foreach { i =>
+        st = Streams.vecDupApplyBatch(s, st,
+          v.filter(col("vec_id") % 3 === i), prefix,
+          threshold = 0.4, k = 8, nprobe = 2, buckets = 8)
+      }
+      val dels = v.filter(col("vec_id") % 10 === 7)
+      (1 to 2).foreach { _ => // second application replays: idempotent
+        st = Streams.vecDupApplyDelete(s, st, dels, prefix)
+      }
+      st.labels.select(col("id").as("vec_id"),
+        col("component").as("cluster_id")).orderBy("vec_id")
+    }),
+
     // S41 — streaming budget-selection maintenance (NEW r14): l54's
     // score histogram maintained through 3 batch-id-stamped partial
     // batches (doc_id mod 3), one REPLAYED; the selection threshold is

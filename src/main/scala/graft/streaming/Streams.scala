@@ -724,6 +724,100 @@ object Streams {
         .transform(Checkpoints.cut))
   }
 
+  /** S47 maintained state: cluster labels + the surviving semantic edge
+    * set. Unlike s45 (whose text substrate lives in the state), the
+    * vector substrate lives in the PERSISTED IVF index at the caller's
+    * prefix — the fold reads and appends the same tables every other
+    * index consumer uses.
+    */
+  case class VecDupState(labels: DataFrame, edges: DataFrame)
+
+  /** Empty [[VecDupState]]. */
+  def vecDupInit(s: org.apache.spark.sql.SparkSession): VecDupState = {
+    import s.implicits._
+    val labels = Seq.empty[(Long, Long)].toDF("id", "component")
+    VecDupState(labels, Seq.empty[(Long, Long)].toDF("src", "dst"))
+  }
+
+  /** S47 — maintained SEMANTIC near-dup clusters THROUGH the persisted
+    * IVF index: the vector-side sibling of s45, with the index AS the
+    * substrate. Fold one micro-batch of (vec_id, embedding) rows:
+    *
+    * 1. genuinely NEW ids (anti-join on [[graft.ops.SimIndex.ivfSeenIds]]
+    *    — at-least-once replays drop out, and an ERASED id stays erased
+    *    until a vacuum physically clears it);
+    * 2. the first batch BUILDS the index (writeIvfIndex — centroids are
+    *    trained on the bootstrap batch and stay FIXED; the s42
+    *    drift-triggered rebuild is the recalibration path), every later
+    *    batch APPENDS (same centroids, deterministic assignment);
+    * 3. the batch's new within-bucket cosine pairs come from
+    *    [[graft.ops.SimIndex.ivfPairsForIds]] — the incremental slice
+    *    of ivfPairsFromIndex, discovered exactly once across batches
+    *    because assignment is time-invariant under fixed centroids;
+    * 4. pairs above `threshold` fold into the labels through the
+    *    quotient-graph CC merge ([[ccApplyBatch]]).
+    *
+    * After every fold the maintained labels equal the one-shot clusters
+    * over the index's OWN pair set (`ivfPairsFromIndex` filtered at the
+    * same threshold) — gated per batch in SimIndexSpec through a real
+    * foreachBatch. Micro-batches run in cloned sessions, so the fold
+    * re-lists the index tables up front (refreshIndex — the s45
+    * operational lesson).
+    */
+  def vecDupApplyBatch(s: org.apache.spark.sql.SparkSession,
+      st: VecDupState, batch: DataFrame, prefix: String, threshold: Double,
+      k: Int, nprobe: Int, buckets: Int): VecDupState = {
+    import graft.ops.{Checkpoints, SimIndex}
+    val exists = SimIndex.hasIvfIndex(s, prefix)
+    if (exists) SimIndex.refreshIndex(s, prefix)
+    val rows = batch.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val fresh = (if (exists)
+        rows.join(SimIndex.ivfSeenIds(s, prefix), Seq("vec_id"), "left_anti")
+      else rows).transform(Checkpoints.cut)
+    if (fresh.isEmpty) return st
+    if (exists) SimIndex.appendIvfIndex(fresh, prefix)
+    else SimIndex.writeIvfIndex(fresh, prefix, k, nprobe, buckets)
+    SimIndex.refreshIndex(s, prefix) // observe the append we just wrote
+    val edges = SimIndex.ivfPairsForIds(s, prefix, fresh.select("vec_id"))
+      .filter(col("cos_sim") > threshold)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .transform(Checkpoints.cut)
+    VecDupState(ccApplyBatch(s, st.labels, edges),
+      st.edges.unionByName(edges).transform(Checkpoints.cut))
+  }
+
+  /** S47 retraction: erase vector row images from the maintained
+    * clusters — [[graft.ops.SimIndex.deleteFromIvfIndex]] tombstones the
+    * index side (replay-idempotent, O(batch)), incident edges delete
+    * through [[ccApplyDelta]]'s bounded decremental re-color. The
+    * surviving edge set IS the one-shot pair set over the surviving
+    * index read (ivfPairsFromIndex anti-joins the same tombstones), so
+    * maintained labels == one-shot clusters on survivors — the s45b
+    * contract on the vector side. `delVecs` carries (vec_id, embedding)
+    * row images (the delete convention: the signature retraction needs
+    * the content it retracts).
+    */
+  def vecDupApplyDelete(s: org.apache.spark.sql.SparkSession,
+      st: VecDupState, delVecs: DataFrame, prefix: String): VecDupState = {
+    import graft.ops.{Checkpoints, SimIndex}
+    SimIndex.refreshIndex(s, prefix)
+    SimIndex.deleteFromIvfIndex(delVecs, prefix)
+    SimIndex.refreshIndex(s, prefix)
+    val ids = delVecs.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct().transform(Checkpoints.cut)
+    val delEdges = st.edges
+      .join(ids.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+      .select("src", "dst")
+      .unionByName(st.edges
+        .join(ids.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst"))
+      .distinct()
+    val (labels, live) = ccApplyDelta(s, st.labels, st.edges,
+      st.edges.limit(0), delEdges)
+    VecDupState(labels, live)
+  }
+
   /** S46 maintained state: the live canonical `(x < y)` edge set + the
     * per-vertex triangle counts over it. The edge set is the graph the
     * pipeline already ingests (the s27b precedent: exact deletes need

@@ -579,6 +579,76 @@ class SimIndexSpec extends SparkSpecBase {
     assert(ids == post.map(_._1).toSet)
   }
 
+  test("s47 maintained semantic clusters through the persisted IVF index: " +
+      "foreachBatch fold == one-shot clusters over the index's own pair " +
+      "set after EVERY batch; replay no-op; retraction == survivors") {
+    import spark.implicits._
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    SimIndex.dropIndex(spark, "s47t")
+    val dim = 8
+    def cluster(axis: Int, n: Int, idBase: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(dim)(0f)
+        v(axis) = 1f
+        (0 until dim).foreach(d =>
+          v(d) += (((idBase + i) * 31 + d * 7) % 11 - 5) * 0.01f)
+        (idBase + i, v.toSeq)
+      }
+    val corpus = cluster(0, 24, 0L) ++ cluster(1, 24, 100L)
+    def oneShot(): Map[Long, Long] = {
+      val pairs = SimIndex.ivfPairsFromIndex(spark, "s47t")
+        .filter(col("cos_sim") > 0.4)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      graft.ops.Graphs.connectedComponentsDF(spark, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    var st = graft.streaming.Streams.vecDupInit(spark)
+    def snap() = st.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    implicit val sq = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = source.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = graft.streaming.Streams.vecDupApplyBatch(spark, st, batch,
+          "s47t", threshold = 0.4, k = 4, nprobe = 1, buckets = 4)
+        ()
+      }.start()
+    try {
+      corpus.grouped(16).foreach { g =>
+        source.addData(g); q.processAllAvailable()
+        // the batch-0 fold BUILT the index; later folds appended — and
+        // after every fold the maintained labels equal the one-shot CC
+        // over the index's OWN filtered pair set
+        assert(snap() == oneShot())
+      }
+    } finally q.stop()
+    assert(snap().nonEmpty && snap().values.toSet.size >= 2,
+      "both clusters must appear")
+    // replaying the last slice: seen ids anti-join away — a no-op
+    val last = corpus.takeRight(16).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    st = graft.streaming.Streams.vecDupApplyBatch(spark, st, last,
+      "s47t", 0.4, 4, 1, 4)
+    assert(snap() == oneShot())
+    // retraction by row image: tombstoned endpoints leave the pair set
+    // (ivfPairsFromIndex anti-joins the same tombstones), incident edges
+    // re-color, and the maintained labels track — twice, idempotently
+    val dels = corpus.filter(_._1 % 5 == 2).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    (1 to 2).foreach { _ =>
+      st = graft.streaming.Streams.vecDupApplyDelete(spark, st, dels, "s47t")
+      assert(snap() == oneShot())
+    }
+    assert(snap().nonEmpty &&
+      snap().keySet.forall(id => id % 5 != 2), "erased ids must drop out")
+  }
+
   test("IVF vacuum under the shadow-swap discipline: vacuumed pairs == " +
       "tombstone-filtered pairs row-for-row, physical rows drop, the " +
       "vacuumed plan carries no tombstone anti-join, signature intact") {
