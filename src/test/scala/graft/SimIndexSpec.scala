@@ -647,6 +647,27 @@ class SimIndexSpec extends SparkSpecBase {
     }
     assert(snap().nonEmpty &&
       snap().keySet.forall(id => id % 5 != 2), "erased ids must drop out")
+    // plan shape: a broadcast id-probe semi join PRESERVES the bucketed
+    // scan's output partitioning into the bucket-local self join — the
+    // structural property that keeps ivfPairsForIds' JOIN index-side
+    // Exchange-free at 100 TB (the full reader's only shuffles are the
+    // semantic ones: the multi-probe dropDuplicates and the probe-side
+    // distinct, both bounded by pair/batch volume)
+    withoutAutoBroadcast {
+      val v = spark.table("s47t_vectors")
+      val someIds = corpus.take(3).map(_._1).toDF("vec_id")
+      val n = v.join(broadcast(someIds), Seq("vec_id"), "left_semi")
+      val a = n.select(col("vec_id").as("a_id"), col("bucket"))
+      val b = v.select(col("vec_id").as("b_id"),
+        col("bucket").as("b_bucket"))
+      val joined = a.join(b,
+        col("bucket") === col("b_bucket") && col("a_id") =!= col("b_id"))
+      val exchanges = physical(joined).collect { case e: Exchange => e }
+      assert(exchanges.forall(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+        s"expected only the id-probe broadcast, found " +
+          s"${exchanges.map(_.nodeName)}")
+    }
   }
 
   test("IVF vacuum under the shadow-swap discipline: vacuumed pairs == " +
