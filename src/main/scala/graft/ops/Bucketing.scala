@@ -135,21 +135,34 @@ object Bucketing {
     val from = tableLocation(s, shadow)
     val to = tableLocation(s, table)
     val fs = to.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(to.toString + "__displaced")
+    def hasDesc(p: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(p, DescriptorFile))
+    var displaced = false
     if (fs.exists(to)) {
       // a descriptor at the target means ANOTHER session finished this
       // same recovery between our top-of-function check and here — take
-      // its result, touch nothing (deleting would destroy the only
-      // copy). Only descriptor-LESS leftovers (a partial rewrite) go.
+      // its result, touch nothing
       if (readDescriptor(s, table).isDefined) return reattach(s, table)
-      fs.delete(to, true)
+      // DISPLACE descriptor-less leftovers instead of deleting them: if
+      // the TOCTOU window fires anyway (a concurrent recovery publishes
+      // between the check above and this rename), the published table is
+      // MOVED, not destroyed, and the restore branch below puts it back.
+      // Data is only ever DELETED when the descriptor file is absent —
+      // a published table always carries one.
+      if (fs.exists(aside) && !hasDesc(aside)) fs.delete(aside, true)
+      if (!fs.rename(to, aside)) return false // aside blocked: hands off
+      displaced = true
     }
-    // rename result CHECKED: losing a concurrent-recovery race moves
-    // the shadow under us and the rename returns false — succeed iff
-    // the winner's target is attachable, instead of reporting a
-    // recovery that never happened. (Raw-FS recovery is best-effort
-    // serialized, not transactional: schedule vacuum/recovery from one
-    // maintenance owner, the same contract as the vacuum itself.)
-    if (!fs.rename(from, to)) return reattach(s, table)
+    if (!fs.rename(from, to)) {
+      // lost a concurrent-recovery race: the shadow moved under us. If
+      // we displaced the winner's just-published table, restore it
+      // before reporting their result.
+      if (displaced && hasDesc(aside) && !fs.exists(to))
+        fs.rename(aside, to)
+      return reattach(s, table)
+    }
+    if (displaced && !hasDesc(aside)) fs.delete(aside, true) // true junk
     reattach(s, table)
   }
 

@@ -744,15 +744,20 @@ object SimIndex {
   }
 
   /** vec_ids PRESENT in the IVF vector table — tombstoned rows INCLUDED
-    * until vacuumed. This is the seen-set an intake fold dedups against:
-    * an at-least-once replay drops out, and an ERASED id stays erased
-    * (re-ingesting it would silently resurrect deleted data; after a
-    * vacuum physically removes the rows, re-ingest becomes possible
-    * again — the operator's explicit reset).
+    * until vacuumed, and an id may repeat (one row per probed bucket
+    * under nprobe > 1): a deliberately UN-deduplicated projection,
+    * because the only sound uses are membership probes (anti/semi
+    * joins), where a distinct() would add one full-index shuffle per
+    * call for zero semantic difference (review r19). This is the
+    * seen-set an intake fold dedups against: an at-least-once replay
+    * drops out, and an ERASED id stays erased (re-ingesting it would
+    * silently resurrect deleted data; after a vacuum physically removes
+    * the rows, re-ingest becomes possible again — the operator's
+    * explicit reset).
     */
   def ivfSeenIds(spark: SparkSession, prefix: String): DataFrame = {
     reattachAll(spark, prefix)
-    spark.table(s"${prefix}_vectors").select("vec_id").distinct()
+    spark.table(s"${prefix}_vectors").select("vec_id")
   }
 
   /** The INCREMENTAL slice of [[ivfPairsFromIndex]]: within-bucket

@@ -703,14 +703,24 @@ object Streams {
     import graft.ops.Checkpoints
     val ids = delDocs.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().transform(Checkpoints.cut)
+    // adaptive hint (the ccApplyDelta discipline): the delete-id probe
+    // is batch-sized while st.edges is the accumulated, stats-less
+    // checkpointed edge set — broadcast the probe so neither incident
+    // scan reshuffles the full edge set
+    val idRows = ids.count()
+    def hint(df: DataFrame): DataFrame =
+      if (idRows <= graft.ops.Graphs.FrontierBroadcastRows) broadcast(df)
+      else df
     // a USING-column semi join puts the join key FIRST in the output —
     // select (src, dst) back explicitly before the union or the
     // dst-side branch's rows arrive flipped
     val delEdges = st.edges
-      .join(ids.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      .join(hint(ids.select(col("doc_id").as("src"))), Seq("src"),
+        "left_semi")
       .select("src", "dst")
       .unionByName(st.edges
-        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+        .join(hint(ids.select(col("doc_id").as("dst"))), Seq("dst"),
+          "left_semi")
         .select("src", "dst"))
       .distinct()
     val (labels, live) = ccApplyDelta(s, st.labels, st.edges,
@@ -725,18 +735,25 @@ object Streams {
   }
 
   /** S47 maintained state: cluster labels + the surviving semantic edge
-    * set. Unlike s45 (whose text substrate lives in the state), the
-    * vector substrate lives in the PERSISTED IVF index at the caller's
-    * prefix — the fold reads and appends the same tables every other
-    * index consumer uses.
+    * set + the SEEN id set. Unlike s45 (whose text substrate lives in
+    * the state), the vector substrate lives in the PERSISTED IVF index
+    * at the caller's prefix — the fold reads and appends the same
+    * tables every other index consumer uses. The seen set is IN-STATE
+    * (not derived from the index) so it advances atomically with the
+    * edge fold: an at-least-once retry after a crash between the index
+    * append and the fold still folds the batch's edges (the append side
+    * skips idempotently on its own index-derived check). Erased ids
+    * stay in `seen` — a deleted vector never silently re-enters.
     */
-  case class VecDupState(labels: DataFrame, edges: DataFrame)
+  case class VecDupState(labels: DataFrame, edges: DataFrame,
+      seen: DataFrame)
 
   /** Empty [[VecDupState]]. */
   def vecDupInit(s: org.apache.spark.sql.SparkSession): VecDupState = {
     import s.implicits._
     val labels = Seq.empty[(Long, Long)].toDF("id", "component")
-    VecDupState(labels, Seq.empty[(Long, Long)].toDF("src", "dst"))
+    VecDupState(labels, Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq.empty[Long].toDF("vec_id"))
   }
 
   /** S47 — maintained SEMANTIC near-dup clusters THROUGH the persisted
@@ -770,21 +787,42 @@ object Streams {
     import graft.ops.{Checkpoints, SimIndex}
     val exists = SimIndex.hasIvfIndex(s, prefix)
     if (exists) SimIndex.refreshIndex(s, prefix)
+    // distinct() collapses exact intra-batch replays of a row; the
+    // seen-set gate is the IN-STATE one, so it advances atomically with
+    // the edge fold below (an index-derived gate would silently drop a
+    // batch's edges when a retry lands after the append but before the
+    // fold — review r19)
     val rows = batch.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding"))
-    val fresh = (if (exists)
-        rows.join(SimIndex.ivfSeenIds(s, prefix), Seq("vec_id"), "left_anti")
-      else rows).transform(Checkpoints.cut)
+      col("embedding")).distinct()
+    val fresh = rows.join(st.seen, Seq("vec_id"), "left_anti")
+      .transform(Checkpoints.cut)
     if (fresh.isEmpty) return st
-    if (exists) SimIndex.appendIvfIndex(fresh, prefix)
-    else SimIndex.writeIvfIndex(fresh, prefix, k, nprobe, buckets)
+    // what survives with a repeated vec_id is CONFLICTING content for
+    // one id in one batch — fail loudly (the s45/requireUniqueIds
+    // discipline) before anything touches the index
+    val dup = fresh.groupBy("vec_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"vecDupApplyBatch: batch carries conflicting embeddings for " +
+        s"vec_id ${dup.head.getLong(0)} — one content per id per batch")
+    // index side FIRST, idempotent on its own index-derived check: a
+    // crash between here and the fold leaves st untouched, and the
+    // retry skips the re-append but still folds (fresh is driven by
+    // st.seen, which only advances WITH the fold)
+    if (exists) {
+      val toIndex = fresh.join(SimIndex.ivfSeenIds(s, prefix),
+        Seq("vec_id"), "left_anti")
+      if (!toIndex.isEmpty) SimIndex.appendIvfIndex(toIndex, prefix)
+    } else SimIndex.writeIvfIndex(fresh, prefix, k, nprobe, buckets)
     SimIndex.refreshIndex(s, prefix) // observe the append we just wrote
     val edges = SimIndex.ivfPairsForIds(s, prefix, fresh.select("vec_id"))
       .filter(col("cos_sim") > threshold)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .transform(Checkpoints.cut)
     VecDupState(ccApplyBatch(s, st.labels, edges),
-      st.edges.unionByName(edges).transform(Checkpoints.cut))
+      st.edges.unionByName(edges).transform(Checkpoints.cut),
+      st.seen.unionByName(fresh.select("vec_id"))
+        .transform(Checkpoints.cut))
   }
 
   /** S47 retraction: erase vector row images from the maintained
@@ -806,16 +844,28 @@ object Streams {
     SimIndex.refreshIndex(s, prefix)
     val ids = delVecs.select(col("vec_id").cast("long").as("vec_id"))
       .distinct().transform(Checkpoints.cut)
+    // adaptive hint (the ccApplyDelta discipline): the delete-id probe
+    // is batch-sized while st.edges is the accumulated, stats-less
+    // checkpointed edge set — broadcast the probe so neither incident
+    // scan reshuffles the full edge set
+    val idRows = ids.count()
+    def hint(df: DataFrame): DataFrame =
+      if (idRows <= graft.ops.Graphs.FrontierBroadcastRows) broadcast(df)
+      else df
     val delEdges = st.edges
-      .join(ids.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+      .join(hint(ids.select(col("vec_id").as("src"))), Seq("src"),
+        "left_semi")
       .select("src", "dst")
       .unionByName(st.edges
-        .join(ids.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+        .join(hint(ids.select(col("vec_id").as("dst"))), Seq("dst"),
+          "left_semi")
         .select("src", "dst"))
       .distinct()
     val (labels, live) = ccApplyDelta(s, st.labels, st.edges,
       st.edges.limit(0), delEdges)
-    VecDupState(labels, live)
+    // erased ids REMAIN in `seen`: a deleted vector must not silently
+    // re-enter through a later batch
+    VecDupState(labels, live, st.seen)
   }
 
   /** S46 maintained state: the live canonical `(x < y)` edge set + the

@@ -635,10 +635,36 @@ class SimIndexSpec extends SparkSpecBase {
     st = graft.streaming.Streams.vecDupApplyBatch(spark, st, last,
       "s47t", 0.4, 4, 1, 4)
     assert(snap() == oneShot())
+    // crash-retry atomicity (review r19): an append that LANDED whose
+    // fold didn't — the at-least-once window between the index write
+    // and the state fold — must still fold on retry, because the
+    // seen-set gate is IN-STATE, not index-derived; the index side
+    // skips the re-append idempotently
+    val extra = cluster(2, 6, 200L)
+    val extraDf = extra.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    SimIndex.appendIvfIndex(extraDf, "s47t") // the "crashed" half-fold
+    st = graft.streaming.Streams.vecDupApplyBatch(spark, st, extraDf,
+      "s47t", 0.4, 4, 1, 4) // the retry
+    assert(snap() == oneShot())
+    assert(snap().keySet.exists(_ >= 200L),
+      "the retried batch's vectors must reach the maintained labels")
+    // conflicting intra-batch content for one id fails loudly (exact
+    // duplicate rows collapse silently)
+    val conflict = Seq((9100L, Seq.fill(dim)(1f)), (9100L, Seq.fill(dim)(2f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    assertThrows[IllegalArgumentException] {
+      graft.streaming.Streams.vecDupApplyBatch(spark, st, conflict,
+        "s47t", 0.4, 4, 1, 4)
+    }
     // retraction by row image: tombstoned endpoints leave the pair set
     // (ivfPairsFromIndex anti-joins the same tombstones), incident edges
     // re-color, and the maintained labels track — twice, idempotently
-    val dels = corpus.filter(_._1 % 5 == 2).toDF("vec_id", "embedding")
+    val dels = (corpus ++ extra).filter(_._1 % 5 == 2)
+      .toDF("vec_id", "embedding")
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("float")).as("embedding"))
     (1 to 2).foreach { _ =>
@@ -647,12 +673,24 @@ class SimIndexSpec extends SparkSpecBase {
     }
     assert(snap().nonEmpty &&
       snap().keySet.forall(id => id % 5 != 2), "erased ids must drop out")
-    // plan shape: a broadcast id-probe semi join PRESERVES the bucketed
-    // scan's output partitioning into the bucket-local self join — the
-    // structural property that keeps ivfPairsForIds' JOIN index-side
-    // Exchange-free at 100 TB (the full reader's only shuffles are the
-    // semantic ones: the multi-probe dropDuplicates and the probe-side
-    // distinct, both bounded by pair/batch volume)
+    // plan shape, bound to the REAL reader: ivfPairsForIds' only
+    // ShuffleExchanges are the two semantic ones (the probe-side
+    // distinct and the multi-probe dropDuplicates, both bounded by
+    // batch/pair volume) — an index-side reshuffle of the bucket join
+    // would show up as a third
+    withoutAutoBroadcast {
+      val someIds = corpus.take(3).map(_._1).toDF("vec_id")
+      val shuffles = physical(
+        SimIndex.ivfPairsForIds(spark, "s47t", someIds)).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.length <= 2,
+        s"expected at most the 2 semantic shuffles (probe distinct + " +
+          s"pair dedup), found ${shuffles.length}")
+    }
+    // and the structural property behind it: a broadcast id-probe semi
+    // join PRESERVES the bucketed scan's output partitioning into the
+    // bucket-local self join
     withoutAutoBroadcast {
       val v = spark.table("s47t_vectors")
       val someIds = corpus.take(3).map(_._1).toDF("vec_id")
