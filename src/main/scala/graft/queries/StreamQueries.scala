@@ -988,6 +988,61 @@ object StreamQueries {
         col("component").as("cluster_id")).orderBy("vec_id")
     }),
 
+    // S48 — maintained ENSEMBLE dedup clusters (r19): l61's
+    // multi-signal fusion LIVE — per batch, the s45 capped-text delta
+    // and the s47 index-vector delta fold their new edges into ONE
+    // shared label table through a single quotient-CC merge (CC is
+    // confluent, so interleaving order can't matter). The production
+    // read a curation service keeps next to its index: a paraphrase
+    // merges via its embedding, a verbatim copy via its text, as both
+    // ARRIVE. Engine-only (seeded MinHash + kmeans), rows-checked; the
+    // per-batch one-shot-equality gates (uncapped) live in
+    // StreamingSpec.
+    "s48_ensemble_maintenance" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      val d = Tables.load(s, dir, "documents")
+      val v = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      val prefix = "graft_s48_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.SimIndex.dropIndex(s, prefix)
+      var st = Streams.ensembleInit(s, d, 3, 32, 16)
+      def fold(i: Int): Unit =
+        st = Streams.ensembleApplyBatch(s, st,
+          d.filter(col("doc_id") % 3 === i),
+          v.filter(col("vec_id") % 3 === i),
+          3, 32, 16, 0.42, 0.6, 64, prefix, 0.4, 8, 2, 8)
+      (0 to 2).foreach(fold)
+      fold(2) // replay: a no-op for BOTH signals
+      st.labels.select(col("id").as("doc_id"),
+        col("component").as("cluster_id")).orderBy("doc_id")
+    }),
+
+    // S48b — ensemble maintenance WITH RETRACTIONS (r19): the s48 fold
+    // plus a 4th batch ERASING every id ≡ 7 (mod 10) from BOTH signals
+    // (docs by id, vectors by row image), REPLAYED (idempotent); the
+    // shared label table re-colors once over the union of incident
+    // edges.
+    "s48b_ensemble_retraction" -> ((s, dir) => {
+      graft.functions.VecFunctions.ensureRegistered(s)
+      val d = Tables.load(s, dir, "documents")
+      val v = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      val prefix = "graft_s48b_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.SimIndex.dropIndex(s, prefix)
+      var st = Streams.ensembleInit(s, d, 3, 32, 16)
+      (0 to 2).foreach { i =>
+        st = Streams.ensembleApplyBatch(s, st,
+          d.filter(col("doc_id") % 3 === i),
+          v.filter(col("vec_id") % 3 === i),
+          3, 32, 16, 0.42, 0.6, 64, prefix, 0.4, 8, 2, 8)
+      }
+      (1 to 2).foreach { _ => // second application replays: idempotent
+        st = Streams.ensembleApplyDelete(s, st,
+          d.filter(col("doc_id") % 10 === 7),
+          v.filter(col("vec_id") % 10 === 7), prefix)
+      }
+      st.labels.select(col("id").as("doc_id"),
+        col("component").as("cluster_id")).orderBy("doc_id")
+    }),
+
     // S41 — streaming budget-selection maintenance (NEW r14): l54's
     // score histogram maintained through 3 batch-id-stamped partial
     // batches (doc_id mod 3), one REPLAYED; the selection threshold is

@@ -642,11 +642,28 @@ object Streams {
       st: NearDupState, batch: DataFrame, shingleLen: Int, numHashes: Int,
       bands: Int, estMin: Double, jacMin: Double, maxBucket: Int)
       : NearDupState = {
+    val (st2, edges) = nearDupBatchDelta(st, batch, shingleLen, numHashes,
+      bands, estMin, jacMin, maxBucket)
+    if (edges == null) st
+    else st2.copy(labels = ccApplyBatch(s, st.labels, edges))
+  }
+
+  /** The substrate-and-edges half of [[nearDupApplyBatch]]: folds the
+    * batch into the maintained text substrate and returns the batch's
+    * surviving NEW edges WITHOUT touching the labels — the piece the
+    * ensemble fold (s48) composes with the vector side's delta before
+    * folding ONE shared label table. Returns (st, null) when the batch
+    * carries nothing new.
+    */
+  def nearDupBatchDelta(
+      st: NearDupState, batch: DataFrame, shingleLen: Int, numHashes: Int,
+      bands: Int, estMin: Double, jacMin: Double, maxBucket: Int)
+      : (NearDupState, DataFrame) = {
     import graft.ops.{Checkpoints, Similarity, Text}
     val fresh = nearDupDocs(batch).distinct()
       .join(st.docs.select("doc_id"), Seq("doc_id"), "left_anti")
       .transform(Checkpoints.cut)
-    if (fresh.isEmpty) return st
+    if (fresh.isEmpty) return (st, null)
     // distinct() above collapses exact intra-batch replays of a row;
     // what survives with a repeated doc_id is CONFLICTING content for
     // one id in one batch — shingling would silently union both texts
@@ -678,12 +695,13 @@ object Streams {
       .filter(col("jaccard") > jacMin)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .transform(Checkpoints.cut)
-    NearDupState(
-      labels = ccApplyBatch(s, st.labels, edges),
+    (NearDupState(
+      labels = st.labels,
       edges = st.edges.unionByName(edges).transform(Checkpoints.cut),
       docs = st.docs.unionByName(fresh).transform(Checkpoints.cut),
       sigs = sigsAll.transform(Checkpoints.cut),
-      bands = st.bands.unionByName(freshBands).transform(Checkpoints.cut))
+      bands = st.bands.unionByName(freshBands).transform(Checkpoints.cut)),
+      edges)
   }
 
   /** S45 retraction: erase `delDocs` (by doc_id) from the maintained
@@ -784,6 +802,21 @@ object Streams {
   def vecDupApplyBatch(s: org.apache.spark.sql.SparkSession,
       st: VecDupState, batch: DataFrame, prefix: String, threshold: Double,
       k: Int, nprobe: Int, buckets: Int): VecDupState = {
+    val (st2, edges) = vecDupBatchDelta(s, st, batch, prefix, threshold,
+      k, nprobe, buckets)
+    if (edges == null) st
+    else st2.copy(labels = ccApplyBatch(s, st.labels, edges))
+  }
+
+  /** The index-and-edges half of [[vecDupApplyBatch]]: appends the
+    * batch to the persisted IVF index, advances the seen set, and
+    * returns the batch's new above-threshold pairs WITHOUT touching
+    * the labels — the vector-side piece the ensemble fold (s48)
+    * composes. Returns (st, null) when the batch carries nothing new.
+    */
+  def vecDupBatchDelta(s: org.apache.spark.sql.SparkSession,
+      st: VecDupState, batch: DataFrame, prefix: String, threshold: Double,
+      k: Int, nprobe: Int, buckets: Int): (VecDupState, DataFrame) = {
     import graft.ops.{Checkpoints, SimIndex}
     val exists = SimIndex.hasIvfIndex(s, prefix)
     if (exists) SimIndex.refreshIndex(s, prefix)
@@ -796,7 +829,7 @@ object Streams {
       col("embedding")).distinct()
     val fresh = rows.join(st.seen, Seq("vec_id"), "left_anti")
       .transform(Checkpoints.cut)
-    if (fresh.isEmpty) return st
+    if (fresh.isEmpty) return (st, null)
     // what survives with a repeated vec_id is CONFLICTING content for
     // one id in one batch — fail loudly (the s45/requireUniqueIds
     // discipline) before anything touches the index
@@ -819,10 +852,11 @@ object Streams {
       .filter(col("cos_sim") > threshold)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .transform(Checkpoints.cut)
-    VecDupState(ccApplyBatch(s, st.labels, edges),
+    (VecDupState(st.labels,
       st.edges.unionByName(edges).transform(Checkpoints.cut),
       st.seen.unionByName(fresh.select("vec_id"))
-        .transform(Checkpoints.cut))
+        .transform(Checkpoints.cut)),
+      edges)
   }
 
   /** S47 retraction: erase vector row images from the maintained
@@ -866,6 +900,109 @@ object Streams {
     // erased ids REMAIN in `seen`: a deleted vector must not silently
     // re-enter through a later batch
     VecDupState(labels, live, st.seen)
+  }
+
+  /** S48 maintained state — the LIVE ENSEMBLE (the streaming l61): the
+    * text substrate (s45's, labels unused), the vector seen-set (s47's,
+    * labels unused; the vector substrate itself is the persisted IVF
+    * index), and ONE shared (labels, edges) pair that both signals fold
+    * into. `edges` is a per-signal multiset: the same (src, dst) pair
+    * discovered by BOTH signals carries one row each (bounded ×2) —
+    * harmless to the CC fold and to delete semi-joins, and it preserves
+    * each signal's exactly-once discovery argument untouched.
+    */
+  case class EnsembleState(text: NearDupState, vec: VecDupState,
+      labels: DataFrame, edges: DataFrame)
+
+  /** Empty [[EnsembleState]]. */
+  def ensembleInit(s: org.apache.spark.sql.SparkSession,
+      docsProto: DataFrame, shingleLen: Int, numHashes: Int,
+      bands: Int): EnsembleState = {
+    val t = nearDupInit(docsProto, shingleLen, numHashes, bands)
+    val v = vecDupInit(s)
+    EnsembleState(t, v, v.labels, v.edges)
+  }
+
+  /** S48 — maintained ENSEMBLE dedup clusters: l61's multi-signal
+    * fusion as a CONTINUOUS query — the live view an actual curation
+    * service keeps, where a paraphrase merges via its embedding and a
+    * verbatim copy with a degenerate embedding merges via its text, as
+    * documents and their embeddings ARRIVE. One micro-batch carries a
+    * doc slice and a vector slice over the shared id space; the two
+    * signal deltas run their own substrate folds ([[nearDupBatchDelta]]
+    * / [[vecDupBatchDelta]] — each keeps its exactly-once discovery
+    * contract), and their new edges fold TOGETHER into the one shared
+    * label table through a single quotient-CC merge. Because CC is
+    * confluent, folding the union per batch equals clustering the union
+    * of the two one-shot pair sets — maintained labels == CC(one-shot
+    * text pairs over the ingested corpus ∪ the index's one-shot pair
+    * set) after EVERY batch, gated in StreamingSpec (uncapped text side
+    * == the l02b pipeline's pair set; the capped registry shape carries
+    * s45's refinement contract instead).
+    */
+  def ensembleApplyBatch(s: org.apache.spark.sql.SparkSession,
+      st: EnsembleState, docsBatch: DataFrame, vecsBatch: DataFrame,
+      shingleLen: Int, numHashes: Int, bands: Int, estMin: Double,
+      jacMin: Double, maxBucket: Int, prefix: String, threshold: Double,
+      k: Int, nprobe: Int, buckets: Int): EnsembleState = {
+    import graft.ops.Checkpoints
+    val (t2, te) = nearDupBatchDelta(st.text, docsBatch, shingleLen,
+      numHashes, bands, estMin, jacMin, maxBucket)
+    val (v2, ve) = vecDupBatchDelta(s, st.vec, vecsBatch, prefix,
+      threshold, k, nprobe, buckets)
+    val delta = Seq(Option(te), Option(ve)).flatten
+    if (delta.isEmpty) return EnsembleState(t2, v2, st.labels, st.edges)
+    val edges = delta.reduce(_ unionByName _)
+    EnsembleState(t2, v2,
+      ccApplyBatch(s, st.labels, edges),
+      st.edges.unionByName(edges).transform(Checkpoints.cut))
+  }
+
+  /** S48 retraction: erase an entity from BOTH signals mid-stream —
+    * `delDocs` (doc_id) leaves the text substrate by anti-join,
+    * `delVecs` (vec_id, embedding row images) tombstone the IVF index,
+    * and every shared edge incident to EITHER id set deletes through
+    * [[ccApplyDelta]]'s bounded re-color on the ONE shared label table.
+    * Erased vec ids stay in the vector seen-set (never silently
+    * re-enter); maintained labels == the one-shot ensemble on the
+    * survivors (each signal's surviving pair set is its one-shot over
+    * the surviving substrate — the s45b/s47b arguments compose because
+    * the shared fold only ever unions their edge sets).
+    */
+  def ensembleApplyDelete(s: org.apache.spark.sql.SparkSession,
+      st: EnsembleState, delDocs: DataFrame, delVecs: DataFrame,
+      prefix: String): EnsembleState = {
+    import graft.ops.{Checkpoints, SimIndex}
+    SimIndex.refreshIndex(s, prefix)
+    SimIndex.deleteFromIvfIndex(delVecs, prefix)
+    SimIndex.refreshIndex(s, prefix)
+    val dIds = delDocs.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().transform(Checkpoints.cut)
+    val text = st.text.copy(
+      docs = st.text.docs.join(dIds, Seq("doc_id"), "left_anti")
+        .transform(Checkpoints.cut),
+      sigs = st.text.sigs.join(dIds, Seq("doc_id"), "left_anti")
+        .transform(Checkpoints.cut),
+      bands = st.text.bands.join(dIds, Seq("doc_id"), "left_anti")
+        .transform(Checkpoints.cut))
+    val ids = dIds.select(col("doc_id").as("id"))
+      .unionByName(delVecs.select(col("vec_id").cast("long").as("id")))
+      .distinct().transform(Checkpoints.cut)
+    val idRows = ids.count()
+    def hint(df: DataFrame): DataFrame =
+      if (idRows <= graft.ops.Graphs.FrontierBroadcastRows) broadcast(df)
+      else df
+    val delEdges = st.edges
+      .join(hint(ids.select(col("id").as("src"))), Seq("src"), "left_semi")
+      .select("src", "dst")
+      .unionByName(st.edges
+        .join(hint(ids.select(col("id").as("dst"))), Seq("dst"),
+          "left_semi")
+        .select("src", "dst"))
+      .distinct()
+    val (labels, live) = ccApplyDelta(s, st.labels, st.edges,
+      st.edges.limit(0), delEdges)
+    EnsembleState(text, st.vec, labels, live)
   }
 
   /** S46 maintained state: the live canonical `(x < y)` edge set + the

@@ -1044,6 +1044,67 @@ class StreamingSpec extends SparkSpecBase {
     assert(snap() == oneShot)
   }
 
+  test("S48 ensemble maintenance: maintained labels == CC over the union " +
+      "of the two one-shot pair sets after EVERY batch (uncapped text); " +
+      "replay no-op; dual-signal retraction == survivors, idempotent") {
+    import graft.ops.{Graphs, SimIndex, Similarity, Text}
+    val d = Tables.load(spark, sfDir, "documents")
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    graft.functions.VecFunctions.ensureRegistered(spark)
+    SimIndex.dropIndex(spark, "s48t")
+    // one-shot text side: the l02b pipeline (uncapped) over a doc set
+    def textPairs(docs: org.apache.spark.sql.DataFrame) = {
+      val sh = Text.shingles(docs, 3)
+      val sigs = Similarity.minHashSignatures(sh, 32)
+      val likely = Similarity.estimateJaccard(
+          Similarity.lshCandidates(sigs, 32, 16), sigs)
+        .filter(col("est_jaccard") >= 0.42).select("a_id", "b_id")
+      Similarity.exactJaccardCompact(sh, likely)
+        .filter(col("jaccard") > 0.6)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+    }
+    // one-shot vec side: the maintained index's own filtered pair set
+    def vecPairs() = SimIndex.ivfPairsFromIndex(spark, "s48t")
+      .filter(col("cos_sim") > 0.4)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    def oneShot(docs: org.apache.spark.sql.DataFrame) =
+      Graphs.connectedComponentsDF(spark,
+          textPairs(docs).unionByName(vecPairs()))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var st = Streams.ensembleInit(spark, d, 3, 32, 16)
+    def snap() = st.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fold(docs: org.apache.spark.sql.DataFrame,
+        vecs: org.apache.spark.sql.DataFrame): Unit =
+      st = Streams.ensembleApplyBatch(spark, st, docs, vecs,
+        3, 32, 16, 0.42, 0.6, maxBucket = 0, "s48t", 0.4, 8, 2, 8)
+    (0 to 2).foreach { i =>
+      fold(d.filter(col("doc_id") % 3 === i),
+        v.filter(col("vec_id") % 3 === i))
+      // the maintained ensemble equals the composed one-shot after EVERY
+      // batch: uncapped maintained text edges == the l02b pipeline's
+      // pair set over the ingested docs (the s45 contract), maintained
+      // vec edges == the index's own pair set (the s47 contract), and
+      // CC's confluence makes the shared fold equal the union's CC
+      assert(snap() == oneShot(d.filter(col("doc_id") % 3 <= i)))
+    }
+    assert(snap().nonEmpty)
+    // replay: a no-op for BOTH signals
+    fold(d.filter(col("doc_id") % 3 === 2), v.filter(col("vec_id") % 3 === 2))
+    assert(snap() == oneShot(d))
+    // dual-signal retraction (GDPR erasure of the ENTITY): both
+    // substrates drop the ids, the shared labels re-color once — equal
+    // to the one-shot ensemble over the survivors; replay idempotent
+    val delD = d.filter(col("doc_id") % 10 === 7)
+    val delV = v.filter(col("vec_id") % 10 === 7)
+    (1 to 2).foreach { _ =>
+      st = Streams.ensembleApplyDelete(spark, st, delD, delV, "s48t")
+      assert(snap() == oneShot(d.filter(col("doc_id") % 10 =!= 7)))
+    }
+    assert(snap().keySet.forall(_ % 10 != 7), "erased ids must drop out")
+  }
+
   test("S46 triangle maintenance: foreachBatch fold == one-shot per-vertex " +
       "counts after EVERY batch; replay no-op; deletes subtract; " +
       "same-batch delete+reinsert nets out") {
