@@ -787,22 +787,32 @@ object Similarity {
         .filter(col("doc_id") < col("b_id"))
         .select(col("doc_id").as("a_id"), col("b_id")).distinct()
     } else {
+      // r19 (optimization round): one window evaluation, one join, no
+      // union. The r18 shape forked `sized` three ways (small×2 + star),
+      // so the Sort+Window subtree ran 3× per query (the Exchange was
+      // reused, the sort/window work was not) and the two branches met in
+      // a Union before the distinct. Equivalent single-consumer form:
+      //   left  = sized rows that may ANCHOR a pair — every row of a
+      //           small bucket, only the hub row of a hot bucket;
+      //   right = the RAW band table (no window at all);
+      //   pair  = same bucket && doc_id < b_id.
+      // Small buckets: all a<b pairs (left unrestricted, right = whole
+      // bucket). Hot buckets: left is the hub only and hub = min(doc_id),
+      // so hub < m for every other member — exactly the hub star. The
+      // pair set is IDENTICAL to the r18 form (TextOpsSpec gates all
+      // three capped-mode properties). CPU stays Σ_small d² + Σ_hot d:
+      // a hot bucket contributes ONE probe row on the left, so the join
+      // never enumerates d² combinations for it.
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("band", "band_sig")
-      val sized = bandTable
+      val anchors = bandTable
         .withColumn("__n", count(lit(1)).over(w))
         .withColumn("__hub", min("doc_id").over(w))
-      val small = sized.filter(col("__n") <= maxBucket)
-        .select("doc_id", "band", "band_sig")
-      val allPairs = small
-        .join(small.select(col("doc_id").as("b_id"), col("band"),
-          col("band_sig")), Seq("band", "band_sig"))
-        .filter(col("doc_id") < col("b_id"))
-        .select(col("doc_id").as("a_id"), col("b_id"))
-      val star = sized
-        .filter(col("__n") > maxBucket && col("doc_id") =!= col("__hub"))
-        .select(col("__hub").as("a_id"), col("doc_id").as("b_id"))
-      allPairs.unionAll(star).distinct()
+        .filter(col("__n") <= maxBucket || col("doc_id") === col("__hub"))
+        .select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
+      anchors.join(b2, Seq("band", "band_sig"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
     }
   }
 
@@ -858,12 +868,19 @@ object Similarity {
     * a_id/b_id, linear in candidate volume with no driver-memory ceiling
     * (candidates arrive bucketed from LSH, so the shuffle is the
     * co-location step). The default `None` decides ADAPTIVELY, like the
-    * BFS frontier switch (Graphs.FrontierBroadcastRows): the compact set
-    * table is materialized once (`localCheckpoint` — every later join
-    * reads the same blocks, so the sizing agg is nearly free) and
-    * broadcast only if its estimated payload fits [[BroadcastSetBytes]].
-    * All paths are the same plan shape otherwise; ToleranceSpec asserts
-    * identical output on all three.
+    * BFS frontier switch (Graphs.FrontierBroadcastRows): broadcast only
+    * if a safe UPPER BOUND on the compact set payload fits
+    * [[BroadcastSetBytes]]. r19: the bound is computed from the SHINGLE
+    * INPUT (one cheap agg — `Σ|hset| ≤ rows(shingled)` since collect_set
+    * only removes duplicates, and docs ≤ rows) instead of materializing
+    * the whole set table through localCheckpoint and re-scanning it; the
+    * set build is NOT duplicated by dropping the checkpoint, because the
+    * a/b sides canonicalize equal and Spark's ReuseExchange collapses
+    * them to one (broadcast or shuffle) exchange — asserted in
+    * PlanShapeSpec. The bound overestimates, so a borderline corpus now
+    * takes the shuffle path — the safe direction. All paths are the same
+    * plan shape otherwise; ToleranceSpec asserts identical output on all
+    * three.
     */
   def exactJaccardCompact(shingled: DataFrame, pairs: DataFrame,
       broadcastSets: Option[Boolean] = None): DataFrame = {
@@ -871,14 +888,15 @@ object Similarity {
       .groupBy("doc_id")
       .agg(sort_array(collect_set(xxhash64(col("shingle")))).as("hset"))
       .select(col("doc_id"), col("hset"), size(col("hset")).as("sz"))
-    val (sets, useBroadcast) = broadcastSets match {
-      case Some(b) => (sets0, b)
-      case None =>
-        val m = sets0.localCheckpoint()
-        val st = m.agg(count(lit(1)), coalesce(sum("sz"), lit(0L))).head()
-        // 8 B per hash + ~24 B row overhead per doc
-        (m, st.getLong(0) * 24L + st.getLong(1) * 8L <= BroadcastSetBytes)
+    val useBroadcast = broadcastSets.getOrElse {
+      val st = shingled
+        .agg(count(lit(1)), approx_count_distinct(col("doc_id"))).head()
+      // 8 B per hash (≤ one per input row) + ~24 B row overhead per doc
+      // (approx distinct padded 1.2× against HLL underestimation).
+      (st.getLong(1) * 12L / 10L) * 24L + st.getLong(0) * 8L <=
+        BroadcastSetBytes
     }
+    val sets = sets0
     val a = sets.select(col("doc_id").as("a_id"), col("hset").as("a_set"),
       col("sz").as("a_sz"))
     val b = sets.select(col("doc_id").as("b_id"), col("hset").as("b_set"),

@@ -492,4 +492,37 @@ class PlanShapeSpec extends SparkSpecBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("exactJaccardCompact: the a/b set builds collapse to one exchange " +
+      "(ReuseExchange) on every decision path") {
+    // r19: the adaptive path no longer localCheckpoints the compact set
+    // table; correctness of that change rests on Spark planning the
+    // (alias-renamed but canonically equal) a-side and b-side set builds
+    // as ONE exchange + a ReusedExchange. Pin it for all three decision
+    // paths so a planner/canonicalization change that silently doubles
+    // the set build fails here, not as a bench regression.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false") // ReuseExchange is a physical rule; AQE
+    // defers reuse to runtime stage-matching, invisible in initialPlan
+    try {
+      graft.functions.VecFunctions.ensureRegistered(spark)
+      import org.apache.spark.sql.functions.col
+      val sh = graft.ops.Text.shingles(
+        Tables.load(spark, sfDir, "documents"), 3)
+      val ids = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id")).limit(6)
+      val pairs = ids.select(col("doc_id").as("a_id"))
+        .crossJoin(ids.select(col("doc_id").as("b_id")))
+        .filter(col("a_id") < col("b_id"))
+      for (mode <- Seq(Some(true), Some(false), None)) {
+        val q = graft.ops.Similarity.exactJaccardCompact(sh, pairs, mode)
+        val reused = physical(q).collect {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }
+        assert(reused.nonEmpty,
+          s"set build planned twice (no ReusedExchange) for broadcastSets=$mode")
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
