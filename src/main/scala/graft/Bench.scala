@@ -43,8 +43,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // r19: shuffle partitions derived from the INPUT SIZE (≈2 MB of
+      // raw input each; guide §2.2) instead of pinned to the core count
+      // — at sf0.1 that is 8, measured 1.5× faster end-to-end than 32.
+      // SPARK_GRAFT_SHUFFLE still overrides; scales with the data, so
+      // the lower-core driver run derives the SAME value and the
+      // core-count scaling measurement stays clean.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          Tables.adaptiveShufflePartitions(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft-bench-warehouse")
@@ -56,11 +63,12 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // Warm the columnar cache: subsequent Tables.load plans are
-    // plan-equal, so every benched query reads from memory.
-    Tables.names.foreach { n =>
-      val df = Tables.load(spark, sfDir, n)
-      df.cache().count()
-    }
+    // plan-equal, so every benched query reads from memory. r19: the warm
+    // also repartitions any table whose scan yields fewer splits than
+    // cores (the fixtures are single-row-group files — the guide's
+    // unsplittable-input case), so the cache has full parallelism at
+    // every SPARK_GRAFT_CPUS; a production-scale scan is unaffected.
+    Tables.warmParallel(spark, sfDir, cpus.toInt)
 
     val aqeOn = spark.conf.get("spark.sql.adaptive.enabled") == "true"
 

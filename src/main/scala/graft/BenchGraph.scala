@@ -17,14 +17,15 @@ object BenchGraph {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          Tables.adaptiveShufflePartitions(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache().count())
+    Tables.warmParallel(spark, sfDir, cpus.toInt)
 
     val copart = Graphs.copartEdges(spark, sfDir).localCheckpoint()
     val seed = copart.agg(min(col("src"))).head().getLong(0)

@@ -18,13 +18,14 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          Tables.adaptiveShufflePartitions(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache().count())
+    Tables.warmParallel(spark, sfDir, cpus.toInt)
     keys.foreach { key =>
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()

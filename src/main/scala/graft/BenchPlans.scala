@@ -19,14 +19,15 @@ object BenchPlans {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          Tables.adaptiveShufflePartitions(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft-bench-warehouse")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache().count())
+    Tables.warmParallel(spark, sfDir, cpus.toInt)
 
     // Same b11/b12/b13 setup as Bench (untimed index/bucket state).
     import graft.ops.{AsOfJoin, Bucketing, SimIndex}

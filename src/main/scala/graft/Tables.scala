@@ -18,7 +18,64 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // r19: one logical plan per (session, dir, table). Building a fresh
+  // DataFrame on every load() call re-ran parquet schema inference — a
+  // one-task Spark job (~40 ms) per table per query, clearly visible in
+  // the per-stage profile ("parquet at Tables.scala" before every bench
+  // run). The memo caches the PLAN only — nothing is computed or
+  // persisted by load() itself; every action still reads the parquet
+  // input (or the explicit columnar cache Bench warms, unchanged).
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, name),
+      _ => build(spark, dir, name))
+
+  /** Warm the in-memory columnar cache for every table (Bench/profiling
+    * sessions; Verify does not warm). r19: the fixture files carry ONE
+    * parquet row group each, so the raw scan — and therefore the cache
+    * built on it — has 1–3 partitions regardless of
+    * `maxPartitionBytes`: every query's first stage ran on ≤3 of the
+    * session's cores. This is the guide's "one huge unsplittable file"
+    * input-skew case (§2.5): repartition immediately after the read,
+    * HERE DERIVED from the measured scan parallelism — only when the
+    * scan yields fewer splits than cores (at production scale the scan
+    * has thousands of splits and this is a no-op), and only in warmed
+    * sessions (Verify/oracle plans stay byte-identical to r18's). The
+    * repartitioned plan is what load() returns afterwards, so every
+    * query's plan matches the cache entry.
+    */
+  def warmParallel(spark: SparkSession, dir: String, cores: Int): Unit =
+    names.foreach { n =>
+      val base = build(spark, dir, n)
+      val scanParts = base.rdd.getNumPartitions
+      val df = if (scanParts < cores) base.repartition(cores) else base
+      df.cache().count()
+      memo.put((spark, dir, n), df)
+    }
+
+  /** Data-derived default for `spark.sql.shuffle.partitions` in the
+    * latency-bench sessions (r19, guide §2.2: size shuffle partitions to
+    * the DATA, not to a constant — "fewer, larger reduce partitions").
+    * The bench works over the warmed in-memory tables, whose shuffles
+    * carry at most a fraction of the raw input, so the target is ~2 MB
+    * of raw input per partition: at sf0.1 (~17 MB of parquet) that is 8
+    * partitions — measured 1.5× faster end-to-end than partitions=cores
+    * (32), because M×R shuffle-block count and per-reducer overhead
+    * dominate sub-second stages. Scales with the input (sf1 → ~85), is
+    * floored at 2 (never serial by accident) and capped at 4× cores
+    * (per-task memory stays bounded when someone points the bench at a
+    * big directory), and remains overridable via SPARK_GRAFT_SHUFFLE.
+    */
+  def adaptiveShufflePartitions(dir: String, cpus: Int): Int = {
+    val d = new java.io.File(dir)
+    val bytes = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    math.max(2L, math.min(4L * cpus, bytes / (2L << 20))).toInt
+  }
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The fixtures have shipped timestamps in two parquet encodings so
     // far, and a real lakehouse mixes more. Normalize BOTH to the
     // engine's canonical session-TZ TimestampType at load, so every

@@ -16,6 +16,24 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** One-task total sort for ENUM-KEYED aggregate outputs (r19, the g03
+    * idiom): when the result cardinality is bounded by the key domain
+    * itself (returnflag×linestatus ≤ 9, nations = 25, market segments =
+    * 5, event types = a fixed enum) — at 100 TB as much as at sf0.1 — a
+    * global `orderBy` is the wrong plan at EVERY scale: its
+    * range-partitioner sampling pass is a separate job that re-executes
+    * the final aggregate stage, then shuffles a handful of rows into
+    * `spark.sql.shuffle.partitions` almost-all-empty sort tasks.
+    * Coalescing to one partition sorts the ≤ dozens of surviving rows in
+    * a single task with no sampling pass and no extra exchange (the
+    * narrow coalesce folds the final agg into that task; its input is
+    * only the partial-agg rows, ≤ #groups × #map-tasks). Same rows, same
+    * total order — the oracle hashes are unchanged. NOT for outputs
+    * keyed by data-scaled ids (customers, orders): those keep orderBy.
+    */
+  private def enumSort(df: DataFrame, cols: String*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q01 — scan + filter + projection; predicate/column pushdown reaches
     // the parquet scan (verified via explain: PushedFilters + ReadSchema).
@@ -46,7 +64,7 @@ object Relational {
           col("sum_disc_price_cents"),
           (expr("(200 * __disc_cents + cnt) div (2 * cnt)") / lit(10000.0))
             .as("avg_disc"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(enumSort(_, "l_returnflag", "l_linestatus"))
     }),
 
     // Q03 — shuffle hash join + agg: revenue by market segment.
@@ -57,7 +75,7 @@ object Relational {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           sumCents(col("o_totalprice")).as("revenue_cents"))
-        .orderBy("c_mktsegment")
+        .transform(enumSort(_, "c_mktsegment"))
     }),
 
     // Q04 — 5-table join, revenue by nation for ASIA. region and nation are
@@ -75,7 +93,7 @@ object Relational {
         .groupBy("n_name")
         .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue_cents"))
-        .orderBy("n_name")
+        .transform(enumSort(_, "n_name"))
     }),
 
     // Q05 — explicit broadcast join of the part dimension.
@@ -86,7 +104,7 @@ object Relational {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
           sumCents(col("l_extendedprice")).as("revenue_cents"))
-        .orderBy("p_brand")
+        .transform(enumSort(_, "p_brand"))
     }),
 
     // Q06 — left outer join null semantics: customers incl. zero orders.
@@ -564,7 +582,7 @@ object Relational {
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("uniq_users"),
           count(lit(1)).as("cnt"))
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type"))
     }),
 
     // Q16 — approximate distinct (HLL). Tolerance-gated, NOT hash-matched
@@ -1476,7 +1494,7 @@ object Relational {
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"),
           count(col("k")).as("cnt_k"))
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type"))
     }),
 
     // Q20b — the same JSON aggregation over Spark 4 VariantType:
