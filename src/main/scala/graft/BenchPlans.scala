@@ -90,8 +90,11 @@ object BenchPlans {
     benchables.foreach { case (bid, mk) =>
       try {
         val df = mk()
-        // run once so adaptive decisions (broadcast thresholds off cached
-        // stats) reflect the executed shape, then print the static plan
+        // r20 (ADVICE r19): actually EXECUTE through the noop sink before
+        // printing, so with AQE on the dumped plan reflects runtime
+        // decisions (with AQE off — the bench default — static == executed,
+        // but the dump is now honest either way).
+        df.write.format("noop").mode("overwrite").save()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.writeString(

@@ -1015,20 +1015,29 @@ object SimIndex {
       val cn = math.sqrt(c.map(x => x * x).sum)
       (cid, dot, dot / (qn * cn))
     }.sortBy { case (cid, _, cos) => (-cos, cid) }.take(nprobe)
-    val adc = Similarity.adcTable(
-      spark.table(s"${prefix}_pq_codebooks"), query)
-    val bucketConst = probed.map { case (cid, dot, _) => (cid, dot) }
-      .toSeq.toDF("bucket", "cdot")
+    // r20 (guide §2.4/§1.2 — remove shuffles outright, then per-task
+    // work): the ADC table is m×k driver-side doubles (256 here), so the
+    // per-vector score needs NO explode (was m× the rows), NO broadcast
+    // join against the table, NO groupBy exchange to re-assemble the m
+    // partial dots, and NO second join for the bucket constant. Fold the
+    // table into a literal-array lookup expression — m codegen'd
+    // element_at calls summed in ascending-subspace order, the SAME
+    // left-to-right order the old hash aggregate accumulated posexplode
+    // output in, so scores are bitwise identical (SimIndexSpec pins the
+    // equality against the join/agg form). Plan: scan → project →
+    // TakeOrderedAndProject; zero Exchange.
+    val lut = Similarity.adcLut(spark.table(s"${prefix}_pq_codebooks"), query)
+    val adcExpr = lut.indices.map { j =>
+      element_at(typedLit(lut(j).toSeq),
+        col("codes").getItem(j).cast("int") + lit(1))
+    }.reduce(_ + _)
+    val cdotExpr = element_at(
+      map(probed.flatMap { case (cid, dot, _) =>
+        Seq(lit(cid), lit(dot)) }.toSeq: _*), col("bucket"))
     antiTombstones(spark, prefix, spark.table(s"${prefix}_pq_codes"),
         "vec_id")
       .filter(col("bucket").isin(probed.map(_._1): _*))
-      .select(col("vec_id"), col("bucket"),
-        posexplode(col("codes")).as(Seq("subspace", "cid")))
-      .join(broadcast(adc), Seq("subspace", "cid"))
-      .groupBy("vec_id", "bucket")
-      .agg(sum(col("pdot")).as("adc"))
-      .join(broadcast(bucketConst), "bucket")
-      .select(col("vec_id"), (col("adc") + col("cdot")).as("score"))
+      .select(col("vec_id"), (adcExpr + cdotExpr).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(topk)
   }

@@ -588,20 +588,50 @@ object Similarity {
     }.toSeq.toDF("subspace", "cid", "pdot")
   }
 
+  /** The [[adcTable]] contents as a dense driver-side array
+    * (lut(subspace)(cid) = pdot): m×k doubles — 256 at the engine's
+    * m=8/k=32 — small enough to fold into a literal lookup EXPRESSION
+    * instead of a broadcast join (r20, guide §2.4: the explode + join +
+    * groupBy re-assembly was three operators and one Exchange for what
+    * is m array lookups per row). Codewords absent from the codebook
+    * table score 0.0, matching the inner join's dropped-term semantics
+    * for codes that can never be assigned.
+    */
+  def adcLut(codebooks: DataFrame, query: Seq[Float]): Array[Array[Double]] = {
+    val q = query.map(_.toDouble)
+    val book = codebooks.collect()
+    val m = book.map(_.getInt(0)).max + 1
+    val k = book.map(_.getInt(1)).max + 1
+    val sub = q.length / m
+    val lut = Array.fill(m)(Array.fill(k)(0.0))
+    book.foreach { r =>
+      val j = r.getInt(0)
+      val cid = r.getInt(1)
+      val c = r.getSeq[Double](2)
+      lut(j)(cid) = (0 until sub).map(i => q(j * sub + i) * c(i)).sum
+    }
+    lut
+  }
+
   /** Asymmetric-distance (ADC) k-NN over PQ codes: the query stays
     * full-precision; per (subspace, codeword) partial dot products are
-    * precomputed into the [[adcTable]] (tiny, broadcast), so each
-    * database vector's approximate dot is m lookups + a sum —
-    * dot(query, reconstruction(codes)) EXACTLY, by linearity of the dot
-    * product over concatenated subspaces (PqSpec asserts the identity).
+    * precomputed into the [[adcLut]] (m×k driver-side doubles), so each
+    * database vector's approximate dot is m literal-array lookups + a
+    * sum — dot(query, reconstruction(codes)) EXACTLY, by linearity of
+    * the dot product over concatenated subspaces (PqSpec asserts the
+    * identity). r20: the lookups are a codegen'd expression summed in
+    * ascending-subspace order — the same left-to-right order the old
+    * posexplode + broadcast-join + groupBy form accumulated in, so
+    * scores are bitwise identical with zero joins and zero Exchanges.
     */
   def pqAdcKnn(codes: DataFrame, codebooks: DataFrame, query: Seq[Float],
       m: Int, dims: Int, k: Int): DataFrame = {
-    codes.select(col("vec_id"),
-        posexplode(col("codes")).as(Seq("subspace", "cid")))
-      .join(broadcast(adcTable(codebooks, query)), Seq("subspace", "cid"))
-      .groupBy("vec_id")
-      .agg(sum(col("pdot")).as("adc_dot"))
+    val lut = adcLut(codebooks, query)
+    val adcExpr = lut.indices.map { j =>
+      element_at(typedLit(lut(j).toSeq),
+        col("codes").getItem(j).cast("int") + lit(1))
+    }.reduce(_ + _)
+    codes.select(col("vec_id"), adcExpr.as("adc_dot"))
       .orderBy(desc("adc_dot"), col("vec_id"))
       .limit(k)
   }

@@ -189,6 +189,44 @@ class PqSpec extends SparkSpecBase {
       df(fullWith900 ++ cluster(5, 5, 950L))))
   }
 
+  test("r20 LUT scoring: exactly equal to the join/agg ADC form, zero Exchange") {
+    import graft.ops.{Bucketing, SimIndex}
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings").limit(100)
+    val cb = Similarity.pqTrain(vecs, m, dims, k)
+    val codes = Similarity.pqEncode(vecs, cb, m, dims)
+    val q = vecs.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    // (a) pqAdcKnn's literal-lookup scores == the r19 posexplode +
+    // broadcast-join + groupBy form, bitwise (same left-to-right
+    // subspace accumulation order)
+    val neu = Similarity.pqAdcKnn(codes, cb, q, m, dims, k = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val old = codes.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "cid")))
+      .join(broadcast(Similarity.adcTable(cb, q)), Seq("subspace", "cid"))
+      .groupBy("vec_id").agg(sum(col("pdot")).as("adc_dot"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(neu.keySet == old.keySet)
+    neu.foreach { case (id, s) =>
+      assert(s == old(id), s"vec $id: lut=$s joinAgg=${old(id)}") }
+    // (b) the probe plan is Exchange-free: scan -> project ->
+    // TakeOrderedAndProject (the whole point of the r20 rewrite)
+    val prefix = "graft_test_ivfpq_lut"
+    Seq("_centroids", "_pq_codebooks", "_pq_codes", "_meta").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $prefix$t")
+      Bucketing.dropStaleLocation(spark, prefix + t)
+    }
+    SimIndex.writeIvfPqIndex(vecs, prefix, nCentroids = 4, m = m,
+      dims = dims, k = k, buckets = 4)
+    val probe = SimIndex.ivfPqSearch(spark, prefix, q, nprobe = 2, topk = 10)
+    probe.write.format("noop").mode("overwrite").save()
+    val exchanges = probe.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty,
+      s"ivfPqSearch probe should be Exchange-free, found:\n$exchanges")
+  }
+
   test("IVF-PQ persisted index: score identity incl. coarse term, self-match, recall") {
     import graft.ops.{Bucketing, SimIndex}
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
