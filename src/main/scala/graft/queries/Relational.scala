@@ -170,10 +170,25 @@ object Relational {
     }),
 
     // Q11 — window ranking: top-3 most recent orders per customer.
+    //
+    // r20 range-first idiom (guide §2.4 "establish the partitioning once"):
+    // a window whose terminal orderBy starts with the window's partition
+    // key pays TWO exchanges as written naively — hashpartitioning(key)
+    // for the window, then rangepartitioning(key, …) for the sort, whose
+    // range-sampling pass re-executes the whole window stage. Range-
+    // partitioning UP FRONT serves both: RangePartitioning(key) satisfies
+    // the window's ClusteredDistribution(key) AND — by Catalyst's prefix
+    // rule (equal keys are co-located and partitions are ordered) — the
+    // terminal sort's OrderedDistribution(key, …), so the sort becomes a
+    // partition-local sort with NO second exchange and the sampling scans
+    // the raw input, not the window output. One exchange, same rows, same
+    // total order (oracle hashes unchanged). Interleaved A/B (ProfileR20):
+    // q11 0.269 → 0.213 s, t06 0.254 → 0.203 s; plan 2 Exchange → 1.
     "q11_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
       t(s, dir, "orders")
+        .repartitionByRange(col("o_custkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("o_custkey", "rn", "o_orderkey", "o_orderdate")
@@ -191,6 +206,7 @@ object Relational {
       val full = w.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       t(s, dir, "events")
+        .repartitionByRange(col("event_type")) // r20 range-first (see q11)
         .select(col("event_type"), col("event_id"),
           ntile(10).over(w).as("decile"),
           first(col("event_id")).over(w).as("top_id"),
@@ -320,6 +336,7 @@ object Relational {
       val w = Window.partitionBy("event_type")
         .orderBy(md5(col("event_id").cast("string")), col("event_id"))
       t(s, dir, "events")
+        .repartitionByRange(col("event_type")) // r20 range-first (see q11)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= 5)
         .select("event_type", "event_id")
@@ -339,6 +356,7 @@ object Relational {
         .orderBy(col("ts").asc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
+        .repartitionByRange(col("user_id")) // r20 range-first (see q11)
         .withColumn("sparse_cents",
           when(col("event_id") % 3 === 0, lit(null).cast("long"))
             .otherwise(cents(col("value"))))
@@ -500,6 +518,7 @@ object Relational {
         .orderBy(col("ts").asc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
+        .repartitionByRange(col("user_id")) // r20 range-first (see q11)
         .withColumn("running_cents", sum(cents(col("value"))).over(w))
         .select("user_id", "event_id", "ts", "running_cents")
         .orderBy("user_id", "ts", "event_id")
@@ -516,6 +535,7 @@ object Relational {
         .orderBy(col("ts_us"))
         .rangeBetween(-(7L * 86400000000L - 1L), Window.currentRow)
       t(s, dir, "events")
+        .repartitionByRange(col("user_id")) // r20 range-first (see q11)
         .withColumn("ts_us", graft.Det.epochUs(col("ts")))
         .withColumn("trail_cents", sum(cents(col("value"))).over(w))
         .select("user_id", "event_id", "ts", "trail_cents")
@@ -527,6 +547,7 @@ object Relational {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
       t(s, dir, "events")
+        .repartitionByRange(col("user_id")) // r20 range-first (see q11)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("gap_us",
           graft.Det.epochUs(col("ts")) - graft.Det.epochUs(col("prev_ts")))

@@ -1112,8 +1112,15 @@ object TemporalQueries {
     }),
 
     // T06 — sessionization, 30-minute gap, strictly-greater split rule.
+    // r20 range-first (see q11_window_rank): range-partition on user_id up
+    // front — the sessionize windows cluster on it and the terminal
+    // orderBy(user_id, session_start) is satisfied by the prefix rule, so
+    // the plan drops from 2 Exchanges (hash + sampled range) to 1.
+    // ProfileR20: 0.254 → 0.203 s; rows and total order unchanged.
     "t06_sessionize" -> ((s, dir) => {
-      Temporal.sessionize(ev(s, dir), entity = "user_id", ts = "ts",
+      Temporal.sessionize(
+          ev(s, dir).repartitionByRange(col("user_id")),
+          entity = "user_id", ts = "ts",
           tieBreak = "event_id", gapSeconds = 1800)
         .groupBy("user_id", "session_id")
         .agg(min(col("ts")).as("session_start"),
