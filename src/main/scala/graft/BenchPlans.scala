@@ -79,6 +79,11 @@ object BenchPlans {
           .filter(col("est_jaccard") >= 0.42).select("a_id", "b_id")
         graft.ops.Similarity.exactJaccardCompact(sh, likely)
           .filter(col("jaccard") > 0.6)
+      }),
+      "b14_pagerank" -> (() => {
+        val e = graft.ops.Graphs.supplyEdges(spark, sfDir)
+          .select("src", "dst").cache()
+        graft.ops.Graphs.pageRankDF(spark, e, 10, materialize = false)
       }))
 
     val benchables: Seq[(String, () => org.apache.spark.sql.DataFrame)] =

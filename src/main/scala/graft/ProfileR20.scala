@@ -59,7 +59,100 @@ object ProfileR20 {
           (graft.Det.epochUs(col("b_ts")) - graft.Det.epochUs(col("a_ts"))).as("gap_us"))
     }
 
+    lazy val prEdges = {
+      val e = graft.ops.Graphs.supplyEdges(spark, sfDir)
+        .select("src", "dst").cache()
+      e.count()
+      e
+    }
+    def prCadence(c: Int): DataFrame = {
+      import graft.ops.Checkpoints
+      val e = prEdges
+      val verts = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+        .transform(Checkpoints.cut)
+      val weighted = e
+        .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .transform(Checkpoints.cut)
+      var ranks = verts.withColumn("rank", lit(1.0))
+      val iters = 10
+      for (i <- 1 to iters) {
+        val contribs = weighted
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+          .groupBy("id").agg(sum("c").as("msum"))
+        ranks = verts.join(contribs, Seq("id"), "left_outer")
+          .select(col("id"),
+            (lit(0.15) + lit(0.85) * coalesce(col("msum"), lit(0.0)))
+              .as("rank"))
+        if (i % c == 0 || i == iters) ranks = ranks.transform(Checkpoints.cut)
+      }
+      val st = ranks.agg(
+        (count(lit(1)).cast("double") / sum(col("rank"))).as("__scale"))
+      ranks.crossJoin(broadcast(st))
+        .select(col("id"), (col("rank") * col("__scale")).as("rank"))
+    }
+
+    // --- s27 quotient-CC fold, old (shuffle-join) vs new (broadcast
+    // probe) form, on the stress-expanded copart edges (factor 10) ---
+    lazy val ccCop = {
+      import graft.ops.{Checkpoints, Graphs}
+      val factor = 10
+      val cop0 = Graphs.copartEdges(spark, sfDir).transform(Checkpoints.cut)
+      val minV = cop0.agg(min(col("src"))).head().getLong(0)
+      val kCol = pmod(xxhash64(col("src"), col("dst")), lit(factor)).as("k")
+      cop0.select(col("src"), col("dst"), kCol)
+        .select((col("src") * factor + col("k")).as("src"),
+          (col("dst") * factor + col("k")).as("dst"))
+        .unionAll(spark.range(1, factor.toLong)
+          .select((lit(minV) * factor + col("id")).as("src"),
+            (lit(minV) * factor + col("id") - 1).as("dst")))
+        .transform(Checkpoints.cut)
+    }
+    def ccOldApply(labels0: DataFrame, edges: DataFrame): DataFrame = {
+      import graft.ops.Checkpoints
+      val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src") =!= col("dst"))
+      val nodes = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+      val lab = nodes.join(labels0, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+      val superEdges = e
+        .join(lab.select(col("id").as("src"), col("component").as("c1")), "src")
+        .join(lab.select(col("id").as("dst"), col("component").as("c2")), "dst")
+        .select(col("c1").as("src"), col("c2").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val remap =
+        if (superEdges.isEmpty) null
+        else graft.ops.Graphs.connectedComponentsDF(spark, superEdges)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("component"), col("component").as("__new"))
+      val all = labels0.unionByName(
+        lab.join(labels0.select("id"), Seq("id"), "left_anti"))
+      val out = if (remap == null) all
+        else all.join(broadcast(remap), Seq("component"), "left")
+          .select(col("id"),
+            coalesce(col("__new"), col("component")).as("component"))
+      out.transform(Checkpoints.cut)
+    }
+    def ccFold(useOld: Boolean): DataFrame = {
+      import spark.implicits._
+      def slice(i: Int) =
+        ccCop.filter(pmod(xxhash64(col("src"), col("dst")), lit(3)) === i)
+      var labels = ccCop.select(col("src").cast("long").as("id"),
+        col("src").cast("long").as("component")).limit(0)
+      (0 to 2).foreach { i =>
+        labels =
+          if (useOld) ccOldApply(labels, slice(i))
+          else graft.streaming.Streams.ccApplyBatch(spark, labels, slice(i))
+      }
+      labels
+    }
+
     val cases: Seq[(String, () => DataFrame)] = Seq(
+      ("cc_A_old", () => ccFold(useOld = true)),
+      ("cc_B_new", () => ccFold(useOld = false)),
       ("t06_A_current", () =>
         sessAgg(ev(spark)).orderBy("user_id", "session_start")),
       ("t06_B_rangefirst", () =>
@@ -98,6 +191,30 @@ object ProfileR20 {
             (graft.Det.epochUs(col("b_ts")) - graft.Det.epochUs(col("a_ts"))).as("gap_us"))
           .orderBy("user_id", "a_id", "b_id")
       }),
+      ("edges_A_3distinct", () => {
+        val orders = Tables.load(spark, sfDir, "orders")
+        val li = Tables.load(spark, sfDir, "lineitem")
+        val (cu, or, pa, su) = (graft.ops.Graphs.CUST, graft.ops.Graphs.ORD,
+          graft.ops.Graphs.PART, graft.ops.Graphs.SUPP)
+        orders.select((col("o_custkey") + cu).as("src"),
+            (col("o_orderkey") + or).as("dst"), lit("cust_order").as("etype"))
+          .unionAll(li.select(col("l_orderkey"), col("l_partkey")).distinct()
+            .select((col("l_orderkey") + or).as("src"),
+              (col("l_partkey") + pa).as("dst"), lit("order_part").as("etype")))
+          .unionAll(li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+            .select((col("l_orderkey") + or).as("src"),
+              (col("l_suppkey") + su).as("dst"), lit("order_supp").as("etype")))
+          .unionAll(li.select(col("l_suppkey"), col("l_partkey")).distinct()
+            .select((col("l_suppkey") + su).as("src"),
+              (col("l_partkey") + pa).as("dst"), lit("supp_part").as("etype")))
+      }),
+      ("edges_B_explode", () => graft.ops.Graphs.supplyEdges(spark, sfDir)),
+      // pageRankDF checkpoint cadence sweep (bitwise-identical results —
+      // only the materialization boundaries move)
+      ("pr_cadence2", () => prCadence(2)),
+      ("pr_cadence3", () => prCadence(3)),
+      ("pr_cadence5", () => prCadence(5)),
+      ("pr_cadence10", () => prCadence(10)),
       ("q11_A_current", () => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("o_custkey")

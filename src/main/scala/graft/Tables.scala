@@ -25,11 +25,25 @@ object Tables {
   // run). The memo caches the PLAN only — nothing is computed or
   // persisted by load() itself; every action still reads the parquet
   // input (or the explicit columnar cache Bench warms, unchanged).
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]
+  // r20 (ADVICE r19): keyed by a WEAK reference to the session, so a
+  // stopped-and-dropped SparkSession's plans are collectable instead of
+  // retained for the JVM's life in multi-session processes (the test
+  // suite); the inner per-session map stays a plain ConcurrentHashMap.
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]])
+
+  private def perSession(spark: SparkSession) = memo.synchronized {
+    var m = memo.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+      memo.put(spark, m)
+    }
+    m
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, dir, name),
+    perSession(spark).computeIfAbsent((dir, name),
       _ => build(spark, dir, name))
 
   /** Warm the in-memory columnar cache for every table (Bench/profiling
@@ -52,7 +66,7 @@ object Tables {
       val scanParts = base.rdd.getNumPartitions
       val df = if (scanParts < cores) base.repartition(cores) else base
       df.cache().count()
-      memo.put((spark, dir, n), df)
+      perSession(spark).put((dir, n), df)
     }
 
   /** Data-derived default for `spark.sql.shuffle.partitions` in the
@@ -64,15 +78,34 @@ object Tables {
     * partitions — measured 1.5× faster end-to-end than partitions=cores
     * (32), because M×R shuffle-block count and per-reducer overhead
     * dominate sub-second stages. Scales with the input (sf1 → ~85), is
-    * floored at 2 (never serial by accident) and capped at 4× cores
-    * (per-task memory stays bounded when someone points the bench at a
-    * big directory), and remains overridable via SPARK_GRAFT_SHUFFLE.
+    * floored at 2 (never serial by accident), and remains overridable
+    * via SPARK_GRAFT_SHUFFLE.
+    *
+    * r20 (VERDICT r19 "what's wrong" #3 + ADVICE): the cap is now
+    * BYTE-DERIVED — `max(4×cores, bytes/256 MB)` — so pointing the
+    * helper at a big directory yields ≥4×cores partitions that never
+    * exceed ~256 MB each (the guide's 100 MB–1 GB reduce-partition
+    * band) instead of multi-GB partitions from a flat 4×cores cap. The
+    * directory walk is recursive (directory-style parquet tables count),
+    * and an empty/unreadable dir falls back to the core count with a
+    * warning instead of silently pinning the bench to 2 partitions.
     */
   def adaptiveShufflePartitions(dir: String, cpus: Int): Int = {
-    val d = new java.io.File(dir)
-    val bytes = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-    math.max(2L, math.min(4L * cpus, bytes / (2L << 20))).toInt
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    val bytes = walk(new java.io.File(dir))
+    if (bytes <= 0L) {
+      System.err.println(
+        s"[tables] no parquet bytes found under $dir — " +
+          s"defaulting shuffle partitions to cores ($cpus)")
+      cpus
+    } else {
+      val cap = math.max(4L * cpus, bytes / (256L << 20))
+      math.max(2L, math.min(cap, bytes / (2L << 20))).toInt
+    }
   }
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -35,21 +35,42 @@ object Graphs {
         lit("supplier").as("vtype")))
   }
 
-  /** G_supply edges: (src, dst, etype) — FIXTURES.md definitions. */
+  /** G_supply edges: (src, dst, etype) — FIXTURES.md definitions.
+    *
+    * r20 (guide §2.4/§2.3): the three lineitem-derived edge types used to
+    * pay three separate distinct-shuffles (three scans of lineitem, three
+    * stages). One explode emits all three typed edges per row and ONE
+    * distinct co-shuffles them — same edge SET (etype disambiguates, and
+    * the three types live in disjoint (src, dst) offset spaces), one scan,
+    * one shuffle. The type rides through the dedup as a 1-byte tag
+    * (narrower types, §2.3) and is mapped back to the etype string after;
+    * cust→order edges are one-per-order by construction and stay out of
+    * the dedup entirely. Setup cost of every supplyEdges consumer
+    * (g01, g02, the g08 family, g18, g16, ...) drops.
+    */
   def supplyEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = graft.Tables.load(s, dir, "orders")
     val li = graft.Tables.load(s, dir, "lineitem")
+    val liEdges = li.select(explode(array(
+        struct((col("l_orderkey") + ORD).as("src"),
+          (col("l_partkey") + PART).as("dst"),
+          lit(1).cast("tinyint").as("t")),
+        struct((col("l_orderkey") + ORD).as("src"),
+          (col("l_suppkey") + SUPP).as("dst"),
+          lit(2).cast("tinyint").as("t")),
+        struct((col("l_suppkey") + SUPP).as("src"),
+          (col("l_partkey") + PART).as("dst"),
+          lit(3).cast("tinyint").as("t")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.t").as("t"))
+      .distinct()
+      .select(col("src"), col("dst"),
+        when(col("t") === 1, lit("order_part"))
+          .when(col("t") === 2, lit("order_supp"))
+          .otherwise(lit("supp_part")).as("etype"))
     orders.select((col("o_custkey") + CUST).as("src"),
         (col("o_orderkey") + ORD).as("dst"), lit("cust_order").as("etype"))
-      .unionAll(li.select(col("l_orderkey"), col("l_partkey")).distinct()
-        .select((col("l_orderkey") + ORD).as("src"),
-          (col("l_partkey") + PART).as("dst"), lit("order_part").as("etype")))
-      .unionAll(li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-        .select((col("l_orderkey") + ORD).as("src"),
-          (col("l_suppkey") + SUPP).as("dst"), lit("order_supp").as("etype")))
-      .unionAll(li.select(col("l_suppkey"), col("l_partkey")).distinct()
-        .select((col("l_suppkey") + SUPP).as("src"),
-          (col("l_partkey") + PART).as("dst"), lit("supp_part").as("etype")))
+      .unionAll(liEdges)
   }
 
   /** The supply edge union persisted ONCE per (session, sf dir) as a
@@ -94,17 +115,32 @@ object Graphs {
   def temporalSupplyEdges(s: SparkSession, dir: String): DataFrame = {
     val orders = graft.Tables.load(s, dir, "orders")
     val li = graft.Tables.load(s, dir, "lineitem")
-    def minShip(a: String, b: String, offA: Long, offB: Long, et: String) =
-      li.groupBy(col(a), col(b))
-        .agg(min(col("l_shipdate")).as("valid_from"))
-        .select((col(a) + offA).as("src"), (col(b) + offB).as("dst"),
-          lit(et).as("etype"), col("valid_from"))
+    // r20: one grouped min-shipdate aggregation for all three
+    // lineitem-derived edge types (was three groupBy shuffles — the same
+    // single-pass move as [[supplyEdges]]; min per (src, dst, type) is
+    // unchanged, exact timestamp arithmetic).
+    val liEdges = li.select(col("l_shipdate"), explode(array(
+        struct((col("l_orderkey") + ORD).as("src"),
+          (col("l_partkey") + PART).as("dst"),
+          lit(1).cast("tinyint").as("t")),
+        struct((col("l_orderkey") + ORD).as("src"),
+          (col("l_suppkey") + SUPP).as("dst"),
+          lit(2).cast("tinyint").as("t")),
+        struct((col("l_suppkey") + SUPP).as("src"),
+          (col("l_partkey") + PART).as("dst"),
+          lit(3).cast("tinyint").as("t")))).as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.t").as("t"))
+      .agg(min(col("l_shipdate")).as("valid_from"))
+      .select(col("src"), col("dst"),
+        when(col("t") === 1, lit("order_part"))
+          .when(col("t") === 2, lit("order_supp"))
+          .otherwise(lit("supp_part")).as("etype"),
+        col("valid_from"))
     orders.select((col("o_custkey") + CUST).as("src"),
         (col("o_orderkey") + ORD).as("dst"), lit("cust_order").as("etype"),
         col("o_orderdate").as("valid_from"))
-      .unionAll(minShip("l_orderkey", "l_partkey", ORD, PART, "order_part"))
-      .unionAll(minShip("l_orderkey", "l_suppkey", ORD, SUPP, "order_supp"))
-      .unionAll(minShip("l_suppkey", "l_partkey", SUPP, PART, "supp_part"))
+      .unionAll(liEdges)
       .withColumn("valid_to", lit(null).cast("timestamp"))
   }
 
@@ -2187,9 +2223,14 @@ object Graphs {
     * iteration count is fixed, so total cost is iters × O(|E|) with no
     * convergence-test jobs.
     */
-  def pageRankDF(s: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .transform(Checkpoints.cut)
+  def pageRankDF(s: SparkSession, edges: DataFrame, iters: Int,
+      materialize: Boolean = true): DataFrame = {
+    // `materialize = false` skips the edge-list lineage cut — pass it when
+    // `edges` is already materialized (cached/checkpointed/bucketed), the
+    // same contract as [[kHopIds]]; the cut is load-bearing when the edge
+    // derivation is itself expensive (it is read three times below).
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = if (materialize) e0.transform(Checkpoints.cut) else e0
     val verts = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct().transform(Checkpoints.cut)
     val weighted = e

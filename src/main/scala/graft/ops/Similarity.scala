@@ -903,11 +903,15 @@ object Similarity {
     * [[BroadcastSetBytes]]. r19: the bound is computed from the SHINGLE
     * INPUT (one cheap agg — `Σ|hset| ≤ rows(shingled)` since collect_set
     * only removes duplicates, and docs ≤ rows) instead of materializing
-    * the whole set table through localCheckpoint and re-scanning it; the
-    * set build is NOT duplicated by dropping the checkpoint, because the
+    * the whole set table through localCheckpoint and re-scanning it. The
     * a/b sides canonicalize equal and Spark's ReuseExchange collapses
-    * them to one (broadcast or shuffle) exchange — asserted in
-    * PlanShapeSpec. The bound overestimates, so a borderline corpus now
+    * their (broadcast or shuffle) EXCHANGE to one — asserted in
+    * PlanShapeSpec — so the shuffle/partial-agg work is shared; the
+    * post-exchange final collect_set/sort_array merge still runs once
+    * per join side (the old checkpoint materialized it exactly once —
+    * that final-merge re-run is the price of dropping two whole jobs,
+    * and it is the cheap, pipelined part of the set build). The bound
+    * overestimates, so a borderline corpus now
     * takes the shuffle path — the safe direction. All paths are the same
     * plan shape otherwise; ToleranceSpec asserts identical output on all
     * three.

@@ -1014,7 +1014,7 @@ object LlmQueries {
           sum("n_subtokens").as("n_subtokens"))
         .filter(col("n_words") > 0)
         .withColumn("fert_e4", expr("10000 * n_subtokens div n_words"))
-        .orderBy("lang")
+        .transform(Relational.enumSort(_, "lang")) // r20: bounded key domain
     }),
 
     // L29 — DSIR-style hashed-bigram importance weights: target = the
@@ -1192,7 +1192,7 @@ object LlmQueries {
         // integer HALF_UP to 4 decimals (n_chars is integral) — see T03
         .withColumn("avg_chars",
           expr("(20000 * sum_chars + n_docs) div (2 * n_docs)") / lit(10000.0))
-        .orderBy("lang")
+        .transform(Relational.enumSort(_, "lang")) // r20: bounded key domain
     }),
 
     // L04b — per-document quality features.
@@ -1210,7 +1210,7 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("guess") === col("lang"), 1L).otherwise(0L))
             .as("n_correct"))
-        .orderBy("lang")
+        .transform(Relational.enumSort(_, "lang")) // r20: bounded key domain
     }),
 
     // L04d — order-sensitive rolling fingerprint of the token stream.

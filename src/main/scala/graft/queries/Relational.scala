@@ -31,7 +31,7 @@ object Relational {
     * total order — the oracle hashes are unchanged. NOT for outputs
     * keyed by data-scaled ids (customers, orders): those keep orderBy.
     */
-  private def enumSort(df: DataFrame, cols: String*): DataFrame =
+  private[queries] def enumSort(df: DataFrame, cols: String*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -612,7 +612,7 @@ object Relational {
       t(s, dir, "events")
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // Q16b — HLL sketch partial re-aggregation: the 100 TB distinct-count
@@ -632,7 +632,7 @@ object Relational {
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
           .as("approx_users"))
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // Q16c — HLL set algebra: distinct viewers, purchasers, their union
@@ -744,7 +744,7 @@ object Relational {
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") === 1)
         .select("event_type", "user_id", "n")
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // Q42 — sequence-pattern match (MATCH_RECOGNIZE-lite): per user, the
@@ -1281,7 +1281,7 @@ object Relational {
             THEN CAST(floor(1000000 * num / den) AS BIGINT)
             ELSE -CAST(floor(1000000 * (-num) / den) AS BIGINT) END"""))
         .select("event_type", "n", "slope_e6")
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // Q52 — association rules (market-basket): for ordered part pairs
@@ -1528,7 +1528,7 @@ object Relational {
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"),
           count(col("k")).as("cnt_k"))
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // Q21 — array functions over embeddings: size, element access, and a
@@ -1644,7 +1644,7 @@ object Relational {
             "error" -> 0.5, "signup" -> 1.0), seed = 42L)
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // Q15b — ordered string aggregation (listagg WITHIN GROUP): the
@@ -1692,7 +1692,7 @@ object Relational {
             .as("p90_cents"),
           round(percentile(graft.Det.cents(col("value")), lit(0.99)), 4)
             .as("p99_cents"))
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // Q28b — approx_percentile (the 100 TB path: bounded-memory sketch vs
@@ -1710,7 +1710,7 @@ object Relational {
           element_at(col("ac"), 1).as("p50_cents"),
           element_at(col("ac"), 2).as("p90_cents"),
           element_at(col("ac"), 3).as("p99_cents"))
-        .orderBy("event_type")
+        .transform(enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // Q29 — heavy hitters: tokens occurring >= 100 times across the

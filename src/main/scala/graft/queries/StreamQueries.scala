@@ -59,7 +59,7 @@ object StreamQueries {
         .dropDuplicates("event_id")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_rows"))
-        .orderBy("event_type")
+        .transform(Relational.enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // S06 — arbitrary stateful op: running mean+3σ anomaly flags per
@@ -541,7 +541,8 @@ object StreamQueries {
       // replayed batch REPLACES its own rows — a no-op by construction
       state = Streams.mergeTrendPartials(state,
         e.filter(col("event_id") % 3 === 1), originUs, 1L)
-      Streams.trendFromPartials(state).orderBy("event_type")
+      Streams.trendFromPartials(state)
+        .transform(Relational.enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // S27 — incremental connected components: g06's labels maintained
@@ -794,7 +795,7 @@ object StreamQueries {
           liveFrom = lit("2024-01-15").cast("timestamp"),
           liveTo = lit("2024-01-30").cast("timestamp"),
           nBuckets = 25)
-        .orderBy("event_type")
+        .transform(Relational.enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // S38 — streaming bigram-LM maintenance: l50's quality-filter model

@@ -542,7 +542,7 @@ object TemporalQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(cents(col("value"))).as("sum_cents"))
-        .orderBy("event_type")
+        .transform(Relational.enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // T17 — gap detection, the dual of sessionize: every per-user
@@ -598,7 +598,7 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_intervals"),
           sum(graft.Det.epochUs(col("valid_to")) -
             graft.Det.epochUs(col("valid_from"))).as("held_us"))
-        .orderBy("event_type")
+        .transform(Relational.enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // T21 — interval overlap audit on the 45-minute holds: every hold
@@ -718,7 +718,7 @@ object TemporalQueries {
             col("dur_us"))).as("med_dur_us"),
           min(when(col("rn") === expr("(9 * n + 9) div 10"),
             col("dur_us"))).as("p90_dur_us"))
-        .orderBy("event_type")
+        .transform(Relational.enumSort(_, "event_type")) // r20: bounded key domain
     }),
 
     // T32 — POINT-IN-TIME feature join (leakage-safe feature
@@ -1138,7 +1138,12 @@ object TemporalQueries {
     // dimension. Hash-matched against the t06 session CTE + lag replay.
     "t41_session_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val sess = Temporal.sessionize(ev(s, dir), entity = "user_id",
+      // r20 range-first (see q11_window_rank / t06): both windows and
+      // the session agg cluster on user_id, and the terminal
+      // orderBy(user_id, session_id) is prefix-satisfied — one exchange.
+      val sess = Temporal.sessionize(
+          ev(s, dir).repartitionByRange(col("user_id")),
+          entity = "user_id",
           ts = "ts", tieBreak = "event_id", gapSeconds = 1800)
         .groupBy("user_id", "session_id")
         .agg(graft.Det.epochUs(min(col("ts"))).as("start_us"),

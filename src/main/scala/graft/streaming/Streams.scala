@@ -405,17 +405,46 @@ object Streams {
     * changes nothing) — idempotence for free, asserted in StreamingSpec.
     */
   def ccApplyBatch(s: org.apache.spark.sql.SparkSession, labels: DataFrame,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame): DataFrame =
+    ccApplyBatchPlan(s, labels, edges).transform(graft.ops.Checkpoints.cut)
+
+  /** [[ccApplyBatch]] WITHOUT the terminal lineage cut — exposed so the
+    * plan-shape gate (StreamingSpec) can assert the relabel read's
+    * Exchange budget on the pre-cut plan; production callers use
+    * [[ccApplyBatch]].
+    */
+  private[graft] def ccApplyBatchPlan(s: org.apache.spark.sql.SparkSession,
+      labels: DataFrame, edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
-    val lab = nodes.join(labels, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("component"), col("id")).as("component"))
+    // r20 (guide §2.4 / VERDICT r19 #3): the old `nodes LEFT JOIN labels`
+    // + `lab ANTI labels` pair planned as sort-merge joins that SHUFFLED
+    // the accumulated label table twice per batch — per-batch cost
+    // O(|labels| shuffle), the one thing a maintained fold must never
+    // pay. Restructured so every probe of the big table broadcasts the
+    // BATCH side (the ccApplyDelta hint discipline): labels are now only
+    // SCANNED, never exchanged — per-batch network cost tracks the batch.
+    //   known  = labels of batch ids already in the table (broadcast
+    //            semi probe; checkpoint-cut because recomputing it is
+    //            the one remaining labels scan);
+    //   newIds = batch ids not yet labeled, self-labeled — exactly the
+    //            rows the old coalesce() + anti join produced.
+    val nodeRows = nodes.count()
+    def hint(df: DataFrame): DataFrame =
+      if (nodeRows <= graft.ops.Graphs.FrontierBroadcastRows) broadcast(df)
+      else df
+    val known = labels.join(hint(nodes), Seq("id"), "left_semi")
+      .transform(graft.ops.Checkpoints.cut)
+    val newIds = nodes.join(hint(known.select("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    val lab = known.unionByName(newIds)
     val superEdges = e
-      .join(lab.select(col("id").as("src"), col("component").as("c1")), "src")
-      .join(lab.select(col("id").as("dst"), col("component").as("c2")), "dst")
+      .join(hint(lab.select(col("id").as("src"), col("component").as("c1"))),
+        "src")
+      .join(hint(lab.select(col("id").as("dst"), col("component").as("c2"))),
+        "dst")
       .select(col("c1").as("src"), col("c2").as("dst"))
       .filter(col("src") =!= col("dst"))
     val remap =
@@ -423,13 +452,11 @@ object Streams {
       else graft.ops.Graphs.connectedComponentsDF(s, superEdges)
         .filter(col("id") =!= col("component"))
         .select(col("id").as("component"), col("component").as("__new"))
-    val all = labels.unionByName(
-      lab.join(labels.select("id"), Seq("id"), "left_anti"))
-    val out = if (remap == null) all
-      else all.join(broadcast(remap), Seq("component"), "left")
-        .select(col("id"),
-          coalesce(col("__new"), col("component")).as("component"))
-    out.transform(graft.ops.Checkpoints.cut)
+    val all = labels.unionByName(newIds)
+    if (remap == null) all
+    else all.join(broadcast(remap), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("component")).as("component"))
   }
 
   /** S27b — incremental connected components WITH RETRACTIONS: one

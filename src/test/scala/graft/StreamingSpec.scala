@@ -1044,6 +1044,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(snap() == oneShot)
   }
 
+  test("r20 quotient-CC merge plan gate: the accumulated label table is " +
+      "scanned, never shuffled — batch-side probes broadcast") {
+    import spark.implicits._
+    // labels = the accumulated state (checkpoint-cut, like production);
+    // batch = a handful of edges. The r19 form planned two sort-merge
+    // joins that shuffled `labels` every batch; the r20 form must show
+    // at most ONE ShuffleExchange (the batch-node distinct) and no
+    // shuffle anywhere over the labels input.
+    val labels = (0L until 500L).map(i => (i, i / 5 * 5)).toDF("id", "component")
+      .transform(graft.ops.Checkpoints.cut)
+    val batch = Seq((1L, 600L), (600L, 601L), (7L, 12L)).toDF("src", "dst")
+    val out = Streams.ccApplyBatchPlan(spark, labels, batch)
+    out.write.format("noop").mode("overwrite").save()
+    val shuffles = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 1,
+      s"quotient-CC relabel should shuffle only the batch-node distinct, " +
+        s"found ${shuffles.length}:\n${shuffles.map(_.nodeName)}")
+    // and the fold still computes the same labels as the one-shot merge
+    val got = Streams.ccApplyBatch(spark, labels, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.Graphs.connectedComponentsDF(spark,
+        labels.select(col("id").as("src"), col("component").as("dst"))
+          .unionAll(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("S48 ensemble maintenance: maintained labels == CC over the union " +
       "of the two one-shot pair sets after EVERY batch (uncapped text); " +
       "replay no-op; dual-signal retraction == survivors, idempotent") {
