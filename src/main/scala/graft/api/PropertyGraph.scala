@@ -125,11 +125,23 @@ case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     *
     * The plan is pure equi joins — one edge-list scan per atom, joined
     * on the shared vertex variables — so Catalyst orders/broadcasts them
-    * like any other join tree; apply vertex predicates by joining the
-    * result columns against filtered dimension tables (predicate
-    * pushdown then prunes before the motif joins).
+    * like any other join tree.
+    *
+    * `bindings` (r20, guide §2.3 "shuffle fewer bytes" / §3.2 semi-join
+    * reduction): an optional map from a vertex VARIABLE to a one-column
+    * DataFrame (column named like the variable) of its allowed ids. Each
+    * bound variable is LEFT-SEMI filtered into every atom that mentions
+    * it BEFORE the motif joins. Joining filtered dims onto find's output
+    * afterwards cannot do this pruning itself — find's trailing
+    * `distinct()` blocks join pushdown, so the unbound form enumerates
+    * the FULL motif first (measured on g09b at sf0.01: the supplier
+    * middle vertices alone contribute in×out ≈ 600×600 two-paths each —
+    * 25 s for an answer of 408 rows). Filtering before or after the
+    * distinct selects the same rows, so the result is identical —
+    * ApiSpec pins bound == unbound-then-joined.
     */
-  def find(pattern: String): DataFrame = {
+  def find(pattern: String,
+      bindings: Map[String, DataFrame] = Map.empty): DataFrame = {
     val atom = """\(\s*(\w*)\s*\)\s*-\s*\[\s*\w*\s*\]\s*->\s*\(\s*(\w*)\s*\)""".r
     val atoms = pattern.split(";").map(_.trim).filter(_.nonEmpty).map {
       case atom(a, b) => (a, b)
@@ -144,9 +156,17 @@ case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val named = atoms.map { case (a, b) => (name(a), name(b)) }
     val acc = named
       .map { case (a, b) =>
-        if (a == b) // self-loop atom: one bound column
-          edges.filter(col("src") === col("dst")).select(col("src").as(a))
-        else edges.select(col("src").as(a), col("dst").as(b))
+        val base =
+          if (a == b) // self-loop atom: one bound column
+            edges.filter(col("src") === col("dst")).select(col("src").as(a))
+          else edges.select(col("src").as(a), col("dst").as(b))
+        Seq(a, b).distinct.filter(base.columns.contains).foldLeft(base) {
+          (df, v) =>
+            bindings.get(v).fold(df) { bound =>
+              df.join(bound.select(col(bound.columns.head).as(v)),
+                Seq(v), "left_semi")
+            }
+        }
       }
       .reduceLeft { (l, r) =>
         val shared = l.columns.intersect(r.columns).toSeq

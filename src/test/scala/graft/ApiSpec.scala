@@ -199,6 +199,17 @@ class ApiSpec extends SparkSpecBase {
     assert(diamond == Set((2L, 3L, 4L)))
     // malformed atoms are rejected loudly
     intercept[IllegalArgumentException](g.find("(a)-(b)"))
+    // r20 bindings: semi-filtering a variable into the atoms BEFORE the
+    // motif joins == filtering the unbound result after (same rows) —
+    // the g09b plan contract
+    val bSet = Seq(2L).toDF("b")
+    val bound = g.find("(a)-[]->(b); (b)-[]->(c)",
+        bindings = Map("b" -> bSet))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unbound = g.find("(a)-[]->(b); (b)-[]->(c)")
+      .join(bSet, "b").select("a", "b", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bound == unbound && bound == Set((1L, 2L, 3L), (1L, 2L, 4L)))
   }
 
   test("TemporalPropertyGraph: snapshot, window, and evolution semantics") {
