@@ -1379,6 +1379,9 @@ object Graphs {
     while (changed && it < trimRounds) {
       it += 1
       // vertices with BOTH an in- and an out-edge in the live subgraph
+      // (r20: a union + flag-agg single-shuffle form was A/B'd and lost
+      // by ~4% — the two distincts dedupe map-side and join
+      // co-partitioned, so they are already the cheaper shape)
       val live = e.select(col("src").as("id")).distinct()
         .join(e.select(col("dst").as("id")).distinct(), Seq("id"),
           "left_semi")
@@ -1390,8 +1393,10 @@ object Graphs {
       changed = nPeeled > 0
       if (changed) {
         trimmed = if (trimmed == null) peeled else trimmed.unionAll(peeled)
-        verts = verts.join(live, Seq("id"), "left_semi")
-          .transform(Checkpoints.cut)
+        // live ⊆ verts by construction (every live id is an endpoint of a
+        // live edge), so `verts ⋉ live` IS live — reuse the cut frame
+        // instead of materializing a third per-round checkpoint (r20).
+        verts = live
         e = e.join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
           .transform(Checkpoints.cut)
